@@ -1,0 +1,102 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-MERGE emulation with stock Spark joins (SURVEY.md §2.6).
+  *
+  * The reference's only nontrivial relational ops are Delta MERGE upserts:
+  *  - J1 `whenMatchedUpdate` — update target columns where a source row
+  *    matches on the key (operations.py:112-129; the reference keys on the
+  *    full nested struct column `value`, which Spark joins natively).
+  *  - J2 `whenNotMatchedInsertAll` — insert source rows that have no key
+  *    match in the target (Autoloader_notebook/Silver_update.py:50-60).
+  *
+  * Scale notes: both are plain equi-joins, so Catalyst picks broadcast vs
+  * sort-merge by size and AQE handles skew. The merge *source* in the
+  * reference's pipelines is always the small side (one microbatch / one
+  * day's quarantine set), so at 100 TB the target never re-shuffles for J2
+  * (broadcast anti-join) and J1 is a single shuffle-or-broadcast join —
+  * never a driver-side loop.
+  */
+object Merge {
+
+  /** J1 — for each target row with a matching source row on `keyCols`, set
+    * each column in `setCols` to the source's value; other rows pass
+    * through unchanged. Equivalent to
+    * `MERGE ... WHEN MATCHED THEN UPDATE SET c = s.c`.
+    *
+    * Source is deduplicated on the key first (MERGE requires unique source
+    * keys; duplicates would multiply target rows through the join).
+    */
+  def whenMatchedUpdate(target: DataFrame, source: DataFrame,
+      keyCols: Seq[String], setCols: Seq[String]): DataFrame = {
+    val src = source
+      .select((keyCols ++ setCols).map(col): _*)
+      .dropDuplicates(keyCols)
+      .select(keyCols.map(col) ++
+        setCols.map(c => col(c).as(s"__src_$c")): _*)
+    val joined = target.join(src, keyCols, "left")
+    setCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, coalesce(col(s"__src_$c"), col(c)))
+    }.drop(setCols.map(c => s"__src_$c"): _*)
+  }
+
+  /** J1 with an arbitrary (e.g. struct-equality) join condition, as the
+    * reference uses: `bronze.value = source.value` (operations.py:122-127).
+    * `setExprs` maps target column -> value when matched.
+    */
+  def whenMatchedUpdateOn(target: DataFrame, source: DataFrame,
+      cond: (DataFrame, DataFrame) => Column,
+      setExprs: Map[String, Column]): DataFrame = {
+    val t = target.alias("t")
+    val s = source.alias("s").withColumn("__matched", lit(true))
+    val joined = t.join(s, cond(t, s), "left")
+    val updated = setExprs.foldLeft(joined) { case (df, (c, v)) =>
+      df.withColumn(s"__new_$c", when(col("__matched"), v).otherwise(col(s"t.$c")))
+    }
+    val tCols = target.columns.toSeq
+    updated.select(tCols.map { c =>
+      if (setExprs.contains(c)) col(s"__new_$c").as(c) else col(s"t.$c")
+    }: _*)
+  }
+
+  /** J2 — append source rows whose key is absent from the target
+    * (left-anti join insert). Equivalent to
+    * `MERGE ... WHEN NOT MATCHED THEN INSERT *`.
+    */
+  def whenNotMatchedInsert(target: DataFrame, source: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val newRows = source.join(
+      target.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+      keyCols, "left_anti")
+    target.unionByName(newRows.select(target.columns.map(col): _*))
+  }
+
+  /** Full upsert: update matched, insert unmatched. */
+  def upsert(target: DataFrame, source: DataFrame,
+      keyCols: Seq[String], setCols: Seq[String]): DataFrame =
+    whenNotMatchedInsert(
+      whenMatchedUpdate(target, source, keyCols, setCols), source, keyCols)
+
+  /** Path-backed merge: read the parquet table at `path`, apply `f`, and
+    * overwrite it safely. The naive read→overwrite self-reference fails
+    * (Spark deletes the input before the job reads it), so the new content
+    * is materialized to a sibling temp dir first, then swapped in — the
+    * closest stock-Spark analog of Delta's atomic commit (SURVEY.md §7.5).
+    */
+  def rewriteTable(spark: SparkSession, path: String,
+      partitionCol: Option[String] = None)(f: DataFrame => DataFrame): Unit = {
+    val tmp = path.stripSuffix("/") + "__rewrite_tmp"
+    val out = f(spark.read.parquet(path))
+    val writer = out.write.mode("overwrite").format("parquet")
+    partitionCol.fold(writer)(c => writer.partitionBy(c)).save(tmp)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(t, p)
+  }
+}

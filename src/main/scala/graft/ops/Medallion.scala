@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's operator library (see SURVEY.md §2), generalized into
+  * reusable `DataFrame => DataFrame` combinators.
+  *
+  * Mirrors `/root/reference/Batch_notebook/operations/operations.py` 19-165
+  * in capability, re-expressed Spark-first: every op is a lazy logical-plan
+  * transformation (Catalyst handles pushdown/pruning); nothing collects to
+  * the driver; writes are partitioned for scale.
+  */
+object Medallion {
+
+  /** S1 — multiline JSON scan (operations.py:19-21). One task per file (a
+    * multiline JSON doc is not splittable); callers should repartition after
+    * explode when the downstream work is heavy.
+    */
+  def readRawJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("json").option("multiline", "true").load(path)
+
+  /** S3 — schema probe: infer a schema from a batch read so a streaming
+    * source (which requires an explicit schema) can reuse it
+    * (Autoloader_notebook/Raw_to_Bronze.py:21-23).
+    */
+  def probeSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    readRawJson(spark, path).schema
+
+  /** G1 — explode a top-level record array into one row per record
+    * (operations.py:21).
+    */
+  def explodeRecords(df: DataFrame, arrayCol: String,
+      as: String = "record"): DataFrame =
+    df.select(explode(col(arrayCol)).as(as))
+
+  /** P1 — bronze envelope: wrap the record in `value` and attach ingestion
+    * metadata (operations.py:25-32). `ingestTime` is injectable so tests and
+    * oracle queries stay deterministic (the reference hard-codes
+    * current_timestamp()).
+    */
+  def transformRaw(df: DataFrame, recordCol: String, datasource: String,
+      ingestTime: Column = current_timestamp()): DataFrame =
+    df.select(
+      col(recordCol).as("value"),
+      lit(datasource).as("datasource"),
+      ingestTime.as("ingesttime"),
+      lit("new").as("status"),
+      ingestTime.cast("date").as("p_ingestdate"))
+
+  /** P2 — struct flatten: keep the struct column and expand its fields to
+    * top level (operations.py:60).
+    */
+  def flattenStruct(df: DataFrame, structCol: String): DataFrame =
+    df.select(col(structCol), col(s"$structCol.*"))
+
+  /** P2 (canonical form) — `select("value", "value.*")`. */
+  def flattenValue(df: DataFrame): DataFrame =
+    df.select(col("value"), col("value.*"))
+
+  /** P4 — conditional floor rewrite (operations.py:84):
+    * when(c < floor, floor).otherwise(c).
+    */
+  def withFloor(df: DataFrame, c: String, floor: Long): DataFrame =
+    df.withColumn(c, when(col(c) < floor, lit(floor)).otherwise(col(c)))
+
+  /** P5 — status equality filter (operations.py:49,136). Pushed to the scan
+    * by Catalyst when applied directly over a source.
+    */
+  def filterStatus(df: DataFrame, status: String): DataFrame =
+    df.filter(col("status") === status)
+
+  /** P6 — clean/quarantine split on a predicate (operations.py:103-107).
+    * Returns (clean, quarantined): two sibling plans over the same parent.
+    * Caller may `.cache()` the parent when both sides are consumed — the
+    * reference recomputes (SURVEY.md §3.2).
+    */
+  def cleanQuarantineSplit(df: DataFrame, cleanPred: Column)
+      : (DataFrame, DataFrame) =
+    (df.filter(cleanPred), df.filter(!cleanPred))
+
+  /** P7 — drop rows with an empty string in `c` (operations.py:54). */
+  def dropEmpty(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c) =!= "")
+
+  /** P9 — literal status overwrite (operations.py:117). */
+  def withStatus(df: DataFrame, status: String): DataFrame =
+    df.withColumn("status", lit(status))
+
+  /** P10 — numeric repair via abs (operations.py:141). */
+  def repairAbs(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, abs(col(c)))
+
+  /** A1 + P7 + O1 — dimension extraction à la `fix_genres`
+    * (operations.py:53-54): explode an array-of-struct column, flatten,
+    * dedup, drop empties, sort. The distinct is the only shuffle; sort is a
+    * range partition.
+    */
+  def dimensionFromArray(df: DataFrame, arrayCol: String,
+      nameCol: String = "name", idCol: String = "id"): DataFrame =
+    df.select(explode(col(arrayCol)).as("g"))
+      .select(col(s"g.$idCol").as("Id"), col(s"g.$nameCol").as(nameCol))
+      .distinct()
+      .filter(col(nameCol) =!= "")
+      .orderBy("Id")
+
+  /** K1 — partitioned batch writer (operations.py:36-44): drop excluded
+    * columns, write parquet partitioned by `partitionCol`. Parquet stands in
+    * for Delta (no Delta jars in this environment; the reference uses Delta
+    * purely as a writer format — SURVEY.md §7.5).
+    */
+  def batchWriter(df: DataFrame, path: String, partitionCol: String,
+      excludeCols: Seq[String] = Nil, mode: String = "append"): Unit = {
+    val pruned = if (excludeCols.isEmpty) df else df.drop(excludeCols: _*)
+    pruned.write.format("parquet").mode(mode)
+      .partitionBy(partitionCol).save(path)
+  }
+}
