@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Dedup, Text, Vec}
 import graft.merge.Merge
 import graft.ops.Medallion
 
@@ -20,6 +21,21 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_agg")(spark, "/root/testdata/sf0.001")
+
+  /** Shared constants between Spark queries and oracle SQL. */
+  val stopwords: Seq[String] = Seq("the", "a")
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en"  -> Seq("the", "a", "fast", "slow"),
+    "ml"  -> Seq("vector", "stream", "window", "batch"),
+    "sql" -> Seq("join", "merge", "filter", "sort"))
+  val numMinhashes: Int = 8
+
+  /** DuckDB fragment: the whitespace tokenizer, identical to Text.tokens. */
+  private def duckToks(c: String): String =
+    s"list_filter(string_split_regex($c, '\\s+'), t -> t != '')"
+
+  private def duckMarkerHits(lang: Seq[String]): String =
+    s"CAST(len(list_filter(tk, t -> list_contains([${lang.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -161,10 +177,164 @@ object SparkEntry {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // ----------------------------------------------------------------
+    // Training-data pipeline operators (documents / embeddings / events)
+    // ----------------------------------------------------------------
+
+    // Token counting (whitespace tokenizer).
+    "q_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Text quality scoring: lengths, stopword ratio, rational-arithmetic
+    // quality score (no transcendentals — cross-engine determinism).
+    "q_text_quality" -> { (s, d) =>
+      val tk = Text.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_obs"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.avgTokenLen(tk).as("avg_tok_len"),
+          Text.stopwordRatio(tk, SparkEntry.stopwords).as("stop_ratio"),
+          Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID by marker-word voting.
+    "q_lang_id" -> { (s, d) =>
+      val tk = Text.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.langId(col("text"), SparkEntry.langMarkers).as("lang_pred"),
+          Text.markerHits(tk, SparkEntry.langMarkers(0)._2).cast("long").as("h_en"),
+          Text.markerHits(tk, SparkEntry.langMarkers(1)._2).cast("long").as("h_ml"),
+          Text.markerHits(tk, SparkEntry.langMarkers(2)._2).cast("long").as("h_sql"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rolling polynomial document fingerprint (order-sensitive char hash).
+    "q_doc_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.charFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact dedup: representative id + group size per 60-char text prefix.
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d),
+          substring(col("text"), 1, 60), col("doc_id"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Near-dup pairs by word-3-gram Jaccard (inverted-list self-join).
+    "q_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.2, dfCap = 100000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash signatures over word-3-gram shingles (rank-based token ids so
+    // the oracle reproduces them; production path uses xxhash64 — tested in
+    // the scalatest suite).
+    "q_minhash_sig" -> { (s, d) =>
+      val sh = Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      val dict = Dedup.tokenDict(sh, "gram")
+      Dedup.minhashSignature(sh.join(dict, "gram"), "doc_id", col("tid"),
+          SparkEntry.numMinhashes)
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("mh"))
+        .orderBy(col("doc_id"), col("j"))
+    },
+
+    // MinHash-LSH candidate pairs (bands of 2 rows, bucket-join).
+    "q_minhash_lsh" -> { (s, d) =>
+      val sh = Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      val dict = Dedup.tokenDict(sh, "gram")
+      val sig = Dedup.minhashSignature(sh.join(dict, "gram"), "doc_id",
+        col("tid"), SparkEntry.numMinhashes)
+      Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2), "doc_id")
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash 16-bit fingerprints (token occurrences, rank-based ids).
+    "q_simhash" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val all = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      val dict = Dedup.tokenDict(all.select("tok"))
+      Dedup.simhash(all.join(dict, "tok"), "doc_id", col("tid"), bits = 16)
+        .orderBy(col("doc_id"))
+    },
+
+    // Brute-force exact cosine top-5 neighbors for query vectors (the
+    // correctness baseline for ANN; the LSH bucket below is the scale path).
+    "q_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Random-hyperplane LSH bucket per vector (8-bit) — map-only ANN
+    // bucketing.
+    "q_rp_lsh_bucket" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Vec.rpLshBucket(col("embedding"), 8).as("bucket"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Multimodal plumbing: opaque binary payload + typed metadata (byte
+    // length here; decode/feature-extraction is exercised in the test
+    // suite with a stubbed decoder).
+    "q_binary_meta" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Tumbling-window aggregation over the event stream (batch form; the
+    // streaming form with watermark runs in the test suite).
+    "q_event_window" -> { (s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"))
+    },
+
+    // Gap-based sessionization (30-min inactivity) via window functions.
+    "q_sessionize" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.eventsTs(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, lit(1L)).otherwise(lit(0L)))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(timestamp_micros(min(col("us"))), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"))
+        .orderBy(col("user_id"), col("session_id"))
     },
   )
 
@@ -230,5 +400,193 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_token_count" ->
+      s"""SELECT doc_id, CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+          FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" -> {
+      val hits = duckMarkerHits(stopwords)
+      s"""WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS tk FROM documents),
+          t2 AS (SELECT doc_id, text, tk,
+            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS stop_ratio FROM t)
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_obs,
+            CAST(len(tk) AS BIGINT) AS n_tokens,
+            CASE WHEN len(tk) > 0 THEN
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(tk, x -> CAST(length(x) AS BIGINT))),
+                (acc, x) -> acc + x) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+              ELSE 0.0 END AS avg_tok_len,
+            stop_ratio,
+            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs(stop_ratio - 0.2)) AS quality
+          FROM t2 ORDER BY doc_id"""
+    },
+
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          h AS (SELECT doc_id,
+            ${duckMarkerHits(langMarkers(0)._2)} AS h_en,
+            ${duckMarkerHits(langMarkers(1)._2)} AS h_ml,
+            ${duckMarkerHits(langMarkers(2)._2)} AS h_sql FROM t)
+          SELECT doc_id,
+            CASE WHEN greatest(h_en, h_ml, h_sql) = 0 THEN 'und'
+                 WHEN h_en >= h_ml AND h_en >= h_sql THEN 'en'
+                 WHEN h_ml >= h_sql THEN 'ml' ELSE 'sql' END AS lang_pred,
+            h_en, h_ml, h_sql
+          FROM h ORDER BY doc_id""",
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(text) + 1),
+               i -> CAST(ascii(text[i]) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY substr(text, 1, 60) ORDER BY keep_id""",
+
+    "q_ngram_jaccard" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT DISTINCT doc_id, gram FROM gr),
+          rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100000),
+          gg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+          ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS inter
+            FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+            round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+          FROM ip JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.2
+          ORDER BY id_a, id_b""",
+
+    "q_minhash_sig" -> {
+      val perms = (0 until numMinhashes)
+        .map(j => s"(${j}, ${Dedup.permA(j)}, ${Dedup.permB(j)})").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          sh0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          sh AS (SELECT DISTINCT doc_id, gram FROM sh0),
+          dict AS (SELECT gram, CAST(row_number() OVER (ORDER BY gram) AS BIGINT) AS tid
+            FROM (SELECT DISTINCT gram FROM sh) dg),
+          perms AS (SELECT * FROM (VALUES $perms) p(j, a, b))
+          SELECT doc_id, CAST(j AS BIGINT) AS j,
+            min((tid * a + b) % ${Dedup.MersennePrime}) AS mh
+          FROM sh JOIN dict USING (gram) CROSS JOIN perms
+          GROUP BY doc_id, j ORDER BY doc_id, j"""
+    },
+
+    "q_minhash_lsh" -> {
+      val perms = (0 until numMinhashes)
+        .map(j => s"(${j}, ${Dedup.permA(j)}, ${Dedup.permB(j)})").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          sh0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          sh AS (SELECT DISTINCT doc_id, gram FROM sh0),
+          dict AS (SELECT gram, CAST(row_number() OVER (ORDER BY gram) AS BIGINT) AS tid
+            FROM (SELECT DISTINCT gram FROM sh) dg),
+          perms AS (SELECT * FROM (VALUES $perms) p(j, a, b)),
+          sig AS (SELECT doc_id, j, min((tid * a + b) % ${Dedup.MersennePrime}) AS mh
+            FROM sh JOIN dict USING (gram) CROSS JOIN perms GROUP BY doc_id, j),
+          bands AS (SELECT doc_id, j // 2 AS band,
+            sum(CASE WHEN j % 2 = 0 THEN mh ELSE 0 END * 2147483648 +
+                CASE WHEN j % 2 = 1 THEN mh ELSE 0 END) AS band_val
+            FROM sig GROUP BY doc_id, band),
+          caps AS (SELECT band, band_val, count(*) AS c FROM bands GROUP BY 1, 2),
+          capped AS (SELECT bands.doc_id, bands.band, bands.band_val
+            FROM bands JOIN caps USING (band, band_val) WHERE c <= 1000)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b USING (band, band_val)
+          WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""
+    },
+
+    "q_simhash" -> {
+      val bits = (0 until 16).map(k => s"($k, ${1L << k})").mkString(", ")
+      s"""WITH tkall AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+          dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+            FROM (SELECT DISTINCT tok FROM tkall) dt),
+          bits AS (SELECT * FROM (VALUES $bits) b(k, pow2)),
+          lanes AS (SELECT doc_id, k, pow2,
+            sum(CASE WHEN CAST(floor(((tid * ${Dedup.permA(0)} + ${Dedup.permB(0)}) % ${Dedup.MersennePrime}) / pow2) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END) AS lane
+            FROM tkall JOIN dict USING (tok) CROSS JOIN bits
+            GROUP BY doc_id, k, pow2)
+          SELECT doc_id, CAST(sum(CASE WHEN lane > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+          FROM lanes GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    "q_cosine_topk" -> {
+      val dotSql = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+            (acc, v) -> acc + v)"""
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          p AS (SELECT query_id, e.vec_id AS neighbor_id,
+            ${dotSql("qv", "e.embedding")} AS dp,
+            ${dotSql("qv", "qv")} AS nq,
+            ${dotSql("e.embedding", "e.embedding")} AS nc
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+          sc AS (SELECT query_id, neighbor_id,
+            round(dp / (sqrt(nq) * sqrt(nc)), 6) AS sim FROM p),
+          r AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM sc)
+          SELECT query_id, neighbor_id, sim, "rank" FROM r
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_rp_lsh_bucket" -> {
+      val projs = (0 until 8).map { j =>
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(embedding) + 1),
+              i -> (CASE WHEN (i * 2654435761 + ${j + 1} * 40503) % 65536 < 32768
+                    THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE))),
+            (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""SELECT vec_id, CAST($projs AS BIGINT) AS bucket
+          FROM embeddings ORDER BY vec_id"""
+    },
+
+    "q_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+
+    "q_event_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         l AS (SELECT user_id, event_id, us,
+           lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+           FROM e),
+         m AS (SELECT user_id, event_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new FROM l),
+         s AS (SELECT user_id, us,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
   )
 }

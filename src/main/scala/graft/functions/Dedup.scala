@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale design (100 TB): everything is expressed as explode → hash →
+  * partial-aggregable groupBy → equi-join, so Spark's map-side combine and
+  * AQE do the heavy lifting; there is no global sort and no driver-side
+  * collection anywhere. Candidate generation (LSH banding / inverted gram
+  * lists) caps posting-list length so hub keys can't produce quadratic
+  * blowup.
+  *
+  * Two token-hash strategies:
+  *  - `xxhash64(...)` (production): fully distributed, codegen'd, no
+  *    dictionary needed. Used by the *Hashed variants.
+  *  - rank-based token ids (oracle mode): a dictionary of distinct tokens
+  *    numbered by lexicographic rank, so the DuckDB oracle can reproduce
+  *    signatures exactly with pure integer arithmetic. The dictionary is a
+  *    groupBy-distinct (scales) plus a row_number over token order — fine
+  *    for bounded vocabularies; production pipelines use the hashed path.
+  */
+object Dedup {
+
+  val MersennePrime: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic universal-hash parameters (a_j, b_j) for permutation j. */
+  def permA(j: Int): Long = 1223L + 2741L * j + 37L * j * j
+  def permB(j: Int): Long = 7919L + 104729L * j
+
+  /** h_j(x) = (a_j * x + b_j) mod (2^31-1) — the permutation family. */
+  def permHash(x: Column, j: Int): Column =
+    (x * permA(j) + permB(j)) % MersennePrime
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: one representative row id per key (the smallest
+    * `idCol`), with the group size. A hash groupBy — partial aggregation
+    * on the map side, single shuffle on the key.
+    */
+  def exactGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping whole representative rows (first by `orderCol`
+    * within each key) — window form, one shuffle on the key.
+    */
+  def dedupRows(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Token / shingle preparation
+  // ------------------------------------------------------------------
+
+  /** (id, token) rows: distinct tokens per document. */
+  def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .distinct()
+
+  /** (id, gram) rows: distinct word n-grams (shingles) per document. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(Text.wordNgrams(Text.tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+
+  /** Oracle-mode token dictionary: distinct tokens numbered by rank.
+    * The row_number window is unpartitioned — acceptable only because the
+    * input is the *distinct vocabulary*, already tiny relative to the
+    * corpus; the hashed variants below avoid it entirely.
+    */
+  def tokenDict(toks: DataFrame, tokCol: String = "tok"): DataFrame =
+    toks.select(col(tokCol)).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col(tokCol))).cast("long"))
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** MinHash signatures in long form: (id, j, mh) for j in [0, numHashes).
+    * `tokenId` must be a long column (rank id or hash). Cross-joining the
+    * tiny perm table broadcasts; the min-aggregate is map-side combinable.
+    */
+  def minhashSignature(docTok: DataFrame, idCol: String, tokenId: Column,
+      numHashes: Int): DataFrame = {
+    val perms = (0 until numHashes).map(j => (j, permA(j), permB(j)))
+    val spark = docTok.sparkSession
+    import spark.implicits._
+    val permDf = broadcast(perms.toDF("j", "a", "b"))
+    docTok.join(permDf)
+      .select(col(idCol), col("j"),
+        ((tokenId * col("a") + col("b")) % MersennePrime).as("h"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(col("h")).as("mh"))
+  }
+
+  /** Production MinHash: token ids from xxhash64 (no dictionary). */
+  def minhashSignatureHashed(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, shingleSize)
+    minhashSignature(sh, idCol, pmod(xxhash64(col("gram")), lit(MersennePrime)),
+      numHashes)
+  }
+
+  /** LSH band values from long-form signatures: bands of `rowsPerBand`
+    * consecutive hashes packed into one bigint
+    * (band_val = sum(mh_j * 2^31^(j mod r))) — order-sensitive, collision-
+    * safe for mh < 2^31 and r <= 2.
+    */
+  def lshBands(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand <= 2, "band packing supports r <= 2 in one bigint")
+    sig.withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .withColumn("slot", col("j") % rowsPerBand)
+      .groupBy(col(idCol), col("band"))
+      .agg(sum(when(col("slot") === 0, col("mh")).otherwise(lit(0L)) * lit(2147483648L) +
+           when(col("slot") === 1, col("mh")).otherwise(lit(0L))).as("band_val"))
+  }
+
+  /** Candidate pairs: documents sharing at least one LSH band bucket.
+    * Bucket posting lists longer than `bucketCap` are dropped (degenerate
+    * buckets — e.g. empty docs — would otherwise go quadratic).
+    */
+  def lshCandidatePairs(bands: DataFrame, idCol: String,
+      bucketCap: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("band_val"))
+    val capped = bands
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= bucketCap)
+      .drop("__n")
+    val a = capped.select(col("band"), col("band_val"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("band_val"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** SimHash fingerprints (`bits`-wide, default 16): per token occurrence,
+    * hash to h, then each bit contributes +1/-1 to its lane; the
+    * fingerprint sets bit k where the lane sum is positive. Bit extraction
+    * uses floor(h / 2^k) % 2 — exact in double for h < 2^31, matching the
+    * oracle's arithmetic.
+    */
+  def simhash(docTok: DataFrame, idCol: String, tokenId: Column,
+      bits: Int = 16): DataFrame = {
+    val spark = docTok.sparkSession
+    import spark.implicits._
+    val bitsDf = broadcast((0 until bits).map(k => (k, 1L << k)).toDF("k", "pow2"))
+    docTok
+      .select(col(idCol),
+        ((tokenId * permA(0) + permB(0)) % MersennePrime).as("h"))
+      .join(bitsDf)
+      .select(col(idCol), col("k"), col("pow2"),
+        when(floor(col("h") / col("pow2")) % 2 === 1, lit(1L))
+          .otherwise(lit(-1L)).as("contrib"))
+      .groupBy(col(idCol), col("k"), col("pow2"))
+      .agg(sum(col("contrib")).as("lane"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("lane") > 0, col("pow2")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // N-gram Jaccard near-dup pairs
+  // ------------------------------------------------------------------
+
+  /** Near-duplicate pairs by word-n-gram Jaccard similarity >= `minJaccard`.
+    * Inverted-list self-join on shingles; grams appearing in more than
+    * `dfCap` documents are dropped before the join (stopword-gram hubs are
+    * the quadratic risk at scale, and carry no dedup signal).
+    * Output: (id_a, id_b, inter, n_a, n_b, jaccard) with jaccard rounded
+    * to 6 places for cross-engine stability.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
+    val grams = docShingles(docs, idCol, textCol, n)
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("gram")
+    val g = grams.join(rare, Seq("gram"))
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val a = g.select(col("gram"), col(idCol).as("id_a"))
+    val b = g.select(col("gram"), col(idCol).as("id_b"))
+    val inter = a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_grams").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_grams").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        col("jaccard"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting, word n-grams.
+  *
+  * All are built from Spark's native higher-order functions
+  * (`split`/`filter`/`transform`/`aggregate`) — per-row, no shuffle, no
+  * UDFs — so they run inside the scan stage at any scale. Arithmetic is
+  * integer or IEEE double with a fixed evaluation order, keeping results
+  * bit-identical to the DuckDB oracle SQL in SparkEntry.
+  */
+object Text {
+
+  /** Whitespace tokenizer; drops the empty fragments regex split leaves at
+    * string edges.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish regex tokenizer: runs of letters, runs of digits, or single
+    * other non-space characters — the common pre-tokenization shape.
+    */
+  def regexTokens(c: Column): Column =
+    filter(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)),
+      t => length(t) > 0)
+
+  /** Word n-grams over a token array: space-joined windows of `n` tokens.
+    * Empty when the doc has fewer than `n` tokens. `sequence` is guarded
+    * because Spark generates a *descending* sequence when end < start.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+
+  /** Number of tokens that appear in `words` (marker/stopword hits). */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Stopword ratio: marker hits / token count, as double (0 for empty). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    when(size(toks) > 0,
+      markerHits(toks, stopwords).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * h = fold(h * 31 + ascii(char)) mod 1e9+7. Deterministic, order-
+    * sensitive (a true rolling hash), and expressible in the oracle via
+    * list_reduce. Spaces are included (the character stream is the doc).
+    */
+  def charFingerprint(c: Column): Column =
+    aggregate(
+      transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Mean token length in characters, as double (0 for empty docs). */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / total chars. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(c).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Heuristic quality score in [0,1]: rewards docs near a target length
+    * with a moderate stopword ratio. Pure rational arithmetic (no
+    * transcendentals — libm results differ across engines).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val tk = tokens(text)
+    val lengthTerm = least(lit(1.0), size(tk).cast("double") / lit(50.0))
+    val stopTerm = lit(1.0) - abs(stopwordRatio(tk, stopwords) - lit(0.2))
+    lengthTerm * stopTerm
+  }
+
+  /** Language ID by marker-word voting: the language whose marker list hits
+    * the most tokens wins; ties break lexicographically by language code;
+    * zero hits everywhere → "und".
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val tk = tokens(text)
+    val scored = markers.map { case (lang, words) =>
+      struct(markerHits(tk, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct<hits,lang> orders by hits, then lang — but we
+    // want lexicographically FIRST lang on tied hits, so compare on
+    // (hits, reversed-rank) via sort: take max of (hits desc, lang asc) ==
+    // max of struct(hits, negated lang ordinal). Simplest deterministic
+    // form: fold left keeping the strictly-greater winner.
+    val winner = scored.reduceLeft { (best, cand) =>
+      when(cand.getField("hits") > best.getField("hits"), cand).otherwise(best)
+    }
+    when(winner.getField("hits") > 0, winner.getField("lang")).otherwise(lit("und"))
+  }
+}
