@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.merge.Merge
+import graft.ops.Medallion
+
+/** Structured-Streaming variant of the medallion pipeline — the stock-Spark
+  * re-expression of the reference's Autoloader notebooks
+  * (the notebooks under /root/reference/Autoloader_notebook/):
+  *
+  *  - `cloudFiles` source → Spark's streaming JSON file source (same
+  *    incremental file-discovery semantics via the checkpoint's seen-file
+  *    log; Raw_to_Bronze.py:33-42).
+  *  - `trigger(once=True)` → `Trigger.AvailableNow` (the 4.x successor).
+  *  - Delta streaming sink → checkpointed parquet append sink.
+  *  - foreachBatch Delta MERGE → foreachBatch join-merge (Merge.*).
+  *  - streaming `.distinct()` → `dropDuplicates` *with a watermark* so
+  *    state is bounded (the reference's unbounded-state call is a bug we
+  *    do not reproduce; SURVEY.md §7.5).
+  */
+object StreamingMedallion {
+
+  /** S4/K2 — raw JSON directory → bronze parquet, incremental,
+    * exactly-once per file via the checkpoint (Raw_to_Bronze.py:33-70).
+    * Streaming sources need an explicit schema: probe one (S3) or pass it.
+    */
+  def rawToBronzeStream(spark: SparkSession, rawDir: String,
+      bronzePath: String, checkpoint: String,
+      schema: StructType): StreamingQuery = {
+    val raw = spark.readStream.format("json")
+      .option("multiLine", "true")
+      .schema(schema)
+      .load(rawDir)
+    val records = Medallion.explodeRecords(raw, "movie", "record")
+    val bronze = Medallion.transformRaw(records, "record", "movie.json")
+    bronze.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .option("path", bronzePath)
+      .partitionBy("p_ingestdate")
+      .outputMode("append")
+      .queryName("Raw_To_Bronze")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** K3 — foreachBatch upsert sink: per-microbatch driver-side merge into a
+    * parquet target (Bronze_to_Silver.py:257-276). `mergeFn` receives
+    * (spark, microbatch, batchId).
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String, name: String)(
+      mergeFn: (SparkSession, DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeFn(batch.sparkSession, batch, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming bronze → silver: stream new bronze files, flatten/clean, and
+    * per microbatch append clean rows to silver and write status back into
+    * bronze (the reference's Bronze_to_Silver.py shape).
+    */
+  def bronzeToSilverStream(spark: SparkSession, bronzeDir: String,
+      silverDir: String, checkpoint: String): StreamingQuery = {
+    val schema = spark.read.parquet(bronzeDir).schema
+    val bronze = spark.readStream.schema(schema).parquet(bronzeDir)
+    val fresh = Medallion.filterStatus(bronze, "new")
+    foreachBatchSink(fresh, checkpoint, "Bronze_To_Silver") { (s, batch, _) =>
+      val flat = Medallion.flattenValue(batch).cache()
+      val movie = graft.pipeline.MoviePipeline.transformMovie(flat).distinct()
+      val (clean, quarantined) =
+        Medallion.cleanQuarantineSplit(movie, col("RunTime") >= 0)
+      if (!clean.isEmpty)
+        Medallion.batchWriter(clean, s"$silverDir/movie_silver", "p_CreatedDate",
+          excludeCols = Seq("value"))
+      if (!quarantined.isEmpty)
+        Medallion.batchWriter(quarantined.drop("value"),
+          s"$silverDir/movie_quarantine", "p_CreatedDate")
+      flat.unpersist()
+    }
+  }
+
+  /** A1-streaming — bounded-state streaming dedup: watermark + per-key
+    * dropDuplicates (upgrade of Bronze_to_Silver.py:89-90's unbounded
+    * distinct).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Event-time tumbling-window aggregation with late-data handling — the
+    * generalized streaming surface (SURVEY.md §2.7; the reference uses no
+    * windows, our engine exposes them).
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String,
+      windowLen: String, delay: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

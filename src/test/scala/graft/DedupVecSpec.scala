@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Text, Vec}
+import graft.multimodal.Media
+
+/** Production-path (xxhash64) dedup, vector search, and multimodal plumbing. */
+class DedupVecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep dark forest while the moon rises slowly over the hills"
+
+  def docs = Seq(
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")), // near-dup of 1
+    (3L, "completely different content about spark query engines and " +
+      "columnar execution with vectorized readers and shuffle services")
+  ).toDF("doc_id", "text")
+
+  test("hashed MinHash+LSH finds the planted near-dup pair only") {
+    val sig = Dedup.minhashSignatureHashed(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 8)
+    assert(sig.count() === 24) // 3 docs x 8 hashes
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sig, "doc_id", 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("simhash: near-dups land within small hamming distance") {
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("tok"))
+    val fp = Dedup.simhash(toks, "doc_id",
+      pmod(xxhash64(col("tok")), lit(Dedup.MersennePrime)), bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+    assert(ham(fp(1L), fp(2L)) <= 4)
+  }
+
+  test("ngram jaccard pairs: planted near-dup above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) === (1L, 2L))
+    assert(pairs(0).getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("exact dedup groups by key with smallest id kept") {
+    val d = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("id", "t")
+    val g = Dedup.exactGroups(d, col("t"), col("id"))
+      .collect().map(r => r.getAs[String]("dedup_key") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(g === Map("x" -> (10L, 2L), "y" -> (12L, 1L)))
+  }
+
+  test("cosine: known geometry") {
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sims = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Vec.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((1L, 2L)) === 0.0)
+    assert(sims((1L, 3L)) === 1.0)
+    assert(sims((2L, 3L)) === 0.0)
+  }
+
+  test("LSH top-k achieves decent recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Vec.bruteForceTopK(emb.filter($"vec_id" < 20), emb, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Vec.lshTopK(emb, 5, nBits = 2)
+      .filter($"query_id" < 20)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall") // 2-bit buckets, ~1/4 of corpus scanned
+  }
+
+  test("multimodal plumbing: fromText → decodeFeatures → sampleFrames") {
+    val media = Media.fromText(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Media.decodeFeatures(media)
+    val rows = feats.select("media_id", "features").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getSeq[Float](1).length === Media.StubCodec.featureDim))
+    // deterministic: same payload → same features
+    val f2 = Media.decodeFeatures(media).select("media_id", "features").collect()
+    assert(rows.map(_.toString).sorted.toSeq === f2.map(_.toString).sorted.toSeq)
+    val frames = Media.sampleFrames(media, every = 2)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "frame"))
+  }
+
+  test("Text: tokenizers, ngrams, fingerprint stability") {
+    val df = Seq((1L, "a  b c"), (2L, ""), (3L, "hello, world! 42")).toDF("id", "text")
+    val out = df.select(col("id"),
+      Text.tokenCount(col("text")).as("n"),
+      Text.wordNgrams(Text.tokens(col("text")), 2).as("g2"),
+      Text.charFingerprint(col("text")).as("fp"),
+      Text.regexTokens(col("text")).as("rt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[String](2), r.getLong(3), r.getSeq[String](4))).toMap
+    assert(out(1L)._1 === 3)
+    assert(out(1L)._2 === Seq("a b", "b c"))
+    assert(out(2L)._1 === 0)
+    assert(out(2L)._3 === 0L)
+    assert(out(3L)._4 === Seq("hello", ",", "world", "!", "42"))
+    // fingerprint differs on order
+    val fp = Seq((1L, "ab"), (2L, "ba")).toDF("id", "text")
+      .select(Text.charFingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+  }
+}

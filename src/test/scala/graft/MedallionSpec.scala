@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Medallion
+import graft.pipeline.MoviePipeline
+
+/** Unit tests for the reference-derived operator library over the movie
+  * fixture (FIXTURES.md §A branch behaviors).
+  */
+class MedallionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val rawDir = MovieFixture.writeRaw(TestSpark.tmpDir("raw"))
+  lazy val bronze = {
+    val raw = Medallion.readRawJson(spark, rawDir)
+    Medallion.transformRaw(
+      Medallion.explodeRecords(raw, "movie", "record"), "record", "movie.json")
+  }
+  lazy val flat = Medallion.flattenValue(bronze)
+
+  test("S1+G1: multiline JSON read explodes to one row per record") {
+    assert(bronze.count() === 4)
+  }
+
+  test("P1: bronze envelope carries metadata and status=new") {
+    val row = bronze.select("datasource", "status").distinct().collect()
+    assert(row.length === 1)
+    assert(row(0).getString(0) === "movie.json")
+    assert(row(0).getString(1) === "new")
+  }
+
+  test("P2: struct flatten exposes record fields and keeps value") {
+    assert(flat.columns.contains("value"))
+    assert(flat.columns.contains("Id"))
+    assert(flat.columns.contains("RunTime"))
+  }
+
+  test("P4: budget floor rewrites only sub-floor budgets") {
+    val m = MoviePipeline.transformMovie(flat)
+    val budgets = m.select("Id", "Budget").distinct().collect()
+      .map(r => r.getAs[Int]("Id") -> r.getAs[Long]("Budget")).toMap
+    assert(budgets(1) === 100000L) // floored from 50000
+    assert(budgets(2) === 2000000L) // untouched
+  }
+
+  test("P6+A1: clean/quarantine split partitions the distinct rows") {
+    val m = MoviePipeline.transformMovie(flat).distinct()
+    val (clean, quarantined) =
+      Medallion.cleanQuarantineSplit(m, col("RunTime") >= 0)
+    assert(m.count() === 3) // duplicate Id=3 removed
+    assert(clean.count() === 2)
+    assert(quarantined.count() === 1)
+    assert(clean.intersect(quarantined).count() === 0)
+    assert(clean.union(quarantined).exceptAll(m).count() === 0)
+  }
+
+  test("P7+O1: genres dimension dedups, drops empty names, sorts") {
+    val g = MoviePipeline.transformGenres(flat).collect()
+    assert(g.map(_.getAs[Long]("Id")).toSeq === Seq(1L, 3L))
+    assert(!g.exists(_.getAs[String]("name") == ""))
+  }
+
+  test("language dimension is distinct with FK stub id") {
+    val l = MoviePipeline.transformLanguage(flat).collect()
+    assert(l.map(_.getAs[String]("OriginalLanguage")).sorted.toSeq
+      === Seq("en", "fr"))
+    assert(l.forall(_.getAs[Int]("Id") == 1))
+  }
+
+  test("P10: abs repair flips negative runtimes and is idempotent") {
+    val r1 = Medallion.repairAbs(flat, "RunTime")
+    val r2 = Medallion.repairAbs(r1, "RunTime")
+    assert(r1.filter(col("RunTime") < 0).count() === 0)
+    assert(r2.exceptAll(r1).count() === 0)
+  }
+
+  test("K1: partitioned write round-trips with partition column intact") {
+    val out = TestSpark.tmpDir("bronze_write")
+    Medallion.batchWriter(bronze, s"$out/t", "p_ingestdate", mode = "overwrite")
+    val back = spark.read.parquet(s"$out/t")
+    assert(back.count() === 4)
+    assert(back.columns.toSet === bronze.columns.toSet)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.merge.Merge
+
+/** Merge-emulation semantics (SURVEY.md §2.6 J1/J2). */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def target = Seq(
+    (1L, "new", 10.0), (2L, "new", 20.0), (3L, "loaded", 30.0)
+  ).toDF("id", "status", "v")
+
+  test("J1 whenMatchedUpdate: matched rows updated, others untouched") {
+    val source = Seq((1L, "loaded"), (99L, "loaded")).toDF("id", "status")
+    val out = Merge.whenMatchedUpdate(target, source, Seq("id"), Seq("status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "loaded", 2L -> "new", 3L -> "loaded"))
+  }
+
+  test("J1 duplicate source keys do not multiply target rows") {
+    val source = Seq((1L, "loaded"), (1L, "loaded")).toDF("id", "status")
+    val out = Merge.whenMatchedUpdate(target, source, Seq("id"), Seq("status"))
+    assert(out.count() === 3)
+  }
+
+  test("J1 struct-equality key (the reference's bronze.value merge)") {
+    val t = Seq((1L, 120L, "new"), (2L, -95L, "new"))
+      .toDF("Id", "RunTime", "status")
+      .select(struct($"Id", $"RunTime").as("value"), $"status")
+    val s = Seq((1L, 120L)).toDF("Id", "RunTime")
+      .select(struct($"Id", $"RunTime").as("value"))
+    val out = Merge.whenMatchedUpdateOn(t, s,
+      (a, b) => a("value") === b("value"),
+      Map("status" -> lit("loaded")))
+    val byId = out.select($"value.Id", $"status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId === Map(1L -> "loaded", 2L -> "new"))
+  }
+
+  test("J2 whenNotMatchedInsert: only unmatched keys appended") {
+    val source = Seq((3L, "x", 99.0), (4L, "y", 40.0)).toDF("id", "status", "v")
+    val out = Merge.whenNotMatchedInsert(target, source, Seq("id"))
+    assert(out.count() === 4)
+    assert(out.filter($"id" === 3L && $"v" === 30.0).count() === 1) // kept target
+    assert(out.filter($"id" === 4L).count() === 1) // inserted
+  }
+
+  test("upsert = update matched + insert unmatched") {
+    val source = Seq((2L, "loaded", 21.0), (5L, "new", 50.0)).toDF("id", "status", "v")
+    val out = Merge.upsert(target, source, Seq("id"), Seq("status", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, "new", 10.0), (2L, "loaded", 21.0),
+      (3L, "loaded", 30.0), (5L, "new", 50.0)))
+  }
+
+  test("rewriteTable swaps content atomically-ish and preserves partitioning") {
+    val dir = TestSpark.tmpDir("rewrite")
+    val path = s"$dir/t"
+    target.withColumn("p", lit("a"))
+      .write.partitionBy("p").parquet(path)
+    Merge.rewriteTable(spark, path, Some("p")) { df =>
+      df.withColumn("status", lit("done"))
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() === 3)
+    assert(back.filter($"status" === "done").count() === 3)
+    assert(back.columns.contains("p"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Medallion
+import graft.streaming.StreamingMedallion
+
+/** Structured-Streaming surface: incremental file ingestion with
+  * exactly-once semantics, watermark-bounded dedup, event-time windows
+  * (SURVEY.md §2.7).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("S4/K2: streaming raw→bronze processes each file exactly once") {
+    val root = TestSpark.tmpDir("stream_e2e")
+    val rawDir = s"$root/raw"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    MovieFixture.writeRaw(rawDir)
+    val schema = Medallion.probeSchema(spark, rawDir)
+
+    val q1 = StreamingMedallion.rawToBronzeStream(
+      spark, rawDir, s"$root/bronze", s"$root/cp", schema)
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$root/bronze").count() === 4)
+
+    // Second run with no new files: nothing reprocessed.
+    val q2 = StreamingMedallion.rawToBronzeStream(
+      spark, rawDir, s"$root/bronze", s"$root/cp", schema)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$root/bronze").count() === 4)
+
+    // A new file arrives: only its records are appended.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(rawDir, "movie2.json"),
+      MovieFixture.rawJson.replace("\"Id\": 1", "\"Id\": 11")
+        .replace("\"Id\": 2", "\"Id\": 12").replace("\"Id\": 3", "\"Id\": 13"))
+    val q3 = StreamingMedallion.rawToBronzeStream(
+      spark, rawDir, s"$root/bronze", s"$root/cp", schema)
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$root/bronze").count() === 8)
+  }
+
+  test("K3: streaming bronze→silver via foreachBatch merge") {
+    val root = TestSpark.tmpDir("stream_silver")
+    val rawDir = s"$root/raw"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    MovieFixture.writeRaw(rawDir)
+    val schema = Medallion.probeSchema(spark, rawDir)
+    StreamingMedallion.rawToBronzeStream(
+      spark, rawDir, s"$root/bronze", s"$root/cp1", schema).awaitTermination()
+
+    val q = StreamingMedallion.bronzeToSilverStream(
+      spark, s"$root/bronze", s"$root/silver", s"$root/cp2")
+    q.awaitTermination()
+    val silver = spark.read.parquet(s"$root/silver/movie_silver")
+    assert(silver.count() === 2)
+    val quar = spark.read.parquet(s"$root/silver/movie_quarantine")
+    assert(quar.count() === 1)
+  }
+
+  test("A1-streaming: watermarked dropDuplicates bounds state and dedups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val dedup = StreamingMedallion.dedupStream(df, "ts", "10 minutes", Seq("user_id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((t0, 1L, 1.0), (t0, 1L, 1.0), (t0, 2L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").count() === 2)
+    q.stop()
+  }
+
+  test("event-time tumbling window with watermark emits finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingMedallion.windowedEventCounts(
+      events, "ts", "5 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:03:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark past the first window
+    mem.addData((Timestamp.valueOf("2024-01-01 00:30:00"), "click", 9.0))
+    q.processAllAvailable()
+    val out = spark.table("win_out")
+    assert(out.count() >= 2) // click + view windows finalized
+    val click = out.filter($"event_type" === "click" &&
+      $"window_start" === Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(click.head().getAs[Long]("n_events") === 2L)
+    assert(click.head().getAs[Double]("sum_value") === 3.0)
+    q.stop()
+  }
+}
