@@ -37,6 +37,13 @@ object SparkEntry {
   private def duckMarkerHits(lang: Seq[String]): String =
     s"CAST(len(list_filter(tk, t -> list_contains([${lang.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
 
+  /** DuckDB fragment: the rolling polynomial char hash (Dedup.polyId). */
+  private def duckPolyId(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length($c) + 1),
+          ii -> CAST(ascii($c[ii]) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % 1000000007)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A-family + decimal-exact aggregation (TPC-H Q1 shape; SURVEY §2.5).
@@ -243,13 +250,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // MinHash signatures over word-3-gram shingles (rank-based token ids so
-    // the oracle reproduces them; production path uses xxhash64 — tested in
-    // the scalatest suite).
+    // MinHash signatures over word-3-gram shingles. Token ids are per-row
+    // polynomial hashes (shuffle-free, dictionary-free — the 100 TB design)
+    // that the oracle reproduces arithmetically; the xxhash64 production
+    // variant is covered in the scalatest suite.
     "q_minhash_sig" -> { (s, d) =>
-      val sh = Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", 3)
-      val dict = Dedup.tokenDict(sh, "gram")
-      Dedup.minhashSignature(sh.join(dict, "gram"), "doc_id", col("tid"),
+      val sh = Dedup.docShingleIds(Tables.documents(s, d), "doc_id", "text", 3)
+      Dedup.minhashSignature(sh, "doc_id", col("tid"),
           SparkEntry.numMinhashes)
         .select(col("doc_id"), col("j").cast("long").as("j"), col("mh"))
         .orderBy(col("doc_id"), col("j"))
@@ -257,22 +264,20 @@ object SparkEntry {
 
     // MinHash-LSH candidate pairs (bands of 2 rows, bucket-join).
     "q_minhash_lsh" -> { (s, d) =>
-      val sh = Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", 3)
-      val dict = Dedup.tokenDict(sh, "gram")
-      val sig = Dedup.minhashSignature(sh.join(dict, "gram"), "doc_id",
-        col("tid"), SparkEntry.numMinhashes)
+      val sh = Dedup.docShingleIds(Tables.documents(s, d), "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"),
+        SparkEntry.numMinhashes)
       Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2), "doc_id")
         .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // SimHash 16-bit fingerprints (token occurrences, rank-based ids).
+    // SimHash 16-bit fingerprints (token occurrences, polynomial-hash ids;
+    // hashedShingles with n=1 is the fused hashed tokenizer).
     "q_simhash" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val all = docs.select(col("doc_id"),
-        explode(Text.tokens(col("text"))).as("tok"))
-      val dict = Dedup.tokenDict(all.select("tok"))
-      Dedup.simhash(all.join(dict, "tok"), "doc_id", col("tid"), bits = 16)
+      val all = Tables.documents(s, d).select(col("doc_id"),
+        graft.plans.TextExpressions.hashedShingles(col("text"), 1))
+      Dedup.simhash(all, "doc_id", col("tid"), bits = 16)
         .orderBy(col("doc_id"))
     },
 
@@ -456,13 +461,13 @@ object SparkEntry {
             THEN list_transform(range(1, len(tk) - 1),
               i -> array_to_string(tk[i:i+2], ' '))
             ELSE [] END) AS gram FROM tk),
-          g AS (SELECT DISTINCT doc_id, gram FROM gr),
-          rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100000),
-          gg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+          g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
           sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
           ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             CAST(count(*) AS BIGINT) AS inter
-            FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            FROM gg a JOIN gg b ON a.tid = b.tid AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
             round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
@@ -480,12 +485,11 @@ object SparkEntry {
               i -> array_to_string(tk[i:i+2], ' '))
             ELSE [] END) AS gram FROM tk),
           sh AS (SELECT DISTINCT doc_id, gram FROM sh0),
-          dict AS (SELECT gram, CAST(row_number() OVER (ORDER BY gram) AS BIGINT) AS tid
-            FROM (SELECT DISTINCT gram FROM sh) dg),
+          ids AS (SELECT doc_id, ${duckPolyId("gram")} AS tid FROM sh),
           perms AS (SELECT * FROM (VALUES $perms) p(j, a, b))
           SELECT doc_id, CAST(j AS BIGINT) AS j,
             min((tid * a + b) % ${Dedup.MersennePrime}) AS mh
-          FROM sh JOIN dict USING (gram) CROSS JOIN perms
+          FROM ids CROSS JOIN perms
           GROUP BY doc_id, j ORDER BY doc_id, j"""
     },
 
@@ -498,11 +502,10 @@ object SparkEntry {
               i -> array_to_string(tk[i:i+2], ' '))
             ELSE [] END) AS gram FROM tk),
           sh AS (SELECT DISTINCT doc_id, gram FROM sh0),
-          dict AS (SELECT gram, CAST(row_number() OVER (ORDER BY gram) AS BIGINT) AS tid
-            FROM (SELECT DISTINCT gram FROM sh) dg),
+          ids AS (SELECT doc_id, ${duckPolyId("gram")} AS tid FROM sh),
           perms AS (SELECT * FROM (VALUES $perms) p(j, a, b)),
           sig AS (SELECT doc_id, j, min((tid * a + b) % ${Dedup.MersennePrime}) AS mh
-            FROM sh JOIN dict USING (gram) CROSS JOIN perms GROUP BY doc_id, j),
+            FROM ids CROSS JOIN perms GROUP BY doc_id, j),
           bands AS (SELECT doc_id, j // 2 AS band,
             sum(CASE WHEN j % 2 = 0 THEN mh ELSE 0 END * 2147483648 +
                 CASE WHEN j % 2 = 1 THEN mh ELSE 0 END) AS band_val
@@ -518,13 +521,12 @@ object SparkEntry {
     "q_simhash" -> {
       val bits = (0 until 16).map(k => s"($k, ${1L << k})").mkString(", ")
       s"""WITH tkall AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
-          dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
-            FROM (SELECT DISTINCT tok FROM tkall) dt),
+          ids AS (SELECT doc_id, ${duckPolyId("tok")} AS tid FROM tkall),
           bits AS (SELECT * FROM (VALUES $bits) b(k, pow2)),
           lanes AS (SELECT doc_id, k, pow2,
             sum(CASE WHEN CAST(floor(((tid * ${Dedup.permA(0)} + ${Dedup.permB(0)}) % ${Dedup.MersennePrime}) / pow2) AS BIGINT) % 2 = 1
                 THEN 1 ELSE -1 END) AS lane
-            FROM tkall JOIN dict USING (tok) CROSS JOIN bits
+            FROM ids CROSS JOIN bits
             GROUP BY doc_id, k, pow2)
           SELECT doc_id, CAST(sum(CASE WHEN lane > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
           FROM lanes GROUP BY doc_id ORDER BY doc_id"""

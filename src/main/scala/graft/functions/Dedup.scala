@@ -35,6 +35,14 @@ object Dedup {
   def permHash(x: Column, j: Int): Column =
     (x * permA(j) + permB(j)) % MersennePrime
 
+  /** Arithmetic token id: rolling polynomial hash of the token's
+    * characters (Text.charFingerprint). Per-row, shuffle-free, and
+    * reproducible in plain SQL — the preferred id for oracle-checked
+    * MinHash/SimHash at any scale (no dictionary, no global rank). For
+    * maximum dispersion in production use xxhash64 instead.
+    */
+  def polyId(c: Column): Column = Text.charFingerprint(c)
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -71,14 +79,36 @@ object Dedup {
         explode(Text.wordNgrams(Text.tokens(col(textCol)), n)).as("gram"))
       .distinct()
 
-  /** Oracle-mode token dictionary: distinct tokens numbered by rank.
-    * The row_number window is unpartitioned — acceptable only because the
-    * input is the *distinct vocabulary*, already tiny relative to the
-    * corpus; the hashed variants below avoid it entirely.
+  /** (id, tid) rows: polynomial-hashed shingles, NOT deduplicated — the
+    * minhash input. Dedup is pointless ahead of a min-aggregate (min over
+    * a multiset equals min over its set), so this path has zero shuffles
+    * before the final partial-aggregable groupBy. The HashedShingles
+    * generator fuses tokenize → shingle → hash into one compiled pass.
     */
-  def tokenDict(toks: DataFrame, tokCol: String = "tok"): DataFrame =
+  def docShingleIds(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.TextExpressions.hashedShingles(col(textCol), n))
+
+  /** Oracle-mode token dictionary: distinct tokens numbered by
+    * lexicographic rank. Rank is computed with a distributed range-
+    * partitioned sort + per-partition zipWithIndex (offsets from partition
+    * sizes) — identical semantics to an unpartitioned row_number window
+    * without its single-partition bottleneck, so the dictionary scales to
+    * large vocabularies; the hashed variants below avoid ranking entirely.
+    */
+  def tokenDict(toks: DataFrame, tokCol: String = "tok"): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
     toks.select(col(tokCol)).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col(tokCol))).cast("long"))
+      .orderBy(col(tokCol))
+      .select(col(tokCol).cast("string"))
+      .as[String]
+      .rdd
+      .zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }
+      .toDF(tokCol, "tid")
+  }
 
   // ------------------------------------------------------------------
   // MinHash + LSH
@@ -94,9 +124,13 @@ object Dedup {
     val spark = docTok.sparkSession
     import spark.implicits._
     val permDf = broadcast(perms.toDF("j", "a", "b"))
-    docTok.join(permDf)
+    // Materialize the token id BEFORE the perm cross-join: otherwise the
+    // (possibly expensive) id expression is re-evaluated numHashes times
+    // per token.
+    docTok.select(col(idCol), tokenId.as("__tid"))
+      .join(permDf)
       .select(col(idCol), col("j"),
-        ((tokenId * col("a") + col("b")) % MersennePrime).as("h"))
+        ((col("__tid") * col("a") + col("b")) % MersennePrime).as("h"))
       .groupBy(col(idCol), col("j"))
       .agg(min(col("h")).as("mh"))
   }
@@ -177,23 +211,30 @@ object Dedup {
   // N-gram Jaccard near-dup pairs
   // ------------------------------------------------------------------
 
-  /** Near-duplicate pairs by word-n-gram Jaccard similarity >= `minJaccard`.
-    * Inverted-list self-join on shingles; grams appearing in more than
-    * `dfCap` documents are dropped before the join (stopword-gram hubs are
-    * the quadratic risk at scale, and carry no dedup signal).
+  /** Near-duplicate pairs by word-n-gram Jaccard similarity >= `minJaccard`,
+    * computed over hashed shingle sets: shingles are polynomial-hashed to
+    * longs first, so the shuffle/join keys are fixed-width instead of
+    * strings (hash collisions merge shingles identically on both engines —
+    * the standard scalable design). Inverted-list self-join; shingles
+    * appearing in more than `dfCap` documents are dropped before the join
+    * (stopword-gram hubs are the quadratic risk at scale, and carry no
+    * dedup signal).
     * Output: (id_a, id_b, inter, n_a, n_b, jaccard) with jaccard rounded
     * to 6 places for cross-engine stability.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
-    val grams = docShingles(docs, idCol, textCol, n)
-    val rare = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select("gram")
-    val g = grams.join(rare, Seq("gram"))
+    // The shingle-set table feeds three consumers (df-cap, sizes,
+    // self-join); persist it so tokenize+hash+distinct runs once.
+    val grams = docShingleIds(docs, idCol, textCol, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("tid")
+    val g = grams.join(rare, Seq("tid"))
     val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val a = g.select(col("gram"), col(idCol).as("id_a"))
-    val b = g.select(col("gram"), col(idCol).as("id_b"))
-    val inter = a.join(b, Seq("gram"))
+    val a = g.select(col("tid"), col(idCol).as("id_a"))
+    val b = g.select(col("tid"), col(idCol).as("id_b"))
+    val inter = a.join(b, Seq("tid"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))

@@ -55,12 +55,12 @@ object Text {
     * h = fold(h * 31 + ascii(char)) mod 1e9+7. Deterministic, order-
     * sensitive (a true rolling hash), and expressible in the oracle via
     * list_reduce. Spaces are included (the character stream is the doc).
+    * Backed by the codegen'd PolyHashExpr (the equivalent higher-order
+    * `aggregate(transform(split(...)))` form is CodegenFallback and ~10x
+    * slower on corpus-scale inputs).
     */
   def charFingerprint(c: Column): Column =
-    aggregate(
-      transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    graft.plans.TextExpressions.polyHash(c)
 
   /** Mean token length in characters, as double (0 for empty docs). */
   def avgTokenLen(toks: Column): Column =

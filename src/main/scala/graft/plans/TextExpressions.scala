@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hashing hot paths.
+  *
+  * Spark's higher-order functions (transform/aggregate/filter) are
+  * CodegenFallback — evaluated interpretively per row with intermediate
+  * array allocation. For corpus-scale hashing (every shingle of every
+  * document) that interpretation dominates the runtime, so these
+  * expressions compile the whole tokenize→shingle→hash pipeline into tight
+  * JVM loops while keeping semantics bit-identical to the SQL-expressible
+  * formulas the DuckDB oracle runs.
+  */
+object PolyHash {
+  val Mod = 1000000007L
+
+  /** h = fold(h * 31 + codepoint) mod 1e9+7 over the string's code points —
+    * identical to Text.charFingerprint's HOF formula (ascii() yields the
+    * code point in both Spark and DuckDB).
+    */
+  def eval(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Scalar: rolling polynomial hash of a string (see PolyHash.eval).
+  * Codegen emits a single static call — no per-char expression tree.
+  */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.eval(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolyHash.eval($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** Generator: one output row per word n-gram of the input text, carrying
+  * the n-gram's polynomial hash (`tid: bigint`). Tokenization is
+  * whitespace-split with empty fragments dropped — identical to
+  * Text.tokens — and the hashed string is the space-joined n-gram,
+  * identical to Text.wordNgrams + PolyHash. With n = 1 this is a hashed
+  * tokenizer. Fuses tokenize → shingle → hash into one compiled pass with
+  * no intermediate Spark arrays.
+  */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def elementSchema: StructType =
+    StructType(StructField("tid", LongType) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val tokens = v.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
+      if (tokens.length < n) Nil
+      else (0 to tokens.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder(tokens(i))
+        var k = i + 1
+        while (k < i + n) { sb.append(' ').append(tokens(k)); k += 1 }
+        InternalRow(PolyHash.eval(sb.toString))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Column API: polynomial hash of a string column (codegen'd). */
+  def polyHash(c: Column): Column =
+    GraftBridge.column(PolyHashExpr(GraftBridge.expression(c)))
+
+  /** Column API: generate hashed word n-grams (`tid`) — use in a select
+    * like explode: df.select(col("id"), hashedShingles(col("text"), 3)).
+    */
+  def hashedShingles(c: Column, n: Int): Column =
+    GraftBridge.column(HashedShingles(GraftBridge.expression(c), n))
+}

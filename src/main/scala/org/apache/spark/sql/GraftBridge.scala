@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package-internal bridge: Column <-> catalyst Expression conversion for
+  * graft's custom expressions. Spark 4 hides these conversions behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); this is
+  * the conventional shim used by expression libraries building on the
+  * classic execution engine.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
