@@ -320,6 +320,77 @@ object SparkEntry {
         .orderBy(col("window_start"))
     },
 
+    // Left-semi join (EXISTS) — customers with at least one big order.
+    "q_semi_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Union of two tagged projections.
+    "q_union_tagged" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val big = o.filter(col("o_totalprice") > 250000)
+        .select(col("o_orderkey"), lit("big").as("tag"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), lit("urgent").as("tag"))
+      big.unionByName(urgent).orderBy(col("o_orderkey"), col("tag"))
+    },
+
+    // EXCEPT (set difference, distinct).
+    "q_except" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey")).except(
+          o.filter(col("o_totalprice") > 150000).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    },
+
+    // ROLLUP aggregation (subtotal + grand-total rows).
+    "q_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // String scalar functions.
+    "q_string_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_up"),
+          lower(col("p_brand")).as("brand_lo"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          length(col("p_name")).cast("long").as("name_len"),
+          reverse(col("p_brand")).as("brand_rev"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Date-part extraction + date arithmetic.
+    "q_date_parts" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .as("due_date"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // JSON field extraction from the events props payload.
+    "q_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+
     // Gap-based sessionization (30-min inactivity) via window functions.
     "q_sessionize" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -575,6 +646,50 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+         ORDER BY c_custkey""",
+
+    "q_union_tagged" ->
+      """SELECT o_orderkey, 'big' AS tag FROM orders WHERE o_totalprice > 250000
+         UNION ALL
+         SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_orderkey, tag""",
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+         ORDER BY o_custkey""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_up, lower(p_brand) AS brand_lo,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           replace(p_type, ' ', '_') AS type_us,
+           substr(p_name, 1, 10) AS name10,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           reverse(p_brand) AS brand_rev
+         FROM part ORDER BY p_partkey""",
+
+    "q_date_parts" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
