@@ -290,6 +290,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Embedding-cosine near-dup pairs (exact quadratic baseline; the
+    // LSH-blocked scale path is covered in the test suite).
+    "q_embed_neardup" -> { (s, d) =>
+      Vec.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Random-hyperplane LSH bucket per vector (8-bit) — map-only ANN
     // bucketing.
     "q_rp_lsh_bucket" -> { (s, d) =>
@@ -623,6 +630,22 @@ object SparkEntry {
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM sc)
           SELECT query_id, neighbor_id, sim, "rank" FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_embed_neardup" -> {
+      val dotSql = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+            (acc, v) -> acc + v)"""
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${dotSql("a.embedding", "b.embedding")} AS dp,
+            ${dotSql("a.embedding", "a.embedding")} AS na,
+            ${dotSql("b.embedding", "b.embedding")} AS nb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS sim
+          FROM p WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+          ORDER BY id_a, id_b"""
     },
 
     "q_rp_lsh_bucket" -> {

@@ -24,11 +24,65 @@ object Vec {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, rounded to `scale` places for cross-engine
-    * comparisons (pass scale < 0 to skip rounding).
+    * comparisons (pass scale < 0 to skip rounding). Backed by the
+    * codegen'd CosineSimExpr — the equivalent zip_with/aggregate chain is
+    * CodegenFallback and dominates all-pairs workloads; fold order and
+    * double promotion are identical.
     */
   def cosine(a: Column, b: Column, scale: Int = 6): Column = {
-    val c = dot(a, b) / (norm(a) * norm(b))
+    val c = graft.plans.VecExpressions.cosineSim(a, b)
     if (scale >= 0) round(c, scale) else c
+  }
+
+  /** Cosine from a precomputed-norm pair: round(dot/(na*nb), 6). The norms
+    * are sqrt(self-dot) computed once per vector instead of once per pair —
+    * 3x less arithmetic on all-pairs workloads, identical values (the
+    * per-accumulator fold orders are unchanged).
+    */
+  private def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
+    round(graft.plans.VecExpressions.dotProduct(va, vb) / (na * nb), 6)
+
+  private def withNorm(vecs: DataFrame, idCol: String, vecCol: String,
+      suffix: String): DataFrame =
+    vecs.select(col(idCol).as(s"id_$suffix"), col(vecCol).as(s"v$suffix"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as(s"n$suffix"))
+
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
+    * similarity >= `threshold`. This is the exact quadratic baseline —
+    * correct at any data size but O(n²) compute; use `lshNearDupPairs`
+    * as the scale path (bucket-blocked candidates, same verifier).
+    */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = withNorm(vecs, idCol, vecCol, "a")
+    val b = withNorm(vecs, idCol, vecCol, "b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", pairSim(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Scale path for near-dup detection: candidates restricted to pairs
+    * sharing a random-hyperplane LSH bucket, then exact-verified. Linear
+    * in corpus size for bounded bucket occupancy.
+    */
+  def lshNearDupPairs(vecs: DataFrame, threshold: Double, nBits: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = vecs.select(col(idCol), col(vecCol),
+      rpLshBucket(col(vecCol), nBits).as("bucket"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nrm"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", pairSim(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .distinct()
   }
 
   /** Brute-force exact top-k cosine neighbors of each query vector.
@@ -39,10 +93,12 @@ object Vec {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(withNorm(queries, idCol, vecCol, "q")
+      .withColumnRenamed("id_q", "query_id"))
+    val c = withNorm(corpus, idCol, vecCol, "c")
+      .withColumnRenamed("id_c", "neighbor_id")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", pairSim(col("vq"), col("vc"), col("nq"), col("nc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -80,12 +136,16 @@ object Vec {
   def lshTopK(vecs: DataFrame, k: Int, nBits: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = vecs.select(col(idCol), col(vecCol),
-      rpLshBucket(col(vecCol), nBits).as("bucket"))
-    val a = b.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = b.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      rpLshBucket(col(vecCol), nBits).as("bucket"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nrm"))
+    val a = b.select(col("bucket"), col(idCol).as("query_id"),
+      col(vecCol).as("vq"), col("nrm").as("nq"))
+    val c = b.select(col("bucket"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("vc"), col("nrm").as("nc"))
     val scored = a.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", pairSim(col("vq"), col("vc"), col("nq"), col("nc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

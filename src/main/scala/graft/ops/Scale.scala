@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-tolerant joins (salting) and bucketed co-located
+  * joins — the knobs a 100 TB deployment turns when AQE alone isn't enough.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: the skewed (large, hot-keyed) left
+    * side gets a random salt in [0, saltFactor); the right side is
+    * replicated once per salt value. Hot keys spread across saltFactor
+    * reducers instead of melting one. Semantics identical to
+    * `left.join(right, keys)` (inner).
+    *
+    * AQE's skew-join handles sort-merge skew automatically; salting is for
+    * the cases AQE can't re-split (e.g. a single key larger than any split,
+    * or aggregation-after-join pipelines where partial state matters).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val salted = left.withColumn("__salt",
+      (rand(42) * saltFactor).cast("int"))
+    val salts = broadcast((0 until saltFactor).toDF("__salt"))
+    val replicated = right.join(salts) // right × saltFactor
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Write a table bucketed (and optionally sorted) by join keys. Joins and
+    * aggregations on the bucket keys then read co-located data and skip the
+    * shuffle entirely — the cheapest repeated-join layout at scale.
+    * Bucketed tables must go through the catalog (saveAsTable), not bare
+    * paths; parquet + Hive-style bucketing metadata.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the assertion that a bucketed join actually skipped the shuffle.
+    */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan
+    !plan.toString.contains("Exchange")
+  }
+}

@@ -8,6 +8,10 @@ import org.apache.spark.sql.types.StructType
 import graft.merge.Merge
 import graft.ops.Medallion
 
+case class UserTimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class SessionState(n: Long, sum: Double, lastMs: Long)
+case class ClosedSession(user_id: Long, n_events: Long, sum_value: Double)
+
 /** Structured-Streaming variant of the medallion pipeline — the stock-Spark
   * re-expression of the reference's Autoloader notebooks
   * (the notebooks under /root/reference/Autoloader_notebook/):
@@ -96,6 +100,43 @@ object StreamingMedallion {
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicates(keys :+ tsCol)
+
+  /** Custom stateful processing: per-user streaming sessionization with an
+    * event-time gap timeout via flatMapGroupsWithState — the generalized
+    * stateful surface (the reference's only stateful op is streaming
+    * distinct; our engine exposes arbitrary keyed state). A session closes
+    * when the watermark passes (last event time + gapMs); one row per
+    * closed session. Event-time timeouts are deterministic under replay —
+    * the production-correct choice over processing-time.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[UserTimedEvent],
+      gapMs: Long, watermarkDelay: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[UserTimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.n, s.sum))
+          } else {
+            val buf = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val maxTs = math.max(prev.lastMs,
+              buf.map(_.ts.getTime).max)
+            state.update(SessionState(prev.n + buf.size,
+              prev.sum + buf.map(_.value).sum, maxTs))
+            state.setTimeoutTimestamp(maxTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Event-time tumbling-window aggregation with late-data handling — the
     * generalized streaming surface (SURVEY.md §2.7; the reference uses no

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scale
+
+/** Scale utilities: salted joins preserve semantics; bucketed tables join
+  * without a shuffle.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join row-for-row") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    val salted = Scale.saltedJoin(left, right, Seq("k"), saltFactor = 4)
+      .select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join and aggregate without a shuffle exchange") {
+    val wh = TestSpark.tmpDir("warehouse")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      val c = Tables.customer(spark, "/root/testdata/sf0.001")
+      Scale.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_bkt", 4, Seq("o_custkey"))
+      Scale.writeBucketed(c.select("c_custkey", "c_name"),
+        "cust_bkt", 4, Seq("c_custkey"))
+
+      val joined = spark.table("orders_bkt").join(
+        spark.table("cust_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      assert(joined.count() > 0)
+      // The join reads co-located buckets: no Exchange in the plan.
+      assert(Scale.isShuffleFree(
+        joined.select("o_orderkey", "c_name")),
+        joined.queryExecution.executedPlan.toString)
+
+      // Aggregation on the bucket key is also shuffle-free.
+      val agg = spark.table("orders_bkt").groupBy("o_custkey")
+        .agg(sum("o_totalprice"))
+      assert(agg.count() > 0)
+      assert(Scale.isShuffleFree(agg),
+        agg.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS cust_bkt")
+    }
+  }
+
+  test("embedding near-dup: LSH-blocked pairs are a subset of exact pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = graft.functions.Vec.cosineNearDupPairs(emb, 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.functions.Vec.lshNearDupPairs(emb, 0.3, nBits = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    assert(exact.nonEmpty)
+  }
+}

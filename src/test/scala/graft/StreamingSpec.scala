@@ -78,6 +78,34 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("flatMapGroupsWithState: sessions close when watermark passes gap") {
+    import graft.streaming.{ClosedSession, UserTimedEvent}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[UserTimedEvent]
+    val sessions = StreamingMedallion.sessionizeStream(
+      mem.toDS(), gapMs = 60000, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    mem.addData(
+      UserTimedEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+      UserTimedEvent(1L, ts("2024-01-01 00:00:10"), 2.0),
+      UserTimedEvent(2L, ts("2024-01-01 00:00:05"), 5.0))
+    q.processAllAvailable()
+    // Advance the watermark far past both sessions' (last ts + gap).
+    mem.addData(UserTimedEvent(3L, ts("2024-01-01 01:00:00"), 9.0))
+    q.processAllAvailable()
+    // One more batch so the timed-out state is flushed to the sink.
+    mem.addData(UserTimedEvent(3L, ts("2024-01-01 01:00:01"), 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_out").as[ClosedSession]
+      .collect().map(s => s.user_id -> (s.n_events, s.sum_value)).toMap
+    assert(out.get(1L).contains((2L, 3.0)))
+    assert(out.get(2L).contains((1L, 5.0)))
+    q.stop()
+  }
+
   test("event-time tumbling window with watermark emits finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
