@@ -27,6 +27,21 @@ object Dedup {
 
   val MersennePrime: Long = 2147483647L // 2^31 - 1
 
+  /** Tiny literal DataFrame without reflection-derived encoders (safe in
+    * REPL/notebook classloaders where TypeTag resolution fails).
+    */
+  private[graft] def smallTable(spark: org.apache.spark.sql.SparkSession,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      rows: Seq[Seq[Any]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(cols.map { case (n, t) => StructField(n, t, nullable = false) })
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.map(r => Row(r: _*)).asJava),
+      schema)
+  }
+
   /** Deterministic universal-hash parameters (a_j, b_j) for permutation j. */
   def permA(j: Int): Long = 1223L + 2741L * j + 37L * j * j
   def permB(j: Int): Long = 7919L + 104729L * j
@@ -120,10 +135,14 @@ object Dedup {
     */
   def minhashSignature(docTok: DataFrame, idCol: String, tokenId: Column,
       numHashes: Int): DataFrame = {
-    val perms = (0 until numHashes).map(j => (j, permA(j), permB(j)))
     val spark = docTok.sparkSession
-    import spark.implicits._
-    val permDf = broadcast(perms.toDF("j", "a", "b"))
+    // Reflection-free literal table (tuple toDF needs runtime-reflection
+    // encoders, which fail under REPL/notebook classloaders).
+    val permDf = broadcast(smallTable(spark,
+      Seq("j" -> org.apache.spark.sql.types.IntegerType,
+        "a" -> org.apache.spark.sql.types.LongType,
+        "b" -> org.apache.spark.sql.types.LongType),
+      (0 until numHashes).map(j => Seq[Any](j, permA(j), permB(j)))))
     // Materialize the token id BEFORE the perm cross-join: otherwise the
     // (possibly expensive) id expression is re-evaluated numHashes times
     // per token.
@@ -189,8 +208,10 @@ object Dedup {
   def simhash(docTok: DataFrame, idCol: String, tokenId: Column,
       bits: Int = 16): DataFrame = {
     val spark = docTok.sparkSession
-    import spark.implicits._
-    val bitsDf = broadcast((0 until bits).map(k => (k, 1L << k)).toDF("k", "pow2"))
+    val bitsDf = broadcast(smallTable(spark,
+      Seq("k" -> org.apache.spark.sql.types.IntegerType,
+        "pow2" -> org.apache.spark.sql.types.LongType),
+      (0 until bits).map(k => Seq[Any](k, 1L << k))))
     docTok
       .select(col(idCol),
         ((tokenId * permA(0) + permB(0)) % MersennePrime).as("h"))

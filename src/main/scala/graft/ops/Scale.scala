@@ -21,10 +21,11 @@ object Scale {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int): DataFrame = {
     val spark = left.sparkSession
-    import spark.implicits._
     val salted = left.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
-    val salts = broadcast((0 until saltFactor).toDF("__salt"))
+    val salts = broadcast(graft.functions.Dedup.smallTable(spark,
+      Seq("__salt" -> org.apache.spark.sql.types.IntegerType),
+      (0 until saltFactor).map(i => Seq[Any](i))))
     val replicated = right.join(salts) // right × saltFactor
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }

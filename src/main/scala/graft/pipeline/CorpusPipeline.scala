@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Text}
+
+/** End-to-end training-corpus curation: the composition a 100 TB text
+  * pipeline actually runs, built entirely from graft operators —
+  *
+  *   annotate (tokens, quality, language)
+  *     → quality gate
+  *     → exact dedup (fingerprint groups, keep smallest id)
+  *     → near-dup dedup (MinHash-LSH candidates, Jaccard-verified,
+  *       keep smallest id per connected pair)
+  *
+  * Every stage is a shuffle-bounded DataFrame transform: annotation is
+  * map-only; exact dedup is one hash groupBy; near-dup is the banded LSH
+  * join (linear for bounded bucket occupancy). Nothing collects to the
+  * driver; stats are computed as a side aggregate.
+  */
+object CorpusPipeline {
+
+  case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 10,
+      stopwords: Seq[String] = Seq("the", "a"),
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.5)
+
+  /** Map-only annotation: token count, quality score, fingerprint. */
+  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    docs
+      .withColumn("n_tokens", Text.tokenCount(col(cfg.textCol)))
+      .withColumn("quality", Text.qualityScore(col(cfg.textCol), cfg.stopwords))
+      .withColumn("fingerprint", Text.charFingerprint(col(cfg.textCol)))
+
+  /** Quality gate: drop short docs. */
+  def qualityGate(annotated: DataFrame, cfg: Config = Config()): DataFrame =
+    annotated.filter(col("n_tokens") >= cfg.minTokens)
+
+  /** Exact dedup: keep the smallest id per identical fingerprint. */
+  def exactDedup(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    Dedup.dedupRows(docs, Seq("fingerprint"), cfg.idCol)
+
+  /** Near-dup removal: LSH candidates over hashed shingles, verified with
+    * n-gram Jaccard; for every verified pair the larger id is dropped.
+    * (Pair-wise drop, not full connected components — the standard
+    * single-pass approximation; iterate to a fixpoint if transitive
+    * clusters matter.)
+    */
+  def nearDedup(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val sh = Dedup.docShingleIds(docs, cfg.idCol, cfg.textCol, cfg.shingleSize)
+    val sig = Dedup.minhashSignature(sh, cfg.idCol, col("tid"), cfg.numHashes)
+    val candidates = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sig, cfg.idCol, cfg.rowsPerBand), cfg.idCol)
+    val verified = candidates
+      .join(Dedup.ngramJaccardPairs(docs, cfg.idCol, cfg.textCol,
+          cfg.shingleSize, cfg.jaccardThreshold),
+        Seq("id_a", "id_b"), "left_semi")
+    val toDrop = verified.select(col("id_b").as(cfg.idCol)).distinct()
+    docs.join(toDrop, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** Full curation; returns (curated, statsRow). */
+  def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val gated = qualityGate(annotate(docs, cfg), cfg)
+    val exact = exactDedup(gated, cfg)
+    val near = nearDedup(exact, cfg)
+    val stats = docs.select(count(lit(1)).as("n_input"))
+      .crossJoin(gated.select(count(lit(1)).as("n_gated")))
+      .crossJoin(exact.select(count(lit(1)).as("n_exact")))
+      .crossJoin(near.select(count(lit(1)).as("n_curated")))
+    (near, stats)
+  }
+}

@@ -138,6 +138,17 @@ object StreamingMedallion {
       }
   }
 
+  /** Stream-stream inner join with watermarks and an event-time range
+    * condition — completes the streaming join surface. Both sides carry
+    * watermarks so join state is evicted once the watermark passes
+    * (ts_right in [ts_left, ts_left + window]).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      tsLeft: String, tsRight: String, delay: String,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(tsLeft, delay)
+      .join(right.withWatermark(tsRight, delay), cond)
+
   /** Event-time tumbling-window aggregation with late-data handling — the
     * generalized streaming surface (SURVEY.md §2.7; the reference uses no
     * windows, our engine exposes them).

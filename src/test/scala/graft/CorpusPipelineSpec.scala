@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusPipeline
+
+/** End-to-end corpus curation over the real documents table. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("curate: stages shrink monotonically and kill planted near-dups") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // Plant an exact duplicate and a near-duplicate of doc 0.
+    val d0 = docs.filter($"doc_id" === 0).head()
+    val planted = Seq(
+      (9001L, d0.getAs[String]("text"), "xx", "plant", 0L),
+      (9002L, d0.getAs[String]("text").replaceFirst("the", "thee"), "xx", "plant", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val input = docs.unionByName(planted)
+
+    val (curated, stats) = CorpusPipeline.curate(input)
+    val s = stats.head()
+    val (nIn, nGated, nExact, nCur) = (s.getLong(0), s.getLong(1),
+      s.getLong(2), s.getLong(3))
+    assert(nIn === 502L)
+    assert(nGated <= nIn)
+    assert(nExact === nGated - 1) // the exact clone of doc 0 dropped
+    assert(nCur < nExact) // near-dup removal bites (planted + natural dups)
+    // doc 0 survives (smallest id of its dup group); plants do not.
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(0L))
+    assert(!ids.contains(9001L))
+    assert(!ids.contains(9002L))
+    // deterministic: same input -> same output
+    val (curated2, _) = CorpusPipeline.curate(input)
+    assert(curated2.select("doc_id").as[Long].collect().toSet === ids)
+  }
+
+  test("stream-stream join matches events within the time window") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val c = clicks.toDF().toDF("user_c", "ts_c")
+    val b = buys.toDF().toDF("user_b", "ts_b", "amount")
+    val joined = graft.streaming.StreamingMedallion.streamStreamJoin(
+      c, b, "ts_c", "ts_b", "10 seconds",
+      expr("user_c = user_b AND ts_b >= ts_c AND ts_b <= ts_c + interval 5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    clicks.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+    buys.addData((1L, ts("2024-01-01 00:02:00"), 9.99),   // within window
+      (2L, ts("2024-01-01 00:30:00"), 5.0))               // outside window
+    q.processAllAvailable()
+    val out = spark.table("ssj_out").select("user_c", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === Set((1L, 9.99)))
+    q.stop()
+  }
+}
