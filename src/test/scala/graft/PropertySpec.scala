@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.merge.Merge
+import graft.ops.Medallion
+
+/** Property-based invariants (SURVEY.md §5.3) over randomized inputs:
+  * the clean/quarantine split partitions the input, abs-repair is
+  * idempotent, merge conserves rows and statuses.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Deterministic stand-in for scalatestplus forAll (not on the
+    * classpath): evaluate the generator under 8 fixed seeds.
+    */
+  def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 8).foreach { i =>
+      f(g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    }
+  def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 8).foreach { i =>
+      f(g1.apply(Gen.Parameters.default, Seed(i.toLong)).get,
+        g2.apply(Gen.Parameters.default, Seed(i.toLong + 100)).get)
+    }
+
+  val rowsGen: Gen[List[(Long, Long, String)]] = Gen.listOfN(40,
+    for {
+      id <- Gen.choose(0L, 15L)
+      rt <- Gen.choose(-200L, 200L)
+      st <- Gen.oneOf("new", "loaded", "quarantined")
+    } yield (id, rt, st))
+
+  test("property: clean ∪ quarantine = distinct(input), clean ∩ quarantine = ∅") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("Id", "RunTime", "status").distinct()
+      val (clean, quar) = Medallion.cleanQuarantineSplit(df, col("RunTime") >= 0)
+      val c = clean.collect().toSet
+      val q = quar.collect().toSet
+      assert((c & q).isEmpty)
+      assert((c | q) === df.collect().toSet) // RunTime never null here
+    }
+  }
+
+  test("property: abs repair is idempotent and sign-erasing") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("Id", "RunTime", "status")
+      val once = Medallion.repairAbs(df, "RunTime")
+      val twice = Medallion.repairAbs(once, "RunTime")
+      assert(once.filter(col("RunTime") < 0).count() === 0)
+      assert(twice.exceptAll(once).count() === 0)
+    }
+  }
+
+  test("property: whenMatchedUpdate conserves row count and non-key columns") {
+    import spark.implicits._
+    forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = t.toDF("Id", "RunTime", "status").dropDuplicates("Id")
+      val source = s.toDF("Id", "RunTime", "status")
+        .select(col("Id"), lit("loaded").as("status")).dropDuplicates("Id")
+      val merged = Merge.whenMatchedUpdate(target, source, Seq("Id"), Seq("status"))
+      // expected semantics computed independently in plain Scala
+      val srcIds = source.select("Id").as[Long].collect().toSet
+      val expected = target.collect().map { r =>
+        val id = r.getAs[Long]("Id")
+        (id, r.getAs[Long]("RunTime"),
+          if (srcIds.contains(id)) "loaded" else r.getAs[String]("status"))
+      }.toSet
+      val got = merged.collect().map(r => (r.getAs[Long]("Id"),
+        r.getAs[Long]("RunTime"), r.getAs[String]("status"))).toSet
+      assert(got === expected)
+    }
+  }
+
+  test("property: upsert is idempotent on identical source") {
+    import spark.implicits._
+    forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = t.toDF("Id", "RunTime", "status").dropDuplicates("Id")
+      val source = s.toDF("Id", "RunTime", "status").dropDuplicates("Id")
+      val once = Merge.upsert(target, source, Seq("Id"), Seq("RunTime", "status"))
+      val twice = Merge.upsert(once, source, Seq("Id"), Seq("RunTime", "status"))
+      assert(once.collect().toSet === twice.collect().toSet)
+    }
+  }
+}
