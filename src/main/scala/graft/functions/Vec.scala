@@ -129,6 +129,55 @@ object Vec {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into cells, then probe only
+    * the `nProbe` cells whose centroids are most similar to each query.
+    *
+    * `cellCol` names an existing coarse assignment (any clustering or
+    * domain partition works — at 100 TB the cell id is typically
+    * precomputed and the corpus is partitioned/bucketed by it, so a probe
+    * touches only its cells' files). Centroids are computed here with one
+    * posexplode + groupBy average — a single partial-aggregable shuffle of
+    * (cell, dim) pairs.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      cellCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // centroid per cell: dimension-wise mean.
+    val centroids = corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"),
+        expr("transform(dm, s -> cast(s.m as float))").as("centroid"))
+
+    // rank cells per query by centroid similarity; keep nProbe.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    // brute force only within the probed cells.
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("vc"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nc"))
+    val scored = probed.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", pairSim(col("qv"), col("vc"),
+        sqrt(graft.plans.VecExpressions.dotProduct(col("qv"), col("qv"))), col("nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Bucketed approximate top-k: brute force within each LSH bucket.
     * Recall is tunable via nBits (fewer bits = bigger buckets = higher
     * recall, more compute).
