@@ -231,6 +231,34 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // PIVOT — wide aggregation keyed by a categorical column.
+    "q_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // Exact median (interpolating percentile) per group.
+    "q_median" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Array scalar functions over the embedding column.
+    "q_array_stats" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          array_min(col("embedding")).as("min_c"),
+          array_max(col("embedding")).as("max_c"))
+        .orderBy(col("vec_id"))
+    },
+
     // ----------------------------------------------------------------
     // Training-data pipeline operators (documents / embeddings / events)
     // ----------------------------------------------------------------
@@ -549,6 +577,22 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_array_stats" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           list_min(embedding) AS min_c, list_max(embedding) AS max_c
+         FROM embeddings ORDER BY vec_id""",
 
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
