@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+
+/** Scaling probe: replicate the documents corpus N× (deterministically
+  * perturbed so replicas are near- but not exact duplicates) and time the
+  * MinHash-LSH dedup path at each multiple. Linear wall-clock growth is
+  * the evidence that the dedup plan (map-only hashing → partial-min
+  * aggregate → banded bucket join) has no quadratic or single-partition
+  * component — the property that must hold at 100 TB.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm
+
+    val base = Tables.documents(spark, sfDir)
+    val nBase = base.count()
+    for (mult <- Seq(1, 4, 16)) {
+      val replicas = spark.range(mult).select(col("id").as("rep"))
+      val docs = base.crossJoin(replicas)
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          // perturb each replica so it is a near-dup, not an exact dup
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      val t0 = System.nanoTime()
+      val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"), 8)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sig, "doc_id", 2), "doc_id").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"minhash_lsh","mult":$mult,"docs":${nBase * mult},"pairs":$pairs,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}
