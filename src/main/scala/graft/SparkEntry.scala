@@ -231,6 +231,35 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // CUBE — all grouping combinations.
+    "q_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Exact distinct-count aggregation.
+    "q_count_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // NULL-handling scalars: nullif / coalesce / null-aware count.
+    "q_null_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("flag_or_null"))
+        .withColumn("flag_filled", coalesce(col("flag_or_null"), lit("none")))
+        .groupBy(col("flag_filled"))
+        .agg(count(col("flag_or_null")).as("n_nonnull"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("flag_filled"))
+    },
+
     // PIVOT — wide aggregation keyed by a categorical column.
     "q_pivot" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -577,6 +606,22 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_null_funcs" ->
+      """SELECT coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_filled,
+           COUNT(nullif(l_returnflag, 'N')) AS n_nonnull,
+           COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_pivot" ->
       """SELECT l_linestatus,
