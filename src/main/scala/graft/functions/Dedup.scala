@@ -246,9 +246,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
     // The shingle-set table feeds three consumers (df-cap, sizes,
-    // self-join); persist it so tokenize+hash+distinct runs once.
+    // self-join). It is deliberately NOT persisted: with the compiled
+    // HashedShingles generator, recomputing the scan→hash→distinct chain
+    // per consumer is cheaper than materializing it (measured at sf0.1:
+    // 2.2s vs 2.6s steady-state plus a 7s+ first-run cost), and caching a
+    // corpus-sized intermediate is infeasible at 100 TB anyway.
     val grams = docShingleIds(docs, idCol, textCol, n).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select("tid")
     val g = grams.join(rare, Seq("tid"))

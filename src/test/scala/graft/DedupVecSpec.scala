@@ -51,6 +51,13 @@ class DedupVecSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") > 0.5)
   }
 
+  test("tokenDict ranks the distinct vocabulary lexicographically") {
+    val toks = Seq("b", "a", "c", "a", "b").toDF("tok")
+    val dict = Dedup.tokenDict(toks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dict === Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
+
   test("exact dedup groups by key with smallest id kept") {
     val d = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("id", "t")
     val g = Dedup.exactGroups(d, col("t"), col("id"))
