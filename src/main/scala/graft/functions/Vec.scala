@@ -57,9 +57,13 @@ object Vec {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = withNorm(vecs, idCol, vecCol, "a")
     val b = withNorm(vecs, idCol, vecCol, "b")
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", pairSim(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("sim") >= threshold)
+    val sim = pairSim(col("va"), col("vb"), col("na"), col("nb"))
+    // The threshold lives INSIDE the join condition: the nested-loop join
+    // then emits only surviving pairs instead of materializing every
+    // candidate row for a post-filter (survivors are typically a vanishing
+    // fraction). The id ordering short-circuits before the dot product.
+    a.join(b, col("id_a") < col("id_b") && sim >= threshold)
+      .withColumn("sim", sim)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
@@ -77,10 +81,10 @@ object Vec {
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", pairSim(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("sim") >= threshold)
+    val sim = pairSim(col("va"), col("vb"), col("na"), col("nb"))
+    a.join(b, a("bucket") === b("bucket") &&
+        col("id_a") < col("id_b") && sim >= threshold)
+      .withColumn("sim", sim)
       .select(col("id_a"), col("id_b"), col("sim"))
       .distinct()
   }
