@@ -697,7 +697,7 @@ object SparkEntry {
           g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
           rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
           gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
-          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
           ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             CAST(count(*) AS BIGINT) AS inter
             FROM gg a JOIN gg b ON a.tid = b.tid AND a.doc_id < b.doc_id

@@ -255,7 +255,10 @@ object Dedup {
     val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select("tid")
     val g = grams.join(rare, Seq("tid"))
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    // Set sizes come from the CAPPED table too: hub shingles must leave
+    // both the intersection and the denominators, or docs made of hub
+    // shingles would see their Jaccard biased toward zero and be missed.
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = g.select(col("tid"), col(idCol).as("id_a"))
     val b = g.select(col("tid"), col(idCol).as("id_b"))
     val inter = a.join(b, Seq("tid"))

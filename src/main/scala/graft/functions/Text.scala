@@ -88,12 +88,13 @@ object Text {
   }
 
   /** Language ID by marker-word voting: the language whose marker list hits
-    * the most tokens wins; ties break lexicographically by language code;
-    * zero hits everywhere → "und".
+    * the most tokens wins; ties break lexicographically by language code
+    * (markers are sorted internally, so caller order cannot change the
+    * result); zero hits everywhere → "und".
     */
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val tk = tokens(text)
-    val scored = markers.map { case (lang, words) =>
+    val scored = markers.sortBy(_._1).map { case (lang, words) =>
       struct(markerHits(tk, words).as("hits"), lit(lang).as("lang"))
     }
     // array_max on struct<hits,lang> orders by hits, then lang — but we

@@ -156,15 +156,18 @@ object Vec {
       .select(col("cell"),
         expr("transform(dm, s -> cast(s.m as float))").as("centroid"))
 
-    // rank cells per query by centroid similarity; keep nProbe.
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // rank cells per query by centroid similarity; keep nProbe. The query
+    // norm is computed once here, not per candidate pair.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nq"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col("cell"))
     val probed = q.join(broadcast(centroids))
       .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("nq"), col("cell"))
 
     // brute force only within the probed cells.
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
@@ -173,8 +176,7 @@ object Vec {
         .as("nc"))
     val scored = probed.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", pairSim(col("qv"), col("vc"),
-        sqrt(graft.plans.VecExpressions.dotProduct(col("qv"), col("qv"))), col("nc")))
+      .withColumn("sim", pairSim(col("qv"), col("vc"), col("nq"), col("nc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -35,22 +35,32 @@ object Merge {
       .select((keyCols ++ setCols).map(col): _*)
       .dropDuplicates(keyCols)
       .select(keyCols.map(col) ++
-        setCols.map(c => col(c).as(s"__src_$c")): _*)
+        setCols.map(c => col(c).as(s"__src_$c")) :+
+        lit(true).as("__matched"): _*)
     val joined = target.join(src, keyCols, "left")
+    // Branch on an explicit match flag, NOT coalesce: a matched source row
+    // carrying NULL in a set column must update the target to NULL (MERGE
+    // semantics), which coalesce would silently swallow.
     setCols.foldLeft(joined) { (df, c) =>
-      df.withColumn(c, coalesce(col(s"__src_$c"), col(c)))
-    }.drop(setCols.map(c => s"__src_$c"): _*)
+      df.withColumn(c,
+        when(col("__matched"), col(s"__src_$c")).otherwise(col(c)))
+    }.drop((setCols.map(c => s"__src_$c") :+ "__matched"): _*)
   }
 
   /** J1 with an arbitrary (e.g. struct-equality) join condition, as the
     * reference uses: `bronze.value = source.value` (operations.py:122-127).
     * `setExprs` maps target column -> value when matched.
+    *
+    * The source is full-row deduplicated first; beyond that, callers must
+    * ensure at most one source row matches each target row under `cond`
+    * (Delta MERGE raises on multiple matches; a join cannot detect it
+    * cheaply, and duplicate matches would multiply target rows).
     */
   def whenMatchedUpdateOn(target: DataFrame, source: DataFrame,
       cond: (DataFrame, DataFrame) => Column,
       setExprs: Map[String, Column]): DataFrame = {
     val t = target.alias("t")
-    val s = source.alias("s").withColumn("__matched", lit(true))
+    val s = source.distinct().alias("s").withColumn("__matched", lit(true))
     val joined = t.join(s, cond(t, s), "left")
     val updated = setExprs.foldLeft(joined) { case (df, (c, v)) =>
       df.withColumn(s"__new_$c", when(col("__matched"), v).otherwise(col(s"t.$c")))
@@ -95,8 +105,21 @@ object Merge {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__rewrite_old")
     val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    fs.rename(t, p)
+    // Rename the live table ASIDE first so a crash mid-swap leaves either
+    // the old or the new data reachable (delete-then-rename has a window
+    // where the table is simply gone). Rename/delete results are checked —
+    // Hadoop FileSystem reports failure via boolean, not exception.
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"rewriteTable: cannot clear $old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"rewriteTable: cannot move $p aside")
+    if (!fs.rename(t, p)) {
+      fs.rename(old, p) // best-effort rollback
+      throw new java.io.IOException(s"rewriteTable: cannot install $t at $p")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"rewriteTable: cannot remove $old")
   }
 }

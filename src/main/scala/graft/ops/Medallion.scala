@@ -73,12 +73,18 @@ object Medallion {
 
   /** P6 — clean/quarantine split on a predicate (operations.py:103-107).
     * Returns (clean, quarantined): two sibling plans over the same parent.
-    * Caller may `.cache()` the parent when both sides are consumed — the
-    * reference recomputes (SURVEY.md §3.2).
+    * Rows where the predicate is NULL go to quarantine (deliberate
+    * divergence: the reference's twin filters drop NULL-predicate rows
+    * from BOTH sides, leaving their bronze status 'new' forever — silent
+    * data loss plus unbounded reprocessing; quarantining them keeps every
+    * row accounted for and repairable). Caller may `.cache()` the parent
+    * when both sides are consumed — the reference recomputes (SURVEY §3.2).
     */
   def cleanQuarantineSplit(df: DataFrame, cleanPred: Column)
-      : (DataFrame, DataFrame) =
-    (df.filter(cleanPred), df.filter(!cleanPred))
+      : (DataFrame, DataFrame) = {
+    val pred = coalesce(cleanPred, lit(false))
+    (df.filter(pred), df.filter(!pred))
+  }
 
   /** P7 — drop rows with an empty string in `c` (operations.py:54). */
   def dropEmpty(df: DataFrame, c: String): DataFrame =

@@ -46,30 +46,47 @@ object CorpusPipeline {
   def exactDedup(docs: DataFrame, cfg: Config = Config()): DataFrame =
     Dedup.dedupRows(docs, Seq("fingerprint"), cfg.idCol)
 
-  /** Near-dup removal: LSH candidates over hashed shingles, verified with
-    * n-gram Jaccard; for every verified pair the larger id is dropped.
-    * (Pair-wise drop, not full connected components — the standard
-    * single-pass approximation; iterate to a fixpoint if transitive
-    * clusters matter.)
+  /** Near-dup removal: LSH candidates over hashed shingles, then exact
+    * Jaccard computed ONLY for candidate pairs (join the candidates back
+    * to the shingle sets) — the whole point of banding is to avoid the
+    * full inverted-list self-join at corpus scale. For every verified pair
+    * the larger id is dropped. (Pair-wise drop, not full connected
+    * components — the standard single-pass approximation; iterate to a
+    * fixpoint if transitive clusters matter.)
     */
   def nearDedup(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val sh = Dedup.docShingleIds(docs, cfg.idCol, cfg.textCol, cfg.shingleSize)
+      .distinct()
     val sig = Dedup.minhashSignature(sh, cfg.idCol, col("tid"), cfg.numHashes)
     val candidates = Dedup.lshCandidatePairs(
       Dedup.lshBands(sig, cfg.idCol, cfg.rowsPerBand), cfg.idCol)
-    val verified = candidates
-      .join(Dedup.ngramJaccardPairs(docs, cfg.idCol, cfg.textCol,
-          cfg.shingleSize, cfg.jaccardThreshold),
-        Seq("id_a", "id_b"), "left_semi")
+
+    // Jaccard restricted to candidate pairs: shared-shingle counts via two
+    // equi-joins of the candidate list against the shingle sets.
+    val sizes = sh.groupBy(col(cfg.idCol)).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col(cfg.idCol).as("id_a"), col("tid")), Seq("id_a"))
+      .join(sh.select(col(cfg.idCol).as("id_b"), col("tid")), Seq("id_b", "tid"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(sizes.select(col(cfg.idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(cfg.idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double")
+        >= cfg.jaccardThreshold)
     val toDrop = verified.select(col("id_b").as(cfg.idCol)).distinct()
     docs.join(toDrop, Seq(cfg.idCol), "left_anti")
   }
 
-  /** Full curation; returns (curated, statsRow). */
+  /** Full curation; returns (curated, statsRow). Each stage is
+    * materialized once (localCheckpoint) — the stats row and the returned
+    * frame would otherwise re-execute the whole lineage per consumer.
+    */
   def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val gated = qualityGate(annotate(docs, cfg), cfg)
-    val exact = exactDedup(gated, cfg)
-    val near = nearDedup(exact, cfg)
+    val gated = qualityGate(annotate(docs, cfg), cfg).localCheckpoint(true)
+    val exact = exactDedup(gated, cfg).localCheckpoint(true)
+    val near = nearDedup(exact, cfg).localCheckpoint(true)
     val stats = docs.select(count(lit(1)).as("n_input"))
       .crossJoin(gated.select(count(lit(1)).as("n_gated")))
       .crossJoin(exact.select(count(lit(1)).as("n_exact")))

@@ -77,10 +77,14 @@ object MoviePipeline {
 
     Medallion.batchWriter(clean, s"$silverDir/movie_silver", "p_CreatedDate",
       excludeCols = Seq("value"))
-    Medallion.batchWriter(transformGenres(flat), s"$silverDir/genres_silver", "Id",
-      mode = "overwrite")
-    Medallion.batchWriter(transformLanguage(flat), s"$silverDir/language_silver",
-      "Id", mode = "overwrite")
+    // Dimensions accumulate across batches via anti-join upsert: a plain
+    // overwrite would wipe rows from earlier batches (dangling FKs from
+    // older silver movies), and the reference's plain append would
+    // duplicate dimension rows on every run.
+    upsertDimension(spark, transformGenres(flat),
+      s"$silverDir/genres_silver", Seq("Id", "name"))
+    upsertDimension(spark, transformLanguage(flat),
+      s"$silverDir/language_silver", Seq("Id", "OriginalLanguage"))
 
     // Materialize both merge sources BEFORE the first bronze rewrite: the
     // lazy plans reference the bronze files being replaced underneath them.
@@ -93,6 +97,20 @@ object MoviePipeline {
     updateBronzeStatus(spark, bronzePath, quarKeys, "quarantined")
     flat.unpersist()
     counts
+  }
+
+  /** Dimension upsert: append only the rows whose key is absent (J2 shape).
+    * First batch creates the table.
+    */
+  def upsertDimension(spark: SparkSession, dim: DataFrame, path: String,
+      keyCols: Seq[String]): Unit = {
+    val exists = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+    val fresh =
+      if (!exists) dim
+      else dim.join(spark.read.parquet(path), keyCols, "left_anti")
+    Medallion.batchWriter(fresh, path, "Id")
   }
 
   /** J1 — mark bronze rows whose `value` struct matches a silver-side row
