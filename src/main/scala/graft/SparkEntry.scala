@@ -231,6 +231,24 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // Sketch aggregates: HyperLogLog++ distinct count and approximate
+    // quantiles — the constant-memory cardinality/quantile path for 100 TB
+    // (exact countDistinct shuffles every distinct value; these don't).
+    // Approximation results are engine-specific, so this entry has no
+    // DuckDB oracle (driver records the weaker rows-only check); the
+    // sketch error bound is asserted in the test suite instead.
+    "q_sketch_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+            .as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CUBE — all grouping combinations.
     "q_cube" -> { (s, d) =>
       Tables.lineitem(s, d)

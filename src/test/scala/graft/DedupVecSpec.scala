@@ -51,6 +51,21 @@ class DedupVecSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") > 0.5)
   }
 
+  test("sketch aggregates land within their error bounds of exact values") {
+    val d = "/root/testdata/sf0.001"
+    val sketch = SparkEntry.queries("q_sketch_stats")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val approx = sketch(flag)
+      assert(math.abs(approx - n).toDouble / n < 0.1,
+        s"$flag: approx=$approx exact=$n")
+    }
+  }
+
   test("tokenDict ranks the distinct vocabulary lexicographically") {
     val toks = Seq("b", "a", "c", "a", "b").toDF("tok")
     val dict = Dedup.tokenDict(toks).collect()
