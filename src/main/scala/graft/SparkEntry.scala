@@ -514,6 +514,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // As-of join: each purchase matched to the user's latest signup at or
+    // before it (DuckDB has native ASOF JOIN as the oracle).
+    "q_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      graft.ops.AsOf.asofJoin(purchases, signups, "user_id", "us", "us")
+        .select(col("event_id"), col("user_id"), col("asof_ts").as("signup_us"))
+        .orderBy(col("event_id"))
+    },
+
     // Gap-based sessionization (30-min inactivity) via window functions.
     "q_sessionize" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -886,6 +899,15 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            WHERE event_type = 'purchase'),
+          s AS (SELECT user_id, epoch_us(ts) AS us FROM events
+            WHERE event_type = 'signup')
+          SELECT p.event_id, p.user_id, s.us AS signup_us
+          FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.us <= p.us
+          ORDER BY p.event_id""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
