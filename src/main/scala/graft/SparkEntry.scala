@@ -30,6 +30,15 @@ object SparkEntry {
     "sql" -> Seq("join", "merge", "filter", "sort"))
   val numMinhashes: Int = 8
 
+  /** Discounted revenue, exact: decimal arithmetic, final double — must
+    * stay bit-identical to the matching expression in the oracle SQL
+    * (shared by q_agg_pricing / q_shipping_priority / q_regional_revenue).
+    */
+  private def discRevenue: org.apache.spark.sql.Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+
   /** DuckDB fragment: the whitespace tokenizer, identical to Text.tokens. */
   private def duckToks(c: String): String =
     s"list_filter(string_split_regex($c, '\\s+'), t -> t != '')"
@@ -53,9 +62,7 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("sum_disc_price"),
+          SparkEntry.discRevenue.as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -175,9 +182,7 @@ object SparkEntry {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"))
+        .agg(SparkEntry.discRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -195,10 +200,7 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"),
+        .agg(SparkEntry.discRevenue.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },

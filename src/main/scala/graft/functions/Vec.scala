@@ -145,7 +145,8 @@ object Vec {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       cellCol: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     // centroid per cell: dimension-wise mean.
     val centroids = corpus
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -174,8 +175,14 @@ object Vec {
       col(vecCol).as("vc"),
       sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
         .as("nc"))
-    val scored = probed.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    // Self-exclusion only makes sense when queries come from the corpus's
+    // own id space — with an external query set a coincidental id equality
+    // would silently drop a legitimate neighbor (set excludeSelf=false).
+    val joined = probed.join(c, Seq("cell"))
+    val candidates =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val scored = candidates
       .withColumn("sim", pairSim(col("qv"), col("vc"), col("nq"), col("nc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

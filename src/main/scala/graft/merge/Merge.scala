@@ -51,16 +51,29 @@ object Merge {
     * reference uses: `bronze.value = source.value` (operations.py:122-127).
     * `setExprs` maps target column -> value when matched.
     *
-    * The source is full-row deduplicated first; beyond that, callers must
-    * ensure at most one source row matches each target row under `cond`
-    * (Delta MERGE raises on multiple matches; a join cannot detect it
-    * cheaply, and duplicate matches would multiply target rows).
+    * The source is full-row deduplicated first (disable via `dedupSource`
+    * when the caller already guarantees distinctness). Beyond that,
+    * callers must ensure at most one source row matches each target row
+    * under `cond`; with `failOnMultipleMatches` the function verifies that
+    * invariant with one extra count and raises like Delta MERGE would,
+    * instead of silently multiplying target rows.
     */
   def whenMatchedUpdateOn(target: DataFrame, source: DataFrame,
       cond: (DataFrame, DataFrame) => Column,
-      setExprs: Map[String, Column]): DataFrame = {
+      setExprs: Map[String, Column],
+      dedupSource: Boolean = true,
+      failOnMultipleMatches: Boolean = false): DataFrame = {
     val t = target.alias("t")
-    val s = source.distinct().alias("s").withColumn("__matched", lit(true))
+    val src = if (dedupSource) source.distinct() else source
+    val s = src.alias("s").withColumn("__matched", lit(true))
+    if (failOnMultipleMatches) {
+      val joinedCount = t.join(s, cond(t, s), "left").count()
+      val targetCount = target.count()
+      if (joinedCount != targetCount)
+        throw new IllegalStateException(
+          s"MERGE source matches some target row more than once " +
+            s"($joinedCount joined rows vs $targetCount target rows)")
+    }
     val joined = t.join(s, cond(t, s), "left")
     val updated = setExprs.foldLeft(joined) { case (df, (c, v)) =>
       df.withColumn(s"__new_$c", when(col("__matched"), v).otherwise(col(s"t.$c")))

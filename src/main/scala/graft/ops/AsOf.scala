@@ -33,7 +33,11 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val rPack = struct(
       col(rightTs).as("ts") +: valueCols.map(col): _*)
-    val rU = right.select(col(keyCol), col(rightTs).as("__ts"),
+    // NULL-timestamp right rows can never be an as-of match (ASOF
+    // semantics; also DuckDB), but ascending nulls-first ordering would
+    // otherwise make them a spurious running match for early left rows.
+    val rU = right.filter(col(rightTs).isNotNull)
+      .select(col(keyCol), col(rightTs).as("__ts"),
       lit(0).as("__side"), rPack.as("__rpack"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         left.schema.fields)).as("__lpack"))

@@ -107,27 +107,32 @@ object MoviePipeline {
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
+    // Read with the dimension's own schema: a previous empty batch leaves
+    // a directory with no parquet footers, which schema inference would
+    // reject ("Unable to infer schema") and permanently wedge the pipeline.
     val fresh =
       if (!exists) dim
-      else dim.join(spark.read.parquet(path), keyCols, "left_anti")
+      else dim.join(spark.read.schema(dim.schema).parquet(path),
+        keyCols, "left_anti")
     Medallion.batchWriter(fresh, path, "Id")
   }
 
   /** J1 — mark bronze rows whose `value` struct matches a silver-side row
     * with the given status (whenMatchedUpdate on struct equality).
     */
+  /** Expects `keys`: a single-`value`-column, already-distinct, already-
+    * materialized DataFrame (localCheckpoint) — the caller owns
+    * materialization so the key set is built exactly once per stage
+    * instead of per merge.
+    */
   def updateBronzeStatus(spark: SparkSession, bronzePath: String,
-      silverSide: DataFrame, status: String): Unit = {
-    // Materialize the join source before rewriting the table under it
-    // (localCheckpoint truncates lineage — a cache could be evicted and
-    // recompute from the already-rewritten files).
-    val source = silverSide.select(col("value")).distinct().localCheckpoint(true)
+      keys: DataFrame, status: String): Unit =
     Merge.rewriteTable(spark, bronzePath, Some("p_ingestdate")) { bronze =>
-      Merge.whenMatchedUpdateOn(bronze, source,
+      Merge.whenMatchedUpdateOn(bronze, keys,
         (t, s) => t("value") === s("value"),
-        Map("status" -> lit(status)))
+        Map("status" -> lit(status)),
+        dedupSource = false)
     }
-  }
 
   /** Stage 3 — quarantine repair (main.py:50-59 + the Autoloader anti-join
     * guard, Silver_update.py:50-60).
@@ -145,7 +150,7 @@ object MoviePipeline {
     val toInsert = repaired.drop("value")
       .join(existing.select("Id"), Seq("Id"), "left_anti")
       .localCheckpoint(true)
-    val repairedKeys = repaired.localCheckpoint(true)
+    val repairedKeys = repaired.select(col("value")).distinct().localCheckpoint(true)
     val n = toInsert.count()
     if (n > 0)
       Medallion.batchWriter(toInsert, moviePath, "p_CreatedDate")

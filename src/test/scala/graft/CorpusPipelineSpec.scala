@@ -12,11 +12,15 @@ class CorpusPipelineSpec extends AnyFunSuite {
   test("curate: stages shrink monotonically and kill planted near-dups") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
     // Plant an exact duplicate and a near-duplicate of doc 0.
     val d0 = docs.filter($"doc_id" === 0).head()
+    val nearDupText = d0.getAs[String]("text").replaceFirst("the", "thee")
+    assert(nearDupText !== d0.getAs[String]("text"),
+      "fixture assumption: doc 0 contains 'the' so the plant is a NEAR dup")
     val planted = Seq(
       (9001L, d0.getAs[String]("text"), "xx", "plant", 0L),
-      (9002L, d0.getAs[String]("text").replaceFirst("the", "thee"), "xx", "plant", 0L)
+      (9002L, nearDupText, "xx", "plant", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val input = docs.unionByName(planted)
 
@@ -24,7 +28,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val s = stats.head()
     val (nIn, nGated, nExact, nCur) = (s.getLong(0), s.getLong(1),
       s.getLong(2), s.getLong(3))
-    assert(nIn === 502L)
+    assert(nIn === nDocs + 2)
     assert(nGated <= nIn)
     assert(nExact === nGated - 1) // the exact clone of doc 0 dropped
     assert(nCur < nExact) // near-dup removal bites (planted + natural dups)

@@ -49,5 +49,11 @@ class FormatsSpec extends AnyFunSuite {
     assert(ivf.size === exact.size)
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall > 0.4, s"recall=$recall")
+    // probing every cell must reproduce the exact brute-force result.
+    val full = graft.functions.Vec.ivfTopK(emb, queries, k = 5, nProbe = 100,
+        cellCol = "label")
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
   }
 }
