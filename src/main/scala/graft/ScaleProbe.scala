@@ -44,6 +44,33 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"minhash_lsh","mult":$mult,"docs":${nBase * mult},"pairs":$pairs,"sec":$sec%.2f}""")
     }
+
+    // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
+    // joined to a 1000-row dim with broadcast disabled so the shuffle-join
+    // skew is real. Salting must beat the plain join by spreading the hot
+    // key across saltFactor reducers.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val li = Tables.lineitem(spark, sfDir)
+      .crossJoin(spark.range(8).select(col("id").as("rep")))
+      .select(
+        when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_partkey") % 1000).as("k"),
+        col("l_extendedprice"))
+    val dim = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 3).as("payload"))
+    for ((tag, joined) <- Seq(
+        "plain" -> li.join(dim, Seq("k")),
+        "salted" -> graft.ops.Scale.saltedJoin(li, dim, Seq("k"), 32))) {
+      val t0 = System.nanoTime()
+      // Global (un-keyed) aggregate so the measurement isolates the join
+      // stage: a groupBy on k would re-create the hot-key skew in a second
+      // shuffle that salting the JOIN cannot and should not address.
+      val n = joined.agg(count(lit(1)), sum("l_extendedprice"))
+        .head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"skew_join","variant":"$tag","rows":$n,"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }
