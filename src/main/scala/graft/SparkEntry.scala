@@ -259,6 +259,26 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // Exact covariance via decimal sums: the built-in covar_pop folds
+    // doubles in partition order (non-deterministic across engines); the
+    // explicit (sum(xy) - sum(x)*sum(y)/n)/n form over decimal sums is
+    // bit-stable and partition-order independent.
+    "q_covar" -> { (s, d) =>
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(x * y).as("sxy"), sum(x).as("sx"), sum(y).as("sy"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          ((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+            .as("covar_qty_price"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Exact distinct-count aggregation.
     "q_count_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -644,6 +664,18 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_covar" ->
+      """WITH a AS (SELECT l_returnflag,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar_qty_price,
+           n
+         FROM a ORDER BY l_returnflag""",
 
     "q_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,

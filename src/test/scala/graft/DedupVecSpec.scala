@@ -81,6 +81,16 @@ class DedupVecSpec extends AnyFunSuite {
     assert(g === Map("x" -> (10L, 2L), "y" -> (12L, 1L)))
   }
 
+  test("HOF dot/norm agree with the compiled expressions") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val drift = emb.select(
+      Vec.dot(col("embedding"), col("embedding")).as("hof"),
+      graft.plans.VecExpressions.dotProduct(col("embedding"), col("embedding"))
+        .as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(drift.count() === 0)
+  }
+
   test("cosine: known geometry") {
     val v = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
