@@ -96,12 +96,19 @@ object Vec {
     * for determinism.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(withNorm(queries, idCol, vecCol, "q")
       .withColumnRenamed("id_q", "query_id"))
     val c = withNorm(corpus, idCol, vecCol, "c")
       .withColumnRenamed("id_c", "neighbor_id")
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+    // excludeSelf assumes query and corpus ids share one id space; pass
+    // false for an external query set (an id collision would otherwise
+    // silently drop a legitimate neighbor).
+    val joined =
+      if (excludeSelf) q.join(c, col("query_id") =!= col("neighbor_id"))
+      else q.crossJoin(c)
+    val scored = joined
       .withColumn("sim", pairSim(col("vq"), col("vc"), col("nq"), col("nc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -194,6 +201,9 @@ object Vec {
   /** Bucketed approximate top-k: brute force within each LSH bucket.
     * Recall is tunable via nBits (fewer bits = bigger buckets = higher
     * recall, more compute).
+    */
+  /** Self-search by construction (query set == corpus), so self-exclusion
+    * is always correct here.
     */
   def lshTopK(vecs: DataFrame, k: Int, nBits: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

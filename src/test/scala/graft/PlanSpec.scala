@@ -32,6 +32,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p)
   }
 
+  test("selective join filters push to both fact scans") {
+    val p = plan("q_shipping_priority")
+    assert(p.contains("GreaterThan(l_shipdate,"), p)
+    assert(p.contains("LessThan(o_orderdate,"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
   test("wide projections read only the needed columns") {
     val p = plan("q_token_count")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
