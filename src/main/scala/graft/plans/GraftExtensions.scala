@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql` users (and any BI layer on
+  * top) can call them without touching the Scala API:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *
+  *   SELECT poly_hash(text), cosine_sim(a.embedding, b.embedding) ...
+  */
+object GraftFunctions {
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("poly_hash", classOf[PolyHashExpr], {
+      case Seq(c) => PolyHashExpr(c)
+      case args => throw new IllegalArgumentException(
+        s"poly_hash expects 1 argument, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("hashed_shingles", classOf[HashedShingles], {
+      case Seq(c, n) => HashedShingles(c,
+        n.eval().asInstanceOf[Number].intValue())
+      case args => throw new IllegalArgumentException(
+        s"hashed_shingles expects (text, n), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
+    ("cosine_sim", classOf[CosineSimExpr], {
+      case Seq(a, b) => CosineSimExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"cosine_sim expects 2 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("dot_product", classOf[DotProductExpr], {
+      case Seq(a, b) => DotProductExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"dot_product expects 2 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression))
+
+  /** Register into an already-running session (builder-time extensions
+    * only apply to sessions created after `withExtensions`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, clazz, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name,
+        new ExpressionInfo(clazz.getCanonicalName, name), builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getCanonicalName, name), builder))
+    }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopK
+
+/** The bounded top-k-per-key operator and the SparkSessionExtensions SQL
+  * function registration.
+  */
+class TopKExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("topKPerKey matches the window row_number formulation exactly") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val expected = SparkEntry.queries("q_window_topn")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val got = TopK.topKPerKey(o, Seq("o_custkey"), "o_totalprice",
+        "o_orderkey", k = 3, descending = true)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank").as("rn"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expected)
+  }
+
+  test("topKPerKey handles k larger than any group") {
+    val n = Tables.nation(spark, "/root/testdata/sf0.001")
+    val out = TopK.topKPerKey(n, Seq("n_regionkey"), "n_nationkey",
+      "n_name", k = 100)
+    assert(out.count() === n.count())
+  }
+
+  test("GraftFunctions registers the native expressions for SQL use") {
+    graft.plans.GraftFunctions.register(spark)
+    val h = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
+    assert(h === graft.plans.PolyHash.eval("abc"))
+    val c = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(c === 1.0)
+    val sh = spark.sql(
+      "SELECT tid FROM (SELECT explode_outer(array(1)) dummy) " +
+        "LATERAL VIEW hashed_shingles('a b c', 2) t AS tid")
+    assert(sh.count() === 2) // "a b", "b c"
+    val dp = spark.sql(
+      "SELECT dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dp === 6.0)
+  }
+}
