@@ -1,0 +1,138 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+
+/** Native top-k-per-key: the full custom-operator ladder —
+  * LogicalPlan node → Strategy → physical partial/final execs — planned
+  * like a partial aggregation: the PARTIAL exec truncates every input
+  * partition to k rows per key *before* the exchange the FINAL exec's
+  * required distribution inserts, so the shuffle moves at most
+  * k × keys-per-partition rows instead of the whole input. Operates on
+  * InternalRow with a codegen'd ordering (no encoder round-trips — the
+  * Dataset/mapPartitions formulation in TopK.scala deserializes every row
+  * twice).
+  */
+object TopKNative {
+
+  /** Best-k rows per key with a `rank` column (1 = best). Registers the
+    * planning strategy on the session (idempotent) and injects the logical
+    * node directly.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val keys = keyCols.map(c => GraftBridge.expression(df(c)))
+    val ord = SortOrder(GraftBridge.expression(df(orderCol)),
+      if (descending) Descending else Ascending)
+    val tie = SortOrder(GraftBridge.expression(df(tieCol)), Ascending)
+    GraftBridge.dataFrame(spark,
+      TopKPerKeyNode(keys, ord, tie, k, GraftBridge.logicalPlan(df)))
+  }
+}
+
+case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder,
+    tie: SortOrder, k: Int, child: LogicalPlan,
+    // constructor param so tree copies preserve the exprId
+    rankAttr: AttributeReference =
+      AttributeReference("rank", LongType, nullable = false)())
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rank is minted here, not derived from the child — without this the
+  // analyzer checker reports it "missing from input".
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: TopKPerKeyNode =>
+      val partial = TopKPartialExec(n.keys, n.order, n.tie, n.k,
+        planLater(n.child))
+      TopKFinalExec(n.keys, n.order, n.tie, n.k, n.rankAttr, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared bounded-heap truncation over InternalRows. */
+private[plans] object TopKRuntime {
+  def localTopK(it: Iterator[InternalRow], keys: Seq[Expression],
+      order: SortOrder, tie: SortOrder, k: Int,
+      input: Seq[Attribute]): Iterator[(InternalRow, mutable.PriorityQueue[InternalRow])] = {
+    val keyProj = UnsafeProjection.create(keys, input)
+    // best-first ordering: compare(a,b) < 0 when a is better
+    val bestFirst = GenerateOrdering.generate(Seq(order, tie), input)
+    // heap keeps the WORST retained row on top
+    val heapOrd: Ordering[InternalRow] =
+      (a: InternalRow, b: InternalRow) => bestFirst.compare(a, b)
+    val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+    it.foreach { row =>
+      val key = keyProj(row)
+      val h = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+          heaps.put(key.copy(), h)
+          h
+      }
+      if (h.size < k) h.enqueue(row.copy())
+      else if (bestFirst.compare(row, h.head) < 0) {
+        h.dequeue(); h.enqueue(row.copy())
+      }
+    }
+    heaps.iterator
+  }
+}
+
+case class TopKPartialExec(keys: Seq[Expression], order: SortOrder,
+    tie: SortOrder, k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { it =>
+      TopKRuntime.localTopK(it, keys, order, tie, k, child.output)
+        .flatMap(_._2.iterator)
+    }
+  override protected def withNewChildInternal(c: SparkPlan): TopKPartialExec =
+    copy(child = c)
+}
+
+case class TopKFinalExec(keys: Seq[Expression], order: SortOrder,
+    tie: SortOrder, k: Int, rankAttr: AttributeReference,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { it =>
+      val proj = UnsafeProjection.create(output, child.output :+ rankAttr)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val bestFirst = GenerateOrdering.generate(Seq(order, tie), child.output)
+      TopKRuntime.localTopK(it, keys, order, tie, k, child.output)
+        .flatMap { case (_, heap) =>
+          val sorted = heap.toSeq.sorted(Ordering.comparatorToOrdering(bestFirst))
+          sorted.iterator.zipWithIndex.map { case (row, i) =>
+            rankRow.setLong(0, i + 1L)
+            proj(joined(row, rankRow))
+          }
+        }
+    }
+  override protected def withNewChildInternal(c: SparkPlan): TopKFinalExec =
+    copy(child = c)
+}

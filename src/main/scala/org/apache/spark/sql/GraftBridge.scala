@@ -12,6 +12,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a logical plan as a DataFrame on the given session. */
+  def dataFrame(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function into a LIVE session's registry (builder-time
     * `withExtensions` only applies to sessions created after it).
     */

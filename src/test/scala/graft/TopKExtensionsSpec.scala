@@ -31,6 +31,27 @@ class TopKExtensionsSpec extends AnyFunSuite {
     assert(out.count() === n.count())
   }
 
+  test("native TopK operator matches the window formulation, truncates pre-shuffle") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val expected = SparkEntry.queries("q_window_topn")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val native = graft.plans.TopKNative.topKPerKey(o, Seq("o_custkey"),
+      "o_totalprice", "o_orderkey", k = 3, descending = true)
+    val got = native
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank").as("rn"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expected)
+    // the physical plan shows partial truncation below the exchange
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKFinal"), plan)
+    assert(plan.contains("TopKPartial"), plan)
+    val exIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("TopKPartial")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"partial must sit below the exchange:\n$plan")
+  }
+
   test("GraftFunctions registers the native expressions for SQL use") {
     graft.plans.GraftFunctions.register(spark)
     val h = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
