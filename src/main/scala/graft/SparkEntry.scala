@@ -221,6 +221,19 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // The native bounded top-k physical operator (TopKPerKeyNode →
+    // TopKPartial/TopKFinal, truncation below the exchange) under the
+    // oracle gate: top-2 lineitems per supplier by price.
+    "q_topk_native" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumn("tie", col("l_orderkey") * 10 + col("l_linenumber"))
+      graft.plans.TopKNative.topKPerKey(li, Seq("l_suppkey"),
+          "l_extendedprice", "tie", k = 2, descending = true)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"), col("rank"))
+        .orderBy(col("l_suppkey"), col("rank"))
+    },
+
     // Window function — top-3 orders per customer (generalized engine op).
     "q_window_topn" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -652,6 +665,14 @@ object SparkEntry {
          ORDER BY vec_id, component""",
     "q_struct_flatten" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""",
+    "q_topk_native" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, "rank" FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS "rank"
+           FROM lineitem) t
+         WHERE "rank" <= 2 ORDER BY l_suppkey, "rank"""",
+
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
