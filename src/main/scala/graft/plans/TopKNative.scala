@@ -35,16 +35,30 @@ object TopKNative {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     val keys = keyCols.map(c => GraftBridge.expression(df(c)))
-    val ord = SortOrder(GraftBridge.expression(df(orderCol)),
-      if (descending) Descending else Ascending)
-    val tie = SortOrder(GraftBridge.expression(df(tieCol)), Ascending)
+    val ordering = Seq(
+      SortOrder(GraftBridge.expression(df(orderCol)),
+        if (descending) Descending else Ascending),
+      SortOrder(GraftBridge.expression(df(tieCol)), Ascending))
     GraftBridge.dataFrame(spark,
-      TopKPerKeyNode(keys, ord, tie, k, GraftBridge.logicalPlan(df)))
+      TopKPerKeyNode(keys, ordering, k, GraftBridge.logicalPlan(df)))
+  }
+
+  /** Register the planning strategy and the window-rewrite optimizer rule
+    * on a live session (idempotent): Filter(row_number() <= k) over a
+    * window is then planned as the bounded TopK operator automatically.
+    */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
   }
 }
 
-case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder,
-    tie: SortOrder, k: Int, child: LogicalPlan,
+case class TopKPerKeyNode(keys: Seq[Expression], ordering: Seq[SortOrder],
+    k: Int, child: LogicalPlan,
     // constructor param so tree copies preserve the exprId
     rankAttr: AttributeReference =
       AttributeReference("rank", LongType, nullable = false)())
@@ -61,9 +75,9 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerKeyNode =>
-      val partial = TopKPartialExec(n.keys, n.order, n.tie, n.k,
+      val partial = TopKPartialExec(n.keys, n.ordering, n.k,
         planLater(n.child))
-      TopKFinalExec(n.keys, n.order, n.tie, n.k, n.rankAttr, partial) :: Nil
+      TopKFinalExec(n.keys, n.ordering, n.k, n.rankAttr, partial) :: Nil
     case _ => Nil
   }
 }
@@ -71,11 +85,11 @@ object TopKStrategy extends SparkStrategy {
 /** Shared bounded-heap truncation over InternalRows. */
 private[plans] object TopKRuntime {
   def localTopK(it: Iterator[InternalRow], keys: Seq[Expression],
-      order: SortOrder, tie: SortOrder, k: Int,
+      ordering: Seq[SortOrder], k: Int,
       input: Seq[Attribute]): Iterator[(InternalRow, mutable.PriorityQueue[InternalRow])] = {
     val keyProj = UnsafeProjection.create(keys, input)
     // best-first ordering: compare(a,b) < 0 when a is better
-    val bestFirst = GenerateOrdering.generate(Seq(order, tie), input)
+    val bestFirst = GenerateOrdering.generate(ordering, input)
     // heap keeps the WORST retained row on top
     val heapOrd: Ordering[InternalRow] =
       (a: InternalRow, b: InternalRow) => bestFirst.compare(a, b)
@@ -98,20 +112,20 @@ private[plans] object TopKRuntime {
   }
 }
 
-case class TopKPartialExec(keys: Seq[Expression], order: SortOrder,
-    tie: SortOrder, k: Int, child: SparkPlan) extends UnaryExecNode {
+case class TopKPartialExec(keys: Seq[Expression], ordering: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { it =>
-      TopKRuntime.localTopK(it, keys, order, tie, k, child.output)
+      TopKRuntime.localTopK(it, keys, ordering, k, child.output)
         .flatMap(_._2.iterator)
     }
   override protected def withNewChildInternal(c: SparkPlan): TopKPartialExec =
     copy(child = c)
 }
 
-case class TopKFinalExec(keys: Seq[Expression], order: SortOrder,
-    tie: SortOrder, k: Int, rankAttr: AttributeReference,
+case class TopKFinalExec(keys: Seq[Expression], ordering: Seq[SortOrder],
+    k: Int, rankAttr: AttributeReference,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -123,8 +137,8 @@ case class TopKFinalExec(keys: Seq[Expression], order: SortOrder,
       val proj = UnsafeProjection.create(output, child.output :+ rankAttr)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
-      val bestFirst = GenerateOrdering.generate(Seq(order, tie), child.output)
-      TopKRuntime.localTopK(it, keys, order, tie, k, child.output)
+      val bestFirst = GenerateOrdering.generate(ordering, child.output)
+      TopKRuntime.localTopK(it, keys, ordering, k, child.output)
         .flatMap { case (_, heap) =>
           val sorted = heap.toSeq.sorted(Ordering.comparatorToOrdering(bestFirst))
           sorted.iterator.zipWithIndex.map { case (row, i) =>

@@ -52,6 +52,31 @@ class TopKExtensionsSpec extends AnyFunSuite {
       s"partial must sit below the exchange:\n$plan")
   }
 
+  test("TopKRewrite plans rank filters as the bounded operator automatically") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKNative.enable(spark)
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKFinal"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window ["), plan) // no window exec remains
+    // results identical to the (rule-immune) Dataset-form operator
+    val expected = graft.plans.TopK.topKPerKey(o, Seq("o_custkey"),
+        "o_totalprice", "o_orderkey", 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank").cast("int"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = df.select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expected)
+    // a window the rule must NOT touch (aggregate, not row_number) still works
+    val agg = o.withColumn("s", sum(col("o_totalprice")).over(
+      Window.partitionBy(col("o_custkey"))))
+    assert(agg.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("GraftFunctions registers the native expressions for SQL use") {
     graft.plans.GraftFunctions.register(spark)
     val h = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
