@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKNative.enable(spark)
     // Warm the session (codegen, scheduler, parquet footer caches) so the
     // first timed query doesn't absorb one-time startup cost.
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft's planning extensions: window-top-k rank filters replan to the
+    // bounded TopK operator; every affected query still hash-matches its
+    // oracle, so the rewrite runs under the correctness gate.
+    graft.plans.TopKNative.enable(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
