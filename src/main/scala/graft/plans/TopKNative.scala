@@ -21,6 +21,12 @@ import org.apache.spark.sql.{DataFrame, GraftBridge}
   * InternalRow with a codegen'd ordering (no encoder round-trips — the
   * Dataset/mapPartitions formulation in TopK.scala deserializes every row
   * twice).
+  *
+  * Memory caveat: like a hash aggregate, the partial phase holds k rows
+  * per distinct key per open partition with NO spill path. That is the
+  * right trade for bounded k and any realistic key cardinality per
+  * partition (k × keys × rowSize); for adversarial cardinalities at tiny
+  * memory, prefer the window formulation, whose sort spills.
   */
 object TopKNative {
 
