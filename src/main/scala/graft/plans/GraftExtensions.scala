@@ -23,8 +23,14 @@ object GraftFunctions {
         s"poly_hash expects 1 argument, got ${args.length}")
     }: Seq[Expression] => Expression),
     ("hashed_shingles", classOf[HashedShingles], {
-      case Seq(c, n) => HashedShingles(c,
-        n.eval().asInstanceOf[Number].intValue())
+      case Seq(c, n) =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val integral = n.dataType == IntegerType || n.dataType == LongType ||
+          n.dataType == ShortType || n.dataType == ByteType
+        if (!n.foldable || !integral)
+          throw new IllegalArgumentException(
+            "hashed_shingles: the shingle size must be an integer literal")
+        HashedShingles(c, n.eval().asInstanceOf[Number].intValue())
       case args => throw new IllegalArgumentException(
         s"hashed_shingles expects (text, n), got ${args.length} arguments")
     }: Seq[Expression] => Expression),

@@ -36,10 +36,12 @@ object TopKNative {
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
       tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty,
+      "topKPerKey needs at least one key column (a global top-k is an orderBy+limit)")
+    require(!df.columns.contains("rank"),
+      "input already has a 'rank' column; rename it before topKPerKey")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    ensureStrategy(spark)
     val keys = keyCols.map(c => GraftBridge.expression(df(c)))
     val ordering = Seq(
       SortOrder(GraftBridge.expression(df(orderCol)),
@@ -54,13 +56,23 @@ object TopKNative {
     * window is then planned as the bounded TopK operator automatically.
     */
   def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    ensureStrategy(spark)
     if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewrite
   }
+
+  /** Remove the rewrite rule (the strategy stays; it only fires for
+    * explicitly injected nodes).
+    */
+  def disableRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TopKRewrite)
+
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
 }
 
 case class TopKPerKeyNode(keys: Seq[Expression], ordering: Seq[SortOrder],

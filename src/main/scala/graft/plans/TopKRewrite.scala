@@ -33,7 +33,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
           WindowExpression(RowNumber(),
             WindowSpecDefinition(partitionSpec, orderSpec, _)), _)),
           _, _, child, _))
-        if orderSpec.nonEmpty =>
+        // a global (unpartitioned) top-k would need AllTuples, and
+        // ClusteredDistribution(Nil) fails Spark's require at planning —
+        // leave unpartitioned windows to the normal planner.
+        if orderSpec.nonEmpty && partitionSpec.nonEmpty =>
       boundOf(cond, alias.toAttribute) match {
         case Some(k) if k > 0 =>
           // Spark's InsertWindowGroupLimit may already have wrapped the

@@ -55,6 +55,7 @@ class TopKExtensionsSpec extends AnyFunSuite {
   test("TopKRewrite plans rank filters as the bounded operator automatically") {
     import org.apache.spark.sql.expressions.Window
     graft.plans.TopKNative.enable(spark)
+    try {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -75,6 +76,16 @@ class TopKExtensionsSpec extends AnyFunSuite {
     val agg = o.withColumn("s", sum(col("o_totalprice")).over(
       Window.partitionBy(col("o_custkey"))))
     assert(agg.queryExecution.executedPlan.toString.contains("Window"))
+    // unpartitioned rank filter: rule declines (ClusteredDistribution(Nil)
+    // would fail planning), the window path answers
+    val global = o.withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+    assert(global.count() === 3)
+    } finally {
+      // don't leave the rewrite active for unrelated suites in this JVM
+      graft.plans.TopKNative.disableRewrite(spark)
+    }
   }
 
   test("GraftFunctions registers the native expressions for SQL use") {
