@@ -478,6 +478,30 @@ object SparkEntry {
         .orderBy(col("window_start"))
     },
 
+    // GROUP BY + HAVING (post-aggregation filter).
+    "q_having" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_spent"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    },
+
+    // Correlated EXISTS — semi join with a compound, row-dependent
+    // condition (an order 10x the customer's account balance).
+    "q_exists_correlated" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o,
+          c("c_custkey") === o("o_custkey") &&
+            o("o_totalprice") > c("c_acctbal") * 100,
+          "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Left-semi join (EXISTS) — customers with at least one big order.
     "q_semi_join" -> { (s, d) =>
       Tables.customer(s, d)
@@ -910,6 +934,19 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM orders GROUP BY o_custkey
+         HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
+
+    "q_exists_correlated" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_totalprice > c.c_acctbal * 100)
+         ORDER BY c_custkey""",
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
