@@ -78,6 +78,60 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("windowed aggregation state survives a restart via the checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = TestSpark.tmpDir("state_restart")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    def writeBatch(name: String, rows: Seq[(String, String, Double)]): Unit = {
+      import spark.implicits._
+      rows.toDF("ts_s", "event_type", "value")
+        .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"),
+          col("value"))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(schema).parquet(src)
+      val agg = StreamingMedallion.windowedEventCounts(
+        events, "ts", "5 minutes", "1 minute")
+      val q = agg.writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", s"$root/cp")
+        .option("path", s"$root/out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // Run 1: two events in one window; nothing finalizes (watermark low).
+    writeBatch("b1", Seq(
+      ("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:02:00", "click", 2.0)))
+    runOnce()
+    // Run 2 (fresh query, same checkpoint): one more event in the SAME
+    // window — only countable if run 1's state was recovered — plus a late
+    // event that pushes the watermark past the window end.
+    writeBatch("b2", Seq(
+      ("2024-01-01 00:03:00", "click", 4.0),
+      ("2024-01-01 01:00:00", "click", 0.5)))
+    runOnce()
+    // Run 3: flush finalized windows to the sink.
+    writeBatch("b3", Seq(("2024-01-01 02:00:00", "click", 0.25)))
+    runOnce()
+
+    val out = spark.read.parquet(s"$root/out")
+      .filter(col("window_start") === lit("2024-01-01 00:00:00").cast("timestamp"))
+    val row = out.head()
+    assert(row.getAs[Long]("n_events") === 3L,
+      "state from run 1 must merge with run 2's event")
+    assert(row.getAs[Double]("sum_value") === 7.0)
+    assert(out.count() === 1) // finalized exactly once across restarts
+  }
+
   test("flatMapGroupsWithState: sessions close when watermark passes gap") {
     import graft.streaming.{ClosedSession, UserTimedEvent}
     import spark.implicits._
