@@ -456,6 +456,26 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // The SCALE path for embedding near-dup, oracle-gated: candidates
+    // restricted to pairs sharing a 4-bit RP-LSH bucket, then
+    // exact-cosine-verified — linear for bounded bucket occupancy, vs the
+    // quadratic q_embed_neardup baseline above.
+    "q_embed_neardup_lsh" -> { (s, d) =>
+      Vec.lshNearDupPairs(Tables.embeddings(s, d), threshold = 0.4, nBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // IVF ANN under the oracle gate: `label` is the coarse cell (any
+    // clustering/domain partition works); probe the 3 most-similar cells
+    // per query by centroid cosine, brute-force only within them.
+    "q_ivf_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3,
+          cellCol = "label")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length here; decode/feature-extraction is exercised in the test
     // suite with a stubbed decoder).
@@ -923,6 +943,77 @@ object SparkEntry {
       }.mkString(" + ")
       s"""SELECT vec_id, CAST($projs AS BIGINT) AS bucket
           FROM embeddings ORDER BY vec_id"""
+    },
+
+    "q_embed_neardup_lsh" -> {
+      val dotSql = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+            (acc, v) -> acc + v)"""
+      val projs = (0 until 4).map { j =>
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(embedding) + 1),
+              i -> (CASE WHEN (i * 2654435761 + ${j + 1} * 40503) % 65536 < 32768
+                    THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE))),
+            (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding,
+            CAST($projs AS BIGINT) AS bucket FROM embeddings),
+          p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+            ${dotSql("a.embedding", "c.embedding")} AS dp,
+            ${dotSql("a.embedding", "a.embedding")} AS na,
+            ${dotSql("c.embedding", "c.embedding")} AS nb
+            FROM b a JOIN b c
+            ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS sim
+          FROM p WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+          ORDER BY id_a, id_b"""
+    },
+
+    "q_ivf_topk" -> {
+      val dotSql = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+            (acc, v) -> acc + v)"""
+      // Centroids sum over DECIMAL(25,10) — exact, order-independent —
+      // matching Vec.ivfTopK's deterministic centroid arithmetic, then the
+      // double quotient is cast to REAL exactly like Spark's cast-to-float.
+      s"""WITH ex AS (
+            SELECT label AS cell, s.i AS dim, s.x AS x FROM (
+              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'i': i, 'x': embedding[i]})) AS s
+              FROM embeddings)),
+          cent AS (
+            SELECT cell, dim,
+              CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS m
+            FROM ex GROUP BY cell, dim),
+          cl AS (
+            SELECT cell, list(CAST(m AS REAL) ORDER BY dim) AS centroid
+            FROM cent GROUP BY cell),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN embeddings e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM cand)
+          SELECT query_id, neighbor_id, sim, "rank" FROM r
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
     },
 
     "q_binary_meta" ->

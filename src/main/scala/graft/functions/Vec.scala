@@ -128,8 +128,18 @@ object Vec {
   /** Random-hyperplane LSH bucket id (`nBits`-bit) per vector — the scale
     * path for ANN: vectors are bucketed in one map-only pass; search probes
     * only the query's bucket. Projection j = sum_i sign(i,j) * v_i.
+    * Backed by the codegen'd RpLshBucketExpr: one compiled loop instead of
+    * nBits interpreted zip_with/aggregate passes per row.
     */
-  def rpLshBucket(vec: Column, nBits: Int): Column = {
+  def rpLshBucket(vec: Column, nBits: Int): Column =
+    graft.plans.VecExpressions.rpLshBucket(vec, nBits)
+
+  /** The SQL-composable higher-order-function form of `rpLshBucket` —
+    * bit-identical by construction (same sign arithmetic, same per-bit
+    * left-fold order); kept as the cross-engine-readable specification the
+    * native expression is tested against.
+    */
+  def rpLshBucketHof(vec: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -154,11 +164,17 @@ object Vec {
       cellCol: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
-    // centroid per cell: dimension-wise mean.
+    // Centroid per cell: dimension-wise mean. The sum runs over
+    // decimal(25,10), not double: decimal addition is exact and therefore
+    // independent of partial-aggregation order, so the centroid (and every
+    // downstream ranking) is bit-deterministic across runs, partitionings,
+    // and engines — a double sum would vary in the last ulp with shuffle
+    // order. Cost is confined to this tiny (cell × dim) aggregate.
     val centroids = corpus
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("m"))
+      .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+        count(lit(1))).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell"),

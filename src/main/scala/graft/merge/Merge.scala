@@ -63,19 +63,28 @@ object Merge {
       setExprs: Map[String, Column],
       dedupSource: Boolean = true,
       failOnMultipleMatches: Boolean = false): DataFrame = {
-    val t = target.alias("t")
+    // With the multi-match guard the target gets a synthetic row id and the
+    // invariant is checked INSIDE the returned plan (count-over-window +
+    // raise_error), so validation and production run one join in one job —
+    // the previous two-pass form ran the join twice and, with a
+    // non-deterministic source, could validate a different plan than it
+    // returned. Cost of the guard: one extra window shuffle on the row id.
+    val withGuard = failOnMultipleMatches
+    val t0 = if (withGuard) target.withColumn("__tid", monotonically_increasing_id())
+             else target
+    val t = t0.alias("t")
     val src = if (dedupSource) source.distinct() else source
     val s = src.alias("s").withColumn("__matched", lit(true))
-    if (failOnMultipleMatches) {
-      val joinedCount = t.join(s, cond(t, s), "left").count()
-      val targetCount = target.count()
-      if (joinedCount != targetCount)
-        throw new IllegalStateException(
-          s"MERGE source matches some target row more than once " +
-            s"($joinedCount joined rows vs $targetCount target rows)")
-    }
     val joined = t.join(s, cond(t, s), "left")
-    val updated = setExprs.foldLeft(joined) { case (df, (c, v)) =>
+    val guarded = if (withGuard) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__tid"))
+      joined
+        .withColumn("__mcount", count(when(col("__matched"), 1)).over(w))
+        .filter(when(col("__mcount") > 1, raise_error(lit(
+          "MERGE source matches some target row more than once")))
+          .otherwise(lit(true)))
+    } else joined
+    val updated = setExprs.foldLeft(guarded) { case (df, (c, v)) =>
       df.withColumn(s"__new_$c", when(col("__matched"), v).otherwise(col(s"t.$c")))
     }
     val tCols = target.columns.toSeq

@@ -46,9 +46,24 @@ object Scale {
 
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the assertion that a bucketed join actually skipped the shuffle.
+    * Tests for ShuffleExchangeLike nodes specifically: a substring match on
+    * "Exchange" would also flag BroadcastExchange/ReusedExchange, wrongly
+    * reporting a legitimately shuffle-free broadcast plan as shuffled.
     */
   def isShuffleFree(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan
-    !plan.toString.contains("Exchange")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Seq[SparkPlan] = {
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      root.collect {
+        case e: ShuffleExchangeLike => e
+        case q: ShuffleQueryStageExec => q
+      }
+    }
+    shuffles(df.queryExecution.executedPlan).isEmpty
   }
 }

@@ -43,6 +43,18 @@ object GraftFunctions {
       case Seq(a, b) => DotProductExpr(a, b)
       case args => throw new IllegalArgumentException(
         s"dot_product expects 2 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("rp_lsh_bucket", classOf[RpLshBucketExpr], {
+      case Seq(v, n) =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val integral = n.dataType == IntegerType || n.dataType == LongType ||
+          n.dataType == ShortType || n.dataType == ByteType
+        if (!n.foldable || !integral)
+          throw new IllegalArgumentException(
+            "rp_lsh_bucket: the bit count must be an integer literal")
+        RpLshBucketExpr(v, n.eval().asInstanceOf[Number].intValue())
+      case args => throw new IllegalArgumentException(
+        s"rp_lsh_bucket expects (vector, nBits), got ${args.length} arguments")
     }: Seq[Expression] => Expression))
 
   /** Register into an already-running session (builder-time extensions

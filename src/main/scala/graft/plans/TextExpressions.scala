@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.GraftBridge
@@ -45,6 +46,14 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  // Analysis-time type check: poly_hash(non-string) previously failed
+  // codegen compilation and then threw ClassCastException from the
+  // interpreted fallback at runtime.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires a string argument, got ${child.dataType.sql}")
+
   override protected def nullSafeEval(input: Any): Any =
     PolyHash.eval(input.asInstanceOf[UTF8String].toString)
 
@@ -66,6 +75,11 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
 case class HashedShingles(child: Expression, n: Int)
     extends UnaryExpression with Generator with CodegenFallback {
   require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires a string argument, got ${child.dataType.sql}")
 
   override def elementSchema: StructType =
     StructType(StructField("tid", LongType) :: Nil)

@@ -2,31 +2,56 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native cosine similarity over `array<float>` columns.
+/** Native cosine similarity over `array<float>` / `array<double>` columns.
   *
   * The composable form (zip_with + aggregate) is CodegenFallback —
   * interpreted per row with array allocation — which dominates wall-clock on
-  * all-pairs similarity. This expression runs one compiled loop per pair.
+  * all-pairs similarity. These expressions run one compiled loop per pair.
   *
   * Semantics are bit-identical to the higher-order form and the DuckDB
-  * oracle: floats are promoted to double before multiplying, and the three
+  * oracle: floats are promoted to double before multiplying, and the
   * accumulators (dot, |a|², |b|²) fold left in index order, then
   * dot / (sqrt(na) * sqrt(nb)). Inputs of unequal length compare over the
   * common prefix (embeddings are fixed-dim by contract).
+  *
+  * Null/NaN contract (matches the HOF form's null propagation): a NULL
+  * array yields NULL; an array containing a NULL element yields NULL; a
+  * zero-norm vector yields NULL cosine (the HOF form's 0/0 = NaN has no
+  * cross-engine hash representation, so NULL is the declared result).
+  * Element types are checked at analysis time — both sides must be
+  * array<float> or both array<double>; anything else fails analysis
+  * instead of silently reinterpreting bytes.
   */
 object VecOps {
-  /** Left-fold dot product in double precision, index order. */
+  private final val NULL_SENTINEL = Double.NaN
+
+  /** Left-fold dot product in double precision, index order (float). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Left-fold dot product, double-element arrays. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
+      acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc
@@ -39,8 +64,27 @@ object VecOps {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb)) // 0/0 -> NaN -> NULL at the expr
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -50,47 +94,177 @@ object VecOps {
   }
 }
 
-case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+/** Shared shape for the two vector-similarity binaries: float/double
+  * element dispatch, analysis-time type checking, NaN-sentinel-to-NULL
+  * result mapping in both interpreted and generated paths.
+  */
+trait VecBinaryExpr extends BinaryExpression {
+  /** VecOps method name for float-element arrays ("dot" / "cosine"). */
+  protected def floatFn: String
+
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def elem(dt: DataType): Option[DataType] = dt match {
+      case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+      case _ => None
+    }
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(l), Some(r)) if l == r => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or two array<double> " +
+          s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+  }
+
+  private def fn: String = left.dataType match {
+    case ArrayType(DoubleType, _) => floatFn + "D"
+    case _ => floatFn
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r =
+      if (fn.endsWith("D"))
+        if (floatFn == "dot") VecOps.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+        else VecOps.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else
+        if (floatFn == "dot") VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+        else VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(r)) null else r
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.plans.VecOps.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |double $r = graft.plans.VecOps.$fn($a, $b);
+         |if (Double.isNaN($r)) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+}
 
+/** Random-hyperplane LSH bucketing compiled to one pass over the vector.
+  *
+  * Bit j of the result is set when proj_j = Σ_i sign(i,j)·v_i > 0, with
+  * sign(i,j) = +1 iff ((i+1)·2654435761 + (j+1)·40503) mod 65536 < 32768 —
+  * identical arithmetic (and per-accumulator left-fold order, so
+  * bit-identical doubles) to the HOF form in `Vec.rpLshBucketHof` and the
+  * DuckDB oracle. The HOF form builds nBits CodegenFallback
+  * zip_with/aggregate passes per row; this runs one compiled i-major loop
+  * updating all nBits accumulators per element.
+  */
+object RpLsh {
+  /** Null means: input array contained a NULL element. */
+  def bucketF(v: ArrayData, nBits: Int): java.lang.Long = {
+    val n = v.numElements()
+    val projs = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getFloat(i).toDouble
+      var j = 0
+      while (j < nBits) {
+        val s = if (((i + 1) * 2654435761L + (j + 1) * 40503L) % 65536L < 32768L) x else -x
+        projs(j) += s
+        j += 1
+      }
+      i += 1
+    }
+    var b = 0L
+    var j = 0
+    while (j < nBits) { if (projs(j) > 0) b |= 1L << j; j += 1 }
+    b
+  }
+
+  def bucketD(v: ArrayData, nBits: Int): java.lang.Long = {
+    val n = v.numElements()
+    val projs = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      var j = 0
+      while (j < nBits) {
+        val s = if (((i + 1) * 2654435761L + (j + 1) * 40503L) % 65536L < 32768L) x else -x
+        projs(j) += s
+        j += 1
+      }
+      i += 1
+    }
+    var b = 0L
+    var j = 0
+    while (j < nBits) { if (projs(j) > 0) b |= 1L << j; j += 1 }
+    b
+  }
+}
+
+case class RpLshBucketExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rp_lsh_bucket requires an array<float> or array<double> argument, " +
+        s"got ${other.sql}")
+  }
+
+  private def fn: String = child.dataType match {
+    case ArrayType(DoubleType, _) => "bucketD"
+    case _ => "bucketF"
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    (if (fn == "bucketD") RpLsh.bucketD(v.asInstanceOf[ArrayData], nBits)
+     else RpLsh.bucketF(v.asInstanceOf[ArrayData], nBits)): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = graft.plans.RpLsh.$fn($v, $nBits);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RpLshBucketExpr =
+    copy(child = newChild)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends VecBinaryExpr {
+  override protected def floatFn: String = "cosine"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
-
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecOps.dot($a, $b)")
-
+    extends VecBinaryExpr {
+  override protected def floatFn: String = "dot"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
 }
 
 object VecExpressions {
-  /** Compiled cosine similarity between two array<float> columns. */
+  /** Compiled cosine similarity between two array<float|double> columns. */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(
       CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Compiled double-precision dot product of two array<float> columns. */
+  /** Compiled double-precision dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Compiled random-hyperplane LSH bucket id of an embedding column. */
+  def rpLshBucket(v: Column, nBits: Int): Column =
+    GraftBridge.column(RpLshBucketExpr(GraftBridge.expression(v), nBits))
 }

@@ -91,6 +91,21 @@ class DedupVecSpec extends AnyFunSuite {
     assert(drift.count() === 0)
   }
 
+  test("native rpLshBucket is bit-identical to the HOF specification") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (nBits <- Seq(2, 8, 16)) {
+      val drift = emb.select(
+        Vec.rpLshBucketHof(col("embedding"), nBits).as("hof"),
+        Vec.rpLshBucket(col("embedding"), nBits).as("native"))
+        .filter(col("hof") =!= col("native"))
+      assert(drift.count() === 0, s"nBits=$nBits")
+    }
+    // null element -> NULL bucket (native contract)
+    val n = Seq(Tuple1(Array[java.lang.Float](1.0f, null))).toDF("embedding")
+      .select(Vec.rpLshBucket(col("embedding"), 4).as("b")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("cosine: known geometry") {
     val v = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))

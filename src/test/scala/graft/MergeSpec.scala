@@ -41,6 +41,26 @@ class MergeSpec extends AnyFunSuite {
     assert(byId === Map(1L -> "loaded", 2L -> "new"))
   }
 
+  test("J1 failOnMultipleMatches raises inside the single returned plan") {
+    val t = Seq((1L, "new"), (2L, "new")).toDF("id", "status")
+    val multi = Seq((1L, "a"), (1L, "b")).toDF("id", "tag")
+    val out = Merge.whenMatchedUpdateOn(t, multi,
+      (a, b) => a("id") === b("id"),
+      Map("status" -> lit("loaded")),
+      failOnMultipleMatches = true)
+    val ex = intercept[Exception] { out.collect() }
+    assert(ex.getMessage.contains("more than once") ||
+      Option(ex.getCause).exists(_.getMessage.contains("more than once")))
+    // a unique source passes the guard and updates normally
+    val ok = Merge.whenMatchedUpdateOn(t,
+      Seq((1L, "x")).toDF("id", "tag"),
+      (a, b) => a("id") === b("id"),
+      Map("status" -> lit("loaded")),
+      failOnMultipleMatches = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ok === Map(1L -> "loaded", 2L -> "new"))
+  }
+
   test("J2 whenNotMatchedInsert: only unmatched keys appended") {
     val source = Seq((3L, "x", 99.0), (4L, "y", 40.0)).toDF("id", "status", "v")
     val out = Merge.whenNotMatchedInsert(target, source, Seq("id"))

@@ -105,5 +105,50 @@ class TopKExtensionsSpec extends AnyFunSuite {
       "SELECT dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
       .head().getDouble(0)
     assert(dp === 6.0)
+    val bk = spark.sql(
+      "SELECT rp_lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS b")
+      .head().getLong(0)
+    assert(bk >= 0 && bk < 16)
+  }
+
+  test("vec expressions type-check at analysis and handle double arrays") {
+    graft.plans.GraftFunctions.register(spark)
+    // array<double> computes correctly instead of reinterpreting bytes
+    val cd = spark.sql(
+      "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cd - 1.0) < 1e-12)
+    val dd = spark.sql("SELECT dot_product(array(2.0D), array(3.0D)) AS d")
+      .head().getDouble(0)
+    assert(dd === 6.0)
+    // mixed element types fail analysis, not silently mis-compute
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(1.0D))")
+        .collect()
+    }
+    // non-array input fails analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product('a', 'b')").collect()
+    }
+    // poly_hash on non-string fails analysis, not codegen/runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT poly_hash(42)").collect()
+    }
+  }
+
+  test("vec expressions null out null elements and zero-norm cosines") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c").head()
+    assert(r.isNullAt(0))
+    val z = spark.sql(
+      "SELECT cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c")
+      .head()
+    assert(z.isNullAt(0)) // zero-norm -> NULL, not NaN
+    val d = spark.sql(
+      "SELECT dot_product(array(CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS d")
+      .head()
+    assert(d.isNullAt(0))
   }
 }
