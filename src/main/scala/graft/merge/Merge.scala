@@ -111,11 +111,59 @@ object Merge {
     whenNotMatchedInsert(
       whenMatchedUpdate(target, source, keyCols, setCols), source, keyCols)
 
+  /** Partition-restricted rewrite: read ONLY the hive-style partitions of
+    * `path` whose `partitionCol` value is in `partValues`, apply `f`, and
+    * swap just those partition directories — untouched partitions' files
+    * are never read or rewritten. This is the stock-parquet analog of
+    * Delta MERGE's file-level rewrite: at 100 TB a status writeback that
+    * matches one day's keys rewrites one day's partitions, not the table.
+    *
+    * `partValues` are compared via a string cast (hive dir names are the
+    * string form); values must not contain characters that hive-escape
+    * differently (dates and integers are safe). A partition whose rewrite
+    * output is empty is removed, matching a whole-table rewrite's result.
+    */
+  def rewritePartitions(spark: SparkSession, path: String, partitionCol: String,
+      partValues: Seq[String])(f: DataFrame => DataFrame): Unit = {
+    if (partValues.isEmpty) return
+    val base = path.stripSuffix("/")
+    val tmp = base + "__rewrite_tmp"
+    // The isin predicate references only the partition column, so the file
+    // index prunes non-matching directories before any footer is read.
+    val sub = spark.read.parquet(path)
+      .filter(col(partitionCol).cast("string").isin(partValues: _*))
+    val out = f(sub)
+    val writer = out.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCol)
+    writer.save(tmp)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    partValues.foreach { v =>
+      val dir = s"$partitionCol=$v"
+      val live = new org.apache.hadoop.fs.Path(s"$base/$dir")
+      val fresh = new org.apache.hadoop.fs.Path(s"$tmp/$dir")
+      val aside = new org.apache.hadoop.fs.Path(s"$base/${dir}__rewrite_old")
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new java.io.IOException(s"rewritePartitions: cannot clear $aside")
+      if (fs.exists(live) && !fs.rename(live, aside))
+        throw new java.io.IOException(s"rewritePartitions: cannot move $live aside")
+      if (fs.exists(fresh) && !fs.rename(fresh, live)) {
+        fs.rename(aside, live) // best-effort rollback
+        throw new java.io.IOException(s"rewritePartitions: cannot install $fresh")
+      }
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new java.io.IOException(s"rewritePartitions: cannot remove $aside")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Path-backed merge: read the parquet table at `path`, apply `f`, and
     * overwrite it safely. The naive read→overwrite self-reference fails
     * (Spark deletes the input before the job reads it), so the new content
     * is materialized to a sibling temp dir first, then swapped in — the
     * closest stock-Spark analog of Delta's atomic commit (SURVEY.md §7.5).
+    * Prefer `rewritePartitions` when the touched partitions are known.
     */
   def rewriteTable(spark: SparkSession, path: String,
       partitionCol: Option[String] = None)(f: DataFrame => DataFrame): Unit = {

@@ -12,14 +12,26 @@ object Scale {
     * side gets a random salt in [0, saltFactor); the right side is
     * replicated once per salt value. Hot keys spread across saltFactor
     * reducers instead of melting one. Semantics identical to
-    * `left.join(right, keys)` (inner).
+    * `left.join(right, keys, joinType)`.
+    *
+    * Supported join types: inner, left/left_outer, left_semi, left_anti —
+    * every left row carries exactly one salt and meets a replica group
+    * containing the full right side, so null-extension (left) and
+    * membership (semi/anti) behave exactly as unsalted. Right/full outer
+    * are rejected: the replicated right side would emit each unmatched
+    * right row saltFactor times; salt the other input instead (swap sides).
     *
     * AQE's skew-join handles sort-merge skew automatically; salting is for
     * the cases AQE can't re-split (e.g. a single key larger than any split,
     * or aggregation-after-join pipelines where partial state matters).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val canonical = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(canonical),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType " +
+        "(for right/full outer, swap the inputs so the skewed side is left)")
     val spark = left.sparkSession
     val salted = left.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
@@ -27,7 +39,7 @@ object Scale {
       Seq("__salt" -> org.apache.spark.sql.types.IntegerType),
       (0 until saltFactor).map(i => Seq[Any](i))))
     val replicated = right.join(salts) // right × saltFactor
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
   /** Write a table bucketed (and optionally sorted) by join keys. Joins and

@@ -86,18 +86,33 @@ object MoviePipeline {
     upsertDimension(spark, transformLanguage(flat),
       s"$silverDir/language_silver", Seq("Id", "OriginalLanguage"))
 
-    // Materialize both merge sources BEFORE the first bronze rewrite: the
-    // lazy plans reference the bronze files being replaced underneath them.
-    val cleanKeys = clean.select(col("value")).distinct().localCheckpoint(true)
-    val quarKeys = quarantined.select(col("value")).distinct().localCheckpoint(true)
+    // One (value, status, p_ingestdate) source for BOTH statuses,
+    // materialized BEFORE the rewrite (the lazy plans reference the bronze
+    // files being replaced underneath them). The previous form ran one
+    // full-table rewrite per status — two complete bronze rewrites per
+    // batch, the clearest scale-killer at 100 TB; this runs exactly one
+    // rewrite restricted to the partitions that contain matched keys.
+    val statused = clean.select(col("value")).withColumn("status", lit("loaded"))
+      .unionByName(
+        quarantined.select(col("value")).withColumn("status", lit("quarantined")))
+      .distinct()
+    val keyed = withPartitions(bronzeNew, statused).localCheckpoint(true)
     val counts = (clean.count(), quarantined.count())
 
     // MERGE status writeback on the full struct key (operations.py:112-129).
-    updateBronzeStatus(spark, bronzePath, cleanKeys, "loaded")
-    updateBronzeStatus(spark, bronzePath, quarKeys, "quarantined")
+    updateBronzeStatuses(spark, bronzePath, keyed)
     flat.unpersist()
     counts
   }
+
+  /** Tag each (value, status) key with the bronze partitions it lives in, so
+    * the writeback can prune its rewrite to exactly those partitions. The
+    * key set is the small side — Catalyst broadcasts it against bronze.
+    */
+  private def withPartitions(bronze: DataFrame, statusedKeys: DataFrame): DataFrame =
+    bronze.select(col("value"), col("p_ingestdate"))
+      .join(statusedKeys, Seq("value"))
+      .distinct()
 
   /** Dimension upsert: append only the rows whose key is absent (J2 shape).
     * First batch creates the table.
@@ -117,22 +132,41 @@ object MoviePipeline {
     Medallion.batchWriter(fresh, path, "Id")
   }
 
-  /** J1 — mark bronze rows whose `value` struct matches a silver-side row
-    * with the given status (whenMatchedUpdate on struct equality).
+  /** J1 — mark bronze rows whose `value` struct matches a source key with
+    * that key's status (whenMatchedUpdate on struct equality), in ONE
+    * rewrite restricted to the partitions the keys live in.
+    *
+    * Expects `keyed`: (value, status, p_ingestdate), already-distinct per
+    * (value, p_ingestdate), already-materialized (localCheckpoint) — the
+    * caller owns materialization so the key set is built exactly once per
+    * stage and survives the underlying files being swapped.
     */
-  /** Expects `keys`: a single-`value`-column, already-distinct, already-
-    * materialized DataFrame (localCheckpoint) — the caller owns
-    * materialization so the key set is built exactly once per stage
-    * instead of per merge.
-    */
-  def updateBronzeStatus(spark: SparkSession, bronzePath: String,
-      keys: DataFrame, status: String): Unit =
-    Merge.rewriteTable(spark, bronzePath, Some("p_ingestdate")) { bronze =>
-      Merge.whenMatchedUpdateOn(bronze, keys,
+  def updateBronzeStatuses(spark: SparkSession, bronzePath: String,
+      keyed: DataFrame): Unit = {
+    val parts = keyed.select(col("p_ingestdate").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    // A value maps to exactly one status (the split is a partition of the
+    // rows), so the per-value source below is unique and cannot multiply
+    // target rows through the join.
+    val source = keyed.select(col("value"), col("status")).distinct()
+    Merge.rewritePartitions(spark, bronzePath, "p_ingestdate", parts) { bronze =>
+      Merge.whenMatchedUpdateOn(bronze, source,
         (t, s) => t("value") === s("value"),
-        Map("status" -> lit(status)),
+        Map("status" -> col("s.status")),
         dedupSource = false)
     }
+  }
+
+  /** Single-status convenience wrapper over `updateBronzeStatuses`: tags
+    * `keys` (a single-`value`-column DataFrame) with the partitions they
+    * occupy, then runs the one pruned rewrite.
+    */
+  def updateBronzeStatus(spark: SparkSession, bronzePath: String,
+      keys: DataFrame, status: String): Unit = {
+    val keyed = withPartitions(spark.read.parquet(bronzePath),
+      keys.withColumn("status", lit(status))).localCheckpoint(true)
+    updateBronzeStatuses(spark, bronzePath, keyed)
+  }
 
   /** Stage 3 — quarantine repair (main.py:50-59 + the Autoloader anti-join
     * guard, Silver_update.py:50-60).

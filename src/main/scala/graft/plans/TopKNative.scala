@@ -22,11 +22,17 @@ import org.apache.spark.sql.{DataFrame, GraftBridge}
   * Dataset/mapPartitions formulation in TopK.scala deserializes every row
   * twice).
   *
-  * Memory caveat: like a hash aggregate, the partial phase holds k rows
-  * per distinct key per open partition with NO spill path. That is the
-  * right trade for bounded k and any realistic key cardinality per
-  * partition (k × keys × rowSize); for adversarial cardinalities at tiny
-  * memory, prefer the window formulation, whose sort spills.
+  * Memory: the partial phase holds k rows per distinct key per open
+  * partition, bounded by a key budget
+  * (`spark.graft.topk.maxPartialKeys`, default 262144): when a partition
+  * holds more distinct keys than the budget, the open heaps are emitted
+  * and the phase restarts — emitting more than k rows per key across
+  * flushes is harmless because the final phase re-truncates after the
+  * shuffle, exactly like a partial aggregation falling back to
+  * pass-through. The FINAL phase (post-shuffle) still holds k rows per
+  * key in its partition with no spill, like a hash aggregate; for
+  * adversarial total key cardinality at tiny memory prefer the window
+  * formulation, whose sort spills.
   */
 object TopKNative {
 
@@ -91,9 +97,13 @@ case class TopKPerKeyNode(keys: Seq[Expression], ordering: Seq[SortOrder],
 }
 
 object TopKStrategy extends SparkStrategy {
+  val MaxPartialKeysConf = "spark.graft.topk.maxPartialKeys"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerKeyNode =>
-      val partial = TopKPartialExec(n.keys, n.ordering, n.k,
+      val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(MaxPartialKeysConf, "262144").toInt
+      val partial = TopKPartialExec(n.keys, n.ordering, n.k, maxKeys,
         planLater(n.child))
       TopKFinalExec(n.keys, n.ordering, n.k, n.rankAttr, partial) :: Nil
     case _ => Nil
@@ -128,15 +138,74 @@ private[plans] object TopKRuntime {
     }
     heaps.iterator
   }
+
+  /** Budgeted partial truncation: like `localTopK`, but the heap map never
+    * holds more than `maxKeys` heaps — on overflow the open heaps are
+    * emitted and truncation restarts with the overflowing row. A key seen
+    * in several flush rounds emits up to k rows per round; the final phase
+    * re-truncates, so the only cost of overflow is shuffle volume, never
+    * correctness or memory.
+    */
+  def partialTopK(it: Iterator[InternalRow], keys: Seq[Expression],
+      ordering: Seq[SortOrder], k: Int, maxKeys: Int,
+      input: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keys, input)
+    val bestFirst = GenerateOrdering.generate(ordering, input)
+    val heapOrd: Ordering[InternalRow] =
+      (a: InternalRow, b: InternalRow) => bestFirst.compare(a, b)
+
+    new Iterator[InternalRow] {
+      private var pending: InternalRow = null
+      private var batch: Iterator[InternalRow] = Iterator.empty
+
+      private def fill(): Unit = {
+        if (pending == null && !it.hasNext) return
+        val heaps =
+          mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+        def insert(row: InternalRow, preCopied: Boolean): Boolean = {
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(h) =>
+              if (h.size < k) h.enqueue(if (preCopied) row else row.copy())
+              else if (bestFirst.compare(row, h.head) < 0) {
+                h.dequeue(); h.enqueue(if (preCopied) row else row.copy())
+              }
+              true
+            case None if heaps.size < maxKeys =>
+              val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+              heaps.put(key.copy(), h)
+              h.enqueue(if (preCopied) row else row.copy())
+              true
+            case None => false // budget exhausted: flush this round
+          }
+        }
+        if (pending != null) { insert(pending, preCopied = true); pending = null }
+        var open = true
+        while (open && it.hasNext) {
+          val row = it.next()
+          if (!insert(row, preCopied = false)) { pending = row.copy(); open = false }
+        }
+        batch = heaps.valuesIterator.flatMap(_.iterator)
+      }
+
+      override def hasNext: Boolean = {
+        if (!batch.hasNext) fill()
+        batch.hasNext
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        batch.next()
+      }
+    }
+  }
 }
 
 case class TopKPartialExec(keys: Seq[Expression], ordering: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, maxKeys: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { it =>
-      TopKRuntime.localTopK(it, keys, ordering, k, child.output)
-        .flatMap(_._2.iterator)
+      TopKRuntime.partialTopK(it, keys, ordering, k, maxKeys, child.output)
     }
   override protected def withNewChildInternal(c: SparkPlan): TopKPartialExec =
     copy(child = c)

@@ -77,6 +77,39 @@ class MergeSpec extends AnyFunSuite {
       (3L, "loaded", 30.0), (5L, "new", 50.0)))
   }
 
+  test("rewritePartitions rewrites named partitions and never touches the rest") {
+    val dir = TestSpark.tmpDir("rewrite_parts")
+    val path = s"$dir/t"
+    Seq((1L, "new", "a"), (2L, "new", "b"), (3L, "new", "b"))
+      .toDF("id", "status", "p")
+      .write.partitionBy("p").parquet(path)
+
+    // fingerprint partition b's files (name -> (length, mtime))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fingerprint(sub: String): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    val untouchedBefore = fingerprint("p=b")
+
+    Merge.rewritePartitions(spark, path, "p", Seq("a")) { df =>
+      df.withColumn("status", lit("done"))
+    }
+    assert(fingerprint("p=b") === untouchedBefore) // byte-for-byte untouched
+    val back = spark.read.parquet(path)
+    assert(back.filter($"p" === "a" && $"status" === "done").count() === 1)
+    assert(back.filter($"p" === "b" && $"status" === "new").count() === 2)
+
+    // a partition whose rewrite output is empty is removed
+    Merge.rewritePartitions(spark, path, "p", Seq("a")) { df =>
+      df.filter(lit(false))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/p=a")))
+    assert(spark.read.parquet(path).count() === 2)
+    assert(fingerprint("p=b") === untouchedBefore)
+  }
+
   test("rewriteTable swaps content atomically-ish and preserves partitioning") {
     val dir = TestSpark.tmpDir("rewrite")
     val path = s"$dir/t"

@@ -22,6 +22,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("saltedJoin left/semi/anti variants match their plain joins on a skewed key") {
+    // key 1 is the hot key; key 9 has no right-side match
+    val left = (Seq.fill(50)((1L, "hot")) ++ Seq((2L, "d"), (9L, "z")))
+      .toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
+    for (jt <- Seq("left", "left_semi", "left_anti")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .collect().map(_.toString).sorted.toSeq
+      val salted = Scale.saltedJoin(left, right, Seq("k"), 4, jt)
+        .collect().map(_.toString).sorted.toSeq
+      assert(salted === plain, s"joinType=$jt")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(left, right, Seq("k"), 4, "full_outer")
+    }
+  }
+
   test("bucketed tables join and aggregate without a shuffle exchange") {
     val wh = TestSpark.tmpDir("warehouse")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -88,6 +88,27 @@ class TopKExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("partial key budget: adversarial cardinality at a tiny budget stays exact") {
+    // ~1000 distinct custkeys per partition vs a budget of 4 forces
+    // hundreds of flush rounds; the final phase must still produce the
+    // exact window-formulation answer.
+    spark.conf.set(graft.plans.TopKStrategy.MaxPartialKeysConf, "4")
+    try {
+      val o = Tables.orders(spark, "/root/testdata/sf0.001").coalesce(2)
+      val expected = graft.plans.TopK.topKPerKey(o, Seq("o_custkey"),
+          "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank").cast("long"))
+        .collect().map(_.toString).sorted.toSeq
+      val got = graft.plans.TopKNative.topKPerKey(o, Seq("o_custkey"),
+          "o_totalprice", "o_orderkey", k = 3, descending = true)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === expected)
+    } finally {
+      spark.conf.unset(graft.plans.TopKStrategy.MaxPartialKeysConf)
+    }
+  }
+
   test("GraftFunctions registers the native expressions for SQL use") {
     graft.plans.GraftFunctions.register(spark)
     val h = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
