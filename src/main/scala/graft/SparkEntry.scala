@@ -246,6 +246,40 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // Window analytics beyond ranking: lag/lead offsets, ntile buckets,
+    // cumulative distribution — one partitioned sort, no extra shuffles.
+    "q_window_funcs" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Running total per key (ROWS UNBOUNDED PRECEDING frame); decimal
+    // accumulation for cross-engine exactness, surfaced as double.
+    "q_running_sum" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Set intersection (the one set op q_except/q_union_tagged don't cover).
+    "q_intersect" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    },
+
     // Sketch aggregates: HyperLogLog++ distinct count and approximate
     // quantiles — the constant-memory cardinality/quantile path for 100 TB
     // (exact countDistinct shuffles every distinct value; these don't).
@@ -421,6 +455,44 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2), "doc_id")
         .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Banded range join: |purchase.value - signup.value| <= 0.05, planned
+    // as a bucket-blocked equi-join (one shuffle per side) instead of the
+    // quadratic nested loop Spark gives a raw inequality join.
+    "q_band_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("value").as("p_val"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("value").as("s_val"))
+      graft.ops.RangeJoin.bandJoin(p, sg, "p_val", "s_val", band = 0.05)
+        .select(col("p_id"), col("s_id"), col("p_val"), col("s_val"))
+        .orderBy(col("p_id"), col("s_id"))
+    },
+
+    // Point-in-interval join via interval bucketing: each order's price
+    // against [price, price+1000] intervals of a key subset.
+    "q_interval_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val iv = o.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey").as("iv_id"), col("o_totalprice").as("lo"),
+          (col("o_totalprice") + 1000.0).as("hi"))
+      val pts = o.select(col("o_orderkey").as("pt_id"),
+        col("o_totalprice").as("pt"))
+      graft.ops.RangeJoin.intervalJoin(pts, iv, "pt", "lo", "hi",
+          bucketWidth = 1000.0)
+        .select(col("pt_id"), col("iv_id"), col("pt"), col("lo"))
+        .orderBy(col("pt_id"), col("iv_id"))
+    },
+
+    // Token dictionary: distinct vocabulary numbered by lexicographic rank
+    // (range-partitioned sort + zipWithIndex — row_number semantics without
+    // the single-partition window bottleneck).
+    "q_token_dict" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      graft.functions.Dedup.tokenDict(toks).orderBy(col("tok"))
     },
 
     // SimHash 16-bit fingerprints (token occurrences, polynomial-hash ids;
@@ -764,6 +836,30 @@ object SparkEntry {
       """SELECT l_returnflag, median(l_quantity) AS med_qty, COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(cume_dist() OVER w, 6) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS run_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+         INTERSECT
+         SELECT o_custkey AS k FROM orders
+         ORDER BY k""",
+
     "q_array_stats" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
            list_min(embedding) AS min_c, list_max(embedding) AS max_c
@@ -880,6 +976,29 @@ object SparkEntry {
           FROM capped a JOIN capped b USING (band, band_val)
           WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""
     },
+
+    "q_token_dict" ->
+      s"""WITH toks AS (SELECT DISTINCT unnest(${duckToks("text")}) AS tok
+            FROM documents)
+          SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+          FROM toks ORDER BY tok""",
+
+    "q_band_join" ->
+      """SELECT a.event_id AS p_id, b.event_id AS s_id,
+           a."value" AS p_val, b."value" AS s_val
+         FROM events a JOIN events b
+           ON a.event_type = 'purchase' AND b.event_type = 'signup'
+          AND abs(a."value" - b."value") <= 0.05
+         ORDER BY p_id, s_id""",
+
+    "q_interval_join" ->
+      """WITH iv AS (SELECT o_orderkey AS iv_id, o_totalprice AS lo,
+             o_totalprice + 1000.0 AS hi
+           FROM orders WHERE o_orderkey < 1000)
+         SELECT p.o_orderkey AS pt_id, iv.iv_id, p.o_totalprice AS pt, iv.lo
+         FROM orders p JOIN iv
+           ON p.o_totalprice >= iv.lo AND p.o_totalprice <= iv.hi
+         ORDER BY pt_id, iv_id""",
 
     "q_simhash" -> {
       val bits = (0 until 16).map(k => s"($k, ${1L << k})").mkString(", ")
