@@ -43,4 +43,33 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_token_count")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("range join: type filters push to the scans, join is not a nested loop") {
+    val p = plan("q_band_join")
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(event_type,signup)"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val p2 = plan("q_interval_join")
+    assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
+  test("IVF probe: corpus candidates join by cell equi-join, not all-pairs") {
+    val p = plan("q_ivf_topk")
+    // The query-vs-CORPUS join (the big side) must be an equi-join on the
+    // cell. The tiny query×centroid scoring cross-join IS a broadcast
+    // nested loop by design — nProbe cells × a handful of queries.
+    assert(p.contains("BroadcastHashJoin [cell") ||
+      p.contains("SortMergeJoin [cell") ||
+      p.contains("ShuffledHashJoin [cell"), p)
+  }
+
+  test("LSH near-dup: bucket equi-join, no all-pairs nested loop") {
+    val p = plan("q_embed_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the native bucketing expression, not nBits interpreted HOF passes
+    assert(p.toLowerCase.contains("rplshbucket"), p)
+  }
 }
