@@ -45,6 +45,43 @@ object ScaleProbe {
       println(f"""{"probe":"minhash_lsh","mult":$mult,"docs":${nBase * mult},"pairs":$pairs,"sec":$sec%.2f}""")
     }
 
+    // Band-join probe: purchases × signups within a value band, with each
+    // replica shifted to a disjoint value range so the true pair count
+    // (and thus honest output cost) grows linearly with the corpus — any
+    // superlinear wall-clock growth would expose quadratic candidate
+    // generation in the bucket blocking.
+    val ev = Tables.events(spark, sfDir)
+    for (mult <- Seq(1, 4, 16)) {
+      val reps = spark.range(mult).select(col("id").as("rep"))
+      val scaled = ev.crossJoin(reps)
+        .select((col("event_id") * mult + col("rep")).as("eid"),
+          col("event_type"),
+          (col("value") + col("rep") * lit(10000.0)).as("v"))
+      val p = scaled.filter(col("event_type") === "purchase")
+        .select(col("eid").as("p_id"), col("v").as("p_val"))
+      val sg = scaled.filter(col("event_type") === "signup")
+        .select(col("eid").as("s_id"), col("v").as("s_val"))
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.RangeJoin.bandJoin(p, sg, "p_val", "s_val", 0.05)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"band_join","mult":$mult,"pairs":$pairs,"sec":$sec%.2f}""")
+    }
+
+    // Native vs HOF LSH bucketing: one compiled loop against nBits
+    // interpreted zip_with/aggregate passes, on a 64x-replicated corpus.
+    val emb = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(64).select(col("id").as("rep")))
+      .select(col("vec_id"), col("embedding"))
+    for ((tag, bucket) <- Seq(
+        "native" -> graft.functions.Vec.rpLshBucket(col("embedding"), 16),
+        "hof" -> graft.functions.Vec.rpLshBucketHof(col("embedding"), 16))) {
+      val t0 = System.nanoTime()
+      emb.select(bucket.as("b")).selectExpr("sum(b)").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"rp_lsh_bucket","variant":"$tag","sec":$sec%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot
