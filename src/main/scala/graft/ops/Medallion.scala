@@ -20,6 +20,35 @@ object Medallion {
   def readRawJson(spark: SparkSession, path: String): DataFrame =
     spark.read.format("json").option("multiline", "true").load(path)
 
+  /** S1 with corrupt-input quarantine: PERMISSIVE multiline-JSON read that
+    * routes unparseable documents to a `_corrupt_record` side output
+    * instead of failing the batch (FAILFAST) or silently dropping them
+    * (DROPMALFORMED) — the bronze-layer contract is that EVERY raw input
+    * lands somewhere. Returns (valid, corrupt); `corrupt` carries the raw
+    * text of each malformed document for a quarantine sink.
+    *
+    * The input is cached before splitting: Spark disallows queries that
+    * reference only the internal corrupt-record column on a direct
+    * file-source relation, and the cache also keeps the two sibling
+    * branches from re-reading (and re-parsing) the raw files.
+    */
+  def readRawJsonSafe(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val df = spark.read.format("json")
+      .option("multiline", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .load(path)
+      .cache()
+    if (df.columns.contains("_corrupt_record")) {
+      val corrupt = df.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record"))
+      val valid = df.filter(col("_corrupt_record").isNull)
+        .drop("_corrupt_record")
+      (valid, corrupt)
+    } else (df, spark.emptyDataFrame)
+  }
+
   /** S3 — schema probe: infer a schema from a batch read so a streaming
     * source (which requires an explicit schema) can reuse it
     * (Autoloader_notebook/Raw_to_Bronze.py:21-23).

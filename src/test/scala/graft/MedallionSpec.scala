@@ -24,6 +24,28 @@ class MedallionSpec extends AnyFunSuite {
     assert(bronze.count() === 4)
   }
 
+  test("S1 safe read: corrupt documents quarantine instead of failing or vanishing") {
+    val dir = TestSpark.tmpDir("raw_corrupt")
+    val good = new java.io.File(s"$dir/good.json")
+    val bad = new java.io.File(s"$dir/bad.json")
+    java.nio.file.Files.writeString(good.toPath,
+      """{"movie": [{"Id": 1, "Title": "ok"}, {"Id": 2, "Title": "also ok"}]}""")
+    java.nio.file.Files.writeString(bad.toPath,
+      """{"movie": [{"Id": 3, "Title": "truncated...""")
+    val (valid, corrupt) = Medallion.readRawJsonSafe(spark, dir)
+    assert(Medallion.explodeRecords(valid, "movie").count() === 2)
+    assert(corrupt.count() === 1)
+    assert(corrupt.head().getString(0).contains("truncated"))
+    // an all-valid directory yields an empty corrupt side
+    val cleanDir = TestSpark.tmpDir("raw_clean")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$cleanDir/good.json").toPath,
+      """{"movie": [{"Id": 1, "Title": "ok"}]}""")
+    val (v2, c2) = Medallion.readRawJsonSafe(spark, cleanDir)
+    assert(v2.count() === 1)
+    assert(c2.isEmpty)
+  }
+
   test("P1: bronze envelope carries metadata and status=new") {
     val row = bronze.select("datasource", "status").distinct().collect()
     assert(row.length === 1)

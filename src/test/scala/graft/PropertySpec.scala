@@ -88,4 +88,45 @@ class PropertySpec extends AnyFunSuite {
       assert(once.collect().toSet === twice.collect().toSet)
     }
   }
+
+  val valsGen: Gen[List[(Long, Double)]] = Gen.listOfN(30,
+    for {
+      id <- Gen.choose(0L, 1000L)
+      // grid-ish values make exact band-boundary collisions likely,
+      // exercising the inclusive-edge and bucket-boundary paths
+      x <- Gen.choose(-40, 40).map(_ * 0.25)
+    } yield (id, x))
+
+  test("property: bandJoin equals the naive inequality join") {
+    import spark.implicits._
+    forAll(valsGen, valsGen) { (l, r) =>
+      val left = l.toDF("lid", "lx").dropDuplicates("lid")
+      val right = r.toDF("rid", "rx").dropDuplicates("rid")
+      val naive = left.join(right, abs(col("lx") - col("rx")) <= 0.5)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      val banded = graft.ops.RangeJoin.bandJoin(left, right, "lx", "rx", 0.5)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(banded.sorted.toSeq === naive.sorted.toSeq) // incl. multiplicity
+    }
+  }
+
+  test("property: intervalJoin equals the naive between join") {
+    import spark.implicits._
+    val ivGen: Gen[List[(Long, Double, Double)]] = Gen.listOfN(20,
+      for {
+        id <- Gen.choose(0L, 1000L)
+        lo <- Gen.choose(-40, 40).map(_ * 0.25)
+        span <- Gen.choose(0, 12).map(_ * 0.25)
+      } yield (id, lo, lo + span))
+    forAll(valsGen, ivGen) { (p, iv) =>
+      val pts = p.toDF("pid", "px").dropDuplicates("pid")
+      val ivs = iv.toDF("ivid", "lo", "hi").dropDuplicates("ivid")
+      val naive = pts.join(ivs, col("px") >= col("lo") && col("px") <= col("hi"))
+        .select("pid", "ivid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      val bucketed = graft.ops.RangeJoin
+        .intervalJoin(pts, ivs, "px", "lo", "hi", 1.0)
+        .select("pid", "ivid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(bucketed.sorted.toSeq === naive.sorted.toSeq)
+    }
+  }
 }
