@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.merge.Merge
+
+/** Table-maintenance operations for parquet-backed medallion tables.
+  *
+  * Streaming sinks and frequent small batches leave partitions littered
+  * with small files; at scale the file-listing and per-file open cost
+  * dominates scans long before data volume does. Compaction rewrites a
+  * partition's many small files into few right-sized ones — the stock-
+  * parquet analog of Delta OPTIMIZE, built on the same crash-safe
+  * partition-directory swap as the MERGE writeback
+  * (`Merge.rewritePartitions`).
+  */
+object Maintenance {
+
+  /** Number of data files currently backing each hive partition of `path`
+    * (partition dir name → file count); the signal for choosing what to
+    * compact.
+    */
+  def partitionFileCounts(spark: SparkSession, path: String)
+      : Map[String, Int] = {
+    val base = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { dir =>
+        val n = fs.listStatus(dir.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        dir.getPath.getName -> n
+      }.toMap
+  }
+
+  /** Compact the given partitions (hive `col=value` string values) of the
+    * table at `path` so each holds ~`targetBytes` per output file,
+    * estimated from the partition's current on-disk size. Untouched
+    * partitions' files are never read or rewritten; readers see either
+    * the old or the new files of a partition, never a mix of halves.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitionCol: String, partValues: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    if (partValues.isEmpty) return
+    val base = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytesByPart = partValues.map { v =>
+      val dir = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$v")
+      val bytes =
+        if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
+      v -> bytes
+    }.toMap
+    Merge.rewritePartitions(spark, path, partitionCol, partValues) { df =>
+      // All requested partitions flow through one plan, so the per-
+      // partition file count is sized for the LARGEST of them (smaller
+      // ones get fewer-but-larger files — the desired direction). Rows
+      // route to (partition, bucket) via a deterministic whole-row hash:
+      // the writer emits one file per (task, hive-partition) pair, so
+      // each partition splits into ~filesPer files, and task retries
+      // re-derive identical buckets (a rand() key could not guarantee
+      // that).
+      val maxBytes = bytesByPart.values.max
+      val filesPer = math.max(1L, (maxBytes + targetBytes - 1) / targetBytes).toInt
+      val allCols = df.columns.map(col)
+      df.withColumn("__bucket", pmod(xxhash64(allCols: _*), lit(filesPer)))
+        .repartition(filesPer * partValues.size,
+          col(partitionCol), col("__bucket"))
+        .drop("__bucket")
+    }
+  }
+
+  /** Compact every partition whose file count exceeds `maxFiles`. Returns
+    * the partition values that were compacted.
+    */
+  def compactSmallFilePartitions(spark: SparkSession, path: String,
+      partitionCol: String, maxFiles: Int,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val prefix = s"$partitionCol="
+    val oversplit = partitionFileCounts(spark, path)
+      .collect { case (dir, n) if dir.startsWith(prefix) && n > maxFiles =>
+        dir.stripPrefix(prefix)
+      }.toSeq.sorted
+    compactPartitions(spark, path, partitionCol, oversplit, targetBytes)
+    oversplit
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.Dedup
+
+/** Incremental near-dedup for a streaming document ingest: every
+  * microbatch is deduplicated against BOTH itself and everything already
+  * accepted, using a persistent MinHash band index.
+  *
+  * State design for 100 TB: the index is a parquet table of
+  * (doc_id, band, band_val) — bands per doc, not text — so lookup is an
+  * equi-join on (band, band_val) against a table that grows linearly with
+  * the accepted corpus and lives on storage, not in executor or streaming
+  * state memory. A restart needs no state rebuild (exactly-once appends
+  * come from the checkpointed foreachBatch). At cluster scale the index
+  * would be bucketed by (band, band_val) so the per-batch probe join
+  * reads co-located buckets; bands of one batch are tiny relative to the
+  * index, so Catalyst broadcasts the batch side.
+  *
+  * Near-dup decision is LSH-level (shares >= 1 band bucket) — the same
+  * candidate definition as `Dedup.lshCandidatePairs`; callers needing
+  * exact-verified dedup re-check candidates against a text store before
+  * dropping (see `pipeline.CorpusPipeline.nearDedup` for the composition).
+  */
+object IncrementalDedup {
+
+  /** One deduplication step (usable from foreachBatch or as a batch
+    * backfill): returns the accepted (non-duplicate) rows of `batch` and
+    * appends their bands to the index at `indexPath`.
+    *
+    * In-batch duplicates resolve to the smallest id in each band bucket;
+    * cross-batch duplicates are any docs whose bucket already exists in
+    * the index.
+    *
+    * Pass `batchId` (foreachBatch provides it) to make the index write
+    * IDEMPOTENT: bands land in a `__batch=<id>` partition via dynamic
+    * partition overwrite, so a replayed batch overwrites its own partition
+    * instead of double-appending — and, crucially, a batch CANNOT
+    * self-collide: the probe below excludes the batch's own partition,
+    * so a replay after a crash between the index write and the sink write
+    * still accepts the same rows instead of dropping them against their
+    * own half-written bands.
+    */
+  def step(batch: DataFrame, indexPath: String, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2, batchId: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatureHashed(batch, idCol, textCol, shingleSize,
+        numHashes),
+      idCol, rowsPerBand)
+      .localCheckpoint(true) // consumed 3x below; plan is 2 shuffles deep
+
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexExists = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+
+    // cross-batch hits: any band bucket already present in the index —
+    // excluding this batch's own partition, so a crash-replay that
+    // already wrote its bands does not drop its own rows.
+    val vsIndex =
+      if (!indexExists) bands.limit(0).select(col(idCol))
+      else {
+        val idx = spark.read.parquet(indexPath)
+        // a backfilled (batch-mode) index has no __batch partition column
+        val prior = batchId match {
+          case Some(b) if idx.columns.contains("__batch") =>
+            idx.filter(col("__batch") =!= b)
+          case _ => idx
+        }
+        bands.join(prior, Seq("band", "band_val"), "left_semi")
+          .select(col(idCol))
+      }
+    // in-batch hits: keep the smallest id per shared bucket, drop the rest
+    val inBatch = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") > col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(idCol))
+    val dupIds = vsIndex.union(inBatch).distinct().localCheckpoint(true)
+
+    val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // materialize before the index append below
+    val newBands = bands.join(dupIds, Seq(idCol), "left_anti")
+    batchId match {
+      case Some(b) =>
+        newBands.withColumn("__batch", lit(b))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(indexPath)
+      case None =>
+        newBands.write.mode("append").parquet(indexPath)
+    }
+    accepted
+  }
+
+  /** Streaming wrapper: accepted docs land at `acceptedPath`, bands at
+    * `indexPath`, both written into `__batch=<id>` partitions with dynamic
+    * partition overwrite so a replayed microbatch overwrites its own
+    * output — exactly-once end to end on top of the checkpointed
+    * foreachBatch.
+    */
+  def stream(docs: DataFrame, indexPath: String, acceptedPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(batch, indexPath, batchId = Some(batchId))
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(acceptedPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.IncrementalDedup
+
+/** Incremental near-dedup against a persistent band index: in-batch and
+  * cross-batch duplicates drop, distinct docs pass, restarts are
+  * exactly-once.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep dark forest while the moon rises slowly over the hills"
+  val other = "completely different content about spark query engines and " +
+    "distributed columnar execution with whole stage code generation"
+  val third = "a third corpus document concerning streaming watermarks " +
+    "state stores checkpoints and exactly once sinks in modern pipelines"
+
+  test("step: drops in-batch and cross-batch near-dups, accepts distinct docs") {
+    val root = TestSpark.tmpDir("inc_dedup")
+    val indexPath = s"$root/index"
+
+    // batch 1: base, a near-dup of base, and one distinct doc
+    val b1 = Seq((1L, base), (2L, base.replace("lazy", "sleepy")),
+      (3L, other)).toDF("doc_id", "text")
+    val a1 = IncrementalDedup.step(b1, indexPath)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1 === Array(1L, 3L)) // 2 dropped against 1 within the batch
+
+    // batch 2: another near-dup of base (cross-batch) + a new distinct doc
+    val b2 = Seq((4L, base.replace("moon", "sun")), (5L, third))
+      .toDF("doc_id", "text")
+    val a2 = IncrementalDedup.step(b2, indexPath)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a2 === Array(5L)) // 4 hits 1's buckets in the index
+
+    // the index holds bands only for accepted docs
+    val indexed = spark.read.parquet(indexPath)
+      .select("doc_id").distinct().as[Long].collect().sorted
+    assert(indexed === Array(1L, 3L, 5L))
+  }
+
+  test("step replay with the same batchId is idempotent and never self-collides") {
+    val root = TestSpark.tmpDir("inc_dedup_replay")
+    val indexPath = s"$root/index"
+    val b1 = Seq((1L, base), (3L, other)).toDF("doc_id", "text")
+    val first = IncrementalDedup.step(b1, indexPath, batchId = Some(0L))
+      .select("doc_id").as[Long].collect().sorted
+    assert(first === Array(1L, 3L))
+    // crash-replay: the bands are already in the index under __batch=0,
+    // but the probe excludes the batch's own partition, so the same rows
+    // are accepted again (not dropped), and the index does not double up.
+    val replay = IncrementalDedup.step(b1, indexPath, batchId = Some(0L))
+      .select("doc_id").as[Long].collect().sorted
+    assert(replay === Array(1L, 3L))
+    val idx = spark.read.parquet(indexPath)
+    assert(idx.count() === idx.distinct().count())
+    // a later batch still dedups against batch 0's bands
+    val next = IncrementalDedup.step(
+      Seq((7L, base.replace("moon", "sun"))).toDF("doc_id", "text"),
+      indexPath, batchId = Some(1L))
+    assert(next.isEmpty)
+  }
+
+  test("stream: exactly-once across restarts, accepted corpus stays dedup'd") {
+    val root = TestSpark.tmpDir("inc_dedup_stream")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    Seq((1L, base), (2L, base.replace("lazy", "sleepy")), (3L, other))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    def run(): Unit = IncrementalDedup.stream(
+      spark.readStream.schema(schema).parquet(in),
+      s"$root/index", s"$root/accepted", s"$root/cp").awaitTermination()
+    run()
+    val got1 = spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got1 === Array(1L, 3L))
+
+    // restart with no new input: nothing reprocessed or duplicated
+    run()
+    assert(spark.read.parquet(s"$root/accepted").count() === 2)
+
+    // new file: near-dup of an indexed doc drops, fresh doc lands
+    Seq((4L, base.replace("moon", "sun")), (5L, third))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    val got3 = spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got3 === Array(1L, 3L, 5L))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Maintenance
+
+/** Small-file compaction: fewer files, identical data, untouched
+  * partitions left byte-for-byte alone.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fileCount(path: String, sub: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+  }
+
+  test("compactSmallFilePartitions merges oversplit partitions only") {
+    val dir = TestSpark.tmpDir("compact")
+    val path = s"$dir/t"
+    // partition a: 8 tiny files; partition b: 1 file
+    (1 to 64).map(i => (i.toLong, s"row$i", "a")).toDF("id", "v", "p")
+      .repartition(8).write.partitionBy("p").parquet(path)
+    Seq((1000L, "x", "b")).toDF("id", "v", "p")
+      .write.mode("append").partitionBy("p").parquet(path)
+    assert(Maintenance.partitionFileCounts(spark, path)("p=a") === 8)
+    val before = spark.read.parquet(path).collect().toSet
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bBefore = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/p=b"))
+      .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime))
+      .toMap
+
+    val compacted = Maintenance.compactSmallFilePartitions(
+      spark, path, "p", maxFiles = 4)
+    assert(compacted === Seq("a"))
+    assert(fileCount(path, "p=a") === 1) // tiny partition -> one file
+    assert(spark.read.parquet(path).collect().toSet === before)
+    // partition b untouched, byte-for-byte
+    val bAfter = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/p=b"))
+      .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime))
+      .toMap
+    assert(bAfter === bBefore)
+    // second pass: nothing left to compact
+    assert(Maintenance.compactSmallFilePartitions(
+      spark, path, "p", maxFiles = 4).isEmpty)
+  }
+
+  test("compactPartitions splits a large partition into ~targetBytes files") {
+    val dir = TestSpark.tmpDir("compact_split")
+    val path = s"$dir/t"
+    (1 to 20000).map(i => (i.toLong, s"payload_$i" * 20, "a"))
+      .toDF("id", "v", "p")
+      .repartition(16).write.partitionBy("p").parquet(path)
+    val totalBytes = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$path/p=a")).getLength
+    }
+    val before = spark.read.parquet(path).count()
+    // target a quarter of the partition -> ~4 output files
+    Maintenance.compactPartitions(spark, path, "p", Seq("a"),
+      targetBytes = totalBytes / 4)
+    val n = fileCount(path, "p=a")
+    assert(n >= 3 && n <= 6, s"files=$n")
+    assert(spark.read.parquet(path).count() === before)
+  }
+}
