@@ -486,6 +486,29 @@ object SparkEntry {
         .orderBy(col("pt_id"), col("iv_id"))
     },
 
+    // BPE-ish regex pre-tokenization: letter runs, digit runs, single
+    // punctuation — count + joined head as the cross-engine fingerprint.
+    "q_regex_tokens" -> { (s, d) =>
+      val rt = Text.regexTokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(rt).cast("long").as("n_rtokens"),
+          concat_ws("|", slice(rt, 1, 5)).as("head_toks"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal frame sampling: every 2nd frame of each document's
+    // payload (text bytes through the stub codec — the slicing arithmetic
+    // and row-per-frame plumbing are the real, oracle-checked part).
+    "q_frame_sample" -> { (s, d) =>
+      val media = graft.multimodal.Media.fromText(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.multimodal.Media.sampleFrames(media, every = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // Token dictionary: distinct vocabulary numbered by lexicographic rank
     // (range-partitioned sort + zipWithIndex — row_number semantics without
     // the single-partition window bottleneck).
@@ -982,6 +1005,32 @@ object SparkEntry {
             FROM documents)
           SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
           FROM toks ORDER BY tok""",
+
+    "q_regex_tokens" ->
+      """WITH rt AS (SELECT doc_id,
+           regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS toks
+         FROM documents)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_rtokens,
+           array_to_string(toks[1:5], '|') AS head_toks
+         FROM rt ORDER BY doc_id""",
+
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS len,
+             octet_length(encode(text)) % 16 + 1 AS nf
+           FROM documents),
+         f AS (SELECT media_id, len, nf,
+             greatest(1, len // nf) AS fl FROM m),
+         k AS (SELECT media_id, len, fl,
+             unnest(range(0, nf, 2)) AS kk FROM f),
+         s AS (SELECT media_id, kk,
+             CAST(row_number() OVER (PARTITION BY media_id ORDER BY kk) - 1
+               AS BIGINT) AS frame_idx,
+             CAST(greatest(0, least((kk + 1) * fl, len) - least(kk * fl, len))
+               AS BIGINT) AS frame_bytes
+           FROM k)
+         SELECT media_id, frame_idx, frame_bytes FROM s
+         ORDER BY media_id, frame_idx""",
 
     "q_band_join" ->
       """SELECT a.event_id AS p_id, b.event_id AS s_id,

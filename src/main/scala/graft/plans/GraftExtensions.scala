@@ -67,10 +67,22 @@ object GraftFunctions {
     }
 }
 
+/** Config-only integration: a session created with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` gets the SQL
+  * functions, the TopK planning strategy, AND the window-rank rewrite —
+  * no Scala calls needed. The rewrite is injected as a pre-CBO rule: it
+  * runs after the operator-optimization fixed point (so the Filter sits
+  * directly on its Window, projects collapsed) and rewrites at most once
+  * (the matched pattern disappears). `TopKNative.enable` remains the
+  * imperative equivalent for an already-running session.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, clazz, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz.getCanonicalName, name), builder))
     }
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPreCBORule(_ => TopKRewrite)
+  }
 }

@@ -21,6 +21,14 @@ object GraftBridge {
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The session's extensions object — mutable; additions take effect in
+    * sessions whose SessionState is built afterwards (e.g. `newSession()`),
+    * which is how the test suite exercises config-style injection without
+    * tearing down the shared session.
+    */
+  def extensions(spark: SparkSession): SparkSessionExtensions =
+    spark.asInstanceOf[classic.SparkSession].extensions
+
   /** Register a function into a LIVE session's registry (builder-time
     * `withExtensions` only applies to sessions created after it).
     */

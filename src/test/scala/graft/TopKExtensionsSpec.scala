@@ -132,6 +132,35 @@ class TopKExtensionsSpec extends AnyFunSuite {
     assert(bk >= 0 && bk < 16)
   }
 
+  test("GraftExtensions wires functions, strategy, and rewrite into a new session") {
+    import org.apache.spark.sql.GraftBridge
+    new graft.plans.GraftExtensions().apply(GraftBridge.extensions(spark))
+    // a session whose SessionState builds AFTER injection sees everything
+    val s2 = spark.newSession()
+    val h = s2.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
+    assert(h === graft.plans.PolyHash.eval("abc"))
+    s2.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("o")
+    val df = s2.sql(
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM o) WHERE rn <= 3""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKFinal"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    // results identical to the window formulation on the base session
+    val expected = graft.plans.TopK.topKPerKey(
+        Tables.orders(spark, "/root/testdata/sf0.001"), Seq("o_custkey"),
+        "o_totalprice", "o_orderkey", 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank").cast("int"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = df.select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expected)
+  }
+
   test("vec expressions type-check at analysis and handle double arrays") {
     graft.plans.GraftFunctions.register(spark)
     // array<double> computes correctly instead of reinterpreting bytes
