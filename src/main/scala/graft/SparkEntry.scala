@@ -1018,7 +1018,8 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id AS media_id,
              octet_length(encode(text)) AS len,
              octet_length(encode(text)) % 16 + 1 AS nf
-           FROM documents),
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
          f AS (SELECT media_id, len, nf,
              greatest(1, len // nf) AS fl FROM m),
          k AS (SELECT media_id, len, fl,
@@ -1155,7 +1156,7 @@ object SparkEntry {
               FROM embeddings)),
           cent AS (
             SELECT cell, dim,
-              CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS m
+              CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
             FROM ex GROUP BY cell, dim),
           cl AS (
             SELECT cell, list(CAST(m AS REAL) ORDER BY dim) AS centroid

@@ -174,7 +174,9 @@ object Vec {
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
-        count(lit(1))).as("m"))
+        count(col("x"))).as("m")) // count(x), not count(*): sum skips null
+                                  // elements, so the divisor must too, or
+                                  // the "mean" silently biases toward zero
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell"),

@@ -118,10 +118,12 @@ object Merge {
     * Delta MERGE's file-level rewrite: at 100 TB a status writeback that
     * matches one day's keys rewrites one day's partitions, not the table.
     *
-    * `partValues` are compared via a string cast (hive dir names are the
-    * string form); values must not contain characters that hive-escape
-    * differently (dates and integers are safe). A partition whose rewrite
-    * output is empty is removed, matching a whole-table rewrite's result.
+    * `partValues` are compared via a string cast of the inferred partition
+    * column. When type inference renders a value differently from its
+    * directory name (e.g. a zero-padded string directory inferred as int),
+    * the rewrite ABORTS with an error rather than mistaking the mismatch
+    * for an empty partition. A partition whose rewrite output is genuinely
+    * empty is removed, matching a whole-table rewrite's result.
     */
   def rewritePartitions(spark: SparkSession, path: String, partitionCol: String,
       partValues: Seq[String])(f: DataFrame => DataFrame): Unit = {
@@ -132,29 +134,55 @@ object Merge {
     // index prunes non-matching directories before any footer is read.
     val sub = spark.read.parquet(path)
       .filter(col(partitionCol).cast("string").isin(partValues: _*))
-    val out = f(sub)
-    val writer = out.write.mode("overwrite").format("parquet")
-      .partitionBy(partitionCol)
-    writer.save(tmp)
 
+    // Guard against silent data loss from a directory-name / runtime-value
+    // mismatch: partition-type inference can render a value differently
+    // from its directory name (e.g. dir p=01 inferred as int 1, whose
+    // string cast "1" never matches "01"). Deleting a live directory is
+    // only legitimate when its value was actually READ and f emptied it —
+    // so any requested value with a live directory but no read rows for
+    // which f COULD have produced output must abort, not delete.
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val readValues = sub.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    partValues.foreach { v =>
+      val live = new org.apache.hadoop.fs.Path(s"$base/$partitionCol=$v")
+      if (fs.exists(live) && !readValues.contains(v))
+        throw new IllegalStateException(
+          s"rewritePartitions: directory $live exists but value '$v' " +
+            "matched no rows — partition-type inference renders this value " +
+            "differently from its directory name; aborting instead of " +
+            "deleting the partition")
+    }
+
+    val out = f(sub)
+    out.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCol).save(tmp)
+
+    // The aside area lives OUTSIDE the table root: an aside directory named
+    // inside it would be discovered as a partition (value "v__rewrite_old")
+    // by any concurrent reader — including the next rewrite's own scan —
+    // duplicating the partition's rows during the swap window (or forever,
+    // after a crash between install and cleanup).
+    val asideRoot = new org.apache.hadoop.fs.Path(base + "__rewrite_old")
+    if (fs.exists(asideRoot) && !fs.delete(asideRoot, true))
+      throw new java.io.IOException(s"rewritePartitions: cannot clear $asideRoot")
+    if (!fs.mkdirs(asideRoot))
+      throw new java.io.IOException(s"rewritePartitions: cannot create $asideRoot")
     partValues.foreach { v =>
       val dir = s"$partitionCol=$v"
       val live = new org.apache.hadoop.fs.Path(s"$base/$dir")
       val fresh = new org.apache.hadoop.fs.Path(s"$tmp/$dir")
-      val aside = new org.apache.hadoop.fs.Path(s"$base/${dir}__rewrite_old")
-      if (fs.exists(aside) && !fs.delete(aside, true))
-        throw new java.io.IOException(s"rewritePartitions: cannot clear $aside")
+      val aside = new org.apache.hadoop.fs.Path(asideRoot, dir)
       if (fs.exists(live) && !fs.rename(live, aside))
         throw new java.io.IOException(s"rewritePartitions: cannot move $live aside")
       if (fs.exists(fresh) && !fs.rename(fresh, live)) {
         fs.rename(aside, live) // best-effort rollback
         throw new java.io.IOException(s"rewritePartitions: cannot install $fresh")
       }
-      if (fs.exists(aside) && !fs.delete(aside, true))
-        throw new java.io.IOException(s"rewritePartitions: cannot remove $aside")
     }
+    fs.delete(asideRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 

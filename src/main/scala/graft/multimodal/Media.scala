@@ -68,7 +68,7 @@ object Media {
     }
     /** Frame sampling stub: every k-th slice of the payload. */
     def sampleFrames(payload: Array[Byte], nFrames: Int, every: Int): Seq[Array[Byte]] = {
-      if (nFrames <= 0 || payload.isEmpty) Seq.empty
+      if (payload == null || nFrames <= 0 || payload.isEmpty) Seq.empty
       else {
         val frameLen = math.max(1, payload.length / nFrames)
         (0 until nFrames by every).map { k =>

@@ -40,13 +40,29 @@ object Medallion {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .load(path)
       .cache()
-    if (df.columns.contains("_corrupt_record")) {
-      val corrupt = df.filter(col("_corrupt_record").isNotNull)
-        .select(col("_corrupt_record"))
-      val valid = df.filter(col("_corrupt_record").isNull)
-        .drop("_corrupt_record")
-      (valid, corrupt)
-    } else (df, spark.emptyDataFrame)
+    try {
+      // Both sides are materialized (localCheckpoint) so the shared parse
+      // runs once and the cache can be released before returning — a bare
+      // .cache() handed to the caller would pin the raw input in executor
+      // storage for the session's lifetime.
+      if (df.columns.contains("_corrupt_record")) {
+        val corrupt = df.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record")).localCheckpoint(true)
+        val valid = df.filter(col("_corrupt_record").isNull)
+          .drop("_corrupt_record").localCheckpoint(true)
+        (valid, corrupt)
+      } else {
+        // No malformed inputs: still hand back a corrupt side with the
+        // SAME one-column schema, so quarantine sinks written against it
+        // analyze identically on clean and dirty batches.
+        val emptyCorrupt = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_corrupt_record",
+              org.apache.spark.sql.types.StringType))))
+        (df.localCheckpoint(true), emptyCorrupt)
+      }
+    } finally df.unpersist()
   }
 
   /** S3 — schema probe: infer a schema from a batch read so a streaming

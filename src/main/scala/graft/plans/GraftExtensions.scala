@@ -27,10 +27,11 @@ object GraftFunctions {
         import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
         val integral = n.dataType == IntegerType || n.dataType == LongType ||
           n.dataType == ShortType || n.dataType == ByteType
-        if (!n.foldable || !integral)
+        val v = if (n.foldable && integral) n.eval() else null
+        if (v == null) // non-literal, wrong type, or a NULL literal
           throw new IllegalArgumentException(
-            "hashed_shingles: the shingle size must be an integer literal")
-        HashedShingles(c, n.eval().asInstanceOf[Number].intValue())
+            "hashed_shingles: the shingle size must be a non-null integer literal")
+        HashedShingles(c, v.asInstanceOf[Number].intValue())
       case args => throw new IllegalArgumentException(
         s"hashed_shingles expects (text, n), got ${args.length} arguments")
     }: Seq[Expression] => Expression),
@@ -49,10 +50,15 @@ object GraftFunctions {
         import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
         val integral = n.dataType == IntegerType || n.dataType == LongType ||
           n.dataType == ShortType || n.dataType == ByteType
-        if (!n.foldable || !integral)
+        val bits = if (n.foldable && integral) n.eval() else null
+        if (bits == null) // non-literal, wrong type, or a NULL literal
           throw new IllegalArgumentException(
-            "rp_lsh_bucket: the bit count must be an integer literal")
-        RpLshBucketExpr(v, n.eval().asInstanceOf[Number].intValue())
+            "rp_lsh_bucket: the bit count must be a non-null integer literal")
+        val nb = bits.asInstanceOf[Number].intValue()
+        if (nb < 1 || nb > 63)
+          throw new IllegalArgumentException(
+            s"rp_lsh_bucket: the bit count must be in [1, 63], got $nb")
+        RpLshBucketExpr(v, nb)
       case args => throw new IllegalArgumentException(
         s"rp_lsh_bucket expects (vector, nBits), got ${args.length} arguments")
     }: Seq[Expression] => Expression))

@@ -29,15 +29,18 @@ import org.apache.spark.sql.types._
   * instead of silently reinterpreting bytes.
   */
 object VecOps {
-  private final val NULL_SENTINEL = Double.NaN
+  // Boxed returns: null encodes "no result" (a NULL array element, or a
+  // zero-norm cosine). A genuine NaN PAYLOAD still propagates as NaN —
+  // exactly like the zip_with/aggregate HOF form — so the two cases are
+  // not conflated (a NaN sentinel could not tell them apart).
 
   /** Left-fold dot product in double precision, index order (float). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -45,26 +48,26 @@ object VecOps {
   }
 
   /** Left-fold dot product, double-element arrays. */
-  def dotD(a: ArrayData, b: ArrayData): Double = {
+  def dotD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc
   }
 
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -72,17 +75,18 @@ object VecOps {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb)) // 0/0 -> NaN -> NULL at the expr
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def cosineD(a: ArrayData, b: ArrayData): Double = {
+  def cosineD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return NULL_SENTINEL
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y
@@ -90,13 +94,15 @@ object VecOps {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
 
 /** Shared shape for the two vector-similarity binaries: float/double
-  * element dispatch, analysis-time type checking, NaN-sentinel-to-NULL
-  * result mapping in both interpreted and generated paths.
+  * element dispatch, analysis-time type checking, boxed-null result
+  * mapping (NULL element / zero norm → NULL; NaN payloads stay NaN) in
+  * both interpreted and generated paths.
   */
 trait VecBinaryExpr extends BinaryExpression {
   /** VecOps method name for float-element arrays ("dot" / "cosine"). */
@@ -125,22 +131,22 @@ trait VecBinaryExpr extends BinaryExpression {
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val r =
+    val r: java.lang.Double =
       if (fn.endsWith("D"))
         if (floatFn == "dot") VecOps.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
         else VecOps.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
       else
         if (floatFn == "dot") VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
         else VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (java.lang.Double.isNaN(r)) null else r
+    r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("r")
       s"""
-         |double $r = graft.plans.VecOps.$fn($a, $b);
-         |if (Double.isNaN($r)) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |java.lang.Double $r = graft.plans.VecOps.$fn($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
 }

@@ -58,19 +58,22 @@ object IncrementalDedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val indexExists = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
 
+    // The index schema is fixed (bands + the __batch partition column), so
+    // the read never relies on inference — an index directory holding only
+    // _SUCCESS (a previous EMPTY batch) reads as an empty frame instead of
+    // failing schema discovery and killing the stream.
+    val indexSchema = bands.schema
+      .add(org.apache.spark.sql.types.StructField("__batch",
+        org.apache.spark.sql.types.LongType))
+
     // cross-batch hits: any band bucket already present in the index —
     // excluding this batch's own partition, so a crash-replay that
     // already wrote its bands does not drop its own rows.
     val vsIndex =
       if (!indexExists) bands.limit(0).select(col(idCol))
       else {
-        val idx = spark.read.parquet(indexPath)
-        // a backfilled (batch-mode) index has no __batch partition column
-        val prior = batchId match {
-          case Some(b) if idx.columns.contains("__batch") =>
-            idx.filter(col("__batch") =!= b)
-          case _ => idx
-        }
+        val idx = spark.read.schema(indexSchema).parquet(indexPath)
+        val prior = batchId.fold(idx)(b => idx.filter(col("__batch") =!= b))
         bands.join(prior, Seq("band", "band_val"), "left_semi")
           .select(col(idCol))
       }
@@ -84,6 +87,12 @@ object IncrementalDedup {
 
     val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
       .localCheckpoint(true) // materialize before the index append below
+    // One on-disk layout for BOTH modes — __batch-partitioned — because
+    // root-level files (plain append) and partition directories cannot
+    // coexist under one parquet root (partition discovery rejects the
+    // mix). Batch backfills land under the reserved __batch=-1 partition
+    // via append; streaming batches own their __batch=<id> partition via
+    // dynamic overwrite, making replays idempotent.
     val newBands = bands.join(dupIds, Seq(idCol), "left_anti")
     batchId match {
       case Some(b) =>
@@ -92,7 +101,9 @@ object IncrementalDedup {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(indexPath)
       case None =>
-        newBands.write.mode("append").parquet(indexPath)
+        newBands.withColumn("__batch", lit(-1L))
+          .write.mode("append")
+          .partitionBy("__batch").parquet(indexPath)
     }
     accepted
   }

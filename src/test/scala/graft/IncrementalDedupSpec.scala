@@ -66,6 +66,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(next.isEmpty)
   }
 
+  test("empty batches and backfill-then-stream layouts don't wedge the index") {
+    val root = TestSpark.tmpDir("inc_dedup_edge")
+    val indexPath = s"$root/index"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // an EMPTY first batch leaves an index dir with no data files; the
+    // schema-specified read must survive it
+    assert(IncrementalDedup.step(empty, indexPath, batchId = Some(0L)).isEmpty)
+    val a1 = IncrementalDedup.step(
+      Seq((1L, base)).toDF("doc_id", "text"), indexPath, batchId = Some(1L))
+    assert(a1.count() === 1)
+    // batch-mode backfill (no batchId) writes the same partitioned layout,
+    // so a later streaming batch still reads one coherent index
+    val backfillIdx = s"$root/index2"
+    IncrementalDedup.step(Seq((1L, base)).toDF("doc_id", "text"), backfillIdx)
+    val next = IncrementalDedup.step(
+      Seq((2L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text"),
+      backfillIdx, batchId = Some(0L))
+    assert(next.isEmpty) // near-dup of the backfilled doc drops
+  }
+
   test("stream: exactly-once across restarts, accepted corpus stays dedup'd") {
     val root = TestSpark.tmpDir("inc_dedup_stream")
     val in = s"$root/in"

@@ -44,6 +44,10 @@ class MedallionSpec extends AnyFunSuite {
     val (v2, c2) = Medallion.readRawJsonSafe(spark, cleanDir)
     assert(v2.count() === 1)
     assert(c2.isEmpty)
+    // the corrupt side has the SAME schema on clean batches, so a
+    // quarantine sink analyzes identically either way
+    assert(c2.columns.toSeq === Seq("_corrupt_record"))
+    assert(c2.select(col("_corrupt_record")).count() === 0)
   }
 
   test("P1: bronze envelope carries metadata and status=new") {

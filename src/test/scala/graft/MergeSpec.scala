@@ -110,6 +110,22 @@ class MergeSpec extends AnyFunSuite {
     assert(fingerprint("p=b") === untouchedBefore)
   }
 
+  test("rewritePartitions aborts on dir-name/value mismatch instead of deleting data") {
+    val dir = TestSpark.tmpDir("rewrite_mismatch")
+    val path = s"$dir/t"
+    // zero-padded STRING partition values: directories p=01/p=02, but
+    // partition-type inference reads them back as ints 1/2 — the string
+    // cast can never equal "01"
+    Seq((1L, "01"), (2L, "02")).toDF("id", "p")
+      .write.partitionBy("p").parquet(path)
+    val before = spark.read.parquet(path).count()
+    val ex = intercept[IllegalStateException] {
+      Merge.rewritePartitions(spark, path, "p", Seq("01")) { df => df }
+    }
+    assert(ex.getMessage.contains("matched no rows"), ex.getMessage)
+    assert(spark.read.parquet(path).count() === before) // nothing deleted
+  }
+
   test("rewriteTable swaps content atomically-ish and preserves partitioning") {
     val dir = TestSpark.tmpDir("rewrite")
     val path = s"$dir/t"

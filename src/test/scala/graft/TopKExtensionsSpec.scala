@@ -200,5 +200,16 @@ class TopKExtensionsSpec extends AnyFunSuite {
       "SELECT dot_product(array(CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS d")
       .head()
     assert(d.isNullAt(0))
+    // a genuine NaN PAYLOAD stays NaN (HOF parity) — not swallowed to NULL
+    val nan = spark.sql(
+      "SELECT dot_product(array(CAST('NaN' AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS d")
+      .head()
+    assert(!nan.isNullAt(0) && nan.getDouble(0).isNaN)
+    // NULL bit-count literal raises a clear error, not an NPE
+    val ex = intercept[Exception] {
+      spark.sql("SELECT rp_lsh_bucket(array(CAST(1.0 AS FLOAT)), CAST(NULL AS INT))")
+        .collect()
+    }
+    assert(ex.getMessage.contains("non-null integer literal"), ex.getMessage)
   }
 }
