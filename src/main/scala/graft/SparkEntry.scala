@@ -43,6 +43,14 @@ object SparkEntry {
   private def duckToks(c: String): String =
     s"list_filter(string_split_regex($c, '\\s+'), t -> t != '')"
 
+  /** DuckDB fragment: Sampling.hashBucket's affine→quadratic→affine mixer
+    * mod 2^31-1 over doc_id (h2 = h1*(h1+1) = h1²+h1).
+    */
+  private val duckBucket: String = {
+    val h1 = "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647)"
+    s"((($h1 * ($h1 + 1)) % 2147483647) * 784588716 + 998244353) % 2147483647 % 10000"
+  }
+
   private def duckMarkerHits(lang: Seq[String]): String =
     s"CAST(len(list_filter(tk, t -> list_contains([${lang.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
 
@@ -484,6 +492,34 @@ object SparkEntry {
           bucketWidth = 1000.0)
         .select(col("pt_id"), col("iv_id"), col("pt"), col("lo"))
         .orderBy(col("pt_id"), col("iv_id"))
+    },
+
+    // Deterministic 20% corpus sample by key hash: a scan-stage filter
+    // (reproducible across runs/engines/cluster sizes), never rand().
+    "q_hash_sample" -> { (s, d) =>
+      graft.functions.Sampling.hashSample(Tables.documents(s, d), "doc_id",
+          bps = 2000)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // Deterministic train/val/test split assignment (80/10/10) by key
+    // hash — the held-out-split primitive of a training-data pipeline.
+    "q_split_assign" -> { (s, d) =>
+      graft.functions.Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    },
+
+    // Budget-quantized sequence packing: docs (sharded, in id order) pack
+    // into ~256-token groups via the exclusive prefix sum.
+    "q_seq_pack" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+      graft.functions.Sampling.packBudget(docs, "doc_id", "n_tokens",
+          budget = 256L, partCols = Seq("shard"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
     },
 
     // BPE-ish regex pre-tokenization: letter runs, digit runs, single
@@ -1005,6 +1041,30 @@ object SparkEntry {
             FROM documents)
           SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
           FROM toks ORDER BY tok""",
+
+    "q_hash_sample" ->
+      s"""WITH b AS (SELECT doc_id, $duckBucket AS bkt FROM documents)
+          SELECT doc_id FROM b WHERE bkt < 2000 ORDER BY doc_id""",
+
+    "q_split_assign" ->
+      s"""WITH b AS (SELECT doc_id, $duckBucket AS bkt FROM documents)
+          SELECT doc_id,
+            CASE WHEN bkt < 8000 THEN 'train'
+                 WHEN bkt < 9000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""",
+
+    "q_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+          FROM documents),
+          c AS (SELECT doc_id, shard, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+          SELECT doc_id, shard, n_tokens,
+            CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
+          FROM c ORDER BY doc_id""",
 
     "q_regex_tokens" ->
       """WITH rt AS (SELECT doc_id,

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, split assignment, and sequence packing — the
+  * corpus-preparation tail of a training-data pipeline.
+  *
+  * Everything keys off a 64-bit hash of the row's id, never `rand()`:
+  * the same row lands in the same sample/split on every run, every
+  * engine, and every cluster size — reruns are reproducible, incremental
+  * batches are consistent with history, and no seed plumbing is needed.
+  * All operators are scan-stage (hash + comparison per row, no shuffle)
+  * except packing, which needs one partitioned window.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, 10000) (basis-point granularity) for a
+    * numeric key: affine → QUADRATIC (x²+x) → affine rounds mod 2^31-1.
+    * The middle round is the load-bearing one — affine rounds compose to
+    * a single affine map whose constant stride visibly correlates
+    * adjacent keys; x²+x makes the step between neighbors key-dependent
+    * (measured: adjacent co-sampling at the expected rate). Every
+    * intermediate stays under 2^62, so the arithmetic is exact and
+    * identical in any engine with 64-bit integers (engines like DuckDB
+    * ERROR on overflow, ruling out xxhash/splitmix wrapping mixers as a
+    * cross-engine contract). A portability-grade mixer for sampling, not
+    * a cryptographic hash.
+    */
+  def hashBucket(key: Column): Column = {
+    val p = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
+    val h1 = pmod(pmod(key.cast("long"), p) * 1103515245L + 12345L, p)
+    val h2 = pmod(h1 * h1 + h1, p)
+    val h3 = pmod(h2 * 784588716L + 998244353L, p)
+    pmod(h3, lit(10000L))
+  }
+
+  /** Deterministic ~`bps`/10000 sample of rows by key hash (100 bps = 1%).
+    * Scan-stage; at 100 TB this is a pushdown-friendly filter, not a
+    * shuffle-and-count.
+    */
+  def hashSample(df: DataFrame, keyCol: String, bps: Int): DataFrame = {
+    require(bps >= 0 && bps <= 10000, "bps must be in [0, 10000]")
+    df.filter(hashBucket(col(keyCol)) < bps)
+  }
+
+  /** Deterministic train/validation/test (or any) split: `weights` are
+    * (label, basis points) summing to <= 10000; rows hash into contiguous
+    * bucket ranges per label (leftover buckets get the LAST label, so
+    * pass exact 10000-bp weights when every row must be labeled).
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Int)], as: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 10000,
+      "weights are basis points summing to <= 10000")
+    val bucket = hashBucket(col(keyCol))
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(bounds).foldLeft(null: Column) {
+      case (acc, ((label, _), hi)) =>
+        if (acc == null) when(bucket < hi, label)
+        else acc.when(bucket < hi, label)
+    }.otherwise(weights.last._1)
+    df.withColumn(as, expr)
+  }
+
+  /** Budget-quantized sequence packing: assign docs (in `orderCol` order
+    * within each `partCols` group) to packs of ~`budget` tokens via the
+    * exclusive prefix sum — pack = floor(tokens_before / budget). Docs may
+    * straddle a boundary (assigned to the pack their first token falls
+    * in); the policy is deterministic, order-stable, and engine-portable,
+    * which is what reproducible pretraining shards need. One window sort
+    * per group — partition by shard/date at scale so no group is
+    * data-sized.
+    */
+  def packBudget(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long, partCols: Seq[String] = Nil,
+      as: String = "pack_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w0 = if (partCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partCols.map(col): _*)
+    val w = w0.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as,
+      floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budget)
+        .cast("long"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sampling
+
+/** Deterministic sampling/split/packing: reproducible, well-mixed, and
+  * shape-correct.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val ids = spark.range(20000).toDF("id")
+
+  test("hashSample is deterministic and lands near the requested fraction") {
+    val n1 = Sampling.hashSample(ids, "id", 2000).count()
+    val n2 = Sampling.hashSample(ids, "id", 2000).count()
+    assert(n1 === n2) // rerun-identical
+    assert(math.abs(n1 - 4000.0) / 4000.0 < 0.05, s"n=$n1")
+    // sequential ids must not stripe: adjacent ids rarely co-sample
+    val sampled = Sampling.hashSample(ids, "id", 1000)
+      .select("id").as[Long].collect().toSet
+    val adjacent = sampled.count(i => sampled.contains(i + 1))
+    assert(adjacent < sampled.size / 5, s"adjacent=$adjacent of ${sampled.size}")
+  }
+
+  test("splitAssign covers every row with near-weight proportions") {
+    val split = Sampling.splitAssign(ids, "id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 20000L)
+    assert(math.abs(counts("train") - 16000.0) / 16000.0 < 0.05, counts.toString)
+    assert(math.abs(counts("val") - 2000.0) / 2000.0 < 0.15, counts.toString)
+    assert(math.abs(counts("test") - 2000.0) / 2000.0 < 0.15, counts.toString)
+    // assignment is a function of the key: same key, same split, any run
+    val a = split.filter($"id" === 42).head().getString(1)
+    val b = Sampling.splitAssign(ids, "id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .filter($"id" === 42).head().getString(1)
+    assert(a === b)
+  }
+
+  test("packBudget: packs are contiguous, ordered, and hold ~budget tokens") {
+    val docs = (1 to 300).map(i => (i.toLong, i % 3, 10L + i % 7))
+      .toDF("doc_id", "shard", "n_tokens")
+    val packed = Sampling.packBudget(docs, "doc_id", "n_tokens", 100L,
+      partCols = Seq("shard"))
+    val rows = packed.select("shard", "doc_id", "n_tokens", "pack_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((_, group) <- rows.groupBy(_._1)) {
+      val ordered = group.sortBy(_._2)
+      // pack ids are non-decreasing in doc order and start at 0
+      assert(ordered.head._4 === 0L)
+      assert(ordered.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+      // each pack's tokens stay within budget + one straddling doc
+      for ((_, pack) <- ordered.groupBy(_._4)) {
+        val total = pack.map(_._3).sum
+        val maxDoc = pack.map(_._3).max
+        assert(total <= 100L + maxDoc, s"pack total=$total")
+      }
+    }
+  }
+}
