@@ -46,22 +46,27 @@ object Sampling {
   }
 
   /** Deterministic train/validation/test (or any) split: `weights` are
-    * (label, basis points) summing to <= 10000; rows hash into contiguous
-    * bucket ranges per label (leftover buckets get the LAST label, so
-    * pass exact 10000-bp weights when every row must be labeled).
+    * (label, positive basis points) summing to <= 10000; rows hash into
+    * contiguous bucket ranges per label (leftover buckets get the LAST
+    * label, so pass exact 10000-bp weights when every row must be
+    * labeled). A NULL key yields a NULL split — consistent with
+    * `hashSample`, which drops null-keyed rows — so bad joins surface as
+    * unlabeled rows instead of silently flooding one split.
     */
   def splitAssign(df: DataFrame, keyCol: String,
       weights: Seq[(String, Int)], as: String = "split"): DataFrame = {
-    require(weights.nonEmpty && weights.map(_._2).sum <= 10000,
-      "weights are basis points summing to <= 10000")
+    require(weights.nonEmpty && weights.forall(_._2 > 0) &&
+        weights.map(_._2).sum <= 10000,
+      "weights are positive basis points summing to <= 10000")
     val bucket = hashBucket(col(keyCol))
     val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
-    val expr = weights.zip(bounds).foldLeft(null: Column) {
+    val chain = weights.zip(bounds).foldLeft(null: Column) {
       case (acc, ((label, _), hi)) =>
         if (acc == null) when(bucket < hi, label)
         else acc.when(bucket < hi, label)
     }.otherwise(weights.last._1)
-    df.withColumn(as, expr)
+    df.withColumn(as,
+      when(col(keyCol).isNull, lit(null: String)).otherwise(chain))
   }
 
   /** Budget-quantized sequence packing: assign docs (in `orderCol` order

@@ -129,45 +129,67 @@ object Merge {
       partValues: Seq[String])(f: DataFrame => DataFrame): Unit = {
     if (partValues.isEmpty) return
     val base = path.stripSuffix("/")
-    val tmp = base + "__rewrite_tmp"
-    // The isin predicate references only the partition column, so the file
-    // index prunes non-matching directories before any footer is read.
-    val sub = spark.read.parquet(path)
-      .filter(col(partitionCol).cast("string").isin(partValues: _*))
-
-    // Guard against silent data loss from a directory-name / runtime-value
-    // mismatch: partition-type inference can render a value differently
-    // from its directory name (e.g. dir p=01 inferred as int 1, whose
-    // string cast "1" never matches "01"). Deleting a live directory is
-    // only legitimate when its value was actually READ and f emptied it —
-    // so any requested value with a live directory but no read rows for
-    // which f COULD have produced output must abort, not delete.
+    val runId = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = s"${base}__rewrite_tmp_$runId"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-    val readValues = sub.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
-    partValues.foreach { v =>
-      val live = new org.apache.hadoop.fs.Path(s"$base/$partitionCol=$v")
-      if (fs.exists(live) && !readValues.contains(v))
-        throw new IllegalStateException(
-          s"rewritePartitions: directory $live exists but value '$v' " +
-            "matched no rows — partition-type inference renders this value " +
-            "differently from its directory name; aborting instead of " +
-            "deleting the partition")
-    }
 
-    val out = f(sub)
-    out.write.mode("overwrite").format("parquet")
-      .partitionBy(partitionCol).save(tmp)
+    // A leftover aside area means a previous rewrite crashed MID-SWAP and
+    // that area may hold the only copy of a partition. Proceeding would
+    // rewrite around (or a shared-name scheme would delete) that copy —
+    // refuse until an operator restores or removes it.
+    val parent = new org.apache.hadoop.fs.Path(base).getParent
+    val baseName = new org.apache.hadoop.fs.Path(base).getName
+    val stale = fs.listStatus(parent)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(baseName + "__rewrite_old"))
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"rewritePartitions: stale aside area(s) ${stale.mkString(", ")} " +
+          s"next to $base — a previous rewrite crashed mid-swap and they " +
+          "may hold the only copy of a partition; restore or remove them " +
+          "before rewriting")
 
-    // The aside area lives OUTSIDE the table root: an aside directory named
-    // inside it would be discovered as a partition (value "v__rewrite_old")
-    // by any concurrent reader — including the next rewrite's own scan —
-    // duplicating the partition's rows during the swap window (or forever,
-    // after a crash between install and cleanup).
-    val asideRoot = new org.apache.hadoop.fs.Path(base + "__rewrite_old")
-    if (fs.exists(asideRoot) && !fs.delete(asideRoot, true))
-      throw new java.io.IOException(s"rewritePartitions: cannot clear $asideRoot")
+    // The isin predicate references only the partition column, so the file
+    // index prunes non-matching directories before any footer is read. The
+    // frame is cached: the mismatch guard below and the rewrite write are
+    // two consumers, and without the cache each would re-read the
+    // partitions' files.
+    val sub = spark.read.parquet(path)
+      .filter(col(partitionCol).cast("string").isin(partValues: _*))
+      .cache()
+    try {
+      // Guard against silent corruption from a directory-name /
+      // runtime-value mismatch: partition-type inference can render a
+      // value differently from its directory name (dir p=01 inferred as
+      // int 1). BOTH directions are fatal: a live directory whose value
+      // matched no rows would be deleted as "emptied"; matched rows with
+      // no same-named directory would be installed BESIDE their real
+      // directory, duplicating the partition.
+      val readValues = sub.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      partValues.foreach { v =>
+        val live = new org.apache.hadoop.fs.Path(s"$base/$partitionCol=$v")
+        val (exists, read) = (fs.exists(live), readValues.contains(v))
+        if (exists != read)
+          throw new IllegalStateException(
+            s"rewritePartitions: value '$v' " +
+              (if (exists) "has a directory but matched no rows"
+               else "matched rows but has no same-named directory") +
+              " — partition-type inference renders this value differently " +
+              "from its directory name; aborting to avoid " +
+              (if (exists) "deleting" else "duplicating") + " the partition")
+      }
+
+      f(sub).write.mode("overwrite").format("parquet")
+        .partitionBy(partitionCol).save(tmp)
+    } finally sub.unpersist()
+
+    // The aside area lives OUTSIDE the table root (an aside directory
+    // inside it would be discovered as a partition and double-read) and is
+    // run-scoped (a shared name would let a concurrent rewrite of OTHER
+    // partitions delete this run's only copy mid-swap).
+    val asideRoot = new org.apache.hadoop.fs.Path(s"${base}__rewrite_old_$runId")
     if (!fs.mkdirs(asideRoot))
       throw new java.io.IOException(s"rewritePartitions: cannot create $asideRoot")
     partValues.foreach { v =>

@@ -39,30 +39,33 @@ object Medallion {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .load(path)
-      .cache()
-    try {
-      // Both sides are materialized (localCheckpoint) so the shared parse
-      // runs once and the cache can be released before returning — a bare
-      // .cache() handed to the caller would pin the raw input in executor
-      // storage for the session's lifetime.
-      if (df.columns.contains("_corrupt_record")) {
-        val corrupt = df.filter(col("_corrupt_record").isNotNull)
+    if (df.columns.contains("_corrupt_record")) {
+      // The corrupt side references ONLY the corrupt column, which Spark
+      // disallows as a direct query on the file relation — so it is
+      // computed under a short-lived cache and materialized (it is the
+      // small side by construction). The VALID side stays a lazy,
+      // recomputable plan: materializing it would truncate lineage (an
+      // executor loss later could not recompute), and pinning the cache
+      // for the caller's lifetime would leak executor storage.
+      val cached = df.cache()
+      val corrupt =
+        try cached.filter(col("_corrupt_record").isNotNull)
           .select(col("_corrupt_record")).localCheckpoint(true)
-        val valid = df.filter(col("_corrupt_record").isNull)
-          .drop("_corrupt_record").localCheckpoint(true)
-        (valid, corrupt)
-      } else {
-        // No malformed inputs: still hand back a corrupt side with the
-        // SAME one-column schema, so quarantine sinks written against it
-        // analyze identically on clean and dirty batches.
-        val emptyCorrupt = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("_corrupt_record",
-              org.apache.spark.sql.types.StringType))))
-        (df.localCheckpoint(true), emptyCorrupt)
-      }
-    } finally df.unpersist()
+        finally cached.unpersist()
+      val valid = df.filter(col("_corrupt_record").isNull)
+        .drop("_corrupt_record")
+      (valid, corrupt)
+    } else {
+      // No malformed inputs: still hand back a corrupt side with the
+      // SAME one-column schema, so quarantine sinks written against it
+      // analyze identically on clean and dirty batches.
+      val emptyCorrupt = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType))))
+      (df, emptyCorrupt)
+    }
   }
 
   /** S3 — schema probe: infer a schema from a batch read so a streaming

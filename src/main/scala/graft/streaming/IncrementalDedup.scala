@@ -73,7 +73,11 @@ object IncrementalDedup {
       if (!indexExists) bands.limit(0).select(col(idCol))
       else {
         val idx = spark.read.schema(indexSchema).parquet(indexPath)
-        val prior = batchId.fold(idx)(b => idx.filter(col("__batch") =!= b))
+        // null-safe inequality: a row with a NULL __batch (malformed or
+        // hand-written index data) must still count as PRIOR state — a
+        // plain =!= would evaluate NULL and silently drop it from the
+        // probe, accepting duplicates.
+        val prior = batchId.fold(idx)(b => idx.filter(!(col("__batch") <=> b)))
         bands.join(prior, Seq("band", "band_val"), "left_semi")
           .select(col(idCol))
       }

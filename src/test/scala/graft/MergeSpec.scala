@@ -124,6 +124,33 @@ class MergeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("matched no rows"), ex.getMessage)
     assert(spark.read.parquet(path).count() === before) // nothing deleted
+    // the OTHER direction: the inferred rendering "1" matches p=01's rows
+    // but has no same-named directory — installing it would duplicate the
+    // partition beside the original
+    val ex2 = intercept[IllegalStateException] {
+      Merge.rewritePartitions(spark, path, "p", Seq("1")) { df => df }
+    }
+    assert(ex2.getMessage.contains("no same-named directory"), ex2.getMessage)
+    assert(spark.read.parquet(path).count() === before)
+  }
+
+  test("rewritePartitions refuses to run next to a crashed rewrite's aside area") {
+    val dir = TestSpark.tmpDir("rewrite_stale")
+    val path = s"$dir/t"
+    Seq((1L, "a")).toDF("id", "p").write.partitionBy("p").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${path}__rewrite_old_dead1"))
+    val ex = intercept[IllegalStateException] {
+      Merge.rewritePartitions(spark, path, "p", Seq("a")) { df => df }
+    }
+    assert(ex.getMessage.contains("stale aside"), ex.getMessage)
+    // cleanup restores operability
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}__rewrite_old_dead1"), true)
+    Merge.rewritePartitions(spark, path, "p", Seq("a")) { df =>
+      df.withColumn("id", $"id" + 1)
+    }
+    assert(spark.read.parquet(path).head().getLong(0) === 2L)
   }
 
   test("rewriteTable swaps content atomically-ish and preserves partitioning") {

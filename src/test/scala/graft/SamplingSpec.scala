@@ -41,6 +41,15 @@ class SamplingSpec extends AnyFunSuite {
       Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
       .filter($"id" === 42).head().getString(1)
     assert(a === b)
+    // NULL keys get a NULL split (not silently dumped into the last label)
+    val withNull = Seq(Some(1L), None).toDF("id")
+    val nulls = Sampling.splitAssign(withNull, "id", Seq("train" -> 10000))
+      .filter($"id".isNull)
+    assert(nulls.count() === 1 && nulls.head().isNullAt(1))
+    // non-positive weights are a caller bug, rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ids, "id", Seq("a" -> -100, "b" -> 200))
+    }
   }
 
   test("packBudget: packs are contiguous, ordered, and hold ~budget tokens") {
