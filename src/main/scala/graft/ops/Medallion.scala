@@ -68,6 +68,41 @@ object Medallion {
     }
   }
 
+  /** Schema-drift rescue for the frozen-schema ingestion path: the
+    * reference probes a schema once and parses with it forever
+    * (Raw_to_Bronze.py:21-38), which silently DROPS any field added to
+    * the feed later. This reads each record against the frozen
+    * `recordSchema` AND as a raw map, surfacing unknown top-level fields
+    * in a `_rescued` map<string,string> column (NULL when nothing was
+    * rescued) — the stock-Spark analog of Autoloader's `_rescued_data`.
+    * Values arrive as raw JSON text (scalars unquoted, objects as JSON),
+    * ready for a quarantine/evolution decision downstream. Per-row,
+    * scan-stage; the double parse is the price of rescue and is confined
+    * to this entry point.
+    *
+    * `arrayField` names the top-level array of records (the reference's
+    * `movie`).
+    */
+  def readJsonWithRescue(spark: SparkSession, path: String,
+      recordSchema: org.apache.spark.sql.types.StructType,
+      arrayField: String = "movie"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+    val docs = spark.read.option("wholetext", "true").text(path)
+    // Parsing the doc as map<string, array<string>> yields each record's
+    // RAW JSON text (Spark's JSON parser renders object nodes as their
+    // source text when the target type is string).
+    val recs = docs.select(explode(
+      from_json(col("value"), MapType(StringType, ArrayType(StringType)))
+        .getItem(arrayField)).as("__raw"))
+    val known = recordSchema.fieldNames.toSeq
+    val asMap = from_json(col("__raw"), MapType(StringType, StringType))
+    val rescued = map_filter(asMap,
+      (k, _) => !array_contains(array(known.map(lit): _*), k))
+    recs.select(
+      from_json(col("__raw"), recordSchema).as("record"),
+      when(size(map_keys(rescued)) > 0, rescued).as("_rescued"))
+  }
+
   /** S3 — schema probe: infer a schema from a batch read so a streaming
     * source (which requires an explicit schema) can reuse it
     * (Autoloader_notebook/Raw_to_Bronze.py:21-23).

@@ -79,14 +79,26 @@ object CorpusPipeline {
     docs.join(toDrop, Seq(cfg.idCol), "left_anti")
   }
 
-  /** Full curation; returns (curated, statsRow). Each stage is
+  /** Held-out split assignment over the CURATED corpus (split after
+    * dedup, never before: a near-dup pair straddling train/test is
+    * leakage the split exists to prevent). Deterministic by id hash —
+    * reruns and incremental batches agree on every assignment.
+    */
+  def assignSplits(curated: DataFrame,
+      weights: Seq[(String, Int)] = Seq(
+        "train" -> 9800, "val" -> 100, "test" -> 100),
+      cfg: Config = Config()): DataFrame =
+    graft.functions.Sampling.splitAssign(curated, cfg.idCol, weights)
+
+  /** Full curation; returns (curated-with-splits, statsRow). Each stage is
     * materialized once (localCheckpoint) — the stats row and the returned
     * frame would otherwise re-execute the whole lineage per consumer.
     */
   def curate(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
     val gated = qualityGate(annotate(docs, cfg), cfg).localCheckpoint(true)
     val exact = exactDedup(gated, cfg).localCheckpoint(true)
-    val near = nearDedup(exact, cfg).localCheckpoint(true)
+    val near = assignSplits(nearDedup(exact, cfg), cfg = cfg)
+      .localCheckpoint(true)
     val stats = docs.select(count(lit(1)).as("n_input"))
       .crossJoin(gated.select(count(lit(1)).as("n_gated")))
       .crossJoin(exact.select(count(lit(1)).as("n_exact")))

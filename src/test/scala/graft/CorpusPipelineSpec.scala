@@ -40,6 +40,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // deterministic: same input -> same output
     val (curated2, _) = CorpusPipeline.curate(input)
     assert(curated2.select("doc_id").as[Long].collect().toSet === ids)
+    // every curated doc carries a held-out split, assigned AFTER dedup
+    assert(curated.columns.contains("split"))
+    val splits = curated.select("split").distinct()
+      .as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(curated.filter($"split".isNull).count() === 0)
+    // split assignment is id-deterministic across runs
+    val s1 = curated.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = curated2.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2)
   }
 
   test("stream-stream join matches events within the time window") {

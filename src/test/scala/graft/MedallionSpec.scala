@@ -50,6 +50,35 @@ class MedallionSpec extends AnyFunSuite {
     assert(c2.select(col("_corrupt_record")).count() === 0)
   }
 
+  test("schema drift: unknown record fields rescue instead of vanishing") {
+    val dir = TestSpark.tmpDir("raw_drift")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir/feed.json").toPath,
+      """{"movie": [
+        {"Id": 1, "Title": "plain"},
+        {"Id": 2, "Title": "drifted", "Rating": 5, "Tags": {"a": 1}}
+      ]}""")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("Title",
+        org.apache.spark.sql.types.StringType)))
+    val out = Medallion.readJsonWithRescue(spark, dir, schema)
+    assert(out.count() === 2)
+    // known fields parse through the frozen schema
+    assert(out.select("record.Id", "record.Title").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "plain", 2L -> "drifted"))
+    // a clean record carries NULL, the drifted one its unknown fields
+    val plain = out.filter(col("record.Id") === 1).head()
+    assert(plain.isNullAt(1))
+    val drifted = out.filter(col("record.Id") === 2)
+      .select("_rescued").head().getMap[String, String](0)
+    assert(drifted.keys.toSet === Set("Rating", "Tags"))
+    assert(drifted("Rating") === "5")
+    assert(drifted("Tags").contains("\"a\"")) // nested object as raw JSON
+  }
+
   test("P1: bronze envelope carries metadata and status=new") {
     val row = bronze.select("datasource", "status").distinct().collect()
     assert(row.length === 1)
