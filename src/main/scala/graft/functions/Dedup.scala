@@ -154,10 +154,17 @@ object Dedup {
       .agg(min(col("h")).as("mh"))
   }
 
-  /** Production MinHash: token ids from xxhash64 (no dictionary). */
+  /** Production MinHash: token ids from xxhash64 (no dictionary). The
+    * shingle rows are NOT deduplicated — min over a multiset equals min
+    * over its set, so a pre-distinct would shuffle the job's largest
+    * intermediate for nothing (docShingles' distinct exists for Jaccard
+    * SET semantics, which this path doesn't need).
+    */
   def minhashSignatureHashed(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, shingleSize)
+    val sh = docs.select(col(idCol),
+      explode(Text.wordNgrams(Text.tokens(col(textCol)), shingleSize))
+        .as("gram"))
     minhashSignature(sh, idCol, pmod(xxhash64(col("gram")), lit(MersennePrime)),
       numHashes)
   }

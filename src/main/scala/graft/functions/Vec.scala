@@ -37,10 +37,15 @@ object Vec {
   /** Cosine from a precomputed-norm pair: round(dot/(na*nb), 6). The norms
     * are sqrt(self-dot) computed once per vector instead of once per pair —
     * 3x less arithmetic on all-pairs workloads, identical values (the
-    * per-accumulator fold orders are unchanged).
+    * per-accumulator fold orders are unchanged). A zero norm yields NULL,
+    * NOT NaN: Spark orders NaN above every number, so a NaN similarity
+    * would make a zero vector pass every `sim >= t` join predicate and
+    * rank first in every descending top-k; NULL fails predicates and
+    * sorts last under desc, which is the correct "no similarity" result.
     */
   private def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
-    round(graft.plans.VecExpressions.dotProduct(va, vb) / (na * nb), 6)
+    when(na * nb === 0.0, lit(null).cast("double"))
+      .otherwise(round(graft.plans.VecExpressions.dotProduct(va, vb) / (na * nb), 6))
 
   private def withNorm(vecs: DataFrame, idCol: String, vecCol: String,
       suffix: String): DataFrame =
@@ -82,11 +87,14 @@ object Vec {
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("nrm").as("nb"))
     val sim = pairSim(col("va"), col("vb"), col("na"), col("nb"))
+    // No trailing distinct: each vector carries exactly ONE bucket, so the
+    // single-equality join emits each qualifying pair at most once (unlike
+    // multi-band MinHash LSH, where a pair can collide in several bands) —
+    // a dedup here would shuffle every surviving pair for no effect.
     a.join(b, a("bucket") === b("bucket") &&
         col("id_a") < col("id_b") && sim >= threshold)
       .withColumn("sim", sim)
       .select(col("id_a"), col("id_b"), col("sim"))
-      .distinct()
   }
 
   /** Brute-force exact top-k cosine neighbors of each query vector.

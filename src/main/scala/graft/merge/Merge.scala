@@ -206,6 +206,7 @@ object Merge {
     }
     fs.delete(asideRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    invalidateAfterSwap(spark, fs, base)
   }
 
   /** Path-backed merge: read the parquet table at `path`, apply `f`, and
@@ -241,5 +242,29 @@ object Merge {
     }
     if (!fs.delete(old, true))
       throw new java.io.IOException(s"rewriteTable: cannot remove $old")
+    invalidateAfterSwap(spark, fs, path.stripSuffix("/"))
+  }
+
+  /** Post-swap invalidation shared by both rewrites.
+    *
+    * 1. A table WRITTEN BY A STREAMING FILE SINK carries a _spark_metadata
+    *    transaction log, and every reader (batch and streaming) resolves
+    *    the file list from that log, NOT from a directory listing — after
+    *    a swap the log still names the replaced files and readers die with
+    *    FileNotFoundException. The rewrite has invalidated the log's
+    *    append-only history, so it is removed, converting the table to a
+    *    plain listing-based directory. (Never rewrite a table whose sink
+    *    query is still running.)
+    * 2. Cached plans and the session file-listing cache are refreshed so
+    *    existing DataFrames re-resolve the new files.
+    */
+  private def invalidateAfterSwap(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: String): Unit = {
+    val sinkLog = new org.apache.hadoop.fs.Path(s"$base/_spark_metadata")
+    if (fs.exists(sinkLog) && !fs.delete(sinkLog, true))
+      throw new java.io.IOException(
+        s"rewrite: cannot remove streaming-sink log $sinkLog")
+    spark.catalog.refreshByPath(base)
+    org.apache.spark.sql.GraftBridge.invalidateFileListingCache(spark)
   }
 }

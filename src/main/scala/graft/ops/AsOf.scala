@@ -36,7 +36,10 @@ object AsOf {
     // NULL-timestamp right rows can never be an as-of match (ASOF
     // semantics; also DuckDB), but ascending nulls-first ordering would
     // otherwise make them a spurious running match for early left rows.
-    val rU = right.filter(col(rightTs).isNotNull)
+    // NULL-KEY right rows are excluded for the same reason: SQL equality
+    // never matches NULL = NULL, but Window.partitionBy groups NULL keys
+    // into one partition, which would hand NULL-key left rows a match.
+    val rU = right.filter(col(rightTs).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol), col(rightTs).as("__ts"),
       lit(0).as("__side"), rPack.as("__rpack"),
       lit(null).cast(org.apache.spark.sql.types.StructType(

@@ -38,11 +38,10 @@ object MoviePipeline {
     * budget floor + genre-id array + language FK stub.
     */
   def transformMovie(flat: DataFrame): DataFrame =
-    flat.select(
+    Medallion.withFloor(flat, "Budget", BudgetFloor).select(
       col("value"),
       col("Id").cast("integer").as("Id"),
-      when(col("Budget") < BudgetFloor, BudgetFloor).otherwise(col("Budget"))
-        .as("Budget"),
+      col("Budget"),
       col("Revenue"),
       col("RunTime").cast("integer").as("RunTime"),
       col("Price"),
@@ -176,11 +175,21 @@ object MoviePipeline {
     val quarantined = Medallion.filterStatus(
       spark.read.parquet(bronzePath), "quarantined")
     val flat = Medallion.flattenValue(quarantined).distinct()
-    val repaired = transformMovie(
-      Medallion.repairAbs(flat, "RunTime")).distinct()
+    // Re-apply the quality gate AFTER the repair: abs() fixes negative
+    // runtimes but leaves NULLs NULL, and promoting an unrepairable row
+    // would launder it into silver as clean. Rows still failing the gate
+    // stay quarantined (not inserted, not marked loaded) for the next
+    // repair strategy.
+    val (repaired, _) = Medallion.cleanQuarantineSplit(
+      transformMovie(Medallion.repairAbs(flat, "RunTime")).distinct(),
+      col("RunTime") >= 0)
 
     val moviePath = s"$silverDir/movie_silver"
-    val existing = spark.read.parquet(moviePath)
+    // Schema-specified read: a prior all-quarantined batch leaves a silver
+    // directory with no parquet footers, which schema inference rejects —
+    // the same wedge upsertDimension guards against.
+    val existing = spark.read.schema(repaired.drop("value").schema)
+      .parquet(moviePath)
     val toInsert = repaired.drop("value")
       .join(existing.select("Id"), Seq("Id"), "left_anti")
       .localCheckpoint(true)

@@ -68,28 +68,89 @@ object StreamingMedallion {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Streaming bronze → silver: stream new bronze files, flatten/clean, and
-    * per microbatch append clean rows to silver and write status back into
-    * bronze (the reference's Bronze_to_Silver.py shape).
+  /** Streaming bronze → silver (the reference's Bronze_to_Silver.py
+    * shape): stream new bronze files; per microbatch MERGE clean rows
+    * into silver and quarantined rows into the quarantine table (Id
+    * anti-join inserts — the reference's whenNotMatchedInsert, which also
+    * makes a replayed microbatch idempotent instead of double-appending),
+    * and append each row's final status to a side log.
+    *
+    * The status write-back into bronze itself runs AFTER the query
+    * terminates (`applyStatusLog`), not inside foreachBatch: the bronze
+    * files are this query's streaming SOURCE, and swapping them out under
+    * a running AvailableNow query would break later microbatches that
+    * still reference the listed files. The log append is safe (new files
+    * only) and `__batch`-partitioned with dynamic overwrite, so replays
+    * overwrite their own slice.
     */
   def bronzeToSilverStream(spark: SparkSession, bronzeDir: String,
       silverDir: String, checkpoint: String): StreamingQuery = {
     val schema = spark.read.parquet(bronzeDir).schema
     val bronze = spark.readStream.schema(schema).parquet(bronzeDir)
     val fresh = Medallion.filterStatus(bronze, "new")
-    foreachBatchSink(fresh, checkpoint, "Bronze_To_Silver") { (s, batch, _) =>
+    foreachBatchSink(fresh, checkpoint, "Bronze_To_Silver") { (s, batch, batchId) =>
       val flat = Medallion.flattenValue(batch).cache()
       val movie = graft.pipeline.MoviePipeline.transformMovie(flat).distinct()
       val (clean, quarantined) =
         Medallion.cleanQuarantineSplit(movie, col("RunTime") >= 0)
-      if (!clean.isEmpty)
-        Medallion.batchWriter(clean, s"$silverDir/movie_silver", "p_CreatedDate",
-          excludeCols = Seq("value"))
-      if (!quarantined.isEmpty)
-        Medallion.batchWriter(quarantined.drop("value"),
-          s"$silverDir/movie_quarantine", "p_CreatedDate")
+      def mergeInto(rows: DataFrame, path: String): Unit = {
+        val out = rows.drop("value")
+        val exists = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(path))
+        // schema-specified read: an earlier empty batch may have left a
+        // footerless directory that inference would reject
+        val fresh = if (!exists) out
+          else out.join(s.read.schema(out.schema).parquet(path).select("Id"),
+            Seq("Id"), "left_anti")
+        if (!fresh.isEmpty)
+          Medallion.batchWriter(fresh, path, "p_CreatedDate")
+      }
+      mergeInto(clean, s"$silverDir/movie_silver")
+      mergeInto(quarantined, s"$silverDir/movie_quarantine")
+      val statused = clean.select(col("value")).withColumn("status", lit("loaded"))
+        .unionByName(quarantined.select(col("value"))
+          .withColumn("status", lit("quarantined")))
+      val keyed = batch.select(col("value"), col("p_ingestdate"))
+        .join(statused, Seq("value")).distinct()
+      // empty microbatches (e.g. a replay over already-statused rows)
+      // write nothing — an empty overwrite would leave a footerless
+      // partition directory
+      if (!keyed.isEmpty)
+        keyed.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(s"$silverDir/bronze_status_log")
       flat.unpersist()
     }
+  }
+
+  /** Apply the status log accumulated by `bronzeToSilverStream` to the
+    * bronze table in ONE partition-pruned rewrite, then clear the log.
+    * Run after the streaming query terminates (AvailableNow always does).
+    */
+  def applyStatusLog(spark: SparkSession, bronzePath: String,
+      silverDir: String): Unit = {
+    val logPath = s"$silverDir/bronze_status_log"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(logPath))) return
+    // schema-specified read: survives a log directory left footerless
+    val bronzeSchema = spark.read.parquet(bronzePath).schema
+    val logSchema = org.apache.spark.sql.types.StructType(Seq(
+      bronzeSchema("value"),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      bronzeSchema("p_ingestdate"),
+      org.apache.spark.sql.types.StructField("__batch",
+        org.apache.spark.sql.types.LongType)))
+    val keyed = spark.read.schema(logSchema).parquet(logPath)
+      .select(col("value"), col("status"), col("p_ingestdate"))
+      .distinct().localCheckpoint(true)
+    if (keyed.isEmpty) { fs.delete(new org.apache.hadoop.fs.Path(logPath), true); return }
+    graft.pipeline.MoviePipeline.updateBronzeStatuses(spark, bronzePath, keyed)
+    fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
   }
 
   /** A1-streaming — bounded-state streaming dedup: watermark + per-key
@@ -126,14 +187,33 @@ object StreamingMedallion {
             state.remove()
             Iterator(ClosedSession(userId, s.n, s.sum))
           } else {
-            val buf = rows.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            val maxTs = math.max(prev.lastMs,
-              buf.map(_.ts.getTime).max)
-            state.update(SessionState(prev.n + buf.size,
-              prev.sum + buf.map(_.value).sum, maxTs))
-            state.setTimeoutTimestamp(maxTs + gapMs)
-            Iterator.empty
+            // The gap rule applies INSIDE the buffer too: under backlog
+            // replay (Trigger.AvailableNow) events separated by more than
+            // gapMs routinely arrive in one microbatch, and folding them
+            // into one state would merge sessions the timeout would have
+            // split. Walk the events in time order, closing a session
+            // whenever the inter-event gap exceeds gapMs; only the last
+            // (still-open) session stays in state.
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  closed += ClosedSession(userId, s.n, s.sum)
+                  cur = Some(SessionState(1L, e.value, t))
+                case Some(s) =>
+                  cur = Some(SessionState(s.n + 1, s.sum + e.value,
+                    math.max(s.lastMs, t)))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
           }
       }
   }

@@ -29,6 +29,16 @@ object GraftBridge {
   def extensions(spark: SparkSession): SparkSessionExtensions =
     spark.asInstanceOf[classic.SparkSession].extensions
 
+  /** Invalidate the session-shared file-listing cache. `spark.catalog
+    * .refreshByPath` only re-executes cached PLANS; the FileStatusCache
+    * behind path-based reads keeps serving a swapped-out directory's old
+    * file list until invalidated, and new reads then die on deleted files.
+    */
+  def invalidateFileListingCache(spark: SparkSession): Unit =
+    execution.datasources.FileStatusCache
+      .getOrCreate(spark.asInstanceOf[classic.SparkSession])
+      .invalidateAll()
+
   /** Register a function into a LIVE session's registry (builder-time
     * `withExtensions` only applies to sessions created after it).
     */

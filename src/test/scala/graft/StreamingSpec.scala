@@ -57,10 +57,26 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamingMedallion.bronzeToSilverStream(
       spark, s"$root/bronze", s"$root/silver", s"$root/cp2")
     q.awaitTermination()
+    StreamingMedallion.applyStatusLog(spark, s"$root/bronze", s"$root/silver")
     val silver = spark.read.parquet(s"$root/silver/movie_silver")
     assert(silver.count() === 2)
     val quar = spark.read.parquet(s"$root/silver/movie_quarantine")
     assert(quar.count() === 1)
+    // statuses wrote back into bronze: nothing is left 'new'
+    val statuses = spark.read.parquet(s"$root/bronze")
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.getOrElse("new", 0L) === 0L, statuses.toString)
+    assert(statuses("loaded") >= 2L)
+    assert(statuses("quarantined") >= 1L)
+    // a rerun (same checkpoint, no new files) changes nothing: the merge
+    // sinks are anti-join idempotent and the log was cleared
+    val q2 = StreamingMedallion.bronzeToSilverStream(
+      spark, s"$root/bronze", s"$root/silver", s"$root/cp2")
+    q2.awaitTermination()
+    StreamingMedallion.applyStatusLog(spark, s"$root/bronze", s"$root/silver")
+    assert(spark.read.parquet(s"$root/silver/movie_silver").count() === 2)
+    assert(spark.read.parquet(s"$root/silver/movie_quarantine").count() === 1)
   }
 
   test("A1-streaming: watermarked dropDuplicates bounds state and dedups") {
@@ -157,6 +173,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(s => s.user_id -> (s.n_events, s.sum_value)).toMap
     assert(out.get(1L).contains((2L, 3.0)))
     assert(out.get(2L).contains((1L, 5.0)))
+    q.stop()
+  }
+
+  test("sessionize applies the gap INSIDE a microbatch (backlog replay)") {
+    import graft.streaming.{ClosedSession, UserTimedEvent}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[UserTimedEvent]
+    val sessions = StreamingMedallion.sessionizeStream(
+      mem.toDS(), gapMs = 60000, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_replay_out")
+      .outputMode("append").start()
+    // one batch carrying TWO gap-separated bursts for user 7 — the
+    // backlog-replay shape; folding them into one session is the bug
+    mem.addData(
+      UserTimedEvent(7L, ts("2024-01-01 00:00:00"), 1.0),
+      UserTimedEvent(7L, ts("2024-01-01 00:00:30"), 2.0),
+      UserTimedEvent(7L, ts("2024-01-01 00:10:00"), 40.0))
+    q.processAllAvailable()
+    // the first burst closes immediately (in-batch gap), without waiting
+    // for any watermark advance
+    val immediate = spark.table("sess_replay_out").as[ClosedSession]
+      .collect().filter(_.user_id == 7L)
+    assert(immediate.map(s => (s.n_events, s.sum_value)).toSet ===
+      Set((2L, 3.0)))
+    // advance the watermark to flush the second burst
+    mem.addData(UserTimedEvent(8L, ts("2024-01-01 02:00:00"), 0.0))
+    q.processAllAvailable()
+    mem.addData(UserTimedEvent(8L, ts("2024-01-01 02:00:01"), 0.0))
+    q.processAllAvailable()
+    val all = spark.table("sess_replay_out").as[ClosedSession]
+      .collect().filter(_.user_id == 7L)
+      .map(s => (s.n_events, s.sum_value)).toSet
+    assert(all === Set((2L, 3.0), (1L, 40.0)))
     q.stop()
   }
 
