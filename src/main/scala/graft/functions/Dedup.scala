@@ -235,6 +235,31 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Exact Jaccard verification restricted to candidate pairs: joins a
+    * candidate list (id_a, id_b) back to the (id, tid) element sets, keeps
+    * pairs with round(jaccard, 6) >= `minJaccard`. The ONE shared
+    * verification used by every blocked near-dup path (LSH candidates,
+    * banded buckets) — duplicating the sizes/intersection/denominator
+    * arithmetic is how thresholds silently drift between paths.
+    */
+  def verifyJaccard(candidates: DataFrame, sets: DataFrame, idCol: String,
+      minJaccard: Double): DataFrame = {
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = candidates
+      .join(sets.select(col(idCol).as("id_a"), col("tid")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("tid")), Seq("id_b", "tid"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------------
   // N-gram Jaccard near-dup pairs
   // ------------------------------------------------------------------

@@ -35,11 +35,13 @@ object Text {
     * Empty when the doc has fewer than `n` tokens. `sequence` is guarded
     * because Spark generates a *descending* sequence when end < start.
     */
-  def wordNgrams(toks: Column, n: Int): Column =
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1") // same contract as HashedShingles
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
+  }
 
   /** Number of tokens that appear in `words` (marker/stopword hits). */
   def markerHits(toks: Column, words: Seq[String]): Column =
@@ -69,10 +71,15 @@ object Text {
         size(toks).cast("double"))
       .otherwise(lit(0.0))
 
-  /** Punctuation ratio: non-alphanumeric-non-space chars / total chars. */
+  /** Punctuation ratio: non-alphanumeric, non-WHITESPACE chars / total
+    * chars (\\s, not the bare space: tabs and newlines are layout, not
+    * punctuation). ASCII-letter policy is deliberate and documented —
+    * non-ASCII letters count as "punctuation-like" here; language-aware
+    * scoring belongs in langId, not this byte-level heuristic.
+    */
   def punctRatio(c: Column): Column =
     when(length(c) > 0,
-      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")))
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", "")))
         .cast("double") / length(c).cast("double"))
       .otherwise(lit(0.0))
 
@@ -93,6 +100,7 @@ object Text {
     * result); zero hits everywhere → "und".
     */
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    if (markers.isEmpty) return lit("und") // reduceLeft would throw
     val tk = tokens(text)
     val scored = markers.sortBy(_._1).map { case (lang, words) =>
       struct(markerHits(tk, words).as("hits"), lit(lang).as("lang"))

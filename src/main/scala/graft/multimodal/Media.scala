@@ -59,6 +59,7 @@ object Media {
     val featureDim = 8
     def decodeFeatures(payload: Array[Byte]): Array[Float] = {
       val f = new Array[Float](featureDim)
+      if (payload == null) return f // null media: zero features, not an NPE
       var i = 0
       while (i < payload.length) {
         f(i % featureDim) += (payload(i) & 0xff) / 255.0f
@@ -96,6 +97,9 @@ object Media {
 
   /** Row-level frame sampling: one output row per sampled frame. */
   def sampleFrames(media: DataFrame, every: Int): DataFrame = {
+    // every = 0 would throw "step cannot be 0" per row on executors, and
+    // a negative step would silently drop every frame
+    require(every > 0, "every must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte], Int)] = media

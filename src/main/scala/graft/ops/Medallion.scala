@@ -27,10 +27,10 @@ object Medallion {
     * lands somewhere. Returns (valid, corrupt); `corrupt` carries the raw
     * text of each malformed document for a quarantine sink.
     *
-    * The input is cached before splitting: Spark disallows queries that
-    * reference only the internal corrupt-record column on a direct
-    * file-source relation, and the cache also keeps the two sibling
-    * branches from re-reading (and re-parsing) the raw files.
+    * The corrupt side is computed under a short-lived cache purely to
+    * satisfy Spark's rule against corrupt-column-only queries on a direct
+    * file relation; the valid side stays a lazy plan that re-reads the
+    * source on use (deliberate: recomputable lineage over a pinned cache).
     */
   def readRawJsonSafe(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {
@@ -88,12 +88,17 @@ object Medallion {
       arrayField: String = "movie"): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
     val docs = spark.read.option("wholetext", "true").text(path)
-    // Parsing the doc as map<string, array<string>> yields each record's
-    // RAW JSON text (Spark's JSON parser renders object nodes as their
-    // source text when the target type is string).
-    val recs = docs.select(explode(
-      from_json(col("value"), MapType(StringType, ArrayType(StringType)))
-        .getItem(arrayField)).as("__raw"))
+    // TWO-STAGE parse, both to string targets (Spark's JSON parser
+    // renders any node as its raw source text when the target type is
+    // string): doc → map<string,string> first, THEN only the record
+    // array's entry → array<string>. A single map<string,array<string>>
+    // parse would NULL the whole document — dropping every record — the
+    // moment the feed drifts at the DOC level (any non-array top-level
+    // field), which is precisely the drift this entry point tolerates.
+    val recs = docs.select(explode(from_json(
+        from_json(col("value"), MapType(StringType, StringType))
+          .getItem(arrayField),
+        ArrayType(StringType))).as("__raw"))
     val known = recordSchema.fieldNames.toSeq
     val asMap = from_json(col("__raw"), MapType(StringType, StringType))
     val rescued = map_filter(asMap,

@@ -31,20 +31,27 @@ object CorpusPipeline {
       rowsPerBand: Int = 2,
       jaccardThreshold: Double = 0.5)
 
-  /** Map-only annotation: token count, quality score, fingerprint. */
+  /** Map-only annotation: token count, quality score, fingerprints. TWO
+    * independent hashes fingerprint each doc: dedup keyed on a single
+    * ~2^30 polynomial hash collides distinct documents by the birthday
+    * bound around 40k docs; the (poly, xxhash64) pair pushes collisions
+    * past any practical corpus while keeping the dedup key fixed-width
+    * (grouping on the full text would shuffle the corpus by its text).
+    */
   def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame =
     docs
       .withColumn("n_tokens", Text.tokenCount(col(cfg.textCol)))
       .withColumn("quality", Text.qualityScore(col(cfg.textCol), cfg.stopwords))
       .withColumn("fingerprint", Text.charFingerprint(col(cfg.textCol)))
+      .withColumn("fingerprint2", xxhash64(col(cfg.textCol)))
 
   /** Quality gate: drop short docs. */
   def qualityGate(annotated: DataFrame, cfg: Config = Config()): DataFrame =
     annotated.filter(col("n_tokens") >= cfg.minTokens)
 
-  /** Exact dedup: keep the smallest id per identical fingerprint. */
+  /** Exact dedup: keep the smallest id per identical fingerprint PAIR. */
   def exactDedup(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    Dedup.dedupRows(docs, Seq("fingerprint"), cfg.idCol)
+    Dedup.dedupRows(docs, Seq("fingerprint", "fingerprint2"), cfg.idCol)
 
   /** Near-dup removal: LSH candidates over hashed shingles, then exact
     * Jaccard computed ONLY for candidate pairs (join the candidates back
@@ -61,20 +68,11 @@ object CorpusPipeline {
     val candidates = Dedup.lshCandidatePairs(
       Dedup.lshBands(sig, cfg.idCol, cfg.rowsPerBand), cfg.idCol)
 
-    // Jaccard restricted to candidate pairs: shared-shingle counts via two
-    // equi-joins of the candidate list against the shingle sets.
-    val sizes = sh.groupBy(col(cfg.idCol)).agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.select(col(cfg.idCol).as("id_a"), col("tid")), Seq("id_a"))
-      .join(sh.select(col(cfg.idCol).as("id_b"), col("tid")), Seq("id_b", "tid"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val verified = inter
-      .join(sizes.select(col(cfg.idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(cfg.idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
-      .filter(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double")
-        >= cfg.jaccardThreshold)
+    // Jaccard restricted to candidate pairs — the one shared verifier
+    // (Dedup.verifyJaccard), so the threshold arithmetic cannot drift
+    // between the ngram path and this one.
+    val verified = Dedup.verifyJaccard(candidates, sh, cfg.idCol,
+      cfg.jaccardThreshold)
     val toDrop = verified.select(col("id_b").as(cfg.idCol)).distinct()
     docs.join(toDrop, Seq(cfg.idCol), "left_anti")
   }

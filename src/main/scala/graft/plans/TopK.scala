@@ -46,10 +46,20 @@ object TopK {
         if (better(a, b)) 1 else if (better(b, a)) -1 else 0
     }
 
+    // Group keys must have value equality: a raw Array[Byte] (BinaryType
+    // column) has identity equals/hashCode, which would make every row its
+    // own group — no truncation, every rank 1. Wrap arrays in a Seq view.
+    def groupKey(r: Row): Seq[Any] = keyIdx.map { i =>
+      r.getAs[Any](i) match {
+        case bytes: Array[Byte] => bytes.toSeq
+        case other => other
+      }
+    }
+
     def localTopK(it: Iterator[Row]): Iterator[Row] = {
       val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Row]]
       it.foreach { r =>
-        val key = keyIdx.map(r.getAs[Any])
+        val key = groupKey(r)
         val h = heaps.getOrElseUpdate(key,
           mutable.PriorityQueue.empty[Row](heapOrd.reverse))
         if (h.size < k) h.enqueue(r)
@@ -66,7 +76,7 @@ object TopK {
 
     // Final per-key rank assignment (k rows per key at this point).
     val rank: Iterator[Row] => Iterator[Row] = { it =>
-      val byKey = it.toSeq.groupBy(r => keyIdx.map(r.getAs[Any]))
+      val byKey = it.toSeq.groupBy(groupKey)
       byKey.valuesIterator.flatMap { rows =>
         rows.sortWith(better).zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ (i + 1L))

@@ -52,6 +52,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("exact dedup survives a real polynomial-hash collision") {
+    import spark.implicits._
+    // these two distinct texts share polyHash mod 1e9+7 (= 633477840,
+    // found by brute force) — single-hash dedup would silently drop one
+    val input = Seq(
+      (1L, "doc 1026088 text"),
+      (2L, "doc 2400600 text"),
+      (3L, "doc 1026088 text")) // true duplicate of 1
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.exactDedup(CorpusPipeline.annotate(input))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L)) // collision pair both kept; dup dropped
+  }
+
   test("stream-stream join matches events within the time window") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -77,6 +77,15 @@ class MedallionSpec extends AnyFunSuite {
     assert(drifted.keys.toSet === Set("Rating", "Tags"))
     assert(drifted("Rating") === "5")
     assert(drifted("Tags").contains("\"a\"")) // nested object as raw JSON
+    // DOC-level drift (a non-array top-level field) must not null out the
+    // document and swallow its records
+    val dir2 = TestSpark.tmpDir("raw_drift_doc")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir2/feed.json").toPath,
+      """{"api_version": 3, "movie": [{"Id": 9, "Title": "still here"}]}""")
+    val out2 = Medallion.readJsonWithRescue(spark, dir2, schema)
+    assert(out2.count() === 1)
+    assert(out2.select("record.Id").head().getLong(0) === 9L)
   }
 
   test("P1: bronze envelope carries metadata and status=new") {

@@ -24,6 +24,20 @@ class TopKExtensionsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("topKPerKey groups binary keys by value, not reference") {
+    import spark.implicits._
+    // two rows share the same BYTES under different array instances; a
+    // reference-keyed map would give every row its own group and rank 1
+    val df = Seq(
+      (Array[Byte](1, 2), 10L, 1L), (Array[Byte](1, 2), 20L, 2L),
+      (Array[Byte](3, 4), 30L, 3L))
+      .toDF("bkey", "score", "id")
+    val out = TopK.topKPerKey(df, Seq("bkey"), "score", "id", k = 1)
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 1L, 3L -> 1L)) // one winner per byte-value
+  }
+
   test("topKPerKey handles k larger than any group") {
     val n = Tables.nation(spark, "/root/testdata/sf0.001")
     val out = TopK.topKPerKey(n, Seq("n_regionkey"), "n_nationkey",
