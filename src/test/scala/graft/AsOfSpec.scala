@@ -27,6 +27,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(out((2L, 50L)) === (None, None))              // no earlier quote
   }
 
+  test("asofJoin: NULL keys never match each other (SQL equality semantics)") {
+    import spark.implicits._
+    val left = Seq((Option(1L), 12L), (Option.empty[Long], 12L))
+      .toDF("k", "ts")
+    val right = Seq((Option(1L), 10L, 5.0), (Option.empty[Long], 10L, 99.0))
+      .toDF("k", "ts", "bid")
+    val out = graft.ops.AsOf.asofJoin(left, right, "k", "ts", "ts", Seq("bid"))
+      .select($"k", $"asof_bid").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(Some(1L)) === Some(5.0))
+    assert(out(None) === None) // NULL key gets NO match, not the NULL-key right row
+  }
+
   test("asofJoin matches DuckDB ASOF semantics on the events table") {
     val got = SparkEntry.queries("q_asof_join")(spark, "/root/testdata/sf0.001")
     assert(got.count() > 0)

@@ -72,6 +72,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm embeddings match nothing and never win a top-k") {
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // the zero vector must not appear in any near-dup pair (NaN sim would
+    // have passed every >= threshold predicate)
+    val pairs = graft.functions.Vec.cosineNearDupPairs(v, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // and must not displace a real neighbor in a descending top-k
+    val topk = graft.functions.Vec.bruteForceTopK(
+        v.filter($"vec_id" === 1), v, k = 1)
+      .select("neighbor_id").head().getLong(0)
+    assert(topk === 2L) // not the zero vector
+  }
+
   test("embedding near-dup: LSH-blocked pairs are a subset of exact pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = graft.functions.Vec.cosineNearDupPairs(emb, 0.3)
