@@ -29,7 +29,12 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      // A failure must be VISIBLE: a query that regresses to throwing in
+      // 50 ms would otherwise record a great "time" and silently deflate
+      // the total — a breakage indistinguishable from a speed-up.
+      try { exec(fn(spark, sfDir)) } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -27,6 +27,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Remove any PREVIOUS run's output for this query: a stale result
+        // would hash-compare green and mask a regression-to-exception —
+        // the gate must see "no spark output", not last week's answer.
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(dir)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

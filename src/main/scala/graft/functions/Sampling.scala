@@ -36,12 +36,26 @@ object Sampling {
     pmod(h3, lit(10000L))
   }
 
+  /** The key column must already be numeric: a string key would go through
+    * cast-to-long, silently yielding NULL buckets (legacy cast) or a
+    * runtime CAST_INVALID_INPUT (ANSI) — either way not the sample the
+    * caller asked for. Hash string keys to a number first (xxhash64).
+    */
+  private def requireNumericKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types.NumericType
+    val dt = df.schema(keyCol).dataType
+    require(dt.isInstanceOf[NumericType],
+      s"Sampling key '$keyCol' must be numeric, got ${dt.sql} " +
+        "(hash string keys to a number first, e.g. xxhash64)")
+  }
+
   /** Deterministic ~`bps`/10000 sample of rows by key hash (100 bps = 1%).
     * Scan-stage; at 100 TB this is a pushdown-friendly filter, not a
     * shuffle-and-count.
     */
   def hashSample(df: DataFrame, keyCol: String, bps: Int): DataFrame = {
     require(bps >= 0 && bps <= 10000, "bps must be in [0, 10000]")
+    requireNumericKey(df, keyCol)
     df.filter(hashBucket(col(keyCol)) < bps)
   }
 
@@ -58,6 +72,7 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_._2 > 0) &&
         weights.map(_._2).sum <= 10000,
       "weights are positive basis points summing to <= 10000")
+    requireNumericKey(df, keyCol)
     val bucket = hashBucket(col(keyCol))
     val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val chain = weights.zip(bounds).foldLeft(null: Column) {

@@ -54,19 +54,25 @@ object Maintenance {
       v -> bytes
     }.toMap
     Merge.rewritePartitions(spark, path, partitionCol, partValues) { df =>
-      // All requested partitions flow through one plan, so the per-
-      // partition file count is sized for the LARGEST of them (smaller
-      // ones get fewer-but-larger files — the desired direction). Rows
-      // route to (partition, bucket) via a deterministic whole-row hash:
-      // the writer emits one file per (task, hive-partition) pair, so
-      // each partition splits into ~filesPer files, and task retries
-      // re-derive identical buckets (a rand() key could not guarantee
-      // that).
-      val maxBytes = bytesByPart.values.max
-      val filesPer = math.max(1L, (maxBytes + targetBytes - 1) / targetBytes).toInt
+      // Bucket count is sized PER PARTITION from its own on-disk bytes: a
+      // single shared count (e.g. sized for the largest partition) would
+      // shatter small partitions into many sub-target files — the
+      // opposite of compaction, and non-convergent (they would qualify
+      // again on the next run). Rows route to (partition, bucket) via a
+      // deterministic whole-row hash: the writer emits one file per
+      // (task, hive-partition) pair, and task retries re-derive identical
+      // buckets (a rand() key could not guarantee that).
+      def filesFor(bytes: Long): Int =
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val filesPerCol = bytesByPart.foldLeft(lit(1)) {
+        case (acc, (v, bytes)) =>
+          when(col(partitionCol).cast("string") === v, lit(filesFor(bytes)))
+            .otherwise(acc)
+      }
+      val totalBuckets = bytesByPart.values.map(filesFor).sum
       val allCols = df.columns.map(col)
-      df.withColumn("__bucket", pmod(xxhash64(allCols: _*), lit(filesPer)))
-        .repartition(filesPer * partValues.size,
+      df.withColumn("__bucket", pmod(xxhash64(allCols: _*), filesPerCol))
+        .repartition(math.max(totalBuckets, 1),
           col(partitionCol), col("__bucket"))
         .drop("__bucket")
     }
@@ -82,7 +88,14 @@ object Maintenance {
     val oversplit = partitionFileCounts(spark, path)
       .collect { case (dir, n) if dir.startsWith(prefix) && n > maxFiles =>
         dir.stripPrefix(prefix)
-      }.toSeq.sorted
+      }
+      // Hive-ESCAPED dir values ('%xx') and the null partition render
+      // differently from their runtime values, so the rewrite's
+      // name/value guard would abort the whole batch on them — skip those
+      // partitions (compact them by explicit value via compactPartitions)
+      // rather than blocking every healthy partition forever.
+      .filterNot(v => v.contains("%") || v == "__HIVE_DEFAULT_PARTITION__")
+      .toSeq.sorted
     compactPartitions(spark, path, partitionCol, oversplit, targetBytes)
     oversplit
   }

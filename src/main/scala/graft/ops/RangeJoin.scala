@@ -29,23 +29,28 @@ object RangeJoin {
 
   /** All (l, r) pairs with |l.xLeft - r.xRight| <= band (inclusive).
     *
-    * The left side is replicated to its value's bucket and both neighbor
-    * buckets (3×); the right side keeps its single bucket. A qualifying
-    * pair's buckets differ by at most one, so it meets on exactly one tag —
-    * found once, no post-dedup. The ±1 replication also absorbs the one-ulp
-    * slop of floating-point bucket boundaries. The exact `abs <= band`
-    * predicate sits INSIDE the join condition, so only surviving pairs are
-    * emitted from the join.
+    * The left side is replicated to its value's bucket and the ±2
+    * neighborhood (5×); the right side keeps its single bucket. In exact
+    * arithmetic a qualifying pair's buckets differ by at most one, but the
+    * fp-computed `x / band` on each side can each cross an integer
+    * boundary by one ulp AND the fp `abs(l-r) <= band` predicate admits a
+    * true difference one ulp past the band — together a computed bucket
+    * gap of 2 — so the replication covers ±2. Each pair still meets on
+    * exactly one tag (the right bucket occurs once in the left row's
+    * 5-tag window) — found once, no post-dedup. The exact `abs <= band`
+    * predicate sits INSIDE the join condition, so only surviving pairs
+    * are emitted from the join.
     */
   def bandJoin(left: DataFrame, right: DataFrame, xLeft: String,
       xRight: String, band: Double): DataFrame = {
     require(band > 0, "band must be positive")
     requireDisjoint(left, right)
-    // 3× replication via a generator (not a join): stays inside the scan
+    // 5× replication via a generator (not a join): stays inside the scan
     // stage, no broadcast, no extra plan nodes.
     val l = left
       .withColumn("__bl", floor(col(xLeft) / band))
-      .withColumn("__boff", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__boff", explode(array(
+        lit(-2L), lit(-1L), lit(0L), lit(1L), lit(2L))))
       .withColumn("__bucket", col("__bl") + col("__boff"))
     val r = right.withColumn("__bucket", floor(col(xRight) / band))
     l.join(r, l("__bucket") === r("__bucket") &&

@@ -103,6 +103,10 @@ object TopKStrategy extends SparkStrategy {
     case n: TopKPerKeyNode =>
       val maxKeys = org.apache.spark.sql.internal.SQLConf.get
         .getConfString(MaxPartialKeysConf, "262144").toInt
+      // maxKeys <= 0 would make the partial phase's budget unfillable and
+      // silently emit ZERO rows — reject at planning, loudly.
+      if (maxKeys < 1) throw new IllegalArgumentException(
+        s"$MaxPartialKeysConf must be >= 1, got $maxKeys")
       val partial = TopKPartialExec(n.keys, n.ordering, n.k, maxKeys,
         planLater(n.child))
       TopKFinalExec(n.keys, n.ordering, n.k, n.rankAttr, partial) :: Nil

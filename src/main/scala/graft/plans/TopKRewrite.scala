@@ -27,6 +27,17 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
+  val MaxRewriteKConf = "spark.graft.topk.maxRewriteK"
+
+  /** The bounded operator holds k rows per key in MEMORY with no spill;
+    * the window plan it replaces sorts with spill. Above this k the
+    * trade inverts (a huge rank filter is effectively "keep everything"),
+    * so the rewrite declines and the spillable window plan stands.
+    */
+  private def maxRewriteK: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(MaxRewriteKConf, "100000").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(
@@ -38,7 +49,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
         // leave unpartitioned windows to the normal planner.
         if orderSpec.nonEmpty && partitionSpec.nonEmpty =>
       boundOf(cond, alias.toAttribute) match {
-        case Some(k) if k > 0 =>
+        case Some(k) if k > 0 && k <= maxRewriteK =>
           // Spark's InsertWindowGroupLimit may already have wrapped the
           // child; those nodes (which still fully sort each partition)
           // become redundant once the bounded-heap operator takes over.
@@ -48,8 +59,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
           Project(child.output :+
             Alias(Cast(node.rankAttr, IntegerType), alias.name)(
               exprId = alias.exprId), node)
-        case Some(_) => // k <= 0: empty result; leave to the normal planner
-          f
+        case Some(_) => // k <= 0 (empty result) or k beyond the memory
+          f            // ceiling: the spillable window plan stands
         case None => f
       }
   }

@@ -52,6 +52,31 @@ class MaintenanceSpec extends AnyFunSuite {
       spark, path, "p", maxFiles = 4).isEmpty)
   }
 
+  test("co-compacted partitions are each sized from their OWN bytes") {
+    val dir = TestSpark.tmpDir("compact_mixed")
+    val path = s"$dir/t"
+    // big partition a (~16x the data), tiny partition b — both oversplit
+    (1 to 16000).map(i => (i.toLong, s"payload_$i" * 20, "a"))
+      .toDF("id", "v", "p")
+      .repartition(16).write.partitionBy("p").parquet(path)
+    (1 to 100).map(i => (i.toLong, s"x$i", "b")).toDF("id", "v", "p")
+      .repartition(8).write.mode("append").partitionBy("p").parquet(path)
+    val aBytes = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$path/p=a")).getLength
+    }
+    val before = spark.read.parquet(path).count()
+    // target ~a/4: partition a should get ~4 files, tiny b exactly 1 —
+    // NOT a's bucket count (which would shatter b into sub-target files)
+    Maintenance.compactPartitions(spark, path, "p", Seq("a", "b"),
+      targetBytes = aBytes / 4)
+    assert(fileCount(path, "p=b") === 1, s"b=${fileCount(path, "p=b")}")
+    val aFiles = fileCount(path, "p=a")
+    assert(aFiles >= 3 && aFiles <= 6, s"a=$aFiles")
+    assert(spark.read.parquet(path).count() === before)
+  }
+
   test("compactPartitions splits a large partition into ~targetBytes files") {
     val dir = TestSpark.tmpDir("compact_split")
     val path = s"$dir/t"

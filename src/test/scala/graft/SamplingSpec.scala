@@ -50,6 +50,15 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(ids, "id", Seq("a" -> -100, "b" -> 200))
     }
+    // string keys would cast to NULL buckets (or crash under ANSI) —
+    // rejected at call time instead
+    val strKeys = Seq("doc_a", "doc_b").toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(strKeys, "id", Seq("train" -> 10000))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(strKeys, "id", 1000)
+    }
   }
 
   test("packBudget: packs are contiguous, ordered, and hold ~budget tokens") {

@@ -123,6 +123,31 @@ class TopKExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite declines beyond the k memory ceiling; bad key budget errors") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKNative.enable(spark)
+    try {
+      val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      // k far beyond maxRewriteK: the spillable window plan must stand
+      val big = o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10000000)
+      val plan = big.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKFinal"), plan)
+      assert(big.count() === o.count())
+      // a non-positive key budget fails planning loudly, never emits 0 rows
+      spark.conf.set(graft.plans.TopKStrategy.MaxPartialKeysConf, "0")
+      try {
+        val ex = intercept[Exception] {
+          graft.plans.TopKNative.topKPerKey(o, Seq("o_custkey"),
+            "o_totalprice", "o_orderkey", k = 3).collect()
+        }
+        assert(ex.getMessage.contains("must be >= 1"), ex.getMessage)
+      } finally spark.conf.unset(graft.plans.TopKStrategy.MaxPartialKeysConf)
+    } finally graft.plans.TopKNative.disableRewrite(spark)
+  }
+
   test("GraftFunctions registers the native expressions for SQL use") {
     graft.plans.GraftFunctions.register(spark)
     val h = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
