@@ -169,7 +169,8 @@ object Merge {
       val readValues = sub.select(col(partitionCol).cast("string"))
         .distinct().collect().map(_.getString(0)).toSet
       partValues.foreach { v =>
-        val live = new org.apache.hadoop.fs.Path(s"$base/$partitionCol=$v")
+        val live = new org.apache.hadoop.fs.Path(s"$base/$partitionCol=" +
+          org.apache.spark.sql.GraftBridge.escapePartitionValue(v))
         val (exists, read) = (fs.exists(live), readValues.contains(v))
         if (exists != read)
           throw new IllegalStateException(
@@ -193,7 +194,10 @@ object Merge {
     if (!fs.mkdirs(asideRoot))
       throw new java.io.IOException(s"rewritePartitions: cannot create $asideRoot")
     partValues.foreach { v =>
-      val dir = s"$partitionCol=$v"
+      // writers hive-escape special chars in directory names; address the
+      // real on-disk names, not the raw values
+      val dir = s"$partitionCol=" +
+        org.apache.spark.sql.GraftBridge.escapePartitionValue(v)
       val live = new org.apache.hadoop.fs.Path(s"$base/$dir")
       val fresh = new org.apache.hadoop.fs.Path(s"$tmp/$dir")
       val aside = new org.apache.hadoop.fs.Path(asideRoot, dir)

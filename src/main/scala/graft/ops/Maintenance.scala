@@ -48,7 +48,8 @@ object Maintenance {
     val base = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytesByPart = partValues.map { v =>
-      val dir = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$v")
+      val dir = new org.apache.hadoop.fs.Path(base, s"$partitionCol=" +
+        org.apache.spark.sql.GraftBridge.escapePartitionValue(v))
       val bytes =
         if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
       v -> bytes
@@ -89,12 +90,10 @@ object Maintenance {
       .collect { case (dir, n) if dir.startsWith(prefix) && n > maxFiles =>
         dir.stripPrefix(prefix)
       }
-      // Hive-ESCAPED dir values ('%xx') and the null partition render
-      // differently from their runtime values, so the rewrite's
-      // name/value guard would abort the whole batch on them — skip those
-      // partitions (compact them by explicit value via compactPartitions)
-      // rather than blocking every healthy partition forever.
-      .filterNot(v => v.contains("%") || v == "__HIVE_DEFAULT_PARTITION__")
+      // dir names are hive-escaped; recover the runtime values. The NULL
+      // partition has no addressable value for an isin filter — skip it.
+      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      .map(org.apache.spark.sql.GraftBridge.unescapePartitionValue)
       .toSeq.sorted
     compactPartitions(spark, path, partitionCol, oversplit, targetBytes)
     oversplit

@@ -29,6 +29,16 @@ object GraftBridge {
   def extensions(spark: SparkSession): SparkSessionExtensions =
     spark.asInstanceOf[classic.SparkSession].extensions
 
+  /** Hive partition-path escaping (spaces, colons, '%', …) — the exact
+    * rules Spark's writers use for `col=value` directory names, so swap
+    * logic addressing directories by value hits the real on-disk names.
+    */
+  def escapePartitionValue(v: String): String =
+    catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  def unescapePartitionValue(v: String): String =
+    catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+
   /** Invalidate the session-shared file-listing cache. `spark.catalog
     * .refreshByPath` only re-executes cached PLANS; the FileStatusCache
     * behind path-based reads keeps serving a swapped-out directory's old

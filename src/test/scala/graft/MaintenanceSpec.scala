@@ -77,6 +77,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === before)
   }
 
+  test("hive-escaped partition values compact correctly end to end") {
+    val dir = TestSpark.tmpDir("compact_escaped")
+    val path = s"$dir/t"
+    // value with a space and a colon — written as "p=v 1%3A2" on disk
+    // (hive escapes the colon; spaces stay literal)
+    (1 to 32).map(i => (i.toLong, "v 1:2")).toDF("id", "p")
+      .repartition(8).write.partitionBy("p").parquet(path)
+    val counts = Maintenance.partitionFileCounts(spark, path)
+    assert(counts.keys.exists(_.contains("%")), counts.toString) // escaped on disk
+    val before = spark.read.parquet(path).collect().toSet
+    val compacted = Maintenance.compactSmallFilePartitions(
+      spark, path, "p", maxFiles = 4)
+    assert(compacted === Seq("v 1:2")) // unescaped runtime value
+    assert(fileCount(path, "p=v 1%3A2") === 1)
+    assert(spark.read.parquet(path).collect().toSet === before)
+  }
+
   test("compactPartitions splits a large partition into ~targetBytes files") {
     val dir = TestSpark.tmpDir("compact_split")
     val path = s"$dir/t"
