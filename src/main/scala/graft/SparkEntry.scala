@@ -443,6 +443,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Benchmark decontamination: docs sharing ANY 3-gram with the eval
+    // set (doc_id < 10) drop from the training corpus — broadcast
+    // semi-join, linear in the corpus.
+    "q_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", shingleSize = 3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
     // MinHash signatures over word-3-gram shingles. Token ids are per-row
     // polynomial hashes (shuffle-free, dictionary-free — the 100 TB design)
     // that the oracle reproduces arithmetically; the xxhash64 production
@@ -972,6 +983,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY substr(text, 1, 60) ORDER BY keep_id""",
+
+    "q_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          ev AS (SELECT DISTINCT tid FROM g WHERE doc_id < 10),
+          bad AS (SELECT g.doc_id FROM g JOIN ev USING (tid)
+            WHERE g.doc_id >= 10 GROUP BY g.doc_id HAVING count(*) > 0)
+          SELECT doc_id FROM documents
+          WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id""",
 
     "q_ngram_jaccard" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

@@ -235,6 +235,29 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Benchmark decontamination: drop training documents sharing more than
+    * `maxSharedShingles` distinct word n-grams with ANY document of an
+    * evaluation set — the standard pretraining-hygiene step against eval
+    * contamination. The eval side is tiny by construction, so its hashed
+    * shingle set broadcasts and the whole check is one map-side semi-join
+    * + a small aggregate: linear in the corpus, no corpus self-join.
+    * Returns the SURVIVING training docs.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int,
+      maxSharedShingles: Long = 0L): DataFrame = {
+    val trainSh = docShingleIds(docs, idCol, textCol, shingleSize).distinct()
+    val evalSh = broadcast(
+      docShingleIds(evalDocs, idCol, textCol, shingleSize)
+        .select(col("tid")).distinct())
+    val contaminated = trainSh.join(evalSh, Seq("tid"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") > maxSharedShingles)
+      .select(col(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard verification restricted to candidate pairs: joins a
     * candidate list (id_a, id_b) back to the (id, tid) element sets, keeps
     * pairs with round(jaccard, 6) >= `minJaccard`. The ONE shared

@@ -73,6 +73,26 @@ class DedupVecSpec extends AnyFunSuite {
     assert(dict === Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
   }
 
+  test("decontaminate drops exactly the docs overlapping the eval set") {
+    val train = Seq(
+      (10L, base),                                  // contaminated: shares 3-grams with eval doc
+      (11L, "completely different content about spark query engines and " +
+        "distributed columnar execution with code generation"),
+      (12L, "short text")                           // < 3 tokens: no shingles, never contaminated
+    ).toDF("doc_id", "text")
+    val eval = Seq((1L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.decontaminate(
+        train, eval, "doc_id", "text", shingleSize = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(11L, 12L))
+    // a higher tolerance keeps mild overlap
+    val lax = graft.functions.Dedup.decontaminate(
+        train, eval, "doc_id", "text", shingleSize = 3,
+        maxSharedShingles = 1000L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(lax === Array(10L, 11L, 12L))
+  }
+
   test("exact dedup groups by key with smallest id kept") {
     val d = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("id", "t")
     val g = Dedup.exactGroups(d, col("t"), col("id"))
