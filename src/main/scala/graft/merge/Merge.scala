@@ -186,6 +186,26 @@ object Merge {
         .partitionBy(partitionCol).save(tmp)
     } finally sub.unpersist()
 
+    // f must not MOVE rows to partitions outside the requested set: the
+    // swap below installs only partValues' directories, so rows written
+    // to any other partition would vanish with the tmp cleanup while the
+    // source partition is removed as "emptied" — silent data loss.
+    // (To change a row's partition, rewrite with the target partition
+    // included in partValues.)
+    val escaped = partValues.map(
+      org.apache.spark.sql.GraftBridge.escapePartitionValue).toSet
+    val strays = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(s"$partitionCol=") &&
+        !escaped.contains(n.stripPrefix(s"$partitionCol=")))
+    if (strays.nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalStateException(
+        s"rewritePartitions: f produced rows in partition(s) " +
+          s"${strays.mkString(", ")} outside the requested set — aborting " +
+          "before the swap (include those values in partValues to move rows)")
+    }
+
     // The aside area lives OUTSIDE the table root (an aside directory
     // inside it would be discovered as a partition and double-read) and is
     // run-scoped (a shared name would let a concurrent rewrite of OTHER
@@ -211,6 +231,29 @@ object Merge {
     fs.delete(asideRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     invalidateAfterSwap(spark, fs, base)
+  }
+
+  /** Remove rewrite debris (`__rewrite_tmp_*` / `__rewrite_old_*` sibling
+    * directories) left by CRASHED rewrites. Run-scoped names mean crashes
+    * leak partition-sized directories rather than corrupting anything;
+    * call this from maintenance when NO rewrite of the table is running
+    * (a live rewrite's own tmp/aside would be swept too). Returns the
+    * removed directory names.
+    */
+  def cleanRewriteDebris(spark: SparkSession, path: String): Seq[String] = {
+    val base = path.stripSuffix("/")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseName = p.getName
+    fs.listStatus(p.getParent)
+      .map(_.getPath)
+      .filter { d =>
+        val n = d.getName
+        n.startsWith(baseName + "__rewrite_tmp") ||
+          n.startsWith(baseName + "__rewrite_old")
+      }
+      .map { d => fs.delete(d, true); d.getName }
+      .toSeq.sorted
   }
 
   /** Path-backed merge: read the parquet table at `path`, apply `f`, and

@@ -196,7 +196,10 @@ object Medallion {
     df.select(explode(col(arrayCol)).as("g"))
       .select(col(s"g.$idCol").as("Id"), col(s"g.$nameCol").as(nameCol))
       .distinct()
-      .filter(col(nameCol) =!= "")
+      // empty names AND null ids are malformed dimension rows; a null Id
+      // would also defeat the upsert's anti-join (NULL never matches) and
+      // re-append on every batch
+      .filter(col(nameCol) =!= "" && col("Id").isNotNull)
       .orderBy("Id")
 
   /** K1 — partitioned batch writer (operations.py:36-44): drop excluded

@@ -71,11 +71,28 @@ object MoviePipeline {
     val flat = Medallion.flattenValue(bronzeNew).cache()
 
     val movie = transformMovie(flat).distinct()
-    val (clean, quarantined) =
-      Medallion.cleanQuarantineSplit(movie, col("RunTime") >= 0)
+    // Clean requires a non-null Id as well: Id is the merge/idempotency
+    // key everywhere downstream, and NULL never equals NULL in an
+    // anti-join, so a null-Id row could neither be deduplicated nor
+    // replay-guarded — it quarantines instead.
+    val (clean, quarantined) = Medallion.cleanQuarantineSplit(movie,
+      col("RunTime") >= 0 && col("Id").isNotNull)
 
-    Medallion.batchWriter(clean, s"$silverDir/movie_silver", "p_CreatedDate",
-      excludeCols = Seq("value"))
+    // Anti-join guard against the existing silver Ids: a crash between
+    // this write and the status writeback would otherwise re-append the
+    // same still-'new' rows on rerun. (Schema-specified read: the table
+    // may not exist, or may be a footerless dir from an empty batch.)
+    val moviePath = s"$silverDir/movie_silver"
+    val silverExists = new org.apache.hadoop.fs.Path(moviePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(moviePath))
+    val cleanOut = clean.drop("value")
+    val freshClean =
+      if (!silverExists) cleanOut
+      else cleanOut.join(
+        spark.read.schema(cleanOut.schema).parquet(moviePath).select("Id"),
+        Seq("Id"), "left_anti")
+    Medallion.batchWriter(freshClean, moviePath, "p_CreatedDate")
     // Dimensions accumulate across batches via anti-join upsert: a plain
     // overwrite would wipe rows from earlier batches (dangling FKs from
     // older silver movies), and the reference's plain append would
@@ -182,7 +199,7 @@ object MoviePipeline {
     // repair strategy.
     val (repaired, _) = Medallion.cleanQuarantineSplit(
       transformMovie(Medallion.repairAbs(flat, "RunTime")).distinct(),
-      col("RunTime") >= 0)
+      col("RunTime") >= 0 && col("Id").isNotNull)
 
     val moviePath = s"$silverDir/movie_silver"
     // Schema-specified read: a prior all-quarantined batch leaves a silver

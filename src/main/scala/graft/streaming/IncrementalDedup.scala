@@ -81,12 +81,12 @@ object IncrementalDedup {
         bands.join(prior, Seq("band", "band_val"), "left_semi")
           .select(col(idCol))
       }
-    // in-batch hits: keep the smallest id per shared bucket, drop the rest
-    val inBatch = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_val") === col("b.band_val") &&
-        col(s"a.$idCol") > col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as(idCol))
+    // in-batch hits: keep the smallest id per shared bucket, drop the
+    // rest — via the CAPPED candidate join (a raw band self-join goes
+    // quadratic on degenerate buckets, e.g. many empty docs in one batch;
+    // lshCandidatePairs bounds posting lists at bucketCap)
+    val inBatch = Dedup.lshCandidatePairs(bands, idCol)
+      .select(col("id_b").as(idCol))
     val dupIds = vsIndex.union(inBatch).distinct().localCheckpoint(true)
 
     val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
@@ -119,7 +119,34 @@ object IncrementalDedup {
     * foreachBatch.
     */
   def stream(docs: DataFrame, indexPath: String, acceptedPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    // Bind the index to ONE checkpoint: batchIds restart from 0 with a
+    // fresh checkpoint, and dynamic overwrite would then REPLACE old
+    // __batch=N index partitions — silently erasing the accepted
+    // corpus's bands and accepting all its future duplicates. Refuse a
+    // mismatched (index, checkpoint) pairing instead.
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val binding = new org.apache.hadoop.fs.Path(indexPath, "_checkpoint_binding")
+    if (fs.exists(binding)) {
+      val in = fs.open(binding)
+      val bound =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (bound != checkpoint)
+        throw new IllegalStateException(
+          s"IncrementalDedup index $indexPath is bound to checkpoint " +
+            s"'$bound' but this stream uses '$checkpoint' — a fresh " +
+            "checkpoint would reuse batch ids and overwrite prior index " +
+            "partitions; reuse the original checkpoint or start a new index")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
+      val out = fs.create(binding, true)
+      out.write(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -131,4 +158,5 @@ object IncrementalDedup {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 }

@@ -91,18 +91,23 @@ object StreamingMedallion {
     foreachBatchSink(fresh, checkpoint, "Bronze_To_Silver") { (s, batch, batchId) =>
       val flat = Medallion.flattenValue(batch).cache()
       val movie = graft.pipeline.MoviePipeline.transformMovie(flat).distinct()
-      val (clean, quarantined) =
-        Medallion.cleanQuarantineSplit(movie, col("RunTime") >= 0)
+      // non-null Id required for clean: it is the anti-join idempotency
+      // key, and NULL never matches in an anti-join
+      val (clean, quarantined) = Medallion.cleanQuarantineSplit(movie,
+        col("RunTime") >= 0 && col("Id").isNotNull)
       def mergeInto(rows: DataFrame, path: String): Unit = {
         val out = rows.drop("value")
         val exists = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .exists(new org.apache.hadoop.fs.Path(path))
         // schema-specified read: an earlier empty batch may have left a
-        // footerless directory that inference would reject
-        val fresh = if (!exists) out
+        // footerless directory that inference would reject. The anti-join
+        // result is materialized ONCE (localCheckpoint) — the emptiness
+        // probe and the write would otherwise each run the whole plan,
+        // including a re-read of the growing silver table.
+        val fresh = (if (!exists) out
           else out.join(s.read.schema(out.schema).parquet(path).select("Id"),
-            Seq("Id"), "left_anti")
+            Seq("Id"), "left_anti")).localCheckpoint(true)
         if (!fresh.isEmpty)
           Medallion.batchWriter(fresh, path, "p_CreatedDate")
       }
@@ -113,6 +118,7 @@ object StreamingMedallion {
           .withColumn("status", lit("quarantined")))
       val keyed = batch.select(col("value"), col("p_ingestdate"))
         .join(statused, Seq("value")).distinct()
+        .localCheckpoint(true) // one materialization for probe + write
       // empty microbatches (e.g. a replay over already-statused rows)
       // write nothing — an empty overwrite would leave a footerless
       // partition directory
@@ -153,14 +159,18 @@ object StreamingMedallion {
     fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
   }
 
-  /** A1-streaming — bounded-state streaming dedup: watermark + per-key
-    * dropDuplicates (upgrade of Bronze_to_Silver.py:89-90's unbounded
-    * distinct).
+  /** A1-streaming — bounded-state streaming dedup: watermark +
+    * dropDuplicatesWithinWatermark on the KEYS ALONE (upgrade of
+    * Bronze_to_Silver.py:89-90's unbounded distinct). The older
+    * dropDuplicates(keys :+ ts) form was not truly per-key — two copies
+    * of the same logical event differing by a millisecond of receipt
+    * time both survived; deduping on keys with watermark-evicted state
+    * is the per-key primitive.
     */
   def dedupStream(df: DataFrame, tsCol: String, delay: String,
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Custom stateful processing: per-user streaming sessionization with an
     * event-time gap timeout via flatMapGroupsWithState — the generalized

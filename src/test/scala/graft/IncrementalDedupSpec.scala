@@ -86,6 +86,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(next.isEmpty) // near-dup of the backfilled doc drops
   }
 
+  test("stream refuses an index bound to a different checkpoint") {
+    val root = TestSpark.tmpDir("inc_dedup_binding")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq((1L, base)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    IncrementalDedup.stream(
+      spark.readStream.schema(schema).parquet(in),
+      s"$root/index", s"$root/accepted", s"$root/cp1").awaitTermination()
+    // a FRESH checkpoint would restart batch ids at 0 and overwrite prior
+    // index partitions — the binding guard must refuse
+    val ex = intercept[IllegalStateException] {
+      IncrementalDedup.stream(
+        spark.readStream.schema(schema).parquet(in),
+        s"$root/index", s"$root/accepted", s"$root/cp2")
+    }
+    assert(ex.getMessage.contains("bound to checkpoint"), ex.getMessage)
+  }
+
   test("stream: exactly-once across restarts, accepted corpus stays dedup'd") {
     val root = TestSpark.tmpDir("inc_dedup_stream")
     val in = s"$root/in"

@@ -153,6 +153,27 @@ class MergeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).head().getLong(0) === 2L)
   }
 
+  test("rewritePartitions aborts when f moves rows outside the requested set") {
+    val dir = TestSpark.tmpDir("rewrite_stray")
+    val path = s"$dir/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").write.partitionBy("p").parquet(path)
+    val before = spark.read.parquet(path).collect().toSet
+    val ex = intercept[IllegalStateException] {
+      Merge.rewritePartitions(spark, path, "p", Seq("a")) { df =>
+        df.withColumn("p", lit("c")) // rows would land in p=c and vanish
+      }
+    }
+    assert(ex.getMessage.contains("outside the requested set"), ex.getMessage)
+    assert(spark.read.parquet(path).collect().toSet === before) // untouched
+    // debris from the aborted run (and any crash) is reclaimable
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${path}__rewrite_tmp_dead"))
+    val removed = Merge.cleanRewriteDebris(spark, path)
+    assert(removed.exists(_.contains("__rewrite_tmp")), removed.toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}__rewrite_tmp_dead")))
+  }
+
   test("rewriteTable swaps content atomically-ish and preserves partitioning") {
     val dir = TestSpark.tmpDir("rewrite")
     val path = s"$dir/t"
