@@ -111,6 +111,50 @@ object Merge {
     whenNotMatchedInsert(
       whenMatchedUpdate(target, source, keyCols, setCols), source, keyCols)
 
+  /** Idempotent keyed append into a path-backed parquet table: writes only
+    * the rows of `df` whose key is absent from the table — the ONE replay
+    * guard every medallion sink shares (crash-replays and reruns re-offer
+    * the same rows; the anti-join makes the second offer a no-op).
+    * Handles the absent-table and footerless-directory cases
+    * (schema-specified read), materializes the anti-join once
+    * (localCheckpoint) so the emptiness probe doesn't re-run the plan, and
+    * skips empty writes. Returns the number of rows appended.
+    *
+    * `nullKeyRowHash = true` extends the guard to rows with NULL keys
+    * (quarantine tables hold malformed rows): such rows match by a
+    * whole-row hash instead, since NULL never equals NULL in a join and
+    * null-keyed rows would otherwise re-append on every replay.
+    */
+  def antiJoinAppend(spark: SparkSession, df: DataFrame, path: String,
+      keyCols: Seq[String], partitionCol: String,
+      nullKeyRowHash: Boolean = false): Long = {
+    require(keyCols.nonEmpty, "antiJoinAppend needs at least one key column")
+    val exists = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+    def withKey(frame: DataFrame): DataFrame = frame.withColumn("__mk",
+      when(keyCols.map(col(_).isNotNull).reduce(_ && _),
+        concat_ws("", lit("k") +: keyCols.map(col(_).cast("string")): _*))
+        .otherwise(concat(lit("h"),
+          xxhash64(frame.columns.map(col): _*).cast("string"))))
+    val fresh = (if (!exists) df
+      else if (nullKeyRowHash)
+        withKey(df).join(
+          withKey(spark.read.schema(df.schema).parquet(path)).select("__mk"),
+          Seq("__mk"), "left_anti").drop("__mk")
+      else
+        df.join(
+          spark.read.schema(df.schema).parquet(path).select(keyCols.map(col): _*)
+            .dropDuplicates(keyCols),
+          keyCols, "left_anti"))
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.format("parquet").mode("append")
+        .partitionBy(partitionCol).save(path)
+    n
+  }
+
   /** Partition-restricted rewrite: read ONLY the hive-style partitions of
     * `path` whose `partitionCol` value is in `partValues`, apply `f`, and
     * swap just those partition directories — untouched partitions' files
@@ -233,25 +277,27 @@ object Merge {
     invalidateAfterSwap(spark, fs, base)
   }
 
-  /** Remove rewrite debris (`__rewrite_tmp_*` / `__rewrite_old_*` sibling
-    * directories) left by CRASHED rewrites. Run-scoped names mean crashes
-    * leak partition-sized directories rather than corrupting anything;
-    * call this from maintenance when NO rewrite of the table is running
-    * (a live rewrite's own tmp/aside would be swept too). Returns the
-    * removed directory names.
+  /** Remove SAFE rewrite debris left by crashed rewrites: `__rewrite_tmp_*`
+    * staging directories, which are never the only copy of anything (the
+    * live table is intact until the swap begins). `__rewrite_old*` ASIDE
+    * areas are NEVER touched — after a mid-swap crash an aside holds the
+    * only copy of a partition (or, for rewriteTable, the whole table), and
+    * the stale-aside guard in `rewritePartitions` deliberately refuses to
+    * run until an operator restores or removes them BY HAND after checking
+    * their contents. Call when no rewrite of the table is running (a live
+    * rewrite's own tmp would be swept too). Returns removed names.
     */
   def cleanRewriteDebris(spark: SparkSession, path: String): Seq[String] = {
     val base = path.stripSuffix("/")
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"cleanRewriteDebris: live table $base is missing — a mid-swap crash " +
+        "may have left its only copy in an aside area; recover manually")
     val baseName = p.getName
     fs.listStatus(p.getParent)
       .map(_.getPath)
-      .filter { d =>
-        val n = d.getName
-        n.startsWith(baseName + "__rewrite_tmp") ||
-          n.startsWith(baseName + "__rewrite_old")
-      }
+      .filter(_.getName.startsWith(baseName + "__rewrite_tmp"))
       .map { d => fs.delete(d, true); d.getName }
       .toSeq.sorted
   }

@@ -78,21 +78,10 @@ object MoviePipeline {
     val (clean, quarantined) = Medallion.cleanQuarantineSplit(movie,
       col("RunTime") >= 0 && col("Id").isNotNull)
 
-    // Anti-join guard against the existing silver Ids: a crash between
-    // this write and the status writeback would otherwise re-append the
-    // same still-'new' rows on rerun. (Schema-specified read: the table
-    // may not exist, or may be a footerless dir from an empty batch.)
-    val moviePath = s"$silverDir/movie_silver"
-    val silverExists = new org.apache.hadoop.fs.Path(moviePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(moviePath))
-    val cleanOut = clean.drop("value")
-    val freshClean =
-      if (!silverExists) cleanOut
-      else cleanOut.join(
-        spark.read.schema(cleanOut.schema).parquet(moviePath).select("Id"),
-        Seq("Id"), "left_anti")
-    Medallion.batchWriter(freshClean, moviePath, "p_CreatedDate")
+    // Replay guard: a crash between this write and the status writeback
+    // would otherwise re-append the same still-'new' rows on rerun.
+    Merge.antiJoinAppend(spark, clean.drop("value"),
+      s"$silverDir/movie_silver", Seq("Id"), "p_CreatedDate")
     // Dimensions accumulate across batches via anti-join upsert: a plain
     // overwrite would wipe rows from earlier batches (dangling FKs from
     // older silver movies), and the reference's plain append would
@@ -134,19 +123,8 @@ object MoviePipeline {
     * First batch creates the table.
     */
   def upsertDimension(spark: SparkSession, dim: DataFrame, path: String,
-      keyCols: Seq[String]): Unit = {
-    val exists = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
-    // Read with the dimension's own schema: a previous empty batch leaves
-    // a directory with no parquet footers, which schema inference would
-    // reject ("Unable to infer schema") and permanently wedge the pipeline.
-    val fresh =
-      if (!exists) dim
-      else dim.join(spark.read.schema(dim.schema).parquet(path),
-        keyCols, "left_anti")
-    Medallion.batchWriter(fresh, path, "Id")
-  }
+      keyCols: Seq[String]): Unit =
+    Merge.antiJoinAppend(spark, dim, path, keyCols, "Id"): Unit
 
   /** J1 — mark bronze rows whose `value` struct matches a source key with
     * that key's status (whenMatchedUpdate on struct equality), in ONE
@@ -201,19 +179,9 @@ object MoviePipeline {
       transformMovie(Medallion.repairAbs(flat, "RunTime")).distinct(),
       col("RunTime") >= 0 && col("Id").isNotNull)
 
-    val moviePath = s"$silverDir/movie_silver"
-    // Schema-specified read: a prior all-quarantined batch leaves a silver
-    // directory with no parquet footers, which schema inference rejects —
-    // the same wedge upsertDimension guards against.
-    val existing = spark.read.schema(repaired.drop("value").schema)
-      .parquet(moviePath)
-    val toInsert = repaired.drop("value")
-      .join(existing.select("Id"), Seq("Id"), "left_anti")
-      .localCheckpoint(true)
     val repairedKeys = repaired.select(col("value")).distinct().localCheckpoint(true)
-    val n = toInsert.count()
-    if (n > 0)
-      Medallion.batchWriter(toInsert, moviePath, "p_CreatedDate")
+    val n = Merge.antiJoinAppend(spark, repaired.drop("value"),
+      s"$silverDir/movie_silver", Seq("Id"), "p_CreatedDate")
     updateBronzeStatus(spark, bronzePath, repairedKeys, "loaded")
     n
   }

@@ -82,11 +82,17 @@ object IncrementalDedup {
           .select(col(idCol))
       }
     // in-batch hits: keep the smallest id per shared bucket, drop the
-    // rest — via the CAPPED candidate join (a raw band self-join goes
-    // quadratic on degenerate buckets, e.g. many empty docs in one batch;
-    // lshCandidatePairs bounds posting lists at bucketCap)
-    val inBatch = Dedup.lshCandidatePairs(bands, idCol)
-      .select(col("id_b").as(idCol))
+    // rest — computed as a window-min, NOT a pair join: a raw band
+    // self-join is quadratic on degenerate buckets (many identical docs
+    // in one batch), and the capped candidate join would DROP oversized
+    // buckets entirely, accepting every copy. The window is linear in
+    // bucket size and correct at any occupancy.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_val"))
+    val inBatch = bands
+      .withColumn("__min", min(col(idCol)).over(wBucket))
+      .filter(col(idCol) > col("__min"))
+      .select(col(idCol)).distinct()
     val dupIds = vsIndex.union(inBatch).distinct().localCheckpoint(true)
 
     val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
@@ -126,27 +132,43 @@ object IncrementalDedup {
     // corpus's bands and accepting all its future duplicates. Refuse a
     // mismatched (index, checkpoint) pairing instead.
     val spark = docs.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    // Paths compare in fully-qualified form so '/data/cp', 'file:/data/cp'
+    // and '/data/cp/' are one checkpoint, not three.
+    def qualify(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val cpQualified = qualify(checkpoint)
     val binding = new org.apache.hadoop.fs.Path(indexPath, "_checkpoint_binding")
+    def writeBinding(): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
+      val out = fs.create(binding, true)
+      out.write(cpQualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     if (fs.exists(binding)) {
       val in = fs.open(binding)
       val bound =
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
-      if (bound != checkpoint)
+      // A bound checkpoint that never committed an offset (e.g. the first
+      // start crashed before any batch) cannot have produced index
+      // partitions — rebinding to a new checkpoint is safe; a USED one
+      // must be kept (its batch ids own the index partitions).
+      val boundUsed = fs.exists(
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(bound),
+          "offsets"))
+      if (bound != cpQualified && boundUsed)
         throw new IllegalStateException(
           s"IncrementalDedup index $indexPath is bound to checkpoint " +
-            s"'$bound' but this stream uses '$checkpoint' — a fresh " +
+            s"'$bound' but this stream uses '$cpQualified' — a fresh " +
             "checkpoint would reuse batch ids and overwrite prior index " +
             "partitions; reuse the original checkpoint or start a new index")
-    } else {
-      fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
-      val out = fs.create(binding, true)
-      out.write(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-    }
+      if (bound != cpQualified) writeBinding()
+    } else writeBinding()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

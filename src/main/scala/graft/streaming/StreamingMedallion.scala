@@ -95,24 +95,15 @@ object StreamingMedallion {
       // key, and NULL never matches in an anti-join
       val (clean, quarantined) = Medallion.cleanQuarantineSplit(movie,
         col("RunTime") >= 0 && col("Id").isNotNull)
-      def mergeInto(rows: DataFrame, path: String): Unit = {
-        val out = rows.drop("value")
-        val exists = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(path))
-        // schema-specified read: an earlier empty batch may have left a
-        // footerless directory that inference would reject. The anti-join
-        // result is materialized ONCE (localCheckpoint) — the emptiness
-        // probe and the write would otherwise each run the whole plan,
-        // including a re-read of the growing silver table.
-        val fresh = (if (!exists) out
-          else out.join(s.read.schema(out.schema).parquet(path).select("Id"),
-            Seq("Id"), "left_anti")).localCheckpoint(true)
-        if (!fresh.isEmpty)
-          Medallion.batchWriter(fresh, path, "p_CreatedDate")
-      }
-      mergeInto(clean, s"$silverDir/movie_silver")
-      mergeInto(quarantined, s"$silverDir/movie_quarantine")
+      // One shared replay guard (Merge.antiJoinAppend). The quarantine
+      // table holds malformed rows — possibly with NULL Ids, which an Id
+      // anti-join can never match — so it uses the whole-row-hash
+      // fallback for its null-keyed rows.
+      Merge.antiJoinAppend(s, clean.drop("value"),
+        s"$silverDir/movie_silver", Seq("Id"), "p_CreatedDate")
+      Merge.antiJoinAppend(s, quarantined.drop("value"),
+        s"$silverDir/movie_quarantine", Seq("Id"), "p_CreatedDate",
+        nullKeyRowHash = true)
       val statused = clean.select(col("value")).withColumn("status", lit("loaded"))
         .unionByName(quarantined.select(col("value"))
           .withColumn("status", lit("quarantined")))
@@ -168,9 +159,11 @@ object StreamingMedallion {
     * is the per-key primitive.
     */
   def dedupStream(df: DataFrame, tsCol: String, delay: String,
-      keys: Seq[String]): DataFrame =
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedupStream needs at least one key column")
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Custom stateful processing: per-user streaming sessionization with an
     * event-time gap timeout via flatMapGroupsWithState — the generalized

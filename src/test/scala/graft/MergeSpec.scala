@@ -77,6 +77,25 @@ class MergeSpec extends AnyFunSuite {
       (3L, "loaded", 30.0), (5L, "new", 50.0)))
   }
 
+  test("antiJoinAppend: replay-safe for keyed AND null-keyed rows") {
+    val dir = TestSpark.tmpDir("anti_append")
+    val path = s"$dir/t"
+    val rows = Seq((Option(1), "ok", "a"), (Option.empty[Int], "bad", "a"))
+      .toDF("Id", "v", "p")
+    assert(Merge.antiJoinAppend(spark, rows, path, Seq("Id"), "p",
+      nullKeyRowHash = true) === 2L)
+    // exact replay: nothing re-appends — including the NULL-Id row, which
+    // a plain Id anti-join could never match
+    assert(Merge.antiJoinAppend(spark, rows, path, Seq("Id"), "p",
+      nullKeyRowHash = true) === 0L)
+    assert(spark.read.parquet(path).count() === 2)
+    // a DIFFERENT null-keyed row is new content, not a replay
+    val other = Seq((Option.empty[Int], "worse", "a")).toDF("Id", "v", "p")
+    assert(Merge.antiJoinAppend(spark, other, path, Seq("Id"), "p",
+      nullKeyRowHash = true) === 1L)
+    assert(spark.read.parquet(path).count() === 3)
+  }
+
   test("rewritePartitions rewrites named partitions and never touches the rest") {
     val dir = TestSpark.tmpDir("rewrite_parts")
     val path = s"$dir/t"
