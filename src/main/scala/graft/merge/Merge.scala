@@ -132,22 +132,42 @@ object Merge {
     val exists = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
-    def withKey(frame: DataFrame): DataFrame = frame.withColumn("__mk",
-      when(keyCols.map(col(_).isNotNull).reduce(_ && _),
-        concat_ws("", lit("k") +: keyCols.map(col(_).cast("string")): _*))
-        .otherwise(concat(lit("h"),
-          xxhash64(frame.columns.map(col): _*).cast("string"))))
-    val fresh = (if (!exists) df
-      else if (nullKeyRowHash)
-        withKey(df).join(
-          withKey(spark.read.schema(df.schema).parquet(path)).select("__mk"),
-          Seq("__mk"), "left_anti").drop("__mk")
-      else
-        df.join(
-          spark.read.schema(df.schema).parquet(path).select(keyCols.map(col): _*)
-            .dropDuplicates(keyCols),
-          keyCols, "left_anti"))
-      .localCheckpoint(true)
+    if (!exists) {
+      // first load: nothing to guard against — write in ONE pass (the
+      // emptiness probe is a limit-1 job, not a plan re-execution; a
+      // localCheckpoint here would spool the whole bulk load to executor
+      // disk before writing it again)
+      if (df.isEmpty) return 0L
+      df.write.format("parquet").mode("append")
+        .partitionBy(partitionCol).save(path)
+      return spark.read.schema(df.schema).parquet(path).count()
+    }
+    val existing = spark.read.schema(df.schema).parquet(path)
+    val fresh = (if (!nullKeyRowHash)
+      df.join(
+        existing.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+        keyCols, "left_anti")
+    else {
+      // Match key: length-prefixed segments (injective — a bare concat
+      // would collide ("ab","c") with ("a","bc")); null-keyed rows fall
+      // back to a whole-row hash, AND the join re-checks full row
+      // equality for hashed rows so a 64-bit collision between two
+      // genuinely different rows cannot silently drop one.
+      def withKey(frame: DataFrame): DataFrame = frame.withColumn("__mk",
+        when(keyCols.map(col(_).isNotNull).reduce(_ && _),
+          concat_ws(":", lit("k") +: keyCols.map { c =>
+            val st = col(c).cast("string")
+            concat(length(st).cast("string"), lit("_"), st)
+          }: _*))
+          .otherwise(concat(lit("h"),
+            xxhash64(frame.columns.map(col): _*).cast("string"))))
+      val l = withKey(df)
+      val r = withKey(existing)
+      val rowEq = df.columns.map(c => l(c) <=> r(c)).reduce(_ && _)
+      l.join(r, l("__mk") === r("__mk") &&
+          (!l("__mk").startsWith("h") || rowEq), "left_anti")
+        .drop("__mk")
+    }).localCheckpoint(true)
     val n = fresh.count()
     if (n > 0)
       fresh.write.format("parquet").mode("append")

@@ -154,20 +154,20 @@ object IncrementalDedup {
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
-      // A bound checkpoint that never committed an offset (e.g. the first
-      // start crashed before any batch) cannot have produced index
-      // partitions — rebinding to a new checkpoint is safe; a USED one
-      // must be kept (its batch ids own the index partitions).
-      val boundUsed = fs.exists(
-        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(bound),
-          "offsets"))
-      if (bound != cpQualified && boundUsed)
+      // STRICT mismatch check, both sides qualified (older bindings may
+      // hold the raw string). No liveness heuristic: probing the bound
+      // checkpoint's directories cannot distinguish "never used" from
+      // "deleted after use", and guessing wrong silently erases index
+      // partitions through batch-id reuse. An operator who really wants a
+      // new checkpoint removes _checkpoint_binding by hand after checking.
+      if (qualify(bound) != cpQualified)
         throw new IllegalStateException(
           s"IncrementalDedup index $indexPath is bound to checkpoint " +
-            s"'$bound' but this stream uses '$cpQualified' — a fresh " +
+            s"'$bound' but this stream uses '$cpQualified' — a different " +
             "checkpoint would reuse batch ids and overwrite prior index " +
-            "partitions; reuse the original checkpoint or start a new index")
-      if (bound != cpQualified) writeBinding()
+            "partitions; reuse the original checkpoint, start a new index, " +
+            "or (after verifying the old checkpoint is truly gone) delete " +
+            s"$binding")
     } else writeBinding()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
