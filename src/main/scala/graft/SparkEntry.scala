@@ -398,26 +398,24 @@ object SparkEntry {
     // Text quality scoring: lengths, stopword ratio, rational-arithmetic
     // quality score (no transcendentals — cross-engine determinism).
     "q_text_quality" -> { (s, d) =>
-      val tk = Text.tokens(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars_obs"),
           Text.tokenCount(col("text")).cast("long").as("n_tokens"),
-          Text.avgTokenLen(tk).as("avg_tok_len"),
-          Text.stopwordRatio(tk, SparkEntry.stopwords).as("stop_ratio"),
+          Text.avgTokenLen(col("text")).as("avg_tok_len"),
+          Text.stopwordRatio(col("text"), SparkEntry.stopwords).as("stop_ratio"),
           Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
         .orderBy(col("doc_id"))
     },
 
     // Language ID by marker-word voting.
     "q_lang_id" -> { (s, d) =>
-      val tk = Text.tokens(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"),
           Text.langId(col("text"), SparkEntry.langMarkers).as("lang_pred"),
-          Text.markerHits(tk, SparkEntry.langMarkers(0)._2).cast("long").as("h_en"),
-          Text.markerHits(tk, SparkEntry.langMarkers(1)._2).cast("long").as("h_ml"),
-          Text.markerHits(tk, SparkEntry.langMarkers(2)._2).cast("long").as("h_sql"))
+          Text.markerHits(col("text"), SparkEntry.langMarkers(0)._2).cast("long").as("h_en"),
+          Text.markerHits(col("text"), SparkEntry.langMarkers(1)._2).cast("long").as("h_ml"),
+          Text.markerHits(col("text"), SparkEntry.langMarkers(2)._2).cast("long").as("h_sql"))
         .orderBy(col("doc_id"))
     },
 

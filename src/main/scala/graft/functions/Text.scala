@@ -21,8 +21,11 @@ object Text {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
-  /** Token count (whitespace tokenization). */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count (whitespace tokenization). Backed by the codegen'd
+    * TokenCountExpr — one compiled pass, no token-array materialization;
+    * semantically `size(tokens(c))` (the HOF form is CodegenFallback).
+    */
+  def tokenCount(c: Column): Column = graft.plans.TextExpressions.tokenCount(c)
 
   /** BPE-ish regex tokenizer: runs of letters, runs of digits, or single
     * other non-space characters — the common pre-tokenization shape.
@@ -43,14 +46,19 @@ object Text {
       .otherwise(array())
   }
 
-  /** Number of tokens that appear in `words` (marker/stopword hits). */
-  def markerHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+  /** Number of tokens (with multiplicity) of `text` that appear in `words`
+    * (marker/stopword hits). Backed by the codegen'd MarkerHitsExpr — one
+    * compiled scan with a hash-set probe per token; semantically
+    * `size(filter(tokens(text), t => array_contains(words, t)))`, whose HOF
+    * form is CodegenFallback and rescans the word list per token.
+    */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    graft.plans.TextExpressions.markerHits(text, words)
 
   /** Stopword ratio: marker hits / token count, as double (0 for empty). */
-  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
-    when(size(toks) > 0,
-      markerHits(toks, stopwords).cast("double") / size(toks).cast("double"))
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    when(tokenCount(text) > 0,
+      markerHits(text, stopwords).cast("double") / tokenCount(text).cast("double"))
       .otherwise(lit(0.0))
 
   /** Rolling polynomial fingerprint over the document's characters:
@@ -64,11 +72,15 @@ object Text {
   def charFingerprint(c: Column): Column =
     graft.plans.TextExpressions.polyHash(c)
 
-  /** Mean token length in characters, as double (0 for empty docs). */
-  def avgTokenLen(toks: Column): Column =
-    when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks).cast("double"))
+  /** Mean token length in characters (code points), as double (0 for empty
+    * docs). Backed by the codegen'd TokenCharsExpr/TokenCountExpr pair —
+    * total token characters equal the HOF `aggregate(toks, 0L, acc +
+    * length(t))` because tokens partition the non-whitespace characters.
+    */
+  def avgTokenLen(text: Column): Column =
+    when(tokenCount(text) > 0,
+      graft.plans.TextExpressions.tokenChars(text).cast("double") /
+        tokenCount(text).cast("double"))
       .otherwise(lit(0.0))
 
   /** Punctuation ratio: non-alphanumeric, non-WHITESPACE chars / total
@@ -88,9 +100,8 @@ object Text {
     * transcendentals — libm results differ across engines).
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val tk = tokens(text)
-    val lengthTerm = least(lit(1.0), size(tk).cast("double") / lit(50.0))
-    val stopTerm = lit(1.0) - abs(stopwordRatio(tk, stopwords) - lit(0.2))
+    val lengthTerm = least(lit(1.0), tokenCount(text).cast("double") / lit(50.0))
+    val stopTerm = lit(1.0) - abs(stopwordRatio(text, stopwords) - lit(0.2))
     lengthTerm * stopTerm
   }
 
@@ -101,9 +112,8 @@ object Text {
     */
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     if (markers.isEmpty) return lit("und") // reduceLeft would throw
-    val tk = tokens(text)
     val scored = markers.sortBy(_._1).map { case (lang, words) =>
-      struct(markerHits(tk, words).as("hits"), lit(lang).as("lang"))
+      struct(markerHits(text, words).as("hits"), lit(lang).as("lang"))
     }
     // array_max on struct<hits,lang> orders by hits, then lang — but we
     // want lexicographically FIRST lang on tied hits, so compare on

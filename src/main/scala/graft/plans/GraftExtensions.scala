@@ -35,6 +35,37 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"hashed_shingles expects (text, n), got ${args.length} arguments")
     }: Seq[Expression] => Expression),
+    ("token_count", classOf[TokenCountExpr], {
+      case Seq(c) => TokenCountExpr(c)
+      case args => throw new IllegalArgumentException(
+        s"token_count expects 1 argument, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("token_chars", classOf[TokenCharsExpr], {
+      case Seq(c) => TokenCharsExpr(c)
+      case args => throw new IllegalArgumentException(
+        s"token_chars expects 1 argument, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("marker_hits", classOf[MarkerHitsExpr], {
+      case Seq(c, w) =>
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val isStrArr = w.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }
+        val v = if (w.foldable && isStrArr) w.eval() else null
+        if (v == null) // non-literal, wrong type, or a NULL literal
+          throw new IllegalArgumentException(
+            "marker_hits: the word list must be a non-null array<string> literal")
+        val words = v.asInstanceOf[ArrayData].toObjectArray(StringType)
+          .map(x => if (x == null) null else x.toString)
+        if (words.contains(null))
+          throw new IllegalArgumentException(
+            "marker_hits: the word list must not contain nulls")
+        MarkerHitsExpr(c, words.toSeq)
+      case args => throw new IllegalArgumentException(
+        s"marker_hits expects (text, words), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
     ("cosine_sim", classOf[CosineSimExpr], {
       case Seq(a, b) => CosineSimExpr(a, b)
       case args => throw new IllegalArgumentException(

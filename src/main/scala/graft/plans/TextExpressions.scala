@@ -104,6 +104,145 @@ case class HashedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Static kernels for single-pass whitespace token scans.
+  *
+  * Tokenization is bit-identical to `Text.tokens` =
+  * `filter(split(c, "\\s+"), length > 0)`: a token is a maximal run of
+  * non-whitespace characters, where whitespace is Java regex `\s` in its
+  * default ASCII mode — exactly `[ \t\n\x0B\f\r]`. Character counts are
+  * code points (what Spark's `length` returns), not UTF-16 units.
+  */
+object TokenScan {
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Number of whitespace tokens (maximal non-\s runs). */
+  def tokenCount(s: String): Int = {
+    var n = 0
+    var i = 0
+    var inTok = false
+    val len = s.length
+    while (i < len) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && !inTok) n += 1
+      inTok = !ws
+      i += 1
+    }
+    n
+  }
+
+  /** Total code points across all tokens — equals the sum of `length(t)`
+    * over the token array, since tokens partition the non-\s characters.
+    */
+  def tokenChars(s: String): Long = {
+    var n = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (isWs(s.charAt(i))) i += 1
+      else { n += 1; i += Character.charCount(s.codePointAt(i)) }
+    }
+    n
+  }
+
+  /** Number of tokens (with multiplicity) contained in `set`. */
+  def markerHits(s: String, set: java.util.HashSet[String]): Int = {
+    var hits = 0
+    var i = 0
+    var start = -1
+    val len = s.length
+    while (i < len) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) {
+        if (set.contains(s.substring(start, i))) hits += 1
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0 && set.contains(s.substring(start))) hits += 1
+    hits
+  }
+}
+
+/** Scalar: whitespace token count in one compiled pass — no intermediate
+  * token array. Semantically `size(filter(split(c, "\\s+"), length > 0))`.
+  */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_count requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.tokenCount(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenScan.tokenCount($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
+    copy(child = newChild)
+}
+
+/** Scalar: total token characters (code points) in one compiled pass —
+  * semantically `aggregate(tokens, 0L, (acc, t) -> acc + length(t))`.
+  */
+case class TokenCharsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_chars requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.tokenChars(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenScan.tokenChars($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCharsExpr =
+    copy(child = newChild)
+}
+
+/** Scalar: count of tokens present in a fixed word set, in one compiled
+  * pass — semantically `size(filter(tokens, t -> array_contains(words, t)))`
+  * but without materializing the token array or re-scanning the word list
+  * per token (the HOF form is O(tokens × words) and CodegenFallback).
+  */
+case class MarkerHitsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"marker_hits requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.markerHits(input.asInstanceOf[UTF8String].toString, set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Janino has no generics: the reference is typed as the raw HashSet.
+    val setRef = ctx.addReferenceObj("markerSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenScan.markerHits($c.toString(), $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerHitsExpr =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API: polynomial hash of a string column (codegen'd). */
   def polyHash(c: Column): Column =
@@ -114,4 +253,16 @@ object TextExpressions {
     */
   def hashedShingles(c: Column, n: Int): Column =
     GraftBridge.column(HashedShingles(GraftBridge.expression(c), n))
+
+  /** Column API: whitespace token count (codegen'd single pass). */
+  def tokenCount(c: Column): Column =
+    GraftBridge.column(TokenCountExpr(GraftBridge.expression(c)))
+
+  /** Column API: total token characters (codegen'd single pass). */
+  def tokenChars(c: Column): Column =
+    GraftBridge.column(TokenCharsExpr(GraftBridge.expression(c)))
+
+  /** Column API: tokens-in-word-set count (codegen'd single pass). */
+  def markerHits(c: Column, words: Seq[String]): Column =
+    GraftBridge.column(MarkerHitsExpr(GraftBridge.expression(c), words))
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.plans.{GraftFunctions, TextExpressions, TokenScan}
+
+/** The native token-scanner expressions (TokenCountExpr / TokenCharsExpr /
+  * MarkerHitsExpr) must be bit-identical to the higher-order-function forms
+  * they replaced — same tokenization (`split("\\s+")` + drop empties), same
+  * code-point character counts, same null propagation.
+  */
+class TokenScanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox",
+    "  leading and trailing   ",
+    "", // empty
+    "   \t\n\f\r ", // all six \s characters, zero tokens
+    "one",
+    "tabs\tand\nnewlines\rsplit tokens",
+    "café résumé 😀 emoji", // multibyte + surrogate pair
+    "the the the and and of", // duplicate markers count with multiplicity
+    "punct,stuck;to:words !"
+  )
+
+  private val words = Seq("the", "and", "of", "to")
+
+  test("scanner matches HOF forms token-for-token") {
+    val df = docs.toDF("text")
+    val tk = Text.tokens(col("text"))
+    val rows = df.select(
+      TextExpressions.tokenCount(col("text")).as("n_fast"),
+      size(tk).as("n_hof"),
+      TextExpressions.tokenChars(col("text")).as("c_fast"),
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).as("c_hof"),
+      TextExpressions.markerHits(col("text"), words).as("h_fast"),
+      size(filter(tk, t => array_contains(array(words.map(lit): _*), t))).as("h_hof")
+    ).collect()
+    for (r <- rows) {
+      assert(r.getInt(0) == r.getInt(1), s"tokenCount mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"tokenChars mismatch: $r")
+      assert(r.getInt(4) == r.getInt(5), s"markerHits mismatch: $r")
+    }
+  }
+
+  test("null text propagates null; empty marker set hits zero") {
+    val df = Seq[String](null).toDF("text")
+    val r = df.select(
+      TextExpressions.tokenCount(col("text")),
+      TextExpressions.tokenChars(col("text")),
+      TextExpressions.markerHits(col("text"), words)).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    val z = Seq("some text").toDF("text")
+      .select(TextExpressions.markerHits(col("text"), Nil)).collect()(0)
+    assert(z.getInt(0) == 0)
+  }
+
+  test("kernels handle surrogate pairs as single characters") {
+    // One token that is a single astral code point: 2 UTF-16 units, 1 char.
+    assert(TokenScan.tokenCount("😀") == 1)
+    assert(TokenScan.tokenChars("😀") == 1L)
+    assert(TokenScan.tokenChars("a😀b c") == 4L)
+  }
+
+  test("non-string input fails at analysis, not runtime") {
+    val df = Seq(1).toDF("n")
+    for (c <- Seq(
+        TextExpressions.tokenCount(col("n")),
+        TextExpressions.tokenChars(col("n")),
+        TextExpressions.markerHits(col("n"), words))) {
+      intercept[AnalysisException](df.select(c).collect())
+    }
+  }
+
+  test("SQL surface: token_count / token_chars / marker_hits registered") {
+    GraftFunctions.register(spark)
+    docs.toDF("text").createOrReplaceTempView("tsdocs")
+    val rows = spark.sql(
+      """SELECT token_count(text) AS n, token_chars(text) AS c,
+        |       marker_hits(text, array('the','and','of','to')) AS h
+        |FROM tsdocs""".stripMargin).collect()
+    val exp = docs.map(s => (TokenScan.tokenCount(s), TokenScan.tokenChars(s)))
+    for ((r, (n, c)) <- rows.zip(exp)) {
+      assert(r.getInt(0) == n && r.getLong(1) == c)
+    }
+    // Non-literal word list must be rejected with a clear message.
+    val err = intercept[Exception](
+      spark.sql("SELECT marker_hits(text, array(text)) FROM tsdocs").collect())
+    assert(err.getMessage.contains("array<string> literal"))
+  }
+}
