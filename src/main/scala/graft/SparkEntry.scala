@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Text, Vec}
+import graft.functions.{Cluster, Dedup, Text, Vec}
 import graft.merge.Merge
 import graft.ops.Medallion
 
@@ -60,6 +60,36 @@ object SparkEntry {
         list_transform(range(1, length($c) + 1),
           ii -> CAST(ascii($c[ii]) AS BIGINT))),
         (acc, x) -> (acc * 31 + x) % 1000000007)"""
+
+  /** DuckDB CTE chain reproducing MinHash-LSH candidate pairs over the
+    * documents table (3-gram shingles, `numMinhashes` permutations, bands
+    * of 2, bucket cap 1000) — the body shared by q_minhash_lsh and
+    * q_neardup_cluster. Ends with `lsh_pairs(id_a, id_b)`.
+    */
+  private def duckLshPairsCte: String = {
+    val perms = (0 until numMinhashes)
+      .map(j => s"(${j}, ${Dedup.permA(j)}, ${Dedup.permB(j)})").mkString(", ")
+    s"""tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+        sh0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+          THEN list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(tk[i:i+2], ' '))
+          ELSE [] END) AS gram FROM tk),
+        sh AS (SELECT DISTINCT doc_id, gram FROM sh0),
+        ids AS (SELECT doc_id, ${duckPolyId("gram")} AS tid FROM sh),
+        perms AS (SELECT * FROM (VALUES $perms) p(j, a, b)),
+        sig AS (SELECT doc_id, j, min((tid * a + b) % ${Dedup.MersennePrime}) AS mh
+          FROM ids CROSS JOIN perms GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, j // 2 AS band,
+          sum(CASE WHEN j % 2 = 0 THEN mh ELSE 0 END * 2147483648 +
+              CASE WHEN j % 2 = 1 THEN mh ELSE 0 END) AS band_val
+          FROM sig GROUP BY doc_id, band),
+        caps AS (SELECT band, band_val, count(*) AS c FROM bands GROUP BY 1, 2),
+        capped AS (SELECT bands.doc_id, bands.band, bands.band_val
+          FROM bands JOIN caps USING (band, band_val) WHERE c <= 1000),
+        lsh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b USING (band, band_val)
+          WHERE a.doc_id < b.doc_id)"""
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -472,6 +502,22 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2), "doc_id")
         .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Near-dup clustering: connected components over the MinHash-LSH
+    // candidate pairs (iterative min-label propagation); every document
+    // labeled with its cluster id (min reachable doc_id), cluster size,
+    // and the canonical-representative flag.
+    "q_neardup_cluster" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"),
+        SparkEntry.numMinhashes)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2),
+        "doc_id")
+      Cluster.assignClusters(pairs, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
     },
 
     // Banded range join: |purchase.value - signup.value| <= 0.05, planned
@@ -1034,30 +1080,27 @@ object SparkEntry {
           GROUP BY doc_id, j ORDER BY doc_id, j"""
     },
 
-    "q_minhash_lsh" -> {
-      val perms = (0 until numMinhashes)
-        .map(j => s"(${j}, ${Dedup.permA(j)}, ${Dedup.permB(j)})").mkString(", ")
-      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
-          sh0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
-            THEN list_transform(range(1, len(tk) - 1),
-              i -> array_to_string(tk[i:i+2], ' '))
-            ELSE [] END) AS gram FROM tk),
-          sh AS (SELECT DISTINCT doc_id, gram FROM sh0),
-          ids AS (SELECT doc_id, ${duckPolyId("gram")} AS tid FROM sh),
-          perms AS (SELECT * FROM (VALUES $perms) p(j, a, b)),
-          sig AS (SELECT doc_id, j, min((tid * a + b) % ${Dedup.MersennePrime}) AS mh
-            FROM ids CROSS JOIN perms GROUP BY doc_id, j),
-          bands AS (SELECT doc_id, j // 2 AS band,
-            sum(CASE WHEN j % 2 = 0 THEN mh ELSE 0 END * 2147483648 +
-                CASE WHEN j % 2 = 1 THEN mh ELSE 0 END) AS band_val
-            FROM sig GROUP BY doc_id, band),
-          caps AS (SELECT band, band_val, count(*) AS c FROM bands GROUP BY 1, 2),
-          capped AS (SELECT bands.doc_id, bands.band, bands.band_val
-            FROM bands JOIN caps USING (band, band_val) WHERE c <= 1000)
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM capped a JOIN capped b USING (band, band_val)
-          WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""
-    },
+    "q_minhash_lsh" ->
+      s"""WITH $duckLshPairsCte
+          SELECT id_a AS doc_a, id_b AS doc_b FROM lsh_pairs
+          ORDER BY doc_a, doc_b""",
+
+    "q_neardup_cluster" ->
+      s"""WITH RECURSIVE $duckLshPairsCte,
+          e AS (SELECT id_a AS s, id_b AS t FROM lsh_pairs
+                UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.id),
+          comp AS (SELECT id AS doc_id, min(r) AS component
+                   FROM reach GROUP BY id),
+          csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                     FROM comp GROUP BY component)
+          SELECT c.doc_id, c.component, z.csize,
+                 (c.doc_id = c.component) AS is_rep
+          FROM comp c JOIN csizes z USING (component)
+          ORDER BY c.doc_id""",
 
     "q_token_dict" ->
       s"""WITH toks AS (SELECT DISTINCT unnest(${duckToks("text")}) AS tok

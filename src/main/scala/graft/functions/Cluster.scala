@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate cluster assignment: connected components over a
+  * candidate-pair edge list (the output of MinHash-LSH banding, n-gram
+  * Jaccard, or embedding near-dup), labeling every document with the
+  * smallest reachable document id. The label IS the cluster id, so the
+  * canonical representative of each cluster is the document whose id
+  * equals its component — the standard "keep one per near-dup cluster"
+  * step between candidate generation and corpus writing.
+  *
+  * Scale design (100 TB): iterative min-label propagation. Each round is
+  * one equi-join (labels onto edge sources) plus one partial-aggregable
+  * min-groupBy — both shuffle on the vertex id, so AQE can coalesce and
+  * the map-side combine keeps message volume at O(edges). Rounds needed =
+  * graph diameter; near-dup clusters are dense (LSH pairs form near-
+  * cliques), so diameter is small — maxIter is a safety rail, not the
+  * expected path. Convergence is detected from the SUM of labels, which
+  * strictly decreases until fixpoint: one cheap aggregate per round, no
+  * old-vs-new join. Lineage is truncated every round with an eager
+  * localCheckpoint — without it the iterated plan grows superlinearly and
+  * the optimizer re-walks it every round (on a cluster with a reliable
+  * checkpoint dir, swap in `checkpoint()` for executor-failure tolerance).
+  */
+object Cluster {
+
+  /** Component label per vertex: (idCol, component) where component is the
+    * minimum vertex id reachable from the vertex through `edges`
+    * (undirected). Vertices absent from every edge keep their own id
+    * (singleton clusters). Edge endpoints must be drawn from `vertices` —
+    * endpoints outside it would receive labels but are not part of the
+    * declared universe (near-dup pairs are always derived from the corpus,
+    * so the contract holds by construction there).
+    *
+    * @param edges    candidate pairs, one row per undirected edge
+    * @param aCol     edge endpoint column in `edges`
+    * @param bCol     edge endpoint column in `edges`
+    * @param vertices one row per document in the universe
+    * @param idCol    vertex id column in `vertices` (numeric or string)
+    * @param maxIter  safety cap on propagation rounds (diameter bound)
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      vertices: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // Undirected: materialize both directions once; dedup cuts message
+    // volume when the candidate generator emits a pair via several bands.
+    val sym = edges.select(col(aCol).as("__s"), col(bCol).as("__t"))
+      .union(edges.select(col(bCol).as("__s"), col(aCol).as("__t")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__comp"))
+      .localCheckpoint(true)
+    // Labels only ever decrease, so sum(labels) strictly decreases until
+    // the fixpoint: equal consecutive sums == converged. (Sums stay exact:
+    // spark sum over longs wraps only past 2^63 — unreachable for ids.)
+    var prevSum = labels.agg(sum(col("__comp"))).collect()(0).get(0)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val msgs = sym
+        .join(labels.withColumnRenamed("__id", "__s"), Seq("__s"))
+        .select(col("__t").as("__id"), col("__comp"))
+      val next = labels.union(msgs)
+        .groupBy(col("__id"))
+        .agg(min(col("__comp")).as("__comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("__comp"))).collect()(0).get(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    labels.select(col("__id").as(idCol), col("__comp").as("component"))
+  }
+
+  /** Cluster assignment with sizes: (idCol, component, csize, is_rep) —
+    * `is_rep` marks the canonical representative (id == component).
+    */
+  def assignClusters(edges: DataFrame, aCol: String, bCol: String,
+      vertices: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(edges, aCol, bCol, vertices, idCol, maxIter)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"),
+        col("csize"), (col(idCol) === col("component")).as("is_rep"))
+  }
+
+  /** Keep one document per near-dup cluster: the rows of `docs` whose id
+    * is its cluster's canonical representative. One semi-join against the
+    * (already tiny) representative set.
+    */
+  def representatives(docs: DataFrame, idCol: String,
+      assignment: DataFrame): DataFrame = {
+    val reps = assignment.filter(col("is_rep")).select(col(idCol))
+    docs.join(reps, Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Cluster
+
+/** Connected components must agree with a driver-side union-find on
+  * arbitrary graphs, including the shapes iterative label propagation gets
+  * wrong when buggy: long chains (diameter > default rounds would
+  * under-propagate without convergence detection), singletons, multi-edge
+  * pairs, and components whose min id sits at the far end of a path.
+  */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference: plain union-find over the same vertices/edges. */
+  private def unionFind(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // Min-id canonical labels (find compresses to the min because unions
+    // always point the larger root at the smaller one).
+    vertices.map(v => v -> find(v)).toMap
+  }
+
+  private def sparkComponents(vertices: Seq[Long], edges: Seq[(Long, Long)],
+      maxIter: Int = 20): Map[Long, Long] = {
+    val vdf = vertices.toDF("id")
+    val edf = edges.toDF("a", "b")
+    Cluster.connectedComponents(edf, "a", "b", vdf, "id", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain of length 12: min label crosses the whole diameter") {
+    val vs = (0L to 12L)
+    val es = (0L until 12L).map(v => (v + 1, v)) // 12->11->...->0
+    assert(sparkComponents(vs, es) == vs.map(_ -> 0L).toMap)
+  }
+
+  test("two cliques, a bridge, and singletons") {
+    val vs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 50L, 99L)
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (3L, 10L), (2L, 1L)) // duplicate edge both directions
+    val got = sparkComponents(vs, es)
+    val exp = unionFind(vs, es)
+    assert(got == exp)
+    assert(got(12L) == 1L && got(50L) == 50L && got(99L) == 99L)
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val vs = (0 until n).map(_ => rnd.nextLong().abs % 10000).distinct
+      val es = (0 until n).map { _ =>
+        (vs(rnd.nextInt(vs.size)), vs(rnd.nextInt(vs.size)))
+      }.filter { case (a, b) => a != b }
+      assert(sparkComponents(vs, es) == unionFind(vs, es), s"trial $trial")
+    }
+  }
+
+  test("assignClusters sizes, representative flags, and representatives") {
+    val vs = Seq(1L, 2L, 3L, 7L, 8L)
+    val es = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val asg = Cluster.assignClusters(es.toDF("a", "b"), "a", "b",
+      vs.toDF("id"), "id")
+    val rows = asg.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(rows == Set((1L, 1L, 3L, true), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, false), (7L, 7L, 2L, true), (8L, 7L, 2L, false)))
+    val docs = vs.map(v => (v, s"doc$v")).toDF("id", "text")
+    val reps = Cluster.representatives(docs, "id", asg)
+      .select("id").as[Long].collect().toSet
+    assert(reps == Set(1L, 7L))
+  }
+
+  test("empty edge list: every vertex is its own singleton") {
+    val vs = Seq(5L, 6L)
+    val got = sparkComponents(vs, Nil)
+    assert(got == Map(5L -> 5L, 6L -> 6L))
+  }
+}
