@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Cluster, Dedup, Text, Vec}
+import graft.functions.{Cluster, Dedup, Quality, Text, Tfidf, Vec}
 import graft.merge.Merge
 import graft.ops.Medallion
 
@@ -517,6 +517,79 @@ object SparkEntry {
         "doc_id")
       Cluster.assignClusters(pairs, "id_a", "id_b",
           docs.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher/C4-style quality gating: five scan-stage signals + the keep
+    // decision, all per-row arithmetic at parquet-scan speed.
+    "q_quality_rules" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.avgTokenLen(col("text")).as("avg_tok_len"),
+          Text.stopwordRatio(col("text"), SparkEntry.stopwords).as("stop_ratio"),
+          Text.punctRatio(col("text")).as("punct_ratio"),
+          Quality.repetitionRatio(col("text"), 3).as("rep3"))
+        .withColumn("keep", Quality.keepRule(col("n_tokens"),
+          col("avg_tok_len"), col("stop_ratio"), col("punct_ratio"),
+          col("rep3")))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction: the corpus has no natural PII, so a deterministic
+    // dirty column (email + phone + IPv4 appended to every third doc)
+    // exercises the real redaction operators; counts audit the original.
+    "q_pii_redact" -> { (s, d) =>
+      val dirty = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or +1415555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("__dirty"))
+        .select(col("doc_id"),
+          Quality.redactPii(col("__dirty")).as("clean_text"),
+          Quality.emailCount(col("__dirty")).cast("long").as("n_emails"),
+          Quality.ipv4Count(col("__dirty")).cast("long").as("n_ips"),
+          Quality.phoneCount(col("__dirty")).cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL component extraction (scheme/host/path/query/domain) over a
+    // deterministically synthesized URL column — regex-subset parsing that
+    // both engines reproduce span-for-span.
+    "q_url_parse" -> { (s, d) =>
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/d/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, concat(lit("?lang="), col("lang")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("__url"))
+        .select(col("doc_id"),
+          Text.urlScheme(col("__url")).as("scheme"),
+          Text.urlHost(col("__url")).as("host"),
+          Text.urlPath(col("__url")).as("path"),
+          Text.urlQuery(col("__url")).as("query"),
+          Text.urlDomain(col("__url")).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF top-3 terms per document (raw tf·N/df ranking — monotone with
+    // log-idf, bit-reproducible without libm).
+    "q_tfidf" -> { (s, d) =>
+      Tfidf.topTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("term_rank").cast("long").as("term_rank"))
+        .orderBy(col("doc_id"), col("term_rank"))
+    },
+
+    // Deterministic per-(lang, source) quota sample: first 5 docs of each
+    // stratum ranked by the portable hash bucket.
+    "q_stratified_sample" -> { (s, d) =>
+      graft.functions.Sampling.stratifiedSample(Tables.documents(s, d),
+          Seq("lang", "source"), "doc_id", 5)
+        .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     },
 
@@ -1101,6 +1174,97 @@ object SparkEntry {
                  (c.doc_id = c.component) AS is_rep
           FROM comp c JOIN csizes z USING (component)
           ORDER BY c.doc_id""",
+
+    "q_quality_rules" -> {
+      val hits = duckMarkerHits(stopwords)
+      s"""WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS tk FROM documents),
+          g AS (SELECT doc_id, text, tk,
+            CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1),
+                i -> array_to_string(tk[i:i+2], ' '))
+              ELSE [] END AS grams FROM t),
+          sig AS (SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_tokens,
+            CASE WHEN len(tk) > 0 THEN
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(tk, x -> CAST(length(x) AS BIGINT))),
+                (acc, x) -> acc + x) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+              ELSE 0.0 END AS avg_tok_len,
+            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS stop_ratio,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio,
+            CASE WHEN len(grams) > 0 THEN
+              1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+              ELSE 0.0 END AS rep3
+          FROM g)
+          SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, punct_ratio, rep3,
+            (n_tokens BETWEEN 10 AND 100000 AND avg_tok_len BETWEEN 2.0 AND 12.0
+             AND stop_ratio <= 0.6 AND punct_ratio <= 0.2 AND rep3 <= 0.3) AS keep
+          FROM sig ORDER BY doc_id"""
+    },
+
+    "q_pii_redact" -> {
+      val email = Quality.EmailRe
+      val ip = Quality.Ipv4Re
+      val phone = Quality.PhoneRe
+      s"""WITH dirty AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+            text || ' contact user' || doc_id::VARCHAR || '@example.com or +1415555' ||
+            lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+            ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+            ELSE text END AS t FROM documents)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+              '$phone', '<PHONE>', 'g') AS clean_text,
+            CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+            CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones
+          FROM dirty ORDER BY doc_id"""
+    },
+
+    "q_url_parse" -> {
+      val re = "^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)"
+      s"""WITH u AS (SELECT doc_id,
+            'https://' || source || '.example.com/d/' || doc_id::VARCHAR ||
+            CASE WHEN doc_id % 2 = 0 THEN '?lang=' || lang ELSE '' END AS url
+          FROM documents),
+          p AS (SELECT doc_id,
+            regexp_extract(url, '$re', 1) AS scheme,
+            regexp_extract(url, '$re', 2) AS host,
+            regexp_extract(url, '$re', 3) AS path,
+            regexp_extract(url, '$re', 4) AS query
+          FROM u),
+          hp AS (SELECT *, string_split(host, '.') AS parts FROM p)
+          SELECT doc_id, scheme, host, path, query,
+            CASE WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+                 ELSE host END AS domain
+          FROM hp ORDER BY doc_id"""
+    },
+
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(tk) AS term
+            FROM (SELECT doc_id, ${duckToks("text")} AS tk FROM documents)),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          sc AS (SELECT doc_id, term, tf, df,
+            CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+            FROM tf JOIN dfq USING (term) CROSS JOIN n),
+          r AS (SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+            FROM sc)
+          SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+          FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang, source, $duckBucket AS bkt FROM documents),
+          r AS (SELECT doc_id, lang, source, row_number() OVER
+            (PARTITION BY lang, source ORDER BY bkt, doc_id) AS rn FROM b)
+          SELECT doc_id, lang, source FROM r WHERE rn <= 5 ORDER BY doc_id""",
 
     "q_token_dict" ->
       s"""WITH toks AS (SELECT DISTINCT unnest(${duckToks("text")}) AS tok

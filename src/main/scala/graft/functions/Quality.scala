@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for training-data pipelines: heuristic
+  * document-quality gating (Gopher/C4-style rules) and PII redaction.
+  *
+  * Everything here is per-row, scan-stage column arithmetic — no shuffle,
+  * no UDFs — so the filters run at parquet-scan speed and push down where
+  * the planner allows. Arithmetic follows the repo's oracle-parity rules:
+  * integer counts cast to double with a fixed evaluation order, no
+  * transcendentals, and regexes restricted to the Java∩RE2 common subset
+  * so DuckDB reproduces every value bit-for-bit.
+  */
+object Quality {
+
+  /** Fraction of word `n`-grams that are repeats of an earlier gram in the
+    * same document: 1 - distinct/total (0 for docs shorter than n tokens).
+    * The classic boilerplate/spam signal ("repetition ratio") from the
+    * Gopher quality rules.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val grams = Text.wordNgrams(Text.tokens(text), n)
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Gopher/C4-style keep decision from the five scan-stage signals.
+    * Bounds are inclusive; callers tune them per corpus.
+    */
+  def keepRule(nTokens: Column, avgTokLen: Column, stopRatio: Column,
+      punctRatio: Column, repRatio: Column,
+      minTokens: Long = 10L, maxTokens: Long = 100000L,
+      minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+      maxStopRatio: Double = 0.6, maxPunctRatio: Double = 0.2,
+      maxRepRatio: Double = 0.3): Column =
+    nTokens.between(minTokens, maxTokens) &&
+      avgTokLen.between(minAvgTokLen, maxAvgTokLen) &&
+      (stopRatio <= maxStopRatio) &&
+      (punctRatio <= maxPunctRatio) &&
+      (repRatio <= maxRepRatio)
+
+  // ------------------------------------------------------------------
+  // PII redaction
+  // ------------------------------------------------------------------
+
+  /** Regexes in the Java∩RE2 common subset (no backreferences, no
+    * lookaround), so Spark and the DuckDB oracle match identical spans.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{7,15}"
+
+  /** Redact emails, IPv4 addresses, and +international phone numbers to
+    * typed placeholder tags. Email first: its character class covers
+    * digits and dots, so redacting narrower patterns first could split an
+    * address and leave fragments behind.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  /** Match counts per PII class on the ORIGINAL text (for audit columns
+    * alongside the redacted output).
+    */
+  def emailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def ipv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+  def phoneCount(text: Column): Column = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+}

@@ -84,6 +84,27 @@ object Sampling {
       when(col(keyCol).isNull, lit(null: String)).otherwise(chain))
   }
 
+  /** Deterministic stratified sample: the first `perStratum` rows of each
+    * stratum, ranked by (hash bucket, key) — a reproducible "n per
+    * language/source/domain" quota sample. One window shuffle keyed on the
+    * strata columns; partitions are stratum-sized, so choose strata with
+    * bounded cardinality skew at scale (or salt a hot stratum and take
+    * perStratum/nSalts per salt). Rows with a NULL key are dropped, like
+    * `hashSample`.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
+      perStratum: Int): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column")
+    require(perStratum >= 1, s"perStratum must be >= 1, got $perStratum")
+    requireNumericKey(df, keyCol)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hashBucket(col(keyCol)).asc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
   /** Budget-quantized sequence packing: assign docs (in `orderCol` order
     * within each `partCols` group) to packs of ~`budget` tokens via the
     * exclusive prefix sum — pack = floor(tokens_before / budget). Docs may

@@ -105,6 +105,35 @@ object Text {
     lengthTerm * stopTerm
   }
 
+  /** URL structure regex — Java∩RE2 common subset (RFC-3986-ish shape):
+    * scheme://host path ?query. Groups: 1 = scheme, 2 = host (authority up
+    * to the first /?#), 3 = path, 4 = query (without the '?').
+    */
+  private val UrlRe = "^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)"
+
+  /** URL component extraction; empty string when the component is absent
+    * or the input is not a URL (regexp_extract's no-match contract in both
+    * Spark and DuckDB). Per-row scan-stage regex — the distributed
+    * equivalent of a parse_url projection, restricted to the RE2 subset so
+    * the oracle reproduces it.
+    */
+  def urlScheme(c: Column): Column = regexp_extract(c, UrlRe, 1)
+  def urlHost(c: Column): Column = regexp_extract(c, UrlRe, 2)
+  def urlPath(c: Column): Column = regexp_extract(c, UrlRe, 3)
+  def urlQuery(c: Column): Column = regexp_extract(c, UrlRe, 4)
+
+  /** Registrable domain, last two host labels — a heuristic (no public-
+    * suffix list; "co.uk" counts as the registrable tail), but the
+    * standard per-row approximation for grouping by site.
+    */
+  def urlDomain(c: Column): Column = {
+    val host = urlHost(c)
+    val parts = split(host, "\\.")
+    when(size(parts) >= 2,
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+      .otherwise(host)
+  }
+
   /** Language ID by marker-word voting: the language whose marker list hits
     * the most tokens wins; ties break lexicographically by language code
     * (markers are sorted internally, so caller order cannot change the

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Quality, Sampling, Text, Tfidf}
+
+/** Corpus-hygiene operators: quality rules, PII redaction, URL parsing,
+  * TF-IDF ranking, stratified sampling.
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionRatio: distinct grams 0, repeated grams ratio, short docs 0") {
+    val df = Seq(
+      ("a b c d", 0.0),            // 2 grams, both distinct
+      ("x y x y x y", 0.5),        // grams: xyx yxy xyx yxy -> 2 distinct of 4
+      ("one two", 0.0),            // shorter than n=3 -> 0
+      ("", 0.0)
+    ).toDF("text", "exp")
+    val rows = df.select(Quality.repetitionRatio(col("text"), 3).as("r"),
+      col("exp")).collect()
+    for (r <- rows) assert(r.getDouble(0) == r.getDouble(1), r)
+  }
+
+  test("keepRule gates each signal independently") {
+    val keep = Quality.keepRule(col("n"), col("a"), col("s"), col("p"), col("r"))
+    val rows = Seq(
+      (50L, 5.0, 0.2, 0.05, 0.1, true),   // all within bounds
+      (5L, 5.0, 0.2, 0.05, 0.1, false),   // too few tokens
+      (50L, 13.0, 0.2, 0.05, 0.1, false), // avg token too long
+      (50L, 5.0, 0.7, 0.05, 0.1, false),  // stopword-heavy
+      (50L, 5.0, 0.2, 0.3, 0.1, false),   // symbol-heavy
+      (50L, 5.0, 0.2, 0.05, 0.5, false)   // repetitive
+    ).toDF("n", "a", "s", "p", "r", "exp")
+      .select(keep.as("keep"), col("exp")).collect()
+    for (r <- rows) assert(r.getBoolean(0) == r.getBoolean(1), r)
+  }
+
+  test("redactPii replaces emails, IPs, phones and counts them") {
+    val dirty = "mail a.b+c@ex-1.org and 10.0.0.1 call +123456789 done"
+    val r = Seq(dirty).toDF("t").select(
+      Quality.redactPii(col("t")).as("clean"),
+      Quality.emailCount(col("t")).as("e"),
+      Quality.ipv4Count(col("t")).as("i"),
+      Quality.phoneCount(col("t")).as("p")).collect()(0)
+    assert(r.getString(0) == "mail <EMAIL> and <IP> call <PHONE> done")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 1)))
+    // Clean text passes through untouched.
+    val c = Seq("no pii here 1.2 only a float").toDF("t")
+      .select(Quality.redactPii(col("t"))).collect()(0).getString(0)
+    assert(c == "no pii here 1.2 only a float")
+  }
+
+  test("url parsing: full, query-less, path-less, and non-URL inputs") {
+    def parts(u: String): (String, String, String, String, String) = {
+      val r = Seq(u).toDF("u").select(
+        Text.urlScheme(col("u")), Text.urlHost(col("u")),
+        Text.urlPath(col("u")), Text.urlQuery(col("u")),
+        Text.urlDomain(col("u"))).collect()(0)
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+    }
+    assert(parts("https://a.b.example.com/x/y?q=1#frag") ==
+      (("https", "a.b.example.com", "/x/y", "q=1", "example.com")))
+    assert(parts("http://example.com/p") ==
+      (("http", "example.com", "/p", "", "example.com")))
+    assert(parts("ftp://host") == (("ftp", "host", "", "", "host")))
+    assert(parts("not a url") == (("", "", "", "", "")))
+  }
+
+  test("tfidf ranks rarer terms higher; ties break lexicographically") {
+    // "common" is in all 3 docs (df=3); uniques have df=1.
+    val docs = Seq(
+      (1L, "common zebra zebra apple"),
+      (2L, "common apple"),
+      (3L, "common banana")).toDF("id", "text")
+    val top = Tfidf.topTerms(docs, "id", "text", 2)
+      .orderBy(col("id"), col("term_rank"))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("term_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(top.toSeq == Seq(
+      (1L, "zebra", 2L, 1L, 1),  // 2*3/1 = 6.0
+      (1L, "apple", 1L, 2L, 2),  // 1*3/2 = 1.5 beats common's 1*3/3 = 1.0
+      (2L, "apple", 1L, 2L, 1),
+      (2L, "common", 1L, 3L, 2),
+      (3L, "banana", 1L, 1L, 1),
+      (3L, "common", 1L, 3L, 2)))
+  }
+
+  test("stratifiedSample: quota per stratum, deterministic, null keys dropped") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par")
+    val s1 = Sampling.stratifiedSample(df, Seq("par"), "id", 7)
+    val s2 = Sampling.stratifiedSample(df, Seq("par"), "id", 7)
+    val g1 = s1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g1 == s2.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    val per = s1.groupBy("par").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("even" -> 7L, "odd" -> 7L))
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "a")).toDF("id", "par")
+    assert(Sampling.stratifiedSample(withNull, Seq("par"), "id", 5).count() == 1)
+  }
+}
