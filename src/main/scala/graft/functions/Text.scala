@@ -84,14 +84,17 @@ object Text {
       .otherwise(lit(0.0))
 
   /** Punctuation ratio: non-alphanumeric, non-WHITESPACE chars / total
-    * chars (\\s, not the bare space: tabs and newlines are layout, not
-    * punctuation). ASCII-letter policy is deliberate and documented —
-    * non-ASCII letters count as "punctuation-like" here; language-aware
-    * scoring belongs in langId, not this byte-level heuristic.
+    * chars (whitespace spelled as the EXPLICIT class [ \t\n\x0B\f\r]:
+    * Java's \s includes vertical tab while RE2's does not, and this ratio
+    * is oracle-checked — the explicit class means both engines agree on
+    * every input, not just VT-free ones). ASCII-letter policy is
+    * deliberate and documented — non-ASCII letters count as
+    * "punctuation-like" here; language-aware scoring belongs in langId,
+    * not this byte-level heuristic.
     */
   def punctRatio(c: Column): Column =
     when(length(c) > 0,
-      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", "")))
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]", "")))
         .cast("double") / length(c).cast("double"))
       .otherwise(lit(0.0))
 

@@ -60,22 +60,24 @@ object Vec {
     */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // The nested-loop join streams one side and broadcasts the other; the
-    // streamed side inherits the scan's partitioning, so a small input
-    // (few parquet files) would run the whole O(n²) pass on a handful of
-    // tasks. Round-robin repartition of the streamed side costs one linear
-    // shuffle — noise next to the quadratic compute it parallelizes.
+    // The all-pairs join streams against a broadcast or cartesian-joins;
+    // either way the streamed partitioning comes straight from the scan,
+    // so a small input (few parquet files) would run the whole O(n²) pass
+    // on a handful of tasks. Repartitioning BOTH sides costs two linear
+    // shuffles — noise next to the quadratic compute they parallelize —
+    // and keeps every plan choice parallel without forcing one: a
+    // broadcast hint would pin the full table into the 8 GB broadcast
+    // limit and fail outright on inputs where the un-hinted planner falls
+    // back to a feasible (slow, but completing) cartesian product.
     val par = vecs.sparkSession.sparkContext.defaultParallelism
     val a = withNorm(vecs, idCol, vecCol, "a").repartition(par)
-    val b = withNorm(vecs, idCol, vecCol, "b")
+    val b = withNorm(vecs, idCol, vecCol, "b").repartition(par)
     val sim = pairSim(col("va"), col("vb"), col("na"), col("nb"))
     // The threshold lives INSIDE the join condition: the nested-loop join
     // then emits only surviving pairs instead of materializing every
     // candidate row for a post-filter (survivors are typically a vanishing
     // fraction). The id ordering short-circuits before the dot product.
-    // Broadcasting `b` explicitly pins `a` — the repartitioned side — as
-    // the streamed one, so the planner can't pick the 1-partition stream.
-    a.join(broadcast(b), col("id_a") < col("id_b") && sim >= threshold)
+    a.join(b, col("id_a") < col("id_b") && sim >= threshold)
       .withColumn("sim", sim)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -49,6 +49,19 @@ object GraftBridge {
       .getOrCreate(spark.asInstanceOf[classic.SparkSession])
       .invalidateAll()
 
+  /** Free the block-storage behind an eagerly localCheckpoint'ed (or
+    * checkpoint'ed) DataFrame. `Dataset.unpersist` only clears
+    * CacheManager entries (`df.persist`), not checkpoint RDD blocks —
+    * those otherwise linger until the driver GCs the RDD reference, which
+    * in an iterative loop means O(rounds) superseded label sets pinned in
+    * executor memory. No-op for plans that aren't materialized RDD scans.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Register a function into a LIVE session's registry (builder-time
     * `withExtensions` only applies to sessions created after it).
     */

@@ -83,6 +83,23 @@ class ClusterSpec extends AnyFunSuite {
     assert(reps == Set(1L, 7L))
   }
 
+  test("maxIter below the component diameter throws instead of returning partial labels") {
+    val vs = (0L to 8L)
+    val es = (0L until 8L).map(v => (v + 1, v)) // chain, diameter 8
+    val ex = intercept[IllegalStateException](sparkComponents(vs, es, maxIter = 3))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("string vertex ids cluster to the lexicographic min") {
+    val vs = Seq("carol", "bob", "alice", "zoe")
+    val es = Seq(("carol", "bob"), ("bob", "alice"))
+    val got = Cluster.connectedComponents(es.toDF("a", "b"), "a", "b",
+        vs.toDF("id"), "id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("carol" -> "alice", "bob" -> "alice",
+      "alice" -> "alice", "zoe" -> "zoe"))
+  }
+
   test("empty edge list: every vertex is its own singleton") {
     val vs = Seq(5L, 6L)
     val got = sparkComponents(vs, Nil)
