@@ -97,6 +97,25 @@ object SparkEntry {
           WHERE a.doc_id < b.doc_id)"""
   }
 
+  /** DuckDB CTE chain reproducing 16-bit SimHash fingerprints over the
+    * documents table (token-occurrence hashing, Dedup.simhash arithmetic) —
+    * shared by q_simhash and q_simhash_pairs. Ends with
+    * `fps(doc_id, simhash)`.
+    */
+  private def duckSimhashCte(nBits: Int): String = {
+    val bits = (0 until nBits).map(k => s"($k, ${1L << k})").mkString(", ")
+    s"""tkall AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+        ids AS (SELECT doc_id, ${duckPolyId("tok")} AS tid FROM tkall),
+        bits AS (SELECT * FROM (VALUES $bits) b(k, pow2)),
+        lanes AS (SELECT doc_id, k, pow2,
+          sum(CASE WHEN CAST(floor(((tid * ${Dedup.permA(0)} + ${Dedup.permB(0)}) % ${Dedup.MersennePrime}) / pow2) AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END) AS lane
+          FROM ids CROSS JOIN bits
+          GROUP BY doc_id, k, pow2),
+        fps AS (SELECT doc_id, CAST(sum(CASE WHEN lane > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+          FROM lanes GROUP BY doc_id)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A-family + decimal-exact aggregation (TPC-H Q1 shape; SURVEY §2.5).
@@ -694,6 +713,28 @@ object SparkEntry {
       val all = Tables.documents(s, d).select(col("doc_id"),
         graft.plans.TextExpressions.hashedShingles(col("text"), 1))
       Dedup.simhash(all, "doc_id", col("tid"), bits = 16)
+        .orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup pairs: pigeonhole chunk blocking (3 chunks cover
+    // hamming <= 2 on 24-bit fingerprints) + exact hamming verification —
+    // the bit-fingerprint complement to MinHash-LSH banding. 24 bits, not
+    // q_simhash's 16: pair discrimination needs fingerprint width to grow
+    // with corpus homogeneity, and the lane arithmetic is exact to 31.
+    "q_simhash_pairs" -> { (s, d) =>
+      val all = Tables.documents(s, d).select(col("doc_id"),
+        graft.plans.TextExpressions.hashedShingles(col("text"), 1))
+      val fp = Dedup.simhash(all, "doc_id", col("tid"), bits = 24)
+      Dedup.simhashPairs(fp, "doc_id", "simhash", bits = 24, maxHamming = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Corpus bigram novelty: occurrence counts, corpus-hapax ratio, and
+    // mean bigram document frequency — the distributional stand-in for
+    // perplexity filtering, in order-free exact arithmetic.
+    "q_bigram_stats" -> { (s, d) =>
+      graft.functions.LangModel.bigramStats(Tables.documents(s, d),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 
@@ -1346,19 +1387,48 @@ object SparkEntry {
            ON p.o_totalprice >= iv.lo AND p.o_totalprice <= iv.hi
          ORDER BY pt_id, iv_id""",
 
-    "q_simhash" -> {
-      val bits = (0 until 16).map(k => s"($k, ${1L << k})").mkString(", ")
-      s"""WITH tkall AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
-          ids AS (SELECT doc_id, ${duckPolyId("tok")} AS tid FROM tkall),
-          bits AS (SELECT * FROM (VALUES $bits) b(k, pow2)),
-          lanes AS (SELECT doc_id, k, pow2,
-            sum(CASE WHEN CAST(floor(((tid * ${Dedup.permA(0)} + ${Dedup.permB(0)}) % ${Dedup.MersennePrime}) / pow2) AS BIGINT) % 2 = 1
-                THEN 1 ELSE -1 END) AS lane
-            FROM ids CROSS JOIN bits
-            GROUP BY doc_id, k, pow2)
-          SELECT doc_id, CAST(sum(CASE WHEN lane > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
-          FROM lanes GROUP BY doc_id ORDER BY doc_id"""
+    "q_simhash" ->
+      s"""WITH ${duckSimhashCte(16)}
+          SELECT doc_id, simhash FROM fps ORDER BY doc_id""",
+
+    "q_simhash_pairs" -> {
+      val chunks = Dedup.chunkSpec(24, 2)
+        .map { case (k, cp, cm) => s"($k, $cp, $cm)" }.mkString(", ")
+      s"""WITH ${duckSimhashCte(24)},
+          ch AS (SELECT * FROM (VALUES $chunks) c(ck, cp, cmod)),
+          keyed AS (SELECT doc_id, ck, (simhash // cp) % cmod AS cv
+            FROM fps CROSS JOIN ch),
+          caps AS (SELECT ck, cv, count(*) AS c FROM keyed GROUP BY 1, 2),
+          capped AS (SELECT keyed.* FROM keyed JOIN caps USING (ck, cv)
+            WHERE c <= 1000),
+          cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b USING (ck, cv)
+            WHERE a.doc_id < b.doc_id)
+          SELECT id_a, id_b,
+            CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hd
+          FROM cands
+          JOIN fps fa ON fa.doc_id = id_a
+          JOIN fps fb ON fb.doc_id = id_b
+          WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 2
+          ORDER BY id_a, id_b"""
     },
+
+    "q_bigram_stats" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+            THEN list_transform(range(1, len(tk)),
+              i -> array_to_string(tk[i:i+1], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          cb AS (SELECT tid, CAST(count(*) AS BIGINT) AS cb FROM g GROUP BY tid)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+            CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+            CAST(sum(cb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bigram_df
+          FROM g JOIN cb USING (tid)
+          GROUP BY doc_id ORDER BY doc_id""",
 
     "q_cosine_topk" -> {
       val dotSql = (a: String, b: String) =>

@@ -235,6 +235,70 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup pairs by SimHash hamming distance <= `maxHamming`, blocked
+    * by the pigeonhole principle: the `bits`-wide fingerprint splits into
+    * maxHamming+1 contiguous chunks, and a pair within the hamming ball
+    * differs in at most maxHamming bits, so it agrees EXACTLY on at least
+    * one chunk. Candidates are the union of per-chunk equi-join buckets —
+    * one shuffle on (chunk, value), linear for bounded bucket occupancy,
+    * no all-pairs — then exact hamming verification on the (tiny)
+    * candidate set. Chunk buckets longer than `bucketCap` are dropped
+    * (degenerate near-constant fingerprints would otherwise go quadratic;
+    * same rationale as lshCandidatePairs).
+    * Output: (id_a, id_b, hd) with id_a < id_b.
+    */
+  /** Pigeonhole chunking of a `bits`-wide fingerprint into maxHamming+1
+    * near-even contiguous chunks: (chunk index, 2^start divisor, 2^len
+    * modulus) — chunk value = (fp / cp) % cmod in plain integer
+    * arithmetic, exact and reproducible verbatim in the oracle's // and %
+    * operators. Shared by simhashPairs and its oracle SQL so the blocking
+    * can never drift between engines.
+    */
+  private[graft] def chunkSpec(bits: Int, maxHamming: Int): Seq[(Int, Long, Long)] = {
+    val nChunks = maxHamming + 1
+    val base = bits / nChunks
+    val extra = bits % nChunks
+    (0 until nChunks).map { k =>
+      val len = base + (if (k < extra) 1 else 0)
+      val start = (0 until k).map(j => base + (if (j < extra) 1 else 0)).sum
+      (k, 1L << start, 1L << len)
+    }
+  }
+
+  def simhashPairs(fps: DataFrame, idCol: String, fpCol: String, bits: Int,
+      maxHamming: Int, bucketCap: Int = 1000): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits), got $maxHamming")
+    val spark = fps.sparkSession
+    val chunksDf = broadcast(smallTable(spark,
+      Seq("ck" -> org.apache.spark.sql.types.IntegerType,
+        "cp" -> org.apache.spark.sql.types.LongType,
+        "cmod" -> org.apache.spark.sql.types.LongType),
+      chunkSpec(bits, maxHamming).map { case (k, cp, cm) => Seq[Any](k, cp, cm) }))
+    val keyed = fps.select(col(idCol), col(fpCol).as("__fp"))
+      .join(chunksDf)
+      .select(col(idCol), col("ck"),
+        expr("(__fp div cp) % cmod").as("cv"))
+    val w = Window.partitionBy(col("ck"), col("cv"))
+    val capped = keyed
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= bucketCap)
+      .drop("__n")
+    val a = capped.select(col("ck"), col("cv"), col(idCol).as("id_a"))
+    val b = capped.select(col("ck"), col("cv"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("ck", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val fa = fps.select(col(idCol).as("id_a"), col(fpCol).as("__fa"))
+    val fb = fps.select(col(idCol).as("id_b"), col(fpCol).as("__fb"))
+    cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
+      .withColumn("hd", hamming(col("__fa"), col("__fb")).cast("long"))
+      .filter(col("hd") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hd"))
+  }
+
   /** Benchmark decontamination: drop training documents sharing more than
     * `maxSharedShingles` distinct word n-grams with ANY document of an
     * evaluation set — the standard pretraining-hygiene step against eval

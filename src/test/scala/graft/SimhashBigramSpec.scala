@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, LangModel}
+
+class SimhashBigramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhashPairs equals brute-force hamming pairs (pigeonhole is exhaustive)") {
+    // Fingerprints engineered around the chunk boundaries of bits=12,
+    // maxHamming=2 (chunks of 4 bits): differences concentrated in one
+    // chunk, spread over all three, and beyond the threshold.
+    val fps = Seq(
+      (1L, 0x0FFL), (2L, 0x0FDL),     // hd 1
+      (3L, 0x0F0L),                   // vs 1: hd 4 (out)
+      (4L, 0x803L), (5L, 0x812L),     // hd 3 (out)
+      (6L, 0x000L), (7L, 0x801L),     // hd 2 via two chunks
+      (8L, 0x000L)                    // dup of 6 -> hd 0
+    ).toDF("id", "fp")
+    val got = Dedup.simhashPairs(fps, "id", "fp", bits = 12, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = (for {
+      (ia, fa) <- rows; (ib, fb) <- rows if ia < ib
+      hd = java.lang.Long.bitCount(fa ^ fb) if hd <= 2
+    } yield (ia, ib, hd.toLong)).toSet
+    assert(got == exp)
+    assert(exp.contains((6L, 8L, 0L)) && exp.contains((6L, 7L, 2L)))
+  }
+
+  test("simhashPairs bucket cap drops degenerate all-equal buckets") {
+    // 50 identical fingerprints: cap 10 drops every bucket, so no pairs.
+    val fps = (1L to 50L).map(i => (i, 0x5AL)).toDF("id", "fp")
+    assert(Dedup.simhashPairs(fps, "id", "fp", bits = 8, maxHamming = 1,
+      bucketCap = 10).count() == 0)
+  }
+
+  test("bigramStats: hand-computed hapax and df, short docs drop out") {
+    val docs = Seq(
+      (1L, "a b c"),     // bigrams: "a b", "b c"
+      (2L, "a b a b"),   // bigrams: "a b", "b a", "a b"
+      (3L, "solo")       // no bigrams
+    ).toDF("id", "text")
+    val got = LangModel.bigramStats(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // Corpus: "a b" x3, "b c" x1, "b a" x1.
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5, 2.0)),          // df sum 3+1=4 -> avg 2.0
+      2L -> ((3L, 1L, 1.0 / 3.0, 7.0 / 3.0)) // dfs 3+1+3=7
+    ))
+  }
+}
