@@ -20,13 +20,13 @@ object Quality {
     * The classic boilerplate/spam signal ("repetition ratio") from the
     * Gopher quality rules.
     */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val grams = Text.wordNgrams(Text.tokens(text), n)
-    when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"))
-      .otherwise(lit(0.0))
-  }
+  def repetitionRatio(text: Column, n: Int): Column =
+    // coalesce preserves the composed HOF form's 0.0-on-NULL contract
+    // (wordNgrams folds a NULL doc to an empty gram list); the codegen'd
+    // expression itself is null-intolerant. Semantically
+    // `1 - size(array_distinct(wordNgrams))/size(wordNgrams)`, whose
+    // interpreted per-gram lambdas were the corpus scan's dominant cost.
+    coalesce(graft.plans.TextExpressions.repetitionRatio(text, n), lit(0.0))
 
   /** Gopher/C4-style keep decision from the five scan-stage signals.
     * Bounds are inclusive; callers tune them per corpus.

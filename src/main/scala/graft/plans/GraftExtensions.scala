@@ -45,6 +45,23 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"token_chars expects 1 argument, got ${args.length}")
     }: Seq[Expression] => Expression),
+    ("repetition_ratio", classOf[RepetitionRatioExpr], {
+      case Seq(c, n) =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val integral = n.dataType == IntegerType || n.dataType == LongType ||
+          n.dataType == ShortType || n.dataType == ByteType
+        val v = if (n.foldable && integral) n.eval() else null
+        if (v == null) // non-literal, wrong type, or a NULL literal
+          throw new IllegalArgumentException(
+            "repetition_ratio: the n-gram size must be a non-null integer literal")
+        val nn = v.asInstanceOf[Number].intValue()
+        if (nn < 1)
+          throw new IllegalArgumentException(
+            s"repetition_ratio: the n-gram size must be >= 1, got $nn")
+        RepetitionRatioExpr(c, nn)
+      case args => throw new IllegalArgumentException(
+        s"repetition_ratio expects (text, n), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
     ("marker_hits", classOf[MarkerHitsExpr], {
       case Seq(c, w) =>
         import org.apache.spark.sql.catalyst.util.ArrayData

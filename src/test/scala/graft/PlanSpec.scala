@@ -72,4 +72,36 @@ class PlanSpec extends AnyFunSuite {
     // the native bucketing expression, not nBits interpreted HOF passes
     assert(p.toLowerCase.contains("rplshbucket"), p)
   }
+
+  test("token-scan queries run the native expressions, not HOF fallbacks") {
+    for (q <- Seq("q_lang_id", "q_text_quality", "q_quality_rules")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("markerhitsexpr") ||
+        p.toLowerCase.contains("tokencountexpr"), s"$q: $p")
+      // The replaced CodegenFallback shapes must not creep back in.
+      assert(!p.contains("aggregate(filter(split"), s"$q: $p")
+    }
+  }
+
+  test("simhash pairs: chunk equi-join with broadcast chunk table, no all-pairs") {
+    val p = plan("q_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // Candidate generation joins on (ck, cv): an equi-join of some kind.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tfidf: corpus size joins as a broadcast, top-k is one doc-keyed window") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality/bigram scans stay pruned to (doc_id, text)") {
+    for (q <- Seq("q_quality_rules", "q_bigram_stats")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$q: $p")
+    }
+  }
 }

@@ -48,6 +48,23 @@ class TokenScanSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionRatio matches the composed HOF form gram-for-gram") {
+    val reps = docs ++ Seq("x y x y x y x y", "a a a a", "one two one two three")
+    val df = reps.toDF("text")
+    val grams = Text.wordNgrams(Text.tokens(col("text")), 3)
+    val hof = when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double")).otherwise(lit(0.0))
+    val rows = df.select(
+      TextExpressions.repetitionRatio(col("text"), 3).as("fast"),
+      hof.as("slow")).collect()
+    for (r <- rows) assert(r.getDouble(0) == r.getDouble(1), r)
+    // Null contract at the Quality level: 0.0, like the HOF composition.
+    val nr = Seq[String](null).toDF("text")
+      .select(graft.functions.Quality.repetitionRatio(col("text"), 3)).collect()(0)
+    assert(nr.getDouble(0) == 0.0)
+  }
+
   test("null text propagates null; empty marker set hits zero") {
     val df = Seq[String](null).toDF("text")
     val r = df.select(
