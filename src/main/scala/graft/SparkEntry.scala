@@ -717,15 +717,17 @@ object SparkEntry {
     },
 
     // SimHash near-dup pairs: pigeonhole chunk blocking (3 chunks cover
-    // hamming <= 2 on 24-bit fingerprints) + exact hamming verification —
-    // the bit-fingerprint complement to MinHash-LSH banding. 24 bits, not
-    // q_simhash's 16: pair discrimination needs fingerprint width to grow
-    // with corpus homogeneity, and the lane arithmetic is exact to 31.
+    // hamming <= 2 on 30-bit fingerprints) + exact hamming verification —
+    // the bit-fingerprint complement to MinHash-LSH banding. 30 bits, not
+    // q_simhash's 16: pair discrimination (and candidate-bucket fan-out)
+    // needs fingerprint width to grow with corpus homogeneity, and the
+    // lane arithmetic is exact to 31 bits.
+    // Fingerprints come from the scan-stage SimhashExpr (bit-identical to
+    // the Dedup.simhash groupBy form, zero shuffle before blocking).
     "q_simhash_pairs" -> { (s, d) =>
-      val all = Tables.documents(s, d).select(col("doc_id"),
-        graft.plans.TextExpressions.hashedShingles(col("text"), 1))
-      val fp = Dedup.simhash(all, "doc_id", col("tid"), bits = 24)
-      Dedup.simhashPairs(fp, "doc_id", "simhash", bits = 24, maxHamming = 2)
+      val fp = Tables.documents(s, d).select(col("doc_id"),
+        Dedup.simhashScan(col("text"), 30).as("simhash"))
+      Dedup.simhashPairs(fp, "doc_id", "simhash", bits = 30, maxHamming = 2)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1392,9 +1394,9 @@ object SparkEntry {
           SELECT doc_id, simhash FROM fps ORDER BY doc_id""",
 
     "q_simhash_pairs" -> {
-      val chunks = Dedup.chunkSpec(24, 2)
+      val chunks = Dedup.chunkSpec(30, 2)
         .map { case (k, cp, cm) => s"($k, $cp, $cm)" }.mkString(", ")
-      s"""WITH ${duckSimhashCte(24)},
+      s"""WITH ${duckSimhashCte(30)},
           ch AS (SELECT * FROM (VALUES $chunks) c(ck, cp, cmod)),
           keyed AS (SELECT doc_id, ck, (simhash // cp) % cmod AS cv
             FROM fps CROSS JOIN ch),

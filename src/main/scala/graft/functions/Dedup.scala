@@ -232,6 +232,16 @@ object Dedup {
       .agg(sum(when(col("lane") > 0, col("pow2")).otherwise(lit(0L))).as("simhash"))
   }
 
+  /** Scan-stage SimHash fingerprint of a text column: bit-identical to
+    * `simhash(hashedShingles(text, 1), polyId)` but computed per row at
+    * the scan — no |tokens|×bits lane shuffle, constant memory. This is
+    * the production fingerprint path; the groupBy form above remains the
+    * distributed-aggregation reference the oracle arithmetic mirrors.
+    */
+  def simhashScan(text: Column, bits: Int): Column =
+    graft.plans.TextExpressions.simhashFp(text, bits, permA(0), permB(0),
+      MersennePrime)
+
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -183,6 +183,42 @@ object TokenScan {
     1.0 - set.size.toDouble / total.toDouble
   }
 
+  /** SimHash fingerprint of a document in one pass: per token OCCURRENCE,
+    * tid = polynomial char hash, h = (tid*a + b) mod m, and each of the
+    * low `bits` bits of h votes +1/-1 into its lane; the fingerprint sets
+    * bit k where lane k's sum is positive. Bit-identical to
+    * Dedup.simhash's distributed groupBy form (same integer arithmetic,
+    * associative lane sums) with zero shuffle — the fingerprint leaves
+    * the parquet scan ready for chunk blocking.
+    */
+  def simhashFp(s: String, bits: Int, a: Long, b: Long, m: Long): Long = {
+    val lanes = new Array[Long](bits)
+    var i = 0
+    var start = -1
+    val len = s.length
+    while (i <= len) {
+      val ws = i == len || isWs(s.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) {
+        val h = (PolyHash.eval(s.substring(start, i)) * a + b) % m
+        var k = 0
+        while (k < bits) {
+          if (((h >> k) & 1L) == 1L) lanes(k) += 1 else lanes(k) -= 1
+          k += 1
+        }
+        start = -1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < bits) {
+      if (lanes(k) > 0) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
   /** Number of tokens (with multiplicity) contained in `set`. */
   def markerHits(s: String, set: java.util.HashSet[String]): Int = {
     var hits = 0
@@ -308,6 +344,34 @@ case class RepetitionRatioExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Scalar: scan-stage SimHash fingerprint (see TokenScan.simhashFp).
+  * The distributed Dedup.simhash form shuffles |tokens|×bits lane rows
+  * through two aggregations; this computes the identical fingerprint
+  * per row at the scan for bits-bounded constant memory.
+  */
+case class SimhashExpr(child: Expression, bits: Int, a: Long, b: Long, m: Long)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+  require(m > 0, "modulus must be positive")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.simhashFp(input.asInstanceOf[UTF8String].toString, bits, a, b, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TokenScan.simhashFp($c.toString(), $bits, ${a}L, ${b}L, ${m}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API: polynomial hash of a string column (codegen'd). */
   def polyHash(c: Column): Column =
@@ -334,4 +398,8 @@ object TextExpressions {
   /** Column API: word-n-gram repetition ratio (codegen'd single pass). */
   def repetitionRatio(c: Column, n: Int): Column =
     GraftBridge.column(RepetitionRatioExpr(GraftBridge.expression(c), n))
+
+  /** Column API: scan-stage SimHash fingerprint (codegen'd single pass). */
+  def simhashFp(c: Column, bits: Int, a: Long, b: Long, m: Long): Column =
+    GraftBridge.column(SimhashExpr(GraftBridge.expression(c), bits, a, b, m))
 }

@@ -31,6 +31,23 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(exp.contains((6L, 8L, 0L)) && exp.contains((6L, 7L, 2L)))
   }
 
+  test("scan-stage simhashScan is bit-identical to the distributed groupBy form") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaAgg = Dedup.simhash(
+      docs.select(col("doc_id"),
+        graft.plans.TextExpressions.hashedShingles(col("text"), 1)),
+      "doc_id", col("tid"), bits = 24)
+    val viaScan = docs.select(col("doc_id"),
+      Dedup.simhashScan(col("text"), 24).as("simhash"))
+    assert(viaAgg.exceptAll(viaScan).isEmpty && viaScan.exceptAll(viaAgg).isEmpty)
+    // Tokenless docs: the aggregate form emits no row; the scan form
+    // emits the all-zero-lane fingerprint (every lane sum is 0, no bit
+    // set). Both are documented; this pins the scan form's value.
+    val z = Seq("   ").toDF("text")
+      .select(Dedup.simhashScan(col("text"), 8)).collect()(0)
+    assert(z.getLong(0) == 0L)
+  }
+
   test("simhashPairs bucket cap drops degenerate all-equal buckets") {
     // 50 identical fingerprints: cap 10 drops every bucket, so no pairs.
     val fps = (1L to 50L).map(i => (i, 0x5AL)).toDF("id", "fp")
