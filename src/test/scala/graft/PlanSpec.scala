@@ -91,10 +91,13 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
-  test("tfidf: corpus size joins as a broadcast, top-k is one doc-keyed window") {
+  test("tfidf: corpus size joins as a broadcast, top-k is one doc-keyed pass") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    // Stock plan: a rank window. Once the TopK extension is live on the
+    // shared session (TopKExtensionsSpec enables it), the rank-filter
+    // pattern legitimately rewrites to the native partial/final TopK.
+    assert(p.contains("Window") || p.contains("TopK"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
