@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Text}
+import graft.functions.{Cluster, Dedup, Text}
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
   * pipeline actually runs, built entirely from graft operators —
@@ -53,28 +53,50 @@ object CorpusPipeline {
   def exactDedup(docs: DataFrame, cfg: Config = Config()): DataFrame =
     Dedup.dedupRows(docs, Seq("fingerprint", "fingerprint2"), cfg.idCol)
 
-  /** Near-dup removal: LSH candidates over hashed shingles, then exact
-    * Jaccard computed ONLY for candidate pairs (join the candidates back
-    * to the shingle sets) — the whole point of banding is to avoid the
-    * full inverted-list self-join at corpus scale. For every verified pair
-    * the larger id is dropped. (Pair-wise drop, not full connected
-    * components — the standard single-pass approximation; iterate to a
-    * fixpoint if transitive clusters matter.)
+  /** Near-dup removal, single-pass policy: for every verified pair the
+    * larger id is dropped. Cheapest (no propagation rounds) but keeps
+    * both ends of a transitive chain's extremes; use nearDedupClustered
+    * below when full connected-component resolution matters.
     */
   def nearDedup(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val verified = verifiedNearDupPairs(docs, cfg)
+    val toDrop = verified.select(col("id_b").as(cfg.idCol)).distinct()
+    docs.join(toDrop, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** LSH candidate pairs verified by exact Jaccard — the shared similarity
+    * graph both near-dedup policies consume. Jaccard is computed ONLY for
+    * candidate pairs (join the candidates back to the shingle sets) — the
+    * whole point of banding is to avoid the full inverted-list self-join
+    * at corpus scale — and through the one shared verifier
+    * (Dedup.verifyJaccard), so the threshold arithmetic cannot drift
+    * between the ngram path and this one.
+    */
+  def verifiedNearDupPairs(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val sh = Dedup.docShingleIds(docs, cfg.idCol, cfg.textCol, cfg.shingleSize)
       .distinct()
     val sig = Dedup.minhashSignature(sh, cfg.idCol, col("tid"), cfg.numHashes)
     val candidates = Dedup.lshCandidatePairs(
       Dedup.lshBands(sig, cfg.idCol, cfg.rowsPerBand), cfg.idCol)
+    Dedup.verifyJaccard(candidates, sh, cfg.idCol, cfg.jaccardThreshold)
+  }
 
-    // Jaccard restricted to candidate pairs — the one shared verifier
-    // (Dedup.verifyJaccard), so the threshold arithmetic cannot drift
-    // between the ngram path and this one.
-    val verified = Dedup.verifyJaccard(candidates, sh, cfg.idCol,
-      cfg.jaccardThreshold)
-    val toDrop = verified.select(col("id_b").as(cfg.idCol)).distinct()
-    docs.join(toDrop, Seq(cfg.idCol), "left_anti")
+  /** Near-dup removal by full connected components: the verified pairs
+    * form a similarity graph, and exactly one canonical representative
+    * (the smallest id) survives per component. Differs from the pairwise
+    * drop above whenever a chain's bridge doc outranks its neighbors —
+    * edges (1,3) and (2,3) with no (1,2) drop only 3 pairwise, keeping
+    * both chain ends {1, 2}, while the component resolves to {1} here
+    * (the chain is one duplication event; the dropped bridge would have
+    * connected its survivors). The deterministic policy large dedup
+    * pipelines standardize on; costs the extra label-propagation rounds
+    * of Cluster.assignClusters.
+    */
+  def nearDedupClustered(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val verified = verifiedNearDupPairs(docs, cfg)
+    val asg = Cluster.assignClusters(verified.select(col("id_a"), col("id_b")),
+      "id_a", "id_b", docs.select(col(cfg.idCol)), cfg.idCol)
+    Cluster.representatives(docs, cfg.idCol, asg)
   }
 
   /** Held-out split assignment over the CURATED corpus (split after

@@ -52,6 +52,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("clustered near-dedup keeps one representative per transitive chain") {
+    import spark.implicits._
+    // A transitive chain whose BRIDGE doc carries the largest id: docs 1
+    // and 2 each overlap bridge doc 3 heavily but share too little with
+    // each other — (1,3) and (2,3) verify, (1,2) does not. The pairwise
+    // policy drops only larger ids of verified pairs, so it drops the
+    // bridge and keeps BOTH chain ends {1, 2}; the clustered policy
+    // resolves the component to its minimum and keeps {1} alone.
+    val shared1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shared2 = (31 to 60).map(i => s"w$i").mkString(" ")
+    val input = Seq(
+      (1L, s"$shared1 aa1 aa2 aa3"),
+      (2L, s"$shared2 zz1 zz2 zz3"),
+      (3L, s"$shared1 $shared2"), // the bridge
+      (10L, (100 to 140).map(i => s"q$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    // 32 hashes / 16 bands: at J~0.46 the default 4 bands deterministically
+    // miss this fixture's (1,2) bucket collision; more bands = recall.
+    val cfg = CorpusPipeline.Config(numHashes = 32, jaccardThreshold = 0.4)
+    val pairs = CorpusPipeline.verifiedNearDupPairs(input, cfg)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), pairs)
+    assert(!pairs.contains((1L, 2L)), pairs)
+    val pairwise = CorpusPipeline.nearDedup(input, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val clustered = CorpusPipeline.nearDedupClustered(input, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairwise === Set(1L, 2L, 10L))
+    assert(clustered === Set(1L, 10L))
+  }
+
   test("exact dedup survives a real polynomial-hash collision") {
     import spark.implicits._
     // these two distinct texts share polyHash mod 1e9+7 (= 633477840,
