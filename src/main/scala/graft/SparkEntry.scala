@@ -724,9 +724,14 @@ object SparkEntry {
     // lane arithmetic is exact to 31 bits.
     // Fingerprints come from the scan-stage SimhashExpr (bit-identical to
     // the Dedup.simhash groupBy form, zero shuffle before blocking).
+    // Tokenless docs are filtered BEFORE fingerprinting: a no-signal doc's
+    // fp (all-zero lanes) is meaningless for similarity, and the oracle's
+    // aggregate form never emits rows for them — the filter keeps both
+    // engines on the same universe.
     "q_simhash_pairs" -> { (s, d) =>
-      val fp = Tables.documents(s, d).select(col("doc_id"),
-        Dedup.simhashScan(col("text"), 30).as("simhash"))
+      val fp = Tables.documents(s, d)
+        .filter(Text.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), Dedup.simhashScan(col("text"), 30).as("simhash"))
       Dedup.simhashPairs(fp, "doc_id", "simhash", bits = 30, maxHamming = 2)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1347,7 +1352,7 @@ object SparkEntry {
 
     "q_regex_tokens" ->
       """WITH rt AS (SELECT doc_id,
-           regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS toks
+           regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]') AS toks
          FROM documents)
          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_rtokens,
            array_to_string(toks[1:5], '|') AS head_toks

@@ -286,7 +286,16 @@ object Dedup {
         "cp" -> org.apache.spark.sql.types.LongType,
         "cmod" -> org.apache.spark.sql.types.LongType),
       chunkSpec(bits, maxHamming).map { case (k, cp, cm) => Seq[Any](k, cp, cm) }))
-    val keyed = fps.select(col(idCol), col(fpCol).as("__fp"))
+    // Chunk extraction by div/mod is bit extraction ONLY for fingerprints
+    // in [0, 2^bits); a negative or over-wide fp (e.g. raw xxhash64 output)
+    // would silently break the pigeonhole guarantee and drop true pairs —
+    // fail loudly instead. One codegen'd comparison per row.
+    val guarded = when(
+      col(fpCol) >= 0 && col(fpCol) < lit(1L << bits), col(fpCol))
+      .otherwise(raise_error(concat(
+        lit(s"simhashPairs: fingerprint outside [0, 2^$bits): "),
+        col(fpCol).cast("string"))))
+    val keyed = fps.select(col(idCol), guarded.as("__fp"))
       .join(chunksDf)
       .select(col(idCol), col("ck"),
         expr("(__fp div cp) % cmod").as("cv"))

@@ -29,9 +29,13 @@ object Text {
 
   /** BPE-ish regex tokenizer: runs of letters, runs of digits, or single
     * other non-space characters — the common pre-tokenization shape.
+    * Whitespace is the EXPLICIT class (Java \s includes vertical tab,
+    * RE2's does not — oracle-checked expressions spell it out; see
+    * punctRatio).
     */
   def regexTokens(c: Column): Column =
-    filter(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)),
+    filter(regexp_extract_all(c,
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)),
       t => length(t) > 0)
 
   /** Word n-grams over a token array: space-joined windows of `n` tokens.

@@ -29,7 +29,11 @@ object CorpusPipeline {
       shingleSize: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.5)
+      jaccardThreshold: Double = 0.5,
+      // Propagation-round cap for nearDedupClustered: must exceed the
+      // longest transitive near-dup chain's diameter (connectedComponents
+      // throws past it rather than returning fractured clusters).
+      ccMaxIter: Int = 20)
 
   /** Map-only annotation: token count, quality score, fingerprints. TWO
     * independent hashes fingerprint each doc: dedup keyed on a single
@@ -95,7 +99,7 @@ object CorpusPipeline {
   def nearDedupClustered(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val verified = verifiedNearDupPairs(docs, cfg)
     val asg = Cluster.assignClusters(verified.select(col("id_a"), col("id_b")),
-      "id_a", "id_b", docs.select(col(cfg.idCol)), cfg.idCol)
+      "id_a", "id_b", docs.select(col(cfg.idCol)), cfg.idCol, cfg.ccMaxIter)
     Cluster.representatives(docs, cfg.idCol, asg)
   }
 

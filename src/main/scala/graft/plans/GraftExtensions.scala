@@ -16,6 +16,28 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SELECT poly_hash(text), cosine_sim(a.embedding, b.embedding) ...
   */
 object GraftFunctions {
+
+  /** Extract a non-null integral literal argument or fail analysis with a
+    * named, bounded error — the shared gate for every function taking a
+    * compile-time size/width parameter.
+    */
+  private def requireIntLiteral(fn: String, what: String, e: Expression,
+      min: Int, max: Int = Int.MaxValue): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = e.dataType == IntegerType || e.dataType == LongType ||
+      e.dataType == ShortType || e.dataType == ByteType
+    val v = if (e.foldable && integral) e.eval() else null
+    if (v == null) // non-literal, wrong type, or a NULL literal
+      throw new IllegalArgumentException(
+        s"$fn: the $what must be a non-null integer literal")
+    val n = v.asInstanceOf[Number].intValue()
+    if (n < min || n > max) {
+      val range = if (max == Int.MaxValue) s">= $min" else s"in [$min, $max]"
+      throw new IllegalArgumentException(s"$fn: the $what must be $range, got $n")
+    }
+    n
+  }
+
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("poly_hash", classOf[PolyHashExpr], {
       case Seq(c) => PolyHashExpr(c)
@@ -24,14 +46,7 @@ object GraftFunctions {
     }: Seq[Expression] => Expression),
     ("hashed_shingles", classOf[HashedShingles], {
       case Seq(c, n) =>
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val integral = n.dataType == IntegerType || n.dataType == LongType ||
-          n.dataType == ShortType || n.dataType == ByteType
-        val v = if (n.foldable && integral) n.eval() else null
-        if (v == null) // non-literal, wrong type, or a NULL literal
-          throw new IllegalArgumentException(
-            "hashed_shingles: the shingle size must be a non-null integer literal")
-        HashedShingles(c, v.asInstanceOf[Number].intValue())
+        HashedShingles(c, requireIntLiteral("hashed_shingles", "shingle size", n, 1))
       case args => throw new IllegalArgumentException(
         s"hashed_shingles expects (text, n), got ${args.length} arguments")
     }: Seq[Expression] => Expression),
@@ -47,20 +62,21 @@ object GraftFunctions {
     }: Seq[Expression] => Expression),
     ("repetition_ratio", classOf[RepetitionRatioExpr], {
       case Seq(c, n) =>
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val integral = n.dataType == IntegerType || n.dataType == LongType ||
-          n.dataType == ShortType || n.dataType == ByteType
-        val v = if (n.foldable && integral) n.eval() else null
-        if (v == null) // non-literal, wrong type, or a NULL literal
-          throw new IllegalArgumentException(
-            "repetition_ratio: the n-gram size must be a non-null integer literal")
-        val nn = v.asInstanceOf[Number].intValue()
-        if (nn < 1)
-          throw new IllegalArgumentException(
-            s"repetition_ratio: the n-gram size must be >= 1, got $nn")
-        RepetitionRatioExpr(c, nn)
+        RepetitionRatioExpr(c,
+          requireIntLiteral("repetition_ratio", "n-gram size", n, 1))
       case args => throw new IllegalArgumentException(
         s"repetition_ratio expects (text, n), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
+    // Scan-stage SimHash with the library's standard permutation
+    // (Dedup.permA(0)/permB(0) mod 2^31-1) — the SQL twin of
+    // Dedup.simhashScan.
+    ("simhash", classOf[SimhashExpr], {
+      case Seq(c, n) =>
+        SimhashExpr(c, requireIntLiteral("simhash", "bit width", n, 1, 62),
+          graft.functions.Dedup.permA(0), graft.functions.Dedup.permB(0),
+          graft.functions.Dedup.MersennePrime)
+      case args => throw new IllegalArgumentException(
+        s"simhash expects (text, bits), got ${args.length} arguments")
     }: Seq[Expression] => Expression),
     ("marker_hits", classOf[MarkerHitsExpr], {
       case Seq(c, w) =>
@@ -95,18 +111,7 @@ object GraftFunctions {
     }: Seq[Expression] => Expression),
     ("rp_lsh_bucket", classOf[RpLshBucketExpr], {
       case Seq(v, n) =>
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val integral = n.dataType == IntegerType || n.dataType == LongType ||
-          n.dataType == ShortType || n.dataType == ByteType
-        val bits = if (n.foldable && integral) n.eval() else null
-        if (bits == null) // non-literal, wrong type, or a NULL literal
-          throw new IllegalArgumentException(
-            "rp_lsh_bucket: the bit count must be a non-null integer literal")
-        val nb = bits.asInstanceOf[Number].intValue()
-        if (nb < 1 || nb > 63)
-          throw new IllegalArgumentException(
-            s"rp_lsh_bucket: the bit count must be in [1, 63], got $nb")
-        RpLshBucketExpr(v, nb)
+        RpLshBucketExpr(v, requireIntLiteral("rp_lsh_bucket", "bit count", n, 1, 63))
       case args => throw new IllegalArgumentException(
         s"rp_lsh_bucket expects (vector, nBits), got ${args.length} arguments")
     }: Seq[Expression] => Expression))

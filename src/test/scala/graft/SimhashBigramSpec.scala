@@ -16,7 +16,9 @@ class SimhashBigramSpec extends AnyFunSuite {
     val fps = Seq(
       (1L, 0x0FFL), (2L, 0x0FDL),     // hd 1
       (3L, 0x0F0L),                   // vs 1: hd 4 (out)
-      (4L, 0x803L), (5L, 0x812L),     // hd 3 (out)
+      (4L, 0x222L), (5L, 0x333L),     // hd 3, one bit per chunk: NO chunk
+                                      // agrees AND above threshold (out) —
+                                      // the spread-difference blocking case
       (6L, 0x000L), (7L, 0x801L),     // hd 2 via two chunks
       (8L, 0x000L)                    // dup of 6 -> hd 0
     ).toDF("id", "fp")
@@ -29,6 +31,17 @@ class SimhashBigramSpec extends AnyFunSuite {
     } yield (ia, ib, hd.toLong)).toSet
     assert(got == exp)
     assert(exp.contains((6L, 8L, 0L)) && exp.contains((6L, 7L, 2L)))
+    // The fixture must actually exercise the spread-difference regime.
+    assert(!exp.exists(p => p._1 == 4L && p._2 == 5L))
+  }
+
+  test("simhashPairs rejects fingerprints outside [0, 2^bits)") {
+    val bad = Seq((1L, -1L), (2L, 3L)).toDF("id", "fp")
+    val ex = intercept[Exception](
+      Dedup.simhashPairs(bad, "id", "fp", bits = 8, maxHamming = 1).count())
+    assert(ex.getMessage.contains("fingerprint outside") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fingerprint outside")),
+      ex.toString)
   }
 
   test("scan-stage simhashScan is bit-identical to the distributed groupBy form") {

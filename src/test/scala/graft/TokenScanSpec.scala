@@ -110,4 +110,26 @@ class TokenScanSpec extends AnyFunSuite {
       spark.sql("SELECT marker_hits(text, array(text)) FROM tsdocs").collect())
     assert(err.getMessage.contains("array<string> literal"))
   }
+
+  test("SQL surface: repetition_ratio and simhash registered with literal checks") {
+    GraftFunctions.register(spark)
+    Seq("x y x y x y", "a b c").toDF("text").createOrReplaceTempView("tsreps")
+    val rows = spark.sql(
+      """SELECT repetition_ratio(text, 3) AS r, simhash(text, 24) AS s
+        |FROM tsreps ORDER BY text""".stripMargin).collect()
+    // "a b c": 1 distinct 3-gram of 1 -> 0.0; "x y x y x y": 2 of 4 -> 0.5.
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).getDouble(0) == 0.5)
+    // SQL fingerprints match the Column-API scan path.
+    val viaCol = Seq("a b c").toDF("text")
+      .select(graft.functions.Dedup.simhashScan(col("text"), 24)).collect()(0)
+    assert(rows(0).getLong(1) == viaCol.getLong(0))
+    for (bad <- Seq(
+        "SELECT repetition_ratio(text, 0) FROM tsreps",
+        "SELECT repetition_ratio(text, token_count(text)) FROM tsreps",
+        "SELECT simhash(text, 63) FROM tsreps")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      assert(e.getMessage.contains("must be"), s"$bad -> ${e.getMessage}")
+    }
+  }
 }
