@@ -745,6 +745,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Per-label embedding centroids (decimal-exact order-free sums) with
+    // group sizes — pooling for prototypes / coarse quantizers.
+    "q_embed_centroid" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.groupCentroids(emb, "label", "embedding")
+        .join(emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs")),
+          Seq("label"))
+        .select(col("label"), col("centroid"), col("n_vecs"))
+        .orderBy(col("label"))
+    },
+
     // Brute-force exact cosine top-5 neighbors for query vectors (the
     // correctness baseline for ANN; the LSH bucket below is the scale path).
     "q_cosine_topk" -> { (s, d) =>
@@ -1513,6 +1524,24 @@ object SparkEntry {
           ORDER BY id_a, id_b"""
     },
 
+    "q_embed_centroid" ->
+      s"""WITH ex AS (
+            SELECT label, s.i AS dim, s.x AS x FROM (
+              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'i': i, 'x': embedding[i]})) AS s
+              FROM embeddings)),
+          cent AS (
+            SELECT label, dim,
+              CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
+            FROM ex GROUP BY label, dim),
+          cl AS (
+            SELECT label, list(CAST(m AS REAL) ORDER BY dim) AS centroid
+            FROM cent GROUP BY label),
+          n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY label)
+          SELECT label, centroid, n_vecs FROM cl JOIN n USING (label)
+          ORDER BY label""",
+
     "q_ivf_topk" -> {
       val dotSql = (a: String, b: String) =>
         s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1522,6 +1551,11 @@ object SparkEntry {
       // Centroids sum over DECIMAL(25,10) — exact, order-independent —
       // matching Vec.ivfTopK's deterministic centroid arithmetic, then the
       // double quotient is cast to REAL exactly like Spark's cast-to-float.
+      // The element is widened REAL -> DOUBLE before the decimal cast:
+      // DuckDB's direct REAL -> DECIMAL goes through the float's SHORTEST
+      // string ("0.1" for 0.1f) while Spark widens to double and keeps the
+      // binary expansion (0.1000000015) — the double hop makes both
+      // engines quantize the same value.
       s"""WITH ex AS (
             SELECT label AS cell, s.i AS dim, s.x AS x FROM (
               SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
@@ -1529,7 +1563,7 @@ object SparkEntry {
               FROM embeddings)),
           cent AS (
             SELECT cell, dim,
-              CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
+              CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
             FROM ex GROUP BY cell, dim),
           cl AS (
             SELECT cell, list(CAST(m AS REAL) ORDER BY dim) AS centroid

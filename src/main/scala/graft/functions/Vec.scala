@@ -168,6 +168,29 @@ object Vec {
     bits.reduce(_ + _)
   }
 
+  /** Dimension-wise mean vector (centroid) per group — embedding pooling
+    * for cluster summaries, IVF coarse quantizers, class prototypes.
+    * One posexplode + a single partial-aggregable (group, dim) shuffle.
+    *
+    * The sum runs over decimal(25,10), not double: decimal addition is
+    * exact and therefore independent of partial-aggregation order, so the
+    * centroid (and every downstream ranking) is bit-deterministic across
+    * runs, partitionings, and engines — a double sum would vary in the
+    * last ulp with shuffle order. The divisor is count(x), not count(*):
+    * sum skips null elements, so the mean must too, or it silently biases
+    * toward zero. Output: (groupCol, centroid array<float>).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol).as("__g"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("__g"), col("dim"))
+      .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+        count(col("x"))).as("m"))
+      .groupBy(col("__g"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("__g").as(groupCol),
+        expr("transform(dm, s -> cast(s.m as float))").as("centroid"))
+
   /** IVF-style ANN: coarse-quantize the corpus into cells, then probe only
     * the `nProbe` cells whose centroids are most similar to each query.
     *
@@ -182,23 +205,8 @@ object Vec {
       cellCol: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
-    // Centroid per cell: dimension-wise mean. The sum runs over
-    // decimal(25,10), not double: decimal addition is exact and therefore
-    // independent of partial-aggregation order, so the centroid (and every
-    // downstream ranking) is bit-deterministic across runs, partitionings,
-    // and engines — a double sum would vary in the last ulp with shuffle
-    // order. Cost is confined to this tiny (cell × dim) aggregate.
-    val centroids = corpus
-      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
-      .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
-        count(col("x"))).as("m")) // count(x), not count(*): sum skips null
-                                  // elements, so the divisor must too, or
-                                  // the "mean" silently biases toward zero
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"),
-        expr("transform(dm, s -> cast(s.m as float))").as("centroid"))
+    val centroids = groupCentroids(
+      corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
 
     // rank cells per query by centroid similarity; keep nProbe. The query
     // norm is computed once here, not per candidate pair.

@@ -56,4 +56,24 @@ class FormatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === exact)
   }
+
+  test("groupCentroids: partitioning-invariant bits, null elements skipped") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def fps(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Float]] =
+      graft.functions.Vec.groupCentroids(df, "label").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // Decimal partial sums: identical bits no matter how rows are split.
+    val a = fps(emb)
+    val b = fps(emb.repartition(17))
+    assert(a == b)
+    // A null element contributes to neither the sum nor the divisor.
+    import spark.implicits._
+    val withNull = Seq(
+      (1, Array[java.lang.Float](2.0f, 4.0f)),
+      (1, Array[java.lang.Float](4.0f, null))).toDF("label", "embedding")
+    val m = fps(withNull.select(col("label"),
+      col("embedding").cast("array<float>").as("embedding")))
+    assert(m(1) == Seq(3.0f, 4.0f))
+  }
 }
