@@ -82,6 +82,48 @@ object ScaleProbe {
       println(f"""{"probe":"rp_lsh_bucket","variant":"$tag","sec":$sec%.2f}""")
     }
 
+    // Connected-components probe: the near-dup similarity graph of the
+    // replicated corpus (LSH pairs) resolved to clusters. Rounds are
+    // bounded by component diameter (replica cliques: ~2), so wall-clock
+    // should track the pair volume, not blow up with corpus size.
+    for (mult <- Seq(1, 4, 16)) {
+      val replicas = spark.range(mult).select(col("id").as("rep"))
+      val docs = base.crossJoin(replicas)
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      val t0 = System.nanoTime()
+      val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"), 8)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sig, "doc_id", 2), "doc_id")
+      val nClusters = graft.functions.Cluster
+        .connectedComponents(pairs, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id", maxIter = 30)
+        .select(col("component")).distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"connected_components","mult":$mult,"docs":${nBase * mult},"clusters":$nClusters,"sec":$sec%.2f}""")
+    }
+
+    // SimHash-pairs probe: scan-stage fingerprints + pigeonhole chunk
+    // blocking on the replicated corpus. Replica texts differ by one
+    // token, so fingerprints land within a small hamming ball of their
+    // siblings — pair output grows with planted duplication while the
+    // blocking stays a linear equi-join.
+    for (mult <- Seq(1, 4, 16)) {
+      val replicas = spark.range(mult).select(col("id").as("rep"))
+      val docs = base.crossJoin(replicas)
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      val t0 = System.nanoTime()
+      val fp = docs
+        .filter(graft.functions.Text.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), Dedup.simhashScan(col("text"), 30).as("simhash"))
+      val pairs = Dedup.simhashPairs(fp, "doc_id", "simhash",
+        bits = 30, maxHamming = 2).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"simhash_pairs","mult":$mult,"docs":${nBase * mult},"pairs":$pairs,"sec":$sec%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot
