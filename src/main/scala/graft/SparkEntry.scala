@@ -618,6 +618,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Token-budget corpus mixing: three sources capped at different token
+    // budgets (the data-mixture step), deterministic by hash order.
+    "q_mix_budget" -> { (s, d) =>
+      graft.functions.Sampling.tokenBudgetSample(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long")),
+          "source", "n_tokens", "doc_id",
+          budgets = Seq("src0" -> 2000L, "src1" -> 1000L, "src5" -> 500L))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Overlapping token-window chunking (context-window splitting for
+    // long docs): 64-token chunks, 16-token overlap.
+    "q_doc_chunk" -> { (s, d) =>
+      graft.functions.Chunk.chunkByTokens(Tables.documents(s, d),
+          "doc_id", "text", chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // Banded range join: |purchase.value - signup.value| <= 0.05, planned
     // as a bucket-blocked equi-join (one shuffle per side) instead of the
     // quadratic nested loop Spark gives a raw inequality join.
@@ -1330,6 +1350,30 @@ object SparkEntry {
           r AS (SELECT doc_id, lang, source, row_number() OVER
             (PARTITION BY lang, source ORDER BY bkt, doc_id) AS rn FROM b)
           SELECT doc_id, lang, source FROM r WHERE rn <= 5 ORDER BY doc_id""",
+
+    "q_mix_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens,
+            $duckBucket AS bkt FROM documents),
+          b AS (SELECT * FROM (VALUES ('src0', 2000), ('src1', 1000),
+            ('src5', 500)) b(source, budget)),
+          c AS (SELECT doc_id, t.source, n_tokens, budget,
+            SUM(n_tokens) OVER (PARTITION BY t.source ORDER BY bkt, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t JOIN b USING (source))
+          SELECT doc_id, source, n_tokens FROM c
+          WHERE cum - n_tokens < budget ORDER BY doc_id""",
+
+    "q_doc_chunk" ->
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+          c AS (SELECT doc_id, tk, unnest(CASE WHEN n > 0
+            THEN range(0, 1 + CAST(floor((greatest(0, n - 64) + 47) / 48.0) AS INT))
+            ELSE [] END) AS chunk_id FROM n)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+            array_to_string(tk[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
+            CAST(len(tk[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_chunk_tokens
+          FROM c ORDER BY doc_id, chunk_id""",
 
     "q_token_dict" ->
       s"""WITH toks AS (SELECT DISTINCT unnest(${duckToks("text")}) AS tok

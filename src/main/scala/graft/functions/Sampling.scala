@@ -105,6 +105,37 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budget corpus mixing: cap each group (source/domain/language)
+    * at a token budget — the "mixture weights" step that turns a raw
+    * corpus into a training mix. Docs are ranked inside their group by
+    * (hash bucket, key) — the same deterministic order as
+    * stratifiedSample — and kept while the budget lasts; the doc that
+    * STARTS within budget is kept whole (may overshoot by < 1 doc,
+    * deterministic, same convention as packBudget). Groups without a
+    * budget row are dropped. One window shuffle keyed on the group.
+    *
+    * @param budgets (group value, max tokens) pairs
+    */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, tokenCol: String,
+      keyCol: String, budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty, "at least one (group, budget) row")
+    require(budgets.forall(_._2 >= 0), "budgets must be >= 0")
+    requireNumericKey(df, keyCol)
+    val spark = df.sparkSession
+    val bdf = broadcast(graft.functions.Dedup.smallTable(spark,
+      Seq(groupCol -> df.schema(groupCol).dataType,
+        "__budget" -> org.apache.spark.sql.types.LongType),
+      budgets.map { case (g, b) => Seq[Any](g, b) }))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol)).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(keyCol).isNotNull)
+      .join(bdf, Seq(groupCol))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") - col(tokenCol) < col("__budget"))
+      .drop("__cum", "__budget")
+  }
+
   /** Budget-quantized sequence packing: assign docs (in `orderCol` order
     * within each `partCols` group) to packs of ~`budget` tokens via the
     * exclusive prefix sum — pack = floor(tokens_before / budget). Docs may

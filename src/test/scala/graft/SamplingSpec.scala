@@ -81,4 +81,55 @@ class SamplingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tokenBudgetSample caps each group's tokens with < 1 doc overshoot") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + i % 7)).toDF("id", "src", "toks")
+    val out = Sampling.tokenBudgetSample(docs, "src", "toks", "id",
+      Seq("a" -> 50L, "b" -> 120L))
+    val per = out.groupBy("src").agg(sum("toks").as("t"), max("toks").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((src, budget) <- Seq("a" -> 50L, "b" -> 120L)) {
+      val (total, maxTok) = per(src)
+      assert(total >= budget && total < budget + maxTok,
+        s"$src: total=$total budget=$budget")
+    }
+    // Deterministic; groups without a budget row are dropped.
+    val again = Sampling.tokenBudgetSample(docs, "src", "toks", "id",
+      Seq("a" -> 50L, "b" -> 120L)).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    val onlyA = Sampling.tokenBudgetSample(docs, "src", "toks", "id",
+      Seq("a" -> 50L)).select("src").distinct().as[String].collect().toSeq
+    assert(onlyA == Seq("a"))
+  }
+
+  test("chunkByTokens: windows reassemble the token stream with exact overlap") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc"), (3L, ""), (4L, (1 to 64).map(i => s"u$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = graft.functions.Chunk.chunkByTokens(docs, "id", "text", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // 150 tokens, stride 48: ceil((150-64)/48) = 2 extra chunks, starting
+    // at 0/48/96 (the window at 96 reaches token 160 >= 150) -> 3 chunks.
+    val c1 = byDoc(1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(c1.take(2).forall(_._4 == 64L) && c1.last._4 == 54L)
+    // Consecutive chunks share exactly the 16-token overlap.
+    for (Seq(a, b) <- c1.toSeq.sliding(2)) {
+      val at = a._3.split(" ")
+      val bt = b._3.split(" ")
+      assert(at.takeRight(16).sameElements(bt.take(16)), s"${a._2}->${b._2}")
+    }
+    // Reassembly: dropping each successor's overlap restores the doc.
+    val reassembled = (c1.head._3.split(" ") ++
+      c1.tail.flatMap(_._3.split(" ").drop(16))).mkString(" ")
+    assert(reassembled == text)
+    // Short doc -> one whole chunk; empty doc -> none; exact fit -> one.
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, "short doc", 2L)))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).map(_._2).toSeq == Seq(0L))
+  }
 }
