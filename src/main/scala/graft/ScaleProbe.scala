@@ -15,6 +15,19 @@ import graft.functions.Dedup
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
   */
 object ScaleProbe {
+  /** Replicate the corpus `mult`x with injective ids and a one-token
+    * perturbation per replica (near-dups, not exact dups) — the ONE
+    * replication scheme every probe times, so probe curves stay
+    * comparable.
+    */
+  private def replicate(spark: SparkSession,
+      base: org.apache.spark.sql.DataFrame, mult: Int): org.apache.spark.sql.DataFrame = {
+    val replicas = spark.range(mult).select(col("id").as("rep"))
+    base.crossJoin(replicas)
+      .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,11 +44,7 @@ object ScaleProbe {
     val base = Tables.documents(spark, sfDir)
     val nBase = base.count()
     for (mult <- Seq(1, 4, 16)) {
-      val replicas = spark.range(mult).select(col("id").as("rep"))
-      val docs = base.crossJoin(replicas)
-        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
-          // perturb each replica so it is a near-dup, not an exact dup
-          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"), 8)
@@ -87,10 +96,7 @@ object ScaleProbe {
     // bounded by component diameter (replica cliques: ~2), so wall-clock
     // should track the pair volume, not blow up with corpus size.
     for (mult <- Seq(1, 4, 16)) {
-      val replicas = spark.range(mult).select(col("id").as("rep"))
-      val docs = base.crossJoin(replicas)
-        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
-          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"), 8)
@@ -110,10 +116,7 @@ object ScaleProbe {
     // siblings — pair output grows with planted duplication while the
     // blocking stays a linear equi-join.
     for (mult <- Seq(1, 4, 16)) {
-      val replicas = spark.range(mult).select(col("id").as("rep"))
-      val docs = base.crossJoin(replicas)
-        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
-          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val fp = docs
         .filter(graft.functions.Text.tokenCount(col("text")) > 0)

@@ -97,6 +97,29 @@ object SparkEntry {
           WHERE a.doc_id < b.doc_id)"""
   }
 
+  /** DuckDB CTE chain: decimal-exact dimension-wise centroids of the
+    * embeddings table grouped by label (exposed as `alias`), matching
+    * Vec.groupCentroids bit-for-bit — shared by q_embed_centroid and
+    * q_ivf_topk. The element is widened REAL -> DOUBLE before the decimal
+    * cast: DuckDB's direct REAL -> DECIMAL quantizes the float's SHORTEST
+    * string ("0.1" for 0.1f) while Spark widens to double and keeps the
+    * binary expansion (0.1000000015) — the double hop makes both engines
+    * quantize the same value. Ends with `cl(alias, centroid)`.
+    */
+  private def duckCentroidCte(alias: String): String =
+    s"""ex AS (
+          SELECT label AS $alias, s.i AS dim, s.x AS x FROM (
+            SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+              i -> {'i': i, 'x': embedding[i]})) AS s
+            FROM embeddings)),
+        cent AS (
+          SELECT $alias, dim,
+            CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
+          FROM ex GROUP BY $alias, dim),
+        cl AS (
+          SELECT $alias, list(CAST(m AS REAL) ORDER BY dim) AS centroid
+          FROM cent GROUP BY $alias)"""
+
   /** DuckDB CTE chain reproducing 16-bit SimHash fingerprints over the
     * documents table (token-occurrence hashing, Dedup.simhash arithmetic) —
     * shared by q_simhash and q_simhash_pairs. Ends with
@@ -1569,18 +1592,7 @@ object SparkEntry {
     },
 
     "q_embed_centroid" ->
-      s"""WITH ex AS (
-            SELECT label, s.i AS dim, s.x AS x FROM (
-              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
-                i -> {'i': i, 'x': embedding[i]})) AS s
-              FROM embeddings)),
-          cent AS (
-            SELECT label, dim,
-              CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
-            FROM ex GROUP BY label, dim),
-          cl AS (
-            SELECT label, list(CAST(m AS REAL) ORDER BY dim) AS centroid
-            FROM cent GROUP BY label),
+      s"""WITH ${duckCentroidCte("label")},
           n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
             FROM embeddings GROUP BY label)
           SELECT label, centroid, n_vecs FROM cl JOIN n USING (label)
@@ -1592,26 +1604,9 @@ object SparkEntry {
             list_transform(range(1, len($a) + 1),
               i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
             (acc, v) -> acc + v)"""
-      // Centroids sum over DECIMAL(25,10) — exact, order-independent —
-      // matching Vec.ivfTopK's deterministic centroid arithmetic, then the
-      // double quotient is cast to REAL exactly like Spark's cast-to-float.
-      // The element is widened REAL -> DOUBLE before the decimal cast:
-      // DuckDB's direct REAL -> DECIMAL goes through the float's SHORTEST
-      // string ("0.1" for 0.1f) while Spark widens to double and keeps the
-      // binary expansion (0.1000000015) — the double hop makes both
-      // engines quantize the same value.
-      s"""WITH ex AS (
-            SELECT label AS cell, s.i AS dim, s.x AS x FROM (
-              SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
-                i -> {'i': i, 'x': embedding[i]})) AS s
-              FROM embeddings)),
-          cent AS (
-            SELECT cell, dim,
-              CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
-            FROM ex GROUP BY cell, dim),
-          cl AS (
-            SELECT cell, list(CAST(m AS REAL) ORDER BY dim) AS centroid
-            FROM cent GROUP BY cell),
+      // Centroid arithmetic comes from the shared duckCentroidCte —
+      // decimal-exact order-free sums with the REAL -> DOUBLE widening hop.
+      s"""WITH ${duckCentroidCte("cell")},
           q AS (SELECT vec_id AS query_id, embedding AS qv
             FROM embeddings WHERE vec_id < 10),
           pc AS (SELECT q.query_id, q.qv, cl.cell,

@@ -114,16 +114,33 @@ object Sampling {
     * deterministic, same convention as packBudget). Groups without a
     * budget row are dropped. One window shuffle keyed on the group.
     *
-    * @param budgets (group value, max tokens) pairs
+    * @param budgets (group value, max tokens) pairs — group values must
+    *                match `groupCol`'s type
     */
   def tokenBudgetSample(df: DataFrame, groupCol: String, tokenCol: String,
-      keyCol: String, budgets: Seq[(String, Long)]): DataFrame = {
+      keyCol: String, budgets: Seq[(Any, Long)]): DataFrame = {
     require(budgets.nonEmpty, "at least one (group, budget) row")
     require(budgets.forall(_._2 >= 0), "budgets must be >= 0")
+    // A duplicated group key would fan out the join: every doc of that
+    // group counted (and emitted) once per budget row — silently wrong.
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate group keys in budgets: ${budgets.map(_._1)}")
     requireNumericKey(df, keyCol)
+    val gType = df.schema(groupCol).dataType
+    // Fail at the API with a named message, not at first action with an
+    // encoder error from deep inside createDataFrame.
+    val typeOk: Any => Boolean = gType match {
+      case org.apache.spark.sql.types.StringType => _.isInstanceOf[String]
+      case org.apache.spark.sql.types.IntegerType => _.isInstanceOf[Int]
+      case org.apache.spark.sql.types.LongType => _.isInstanceOf[Long]
+      case org.apache.spark.sql.types.ShortType => _.isInstanceOf[Short]
+      case _ => _ => true // other types surface in createDataFrame
+    }
+    require(budgets.map(_._1).forall(typeOk),
+      s"budget group values must match $groupCol's type ${gType.sql}")
     val spark = df.sparkSession
     val bdf = broadcast(graft.functions.Dedup.smallTable(spark,
-      Seq(groupCol -> df.schema(groupCol).dataType,
+      Seq(groupCol -> gType,
         "__budget" -> org.apache.spark.sql.types.LongType),
       budgets.map { case (g, b) => Seq[Any](g, b) }))
     val w = Window.partitionBy(col(groupCol))
