@@ -779,6 +779,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Token co-occurrence lift (PMI's ratio, no libm): distinct tokens per
+    // doc, hub cut, pair counts, N*c_ab/(c_a*c_b) rounded to 6.
+    "q_cooccur_lift" -> { (s, d) =>
+      graft.functions.LangModel.cooccurrenceLift(Tables.documents(s, d),
+          "doc_id", "text", minPairCount = 5L)
+        .orderBy(col("tok_a"), col("tok_b"))
+    },
+
     // Corpus bigram novelty: occurrence counts, corpus-hapax ratio, and
     // mean bigram document frequency — the distributional stand-in for
     // perplexity filtering, in order-free exact arithmetic.
@@ -1497,6 +1505,22 @@ object SparkEntry {
           WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 2
           ORDER BY id_a, id_b"""
     },
+
+    "q_cooccur_lift" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(${duckToks("text")}) AS tok
+            FROM documents),
+          counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+            GROUP BY tok HAVING count(*) <= 100000),
+          t AS (SELECT doc_id, toks.tok, c FROM toks JOIN counts USING (tok)),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, a.c AS c_a, b.c AS c_b,
+            CAST(count(*) AS BIGINT) AS c_ab
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+          SELECT tok_a, tok_b, c_a, c_b, c_ab,
+            round((CAST(n_docs AS DOUBLE) * c_ab) /
+              (CAST(c_a AS DOUBLE) * c_b), 6) AS lift
+          FROM p CROSS JOIN n ORDER BY tok_a, tok_b""",
 
     "q_bigram_stats" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

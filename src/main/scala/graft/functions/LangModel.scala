@@ -29,6 +29,40 @@ object LangModel {
     * Documents with fewer than two tokens emit no bigrams and drop out
     * (inner-join semantics — gate them separately with tokenCount).
     */
+  /** Document-level token co-occurrence lift — PMI's ratio without the
+    * log (monotone, so rankings agree; exact-integer products through one
+    * correctly-rounded double division keep both engines bit-identical):
+    *
+    *   lift(a, b) = N · c(a,b) / (c(a) · c(b))
+    *
+    * over DISTINCT tokens per doc, with c(·) = containing-doc counts.
+    * Tokens in more than `dfCap` docs are dropped BEFORE pairing — the
+    * stopword hub cut that keeps the per-doc pair fan-out bounded at
+    * corpus scale (same rationale as ngramJaccardPairs' dfCap) — and
+    * pairs below `minPairCount` co-occurrences are dropped after.
+    * Output: (tok_a, tok_b, c_a, c_b, c_ab, lift) with tok_a < tok_b.
+    */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
+      minPairCount: Long = 2L, dfCap: Long = 100000L): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("tok")).distinct()
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= dfCap)
+    val t = toks.join(counts, Seq("tok"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("__n_docs")))
+    val a = t.select(col(idCol), col("tok").as("tok_a"), col("c").as("c_a"))
+    val b = t.select(col(idCol), col("tok").as("tok_b"), col("c").as("c_b"))
+    a.join(b, Seq(idCol))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"), col("c_a"), col("c_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+      .crossJoin(nDocs)
+      .select(col("tok_a"), col("tok_b"), col("c_a"), col("c_b"), col("c_ab"),
+        round((col("__n_docs").cast("double") * col("c_ab")) /
+          (col("c_a").cast("double") * col("c_b")), 6).as("lift"))
+  }
+
   def bigramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = docs.select(col(idCol),
       graft.plans.TextExpressions.hashedShingles(col(textCol), 2))

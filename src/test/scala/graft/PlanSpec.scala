@@ -107,4 +107,25 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$q: $p")
     }
   }
+
+  test("mix-budget: broadcast budget table, one group-keyed window, no cartesian") {
+    val p = plan("q_mix_budget")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("chunking is generate-only: no join, no shuffle beyond the final sort") {
+    val p = plan("q_doc_chunk")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    // exactly the range-partitioning exchange of the deterministic orderBy
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("centroids aggregate partially below the exchange") {
+    val p = plan("q_embed_centroid")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -68,6 +68,29 @@ class SimhashBigramSpec extends AnyFunSuite {
       bucketCap = 10).count() == 0)
   }
 
+  test("cooccurrenceLift: hand-computed lift, hub cut, min-count gate") {
+    val docs = Seq(
+      (1L, "x y common"),
+      (2L, "x y common"),
+      (3L, "x z common"),
+      (4L, "z common")).toDF("id", "text")
+    // dfCap 3 drops 'common' (4 docs) before pairing.
+    val out = LangModel.cooccurrenceLift(docs, "id", "text",
+        minPairCount = 1L, dfCap = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // c(x)=3, c(y)=2, c(z)=2, N=4; (x,y) co-occur 2x -> 4*2/(3*2)=1.333333;
+    // (x,z) 1x -> 4*1/(3*2)=0.666667.
+    assert(out == Set(
+      ("x", "y", 3L, 2L, 2L, 1.333333),
+      ("x", "z", 3L, 2L, 1L, 0.666667)))
+    // minPairCount 2 keeps only the repeated pair.
+    val gated = LangModel.cooccurrenceLift(docs, "id", "text",
+        minPairCount = 2L, dfCap = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gated.toSeq == Seq(("x", "y")))
+  }
+
   test("bigramStats: hand-computed hapax and df, short docs drop out") {
     val docs = Seq(
       (1L, "a b c"),     // bigrams: "a b", "b c"
