@@ -779,6 +779,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Exact heavy hitters via the Misra-Gries Aggregator: bounded-memory
+    // sketch pass for candidates (guaranteed superset above N/(k+1)), then
+    // exact counts of the <= k candidates — deterministic output.
+    "q_heavy_hitters" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      graft.functions.Freq.heavyHitters(toks, "tok", k = 40)
+        .orderBy(col("tok"))
+    },
+
     // Token co-occurrence lift (PMI's ratio, no libm): distinct tokens per
     // doc, hub cut, pair counts, N*c_ab/(c_a*c_b) rounded to 6.
     "q_cooccur_lift" -> { (s, d) =>
@@ -1505,6 +1515,14 @@ object SparkEntry {
           WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 2
           ORDER BY id_a, id_b"""
     },
+
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(${duckToks("text")}) AS tok FROM documents),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks CROSS JOIN n
+          GROUP BY tok, total HAVING count(*) * 41 > total
+          ORDER BY tok""",
 
     "q_cooccur_lift" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(${duckToks("text")}) AS tok
