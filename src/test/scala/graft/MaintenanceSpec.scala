@@ -94,6 +94,53 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).collect().toSet === before)
   }
 
+  test("zorderWrite: files cover compact 2D rectangles, pruning both columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 64x64 uniform grid. A single-column sort makes each file a SLAB:
+    // full range in the other column. Z-order files must be rectangles.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    def avgSpanFraction(path: String): (Double, Double) = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .collect().map(r => (r.getInt(1) / 63.0, r.getInt(2) / 63.0))
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val zDir = TestSpark.tmpDir("zorder") + "/t"
+    graft.ops.Maintenance.zorderWrite(grid, zDir, "x", "y",
+      numFiles = 16, bits = 6)
+    val sDir = TestSpark.tmpDir("slabsort") + "/t"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(sDir)
+    val (zx, zy) = avgSpanFraction(zDir)
+    val (sx, sy) = avgSpanFraction(sDir)
+    // Single-column sort: x tight, y spans everything.
+    assert(sx < 0.2 && sy > 0.9, s"slab spans ($sx, $sy)")
+    // Z-order: BOTH columns bounded well below the full range — 16 files
+    // on a 64x64 grid ideally cover 1/4 x 1/4 rectangles.
+    assert(zx < 0.5 && zy < 0.5, s"zorder spans ($zx, $zy)")
+    // Same rows, same values — layout only.
+    assert(spark.read.parquet(zDir).collect().toSet ===
+      grid.collect().toSet)
+  }
+
+  test("zorderKey clamps out-of-range values and nulls propagate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = graft.ops.Maintenance.zorderKey(
+      col("a"), 0.0, 10.0, col("b"), 0.0, 10.0, bits = 4)
+    val rows = Seq((-5.0, 5.0), (99.0, 5.0), (0.0, 0.0), (10.0, 10.0))
+      .toDF("a", "b").select(k.as("z")).collect().map(_.getLong(0))
+    // clamped corners stay inside [0, 2^(2*4))
+    assert(rows.forall(z => z >= 0 && z < 256))
+    assert(rows(2) == 0L && rows(3) == 255L)
+    val nullRow = Seq((Some(1.0), None: Option[Double]))
+      .toDF("a", "b").select(k.as("z")).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("compactPartitions splits a large partition into ~targetBytes files") {
     val dir = TestSpark.tmpDir("compact_split")
     val path = s"$dir/t"
