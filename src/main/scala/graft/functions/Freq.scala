@@ -27,63 +27,74 @@ import org.apache.spark.sql.functions._
   */
 object Freq {
 
-  /** Misra-Gries sketch over string items. Buffer is a plain counter map
-    * (kryo-encoded; the buffer never exceeds k+1 entries).
+  /** Misra-Gries sketch over string items. Buffer is (counter map, total
+    * item count) — carrying N in the buffer means the sketch pass also
+    * yields the threshold denominator, saving a separate full count scan.
+    * The map never exceeds k+1 entries; the whole buffer is kryo-encoded.
+    * Inputs must be non-null (heavyHitters filters; a null map key would
+    * NPE the sorted finish).
     */
   class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Array[String]] {
+      extends Aggregator[String, (Map[String, Long], Long), (Array[String], Long)] {
     require(k >= 1, s"k must be >= 1, got $k")
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: (Map[String, Long], Long) = (Map.empty, 0L)
 
-    override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
-      m.get(x) match {
+    override def reduce(buf: (Map[String, Long], Long),
+        x: String): (Map[String, Long], Long) = {
+      val (m, n) = buf
+      val m2 = m.get(x) match {
         case Some(c) => m.updated(x, c + 1)
         case None if m.size < k => m.updated(x, 1L)
         case None => // decrement-all step; drop exhausted counters
           m.flatMap { case (i, c) => if (c > 1) Some(i -> (c - 1)) else None }
       }
+      (m2, n + 1)
+    }
 
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val s = b.foldLeft(a) { case (acc, (i, c)) =>
+    override def merge(a: (Map[String, Long], Long),
+        b: (Map[String, Long], Long)): (Map[String, Long], Long) = {
+      val s = b._1.foldLeft(a._1) { case (acc, (i, c)) =>
         acc.updated(i, acc.getOrElse(i, 0L) + c)
       }
-      if (s.size <= k) s
+      val m = if (s.size <= k) s
       else {
         // subtract the (k+1)-largest count from everything, drop <= 0
         val kth = s.values.toSeq.sorted(Ordering[Long].reverse)(k)
         s.flatMap { case (i, c) => if (c > kth) Some(i -> (c - kth)) else None }
       }
+      (m, a._2 + b._2)
     }
 
-    override def finish(m: Map[String, Long]): Array[String] =
-      m.keys.toArray.sorted
+    override def finish(buf: (Map[String, Long], Long)): (Array[String], Long) =
+      (buf._1.keys.toArray.sorted, buf._2)
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      Encoders.kryo[Map[String, Long]]
-    override def outputEncoder: Encoder[Array[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+    override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+      Encoders.kryo[(Map[String, Long], Long)]
+    override def outputEncoder: Encoder[(Array[String], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[String], Long)]()
   }
 
-  /** Exact heavy hitters in two passes: Misra-Gries candidates (bounded
-    * memory, guaranteed superset of items with count > N/(k+1)), then an
-    * exact count of the <= k candidates filtered by `count > N/(k+1)`.
-    * Deterministic regardless of sketch merge order. The candidate list
-    * (<= k strings) is the only driver-side materialization.
+  /** Exact heavy hitters in two passes: Misra-Gries candidates + total N
+    * from one bounded-memory pass (guaranteed superset of items with
+    * count > N/(k+1)), then an exact count of the <= k candidates
+    * filtered by `count > N/(k+1)` in integer arithmetic. Deterministic
+    * regardless of sketch merge order. NULL items are dropped up front
+    * (they are not an "item", and counting them would tighten the
+    * threshold for everything else). The candidate list (<= k strings)
+    * is the only driver-side materialization.
     * Output: (itemCol, cnt) for the true heavy hitters.
     */
   def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    val ds = items.select(col(itemCol).cast("string")).as[String]
-    val cands: Array[String] =
-      ds.select(new MisraGries(k).toColumn).head()
-    val total = broadcast(items.agg(count(lit(1)).as("__n")))
-    items.filter(col(itemCol).isin(cands.toSeq: _*))
+    val nn = items.filter(col(itemCol).isNotNull)
+    val ds = nn.select(col(itemCol).cast("string")).as[String]
+    val (cands, n) = ds.select(new MisraGries(k).toColumn).head()
+    nn.filter(col(itemCol).isin(cands.toSeq: _*))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(total)
-      .filter(col("cnt") * (k + 1) > col("__n")) // cnt > N/(k+1), exact in integers
+      .filter(col("cnt") * (k + 1) > n) // cnt > N/(k+1), exact in integers
       .select(col(itemCol), col("cnt"))
   }
 }

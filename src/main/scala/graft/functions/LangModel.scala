@@ -21,14 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  /** Per-document bigram novelty stats:
-    * (idCol, n_bigrams, n_hapax, hapax_ratio, avg_bigram_df) where
-    * n_bigrams counts bigram OCCURRENCES, n_hapax counts occurrences
-    * whose bigram appears exactly once in the whole corpus, and
-    * avg_bigram_df is the mean corpus frequency of the doc's bigrams.
-    * Documents with fewer than two tokens emit no bigrams and drop out
-    * (inner-join semantics — gate them separately with tokenCount).
-    */
   /** Document-level token co-occurrence lift — PMI's ratio without the
     * log (monotone, so rankings agree; exact-integer products through one
     * correctly-rounded double division keep both engines bit-identical):
@@ -44,8 +36,8 @@ object LangModel {
     */
   def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
       minPairCount: Long = 2L, dfCap: Long = 100000L): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(Text.tokens(col(textCol))).as("tok")).distinct()
+    // the one distinct-token-per-doc builder, shared with the dedup paths
+    val toks = Dedup.docTokens(docs, idCol, textCol)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= dfCap)
     val t = toks.join(counts, Seq("tok"))
@@ -63,6 +55,14 @@ object LangModel {
           (col("c_a").cast("double") * col("c_b")), 6).as("lift"))
   }
 
+  /** Per-document bigram novelty stats:
+    * (idCol, n_bigrams, n_hapax, hapax_ratio, avg_bigram_df) where
+    * n_bigrams counts bigram OCCURRENCES, n_hapax counts occurrences
+    * whose bigram appears exactly once in the whole corpus, and
+    * avg_bigram_df is the mean corpus frequency of the doc's bigrams.
+    * Documents with fewer than two tokens emit no bigrams and drop out
+    * (inner-join semantics — gate them separately with tokenCount).
+    */
   def bigramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = docs.select(col(idCol),
       graft.plans.TextExpressions.hashedShingles(col(textCol), 2))

@@ -103,7 +103,8 @@ object Maintenance {
     * quantized to `bits` rank buckets over [min, max]. Bit interleaving is
     * a static unrolled sum of shift/mask terms — whole-stage-codegen
     * friendly, no UDF. Values outside [min, max] clamp to the edge
-    * buckets; a NULL in either column yields a NULL key (sorts together).
+    * buckets; a NULL or NaN in either column yields a NULL key (sorts
+    * together).
     */
   def zorderKey(a: Column, aMin: Double, aMax: Double,
       b: Column, bMin: Double, bMax: Double, bits: Int = 16): Column = {
@@ -122,8 +123,11 @@ object Maintenance {
     }.reduce(_ + _)
     // greatest/least SKIP nulls (greatest(0, NULL) = 0), so the quantizer
     // alone would silently map NULL to the origin bucket — propagate
-    // explicitly instead, as documented.
-    when(a.isNull || b.isNull, lit(null).cast("long")).otherwise(key)
+    // explicitly instead, as documented. NaN rides the same path: its
+    // quantized value is NaN, whose cast-to-long throws under ANSI mode.
+    when(a.isNull || b.isNull ||
+        isnan(a.cast("double")) || isnan(b.cast("double")),
+      lit(null).cast("long")).otherwise(key)
   }
 
   /** Z-order layout write: cluster `df` along the Morton curve of
@@ -138,12 +142,29 @@ object Maintenance {
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    // withColumn would silently REPLACE a pre-existing column of the same
+    // name and drop would then delete the user's data — refuse instead.
+    require(!df.columns.contains("__z"),
+      "zorderWrite: input already has a __z column")
+    // NaN-safe bounds: Spark's min/max return NaN if any value is NaN
+    // (NaN orders above every double), which would poison the quantizer
+    // with a misleading 'degenerate range' failure.
+    def finite(c: String) = {
+      val d = col(c).cast("double")
+      when(!isnan(d), d)
+    }
     val r = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    require(!r.anyNull, s"z-order bounds: $colA/$colB are all-NULL or empty input")
-    val key = zorderKey(col(colA), r.getDouble(0), r.getDouble(1),
-      col(colB), r.getDouble(2), r.getDouble(3), bits)
+      min(finite(colA)), max(finite(colA)),
+      min(finite(colB)), max(finite(colB))).head()
+    require(!r.anyNull, s"z-order bounds: $colA/$colB are all-NULL/NaN or empty input")
+    // A constant column contributes nothing to clustering; widen its range
+    // so every row quantizes to bucket 0 and the layout degrades to
+    // single-column clustering on the other axis instead of failing.
+    def widen(lo: Double, hi: Double): (Double, Double) =
+      if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+    val (aLo, aHi) = widen(r.getDouble(0), r.getDouble(1))
+    val (bLo, bHi) = widen(r.getDouble(2), r.getDouble(3))
+    val key = zorderKey(col(colA), aLo, aHi, col(colB), bLo, bHi, bits)
     df.withColumn("__z", key)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

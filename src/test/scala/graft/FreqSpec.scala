@@ -29,8 +29,10 @@ class FreqSpec extends AnyFunSuite {
     val mustKeep = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
     assert(mustKeep.nonEmpty)
     for (parts <- Seq(1, 3, 13)) {
-      val cands = data.toDF("item").repartition(parts).as[String]
-        .select(new Freq.MisraGries(k).toColumn).head().toSet
+      val (candArr, total) = data.toDF("item").repartition(parts).as[String]
+        .select(new Freq.MisraGries(k).toColumn).head()
+      val cands = candArr.toSet
+      assert(total == n)
       assert(mustKeep.subsetOf(cands), s"parts=$parts missing ${mustKeep -- cands}")
       assert(cands.size <= k, s"parts=$parts size ${cands.size}")
     }
@@ -58,5 +60,15 @@ class FreqSpec extends AnyFunSuite {
     val got = Freq.heavyHitters(dom.toDF("item"), "item", 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq(("top", 50L)))
+  }
+
+  test("null items are excluded from candidates, counts, and the threshold") {
+    // 6 "a" of 10 non-null items; 90 nulls would push a below any
+    // null-inclusive threshold. a must survive with its exact count.
+    val data = Seq.fill(6)(Some("a")) ++ (1 to 4).map(i => Some(s"b$i")) ++
+      Seq.fill(90)(None: Option[String])
+    val got = Freq.heavyHitters(data.toDF("item"), "item", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 6L)))
   }
 }

@@ -125,7 +125,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("centroids aggregate partially below the exchange") {
     val p = plan("q_embed_centroid")
-    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 }
