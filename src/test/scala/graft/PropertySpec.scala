@@ -97,6 +97,59 @@ class PropertySpec extends AnyFunSuite {
       x <- Gen.choose(-40, 40).map(_ * 0.25)
     } yield (id, x))
 
+  test("property: token-scan kernels equal their HOF reference forms on fuzzed text") {
+    import spark.implicits._
+    // Strings over a hostile alphabet: every \s class member, multibyte
+    // chars, an astral code point, punctuation, and marker words.
+    val atom = Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r",
+      "the", "and", "café", "😀", "x", "a-b", ".", "the\tand", "  ")
+    val textGen = Gen.listOfN(40, atom).map(_.mkString)
+    forAll(Gen.listOfN(25, textGen)) { texts =>
+      val words = Seq("the", "and")
+      val df = texts.toDF("text")
+      val tk = graft.functions.Text.tokens(col("text"))
+      val rows = df.select(
+        graft.plans.TextExpressions.tokenCount(col("text")).as("nf"),
+        size(tk).as("ns"),
+        graft.plans.TextExpressions.tokenChars(col("text")).as("cf"),
+        aggregate(tk, lit(0L), (acc, t) => acc + length(t)).as("cs"),
+        graft.plans.TextExpressions.markerHits(col("text"), words).as("hf"),
+        size(filter(tk, t => array_contains(array(words.map(lit): _*), t))).as("hs"),
+        graft.plans.TextExpressions.repetitionRatio(col("text"), 2).as("rf"),
+        when(size(graft.functions.Text.wordNgrams(tk, 2)) > 0,
+          lit(1.0) - size(array_distinct(graft.functions.Text.wordNgrams(tk, 2))).cast("double") /
+            size(graft.functions.Text.wordNgrams(tk, 2)).cast("double"))
+          .otherwise(lit(0.0)).as("rs")
+      ).collect()
+      for (r <- rows) {
+        assert(r.getInt(0) == r.getInt(1), s"tokenCount: $r")
+        assert(r.getLong(2) == r.getLong(3), s"tokenChars: $r")
+        assert(r.getInt(4) == r.getInt(5), s"markerHits: $r")
+        assert(r.getDouble(6) == r.getDouble(7), s"repetitionRatio: $r")
+      }
+    }
+  }
+
+  test("property: scan-stage simhash equals the aggregate form on fuzzed corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "δδ", "x1", "🙂")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.listOfN(30, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .filter(graft.functions.Text.tokenCount(col("text")) > 0)
+      val viaAgg = graft.functions.Dedup.simhash(
+        df.select(col("doc_id"),
+          graft.plans.TextExpressions.hashedShingles(col("text"), 1)),
+        "doc_id", col("tid"), bits = 20)
+      val viaScan = df.select(col("doc_id"),
+        graft.functions.Dedup.simhashScan(col("text"), 20).as("simhash"))
+      assert(viaAgg.exceptAll(viaScan).isEmpty &&
+        viaScan.exceptAll(viaAgg).isEmpty)
+    }
+  }
+
   test("property: bandJoin equals the naive inequality join") {
     import spark.implicits._
     forAll(valsGen, valsGen) { (l, r) =>

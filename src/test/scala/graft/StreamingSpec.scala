@@ -211,6 +211,38 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("scan-stage corpus ops run stateless inside a stream: gate, redact, chunk") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val in = docs.toDF().toDF("doc_id", "text")
+    // Native token-scan gate + PII redaction + overlapping chunking —
+    // all per-row, so the streaming planner accepts them in append mode
+    // with no state store.
+    val out = graft.functions.Chunk.chunkByTokens(
+      in.filter(graft.functions.Text.tokenCount(col("text")) >= 3)
+        .withColumn("text", graft.functions.Quality.redactPii(col("text"))),
+      "doc_id", "text", chunkSize = 4, overlap = 1)
+    val q = out.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    docs.addData(
+      (1L, "contact a@b.co about the quick brown fox jumping"), // 8 tokens
+      (2L, "too short"),                                        // gated out
+      (3L, "one two three"))                                    // 1 chunk
+    q.processAllAvailable()
+    val rows = spark.table("corpus_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(2L))
+    assert(byDoc(3L).map(_._3).toSeq == Seq("one two three"))
+    // chunking: stride 3 over 8 tokens -> chunks at 0/3/6
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq == Seq(
+      "contact <EMAIL> about the", "the quick brown fox",
+      "fox jumping"))
+    q.stop()
+  }
+
   test("event-time tumbling window with watermark emits finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
