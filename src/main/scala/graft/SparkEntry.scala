@@ -107,18 +107,28 @@ object SparkEntry {
     * quantize the same value. Ends with `cl(alias, centroid)`.
     */
   private def duckCentroidCte(alias: String): String =
-    s"""ex AS (
-          SELECT label AS $alias, s.i AS dim, s.x AS x FROM (
-            SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+    duckCentroidStages("embeddings", "label", alias, "ex", "cent", "cl")
+
+  /** Generalized form: centroids of `src`(.., embedding) grouped by
+    * `groupCol` (exposed as `alias`), with caller-chosen CTE stage names
+    * so several centroid computations can coexist in one WITH chain
+    * (k-means recomputes centroids per unrolled iteration). Ends with
+    * `clN(alias, centroid)`.
+    */
+  private def duckCentroidStages(src: String, groupCol: String, alias: String,
+      exN: String, centN: String, clN: String): String =
+    s"""$exN AS (
+          SELECT $groupCol AS $alias, s.i AS dim, s.x AS x FROM (
+            SELECT $groupCol, unnest(list_transform(range(1, len(embedding) + 1),
               i -> {'i': i, 'x': embedding[i]})) AS s
-            FROM embeddings)),
-        cent AS (
+            FROM $src)),
+        $centN AS (
           SELECT $alias, dim,
             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x) AS m
-          FROM ex GROUP BY $alias, dim),
-        cl AS (
+          FROM $exN GROUP BY $alias, dim),
+        $clN AS (
           SELECT $alias, list(CAST(m AS REAL) ORDER BY dim) AS centroid
-          FROM cent GROUP BY $alias)"""
+          FROM $centN GROUP BY $alias)"""
 
   /** DuckDB CTE chain reproducing 16-bit SimHash fingerprints over the
     * documents table (token-occurrence hashing, Dedup.simhash arithmetic) —
@@ -804,6 +814,15 @@ object SparkEntry {
       graft.functions.LangModel.bigramStats(Tables.documents(s, d),
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // Deterministic Lloyd's k-means (k=8, 2 iterations): smallest-id
+    // init, rounded-distance assignment with cell tie-break, decimal-
+    // exact centroid updates — iterative clustering under the oracle gate.
+    "q_kmeans" -> { (s, d) =>
+      Vec.kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy(col("vec_id"))
     },
 
     // Per-label embedding centroids (decimal-exact order-free sums) with
@@ -1631,6 +1650,33 @@ object SparkEntry {
           SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS sim
           FROM p WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
           ORDER BY id_a, id_b"""
+    },
+
+    "q_kmeans" -> {
+      val dotSql = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+            (acc, v) -> acc + v)"""
+      // one unrolled assignment stage against centroid CTE `cent`
+      def assign(cent: String, pN: String, aN: String): String =
+        s"""$pN AS (SELECT e.vec_id, e.embedding, c.cell,
+              round(($dotSqlEE - 2 * ${dotSql("e.embedding", "c.cvec")})
+                + ${dotSql("c.cvec", "c.cvec")}, 6) AS dist2
+            FROM embeddings e CROSS JOIN $cent c),
+            $aN AS (SELECT vec_id, embedding, cell, dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2, cell) AS rn FROM $pN) WHERE rn = 1)"""
+      lazy val dotSqlEE = dotSql("e.embedding", "e.embedding")
+      s"""WITH c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+              embedding AS cvec
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          ${assign("c0", "a1p", "a1")},
+          ${duckCentroidStages("a1", "cell", "cell", "ex1", "ct1", "cl1")},
+          c1 AS (SELECT cell, centroid AS cvec FROM cl1),
+          ${assign("c1", "a2p", "a2")}
+          SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist2 FROM a2
+          ORDER BY vec_id"""
     },
 
     "q_embed_centroid" ->

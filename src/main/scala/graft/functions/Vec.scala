@@ -191,6 +191,60 @@ object Vec {
       .select(col("__g").as(groupCol),
         expr("transform(dm, s -> cast(s.m as float))").as("centroid"))
 
+  /** Lloyd's k-means over an embedding column, bit-deterministic across
+    * engines and partitionings — the clustering step that feeds IVF coarse
+    * quantizers, topic balancing, and diversity sampling:
+    *
+    *  - init: the `k` smallest-id vectors (no RNG — reruns and engines
+    *    agree);
+    *  - assign: squared L2 via dot products (xx - 2·xc + cc, double
+    *    accumulation in a fixed order), ROUNDED to 6 places and ranked
+    *    with a cell tie-break, so equidistant points break identically
+    *    everywhere;
+    *  - update: `groupCentroids`' decimal-exact order-free means.
+    *
+    * Each iteration is one broadcast of k centroids + one corpus-keyed
+    * window + one partial-aggregable centroid groupBy — no corpus
+    * shuffle grows with k. Cells that lose every member vanish (standard
+    * Lloyd; k can only shrink). Plans nest per iteration: for more than
+    * a handful of iterations, localCheckpoint the assignment between
+    * rounds. Returns the FINAL assignment (idCol, cell, dist2).
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val wInit = Window.orderBy(col(idCol))
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(wInit) - 1).cast("int").as("cell"),
+        col(vecCol).as("cvec"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignCells(corpus, cents, idCol, vecCol)
+      cents = groupCentroids(assigned.select(col("cell"), col(vecCol)),
+          "cell", vecCol)
+        .withColumnRenamed("centroid", "cvec")
+    }
+    assigned.select(col(idCol), col("cell"), col("dist2"))
+  }
+
+  /** Nearest-centroid assignment: (idCol, vecCol, cell, dist2). */
+  private def assignCells(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val dot = graft.plans.VecExpressions.dotProduct _
+    val d2 = round(
+      dot(col(vecCol), col(vecCol)) -
+        lit(2.0) * dot(col(vecCol), col("cvec")) +
+        dot(col("cvec"), col("cvec")), 6)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("dist2", d2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"), col("dist2"))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into cells, then probe only
     * the `nProbe` cells whose centroids are most similar to each query.
     *

@@ -57,6 +57,36 @@ class FormatsSpec extends AnyFunSuite {
     assert(full === exact)
   }
 
+  test("kmeans: deterministic across partitionings, assignments are nearest") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Double)] =
+      graft.functions.Vec.kmeans(df, k = 5, iters = 2).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val a = run(emb)
+    val b = run(emb.repartition(13))
+    assert(a == b) // bit-identical assignments under any partitioning
+    assert(a.values.map(_._1).toSet.size <= 5)
+    // Every point's recorded dist2 is minimal over the surviving cells'
+    // final-iteration centroids: rebuild iteration-1 centroids and check
+    // one point against all of them.
+    val iter1 = graft.functions.Vec.kmeans(emb, k = 5, iters = 1)
+    val cents = graft.functions.Vec.groupCentroids(
+      emb.join(iter1.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .select(col("cell"), col("embedding")), "cell")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    def d2(x: Seq[Float], c: Seq[Float]): Double = {
+      def dot(p: Seq[Float], q: Seq[Float]) =
+        p.zip(q).foldLeft(0.0) { case (acc, (u, v)) => acc + u.toDouble * v.toDouble }
+      BigDecimal(dot(x, x) - 2.0 * dot(x, c) + dot(c, c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val best = cents.map { case (cell, c) => (d2(probe, c), cell) }.min
+    assert(a(0L) == ((best._2, best._1)), s"got ${a(0L)}, brute $best")
+  }
+
   test("groupCentroids: partitioning-invariant bits, null elements skipped") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
