@@ -52,10 +52,11 @@ object SparkEntry {
   /** DuckDB fragment: Sampling.hashBucket's affine→quadratic→affine mixer
     * mod 2^31-1 over doc_id (h2 = h1*(h1+1) = h1²+h1).
     */
-  private val duckBucket: String = {
-    val h1 = "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647)"
+  private def duckBucketOf(key: String): String = {
+    val h1 = s"((($key % 2147483647) * 1103515245 + 12345) % 2147483647)"
     s"((($h1 * ($h1 + 1)) % 2147483647) * 784588716 + 998244353) % 2147483647 % 10000"
   }
+  private val duckBucket: String = duckBucketOf("doc_id")
 
   private def duckMarkerHits(lang: Seq[String]): String =
     s"CAST(len(list_filter(tk, t -> list_contains([${lang.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
@@ -129,6 +130,37 @@ object SparkEntry {
         $clN AS (
           SELECT $alias, list(CAST(m AS REAL) ORDER BY dim) AS centroid
           FROM $centN GROUP BY $alias)"""
+
+  /** DuckDB CTE chain reproducing Vec.kmeans(k=8, iters=2) over the
+    * embeddings table: smallest-id init (c0), two unrolled
+    * assign→update stages, identical rounded-distance / tie-break /
+    * decimal-centroid arithmetic. Ends with `a2(vec_id, embedding, cell,
+    * dist2)` — shared by q_kmeans and q_diverse_sample.
+    */
+  private def duckKmeansCte: String = {
+    val dotSql = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+          (acc, v) -> acc + v)"""
+    val dotSqlEE = dotSql("e.embedding", "e.embedding")
+    // one unrolled assignment stage against centroid CTE `cent`
+    def assign(cent: String, pN: String, aN: String): String =
+      s"""$pN AS (SELECT e.vec_id, e.embedding, c.cell,
+            round(($dotSqlEE - 2 * ${dotSql("e.embedding", "c.cvec")})
+              + ${dotSql("c.cvec", "c.cvec")}, 6) AS dist2
+          FROM embeddings e CROSS JOIN $cent c),
+          $aN AS (SELECT vec_id, embedding, cell, dist2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist2, cell) AS rn FROM $pN) WHERE rn = 1)"""
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+            embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ${assign("c0", "a1p", "a1")},
+        ${duckCentroidStages("a1", "cell", "cell", "ex1", "ct1", "cl1")},
+        c1 AS (SELECT cell, centroid AS cvec FROM cl1),
+        ${assign("c1", "a2p", "a2")}"""
+  }
 
   /** DuckDB CTE chain reproducing 16-bit SimHash fingerprints over the
     * documents table (token-occurrence hashing, Dedup.simhash arithmetic) —
@@ -821,6 +853,17 @@ object SparkEntry {
     // exact centroid updates — iterative clustering under the oracle gate.
     "q_kmeans" -> { (s, d) =>
       Vec.kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Diversity sampling: k-means cells as strata, deterministic per-cell
+    // quotas — the embedding-space-coverage sampler (rare clusters keep
+    // representation a uniform sample would starve).
+    "q_diverse_sample" -> { (s, d) =>
+      val cells = Vec.kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
+        .select(col("vec_id"), col("cell"))
+      graft.functions.Sampling.stratifiedSample(cells, Seq("cell"), "vec_id", 12)
         .withColumn("cell", col("cell").cast("long"))
         .orderBy(col("vec_id"))
     },
@@ -1652,32 +1695,18 @@ object SparkEntry {
           ORDER BY id_a, id_b"""
     },
 
-    "q_kmeans" -> {
-      val dotSql = (a: String, b: String) =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-            (acc, v) -> acc + v)"""
-      // one unrolled assignment stage against centroid CTE `cent`
-      def assign(cent: String, pN: String, aN: String): String =
-        s"""$pN AS (SELECT e.vec_id, e.embedding, c.cell,
-              round(($dotSqlEE - 2 * ${dotSql("e.embedding", "c.cvec")})
-                + ${dotSql("c.cvec", "c.cvec")}, 6) AS dist2
-            FROM embeddings e CROSS JOIN $cent c),
-            $aN AS (SELECT vec_id, embedding, cell, dist2 FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY dist2, cell) AS rn FROM $pN) WHERE rn = 1)"""
-      lazy val dotSqlEE = dotSql("e.embedding", "e.embedding")
-      s"""WITH c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-              embedding AS cvec
-            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
-          ${assign("c0", "a1p", "a1")},
-          ${duckCentroidStages("a1", "cell", "cell", "ex1", "ct1", "cl1")},
-          c1 AS (SELECT cell, centroid AS cvec FROM cl1),
-          ${assign("c1", "a2p", "a2")}
+    "q_kmeans" ->
+      s"""WITH $duckKmeansCte
           SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist2 FROM a2
-          ORDER BY vec_id"""
-    },
+          ORDER BY vec_id""",
+
+    "q_diverse_sample" ->
+      s"""WITH $duckKmeansCte,
+          b AS (SELECT vec_id, cell, ${duckBucketOf("vec_id")} AS bkt FROM a2),
+          r AS (SELECT vec_id, cell, row_number() OVER
+            (PARTITION BY cell ORDER BY bkt, vec_id) AS rn FROM b)
+          SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM r
+          WHERE rn <= 12 ORDER BY vec_id""",
 
     "q_embed_centroid" ->
       s"""WITH ${duckCentroidCte("label")},
