@@ -52,6 +52,17 @@ object SparkEntry {
   /** DuckDB fragment: Sampling.hashBucket's affine→quadratic→affine mixer
     * mod 2^31-1 over doc_id (h2 = h1*(h1+1) = h1²+h1).
     */
+  /** DuckDB fragment: the double-promoted left-fold dot product — the
+    * ONE load-bearing shape (fixed fold order, element cast to DOUBLE
+    * before multiplying) every vector oracle shares; a parity fix here
+    * reaches them all.
+    */
+  private def duckDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+
   private def duckBucketOf(key: String): String = {
     val h1 = s"((($key % 2147483647) * 1103515245 + 12345) % 2147483647)"
     s"((($h1 * ($h1 + 1)) % 2147483647) * 784588716 + 998244353) % 2147483647 % 10000"
@@ -138,17 +149,13 @@ object SparkEntry {
     * dist2)` — shared by q_kmeans and q_diverse_sample.
     */
   private def duckKmeansCte: String = {
-    val dotSql = (a: String, b: String) =>
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(range(1, len($a) + 1),
-            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-          (acc, v) -> acc + v)"""
+    val dotSql = duckDotSql _
     val dotSqlEE = dotSql("e.embedding", "e.embedding")
     // one unrolled assignment stage against centroid CTE `cent`
     def assign(cent: String, pN: String, aN: String): String =
       s"""$pN AS (SELECT e.vec_id, e.embedding, c.cell,
-            round(($dotSqlEE - 2 * ${dotSql("e.embedding", "c.cvec")})
-              + ${dotSql("c.cvec", "c.cvec")}, 6) AS dist2
+            round(greatest(0.0, ($dotSqlEE - 2 * ${dotSql("e.embedding", "c.cvec")})
+              + ${dotSql("c.cvec", "c.cvec")}), 6) AS dist2
           FROM embeddings e CROSS JOIN $cent c),
           $aN AS (SELECT vec_id, embedding, cell, dist2 FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1620,11 +1627,7 @@ object SparkEntry {
           GROUP BY doc_id ORDER BY doc_id""",
 
     "q_cosine_topk" -> {
-      val dotSql = (a: String, b: String) =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-            (acc, v) -> acc + v)"""
+      val dotSql = duckDotSql _
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
             FROM embeddings WHERE vec_id < 10),
           p AS (SELECT query_id, e.vec_id AS neighbor_id,
@@ -1633,7 +1636,7 @@ object SparkEntry {
             ${dotSql("e.embedding", "e.embedding")} AS nc
             FROM q, embeddings e WHERE e.vec_id <> q.query_id),
           sc AS (SELECT query_id, neighbor_id,
-            round(dp / (sqrt(nq) * sqrt(nc)), 6) AS sim FROM p),
+            round(dp / (sqrt(nq) * sqrt(nc)), 6) + 0.0 AS sim FROM p),
           r AS (SELECT query_id, neighbor_id, sim,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM sc)
@@ -1642,11 +1645,7 @@ object SparkEntry {
     },
 
     "q_embed_neardup" -> {
-      val dotSql = (a: String, b: String) =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-            (acc, v) -> acc + v)"""
+      val dotSql = duckDotSql _
       s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             ${dotSql("a.embedding", "b.embedding")} AS dp,
             ${dotSql("a.embedding", "a.embedding")} AS na,
@@ -1670,11 +1669,7 @@ object SparkEntry {
     },
 
     "q_embed_neardup_lsh" -> {
-      val dotSql = (a: String, b: String) =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-            (acc, v) -> acc + v)"""
+      val dotSql = duckDotSql _
       val projs = (0 until 4).map { j =>
         s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(range(1, len(embedding) + 1),
@@ -1716,11 +1711,7 @@ object SparkEntry {
           ORDER BY label""",
 
     "q_ivf_topk" -> {
-      val dotSql = (a: String, b: String) =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-            (acc, v) -> acc + v)"""
+      val dotSql = duckDotSql _
       // Centroid arithmetic comes from the shared duckCentroidCte —
       // decimal-exact order-free sums with the REAL -> DOUBLE widening hop.
       s"""WITH ${duckCentroidCte("cell")},
@@ -1738,7 +1729,7 @@ object SparkEntry {
           cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
             round(${dotSql("p.qv", "e.embedding")} /
               (sqrt(${dotSql("p.qv", "p.qv")}) *
-               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) + 0.0 AS sim
             FROM probed p JOIN embeddings e ON e.label = p.cell
             WHERE e.vec_id <> p.query_id),
           r AS (SELECT query_id, neighbor_id, sim,

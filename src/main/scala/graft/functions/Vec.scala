@@ -215,15 +215,19 @@ object Vec {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val wInit = Window.orderBy(col(idCol))
-    var cents = corpus.orderBy(col(idCol)).limit(k)
+    // Only (id, vector) enters the per-iteration cross-join + window:
+    // any other corpus column would be replicated k times through the
+    // operator's heaviest shuffle before being dropped.
+    val pts = corpus.select(col(idCol), col(vecCol))
+    var cents = pts.orderBy(col(idCol)).limit(k)
       .select((row_number().over(wInit) - 1).cast("int").as("cell"),
         col(vecCol).as("cvec"))
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      assigned = assignCells(corpus, cents, idCol, vecCol)
+    var assigned = assignCells(pts, cents, idCol, vecCol)
+    for (_ <- 2 to iters) { // update-then-assign; the final step is assign
       cents = groupCentroids(assigned.select(col("cell"), col(vecCol)),
           "cell", vecCol)
         .withColumnRenamed("centroid", "cvec")
+      assigned = assignCells(pts, cents, idCol, vecCol)
     }
     assigned.select(col(idCol), col("cell"), col("dist2"))
   }
@@ -232,10 +236,15 @@ object Vec {
   private def assignCells(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val dot = graft.plans.VecExpressions.dotProduct _
-    val d2 = round(
+    // dist² is clamped non-negative BEFORE rounding: float cancellation
+    // can leave a tiny negative (point ~= its centroid), and a negative
+    // near-zero rounds to -0.0 in engines that round doubles natively
+    // while Spark's BigDecimal-based round has no signed zero — a
+    // stringified-compare mismatch on an otherwise identical value.
+    val d2 = round(greatest(lit(0.0),
       dot(col(vecCol), col(vecCol)) -
         lit(2.0) * dot(col(vecCol), col("cvec")) +
-        dot(col("cvec"), col("cvec")), 6)
+        dot(col("cvec"), col("cvec"))), 6)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("dist2").asc, col("cell").asc)
     corpus.crossJoin(broadcast(cents))
