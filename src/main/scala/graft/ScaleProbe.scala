@@ -127,6 +127,27 @@ object ScaleProbe {
       println(f"""{"probe":"simhash_pairs","mult":$mult,"docs":${nBase * mult},"pairs":$pairs,"sec":$sec%.2f}""")
     }
 
+    // K-means probe: two Lloyd iterations over a replicated embedding
+    // corpus. Per-iteration cost is one k-row broadcast + one corpus
+    // window + one partial-aggregable centroid groupBy, so wall-clock
+    // should grow linearly with the corpus and stay flat in k's shadow.
+    val embBase = Tables.embeddings(spark, sfDir)
+    val nEmb = embBase.count()
+    for (mult <- Seq(1, 4, 16)) {
+      // rep-major ids: the k smallest ids stay k DISTINCT base vectors
+      // (base-major would seed every centroid with replicas of vector 0
+      // and collapse the clustering).
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+      val t0 = System.nanoTime()
+      val cells = graft.functions.Vec.kmeans(vecs, k = 16, iters = 2)
+        .select(col("cell")).distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"kmeans","mult":$mult,"vecs":${nEmb * mult},"cells":$cells,"sec":$sec%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot
