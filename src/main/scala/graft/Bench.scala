@@ -37,10 +37,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact, and the headline
+    // total goes LAST: the harness keeps only the trailing ~2k chars of
+    // run output, so with 80+ queries a leading total would be the part
+    // that gets truncated away.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s""""$k":${ms(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}""")
     spark.stop()
   }
 }

@@ -876,14 +876,22 @@ object SparkEntry {
     },
 
     // Per-label embedding centroids (decimal-exact order-free sums) with
-    // group sizes — pooling for prototypes / coarse quantizers.
+    // group sizes — pooling for prototypes / coarse quantizers. The
+    // centroid is emitted EXPLODED to (dim, cval) scalar rows: the
+    // harness comparator sorts result columns with pandas, which cannot
+    // hash an array-typed cell, so an array column would abort the gate
+    // even with identical values. The array form stays spec-covered
+    // (DedupVecSpec); cval widens the stored float back to double the
+    // same way both engines quantized it.
     "q_embed_centroid" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Vec.groupCentroids(emb, "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "cval")))
         .join(emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs")),
           Seq("label"))
-        .select(col("label"), col("centroid"), col("n_vecs"))
-        .orderBy(col("label"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("cval").cast("double").as("cval"), col("n_vecs"))
+        .orderBy(col("label"), col("dim"))
     },
 
     // Brute-force exact cosine top-5 neighbors for query vectors (the
@@ -1707,8 +1715,10 @@ object SparkEntry {
       s"""WITH ${duckCentroidCte("label")},
           n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
             FROM embeddings GROUP BY label)
-          SELECT label, centroid, n_vecs FROM cl JOIN n USING (label)
-          ORDER BY label""",
+          SELECT c.label, CAST(c.dim - 1 AS BIGINT) AS dim,
+            CAST(CAST(c.m AS REAL) AS DOUBLE) AS cval, n.n_vecs
+          FROM cent c JOIN n USING (label)
+          ORDER BY label, dim""",
 
     "q_ivf_topk" -> {
       val dotSql = duckDotSql _

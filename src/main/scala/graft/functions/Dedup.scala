@@ -277,7 +277,12 @@ object Dedup {
 
   def simhashPairs(fps: DataFrame, idCol: String, fpCol: String, bits: Int,
       maxHamming: Int, bucketCap: Int = 1000): DataFrame = {
-    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    // Capped at 31, not 62: SimhashExpr's per-token hash is mod 2^31-1,
+    // so fingerprint lanes above bit ~31 are constant zero. Wider widths
+    // would make the upper pigeonhole chunks a single degenerate all-equal
+    // bucket that bucketCap silently drops — voiding the hamming-ball
+    // recall guarantee for pairs that agree only on those chunks.
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, bits), got $maxHamming")
     val spark = fps.sparkSession

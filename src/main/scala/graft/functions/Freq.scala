@@ -88,10 +88,16 @@ object Freq {
   def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    val nn = items.filter(col(itemCol).isNotNull)
-    val ds = nn.select(col(itemCol).cast("string")).as[String]
-    val (cands, n) = ds.select(new MisraGries(k).toColumn).head()
-    nn.filter(col(itemCol).isin(cands.toSeq: _*))
+    // Both passes run over the SAME cast("string") column: the sketch
+    // necessarily stringifies, and filtering the original-typed column
+    // with string candidates would lean on implicit comparison casts
+    // (ANSI-error-prone for some types) and could conflate distinct
+    // values that stringify identically between the two passes. The
+    // output item column is therefore string-typed by contract.
+    val strs = items.select(col(itemCol).cast("string").as(itemCol))
+      .filter(col(itemCol).isNotNull)
+    val (cands, n) = strs.as[String].select(new MisraGries(k).toColumn).head()
+    strs.filter(col(itemCol).isin(cands.toSeq: _*))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > n) // cnt > N/(k+1), exact in integers

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   /** Document-level token co-occurrence lift — PMI's ratio without the
-    * log (monotone, so rankings agree; exact-integer products through one
-    * correctly-rounded double division keep both engines bit-identical):
+    * log (monotone, so rankings agree). Cross-engine parity holds because
+    * both engines evaluate the identical double products and one division
+    * in the same order; the products are EXACT only while N·c_ab and
+    * c_a·c_b stay below 2^53, beyond which both engines round identically
+    * (parity survives, absolute exactness does not):
     *
     *   lift(a, b) = N · c(a,b) / (c(a) · c(b))
     *
