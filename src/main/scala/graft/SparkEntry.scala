@@ -579,6 +579,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
+    // Bloom-prefiltered decontamination: same exact semantics through a
+    // scan-stage bloom membership cut, so the corpus gram stream never
+    // shuffles in full — the contamination check that still works when the
+    // eval gram set outgrows the broadcast budget. 4-gram, tolerance 1.
+    "q_bloom_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Bloom.decontaminateBloom(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", shingleSize = 4, maxSharedShingles = 1L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
     // MinHash signatures over word-3-gram shingles. Token ids are per-row
     // polynomial hashes (shuffle-free, dictionary-free — the 100 TB design)
     // that the oracle reproduces arithmetically; the xxhash64 production
@@ -1314,6 +1326,23 @@ object SparkEntry {
           ev AS (SELECT DISTINCT tid FROM g WHERE doc_id < 10),
           bad AS (SELECT g.doc_id FROM g JOIN ev USING (tid)
             WHERE g.doc_id >= 10 GROUP BY g.doc_id HAVING count(*) > 0)
+          SELECT doc_id FROM documents
+          WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id""",
+
+    // The bloom prefilter is performance-transparent (no false negatives +
+    // exact verify), so the oracle is the plain exact form at 4-gram /
+    // tolerance 1 — any bloom-induced row loss would hash-mismatch here.
+    "q_bloom_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 4
+            THEN list_transform(range(1, len(tk) - 2),
+              i -> array_to_string(tk[i:i+3], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          ev AS (SELECT DISTINCT tid FROM g WHERE doc_id < 10),
+          bad AS (SELECT g.doc_id FROM g JOIN ev USING (tid)
+            WHERE g.doc_id >= 10 GROUP BY g.doc_id HAVING count(*) > 1)
           SELECT doc_id FROM documents
           WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id""",
