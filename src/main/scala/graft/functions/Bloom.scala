@@ -27,12 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  /** Bits for a target false-positive rate: ceil(-n·ln(p)/ln(2)²). */
-  def bitsFor(expectedItems: Long, fpp: Double): Long = {
+  /** Default bit ceiling, mirroring Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` default (2^26
+    * bits = 8 MiB). Spark SILENTLY clamps `BloomFilterAggregate`'s numBits
+    * to that conf, so an unclamped request would allocate less than the
+    * caller believes; and the blob travels as a plan `Literal`, so an
+    * unbounded request would otherwise make a multi-GB plan object.
+    */
+  val DefaultMaxBits: Long = 1L << 26
+
+  /** Bits for a target false-positive rate: ceil(-n·ln(p)/ln(2)²), clamped
+    * to `maxBits`. Past the clamp the EFFECTIVE fpp degrades (~0.6185^(bits
+    * /n)) but correctness never does — blooms have no false negatives, and
+    * every consumer here exact-verifies the survivors.
+    */
+  def bitsFor(expectedItems: Long, fpp: Double,
+      maxBits: Long = DefaultMaxBits): Long = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    math.max(64L, math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    require(maxBits >= 64, s"maxBits must be >= 64, got $maxBits")
+    math.min(maxBits, math.max(64L, math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
   }
 
   /** Serialized bloom filter over xxhash64(c) of `df`'s rows — ONE small
@@ -42,9 +57,17 @@ object Bloom {
     */
   def buildBloom(df: DataFrame, c: Column, expectedItems: Long,
       fpp: Double = 0.01): Option[Array[Byte]] = {
+    // Honor a raised session cap, never exceed it: Spark clamps to these
+    // confs internally, so exceeding them would only misstate the blob size.
+    val conf = df.sparkSession.conf
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", DefaultMaxBits.toString).toLong
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val agg = new BloomFilterAggregate(
       GraftBridge.expression(xxhash64(c)),
-      Literal(expectedItems), Literal(bitsFor(expectedItems, fpp)))
+      Literal(math.min(expectedItems, maxItems)),
+      Literal(bitsFor(expectedItems, fpp, maxBits)))
     val row = df.select(
       GraftBridge.column(agg.toAggregateExpression()).as("bf")).head()
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
@@ -80,8 +103,13 @@ object Bloom {
     val survivors = Dedup.docShingleIds(docs, idCol, textCol, shingleSize)
       .filter(mightContain(bloom, col("tid")))
       .distinct()
+    // No broadcast hint on the verify join: the module's whole premise is
+    // an eval set past the broadcast budget, so forcing a broadcast here
+    // would OOM the driver in exactly the regime the bloom exists for.
+    // AQE picks broadcast on its own when the eval side measures small;
+    // otherwise this degrades to a shuffle join over the survivor trickle.
     val contaminated = survivors
-      .join(broadcast(evalSh), Seq("tid"), "left_semi")
+      .join(evalSh, Seq("tid"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") > maxSharedShingles)

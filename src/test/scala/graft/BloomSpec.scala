@@ -19,6 +19,14 @@ class BloomSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bloom.bitsFor(10, 1.5))
   }
 
+  test("bitsFor clamps at maxBits (plan-Literal blob stays bounded)") {
+    // 10^10 keys at 1% would want ~96 Gbit; the clamp mirrors Spark's own
+    // runtime-bloom cap so the serialized Literal stays <= maxBits/8 bytes.
+    assert(Bloom.bitsFor(10000000000L, 0.01) == Bloom.DefaultMaxBits)
+    assert(Bloom.bitsFor(10000000000L, 0.01, maxBits = 1L << 30) == 1L << 30)
+    intercept[IllegalArgumentException](Bloom.bitsFor(10, 0.01, maxBits = 8))
+  }
+
   test("bloom has no false negatives and a sane false-positive rate") {
     val members = spark.range(0, 1000).toDF("v")
     val bloom = Bloom.buildBloom(members, col("v"), 1000, fpp = 0.01).get
@@ -54,6 +62,21 @@ class BloomSpec extends AnyFunSuite {
     val none = Tables.documents(spark, sf).filter(col("doc_id") < 0)
     assert(Bloom.decontaminateBloom(docs, none, "doc_id", "text", 3).count()
       == docs.count())
+  }
+
+  test("verify join carries no forced broadcast on the eval side") {
+    // The exact-verify join must let Catalyst/AQE size the eval gram set:
+    // a broadcast() hint would pin into driver memory exactly the
+    // past-the-broadcast-budget reference sets the bloom path exists for.
+    val docs = Tables.documents(spark, sf)
+    val analyzed = Bloom.decontaminateBloom(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", 3)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"forced join hints in plan: $hints")
   }
 
   test("bloom prefilter sits on the corpus side below the aggregation") {
