@@ -305,6 +305,31 @@ object Vec {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** IVF with a LEARNED coarse quantizer: k-means cells instead of a
+    * pre-existing domain partition — the standard IVF build (cluster,
+    * assign, probe). `kmeans` supplies bit-deterministic cells, so the
+    * whole composition stays oracle-reproducible; `ivfTopK` recomputes
+    * the probe centroids from the final assignment with the same
+    * decimal-exact means the training iterations used.
+    *
+    * At 100 TB the assignment join below is the one extra cost over a
+    * precomputed cell column — one equi-join on the id, after which the
+    * corpus would be written bucketed by `cell` so probes touch only
+    * their cells' files. Training cost is kmeans' (broadcast k centroids
+    * + one partial-aggregable groupBy per iteration); at real scale one
+    * trains on a sample and assigns the full corpus in a map-only pass.
+    */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, kCells: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val cells = kmeans(corpus, kCells, iters, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .join(cells, Seq(idCol))
+    ivfTopK(assigned, queries, k, nProbe, "cell", idCol, vecCol, excludeSelf)
+  }
+
   /** Bucketed approximate top-k: brute force within each LSH bucket.
     * Recall is tunable via nBits (fewer bits = bigger buckets = higher
     * recall, more compute).

@@ -152,6 +152,27 @@ class DedupVecSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall") // 2-bit buckets, ~1/4 of corpus scanned
   }
 
+  test("ivfKmeansTopK: recall rises with nProbe, exact when all cells probed") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Vec.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Vec.ivfKmeansTopK(emb, queries, k = 5, nProbe = nProbe,
+          kCells = 8, iters = 2)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r3 = recallAt(3); val r8 = recallAt(8)
+    // monotone in probes; probing every cell IS brute force (candidate set
+    // = full corpus, same rounded-sim/id ranking), so recall must hit 1.
+    assert(r1 <= r3 + 1e-9 && r3 <= r8 + 1e-9, s"recall not monotone: $r1 $r3 $r8")
+    assert(r8 == 1.0, s"all-cells probe not exact: $r8")
+    assert(r1 > 0.2, s"1-probe recall degenerate: $r1")
+  }
+
   test("multimodal plumbing: fromText → decodeFeatures → sampleFrames") {
     val media = Media.fromText(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName === "binary")
