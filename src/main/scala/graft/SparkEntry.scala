@@ -968,6 +968,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Int8 affine embedding quantization: per-vector (lo, scale) codes,
+    // exploded to scalar (vec_id, dim, qval, err) rows — the 4× storage
+    // compression path for vector indexes, with the per-element
+    // reconstruction error surfaced (bounded by scale/2; QuantSpec).
+    "q_embed_quant" -> { (s, d) =>
+      val qz = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.Quant.quantizeInt8(col("embedding")).as("qs"))
+      qz.select(col("vec_id"),
+          posexplode(arrays_zip(
+            col("qs.q").cast("array<bigint>").as("qv"),
+            graft.functions.Quant.reconstructionError(
+              col("embedding"), col("qs")).as("ev"))).as(Seq("dim", "z")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("z.qv").as("qval"), round(col("z.ev"), 6).as("err"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length here; decode/feature-extraction is exercised in the test
     // suite with a stubbed decoder).
@@ -1827,6 +1845,30 @@ object SparkEntry {
           SELECT query_id, neighbor_id, sim, "rank" FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
     },
+
+    "q_embed_quant" ->
+      // Identical double arithmetic in the same order as Quant: widen
+      // float→double, one affine map, half-up round on a non-negative
+      // operand, explicit clamp, reconstruction from the integral code.
+      """WITH p AS (SELECT vec_id, embedding,
+            CAST(list_min(embedding) AS DOUBLE) AS lo,
+            (CAST(list_max(embedding) AS DOUBLE)
+              - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+          FROM embeddings),
+          e AS (SELECT vec_id, lo, scale, s.i - 1 AS dim,
+            CAST(s.x AS DOUBLE) AS x
+          FROM (SELECT vec_id, lo, scale,
+            unnest(list_transform(range(1, len(embedding) + 1),
+              i -> {'i': i, 'x': embedding[i]})) AS s FROM p)),
+          q AS (SELECT vec_id, dim, x, lo, scale,
+            CASE WHEN scale = 0 THEN -128.0
+                 ELSE least(127.0, greatest(-128.0,
+                   round((x - lo) / scale) - 128.0)) END AS qd
+          FROM e)
+          SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+            CAST(qd AS BIGINT) AS qval,
+            round(abs(x - (lo + (qd + 128.0) * scale)), 6) AS err
+          FROM q ORDER BY vec_id, dim""",
 
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic int8 affine embedding quantization — the storage-scale
+  * vector path: a float32 corpus column compresses 4× to one byte per
+  * dimension plus two per-vector doubles, which at 100 TB of embeddings
+  * is the difference between scanning 25 TB and scanning 100 TB for
+  * every ANN probe. Re-expresses the vector-compression step a
+  * training-data pipeline runs before indexing (cf. the reference's
+  * plain float pipelines — /root/reference/Batch_notebook/operations/
+  * operations.py has no vector layer; this extends it).
+  *
+  * Per-vector affine map (no RNG, no codebook training):
+  *   lo = min(v), scale = (max(v) - lo) / 255
+  *   q_i = round((v_i - lo) / scale) - 128        ∈ [-128, 127]
+  *   v̂_i = lo + (q_i + 128) · scale
+  * All arithmetic is double (floats widened first, exact), the round is
+  * half-up on a non-negative operand, and the clamp is explicit — every
+  * step reproducible by the DuckDB oracle bit-for-bit. A constant vector
+  * (scale = 0) quantizes to -128 everywhere and reconstructs exactly.
+  *
+  * The reconstruction error is bounded by scale/2 per element (half a
+  * quantization step, QuantSpec asserts it), so downstream cosine/L2
+  * degrade gracefully and rerank-on-exact stays available: the standard
+  * IVF layout stores int8 vectors in the cells and recomputes exact
+  * similarity only for the top candidates.
+  *
+  * Everything is per-row `transform`/scalar arithmetic inside codegen —
+  * no shuffle, no UDF; quantization runs at parquet-scan speed.
+  */
+object Quant {
+
+  private def loOf(vec: Column): Column = array_min(vec).cast("double")
+  private def scaleOf(vec: Column): Column =
+    (array_max(vec).cast("double") - array_min(vec).cast("double")) / 255.0
+
+  /** Unclamped-then-clamped code in DOUBLE (pre-cast): round maps
+    * [0, 255]±ulp into exactly [0, 255]; the clamp guards the ulp edge
+    * identically in every engine.
+    */
+  private def codeOf(x: Column, lo: Column, scale: Column): Column =
+    when(scale === 0.0, lit(-128.0))
+      .otherwise(least(lit(127.0), greatest(lit(-128.0),
+        round((x.cast("double") - lo) / scale) - 128.0)))
+
+  /** Quantize an `array<float>` (or numeric array) column to a struct
+    * `(q: array<tinyint>, lo: double, scale: double)` — the codes plus
+    * the two affine params reconstruction needs. 4× smaller at rest;
+    * the params travel with the row, so dequantization is map-only.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val lo = loOf(vec)
+    val scale = scaleOf(vec)
+    struct(
+      transform(vec, x => codeOf(x, lo, scale)).cast("array<tinyint>").as("q"),
+      lo.as("lo"),
+      scale.as("scale"))
+  }
+
+  /** Reconstruct the double-precision approximation from `quantizeInt8`'s
+    * struct: v̂_i = lo + (q_i + 128) · scale.
+    */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      q => qs.getField("lo") +
+        (q.cast("double") + 128.0) * qs.getField("scale"))
+
+  /** Per-element reconstruction error |v_i - v̂_i| as `array<double>` —
+    * the quality signal one thresholds before trusting quantized
+    * similarity scores.
+    */
+  def reconstructionError(vec: Column, qs: Column): Column =
+    zip_with(vec, dequantizeInt8(qs),
+      (x, r) => abs(x.cast("double") - r))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Quant
+
+class QuantSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("round-trip error is bounded by half a quantization step") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bad = emb
+      .select(col("vec_id"), col("embedding"),
+        Quant.quantizeInt8(col("embedding")).as("qs"))
+      .select(col("vec_id"), col("qs.scale").as("scale"),
+        array_max(Quant.reconstructionError(col("embedding"), col("qs")))
+          .as("max_err"))
+      // half a step, plus ulp headroom for the double round-trip
+      .filter(col("max_err") > col("scale") / 2.0 + 1e-12)
+    assert(bad.count() == 0, bad.collect().take(3).mkString(", "))
+  }
+
+  test("codes stay in int8 range and params are finite") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val stats = emb
+      .select(Quant.quantizeInt8(col("embedding")).as("qs"))
+      .select(array_min(col("qs.q")).as("qmin"), array_max(col("qs.q")).as("qmax"),
+        col("qs.scale").as("scale"))
+      .agg(min(col("qmin")).as("lo"), max(col("qmax")).as("hi"),
+        min(col("scale")).as("smin"))
+      .head()
+    assert(stats.getByte(0) >= -128 && stats.getByte(1) <= 127)
+    assert(stats.getDouble(2) > 0.0) // real embeddings are never constant
+  }
+
+  test("constant and extreme vectors quantize deterministically") {
+    val v = Seq(
+      (1L, Array(2.5f, 2.5f, 2.5f)),          // scale = 0
+      (2L, Array(-1.0f, 0.0f, 1.0f)),          // symmetric range
+      (3L, Array(0.0f, 255.0f))                // exact step = 1
+    ).toDF("vec_id", "embedding")
+    val out = v.select(col("vec_id"),
+        Quant.quantizeInt8(col("embedding")).as("qs"),
+        Quant.dequantizeInt8(Quant.quantizeInt8(col("embedding"))).as("recon"))
+      .orderBy("vec_id").collect()
+    val q1 = out(0).getStruct(1).getSeq[Byte](0)
+    assert(q1 == Seq(-128, -128, -128))
+    assert(out(0).getSeq[Double](2) == Seq(2.5, 2.5, 2.5)) // exact recon
+    val q3 = out(2).getStruct(1).getSeq[Byte](0)
+    assert(q3 == Seq(-128, 127))
+    assert(out(2).getSeq[Double](2) == Seq(0.0, 255.0))
+  }
+
+  test("quantized cosine tracks exact cosine (rerank stays sound)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 50)
+    val rec = emb.select(col("vec_id"),
+      col("embedding"),
+      Quant.dequantizeInt8(Quant.quantizeInt8(col("embedding"))).as("recon"))
+    val drift = rec.as("a").join(rec.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(abs(
+        graft.functions.Vec.cosine(col("a.embedding"), col("b.embedding"), -1) -
+        graft.functions.Vec.cosine(col("a.recon"), col("b.recon"), -1)).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(drift < 0.02, s"quantized cosine drift $drift")
+  }
+}
