@@ -148,6 +148,44 @@ object ScaleProbe {
       println(f"""{"probe":"kmeans","mult":$mult,"vecs":${nEmb * mult},"cells":$cells,"sec":$sec%.2f}""")
     }
 
+    // SemDedup probe: k-means cells + in-cell cosine pairs on the
+    // replicated embedding corpus. Replicas of a base vector share its
+    // cell (identical coordinates), so true dup mass grows with the
+    // replication while the pair stage stays sum-of-cell-squares — the
+    // wall should track pair volume, never vecs².
+    for (mult <- Seq(1, 4, 16)) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+      val t0 = System.nanoTime()
+      val pairs = graft.functions.Vec.semDedupPairs(vecs, threshold = 0.7,
+        kCells = 16, iters = 2).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"semdedup","mult":$mult,"vecs":${nEmb * mult},"pairs":$pairs,"sec":$sec%.2f}""")
+    }
+
+    // Bloom-decontamination probe: plain broadcast-semi-join decontamination
+    // shuffles the FULL corpus gram stream through its distinct; the bloom
+    // path cuts it at the scan, so its wall should grow with corpus size at
+    // a visibly smaller slope (the gram shuffle disappears; only the scan
+    // and the survivor trickle remain).
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val evalSet = base.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      for ((tag, run) <- Seq(
+          "plain" -> (() => Dedup.decontaminate(
+            docs, evalSet, "doc_id", "text", 3).count()),
+          "bloom" -> (() => graft.functions.Bloom.decontaminateBloom(
+            docs, evalSet, "doc_id", "text", 3).count()))) {
+        val t0 = System.nanoTime()
+        val kept = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"decontaminate","variant":"$tag","mult":$mult,"kept":$kept,"sec":$sec%.2f}""")
+      }
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot

@@ -968,6 +968,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // SemDedup: semantic (embedding-cluster) dedup — cosine near-dup
+    // pairs WITHIN k-means cells only, clustered into dup groups with
+    // min-id representatives. The scale-safe alternative to pairwise
+    // embedding dedup: compute is sum-of-cell-squares, never corpus².
+    "q_semdedup" -> { (s, d) =>
+      Vec.semDedup(Tables.embeddings(s, d), threshold = 0.3,
+          kCells = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    },
+
     // Int8 affine embedding quantization: per-vector (lo, scale) codes,
     // exploded to scalar (vec_id, dim, qval, err) rows — the 4× storage
     // compression path for vector indexes, with the per-element
@@ -1844,6 +1854,33 @@ object SparkEntry {
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM cand)
           SELECT query_id, neighbor_id, sim, "rank" FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_semdedup" -> {
+      val dotSql = duckDotSql _
+      // a2 = unrolled k-means assignment; in-cell pairs at rounded-sim
+      // >= 0.3; then the same recursive-closure component labeling as
+      // q_neardup_cluster, over the full vec_id universe.
+      s"""WITH RECURSIVE $duckKmeansCte,
+          pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.3),
+          ed AS (SELECT id_a AS s, id_b AS t FROM pr
+                 UNION SELECT id_b, id_a FROM pr),
+          reach(id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT ed.t, reach.r FROM ed JOIN reach ON ed.s = reach.id),
+          comp AS (SELECT id AS vec_id, min(r) AS component
+                   FROM reach GROUP BY id),
+          csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                     FROM comp GROUP BY component)
+          SELECT c.vec_id, c.component, z.csize,
+                 (c.vec_id = c.component) AS is_rep
+          FROM comp c JOIN csizes z USING (component)
+          ORDER BY c.vec_id"""
     },
 
     "q_embed_quant" ->

@@ -330,6 +330,56 @@ object Vec {
     ivfTopK(assigned, queries, k, nProbe, "cell", idCol, vecCol, excludeSelf)
   }
 
+  /** SemDedup-style candidate pairs: cosine near-dups WITHIN k-means
+    * cells only. The cell equi-join replaces the all-pairs product, so
+    * compute is sum-of-cell-squares instead of corpus² — the scale-safe
+    * semantic-dedup blocking (SemDedup, Abbas et al. 2023, arXiv:
+    * 2303.09540): semantically close vectors land in the same cell, so
+    * in-cell pairs capture the dup mass while cross-cell pairs (distant
+    * by construction) are skipped. Same prefilter-then-verify shape as
+    * the LSH paths, with a LEARNED partition instead of a random one.
+    */
+  def semDedupPairs(corpus: DataFrame, threshold: Double, kCells: Int,
+      iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = kmeans(corpus, kCells, iters, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val bucketed = corpus.select(col(idCol), col(vecCol))
+      .join(cells, Seq(idCol))
+      .select(col("cell"), col(idCol), col(vecCol),
+        sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+          .as("nrm"))
+    val a = bucketed.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    val sim = pairSim(col("va"), col("vb"), col("na"), col("nb"))
+    // one cell per vector → each pair emitted at most once (cf.
+    // lshNearDupPairs); no trailing distinct needed.
+    a.join(b, a("cell") === b("cell") &&
+        col("id_a") < col("id_b") && sim >= threshold)
+      .withColumn("sim", sim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Full SemDedup assignment: cluster in-cell near-dup pairs into
+    * connected components and label every vector with its dup-group id
+    * (min reachable id), group size, and the keep/drop flag. Drop policy
+    * = keep the smallest id per group (deterministic); filter on
+    * `is_rep` (or `Cluster.representatives`) to materialize the deduped
+    * corpus. Pairs come from `semDedupPairs`; the component pass is the
+    * same checkpointed min-label propagation as the MinHash path — at
+    * 100 TB both stages are cell-/key-blocked equi-joins, nothing
+    * quadratic in the corpus.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double, kCells: Int,
+      iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = semDedupPairs(corpus, threshold, kCells, iters, idCol, vecCol)
+    Cluster.assignClusters(pairs, "id_a", "id_b",
+      corpus.select(col(idCol)), idCol)
+  }
+
   /** Bucketed approximate top-k: brute force within each LSH bucket.
     * Recall is tunable via nBits (fewer bits = bigger buckets = higher
     * recall, more compute).

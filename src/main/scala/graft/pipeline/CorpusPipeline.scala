@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Cluster, Dedup, Text}
+import graft.functions.{Cluster, Dedup, Text, Vec}
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
   * pipeline actually runs, built entirely from graft operators —
@@ -101,6 +101,25 @@ object CorpusPipeline {
     val asg = Cluster.assignClusters(verified.select(col("id_a"), col("id_b")),
       "id_a", "id_b", docs.select(col(cfg.idCol)), cfg.idCol, cfg.ccMaxIter)
     Cluster.representatives(docs, cfg.idCol, asg)
+  }
+
+  /** Semantic dedup stage: drop documents whose EMBEDDINGS are near-dups
+    * of a kept document, even when their text shares no shingles — the
+    * paraphrase/translation-dup layer the token-based stages above cannot
+    * see. `embeddings` carries (cfg.idCol, embedding); assignment comes
+    * from Vec.semDedup (in-k-means-cell cosine pairs → connected
+    * components → min-id representative), so the stage is cell-blocked
+    * equi-joins end to end, never corpus². Docs without an embedding row
+    * are KEPT (no evidence of duplication), mirroring the other stages'
+    * drop-only-on-evidence policy.
+    */
+  def semanticDedup(docs: DataFrame, embeddings: DataFrame,
+      threshold: Double = 0.9, kCells: Int = 64, iters: Int = 2,
+      cfg: Config = Config()): DataFrame = {
+    val asg = Vec.semDedup(embeddings, threshold, kCells, iters,
+      cfg.idCol, "embedding")
+    val toDrop = asg.filter(!col("is_rep")).select(col(cfg.idCol))
+    docs.join(toDrop, Seq(cfg.idCol), "left_anti")
   }
 
   /** Held-out split assignment over the CURATED corpus (split after

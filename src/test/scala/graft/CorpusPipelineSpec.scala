@@ -83,6 +83,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(clustered === Set(1L, 10L))
   }
 
+  test("semanticDedup drops planted embedding near-dups, keeps min id") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("vec_id", "doc_id")
+      .select($"doc_id", $"embedding")
+    // Plant an exact embedding clone of doc 0 under a larger id: cosine 1
+    // beats any threshold, and both land in the same k-means cell.
+    val clone = emb.filter($"doc_id" === 0)
+      .select(lit(9001L).as("doc_id"), $"embedding")
+    val vecs = emb.unionByName(clone)
+    val docs = vecs.select($"doc_id", lit("body").as("text"))
+    val out = CorpusPipeline.semanticDedup(docs, vecs,
+      threshold = 0.95, kCells = 8)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && !ids.contains(9001L))
+    // drop-only-on-evidence: docs without an embedding row survive
+    val orphan = Seq((7777L, "no embedding")).toDF("doc_id", "text")
+    val out2 = CorpusPipeline.semanticDedup(docs.unionByName(orphan), vecs,
+      threshold = 0.95, kCells = 8)
+    assert(out2.filter($"doc_id" === 7777L).count() === 1)
+  }
+
   test("exact dedup survives a real polynomial-hash collision") {
     import spark.implicits._
     // these two distinct texts share polyHash mod 1e9+7 (= 633477840,
