@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cluster, Dedup, Quality, Text, Tfidf, Vec}
@@ -996,6 +997,37 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     },
 
+    // Quantized-scan IVF with exact rerank — the int8 serving layout:
+    // the corpus is scanned as int8 RECONSTRUCTIONS (4× less IO at
+    // scale), probing and shortlisting (top-10) run on recon vectors,
+    // and only the shortlist is reranked with exact float cosine
+    // (top-5). Exactness degrades gracefully: the rerank repairs any
+    // quantization-induced ordering drift inside the shortlist.
+    "q_ivf_quant" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // recon stored as float32 — the type a serving stack dequantizes
+      // int8 into; double→float here and the oracle's CAST(.. AS REAL)
+      // are the same IEEE conversion, and it keeps query/corpus/centroid
+      // element types matched for the compiled dot product.
+      val recon = emb.select(col("vec_id"), col("label"),
+        graft.functions.Quant.dequantizeInt8(
+            graft.functions.Quant.quantizeInt8(col("embedding")))
+          .cast("array<float>").as("embedding"))
+      val shortlist = Vec.ivfTopK(recon, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 3, cellCol = "label")
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      shortlist.join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+        .withColumn("sim", Vec.cosine(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length here; decode/feature-extraction is exercised in the test
     // suite with a stubbed decoder).
@@ -1906,6 +1938,67 @@ object SparkEntry {
             CAST(qd AS BIGINT) AS qval,
             round(abs(x - (lo + (qd + 128.0) * scale)), 6) AS err
           FROM q ORDER BY vec_id, dim""",
+
+    "q_ivf_quant" -> {
+      val dotSql = duckDotSql _
+      // Quantize → reconstruct per dim → reassemble the recon list in dim
+      // order; centroids/probe over recon (same decimal-exact stages);
+      // exact-embedding rerank of the top-10 shortlist.
+      s"""WITH qp AS (SELECT vec_id, label, embedding,
+            CAST(list_min(embedding) AS DOUBLE) AS lo,
+            (CAST(list_max(embedding) AS DOUBLE)
+              - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+          FROM embeddings),
+          qe AS (SELECT vec_id, label, lo, scale, s.i AS dim,
+            CAST(s.x AS DOUBLE) AS x
+          FROM (SELECT vec_id, label, lo, scale,
+            unnest(list_transform(range(1, len(embedding) + 1),
+              i -> {'i': i, 'x': embedding[i]})) AS s FROM qp)),
+          qc AS (SELECT vec_id, label, dim, lo, scale,
+            CASE WHEN scale = 0 THEN -128.0
+                 ELSE least(127.0, greatest(-128.0,
+                   round((x - lo) / scale) - 128.0)) END AS qd
+          FROM qe),
+          rc AS (SELECT vec_id, label,
+            list(CAST(lo + (qd + 128.0) * scale AS REAL) ORDER BY dim)
+              AS embedding
+          FROM qc GROUP BY vec_id, label),
+          ${duckCentroidStages("rc", "label", "cell", "exq", "ctq", "clq")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN clq cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN rc e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          sl AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
+            WHERE rk <= 10),
+          rr AS (SELECT s.query_id, s.neighbor_id,
+            round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
+            FROM sl s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          fin AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          SELECT query_id, neighbor_id, sim, "rank" FROM fin
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
 
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -52,6 +52,26 @@ class QuantSpec extends AnyFunSuite {
     assert(out(2).getSeq[Double](2) == Seq(0.0, 255.0))
   }
 
+  test("quantized-scan shortlist + exact rerank recovers exact IVF top-5") {
+    import graft.functions.Vec
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Vec.ivfTopK(emb, queries, k = 5, nProbe = 3, cellCol = "label")
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recon = emb.select(col("vec_id"), col("label"),
+      Quant.dequantizeInt8(Quant.quantizeInt8(col("embedding")))
+        .cast("array<float>").as("embedding"))
+    val shortlisted = Vec.ivfTopK(recon, queries, k = 10, nProbe = 3,
+        cellCol = "label")
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 2k-deep quantized shortlist must contain (nearly) every exact
+    // top-k hit — the property that makes rerank-on-exact sound
+    val recall = (exact intersect shortlisted).size.toDouble / exact.size
+    assert(recall >= 0.9, s"shortlist recall $recall")
+  }
+
   test("quantized cosine tracks exact cosine (rerank stays sound)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") < 50)
