@@ -147,9 +147,18 @@ object SparkEntry {
     * embeddings table: smallest-id init (c0), two unrolled
     * assign→update stages, identical rounded-distance / tie-break /
     * decimal-centroid arithmetic. Ends with `a2(vec_id, embedding, cell,
-    * dist2)` — shared by q_kmeans and q_diverse_sample.
+    * dist2)` — shared by q_kmeans, q_diverse_sample, q_semdedup,
+    * q_ivf_kmeans.
     */
-  private def duckKmeansCte: String = {
+  private def duckKmeansCte: String = duckKmeansStages("embeddings", "", 8)
+
+  /** Generalized form: Vec.kmeans(k, iters=2) over CTE/table `src`
+    * (vec_id, embedding), every stage name prefixed with `p` so several
+    * unrolled k-means runs coexist in one WITH chain (product
+    * quantization trains one per subspace). Ends with `${p}a2(vec_id,
+    * embedding, cell, dist2)`.
+    */
+  private def duckKmeansStages(src: String, p: String, k: Int): String = {
     val dotSql = duckDotSql _
     val dotSqlEE = dotSql("e.embedding", "e.embedding")
     // one unrolled assignment stage against centroid CTE `cent`
@@ -157,17 +166,17 @@ object SparkEntry {
       s"""$pN AS (SELECT e.vec_id, e.embedding, c.cell,
             round(greatest(0.0, ($dotSqlEE - 2 * ${dotSql("e.embedding", "c.cvec")})
               + ${dotSql("c.cvec", "c.cvec")}), 6) AS dist2
-          FROM embeddings e CROSS JOIN $cent c),
+          FROM $src e CROSS JOIN $cent c),
           $aN AS (SELECT vec_id, embedding, cell, dist2 FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
               ORDER BY dist2, cell) AS rn FROM $pN) WHERE rn = 1)"""
-    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+    s"""${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
             embedding AS cvec
-          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
-        ${assign("c0", "a1p", "a1")},
-        ${duckCentroidStages("a1", "cell", "cell", "ex1", "ct1", "cl1")},
-        c1 AS (SELECT cell, centroid AS cvec FROM cl1),
-        ${assign("c1", "a2p", "a2")}"""
+          FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $k)),
+        ${assign(s"${p}c0", s"${p}a1p", s"${p}a1")},
+        ${duckCentroidStages(s"${p}a1", "cell", "cell", s"${p}ex1", s"${p}ct1", s"${p}cl1")},
+        ${p}c1 AS (SELECT cell, centroid AS cvec FROM ${p}cl1),
+        ${assign(s"${p}c1", s"${p}a2p", s"${p}a2")}"""
   }
 
   /** DuckDB CTE chain reproducing 16-bit SimHash fingerprints over the
@@ -995,6 +1004,19 @@ object SparkEntry {
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
           col("z.qv").as("qval"), round(col("z.ev"), 6).as("err"))
         .orderBy(col("vec_id"), col("dim"))
+    },
+
+    // Product quantization: 4 subspaces × 16 dims, 8-codeword codebooks
+    // trained per subspace with the deterministic k-means — code +
+    // squared subspace reconstruction error per (vector, subspace).
+    // The codebook-compression path (m·log2 k bits/vector) beside the
+    // affine path's fixed 4×.
+    "q_pq_codes" -> { (s, d) =>
+      graft.functions.Quant.pqCodes(Tables.embeddings(s, d), m = 4,
+          subDim = 16, k = 8, iters = 2)
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code").cast("long").as("code"), col("dist2"))
+        .orderBy(col("vec_id"), col("subspace"))
     },
 
     // Quantized-scan IVF with exact rerank — the int8 serving layout:
@@ -1938,6 +1960,22 @@ object SparkEntry {
             CAST(qd AS BIGINT) AS qval,
             round(abs(x - (lo + (qd + 128.0) * scale)), 6) AS err
           FROM q ORDER BY vec_id, dim""",
+
+    "q_pq_codes" -> {
+      // one sliced-input CTE + one unrolled k-means chain per subspace
+      val subs = (0 until 4).map { s =>
+        val lo = s * 16 + 1
+        s"""s$s AS (SELECT vec_id, embedding[$lo:${lo + 15}] AS embedding
+            FROM embeddings),
+            ${duckKmeansStages(s"s$s", s"p$s", 8)}"""
+      }.mkString(",\n")
+      val parts = (0 until 4).map { s =>
+        s"""SELECT vec_id, CAST($s AS BIGINT) AS subspace,
+            CAST(cell AS BIGINT) AS code, dist2 FROM p${s}a2"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $subs
+          SELECT * FROM ($parts) ORDER BY vec_id, subspace"""
+    },
 
     "q_ivf_quant" -> {
       val dotSql = duckDotSql _

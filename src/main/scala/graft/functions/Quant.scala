@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic int8 affine embedding quantization — the storage-scale
@@ -74,4 +74,33 @@ object Quant {
   def reconstructionError(vec: Column, qs: Column): Column =
     zip_with(vec, dequantizeInt8(qs),
       (x, r) => abs(x.cast("double") - r))
+
+  /** Product quantization codes: split each vector into `m` contiguous
+    * `subDim`-wide subspaces, train a deterministic k-means codebook of
+    * `k` codewords per subspace (Vec.kmeans — smallest-id init,
+    * rounded-distance assignment, decimal-exact centroid updates), and
+    * emit one `(idCol, subspace, code, dist2)` row per (vector,
+    * subspace): `code` is the assigned codeword and `dist2` that
+    * subspace's squared reconstruction error (PQ's total distortion is
+    * the per-vector sum). Storage: m × ceil(log2 k) bits per vector —
+    * for m=16, k=256 a 64-dim float32 vector compresses 16× — against
+    * the affine path's fixed 4×.
+    *
+    * Each subspace's training is the same broadcast-k + partial-
+    * aggregable-groupBy loop as `Vec.kmeans`; m runs are independent
+    * (at scale: train on a sample, then one map-only assign pass).
+    * Every step is bit-deterministic, so the full train→assign chain
+    * sits under the DuckDB oracle gate (m unrolled k-means CTE chains).
+    */
+  def pqCodes(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && subDim >= 1, s"need m, subDim >= 1, got $m, $subDim")
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+      Vec.kmeans(sub, k, iters, idCol, vecCol)
+        .select(col(idCol), lit(s).as("subspace"),
+          col("cell").as("code"), col("dist2"))
+    }.reduce(_ unionByName _)
+  }
 }

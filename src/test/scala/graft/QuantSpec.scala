@@ -72,6 +72,21 @@ class QuantSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"shortlist recall $recall")
   }
 
+  test("pqCodes: full coverage, in-range codes, distortion shrinks with k") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    def codes(k: Int) =
+      Quant.pqCodes(emb, m = 4, subDim = 16, k = k, iters = 2)
+    val c8 = codes(8).cache()
+    assert(c8.count() == n * 4) // one row per (vector, subspace)
+    assert(c8.filter(col("code") < 0 || col("code") >= 8).count() == 0)
+    assert(c8.filter(col("dist2") < 0).count() == 0)
+    val d8 = c8.agg(sum("dist2")).head().getDouble(0)
+    val d2 = codes(2).agg(sum("dist2")).head().getDouble(0)
+    assert(d8 < d2, s"8-codeword distortion $d8 not below 2-codeword $d2")
+    c8.unpersist()
+  }
+
   test("quantized cosine tracks exact cosine (rerank stays sound)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") < 50)
