@@ -1019,6 +1019,31 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("subspace"))
     },
 
+    // PQ-ADC search: queries score against PQ RECONSTRUCTIONS (codes →
+    // broadcast codebook lookup → concatenated centroids), top-10
+    // shortlist, exact-cosine rerank to top-5 — the codebook analog of
+    // q_ivf_quant's int8 layout. At scale the corpus at rest is m·log2 k
+    // bits/vector; only the shortlist ever touches exact floats.
+    "q_pq_adc" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (codes, codebook) = graft.functions.Quant.pqModel(emb, m = 4,
+        subDim = 16, k = 8, iters = 2)
+      val recon = graft.functions.Quant.pqReconstruct(codes, codebook)
+      val shortlist = Vec.bruteForceTopK(emb.filter(col("vec_id") < 10),
+          recon, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      shortlist.join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+        .withColumn("sim", Vec.cosine(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Quantized-scan IVF with exact rerank — the int8 serving layout:
     // the corpus is scanned as int8 RECONSTRUCTIONS (4× less IO at
     // scale), probing and shortlisting (top-10) run on recon vectors,
@@ -1975,6 +2000,54 @@ object SparkEntry {
       }.mkString(" UNION ALL ")
       s"""WITH $subs
           SELECT * FROM ($parts) ORDER BY vec_id, subspace"""
+    },
+
+    "q_pq_adc" -> {
+      val dotSql = duckDotSql _
+      val subs = (0 until 4).map { s =>
+        val lo = s * 16 + 1
+        s"""s$s AS (SELECT vec_id, embedding[$lo:${lo + 15}] AS embedding
+            FROM embeddings),
+            ${duckKmeansStages(s"s$s", s"p$s", 8)}"""
+      }.mkString(",\n")
+      val cb = (0 until 4).map(s =>
+        s"SELECT $s AS subspace, cell, cvec FROM p${s}c1").mkString(" UNION ALL ")
+      val cd = (0 until 4).map(s =>
+        s"SELECT vec_id, $s AS subspace, cell FROM p${s}a2").mkString(" UNION ALL ")
+      // recon = codebook centroids concatenated in subspace order; then
+      // the same shortlist/rerank SQL as q_ivf_quant.
+      s"""WITH $subs,
+          cb AS ($cb),
+          cd AS ($cd),
+          rcn AS (SELECT cd.vec_id,
+            flatten(list(cb.cvec ORDER BY cd.subspace)) AS embedding
+            FROM cd JOIN cb ON cb.subspace = cd.subspace AND cb.cell = cd.cell
+            GROUP BY cd.vec_id),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          cand AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("q.qv", "e.embedding")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM q CROSS JOIN rcn e
+            WHERE e.vec_id <> q.query_id),
+          sl AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
+            WHERE rk <= 10),
+          rr AS (SELECT s.query_id, s.neighbor_id,
+            round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
+            FROM sl s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          fin AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          SELECT query_id, neighbor_id, sim, "rank" FROM fin
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
     },
 
     "q_ivf_quant" -> {

@@ -93,14 +93,42 @@ object Quant {
     * sits under the DuckDB oracle gate (m unrolled k-means CTE chains).
     */
   def pqCodes(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqModel(corpus, m, subDim, k, iters, idCol, vecCol)._1
+      .select(col(idCol), col("subspace"), col("code"), col("dist2"))
+
+  /** `pqCodes` returning BOTH the code table and the trained codebook
+    * `(subspace, code, centroid)` — the pair the ADC serving path needs:
+    * codes are the stored corpus, the codebook is the (m·k)-row lookup
+    * table broadcast to reconstruct or score against.
+    */
+  def pqModel(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(m >= 1 && subDim >= 1, s"need m, subDim >= 1, got $m, $subDim")
-    (0 until m).map { s =>
+    val perSub = (0 until m).map { s =>
       val sub = corpus.select(col(idCol),
         slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
-      Vec.kmeans(sub, k, iters, idCol, vecCol)
-        .select(col(idCol), lit(s).as("subspace"),
-          col("cell").as("code"), col("dist2"))
-    }.reduce(_ unionByName _)
+      val (asg, cents) = Vec.kmeansModel(sub, k, iters, idCol, vecCol)
+      (asg.select(col(idCol), lit(s).as("subspace"),
+          col("cell").as("code"), col("dist2")),
+        cents.select(lit(s).as("subspace"), col("cell").as("code"),
+          col("cvec").as("centroid")))
+    }
+    (perSub.map(_._1).reduce(_ unionByName _),
+      perSub.map(_._2).reduce(_ unionByName _))
   }
+
+  /** Reconstruct approximate vectors from PQ codes: per id, look the m
+    * codes up in the broadcast codebook and concatenate the centroids in
+    * subspace order. One broadcast join + one partial-aggregable groupBy
+    * — the map-side expansion a PQ-compressed corpus pays to be scored.
+    */
+  def pqReconstruct(codes: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    codes.join(broadcast(codebook), Seq("subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("subspace"), col("centroid")))),
+        s => s.getField("centroid"))).as("embedding"))
 }

@@ -211,7 +211,19 @@ object Vec {
     * rounds. Returns the FINAL assignment (idCol, cell, dist2).
     */
   def kmeans(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansModel(corpus, k, iters, idCol, vecCol)._1
+
+  /** `kmeans` returning BOTH the final assignment (idCol, cell, dist2)
+    * and the codebook it was assigned against — `(cell, cvec)`, i.e. the
+    * centroids after the last update step. Consumers that reconstruct
+    * from codes (product quantization's ADC path) need exactly the
+    * codebook the assignment distances were measured to, not one more
+    * update of it.
+    */
+  def kmeansModel(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val wInit = Window.orderBy(col(idCol))
@@ -229,7 +241,7 @@ object Vec {
         .withColumnRenamed("centroid", "cvec")
       assigned = assignCells(pts, cents, idCol, vecCol)
     }
-    assigned.select(col(idCol), col("cell"), col("dist2"))
+    (assigned.select(col(idCol), col("cell"), col("dist2")), cents)
   }
 
   /** Nearest-centroid assignment: (idCol, vecCol, cell, dist2). */

@@ -87,6 +87,37 @@ class QuantSpec extends AnyFunSuite {
     c8.unpersist()
   }
 
+  test("pqReconstruct rebuilds full-width vectors; ADC shortlist has recall") {
+    import graft.functions.Vec
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (codes, codebook) = Quant.pqModel(emb, m = 4, subDim = 16,
+      k = 8, iters = 2)
+    val recon = Quant.pqReconstruct(codes, codebook)
+    assert(recon.count() == emb.count())
+    assert(recon.select(size(col("embedding"))).distinct().head().getInt(0) == 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Vec.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(m: Int, k: Int, depth: Int): Double = {
+      val (cs, cb) = Quant.pqModel(emb, m, 64 / m, k, iters = 2)
+      val short = Vec.bruteForceTopK(queries, Quant.pqReconstruct(cs, cb), depth)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect short).size.toDouble / exact.size
+    }
+    // These synthetic near-uniform embeddings are PQ's adversarial case
+    // (no cluster structure to exploit), so the bar is the tunability
+    // property, not a high absolute: recall must IMPROVE with a finer
+    // codebook + deeper shortlist, from a non-degenerate floor.
+    // Measured here: 0.28 (m=4,k=8,d=10) -> 0.60 (m=8,k=32,d=20).
+    val coarse = recallOf(4, 8, 10)
+    val fine = recallOf(8, 32, 20)
+    assert(coarse >= 0.2, s"coarse ADC recall degenerate: $coarse")
+    assert(fine >= coarse + 0.1, s"finer codebook did not help: $coarse -> $fine")
+    assert(fine >= 0.5, s"fine ADC recall $fine")
+  }
+
   test("quantized cosine tracks exact cosine (rerank stays sound)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") < 50)
