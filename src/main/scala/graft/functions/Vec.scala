@@ -43,7 +43,7 @@ object Vec {
     * rank first in every descending top-k; NULL fails predicates and
     * sorts last under desc, which is the correct "no similarity" result.
     */
-  private def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[functions] def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
     when(na * nb === 0.0, lit(null).cast("double"))
       .otherwise(round(graft.plans.VecExpressions.dotProduct(va, vb) / (na * nb), 6))
 

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF as a STORAGE LAYOUT: the corpus written partitioned by its coarse
+  * cell, with the (tiny) centroid table persisted beside it. A probe
+  * then reads ONLY its nProbe cells' files — partition pruning turns
+  * "scan 100 TB and filter" into "list directories, read the 0.1%
+  * probed" — the property that makes IVF an index rather than a plan
+  * trick. The cell can come from `Vec.kmeans` (learned) or any domain
+  * partition; at real scale one would also bucket/sort within cells.
+  *
+  * The probe collects its probed cell ids to the driver to build the
+  * partition-pruning predicate — a bounded artifact (≤ the cell count,
+  * k-rows by construction), same class as heavyHitters' candidate list,
+  * never data-sized.
+  */
+object VecIndex {
+
+  /** Write `corpus` partitioned by `cellCol` under `path/data`, and the
+    * per-cell centroids (decimal-exact means) under `path/centroids`.
+    * Overwrites. At 100 TB this is the one full shuffle an IVF build
+    * pays (clustering the corpus by cell for locality); every probe
+    * after it is sub-linear.
+    */
+  def writeIvfIndex(corpus: DataFrame, cellCol: String, path: String,
+      vecCol: String = "embedding"): Unit = {
+    corpus.write.partitionBy(cellCol).mode("overwrite")
+      .parquet(s"$path/data")
+    Vec.groupCentroids(
+        corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k ANN against a written IVF index: rank cells per query by
+    * centroid cosine (centroid table is k rows — broadcast), collect the
+    * union of probed cell ids, and scan ONLY those partitions of the
+    * data. Scoring/ranking matches `Vec.ivfTopK` exactly (rounded sims,
+    * id tie-breaks).
+    */
+  def ivfProbeIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int, cellCol: String = "cell",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nq"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("cell_sim", Vec.cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("nq"), col("cell"))
+
+    // Bounded driver-side artifact: the UNION of probed cells (≤ cell
+    // count). Inlined as a partition-pruning predicate so the scan below
+    // never lists, opens, or reads an unprobed cell's files.
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.get(0))
+    val c = spark.read.parquet(s"$path/data")
+      .filter(col(cellCol).isin(probedCells: _*))
+      .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("vc"),
+        sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+          .as("nc"))
+    val joined = probed.join(c, Seq("cell"))
+    val candidates =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("sim", Vec.pairSim(col("qv"), col("vc"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+}
