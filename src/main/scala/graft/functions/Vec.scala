@@ -244,8 +244,21 @@ object Vec {
     (assigned.select(col(idCol), col("cell"), col("dist2")), cents)
   }
 
+  /** Serving-time nearest-centroid assignment against an EXISTING
+    * centroid table `(cell, centroid)` — one broadcast of the k-row
+    * table, map-only over the vectors, no retraining. The assignment
+    * arithmetic is exactly `kmeans`' (rounded dist², cell tie-break),
+    * so incremental ingest and training runs agree on every boundary.
+    * Returns (idCol, vecCol, cell, dist2).
+    */
+  def assignToCentroids(vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignCells(vecs.select(col(idCol), col(vecCol)),
+      centroids.select(col("cell"), col("centroid").as("cvec")),
+      idCol, vecCol)
+
   /** Nearest-centroid assignment: (idCol, vecCol, cell, dist2). */
-  private def assignCells(corpus: DataFrame, cents: DataFrame,
+  private[functions] def assignCells(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val dot = graft.plans.VecExpressions.dotProduct _
     // dist² is clamped non-negative BEFORE rounding: float cancellation

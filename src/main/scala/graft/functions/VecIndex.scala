@@ -34,6 +34,41 @@ object VecIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Streaming ingest into a written IVF index: each microbatch of new
+    * vectors is assigned to its nearest EXISTING centroid (one broadcast
+    * of the k-row centroid table, map-only — no retraining, the standard
+    * serving-time policy; retrain offline when drift warrants) and
+    * appended to its cell's partition. Exactly-once per input file via
+    * the checkpoint; an AvailableNow run drains what's currently in
+    * `streamDir` and terminates. Centroids are deliberately NOT updated
+    * by ingest — probes and replays stay deterministic.
+    */
+  def streamAppend(spark: SparkSession, path: String, streamDir: String,
+      checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val incoming = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col(idCol), col(vecCol))
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val cents = s.read.parquet(s"$path/centroids")
+        val assigned = Vec.assignToCentroids(batch, cents, idCol, vecCol)
+          .select(col(idCol), col(vecCol), col("cell"))
+        // replay guard: a microbatch replayed after a mid-write failure
+        // must not double-append — the same id anti-join idempotency the
+        // medallion sinks use (the probe-side cost is one key-column scan
+        // of the index, partition-pruned readers never see duplicates)
+        graft.merge.Merge.antiJoinAppend(s, assigned, s"$path/data",
+          Seq(idCol), "cell"): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .queryName("Ivf_Stream_Append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Top-k ANN against a written IVF index: rank cells per query by
     * centroid cosine (centroid table is k rows — broadcast), collect the
     * union of probed cell ids, and scan ONLY those partitions of the

@@ -32,6 +32,46 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(idx.sameElements(mem))
   }
 
+  test("streaming append assigns to nearest cell, exactly once, replay-safe") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") >= 10)
+    val cells = Vec.kmeans(base, k = 8, iters = 2)
+      .select(col("vec_id"), col("cell"))
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .join(cells, Seq("vec_id"))
+    val path = java.nio.file.Files.createTempDirectory("ivfidx3").toString
+    VecIndex.writeIvfIndex(corpus, "cell", path)
+    val baseCount = spark.read.parquet(s"$path/data").count()
+
+    val streamDir = java.nio.file.Files.createTempDirectory("ivfnew").toString
+    emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(streamDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfckpt").toString
+
+    VecIndex.streamAppend(spark, path, streamDir, ckpt)
+      .awaitTermination()
+    val after = spark.read.parquet(s"$path/data")
+    assert(after.count() == baseCount + 10)
+    // appended vectors are in their NEAREST cell: recompute the
+    // assignment against the persisted centroids and compare
+    val cents = spark.read.parquet(s"$path/centroids")
+    val expected = Vec.assignToCentroids(
+        emb.filter(col("vec_id") < 10), cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val got = after.filter(col("vec_id") < 10)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(got == expected)
+
+    // second run, same checkpoint: nothing new to process
+    VecIndex.streamAppend(spark, path, streamDir, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$path/data").count() == baseCount + 10)
+    // fresh checkpoint (simulated replay): the anti-join guard holds
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ivfckpt2").toString
+    VecIndex.streamAppend(spark, path, streamDir, ckpt2).awaitTermination()
+    assert(spark.read.parquet(s"$path/data").count() == baseCount + 10)
+  }
+
   test("probe scans ONLY the probed cells' partitions") {
     val corpus = corpusWithCells
     val path = java.nio.file.Files.createTempDirectory("ivfidx2").toString
