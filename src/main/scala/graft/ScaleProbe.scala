@@ -165,6 +165,22 @@ object ScaleProbe {
       println(f"""{"probe":"semdedup","mult":$mult,"vecs":${nEmb * mult},"pairs":$pairs,"sec":$sec%.2f}""")
     }
 
+    // PQ probe: m per-subspace k-means trainings over the replicated
+    // embedding corpus. Each subspace run is the kmeans loop on
+    // subDim-wide slices, so total wall should stay linear in vectors
+    // (m parallel-shaped linear passes, no cross-subspace interaction).
+    for (mult <- Seq(1, 4, 16)) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+      val t0 = System.nanoTime()
+      val nCodes = graft.functions.Quant.pqCodes(vecs, m = 4, subDim = 16,
+        k = 8, iters = 2).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"pq_train","mult":$mult,"vecs":${nEmb * mult},"codes":$nCodes,"sec":$sec%.2f}""")
+    }
+
     // Bloom-decontamination probe: plain broadcast-semi-join decontamination
     // shuffles the FULL corpus gram stream through its distinct; the bloom
     // path cuts it at the scan, so its wall should grow with corpus size at
