@@ -31,6 +31,10 @@ object SparkEntry {
     "sql" -> Seq("join", "merge", "filter", "sort"))
   val numMinhashes: Int = 8
 
+  /** BM25 demo query: one rare term (df ~5% of docs) + two common ones,
+    * so the rational-idf weighting visibly reorders the hits. */
+  val bm25Query: Seq[String] = Seq("dup", "vector", "merge")
+
   /** Discounted revenue, exact: decimal arithmetic, final double — must
     * stay bit-identical to the matching expression in the oracle SQL
     * (shared by q_agg_pricing / q_shipping_priority / q_regional_revenue).
@@ -701,6 +705,14 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("tfidf"), col("term_rank").cast("long").as("term_rank"))
         .orderBy(col("doc_id"), col("term_rank"))
+    },
+
+    // BM25 retrieval (rational idf, exact integer-quantized scoring): top
+    // 20 docs for a 3-term query mixing one rare and two common terms.
+    "q_bm25" -> { (s, d) =>
+      graft.functions.Rank.bm25TopDocs(Tables.documents(s, d), "doc_id",
+          "text", bm25Query, 20)
+        .orderBy(col("score_q").desc, col("doc_id").asc)
     },
 
     // Deterministic per-(lang, source) quota sample: first 5 docs of each
@@ -1616,6 +1628,32 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_bm25" -> {
+      val terms = bm25Query.map(t => s"'$t'").mkString(", ")
+      s"""WITH lens AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS dl FROM documents),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS BIGINT) AS t_tokens FROM lens),
+          toks AS (SELECT doc_id, unnest(${duckToks("text")}) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN ($terms) GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT doc_id,
+            (CAST(2 AS HUGEINT) * n_docs + 2) * 44 * tf * t_tokens * 1000000
+            // ((CAST(2 AS HUGEINT) * df + 1) *
+               (CAST(20 AS HUGEINT) * tf * t_tokens
+                + CAST(6 AS HUGEINT) * t_tokens
+                + CAST(18 AS HUGEINT) * dl * n_docs)) AS term_q
+            FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
+            CROSS JOIN tot),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(term_q) AS BIGINT) AS score_q FROM sc GROUP BY 1)
+          SELECT doc_id, n_terms, score_q,
+            CAST(score_q AS DOUBLE) / 1000000.0 AS score
+          FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 20"""
+    },
 
     "q_stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang, source, $duckBucket AS bkt FROM documents),

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the lexical-search
+  * primitive of every training-data curation stack (query-targeted corpus
+  * slicing, retrieval-augmented filtering, eval-set mining) and the
+  * classic complement to the embedding ANN path in `Vec`.
+  *
+  * Scoring is the BM25 family (Robertson/Spärck Jones probabilistic
+  * relevance) with one deliberate substitution: the idf factor is the RAW
+  * rational `(N - df + 0.5) / (df + 0.5) + 1 = (2N + 2) / (2df + 1)`
+  * rather than its logarithm. Per query term the weight stays strictly
+  * monotone in df, but across terms the rare-term emphasis is stronger
+  * than log-damped BM25 — documented, not hidden. The reason is the
+  * repo's oracle-parity rule (no transcendentals): a probe of libm `ln`
+  * against DuckDB's over the idf argument domain showed bit divergence on
+  * ~0.1% of values, which a hash-comparing oracle cannot tolerate.
+  *
+  * All scoring arithmetic is EXACT integer work in decimal(38,0): each
+  * per-term score is a ratio of two integer products, quantized to six
+  * fixed decimal places by one integral division, and the per-doc sum of
+  * those quantized integers is order-free. Both engines therefore compute
+  * bit-identical scores regardless of join or aggregation order.
+  *
+  * With k1 = 6/5 and b = 3/4 (the standard 1.2 / 0.75), clearing
+  * denominators gives the per-(doc, term) score
+  *
+  *   score = (2N+2) * 44 * tf * T
+  *           ---------------------------------    (N docs, T total tokens,
+  *           (2df+1) * (20*tf*T + 6*T + 18*dl*N)   dl doc length)
+  *
+  * quantized as `(num * 10^6) div den`. Bound check for decimal(38,0):
+  * num*10^6 ~ 2N * 44 * tf * T * 10^6; at a 100 TB corpus (N ~ 10^10
+  * docs, T ~ 10^15 tokens, tf <= 10^4) that is ~10^37 — inside 38 digits,
+  * at the edge by design and asserted in the doc here rather than
+  * silently truncated (Spark decimal overflow raises under ANSI).
+  *
+  * Scale design (100 TB): term frequencies for the query terms come from
+  * one token scan filtered to the query vocabulary BEFORE any shuffle
+  * (the exploded stream is cut to ~|query| * N rows at the scan); doc
+  * lengths are a second scan-stage pass with the codegen'd TokenCountExpr
+  * (no explode at all); N and T ride in as a broadcast 1-row aggregate.
+  * df is an aggregate of the already-filtered tf pairs. No corpus-sized
+  * shuffle exists anywhere in the plan; the final top-k is a single
+  * TakeOrdered over per-doc scores.
+  */
+object Rank {
+
+  private val Quant = 1000000L // 10^6: six fixed decimal places
+
+  /** Top-`k` documents for `queryTerms` by the quantized rational-idf BM25
+    * score. Output: (idCol, n_terms, score_q, score) where `score_q` is
+    * the exact quantized integer (score * 10^6 floored) and `score` its
+    * double rendering; rows arrive ordered by (score_q desc, id asc).
+    */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    val dec = "decimal(38,0)"
+    // Doc lengths from the compiled token counter — a scan-only pass.
+    val lens = docs.select(col(idCol),
+      Text.tokenCount(col(textCol)).cast("long").as("dl"))
+    // Corpus totals as ONE broadcast row: never a driver-side literal.
+    val totals = broadcast(lens.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("t_tokens")))
+    // Query-term tf: the explode is cut to the query vocabulary at the
+    // scan, so the groupBy input is |query|-bounded per doc.
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    // df over the (doc, term) pairs — already query-vocabulary-sized.
+    val dfreq = broadcast(tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df")))
+
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(totals)
+      .withColumn("__num",
+        (lit(2) * col("n_docs") + lit(2)).cast(dec) * lit(44).cast(dec) *
+          col("tf").cast(dec) * col("t_tokens").cast(dec) *
+          lit(Quant).cast(dec))
+      .withColumn("__den",
+        (lit(2) * col("df") + lit(1)).cast(dec) *
+          (lit(20).cast(dec) * col("tf").cast(dec) * col("t_tokens").cast(dec) +
+            lit(6).cast(dec) * col("t_tokens").cast(dec) +
+            lit(18).cast(dec) * col("dl").cast(dec) * col("n_docs").cast(dec)))
+      // Integral division of positive decimals: exact, engine-identical.
+      .withColumn("__term_q", expr("__num div __den"))
+
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("__term_q")).cast("long").as("score_q"))
+      .withColumn("score", col("score_q").cast("double") / lit(Quant.toDouble))
+      .orderBy(col("score_q").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_terms"), col("score_q"), col("score"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Rank
+
+/** BM25 retrieval: the quantized rational-idf scoring must reproduce a
+  * hand-computed exact value, honor the classic BM25 shape properties
+  * (rare-term weighting, tf saturation, length normalization), and keep
+  * its top-k as one bounded TakeOrdered — never a global sort.
+  */
+class RankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 4-doc corpus: "rare" appears in exactly one doc; "common" in all. */
+  private def corpus = Seq(
+    (1L, "rare common x y"),            // dl 4, has the rare term
+    (2L, "common common x y"),          // dl 4, tf(common)=2
+    (3L, "common x y z"),               // dl 4, tf(common)=1
+    (4L, "common x y z w v u t s r q p o n m l k j i h g f e d c b")
+  ).toDF("doc_id", "text")              // dl 26, tf(common)=1 (long doc)
+
+  /** The operator's exact integer score for one (tf, df, dl) given corpus
+    * totals — the same cleared-denominator formula, in BigInt.
+    */
+  private def termQ(tf: Long, df: Long, dl: Long, n: Long, t: Long): BigInt = {
+    val num = BigInt(2 * n + 2) * 44 * tf * t * 1000000L
+    val den = BigInt(2 * df + 1) *
+      (BigInt(20) * tf * t + BigInt(6) * t + BigInt(18) * dl * n)
+    num / den
+  }
+
+  test("scores match the hand-computed exact integers") {
+    val out = Rank.bm25TopDocs(corpus, "doc_id", "text",
+      Seq("rare", "common"), 10)
+      .select("doc_id", "n_terms", "score_q").as[(Long, Long, Long)]
+      .collect().map { case (id, n, q) => id -> ((n, q)) }.toMap
+    val (n, t) = (4L, 38L) // 4 docs, 4+4+4+26 tokens
+    val expected = Map(
+      1L -> (2L, termQ(1, 1, 4, n, t) + termQ(1, 4, 4, n, t)),
+      2L -> (1L, termQ(2, 4, 4, n, t)),
+      3L -> (1L, termQ(1, 4, 4, n, t)),
+      4L -> (1L, termQ(1, 4, 26, n, t)))
+    assert(out.keySet == expected.keySet)
+    for ((id, (nt, q)) <- expected) {
+      assert(out(id)._1 == nt, s"doc $id n_terms")
+      assert(BigInt(out(id)._2) == q, s"doc $id score_q")
+    }
+  }
+
+  test("rare term dominates; tf saturates; long docs are penalized") {
+    val byDoc = Rank.bm25TopDocs(corpus, "doc_id", "text",
+      Seq("rare", "common"), 10)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    // Rare-term doc outranks every common-only doc.
+    assert(byDoc(1L) > byDoc(2L) && byDoc(1L) > byDoc(3L))
+    // tf saturation: tf=2 scores more than tf=1 but less than 2x.
+    assert(byDoc(2L) > byDoc(3L) && byDoc(2L) < 2 * byDoc(3L))
+    // Length normalization: same tf(common)=1, dl 28 scores below dl 4.
+    assert(byDoc(4L) < byDoc(3L))
+  }
+
+  test("docs with no query term are absent; k bounds the output") {
+    val out = Rank.bm25TopDocs(corpus, "doc_id", "text", Seq("rare"), 1)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("top-k plans as TakeOrdered, not a global sort") {
+    val plan = Rank.bm25TopDocs(corpus, "doc_id", "text",
+      Seq("rare", "common"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalLimit"), plan)
+  }
+}
