@@ -707,6 +707,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term_rank"))
     },
 
+    // TextRank keyword extraction: fixed-point weighted PageRank (2
+    // rounds, d=17/20) over the token co-occurrence graph — the iterative
+    // graph-centrality operator, bit-exact under the unrolled oracle CTE.
+    "q_textrank" -> { (s, d) =>
+      graft.functions.Graph.textRank(Tables.documents(s, d), "text", 2, 25)
+        .orderBy(col("rank_q").desc, col("token").asc)
+    },
+
     // BM25 retrieval (rational idf, exact integer-quantized scoring): top
     // 20 docs for a 3-term query mixing one rare and two common terms.
     "q_bm25" -> { (s, d) =>
@@ -1628,6 +1636,39 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_textrank" -> {
+      // One damped-update round: contributions from `prev`, then
+      // base + 17/20 of the incoming mass — all HUGEINT integral ops,
+      // mirroring Graph.textRank's decimal(38,0) div chain.
+      def round(prev: String, c: String, r: String): String =
+        s"""$c AS (SELECT e.dst AS token, sum((p.rank_q * e.w) // o.out_w) AS inm
+              FROM edges e JOIN $prev p ON e.src = p.token
+              JOIN outw o ON e.src = o.src GROUP BY 1),
+            $r AS (SELECT p.token,
+              CAST(3000000000000 AS HUGEINT) // (n_nodes * 20)
+                + (17 * coalesce(c.inm, 0)) // 20 AS rank_q
+              FROM (SELECT token FROM $prev) p
+              LEFT JOIN $c c USING (token) CROSS JOIN n)"""
+      s"""WITH tk AS (SELECT ${duckToks("text")} AS tk FROM documents),
+          pr0 AS (SELECT unnest(tk[1:len(tk)-1]) AS src,
+            unnest(tk[2:len(tk)]) AS dst FROM tk WHERE len(tk) >= 2),
+          prs AS (SELECT src, dst FROM pr0 WHERE src != dst
+            UNION ALL SELECT dst AS src, src AS dst FROM pr0 WHERE src != dst),
+          edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+            FROM prs GROUP BY 1, 2),
+          outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+            FROM edges GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM outw),
+          r0 AS (SELECT src AS token,
+            CAST(1000000000000 AS HUGEINT) // n_nodes AS rank_q
+            FROM outw CROSS JOIN n),
+          ${round("r0", "c1", "r1")},
+          ${round("r1", "c2", "r2")}
+          SELECT token, CAST(rank_q AS BIGINT) AS rank_q,
+            CAST(rank_q AS DOUBLE) / 1000000000000.0 AS score
+          FROM r2 ORDER BY rank_q DESC, token ASC LIMIT 25"""
+    },
 
     "q_bm25" -> {
       val terms = bm25Query.map(t => s"'$t'").mkString(", ")

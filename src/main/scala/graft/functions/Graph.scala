@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword extraction — weighted PageRank over the token
+  * co-occurrence graph (Mihalcea & Tarau 2004; Brin & Page 1998) — and
+  * the repo's iterative GRAPH-algorithm representative alongside the
+  * label-propagation connected components in [[Cluster]].
+  *
+  * Graph: tokens are nodes; each adjacent token pair in a document adds
+  * weight 1 to the undirected edge between them (self-pairs from repeated
+  * tokens are dropped). PageRank with damping d = 17/20 runs a fixed
+  * `iters` rounds from the uniform start.
+  *
+  * All rank arithmetic is FIXED-POINT integer work at 10^12 scale:
+  * per-edge contributions `(r_u * w) div out_u` and the damped update
+  * `base + (17 * in) div 20` are integral divisions of exact integer
+  * products (decimal(38,0) intermediates), so per-node sums are order-free
+  * and both engines produce bit-identical ranks — the same no-libm /
+  * no-float-accumulation discipline as the k-means and centroid oracles.
+  * Floors lose at most 1 unit per edge per round: total mass drifts below
+  * 10^12 by parts-per-billion, identically in both engines.
+  *
+  * Bound audit for decimal(38,0): rank mass never exceeds the 10^12
+  * start, so `r_u * w * 17` tops out near 10^13 * w; edge weights would
+  * need to pass 10^24 occurrences to threaten 38 digits — beyond any
+  * corpus.
+  *
+  * Scale design (100 TB): the edge list is a partial-aggregable groupBy
+  * over the adjacent-pair stream (map-side combine collapses repeats
+  * before the exchange), sized by VOCABULARY² worst case — aggregate
+  * data, orders below corpus size. Each iteration is one equi-join of the
+  * rank table against the edge list plus one partial-aggregable sum —
+  * the same per-round shape as the connected-components pass. No
+  * driver-side state; `iters` is a fixed constant, not data-driven.
+  */
+object Graph {
+
+  private val RScale = 1000000000000L // 10^12 fixed-point rank scale
+
+  /** Co-occurrence edge list (src, dst, w) — both directions, no
+    * self-loops. */
+  def cooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(Text.tokens(col(textCol)).as("__tk"))
+    // Adjacent pairs via a 2-token sliding window; both orientations so
+    // the undirected graph is stored as a symmetric directed one.
+    val pairs = toks
+      .select(explode(when(size(col("__tk")) >= 2,
+          transform(sequence(lit(1), size(col("__tk")) - 1),
+            i => struct(element_at(col("__tk"), i).as("src"),
+              element_at(col("__tk"), i + 1).as("dst"))))
+        .otherwise(array())).as("__e"))
+      .select(col("__e.src"), col("__e.dst"))
+      .filter(col("src") =!= col("dst"))
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+  }
+
+  /** Top-`k` tokens by fixed-point PageRank after `iters` rounds.
+    * Output: (token, rank_q, score) ordered by (rank_q desc, token asc);
+    * `rank_q` is the exact 10^12-scaled integer rank, `score` its double
+    * rendering.
+    */
+  def textRank(docs: DataFrame, textCol: String, iters: Int,
+      k: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val edges = cooccurrenceEdges(docs, textCol)
+    val outW = edges.groupBy(col("src"))
+      .agg(sum(col("w")).cast("long").as("out_w"))
+    // Node count rides in as a broadcast 1-row aggregate, like every
+    // corpus total in this repo — never a driver-side literal.
+    val nNodes = broadcast(outW.agg(count(lit(1)).cast("long").as("n_nodes")))
+
+    var rank = outW.crossJoin(nNodes)
+      .select(col("src").as("token"),
+        expr(s"CAST($RScale AS $dec) div n_nodes").as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("token", "src"), Seq("src"))
+        .join(outW, Seq("src"))
+        .select(col("dst").as("token"),
+          expr(s"(CAST(rank_q AS $dec) * CAST(w AS $dec)) div out_w")
+            .as("__c"))
+        .groupBy(col("token"))
+        .agg(sum(col("__c")).cast("long").as("__in"))
+      // Symmetric edges mean every node has incoming mass, but the
+      // damped base is still applied through a left join + coalesce so
+      // an empty-side regression surfaces as a rank change, not a drop.
+      rank = rank.select(col("token")).join(contrib, Seq("token"), "left")
+        .crossJoin(nNodes)
+        .select(col("token"),
+          (expr(s"(CAST(${RScale * 3L} AS $dec)) div (n_nodes * 20)") +
+            expr(s"(CAST(17 AS $dec) * coalesce(__in, CAST(0 AS LONG))) div 20"))
+            .cast("long").as("rank_q"))
+    }
+    rank
+      .withColumn("score", col("rank_q").cast("double") / lit(RScale.toDouble))
+      .orderBy(col("rank_q").desc, col("token").asc)
+      .limit(k)
+  }
+}
