@@ -84,6 +84,32 @@ object SparkEntry {
           ii -> CAST(ascii($c[ii]) AS BIGINT))),
         (acc, x) -> (acc * 31 + x) % 1000000007)"""
 
+  /** DuckDB CTE chain for span dedup: positioned hashed n-grams over the
+    * documents table, the repeated-gram semi-join, and the gaps-and-
+    * islands numbering. Ends with `sid(doc_id, pos, span_id)`; `tk` stays
+    * visible for consumers needing doc lengths.
+    */
+  private def duckSpanCte(n: Int): String = {
+    val gram = duckPolyId(s"array_to_string(tk[i:i+${n - 1}], ' ')")
+    s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+        g AS (SELECT doc_id,
+          unnest(range(0, len(tk) - $n + 1)) AS pos,
+          unnest(list_transform(range(1, len(tk) - $n + 2),
+            i -> $gram)) AS tid
+          FROM tk WHERE len(tk) >= $n),
+        rep AS (SELECT tid FROM g GROUP BY tid HAVING count(*) > 1),
+        h AS (SELECT doc_id, pos FROM g SEMI JOIN rep USING (tid)),
+        m AS (SELECT doc_id, pos, max(pos + $n) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS pme FROM h),
+        s AS (SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(pme, -1) THEN 1 ELSE 0 END AS ns FROM m),
+        sid AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS span_id FROM s)
+        """
+  }
+
   /** DuckDB CTE chain reproducing MinHash-LSH candidate pairs over the
     * documents table (3-gram shingles, `numMinhashes` permutations, bands
     * of 2, bucket cap 1000) — the body shared by q_minhash_lsh and
@@ -705,6 +731,19 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("tfidf"), col("term_rank").cast("long").as("term_rank"))
         .orderBy(col("doc_id"), col("term_rank"))
+    },
+
+    // Substring-level dedup (Lee et al. 2022): maximal token spans
+    // covered by 8-gram windows occurring more than once corpus-wide.
+    "q_span_dedup" -> { (s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // Span-dedup filter stage: per-doc duplicated-token mass + keep ratio.
+    "q_span_stats" -> { (s, d) =>
+      Dedup.spanDedupStats(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
     },
 
     // TextRank keyword extraction: fixed-point weighted PageRank (2
@@ -1636,6 +1675,27 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_span_dedup" -> (duckSpanCte(8) +
+      s"""SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+            CAST(max(pos) + 8 AS BIGINT) AS span_end,
+            CAST(count(*) AS BIGINT) AS n_grams
+          FROM sid GROUP BY doc_id, span_id ORDER BY doc_id, span_start"""),
+
+    "q_span_stats" -> (duckSpanCte(8) +
+      s""", spans AS (SELECT doc_id, min(pos) AS span_start,
+            max(pos) + 8 AS span_end FROM sid GROUP BY doc_id, span_id),
+          agg AS (SELECT doc_id,
+            CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens,
+            CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY 1),
+          lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk)
+          SELECT doc_id, n_tokens,
+            coalesce(dup_tokens, 0) AS dup_tokens,
+            coalesce(n_spans, 0) AS n_spans,
+            CASE WHEN n_tokens = 0 THEN CAST(1 AS DOUBLE)
+                 ELSE CAST(n_tokens - coalesce(dup_tokens, 0) AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE) END AS keep_ratio
+          FROM lens LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
 
     "q_textrank" -> {
       // One damped-update round: contributions from `prev`, then

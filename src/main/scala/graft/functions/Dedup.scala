@@ -346,6 +346,81 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------------------------
+  // Repeated-span (substring-level) dedup
+  // ------------------------------------------------------------------
+
+  /** Substring-level duplication map, the span analog of whole-document
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — which removes repeated SPANS, not
+    * documents): every maximal token interval of a document covered by
+    * `n`-gram windows that occur more than once in the corpus (in the
+    * same document or any other).
+    *
+    * Three stages, all linear: (1) positioned n-gram stream from the
+    * fused HashedShinglesPos generator (tokenize → shingle → hash → emit
+    * position in one compiled scan pass); (2) repeated-gram detection as
+    * a partial-aggregable count over gram hashes, then a semi-join of
+    * positions against the repeated set (AQE sizes it — the repeated set
+    * is small for clean corpora, corpus-like for crawl dumps, and neither
+    * case is a broadcast assumption); (3) per-document interval merge of
+    * the surviving [pos, pos+n) windows — one doc-partitioned window over
+    * gram hits, the gaps-and-islands pass, never corpus-global.
+    *
+    * Output: (idCol, span_start, span_end, n_grams) — token-interval
+    * [span_start, span_end) half-open, `n_grams` = repeated windows
+    * merged into the span. Hash collisions (poly hash mod 2^31-1) can
+    * merge distinct grams identically in both engines — the same
+    * accepted-collision contract as every hashed-shingle operator here.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val pos = docs.select(col(idCol),
+      graft.plans.TextExpressions.hashedShinglesPos(col(textCol), n))
+    val repeated = pos.groupBy(col("tid"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > 1)
+      .select(col("tid"))
+    val hits = pos.join(repeated, Seq("tid"))
+    // Gaps-and-islands: a hit starts a new span when its window begins
+    // past every previous window's end.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + lit(n.toLong))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__new_span",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__span_id", sum(col("__new_span")).over(w))
+      .groupBy(col(idCol), col("__span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Per-document span-dedup summary: total tokens, tokens inside
+    * repeated spans, and the keep ratio after span removal — the
+    * filter-stage rendering of [[repeatedSpans]] (docs with no repeated
+    * span keep ratio 1). Ratio is one exact-integer double division.
+    */
+  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col(idCol),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("keep_ratio",
+        when(col("n_tokens") === 0, lit(1.0)).otherwise(
+          (col("n_tokens") - col("dup_tokens")).cast("double") /
+            col("n_tokens").cast("double")))
+  }
+
   /** Exact Jaccard verification restricted to candidate pairs: joins a
     * candidate list (id_a, id_b) back to the (id, tid) element sets, keeps
     * pairs with round(jaccard, 6) >= `minJaccard`. The ONE shared

@@ -50,6 +50,13 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"hashed_shingles expects (text, n), got ${args.length} arguments")
     }: Seq[Expression] => Expression),
+    ("hashed_shingles_pos", classOf[HashedShinglesPos], {
+      case Seq(c, n) =>
+        HashedShinglesPos(c,
+          requireIntLiteral("hashed_shingles_pos", "shingle size", n, 1))
+      case args => throw new IllegalArgumentException(
+        s"hashed_shingles_pos expects (text, n), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
     ("token_count", classOf[TokenCountExpr], {
       case Seq(c) => TokenCountExpr(c)
       case args => throw new IllegalArgumentException(

@@ -104,6 +104,46 @@ case class HashedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Generator: [[HashedShingles]] carrying each n-gram's 0-based starting
+  * TOKEN POSITION alongside its hash (`pos: bigint, tid: bigint`) — the
+  * input to span-level (substring) dedup, where a gram hit must map back
+  * to the token interval [pos, pos + n) it covers. Same tokenization,
+  * same joined-gram hash: a (text, n) pair produces exactly the tids of
+  * HashedShingles, in position order.
+  */
+case class HashedShinglesPos(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles_pos requires a string argument, got ${child.dataType.sql}")
+
+  override def elementSchema: StructType =
+    StructType(StructField("pos", LongType) ::
+      StructField("tid", LongType) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val tokens = v.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
+      if (tokens.length < n) Nil
+      else (0 to tokens.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder(tokens(i))
+        var k = i + 1
+        while (k < i + n) { sb.append(' ').append(tokens(k)); k += 1 }
+        InternalRow(i.toLong, PolyHash.eval(sb.toString))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShinglesPos =
+    copy(child = newChild)
+}
+
 /** Static kernels for single-pass whitespace token scans.
   *
   * Tokenization is bit-identical to `Text.tokens` =
@@ -382,6 +422,10 @@ object TextExpressions {
     */
   def hashedShingles(c: Column, n: Int): Column =
     GraftBridge.column(HashedShingles(GraftBridge.expression(c), n))
+
+  /** Column API: positioned hashed word n-grams (pos, tid rows). */
+  def hashedShinglesPos(c: Column, n: Int): Column =
+    GraftBridge.column(HashedShinglesPos(GraftBridge.expression(c), n))
 
   /** Column API: whitespace token count (codegen'd single pass). */
   def tokenCount(c: Column): Column =

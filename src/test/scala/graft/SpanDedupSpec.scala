@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dedup
+
+/** Substring-level (repeated-span) dedup: cross-doc and intra-doc window
+  * repeats must surface as exactly the intervals they cover, overlapping
+  * windows must merge to maximal spans, and the positioned shingle
+  * generator must agree gram-for-gram with the unpositioned one.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def spans(docs: org.apache.spark.sql.DataFrame, n: Int = 8) =
+    Dedup.repeatedSpans(docs, "doc_id", "text", n)
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("a run shared by two docs marks the interval in both") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight tail1"),
+      (2L, "zero one two three four five six seven eight tail2"),
+      (3L, "totally unrelated words that repeat nothing at all here")
+    ).toDF("doc_id", "text")
+    assert(spans(docs) == Set((1L, 0L, 8L, 1L), (2L, 1L, 9L, 1L)))
+  }
+
+  test("an intra-doc repeat yields both occurrences as separate spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h X a b c d e f g h")
+    ).toDF("doc_id", "text")
+    assert(spans(docs) == Set((1L, 0L, 8L, 1L), (1L, 9L, 17L, 1L)))
+  }
+
+  test("overlapping repeated windows merge into one maximal span") {
+    val text = "p q r s t u v w x y" // 10 tokens, 3 overlapping 8-grams
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    assert(spans(docs) == Set((1L, 0L, 10L, 3L), (2L, 0L, 10L, 3L)))
+  }
+
+  test("stats: dup mass and keep ratio, unique docs keep 1.0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h X a b c d e f g h"), // 17 tokens, 16 dup
+      (2L, "clean doc with no repeated windows anywhere at all")
+    ).toDF("doc_id", "text")
+    val st = Dedup.spanDedupStats(docs, "doc_id", "text", 8)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "keep_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(st(1L) == ((17L, 16L, 2L, 1.0 / 17.0)))
+    assert(st(2L) == ((9L, 0L, 0L, 1.0)))
+  }
+
+  test("positioned shingles agree with the unpositioned generator") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w2 w3")).toDF("doc_id", "text")
+    val plain = docs.select(col("doc_id"),
+        graft.plans.TextExpressions.hashedShingles(col("text"), 3))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val positioned = docs.select(col("doc_id"),
+        graft.plans.TextExpressions.hashedShinglesPos(col("text"), 3))
+      .select("doc_id", "pos", "tid").as[(Long, Long, Long)].collect().toSeq
+    // Positions are the 0-based gram index, dense per doc.
+    assert(positioned.filter(_._1 == 1L).map(_._2).sorted == Seq(0L, 1L, 2L, 3L))
+    assert(positioned.map(t => (t._1, t._3)).sorted == plain)
+    // SQL surface parity for the new generator.
+    graft.plans.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("span_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, pos, tid
+         FROM span_docs LATERAL VIEW hashed_shingles_pos(text, 3) AS pos, tid""")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(viaSql == positioned.sorted)
+  }
+}
