@@ -84,6 +84,34 @@ object SparkEntry {
           ii -> CAST(ascii($c[ii]) AS BIGINT))),
         (acc, x) -> (acc * 31 + x) % 1000000007)"""
 
+  /** DuckDB CTE chain for the BM25 scorer over `bm25Query` — the exact
+    * integer-quantized pipeline of Rank.bm25TopDocs. Ends with
+    * `agg(doc_id, n_terms, score_q)`; shared by q_bm25 and q_rrf_fuse.
+    */
+  private def duckBm25Cte: String = {
+    val terms = bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH lens AS (SELECT doc_id,
+          CAST(len(${duckToks("text")}) AS BIGINT) AS dl FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(dl) AS BIGINT) AS t_tokens FROM lens),
+        toks AS (SELECT doc_id, unnest(${duckToks("text")}) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks WHERE term IN ($terms) GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT doc_id,
+          (CAST(2 AS HUGEINT) * n_docs + 2) * 44 * tf * t_tokens * 1000000
+          // ((CAST(2 AS HUGEINT) * df + 1) *
+             (CAST(20 AS HUGEINT) * tf * t_tokens
+              + CAST(6 AS HUGEINT) * t_tokens
+              + CAST(18 AS HUGEINT) * dl * n_docs)) AS term_q
+          FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
+          CROSS JOIN tot),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+          CAST(sum(term_q) AS BIGINT) AS score_q FROM sc GROUP BY 1)
+        """
+  }
+
   /** DuckDB CTE chain for span dedup: positioned hashed n-grams over the
     * documents table, the repeated-gram semi-join, and the gaps-and-
     * islands numbering. Ends with `sid(doc_id, pos, span_id)`; `tk` stays
@@ -760,6 +788,29 @@ object SparkEntry {
       graft.functions.Rank.bm25TopDocs(Tables.documents(s, d), "doc_id",
           "text", bm25Query, 20)
         .orderBy(col("score_q").desc, col("doc_id").asc)
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 hit list with
+    // a document-quality prior ranking (k=60) — scales never compared,
+    // only ranks; contributions quantized to exact integers.
+    "q_rrf_fuse" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // Both rank windows run AFTER a bounded TakeOrdered: 50-row inputs,
+      // so the global row_number is a k-sized pass, not a corpus sort.
+      val lexical = graft.functions.Rank
+        .bm25TopDocs(docs, "doc_id", "text", bm25Query, 50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_q").desc, col("doc_id").asc)).cast("long"))
+        .select("doc_id", "rnk")
+      val prior = docs
+        .select(col("doc_id"),
+          Text.qualityScore(col("text"), stopwords).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id").asc).limit(50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("quality").desc, col("doc_id").asc)).cast("long"))
+        .select("doc_id", "rnk")
+      graft.functions.Rank.rrfFuse(Seq(lexical, prior), "doc_id", "rnk", 60, 20)
+        .orderBy(col("rrf_q").desc, col("doc_id").asc)
     },
 
     // Deterministic per-(lang, source) quota sample: first 5 docs of each
@@ -1730,31 +1781,36 @@ object SparkEntry {
           FROM r2 ORDER BY rank_q DESC, token ASC LIMIT 25"""
     },
 
-    "q_bm25" -> {
-      val terms = bm25Query.map(t => s"'$t'").mkString(", ")
-      s"""WITH lens AS (SELECT doc_id,
-            CAST(len(${duckToks("text")}) AS BIGINT) AS dl FROM documents),
-          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-            CAST(sum(dl) AS BIGINT) AS t_tokens FROM lens),
-          toks AS (SELECT doc_id, unnest(${duckToks("text")}) AS term
-            FROM documents),
-          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-            FROM toks WHERE term IN ($terms) GROUP BY 1, 2),
-          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-          sc AS (SELECT doc_id,
-            (CAST(2 AS HUGEINT) * n_docs + 2) * 44 * tf * t_tokens * 1000000
-            // ((CAST(2 AS HUGEINT) * df + 1) *
-               (CAST(20 AS HUGEINT) * tf * t_tokens
-                + CAST(6 AS HUGEINT) * t_tokens
-                + CAST(18 AS HUGEINT) * dl * n_docs)) AS term_q
-            FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
-            CROSS JOIN tot),
-          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-            CAST(sum(term_q) AS BIGINT) AS score_q FROM sc GROUP BY 1)
-          SELECT doc_id, n_terms, score_q,
+    "q_bm25" -> (duckBm25Cte +
+      s"""SELECT doc_id, n_terms, score_q,
             CAST(score_q AS DOUBLE) / 1000000.0 AS score
-          FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 20"""
-    },
+          FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 20"""),
+
+    "q_rrf_fuse" -> (duckBm25Cte +
+      s""", ra AS (SELECT doc_id, row_number() OVER
+            (ORDER BY score_q DESC, doc_id ASC) AS rnk
+            FROM (SELECT * FROM agg ORDER BY score_q DESC, doc_id ASC
+                  LIMIT 50)),
+          qt AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          qs AS (SELECT doc_id, least(1.0,
+              CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs(CASE WHEN len(tk) > 0
+                 THEN CAST(${duckMarkerHits(stopwords)} AS DOUBLE)
+                      / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END - 0.2)) AS quality FROM qt),
+          rb AS (SELECT doc_id, row_number() OVER
+            (ORDER BY quality DESC, doc_id ASC) AS rnk
+            FROM (SELECT * FROM qs ORDER BY quality DESC, doc_id ASC
+                  LIMIT 50)),
+          u AS (SELECT doc_id,
+              CAST(1000000000 AS BIGINT) // (60 + rnk) AS c FROM ra
+            UNION ALL SELECT doc_id,
+              CAST(1000000000 AS BIGINT) // (60 + rnk) AS c FROM rb),
+          f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+            CAST(sum(c) AS BIGINT) AS rrf_q FROM u GROUP BY 1)
+          SELECT doc_id, n_lists, rrf_q,
+            CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf
+          FROM f ORDER BY rrf_q DESC, doc_id ASC LIMIT 20"""),
 
     "q_stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang, source, $duckBucket AS bkt FROM documents),

@@ -104,4 +104,42 @@ object Rank {
       .limit(k)
       .select(col(idCol), col("n_terms"), col("score_q"), col("score"))
   }
+
+  private val RrfQuant = 1000000000L // 10^9: RRF contribution fixed point
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of ranked
+    * candidate lists — the standard hybrid-retrieval combiner (lexical +
+    * semantic, or any mix of scorers whose scales don't compare): each
+    * list contributes `1 / (kConst + rank)` for the ids it ranked, and
+    * ids missing from a list contribute nothing.
+    *
+    * Contributions are quantized to exact integers — `10^9 div (kConst +
+    * rank)` — so the per-id sum is order-free and engine-identical, the
+    * same fixed-point discipline as the BM25 and PageRank scorers here.
+    *
+    * Scale design: inputs are already top-k lists (bounded by their
+    * retrievers — TakeOrdered outputs, never corpus-sized), so the union
+    * + groupBy runs over |lists| * k rows; the fused top-k is again one
+    * bounded TakeOrdered.
+    *
+    * Input frames carry (idCol, rankCol) with rank 1-based; output is
+    * (idCol, n_lists, rrf_q, rrf) ordered by (rrf_q desc, id asc).
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Int, topK: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kConst >= 0, s"kConst must be >= 0, got $kConst")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val contribs = lists
+      .map(_.select(col(idCol),
+        expr(s"CAST($RrfQuant AS BIGINT) div " +
+          s"(CAST($kConst AS BIGINT) + $rankCol)").as("__c")))
+      .reduce(_.unionByName(_))
+    contribs.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        sum(col("__c")).cast("long").as("rrf_q"))
+      .withColumn("rrf", col("rrf_q").cast("double") / lit(RrfQuant.toDouble))
+      .orderBy(col("rrf_q").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

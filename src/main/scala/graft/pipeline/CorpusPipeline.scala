@@ -122,6 +122,24 @@ object CorpusPipeline {
     docs.join(toDrop, Seq(cfg.idCol), "left_anti")
   }
 
+  /** Substring-dedup gate: drop documents whose repeated-SPAN mass (token
+    * intervals covered by n-gram windows occurring more than once
+    * corpus-wide — Dedup.spanDedupStats) leaves less than `minKeepRatio`
+    * of their tokens. The span layer catches partial copies — boilerplate
+    * runs, quoted blocks, template text — that document-level and
+    * embedding-level dedup both miss because the HOSTS differ. Dropping
+    * the worst offenders (rather than excising spans) keeps the stage a
+    * filter, like every other gate here; span excision is a downstream
+    * rewrite consumers can build from Dedup.repeatedSpans directly.
+    */
+  def spanGate(docs: DataFrame, minKeepRatio: Double = 0.5,
+      spanGram: Int = 8, cfg: Config = Config()): DataFrame = {
+    val tooDup = Dedup.spanDedupStats(docs, cfg.idCol, cfg.textCol, spanGram)
+      .filter(col("keep_ratio") < minKeepRatio)
+      .select(col(cfg.idCol))
+    docs.join(tooDup, Seq(cfg.idCol), "left_anti")
+  }
+
   /** Held-out split assignment over the CURATED corpus (split after
     * dedup, never before: a near-dup pair straddling train/test is
     * leakage the split exists to prevent). Deterministic by id hash —

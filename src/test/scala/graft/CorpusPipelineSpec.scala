@@ -105,6 +105,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out2.filter($"doc_id" === 7777L).count() === 1)
   }
 
+  test("spanGate drops span-saturated docs, keeps partially-duplicated ones") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"tpl$i").mkString(" ") // 12-token template
+    val docs = Seq(
+      (1L, shared),                                    // pure template: keep 0
+      (2L, shared + " plus a few original words here"), // 12/19 dup: keep ~0.37
+      (3L, shared + " " + (1 to 20).map(i => s"own$i").mkString(" ")),
+      (4L, "fully original text with no repeated windows at all")
+    ).toDF("doc_id", "text")                           // doc 3: 12/32 dup
+    val kept = CorpusPipeline.spanGate(docs, minKeepRatio = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("exact dedup survives a real polynomial-hash collision") {
     import spark.implicits._
     // these two distinct texts share polyHash mod 1e9+7 (= 633477840,

@@ -67,6 +67,29 @@ class RankSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("rrfFuse matches hand-computed quantized reciprocal ranks") {
+    val listA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")
+    val listB = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rnk")
+    val out = graft.functions.Rank
+      .rrfFuse(Seq(listA, listB), "doc_id", "rnk", 60, 10)
+      .select("doc_id", "n_lists", "rrf_q").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def c(rank: Long) = 1000000000L / (60L + rank)
+    assert(out(10L) == ((1L, c(1))))
+    assert(out(20L) == ((2L, c(2) + c(1)))) // in both lists
+    assert(out(30L) == ((1L, c(3))))
+    assert(out(40L) == ((1L, c(2))))
+    // Consensus beats any single-list rank-1.
+    assert(out(20L)._2 > out(10L)._2)
+  }
+
+  test("rrfFuse bounds output at topK in fused-rank order") {
+    val listA = (1L to 30L).map(i => (i, i)).toDF("doc_id", "rnk")
+    val top = graft.functions.Rank.rrfFuse(Seq(listA), "doc_id", "rnk", 60, 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("top-k plans as TakeOrdered, not a global sort") {
     val plan = Rank.bm25TopDocs(corpus, "doc_id", "text",
       Seq("rare", "common"), 5).queryExecution.executedPlan.toString
