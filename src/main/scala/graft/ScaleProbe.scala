@@ -202,6 +202,45 @@ object ScaleProbe {
       }
     }
 
+    // Span-dedup probe: replicas share their full base text as repeated
+    // 8-gram runs, so the repeated-gram set and the span output grow with
+    // the planted duplication while every stage stays linear (positioned
+    // gram scan → partial-aggregable count → semi-join → doc-local
+    // interval merge). Wall should track corpus + span volume.
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val spans = Dedup.repeatedSpans(docs, "doc_id", "text", 8).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"span_dedup","mult":$mult,"docs":${nBase * mult},"spans":$spans,"sec":$sec%.2f}""")
+    }
+
+    // TextRank probe: the co-occurrence edge list is a vocabulary-sized
+    // aggregate of a linear pair stream, and each PageRank round joins
+    // rank-table-sized frames — so wall should grow with the corpus scan
+    // and stay otherwise flat (the graph itself barely grows: replica
+    // marker tokens add mult nodes to a fixed vocabulary).
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val kws = graft.functions.Graph.textRank(docs, "text", 2, 25).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"textrank","mult":$mult,"docs":${nBase * mult},"keywords":$kws,"sec":$sec%.2f}""")
+    }
+
+    // BM25 probe: query-term tf is a scan-cut explode (the stream is
+    // |query|-bounded per doc BEFORE its exchange), doc lengths are a
+    // compiled scan, and the answer is one TakeOrdered — retrieval wall
+    // should be a clean linear function of corpus size.
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      graft.functions.Rank.bm25TopDocs(docs, "doc_id", "text",
+        SparkEntry.bm25Query, 20).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"bm25","mult":$mult,"docs":${nBase * mult},"sec":$sec%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot

@@ -80,10 +80,21 @@ object Rank {
     val dfreq = broadcast(tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df")))
 
-    val scored = tf
-      .join(dfreq, Seq("term"))
-      .join(lens, Seq(idCol))
-      .crossJoin(totals)
+    bm25Aggregate(
+      tf.join(dfreq, Seq("term")).join(lens, Seq(idCol)).crossJoin(totals),
+      idCol, k)
+  }
+
+  /** The ONE BM25 scoring + top-k pass, shared by the scan path above and
+    * the postings-index path in [[TextIndex]] — duplicating the
+    * cleared-denominator arithmetic is how index and scan scores would
+    * silently drift. `perTerm` carries one row per (doc, matched term):
+    * (idCol, tf, df, dl, n_docs, t_tokens).
+    */
+  private[functions] def bm25Aggregate(perTerm: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scored = perTerm
       .withColumn("__num",
         (lit(2) * col("n_docs") + lit(2)).cast(dec) * lit(44).cast(dec) *
           col("tf").cast(dec) * col("t_tokens").cast(dec) *

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Rank, TextIndex}
+
+/** Postings index: indexed BM25 must be bit-identical to the scan-path
+  * scorer over the same corpus, and a query must read only its terms'
+  * bucket partitions (pruning at listing time — the index property).
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val query = SparkEntry.bm25Query
+
+  test("indexed BM25 matches the scan-path scorer bit-for-bit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = TestSpark.tmpDir("postings")
+    TextIndex.writePostingsIndex(docs, path, nBuckets = 8)
+    val indexed = TextIndex.bm25Indexed(spark, path, query, 20)
+      .select("doc_id", "n_terms", "score_q", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val scanned = Rank.bm25TopDocs(docs, "doc_id", "text", query, 20)
+      .select("doc_id", "n_terms", "score_q", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(indexed.nonEmpty)
+    assert(indexed.toSeq == scanned.toSeq)
+  }
+
+  test("a query reads only its terms' bucket partitions") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = TestSpark.tmpDir("postings2")
+    val nBuckets = 8
+    TextIndex.writePostingsIndex(docs, path, nBuckets)
+    // All buckets materialized? (31-word vocab over 8 buckets: expect
+    // most; the assertion only needs MORE than the query's share.)
+    val allParts = spark.read.parquet(s"$path/postings")
+      .select("bucket").distinct().count()
+    assert(allParts > query.size)
+    val expected = query.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+      .distinct().as[Long].collect().toSet
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(expected.toSeq: _*))
+      .filter(col("term").isin(query: _*))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("bucket"),
+      scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount == expected.size,
+      s"expected ${expected.size} of $allParts partitions, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("df through the index equals corpus-wide document frequency") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha alpha"),
+      (4L, "delta")).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("postings3")
+    TextIndex.writePostingsIndex(docs, path, nBuckets = 4)
+    val hits = TextIndex.bm25Indexed(spark, path, Seq("alpha"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L, 3L))
+    // Same ranking the scan path gives: doc 3 (tf=2, same dl) first.
+    val first = TextIndex.bm25Indexed(spark, path, Seq("alpha"), 1)
+      .select("doc_id").as[Long].head()
+    assert(first == 3L)
+  }
+}
