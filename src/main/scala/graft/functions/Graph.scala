@@ -68,7 +68,12 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(k >= 1, s"k must be >= 1, got $k")
     val dec = "decimal(38,0)"
-    val edges = cooccurrenceEdges(docs, textCol)
+    // The edge list feeds every iteration (plus the out-weight table):
+    // materialize the vocabulary-sized aggregate ONCE instead of
+    // re-running the corpus scan per round — the same lineage-truncation
+    // call the connected-components loop uses, and a bounded artifact
+    // (vocab² worst case), never corpus-sized.
+    val edges = cooccurrenceEdges(docs, textCol).localCheckpoint(true)
     val outW = edges.groupBy(col("src"))
       .agg(sum(col("w")).cast("long").as("out_w"))
     // Node count rides in as a broadcast 1-row aggregate, like every

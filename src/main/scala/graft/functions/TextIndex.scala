@@ -40,13 +40,64 @@ object TextIndex {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     tf.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings")
+    // Lens shares the bucketed layout (keyed by doc hash) so streaming
+    // ingest can append through the same partitioned anti-join guard.
     val lens = docs.select(col(idCol),
       Text.tokenCount(col(textCol)).cast("long").as("dl"))
-    lens.write.mode("overwrite").parquet(s"$path/lens")
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+    lens.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/lens")
     lens.agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).cast("long").as("t_tokens"))
       .withColumn("n_buckets", lit(nBuckets.toLong))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Streaming ingest into a written postings index: each microbatch of
+    * new documents is tokenized, term-frequency-aggregated, bucketed with
+    * the exact write-side expression, and appended to its buckets'
+    * partitions; per-doc lengths append beside them. Exactly-once per
+    * input file via the checkpoint, and per-doc replay-safe via the same
+    * anti-join guard the IVF ingest uses (a replayed microbatch must not
+    * double-append a document's postings).
+    *
+    * The `meta/` corpus statistics are deliberately NOT updated by
+    * ingest — the mirror of IVF ingest's frozen centroids: every query
+    * scores against the build-time (N, T), so serving stays deterministic
+    * under replay and probes never mix statistics regimes. New documents
+    * are RETRIEVABLE immediately; rebuild (or re-aggregate meta offline)
+    * when the drift between indexed mass and frozen totals warrants.
+    */
+  def streamAppend(spark: SparkSession, path: String, streamDir: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val incoming = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col(idCol), col(textCol))
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val nBuckets = s.read.parquet(s"$path/meta")
+          .select(col("n_buckets")).as[Long].head()
+        val tf = batch
+          .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+          .groupBy(col(idCol), col("term"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+        graft.merge.Merge.antiJoinAppend(s, tf, s"$path/postings",
+          Seq(idCol), "bucket")
+        val lens = batch.select(col(idCol),
+          Text.tokenCount(col(textCol)).cast("long").as("dl"))
+          .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
+        graft.merge.Merge.antiJoinAppend(s, lens, s"$path/lens",
+          Seq(idCol), "bucket"): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .queryName("Postings_Stream_Append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 
   /** Top-`k` BM25 retrieval against a written index — scoring is
@@ -77,7 +128,7 @@ object TextIndex {
       .select(col(idCol), col("term"), col("tf"))
     val dfreq = broadcast(tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df")))
-    val lens = spark.read.parquet(s"$path/lens")
+    val lens = spark.read.parquet(s"$path/lens").select(col(idCol), col("dl"))
     Rank.bm25Aggregate(
       tf.join(dfreq, Seq("term")).join(lens, Seq(idCol))
         .crossJoin(broadcast(meta.select(col("n_docs"), col("t_tokens")))),

@@ -56,6 +56,49 @@ class TextIndexSpec extends AnyFunSuite {
         s"got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("streaming append: new docs retrievable, exactly once, replay-safe") {
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = all.filter(col("doc_id") >= 10)
+    val path = TestSpark.tmpDir("postidx")
+    TextIndex.writePostingsIndex(base, path, nBuckets = 8)
+    val basePostings = spark.read.parquet(s"$path/postings").count()
+    val frozenMeta = spark.read.parquet(s"$path/meta")
+      .select("n_docs", "t_tokens").as[(Long, Long)].head()
+
+    val streamDir = TestSpark.tmpDir("postnew")
+    all.filter(col("doc_id") < 10).select("doc_id", "text")
+      .write.mode("overwrite").parquet(streamDir)
+    val ckpt = TestSpark.tmpDir("postckpt")
+    TextIndex.streamAppend(spark, path, streamDir, ckpt).awaitTermination()
+
+    // Appended postings are exactly the new docs' tf rows.
+    val after = spark.read.parquet(s"$path/postings")
+    val newTf = all.filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).count()
+    assert(after.count() == basePostings + newTf)
+    // New docs surface in retrieval (doc < 10 retrievable via a term it
+    // contains), and meta stays frozen at build-time totals.
+    val term0 = all.filter(col("doc_id") === 0)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .as[String].head()
+    val hits = TextIndex.bm25Indexed(spark, path, Seq(term0), 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.contains(0L))
+    assert(spark.read.parquet(s"$path/meta")
+      .select("n_docs", "t_tokens").as[(Long, Long)].head() == frozenMeta)
+
+    // Same checkpoint: no-op. Fresh checkpoint: anti-join guard holds.
+    TextIndex.streamAppend(spark, path, streamDir, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$path/postings").count() == basePostings + newTf)
+    val ckpt2 = TestSpark.tmpDir("postckpt2")
+    TextIndex.streamAppend(spark, path, streamDir, ckpt2).awaitTermination()
+    assert(spark.read.parquet(s"$path/postings").count() == basePostings + newTf)
+    assert(spark.read.parquet(s"$path/lens").count() ==
+      spark.read.parquet(s"$path/lens").select("doc_id").distinct().count())
+  }
+
   test("df through the index equals corpus-wide document frequency") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha alpha"),
