@@ -761,6 +761,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term_rank"))
     },
 
+    // Robust per-source outlier gate: median/MAD on token counts with
+    // sort-based exact medians (no per-group value buffering), |x-med| >
+    // 3*MAD flags.
+    "q_outlier_docs" -> { (s, d) =>
+      graft.functions.Robust.outlierStats(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "source", "n_tokens", 3.0)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("med"), col("mad"), col("is_outlier"))
+        .orderBy(col("doc_id"))
+    },
+
     // Substring-level dedup (Lee et al. 2022): maximal token spans
     // covered by 8-gram windows occurring more than once corpus-wide.
     "q_span_dedup" -> { (s, d) =>
@@ -1726,6 +1739,19 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_outlier_docs" ->
+      s"""WITH t AS (SELECT doc_id, source,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          m AS (SELECT source, median(n_tokens) AS med FROM t GROUP BY 1),
+          d AS (SELECT t.*, med,
+            abs(CAST(n_tokens AS DOUBLE) - med) AS adev
+            FROM t JOIN m USING (source)),
+          md AS (SELECT source, median(adev) AS mad FROM d GROUP BY 1)
+          SELECT doc_id, source, n_tokens, med, mad,
+            adev > 3.0 * mad AS is_outlier
+          FROM d JOIN md USING (source) ORDER BY doc_id""",
 
     "q_span_dedup" -> (duckSpanCte(8) +
       s"""SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier statistics — median / MAD (median absolute
+  * deviation) gating, the standard heavy-tail-safe alternative to
+  * mean/stddev z-scores for corpus signals (token counts, quality scores,
+  * line lengths) whose distributions are exactly the kind that break
+  * Gaussian assumptions.
+  *
+  * Medians are EXACT but never buffered: Spark's `median`/`percentile`
+  * aggregate collects every group value into an executor-side buffer —
+  * a scale-killer for corpus-sized groups — so this module computes the
+  * median as a doc-partitioned SORT: row_number + group count, keep the
+  * one or two middle rows, average them. One shuffle per pass, spillable
+  * sort, no value buffering; interpolation (mean of the two middles at
+  * even counts) matches the engines' native medians bit-for-bit, which
+  * keeps the whole operator under the hash oracle.
+  */
+object Robust {
+
+  /** Exact per-group median of `valueCol` via the sort/middle-rows pass.
+    * Output: (groupCol, med). */
+  def groupMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      // 2rn ∈ {n, n+1, n+2} selects exactly the middle row (odd n: only
+      // n+1 is even-divisible) or the middle two (even n: n and n+2).
+      .filter(col("__rn") * 2 === col("__n") ||
+        col("__rn") * 2 === col("__n") + 1 ||
+        col("__rn") * 2 === col("__n") + 2)
+      .groupBy(col(groupCol))
+      .agg(avg(col(valueCol).cast("double")).as("med"))
+  }
+
+  /** Per-row robust outlier flags for `valueCol` within `groupCol`
+    * groups: a row is an outlier when |x − median| > k · MAD. With
+    * MAD = 0 (more than half the group shares the median) any deviation
+    * flags — the strictest consistent reading, and the deterministic one.
+    * Output: input columns + (med, mad, is_outlier), one row per input.
+    *
+    * Scale shape: two sort-based median passes (value, then absolute
+    * deviation) and two broadcast-or-shuffle joins keyed by the group —
+    * every stage spillable, nothing buffered per group.
+    */
+  def outlierStats(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val med = groupMedian(df, groupCol, valueCol)
+    val withMed = df.join(med, Seq(groupCol))
+      .withColumn("__adev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = groupMedian(withMed.select(col(groupCol), col("__adev")),
+        groupCol, "__adev")
+      .withColumnRenamed("med", "mad")
+    withMed.join(mad, Seq(groupCol))
+      .withColumn("is_outlier", col("__adev") > lit(k) * col("mad"))
+      .drop("__adev")
+  }
+}

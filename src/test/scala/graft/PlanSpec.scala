@@ -128,4 +128,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("span dedup: fused positioned generator, pruned scan, equi-joins only") {
+    val p = plan("q_span_dedup")
+    assert(p.contains("hashedshinglespos"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // repeated-gram detection combines map-side before its exchange
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bm25: pruned scans, broadcast corpus totals, bounded TakeOrdered") {
+    val p = plan("q_bm25")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("textrank: text-only edge scan, no cartesian in the iteration joins") {
+    // The final plan starts from the checkpointed edge list; the corpus
+    // scan lives in the edge-building plan — assert its pruning there.
+    val edges = graft.functions.Graph.cooccurrenceEdges(
+      Tables.documents(spark, d), "text")
+    val ep = edges.queryExecution.executedPlan.toString
+    assert(ep.contains("ReadSchema: struct<text:string>"), ep)
+    assert(ep.contains("partial_count"), ep)
+    val p = plan("q_textrank")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("outlier gate: median passes prune doc_id, windows instead of percentile") {
+    val p = plan("q_outlier_docs")
+    // per-row pass reads all three columns; both median passes drop the id
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"), p)
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Robust
+
+/** Median/MAD outlier gating: the sort-based median must match the native
+  * median aggregate (including even-count interpolation) without ever
+  * planning a value-buffering percentile, and the MAD flag must behave at
+  * its edge cases.
+  */
+class RobustSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("groupMedian interpolates even counts, picks middles for odd") {
+    val df = Seq(
+      ("odd", 1L), ("odd", 7L), ("odd", 3L),            // med 3
+      ("even", 1L), ("even", 2L), ("even", 10L), ("even", 4L) // med 3.0
+    ).toDF("g", "v")
+    val med = Robust.groupMedian(df, "g", "v")
+      .as[(String, Double)].collect().toMap
+    assert(med == Map("odd" -> 3.0, "even" -> 3.0))
+  }
+
+  test("sort-based median equals the native median aggregate") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 997).map(_ => (s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      .toDF("g", "v")
+    val ours = Robust.groupMedian(df, "g", "v").as[(String, Double)]
+      .collect().toMap
+    val native = df.groupBy("g").agg(median(col("v")).as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(ours == native)
+  }
+
+  test("no value-buffering percentile aggregate in the plan") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    val plan = Robust.groupMedian(df, "g", "v")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("percentile") && !plan.contains("median"), plan)
+    assert(plan.contains("window"), plan)
+  }
+
+  test("outlierStats flags planted outliers; MAD=0 flags any deviation") {
+    val df = Seq(
+      // spread group: values 10..14 + one wild point
+      ("s", 10L), ("s", 11L), ("s", 12L), ("s", 13L), ("s", 14L), ("s", 99L),
+      // constant group with one deviant: MAD 0 — deviation must flag
+      ("c", 5L), ("c", 5L), ("c", 5L), ("c", 6L)
+    ).toDF("g", "v")
+    val out = Robust.outlierStats(df, "g", "v", 3.0)
+      .select("g", "v", "is_outlier").as[(String, Long, Boolean)]
+      .collect().toSet
+    assert(out.contains(("s", 99L, true)))
+    assert(out.filter(_._1 == "s").count(_._3) == 1)
+    assert(out.contains(("c", 6L, true)))
+    assert(out.filter(_._1 == "c").count(_._3) == 1)
+  }
+}
