@@ -761,6 +761,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term_rank"))
     },
 
+    // CDC snapshot diff: fingerprint-compared corpus versions — emits
+    // only the added/removed/changed keys (change-sized, never corpus-
+    // sized). Snapshot B derives deterministically from the table.
+    "q_snapshot_diff" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val old = docs.select(col("doc_id"),
+        Text.charFingerprint(col("text")).as("fp"))
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), Text.charFingerprint(
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            Text.charFingerprint(concat(lit("new "), col("text"))).as("fp")))
+      Merge.diffSnapshots(old, neu, "doc_id", Seq("fp"))
+        .orderBy(col("doc_id"), col("change"))
+    },
+
     // Robust per-source outlier gate: median/MAD on token counts with
     // sort-based exact medians (no per-group value buffering), |x-med| >
     // 3*MAD flags.
@@ -1739,6 +1757,22 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, ${duckPolyId("text")} AS fp FROM documents),
+          nsrc AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t
+            FROM documents WHERE doc_id % 13 != 0
+            UNION ALL SELECT doc_id + 100000 AS doc_id, 'new ' || text AS t
+            FROM documents WHERE doc_id < 20),
+          n AS (SELECT doc_id, ${duckPolyId("t")} AS fp FROM nsrc),
+          j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 WHEN o.fp != n.fp THEN 'changed' END AS change
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          SELECT doc_id, change FROM j WHERE change IS NOT NULL
+          ORDER BY doc_id, change""",
 
     "q_outlier_docs" ->
       s"""WITH t AS (SELECT doc_id, source,

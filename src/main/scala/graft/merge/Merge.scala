@@ -21,6 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** CDC-style snapshot diff — the inverse of MERGE: given two versions
+    * of a keyed table, emit what a MERGE would have to apply to turn
+    * `old` into `neu`: one row per key whose state changed, tagged
+    * `added` (key only in `neu`), `removed` (only in `old`), or
+    * `changed` (present in both, any of `cmpCols` differs — null-safe).
+    * Unchanged keys emit NOTHING: the diff is change-sized, not
+    * corpus-sized, which is what makes auditing a 100 TB refresh
+    * feasible. One full-outer equi-join on the key (AQE sizes it); at
+    * scale `cmpCols` should be fingerprints, not document bodies — the
+    * join then moves fixed-width columns only.
+    */
+  def diffSnapshots(old: DataFrame, neu: DataFrame, idCol: String,
+      cmpCols: Seq[String]): DataFrame = {
+    require(cmpCols.nonEmpty, "diffSnapshots needs at least one compare column")
+    val o = old.select(col(idCol) +: cmpCols.map(c => col(c).as(s"__o_$c")) :+
+      lit(1).as("__in_o"): _*)
+    val n = neu.select(col(idCol) +: cmpCols.map(c => col(c).as(s"__n_$c")) :+
+      lit(1).as("__in_n"): _*)
+    val differs = cmpCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("__in_o").isNull, lit("added"))
+          .when(col("__in_n").isNull, lit("removed"))
+          .when(differs, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(idCol), col("change"))
+  }
+
   /** J1 — for each target row with a matching source row on `keyCols`, set
     * each column in `setCols` to the source's value; other rows pass
     * through unchanged. Equivalent to

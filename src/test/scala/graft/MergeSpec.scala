@@ -77,6 +77,23 @@ class MergeSpec extends AnyFunSuite {
       (3L, "loaded", 30.0), (5L, "new", 50.0)))
   }
 
+  test("diffSnapshots: change-typed keys only, null-safe compares") {
+    val old = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None), (5L, None)).toDF("id", "v")
+    val neu = Seq(
+      (1L, Some("a")),   // unchanged → absent from the diff
+      (2L, Some("B")),   // changed
+      // 3 removed
+      (4L, None),        // null == null → unchanged
+      (5L, Some("x")),   // null → value: changed
+      (6L, Some("n"))).toDF("id", "v") // added
+    val diff = Merge.diffSnapshots(old, neu, "id", Seq("v"))
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((2L, "changed"), (3L, "removed"),
+      (5L, "changed"), (6L, "added")))
+  }
+
   test("antiJoinAppend: replay-safe for keyed AND null-keyed rows") {
     val dir = TestSpark.tmpDir("anti_append")
     val path = s"$dir/t"
