@@ -761,6 +761,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term_rank"))
     },
 
+    // Lexical diversity: scan-stage Gini impurity over token counts —
+    // the log-free alternative to token entropy.
+    "q_token_gini" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.tokenGini(col("text")).as("gini"))
+        .orderBy(col("doc_id"))
+    },
+
     // CDC snapshot diff: fingerprint-compared corpus versions — emits
     // only the added/removed/changed keys (change-sized, never corpus-
     // sized). Snapshot B derives deterministically from the table.
@@ -1757,6 +1767,19 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_token_gini" ->
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+          s AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS ss,
+            CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY 1)
+          SELECT t.doc_id, coalesce(n, 0) AS n_tokens,
+            CASE WHEN n IS NULL OR n = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(1 AS DOUBLE)
+                      - CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE) END
+              AS gini
+          FROM t LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
 
     "q_snapshot_diff" ->
       s"""WITH o AS (SELECT doc_id, ${duckPolyId("text")} AS fp FROM documents),

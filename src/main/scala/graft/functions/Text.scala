@@ -27,6 +27,12 @@ object Text {
     */
   def tokenCount(c: Column): Column = graft.plans.TextExpressions.tokenCount(c)
 
+  /** Gini-impurity lexical diversity over the whitespace tokens: 1 −
+    * Σc²/n², the log-free diversity signal (entropy needs libm). Backed
+    * by the codegen'd TokenGiniExpr — one compiled pass, scan-stage.
+    */
+  def tokenGini(c: Column): Column = graft.plans.TextExpressions.tokenGini(c)
+
   /** BPE-ish regex tokenizer: runs of letters, runs of digits, or single
     * other non-space characters — the common pre-tokenization shape.
     * Whitespace is the EXPLICIT class (Java \s includes vertical tab,

@@ -67,6 +67,11 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"token_chars expects 1 argument, got ${args.length}")
     }: Seq[Expression] => Expression),
+    ("token_gini", classOf[TokenGiniExpr], {
+      case Seq(c) => TokenGiniExpr(c)
+      case args => throw new IllegalArgumentException(
+        s"token_gini expects 1 argument, got ${args.length}")
+    }: Seq[Expression] => Expression),
     ("repetition_ratio", classOf[RepetitionRatioExpr], {
       case Seq(c, n) =>
         RepetitionRatioExpr(c,

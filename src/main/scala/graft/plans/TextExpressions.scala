@@ -191,6 +191,41 @@ object TokenScan {
     * exactly `array_distinct` over `wordNgrams` (no hashing, no collision
     * skew), in one pass with one token array and one hash set.
     */
+  /** Gini-impurity lexical diversity: 1 − Σc²/n² over the doc's token
+    * counts — 0 for empty or single-token-type docs, →1 as the
+    * vocabulary use evens out. The log-free diversity signal (entropy
+    * needs libm; Gini is exact integers + ONE correctly-rounded double
+    * division, so it sits under the hash oracle). Both Σc² and n² stay
+    * below 2^53 for any document under ~67M tokens — exact as doubles.
+    */
+  def tokenGini(s: String): Double = {
+    val counts = new java.util.HashMap[String, Long]()
+    var n = 0L
+    var i = 0
+    var start = -1
+    val len = s.length
+    while (i < len) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) {
+        val t = s.substring(start, i)
+        counts.put(t, counts.getOrDefault(t, 0L) + 1L)
+        n += 1; start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) {
+      val t = s.substring(start)
+      counts.put(t, counts.getOrDefault(t, 0L) + 1L)
+      n += 1
+    }
+    if (n == 0L) return 0.0
+    var sumSq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); sumSq += c * c }
+    1.0 - sumSq.toDouble / (n.toDouble * n.toDouble)
+  }
+
   def repetitionRatio(s: String, n: Int): Double = {
     val tokens = new java.util.ArrayList[String]()
     var i = 0
@@ -384,6 +419,27 @@ case class RepetitionRatioExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Scalar: Gini-impurity lexical diversity (see TokenScan.tokenGini). */
+case class TokenGiniExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_gini requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.tokenGini(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenScan.tokenGini($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenGiniExpr =
+    copy(child = newChild)
+}
+
 /** Scalar: scan-stage SimHash fingerprint (see TokenScan.simhashFp).
   * The distributed Dedup.simhash form shuffles |tokens|×bits lane rows
   * through two aggregations; this computes the identical fingerprint
@@ -442,6 +498,10 @@ object TextExpressions {
   /** Column API: word-n-gram repetition ratio (codegen'd single pass). */
   def repetitionRatio(c: Column, n: Int): Column =
     GraftBridge.column(RepetitionRatioExpr(GraftBridge.expression(c), n))
+
+  /** Column API: Gini-impurity lexical diversity (codegen'd single pass). */
+  def tokenGini(c: Column): Column =
+    GraftBridge.column(TokenGiniExpr(GraftBridge.expression(c)))
 
   /** Column API: scan-stage SimHash fingerprint (codegen'd single pass). */
   def simhashFp(c: Column, bits: Int, a: Long, b: Long, m: Long): Column =

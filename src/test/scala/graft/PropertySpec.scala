@@ -127,6 +127,18 @@ class PropertySpec extends AnyFunSuite {
         assert(r.getInt(4) == r.getInt(5), s"markerHits: $r")
         assert(r.getDouble(6) == r.getDouble(7), s"repetitionRatio: $r")
       }
+      // tokenGini vs a Scala-side reference over the same tokenization
+      val ginis = df.select(col("text"),
+        graft.plans.TextExpressions.tokenGini(col("text")).as("g")).collect()
+      for (r <- ginis) {
+        val toks = r.getString(0).split("\\s+").filter(_.nonEmpty)
+        val expected = if (toks.isEmpty) 0.0 else {
+          val ss = toks.groupBy(identity).values
+            .map(g => g.size.toLong * g.size).sum
+          1.0 - ss.toDouble / (toks.length.toDouble * toks.length.toDouble)
+        }
+        assert(r.getDouble(1) == expected, s"tokenGini: $r")
+      }
     }
   }
 
@@ -180,6 +192,67 @@ class PropertySpec extends AnyFunSuite {
         .intervalJoin(pts, ivs, "px", "lo", "hi", 1.0)
         .select("pid", "ivid").collect().map(x => (x.getLong(0), x.getLong(1)))
       assert(bucketed.sorted.toSeq === naive.sorted.toSeq)
+    }
+  }
+
+  /** Random tiny corpora for the fixed-point scorers: 3-8 docs over a
+    * 6-word vocabulary (dense enough to collide terms across docs).
+    */
+  val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(3, 8)
+    docs <- Gen.listOfN(n,
+      Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("ape", "bee", "cat", "dog", "elk", "fox"))
+          .map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: BM25 equals an independent BigInt model on fuzzed corpora") {
+    import spark.implicits._
+    forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val query = Seq("ape", "cat", "fox")
+      val got = graft.functions.Rank
+        .bm25TopDocs(docs, "doc_id", "text", query, 100)
+        .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+      // Independent model: same formula, BigInt end to end.
+      val toks = rows.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val nDocs = rows.size.toLong
+      val tTok = toks.values.map(_.size.toLong).sum
+      val expected = rows.flatMap { case (id, _) =>
+        val dl = toks(id).size.toLong
+        val perTerm = query.flatMap { term =>
+          val tf = toks(id).count(_ == term).toLong
+          if (tf == 0) None
+          else {
+            val df = toks.values.count(_.contains(term)).toLong
+            val num = BigInt(2 * nDocs + 2) * 44 * tf * tTok * 1000000L
+            val den = BigInt(2 * df + 1) *
+              (BigInt(20) * tf * tTok + BigInt(6) * tTok +
+                BigInt(18) * dl * nDocs)
+            Some(num / den)
+          }
+        }
+        if (perTerm.isEmpty) None else Some(id -> perTerm.sum.toLong)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("property: PageRank conserves mass and keeps ranks positive on fuzzed corpora") {
+    import spark.implicits._
+    forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val ranks = graft.functions.Graph.textRank(docs, "text", 2, 1000)
+        .select("rank_q").as[Long].collect()
+      if (ranks.nonEmpty) {
+        assert(ranks.forall(_ > 0))
+        val total = ranks.sum
+        // Floors drift mass strictly down, never up, and only slightly.
+        assert(total <= 1000000000000L)
+        assert(total > 1000000000000L - 2000L * (ranks.length + 1) *
+          (ranks.length + 1))
+      }
     }
   }
 }
