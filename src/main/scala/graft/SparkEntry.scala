@@ -761,6 +761,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term_rank"))
     },
 
+    // BPE merge learning: 3 greedy rounds of most-frequent-adjacent-pair
+    // fusion over the word-count table (the tokenizer-training primitive,
+    // vocabulary-sized per round, bit-exact under the unrolled oracle).
+    "q_bpe_merges" -> { (s, d) =>
+      graft.functions.Bpe.learnMerges(Tables.documents(s, d), "text", 3)
+        .orderBy(col("round"))
+    },
+
     // Lexical diversity: scan-stage Gini impurity over token counts —
     // the log-free alternative to token entropy.
     "q_token_gini" -> { (s, d) =>
@@ -1767,6 +1775,41 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_bpe_merges" -> {
+      // One BPE round: weighted adjacent-pair counts over `prev`'s
+      // symbol lists, deterministic top-1, double-space-safe rewrite.
+      def round(prev: String, p: String, t: String, next: String): String =
+        s"""$p AS (SELECT sym_a, sym_b, CAST(sum(wc) AS BIGINT) AS pair_count
+              FROM (SELECT wc, unnest(s[1:len(s)-1]) AS sym_a,
+                      unnest(s[2:len(s)]) AS sym_b
+                    FROM (SELECT wc, list_filter(string_split(rep, '  '),
+                            x -> x != '') AS s FROM $prev)
+                    WHERE len(s) >= 2)
+              GROUP BY 1, 2),
+            $t AS (SELECT * FROM $p
+              ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1),
+            $next AS (SELECT word, wc,
+              replace(rep, ' ' || sym_a || '  ' || sym_b || ' ',
+                           ' ' || sym_a || sym_b || ' ') AS rep
+              FROM $prev CROSS JOIN $t)"""
+      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
+            GROUP BY 1),
+          r0 AS (SELECT word, wc, '  ' ||
+            array_to_string(list_filter(string_split(word, ''),
+              c -> c != ''), '  ') || '  ' AS rep FROM w),
+          ${round("r0", "p1", "t1", "r1")},
+          ${round("r1", "p2", "t2", "r2")},
+          ${round("r2", "p3", "t3", "r3")}
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, sym_a, sym_b, pair_count FROM t1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS round, sym_a, sym_b, pair_count FROM t2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT) AS round, sym_a, sym_b, pair_count FROM t3)
+          ORDER BY round"""
+    },
 
     "q_token_gini" ->
       s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

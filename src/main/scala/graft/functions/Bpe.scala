@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning (Sennrich, Haddow & Birch 2016) — the
+  * tokenizer-TRAINING primitive: each round finds the corpus's most
+  * frequent adjacent symbol pair and fuses it everywhere, growing the
+  * subword vocabulary greedily.
+  *
+  * The corpus state lives in the WORD-COUNT table, never per document:
+  * one partial-aggregable token count up front, then every round is
+  * vocabulary-sized work — pair extraction over distinct words (weighted
+  * by count), one 1-row top-pair aggregate broadcast back, one string
+  * rewrite per word. That is the standard scalable BPE layout: a 100 TB
+  * corpus with a 10M-type vocabulary trains rounds over 10M rows.
+  *
+  * Symbol sequences are encoded as DOUBLE-SPACE-joined strings padded
+  * with "  " at both ends, so applying a merge is ONE literal
+  * `replace(rep, " a  b ", " ab ")`: the single-space pattern edges can
+  * only land on symbol boundaries (symbols never contain spaces), and
+  * because each separator contributes one space to each neighbor, runs
+  * of repeated symbols merge with the correct left-to-right greed
+  * ("a a a" → "aa a", and "a b a b" fuses BOTH pairs — a single-space
+  * encoding would miss every second overlap). String `replace` scans
+  * left-to-right without rescanning its own output in both engines,
+  * which makes the rewrite engine-identical and keeps the whole trainer
+  * under the hash oracle. Caveat: the seed alphabet splits words by
+  * UTF-16 code unit on the JVM and by codepoint in DuckDB — identical
+  * on BMP text; the synthetic corpus is ASCII.
+  */
+object Bpe {
+
+  /** Initial character representation of a word: "  c1  c2  ...  ". */
+  private[functions] def charRep(word: Column): Column =
+    concat(lit("  "),
+      concat_ws("  ", filter(split(word, ""), c => length(c) > 0)),
+      lit("  "))
+
+  /** Symbols of a representation string (drops the padding empties). */
+  private[functions] def symbols(rep: Column): Column =
+    filter(split(rep, "  "), s => length(s) > 0)
+
+  /** Learn `rounds` BPE merges over the whitespace tokens of `textCol`.
+    * Returns one row per round: (round, sym_a, sym_b, pair_count),
+    * deterministic by (count desc, sym_a asc, sym_b asc) tie-break.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    learn(docs, textCol, rounds)._1
+
+  /** As `learnMerges`, also returning the final word-level symbol table
+    * (word, wc, rep) — the trained segmentation of every corpus type. */
+  def learn(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("wc"))
+    var reps = words.select(col("word"), col("wc"),
+      charRep(col("word")).as("rep"))
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      // Adjacent symbol pairs weighted by word count; the winner is a
+      // 1-row aggregate that rides back in as a broadcast, not a collect.
+      val syms = reps.select(col("wc"), symbols(col("rep")).as("__s"))
+      val pairs = syms
+        .select(col("wc"), explode(when(size(col("__s")) >= 2,
+            transform(sequence(lit(1), size(col("__s")) - 1),
+              i => struct(element_at(col("__s"), i).as("sym_a"),
+                element_at(col("__s"), i + 1).as("sym_b"))))
+          .otherwise(array())).as("__p"))
+        .select(col("__p.sym_a"), col("__p.sym_b"), col("wc"))
+        .groupBy(col("sym_a"), col("sym_b"))
+        .agg(sum(col("wc")).cast("long").as("pair_count"))
+      val top = pairs
+        .orderBy(col("pair_count").desc, col("sym_a").asc, col("sym_b").asc)
+        .limit(1)
+      val m = top.select(lit(r.toLong).as("round"), col("sym_a"),
+        col("sym_b"), col("pair_count"))
+      merges = if (merges == null) m else merges.unionByName(m)
+      reps = reps.crossJoin(broadcast(top))
+        .select(col("word"), col("wc"),
+          expr("""replace(rep, ' ' || sym_a || '  ' || sym_b || ' ',
+                          ' ' || sym_a || sym_b || ' ')""").as("rep"))
+      // Each round's rewrite feeds the next round's pair scan AND the
+      // merge union: materialize the vocabulary-sized table instead of
+      // re-running the growing lineage per consumer.
+      reps = reps.localCheckpoint(true)
+    }
+    (merges.orderBy(col("round")), reps)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Bpe
+
+/** BPE merge learning: greedy pair selection must match hand counts,
+  * repeated-symbol runs must fuse left-to-right, ties must break
+  * lexicographically, and the final segmentation must reassemble every
+  * word exactly.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two rounds match hand-computed greedy merges") {
+    // "aab" x3 + "ab" x2: pairs r1 — (a,a):3, (a,b):5 → merge (a,b).
+    // r2 reps: "a ab" x3, "ab" x2 → (a,ab):3 → merge (a,ab).
+    val docs = Seq("aab aab aab ab ab").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "a", "b", 5L), (2L, "a", "ab", 3L)))
+  }
+
+  test("repeated-symbol runs fuse with left-to-right greed") {
+    val docs = Seq("aaaa aaaa").toDF("text")
+    val (merges, reps) = Bpe.learn(docs, "text", 1)
+    assert(merges.as[(Long, String, String, Long)].collect().toSeq ==
+      Seq((1L, "a", "a", 6L))) // 3 adjacent pairs x wc 2
+    // "a a a a" → "aa aa", never "aa a a"
+    val rep = reps.select("rep").as[String].head()
+    assert(rep == "  aa  aa  ", rep)
+  }
+
+  test("equal-count ties break lexicographically") {
+    // "xy" and "ab" once each: both pairs count 1 → (a,b) wins.
+    val docs = Seq("xy ab").toDF("text")
+    val m = Bpe.learnMerges(docs, "text", 1)
+      .as[(Long, String, String, Long)].head()
+    assert(m == ((1L, "a", "b", 1L)))
+  }
+
+  test("final segmentation reassembles every word") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (_, reps) = Bpe.learn(docs, "text", 3)
+    val bad = reps
+      .withColumn("joined", concat_ws("",
+        graft.functions.Text.tokens(regexp_replace(col("rep"), "  ", " "))))
+      .filter(col("joined") =!= col("word"))
+      .count()
+    assert(bad == 0)
+  }
+}
