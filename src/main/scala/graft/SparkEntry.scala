@@ -84,6 +84,26 @@ object SparkEntry {
           ii -> CAST(ascii($c[ii]) AS BIGINT))),
         (acc, x) -> (acc * 31 + x) % 1000000007)"""
 
+  /** DuckDB fragment: one BPE round — weighted adjacent-pair counts over
+    * `prev`'s symbol lists, deterministic top-1 (`t`), double-space-safe
+    * rewrite into `next`. Shared by q_bpe_merges and q_bpe_encode.
+    */
+  private def duckBpeRound(prev: String, p: String, t: String,
+      next: String): String =
+    s"""$p AS (SELECT sym_a, sym_b, CAST(sum(wc) AS BIGINT) AS pair_count
+          FROM (SELECT wc, unnest(s[1:len(s)-1]) AS sym_a,
+                  unnest(s[2:len(s)]) AS sym_b
+                FROM (SELECT wc, list_filter(string_split(rep, '  '),
+                        x -> x != '') AS s FROM $prev)
+                WHERE len(s) >= 2)
+          GROUP BY 1, 2),
+        $t AS (SELECT * FROM $p
+          ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1),
+        $next AS (SELECT word, wc,
+          replace(rep, ' ' || sym_a || '  ' || sym_b || ' ',
+                       ' ' || sym_a || sym_b || ' ') AS rep
+          FROM $prev CROSS JOIN $t)"""
+
   /** DuckDB CTE chain for the BM25 scorer over `bm25Query` — the exact
     * integer-quantized pipeline of Rank.bm25TopDocs. Ends with
     * `agg(doc_id, n_terms, score_q)`; shared by q_bm25 and q_rrf_fuse.
@@ -767,6 +787,18 @@ object SparkEntry {
     "q_bpe_merges" -> { (s, d) =>
       graft.functions.Bpe.learnMerges(Tables.documents(s, d), "text", 3)
         .orderBy(col("round"))
+    },
+
+    // BPE serving: segment the corpus with the 3 learned merges — the
+    // bounded merge table folds into a map-only replace chain.
+    "q_bpe_encode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.functions.Bpe.learnMerges(docs, "text", 3)
+      graft.functions.Bpe.encode(docs.select(col("doc_id"), col("text")),
+          "text", merges)
+        .select(col("doc_id"), col("n_words"), col("n_subwords"),
+          concat_ws(" ", col("subwords")).as("subword_text"))
+        .orderBy(col("doc_id"))
     },
 
     // Lexical diversity: scan-stage Gini impurity over token counts —
@@ -1777,22 +1809,8 @@ object SparkEntry {
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
 
     "q_bpe_merges" -> {
-      // One BPE round: weighted adjacent-pair counts over `prev`'s
-      // symbol lists, deterministic top-1, double-space-safe rewrite.
       def round(prev: String, p: String, t: String, next: String): String =
-        s"""$p AS (SELECT sym_a, sym_b, CAST(sum(wc) AS BIGINT) AS pair_count
-              FROM (SELECT wc, unnest(s[1:len(s)-1]) AS sym_a,
-                      unnest(s[2:len(s)]) AS sym_b
-                    FROM (SELECT wc, list_filter(string_split(rep, '  '),
-                            x -> x != '') AS s FROM $prev)
-                    WHERE len(s) >= 2)
-              GROUP BY 1, 2),
-            $t AS (SELECT * FROM $p
-              ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1),
-            $next AS (SELECT word, wc,
-              replace(rep, ' ' || sym_a || '  ' || sym_b || ' ',
-                           ' ' || sym_a || sym_b || ' ') AS rep
-              FROM $prev CROSS JOIN $t)"""
+        duckBpeRound(prev, p, t, next)
       s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
             FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
             GROUP BY 1),
@@ -1809,6 +1827,38 @@ object SparkEntry {
             UNION ALL
             SELECT CAST(3 AS BIGINT) AS round, sym_a, sym_b, pair_count FROM t3)
           ORDER BY round"""
+    },
+
+    "q_bpe_encode" -> {
+      def round(prev: String, p: String, t: String, next: String): String =
+        duckBpeRound(prev, p, t, next)
+      val rep = s"""'  ' || array_to_string(list_filter(string_split(w, ''),
+          c -> c != ''), '  ') || '  '"""
+      val chain = s"""replace(replace(replace($rep,
+          ' ' || t1.sym_a || '  ' || t1.sym_b || ' ',
+          ' ' || t1.sym_a || t1.sym_b || ' '),
+          ' ' || t2.sym_a || '  ' || t2.sym_b || ' ',
+          ' ' || t2.sym_a || t2.sym_b || ' '),
+          ' ' || t3.sym_a || '  ' || t3.sym_b || ' ',
+          ' ' || t3.sym_a || t3.sym_b || ' ')"""
+      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
+            GROUP BY 1),
+          r0 AS (SELECT word, wc, '  ' ||
+            array_to_string(list_filter(string_split(word, ''),
+              c -> c != ''), '  ') || '  ' AS rep FROM w),
+          ${round("r0", "p1", "t1", "r1")},
+          ${round("r1", "p2", "t2", "r2")},
+          ${round("r2", "p3", "t3", "r3")},
+          enc AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          seg AS (SELECT doc_id, tk,
+            flatten(list_transform(tk, w ->
+              list_filter(string_split($chain, '  '), s -> s != ''))) AS sub
+            FROM enc CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3)
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+            CAST(len(sub) AS BIGINT) AS n_subwords,
+            array_to_string(sub, ' ') AS subword_text
+          FROM seg ORDER BY doc_id"""
     },
 
     "q_token_gini" ->

@@ -90,4 +90,34 @@ object Bpe {
     }
     (merges.orderBy(col("round")), reps)
   }
+
+  /** Segment the whitespace tokens of `textCol` with an already-learned
+    * merge table — the SERVING side of the trainer: unseen words segment
+    * by replaying the merges in training order, exactly as training
+    * rewrote its vocabulary. The merge list is a bounded driver-side
+    * artifact (`rounds` rows — same class as the IVF probe's cell list),
+    * folded into a chain of `rounds` literal replaces: map-only over the
+    * corpus, no join, no shuffle. Output: one row per input row —
+    * (input columns, n_words, n_subwords, subwords array).
+    */
+  def encode(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    // Training order matters: merge r's output symbols feed merge r+1.
+    val ms = merges.select(col("round"), col("sym_a"), col("sym_b"))
+      .orderBy(col("round"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val toks = Text.tokens(col(textCol))
+    val perWordRep = (w: Column) => ms.foldLeft(charRep(w)) {
+      case (rep, (a, b)) =>
+        regexp_replace(rep, java.util.regex.Pattern.quote(s" $a  $b "),
+          java.util.regex.Matcher.quoteReplacement(s" $a$b "))
+    }
+    // regexp_replace scans left-to-right past its own output, exactly
+    // like the literal replace in training — quoting makes the learned
+    // symbols safe as patterns regardless of their characters.
+    val subwords = flatten(transform(toks, w => symbols(perWordRep(w))))
+    docs
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("subwords", subwords)
+      .withColumn("n_subwords", size(col("subwords")).cast("long"))
+  }
 }

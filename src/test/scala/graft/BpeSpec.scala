@@ -41,6 +41,28 @@ class BpeSpec extends AnyFunSuite {
     assert(m == ((1L, "a", "b", 1L)))
   }
 
+  test("encode replays training: corpus words segment exactly as trained") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, reps) = Bpe.learn(docs, "text", 3)
+    val trained = reps.select(col("word"),
+      regexp_replace(trim(col("rep")), "  ", " ").as("expected"))
+    val encoded = Bpe.encode(reps.select(col("word").as("text")), "text", merges)
+      .select(col("text").as("word"),
+        concat_ws(" ", col("subwords")).as("got"))
+    val diff = trained.join(encoded, Seq("word"))
+      .filter(col("expected") =!= col("got")).count()
+    assert(diff == 0)
+  }
+
+  test("encode segments unseen words with the learned merges in order") {
+    val train = Seq("aab aab aab ab ab").toDF("text")
+    val merges = Bpe.learnMerges(train, "text", 2) // (a,b) then (a,ab)
+    val out = Bpe.encode(Seq("baab xy").toDF("text"), "text", merges)
+      .select("n_words", "n_subwords", "subwords")
+      .as[(Long, Long, Seq[String])].head()
+    assert(out == ((2L, 4L, Seq("b", "aab", "x", "y"))))
+  }
+
   test("final segmentation reassembles every word") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (_, reps) = Bpe.learn(docs, "text", 3)
