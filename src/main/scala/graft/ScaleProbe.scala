@@ -241,6 +241,18 @@ object ScaleProbe {
       println(f"""{"probe":"bm25","mult":$mult,"docs":${nBase * mult},"sec":$sec%.2f}""")
     }
 
+    // BPE-training probe: the corpus-sized stage is ONE word-count
+    // aggregate; every round after it is vocabulary-sized (pair counts
+    // over distinct words + a 1-row broadcast + a per-word rewrite), so
+    // wall should grow with the corpus scan and flatten in the rounds.
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val n = graft.functions.Bpe.learnMerges(docs, "text", 3).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"bpe_train","mult":$mult,"docs":${nBase * mult},"merges":$n,"sec":$sec%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot
