@@ -789,13 +789,14 @@ object SparkEntry {
         .orderBy(col("round"))
     },
 
-    // BPE serving: segment the corpus with the 3 learned merges — the
-    // bounded merge table folds into a map-only replace chain.
+    // BPE serving: segment the corpus with the 3 learned merges through
+    // the vocabulary join (chain replay only for unseen words).
     "q_bpe_encode" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = graft.functions.Bpe.learnMerges(docs, "text", 3)
-      graft.functions.Bpe.encode(docs.select(col("doc_id"), col("text")),
-          "text", merges)
+      val (merges, vocab) = graft.functions.Bpe.learn(docs, "text", 3)
+      graft.functions.Bpe.encodeByVocab(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          merges, vocab)
         .select(col("doc_id"), col("n_words"), col("n_subwords"),
           concat_ws(" ", col("subwords")).as("subword_text"))
         .orderBy(col("doc_id"))

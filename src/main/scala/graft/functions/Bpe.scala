@@ -99,6 +99,10 @@ object Bpe {
     * folded into a chain of `rounds` literal replaces: map-only over the
     * corpus, no join, no shuffle. Output: one row per input row —
     * (input columns, n_words, n_subwords, subwords array).
+    *
+    * This is the chain-per-token form; when the trained vocabulary table
+    * is at hand, [[encodeByVocab]] replaces the per-token replay with a
+    * vocabulary lookup and is the 100 TB path.
     */
   def encode(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
     // Training order matters: merge r's output symbols feed merge r+1.
@@ -119,5 +123,44 @@ object Bpe {
       .withColumn("n_words", size(toks).cast("long"))
       .withColumn("subwords", subwords)
       .withColumn("n_subwords", size(col("subwords")).cast("long"))
+  }
+
+  /** Vocabulary-join encoding — the scale path: in-vocabulary words (the
+    * overwhelming mass of any corpus the trainer saw) segment by ONE
+    * equi-join against the trained word table from [[learn]], evaluating
+    * the merge-replay chain only for unseen words. Documents reassemble
+    * from their positioned tokens with a per-doc sort — doc-sized
+    * partitions, never corpus-global. Bit-identical to [[encode]] by
+    * construction (the vocabulary table IS the chain's output on its
+    * words; spec-asserted), with the per-token regex work replaced by a
+    * join the optimizer can broadcast or shuffle by size.
+    * Output: (idCol, n_words, n_subwords, subwords); token-less
+    * documents are absent (explode semantics).
+    */
+  def encodeByVocab(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, vocab: DataFrame): DataFrame = {
+    val ms = merges.select(col("round"), col("sym_a"), col("sym_b"))
+      .orderBy(col("round"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val chainRep = (w: Column) => ms.foldLeft(charRep(w)) {
+      case (rep, (a, b)) =>
+        regexp_replace(rep, java.util.regex.Pattern.quote(s" $a  $b "),
+          java.util.regex.Matcher.quoteReplacement(s" $a$b "))
+    }
+    val toks = docs.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "word")))
+    val joined = toks
+      .join(vocab.select(col("word"), col("rep").as("__vrep")), Seq("word"),
+        "left")
+      .select(col(idCol), col("pos"),
+        symbols(coalesce(col("__vrep"), chainRep(col("word"))))
+          .as("__subs"))
+    joined.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("__subs")))),
+          x => x.getField("__subs"))).as("subwords"))
+      .withColumn("n_subwords", size(col("subwords")).cast("long"))
+      .select(col(idCol), col("n_words"), col("n_subwords"), col("subwords"))
   }
 }

@@ -63,6 +63,26 @@ class BpeSpec extends AnyFunSuite {
     assert(out == ((2L, 4L, Seq("b", "aab", "x", "y"))))
   }
 
+  test("vocabulary-join encode equals chain encode, unseen words fall back") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val (merges, vocab) = Bpe.learn(docs, "text", 3)
+    val chain = Bpe.encode(docs, "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        concat_ws(" ", col("subwords")).as("st"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val byVocab = Bpe.encodeByVocab(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        concat_ws(" ", col("subwords")).as("st"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(chain.nonEmpty && chain == byVocab)
+    // A document of unseen words still segments (chain fallback).
+    val unseen = Seq((1L, "zzq wvx")).toDF("doc_id", "text")
+    val out = Bpe.encodeByVocab(unseen, "doc_id", "text", merges, vocab)
+      .select("subwords").as[Seq[String]].head()
+    assert(out.mkString("") == "zzqwvx")
+  }
+
   test("final segmentation reassembles every word") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (_, reps) = Bpe.learn(docs, "text", 3)
