@@ -76,6 +76,17 @@ object Bpe {
       val top = pairs
         .orderBy(col("pair_count").desc, col("sym_a").asc, col("sym_b").asc)
         .limit(1)
+      // A pair-less vocabulary (every word fully merged or single-char)
+      // ends training early: cross-joining an EMPTY top row would
+      // silently wipe the reps table. The emptiness probe is a bounded
+      // 1-row action, same class as the broadcast it guards.
+      if (top.isEmpty) {
+        val empty = reps.sparkSession.emptyDataFrame
+          .select(lit(0L).as("round"), lit("").as("sym_a"),
+            lit("").as("sym_b"), lit(0L).as("pair_count"))
+        return (if (merges == null) empty else merges.orderBy(col("round")),
+          reps)
+      }
       val m = top.select(lit(r.toLong).as("round"), col("sym_a"),
         col("sym_b"), col("pair_count"))
       merges = if (merges == null) m else merges.unionByName(m)

@@ -26,7 +26,11 @@ object Robust {
   def groupMedian(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    // Null values would rank below every real value yet still count into
+    // __n, shifting which rows the middle selection picks — exclude them
+    // up front (the native median aggregates skip nulls the same way).
     df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
       // 2rn ∈ {n, n+1, n+2} selects exactly the middle row (odd n: only

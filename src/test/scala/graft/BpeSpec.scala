@@ -83,6 +83,18 @@ class BpeSpec extends AnyFunSuite {
     assert(out.mkString("") == "zzqwvx")
   }
 
+  test("pair-less vocabulary ends training early and keeps the word table") {
+    val docs = Seq("a b c a b").toDF("text")
+    val (merges, reps) = Bpe.learn(docs, "text", 3)
+    assert(merges.count() == 0)
+    assert(reps.count() == 3) // a, b, c survive the early stop
+    // Partial progress: one mergeable pair, then rounds run dry.
+    val (m2, r2) = Bpe.learn(Seq("ab ab cd").toDF("text"), "text", 3)
+    assert(m2.as[(Long, String, String, Long)].collect().toSeq ==
+      Seq((1L, "a", "b", 2L), (2L, "c", "d", 1L)))
+    assert(r2.count() == 2)
+  }
+
   test("final segmentation reassembles every word") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (_, reps) = Bpe.learn(docs, "text", 3)

@@ -43,6 +43,14 @@ class RobustSpec extends AnyFunSuite {
     assert(plan.contains("window"), plan)
   }
 
+  test("null values do not shift the median's middle selection") {
+    val withNulls = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(9L)),
+      ("g", None), ("g", None)).toDF("g", "v")
+    val med = Robust.groupMedian(withNulls, "g", "v")
+      .as[(String, Double)].collect().toMap
+    assert(med == Map("g" -> 2.0)) // median of {1,2,9}, nulls excluded
+  }
+
   test("outlierStats flags planted outliers; MAD=0 flags any deviation") {
     val df = Seq(
       // spread group: values 10..14 + one wild point
