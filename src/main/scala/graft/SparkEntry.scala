@@ -679,6 +679,27 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
+    // Graded contamination report: per training doc, distinct 3-gram
+    // shingles, eval-shared shingles, shared fraction — decontaminate's
+    // audit twin (evidence, not a drop).
+    "q_contam_fraction" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationStats(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", shingleSize = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR-style importance selection (Xie et al. 2023): hashed-unigram
+    // likelihood ratios against a small target corpus, exact-integer
+    // quantized, deterministic top-25. Target = docs < 10, raw = rest.
+    "q_dsir_select" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Importance.importanceSelect(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", nBuckets = 512, k = 25)
+    },
+
     // MinHash signatures over word-3-gram shingles. Token ids are per-row
     // polynomial hashes (shuffle-free, dictionary-free — the 100 TB design)
     // that the oracle reproduces arithmetically; the xxhash64 production
@@ -914,6 +935,17 @@ object SparkEntry {
           budgets = Seq("src0" -> 2000L, "src1" -> 1000L, "src5" -> 500L))
         .select(col("doc_id"), col("source"), col("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // Temperature-scaled mixture weights over languages (T=2): the
+    // multilingual rebalancing step. sqrt is IEEE-correctly-rounded in
+    // every engine (unlike pow), so the quantized weights hash-match.
+    "q_temp_mix" -> { (s, d) =>
+      graft.functions.Sampling.temperatureMix(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long")),
+          "lang", "n_tokens", temperature = 2)
+        .orderBy(col("lang"))
     },
 
     // Overlapping token-window chunking (context-window splitting for
@@ -1664,6 +1696,53 @@ object SparkEntry {
           WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id""",
 
+    "q_contam_fraction" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          ev AS (SELECT DISTINCT tid FROM g WHERE doc_id < 10),
+          st AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+            CAST(sum(CASE WHEN ev.tid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS shared
+            FROM (SELECT doc_id, tid FROM g WHERE doc_id >= 10) t
+            LEFT JOIN ev ON t.tid = ev.tid GROUP BY t.doc_id)
+          SELECT d.doc_id,
+            CAST(coalesce(st.n_shingles, 0) AS BIGINT) AS n_shingles,
+            CAST(coalesce(st.shared, 0) AS BIGINT) AS shared,
+            CASE WHEN coalesce(st.n_shingles, 0) = 0 THEN 0.0
+              ELSE round(CAST(st.shared AS DOUBLE) /
+                CAST(st.n_shingles AS DOUBLE), 6) END AS contam_ratio
+          FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+          WHERE d.doc_id >= 10 ORDER BY d.doc_id""",
+
+    "q_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          toks AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+          b AS (SELECT doc_id, ${duckPolyId("tok")} % 512 AS bkt FROM toks),
+          rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS rc FROM b
+            WHERE doc_id >= 10 GROUP BY 1),
+          tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS tc FROM b
+            WHERE doc_id < 10 GROUP BY 1),
+          tot AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM b WHERE doc_id >= 10) AS n_r,
+            (SELECT CAST(count(*) AS BIGINT) FROM b WHERE doc_id < 10) AS n_t),
+          r AS (SELECT rc.bkt,
+            CAST((CAST(coalesce(tc.tc, 0) + 1 AS HUGEINT) * (n_r + 512)
+                    * 1000000)
+                 // (CAST(rc.rc + 1 AS HUGEINT) * (n_t + 512)) AS BIGINT)
+              AS lr_q
+            FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tot),
+          sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(lr_q) AS BIGINT) AS lr_sum
+            FROM b JOIN r USING (bkt) WHERE b.doc_id >= 10 GROUP BY 1)
+          SELECT doc_id, n_tokens,
+            CAST(lr_sum // n_tokens AS BIGINT) AS score_q,
+            CAST(lr_sum // n_tokens AS DOUBLE) / 1000000.0 AS score
+          FROM sc ORDER BY score_q DESC, doc_id ASC LIMIT 25""",
+
     "q_ngram_jaccard" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
           gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
@@ -2007,6 +2086,20 @@ object SparkEntry {
             FROM t JOIN b USING (source))
           SELECT doc_id, source, n_tokens FROM c
           WHERE cum - n_tokens < budget ORDER BY doc_id""",
+
+    "q_temp_mix" ->
+      s"""WITH t AS (SELECT lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+          w AS (SELECT lang, n_docs, n_tokens,
+            CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+              AS weight FROM g),
+          tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w)
+          SELECT lang, n_docs, n_tokens, weight,
+            round(CAST(weight AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+          FROM w, tot ORDER BY lang""",
 
     "q_doc_chunk" ->
       s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

@@ -346,6 +346,40 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Graded contamination report — [[decontaminate]]'s audit twin. Where
+    * decontaminate drops past a threshold, this emits the evidence: per
+    * training document, its distinct shingle count, how many of those
+    * shingles appear in ANY eval document, and the shared fraction — the
+    * report a curation team reads before choosing the drop threshold
+    * (and the artifact an eval-integrity audit archives).
+    *
+    * Same scale shape as decontaminate: the eval gram set broadcasts, the
+    * corpus gram stream left-joins against it map-side, and both counts
+    * come from one partial-aggregable pass — linear in the corpus. Docs
+    * too short to emit a shingle stay in the report with ratio 0 (nothing
+    * sharable), not silently dropped.
+    */
+  def contaminationStats(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame = {
+    val trainSh = docShingleIds(docs, idCol, textCol, shingleSize).distinct()
+    val evalSh = broadcast(
+      docShingleIds(evalDocs, idCol, textCol, shingleSize)
+        .select(col("tid")).distinct().withColumn("__hit", lit(1L)))
+    val stats = trainSh.join(evalSh, Seq("tid"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("shared"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("shared"), lit(0L)).as("shared"))
+      .withColumn("contam_ratio",
+        when(col("n_shingles") === 0, lit(0.0)).otherwise(
+          round(col("shared").cast("double") /
+            col("n_shingles").cast("double"), 6)))
+  }
+
   // ------------------------------------------------------------------
   // Repeated-span (substring-level) dedup
   // ------------------------------------------------------------------

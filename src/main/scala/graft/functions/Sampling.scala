@@ -153,6 +153,46 @@ object Sampling {
       .drop("__cum", "__budget")
   }
 
+  /** Temperature-scaled mixture weights: per-group sampling shares
+    * proportional to n_tokens^(1/T) — the standard rebalancing that lifts
+    * low-resource groups (languages, sources) without letting the head
+    * group drown the mix (multilingual pretraining's T≈2-5 upsampling;
+    * T=1 is proportional, T→∞ uniform).
+    *
+    * T is restricted to {1, 2, 4}: those exponents evaluate as a chain of
+    * IEEE-754 `sqrt` calls, which every conforming engine rounds
+    * CORRECTLY (unlike `pow`/`exp`/`ln`, whose last-bit behavior is
+    * library-specific — the module-wide no-libm rule). The weight is
+    * quantized to an integer (floor of 10^6 × the root) before
+    * normalizing, so the denominator is an exact integer sum
+    * (order-free) and each share is ONE double division.
+    *
+    * One partial-aggregable groupBy over the corpus; everything after is
+    * group-cardinality-sized. A group whose token sum is NULL (all-null
+    * token column) propagates a NULL weight/share rather than inventing
+    * a zero. Output: (groupCol, n_docs, n_tokens, weight, share).
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, tokenCol: String,
+      temperature: Int = 2): DataFrame = {
+    require(Set(1, 2, 4)(temperature),
+      s"temperature must be 1, 2, or 4 (sqrt-chain exponents), got $temperature")
+    val byGroup = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
+    val root = temperature match {
+      case 1 => col("n_tokens").cast("double")
+      case 2 => sqrt(col("n_tokens").cast("double"))
+      case 4 => sqrt(sqrt(col("n_tokens").cast("double")))
+    }
+    val weighted = byGroup.withColumn("weight",
+      floor(root * lit(1000000.0)).cast("long"))
+    val tot = broadcast(weighted.agg(sum(col("weight")).as("__tot")))
+    weighted.crossJoin(tot)
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("weight"),
+        round(col("weight").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Budget-quantized sequence packing: assign docs (in `orderCol` order
     * within each `partCols` group) to packs of ~`budget` tokens via the
     * exclusive prefix sum — pack = floor(tokens_before / budget). Docs may

@@ -93,6 +93,30 @@ class DedupVecSpec extends AnyFunSuite {
     assert(lax === Array(10L, 11L, 12L))
   }
 
+  test("contaminationStats grades overlap and keeps shingle-less docs") {
+    val train = Seq(
+      (10L, base),                                  // heavy eval overlap
+      (11L, "completely different content about spark query engines and " +
+        "distributed columnar execution with code generation"),
+      (12L, "short text")                           // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val eval = Seq((1L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text")
+    val st = graft.functions.Dedup.contaminationStats(
+        train, eval, "doc_id", "text", shingleSize = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("shared"),
+          r.getAs[Double]("contam_ratio")))).toMap
+    assert(st.keySet === Set(10L, 11L, 12L))
+    assert(st(12L) === ((0L, 0L, 0.0)))            // reported, not dropped
+    assert(st(11L)._2 === 0L && st(11L)._3 === 0.0)
+    assert(st(10L)._2 > 0L && st(10L)._3 > 0.5)    // near-copy of the eval doc
+    // consistency with the drop operator: shared > 0 <=> decontaminated away
+    val dropped = Set(10L, 11L, 12L) --
+      graft.functions.Dedup.decontaminate(train, eval, "doc_id", "text", 3)
+        .select("doc_id").as[Long].collect().toSet
+    assert(dropped === st.filter(_._2._2 > 0L).keySet)
+  }
+
   test("exact dedup groups by key with smallest id kept") {
     val d = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("id", "t")
     val g = Dedup.exactGroups(d, col("t"), col("id"))

@@ -104,6 +104,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(onlyA == Seq("a"))
   }
 
+  test("temperatureMix flattens the head group as T rises") {
+    val docs = Seq(
+      ("en", 8100L), ("en", 8100L), ("en", 8100L), // head: 24300 tokens
+      ("de", 900L), ("de", 700L),                  // mid: 1600
+      ("zh", 100L)                                 // tail: 100
+    ).toDF("lang", "toks")
+    def shares(t: Int) = Sampling.temperatureMix(docs, "lang", "toks", t)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Double]("share")).toMap
+    val s1 = shares(1); val s2 = shares(2); val s4 = shares(4)
+    for (s <- Seq(s1, s2, s4))
+      assert(math.abs(s.values.sum - 1.0) < 1e-4, s.toString)
+    // proportional at T=1
+    assert(math.abs(s1("en") - 24300.0 / 26000.0) < 1e-4)
+    // monotone flattening: the head share falls, the tail share rises
+    assert(s1("en") > s2("en") && s2("en") > s4("en"))
+    assert(s1("zh") < s2("zh") && s2("zh") < s4("zh"))
+    // T=2 is exactly the sqrt mix (quantized weights)
+    val w2 = Sampling.temperatureMix(docs, "lang", "toks", 2)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Long]("weight")).toMap
+    assert(w2("en") === math.floor(math.sqrt(24300.0) * 1e6).toLong)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "lang", "toks", 3)
+    }
+  }
+
   test("chunkByTokens: windows reassemble the token stream with exact overlap") {
     import spark.implicits._
     val text = (1 to 150).map(i => s"t$i").mkString(" ")
