@@ -690,6 +690,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing fingerprints (Schleimer et al. 2003): per-doc minimum of
+    // every 4-hash window over the 3-gram hash stream, rightmost ties —
+    // the MOSS local fingerprinting scheme.
+    "q_winnow" -> { (s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+          n = 3, w = 4)
+        .orderBy(col("doc_id"), col("sel_pos"))
+    },
+
     // DSIR-style importance selection (Xie et al. 2023): hashed-unigram
     // likelihood ratios against a small target corpus, exact-integer
     // quantized, deterministic top-25. Target = docs < 10, raw = rest.
@@ -1717,6 +1726,25 @@ object SparkEntry {
                 CAST(st.n_shingles AS DOUBLE), 6) END AS contam_ratio
           FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
           WHERE d.doc_id >= 10 ORDER BY d.doc_id""",
+
+    "q_winnow" -> {
+      val gram = duckPolyId(s"array_to_string(tk[i:i+2], ' ')")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          g AS (SELECT doc_id,
+            unnest(range(0, len(tk) - 2)) AS pos,
+            unnest(list_transform(range(1, len(tk) - 1), i -> $gram)) AS tid
+            FROM tk WHERE len(tk) >= 3),
+          w AS (SELECT doc_id, pos,
+            min(tid * 2147483648 + (2147483647 - pos)) OVER
+              (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+            count(*) OVER (PARTITION BY doc_id) AS m FROM g)
+          SELECT DISTINCT doc_id,
+            2147483647 - (sel % 2147483648) AS sel_pos,
+            sel // 2147483648 AS tid
+          FROM w WHERE pos <= greatest(m - 4, 0)
+          ORDER BY doc_id, sel_pos"""
+    },
 
     "q_dsir_select" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

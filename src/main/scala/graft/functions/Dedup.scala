@@ -455,6 +455,53 @@ object Dedup {
             col("n_tokens").cast("double")))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): over each document's stream of word n-gram hashes,
+    * every window of `w` consecutive hashes contributes its MINIMUM
+    * (rightmost occurrence on ties — the paper's rule), and the distinct
+    * selected (position, hash) pairs are the fingerprint. Guarantee: two
+    * documents sharing a token run of length >= w + n - 1 share at least
+    * one fingerprint, at an expected density of ~2/(w+1) of the gram
+    * stream — the local-sampling property plain "every k-th hash"
+    * schemes lack.
+    *
+    * The min-with-rightmost-tie-break is ONE exact integer `min` over a
+    * composite key `tid * 2^31 + (2^31 - 1 - pos)` (tid < 2^31 by the
+    * poly-hash modulus; positions are capped at 2^31 - 1 tokens per doc
+    * — beyond any real document): ordering by the key orders by (tid
+    * asc, pos desc), so no struct comparison or second pass is needed
+    * and both engines agree bit-for-bit.
+    *
+    * Scale shape: the gram stream comes from the fused positioned-
+    * shingle generator (scan-stage), and selection is one doc-
+    * partitioned window frame — partitions are document-sized, never
+    * corpus-global. Documents with fewer than `w` grams contribute the
+    * minimum of their whole (clipped) stream; documents with no grams
+    * contribute nothing. Output: (idCol, sel_pos, tid) distinct.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1 hashes, got $w")
+    val cap = 2147483648L // 2^31
+    val pos = docs.select(col(idCol),
+      graft.plans.TextExpressions.hashedShinglesPos(col(textCol), n))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy(col(idCol))
+    pos
+      .withColumn("__key", col("tid") * cap + (lit(cap - 1) - col("pos")))
+      .withColumn("__sel", min(col("__key")).over(frame))
+      .withColumn("__m", count(lit(1)).over(whole))
+      // Only starts whose window is full select a fingerprint; the
+      // greatest(...) keeps ONE clipped window for sub-w docs.
+      .filter(col("pos") <= greatest(col("__m") - w, lit(0L)))
+      .select(col(idCol),
+        (lit(cap - 1) - expr(s"__sel % $cap")).as("sel_pos"),
+        expr(s"__sel div $cap").as("tid"))
+      .distinct()
+  }
+
   /** Exact Jaccard verification restricted to candidate pairs: joins a
     * candidate list (id_a, id_b) back to the (id, tid) element sets, keeps
     * pairs with round(jaccard, 6) >= `minJaccard`. The ONE shared

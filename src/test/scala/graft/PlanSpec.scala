@@ -158,6 +158,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("winnow: fused positioned generator, one doc-keyed window, no join") {
+    val p = plan("q_winnow")
+    assert(p.contains("hashedshinglespos"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // one hash exchange for the doc-partitioned window + the final sort's
+    // range exchange; anything more is a regression
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("importance selection: broadcast ratio table, bounded TakeOrdered") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("contamination report: broadcast eval grams, partial aggregation") {
+    val p = plan("q_contam_fraction")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("outlier gate: median passes prune doc_id, windows instead of percentile") {
     val p = plan("q_outlier_docs")
     // per-row pass reads all three columns; both median passes drop the id

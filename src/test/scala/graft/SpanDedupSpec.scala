@@ -74,4 +74,55 @@ class SpanDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(viaSql == positioned.sorted)
   }
+
+  // Independent winnowing model: n-gram poly hashes, min of every
+  // w-window with rightmost tie-break, clipped single window when the
+  // stream is shorter than w.
+  private def winnowModel(text: String, n: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Set.empty
+    val hs = (0 to toks.length - n)
+      .map(i => graft.plans.PolyHash.eval(toks.slice(i, i + n).mkString(" ")))
+    (0 to math.max(hs.length - w, 0)).map { p =>
+      val win = hs.slice(p, p + w)
+      val mn = win.min
+      val rightmost = p + win.lastIndexOf(mn)
+      (rightmost.toLong, mn)
+    }.toSet
+  }
+
+  test("winnowing matches the reference model and its match guarantee") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = "different head words here zeta eta theta iota kappa lambda " +
+      "completely other tail tokens now"
+    val docs = Seq((1L, a), (2L, b),
+      (3L, "tiny doc"),                 // < n tokens: no fingerprints
+      (4L, "just four little tokens")   // 2 grams < w: one clipped window
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", n = 3, w = 4)
+      .select("doc_id", "sel_pos", "tid").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(fp(1L) === winnowModel(a, 3, 4))
+    assert(fp(2L) === winnowModel(b, 3, 4))
+    assert(!fp.contains(3L))
+    assert(fp(4L) === winnowModel("just four little tokens", 3, 4)
+      && fp(4L).size === 1)
+    // Guarantee: docs 1 and 2 share a 6-token run (>= w + n - 1), so they
+    // must share at least one fingerprint hash.
+    assert(fp(1L).map(_._2).intersect(fp(2L).map(_._2)).nonEmpty)
+    // Density: expected ~2/(w+1) of grams; allow a generous band.
+    val grams = a.split(" ").length - 2
+    assert(fp(1L).size <= grams && fp(1L).size >= grams / (4 + 1))
+  }
+
+  test("winnowing breaks hash ties by the rightmost position") {
+    // All grams identical -> every window's min is the same hash and the
+    // RIGHTMOST position of each window must be selected.
+    val docs = Seq((1L, "a a a a a a a")).toDF("doc_id", "text") // 5 grams
+    val sel = Dedup.winnowFingerprints(docs, "doc_id", "text", n = 3, w = 4)
+      .select("sel_pos").as[Long].collect().toSet
+    assert(sel === Set(3L, 4L)) // windows [0..3] and [1..4]
+  }
 }
