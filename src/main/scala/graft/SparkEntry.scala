@@ -1178,6 +1178,26 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // Matryoshka funnel search: 16-dim-prefix shortlist of 20, exact
+    // 64-dim rerank to top-5 (Kusupati et al. 2022).
+    "q_mrl_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.mrlTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+          dPrefix = 16, shortlist = 20)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Embedding-space decontamination: drop corpus vectors within cosine
+    // 0.4 of any eval vector (vec_id < 50) — the semantic complement of
+    // q_decontaminate for paraphrased eval leakage.
+    "q_embed_decontam" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.semanticDecontaminate(emb.filter(col("vec_id") >= 50),
+          emb.filter(col("vec_id") < 50), threshold = 0.4)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
+
     // The SCALE path for embedding near-dup, oracle-gated: candidates
     // restricted to pairs sharing a 4-bit RP-LSH bucket, then
     // exact-cosine-verified — linear for bounded bucket occupancy, vs the
@@ -2322,6 +2342,52 @@ object SparkEntry {
       }.mkString(" + ")
       s"""SELECT vec_id, CAST($projs AS BIGINT) AS bucket
           FROM embeddings ORDER BY vec_id"""
+    },
+
+    "q_mrl_topk" -> {
+      val dotSql = duckDotSql _
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+            embedding[1:16] AS qt FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding, embedding[1:16] AS et
+            FROM embeddings),
+          tp AS (SELECT query_id, c.vec_id AS neighbor_id,
+            ${dotSql("qt", "et")} AS dp,
+            ${dotSql("qt", "qt")} AS nq,
+            ${dotSql("et", "et")} AS nc
+            FROM q, c WHERE c.vec_id <> q.query_id),
+          ts AS (SELECT query_id, neighbor_id,
+            round(dp / (sqrt(nq) * sqrt(nc)), 6) + 0.0 AS sim FROM tp),
+          sl AS (SELECT query_id, neighbor_id FROM
+            (SELECT query_id, neighbor_id, row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r
+             FROM ts) WHERE r <= 20),
+          fp AS (SELECT s.query_id, s.neighbor_id,
+            ${dotSql("q.qv", "c.embedding")} AS dp,
+            ${dotSql("q.qv", "q.qv")} AS nq,
+            ${dotSql("c.embedding", "c.embedding")} AS nc
+            FROM sl s JOIN q ON q.query_id = s.query_id
+            JOIN c ON c.vec_id = s.neighbor_id),
+          fs AS (SELECT query_id, neighbor_id,
+            round(dp / (sqrt(nq) * sqrt(nc)), 6) + 0.0 AS sim FROM fp),
+          r AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM fs)
+          SELECT query_id, neighbor_id, sim, "rank" FROM r
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_embed_decontam" -> {
+      val dotSql = duckDotSql _
+      s"""WITH ev AS (SELECT embedding AS ve FROM embeddings
+            WHERE vec_id < 50),
+          c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+          bad AS (SELECT DISTINCT c.vec_id FROM c JOIN ev ON
+            round(${dotSql("c.embedding", "ve")} /
+              (sqrt(${dotSql("c.embedding", "c.embedding")}) *
+               sqrt(${dotSql("ve", "ve")})), 6) >= 0.4)
+          SELECT vec_id FROM c
+          WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+          ORDER BY vec_id"""
     },
 
     "q_embed_neardup_lsh" -> {

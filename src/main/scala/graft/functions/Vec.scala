@@ -82,6 +82,31 @@ object Vec {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-space decontamination: drop corpus rows whose vector is
+    * within cosine `threshold` of ANY evaluation vector — the semantic
+    * complement of the n-gram `Dedup.decontaminate` (catches paraphrased
+    * or reformatted eval leakage that shares no verbatim shingle).
+    * Returns the SURVIVING corpus rows with their original columns.
+    *
+    * Scale shape mirrors the lexical path: the eval side is small by
+    * construction, ships as ONE broadcast (vectors + precomputed norms),
+    * and the corpus streams through a single anti nested-loop map stage —
+    * linear in corpus × |eval|, no shuffle, no corpus self-join. Zero-
+    * norm vectors have NULL similarity (pairSim's contract) and therefore
+    * never mark contamination.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val ev = broadcast(evalVecs.select(col(vecCol).as("__ve"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("__ne")))
+    val withN = corpus.withColumn("__nc",
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol))))
+    val sim = pairSim(col(vecCol), col("__ve"), col("__nc"), col("__ne"))
+    withN.join(ev, sim >= threshold, "left_anti").drop("__nc")
+  }
+
   /** Scale path for near-dup detection: candidates restricted to pairs
     * sharing a random-hyperplane LSH bucket, then exact-verified. Linear
     * in corpus size for bounded bucket occupancy.
@@ -131,6 +156,51 @@ object Vec {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Matryoshka-style truncated-prefix search (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning", arXiv:2205.13147): shortlist
+    * candidates by cosine over only the FIRST `dPrefix` dimensions, then
+    * rerank the shortlist with the full-dimension exact cosine — the
+    * funnel retrieval MRL-trained embeddings are built for, where the
+    * prefix scan does `dPrefix/d` of the full arithmetic (and, on a
+    * column-pruned vector store, reads that fraction of the bytes).
+    *
+    * Exactness contract: the rerank stage is exact for whatever the
+    * shortlist surfaces; end-to-end recall vs brute force depends on how
+    * much of the signal the embedding's prefix carries (guaranteed only
+    * for prefix-trained models — measured, not assumed, in the spec).
+    * Shortlist and final ranks both break ties by (sim desc, id asc), so
+    * the result is deterministic on any engine.
+    *
+    * Scale shape: the truncated pass is [[bruteForceTopK]] (broadcast
+    * query side, one corpus map stage); the rerank joins the BOUNDED
+    * (|queries| × shortlist) candidate list back to the corpus as a
+    * broadcast equi-join — no second corpus scan of full vectors is
+    * avoidable, but it is filter-by-broadcast, never a shuffle.
+    */
+  def mrlTopK(queries: DataFrame, corpus: DataFrame, k: Int, dPrefix: Int,
+      shortlist: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val tq = queries.select(col(idCol), slice(col(vecCol), 1, dPrefix).as(vecCol))
+    val tc = corpus.select(col(idCol), slice(col(vecCol), 1, dPrefix).as(vecCol))
+    val cand = broadcast(
+      bruteForceTopK(tq, tc, shortlist, idCol, vecCol, excludeSelf)
+        .select(col("query_id"), col("neighbor_id")))
+    val cv = withNorm(corpus, idCol, vecCol, "c")
+      .withColumnRenamed("id_c", "neighbor_id")
+    val qv = broadcast(withNorm(queries, idCol, vecCol, "q")
+      .withColumnRenamed("id_q", "query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("sim", pairSim(col("vq"), col("vc"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }

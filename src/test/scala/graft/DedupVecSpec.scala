@@ -117,6 +117,50 @@ class DedupVecSpec extends AnyFunSuite {
     assert(dropped === st.filter(_._2._2 > 0L).keySet)
   }
 
+  test("semanticDecontaminate drops cosine-close vectors, keeps zero vectors") {
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.1f, 0.0f)),  // near the eval direction
+      (11L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (12L, Array(0.0f, 0.0f, 0.0f))    // zero norm: NULL sim, survives
+    ).toDF("vec_id", "embedding")
+    val evalV = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Vec.semanticDecontaminate(corpus, evalV, threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(out === Array(11L, 12L))
+    // survivors keep their original columns
+    assert(Vec.semanticDecontaminate(corpus, evalV, threshold = 0.9)
+      .columns.toSeq === Seq("vec_id", "embedding"))
+    // a lax threshold catches the orthogonal vector too
+    assert(Vec.semanticDecontaminate(corpus, evalV, threshold = -1.0)
+      .select("vec_id").as[Long].collect().sorted === Array(12L))
+  }
+
+  test("mrlTopK: exact when the shortlist covers the corpus, dominated otherwise") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = rows(Vec.bruteForceTopK(q, emb, 5))
+    // Shortlist >= corpus: the funnel degenerates to exact search.
+    assert(rows(Vec.mrlTopK(q, emb, 5, dPrefix = 16, shortlist = 500)) === brute)
+    // Full-dim prefix: stage one is already the exact ranking.
+    assert(rows(Vec.mrlTopK(q, emb, 5, dPrefix = 64, shortlist = 20)) === brute)
+    // Narrow funnel: still k rows/query, and each rank-r sim is bounded by
+    // the exact rank-r sim (candidates are a subset of the corpus).
+    val funnel = Vec.mrlTopK(q, emb, 5, dPrefix = 16, shortlist = 20)
+      .select("query_id", "rank", "sim").as[(Long, Int, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val exact = Vec.bruteForceTopK(q, emb, 5)
+      .select("query_id", "rank", "sim").as[(Long, Int, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(funnel.keySet === exact.keySet)
+    funnel.foreach { case (key, sim) =>
+      assert(sim <= exact(key) + 1e-9, s"$key: funnel $sim > exact ${exact(key)}")
+    }
+  }
+
   test("exact dedup groups by key with smallest id kept") {
     val d = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("id", "t")
     val g = Dedup.exactGroups(d, col("t"), col("id"))
