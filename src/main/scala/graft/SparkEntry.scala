@@ -699,6 +699,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("sel_pos"))
     },
 
+    // Winnow-indexed near-dup pairs: candidates share a fingerprint
+    // (~2/(w+1) of the gram postings), verified by full-set Jaccard —
+    // same 0.2 threshold as q_ngram_jaccard for comparability.
+    "q_winnow_pairs" -> { (s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, w = 4, minJaccard = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Per-doc out-of-vocabulary rate against the corpus top-500 tokens.
+    "q_oov_rate" -> { (s, d) =>
+      graft.functions.LangModel.oovStats(Tables.documents(s, d),
+          "doc_id", "text", vocabSize = 500)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR-style importance selection (Xie et al. 2023): hashed-unigram
     // likelihood ratios against a small target corpus, exact-integer
     // quantized, deterministic top-25. Target = docs < 10, raw = rest.
@@ -1765,6 +1781,57 @@ object SparkEntry {
           FROM w WHERE pos <= greatest(m - 4, 0)
           ORDER BY doc_id, sel_pos"""
     },
+
+    "q_winnow_pairs" -> {
+      val gram = duckPolyId(s"array_to_string(tk[i:i+2], ' ')")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          g AS (SELECT doc_id,
+            unnest(range(0, len(tk) - 2)) AS pos,
+            unnest(list_transform(range(1, len(tk) - 1), i -> $gram)) AS tid
+            FROM tk WHERE len(tk) >= 3),
+          w AS (SELECT doc_id, pos,
+            min(tid * 2147483648 + (2147483647 - pos)) OVER
+              (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+            count(*) OVER (PARTITION BY doc_id) AS m FROM g),
+          f AS (SELECT DISTINCT doc_id, sel // 2147483648 AS tid
+            FROM w WHERE pos <= greatest(m - 4, 0)),
+          rare AS (SELECT tid FROM f GROUP BY tid
+            HAVING count(*) <= 100000),
+          ff AS (SELECT doc_id, tid FROM f JOIN rare USING (tid)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ff a JOIN ff b USING (tid) WHERE a.doc_id < b.doc_id),
+          gs AS (SELECT DISTINCT doc_id, tid FROM g),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM gs GROUP BY 1),
+          ip AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+            FROM cand c JOIN gs x ON x.doc_id = c.id_a
+            JOIN gs y ON y.doc_id = c.id_b AND y.tid = x.tid
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+            round(CAST(inter AS DOUBLE) /
+              CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+          FROM ip JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(CAST(inter AS DOUBLE) /
+            CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.2
+          ORDER BY id_a, id_b"""
+    },
+
+    "q_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          toks AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+          t AS (SELECT doc_id, ${duckPolyId("tok")} AS tid FROM toks),
+          v AS (SELECT tid FROM (SELECT tid, count(*) AS c FROM t GROUP BY 1
+            ORDER BY c DESC, tid ASC LIMIT 500)),
+          j AS (SELECT t.doc_id, CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END
+              AS oov
+            FROM t LEFT JOIN v ON t.tid = v.tid)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(oov) AS BIGINT) AS n_oov,
+            round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+              AS oov_rate
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     "q_dsir_select" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

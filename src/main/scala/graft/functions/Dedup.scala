@@ -502,6 +502,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs via winnowing fingerprints: candidates are
+    * documents sharing at least one selected fingerprint hash, then
+    * exact-verified over the FULL shingle sets by the shared
+    * [[verifyJaccard]]. The candidate index holds only ~2/(w+1) of the
+    * gram postings — the winnow guarantee (any shared run >= w + n - 1
+    * tokens shares a fingerprint) keeps recall for long overlaps while
+    * the inverted-list join runs over a fraction of `ngramJaccardPairs`'
+    * postings. Fingerprints in more than `dfCap` documents are dropped
+    * before pairing (the same hub cut as every inverted-list path here;
+    * boilerplate fingerprints carry no pair signal and go quadratic).
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      w: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
+    val fpDocs = winnowFingerprints(docs, idCol, textCol, n, w)
+      .select(col(idCol), col("tid")).distinct()
+    val rare = fpDocs.groupBy(col("tid")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("tid"))
+    val g = fpDocs.join(rare, Seq("tid"))
+    val a = g.select(col("tid"), col(idCol).as("id_a"))
+    val b = g.select(col("tid"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("tid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(cands, docShingleIds(docs, idCol, textCol, n).distinct(),
+      idCol, minJaccard)
+  }
+
   /** Exact Jaccard verification restricted to candidate pairs: joins a
     * candidate list (id_a, id_b) back to the (id, tid) element sets, keeps
     * pairs with round(jaccard, 6) >= `minJaccard`. The ONE shared

@@ -58,6 +58,39 @@ object LangModel {
           (col("c_a").cast("double") * col("c_b")), 6).as("lift"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-`V`
+    * token vocabulary — the coverage signal a tokenizer-budget or
+    * vocabulary-pruning decision reads (docs of mostly tail tokens are
+    * garble/OCR-noise candidates; a corpus-wide high OOV rate says the
+    * vocabulary is too small). Vocabulary membership is by hashed token
+    * id with ties at the frequency boundary broken by id — deterministic
+    * on every engine.
+    *
+    * Scale shape: one partial-aggregable token-frequency groupBy, a
+    * bounded TakeOrdered for the top-V, and ONE broadcast join of the
+    * V-row vocabulary against the scan-stage token stream — no
+    * corpus-sized shuffle. Output: (idCol, n_tokens, n_oov, oov_rate);
+    * zero-token docs drop out (inner-aggregation semantics, as
+    * bigramStats).
+    */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs.select(col(idCol),
+      graft.plans.TextExpressions.hashedShingles(col(textCol), 1))
+    val vocab = broadcast(toks.groupBy(col("tid"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tid").asc)
+      .limit(vocabSize)
+      .select(col("tid"), lit(1L).as("__in")))
+    toks.join(vocab, Seq("tid"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Per-document bigram novelty stats:
     * (idCol, n_bigrams, n_hapax, hapax_ratio, avg_bigram_df) where
     * n_bigrams counts bigram OCCURRENCES, n_hapax counts occurrences

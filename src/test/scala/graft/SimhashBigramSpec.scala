@@ -106,4 +106,23 @@ class SimhashBigramSpec extends AnyFunSuite {
       2L -> ((3L, 1L, 1.0 / 3.0, 7.0 / 3.0)) // dfs 3+1+3=7
     ))
   }
+
+  test("oovStats: tail tokens count as OOV against the top-V vocabulary") {
+    val docs = Seq(
+      (1L, "a a a b b rare1"),  // corpus counts: a x4, b x3, rare* x1 each
+      (2L, "a b rare2"),
+      (3L, "")                  // zero tokens: drops out
+    ).toDF("id", "text")
+    val got = LangModel.oovStats(docs, "id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // vocab = {a, b}; rare1/rare2 are OOV
+    assert(got === Map(
+      1L -> ((6L, 1L, 0.166667)),
+      2L -> ((3L, 1L, 0.333333))))
+    // vocabSize covering every distinct token -> zero OOV everywhere
+    val all = LangModel.oovStats(docs, "id", "text", vocabSize = 100)
+      .collect().map(_.getAs[Long]("n_oov")).toSet
+    assert(all === Set(0L))
+  }
 }

@@ -117,6 +117,29 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(fp(1L).size <= grams && fp(1L).size >= grams / (4 + 1))
   }
 
+  test("winnowPairs surfaces the planted near-dup through the sparse index") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep dark forest while the moon rises slowly over " +
+      "the hills tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),  // long shared runs both sides
+      (3L, "completely different content about spark query engines and " +
+        "columnar execution with vectorized readers and shuffle services")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", n = 3, w = 4,
+        minJaccard = 0.2)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // verification is the exact full-set Jaccard: must equal the
+    // inverted-list path's value for the same pair
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.head._3 === full((1L, 2L)))
+  }
+
   test("winnowing breaks hash ties by the rightmost position") {
     // All grams identical -> every window's min is the same hash and the
     // RIGHTMOST position of each window must be selected.
