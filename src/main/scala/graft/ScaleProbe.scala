@@ -253,6 +253,45 @@ object ScaleProbe {
       println(f"""{"probe":"bpe_train","mult":$mult,"docs":${nBase * mult},"merges":$n,"sec":$sec%.2f}""")
     }
 
+    // Winnow probe: fingerprint selection is a scan + one doc-partitioned
+    // window, so wall must track the corpus linearly; the reported
+    // fingerprint count vs gram count shows the ~2/(w+1) index sparsity
+    // that makes the pairing join cheaper than the full inverted list.
+    // Candidate pairs are counted pre-verify (verification is the shared
+    // verifyJaccard already exercised by the jaccard/LSH paths, and
+    // replicas are mutual near-dups, so verified pair mass grows
+    // quadratically in mult by construction — honest output, separate
+    // cost).
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val grams = Dedup.docShingleIds(docs, "doc_id", "text", 3).count()
+      val t0 = System.nanoTime()
+      val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      val nFp = fp.count()
+      val secSel = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val g = fp.select(col("doc_id"), col("tid")).distinct()
+      val cands = g.select(col("tid"), col("doc_id").as("id_a"))
+        .join(g.select(col("tid"), col("doc_id").as("id_b")), Seq("tid"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+      val secPair = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"winnow","mult":$mult,"grams":$grams,"fingerprints":$nFp,"cand_pairs":$cands,"sel_sec":$secSel%.2f,"pair_sec":$secPair%.2f}""")
+    }
+
+    // DSIR probe: importance scoring is two scan-stage token passes + a
+    // B-row broadcast ratio join + one partial-aggregable per-doc sum —
+    // wall must stay linear in the corpus with a flat per-doc cost.
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val target = base.limit(200)
+      val t0 = System.nanoTime()
+      val n = graft.functions.Importance.importanceScores(
+        docs, target, "doc_id", "text", nBuckets = 512).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"dsir","mult":$mult,"docs":$n,"sec":$sec%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot

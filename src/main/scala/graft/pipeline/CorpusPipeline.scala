@@ -140,6 +140,36 @@ object CorpusPipeline {
     docs.join(tooDup, Seq(cfg.idCol), "left_anti")
   }
 
+  /** Contamination gate: drop docs whose eval-shingle overlap fraction
+    * exceeds `maxContamRatio` — the graded form of the hard
+    * `Dedup.decontaminate` drop (ratio 0.0 reproduces it for any doc
+    * with at least one shared shingle). Filter semantics like every
+    * other gate; the evidence behind each drop is
+    * `Dedup.contaminationStats`, the same frame this gate filters.
+    */
+  def contamGate(docs: DataFrame, evalDocs: DataFrame,
+      maxContamRatio: Double = 0.0, cfg: Config = Config()): DataFrame = {
+    val tooHot = Dedup.contaminationStats(docs, evalDocs, cfg.idCol,
+        cfg.textCol, cfg.shingleSize)
+      .filter(col("contam_ratio") > maxContamRatio)
+      .select(col(cfg.idCol))
+    docs.join(tooHot, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** Vocabulary-coverage gate: drop docs whose out-of-vocabulary rate
+    * against the corpus top-`vocabSize` tokens exceeds `maxOovRate` —
+    * the garble/OCR-noise cut. Docs with no tokens pass (they are the
+    * quality gate's job, and oovStats cannot score them).
+    */
+  def oovGate(docs: DataFrame, vocabSize: Int = 50000,
+      maxOovRate: Double = 0.5, cfg: Config = Config()): DataFrame = {
+    val garble = graft.functions.LangModel.oovStats(docs, cfg.idCol,
+        cfg.textCol, vocabSize)
+      .filter(col("oov_rate") > maxOovRate)
+      .select(col(cfg.idCol))
+    docs.join(garble, Seq(cfg.idCol), "left_anti")
+  }
+
   /** Held-out split assignment over the CURATED corpus (split after
     * dedup, never before: a near-dup pair straddling train/test is
     * leakage the split exists to prevent). Deterministic by id hash —

@@ -119,6 +119,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L))
   }
 
+  test("contamGate drops graded overlap; oovGate drops garble docs") {
+    import spark.implicits._
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta and more words"),
+      (11L, "alpha beta gamma then totally different content follows here " +
+        "with many extra independent words appended for dilution purposes"),
+      (12L, "no overlap with the held out evaluation sentences whatsoever")
+    ).toDF("doc_id", "text")
+    // strict gate: any overlap drops (matches decontaminate)
+    val strict = CorpusPipeline.contamGate(docs, evalSet)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict === Set(12L))
+    // lax gate keeps the mildly-overlapping doc
+    val lax = CorpusPipeline.contamGate(docs, evalSet, maxContamRatio = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lax === Set(11L, 12L))
+
+    val corpus = Seq(
+      (1L, "common words common words common words common words"),
+      (2L, "common words with zz9 qq8 xx7 vv6 kk5 jj4 garble tokens")
+    ).toDF("doc_id", "text")
+    val clean = CorpusPipeline.oovGate(corpus, vocabSize = 2,
+        maxOovRate = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(1L))
+  }
+
   test("exact dedup survives a real polynomial-hash collision") {
     import spark.implicits._
     // these two distinct texts share polyHash mod 1e9+7 (= 633477840,
