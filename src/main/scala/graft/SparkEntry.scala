@@ -973,6 +973,14 @@ object SparkEntry {
         .orderBy(col("lang"))
     },
 
+    // Per-source language-mix concentration (HHI): the log-free
+    // composition diagnostic temperature mixing is judged by.
+    "q_mix_hhi" -> { (s, d) =>
+      graft.functions.Sampling.mixConcentration(
+          Tables.documents(s, d), "source", "lang")
+        .orderBy(col("source"))
+    },
+
     // Overlapping token-window chunking (context-window splitting for
     // long docs): 64-token chunks, 16-token overlap.
     "q_doc_chunk" -> { (s, d) =>
@@ -2201,6 +2209,20 @@ object SparkEntry {
             FROM t JOIN b USING (source))
           SELECT doc_id, source, n_tokens FROM c
           WHERE cum - n_tokens < budget ORDER BY doc_id""",
+
+    "q_mix_hhi" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(c * c) AS BIGINT) AS sumsq,
+           CAST(max(c) AS BIGINT) AS maxc FROM c GROUP BY 1)
+         SELECT source, n_rows, n_parts,
+           round(CAST(maxc AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS dom_share,
+           round(CAST(sumsq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE), 6)
+             AS hhi
+         FROM g ORDER BY source""",
 
     "q_temp_mix" ->
       s"""WITH t AS (SELECT lang,

@@ -193,6 +193,36 @@ object Sampling {
           .as("share"))
   }
 
+  /** Mixture-concentration diagnostic: per `groupCol` (source, shard,
+    * date), the Herfindahl–Hirschman index of its `partCol` composition
+    * (languages, domains) — HHI = Σ share², the log-free concentration
+    * measure (1/HHI is an effective-category count, the entropy stand-in
+    * under the repo's no-libm rule). A source whose HHI ≈ 1 is
+    * single-language; HHI ≈ 1/k is an even k-way mix — the signal a
+    * mixture rebalance (e.g. [[temperatureMix]]) is judged by.
+    *
+    * All arithmetic is exact-integer until ONE division per emitted
+    * ratio: HHI = Σ n_p² / n_g², dominant share = max(n_p) / n_g. Two
+    * partial-aggregable groupBys, no window, no corpus-sized anything
+    * after the first count.
+    *
+    * Output: (groupCol, n_rows, n_parts, dom_share, hhi).
+    */
+  def mixConcentration(df: DataFrame, groupCol: String,
+      partCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(partCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_parts"),
+        sum(col("__c") * col("__c")).as("__sumsq"),
+        max(col("__c")).as("__maxc"))
+      .select(col(groupCol), col("n_rows"), col("n_parts"),
+        round(col("__maxc").cast("double") / col("n_rows").cast("double"), 6)
+          .as("dom_share"),
+        round(col("__sumsq").cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double"), 6).as("hhi"))
+
   /** Budget-quantized sequence packing: assign docs (in `orderCol` order
     * within each `partCols` group) to packs of ~`budget` tokens via the
     * exclusive prefix sum — pack = floor(tokens_before / budget). Docs may

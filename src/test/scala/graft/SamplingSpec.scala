@@ -131,6 +131,22 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixConcentration: HHI spans even mix to single-category") {
+    val rows = Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s1", "fr")) ++
+      Seq.fill(20)(("s2", "en")) ++
+      Seq.fill(12)(("s3", "en")) ++ Seq.fill(4)(("s3", "de")) ++
+      Seq.fill(4)(("s3", "zh"))
+    val got = Sampling.mixConcentration(rows.toDF("source", "lang"),
+        "source", "lang")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_parts"),
+          r.getAs[Double]("dom_share"), r.getAs[Double]("hhi")))).toMap
+    assert(got("s1") === ((20L, 2L, 0.5, 0.5)))       // even 2-way: HHI 1/2
+    assert(got("s2") === ((20L, 1L, 1.0, 1.0)))       // monoculture
+    // s3: shares (12,4,4)/20 -> HHI = (144+16+16)/400 = 0.44
+    assert(got("s3") === ((20L, 3L, 0.6, 0.44)))
+  }
+
   test("chunkByTokens: windows reassemble the token stream with exact overlap") {
     import spark.implicits._
     val text = (1 to 150).map(i => s"t$i").mkString(" ")
