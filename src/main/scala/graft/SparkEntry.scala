@@ -835,6 +835,13 @@ object SparkEntry {
         .orderBy(col("round"))
     },
 
+    // Tokenizer fertility histogram after 3 BPE rounds: word types and
+    // token mass per symbols-per-word bin.
+    "q_bpe_fertility" -> { (s, d) =>
+      graft.functions.Bpe.fertilityStats(Tables.documents(s, d), "text", 3)
+        .orderBy(col("n_syms"))
+    },
+
     // BPE serving: segment the corpus with the 3 learned merges through
     // the vocabulary join (chain replay only for unseen words).
     "q_bpe_encode" -> { (s, d) =>
@@ -2030,6 +2037,25 @@ object SparkEntry {
             UNION ALL
             SELECT CAST(3 AS BIGINT) AS round, sym_a, sym_b, pair_count FROM t3)
           ORDER BY round"""
+    },
+
+    "q_bpe_fertility" -> {
+      def round(prev: String, p: String, t: String, next: String): String =
+        duckBpeRound(prev, p, t, next)
+      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
+            GROUP BY 1),
+          r0 AS (SELECT word, wc, '  ' ||
+            array_to_string(list_filter(string_split(word, ''),
+              c -> c != ''), '  ') || '  ' AS rep FROM w),
+          ${round("r0", "p1", "t1", "r1")},
+          ${round("r1", "p2", "t2", "r2")},
+          ${round("r2", "p3", "t3", "r3")}
+          SELECT CAST(len(list_filter(string_split(rep, '  '),
+              x -> x != '')) AS BIGINT) AS n_syms,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(wc) AS BIGINT) AS total_wc
+          FROM r3 GROUP BY 1 ORDER BY 1"""
     },
 
     "q_bpe_encode" -> {

@@ -174,4 +174,21 @@ object Bpe {
       .withColumn("n_subwords", size(col("subwords")).cast("long"))
       .select(col(idCol), col("n_words"), col("n_subwords"), col("subwords"))
   }
+
+  /** Tokenizer fertility histogram after `rounds` of training: word types
+    * and token mass grouped by symbols-per-word — THE quality readout of
+    * a tokenizer budget (corpus fertility = Σ n_syms·total_wc / Σ
+    * total_wc subwords per word; a merge budget is raised until the mass
+    * in high-fertility bins drains). Derived entirely from the trained
+    * vocabulary table, which is vocabulary-sized — nothing here rescans
+    * the corpus. Output: (n_syms, n_types, total_wc).
+    */
+  def fertilityStats(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, vocab) = learn(docs, textCol, rounds)
+    vocab
+      .select(col("wc"), size(symbols(col("rep"))).cast("long").as("n_syms"))
+      .groupBy(col("n_syms"))
+      .agg(count(lit(1)).as("n_types"), sum(col("wc")).as("total_wc"))
+  }
 }

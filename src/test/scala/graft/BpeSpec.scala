@@ -105,4 +105,19 @@ class BpeSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("fertility histogram conserves types and token mass") {
+    val docs = Seq((1L, "aa aa aa bb cc"), (2L, "aa bb dd dd")).toDF("id", "text")
+    val hist = graft.functions.Bpe.fertilityStats(docs, "text", 2)
+      .collect().map(r => r.getAs[Long]("n_syms") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("total_wc")))).toMap
+    // 4 word types, 9 word occurrences — bins must partition both
+    assert(hist.values.map(_._1).sum === 4L)
+    assert(hist.values.map(_._2).sum === 9L)
+    // round 1 merges (a,a) [wc 4 beats d's 2]; round 2 merges (b,b) or
+    // (d,d) by count-then-lex ties => "aa" is 1 symbol, one of bb/dd too
+    assert(hist.contains(1L) && hist(1L)._2 >= 4L)
+    // nothing can have more symbols than its character count (2 here)
+    assert(hist.keySet.max <= 2L)
+  }
 }
