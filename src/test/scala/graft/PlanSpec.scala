@@ -185,6 +185,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("oov rate: vocabulary joins as a broadcast, no corpus-keyed shuffle join") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("mrl funnel: bounded candidate list broadcasts for the rerank") {
+    val p = plan("q_mrl_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mixture stats aggregate partially below their exchanges") {
+    for (q <- Seq("q_temp_mix", "q_mix_hhi")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"), s"$q: $p")
+      // the only join is the broadcast 1-row totals crossJoin
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+      assert(!p.contains("ShuffledHashJoin"), s"$q: $p")
+    }
+  }
+
   test("outlier gate: median passes prune doc_id, windows instead of percentile") {
     val p = plan("q_outlier_docs")
     // per-row pass reads all three columns; both median passes drop the id
