@@ -624,6 +624,15 @@ object SparkEntry {
     },
 
     // Language ID by marker-word voting.
+    // Per-source data card: the datasheet row a release publishes —
+    // doc/token mass, short and PII-bearing doc counts, mean quality
+    // (quantized-then-summed so the mean is order-free).
+    "q_corpus_card" -> { (s, d) =>
+      Quality.corpusCard(Tables.documents(s, d), "source", "text",
+          SparkEntry.stopwords, minTokens = 10)
+        .orderBy(col("source"))
+    },
+
     "q_lang_id" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -1679,6 +1688,33 @@ object SparkEntry {
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
           FROM documents ORDER BY doc_id""",
+
+    "q_corpus_card" -> {
+      val hits = duckMarkerHits(stopwords)
+      val email = Quality.EmailRe
+      val ip = Quality.Ipv4Re
+      val phone = Quality.PhoneRe
+      s"""WITH t AS (SELECT source, text, ${duckToks("text")} AS tk
+            FROM documents),
+          r AS (SELECT source,
+            CAST(len(tk) AS BIGINT) AS nt,
+            CAST(floor((least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs((CASE WHEN len(tk) > 0
+                THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                ELSE 0.0 END) - 0.2))) * 1000000.0) AS BIGINT) AS q,
+            (len(regexp_extract_all(text, '$email')) +
+             len(regexp_extract_all(text, '$ip')) +
+             len(regexp_extract_all(text, '$phone')) > 0) AS pii
+            FROM t)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS BIGINT)
+              AS short_docs,
+            CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+            round(CAST(sum(q) AS DOUBLE) /
+              CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_quality
+          FROM r GROUP BY source ORDER BY source"""
+    },
 
     "q_text_quality" -> {
       val hits = duckMarkerHits(stopwords)

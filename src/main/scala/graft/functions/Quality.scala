@@ -71,4 +71,41 @@ object Quality {
   def emailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
   def ipv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
   def phoneCount(text: Column): Column = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** Per-group corpus DATA CARD — the datasheet row a dataset release
+    * publishes per source/shard: document and token mass, short-doc and
+    * PII-bearing-doc counts, and the mean quality score. One scan-stage
+    * projection (token counts, quality, PII flags are all per-row
+    * expressions) into ONE partial-aggregable groupBy — the cheapest
+    * possible full-corpus audit at 100 TB.
+    *
+    * The quality mean hash-matches across engines because each per-row
+    * score is quantized to an integer (floor of 10^6 × score) BEFORE
+    * summing — integer sums are order-free where double sums are not —
+    * and divided once at the end.
+    *
+    * Output: (groupCol, n_docs, n_tokens, short_docs, pii_docs,
+    * mean_quality).
+    */
+  def corpusCard(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, stopwords: Seq[String],
+      minTokens: Int = 10): org.apache.spark.sql.DataFrame = {
+    docs.select(col(groupCol),
+        Text.tokenCount(col(textCol)).cast("long").as("__nt"),
+        floor(Text.qualityScore(col(textCol), stopwords) *
+          lit(1000000.0)).cast("long").as("__q"),
+        (emailCount(col(textCol)) + ipv4Count(col(textCol)) +
+          phoneCount(col(textCol)) > 0).as("__pii"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(when(col("__nt") < minTokens, 1L).otherwise(0L)).as("short_docs"),
+        sum(when(col("__pii"), 1L).otherwise(0L)).as("pii_docs"),
+        sum(col("__q")).as("__sum_q"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("short_docs"), col("pii_docs"),
+        round(col("__sum_q").cast("double") /
+          (col("n_docs") * lit(1000000L)).cast("double"), 6)
+          .as("mean_quality"))
+  }
 }

@@ -43,8 +43,12 @@ object WinnowIndex {
       .withColumn("bucket", pmod(col("tid"), lit(nBuckets.toLong)))
     fp.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/fingerprints")
+    // Sizes share the bucketed layout (keyed by doc hash) so streaming
+    // admission can append through the same partitioned anti-join guard —
+    // the TextIndex lens convention.
     fp.groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("n_fp"))
-      .write.mode("overwrite").parquet(s"$path/sizes")
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/sizes")
     fp.agg(count(lit(1)).cast("long").as("n_fingerprints"))
       .select(lit(n.toLong).as("n"), lit(w.toLong).as("w"),
         lit(nBuckets.toLong).as("n_buckets"), col("n_fingerprints"))
@@ -96,5 +100,60 @@ object WinnowIndex {
           (col("n_q") + col("n_c") - col("shared")).cast("double"), 6))
       .select(col("query_id"), col(indexIdCol), col("shared"), col("n_q"),
         col("n_c"), col("fp_jaccard"))
+  }
+
+  /** Streaming screen-and-admit: each microbatch of incoming documents is
+    * (1) screened against the index — surviving candidate pairs append to
+    * `reportDir` as the audit trail — and (2) ADMITTED: its fingerprints
+    * and size row append into the index so later batches screen against
+    * it too. The incremental-curation loop: every new document is checked
+    * against everything already admitted, exactly once.
+    *
+    * Replay safety mirrors the postings ingest: both index appends go
+    * through the partitioned anti-join guard keyed by doc id, and the
+    * report append is guarded by query_id — a replayed microbatch can
+    * re-run the screen but cannot double-append any row. The frozen
+    * (n, w, n_buckets) metadata is never touched. Note the in-batch
+    * ordering: a batch is screened BEFORE it is admitted, so same-batch
+    * near-dup pairs surface when the LATER batch arrives, not within one
+    * batch — the same contract as the incremental MinHash dedup.
+    */
+  def streamScreenAndAdmit(spark: SparkSession, path: String,
+      streamDir: String, checkpoint: String, reportDir: String,
+      minShared: Long = 1L, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val incoming = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col(idCol), col(textCol))
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val meta = s.read.parquet(s"$path/meta")
+        val (n, w, nBuckets) = meta
+          .select(col("n"), col("w"), col("n_buckets"))
+          .as[(Long, Long, Long)].head()
+        val hits = screen(s, path, batch, minShared, idCol, textCol, idCol)
+          .withColumnRenamed(idCol, "index_id")
+          .withColumn("bucket", pmod(xxhash64(col("query_id")), lit(nBuckets)))
+        graft.merge.Merge.antiJoinAppend(s, hits, reportDir,
+          Seq("query_id", "index_id"), "bucket")
+        val fp = Dedup.winnowFingerprints(batch, idCol, textCol,
+            n.toInt, w.toInt)
+          .select(col(idCol), col("tid")).distinct()
+          .withColumn("bucket", pmod(col("tid"), lit(nBuckets)))
+        graft.merge.Merge.antiJoinAppend(s, fp, s"$path/fingerprints",
+          Seq(idCol), "bucket")
+        val sizes = fp.groupBy(col(idCol))
+          .agg(count(lit(1)).cast("long").as("n_fp"))
+          .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
+        graft.merge.Merge.antiJoinAppend(s, sizes, s"$path/sizes",
+          Seq(idCol), "bucket"): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .queryName("Winnow_Screen_Admit")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 }

@@ -103,4 +103,31 @@ class QualitySpec extends AnyFunSuite {
       (null.asInstanceOf[java.lang.Long], "a")).toDF("id", "par")
     assert(Sampling.stratifiedSample(withNull, Seq("par"), "id", 5).count() == 1)
   }
+
+  test("corpusCard aggregates the datasheet row per source") {
+    val docs = Seq(
+      ("s1", "the quick brown fox jumps over a lazy dog today ok"), // 11 toks
+      ("s1", "tiny"),                                               // short
+      ("s2", "reach me at bob@example.com for more details soon ok now")
+    ).toDF("source", "text")
+    val card = graft.functions.Quality.corpusCard(docs, "source", "text",
+        Seq("the", "a"), minTokens = 10)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("short_docs"), r.getAs[Long]("pii_docs"),
+          r.getAs[Double]("mean_quality")))).toMap
+    assert(card("s1")._1 === 2L && card("s1")._2 === 12L)
+    assert(card("s1")._3 === 1L && card("s1")._4 === 0L)
+    assert(card("s2") === ((1L, 10L, 0L, 1L, card("s2")._5)))
+    // independent model of the quantized mean for s1:
+    def q(nt: Int, stops: Int): Long = {
+      val stopRatio = if (nt > 0) stops.toDouble / nt else 0.0
+      val score = math.min(1.0, nt / 50.0) * (1.0 - math.abs(stopRatio - 0.2))
+      math.floor(score * 1e6).toLong
+    }
+    val expected = (q(11, 2) + q(1, 0)).toDouble / (2 * 1000000L)
+    assert(math.abs(card("s1")._5 -
+      BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+  }
 }

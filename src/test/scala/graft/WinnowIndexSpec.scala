@@ -76,6 +76,51 @@ class WinnowIndexSpec extends AnyFunSuite {
         s"got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("streaming screen-and-admit: reports cross-batch dups, replay-safe") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 10 && col("doc_id") < 200)
+    val path = TestSpark.tmpDir("winnowadmit")
+    WinnowIndex.writeWinnowIndex(corpus, path, nBuckets = 8, n = 3, w = 4)
+    val baseFp = spark.read.parquet(s"$path/fingerprints").count()
+
+    val streamDir = TestSpark.tmpDir("winnowin")
+    val ckpt = TestSpark.tmpDir("winnowckpt")
+    val reportDir = TestSpark.tmpDir("winnowrep")
+    val text100 = corpus.filter(col("doc_id") === 100)
+      .select("text").as[String].head()
+
+    // Batch A: a verbatim copy of corpus doc 100 under a new id.
+    Seq((9001L, text100)).toDF("doc_id", "text")
+      .write.mode("append").parquet(streamDir)
+    WinnowIndex.streamScreenAndAdmit(spark, path, streamDir, ckpt, reportDir)
+      .awaitTermination()
+    val rep1 = spark.read.parquet(reportDir)
+      .select("query_id", "index_id", "fp_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rep1.contains((9001L, 100L, 1.0)), rep1.toString)
+    assert(spark.read.parquet(s"$path/fingerprints").count() > baseFp)
+
+    // Batch B: a copy of 9001 — must pair with BOTH 100 and the admitted
+    // 9001 (cross-batch admission).
+    Seq((9002L, text100)).toDF("doc_id", "text")
+      .write.mode("append").parquet(streamDir)
+    WinnowIndex.streamScreenAndAdmit(spark, path, streamDir, ckpt, reportDir)
+      .awaitTermination()
+    val rep2 = spark.read.parquet(reportDir)
+      .select("query_id", "index_id", "fp_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rep2.contains((9002L, 100L, 1.0)), rep2.toString)
+    assert(rep2.contains((9002L, 9001L, 1.0)), rep2.toString)
+
+    // Replay with no new files: nothing double-appends.
+    val fpBefore = spark.read.parquet(s"$path/fingerprints").count()
+    val repBefore = spark.read.parquet(reportDir).count()
+    WinnowIndex.streamScreenAndAdmit(spark, path, streamDir, ckpt, reportDir)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$path/fingerprints").count() === fpBefore)
+    assert(spark.read.parquet(reportDir).count() === repBefore)
+  }
+
   test("minShared gates weak matches; sizes give the exact denominator") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten"),
