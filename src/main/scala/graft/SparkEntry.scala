@@ -624,6 +624,15 @@ object SparkEntry {
     },
 
     // Language ID by marker-word voting.
+    // Hard-negative mining: BM25 rank-1 is the positive; the next 20
+    // candidates survive as negatives only below 0.5 Jaccard vs the
+    // positive (near-dups are false negatives) — top 10 kept.
+    "q_hard_negatives" -> { (s, d) =>
+      graft.functions.Rank.hardNegatives(Tables.documents(s, d),
+        "doc_id", "text", SparkEntry.bm25Query, k = 10, candidates = 20,
+        maxJaccard = 0.5)
+    },
+
     // Per-source data card: the datasheet row a release publishes —
     // doc/token mass, short and PII-bearing doc counts, mean quality
     // (quantized-then-summed so the mean is order-free).
@@ -1688,6 +1697,40 @@ object SparkEntry {
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
           FROM documents ORDER BY doc_id""",
+
+    "q_hard_negatives" -> (duckBm25Cte +
+      s""", rk AS (SELECT doc_id, score_q, CAST(row_number() OVER
+            (ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+            FROM (SELECT * FROM agg ORDER BY score_q DESC, doc_id ASC
+                  LIMIT 21)),
+          tkg AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tkg),
+          gsets AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid
+            FROM gr0),
+          gsel AS (SELECT g.doc_id, g.tid FROM gsets g
+            SEMI JOIN rk USING (doc_id)),
+          pos AS (SELECT doc_id FROM rk WHERE bm25_rank = 1),
+          ps AS (SELECT tid FROM gsel SEMI JOIN pos USING (doc_id)),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS n_p FROM ps),
+          cs AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN ps.tid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS inter
+            FROM (SELECT doc_id, tid FROM gsel
+              WHERE doc_id NOT IN (SELECT doc_id FROM pos)) c
+            LEFT JOIN ps ON c.tid = ps.tid GROUP BY 1),
+          neg AS (SELECT rk.doc_id, rk.bm25_rank, rk.score_q,
+              coalesce(round(CAST(cs.inter AS DOUBLE) /
+                CAST(cs.n + np.n_p - cs.inter AS DOUBLE), 6), 0.0)
+                AS jaccard_pos
+            FROM rk CROSS JOIN np LEFT JOIN cs ON cs.doc_id = rk.doc_id
+            WHERE rk.bm25_rank > 1)
+          SELECT doc_id, bm25_rank, score_q,
+            CAST(score_q AS DOUBLE) / 1000000.0 AS score, jaccard_pos
+          FROM neg WHERE jaccard_pos <= 0.5
+          ORDER BY bm25_rank ASC LIMIT 10"""),
 
     "q_corpus_card" -> {
       val hits = duckMarkerHits(stopwords)

@@ -116,6 +116,60 @@ object Rank {
       .select(col(idCol), col("n_terms"), col("score_q"), col("score"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training: the top
+    * BM25 hit is the POSITIVE; the next-ranked candidates become
+    * negatives only if their n-gram Jaccard against the positive stays
+    * at or below `maxJaccard` — near-duplicates of the positive are
+    * FALSE negatives that poison a contrastive objective, the standard
+    * failure mode this operator exists to cut.
+    *
+    * Scale shape: ranking is the bounded [[bm25TopDocs]] TakeOrdered;
+    * everything after runs on `candidates + 1` rows — the rank window is
+    * single-partition BY CONSTRUCTION (its input is the bounded top
+    * list, never the corpus), the positive's shingle set broadcasts, and
+    * the candidates' sets are cut to the ranked ids by semi-join before
+    * any aggregation. Candidates too short to shingle share nothing with
+    * the positive and pass the gate at similarity 0.
+    *
+    * Output: (idCol, bm25_rank, score_q, score, jaccard_pos), the k
+    * best-ranked surviving negatives in rank order.
+    */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, candidates: Int, maxJaccard: Double,
+      shingleSize: Int = 3): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must cover k ($k)")
+    val ranked = bm25TopDocs(docs, idCol, textCol, queryTerms, candidates + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_q").desc, col(idCol).asc)
+    val rr = ranked.withColumn("bm25_rank",
+      org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+    val pos = rr.filter(col("bm25_rank") === 1L).select(col(idCol))
+    val cands = rr.filter(col("bm25_rank") > 1L)
+    val sets = Dedup.docShingleIds(docs, idCol, textCol, shingleSize)
+      .distinct()
+      .join(broadcast(rr.select(col(idCol))), Seq(idCol), "left_semi")
+    val posSet = broadcast(sets
+      .join(broadcast(pos), Seq(idCol), "left_semi")
+      .select(col("tid")).withColumn("__hit", lit(1L)))
+    val posSize = broadcast(posSet.agg(count(lit(1)).as("__np")))
+    val candStats = sets
+      .join(broadcast(cands.select(col(idCol))), Seq(idCol), "left_semi")
+      .join(posSet, Seq("tid"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("__inter"))
+    cands.join(candStats, Seq(idCol), "left")
+      .crossJoin(posSize)
+      .withColumn("jaccard_pos", when(col("__n").isNull, lit(0.0)).otherwise(
+        round(col("__inter").cast("double") /
+          (col("__n") + col("__np") - col("__inter")).cast("double"), 6)))
+      .filter(col("jaccard_pos") <= maxJaccard)
+      .orderBy(col("bm25_rank").asc)
+      .limit(k)
+      .select(col(idCol), col("bm25_rank"), col("score_q"), col("score"),
+        col("jaccard_pos"))
+  }
+
   private val RrfQuant = 1000000000L // 10^9: RRF contribution fixed point
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of ranked

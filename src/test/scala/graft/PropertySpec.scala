@@ -239,6 +239,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: DSIR scores equal an independent BigInt model on fuzzed corpora") {
+    import spark.implicits._
+    val b = 32
+    def polyBucket(tok: String): Long =
+      tok.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L) % b
+    forAll(corpusGen, corpusGen) { (rawRows, targetRows) =>
+      val raw = rawRows.toDF("doc_id", "text")
+      val target = targetRows.map { case (i, t) => (i + 1000L, t) }
+        .toDF("doc_id", "text")
+      val got = graft.functions.Importance
+        .importanceScores(raw, target, "doc_id", "text", nBuckets = b)
+        .select("doc_id", "n_tokens", "score_q")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      val rawToks = rawRows.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val rc = rawToks.values.flatten.map(polyBucket)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val tc = targetRows.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+        .map(polyBucket).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val nR = rc.values.sum; val nT = tc.values.sum
+      val expected = rawToks.collect { case (id, ts) if ts.nonEmpty =>
+        val lr = ts.map(polyBucket).map { bk =>
+          (BigInt(tc.getOrElse(bk, 0L) + 1) * BigInt(nR + b) * 1000000L) /
+            (BigInt(rc.getOrElse(bk, 0L) + 1) * BigInt(nT + b))
+        }
+        id -> (ts.size.toLong, (lr.sum / BigInt(ts.size)).toLong)
+      }
+      assert(got == expected)
+    }
+  }
+
   test("property: PageRank conserves mass and keeps ranks positive on fuzzed corpora") {
     import spark.implicits._
     forAll(corpusGen) { rows =>

@@ -96,4 +96,36 @@ class RankSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("GlobalLimit"), plan)
   }
+
+  test("hardNegatives drops near-dups of the positive, keeps rank order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector merge dup vector merge dup vector merge dup searching"),
+      (2L, "vector merge dup vector merge dup vector merge dup searcher"),
+      (3L, "vector merge content about other unrelated engine topics here"),
+      (4L, "dup detection with different framing and vocabulary entirely"),
+      (5L, "nothing relevant to the query terms in this one at all")
+    ).toDF("doc_id", "text")
+    val negs = graft.functions.Rank.hardNegatives(docs, "doc_id", "text",
+        Seq("dup", "vector", "merge"), k = 3, candidates = 4,
+        maxJaccard = 0.5)
+      .select("doc_id", "bm25_rank", "jaccard_pos")
+      .as[(Long, Long, Double)].collect()
+    // doc 2 is a near-copy of the positive (doc 1 or 2 wins rank 1; the
+    // other is its near-dup) and must be gone
+    val ids = negs.map(_._1).toSet
+    assert(!(ids.contains(1L) && ids.contains(2L)), negs.mkString(", "))
+    assert(ids.subsetOf(Set(1L, 2L, 3L, 4L)), negs.mkString(", "))
+    // survivors arrive in ascending bm25 rank with sims under the cap
+    assert(negs.map(_._2).toSeq === negs.map(_._2).sorted.toSeq)
+    assert(negs.forall(_._3 <= 0.5))
+    // with no jaccard cap every ranked candidate survives, including the
+    // twin (doc 5 matches no query term, so only 3 candidates exist)
+    val lax = graft.functions.Rank.hardNegatives(docs, "doc_id", "text",
+        Seq("dup", "vector", "merge"), k = 4, candidates = 4,
+        maxJaccard = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lax.contains(1L) || lax.contains(2L))
+    assert(lax.size === 3 && !lax.contains(5L))
+  }
 }
