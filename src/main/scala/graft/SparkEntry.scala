@@ -1153,6 +1153,14 @@ object SparkEntry {
     // Corpus bigram novelty: occurrence counts, corpus-hapax ratio, and
     // mean bigram document frequency — the distributional stand-in for
     // perplexity filtering, in order-free exact arithmetic.
+    // Kneser-Ney bigram LM table (d = 3/4, exact rational arithmetic):
+    // bigrams seen at least twice with their smoothed probabilities.
+    "q_kn_bigram" -> { (s, d) =>
+      graft.functions.LangModel.knBigramProbs(
+          Tables.documents(s, d), "text", minCount = 2L)
+        .orderBy(col("tid_a"), col("tid_b"))
+    },
+
     "q_bigram_stats" -> { (s, d) =>
       graft.functions.LangModel.bigramStats(Tables.documents(s, d),
           "doc_id", "text")
@@ -2477,6 +2485,30 @@ object SparkEntry {
             round((CAST(n_docs AS DOUBLE) * c_ab) /
               (CAST(c_a AS DOUBLE) * c_b), 6) AS lift
           FROM p CROSS JOIN n ORDER BY tok_a, tok_b""",
+
+    "q_kn_bigram" ->
+      s"""WITH tk AS (SELECT ${duckToks("text")} AS tk FROM documents),
+          p AS (SELECT unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          ids AS (SELECT ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM p),
+          cab AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM ids GROUP BY 1, 2),
+          ca AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
+          cb AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
+          q AS (SELECT tid_a, tid_b, c_ab,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np)
+          SELECT tid_a, tid_b, c_ab, pkn_q,
+            CAST(pkn_q AS DOUBLE) / 1000000000.0 AS pkn
+          FROM q WHERE c_ab >= 2 ORDER BY tid_a, tid_b""",
 
     "q_bigram_stats" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

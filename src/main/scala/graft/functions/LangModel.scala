@@ -91,6 +91,77 @@ object LangModel {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
 
+  /** Kneser–Ney smoothed bigram probabilities over the corpus — the
+    * KenLM-style n-gram LM estimation step (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form), computable under the hash oracle
+    * because absolute discounting with d = 3/4 keeps EVERY quantity
+    * rational:
+    *
+    *   P(b|a) = max(c_ab − d, 0)/c_a + d·N1+(a·)/c_a · N1+(·b)/N_pairs
+    *
+    * cleared to one integer ratio
+    *
+    *   p_q = (max(4·c_ab − 3, 0)·N_pairs + 3·N1a·N1b) · 10^9
+    *         div (4·c_a·N_pairs)
+    *
+    * in decimal(38,0) — exact products, ONE integral division, so both
+    * engines agree bit-for-bit. Bound check: c ≤ 10^15 tokens and
+    * N_pairs ≤ 10^13 distinct bigrams put the widest product near
+    * 4·10^28·10^9 = 10^38 — the decimal edge, asserted here like BM25's.
+    *
+    * Scale shape: bigram pairs come from one scan-stage zip of adjacent
+    * tokens (hashed to long ids at the scan — collisions merge
+    * identically in both engines, the standard contract); counts,
+    * prefix/continuation tallies are partial-aggregable groupBys joined
+    * back on long keys; N_pairs rides in as a broadcast 1-row aggregate.
+    * Normalization note: Σ_b P(b|a) = 1 holds over the FULL vocabulary —
+    * the mass discounted from seen bigrams re-enters through the
+    * continuation term for unseen b — so the materialized (seen-only)
+    * rows of a prefix sum to less than 1 by exactly the unseen
+    * continuation mass; the spec checks hand-computed rationals and a
+    * fuzzed BigInt model rather than a row-sum identity the seen table
+    * cannot express.
+    *
+    * Output: (tid_a, tid_b, c_ab, pkn_q, pkn) for bigrams with
+    * c_ab >= minCount (the LM table a perplexity scorer consumes).
+    */
+  def knBigramProbs(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = Text.tokens(col(textCol))
+    val pairs = docs
+      .select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(
+              graft.plans.TextExpressions.polyHash(element_at(toks, i))
+                .as("tid_a"),
+              graft.plans.TextExpressions.polyHash(element_at(toks, i + 1))
+                .as("tid_b"))))
+        .otherwise(array())).as("__p"))
+      .select(col("__p.tid_a"), col("__p.tid_b"))
+    val cab = pairs.groupBy(col("tid_a"), col("tid_b"))
+      .agg(count(lit(1)).cast("long").as("c_ab"))
+    val ca = cab.groupBy(col("tid_a"))
+      .agg(sum(col("c_ab")).cast("long").as("c_a"),
+        count(lit(1)).cast("long").as("n1a"))
+    val contb = cab.groupBy(col("tid_b"))
+      .agg(count(lit(1)).cast("long").as("n1b"))
+    val npairs = broadcast(cab.agg(count(lit(1)).cast("long").as("np")))
+    cab.join(ca, Seq("tid_a")).join(contb, Seq("tid_b")).crossJoin(npairs)
+      .withColumn("pkn_q",
+        expr(s"""CAST((CAST(greatest(4 * c_ab - 3, 0) AS $dec) *
+                       CAST(np AS $dec) +
+                       CAST(3 AS $dec) * CAST(n1a AS $dec) *
+                       CAST(n1b AS $dec)) *
+                      CAST(1000000000 AS $dec) div
+                      (CAST(4 AS $dec) * CAST(c_a AS $dec) *
+                       CAST(np AS $dec)) AS BIGINT)"""))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("pkn", col("pkn_q").cast("double") / lit(1e9))
+      .select(col("tid_a"), col("tid_b"), col("c_ab"), col("pkn_q"),
+        col("pkn"))
+  }
+
   /** Per-document bigram novelty stats:
     * (idCol, n_bigrams, n_hapax, hapax_ratio, avg_bigram_df) where
     * n_bigrams counts bigram OCCURRENCES, n_hapax counts occurrences

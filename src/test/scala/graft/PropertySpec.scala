@@ -271,6 +271,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: Kneser-Ney probs equal an independent BigInt model on fuzzed corpora") {
+    import spark.implicits._
+    def h(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val got = graft.functions.LangModel.knBigramProbs(docs, "text")
+        .select("tid_a", "tid_b", "c_ab", "pkn_q")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+      val pairs = rows.flatMap { case (_, t) =>
+        val ts = t.split("\\s+").filter(_.nonEmpty)
+        ts.zip(ts.drop(1)).map { case (a, b) => (h(a), h(b)) }
+      }
+      val cab = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      if (cab.nonEmpty) {
+        val ca = cab.groupBy(_._1._1).map { case (a, m) =>
+          a -> (m.values.sum, m.size.toLong) }
+        val cb = cab.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+        val np = cab.size.toLong
+        val expected = cab.map { case ((a, b), c) =>
+          val (sumA, n1a) = ca(a)
+          val num = (BigInt(math.max(4 * c - 3, 0L)) * np +
+            BigInt(3) * n1a * cb(b)) * 1000000000L
+          (a, b) -> (c, (num / (BigInt(4) * sumA * np)).toLong)
+        }
+        assert(got == expected)
+      } else assert(got.isEmpty)
+    }
+  }
+
   test("property: PageRank conserves mass and keeps ranks positive on fuzzed corpora") {
     import spark.implicits._
     forAll(corpusGen) { rows =>

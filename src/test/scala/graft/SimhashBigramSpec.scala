@@ -107,6 +107,28 @@ class SimhashBigramSpec extends AnyFunSuite {
     ))
   }
 
+  test("knBigramProbs: hand-computed Kneser-Ney rationals on a tiny corpus") {
+    // tokens: x y x y x z  ->  c(x,y)=2, c(y,x)=2, c(x,z)=1
+    // c_a: x=3, y=2; N1a: x=2, y=1; N1b: y=1, x=1, z=1; N_pairs=3
+    // P(y|x) = (max(8-3,0)*3 + 3*2*1) / (4*3*3) = 21/36
+    // P(z|x) = (max(4-3,0)*3 + 3*2*1) / 36      =  9/36
+    // P(x|y) = (max(8-3,0)*3 + 3*1*1) / (4*2*3) = 18/24
+    val docs = Seq((1L, "x y x y x z")).toDF("id", "text")
+    def h(s: String) =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = LangModel.knBigramProbs(docs, "text")
+      .collect().map(r => (r.getAs[Long]("tid_a"), r.getAs[Long]("tid_b")) ->
+        ((r.getAs[Long]("c_ab"), r.getAs[Long]("pkn_q")))).toMap
+    def q(num: Long, den: Long): Long =
+      (BigInt(num) * 1000000000L / den).toLong
+    assert(got === Map(
+      (h("x"), h("y")) -> ((2L, q(21, 36))),
+      (h("y"), h("x")) -> ((2L, q(18, 24))),
+      (h("x"), h("z")) -> ((1L, q(9, 36)))))
+    // minCount prunes the hapax bigram
+    assert(LangModel.knBigramProbs(docs, "text", minCount = 2L).count() === 2)
+  }
+
   test("oovStats: tail tokens count as OOV against the top-V vocabulary") {
     val docs = Seq(
       (1L, "a a a b b rare1"),  // corpus counts: a x4, b x3, rare* x1 each
