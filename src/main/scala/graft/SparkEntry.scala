@@ -1161,6 +1161,15 @@ object SparkEntry {
         .orderBy(col("tid_a"), col("tid_b"))
     },
 
+    // LM-fit scoring (CCNet-style, log-free): every doc scored by the
+    // mean KN probability of its bigrams under the corpus's own table.
+    "q_lm_fit" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.LangModel.knScoreDocs(docs, "doc_id", "text",
+          graft.functions.LangModel.knBigramProbs(docs, "text"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_bigram_stats" -> { (s, d) =>
       graft.functions.LangModel.bigramStats(Tables.documents(s, d),
           "doc_id", "text")
@@ -2509,6 +2518,38 @@ object SparkEntry {
           SELECT tid_a, tid_b, c_ab, pkn_q,
             CAST(pkn_q AS DOUBLE) / 1000000000.0 AS pkn
           FROM q WHERE c_ab >= 2 ORDER BY tid_a, tid_b""",
+
+    "q_lm_fit" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          dp AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          dids AS (SELECT doc_id, ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM dp),
+          cab AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM dids GROUP BY 1, 2),
+          ca AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
+          cb AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
+          lm AS (SELECT tid_a, tid_b,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np),
+          sc AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(CASE WHEN lm.pkn_q IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_scored,
+            CAST(sum(coalesce(lm.pkn_q, 0)) AS BIGINT) AS sum_q
+            FROM dids d LEFT JOIN lm
+            ON d.tid_a = lm.tid_a AND d.tid_b = lm.tid_b
+            GROUP BY 1)
+          SELECT doc_id, n_bigrams, n_scored,
+            CAST(sum_q // n_bigrams AS BIGINT) AS fit_q,
+            CAST(sum_q // n_bigrams AS DOUBLE) / 1000000000.0 AS fit
+          FROM sc ORDER BY doc_id""",
 
     "q_bigram_stats" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

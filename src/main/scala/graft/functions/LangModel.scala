@@ -162,6 +162,48 @@ object LangModel {
         col("pkn"))
   }
 
+  /** Score documents against a trained [[knBigramProbs]] table — the
+    * LM-fit quality filter (the role CCNet's perplexity filter plays,
+    * log-free): a document's score is the mean quantized KN probability
+    * of its bigram OCCURRENCES, with bigrams absent from the LM table
+    * contributing zero — so both unseen-heavy garble and low-probability
+    * noise sink the score, while boilerplate floats. Scoring against a
+    * CLEAN corpus's table (not the scored corpus's own) is the CCNet
+    * composition; self-scoring ranks a corpus by its own typicality.
+    *
+    * One scan-stage bigram zip, one long-keyed equi-join against the
+    * bigram-type-sized LM table, one partial-aggregable per-doc mean
+    * (integer sum, ONE division). Docs with no bigrams drop out
+    * (inner-aggregation semantics, like bigramStats).
+    *
+    * Output: (idCol, n_bigrams, n_scored, fit_q, fit).
+    */
+  def knScoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val pairs = docs
+      .select(col(idCol), explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(
+              graft.plans.TextExpressions.polyHash(element_at(toks, i))
+                .as("tid_a"),
+              graft.plans.TextExpressions.polyHash(element_at(toks, i + 1))
+                .as("tid_b"))))
+        .otherwise(array())).as("__p"))
+      .select(col(idCol), col("__p.tid_a"), col("__p.tid_b"))
+    pairs
+      .join(lm.select(col("tid_a"), col("tid_b"), col("pkn_q")),
+        Seq("tid_a", "tid_b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("pkn_q").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(coalesce(col("pkn_q"), lit(0L))).as("__sum_q"))
+      .withColumn("fit_q", expr("__sum_q div n_bigrams"))
+      .withColumn("fit", col("fit_q").cast("double") / lit(1e9))
+      .select(col(idCol), col("n_bigrams"), col("n_scored"), col("fit_q"),
+        col("fit"))
+  }
+
   /** Per-document bigram novelty stats:
     * (idCol, n_bigrams, n_hapax, hapax_ratio, avg_bigram_df) where
     * n_bigrams counts bigram OCCURRENCES, n_hapax counts occurrences

@@ -129,6 +129,31 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(LangModel.knBigramProbs(docs, "text", minCount = 2L).count() === 2)
   }
 
+  test("knScoreDocs: clean docs outscore garble under a clean-corpus LM") {
+    val clean = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran")
+    ).toDF("id", "text")
+    val lm = LangModel.knBigramProbs(clean, "text")
+    val scored = Seq(
+      (10L, "the cat sat on the mat"),     // all bigrams in-LM
+      (11L, "zz qq ww ee rr tt yy uu"),    // no bigram in-LM: fit 0
+      (12L, "solo")                        // no bigrams: drops out
+    ).toDF("id", "text")
+    val got = LangModel.knScoreDocs(scored, "id", "text", lm)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_scored"),
+          r.getAs[Long]("fit_q")))).toMap
+    assert(got.keySet === Set(10L, 11L))
+    assert(got(10L)._1 === 5L && got(10L)._2 === 5L && got(10L)._3 > 0L)
+    assert(got(11L) === ((7L, 0L, 0L)))
+    // unseen bigrams dilute: a half-garbled doc scores below the clean one
+    val half = Seq((20L, "the cat sat zz qq ww")).toDF("id", "text")
+    val hq = LangModel.knScoreDocs(half, "id", "text", lm)
+      .collect().head.getAs[Long]("fit_q")
+    assert(hq > 0L && hq < got(10L)._3)
+  }
+
   test("oovStats: tail tokens count as OOV against the top-V vocabulary") {
     val docs = Seq(
       (1L, "a a a b b rare1"),  // corpus counts: a x4, b x3, rare* x1 each
