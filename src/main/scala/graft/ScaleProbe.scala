@@ -292,6 +292,24 @@ object ScaleProbe {
       println(f"""{"probe":"dsir","mult":$mult,"docs":$n,"sec":$sec%.2f}""")
     }
 
+    // KN-LM probe: estimation is one corpus-sized pair scan into
+    // vocabulary²-bounded aggregates; scoring re-scans the corpus against
+    // the bigram-type-sized table. Both walls must stay linear in the
+    // corpus (the LM table itself grows sublinearly — replicas add
+    // counts, not types, beyond their marker tokens).
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val lm = graft.functions.LangModel.knBigramProbs(docs, "text")
+      val nLm = lm.count()
+      val secLm = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nSc = graft.functions.LangModel
+        .knScoreDocs(docs, "doc_id", "text", lm).count()
+      val secSc = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"kn_lm","mult":$mult,"bigram_types":$nLm,"docs_scored":$nSc,"train_sec":$secLm%.2f,"score_sec":$secSc%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot

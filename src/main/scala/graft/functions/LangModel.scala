@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
+  /** (carryCols..., tid_a, tid_b): hashed adjacent-token pairs, one scan
+    * pass. The token array is PROJECTED once before the zip — referencing
+    * the tokenizer expression inside a per-element lambda re-evaluates
+    * the regex split per element (measured: ~10× on the KN probe), the
+    * classic higher-order-function trap. zip_with pairs each token with
+    * its successor; hashing happens after the explode, per emitted row.
+    */
+  private def adjacentPairs(docs: DataFrame, textCol: String,
+      carryCols: Seq[String]): DataFrame = {
+    val tk = docs.select(carryCols.map(col) :+
+      Text.tokens(col(textCol)).as("__tk"): _*)
+    val zipped = tk.select(carryCols.map(col) :+
+      explode(zip_with(
+        slice(col("__tk"), lit(1), greatest(size(col("__tk")) - 1, lit(0))),
+        slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("__z"): _*)
+    zipped.select(carryCols.map(col) ++ Seq(
+      graft.plans.TextExpressions.polyHash(col("__z.a")).as("tid_a"),
+      graft.plans.TextExpressions.polyHash(col("__z.b")).as("tid_b")): _*)
+  }
+
   /** Document-level token co-occurrence lift — PMI's ratio without the
     * log (monotone, so rankings agree). Cross-engine parity holds because
     * both engines evaluate the identical double products and one division
@@ -128,17 +149,7 @@ object LangModel {
   def knBigramProbs(docs: DataFrame, textCol: String,
       minCount: Long = 1L): DataFrame = {
     val dec = "decimal(38,0)"
-    val toks = Text.tokens(col(textCol))
-    val pairs = docs
-      .select(explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(
-              graft.plans.TextExpressions.polyHash(element_at(toks, i))
-                .as("tid_a"),
-              graft.plans.TextExpressions.polyHash(element_at(toks, i + 1))
-                .as("tid_b"))))
-        .otherwise(array())).as("__p"))
-      .select(col("__p.tid_a"), col("__p.tid_b"))
+    val pairs = adjacentPairs(docs.select(col(textCol)), textCol, Nil)
     val cab = pairs.groupBy(col("tid_a"), col("tid_b"))
       .agg(count(lit(1)).cast("long").as("c_ab"))
     val ca = cab.groupBy(col("tid_a"))
@@ -180,17 +191,8 @@ object LangModel {
     */
   def knScoreDocs(docs: DataFrame, idCol: String, textCol: String,
       lm: DataFrame): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val pairs = docs
-      .select(col(idCol), explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(
-              graft.plans.TextExpressions.polyHash(element_at(toks, i))
-                .as("tid_a"),
-              graft.plans.TextExpressions.polyHash(element_at(toks, i + 1))
-                .as("tid_b"))))
-        .otherwise(array())).as("__p"))
-      .select(col(idCol), col("__p.tid_a"), col("__p.tid_b"))
+    val pairs = adjacentPairs(docs.select(col(idCol), col(textCol)),
+      textCol, Seq(idCol))
     pairs
       .join(lm.select(col("tid_a"), col("tid_b"), col("pkn_q")),
         Seq("tid_a", "tid_b"), "left")

@@ -170,6 +170,21 @@ object CorpusPipeline {
     docs.join(garble, Seq(cfg.idCol), "left_anti")
   }
 
+  /** LM-fit gate: drop docs whose mean Kneser-Ney bigram probability
+    * under `lm` (a [[graft.functions.LangModel.knBigramProbs]] table —
+    * train it on a CLEAN reference corpus for the CCNet composition)
+    * falls below `minFit`. Docs with no bigrams pass (the quality gate
+    * owns them; the scorer cannot see them).
+    */
+  def lmFitGate(docs: DataFrame, lm: DataFrame, minFit: Double,
+      cfg: Config = Config()): DataFrame = {
+    val unfit = graft.functions.LangModel.knScoreDocs(docs, cfg.idCol,
+        cfg.textCol, lm)
+      .filter(col("fit") < minFit)
+      .select(col(cfg.idCol))
+    docs.join(unfit, Seq(cfg.idCol), "left_anti")
+  }
+
   /** Held-out split assignment over the CURATED corpus (split after
     * dedup, never before: a near-dup pair straddling train/test is
     * leakage the split exists to prevent). Deterministic by id hash —

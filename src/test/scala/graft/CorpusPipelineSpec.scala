@@ -148,6 +148,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(clean === Set(1L))
   }
 
+  test("lmFitGate drops garble under a clean-corpus LM, passes bigram-less docs") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "the cat sat on the mat and the cat ran home fast"),
+      (2L, "the dog sat on the mat and the dog ran home slow")
+    ).toDF("doc_id", "text")
+    val lm = graft.functions.LangModel.knBigramProbs(clean, "text")
+    val incoming = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "zz qq ww ee rr tt yy uu garble stream"),
+      (12L, "solo")                       // no bigrams: must pass
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.lmFitGate(incoming, lm, minFit = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 12L))
+  }
+
   test("exact dedup survives a real polynomial-hash collision") {
     import spark.implicits._
     // these two distinct texts share polyHash mod 1e9+7 (= 633477840,
