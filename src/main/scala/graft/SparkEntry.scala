@@ -68,10 +68,13 @@ object SparkEntry {
           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
         (acc, v) -> acc + v)"""
 
-  private def duckBucketOf(key: String): String = {
+  /** DuckDB fragment: Sampling.hashOrder — the full-width mixer value. */
+  private def duckMixOf(key: String): String = {
     val h1 = s"((($key % 2147483647) * 1103515245 + 12345) % 2147483647)"
-    s"((($h1 * ($h1 + 1)) % 2147483647) * 784588716 + 998244353) % 2147483647 % 10000"
+    s"(((($h1 * ($h1 + 1)) % 2147483647) * 784588716 + 998244353) % 2147483647)"
   }
+  private def duckBucketOf(key: String): String =
+    s"${duckMixOf(key)} % 10000"
   private val duckBucket: String = duckBucketOf("doc_id")
 
   private def duckMarkerHits(lang: Seq[String]): String =
@@ -781,6 +784,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-ranked canonical selection: among each near-dup cluster keep
+    // the doc with the most tokens (id tie-break) — the RefinedWeb/Dolma
+    // "keep the best copy" rule, composed from the MinHash-LSH clusters.
+    "q_canonical_docs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"),
+        SparkEntry.numMinhashes)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2),
+        "doc_id")
+      val assign = Cluster.assignClusters(pairs, "id_a", "id_b",
+        docs.select(col("doc_id")), "doc_id")
+      val scores = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Cluster.canonicalByScore(assign, "doc_id", scores, "n_tokens")
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher/C4-style quality gating: five scan-stage signals + the keep
     // decision, all per-row arithmetic at parquet-scan speed.
     "q_quality_rules" -> { (s, d) =>
@@ -1059,6 +1080,16 @@ object SparkEntry {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     },
 
+    // Deterministic corpus shuffle + sharding: (shard, pos) per doc from
+    // the exact-arithmetic mixer — the reproducible training-order
+    // handoff to the data loader (no rand(), rerun- and engine-stable).
+    "q_corpus_shuffle" -> { (s, d) =>
+      graft.functions.Sampling.shardAssign(Tables.documents(s, d),
+          "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+
     // Budget-quantized sequence packing: docs (sharded, in id order) pack
     // into ~256-token groups via the exclusive prefix sum.
     "q_seq_pack" -> { (s, d) =>
@@ -1173,6 +1204,16 @@ object SparkEntry {
     "q_bigram_stats" -> { (s, d) =>
       graft.functions.LangModel.bigramStats(Tables.documents(s, d),
           "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNet head/middle/tail bucketing: within-language exact rank of the
+    // LM-fit score cut into three tiers — the keep-head-and-middle
+    // perplexity filter, completed from q_lm_fit's scores.
+    "q_lm_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.LangModel.lmBuckets(docs, "doc_id", "text", "lang",
+          graft.functions.LangModel.knBigramProbs(docs, "text"))
         .orderBy(col("doc_id"))
     },
 
@@ -2029,6 +2070,29 @@ object SparkEntry {
           FROM comp c JOIN csizes z USING (component)
           ORDER BY c.doc_id""",
 
+    "q_canonical_docs" ->
+      s"""WITH RECURSIVE $duckLshPairsCte,
+          e AS (SELECT id_a AS s, id_b AS t FROM lsh_pairs
+                UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.id),
+          comp AS (SELECT id AS doc_id, min(r) AS component
+                   FROM reach GROUP BY id),
+          csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                     FROM comp GROUP BY component),
+          toks AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          rk AS (SELECT c.doc_id, c.component, z.csize, t.n_tokens,
+            row_number() OVER (PARTITION BY c.component
+              ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+            FROM comp c JOIN csizes z USING (component)
+            JOIN toks t USING (doc_id))
+          SELECT doc_id, component, csize, n_tokens, (rn = 1) AS keep
+          FROM rk ORDER BY doc_id""",
+
     "q_quality_rules" -> {
       val hits = duckMarkerHits(stopwords)
       s"""WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS tk FROM documents),
@@ -2389,6 +2453,14 @@ object SparkEntry {
                  ELSE 'test' END AS split
           FROM b ORDER BY doc_id""",
 
+    "q_corpus_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, ${duckMixOf("doc_id")} AS mix
+            FROM documents WHERE doc_id IS NOT NULL)
+          SELECT doc_id, CAST(mix % 8 AS BIGINT) AS shard,
+            CAST(row_number() OVER (PARTITION BY mix % 8
+              ORDER BY mix, doc_id) - 1 AS BIGINT) AS pos
+          FROM h ORDER BY doc_id""",
+
     "q_seq_pack" ->
       s"""WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
@@ -2550,6 +2622,40 @@ object SparkEntry {
             CAST(sum_q // n_bigrams AS BIGINT) AS fit_q,
             CAST(sum_q // n_bigrams AS DOUBLE) / 1000000000.0 AS fit
           FROM sc ORDER BY doc_id""",
+
+    "q_lm_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          dp AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          dids AS (SELECT doc_id, ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM dp),
+          cab AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM dids GROUP BY 1, 2),
+          ca AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
+          cb AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
+          lm AS (SELECT tid_a, tid_b,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np),
+          sc AS (SELECT d.doc_id,
+            CAST(sum(coalesce(lm.pkn_q, 0)) // count(*) AS BIGINT) AS fit_q
+            FROM dids d LEFT JOIN lm
+            ON d.tid_a = lm.tid_a AND d.tid_b = lm.tid_b
+            GROUP BY 1),
+          bk AS (SELECT sc.doc_id, dd.lang, sc.fit_q,
+            CAST(ntile(3) OVER (PARTITION BY dd.lang
+              ORDER BY sc.fit_q DESC, sc.doc_id) AS BIGINT) AS bucket
+            FROM sc JOIN documents dd USING (doc_id))
+          SELECT doc_id, lang, fit_q, bucket,
+            CASE WHEN bucket = 1 THEN 'head'
+                 WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS tier
+          FROM bk ORDER BY doc_id""",
 
     "q_bigram_stats" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

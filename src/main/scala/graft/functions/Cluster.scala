@@ -120,4 +120,29 @@ object Cluster {
     val reps = assignment.filter(col("is_rep")).select(col(idCol))
     docs.join(reps, Seq(idCol), "left_semi")
   }
+
+  /** QUALITY-ranked canonical selection — keep the BEST document of each
+    * near-dup cluster instead of the smallest id (the RefinedWeb/Dolma
+    * rule: among near-duplicates, keep the longest / highest-quality
+    * copy). `scores` is (idCol, scoreCol); the winner per component is
+    * the max score with the id as tie-break. Singleton clusters keep
+    * their only member, so the kept set is exactly one doc per component.
+    *
+    * One equi-join (assignment × scores, both id-keyed) and one
+    * component-keyed window over component-sized partitions — the same
+    * shuffle geometry as the size count inside [[assignClusters]];
+    * nothing scales with pair volume. Output: (idCol, component, csize,
+    * scoreCol, keep).
+    */
+  def canonicalByScore(assignment: DataFrame, idCol: String,
+      scores: DataFrame, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    assignment.select(col(idCol), col("component"), col("csize"))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("component"), col("csize"), col(scoreCol),
+        col("keep"))
+  }
 }

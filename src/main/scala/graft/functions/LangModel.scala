@@ -206,6 +206,43 @@ object LangModel {
         col("fit"))
   }
 
+  /** CCNet-style LM-fit bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+    * rank every document by its [[knScoreDocs]] fit within its language
+    * and cut the ranking into `nBuckets` equal tiers — bucket 1 ("head",
+    * most LM-typical) through bucket `nBuckets` ("tail", least typical).
+    * CCNet keeps head+middle and drops tail; the keep decision is the
+    * caller's filter on `tier`. Higher fit = more typical, so the rank
+    * order is fit DESC (CCNet's perplexity ASC), with the id as the
+    * deterministic tie-break. Docs with fewer than two tokens emit no
+    * bigrams and drop out (knScoreDocs' inner-aggregation semantics) —
+    * gate them separately with tokenCount.
+    *
+    * Departure from CCNet, documented: one LM over the whole corpus
+    * (knBigramProbs has no per-language grouping), buckets within
+    * language. Scale note (100 TB): ntile is an exact within-language
+    * rank — one sort-shuffle keyed by language whose partitions are
+    * language-sized. That is the oracle-exact specification; at real
+    * scale one computes per-language fit-quantile THRESHOLDS on a sample
+    * (percentile_approx) and applies them scan-stage, trading exact
+    * bucket cardinality for a shuffle-free plan.
+    *
+    * Output: (idCol, langCol, fit_q, bucket, tier).
+    */
+  def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, lm: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = knScoreDocs(docs, idCol, textCol, lm)
+      .select(col(idCol), col("fit_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("fit_q").desc, col(idCol))
+    scored.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("tier", when(col("bucket") === 1, "head")
+        .when(col("bucket") === nBuckets, "tail").otherwise("middle"))
+      .select(col(idCol), col(langCol), col("fit_q"), col("bucket"),
+        col("tier"))
+  }
+
   /** Per-document bigram novelty stats:
     * (idCol, n_bigrams, n_hapax, hapax_ratio, avg_bigram_df) where
     * n_bigrams counts bigram OCCURRENCES, n_hapax counts occurrences

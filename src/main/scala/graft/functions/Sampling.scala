@@ -28,12 +28,18 @@ object Sampling {
     * cross-engine contract). A portability-grade mixer for sampling, not
     * a cryptographic hash.
     */
-  def hashBucket(key: Column): Column = {
+  def hashBucket(key: Column): Column = pmod(hashOrder(key), lit(10000L))
+
+  /** The full-width mixer value in [0, 2^31-1) — `hashBucket` WITHOUT the
+    * final basis-point fold. Enough entropy to ORDER a corpus (the
+    * training-shuffle key in [[shardAssign]]), same exact cross-engine
+    * arithmetic as the bucket form.
+    */
+  def hashOrder(key: Column): Column = {
     val p = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
     val h1 = pmod(pmod(key.cast("long"), p) * 1103515245L + 12345L, p)
     val h2 = pmod(h1 * h1 + h1, p)
-    val h3 = pmod(h2 * 784588716L + 998244353L, p)
-    pmod(h3, lit(10000L))
+    pmod(h2 * 784588716L + 998244353L, p)
   }
 
   /** The key column must already be numeric: a string key would go through
@@ -82,6 +88,34 @@ object Sampling {
     }.otherwise(weights.last._1)
     df.withColumn(as,
       when(col(keyCol).isNull, lit(null: String)).otherwise(chain))
+  }
+
+  /** Deterministic corpus shuffle + sharding — the data-loader handoff:
+    * every row gets `(shard, pos)` where `shard = hashOrder(key) %
+    * nShards` and `pos` is the row's 0-based rank within its shard by
+    * `(hashOrder(key), key)`. Reading shard files in pos order replays a
+    * uniform global shuffle of the corpus, identically on every rerun and
+    * engine — no `rand()`, no seed plumbing, and an incremental batch
+    * appends to the same shards its keys hash to. Rows with a NULL key
+    * are dropped (consistent with `hashSample`; a NULL order key would
+    * make every null row tie and the rank nondeterministic).
+    *
+    * Scale (100 TB): one hash per row at the scan, then ONE shuffle keyed
+    * by shard with `nShards` sort partitions (the write-out geometry a
+    * training run wants anyway — one sorted file per shard). Choose
+    * nShards so a shard fits an executor's sort spill budget; pos is
+    * dense per shard, so a loader can range-split a shard exactly.
+    */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    requireNumericKey(df, keyCol)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(keyCol))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__h", hashOrder(col(keyCol)))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
   }
 
   /** Deterministic stratified sample: the first `perStratum` rows of each

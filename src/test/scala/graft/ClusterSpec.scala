@@ -105,4 +105,29 @@ class ClusterSpec extends AnyFunSuite {
     val got = sparkComponents(vs, Nil)
     assert(got == Map(5L -> 5L, 6L -> 6L))
   }
+
+  test("canonicalByScore keeps exactly the best-scored member per component") {
+    // components: {0,1,2} (chain), {5,6}, singleton {9}
+    val vs = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val assign = Cluster.assignClusters(es, "a", "b", vs, "id")
+    val scores = Seq((0L, 10L), (1L, 30L), (2L, 30L),
+      (5L, 1L), (6L, 2L), (9L, 7L)).toDF("id", "score")
+    val out = Cluster.canonicalByScore(assign, "id", scores, "score")
+    // {0,1,2}: max score 30 ties between 1 and 2 -> min id 1 wins;
+    // {5,6}: 6 outscores the min-id member; {9}: singleton keeps itself.
+    val kept = out.filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 6L, 9L))
+    // exactly one keeper per component, every vertex still labeled
+    assert(out.count() === 6L)
+    val badComps = out.groupBy("component")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .filter(col("k") =!= 1L).count()
+    assert(badComps === 0L)
+    // the quality pick differs from is_rep exactly where the best copy
+    // is not the min id
+    val minIdKept = Cluster.representatives(vs, "id", assign)
+      .select("id").as[Long].collect().toSet
+    assert(minIdKept === Set(0L, 5L, 9L))
+  }
 }

@@ -175,4 +175,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(!byDoc.contains(3L))
     assert(byDoc(4L).map(_._2).toSeq == Seq(0L))
   }
+
+  test("shardAssign: dense positions, near-uniform shards, order-stable") {
+    val small = spark.range(5000).toDF("id")
+    val a = Sampling.shardAssign(small, "id", 8).cache()
+    assert(a.count() === 5000L)
+    // pos is dense 0..n-1 within every shard
+    val bad = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("mn"),
+        max($"pos").as("mx"), countDistinct($"pos").as("nd"))
+      .filter($"mn" =!= 0L || $"mx" =!= $"n" - 1L || $"nd" =!= $"n")
+      .count()
+    assert(bad === 0L)
+    // shards are near-uniform (5000/8 = 625 expected)
+    val counts = a.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.length === 8 &&
+      counts.forall(c => math.abs(c - 625.0) / 625.0 < 0.2),
+      counts.mkString(","))
+    // bit-identical under a different input partitioning
+    val b = Sampling.shardAssign(small.repartition(13), "id", 8)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+    // null keys are dropped, everything else keeps its assignment
+    val withNull = small.select(when($"id" === 7L, lit(null))
+      .otherwise($"id").cast("long").as("id"))
+    val c = Sampling.shardAssign(withNull, "id", 8)
+    assert(c.count() === 4999L)
+    a.unpersist()
+  }
+
+  test("shardAssign scrambles sequential id order within a shard") {
+    val a = Sampling.shardAssign(spark.range(5000).toDF("id"), "id", 1)
+    // in training order (pos), formerly-adjacent ids must almost never
+    // remain adjacent — the whole point of the shuffle
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"pos")
+    val adj = a.withColumn("prev", lag($"id", 1).over(w))
+      .filter(abs($"id" - $"prev") === 1L).count()
+    assert(adj < 50L, s"adjacent=$adj")
+  }
 }

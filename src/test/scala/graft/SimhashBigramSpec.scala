@@ -154,6 +154,50 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(hq > 0L && hq < got(10L)._3)
   }
 
+  test("lmBuckets: tiers are rank-consistent and balanced within language") {
+    // 7 "en" docs spanning clean -> garble, 3 "fr" docs, one bigram-less.
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran", "en"),
+      (2L, "the dog sat on the mat and the dog ran", "en"),
+      (3L, "the cat sat on the mat", "en"),
+      (4L, "the cat zz qq on the mat", "en"),
+      (5L, "zz qq ww the cat ee rr", "en"),
+      (6L, "zz qq ww ee rr tt yy", "en"),
+      (7L, "qq zz tt ww yy rr ee", "en"),
+      (20L, "le chat dort sur le tapis", "fr"),
+      (21L, "le chien dort sur le tapis", "fr"),
+      (22L, "xx vv le chat nn pp", "fr"),
+      (30L, "solo", "en") // no bigrams: drops out
+    ).toDF("doc_id", "text", "lang")
+    val lm = LangModel.knBigramProbs(docs, "text")
+    val got = LangModel.lmBuckets(docs, "doc_id", "text", "lang", lm)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("fit_q"),
+          r.getAs[Long]("bucket"), r.getAs[String]("tier")))).toMap
+    assert(!got.contains(30L)) // bigram-less doc dropped
+    // ntile balance: en 7 docs -> 3/2/2, fr 3 docs -> 1/1/1
+    val enSizes = (1L to 3L).map(b => got.count {
+      case (_, (l, _, bk, _)) => l == "en" && bk == b })
+    assert(enSizes === Seq(3, 2, 2))
+    val frSizes = (1L to 3L).map(b => got.count {
+      case (_, (l, _, bk, _)) => l == "fr" && bk == b })
+    assert(frSizes === Seq(1, 1, 1))
+    // rank consistency: every head fit >= every middle fit >= every tail
+    // fit, within each language
+    for (lang <- Seq("en", "fr")) {
+      val byTier = got.values.filter(_._1 == lang).toSeq
+        .groupBy(_._4).view.mapValues(_.map(_._2)).toMap
+      assert(byTier("head").min >= byTier("middle").max, byTier.toString)
+      assert(byTier("middle").min >= byTier("tail").max, byTier.toString)
+    }
+    // tier names follow the bucket index
+    assert(got.values.forall { case (_, _, b, t) =>
+      (b == 1L) == (t == "head") && (b == 3L) == (t == "tail") })
+    // the clean boilerplate docs head the ranking; pure garble tails it
+    assert(got(1L)._4 == "head" && got(2L)._4 == "head")
+    assert(got(6L)._4 == "tail" && got(7L)._4 == "tail")
+  }
+
   test("oovStats: tail tokens count as OOV against the top-V vocabulary") {
     val docs = Seq(
       (1L, "a a a b b rare1"),  // corpus counts: a x4, b x3, rare* x1 each
