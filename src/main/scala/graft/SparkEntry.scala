@@ -1348,6 +1348,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // Threshold-free semantic clustering: connected components over the
+    // mutual-kNN graph (reciprocated in-cell top-3 preferences) — hub
+    // chaining cut by reciprocity, no cosine threshold to tune.
+    "q_mutual_knn" -> { (s, d) =>
+      Vec.mutualKnnClusters(Tables.embeddings(s, d), k = 3,
+          kCells = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    },
+
     // Int8 affine embedding quantization: per-vector (lo, scale) codes,
     // exploded to scalar (vec_id, dim, qval, err) rows — the 4× storage
     // compression path for vector indexes, with the per-element
@@ -2880,6 +2889,40 @@ object SparkEntry {
                sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.3),
           ed AS (SELECT id_a AS s, id_b AS t FROM pr
                  UNION SELECT id_b, id_a FROM pr),
+          reach(id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT ed.t, reach.r FROM ed JOIN reach ON ed.s = reach.id),
+          comp AS (SELECT id AS vec_id, min(r) AS component
+                   FROM reach GROUP BY id),
+          csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                     FROM comp GROUP BY component)
+          SELECT c.vec_id, c.component, z.csize,
+                 (c.vec_id = c.component) AS is_rep
+          FROM comp c JOIN csizes z USING (component)
+          ORDER BY c.vec_id"""
+    },
+
+    "q_mutual_knn" -> {
+      val dotSql = duckDotSql _
+      // a2 = unrolled k-means assignment; directed in-cell top-3 by
+      // rounded sim (neighbor-id tie-break), reciprocity via self-join,
+      // then the shared recursive component labeling.
+      s"""WITH RECURSIVE $duckKmeansCte,
+          dd AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+            round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS sim
+            FROM a2 a JOIN a2 b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+          rk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid) AS rn FROM dd),
+          dir AS (SELECT qid, nid FROM rk WHERE rn <= 3),
+          m AS (SELECT e1.qid AS id_a, e1.nid AS id_b FROM dir e1
+            JOIN dir e2 ON e1.qid = e2.nid AND e1.nid = e2.qid
+            WHERE e1.qid < e1.nid),
+          ed AS (SELECT id_a AS s, id_b AS t FROM m
+                 UNION SELECT id_b, id_a FROM m),
           reach(id, r) AS (
             SELECT vec_id, vec_id FROM embeddings
             UNION

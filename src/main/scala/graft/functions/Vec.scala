@@ -475,6 +475,67 @@ object Vec {
       corpus.select(col(idCol)), idCol)
   }
 
+  /** Mutual-kNN pairs WITHIN k-means cells: an undirected edge survives
+    * iff each endpoint ranks the other in its top-`k` in-cell neighbors.
+    * The mutuality requirement is what makes the graph a CLUSTERING
+    * topology rather than a threshold graph: hubs (vectors close to
+    * everything) list many neighbors, but only reciprocated preferences
+    * become edges, so dense regions stay internally connected while hub
+    * chaining across unrelated groups is cut — and no similarity
+    * threshold has to be tuned per corpus.
+    *
+    * Same cell blocking as [[semDedupPairs]] (compute is sum of
+    * cell²·k, never corpus²; at 100 TB the corpus is bucketed by cell so
+    * the self-join is co-located), then one query-keyed window for the
+    * top-k and one self-semi-join for reciprocity — all equi-keyed.
+    * Output: (id_a, id_b, sim) with id_a < id_b, each pair once.
+    */
+  def mutualKnnPairs(corpus: DataFrame, k: Int, kCells: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cells = kmeans(corpus, kCells, iters, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val bucketed = corpus.select(col(idCol), col(vecCol))
+      .join(cells, Seq(idCol))
+      .select(col("cell"), col(idCol), col(vecCol),
+        sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+          .as("nrm"))
+    val a = bucketed.select(col("cell"), col(idCol).as("query_id"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val directed = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", pairSim(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    // reciprocity: keep (q, n) only if (n, q) is also a directed edge
+    val rev = directed.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    directed.join(rev, Seq("query_id", "neighbor_id"), "left_semi")
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("sim"))
+  }
+
+  /** Threshold-free semantic clustering: connected components over the
+    * [[mutualKnnPairs]] graph, every vector labeled (idCol, component,
+    * csize, is_rep). The mutual-kNN analog of [[semDedup]] — use it when
+    * no cosine threshold is defensible for the corpus (clusters of
+    * varying tightness); use semDedup when a near-dup threshold IS the
+    * spec. Same checkpointed min-label propagation as every other
+    * component pass.
+    */
+  def mutualKnnClusters(corpus: DataFrame, k: Int, kCells: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = mutualKnnPairs(corpus, k, kCells, iters, idCol, vecCol)
+    Cluster.assignClusters(pairs, "id_a", "id_b",
+      corpus.select(col(idCol)), idCol)
+  }
+
   /** Bucketed approximate top-k: brute force within each LSH bucket.
     * Recall is tunable via nBits (fewer bits = bigger buckets = higher
     * recall, more compute).

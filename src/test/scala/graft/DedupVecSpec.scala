@@ -275,4 +275,56 @@ class DedupVecSpec extends AnyFunSuite {
       .select(Text.charFingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fp(0) !== fp(1))
   }
+
+  test("mutualKnnPairs: reciprocated edges cluster groups, cut the bridge") {
+    // Two tight groups on orthogonal axes plus a far outlier. With k=1
+    // each group member reciprocates its twin; nothing reciprocates the
+    // outlier even though the outlier has a nearest neighbor — mutuality
+    // is what keeps it a singleton.
+    val emb = Seq(
+      (0L, Array(1.00f, 0.01f)), (1L, Array(1.00f, 0.02f)),
+      (10L, Array(0.01f, 1.00f)), (11L, Array(0.02f, 1.00f)),
+      (99L, Array(-1.00f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Vec.mutualKnnPairs(emb, k = 1, kCells = 2, iters = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a < b }) // canonical orientation
+    assert(pairs === Set((0L, 1L), (10L, 11L)))
+    val comps = Vec.mutualKnnClusters(emb, k = 1, kCells = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("csize")))).toMap
+    assert(comps(0L) === ((0L, 2L)) && comps(1L) === ((0L, 2L)))
+    assert(comps(10L) === ((10L, 2L)) && comps(11L) === ((10L, 2L)))
+    assert(comps(99L) === ((99L, 1L))) // singleton survives labeling
+  }
+
+  test("mutualKnnPairs are a subset of the in-cell directed top-k") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mutual = Vec.mutualKnnPairs(emb, k = 3, kCells = 8, iters = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual.nonEmpty)
+    // reconstruct the directed graph from the same cells: every mutual
+    // pair must appear in BOTH directions
+    val cells = Vec.kmeans(emb, 8, 2).select($"vec_id", $"cell")
+    val b = emb.join(cells, "vec_id")
+      .select($"cell", $"vec_id", $"embedding")
+    val d = b.as("a").join(b.as("c"), col("a.cell") === col("c.cell") &&
+        col("a.vec_id") =!= col("c.vec_id"))
+      .select(col("a.vec_id").as("q"), col("c.vec_id").as("n"),
+        Vec.cosine(col("a.embedding"), col("c.embedding")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"q")
+      .orderBy($"sim".desc, $"n")
+    val directed = d.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).select("q", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual.forall { case (a, bb) =>
+      directed((a, bb)) && directed((bb, a)) })
+    // and no directed-but-unreciprocated pair leaked through
+    val unreciprocated = directed.filter { case (q, n) =>
+      !directed((n, q)) }
+    assert(unreciprocated.forall { case (q, n) =>
+      !mutual((math.min(q, n), math.max(q, n))) })
+  }
 }
