@@ -310,6 +310,33 @@ object ScaleProbe {
       println(f"""{"probe":"kn_lm","mult":$mult,"bigram_types":$nLm,"docs_scored":$nSc,"train_sec":$secLm%.2f,"score_sec":$secSc%.2f}""")
     }
 
+    // Mutual-kNN probe: same cell blocking as semdedup plus one
+    // query-keyed top-k window and one edge-keyed semi-join — wall should
+    // track sum-of-cell-squares (the candidate mass), never vecs².
+    for (mult <- Seq(1, 4, 16)) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+      val t0 = System.nanoTime()
+      val edges = graft.functions.Vec.mutualKnnPairs(vecs, k = 3,
+        kCells = 16, iters = 2).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"mutual_knn","mult":$mult,"vecs":${nEmb * mult},"edges":$edges,"sec":$sec%.2f}""")
+    }
+
+    // Corpus-shuffle probe: one scan-stage hash + ONE shard-keyed sort
+    // exchange; wall must be linear in the corpus (this is the cheapest
+    // shuffle the engine does — a regression here flags config damage).
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val n = graft.functions.Sampling.shardAssign(docs, "doc_id", 32)
+        .selectExpr("max(pos)").collect()(0).getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"corpus_shuffle","mult":$mult,"docs":${nBase * mult},"max_pos":$n,"sec":$sec%.2f}""")
+    }
+
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
     // joined to a 1000-row dim with broadcast disabled so the shuffle-join
     // skew is real. Salting must beat the plain join by spreading the hot

@@ -1192,6 +1192,14 @@ object SparkEntry {
         .orderBy(col("tid_a"), col("tid_b"))
     },
 
+    // Interpolated KN trigram LM: one backoff order above q_kn_bigram,
+    // same exact rational arithmetic (two discounts, one division).
+    "q_kn_trigram" -> { (s, d) =>
+      graft.functions.LangModel.knTrigramProbs(
+          Tables.documents(s, d), "text", minCount = 2L)
+        .orderBy(col("tid_a"), col("tid_b"), col("tid_c"))
+    },
+
     // LM-fit scoring (CCNet-style, log-free): every doc scored by the
     // mean KN probability of its bigrams under the corpus's own table.
     "q_lm_fit" -> { (s, d) =>
@@ -2599,6 +2607,47 @@ object SparkEntry {
           SELECT tid_a, tid_b, c_ab, pkn_q,
             CAST(pkn_q AS DOUBLE) / 1000000000.0 AS pkn
           FROM q WHERE c_ab >= 2 ORDER BY tid_a, tid_b""",
+
+    "q_kn_trigram" ->
+      s"""WITH tk AS (SELECT ${duckToks("text")} AS tk FROM documents),
+          p AS (SELECT unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          ids AS (SELECT ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM p),
+          cab2 AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM ids GROUP BY 1, 2),
+          ca2 AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab2 GROUP BY 1),
+          cb2 AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab2 GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab2),
+          lm2 AS (SELECT tid_a AS tid_b, tid_b AS tid_c,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn2_q
+            FROM cab2 JOIN ca2 USING (tid_a) JOIN cb2 USING (tid_b)
+            CROSS JOIN np),
+          t AS (SELECT unnest(tk[1:len(tk)-2]) AS a,
+                       unnest(tk[2:len(tk)-1]) AS b,
+                       unnest(tk[3:len(tk)]) AS c
+            FROM tk WHERE len(tk) >= 3),
+          tids AS (SELECT ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b, ${duckPolyId("c")} AS tid_c FROM t),
+          cabc AS (SELECT tid_a, tid_b, tid_c,
+            CAST(count(*) AS BIGINT) AS c_abc FROM tids GROUP BY 1, 2, 3),
+          cab3 AS (SELECT tid_a, tid_b, CAST(sum(c_abc) AS BIGINT) AS c_ab,
+            CAST(count(*) AS BIGINT) AS n1fw FROM cabc GROUP BY 1, 2),
+          q AS (SELECT x.tid_a, x.tid_b, x.tid_c, x.c_abc,
+            CAST((CAST(greatest(4 * x.c_abc - 3, 0) AS HUGEINT) * 1000000000
+                  + CAST(3 AS HUGEINT) * f.n1fw * l.pkn2_q)
+                 // (CAST(4 AS HUGEINT) * f.c_ab) AS BIGINT) AS pkn_q
+            FROM cabc x
+            JOIN cab3 f ON x.tid_a = f.tid_a AND x.tid_b = f.tid_b
+            JOIN lm2 l ON x.tid_b = l.tid_b AND x.tid_c = l.tid_c)
+          SELECT tid_a, tid_b, tid_c, c_abc, pkn_q,
+            CAST(pkn_q AS DOUBLE) / 1000000000.0 AS pkn
+          FROM q WHERE c_abc >= 2 ORDER BY tid_a, tid_b, tid_c""",
 
     "q_lm_fit" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

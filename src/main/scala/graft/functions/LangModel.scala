@@ -173,6 +173,82 @@ object LangModel {
         col("pkn"))
   }
 
+  /** (carryCols..., tid_a, tid_b, tid_c): hashed adjacent-token TRIPLES,
+    * one scan pass — the same projected-once zip discipline as
+    * [[adjacentPairs]], nested one level (pair-zip then a third slice).
+    */
+  private def adjacentTriples(docs: DataFrame, textCol: String,
+      carryCols: Seq[String]): DataFrame = {
+    val tk = docs.select(carryCols.map(col) :+
+      Text.tokens(col(textCol)).as("__tk"): _*)
+    val n2 = greatest(size(col("__tk")) - 2, lit(0))
+    val ab = zip_with(
+      slice(col("__tk"), lit(1), n2), slice(col("__tk"), lit(2), n2),
+      (a, b) => struct(a.as("a"), b.as("b")))
+    val abc = zip_with(ab, slice(col("__tk"), lit(3), n2),
+      (p, c) => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+        c.as("c")))
+    tk.select(carryCols.map(col) :+ explode(abc).as("__z"): _*)
+      .select(carryCols.map(col) ++ Seq(
+        graft.plans.TextExpressions.polyHash(col("__z.a")).as("tid_a"),
+        graft.plans.TextExpressions.polyHash(col("__z.b")).as("tid_b"),
+        graft.plans.TextExpressions.polyHash(col("__z.c")).as("tid_c")): _*)
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM probabilities — [[knBigramProbs]]'
+    * backoff chain extended one order, still in exact rational
+    * arithmetic (d = 3/4 at both orders):
+    *
+    *   P(c|ab) = max(c_abc − d, 0)/c_ab + d·N1+(ab·)/c_ab · P(c|b)
+    *
+    * with P(c|b) the interpolated KN bigram probability. Clearing to the
+    * quantized integer form (B = 10^9, pkn2_q = B·P(c|b) from the bigram
+    * table):
+    *
+    *   p3_q = (max(4·c_abc − 3, 0)·B + 3·N1fw·pkn2_q) div (4·c_ab)
+    *
+    * — exact products in decimal(38,0) (4·c_abc ≤ 4·10^15 trigram
+    * occurrences times B is ~4·10^24, far under the decimal edge), ONE
+    * integral division, so engines agree bit-for-bit. Every observed
+    * trigram's (b, c) bigram is observed by construction, so the
+    * bigram-table join never misses (inner join is safe).
+    *
+    * Scale shape: one more scan-stage zip than the bigram pass, then
+    * partial-aggregable counts keyed by hashed triples; the bigram table
+    * joins on (tid_b, tid_c) — long keys, type-bounded. Trigram TYPE
+    * count is the one quantity that grows fastest with corpus size;
+    * `minCount` is the standard KenLM-style prune that keeps the
+    * materialized table in check.
+    *
+    * Output: (tid_a, tid_b, tid_c, c_abc, pkn_q, pkn) for trigrams with
+    * c_abc >= minCount.
+    */
+  def knTrigramProbs(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lm2 = knBigramProbs(docs, textCol) // un-pruned: the backoff table
+      .select(col("tid_a").as("tid_b"), col("tid_b").as("tid_c"),
+        col("pkn_q").as("pkn2_q"))
+    val triples = adjacentTriples(docs.select(col(textCol)), textCol, Nil)
+    val cabc = triples.groupBy(col("tid_a"), col("tid_b"), col("tid_c"))
+      .agg(count(lit(1)).cast("long").as("c_abc"))
+    val cab = cabc.groupBy(col("tid_a"), col("tid_b"))
+      .agg(sum(col("c_abc")).cast("long").as("c_ab"),
+        count(lit(1)).cast("long").as("n1fw"))
+    cabc.join(cab, Seq("tid_a", "tid_b"))
+      .join(lm2, Seq("tid_b", "tid_c"))
+      .withColumn("pkn_q",
+        expr(s"""CAST((CAST(greatest(4 * c_abc - 3, 0) AS $dec) *
+                       CAST(1000000000 AS $dec) +
+                       CAST(3 AS $dec) * CAST(n1fw AS $dec) *
+                       CAST(pkn2_q AS $dec))
+                      div (CAST(4 AS $dec) * CAST(c_ab AS $dec)) AS BIGINT)"""))
+      .filter(col("c_abc") >= minCount)
+      .withColumn("pkn", col("pkn_q").cast("double") / lit(1e9))
+      .select(col("tid_a"), col("tid_b"), col("tid_c"), col("c_abc"),
+        col("pkn_q"), col("pkn"))
+  }
+
   /** Score documents against a trained [[knBigramProbs]] table — the
     * LM-fit quality filter (the role CCNet's perplexity filter plays,
     * log-free): a document's score is the mean quantized KN probability

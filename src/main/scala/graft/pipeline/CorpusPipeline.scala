@@ -103,6 +103,36 @@ object CorpusPipeline {
     Cluster.representatives(docs, cfg.idCol, asg)
   }
 
+  /** Near-dup removal keeping the BEST copy per component (most tokens,
+    * id tie-break) instead of the smallest id — the RefinedWeb/Dolma
+    * policy: near-dup families usually contain one fullest copy plus
+    * truncated or boilerplate-wrapped variants, and the min-id pick
+    * keeps whichever happened to crawl first. Needs annotated docs
+    * (`n_tokens` from [[annotate]]); same verified pair graph and
+    * component pass as [[nearDedupClustered]], plus one component-keyed
+    * window.
+    */
+  def nearDedupBestCopy(annotated: DataFrame, cfg: Config = Config()): DataFrame = {
+    val verified = verifiedNearDupPairs(annotated, cfg)
+    val asg = Cluster.assignClusters(verified.select(col("id_a"), col("id_b")),
+      "id_a", "id_b", annotated.select(col(cfg.idCol)), cfg.idCol,
+      cfg.ccMaxIter)
+    val keep = Cluster.canonicalByScore(asg, cfg.idCol,
+        annotated.select(col(cfg.idCol), col("n_tokens")), "n_tokens")
+      .filter(col("keep")).select(col(cfg.idCol))
+    annotated.join(keep, Seq(cfg.idCol), "left_semi")
+  }
+
+  /** Training-shard handoff: deterministic global shuffle of the TRAIN
+    * split into `nShards` dense-position shards (Sampling.shardAssign).
+    * Runs after [[assignSplits]] — the loader reads shard files in pos
+    * order and replays the same training order on every rerun.
+    */
+  def shardForTraining(withSplits: DataFrame, nShards: Int,
+      cfg: Config = Config()): DataFrame =
+    graft.functions.Sampling.shardAssign(
+      withSplits.filter(col("split") === "train"), cfg.idCol, nShards)
+
   /** Semantic dedup stage: drop documents whose EMBEDDINGS are near-dups
     * of a kept document, even when their text shares no shingles — the
     * paraphrase/translation-dup layer the token-based stages above cannot

@@ -83,6 +83,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(clustered === Set(1L, 10L))
   }
 
+  test("best-copy near-dedup keeps the fullest copy; sharding hands off train") {
+    import spark.implicits._
+    // Same transitive chain as above: the BRIDGE doc 3 is the longest
+    // member (shared1 + shared2 = 60 tokens vs 33 for the ends). The
+    // min-id policy keeps {1}; the best-copy policy must keep {3}.
+    val shared1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shared2 = (31 to 60).map(i => s"w$i").mkString(" ")
+    val input = Seq(
+      (1L, s"$shared1 aa1 aa2 aa3"),
+      (2L, s"$shared2 zz1 zz2 zz3"),
+      (3L, s"$shared1 $shared2"),
+      (10L, (100 to 140).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(numHashes = 32, jaccardThreshold = 0.4)
+    val annotated = CorpusPipeline.annotate(input, cfg)
+    val best = CorpusPipeline.nearDedupBestCopy(annotated, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best === Set(3L, 10L))
+    // shard handoff: only train rows, dense positions per shard
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val withSplits = CorpusPipeline.assignSplits(
+      CorpusPipeline.annotate(docs))
+    val sharded = CorpusPipeline.shardForTraining(withSplits, nShards = 4)
+    assert(sharded.count() ===
+      withSplits.filter($"split" === "train").count())
+    val bad = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx"))
+      .filter($"mx" =!= $"n" - 1L).count()
+    assert(bad === 0L)
+  }
+
   test("semanticDedup drops planted embedding near-dups, keeps min id") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -218,4 +218,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("corpus shuffle: id-only scan, one shard exchange, no joins") {
+    val p = plan("q_corpus_shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("lm buckets: pruned scans, equi-joined LM table, one lang window") {
+    val p = plan("q_lm_buckets")
+    // scoring reads (doc_id, text); the lang join reads (doc_id, lang)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ntile"), p)
+  }
+
+  test("canonical docs: score join is id-keyed, no all-pairs anywhere") {
+    val p = plan("q_canonical_docs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("mutual knn: in-cell candidates come from a cell equi-join") {
+    // assert on the pair stage: the catalog query's component pass
+    // localCheckpoints, which truncates the visible plan
+    val p = graft.functions.Vec.mutualKnnPairs(
+        Tables.embeddings(spark, d), k = 3, kCells = 8, iters = 2)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized self-join must key on the cell (the k=8 centroid
+    // crossJoin inside kmeans is a broadcast of 8 rows, by design)
+    assert(p.contains("SortMergeJoin [cell") ||
+      p.contains("ShuffledHashJoin [cell") ||
+      p.contains("BroadcastHashJoin [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -129,6 +129,36 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(LangModel.knBigramProbs(docs, "text", minCount = 2L).count() === 2)
   }
 
+  test("knTrigramProbs: hand-computed interpolated rationals, short docs drop") {
+    // tokens: x y x y x z -> trigrams (x,y,x) x2, (y,x,y), (y,x,z)
+    // prefixes: (x,y): c=2, N1fw=1; (y,x): c=2, N1fw=2
+    // bigram backoffs (from the bigram test, floor-quantized at B=1e9):
+    //   q2(x|y)=floor(18e9/24)=750000000, q2(y|x)=floor(21e9/36)=583333333,
+    //   q2(z|x)=floor(9e9/36)=250000000
+    // p3(x|x,y) = (max(8-3,0)*B + 3*1*750000000) div 8 = 906250000
+    // p3(y|y,x) = (max(4-3,0)*B + 3*2*583333333) div 8 = 562499999
+    // p3(z|y,x) = (max(4-3,0)*B + 3*2*250000000) div 8 = 312500000
+    val docs = Seq((1L, "x y x y x z")).toDF("id", "text")
+    def h(s: String) =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = LangModel.knTrigramProbs(docs, "text")
+      .collect().map(r => (r.getAs[Long]("tid_a"), r.getAs[Long]("tid_b"),
+        r.getAs[Long]("tid_c")) ->
+        ((r.getAs[Long]("c_abc"), r.getAs[Long]("pkn_q")))).toMap
+    assert(got === Map(
+      (h("x"), h("y"), h("x")) -> ((2L, 906250000L)),
+      (h("y"), h("x"), h("y")) -> ((1L, 562499999L)),
+      (h("y"), h("x"), h("z")) -> ((1L, 312500000L))))
+    // minCount prunes the hapax trigrams
+    assert(LangModel.knTrigramProbs(docs, "text", minCount = 2L).count() === 1)
+    // a higher-order hit always outweighs its own backoff: seen trigrams
+    // with c_abc >= 1 land above the pure continuation share
+    assert(got.values.forall { case (_, q3) => q3 > 0L })
+    // docs shorter than 3 tokens emit nothing
+    assert(LangModel.knTrigramProbs(
+      Seq((1L, "a b")).toDF("id", "text"), "text").count() === 0)
+  }
+
   test("knScoreDocs: clean docs outscore garble under a clean-corpus LM") {
     val clean = Seq(
       (1L, "the cat sat on the mat and the cat ran"),
