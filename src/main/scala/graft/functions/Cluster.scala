@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * equals its component — the standard "keep one per near-dup cluster"
   * step between candidate generation and corpus writing.
   *
-  * Scale design (100 TB): iterative min-label propagation. Each round is
-  * one equi-join (labels onto edge sources) plus one partial-aggregable
-  * min-groupBy — both shuffle on the vertex id, so AQE can coalesce and
-  * the map-side combine keeps message volume at O(edges). Rounds needed =
-  * graph diameter; near-dup clusters are dense (LSH pairs form near-
-  * cliques), so diameter is small — maxIter is a safety rail, not the
-  * expected path. Convergence is an exact old-vs-new label join stopped at
+  * Scale design (100 TB): iterative min-label propagation WITH pointer
+  * jumping. Each round is one equi-join (labels onto edge sources) plus
+  * one partial-aggregable min-groupBy, then one label-sized self-join
+  * that adopts the label of the label — both shuffle on the vertex id,
+  * so AQE can coalesce and the map-side combine keeps message volume at
+  * O(edges). The jump makes rounds O(log diameter), not O(diameter):
+  * near-dup cliques converge in 2-3 rounds either way, but path-shaped
+  * graphs (mutual-kNN chains) would exhaust any fixed cap without it.
+  * Convergence is an exact old-vs-new label join stopped at
   * the first changed row. Lineage is truncated every round with an eager
   * localCheckpoint, and each superseded round's blocks are freed as soon
   * as the next round materializes — without truncation the iterated plan
@@ -37,11 +39,11 @@ object Cluster {
     *
     * Throws IllegalStateException if the fixpoint is not reached within
     * `maxIter` rounds — partially-propagated labels are silently-wrong
-    * components, never a valid result. Min-label propagation crosses one
-    * hop per round, so `maxIter` must exceed the largest component's
-    * diameter; near-dup clusters are near-cliques, making the default
-    * generous (a long chain of pairwise-similar docs is the case that
-    * needs a higher cap).
+    * components, never a valid result. With pointer jumping each round
+    * roughly doubles the propagated distance, so the default cap covers
+    * components of diameter far beyond any real candidate graph
+    * (2^20-ish); hitting it signals a pathological graph, not a tuning
+    * knob to chase.
     *
     * @param edges    candidate pairs, one row per undirected edge
     * @param aCol     edge endpoint column in `edges`
@@ -70,9 +72,22 @@ object Cluster {
       val msgs = sym
         .join(labels.withColumnRenamed("__id", "__s"), Seq("__s"))
         .select(col("__t").as("__id"), col("__comp"))
-      val next = labels.union(msgs)
+      val hopped = labels.union(msgs)
         .groupBy(col("__id"))
         .agg(min(col("__comp")).as("__comp"))
+      // Pointer jumping: adopt the label OF the current label (labels are
+      // vertex ids, so l(v) always has a row; l(l(v)) <= l(v) because a
+      // vertex's own label never exceeds its id). One extra label-sized
+      // equi-join per round turns chain convergence from O(diameter)
+      // rounds into O(log diameter) — near-dup cliques never notice, but
+      // path-shaped graphs (mutual-kNN chains, long span overlaps) would
+      // otherwise need diameter-many rounds against any fixed maxIter.
+      // (A second jump per round was measured SLOWER at bench scale: the
+      // extra per-round join barrier cost more than the rounds it saved.)
+      val next = hopped
+        .join(hopped.select(col("__id").as("__comp"),
+          col("__comp").as("__cc")), Seq("__comp"))
+        .select(col("__id"), least(col("__comp"), col("__cc")).as("__comp"))
         .localCheckpoint(true)
       // Exact, type-agnostic convergence: did any vertex's label change?
       // (Labels only decrease, so inequality == change.) One join of the
@@ -93,8 +108,8 @@ object Cluster {
       GraftBridge.unpersistCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — a " +
-          "component's diameter exceeds the cap; raise maxIter (rounds " +
-          "needed ~= longest chain of candidate pairs)")
+          "component's diameter exceeds the cap; raise maxIter (with " +
+          "pointer jumping, rounds needed ~= log2 of the longest chain)")
     }
     labels.select(col("__id").as(idCol), col("__comp").as("component"))
   }

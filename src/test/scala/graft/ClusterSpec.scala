@@ -84,8 +84,10 @@ class ClusterSpec extends AnyFunSuite {
   }
 
   test("maxIter below the component diameter throws instead of returning partial labels") {
-    val vs = (0L to 8L)
-    val es = (0L until 8L).map(v => (v + 1, v)) // chain, diameter 8
+    // diameter 400: pointer jumping covers ~2^r hops in r rounds, so 3
+    // rounds reach ~15 hops — far short; the guard must still throw.
+    val vs = (0L to 400L)
+    val es = (0L until 400L).map(v => (v + 1, v))
     val ex = intercept[IllegalStateException](sparkComponents(vs, es, maxIter = 3))
     assert(ex.getMessage.contains("did not converge"))
   }
@@ -98,6 +100,17 @@ class ClusterSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("carol" -> "alice", "bob" -> "alice",
       "alice" -> "alice", "zoe" -> "zoe"))
+  }
+
+  test("pointer jumping: a 300-chain converges inside the default cap") {
+    // Plain one-hop propagation would need 300 rounds; jumping needs
+    // ~log2(300) ≈ 9. The default maxIter=20 must comfortably cover it,
+    // and the labels must still be exactly the union-find reference.
+    val vs = (0L to 300L)
+    val es = (0L until 300L).map(v => (v + 1, v))
+    val got = sparkComponents(vs, es) // default maxIter = 20
+    assert(got === unionFind(vs, es))
+    assert(got.values.toSet === Set(0L))
   }
 
   test("empty edge list: every vertex is its own singleton") {
