@@ -69,6 +69,81 @@ object VecIndex {
       .start()
   }
 
+  /** Split every cell whose row count exceeds `maxCellSize` into
+    * `splitK` sub-cells (in-cell k-means) — the maintenance op that keeps
+    * IVF probe cost bounded as a corpus grows. Ingest appends to fixed
+    * cells ([[streamAppend]] never retrains), so a popular region's cell
+    * grows until every probe touching it scans the whole region;
+    * splitting restores cells-of-bounded-size, which is the property the
+    * whole layout's sub-linearity rests on (same role compaction plays
+    * for file counts).
+    *
+    * Mechanics: hot cells come from one key-column count (bounded
+    * driver-side list, ≤ cell count — the compactSmallFilePartitions
+    * pattern); each hot cell is partition-pruned-read, clustered with the
+    * same bit-deterministic `Vec.kmeans` the index was built with, and
+    * appended under FRESH cell ids (max existing + 1 onward, so probes
+    * never confuse old and new); the old cell directory is deleted after
+    * its replacement lands, and the centroid table is rewritten (hot
+    * rows out, per-sub-cell decimal-exact centroids in). The swap is not
+    * transactional — run it offline like compaction (a concurrent probe
+    * could transiently see a vector in both its old and new cell).
+    *
+    * Returns (oldCell, newCells) per split. Degenerate in-cell
+    * clusterings can return fewer than splitK sub-cells (standard Lloyd:
+    * cells that lose every member vanish); a sub-cell still over
+    * `maxCellSize` is split again on the next run — rebalance is
+    * idempotent-converging, not single-pass-guaranteed.
+    */
+  def rebalanceCells(spark: SparkSession, path: String, maxCellSize: Long,
+      splitK: Int, iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Long, Seq[Long])] = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    require(splitK >= 2, s"splitK must be >= 2, got $splitK")
+    val data = spark.read.parquet(s"$path/data")
+    val hot = data.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCellSize)
+      .select(col("cell").cast("long")).orderBy(col("cell"))
+      .collect().map(_.getLong(0)).toSeq // bounded: <= cell count
+    if (hot.isEmpty) return Nil
+    var nextId = data.agg(max(col("cell").cast("long"))).head().getLong(0) + 1
+    val base = new org.apache.hadoop.fs.Path(path.stripSuffix("/"), "data")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val splits = hot.map { c =>
+      val cellData = spark.read.parquet(s"$path/data")
+        .filter(col("cell") === c)
+        .select(col(idCol), col(vecCol))
+      val sub = Vec.kmeans(cellData, splitK, iters, idCol, vecCol)
+        .select(col(idCol), (col("cell").cast("long") + nextId).as("cell"))
+      val newRows = cellData.join(sub, Seq(idCol))
+        .select(col(idCol), col(vecCol), col("cell"))
+        .localCheckpoint(true) // sever lineage from the files we delete
+      newRows.write.partitionBy("cell").mode("append")
+        .parquet(s"$path/data")
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"cell=$c"), true): Unit
+      val newCells = newRows.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // <= splitK rows
+      val r = c -> newCells
+      nextId += splitK
+      r
+    }
+    // Centroid table rewrite: hot rows out, sub-cell centroids in. The
+    // table is cell-count-sized; localCheckpoint materializes it before
+    // the self-overwrite (Spark cannot overwrite its own input files).
+    val rebuilt = spark.read.parquet(s"$path/data")
+    val survivors = spark.read.parquet(s"$path/centroids")
+      .filter(!col("cell").cast("long").isin(hot: _*))
+    val newCents = Vec.groupCentroids(
+      rebuilt.filter(col("cell").cast("long").isin(splits.flatMap(_._2): _*)),
+      "cell", vecCol)
+    val updated = survivors.unionByName(
+        newCents.select(col("cell").cast("int").as("cell"), col("centroid")))
+      .localCheckpoint(true)
+    updated.write.mode("overwrite").parquet(s"$path/centroids")
+    splits
+  }
+
   /** Top-k ANN against a written IVF index: rank cells per query by
     * centroid cosine (centroid table is k rows — broadcast), collect the
     * union of probed cell ids, and scan ONLY those partitions of the

@@ -92,4 +92,76 @@ class IvfIndexSpec extends AnyFunSuite {
     val full = spark.read.parquet(s"$path/data").inputFiles.length
     assert(scan.selectedPartitions.totalNumberOfFiles < full)
   }
+
+  test("rebalance splits hot cells: data preserved, sizes cut, probes exact") {
+    import spark.implicits._
+    // Force ONE giant cell: cluster with k=2 so one cell holds most of
+    // the corpus, then demand cells of <= 150 vectors.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cells = Vec.kmeans(emb, k = 2, iters = 2)
+      .select(col("vec_id"), col("cell"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .join(cells, Seq("vec_id"))
+    val path = java.nio.file.Files.createTempDirectory("ivfreb").toString
+    VecIndex.writeIvfIndex(corpus, "cell", path)
+    val before = spark.read.parquet(s"$path/data")
+      .select("vec_id").as[Long].collect().toSet
+    val hotBefore = spark.read.parquet(s"$path/data")
+      .groupBy("cell").count().filter($"count" > 150).count()
+    assert(hotBefore >= 1) // fixture: at least one hot cell exists
+
+    val splits = VecIndex.rebalanceCells(spark, path,
+      maxCellSize = 150, splitK = 4)
+    assert(splits.nonEmpty)
+    val after = spark.read.parquet(s"$path/data")
+    // no vector lost or duplicated; embeddings ride along unchanged
+    assert(after.select("vec_id").as[Long].collect().toSet === before)
+    assert(after.count() === before.size.toLong)
+    // old hot cells are gone; their sub-cells exist and are smaller
+    val sizesAfter = after.groupBy("cell").count()
+      .collect().map(r => r.getAs[Number]("cell").longValue() -> r.getLong(1)).toMap
+    for ((old, subs) <- splits) {
+      assert(!sizesAfter.contains(old), s"old cell $old still present")
+      assert(subs.nonEmpty && subs.forall(sizesAfter.contains), s"$subs")
+      assert(subs.map(sizesAfter).sum < before.size.toLong) // split, not copied
+    }
+    // centroid table matches the data's cells exactly, centroids exact
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centCells = cents.select(col("cell").cast("long"))
+      .as[Long].collect().toSet
+    assert(centCells === sizesAfter.keySet)
+    val expected = Vec.groupCentroids(
+        after.select(col("cell"), col("embedding")), "cell")
+      .collect().map(r => r.getAs[Number]("cell").longValue() ->
+        r.getAs[Seq[Float]]("centroid")).toMap
+    val got = cents.collect().map(r => r.getAs[Number]("cell").longValue() ->
+      r.getAs[Seq[Float]]("centroid")).toMap
+    assert(got === expected)
+    // probing EVERY cell is brute force, so rebalancing must not change
+    // the full-probe answer: compare against pre-rebalance full probe
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    val nAfter = sizesAfter.size
+    val full = rows(VecIndex.ivfProbeIndexed(spark, path, queries,
+      k = 5, nProbe = nAfter))
+    val brute = rows(Vec.bruteForceTopK(queries, emb, 5))
+    assert(full.map(t => (t._1, t._2)).toSet ===
+      brute.map(t => (t._1, t._2)).toSet)
+    // a second rebalance at the same cap converges (no hot cells left ->
+    // no-op) or keeps shrinking; it must never error or lose data
+    val again = VecIndex.rebalanceCells(spark, path,
+      maxCellSize = 150, splitK = 4)
+    val finalIds = spark.read.parquet(s"$path/data")
+      .select("vec_id").as[Long].collect().toSet
+    assert(finalIds === before)
+    if (again.isEmpty) {
+      val still = spark.read.parquet(s"$path/data").groupBy("cell").count()
+        .filter($"count" > 150).count()
+      assert(still === 0L)
+    }
+  }
 }
