@@ -1209,6 +1209,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Trigram LM-fit with the full backoff chain, trained on the even-id
+    // HALF and scoring everything — so the held-out half exercises every
+    // backoff branch (seen trigram / continuation-only / bigram / zero)
+    // under the oracle gate, not just the all-seen diagonal.
+    "q_lm_fit3" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.LangModel.knScoreDocsTrigram(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    },
+
     "q_bigram_stats" -> { (s, d) =>
       graft.functions.LangModel.bigramStats(Tables.documents(s, d),
           "doc_id", "text")
@@ -2679,6 +2690,72 @@ object SparkEntry {
           SELECT doc_id, n_bigrams, n_scored,
             CAST(sum_q // n_bigrams AS BIGINT) AS fit_q,
             CAST(sum_q // n_bigrams AS DOUBLE) / 1000000000.0 AS fit
+          FROM sc ORDER BY doc_id""",
+
+    "q_lm_fit3" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          trn AS (SELECT tk FROM tk WHERE doc_id % 2 = 0),
+          p AS (SELECT unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM trn WHERE len(tk) >= 2),
+          ids AS (SELECT ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM p),
+          cab2 AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM ids GROUP BY 1, 2),
+          ca2 AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab2 GROUP BY 1),
+          cb2 AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab2 GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab2),
+          lm2 AS (SELECT tid_a AS tid_b, tid_b AS tid_c,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn2_q
+            FROM cab2 JOIN ca2 USING (tid_a) JOIN cb2 USING (tid_b)
+            CROSS JOIN np),
+          t AS (SELECT unnest(tk[1:len(tk)-2]) AS a,
+                       unnest(tk[2:len(tk)-1]) AS b,
+                       unnest(tk[3:len(tk)]) AS c
+            FROM trn WHERE len(tk) >= 3),
+          tids AS (SELECT ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b, ${duckPolyId("c")} AS tid_c FROM t),
+          cabc AS (SELECT tid_a, tid_b, tid_c,
+            CAST(count(*) AS BIGINT) AS c_abc FROM tids GROUP BY 1, 2, 3),
+          cab3 AS (SELECT tid_a, tid_b, CAST(sum(c_abc) AS BIGINT) AS c_ab,
+            CAST(count(*) AS BIGINT) AS n1fw FROM cabc GROUP BY 1, 2),
+          lm3 AS (SELECT x.tid_a, x.tid_b, x.tid_c,
+            CAST((CAST(greatest(4 * x.c_abc - 3, 0) AS HUGEINT) * 1000000000
+                  + CAST(3 AS HUGEINT) * f.n1fw * l.pkn2_q)
+                 // (CAST(4 AS HUGEINT) * f.c_ab) AS BIGINT) AS pkn3_q
+            FROM cabc x
+            JOIN cab3 f ON x.tid_a = f.tid_a AND x.tid_b = f.tid_b
+            JOIN lm2 l ON x.tid_b = l.tid_b AND x.tid_c = l.tid_c),
+          dt AS (SELECT doc_id, unnest(tk[1:len(tk)-2]) AS a,
+                       unnest(tk[2:len(tk)-1]) AS b,
+                       unnest(tk[3:len(tk)]) AS c
+            FROM tk WHERE len(tk) >= 3),
+          dtids AS (SELECT doc_id, ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b, ${duckPolyId("c")} AS tid_c FROM dt),
+          sc AS (SELECT d.doc_id,
+            CAST(count(*) AS BIGINT) AS n_trigrams,
+            CAST(sum(CASE WHEN l3.pkn3_q IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exact,
+            CAST(sum(CASE
+              WHEN l3.pkn3_q IS NOT NULL THEN l3.pkn3_q
+              WHEN f.c_ab IS NOT NULL AND l2.pkn2_q IS NOT NULL THEN
+                CAST((CAST(3 AS HUGEINT) * f.n1fw * l2.pkn2_q)
+                     // (CAST(4 AS HUGEINT) * f.c_ab) AS BIGINT)
+              WHEN l2.pkn2_q IS NOT NULL THEN l2.pkn2_q
+              ELSE 0 END) AS BIGINT) AS sum_q
+            FROM dtids d
+            LEFT JOIN lm3 l3 ON d.tid_a = l3.tid_a AND d.tid_b = l3.tid_b
+              AND d.tid_c = l3.tid_c
+            LEFT JOIN cab3 f ON d.tid_a = f.tid_a AND d.tid_b = f.tid_b
+            LEFT JOIN lm2 l2 ON d.tid_b = l2.tid_b AND d.tid_c = l2.tid_c
+            GROUP BY 1)
+          SELECT doc_id, n_trigrams, n_exact,
+            CAST(sum_q // n_trigrams AS BIGINT) AS fit_q,
+            CAST(sum_q // n_trigrams AS DOUBLE) / 1000000000.0 AS fit
           FROM sc ORDER BY doc_id""",
 
     "q_lm_buckets" ->

@@ -319,6 +319,78 @@ object LangModel {
         col("tier"))
   }
 
+  /** Trigram LM-fit scoring with the full Kneser–Ney backoff chain — the
+    * trigram-depth twin of [[knScoreDocs]]. Each trigram OCCURRENCE in a
+    * scored doc contributes, in exact quantized arithmetic:
+    *
+    *  - trigram seen in training: the interpolated table value p3_q;
+    *  - unseen trigram, seen prefix (a,b) and seen bigram (b,c): the
+    *    continuation-only term (3·N1fw·p2_q) div (4·c_ab) — exactly the
+    *    p3 formula at c_abc = 0;
+    *  - unseen prefix, seen (b,c): p2_q (standard KN: an unseen prefix
+    *    backs off entirely to the lower order);
+    *  - unseen (b,c): zero — the same materialized-table floor as
+    *    [[knScoreDocs]], documented there.
+    *
+    * The per-doc score is the mean quantized probability over trigram
+    * occurrences (integer sum, ONE division). Docs with fewer than three
+    * tokens emit no trigrams and drop out.
+    *
+    * Scale shape: training tables are type-bounded aggregates of the
+    * train corpus; scoring is one scan-stage triple zip and THREE
+    * long-keyed left joins (trigram table, prefix table, bigram table)
+    * followed by a partial-aggregable per-doc mean — nothing beyond
+    * equi-joins on hashed keys.
+    *
+    * Output: (idCol, n_trigrams, n_exact, fit_q, fit) where n_exact
+    * counts occurrences scored from a seen trigram.
+    */
+  def knScoreDocsTrigram(docs: DataFrame, idCol: String, textCol: String,
+      trainDocs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lm2 = knBigramProbs(trainDocs, textCol)
+      .select(col("tid_a").as("tid_b"), col("tid_b").as("tid_c"),
+        col("pkn_q").as("pkn2_q"))
+    val triples = adjacentTriples(trainDocs.select(col(textCol)), textCol, Nil)
+    val cabc = triples.groupBy(col("tid_a"), col("tid_b"), col("tid_c"))
+      .agg(count(lit(1)).cast("long").as("c_abc"))
+    val cab = cabc.groupBy(col("tid_a"), col("tid_b"))
+      .agg(sum(col("c_abc")).cast("long").as("c_ab"),
+        count(lit(1)).cast("long").as("n1fw"))
+    val lm3 = cabc.join(cab, Seq("tid_a", "tid_b"))
+      .join(lm2, Seq("tid_b", "tid_c"))
+      .withColumn("pkn3_q",
+        expr(s"""CAST((CAST(greatest(4 * c_abc - 3, 0) AS $dec) *
+                       CAST(1000000000 AS $dec) +
+                       CAST(3 AS $dec) * CAST(n1fw AS $dec) *
+                       CAST(pkn2_q AS $dec))
+                      div (CAST(4 AS $dec) * CAST(c_ab AS $dec)) AS BIGINT)"""))
+      .select(col("tid_a"), col("tid_b"), col("tid_c"), col("pkn3_q"))
+    val dt = adjacentTriples(docs.select(col(idCol), col(textCol)),
+      textCol, Seq(idCol))
+    dt
+      .join(lm3, Seq("tid_a", "tid_b", "tid_c"), "left")
+      .join(cab, Seq("tid_a", "tid_b"), "left")
+      .join(lm2, Seq("tid_b", "tid_c"), "left")
+      .withColumn("__p_q",
+        when(col("pkn3_q").isNotNull, col("pkn3_q"))
+          .when(col("c_ab").isNotNull && col("pkn2_q").isNotNull,
+            expr(s"""CAST((CAST(3 AS $dec) * CAST(n1fw AS $dec) *
+                           CAST(pkn2_q AS $dec))
+                          div (CAST(4 AS $dec) * CAST(c_ab AS $dec))
+                          AS BIGINT)"""))
+          .when(col("pkn2_q").isNotNull, col("pkn2_q"))
+          .otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("pkn3_q").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(col("__p_q")).as("__sum_q"))
+      .withColumn("fit_q", expr("__sum_q div n_trigrams"))
+      .withColumn("fit", col("fit_q").cast("double") / lit(1e9))
+      .select(col(idCol), col("n_trigrams"), col("n_exact"), col("fit_q"),
+        col("fit"))
+  }
+
   /** Per-document bigram novelty stats:
     * (idCol, n_bigrams, n_hapax, hapax_ratio, avg_bigram_df) where
     * n_bigrams counts bigram OCCURRENCES, n_hapax counts occurrences

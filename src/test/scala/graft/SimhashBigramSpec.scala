@@ -159,6 +159,34 @@ class SimhashBigramSpec extends AnyFunSuite {
       Seq((1L, "a b")).toDF("id", "text"), "text").count() === 0)
   }
 
+  test("knScoreDocsTrigram: every backoff branch, hand-computed") {
+    // train: "a b c", "a b d", "e b c" (per-doc zips, no cross-doc grams)
+    // bigram q2 (B=1e9, floor): q2(c|b)=26e9/48=541666666,
+    //   q2(d|b)=10e9/48=208333333, q2(b|a)=26e9/32=812500000
+    // trigram table: p3(c|a,b)=(1e9+6*541666666)/8=531249999
+    // continuation-only for (e,b,d): (3*1*208333333)/4=156249999
+    val train = Seq((1L, "a b c"), (2L, "a b d"), (3L, "e b c"))
+      .toDF("id", "text")
+    val scored = Seq(
+      (10L, "a b c"),   // seen trigram -> table value
+      (11L, "e b d"),   // unseen trigram, seen prefix + bigram -> cont-only
+      (12L, "x a b"),   // unseen prefix, seen bigram -> full bigram backoff
+      (13L, "q q q"),   // nothing seen -> zero
+      (14L, "a b"),     // < 3 tokens -> drops out
+      (15L, "a b c d")  // mean of seen + zero: (531249999 + 0) div 2
+    ).toDF("id", "text")
+    val got = LangModel.knScoreDocsTrigram(scored, "id", "text", train)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Long]("n_exact"),
+          r.getAs[Long]("fit_q")))).toMap
+    assert(got.keySet === Set(10L, 11L, 12L, 13L, 15L))
+    assert(got(10L) === ((1L, 1L, 531249999L)))
+    assert(got(11L) === ((1L, 0L, 156249999L)))
+    assert(got(12L) === ((1L, 0L, 812500000L)))
+    assert(got(13L) === ((1L, 0L, 0L)))
+    assert(got(15L) === ((2L, 1L, 265624999L)))
+  }
+
   test("knScoreDocs: clean docs outscore garble under a clean-corpus LM") {
     val clean = Seq(
       (1L, "the cat sat on the mat and the cat ran"),
