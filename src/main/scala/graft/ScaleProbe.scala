@@ -307,7 +307,14 @@ object ScaleProbe {
       val nSc = graft.functions.LangModel
         .knScoreDocs(docs, "doc_id", "text", lm).count()
       val secSc = (System.nanoTime() - t1) / 1e9
-      println(f"""{"probe":"kn_lm","mult":$mult,"bigram_types":$nLm,"docs_scored":$nSc,"train_sec":$secLm%.2f,"score_sec":$secSc%.2f}""")
+      // Trigram depth: train tables + the three-way backoff scoring join
+      // — wall must stay linear in the corpus like the bigram pass (the
+      // extra order adds type-bounded tables and one more equi-join).
+      val t2 = System.nanoTime()
+      val nS3 = graft.functions.LangModel
+        .knScoreDocsTrigram(docs, "doc_id", "text", docs).count()
+      val sec3 = (System.nanoTime() - t2) / 1e9
+      println(f"""{"probe":"kn_lm","mult":$mult,"bigram_types":$nLm,"docs_scored":$nSc,"train_sec":$secLm%.2f,"score_sec":$secSc%.2f,"tri_score_sec":$sec3%.2f}""")
     }
 
     // Mutual-kNN probe: same cell blocking as semdedup plus one

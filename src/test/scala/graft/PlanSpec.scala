@@ -219,6 +219,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("trigram LM: equi-joined tables only, partial aggregation below exchanges") {
+    for (q <- Seq("q_kn_trigram", "q_lm_fit3")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"), s"$q: $p")
+      // all LM joins key on hashed ids: some equi-join form must appear,
+      // and the only nested loop allowed is the 1-row np crossJoin
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
   test("corpus shuffle: id-only scan, one shard exchange, no joins") {
     val p = plan("q_corpus_shuffle")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
