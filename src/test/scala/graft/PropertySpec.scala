@@ -302,6 +302,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: KN trigram probs equal an independent BigInt model on fuzzed corpora") {
+    import spark.implicits._
+    def h(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val B = BigInt(1000000000L)
+    forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val got = graft.functions.LangModel.knTrigramProbs(docs, "text")
+        .select("tid_a", "tid_b", "tid_c", "c_abc", "pkn_q")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(t => (t._1, t._2, t._3) -> (t._4, t._5)).toMap
+      // independent model: bigram probs first, then the trigram clear
+      val toks = rows.map(_._2.split("\\s+").filter(_.nonEmpty).map(h))
+      val bpairs = toks.flatMap(ts => ts.zip(ts.drop(1)))
+      val cab2 = bpairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val triples = toks.flatMap(ts =>
+        ts.lazyZip(ts.drop(1)).lazyZip(ts.drop(2)).map((a, b, c) => (a, b, c)))
+      val cabc = triples.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      if (cabc.nonEmpty) {
+        val ca2 = cab2.groupBy(_._1._1).map { case (a, m) =>
+          a -> (m.values.sum, m.size.toLong) }
+        val cb2 = cab2.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+        val np = cab2.size.toLong
+        def p2(b: Long, c: Long): BigInt = {
+          val cnt = cab2((b, c))
+          val (sumA, n1a) = ca2(b)
+          (BigInt(math.max(4 * cnt - 3, 0L)) * np +
+            BigInt(3) * n1a * cb2(c)) * B / (BigInt(4) * sumA * np)
+        }
+        val cab3 = cabc.groupBy { case ((a, b, _), _) => (a, b) }
+          .map { case (k, m) => k -> (m.values.sum, m.size.toLong) }
+        val expected = cabc.map { case ((a, b, c), cnt) =>
+          val (sumC, n1fw) = cab3((a, b))
+          val num = BigInt(math.max(4 * cnt - 3, 0L)) * B +
+            BigInt(3) * n1fw * p2(b, c)
+          (a, b, c) -> (cnt, (num / (BigInt(4) * sumC)).toLong)
+        }
+        assert(got == expected)
+      } else assert(got.isEmpty)
+    }
+  }
+
   test("property: PageRank conserves mass and keeps ranks positive on fuzzed corpora") {
     import spark.implicits._
     forAll(corpusGen) { rows =>
