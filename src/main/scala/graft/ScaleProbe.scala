@@ -317,6 +317,28 @@ object ScaleProbe {
       println(f"""{"probe":"kn_lm","mult":$mult,"bigram_types":$nLm,"docs_scored":$nSc,"train_sec":$secLm%.2f,"score_sec":$secSc%.2f,"tri_score_sec":$sec3%.2f}""")
     }
 
+    // Prefix-filter probe: the exact (lossless) candidate cut vs the
+    // dfCap inverted list, same replicated corpus. RECORDED NEGATIVE on
+    // this corpus: the tiny vocabulary makes even prefix grams hubs
+    // (every replica shares its marker shingle with thousands of docs),
+    // so the prefix path measured 6.6/20.5/479 s against the inverted
+    // list's 5.4/10.4/92 s at 1x/4x/16x — the 16x point is skipped here
+    // to keep the probe suite's wall bounded; see jaccardPairsPrefix's
+    // scaladoc for the regime analysis.
+    for (mult <- Seq(1, 4)) {
+      val docs = replicate(spark, base, mult)
+      for ((tag, run) <- Seq(
+          "inverted" -> (() => Dedup.ngramJaccardPairs(
+            docs, "doc_id", "text", 3, 0.2, dfCap = Long.MaxValue).count()),
+          "prefix" -> (() => Dedup.jaccardPairsPrefix(
+            docs, "doc_id", "text", 3, 0.2).count()))) {
+        val t0 = System.nanoTime()
+        val pairs = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"jaccard_prefix","variant":"$tag","mult":$mult,"pairs":$pairs,"sec":$sec%.2f}""")
+      }
+    }
+
     // Mutual-kNN probe: same cell blocking as semdedup plus one
     // query-keyed top-k window and one edge-keyed semi-join — wall should
     // track sum-of-cell-squares (the candidate mass), never vecs².

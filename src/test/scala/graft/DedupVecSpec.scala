@@ -51,6 +51,35 @@ class DedupVecSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") > 0.5)
   }
 
+  test("prefix-filtered jaccard: lossless vs the uncapped inverted list") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("inter"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("jaccard"))
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    // tau = 0.5 prunes aggressively (prefix = half each set); the result
+    // must STILL equal the full inverted-list join, row for row
+    for (tau <- Seq(0.2, 0.5)) {
+      val full = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, tau,
+        dfCap = Long.MaxValue).collect().map(key).toSet
+      val pref = Dedup.jaccardPairsPrefix(real, "doc_id", "text", 3, tau)
+        .collect().map(key).toSet
+      assert(pref === full, s"tau=$tau: ${pref.size} vs ${full.size}")
+    }
+    // boundary case: J = 2/6 rounds to exactly the threshold (0.333333),
+    // and the shared grams have HIGHER df than each doc's unique grams,
+    // so they sit last in the df-ordered prefixes — the pair is found
+    // only because the prefix length arithmetic keeps one shared gram
+    // on each side
+    import spark.implicits._
+    val edge = Seq(
+      (1L, "a b c d e f"),   // 4 shingles, 2 shared with doc 2
+      (2L, "a b c d x y")    // inter 2, union 6 -> J = 0.333333
+    ).toDF("doc_id", "text")
+    val e = Dedup.jaccardPairsPrefix(edge, "doc_id", "text", 3, 0.333333)
+      .collect().map(key)
+    assert(e.length === 1 && e(0)._3 === 2L && e(0)._6 === 0.333333)
+  }
+
   test("sketch aggregates land within their error bounds of exact values") {
     val d = "/root/testdata/sf0.001"
     val sketch = SparkEntry.queries("q_sketch_stats")(spark, d)
