@@ -1226,6 +1226,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Batch-perceptron classifier: two integer-exact training rounds over
+    // hashed token features (w0 = 0, so round 1's update is the
+    // class-difference vector), every doc scored under the final weights
+    // — supervised classifier training under the oracle gate. The label
+    // (does the doc contain the token "stream") is text-determined, so
+    // the training demonstrably finds the signal (the lang column is
+    // text-independent in this corpus — unlearnable by construction).
+    "q_perceptron" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labels = docs.select(col("doc_id"),
+        when(array_contains(Text.tokens(col("text")), "stream"), 1L)
+          .otherwise(-1L).as("y"))
+      graft.functions.Classifier.perceptronScores(docs, "doc_id", "text",
+          labels, nBuckets = 64, rounds = 12)
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet head/middle/tail bucketing: within-language exact rank of the
     // LM-fit score cut into three tiers — the keep-head-and-middle
     // perplexity filter, completed from q_lm_fit's scores.
@@ -2757,6 +2774,46 @@ object SparkEntry {
             CAST(sum_q // n_trigrams AS BIGINT) AS fit_q,
             CAST(sum_q // n_trigrams AS DOUBLE) / 1000000000.0 AS fit
           FROM sc ORDER BY doc_id""",
+
+    "q_perceptron" -> {
+      // Unrolled training rounds, generated: round r scores under
+      // w{r-1}, collects the misclassified set, and folds its y-weighted
+      // feature sums into w{r}. w0 is the empty (all-zero) table. The
+      // empty-misclassified fixpoint makes extra rounds no-ops, so the
+      // full 12-round unroll equals Spark's early-exited loop exactly.
+      val rounds = 12
+      val roundCtes = (1 to rounds).map { r =>
+        s"""s$r AS (SELECT x.doc_id, min(x.y) AS y,
+              CAST(sum(coalesce(w.w, 0) * x.cnt) AS BIGINT) AS s
+              FROM x LEFT JOIN w${r - 1} w USING (bkt) GROUP BY 1),
+            m$r AS (SELECT doc_id FROM s$r WHERE y * s <= 0),
+            d$r AS (SELECT x.bkt, CAST(sum(x.y * x.cnt) AS BIGINT) AS d
+              FROM x JOIN m$r USING (doc_id) GROUP BY 1),
+            w$r AS MATERIALIZED (SELECT coalesce(a.bkt, b.bkt) AS bkt,
+              CAST(coalesce(a.w, 0) + coalesce(b.d, 0) AS BIGINT) AS w
+              FROM w${r - 1} a FULL JOIN d$r b ON a.bkt = b.bkt)"""
+      }.mkString(",\n            ")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+          f0 AS (SELECT DISTINCT doc_id, ${duckPolyId("t")} % 64 AS bkt
+            FROM tok),
+          lab AS (SELECT doc_id,
+            CAST(CASE WHEN list_contains(tk, 'stream') THEN 1 ELSE -1 END
+              AS BIGINT) AS y FROM tk),
+          f AS (SELECT doc_id, bkt, CAST(1 AS BIGINT) AS cnt FROM f0
+                UNION ALL SELECT doc_id, -1, 1 FROM lab),
+          x AS MATERIALIZED (SELECT f.doc_id, f.bkt, f.cnt, lab.y
+            FROM f JOIN lab USING (doc_id)),
+          w0 AS (SELECT CAST(NULL AS BIGINT) AS bkt,
+            CAST(0 AS BIGINT) AS w WHERE false),
+          $roundCtes,
+          fin AS (SELECT x.doc_id, min(x.y) AS y,
+            CAST(sum(coalesce(w.w, 0) * x.cnt) AS BIGINT) AS s
+            FROM x LEFT JOIN w$rounds w USING (bkt) GROUP BY 1)
+          SELECT doc_id, y, s AS score,
+            CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted
+          FROM fin ORDER BY doc_id"""
+    },
 
     "q_lm_buckets" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
