@@ -57,17 +57,67 @@ object Classifier {
       .withColumn("cnt", lit(1L))
 
   /** Train `rounds` batch-perceptron rounds on `docs` × `labels`
-    * ((idCol, y) with y ∈ {+1, −1}) and score every labeled document
-    * under the final weights. Zero-token docs still carry their bias
-    * row, so every labeled doc is scored. Output: (idCol, y, score,
-    * predicted) where score is the final integer margin and predicted =
-    * +1 iff score > 0 (ties predict −1, deterministically).
+    * ((idCol, y) with y ∈ {+1, −1}) and return the weight table
+    * (bkt, w) — bucket −1 is the bias. Feed it to [[scoreWith]] to
+    * classify a DIFFERENT corpus (the GPT-3-style quality-gate flow:
+    * train on a labeled seed, score everything).
+    */
+  def perceptronTrain(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, nBuckets: Int = 256, rounds: Int = 2): DataFrame =
+    trainAndX(docs, idCol, textCol, labels, nBuckets, rounds)._1
+
+  /** Score `docs` under a trained weight table: (idCol, score,
+    * predicted) with predicted = +1 iff the integer margin is > 0 (ties
+    * predict −1, deterministically). `nBuckets` must match training.
+    * Every doc is scored — zero-token docs through the bias alone.
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, nBuckets: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = features(docs, idCol, textCol, nBuckets)
+      .unionByName(docs.select(col(idCol), lit(-1L).as("bkt"),
+        lit(1L).as("cnt")))
+    x.join(broadcast(weights), Seq("bkt"), "left")
+      .withColumn("__p", (coalesce(col("w"), lit(0L)) * col("cnt")).cast(dec))
+      .groupBy(col(idCol))
+      .agg(sum(col("__p")).cast(dec).as("__s"))
+      .withColumn("score", col("__s").cast("long"))
+      .withColumn("predicted", when(col("score") > 0, 1L).otherwise(-1L))
+      .select(col(idCol), col("score"), col("predicted"))
+  }
+
+  /** Train and score the SAME labeled corpus (training-error view).
+    * Output: (idCol, y, score, predicted).
     */
   def perceptronScores(docs: DataFrame, idCol: String, textCol: String,
       labels: DataFrame, nBuckets: Int = 256, rounds: Int = 2): DataFrame = {
+    val (w, x) = trainAndX(docs, idCol, textCol, labels, nBuckets, rounds)
+    scoresOver(x, w)
+      .withColumn("score", col("__s").cast("long"))
+      .withColumn("predicted",
+        when(col("score") > 0, 1L).otherwise(-1L))
+      .select(col(idCol), col("y"), col("score"), col("predicted"))
+  }
+
+  private val dec = "decimal(38,0)"
+
+  /** (idCol grouping of margin sums under `w`; w = null means all-zero). */
+  private def scoresOver(x: DataFrame, w: DataFrame): DataFrame = {
+    val idCol = x.columns.head
+    val joined =
+      if (w == null) x.withColumn("__p", lit(0L).cast(dec))
+      else x.join(broadcast(w), Seq("bkt"), "left")
+        .withColumn("__p",
+          (coalesce(col("w"), lit(0L)) * col("cnt")).cast(dec))
+        .drop("w")
+    joined.groupBy(col(idCol))
+      .agg(min(col("y")).as("y"), sum(col("__p")).cast(dec).as("__s"))
+  }
+
+  private def trainAndX(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, nBuckets: Int, rounds: Int): (DataFrame, DataFrame) = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val dec = "decimal(38,0)"
     val lab = labels.select(col(idCol), col("y").cast("long").as("y"))
     // Materialized once: every round re-reads the feature stream, and the
     // per-round weight tables are (B+1)-row — checkpointing both keeps
@@ -79,22 +129,11 @@ object Classifier {
       .join(lab, Seq(idCol))
       .localCheckpoint(true)
 
-    def scoresUnder(w: DataFrame): DataFrame = {
-      val joined =
-        if (w == null) x.withColumn("__p", lit(0L).cast(dec))
-        else x.join(broadcast(w), Seq("bkt"), "left")
-          .withColumn("__p",
-            (coalesce(col("w"), lit(0L)) * col("cnt")).cast(dec))
-          .drop("w")
-      joined.groupBy(col(idCol))
-        .agg(min(col("y")).as("y"), sum(col("__p")).cast(dec).as("__s"))
-    }
-
     var w: DataFrame = null
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      val mis = scoresUnder(w)
+      val mis = scoresOver(x, w)
         .filter(col("y") * col("__s") <= 0)
         .select(col(idCol))
       // mis = ∅ is a FIXPOINT: the delta is empty and every later round
@@ -115,10 +154,18 @@ object Classifier {
       }
       r += 1
     }
-    scoresUnder(w)
-      .withColumn("score", col("__s").cast("long"))
-      .withColumn("predicted",
-        when(col("score") > 0, 1L).otherwise(-1L))
-      .select(col(idCol), col("y"), col("score"), col("predicted"))
+    // A converged (or zero-update) run can leave w null/partial — an
+    // empty weight table scores everything through coalesce(w, 0).
+    val weights =
+      if (w == null)
+        x.sparkSession.createDataFrame(
+          x.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bkt",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.LongType))))
+      else w
+    (weights, x)
   }
 }

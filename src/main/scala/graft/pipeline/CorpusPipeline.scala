@@ -215,6 +215,25 @@ object CorpusPipeline {
     docs.join(unfit, Seq(cfg.idCol), "left_anti")
   }
 
+  /** Quality-classifier gate — the GPT-3/LLaMA fastText-filter flow:
+    * train a batch perceptron on a LABELED seed corpus (`seed` carries
+    * (idCol, textCol, y) with y = +1 for "looks like the curated
+    * target", −1 for random crawl), score EVERY corpus doc under the
+    * trained weights, keep the docs predicted positive. Training sees
+    * only the seed (small by construction); scoring is one broadcast of
+    * the weight table over a scan of the corpus.
+    */
+  def classifierGate(docs: DataFrame, seed: DataFrame, nBuckets: Int = 256,
+      rounds: Int = 12, cfg: Config = Config()): DataFrame = {
+    val w = graft.functions.Classifier.perceptronTrain(seed, cfg.idCol,
+      cfg.textCol, seed.select(col(cfg.idCol), col("y")), nBuckets, rounds)
+    val kept = graft.functions.Classifier.scoreWith(docs, cfg.idCol,
+        cfg.textCol, w, nBuckets)
+      .filter(col("predicted") === 1L)
+      .select(col(cfg.idCol))
+    docs.join(kept, Seq(cfg.idCol), "left_semi")
+  }
+
   /** Held-out split assignment over the CURATED corpus (split after
     * dedup, never before: a near-dup pair straddling train/test is
     * leakage the split exists to prevent). Deterministic by id hash —

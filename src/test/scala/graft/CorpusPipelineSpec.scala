@@ -114,6 +114,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("classifierGate: seed-trained filter keeps target-like docs only") {
+    import spark.implicits._
+    // seed: clean docs speak {good*}, crawl noise speaks {junk*}
+    val seed = ((1L to 15L).map(i => (i, s"good1 good2 good${1 + i % 3}", 1L)) ++
+      (16L to 40L).map(i => (i, s"junk1 junk2 junk${1 + i % 3}", -1L)))
+      .toDF("doc_id", "text", "y")
+    // corpus: unlabeled mix, ids disjoint from the seed
+    val corpus = Seq(
+      (100L, "good1 good3 good2"), (101L, "junk3 junk1 junk2"),
+      (102L, "good2 good1"), (103L, "junk2 junk2 junk1")
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.classifierGate(corpus, seed,
+        nBuckets = 32, rounds = 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(100L, 102L))
+  }
+
   test("semanticDedup drops planted embedding near-dups, keeps min id") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
