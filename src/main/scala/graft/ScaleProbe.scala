@@ -41,9 +41,15 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm
 
+    // Optional comma-separated probe-name filter (first program arg):
+    // run only the named probes — local iteration on one operator
+    // without paying for the whole suite. No arg = full suite.
+    val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
+    def want(p: String): Boolean = only.forall(_.contains(p))
+
     val base = Tables.documents(spark, sfDir)
     val nBase = base.count()
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("minhash_lsh")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
@@ -60,7 +66,7 @@ object ScaleProbe {
     // superlinear wall-clock growth would expose quadratic candidate
     // generation in the bucket blocking.
     val ev = Tables.events(spark, sfDir)
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("band_join")) {
       val reps = spark.range(mult).select(col("id").as("rep"))
       val scaled = ev.crossJoin(reps)
         .select((col("event_id") * mult + col("rep")).as("eid"),
@@ -84,7 +90,8 @@ object ScaleProbe {
       .select(col("vec_id"), col("embedding"))
     for ((tag, bucket) <- Seq(
         "native" -> graft.functions.Vec.rpLshBucket(col("embedding"), 16),
-        "hof" -> graft.functions.Vec.rpLshBucketHof(col("embedding"), 16))) {
+        "hof" -> graft.functions.Vec.rpLshBucketHof(col("embedding"), 16))
+        if want("rp_lsh_bucket")) {
       val t0 = System.nanoTime()
       emb.select(bucket.as("b")).selectExpr("sum(b)").collect()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -95,7 +102,7 @@ object ScaleProbe {
     // replicated corpus (LSH pairs) resolved to clusters. Rounds are
     // bounded by component diameter (replica cliques: ~2), so wall-clock
     // should track the pair volume, not blow up with corpus size.
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("connected_components")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
@@ -115,7 +122,7 @@ object ScaleProbe {
     // token, so fingerprints land within a small hamming ball of their
     // siblings — pair output grows with planted duplication while the
     // blocking stays a linear equi-join.
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("simhash_pairs")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val fp = docs
@@ -133,7 +140,7 @@ object ScaleProbe {
     // should grow linearly with the corpus and stay flat in k's shadow.
     val embBase = Tables.embeddings(spark, sfDir)
     val nEmb = embBase.count()
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("kmeans")) {
       // rep-major ids: the k smallest ids stay k DISTINCT base vectors
       // (base-major would seed every centroid with replicas of vector 0
       // and collapse the clustering).
@@ -153,7 +160,7 @@ object ScaleProbe {
     // cell (identical coordinates), so true dup mass grows with the
     // replication while the pair stage stays sum-of-cell-squares — the
     // wall should track pair volume, never vecs².
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("semdedup")) {
       val vecs = embBase
         .crossJoin(spark.range(mult).select(col("id").as("rep")))
         .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
@@ -169,7 +176,7 @@ object ScaleProbe {
     // embedding corpus. Each subspace run is the kmeans loop on
     // subDim-wide slices, so total wall should stay linear in vectors
     // (m parallel-shaped linear passes, no cross-subspace interaction).
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("pq_train")) {
       val vecs = embBase
         .crossJoin(spark.range(mult).select(col("id").as("rep")))
         .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
@@ -186,7 +193,7 @@ object ScaleProbe {
     // path cuts it at the scan, so its wall should grow with corpus size at
     // a visibly smaller slope (the gram shuffle disappears; only the scan
     // and the survivor trickle remain).
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("decontaminate")) {
       val docs = replicate(spark, base, mult)
       val evalSet = base.filter(col("doc_id") < 10)
         .select(col("doc_id"), col("text"))
@@ -207,7 +214,7 @@ object ScaleProbe {
     // the planted duplication while every stage stays linear (positioned
     // gram scan → partial-aggregable count → semi-join → doc-local
     // interval merge). Wall should track corpus + span volume.
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("span_dedup")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val spans = Dedup.repeatedSpans(docs, "doc_id", "text", 8).count()
@@ -220,7 +227,7 @@ object ScaleProbe {
     // rank-table-sized frames — so wall should grow with the corpus scan
     // and stay otherwise flat (the graph itself barely grows: replica
     // marker tokens add mult nodes to a fixed vocabulary).
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("textrank")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val kws = graft.functions.Graph.textRank(docs, "text", 2, 25).count()
@@ -232,7 +239,7 @@ object ScaleProbe {
     // |query|-bounded per doc BEFORE its exchange), doc lengths are a
     // compiled scan, and the answer is one TakeOrdered — retrieval wall
     // should be a clean linear function of corpus size.
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("bm25")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       graft.functions.Rank.bm25TopDocs(docs, "doc_id", "text",
@@ -245,7 +252,7 @@ object ScaleProbe {
     // aggregate; every round after it is vocabulary-sized (pair counts
     // over distinct words + a 1-row broadcast + a per-word rewrite), so
     // wall should grow with the corpus scan and flatten in the rounds.
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("bpe_train")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val n = graft.functions.Bpe.learnMerges(docs, "text", 3).count()
@@ -262,7 +269,7 @@ object ScaleProbe {
     // replicas are mutual near-dups, so verified pair mass grows
     // quadratically in mult by construction — honest output, separate
     // cost).
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("winnow")) {
       val docs = replicate(spark, base, mult)
       val grams = Dedup.docShingleIds(docs, "doc_id", "text", 3).count()
       val t0 = System.nanoTime()
@@ -282,7 +289,7 @@ object ScaleProbe {
     // DSIR probe: importance scoring is two scan-stage token passes + a
     // B-row broadcast ratio join + one partial-aggregable per-doc sum —
     // wall must stay linear in the corpus with a flat per-doc cost.
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("dsir")) {
       val docs = replicate(spark, base, mult)
       val target = base.limit(200)
       val t0 = System.nanoTime()
@@ -297,7 +304,7 @@ object ScaleProbe {
     // the bigram-type-sized table. Both walls must stay linear in the
     // corpus (the LM table itself grows sublinearly — replicas add
     // counts, not types, beyond their marker tokens).
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("kn_lm")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val lm = graft.functions.LangModel.knBigramProbs(docs, "text")
@@ -325,7 +332,7 @@ object ScaleProbe {
     // list's 5.4/10.4/92 s at 1x/4x/16x — the 16x point is skipped here
     // to keep the probe suite's wall bounded; see jaccardPairsPrefix's
     // scaladoc for the regime analysis.
-    for (mult <- Seq(1, 4)) {
+    for (mult <- Seq(1, 4) if want("jaccard_prefix")) {
       val docs = replicate(spark, base, mult)
       for ((tag, run) <- Seq(
           "inverted" -> (() => Dedup.ngramJaccardPairs(
@@ -342,7 +349,7 @@ object ScaleProbe {
     // Mutual-kNN probe: same cell blocking as semdedup plus one
     // query-keyed top-k window and one edge-keyed semi-join — wall should
     // track sum-of-cell-squares (the candidate mass), never vecs².
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("mutual_knn")) {
       val vecs = embBase
         .crossJoin(spark.range(mult).select(col("id").as("rep")))
         .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
@@ -357,13 +364,48 @@ object ScaleProbe {
     // Corpus-shuffle probe: one scan-stage hash + ONE shard-keyed sort
     // exchange; wall must be linear in the corpus (this is the cheapest
     // shuffle the engine does — a regression here flags config damage).
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if want("corpus_shuffle")) {
       val docs = replicate(spark, base, mult)
       val t0 = System.nanoTime()
       val n = graft.functions.Sampling.shardAssign(docs, "doc_id", 32)
         .selectExpr("max(pos)").collect()(0).getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"corpus_shuffle","mult":$mult,"docs":${nBase * mult},"max_pos":$n,"sec":$sec%.2f}""")
+    }
+
+    // k-center probe: k−1 rounds of (1-row broadcast → map-only least
+    // fold → TakeOrdered(1) argmax) over the incremental min-distance
+    // state — wall must grow linearly with the corpus and the per-round
+    // cost must not depend on how many centers came before (the state
+    // folds ONE new center per round, never the whole chosen set).
+    for (mult <- Seq(1, 4, 16) if want("kcenter")) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+      val t0 = System.nanoTime()
+      val sel = graft.functions.Vec.kCenters(vecs, k = 8)
+        .collect() // 8 rows — bounded
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"kcenter","mult":$mult,"vecs":${nEmb * mult},"centers":${sel.length},"sec":$sec%.2f}""")
+    }
+
+    // Unigram-TV probe: one (group, token) partial-aggregable count over
+    // the corpus, then a token-keyed self-join whose fan-out is bounded
+    // by the GROUP count — wall must track the corpus scan linearly
+    // while the pair stage stays mixture-sized (5 langs → 10 pairs at
+    // every multiple).
+    for (mult <- Seq(1, 4, 16) if want("unigram_tv")) {
+      val reps = spark.range(mult).select(col("id").as("rep"))
+      val docs = base.crossJoin(reps)
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("lang"))
+      val t0 = System.nanoTime()
+      val n = graft.functions.LangModel.unigramTV(docs, "lang", "text")
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"unigram_tv","mult":$mult,"docs":${nBase * mult},"pairs":$n,"sec":$sec%.2f}""")
     }
 
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
@@ -382,7 +424,8 @@ object ScaleProbe {
       (col("id") * 3).as("payload"))
     for ((tag, joined) <- Seq(
         "plain" -> li.join(dim, Seq("k")),
-        "salted" -> graft.ops.Scale.saltedJoin(li, dim, Seq("k"), 32))) {
+        "salted" -> graft.ops.Scale.saltedJoin(li, dim, Seq("k"), 32))
+        if want("skew_join")) {
       val t0 = System.nanoTime()
       // Global (un-keyed) aggregate so the measurement isolates the join
       // stage: a groupBy on k would re-create the hot-key skew in a second

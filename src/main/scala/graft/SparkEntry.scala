@@ -260,6 +260,40 @@ object SparkEntry {
         ${assign(s"${p}c1", s"${p}a2p", s"${p}a2")}"""
   }
 
+  /** DuckDB CTE chain reproducing Vec.kCenters(k) over the embeddings
+    * table: smallest-id seed, then k−1 unrolled farthest-point rounds.
+    * The incremental `least`-fold Spark maintains equals the min over
+    * the full chosen set (rounding happens per-center before the fold),
+    * so the SQL can use the set-min formulation directly. Ends with the
+    * final SELECT (sel_round, vec_id, radius2).
+    */
+  private def duckKCenterSql(k: Int): String = {
+    val dotSql = duckDotSql _
+    val dEE = dotSql("e.embedding", "e.embedding")
+    def dist(sN: String, dN: String): String =
+      s"""$dN AS (SELECT e.vec_id, e.embedding,
+            min(round(greatest(0.0, ($dEE - 2 * ${dotSql("e.embedding", "c.cvec")})
+              + ${dotSql("c.cvec", "c.cvec")}), 6)) AS dmin
+          FROM embeddings e CROSS JOIN $sN c
+          GROUP BY e.vec_id, e.embedding)"""
+    val rounds = (2 to k).map { r =>
+      s"""${dist(s"s${r - 1}", s"d${r - 1}")},
+          p$r AS (SELECT vec_id, embedding, dmin FROM d${r - 1}
+            WHERE dmin > 0 ORDER BY dmin DESC, vec_id LIMIT 1),
+          s$r AS (SELECT vec_id, cvec FROM s${r - 1}
+            UNION ALL SELECT vec_id, embedding AS cvec FROM p$r)"""
+    }.mkString(",\n")
+    val picks = (2 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS sel_round, vec_id, dmin AS radius2 FROM p$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH s1 AS (SELECT vec_id, embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 1)),
+        $rounds
+        SELECT CAST(1 AS INT) AS sel_round, vec_id,
+          CAST(0.0 AS DOUBLE) AS radius2 FROM s1
+        UNION ALL $picks ORDER BY sel_round"""
+  }
+
   /** DuckDB CTE chain reproducing 16-bit SimHash fingerprints over the
     * documents table (token-occurrence hashing, Dedup.simhash arithmetic) —
     * shared by q_simhash and q_simhash_pairs. Ends with
@@ -626,6 +660,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Relative quality gate: keep the top 25% of each source by quality
+    // score — the percentile twin of the absolute q_quality_rules
+    // threshold gate, exact-integer keep rule, deterministic ties.
+    "q_quality_gate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
+      graft.functions.Quality.percentileGate(docs, "source", "quality",
+          keepBps = 2500, tieCol = "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Language ID by marker-word voting.
     // Hard-negative mining: BM25 rank-1 is the positive; the next 20
     // candidates survive as negatives only below 0.5 Jaccard vs the
@@ -674,6 +720,15 @@ object SparkEntry {
     "q_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, minJaccard = 0.2, dfCap = 100000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Asymmetric containment pairs: |A∩B|/min — the subset detector a
+    // Jaccard threshold structurally misses (short doc quoted inside a
+    // long one). Same inverted-list blocking as q_ngram_jaccard.
+    "q_containment" -> { (s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minContainment = 0.4, dfCap = 100000L)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1027,6 +1082,26 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
+    // UniMax mixture allocation (epoch-capped uniform waterfill): the
+    // principled alternative to temperature sampling — exact-integer
+    // closed form, every branch (capped prefix, uniform remainder,
+    // one-extra-token distribution) under the oracle gate.
+    "q_unimax" -> { (s, d) =>
+      graft.functions.Sampling.unimaxAllocate(
+          Tables.documents(s, d), "lang", "n_chars",
+          budget = 120000L, maxEpochs = 1)
+        .orderBy(col("lang"))
+    },
+
+    // Pairwise unigram total-variation distance between language
+    // sub-corpora: the log-free distributional-distinctness diagnostic
+    // (TV = 1 − Σ min(p,q), exact integer min-mass sum, one division).
+    "q_unigram_tv" -> { (s, d) =>
+      graft.functions.LangModel.unigramTV(
+          Tables.documents(s, d), "lang", "text")
+        .orderBy(col("g_a"), col("g_b"))
+    },
+
     // Overlapping token-window chunking (context-window splitting for
     // long docs): 64-token chunks, 16-token overlap.
     "q_doc_chunk" -> { (s, d) =>
@@ -1262,6 +1337,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // Greedy k-center selection (farthest-point-first): the coverage-
+    // maximizing coreset selector — deterministic seed, incremental
+    // min-distance state, one bounded argmax per round.
+    "q_kcenter" -> { (s, d) =>
+      Vec.kCenters(Tables.embeddings(s, d), k = 6)
+        .orderBy(col("sel_round"))
+    },
+
     // Diversity sampling: k-means cells as strata, deterministic per-cell
     // quotas — the embedding-space-coverage sampler (rare clusters keep
     // representation a uniform sample would starve).
@@ -1359,6 +1442,19 @@ object SparkEntry {
           cellCol = "label")
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Rank-biased overlap between the exact cosine top-10 and the IVF
+    // (nProbe=3) top-10 — the rank-aware serving-quality metric for the
+    // ANN layer, exact dyadic-rational arithmetic at p = 1/2.
+    "q_rbo" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      graft.functions.Rank.rbo(
+          Vec.bruteForceTopK(qs, emb, k = 10),
+          Vec.ivfTopK(emb, qs, k = 10, nProbe = 3, cellCol = "label"),
+          depth = 10)
+        .orderBy(col("query_id"))
     },
 
     // IVF with a LEARNED coarse quantizer: k-means(k=8, 2 iters) cells
@@ -1882,6 +1978,23 @@ object SparkEntry {
           FROM t2 ORDER BY doc_id"""
     },
 
+    "q_quality_gate" -> {
+      val hits = duckMarkerHits(stopwords)
+      s"""WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS tk FROM documents),
+          t2 AS (SELECT doc_id, source,
+            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS stop_ratio, tk FROM t),
+          q AS (SELECT doc_id, source,
+            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+          r AS (SELECT doc_id, source, quality,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
+          SELECT doc_id, source, quality FROM r
+          WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
           h AS (SELECT doc_id,
@@ -2074,6 +2187,27 @@ object SparkEntry {
           FROM ip JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.2
+          ORDER BY id_a, id_b""",
+
+    "q_containment" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
+          ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS inter
+            FROM gg a JOIN gg b ON a.tid = b.tid AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+            round(CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+          FROM ip JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) >= 0.4
           ORDER BY id_a, id_b""",
 
     "q_minhash_sig" -> {
@@ -2468,6 +2602,55 @@ object SparkEntry {
           SELECT lang, n_docs, n_tokens, weight,
             round(CAST(weight AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
           FROM w, tot ORDER BY lang""",
+
+    "q_unimax" ->
+      s"""WITH g AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          f AS (SELECT lang, n_tokens, n_tokens * 1 AS cap,
+            CAST(row_number() OVER w AS BIGINT) AS i,
+            COALESCE(CAST(SUM(n_tokens * 1) OVER (ORDER BY n_tokens * 1, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+              0) AS bef,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM g WINDOW w AS (ORDER BY n_tokens * 1, lang)),
+          ff AS (SELECT *, CAST(cap AS HUGEINT) * (n - i + 1) <=
+            CAST(120000 - bef AS HUGEINT) AS capped FROM f),
+          t AS (SELECT
+            CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS csum,
+            CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS u
+            FROM ff)
+          SELECT lang, n_tokens, cap,
+            CAST(CASE WHEN capped THEN cap ELSE
+              (120000 - csum) // NULLIF(u, 0) +
+                (CASE WHEN i - (n - u) <= (120000 - csum) % NULLIF(u, 0)
+                 THEN 1 ELSE 0 END) END AS BIGINT) AS alloc,
+            round(CAST(CASE WHEN capped THEN cap ELSE
+              (120000 - csum) // NULLIF(u, 0) +
+                (CASE WHEN i - (n - u) <= (120000 - csum) % NULLIF(u, 0)
+                 THEN 1 ELSE 0 END) END AS DOUBLE)
+              / CAST(n_tokens AS DOUBLE), 6) AS epochs
+          FROM ff, t ORDER BY lang""",
+
+    "q_unigram_tv" ->
+      s"""WITH tk AS (SELECT lang AS g, unnest(${duckToks("text")}) AS tok
+            FROM documents),
+          c AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY g, tok),
+          t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g),
+          ov AS (SELECT a.g AS g_a, b.g AS g_b,
+            CAST(count(*) AS BIGINT) AS shared_vocab,
+            sum(least(CAST(a.c AS HUGEINT) * tb2.n,
+                      CAST(b.c AS HUGEINT) * ta2.n)) AS minsum
+            FROM c a JOIN c b USING (tok)
+            JOIN t ta2 ON ta2.g = a.g JOIN t tb2 ON tb2.g = b.g
+            WHERE a.g < b.g GROUP BY 1, 2),
+          p AS (SELECT ta.g AS g_a, tb.g AS g_b, ta.n AS n_a, tb.n AS n_b
+            FROM t ta, t tb WHERE ta.g < tb.g)
+          SELECT g_a, g_b, n_a, n_b,
+            COALESCE(shared_vocab, 0) AS shared_vocab,
+            round(1.0 - CAST(COALESCE(minsum, 0) AS DOUBLE) /
+              (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS tv
+          FROM p LEFT JOIN ov USING (g_a, g_b) ORDER BY g_a, g_b""",
 
     "q_doc_chunk" ->
       s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
@@ -2982,6 +3165,8 @@ object SparkEntry {
           SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist2 FROM a2
           ORDER BY vec_id""",
 
+    "q_kcenter" -> duckKCenterSql(6),
+
     "q_diverse_sample" ->
       s"""WITH $duckKmeansCte,
           b AS (SELECT vec_id, cell, ${duckBucketOf("vec_id")} AS bkt FROM a2),
@@ -3026,6 +3211,60 @@ object SparkEntry {
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM cand)
           SELECT query_id, neighbor_id, sim, "rank" FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_rbo" -> {
+      val dotSql = duckDotSql _
+      // weights generated by the SAME arithmetic as Rank.rbo (depth 10,
+      // p = 1/2): w(m) = sum_{d=m..10} (lcm(1..10)/d) * 2^(10-d)
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      val lcmD = (1 to 10).foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+      val denom = lcmD * 1024
+      val ws = (1 to 10).map(m =>
+        s"($m, ${(m to 10).map(d => lcmD / d * (1L << (10 - d))).sum})")
+        .mkString(", ")
+      s"""WITH qq AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pa AS (SELECT query_id, e.vec_id AS neighbor_id,
+            ${dotSql("qv", "e.embedding")} AS dp,
+            ${dotSql("qv", "qv")} AS nq,
+            ${dotSql("e.embedding", "e.embedding")} AS nc
+            FROM qq, embeddings e WHERE e.vec_id <> qq.query_id),
+          sca AS (SELECT query_id, neighbor_id,
+            round(dp / (sqrt(nq) * sqrt(nc)), 6) + 0.0 AS sim FROM pa),
+          ea AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS ra FROM sca
+            QUALIFY ra <= 10),
+          ${duckCentroidCte("cell")},
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM qq q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) + 0.0 AS sim
+            FROM probed p JOIN embeddings e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          eb AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rb FROM cand
+            QUALIFY rb <= 10),
+          w AS (SELECT * FROM (VALUES $ws) t(m, wt)),
+          c AS (SELECT ea.query_id, greatest(ra, rb) AS m
+            FROM ea JOIN eb USING (query_id, neighbor_id)),
+          s AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+            CAST(sum(wt) AS BIGINT) AS sw FROM c JOIN w USING (m)
+            GROUP BY query_id)
+          SELECT qq.query_id, COALESCE(n_common, 0) AS n_common,
+            round(CAST(COALESCE(sw, 0) AS DOUBLE) / $denom.0, 6) AS rbo
+          FROM qq LEFT JOIN s USING (query_id) ORDER BY qq.query_id"""
     },
 
     "q_ivf_kmeans" -> {

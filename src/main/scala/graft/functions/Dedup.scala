@@ -675,4 +675,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
         col("jaccard"))
   }
+
+  /** Asymmetric near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|,
+    * |B|) — the subset detector Jaccard structurally misses: a short doc
+    * fully quoted inside a long one has containment 1.0 but Jaccard ≈
+    * |A|/|B| → 0 as the long doc grows, so a Jaccard threshold silently
+    * whitelists quote-expansion duplicates. Containment ≥ Jaccard always;
+    * thresholds are NOT interchangeable between the two.
+    *
+    * Same inverted-list candidate machinery (and therefore the same
+    * 100 TB shape: distinct shingles, df-capped posting lists, one
+    * tid-keyed self-equi-join, partial-aggregable intersection counts —
+    * never all-pairs) and the same hub-consistency rule: df-capped
+    * shingles leave the intersection AND both set sizes, or hub-heavy
+    * docs would bias the ratio toward zero and be missed.
+    *
+    * Output: (id_a, id_b, inter, n_a, n_b, containment) for id_a < id_b,
+    * containment rounded to 6.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainment: Double, dfCap: Long = 100000L): DataFrame = {
+    val grams = docShingleIds(docs, idCol, textCol, n).distinct()
+    val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("tid")
+    val g = grams.join(rare, Seq("tid"))
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val a = g.select(col("tid"), col(idCol).as("id_a"))
+    val b = g.select(col("tid"), col(idCol).as("id_b"))
+    val inter = a.join(b, Seq("tid"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_grams").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_grams").as("n_b")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        col("containment"))
+  }
 }

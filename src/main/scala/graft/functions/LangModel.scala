@@ -414,4 +414,60 @@ object LangModel {
         (col("__sum_df").cast("double") / col("n_bigrams").cast("double"))
           .as("avg_bigram_df"))
   }
+
+  /** Pairwise total-variation distance between per-group unigram token
+    * distributions — the mixture-design diagnostic that says how
+    * distributionally distinct two sources/languages/shards actually are
+    * (TV ≈ 0: interchangeable; TV ≈ 1: disjoint vocabularies), without
+    * the logarithms KL would need (the module-wide no-libm rule).
+    *
+    * Exactness: TV(P,Q) = 1 − Σ_w min(P(w), Q(w)), and with P = c_a/n_a
+    * the min comparison clears denominators — min(c_a·n_b, c_b·n_a) — so
+    * the whole sum is exact integer arithmetic in decimal(38,0) (a
+    * 64-bit count times a 64-bit total overflows a long at corpus
+    * scale), divided ONCE by n_a·n_b per pair. Tokens present in only
+    * one group contribute zero to the min-sum and are correctly absorbed
+    * by the 1− form — no full-outer join needed.
+    *
+    * Scale shape: one partial-aggregable (group, token) count, a
+    * token-keyed self-equi-join whose per-token fan-out is bounded by
+    * the GROUP count (mixture-sized, not data-sized — a token appearing
+    * in all G groups emits G² rows, with G = #sources ~ tens), one
+    * pair-keyed aggregate. Group totals ride in as a broadcast. All-pair
+    * coverage comes from a cross join of the G-row totals table, so
+    * vocabulary-disjoint pairs still emit their TV = 1 row.
+    *
+    * Output: (g_a, g_b, n_a, n_b, shared_vocab, tv) for g_a < g_b, tv
+    * rounded to 6 places.
+    */
+  def unigramTV(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("__g"),
+      explode(Text.tokens(col(textCol))).as("__tok"))
+    val counts = toks.groupBy(col("__g"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val cg = counts.join(broadcast(totals), Seq("__g"))
+    val dec = "decimal(19,0)"
+    val a = cg.select(col("__g").as("g_a"), col("__tok"),
+      col("__c").cast(dec).as("__ca"), col("__n").cast(dec).as("__na"))
+    val b = cg.select(col("__g").as("g_b"), col("__tok"),
+      col("__c").cast(dec).as("__cb"), col("__n").cast(dec).as("__nb"))
+    val overlap = a.join(b, Seq("__tok"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("shared_vocab"),
+        sum(least(col("__ca") * col("__nb"), col("__cb") * col("__na")))
+          .as("__minsum"))
+    val pairs = totals.select(col("__g").as("g_a"), col("__n").as("n_a"))
+      .crossJoin(totals.select(col("__g").as("g_b"), col("__n").as("n_b")))
+      .filter(col("g_a") < col("g_b"))
+    pairs.join(overlap, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"),
+        round(lit(1.0) - coalesce(col("__minsum"), lit(0).cast(dec))
+            .cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("tv"))
+  }
 }

@@ -43,6 +43,35 @@ object Quality {
       (punctRatio <= maxPunctRatio) &&
       (repRatio <= maxRepRatio)
 
+  /** Keep the top `keepBps`/10000 fraction of each group, ranked by
+    * `scoreCol` descending with `tieCol` as the deterministic tie-break —
+    * the RELATIVE quality gate (keep the best 25% of every source) where
+    * [[keepRule]] is the absolute one. Relative gating self-adapts to
+    * per-source score distributions: a threshold tuned on one source
+    * over- or under-prunes another, but a percentile never does.
+    *
+    * Exact integer keep rule — row_number·10000 <= group_count·keepBps,
+    * i.e. rank <= floor(n·bps/10000) — no floating-point percentile
+    * boundary to disagree across engines. Ties in the score are broken
+    * by `tieCol`, so the kept set is deterministic under any
+    * partitioning. One window shuffle keyed on the group; at 100 TB the
+    * group is a source/shard (mixture-sized partitions), never a global
+    * window.
+    */
+  def percentileGate(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      scoreCol: String, keepBps: Int, tieCol: String): org.apache.spark.sql.DataFrame = {
+    require(keepBps >= 0 && keepBps <= 10000,
+      s"keepBps must be in [0, 10000], got $keepBps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") * 10000 <= col("__n") * keepBps)
+      .drop("__rn", "__n")
+  }
+
   // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------

@@ -207,4 +207,57 @@ object Rank {
       .orderBy(col("rrf_q").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Truncated rank-biased overlap (Webber et al. 2010) at persistence
+    * p = 1/2 between two per-query rankings — the rank-AWARE agreement
+    * metric for grading an ANN/quantized serving path against the exact
+    * ranking (plain recall@k treats rank 1 and rank k as equal; RBO
+    * weights depth d by p^(d-1), so disagreement at the top costs most).
+    *
+    * p = 1/2 makes every term dyadic-rational: RBO@D = Σ_{d≤D} 2^{-d} ·
+    * |A_d ∩ B_d| / d, and a doc first common at depth m = max(rank_a,
+    * rank_b) contributes exactly w(m) = Σ_{d=m..D} L·2^{D-d}/d (L =
+    * lcm(1..D)) to the numerator over the fixed denominator L·2^D — so
+    * the per-query sum is an exact INTEGER and engine-identical; the
+    * only double is the final division. Full agreement scores 1 − 2^-D
+    * (the truncation's mass), disjoint lists 0.
+    *
+    * Scale shape: one (query, doc)-keyed equi-join of two k-bounded
+    * rankings + one partial-aggregable per-query sum; the weight lookup
+    * is a D-branch CASE on the compiled path. Queries with NO common
+    * docs still emit their 0.0 row (left join from ranking A's query
+    * set — absence of agreement is the signal, not missing data).
+    *
+    * Inputs need (query_id, neighbor_id, rank) with rank 1-based;
+    * ranks beyond `depth` are ignored. Output: (query_id, n_common,
+    * rbo) with rbo rounded to 6.
+    */
+  def rbo(a: DataFrame, b: DataFrame, depth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 20,
+      s"depth must be in [1, 20] (L*2^D must fit a long), got $depth")
+    def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+    val lcmD = (1 to depth).foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+    val denom = lcmD * (1L << depth)
+    val w: Map[Int, Long] = (1 to depth).map(m =>
+      m -> (m to depth).map(d => lcmD / d * (1L << (depth - d))).sum).toMap
+    val wCol = (1 to depth).foldLeft(lit(0L)) { case (acc, m) =>
+      when(col("__m") === m, lit(w(m))).otherwise(acc) }
+    val aa = a.filter(col("rank") <= depth)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("__ra"))
+    val bb = b.filter(col("rank") <= depth)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("__rb"))
+    val common = aa.join(bb, Seq("query_id", "neighbor_id"))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+      .withColumn("__w", wCol)
+      .groupBy(col("query_id"))
+      .agg(sum(col("__w")).as("__s"), count(lit(1)).as("n_common"))
+    aa.select(col("query_id")).distinct()
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("__s"), lit(0L)).cast("double") /
+          lit(denom.toDouble), 6).as("rbo"))
+  }
 }

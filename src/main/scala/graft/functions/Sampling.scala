@@ -278,4 +278,72 @@ object Sampling {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budget)
         .cast("long"))
   }
+
+  /** UniMax mixture allocation (Chung et al. 2023): split a total token
+    * `budget` across groups (languages, sources) as UNIFORMLY as
+    * possible, subject to each group contributing at most `maxEpochs`
+    * passes over its own data — the principled alternative to
+    * temperature sampling that never over-repeats a low-resource group.
+    *
+    * Closed-form waterfill instead of the paper's greedy loop: with
+    * groups sorted ascending by cap = maxEpochs·n_tokens, a group is
+    * budget-capped iff cap·(groups from it on) <= budget − (sum of caps
+    * before it); the capped set is provably a prefix of that order, so
+    * one cumulative-sum window decides every group at once. Capped
+    * groups get their cap; the rest share the remainder uniformly —
+    * `floor((budget − capped_sum)/n_uncapped)`, with the integer
+    * remainder handed one token each to the first uncapped groups in the
+    * same sort order. All decisions are exact integer arithmetic
+    * (decimal(38,0) for the product — a 64-bit cap times a group count
+    * can overflow a long at corpus scale); the only doubles are the
+    * emitted epochs ratio.
+    *
+    * One partial-aggregable groupBy over the corpus; every window after
+    * it runs on group-cardinality rows (single partition — group counts
+    * are mixture-sized, not data-sized). Groups whose token sum is NULL
+    * (all-null token column) are dropped: an unknown size cannot be
+    * budgeted. If budget >= sum of all caps, every group is capped and
+    * the surplus budget is deliberately left unallocated (epochs beyond
+    * maxEpochs are exactly what UniMax exists to prevent).
+    *
+    * Output: (groupCol, n_tokens, cap, alloc, epochs = round(alloc /
+    * n_tokens, 6)).
+    */
+  def unimaxAllocate(df: DataFrame, groupCol: String, tokenCol: String,
+      budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val byGroup = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
+    val ord = Window.orderBy(col("cap").asc, col(groupCol).asc)
+    val dec = "decimal(38,0)"
+    val flagged = byGroup
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__before", coalesce(
+        sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", count(lit(1)).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__capped",
+        col("cap").cast(dec) * (col("__n") - col("__i") + 1).cast(dec) <=
+          (lit(budget) - col("__before")).cast(dec))
+    val totals = broadcast(flagged.agg(
+      sum(when(col("__capped"), col("cap")).otherwise(0L)).as("__csum"),
+      sum(when(col("__capped"), 0L).otherwise(1L)).as("__u")))
+    // Capped groups form a prefix of the sort order, so an uncapped
+    // group's rank among the uncapped is __i minus the capped count.
+    // budget − csum fits a long: the capped caps never exceed the budget
+    // (each passed `cap·remaining <= budget − before`), so the remainder
+    // division runs in plain 64-bit integers.
+    flagged.crossJoin(totals)
+      .withColumn("alloc", when(col("__capped"), col("cap")).otherwise(
+        expr(s"(${budget}L - __csum) div __u") +
+          when(col("__i") - (col("__n") - col("__u")) <=
+            pmod(lit(budget) - col("__csum"), col("__u")), 1L).otherwise(0L)))
+      .select(col(groupCol), col("n_tokens"), col("cap"), col("alloc"),
+        round(col("alloc").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("epochs"))
+  }
 }

@@ -562,4 +562,74 @@ object Vec {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Greedy k-center (farthest-point-first) selection — the classic
+    * 2-approximation to the metric k-center coverage problem and the
+    * standard DIVERSITY-maximizing coreset/data-selection heuristic
+    * (pick the point farthest from everything picked so far): where
+    * k-means-stratified sampling balances cluster MASS, k-centers covers
+    * cluster EXTENT, deliberately reaching outliers and rare modes.
+    *
+    * Deterministic end to end: seed = smallest-id vector (no RNG, same
+    * convention as kmeans init); per round the squared L2 to each center
+    * is rounded to 6 places (kmeans' assignment arithmetic, via the same
+    * codegen'd dot products) and the farthest point wins with a min-id
+    * tie-break. Points at rounded distance 0 from a chosen center (the
+    * centers themselves, and their exact duplicates) are never selected;
+    * if every remaining point is such a duplicate the selection stops
+    * early with fewer than k rows.
+    *
+    * Scale shape: the min-distance state is INCREMENTAL — each round
+    * broadcasts only the ONE new center, folds it into the running
+    * per-point minimum with `least` (equal to the min over all chosen
+    * centers, since rounding happens per-center before the fold), and
+    * takes one bounded TakeOrdered(1) argmax. k rounds cost k linear
+    * map passes + k single-row reductions — never corpus × k² — with
+    * the state localCheckpoint'ed per round (and the superseded round's
+    * blocks freed) exactly like the connected-components loop.
+    *
+    * Output: (sel_round 1..k, idCol, radius2) in selection order, where
+    * radius2 is the chosen point's min squared distance to the earlier
+    * centers at selection time — the nonincreasing coverage-radius
+    * sequence (round 1 emits 0.0: no prior centers).
+    */
+  def kCenters(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.GraftBridge
+    val dot = graft.plans.VecExpressions.dotProduct _
+    val pts = corpus.select(col(idCol), col(vecCol))
+    val first = pts.orderBy(col(idCol).asc).limit(1)
+      .select(col(idCol), col(vecCol), lit(0.0).as("dmin"))
+      .localCheckpoint(true)
+    var picks = Vector(first)
+    var lastPick = first
+    var run: DataFrame = null
+    var r = 1
+    var exhausted = first.isEmpty // empty corpus: return an empty frame
+    while (r < k && !exhausted) {
+      val c = broadcast(lastPick.select(col(vecCol).as("cvec")))
+      val d2 = round(greatest(lit(0.0),
+        dot(col(vecCol), col(vecCol)) -
+          lit(2.0) * dot(col(vecCol), col("cvec")) +
+          dot(col("cvec"), col("cvec"))), 6)
+      val upd = (if (run == null) pts.crossJoin(c).withColumn("dmin", d2)
+        else run.crossJoin(c)
+          .withColumn("dmin", least(col("dmin"), d2)))
+        .select(col(idCol), col(vecCol), col("dmin"))
+      val next = upd.localCheckpoint(true)
+      if (run != null) GraftBridge.unpersistCheckpoint(run)
+      run = next
+      val pick = run.filter(col("dmin") > 0)
+        .orderBy(col("dmin").desc, col(idCol).asc).limit(1)
+        .localCheckpoint(true)
+      if (pick.isEmpty) exhausted = true
+      else { picks :+= pick; lastPick = pick; r += 1 }
+    }
+    if (run != null) GraftBridge.unpersistCheckpoint(run)
+    picks.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i + 1).as("sel_round"), col(idCol),
+        col("dmin").as("radius2"))
+    }.reduce(_.union(_))
+  }
 }

@@ -356,4 +356,60 @@ class DedupVecSpec extends AnyFunSuite {
     assert(unreciprocated.forall { case (q, n) =>
       !mutual((math.min(q, n), math.max(q, n))) })
   }
+
+  test("kCenters: hand-traced greedy selection, dup exclusion, early stop") {
+    // 2D geometry where every greedy step is computable by hand; id 7
+    // duplicates id 1 exactly, so it can never be selected.
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0.5f, 0f)), (3L, Seq(10f, 0f)),
+      (4L, Seq(10f, 10f)), (5L, Seq(0f, 10f)), (6L, Seq(5f, 5f)),
+      (7L, Seq(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    // k exceeds the selectable-point count: early stop at 6 rows
+    val sel = Vec.kCenters(pts, k = 7)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.toSeq === Seq(
+      (1, 1L, 0.0),      // seed: smallest id
+      (2, 4L, 200.0),    // farthest corner
+      (3, 3L, 100.0),    // 100 tie with id 5 → min id wins
+      (4, 5L, 100.0),
+      (5, 6L, 50.0),
+      (6, 2L, 0.25)))    // the near-dup of the seed comes last
+    // radius sequence is nonincreasing from round 2 on
+    val radii = sel.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("kCenters matches a driver-side greedy reference on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(120)
+    val got = Vec.kCenters(emb, k = 5)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getDouble(2)))
+    // independent reference: same arithmetic (double promotion, left-fold
+    // dots, HALF_UP rounding to 6, min-id ties), plain Scala
+    val vs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var vv = 0.0; var vc = 0.0; var cc = 0.0
+      for (i <- a.indices) {
+        vv += a(i).toDouble * a(i).toDouble
+        vc += a(i).toDouble * b(i).toDouble
+        cc += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(math.max(0.0, vv - 2.0 * vc + cc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var chosen = Vector((vs.head._1, 0.0))
+    val dmin = scala.collection.mutable.Map(vs.map(v =>
+      v._1 -> Double.MaxValue): _*)
+    for (_ <- 2 to 5) {
+      val c = vs.find(_._1 == chosen.last._1).get._2
+      vs.foreach { case (id, v) => dmin(id) = math.min(dmin(id), d2(v, c)) }
+      val pick = vs.filter(v => dmin(v._1) > 0)
+        .maxBy(v => (dmin(v._1), -v._1))
+      chosen :+= ((pick._1, dmin(pick._1)))
+    }
+    assert(got.toSeq === chosen)
+  }
 }

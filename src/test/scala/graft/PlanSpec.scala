@@ -267,4 +267,28 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin [cell"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("unimax: one partial-aggregable corpus pass, windows on group rows only") {
+    val p = plan("q_unimax")
+    // the corpus contributes exactly one groupBy with map-side combine;
+    // everything after runs on mixture-sized rows
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"), p)
+    // no data-sized join: totals ride in as a broadcast 1-row crossJoin
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("unigram tv: pruned scan, partial counts, token-keyed equi-join only") {
+    val p = plan("q_unigram_tv")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>") ||
+      p.contains("ReadSchema: struct<lang:string,text:string>"), p)
+    // (group, token) counts combine map-side before their exchange
+    assert(p.contains("partial_count"), p)
+    // the corpus-sized join keys on the token; the only cartesian is the
+    // G-row totals pair frame (broadcast, mixture-sized by construction)
+    assert(p.contains("SortMergeJoin [__tok") ||
+      p.contains("ShuffledHashJoin [__tok") ||
+      p.contains("BroadcastHashJoin [__tok"), p)
+  }
 }

@@ -130,4 +130,53 @@ class QualitySpec extends AnyFunSuite {
       BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble) < 1e-9)
   }
+
+  test("percentileGate keeps exactly the top floor(n·bps/10000) per group") {
+    // group g has 10 docs scored by id; group h has 3
+    val docs = (1 to 10).map(i => ("g", i.toLong, i.toDouble)) ++
+      Seq(("h", 100L, 5.0), ("h", 101L, 5.0), ("h", 102L, 1.0))
+    val df = docs.toDF("src", "id", "score")
+    val kept = Quality.percentileGate(df, "src", "score", 2500, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // g: floor(10·0.25) = 2 → the two best scores (ids 9, 10);
+    // h: floor(3·0.25) = 0 → nothing survives
+    assert(kept === Set(("g", 9L), ("g", 10L)))
+    // score ties break on the tie column: both h docs score 5.0; at 50%
+    // keep floor(3·0.5) = 1 → the SMALLER id wins deterministically
+    val half = Quality.percentileGate(df, "src", "score", 5000, "id")
+      .filter($"src" === "h").collect().map(_.getLong(1)).toSet
+    assert(half === Set(100L))
+    // bps edges: 10000 keeps everything, 0 keeps nothing
+    assert(Quality.percentileGate(df, "src", "score", 10000, "id")
+      .count() === 13L)
+    assert(Quality.percentileGate(df, "src", "score", 0, "id").count() === 0L)
+    // partitioning-invariant
+    val rep = Quality.percentileGate(df.repartition(7), "src", "score",
+      2500, "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rep === kept)
+  }
+
+  test("containment pairs catch the quoted-subset doc that Jaccard misses") {
+    import graft.functions.Dedup
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val sub = (10 to 20).map(i => s"tok$i").mkString(" ") // 11 toks ⊂ long
+    val docs = Seq((1L, long), (2L, sub),
+      (3L, "completely unrelated content about columnar shuffle services " +
+        "and vectorized parquet readers in query engines"))
+      .toDF("doc_id", "text")
+    // B's 9 trigram shingles all occur in A: containment = 9/9 = 1.0,
+    // while jaccard = 9/(38+9−9) ≈ 0.237 — below any dedup-grade bar
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    assert(jac.count() === 0L)
+    // containment >= jaccard on every pair (same corpus, threshold 0 vs 0)
+    val c0 = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    val j0 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(j0.keySet === c0.keySet)
+    assert(j0.forall { case (k, j) => c0(k) >= j })
+  }
 }

@@ -128,4 +128,48 @@ class RankSpec extends AnyFunSuite {
     assert(lax.contains(1L) || lax.contains(2L))
     assert(lax.size === 3 && !lax.contains(5L))
   }
+
+  test("rbo: hand-computed dyadic rationals, top-weighting, edge rows") {
+    import spark.implicits._
+    def ranking(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+    // identical 10-deep rankings score the full truncated mass 1 − 2^-10
+    val ten = (1 to 10).map(r => (1L, r.toLong + 100L, r))
+    val ident = Rank.rbo(ranking(ten: _*), ranking(ten: _*))
+      .head()
+    assert(ident.getLong(1) === 10L && ident.getDouble(2) === 0.999023)
+    // two-doc lists: agreement only at rank 1 (w(1)/denom = 0.693065)
+    // outweighs both docs present but swapped (2·w(2)/denom = 0.38613) —
+    // the top-heaviness that makes RBO a serving metric, not recall
+    val a2 = ranking((1L, 10L, 1), (1L, 11L, 2))
+    val top1 = Rank.rbo(a2, ranking((1L, 10L, 1), (1L, 12L, 2))).head()
+    assert(top1.getLong(1) === 1L && top1.getDouble(2) === 0.693065)
+    val swap = Rank.rbo(a2, ranking((1L, 11L, 1), (1L, 10L, 2))).head()
+    assert(swap.getLong(1) === 2L && swap.getDouble(2) === 0.38613)
+    val ident2 = Rank.rbo(a2, a2).head()
+    assert(ident2.getDouble(2) === 0.88613) // (w(1)+w(2))/denom
+    // disjoint lists still emit the query's zero row
+    val zero = Rank.rbo(a2, ranking((1L, 50L, 1), (1L, 51L, 2))).head()
+    assert(zero.getLong(1) === 0L && zero.getDouble(2) === 0.0)
+    // ranks beyond the depth are ignored, not scored
+    val deep = Rank.rbo(a2,
+      ranking((1L, 10L, 11), (1L, 11L, 12))).head()
+    assert(deep.getLong(1) === 0L && deep.getDouble(2) === 0.0)
+  }
+
+  test("rbo grades IVF against exact cosine: more probes, higher overlap") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = graft.functions.Vec.bruteForceTopK(qs, emb, k = 10)
+    def mean(nProbe: Int): Double = {
+      val approx = graft.functions.Vec.ivfTopK(emb, qs, k = 10,
+        nProbe = nProbe, cellCol = "label")
+      val rows = Rank.rbo(exact, approx).collect()
+      rows.map(_.getDouble(2)).sum / rows.length
+    }
+    val m1 = mean(1); val m4 = mean(4); val mAll = mean(10)
+    assert(m1 <= m4 + 1e-9 && m4 <= mAll + 1e-9, s"$m1 $m4 $mAll")
+    // probing every cell IS brute force: perfect rank agreement
+    assert(mAll === 0.999023, s"$mAll")
+  }
 }

@@ -212,4 +212,68 @@ class SamplingSpec extends AnyFunSuite {
       .filter(abs($"id" - $"prev") === 1L).count()
     assert(adj < 50L, s"adjacent=$adj")
   }
+
+  // one row per (group, token-count) pair → a corpus whose per-group
+  // token sums are exactly the given map
+  private def corpusOf(masses: (String, Long)*) = {
+    masses.toSeq.toDF("src", "n_tok")
+  }
+
+  test("unimaxAllocate: hand-computed waterfill — capped prefix, uniform rest") {
+    // caps (E=2): a→20, b→40, c→200; budget 100.
+    // a: 20·3 <= 100 capped; b: 40·2 <= 80 capped; c: 200 > 40 → alloc 40.
+    val got = Sampling.unimaxAllocate(
+        corpusOf("a" -> 10L, "b" -> 20L, "c" -> 100L),
+        "src", "n_tok", budget = 100L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("a") === ((10L, 20L, 20L, 2.0)))
+    assert(got("b") === ((20L, 40L, 40L, 2.0)))
+    assert(got("c") === ((100L, 200L, 40L, 0.4)))
+    assert(got.values.map(_._3).sum === 100L) // budget fully spent
+  }
+
+  test("unimaxAllocate: integer remainder goes to the first uncapped groups") {
+    // all uncapped (E=1, budget 11 over caps 3,10,10,10: 3·4=12 > 11):
+    // base 11 div 4 = 2, remainder 3 → first three in (cap, group) order
+    val got = Sampling.unimaxAllocate(
+        corpusOf("w" -> 3L, "x" -> 10L, "y" -> 10L, "z" -> 10L),
+        "src", "n_tok", budget = 11L, maxEpochs = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("w" -> 3L, "x" -> 3L, "y" -> 3L, "z" -> 2L))
+    assert(got.values.sum === 11L)
+  }
+
+  test("unimaxAllocate: epoch cap binds — surplus budget stays unallocated") {
+    val got = Sampling.unimaxAllocate(
+        corpusOf("a" -> 5L, "b" -> 7L),
+        "src", "n_tok", budget = 1000L, maxEpochs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("a" -> 15L, "b" -> 21L)) // caps, not budget/2
+  }
+
+  test("unimaxAllocate invariants on real data at several budgets") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (budget <- Seq(0L, 10000L, 60000L, 100000000L)) {
+      val rows = Sampling.unimaxAllocate(docs, "lang", "n_chars",
+          budget, maxEpochs = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(rows.forall { case (_, n, cap, alloc) =>
+        cap === n * 2 && alloc >= 0 && alloc <= cap })
+      val spent = rows.map(_._4).sum
+      val allCapped = rows.forall { case (_, _, cap, alloc) => alloc === cap }
+      // either the budget is exactly spent, or every group hit its cap
+      assert(spent === budget || (allCapped && spent <= budget),
+        s"budget=$budget spent=$spent")
+      // waterfill fairness: every uncapped alloc >= every capped cap,
+      // and uncapped allocs differ by at most one
+      val uncapped = rows.filter { case (_, _, cap, a) => a < cap }.map(_._4)
+      val capped = rows.filter { case (_, _, cap, a) => a === cap }.map(_._3)
+      if (uncapped.nonEmpty) {
+        assert(uncapped.max - uncapped.min <= 1L)
+        if (capped.nonEmpty) assert(uncapped.min >= capped.max)
+      }
+    }
+  }
 }

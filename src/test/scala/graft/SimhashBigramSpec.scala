@@ -274,4 +274,40 @@ class SimhashBigramSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("n_oov")).toSet
     assert(all === Set(0L))
   }
+
+  test("unigramTV: hand-computed distances, disjoint pair, identical pair") {
+    val docs = Seq(
+      ("p", "a a b"),      // P: a 2/3, b 1/3
+      ("q", "a b b b"),    // Q: a 1/4, b 3/4
+      ("r", "a a b"),      // identical distribution to p
+      ("s", "x y")         // disjoint vocabulary
+    ).toDF("grp", "text")
+    val got = LangModel.unigramTV(docs, "grp", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // TV(P,Q) = 1 − [min(2/3,1/4) + min(1/3,3/4)] = 1 − 7/12 = 5/12
+    assert(got(("p", "q")) === ((3L, 4L, 2L, 0.416667)))
+    assert(got(("p", "r")) === ((3L, 3L, 2L, 0.0)))   // same distribution
+    assert(got(("q", "r")) === ((4L, 3L, 2L, 0.416667)))
+    assert(got(("p", "s")) === ((3L, 2L, 0L, 1.0)))   // disjoint → TV = 1
+    assert(got(("q", "s")) === ((4L, 2L, 0L, 1.0)))
+    assert(got(("r", "s")) === ((3L, 2L, 0L, 1.0)))
+    assert(got.size === 6) // all G(G−1)/2 ordered pairs, g_a < g_b only
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
+
+  test("unigramTV on real data: bounds and pair coverage") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = LangModel.unigramTV(docs, "lang", "text").collect()
+    assert(rows.length === 10) // 5 languages → 10 unordered pairs
+    assert(rows.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
+    // the synthetic corpus's lang column is text-INDEPENDENT (the
+    // generator draws all languages from one vocabulary — the same
+    // property that made lang unlearnable for q_perceptron), so the
+    // diagnostic must read these sub-corpora as near-interchangeable:
+    // small but nonzero TV. A by-source split looks the same. Distinct
+    // distributions (the hand-computed test above) are where TV grows.
+    assert(rows.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) < 0.2),
+      rows.map(_.getDouble(5)).mkString(","))
+  }
 }
