@@ -525,8 +525,11 @@ object Dedup {
     val cands = a.join(b, Seq("tid"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(cands, docShingleIds(docs, idCol, textCol, n).distinct(),
-      idCol, minJaccard)
+    // Array-form verify: shingled text keeps per-doc gram sets bounded,
+    // and winnow buckets on hub-dominated corpora emit candidate volumes
+    // where the compact-array join measured 2× over the gram stream.
+    verifyJaccardArrays(cands,
+      docShingleIds(docs, idCol, textCol, n).distinct(), idCol, minJaccard)
   }
 
   /** Exact Jaccard verification restricted to candidate pairs: joins a
@@ -538,10 +541,22 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame, idCol: String,
       minJaccard: Double): DataFrame = {
-    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // Cut the element table to candidate docs BEFORE anything corpus-
+    // sized happens: blocked candidate generators (LSH bands, winnow
+    // buckets) emit pairs over a small fraction of the corpus, so the
+    // two intersection joins and the size aggregate below should shuffle
+    // candidate-doc grams, not every doc's. Set sizes are per-doc counts
+    // of the doc's OWN grams, so the restriction is exact. When the
+    // candidate set approaches the corpus (heavy-dup replays) the
+    // semi-join degenerates to a pass-through — linear overhead, never a
+    // correctness or blow-up risk.
+    val ids = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val cs = sets.join(ids, Seq(idCol), "left_semi")
+    val sizes = cs.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = candidates
-      .join(sets.select(col(idCol).as("id_a"), col("tid")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("tid")), Seq("id_b", "tid"))
+      .join(cs.select(col(idCol).as("id_a"), col("tid")), Seq("id_a"))
+      .join(cs.select(col(idCol).as("id_b"), col("tid")), Seq("id_b", "tid"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -550,6 +565,40 @@ object Dedup {
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[verifyJaccard]] over compact per-doc gram ARRAYS instead of the
+    * exploded gram stream: one corpus groupBy packs each doc's distinct
+    * grams into a sorted array, candidates join twice BY ID (no per-gram
+    * fan-out), and the intersection is one `array_intersect` per pair.
+    * Bit-identical output by construction (same distinct-gram counts,
+    * same rounding) — asserted against the stream form in WinnowIndexSpec.
+    *
+    * Regime: wins when candidate volume is high and docs are BOUNDED
+    * (the per-pair row carries both arrays; measured 2× over the stream
+    * form on the 337k-candidate winnow verify at sf0.1). The stream form
+    * remains the right tool for unbounded documents — a pathological
+    * multi-MB doc becomes a multi-MB join row here, but stays a flat
+    * gram stream there. Callers pick by their doc-size contract;
+    * winnowPairs (shingled text, bounded grams per doc) uses this form.
+    */
+  def verifyJaccardArrays(candidates: DataFrame, sets: DataFrame,
+      idCol: String, minJaccard: Double): DataFrame = {
+    val ids = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val arr = sets.join(ids, Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(array_sort(collect_list(col("tid"))).as("__g"))
+    candidates
+      .join(arr.select(col(idCol).as("id_a"), col("__g").as("__ga")), Seq("id_a"))
+      .join(arr.select(col(idCol).as("id_b"), col("__g").as("__gb")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("__ga")) + size(col("__gb")) - col("inter")).cast("double"),
+          6))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -150,4 +150,22 @@ class WinnowIndexSpec extends AnyFunSuite {
         minShared = 1000L, queryIdCol = "qid").count()
     assert(strict <= hits.length + 1)
   }
+
+  test("array-form jaccard verify is bit-identical to the gram-stream form") {
+    import graft.functions.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .select(col("doc_id"), col("tid")).distinct()
+    val cands = fp.select(col("tid"), col("doc_id").as("id_a"))
+      .join(fp.select(col("tid"), col("doc_id").as("id_b")), Seq("tid"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = Dedup.docShingleIds(docs, "doc_id", "text", 3).distinct()
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = asSet(Dedup.verifyJaccard(cands, sets, "doc_id", 0.2))
+    val arrays = asSet(Dedup.verifyJaccardArrays(cands, sets, "doc_id", 0.2))
+    assert(stream.nonEmpty) // the corpus must actually exercise the paths
+    assert(arrays === stream)
+  }
 }
