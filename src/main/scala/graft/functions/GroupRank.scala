@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact within-group ranking WITHOUT a single sort task per group — the
+  * shared primitive behind every "rank/percentile/median within source"
+  * operator here ([[Quality.percentileGate]], [[LangModel.lmBuckets]],
+  * [[Robust.groupMedian]]).
+  *
+  * The naive plan — `row_number() over (partition by group order by key)`
+  * — shuffles every row of a group into ONE window partition: at 100 TB a
+  * 30 TB source becomes a single (spillable, but strictly serial) sort
+  * task, the wall-clock death the round-5 audit flagged. The ranks
+  * themselves don't need that: a rank is a POSITION in a total order, and
+  * positions compose across contiguous slices.
+  *
+  * Two-level plan:
+  *
+  *  1. RANGE-exchange the frame on (group, key...) — Spark's
+  *     `repartitionByRange` samples boundaries over the full sort tuple,
+  *     so every partition holds a contiguous slice of the total order and
+  *     is sized ~data/numPartitions regardless of group skew (one huge
+  *     group simply spans many consecutive shards). Stamp each row with
+  *     its shard id (`spark_partition_id` — evaluated in the
+  *     range-partitioned stage; its nondeterministic flag also stops the
+  *     optimizer from moving it across the exchange).
+  *  2. Rank LOCALLY within (group, shard): an ordinary window whose
+  *     partitions are bounded by the range exchange's slice size, never
+  *     by group size.
+  *  3. Aggregate per-(group, shard) row counts — a GROUPS×SHARDS-row
+  *     table (mixture-sized: shards = spark.sql.shuffle.partitions) —
+  *     and turn them into prefix offsets with a window over that tiny
+  *     table (partitions bounded by the shard count), plus per-group
+  *     totals.
+  *  4. Broadcast the offset table back and add: global rank = local rank
+  *     + offset of the group's preceding shards.
+  *
+  * Exactness: range partitioning guarantees every row in shard i orders
+  * ≤ every row in shard i+1 under the sort tuple, so local-rank-plus-
+  * prefix-offset IS the global row_number. Where the sort tuple is made
+  * unique by a tie-break column the rank is fully deterministic; with
+  * ties (e.g. the median's value-only sort) the ranks of tied rows are a
+  * permutation within the tie run — exactly row_number's own contract.
+  * Boundary placement (sampled, not deterministic across runs) therefore
+  * never changes any rank, only which shard computed it.
+  *
+  * Cost: one linear range exchange + one bounded-partition window
+  * shuffle + a mixture-sized aggregate + a broadcast join — every stage
+  * parallel and spillable, nothing keyed solely by the group.
+  */
+object GroupRank {
+
+  /** `df` + `rankCol` (1-based global rank within `groupCols` under
+    * `order`, LongType) + `countCol` (group row count, LongType).
+    *
+    * `order` takes sort expressions (`col("score").desc`,
+    * `col("id").asc`) — include a unique tie-break for deterministic
+    * ranks. Internal column names are dropped from the result.
+    */
+  def withRankAndCount(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], rankCol: String, countCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    require(order.nonEmpty, "order must not be empty")
+    val gc = groupCols.map(col)
+    val ranged = df
+      .repartitionByRange((gc ++ order): _*)
+      .withColumn("__grshard", spark_partition_id())
+    val wLocal = Window.partitionBy((gc :+ col("__grshard")): _*)
+      .orderBy(order: _*)
+    val local = ranged.withColumn("__grlrn", row_number().over(wLocal))
+    // per-(group, shard) counts: GROUPS×SHARDS rows — mixture-sized
+    val counts = local.groupBy((gc :+ col("__grshard")): _*)
+      .agg(count(lit(1)).as("__grc"))
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("__grshard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gc: _*)
+    val offsets = counts
+      .withColumn("__groff", coalesce(sum(col("__grc")).over(wOff), lit(0L)))
+      .withColumn(countCol, sum(col("__grc")).over(wTot))
+      .drop("__grc")
+    local.join(broadcast(offsets), groupCols :+ "__grshard")
+      .withColumn(rankCol, (col("__grlrn").cast("long") + col("__groff")))
+      // the using-join puts its keys first; restore the caller's layout
+      .select((df.columns.map(col) :+ col(rankCol) :+ col(countCol)): _*)
+  }
+
+  /** Exact integral division on long columns (`a div b`): Spark's `/`
+    * returns double, whose 53-bit mantissa cannot represent every long
+    * quotient — the same exactness rule the `expr("x div y")` forms
+    * elsewhere in this package follow, made composable over anonymous
+    * columns.
+    */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** Standard SQL NTILE(k) from a precomputed (rank, count) pair — the
+    * arithmetic form of the bucket both Spark's and DuckDB's window
+    * function assign: with q = n div k and r = n mod k, the first r
+    * buckets take q+1 rows and the rest take q. Long arithmetic
+    * throughout (a 32-bit rank×k wraps at the group sizes the two-level
+    * rank exists for). `rank` is 1-based; result is 1..k.
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kL = lit(k.toLong)
+    val q = intDiv(n.cast("long"), kL)
+    val r = n.cast("long") % kL
+    val rnL = rank.cast("long")
+    // rows 1 .. r*(q+1) sit in the padded buckets, the rest in plain ones
+    when(rnL <= r * (q + 1L), intDiv(rnL - 1L, q + 1L) + 1L)
+      .otherwise(r + intDiv(rnL - 1L - r * (q + 1L), q) + 1L)
+  }
+}

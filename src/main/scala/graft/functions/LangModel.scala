@@ -143,22 +143,42 @@ object LangModel {
     * fuzzed BigInt model rather than a row-sum identity the seen table
     * cannot express.
     *
-    * Output: (tid_a, tid_b, c_ab, pkn_q, pkn) for bigrams with
-    * c_ab >= minCount (the LM table a perplexity scorer consumes).
+    * Output: (groupCols..., tid_a, tid_b, c_ab, pkn_q, pkn) for bigrams
+    * with c_ab >= minCount (the LM table a perplexity scorer consumes).
+    *
+    * `groupCols` trains one INDEPENDENT LM per group (CCNet's
+    * per-language models): every count — c_ab, c_a, N1+(·b), N_pairs —
+    * is tallied within the group, so the table for group g equals the
+    * no-group table trained on g's rows alone (the property the spec
+    * asserts). The per-group N_pairs table is group-count-sized and
+    * rides in as a broadcast equi-join instead of the 1-row cross join.
     */
   def knBigramProbs(docs: DataFrame, textCol: String,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L, groupCols: Seq[String] = Nil): DataFrame = {
     val dec = "decimal(38,0)"
-    val pairs = adjacentPairs(docs.select(col(textCol)), textCol, Nil)
-    val cab = pairs.groupBy(col("tid_a"), col("tid_b"))
+    val gc = groupCols.map(col)
+    val pairs = adjacentPairs(docs.select(gc :+ col(textCol): _*),
+      textCol, groupCols)
+    val cab = pairs.groupBy(gc ++ Seq(col("tid_a"), col("tid_b")): _*)
       .agg(count(lit(1)).cast("long").as("c_ab"))
-    val ca = cab.groupBy(col("tid_a"))
+    val ca = cab.groupBy(gc :+ col("tid_a"): _*)
       .agg(sum(col("c_ab")).cast("long").as("c_a"),
         count(lit(1)).cast("long").as("n1a"))
-    val contb = cab.groupBy(col("tid_b"))
+    val contb = cab.groupBy(gc :+ col("tid_b"): _*)
       .agg(count(lit(1)).cast("long").as("n1b"))
-    val npairs = broadcast(cab.agg(count(lit(1)).cast("long").as("np")))
-    cab.join(ca, Seq("tid_a")).join(contb, Seq("tid_b")).crossJoin(npairs)
+    val joined =
+      if (groupCols.isEmpty) {
+        val npairs = broadcast(cab.agg(count(lit(1)).cast("long").as("np")))
+        cab.join(ca, Seq("tid_a")).join(contb, Seq("tid_b"))
+          .crossJoin(npairs)
+      } else {
+        val npairs = broadcast(cab.groupBy(gc: _*)
+          .agg(count(lit(1)).cast("long").as("np")))
+        cab.join(ca, groupCols :+ "tid_a")
+          .join(contb, groupCols :+ "tid_b")
+          .join(npairs, groupCols)
+      }
+    joined
       .withColumn("pkn_q",
         expr(s"""CAST((CAST(greatest(4 * c_ab - 3, 0) AS $dec) *
                        CAST(np AS $dec) +
@@ -169,8 +189,8 @@ object LangModel {
                        CAST(np AS $dec)) AS BIGINT)"""))
       .filter(col("c_ab") >= minCount)
       .withColumn("pkn", col("pkn_q").cast("double") / lit(1e9))
-      .select(col("tid_a"), col("tid_b"), col("c_ab"), col("pkn_q"),
-        col("pkn"))
+      .select(gc ++ Seq(col("tid_a"), col("tid_b"), col("c_ab"),
+        col("pkn_q"), col("pkn")): _*)
   }
 
   /** (carryCols..., tid_a, tid_b, tid_c): hashed adjacent-token TRIPLES,
@@ -263,23 +283,33 @@ object LangModel {
     * (integer sum, ONE division). Docs with no bigrams drop out
     * (inner-aggregation semantics, like bigramStats).
     *
-    * Output: (idCol, n_bigrams, n_scored, fit_q, fit).
+    * Output: (idCol, groupCols..., n_bigrams, n_scored, fit_q, fit).
+    *
+    * `groupCols` scores each doc against ITS OWN group's rows in a
+    * per-group `lm` (trained with the same groupCols — CCNet's
+    * per-language scoring): the LM join keys extend to
+    * (groupCols..., tid_a, tid_b), so a bigram seen only in another
+    * group's model contributes zero, exactly as if the doc were scored
+    * against its group's standalone table.
     */
   def knScoreDocs(docs: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame): DataFrame = {
-    val pairs = adjacentPairs(docs.select(col(idCol), col(textCol)),
-      textCol, Seq(idCol))
+      lm: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val gc = groupCols.map(col)
+    val pairs = adjacentPairs(
+      docs.select(Seq(col(idCol)) ++ gc :+ col(textCol): _*),
+      textCol, idCol +: groupCols)
     pairs
-      .join(lm.select(col("tid_a"), col("tid_b"), col("pkn_q")),
-        Seq("tid_a", "tid_b"), "left")
-      .groupBy(col(idCol))
+      .join(lm.select(gc ++ Seq(col("tid_a"), col("tid_b"),
+          col("pkn_q")): _*),
+        groupCols ++ Seq("tid_a", "tid_b"), "left")
+      .groupBy(Seq(col(idCol)) ++ gc: _*)
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("pkn_q").isNotNull, 1L).otherwise(0L)).as("n_scored"),
         sum(coalesce(col("pkn_q"), lit(0L))).as("__sum_q"))
       .withColumn("fit_q", expr("__sum_q div n_bigrams"))
       .withColumn("fit", col("fit_q").cast("double") / lit(1e9))
-      .select(col(idCol), col("n_bigrams"), col("n_scored"), col("fit_q"),
-        col("fit"))
+      .select(Seq(col(idCol)) ++ gc ++ Seq(col("n_bigrams"),
+        col("n_scored"), col("fit_q"), col("fit")): _*)
   }
 
   /** CCNet-style LM-fit bucketing (Wenzek et al. 2020, arXiv:1911.00359):
@@ -293,26 +323,42 @@ object LangModel {
     * bigrams and drop out (knScoreDocs' inner-aggregation semantics) —
     * gate them separately with tokenCount.
     *
-    * Departure from CCNet, documented: one LM over the whole corpus
-    * (knBigramProbs has no per-language grouping), buckets within
-    * language. Scale note (100 TB): ntile is an exact within-language
-    * rank — one sort-shuffle keyed by language whose partitions are
-    * language-sized. That is the oracle-exact specification; at real
-    * scale one computes per-language fit-quantile THRESHOLDS on a sample
-    * (percentile_approx) and applies them scan-stage, trading exact
-    * bucket cardinality for a shuffle-free plan.
+    * Scoring model: pass a corpus-wide `lm` (knBigramProbs with no
+    * groupCols) for one shared model with buckets within language, or a
+    * PER-LANGUAGE `lm` (knBigramProbs trained with
+    * `groupCols = Seq(langCol)`) for CCNet's actual composition — each
+    * doc scored under its own language's model. The per-language case is
+    * detected from the table's columns (it carries `langCol`).
+    *
+    * Scale note (100 TB): the within-language rank is
+    * [[GroupRank.withRankAndCount]]'s two-level plan — range exchange,
+    * bounded local windows, mixture-sized offsets — and the tier cut is
+    * [[GroupRank.ntileFromRank]]'s exact NTILE arithmetic on (rank, n),
+    * so a dominant language is many parallel sort slices, never one
+    * language-keyed sort task. Bucket assignments are identical to the
+    * window-function ntile they replace.
     *
     * Output: (idCol, langCol, fit_q, bucket, tier).
     */
   def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, lm: DataFrame, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val scored = knScoreDocs(docs, idCol, textCol, lm)
-      .select(col(idCol), col("fit_q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(langCol)).orderBy(col("fit_q").desc, col(idCol))
-    scored.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    val perLang = lm.columns.contains(langCol)
+    val scored =
+      if (perLang)
+        knScoreDocs(docs.select(col(idCol), col(langCol), col(textCol)),
+            idCol, textCol, lm, Seq(langCol))
+          .select(col(idCol), col(langCol), col("fit_q"))
+      else
+        knScoreDocs(docs, idCol, textCol, lm)
+          .select(col(idCol), col("fit_q"))
+          .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val ranked = GroupRank.withRankAndCount(
+      scored.select(col(idCol), col(langCol), col("fit_q")),
+      Seq(langCol), Seq(col("fit_q").desc, col(idCol).asc), "__rn", "__n")
+    ranked
+      .withColumn("bucket",
+        GroupRank.ntileFromRank(col("__rn"), col("__n"), nBuckets))
       .withColumn("tier", when(col("bucket") === 1, "head")
         .when(col("bucket") === nBuckets, "tail").otherwise("middle"))
       .select(col(idCol), col(langCol), col("fit_q"), col("bucket"),
@@ -453,21 +499,29 @@ object LangModel {
       col("__c").cast(dec).as("__ca"), col("__n").cast(dec).as("__na"))
     val b = cg.select(col("__g").as("g_b"), col("__tok"),
       col("__c").cast(dec).as("__cb"), col("__n").cast(dec).as("__nb"))
+    // the PRODUCT is cast to decimal(38,0) explicitly — the documented
+    // contract (count × total can exceed decimal(19,0)·19,0's implicit
+    // widening guarantees); the min-sum then accumulates in 38,0.
+    val wide = "decimal(38,0)"
     val overlap = a.join(b, Seq("__tok"))
       .filter(col("g_a") < col("g_b"))
       .groupBy(col("g_a"), col("g_b"))
       .agg(count(lit(1)).as("shared_vocab"),
-        sum(least(col("__ca") * col("__nb"), col("__cb") * col("__na")))
-          .as("__minsum"))
+        sum(least((col("__ca") * col("__nb")).cast(wide),
+          (col("__cb") * col("__na")).cast(wide))).as("__minsum"))
     val pairs = totals.select(col("__g").as("g_a"), col("__n").as("n_a"))
       .crossJoin(totals.select(col("__g").as("g_b"), col("__n").as("n_b")))
       .filter(col("g_a") < col("g_b"))
+    // Vocabulary-disjoint pairs (no overlap row) are TV = 1.0 by the 1−
+    // form; pairs WITH an overlap row must not coalesce __minsum — a
+    // decimal-overflow null there would otherwise masquerade as a
+    // plausible TV = 1.0 instead of surfacing as null.
     pairs.join(overlap, Seq("g_a", "g_b"), "left")
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
         coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"),
-        round(lit(1.0) - coalesce(col("__minsum"), lit(0).cast(dec))
-            .cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+        when(col("shared_vocab").isNull, lit(1.0))
+          .otherwise(round(lit(1.0) - col("__minsum").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
           .as("tv"))
   }
 }

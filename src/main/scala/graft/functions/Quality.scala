@@ -50,25 +50,26 @@ object Quality {
     * per-source score distributions: a threshold tuned on one source
     * over- or under-prunes another, but a percentile never does.
     *
-    * Exact integer keep rule — row_number·10000 <= group_count·keepBps,
+    * Exact integer keep rule — rank·10000 <= group_count·keepBps,
     * i.e. rank <= floor(n·bps/10000) — no floating-point percentile
-    * boundary to disagree across engines. Ties in the score are broken
-    * by `tieCol`, so the kept set is deterministic under any
-    * partitioning. One window shuffle keyed on the group; at 100 TB the
-    * group is a source/shard (mixture-sized partitions), never a global
-    * window.
+    * boundary to disagree across engines, in LONG arithmetic (a 32-bit
+    * rank·10000 wraps negative past ~214k rows per group — exactly the
+    * per-source sizes this gate exists for). Ties in the score are
+    * broken by `tieCol`, so the kept set is deterministic under any
+    * partitioning.
+    *
+    * Ranking is [[GroupRank.withRankAndCount]]'s two-level plan (range
+    * exchange → bounded local windows → mixture-sized offset table), so
+    * a 30 TB source is many parallel sort slices — never one
+    * group-keyed sort task.
     */
   def percentileGate(df: org.apache.spark.sql.DataFrame, groupCol: String,
       scoreCol: String, keepBps: Int, tieCol: String): org.apache.spark.sql.DataFrame = {
     require(keepBps >= 0 && keepBps <= 10000,
       s"keepBps must be in [0, 10000], got $keepBps")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(tieCol).asc)
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wc))
-      .filter(col("__rn") * 10000 <= col("__n") * keepBps)
+    GroupRank.withRankAndCount(df, Seq(groupCol),
+        Seq(col(scoreCol).desc, col(tieCol).asc), "__rn", "__n")
+      .filter(col("__rn") * lit(10000L) <= col("__n") * lit(keepBps.toLong))
       .drop("__rn", "__n")
   }
 

@@ -13,26 +13,28 @@ import org.apache.spark.sql.functions._
   * Medians are EXACT but never buffered: Spark's `median`/`percentile`
   * aggregate collects every group value into an executor-side buffer —
   * a scale-killer for corpus-sized groups — so this module computes the
-  * median as a doc-partitioned SORT: row_number + group count, keep the
-  * one or two middle rows, average them. One shuffle per pass, spillable
-  * sort, no value buffering; interpolation (mean of the two middles at
-  * even counts) matches the engines' native medians bit-for-bit, which
-  * keeps the whole operator under the hash oracle.
+  * median by RANK: [[GroupRank.withRankAndCount]]'s two-level ranking
+  * (range exchange → bounded local sorts → mixture-sized offsets — many
+  * parallel slices per group, never one sort task per group), keep the
+  * one or two middle rows, average them. Interpolation (mean of the two
+  * middles at even counts) matches the engines' native medians
+  * bit-for-bit, which keeps the whole operator under the hash oracle.
   */
 object Robust {
 
-  /** Exact per-group median of `valueCol` via the sort/middle-rows pass.
+  /** Exact per-group median of `valueCol` via the rank/middle-rows pass.
     * Output: (groupCol, med). */
   def groupMedian(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     // Null values would rank below every real value yet still count into
     // __n, shifting which rows the middle selection picks — exclude them
     // up front (the native median aggregates skip nulls the same way).
-    df.select(col(groupCol), col(valueCol))
-      .filter(col(valueCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // No tie-break column: tied values are interchangeable for the middle
+    // SELECTION (any permutation of a tie run picks the same values).
+    GroupRank.withRankAndCount(
+        df.select(col(groupCol), col(valueCol))
+          .filter(col(valueCol).isNotNull),
+        Seq(groupCol), Seq(col(valueCol).asc), "__rn", "__n")
       // 2rn ∈ {n, n+1, n+2} selects exactly the middle row (odd n: only
       // n+1 is even-divisible) or the middle two (even n: n and n+2).
       .filter(col("__rn") * 2 === col("__n") ||
@@ -48,9 +50,10 @@ object Robust {
     * flags — the strictest consistent reading, and the deterministic one.
     * Output: input columns + (med, mad, is_outlier), one row per input.
     *
-    * Scale shape: two sort-based median passes (value, then absolute
-    * deviation) and two broadcast-or-shuffle joins keyed by the group —
-    * every stage spillable, nothing buffered per group.
+    * Scale shape: two rank-based median passes (value, then absolute
+    * deviation), each GroupRank's parallel two-level plan, and two
+    * broadcast-or-shuffle joins keyed by the group — every stage
+    * parallel and spillable, nothing buffered or serialized per group.
     */
   def outlierStats(df: DataFrame, groupCol: String, valueCol: String,
       k: Double): DataFrame = {

@@ -238,13 +238,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("lm buckets: pruned scans, equi-joined LM table, one lang window") {
+  test("lm buckets: pruned scans, equi-joined LM table, two-level rank") {
     val p = plan("q_lm_buckets")
     // scoring reads (doc_id, text); the lang join reads (doc_id, lang)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("ntile"), p)
+    // the tier cut is NTILE arithmetic over the two-level rank — the
+    // window-function ntile (one sort task per language) must be gone
+    assert(!p.contains("ntile"), p)
+    assert(p.contains("__grshard"), p)
+  }
+
+  test("group-ranked operators: no single-task group sort remains") {
+    // The round-5 weak marks: a window partitioned by the group column
+    // ALONE and ORDERED BY a data column shuffles every row of a group
+    // into one sort task. After the GroupRank re-plan the only ordered
+    // windows keyed by the group alone run over the mixture-sized
+    // per-shard counts table and order by the shard id — so a group
+    // column followed directly by a ranked DATA column is the retired
+    // shape. (The unordered whole-partition sum over the counts table
+    // prints as group + specifiedwindowframe, which this regex skips.)
+    val badWindow =
+      ("windowspecdefinition\\((source|lang)#\\d+, " +
+        "(quality|score|fit_q|n_tokens|__adev)#").r
+    for (q <- Seq("q_quality_gate", "q_lm_buckets", "q_outlier_docs")) {
+      val p = plan(q)
+      assert(badWindow.findFirstIn(p).isEmpty,
+        s"$q has a group-keyed single-partition sort:\n$p")
+      assert(p.contains("__grshard"), s"$q lost the two-level rank:\n$p")
+    }
   }
 
   test("canonical docs: score join is id-keyed, no all-pairs anywhere") {
