@@ -43,8 +43,21 @@ object ScaleProbe {
 
     // Optional comma-separated probe-name filter (first program arg):
     // run only the named probes — local iteration on one operator
-    // without paying for the whole suite. No arg = full suite.
+    // without paying for the whole suite. No arg = full suite. Names
+    // are validated up front: a typo would otherwise run NOTHING and
+    // read as an instant-pass.
+    val knownProbes = Set("minhash_lsh", "band_join", "rp_lsh_bucket",
+      "connected_components", "simhash_pairs", "kmeans", "semdedup",
+      "pq_train", "decontaminate", "span_dedup", "textrank", "bm25",
+      "bpe_train", "winnow", "dsir", "kn_lm", "jaccard_prefix",
+      "mutual_knn", "corpus_shuffle", "kcenter", "unigram_tv", "skew_join")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- knownProbes
+      require(unknown.isEmpty,
+        s"unknown probe name(s) ${unknown.mkString(", ")}; valid: " +
+          knownProbes.toSeq.sorted.mkString(", "))
+    }
     def want(p: String): Boolean = only.forall(_.contains(p))
 
     val base = Tables.documents(spark, sfDir)
@@ -159,17 +172,19 @@ object ScaleProbe {
     // replicated embedding corpus. Replicas of a base vector share its
     // cell (identical coordinates), so true dup mass grows with the
     // replication while the pair stage stays sum-of-cell-squares — the
-    // wall should track pair volume, never vecs².
+    // wall should track pair volume, never vecs². kCells is DERIVED
+    // (deriveKCells, targetCellSize=64): cells stay ~bounded at every
+    // multiple, the contract a fixed kCells broke (r5: 2.8/7.0/47.9 s).
     for (mult <- Seq(1, 4, 16) if want("semdedup")) {
       val vecs = embBase
         .crossJoin(spark.range(mult).select(col("id").as("rep")))
         .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
           col("embedding"))
       val t0 = System.nanoTime()
-      val pairs = graft.functions.Vec.semDedupPairs(vecs, threshold = 0.7,
-        kCells = 16, iters = 2).count()
+      val pairs = graft.functions.Vec.semDedupPairsAuto(vecs,
+        threshold = 0.7, iters = 2, targetCellSize = 64L).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"semdedup","mult":$mult,"vecs":${nEmb * mult},"pairs":$pairs,"sec":$sec%.2f}""")
+      println(f"""{"probe":"semdedup","mult":$mult,"vecs":${nEmb * mult},"kcells":${graft.functions.Vec.deriveKCells(nEmb * mult, 64L)},"pairs":$pairs,"sec":$sec%.2f}""")
     }
 
     // PQ probe: m per-subspace k-means trainings over the replicated
@@ -349,16 +364,17 @@ object ScaleProbe {
     // Mutual-kNN probe: same cell blocking as semdedup plus one
     // query-keyed top-k window and one edge-keyed semi-join — wall should
     // track sum-of-cell-squares (the candidate mass), never vecs².
+    // Auto-derived kCells, same contract as the semdedup probe.
     for (mult <- Seq(1, 4, 16) if want("mutual_knn")) {
       val vecs = embBase
         .crossJoin(spark.range(mult).select(col("id").as("rep")))
         .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
           col("embedding"))
       val t0 = System.nanoTime()
-      val edges = graft.functions.Vec.mutualKnnPairs(vecs, k = 3,
-        kCells = 16, iters = 2).count()
+      val edges = graft.functions.Vec.mutualKnnPairsAuto(vecs, k = 3,
+        iters = 2, targetCellSize = 64L).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"mutual_knn","mult":$mult,"vecs":${nEmb * mult},"edges":$edges,"sec":$sec%.2f}""")
+      println(f"""{"probe":"mutual_knn","mult":$mult,"vecs":${nEmb * mult},"kcells":${graft.functions.Vec.deriveKCells(nEmb * mult, 64L)},"edges":$edges,"sec":$sec%.2f}""")
     }
 
     // Corpus-shuffle probe: one scan-stage hash + ONE shard-keyed sort

@@ -327,26 +327,45 @@ object Vec {
       centroids.select(col("cell"), col("centroid").as("cvec")),
       idCol, vecCol)
 
-  /** Nearest-centroid assignment: (idCol, vecCol, cell, dist2). */
+  /** Nearest-centroid assignment: (idCol, vecCol, cell, dist2).
+    *
+    * The argmin is a partial-aggregable `min(struct(dist2, cell, vec))`
+    * — lexicographic struct ordering IS the (dist2 asc, cell asc)
+    * tie-break, and (dist2, cell) is unique per point so the vec field
+    * never compares — NOT a row_number window: the window form shuffles
+    * the full n·k candidate stream into per-point partitions, while the
+    * aggregate collapses each map partition to one row per point BEFORE
+    * the exchange (map-side combine). With auto-derived kCells growing
+    * with the corpus, that difference is a data-sized shuffle vs an
+    * n·k-row one.
+    *
+    * The point and centroid self-dots are computed once per point /
+    * once per centroid (not once per pair): the same fold orders
+    * evaluated in the same subtraction sequence, so every dist2 is
+    * bit-identical to the per-pair form.
+    */
   private[functions] def assignCells(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val dot = graft.plans.VecExpressions.dotProduct _
+    val pts = corpus.withColumn("__xx", dot(col(vecCol), col(vecCol)))
+    val cn = cents.select(col("cell"), col("cvec"),
+      dot(col("cvec"), col("cvec")).as("__cc"))
     // dist² is clamped non-negative BEFORE rounding: float cancellation
     // can leave a tiny negative (point ~= its centroid), and a negative
     // near-zero rounds to -0.0 in engines that round doubles natively
     // while Spark's BigDecimal-based round has no signed zero — a
     // stringified-compare mismatch on an otherwise identical value.
     val d2 = round(greatest(lit(0.0),
-      dot(col(vecCol), col(vecCol)) -
+      col("__xx") -
         lit(2.0) * dot(col(vecCol), col("cvec")) +
-        dot(col("cvec"), col("cvec"))), 6)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist2").asc, col("cell").asc)
-    corpus.crossJoin(broadcast(cents))
+        col("__cc")), 6)
+    pts.crossJoin(broadcast(cn))
       .withColumn("dist2", d2)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"), col("dist2"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("cell"), col(vecCol).as("v")))
+        .as("__best"))
+      .select(col(idCol), col("__best.v").as(vecCol),
+        col("__best.cell").as("cell"), col("__best.dist2").as("dist2"))
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into cells, then probe only
@@ -433,6 +452,11 @@ object Vec {
     * in-cell pairs capture the dup mass while cross-cell pairs (distant
     * by construction) are skipped. Same prefilter-then-verify shape as
     * the LSH paths, with a LEARNED partition instead of a random one.
+    *
+    * kCells must GROW with the corpus (cells stay ~bounded) or the
+    * in-cell pair stage goes quadratic — prefer [[semDedupPairsAuto]],
+    * which derives kCells via [[deriveKCells]] instead of trusting the
+    * caller to uphold that contract.
     */
   def semDedupPairs(corpus: DataFrame, threshold: Double, kCells: Int,
       iters: Int, idCol: String = "vec_id",
@@ -489,6 +513,9 @@ object Vec {
     * the self-join is co-located), then one query-keyed window for the
     * top-k and one self-semi-join for reciprocity — all equi-keyed.
     * Output: (id_a, id_b, sim) with id_a < id_b, each pair once.
+    *
+    * As with semDedupPairs, kCells must grow with the corpus — prefer
+    * [[mutualKnnPairsAuto]] ([[deriveKCells]]) over a fixed kCells.
     */
   def mutualKnnPairs(corpus: DataFrame, k: Int, kCells: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -535,6 +562,69 @@ object Vec {
     Cluster.assignClusters(pairs, "id_a", "id_b",
       corpus.select(col(idCol)), idCol)
   }
+
+  /** Cell count for the cell-blocked operators from the corpus size:
+    * ceil(n / targetCellSize), at least 1. Keeping EXPECTED cell size at
+    * `targetCellSize` makes the in-cell pair stage — the shuffling,
+    * materializing, quadratic-per-cell stage — strictly linear in the
+    * corpus (n·targetCellSize candidate pairs), which is the contract
+    * the round-5 audit found documented but unenforced: with a
+    * caller-FIXED kCells, cells grow with the corpus and the pair stage
+    * goes quadratic (measured 2.8/7.0/47.9 s at 1×/4×/16×).
+    *
+    * Honest regime note: the derivation moves cost into the ASSIGNMENT
+    * pass — n·kCells = n²/targetCellSize nearest-centroid dot products.
+    * That pass is map-only compute against a broadcast (no shuffle, no
+    * materialization; see [[assignCells]]), so its constant is ~d fused
+    * multiply-adds per candidate and it stays off the critical path for
+    * corpora many multiples beyond the probe range — but it is not
+    * asymptotically linear. At extreme corpus sizes the standard
+    * composition is: train the centroids on a SAMPLE, then cut
+    * assignment itself with a coarse quantizer over the centroid table
+    * (hierarchical IVF). Both are compositions of operators already
+    * here (sample → kmeansModel → assignToCentroids).
+    */
+  def deriveKCells(n: Long, targetCellSize: Long): Int = {
+    require(targetCellSize >= 1,
+      s"targetCellSize must be >= 1, got $targetCellSize")
+    val k = (n + targetCellSize - 1L) / targetCellSize
+    math.max(1L, math.min(k, Int.MaxValue.toLong)).toInt
+  }
+
+  /** [[semDedupPairs]] with kCells derived from the corpus size
+    * ([[deriveKCells]]) — one bounded count (a 1-row aggregate), then
+    * the kCells path. Default targetCellSize = 64 reproduces the
+    * catalog's kCells at the oracle scale and keeps in-cell pair mass
+    * at ≤ 64·n at any corpus size.
+    */
+  def semDedupPairsAuto(corpus: DataFrame, threshold: Double, iters: Int,
+      targetCellSize: Long = 64L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    semDedupPairs(corpus, threshold,
+      deriveKCells(corpus.count(), targetCellSize), iters, idCol, vecCol)
+
+  /** [[semDedup]] with auto-derived kCells (see [[deriveKCells]]). */
+  def semDedupAuto(corpus: DataFrame, threshold: Double, iters: Int,
+      targetCellSize: Long = 64L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    semDedup(corpus, threshold,
+      deriveKCells(corpus.count(), targetCellSize), iters, idCol, vecCol)
+
+  /** [[mutualKnnPairs]] with auto-derived kCells (see [[deriveKCells]]). */
+  def mutualKnnPairsAuto(corpus: DataFrame, k: Int, iters: Int,
+      targetCellSize: Long = 64L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    mutualKnnPairs(corpus, k,
+      deriveKCells(corpus.count(), targetCellSize), iters, idCol, vecCol)
+
+  /** [[mutualKnnClusters]] with auto-derived kCells (see
+    * [[deriveKCells]]).
+    */
+  def mutualKnnClustersAuto(corpus: DataFrame, k: Int, iters: Int,
+      targetCellSize: Long = 64L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    mutualKnnClusters(corpus, k,
+      deriveKCells(corpus.count(), targetCellSize), iters, idCol, vecCol)
 
   /** Bucketed approximate top-k: brute force within each LSH bucket.
     * Recall is tunable via nBits (fewer bits = bigger buckets = higher
