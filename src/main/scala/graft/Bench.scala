@@ -12,6 +12,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Min-of-N mode (SPARK_GRAFT_BENCH_RUNS=N): the round-5 artifact
+    // recorded a total 1.6-2.1× above re-runs of identical code — one
+    // contended run cannot adjudicate a 2× gate. The min over N runs is
+    // the standard contention-robust estimator (noise only ever ADDS
+    // time); N=1 preserves the old behavior and the driver's budget.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,25 +34,40 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (r <- 1 to runs; (name, fn) <- SparkEntry.queries) {
       val t0 = System.nanoTime()
       // A failure must be VISIBLE: a query that regresses to throwing in
       // 50 ms would otherwise record a great "time" and silently deflate
       // the total — a breakage indistinguishable from a speed-up.
       try { exec(fn(spark, sfDir)) } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED (run $r): ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      best(name) = best.get(name).fold(sec)(math.min(_, sec))
     }
-    // Millisecond precision keeps the line compact, and the headline
-    // total goes LAST: the harness keeps only the trailing ~2k chars of
-    // run output, so with 80+ queries a leading total would be the part
-    // that gets truncated away.
-    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s""""$k":${ms(v)}""" }
+    // One compact line PER QUERY: the harness log capture keeps only the
+    // trailing ~2k chars, and round 5 lost 38 of 124 per-query entries
+    // from a single combined line. Per-query lines degrade gracefully
+    // under any tail truncation, and the full result also lands in a
+    // file (SPARK_GRAFT_BENCH_OUT) no log window can damage.
+    best.foreach { case (name, sec) =>
+      println(s"""{"query":"$name","sec":${ms(sec)}}""")
+    }
+    val total = if (best.nonEmpty) best.values.sum else 0.0
+    val qs = best.map { case (k, v) => s""""$k":${ms(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}""")
+    val line = s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,""" +
+      s""""metric":"total","unit":"sec","value":${ms(total)}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    // The headline total still goes LAST on stdout (the driver reads the
+    // log tail; a leading total would be the part truncated away).
+    println(line)
     spark.stop()
   }
 }
