@@ -253,7 +253,10 @@ object Rank {
       .withColumn("__w", wCol)
       .groupBy(col("query_id"))
       .agg(sum(col("__w")).as("__s"), count(lit(1)).as("n_common"))
-    aa.select(col("query_id")).distinct()
+    // The query universe comes from the UNFILTERED ranking A: a query
+    // whose A-side ranks all exceed `depth` still owns its 0.0 row (the
+    // depth-filtered aa would silently drop it from the output).
+    a.select(col("query_id")).distinct()
       .join(common, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
