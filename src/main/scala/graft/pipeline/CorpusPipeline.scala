@@ -260,4 +260,73 @@ object CorpusPipeline {
       .crossJoin(near.select(count(lit(1)).as("n_curated")))
     (near, stats)
   }
+
+  /** THE end-to-end curation run: every gate and dedup layer this module
+    * ships, composed in the order a production corpus build applies them
+    * —
+    *
+    *   annotate → quality → span → contamination → OOV → LM-fit →
+    *   classifier → exact dedup → near-dup best-copy → semantic dedup →
+    *   split → shard
+    *
+    * Gates go cheapest-and-sharpest first (scan-stage token/quality
+    * arithmetic), dedup layers go after the filters (fewer docs to
+    * hash/join), the split after ALL dedup (a near-dup pair straddling
+    * train/test is the leakage splits exist to prevent), sharding last.
+    *
+    * `lm` is a [[graft.functions.LangModel.knBigramProbs]] table (CCNet
+    * composition: train it on `cleanRef`, a clean reference corpus);
+    * `seed` carries (idCol, textCol, y∈{+1,−1}) for the classifier;
+    * `embeddings` carries (idCol, embedding) for the semantic layer
+    * (docs without an embedding row are kept — drop-only-on-evidence).
+    *
+    * Returns (survivors-with-splits, sharded train handoff, per-stage
+    * survivor counts as a 1-row frame). Every stage is localCheckpointed
+    * once: eleven stages of uncheckpointed lineage would replan the
+    * whole chain per consumer and nest the near-dup iteration plans.
+    *
+    * Scale shape: the chain inherits each stage's own audit — scan-stage
+    * gates, broadcast-bounded joins, banded/celled dedup blocking, one
+    * shard sort exchange — composing them adds no new shuffle shape.
+    */
+  def curateFull(docs: DataFrame, evalDocs: DataFrame, seed: DataFrame,
+      embeddings: DataFrame, lm: DataFrame,
+      minFit: Double = 0.001, maxContamRatio: Double = 0.1,
+      vocabSize: Int = 50000, maxOovRate: Double = 0.5,
+      minKeepRatio: Double = 0.5, semThreshold: Double = 0.9,
+      semTargetCellSize: Long = 64L, nShards: Int = 8,
+      cfg: Config = Config()): (DataFrame, DataFrame, DataFrame) = {
+    def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val ann = cp(annotate(docs, cfg))
+    val q = cp(qualityGate(ann, cfg))
+    val sp = cp(spanGate(q, minKeepRatio, cfg = cfg))
+    val ct = cp(contamGate(sp, evalDocs, maxContamRatio, cfg))
+    val ov = cp(oovGate(ct, vocabSize, maxOovRate, cfg))
+    val lf = cp(lmFitGate(ov, lm, minFit, cfg))
+    val cl = cp(classifierGate(lf, seed, cfg = cfg))
+    val ex = cp(exactDedup(cl, cfg))
+    val nd = cp(nearDedupBestCopy(ex, cfg))
+    val sem = cp(semanticDedup(nd,
+      embeddings.join(nd.select(col(cfg.idCol)), Seq(cfg.idCol), "left_semi"),
+      semThreshold,
+      graft.functions.Vec.deriveKCells(nd.count(), semTargetCellSize),
+      cfg = cfg))
+    val split = cp(assignSplits(sem, cfg = cfg))
+    val shards = cp(shardForTraining(split, nShards, cfg))
+    def n(df: DataFrame, as: String) = df.select(count(lit(1)).as(as))
+    val stats = n(docs, "n_input")
+      .crossJoin(n(q, "n_quality"))
+      .crossJoin(n(sp, "n_span"))
+      .crossJoin(n(ct, "n_contam"))
+      .crossJoin(n(ov, "n_oov"))
+      .crossJoin(n(lf, "n_lmfit"))
+      .crossJoin(n(cl, "n_classifier"))
+      .crossJoin(n(ex, "n_exact"))
+      .crossJoin(n(nd, "n_neardup"))
+      .crossJoin(n(sem, "n_semantic"))
+      .crossJoin(split.filter(col("split") === "train")
+        .select(count(lit(1)).as("n_train")))
+      .crossJoin(n(shards, "n_sharded"))
+    (split, shards, stats)
+  }
 }

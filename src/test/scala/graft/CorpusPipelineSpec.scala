@@ -52,6 +52,70 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("curateFull: the whole gate chain end-to-end over the real corpus") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // CCNet composition: LM trained on the even-id half as the "clean
+    // reference"; classifier seeded by a text-determined label (the
+    // same learnable signal q_perceptron uses); eval set = 10 docs,
+    // which the contamination gate must then remove from the corpus
+    // (each is 100% contaminated with itself).
+    val lm = graft.functions.LangModel.knBigramProbs(
+      docs.filter($"doc_id" % 2 === 0), "text")
+    val seed = docs.filter($"doc_id" < 200)
+      .select($"doc_id", $"text",
+        when(array_contains(graft.functions.Text.tokens($"text"), "stream"),
+          1L).otherwise(-1L).as("y"))
+    val evalDocs = docs.filter($"doc_id" >= 490).select($"doc_id", $"text")
+
+    val t0 = System.nanoTime()
+    val (split, shards, stats) = CorpusPipeline.curateFull(
+      docs, evalDocs, seed, emb, lm,
+      minFit = 0.0005, maxContamRatio = 0.1, vocabSize = 2000,
+      maxOovRate = 0.5, minKeepRatio = 0.5, semThreshold = 0.95,
+      nShards = 8)
+    val s = stats.head()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val counts = stats.columns.map(c => c -> s.getAs[Long](c)).toMap
+    info(s"curateFull sf0.01 wall=${"%.1f".format(wall)}s counts=" +
+      stats.columns.map(c => s"$c=${counts(c)}").mkString(" "))
+
+    // the gate chain only ever shrinks the corpus
+    val order = Seq("n_input", "n_quality", "n_span", "n_contam", "n_oov",
+      "n_lmfit", "n_classifier", "n_exact", "n_neardup", "n_semantic")
+    for (Seq(a, b) <- order.sliding(2))
+      assert(counts(b) <= counts(a), s"$b > $a in $counts")
+    assert(counts("n_input") === 500L)
+    // the contamination gate removed the 10 eval docs (self-overlap)
+    assert(counts("n_contam") <= counts("n_span") - 10L)
+    // a real corpus survives the chain (the gates cut, not obliterate)
+    assert(counts("n_semantic") > 100L)
+    // split covers every survivor; the shard handoff is exactly train
+    assert(split.count() === counts("n_semantic"))
+    assert(counts("n_sharded") === counts("n_train"))
+    val trainIds = split.filter($"split" === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(shards.select("doc_id").as[Long].collect().toSet === trainIds)
+    // shard positions are dense 0..|shard|-1 per shard (loader contract)
+    val dense = shards.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"))
+      .filter($"mx" =!= $"n" - 1L).count()
+    assert(dense === 0L)
+    // no eval doc survived anywhere
+    assert(trainIds.intersect((490L to 499L).toSet) === Set.empty)
+    // deterministic end to end: a rerun reproduces the exact id set
+    val (split2, _, _) = CorpusPipeline.curateFull(
+      docs, evalDocs, seed, emb, lm,
+      minFit = 0.0005, maxContamRatio = 0.1, vocabSize = 2000,
+      maxOovRate = 0.5, minKeepRatio = 0.5, semThreshold = 0.95,
+      nShards = 8)
+    assert(split2.select("doc_id").as[Long].collect().toSet ===
+      split.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("clustered near-dedup keeps one representative per transitive chain") {
     import spark.implicits._
     // A transitive chain whose BRIDGE doc carries the largest id: docs 1
