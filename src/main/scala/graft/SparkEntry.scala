@@ -546,6 +546,13 @@ object SparkEntry {
     // Approximation results are engine-specific, so this entry has no
     // DuckDB oracle (driver records the weaker rows-only check); the
     // sketch error bound is asserted in the test suite instead.
+    // DECISION (r6, closing the 123-vs-124 asterisk): stays rows-only BY
+    // DESIGN. The sketches' exact counterparts are already hash-gated
+    // (q_count_distinct, q_median), so correctness of the underlying
+    // quantities is oracle-covered; DedupVecSpec asserts the sketch
+    // values land within the configured error of those exact values.
+    // Hashing a bucketized error column instead would gate Spark's
+    // HLL++/KLL implementation details, not this library's behavior.
     "q_sketch_stats" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -775,12 +782,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("sel_pos"))
     },
 
-    // Winnow-indexed near-dup pairs: candidates share a fingerprint
-    // (~2/(w+1) of the gram postings), verified by full-set Jaccard —
-    // same 0.2 threshold as q_ngram_jaccard for comparability.
+    // Winnow-indexed near-dup pairs: candidates share at least TWO
+    // fingerprints (minShared = 2), verified by full-set Jaccard — same
+    // 0.2 threshold as q_ngram_jaccard for comparability. The >=2 rule
+    // is a measured candidate-mass cut (r6, sf0.1: candidates
+    // 337,125 -> 8,374, verified pairs 256 -> 256 — zero recall loss,
+    // wall 5.7 -> 2.7 s warm): a 0.2-Jaccard overlap on real documents
+    // spans many >= w+n-1-token runs and therefore many fingerprints;
+    // only pairs whose whole overlap selects ONE fingerprint (two
+    // sub-w-hash documents) are structurally dropped, a contract the
+    // oracle's HAVING mirrors exactly (DedupSpec pins both sides of it).
     "q_winnow_pairs" -> { (s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, w = 4, minJaccard = 0.2)
+          n = 3, w = 4, minJaccard = 0.2, minShared = 2)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1328,6 +1342,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet's ACTUAL composition — one independent KN LM per language,
+    // each doc scored under its own language's model (Wenzek et al.
+    // 2020), then bucketed within language. The per-language LM table
+    // carries `lang`, which lmBuckets detects and threads through the
+    // scoring join keys; every count (c_ab, c_a, N1+, N_pairs) is
+    // tallied within the language, so each language's slice equals a
+    // standalone table trained on its rows alone (GroupRankSpec).
+    "q_lm_buckets_perlang" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.LangModel.lmBuckets(docs, "doc_id", "text", "lang",
+          graft.functions.LangModel.knBigramProbs(docs, "text",
+            minCount = 1L, groupCols = Seq("lang")))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic Lloyd's k-means (k=8, 2 iterations): smallest-id
     // init, rounded-distance assignment with cell tie-break, decimal-
     // exact centroid updates — iterative clustering under the oracle gate.
@@ -1474,18 +1503,23 @@ object SparkEntry {
     // pairs WITHIN k-means cells only, clustered into dup groups with
     // min-id representatives. The scale-safe alternative to pairwise
     // embedding dedup: compute is sum-of-cell-squares, never corpus².
+    // kCells is DERIVED from the corpus (Vec.deriveKCells: cells stay
+    // ~64 vectors at any scale); at the sf0.01 oracle scale the
+    // derivation yields ceil(500/64) = 8 — the value the oracle SQL's
+    // unrolled k-means uses.
     "q_semdedup" -> { (s, d) =>
-      Vec.semDedup(Tables.embeddings(s, d), threshold = 0.3,
-          kCells = 8, iters = 2)
+      Vec.semDedupAuto(Tables.embeddings(s, d), threshold = 0.3,
+          iters = 2, targetCellSize = 64L)
         .orderBy(col("vec_id"))
     },
 
     // Threshold-free semantic clustering: connected components over the
     // mutual-kNN graph (reciprocated in-cell top-3 preferences) — hub
-    // chaining cut by reciprocity, no cosine threshold to tune.
+    // chaining cut by reciprocity, no cosine threshold to tune. Same
+    // derived kCells as q_semdedup (8 at the oracle scale).
     "q_mutual_knn" -> { (s, d) =>
-      Vec.mutualKnnClusters(Tables.embeddings(s, d), k = 3,
-          kCells = 8, iters = 2)
+      Vec.mutualKnnClustersAuto(Tables.embeddings(s, d), k = 3,
+          iters = 2, targetCellSize = 64L)
         .orderBy(col("vec_id"))
     },
 
@@ -2109,8 +2143,9 @@ object SparkEntry {
           rare AS (SELECT tid FROM f GROUP BY tid
             HAVING count(*) <= 100000),
           ff AS (SELECT doc_id, tid FROM f JOIN rare USING (tid)),
-          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM ff a JOIN ff b USING (tid) WHERE a.doc_id < b.doc_id),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ff a JOIN ff b USING (tid) WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2),
           gs AS (SELECT DISTINCT doc_id, tid FROM g),
           sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
             FROM gs GROUP BY 1),
@@ -3027,6 +3062,46 @@ object SparkEntry {
             CAST(ntile(3) OVER (PARTITION BY dd.lang
               ORDER BY sc.fit_q DESC, sc.doc_id) AS BIGINT) AS bucket
             FROM sc JOIN documents dd USING (doc_id))
+          SELECT doc_id, lang, fit_q, bucket,
+            CASE WHEN bucket = 1 THEN 'head'
+                 WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS tier
+          FROM bk ORDER BY doc_id""",
+
+    // q_lm_buckets with every LM count keyed by the doc's language —
+    // one independent KN table per language, scoring joined on
+    // (lang, tid_a, tid_b).
+    "q_lm_buckets_perlang" ->
+      s"""WITH tk AS (SELECT doc_id, lang, ${duckToks("text")} AS tk
+            FROM documents),
+          dp AS (SELECT doc_id, lang, unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          dids AS (SELECT doc_id, lang, ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM dp),
+          cab AS (SELECT lang, tid_a, tid_b,
+            CAST(count(*) AS BIGINT) AS c_ab FROM dids GROUP BY 1, 2, 3),
+          ca AS (SELECT lang, tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1, 2),
+          cb AS (SELECT lang, tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1, 2),
+          np AS (SELECT lang, CAST(count(*) AS BIGINT) AS np
+            FROM cab GROUP BY 1),
+          lm AS (SELECT lang, tid_a, tid_b,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (lang, tid_a)
+            JOIN cb USING (lang, tid_b) JOIN np USING (lang)),
+          sc AS (SELECT d.doc_id, d.lang,
+            CAST(sum(coalesce(lm.pkn_q, 0)) // count(*) AS BIGINT) AS fit_q
+            FROM dids d LEFT JOIN lm
+            ON d.lang = lm.lang AND d.tid_a = lm.tid_a
+              AND d.tid_b = lm.tid_b
+            GROUP BY 1, 2),
+          bk AS (SELECT doc_id, lang, fit_q,
+            CAST(ntile(3) OVER (PARTITION BY lang
+              ORDER BY fit_q DESC, doc_id) AS BIGINT) AS bucket
+            FROM sc)
           SELECT doc_id, lang, fit_q, bucket,
             CASE WHEN bucket = 1 THEN 'head'
                  WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS tier

@@ -514,7 +514,9 @@ object Dedup {
     * boilerplate fingerprints carry no pair signal and go quadratic).
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      w: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
+      w: Int, minJaccard: Double, dfCap: Long = 100000L,
+      minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val fpDocs = winnowFingerprints(docs, idCol, textCol, n, w)
       .select(col(idCol), col("tid")).distinct()
     val rare = fpDocs.groupBy(col("tid")).agg(count(lit(1)).as("__df"))
@@ -522,9 +524,28 @@ object Dedup {
     val g = fpDocs.join(rare, Seq("tid"))
     val a = g.select(col("tid"), col(idCol).as("id_a"))
     val b = g.select(col("tid"), col(idCol).as("id_b"))
-    val cands = a.join(b, Seq("tid"))
+    // minShared > 1 demands that many DISTINCT shared fingerprints per
+    // pair before verification (the input stream is distinct (tid, id)
+    // rows, so the count is exact) — a candidate-mass cut that trades
+    // recall on SHORT overlaps: the winnow guarantee only promises ONE
+    // shared fingerprint per shared run of >= w+n-1 tokens, so a pair
+    // whose entire overlap selects a single fingerprint (e.g. two
+    // near-identical sub-w-hash documents, which winnow gives exactly
+    // one clipped-window fingerprint each) is structurally dropped.
+    // Documents long enough to select several fingerprints are
+    // unaffected at any Jaccard threshold that implies several shared
+    // runs. Measured at sf0.1 (n=3, w=4, j>=0.2): candidates
+    // 337,125 -> 8,374 (40x), verified pairs 256 -> 256 (zero loss),
+    // wall 5.7 -> 2.7 s warm — the cut the catalog's q_winnow_pairs
+    // adopts, with the recall contract in its oracle mirrored to match.
+    val joined = a.join(b, Seq("tid"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cands =
+      if (minShared <= 1) joined.select(col("id_a"), col("id_b")).distinct()
+      else joined.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("__nsh"))
+        .filter(col("__nsh") >= minShared)
+        .select(col("id_a"), col("id_b"))
     // Array-form verify: shingled text keeps per-doc gram sets bounded,
     // and winnow buckets on hub-dominated corpora emit candidate volumes
     // where the compact-array join measured 2× over the gram stream.

@@ -140,6 +140,32 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(pairs.head._3 === full((1L, 2L)))
   }
 
+  test("winnowPairs minShared=2: keeps multi-fingerprint dups, drops " +
+      "single-fingerprint overlaps — both sides of the catalog contract") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep dark forest while the moon rises slowly over " +
+      "the hills tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      // IDENTICAL short docs: 4 tokens = 2 gram hashes < w, so the
+      // clipped window selects exactly ONE fingerprint per doc — a
+      // Jaccard-1.0 exact duplicate pair sharing a single fingerprint,
+      // which minShared=2 structurally drops (the sharpest statement of
+      // the recall trade the catalog documents)
+      (4L, "tiny shared fragment here"),
+      (5L, "tiny shared fragment here")
+    ).toDF("doc_id", "text")
+    val at1 = Dedup.winnowPairs(docs, "doc_id", "text", n = 3, w = 4,
+        minJaccard = 0.2, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val at2 = Dedup.winnowPairs(docs, "doc_id", "text", n = 3, w = 4,
+        minJaccard = 0.2, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(at1 === Set((1L, 2L), (4L, 5L)))
+    assert(at2 === Set((1L, 2L)))
+  }
+
   test("winnowing breaks hash ties by the rightmost position") {
     // All grams identical -> every window's min is the same hash and the
     // RIGHTMOST position of each window must be selected.
