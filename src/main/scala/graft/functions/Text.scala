@@ -56,6 +56,25 @@ object Text {
       .otherwise(array())
   }
 
+  /** Fixed-width line segmentation of a token array: space-joined windows
+    * of `lineLen` tokens (the last line keeps the remainder). The corpus
+    * has no natural newlines, so line-structured operators (Gopher
+    * repetition signals, CCNet line dedup) run over this deterministic
+    * segmentation — same idiom as q_pii_redact's synthesized dirty column.
+    * Empty array for an empty/NULL-token doc. Scan-stage, no shuffle.
+    */
+  def tokenLines(toks: Column, lineLen: Int): Column = {
+    require(lineLen >= 1, s"lineLen must be >= 1, got $lineLen")
+    // last line index = floor((n-1)/lineLen); doubles are exact here (doc
+    // token counts are far below 2^53)
+    val lastIdx = floor((size(toks) - 1).cast("double") / lit(lineLen.toDouble))
+      .cast("int")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), lastIdx),
+        i => concat_ws(" ", slice(toks, i * lineLen + 1, lit(lineLen)))))
+      .otherwise(array())
+  }
+
   /** Number of tokens (with multiplicity) of `text` that appear in `words`
     * (marker/stopword hits). Backed by the codegen'd MarkerHitsExpr — one
     * compiled scan with a hash-set probe per token; semantically
