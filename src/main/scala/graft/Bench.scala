@@ -35,8 +35,20 @@ object Bench {
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Subset mode (SPARK_GRAFT_BENCH_ONLY=q_a,q_b): iterate on a few hot
+    // queries without paying for the full catalog. Unknown names fail
+    // loudly (same rationale as ScaleProbe's validated probe filter).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown bench queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (r <- 1 to runs; (name, fn) <- SparkEntry.queries) {
+    for (r <- 1 to runs; (name, fn) <- selected) {
       val t0 = System.nanoTime()
       // A failure must be VISIBLE: a query that regresses to throwing in
       // 50 ms would otherwise record a great "time" and silently deflate

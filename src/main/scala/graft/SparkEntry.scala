@@ -1730,11 +1730,11 @@ object SparkEntry {
     // As-of join: each purchase matched to the user's latest signup at or
     // before it (DuckDB has native ASOF JOIN as the oracle).
     "q_asof_join" -> { (s, d) =>
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsTs(s, d).withColumn("us", unix_micros(col("ts")))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+        .select(col("event_id"), col("user_id"), col("us"))
       val signups = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), expr("ts div 1000").as("us"))
+        .select(col("user_id"), col("us"))
       graft.ops.AsOf.asofJoin(purchases, signups, "user_id", "us", "us")
         .select(col("event_id"), col("user_id"), col("asof_ts").as("signup_us"))
         .orderBy(col("event_id"))

@@ -26,14 +26,26 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
 
-  /** events with `ts` converted to a microsecond TIMESTAMP. The raw file
-    * stores TIMESTAMP(NANOS), which Spark only reads as a long (session
-    * must set spark.sql.legacy.parquet.nanosAsLong=true); `ts div 1000`
-    * truncates ns -> us exactly like DuckDB's timestamp_ns -> timestamp cast.
+  /** events with `ts` normalized to a session-local microsecond
+    * TIMESTAMP, whatever the file stores. Generations of the testdata
+    * have used TIMESTAMP(NANOS) — which Spark only reads as a long
+    * (session must set spark.sql.legacy.parquet.nanosAsLong=true), so
+    * `ts div 1000` truncates ns -> us exactly like DuckDB's
+    * timestamp_ns -> timestamp cast — and plain TIMESTAMP_NTZ(MICROS),
+    * which needs only the ntz -> ltz reinterpretation (the session zone
+    * is UTC everywhere here, so the instant is unchanged). Branching on
+    * the READ schema keeps every events consumer working against either
+    * file generation.
     */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = events(s, d)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -118,13 +118,89 @@ object Cluster {
     * `is_rep` marks the canonical representative (id == component).
     */
   def assignClusters(edges: DataFrame, aCol: String, bCol: String,
-      vertices: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
-    val comp = connectedComponents(edges, aCol, bCol, vertices, idCol, maxIter)
+      vertices: DataFrame, idCol: String, maxIter: Int = 20): DataFrame =
+    withSizes(
+      connectedComponents(edges, aCol, bCol, vertices, idCol, maxIter), idCol)
+
+  /** (idCol, component) → (idCol, component, csize, is_rep). */
+  private def withSizes(comp: DataFrame, idCol: String): DataFrame = {
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("component"))
       .select(col(idCol), col("component"),
         col("csize"), (col(idCol) === col("component")).as("is_rep"))
   }
+
+  /** BLOCK-LOCAL connected components: when the edge generator guarantees
+    * every edge stays inside a block (cell-blocked near-dup pairs,
+    * in-cell mutual-kNN edges — any candidate stage of the form
+    * `a.join(b, "cell")`), components cannot span blocks, so the global
+    * iterative label loop is pure overhead: ONE shuffle on the block id
+    * and a per-block union-find replace the whole fixpoint. Each block's
+    * vertices + edges are folded in a single pass (path-compressed,
+    * min-id-rooted union-find — labels identical to
+    * [[connectedComponents]]'), so the cost is O(|block| · α) per block
+    * with NO per-round join barriers, no checkpoints, no convergence
+    * actions. At 100 TB this is the difference between one
+    * partial-free shuffle and log(diameter) full-materialization rounds
+    * — provided block sizes stay bounded (the cell-blocked generators'
+    * deriveKCells contract), which also bounds executor memory here.
+    *
+    * Vertex ids must be integral (they travel as longs through the
+    * typed per-block fold); blocks must PARTITION the vertices — a
+    * vertex listed under two blocks would be labeled twice. Both hold
+    * by construction for the k-means-cell generators.
+    *
+    * @param edges    in-block candidate pairs: (blockCol, aCol, bCol)
+    * @param vertices one row per vertex WITH its block: (blockCol, idCol)
+    */
+  def blockedComponents(edges: DataFrame, blockCol: String, aCol: String,
+      bCol: String, vertices: DataFrame, idCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def integral(df: DataFrame, c: String): Unit = {
+      val t = df.schema(c).dataType
+      require(Seq("byte", "short", "int", "long", "integer", "bigint",
+          "smallint", "tinyint").contains(t.typeName),
+        s"blockedComponents needs integral ids; $c is ${t.typeName}")
+    }
+    integral(edges, aCol); integral(edges, bCol); integral(vertices, idCol)
+    // Vertices ride along as self-loops, so singletons label themselves
+    // and every block sees its full universe in one grouped pass.
+    val rows = vertices.select(col(blockCol).cast("long"),
+        col(idCol).cast("long"), col(idCol).cast("long"))
+      .union(edges.select(col(blockCol).cast("long"),
+        col(aCol).cast("long"), col(bCol).cast("long")))
+      .as[(Long, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          // larger root under smaller ⇒ every root is its set's min id
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot keys first: find() path-compresses values mid-iteration
+        parent.keys.toArray.map(v => (v, find(v))).iterator
+      }
+      .toDF(idCol, "component")
+  }
+
+  /** [[blockedComponents]] with sizes/representatives — the block-local
+    * counterpart of [[assignClusters]], same output schema.
+    */
+  def blockedAssignClusters(edges: DataFrame, blockCol: String, aCol: String,
+      bCol: String, vertices: DataFrame, idCol: String): DataFrame =
+    withSizes(
+      blockedComponents(edges, blockCol, aCol, bCol, vertices, idCol), idCol)
 
   /** Keep one document per near-dup cluster: the rows of `docs` whose id
     * is its cluster's canonical representative. One semi-join against the

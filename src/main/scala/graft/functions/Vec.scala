@@ -456,14 +456,32 @@ object Vec {
     */
   def semDedupPairs(corpus: DataFrame, threshold: Double, kCells: Int,
       iters: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    semDedupPairsCelled(
+      celled(corpus, kCells, iters, idCol, vecCol), threshold, idCol, vecCol)
+      .select(col("id_a"), col("id_b"), col("sim"))
+
+  /** (cell, idCol, vecCol, nrm): the corpus with its k-means cell and
+    * precomputed norm — the shared front of every cell-blocked operator,
+    * built ONCE so pair generation and the component universe read the
+    * same assignment instead of re-training.
+    */
+  private def celled(corpus: DataFrame, kCells: Int, iters: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val cells = kmeans(corpus, kCells, iters, idCol, vecCol)
       .select(col(idCol), col("cell"))
-    val bucketed = corpus.select(col(idCol), col(vecCol))
+    corpus.select(col(idCol), col(vecCol))
       .join(cells, Seq(idCol))
       .select(col("cell"), col(idCol), col(vecCol),
         sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
           .as("nrm"))
+  }
+
+  /** [[semDedupPairs]] body over a prebuilt [[celled]] frame, KEEPING the
+    * cell on each pair — block-local CC consumes it directly.
+    */
+  private def semDedupPairsCelled(bucketed: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
     val a = bucketed.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("cell"), col(idCol).as("id_b"),
@@ -474,7 +492,7 @@ object Vec {
     a.join(b, a("cell") === b("cell") &&
         col("id_a") < col("id_b") && sim >= threshold)
       .withColumn("sim", sim)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      .select(a("cell"), col("id_a"), col("id_b"), col("sim"))
   }
 
   /** Full SemDedup assignment: cluster in-cell near-dup pairs into
@@ -490,9 +508,13 @@ object Vec {
   def semDedup(corpus: DataFrame, threshold: Double, kCells: Int,
       iters: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val pairs = semDedupPairs(corpus, threshold, kCells, iters, idCol, vecCol)
-    Cluster.assignClusters(pairs, "id_a", "id_b",
-      corpus.select(col(idCol)), idCol)
+    // Edges never span cells, so components are CELL-LOCAL: one grouped
+    // union-find pass (Cluster.blockedAssignClusters) replaces the
+    // iterative global label loop — no per-round joins or checkpoints.
+    val bucketed = celled(corpus, kCells, iters, idCol, vecCol)
+    val pairs = semDedupPairsCelled(bucketed, threshold, idCol, vecCol)
+    Cluster.blockedAssignClusters(pairs, "cell", "id_a", "id_b",
+      bucketed.select(col("cell"), col(idCol)), idCol)
   }
 
   /** Mutual-kNN pairs WITHIN k-means cells: an undirected edge survives
@@ -514,15 +536,24 @@ object Vec {
     * [[mutualKnnPairsAuto]] ([[deriveKCells]]) over a fixed kCells.
     */
   def mutualKnnPairs(corpus: DataFrame, k: Int, kCells: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    mutualKnnPairsCelled(
+      celled(corpus, kCells, iters, idCol, vecCol), k, idCol, vecCol)
+      .select(col("id_a"), col("id_b"), col("sim"))
+
+  /** [[mutualKnnPairs]] body over a prebuilt [[celled]] frame, keeping
+    * the cell on each pair. Reciprocity is resolved in ONE pass over the
+    * directed top-k instead of a self-semi-join (which would recompute
+    * the whole join + window subtree for the reversed side): cosine here
+    * is orientation-symmetric bit-for-bit — dot(a,b) folds the same
+    * products in the same index order as dot(b,a), and na·nb = nb·na —
+    * so grouping directed edges by the unordered pair and demanding BOTH
+    * orientations (count = 2) is exactly the mutual-top-k condition, at
+    * one extra cell-local shuffle instead of a second plan evaluation.
+    */
+  private def mutualKnnPairsCelled(bucketed: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val cells = kmeans(corpus, kCells, iters, idCol, vecCol)
-      .select(col(idCol), col("cell"))
-    val bucketed = corpus.select(col(idCol), col(vecCol))
-      .join(cells, Seq(idCol))
-      .select(col("cell"), col(idCol), col(vecCol),
-        sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
-          .as("nrm"))
     val a = bucketed.select(col("cell"), col(idCol).as("query_id"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("cell"), col(idCol).as("neighbor_id"),
@@ -534,14 +565,14 @@ object Vec {
       .withColumn("sim", pairSim(col("va"), col("vb"), col("na"), col("nb")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-    // reciprocity: keep (q, n) only if (n, q) is also a directed edge
-    val rev = directed.select(col("neighbor_id").as("query_id"),
-      col("query_id").as("neighbor_id"))
-    directed.join(rev, Seq("query_id", "neighbor_id"), "left_semi")
-      .filter(col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
-        col("sim"))
+      .select(col("cell"), col("query_id"), col("neighbor_id"), col("sim"))
+    directed
+      .groupBy(col("cell"),
+        least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"))
+      .agg(count(lit(1)).as("__orient"), max(col("sim")).as("sim"))
+      .filter(col("__orient") === 2)
+      .select(col("cell"), col("id_a"), col("id_b"), col("sim"))
   }
 
   /** Threshold-free semantic clustering: connected components over the
@@ -554,9 +585,12 @@ object Vec {
     */
   def mutualKnnClusters(corpus: DataFrame, k: Int, kCells: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val pairs = mutualKnnPairs(corpus, k, kCells, iters, idCol, vecCol)
-    Cluster.assignClusters(pairs, "id_a", "id_b",
-      corpus.select(col(idCol)), idCol)
+    // Cell-local edges ⇒ cell-local components: grouped union-find, not
+    // the iterative loop (see semDedup).
+    val bucketed = celled(corpus, kCells, iters, idCol, vecCol)
+    val pairs = mutualKnnPairsCelled(bucketed, k, idCol, vecCol)
+    Cluster.blockedAssignClusters(pairs, "cell", "id_a", "id_b",
+      bucketed.select(col("cell"), col(idCol)), idCol)
   }
 
   /** Cell count for the cell-blocked operators from the corpus size:

@@ -46,8 +46,8 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.count() > 0)
     // every matched signup precedes-or-equals its purchase
     import org.apache.spark.sql.functions._
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-      .select(col("event_id"), expr("ts div 1000").as("us"))
+    val ev = Tables.eventsTs(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
     val bad = got.join(ev, "event_id")
       .filter(col("signup_us").isNotNull && col("signup_us") > col("us"))
     assert(bad.count() === 0)

@@ -143,4 +143,54 @@ class ClusterSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(minIdKept === Set(0L, 5L, 9L))
   }
+
+  test("blockedComponents matches the iterative loop on random blocked graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val nBlocks = 2 + rnd.nextInt(4)
+      // disjoint id ranges per block so blocks partition the vertices
+      val verts = (0 until nBlocks).flatMap { blk =>
+        val n = 5 + rnd.nextInt(20)
+        (0 until n).map(i => (blk.toLong, blk * 1000L + i))
+      }
+      val byBlock = verts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val edges = verts.flatMap { case (blk, _) =>
+        val ids = byBlock(blk)
+        if (ids.size < 2 || rnd.nextBoolean()) Nil
+        else Seq((blk, ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+      }.filter { case (_, a, b) => a != b }
+      val got = Cluster.blockedComponents(edges.toDF("cell", "a", "b"),
+          "cell", "a", "b", verts.toDF("cell", "id"), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = sparkComponents(verts.map(_._2),
+        edges.map { case (_, a, b) => (a, b) })
+      assert(got == exp, s"trial $trial")
+    }
+  }
+
+  test("blockedAssignClusters: chains, singletons, sizes inside one block") {
+    // one block holding a 5-chain + a pair + a singleton
+    val verts = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (1L, 20L), (1L, 21L), (1L, 30L))
+    val edges = Seq((1L, 14L, 13L), (1L, 13L, 12L), (1L, 12L, 11L),
+      (1L, 11L, 10L), (1L, 20L, 21L))
+    val got = Cluster.blockedAssignClusters(edges.toDF("cell", "a", "b"),
+        "cell", "a", "b", verts.toDF("cell", "id"), "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (10L, 10L, 5L, true), (11L, 10L, 5L, false), (12L, 10L, 5L, false),
+      (13L, 10L, 5L, false), (14L, 10L, 5L, false),
+      (20L, 20L, 2L, true), (21L, 20L, 2L, false), (30L, 30L, 1L, true)))
+  }
+
+  test("blockedComponents rejects non-integral ids") {
+    val ex = intercept[IllegalArgumentException] {
+      Cluster.blockedComponents(
+        Seq((1L, "a", "b")).toDF("cell", "a", "b"), "cell", "a", "b",
+        Seq((1L, "a")).toDF("cell", "id"), "id")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
 }
