@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 // Throwaway stage-level profiling harness (not part of the library surface).
@@ -18,52 +18,60 @@ object ProfStages {
       val t0 = System.nanoTime(); val r = f
       println(f"STAGE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    def exec(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    val emb = Tables.embeddings(spark, d)
-    val n = t("count")(emb.count()); println("n=" + n)
-    val kc = graft.functions.Vec.deriveKCells(n, 64L); println("kCells=" + kc)
-    val cells = graft.functions.Vec.kmeans(emb, kc, 2, "vec_id", "embedding")
-      .select(col("vec_id"), col("cell"))
-    t("kmeans-exec")(exec(cells))
-    val pairs = graft.functions.Vec.mutualKnnPairs(emb, 3, kc, 2,
-      "vec_id", "embedding")
-    t("pairs-exec")(exec(pairs))
-    t("pairs-exec2")(exec(pairs))
-    val cc = t("cc-define")(graft.functions.Cluster.assignClusters(pairs,
-      "id_a", "id_b", emb.select(col("vec_id")), "vec_id"))
-    t("cc-exec")(exec(cc))
-    t("full-again")(exec(
-      graft.functions.Vec.mutualKnnClustersAuto(emb, 3, 2, 64L)))
-    // break down inside pairs: bucketed, directed (window top-k), recip
-    val cells2 = graft.functions.Vec.kmeans(emb, kc, 2, "vec_id", "embedding")
-      .select(col("vec_id"), col("cell"))
-    val bucketed = emb.select(col("vec_id"), col("embedding"))
-      .join(cells2, Seq("vec_id"))
-    t("bucketed-exec")(exec(bucketed))
-    t("bucketed-exec2")(exec(bucketed))
-    import org.apache.spark.sql.expressions.Window
-    val b2 = bucketed.select(col("cell"), col("vec_id"), col("embedding"),
-      sqrt(graft.plans.VecExpressions.dotProduct(col("embedding"),
-        col("embedding"))).as("nrm"))
-    val a2 = b2.select(col("cell"), col("vec_id").as("query_id"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val c2 = b2.select(col("cell"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val joined = a2.join(c2, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-    t("celljoin-exec")(exec(joined))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    val directed = joined
-      .withColumn("sim", round(
-        graft.plans.VecExpressions.dotProduct(col("va"), col("vb")) /
-          (col("na") * col("nb")), 6))
-      .withColumn("__rn", row_number().over(w2))
-      .filter(col("__rn") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-    t("directed-exec")(exec(directed))
-    t("directed-exec2")(exec(directed))
+    // inline replica of the perceptron loop with per-phase timing
+    val dec = "decimal(38,0)"
+    val docs = Tables.documents(spark, d)
+    val idCol = "doc_id"
+    val labels = docs.select(col(idCol),
+      when(array_contains(graft.functions.Text.tokens(col("text")), "stream"),
+        1L).otherwise(-1L).as("y"))
+    val lab = labels.select(col(idCol), col("y").cast("long").as("y"))
+    val nBuckets = 64
+    val x = t("x-checkpoint") {
+      docs.select(col(idCol),
+          graft.plans.TextExpressions.hashedShingles(col("text"), 1))
+        .select(col(idCol), pmod(col("tid"), lit(nBuckets.toLong)).as("bkt"))
+        .distinct()
+        .withColumn("cnt", lit(1L))
+        .unionByName(lab.select(col(idCol), lit(-1L).as("bkt"),
+          lit(1L).as("cnt")))
+        .join(lab, Seq(idCol))
+        .repartition(col(idCol))
+        .localCheckpoint(true)
+    }
+    var w: DataFrame = null
+    for (r <- 1 to 12) {
+      val joined =
+        if (w == null) x.withColumn("__p", lit(0L).cast(dec))
+        else x.join(broadcast(w), Seq("bkt"), "left")
+          .withColumn("__p",
+            (coalesce(col("w"), lit(0L)) * col("cnt")).cast(dec))
+          .drop("w")
+      val mis = t(s"r$r-mis") {
+        joined.groupBy(col(idCol))
+          .agg(min(col("y")).as("y"), sum(col("__p")).cast(dec).as("__s"))
+          .filter(col("y") * col("__s") <= 0)
+          .select(col(idCol))
+          .localCheckpoint(true)
+      }
+      if (t(s"r$r-empty")(mis.isEmpty)) { println(s"converged r$r") }
+      else {
+        w = t(s"r$r-w") {
+          val delta = x.join(mis, Seq(idCol), "left_semi")
+            .groupBy(col("bkt"))
+            .agg(sum(col("y") * col("cnt")).cast("long").as("__d"))
+          (if (w == null) delta.select(col("bkt"), col("__d").as("w"))
+           else w.join(delta, Seq("bkt"), "full_outer")
+             .select(col("bkt"),
+               (coalesce(col("w"), lit(0L)) + coalesce(col("__d"), lit(0L)))
+                 .as("w")))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    if (args.contains("explain")) {
+      x.groupBy(col(idCol)).agg(sum(col("cnt"))).explain("formatted")
+    }
     spark.stop()
   }
 }

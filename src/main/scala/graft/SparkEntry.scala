@@ -739,6 +739,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Sorted-neighborhood blocking (Hernández & Stolfo): rank by a
+    // 30-char lowercased prefix key (two-level exact rank — no global
+    // sort task) and pair each doc with its 4 rank-successors. The
+    // SORT-based blocking family: candidate volume is (w−1)·n by
+    // construction, whatever the key distribution.
+    "q_snm_pairs" -> { (s, d) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id",
+          lower(substring(col("text"), 1, 30)), window = 5)
+        .select(col("id_a"), col("id_b"), col("rdist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Record-linkage verify stage: Levenshtein over bounded 80-char
+    // prefixes decides the match on the SNM candidates — candidates ×
+    // prefix² cost, never corpus × full-text².
+    "q_editdist_verify" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      Dedup.verifyEditDistance(cand, docs, "doc_id", "text",
+          prefixLen = 80, maxDist = 40)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Benchmark decontamination: docs sharing ANY 3-gram with the eval
     // set (doc_id < 10) drop from the training corpus — broadcast
     // semi-join, linear in the corpus.
@@ -2243,6 +2267,31 @@ object SparkEntry {
           FROM ip JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE round(CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) >= 0.4
+          ORDER BY id_a, id_b""",
+
+    "q_snm_pairs" ->
+      """WITH r AS (SELECT doc_id, lower(substring(text, 1, 30)) AS key,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn
+          FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(b.rn - a.rn AS BIGINT) AS rdist
+          FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+          ORDER BY id_a, id_b""",
+
+    "q_editdist_verify" ->
+      """WITH r AS (SELECT doc_id, lower(substring(text, 1, 30)) AS key,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn
+          FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          p AS (SELECT doc_id, substring(text, 1, 80) AS pfx FROM documents)
+          SELECT c.id_a, c.id_b,
+            CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS dist
+          FROM cand c JOIN p pa ON pa.doc_id = c.id_a
+          JOIN p pb ON pb.doc_id = c.id_b
+          WHERE levenshtein(pa.pfx, pb.pfx) <= 40
           ORDER BY id_a, id_b""",
 
     "q_minhash_sig" -> {

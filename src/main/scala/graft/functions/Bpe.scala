@@ -53,18 +53,31 @@ object Bpe {
   def learn(docs: DataFrame, textCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val words = docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Checkpoint the vocabulary BEFORE round 1: the corpus token
+    // groupBy — the only corpus-sized stage in training — runs exactly
+    // once; every round after it touches only the vocabulary table.
+    var reps = docs
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).cast("long").as("wc"))
-    var reps = words.select(col("word"), col("wc"),
-      charRep(col("word")).as("rep"))
-    var merges: DataFrame = null
-    for (r <- 1 to rounds) {
-      // Adjacent symbol pairs weighted by word count; the winner is a
-      // 1-row aggregate that rides back in as a broadcast, not a collect.
+      .select(col("word"), col("wc"), charRep(col("word")).as("rep"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // Adjacent symbol pairs weighted by word count. The winner is
+      // COLLECTED (a bounded 1-row action) and inlined as literals: the
+      // broadcast-crossJoin alternative re-evaluates this whole pair
+      // scan a second time when the rewrite materializes (measured: 2
+      // vocabulary shuffles per round instead of 1), and a driver-side
+      // merge list makes the merges table a local relation consumers
+      // replay for free instead of re-walking training lineage.
       val syms = reps.select(col("wc"), symbols(col("rep")).as("__s"))
-      val pairs = syms
+      val top = syms
         .select(col("wc"), explode(when(size(col("__s")) >= 2,
             transform(sequence(lit(1), size(col("__s")) - 1),
               i => struct(element_at(col("__s"), i).as("sym_a"),
@@ -73,33 +86,32 @@ object Bpe {
         .select(col("__p.sym_a"), col("__p.sym_b"), col("wc"))
         .groupBy(col("sym_a"), col("sym_b"))
         .agg(sum(col("wc")).cast("long").as("pair_count"))
-      val top = pairs
         .orderBy(col("pair_count").desc, col("sym_a").asc, col("sym_b").asc)
         .limit(1)
-      // A pair-less vocabulary (every word fully merged or single-char)
-      // ends training early: cross-joining an EMPTY top row would
-      // silently wipe the reps table. The emptiness probe is a bounded
-      // 1-row action, same class as the broadcast it guards.
+        .collect()
       if (top.isEmpty) {
-        val empty = reps.sparkSession.emptyDataFrame
-          .select(lit(0L).as("round"), lit("").as("sym_a"),
-            lit("").as("sym_b"), lit(0L).as("pair_count"))
-        return (if (merges == null) empty else merges.orderBy(col("round")),
-          reps)
+        // A pair-less vocabulary (every word fully merged or
+        // single-char) ends training early.
+        done = true
+      } else {
+        val (a, b, pc) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((r.toLong, a, b, pc))
+        // Literal rewrite is map-only over the checkpointed vocabulary,
+        // so this round's materialization costs no shuffle at all.
+        reps = reps
+          .select(col("word"), col("wc"),
+            regexp_replace(col("rep"),
+              java.util.regex.Pattern.quote(s" $a  $b "),
+              java.util.regex.Matcher.quoteReplacement(s" $a$b ")).as("rep"))
+          .localCheckpoint(true)
+        r += 1
       }
-      val m = top.select(lit(r.toLong).as("round"), col("sym_a"),
-        col("sym_b"), col("pair_count"))
-      merges = if (merges == null) m else merges.unionByName(m)
-      reps = reps.crossJoin(broadcast(top))
-        .select(col("word"), col("wc"),
-          expr("""replace(rep, ' ' || sym_a || '  ' || sym_b || ' ',
-                          ' ' || sym_a || sym_b || ' ')""").as("rep"))
-      // Each round's rewrite feeds the next round's pair scan AND the
-      // merge union: materialize the vocabulary-sized table instead of
-      // re-running the growing lineage per consumer.
-      reps = reps.localCheckpoint(true)
     }
-    (merges.orderBy(col("round")), reps)
+    val merges = learned.toSeq
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("round"))
+    (merges, reps)
   }
 
   /** Segment the whitespace tokens of `textCol` with an already-learned

@@ -49,12 +49,20 @@ object Classifier {
     * buckets per doc, and the same concepts separate in a handful.
     */
   private def features(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame =
-    docs.select(col(idCol),
-        graft.plans.TextExpressions.hashedShingles(col(textCol), 1))
-      .select(col(idCol), pmod(col("tid"), lit(nBuckets.toLong)).as("bkt"))
-      .distinct()
+      nBuckets: Int): DataFrame = {
+    // Per-doc presence is ROW-LOCAL: dedup the bucket ids inside each
+    // document's token array (array_distinct) instead of a corpus-wide
+    // distinct — the same (idCol, bkt) set with zero shuffle. The token
+    // array is projected once before the lambda (the LangModel
+    // discipline: a tokenizer referenced inside a per-element lambda
+    // re-evaluates the split per element).
+    val tk = docs.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+    tk.select(col(idCol),
+        explode(array_distinct(transform(col("__tk"),
+          t => pmod(graft.plans.TextExpressions.polyHash(t),
+            lit(nBuckets.toLong))))).as("bkt"))
       .withColumn("cnt", lit(1L))
+  }
 
   /** Train `rounds` batch-perceptron rounds on `docs` × `labels`
     * ((idCol, y) with y ∈ {+1, −1}) and return the weight table
@@ -129,43 +137,41 @@ object Classifier {
       .join(lab, Seq(idCol))
       .localCheckpoint(true)
 
-    var w: DataFrame = null
+    // The model lives on the DRIVER: the weight table is bounded at
+    // nBuckets + 1 rows (the same class of bounded artifact as k-means'
+    // collected centroids), so each round is ONE job — score, filter to
+    // the misclassified ids, fold their feature rows into per-bucket
+    // deltas, collect the ≤(B+1)-row result — instead of separate
+    // emptiness-probe and weight-checkpoint actions with a full-outer
+    // weight join whose lineage re-ran the delta. Rounds touch the
+    // checkpointed stream twice WITHIN one job (score + delta), shuffle
+    // only doc-keyed partials and the (B+1)-row bucket fold.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wMap = scala.collection.immutable.SortedMap.empty[Long, Long]
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
+      val w = if (wMap.isEmpty) null else wMap.toSeq.toDF("bkt", "w")
       val mis = scoresOver(x, w)
         .filter(col("y") * col("__s") <= 0)
         .select(col(idCol))
-      // mis = ∅ is a FIXPOINT: the delta is empty and every later round
-      // is a no-op, so stopping early changes nothing — fixed `rounds`
-      // stays the deterministic contract, this just skips dead work.
-      if (mis.isEmpty) converged = true
-      else {
-        val delta = x.join(mis, Seq(idCol), "left_semi")
-          .groupBy(col("bkt"))
-          .agg(sum(col("y") * col("cnt")).cast("long").as("__d"))
-        w =
-          (if (w == null) delta.select(col("bkt"), col("__d").as("w"))
-           else w.join(delta, Seq("bkt"), "full_outer")
-             .select(col("bkt"),
-               (coalesce(col("w"), lit(0L)) + coalesce(col("__d"), lit(0L)))
-                 .as("w")))
-          .localCheckpoint(true)
+      val delta = x.join(mis, Seq(idCol), "left_semi")
+        .groupBy(col("bkt"))
+        .agg(sum(col("y") * col("cnt")).cast("long").as("__d"))
+        .collect()
+      // Every misclassified doc carries its bias row, so the delta has
+      // rows exactly when mis is non-empty (a zero-VALUED delta still
+      // emits its group row) — mis = ∅ is the FIXPOINT: every later
+      // round is a no-op, so stopping early changes nothing.
+      if (delta.isEmpty) converged = true
+      else delta.foreach { row =>
+        val b = row.getLong(0)
+        wMap = wMap.updated(b, wMap.getOrElse(b, 0L) + row.getLong(1))
       }
       r += 1
     }
-    // A converged (or zero-update) run can leave w null/partial — an
-    // empty weight table scores everything through coalesce(w, 0).
-    val weights =
-      if (w == null)
-        x.sparkSession.createDataFrame(
-          x.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("bkt",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("w",
-              org.apache.spark.sql.types.LongType))))
-      else w
-    (weights, x)
+    // Empty on a zero-round-progress run — coalesce(w, 0) still scores.
+    (wMap.toSeq.toDF("bkt", "w"), x)
   }
 }

@@ -786,4 +786,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
         col("containment"))
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995) — the
+    * SORT-based blocking family, complementing the hash (LSH/SimHash),
+    * inverted-list (n-gram), and learned-partition (k-means cell)
+    * blockers already here: order the corpus by a domain sort key and
+    * emit every pair within a sliding window of `window` consecutive
+    * rows. Near-duplicates with a shared prefix/key land adjacent in the
+    * total order, so the candidate volume is exactly (window−1)·n —
+    * linear by construction, no distribution assumptions, which is what
+    * makes SNM the standard blocker when key skew defeats hashing.
+    *
+    * Scale shape: the global rank comes from [[GroupRank]]'s two-level
+    * plan (range exchange + local windows + a shard-count-sized offset
+    * broadcast — NO single-partition sort), and the neighborhood join is
+    * a rank-keyed equi-join against `window−1` exploded rank slots per
+    * row. Ties in `key` break by id, so ranks — and therefore the pair
+    * set — are fully deterministic.
+    *
+    * Output: (id_a, id_b, key_a, key_b, rdist) with id_a the LOWER-ranked
+    * doc and rdist ∈ [1, window−1] its rank distance to id_b. Feed a
+    * verifier ([[verifyJaccardArrays]], [[verifyEditDistance]]) — SNM is
+    * a candidate generator, not a match decision.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, key: Column,
+      window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val keyed = docs.select(col(idCol), key.as("__snmkey"))
+      .withColumn("__snmall", lit(1))
+    val ranked = graft.functions.GroupRank.withRankAndCount(keyed,
+        Seq("__snmall"), Seq(col("__snmkey").asc, col(idCol).asc),
+        "__snmrn", "__snmn")
+      .select(col(idCol), col("__snmkey"), col("__snmrn"))
+    val a = ranked
+      .select(col(idCol).as("id_a"), col("__snmkey").as("key_a"),
+        col("__snmrn").as("__rna"))
+      .select(col("id_a"), col("key_a"), col("__rna"),
+        explode(sequence(col("__rna") + 1,
+          col("__rna") + (window - 1))).as("__snmj"))
+    val b = ranked.select(col(idCol).as("id_b"),
+      col("__snmkey").as("key_b"), col("__snmrn").as("__snmj"))
+    a.join(b, Seq("__snmj"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        (col("__snmj") - col("__rna")).cast("long").as("rdist"))
+  }
+
+  /** Edit-distance verification of candidate pairs — the record-linkage
+    * match decision over any blocker's output: (id_a, id_b) pairs gain
+    * `dist` (Levenshtein between the docs' first `prefixLen` chars) and
+    * keep only dist <= maxDist. The DP is quadratic in its operand
+    * length, so verification runs on a BOUNDED prefix — at corpus scale
+    * the cost is candidates × prefixLen², never corpus × full-text².
+    * Two id-keyed equi-joins ship one bounded prefix per side; nothing
+    * here scales with pair text beyond the prefix.
+    */
+  def verifyEditDistance(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val p = docs.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(p.select(col(idCol).as("id_a"), col("__pfx").as("__pa")),
+        Seq("id_a"))
+      .join(p.select(col(idCol).as("id_b"), col("__pfx").as("__pb")),
+        Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -80,6 +80,44 @@ class DedupVecSpec extends AnyFunSuite {
     assert(e.length === 1 && e(0)._3 === 2L && e(0)._6 === 0.333333)
   }
 
+  test("sorted-neighborhood pairs: window adjacency in the key order, exactly once") {
+    // keys sort as: d10 "aaa..", d3 "abc..", d7 "abd..", d1 "zzz.."
+    val df = Seq(
+      (10L, "aaa shared prefix here"),
+      (3L, "abc shared prefix here"),
+      (7L, "abd shared prefix here"),
+      (1L, "zzz different entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id",
+        lower(substring(col("text"), 1, 5)), window = 3)
+      .select("id_a", "id_b", "rdist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rank order 10,3,7,1; window 3 pairs each row with its 2 successors
+    assert(got === Set((10L, 3L, 1L), (10L, 7L, 2L), (3L, 7L, 1L),
+      (3L, 1L, 2L), (7L, 1L, 1L)))
+  }
+
+  test("sorted-neighborhood candidate volume is exactly (w-1)*n minus the tail") {
+    val df = (1L to 40L).map(i => (i, f"doc $i%02d payload")).toDF("doc_id", "text")
+    val n = Dedup.sortedNeighborhoodPairs(df, "doc_id",
+      substring(col("text"), 1, 8), window = 4).count()
+    // each of the 40 ranks pairs with min(3, n - rank) successors
+    assert(n === 3 * 40 - (1 + 2 + 3))
+  }
+
+  test("edit-distance verify keeps near pairs, drops far ones, exact dist") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown cat"), // dist 3 on the prefix
+      (3L, "entirely unrelated text")
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyEditDistance(cand, df, "doc_id", "text",
+        prefixLen = 40, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 3L)))
+  }
+
   test("sketch aggregates land within their error bounds of exact values") {
     val d = "/root/testdata/sf0.001"
     val sketch = SparkEntry.queries("q_sketch_stats")(spark, d)
