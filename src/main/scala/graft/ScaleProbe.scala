@@ -50,7 +50,8 @@ object ScaleProbe {
       "connected_components", "simhash_pairs", "kmeans", "semdedup",
       "pq_train", "decontaminate", "span_dedup", "textrank", "bm25",
       "bpe_train", "winnow", "dsir", "kn_lm", "jaccard_prefix",
-      "mutual_knn", "corpus_shuffle", "kcenter", "unigram_tv", "skew_join")
+      "mutual_knn", "blocked_cc", "snm", "corpus_shuffle", "kcenter",
+      "unigram_tv", "skew_join")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -375,6 +376,48 @@ object ScaleProbe {
         iters = 2, targetCellSize = 64L).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"mutual_knn","mult":$mult,"vecs":${nEmb * mult},"kcells":${graft.functions.Vec.deriveKCells(nEmb * mult, 64L)},"edges":$edges,"sec":$sec%.2f}""")
+    }
+
+    // Blocked-CC probe: the grouped union-find vs the iterative label
+    // loop on the SAME cell-local mutual-kNN clustering. The blocked
+    // pass is one shuffle at any multiplier; the loop pays per-round
+    // join barriers times log(diameter) rounds — the gap is the point.
+    for (mult <- Seq(1, 4, 16) if want("blocked_cc")) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+      for (variant <- Seq("blocked", "loop")) {
+        val t0 = System.nanoTime()
+        val comps =
+          if (variant == "blocked")
+            graft.functions.Vec.mutualKnnClustersAuto(vecs, k = 3,
+              iters = 2, targetCellSize = 64L)
+              .filter(col("is_rep")).count()
+          else {
+            val pairs = graft.functions.Vec.mutualKnnPairsAuto(vecs, k = 3,
+              iters = 2, targetCellSize = 64L)
+            graft.functions.Cluster.assignClusters(pairs, "id_a", "id_b",
+              vecs.select(col("vec_id")), "vec_id")
+              .filter(col("is_rep")).count()
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"blocked_cc","variant":"$variant","mult":$mult,"vecs":${nEmb * mult},"components":$comps,"sec":$sec%.2f}""")
+      }
+    }
+
+    // SNM probe: candidate volume must be EXACTLY (w-1)·n minus the rank
+    // tail at any multiplier (the sort-based blocker's linearity is by
+    // construction, not distribution luck), and wall must track the
+    // two-level rank's range exchange — linear, no single-task sort.
+    for (mult <- Seq(1, 4, 16) if want("snm")) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expected = 4L * nBase * mult - 10L
+      println(f"""{"probe":"snm","mult":$mult,"docs":${nBase * mult},"pairs":$pairs,"expected":$expected,"sec":$sec%.2f}""")
     }
 
     // Corpus-shuffle probe: one scan-stage hash + ONE shard-keyed sort
