@@ -60,8 +60,15 @@ object Cluster {
     import org.apache.spark.sql.GraftBridge
     // Undirected: materialize both directions once; dedup cuts message
     // volume when the candidate generator emits a pair via several bands.
-    val sym = edges.select(col(aCol).as("__s"), col(bCol).as("__t"))
-      .union(edges.select(col(bCol).as("__s"), col(aCol).as("__t")))
+    // Both orientations come from ONE explode over each edge row — the
+    // self-union form evaluated the whole candidate-generation subtree
+    // twice per materialization (LSH banding, window top-k, ... are the
+    // expensive half of every near-dup pipeline this feeds).
+    val sym = edges
+      .select(explode(array(
+        struct(col(aCol).as("s"), col(bCol).as("t")),
+        struct(col(bCol).as("s"), col(aCol).as("t")))).as("__e"))
+      .select(col("__e.s").as("__s"), col("__e.t").as("__t"))
       .distinct()
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__comp"))

@@ -571,8 +571,11 @@ object Dedup {
     // candidate set approaches the corpus (heavy-dup replays) the
     // semi-join degenerates to a pass-through — linear overhead, never a
     // correctness or blow-up risk.
-    val ids = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    // One explode instead of a self-union: the union form evaluates the
+    // candidate generator (the expensive blocked join feeding this)
+    // twice just to list its endpoint ids.
+    val ids = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val cs = sets.join(ids, Seq(idCol), "left_semi")
     val sizes = cs.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = candidates
@@ -607,8 +610,9 @@ object Dedup {
     */
   def verifyJaccardArrays(candidates: DataFrame, sets: DataFrame,
       idCol: String, minJaccard: Double): DataFrame = {
-    val ids = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    // One explode instead of a self-union (see verifyJaccard).
+    val ids = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val arr = sets.join(ids, Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(array_sort(collect_list(col("tid"))).as("__g"))
     candidates

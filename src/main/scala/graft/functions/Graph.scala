@@ -45,15 +45,20 @@ object Graph {
     val toks = docs.select(Text.tokens(col(textCol)).as("__tk"))
     // Adjacent pairs via a 2-token sliding window; both orientations so
     // the undirected graph is stored as a symmetric directed one.
+    // Both orientations emitted from ONE pass over the token arrays —
+    // the self-union form re-tokenized the corpus for the reversed side.
     val pairs = toks
       .select(explode(when(size(col("__tk")) >= 2,
-          transform(sequence(lit(1), size(col("__tk")) - 1),
-            i => struct(element_at(col("__tk"), i).as("src"),
-              element_at(col("__tk"), i + 1).as("dst"))))
+          flatten(transform(sequence(lit(1), size(col("__tk")) - 1),
+            i => array(
+              struct(element_at(col("__tk"), i).as("src"),
+                element_at(col("__tk"), i + 1).as("dst")),
+              struct(element_at(col("__tk"), i + 1).as("src"),
+                element_at(col("__tk"), i).as("dst"))))))
         .otherwise(array())).as("__e"))
       .select(col("__e.src"), col("__e.dst"))
       .filter(col("src") =!= col("dst"))
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    pairs
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
   }
