@@ -517,8 +517,15 @@ object Dedup {
       w: Int, minJaccard: Double, dfCap: Long = 100000L,
       minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // Materialized once: the fingerprint selection (a doc-keyed window
+    // min over the positioned gram stream) feeds THREE consumers below
+    // (df cut, both join sides) — unlike ngramJaccardPairs' compiled
+    // scan chain, recomputing a window shuffle per consumer is not
+    // cheap. The table is the ~2/(w+1)-density winnow index — smaller
+    // than the corpus gram stream it came from.
     val fpDocs = winnowFingerprints(docs, idCol, textCol, n, w)
       .select(col(idCol), col("tid")).distinct()
+      .localCheckpoint(true)
     val rare = fpDocs.groupBy(col("tid")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select(col("tid"))
     val g = fpDocs.join(rare, Seq("tid"))
