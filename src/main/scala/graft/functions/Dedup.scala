@@ -825,10 +825,14 @@ object Dedup {
     require(window >= 2, s"window must be >= 2, got $window")
     val keyed = docs.select(col(idCol), key.as("__snmkey"))
       .withColumn("__snmall", lit(1))
+    // Materialized once: both neighborhood-join sides read the ranked
+    // table, and the two-level rank behind it is a range exchange + a
+    // window + an offset broadcast — not a chain to run twice.
     val ranked = graft.functions.GroupRank.withRankAndCount(keyed,
         Seq("__snmall"), Seq(col("__snmkey").asc, col(idCol).asc),
         "__snmrn", "__snmn")
       .select(col(idCol), col("__snmkey"), col("__snmrn"))
+      .localCheckpoint(true)
     val a = ranked
       .select(col(idCol).as("id_a"), col("__snmkey").as("key_a"),
         col("__snmrn").as("__rna"))

@@ -270,6 +270,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("snm: global rank is two-level, neighborhood join is rank-keyed") {
+    import org.apache.spark.sql.functions.{col, lit, lower, substring}
+    // The checkpoint inside sortedNeighborhoodPairs truncates the
+    // catalog query's visible plan, so assert on the rank stage and the
+    // join stage separately.
+    val ranked = graft.functions.GroupRank.withRankAndCount(
+      Tables.documents(spark, d)
+        .select(col("doc_id"),
+          lower(substring(col("text"), 1, 30)).as("__snmkey"))
+        .withColumn("__snmall", lit(1)),
+      Seq("__snmall"), Seq(col("__snmkey").asc, col("doc_id").asc),
+      "__snmrn", "__snmn")
+    val rp = ranked.queryExecution.executedPlan.toString
+    // a partition-less ordered window over the key would be the
+    // single-sort-task shape the two-level plan exists to avoid
+    assert(rp.contains("__grshard"), rp)
+    assert(!rp.matches("(?s).*windowspecdefinition\\(__snmkey#.*"), rp)
+    val p = plan("q_snm_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("canonical docs: score join is id-keyed, no all-pairs anywhere") {
     val p = plan("q_canonical_docs")
     assert(!p.contains("CartesianProduct"), p)
