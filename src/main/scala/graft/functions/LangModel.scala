@@ -159,8 +159,15 @@ object LangModel {
     val gc = groupCols.map(col)
     val pairs = adjacentPairs(docs.select(gc :+ col(textCol): _*),
       textCol, groupCols)
+    // Materialized once: the bigram-TYPE table feeds four consumers
+    // (c_a, N1+(·b), N_pairs, the final join) — without it each branch
+    // re-runs the corpus pair scan + count shuffle (exchange reuse only
+    // dedups the shuffle files, not the final aggregation per branch).
+    // The table is type-sized — the thing KenLM materializes on disk —
+    // bounded far below the occurrence stream it came from.
     val cab = pairs.groupBy(gc ++ Seq(col("tid_a"), col("tid_b")): _*)
       .agg(count(lit(1)).cast("long").as("c_ab"))
+      .localCheckpoint(true)
     val ca = cab.groupBy(gc :+ col("tid_a"): _*)
       .agg(sum(col("c_ab")).cast("long").as("c_a"),
         count(lit(1)).cast("long").as("n1a"))
@@ -250,8 +257,11 @@ object LangModel {
       .select(col("tid_a").as("tid_b"), col("tid_b").as("tid_c"),
         col("pkn_q").as("pkn2_q"))
     val triples = adjacentTriples(docs.select(col(textCol)), textCol, Nil)
+    // Type-sized, two consumers (the (a,b)-prefix rollup + the final
+    // join) — materialized once, as the bigram table (see knBigramProbs).
     val cabc = triples.groupBy(col("tid_a"), col("tid_b"), col("tid_c"))
       .agg(count(lit(1)).cast("long").as("c_abc"))
+      .localCheckpoint(true)
     val cab = cabc.groupBy(col("tid_a"), col("tid_b"))
       .agg(sum(col("c_abc")).cast("long").as("c_ab"),
         count(lit(1)).cast("long").as("n1fw"))
