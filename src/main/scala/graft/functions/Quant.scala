@@ -106,15 +106,26 @@ object Quant {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(m >= 1 && subDim >= 1, s"need m, subDim >= 1, got $m, $subDim")
-    val perSub = (0 until m).map { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
-      val (asg, cents) = Vec.kmeansModel(sub, k, iters, idCol, vecCol)
-      (asg.select(col(idCol), lit(s).as("subspace"),
-          col("cell").as("code"), col("dist2")),
-        cents.select(lit(s).as("subspace"), col("cell").as("code"),
-          col("cvec").as("centroid")))
-    }
+    // The m sub-quantizers are INDEPENDENT trainings over disjoint
+    // dimension slices, and each is a chain of small driver-blocking
+    // jobs (per-iteration centroid collects). Submitting them from
+    // concurrent threads — the standard Spark multi-job pattern — lets
+    // the scheduler overlap their stages instead of serializing m
+    // latency chains; results are deterministic per subspace, and the
+    // union order is fixed by the index.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val perSub = Await.result(
+      Future.sequence((0 until m).map { s => Future {
+        val sub = corpus.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+        val (asg, cents) = Vec.kmeansModel(sub, k, iters, idCol, vecCol)
+        (asg.select(col(idCol), lit(s).as("subspace"),
+            col("cell").as("code"), col("dist2")),
+          cents.select(lit(s).as("subspace"), col("cell").as("code"),
+            col("cvec").as("centroid")))
+      }}.toSeq), Duration.Inf)
     (perSub.map(_._1).reduce(_ unionByName _),
       perSub.map(_._2).reduce(_ unionByName _))
   }
