@@ -268,4 +268,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(click.head().getAs[Double]("sum_value") === 3.0)
     q.stop()
   }
+
+  test("transformWithState running card accumulates across batches and restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StatefulCard
+    val root = TestSpark.tmpDir("tws_card")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("n_tokens", LongType)))
+
+    def writeBatch(rows: Seq[(String, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("source", "n_tokens")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    // transformWithState requires the RocksDB state store provider; set
+    // it for these runs and restore the previous value after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val docs = spark.readStream.schema(schema).parquet(src)
+        // parquet is an append-only sink; land the update-mode card rows
+        // through foreachBatch (the upsert-sink pattern, K3)
+        val q = StatefulCard.runningCardStream(docs, "source", "n_tokens")
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.RunningCard], _: Long) =>
+            batch.write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeBatch(Seq(("web", 10L), ("web", 5L), ("books", 7L)))
+      runOnce()
+      // Restart (fresh query, same checkpoint): state must carry over,
+      // so the second run's cards CONTINUE the first run's counters.
+      writeBatch(Seq(("web", 1L), ("wiki", 3L)))
+      runOnce()
+      import spark.implicits._
+      val out = spark.read.parquet(s"$root/out")
+        .as[graft.streaming.RunningCard].collect()
+      // latest card per source = max n_docs (counters only grow)
+      val last = out.groupBy(_.source).view
+        .mapValues(_.maxBy(c => (c.n_docs, c.n_tokens))).toMap
+      assert(last("web") === graft.streaming.RunningCard("web", 3L, 16L))
+      assert(last("books") === graft.streaming.RunningCard("books", 1L, 7L))
+      assert(last("wiki") === graft.streaming.RunningCard("wiki", 1L, 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
