@@ -327,4 +327,65 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming Misra-Gries keeps the planted heavy hitter across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StatefulFreq
+    val root = TestSpark.tmpDir("tws_mg")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("item", StringType)))
+    def writeBatch(rows: Seq[(String, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("source", "item").coalesce(1).write.mode("append").parquet(src)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val q = StatefulFreq.heavyHittersStream(
+            spark.readStream.schema(schema).parquet(src), "source", "item",
+            k = 3)
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.HeavyCandidate], _: Long) =>
+            batch.write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // batch 1: "the" appears 5 of 8 times; batch 2 (after restart)
+      // adds 3 more plus light noise — the sketch must carry "the"
+      // through the checkpoint and keep it a candidate (true count 8 of
+      // 13 > n/(k+1)); the MG guarantee makes presence order-free.
+      writeBatch(Seq.fill(5)(("web", "the")) ++
+        Seq(("web", "a"), ("web", "b"), ("web", "c")))
+      runOnce()
+      writeBatch(Seq.fill(3)(("web", "the")) ++
+        Seq(("web", "d"), ("web", "e")))
+      runOnce()
+      import spark.implicits._
+      val out = spark.read.parquet(s"$root/out")
+        .as[graft.streaming.HeavyCandidate].collect()
+      val last = out.filter(_.n_items == 13L)
+      assert(last.nonEmpty, s"no final-batch rows in ${out.toSeq}")
+      val the = last.find(_.item == "the")
+      assert(the.isDefined, s"heavy hitter evicted: ${last.toSeq}")
+      // estimate within the MG error bound: true 8, off by at most
+      // n/(k+1) = 3
+      assert(the.get.count_est >= 5L && the.get.count_est <= 8L, the.get)
+      // state bounded: at most k+1 candidates
+      assert(last.length <= 4, last.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
