@@ -726,16 +726,22 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
-    // The shingle-set table feeds three consumers (df-cap, sizes,
-    // self-join). It is deliberately NOT persisted: with the compiled
-    // HashedShingles generator, recomputing the scan→hash→distinct chain
-    // per consumer is cheaper than materializing it (measured at sf0.1:
-    // 2.2s vs 2.6s steady-state plus a 7s+ first-run cost), and caching a
-    // corpus-sized intermediate is infeasible at 100 TB anyway.
+    // The RAW shingle-set table is deliberately NOT persisted: with the
+    // compiled HashedShingles generator, recomputing the
+    // scan→hash→distinct chain is cheaper than materializing it
+    // (measured at sf0.1: 2.2s vs 2.6s steady-state plus a 7s+
+    // first-run cost), and caching a corpus-sized intermediate is
+    // infeasible at 100 TB anyway. The POST-CAP postings table is a
+    // different call (below).
     val grams = docShingleIds(docs, idCol, textCol, n).distinct()
     val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select("tid")
-    val g = grams.join(rare, Seq("tid"))
+    // Post-cap postings feed THREE consumers (sizes + both join sides),
+    // each of which would re-run the distinct AND the df join —
+    // shuffles, not the compiled scan. Materialized once (measured on
+    // the containment twin: 3.1 → 2.5 s); it is the hub-cut index, the
+    // bounded artifact an inverted-list system stores anyway.
+    val g = grams.join(rare, Seq("tid")).localCheckpoint(true)
     // Set sizes come from the CAPPED table too: hub shingles must leave
     // both the intersection and the denominators, or docs made of hub
     // shingles would see their Jaccard biased toward zero and be missed.
@@ -779,7 +785,9 @@ object Dedup {
     val grams = docShingleIds(docs, idCol, textCol, n).distinct()
     val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select("tid")
-    val g = grams.join(rare, Seq("tid"))
+    // Post-cap postings materialized once for its three consumers — see
+    // ngramJaccardPairs.
+    val g = grams.join(rare, Seq("tid")).localCheckpoint(true)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = g.select(col("tid"), col(idCol).as("id_a"))
     val b = g.select(col("tid"), col(idCol).as("id_b"))
