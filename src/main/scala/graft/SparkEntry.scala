@@ -763,6 +763,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Blocking-quality report: the SNM window-5 candidates graded
+    // against the verified n-gram-Jaccard truth pairs — the recall a
+    // blocker swap must hold (recall lost at blocking is unrecoverable
+    // downstream). One row: (n_truth, n_candidates, n_hit, recall).
+    "q_blocker_recall" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.2, dfCap = 100000L)
+      Dedup.blockerRecall(cand, truth)
+        .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+          col("recall"))
+    },
+
     // Benchmark decontamination: docs sharing ANY 3-gram with the eval
     // set (doc_id < 10) drop from the training corpus — broadcast
     // semi-join, linear in the corpus.
@@ -2293,6 +2308,41 @@ object SparkEntry {
           JOIN p pb ON pb.doc_id = c.id_b
           WHERE levenshtein(pa.pfx, pb.pfx) <= 40
           ORDER BY id_a, id_b""",
+
+    "q_blocker_recall" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
+          ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS inter
+            FROM gg a JOIN gg b ON a.tid = b.tid AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          tnorm AS (SELECT id_a, id_b FROM ip
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.2),
+          r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+              greatest(a.doc_id, b.doc_id) AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+            FROM tnorm t JOIN cand c USING (id_a, id_b))
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM tnorm) AS n_truth,
+            (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+            n_hit,
+            CASE WHEN (SELECT count(*) FROM tnorm) = 0 THEN 1.0
+              ELSE round(CAST(n_hit AS DOUBLE) /
+                (SELECT CAST(count(*) AS DOUBLE) FROM tnorm), 6) END AS recall
+          FROM hit""",
 
     "q_minhash_sig" -> {
       val perms = (0 until numMinhashes)

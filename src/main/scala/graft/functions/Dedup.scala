@@ -854,6 +854,33 @@ object Dedup {
         (col("__snmj") - col("__rna")).cast("long").as("rdist"))
   }
 
+  /** Blocking-quality report: how much of a TRUTH pair set a candidate
+    * generator reaches — the metric a curation team tracks when swapping
+    * or tuning a blocker (LSH bands, SNM window, df caps): recall lost
+    * here is recall no verifier downstream can recover. One row:
+    * (n_truth, n_candidates, n_hit, recall). Pairs are normalized to
+    * unordered (least, greatest) form before matching, so generators
+    * that emit by rank order (SNM) compare correctly against id-ordered
+    * truth. Shapes: one semi-join (truth is the small side by
+    * construction — it passed a verifier) + three bounded aggregates.
+    */
+  def blockerRecall(candidates: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    val cand = norm(candidates)
+    val tru = norm(truth)
+    val nTruth = tru.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nHit = tru.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(nCand).crossJoin(nHit)
+      .withColumn("recall",
+        when(col("n_truth") === 0, lit(1.0)).otherwise(
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"),
+            6)))
+  }
+
   /** Edit-distance verification of candidate pairs — the record-linkage
     * match decision over any blocker's output: (id_a, id_b) pairs gain
     * `dist` (Levenshtein between the docs' first `prefixLen` chars) and
@@ -875,8 +902,12 @@ object Dedup {
         Seq("id_a"))
       .join(p.select(col(idCol).as("id_b"), col("__pfx").as("__pb")),
         Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__pa"), col("__pb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // The threshold form runs the BANDED DP — O(len·maxDist) per pair
+      // instead of O(len²) — returning −1 past the threshold, which is
+      // exactly the filter anyway; kept distances equal the full DP's.
+      .withColumn("dist",
+        levenshtein(col("__pa"), col("__pb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -118,6 +118,25 @@ class DedupVecSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L, 3L)))
   }
 
+  test("blockerRecall: orientation-proof counts and recall") {
+    // candidates emitted in RANK order (reversed ids) must still match
+    val cand = Seq((5L, 2L), (3L, 4L), (9L, 8L)).toDF("id_a", "id_b")
+    val truth = Seq((2L, 5L), (8L, 9L), (1L, 7L)).toDF("id_a", "id_b")
+    val r = Dedup.blockerRecall(cand, truth).head()
+    assert(r.getAs[Long]("n_truth") === 3L)
+    assert(r.getAs[Long]("n_candidates") === 3L)
+    assert(r.getAs[Long]("n_hit") === 2L)
+    assert(r.getAs[Double]("recall") === 0.666667)
+  }
+
+  test("blockerRecall: empty truth reports recall 1.0") {
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val truth = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r = Dedup.blockerRecall(cand, truth).head()
+    assert(r.getAs[Long]("n_truth") === 0L)
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
+
   test("sketch aggregates land within their error bounds of exact values") {
     val d = "/root/testdata/sf0.001"
     val sketch = SparkEntry.queries("q_sketch_stats")(spark, d)
