@@ -775,7 +775,7 @@ object SparkEntry {
         n = 3, minJaccard = 0.2, dfCap = 100000L)
       Dedup.blockerRecall(cand, truth)
         .select(col("n_truth"), col("n_candidates"), col("n_hit"),
-          col("recall"))
+          col("recall"), col("precision"))
     },
 
     // Benchmark decontamination: docs sharing ANY 3-gram with the eval
@@ -2341,7 +2341,10 @@ object SparkEntry {
             n_hit,
             CASE WHEN (SELECT count(*) FROM tnorm) = 0 THEN 1.0
               ELSE round(CAST(n_hit AS DOUBLE) /
-                (SELECT CAST(count(*) AS DOUBLE) FROM tnorm), 6) END AS recall
+                (SELECT CAST(count(*) AS DOUBLE) FROM tnorm), 6) END AS recall,
+            CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 1.0
+              ELSE round(CAST(n_hit AS DOUBLE) /
+                (SELECT CAST(count(*) AS DOUBLE) FROM cand), 6) END AS precision
           FROM hit""",
 
     "q_minhash_sig" -> {

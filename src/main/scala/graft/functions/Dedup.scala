@@ -868,8 +868,12 @@ object Dedup {
     def norm(df: DataFrame): DataFrame = df.select(
       least(col("id_a"), col("id_b")).as("id_a"),
       greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
-    val cand = norm(candidates)
-    val tru = norm(truth)
+    // Both sides feed two consumers (their count + the hit join) and
+    // both are products of whole candidate pipelines — materialize the
+    // normalized pair sets (bounded: truth passed a verifier, cand is
+    // (w−1)·n-ish) instead of re-running those pipelines per aggregate.
+    val cand = norm(candidates).localCheckpoint(true)
+    val tru = norm(truth).localCheckpoint(true)
     val nTruth = tru.agg(count(lit(1)).as("n_truth"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nHit = tru.join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -879,6 +883,12 @@ object Dedup {
         when(col("n_truth") === 0, lit(1.0)).otherwise(
           round(col("n_hit").cast("double") / col("n_truth").cast("double"),
             6)))
+      // candidate efficiency: the verifier pays for every candidate, so
+      // low precision is the COST axis of the same trade
+      .withColumn("precision",
+        when(col("n_candidates") === 0, lit(1.0)).otherwise(
+          round(col("n_hit").cast("double") /
+            col("n_candidates").cast("double"), 6)))
   }
 
   /** Edit-distance verification of candidate pairs — the record-linkage
