@@ -50,7 +50,8 @@ object ScaleProbe {
       "connected_components", "simhash_pairs", "kmeans", "semdedup",
       "pq_train", "decontaminate", "span_dedup", "textrank", "bm25",
       "bpe_train", "winnow", "dsir", "kn_lm", "jaccard_prefix",
-      "mutual_knn", "blocked_cc", "snm", "corpus_shuffle", "kcenter",
+      "mutual_knn", "blocked_cc", "blocked_cc_isolated", "snm",
+      "corpus_shuffle", "kcenter",
       "unigram_tv", "skew_join")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -403,6 +404,40 @@ object ScaleProbe {
           }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"blocked_cc","variant":"$variant","mult":$mult,"vecs":${nEmb * mult},"components":$comps,"sec":$sec%.2f}""")
+      }
+    }
+
+    // Isolated CC-stage probe: on the end-to-end probe above, pair
+    // GENERATION dominates both variants; this one times ONLY the
+    // component stage, on pre-materialized worst-case edges — 64-vertex
+    // chains (diameter 63) inside each block, the shape that maximizes
+    // the loop's round count (pointer jumping: ~log2(63) ≈ 6 rounds,
+    // each a join barrier + checkpoint + convergence action) while the
+    // grouped union-find stays one shuffle regardless.
+    for (mult <- Seq(1, 4, 16) if want("blocked_cc_isolated")) {
+      val n = 100000L * mult
+      val verts = spark.range(n)
+        .select(expr("id div 64").as("cell"), col("id"))
+        .localCheckpoint(true)
+      val chainEdges = spark.range(n - 1)
+        .filter(expr("(id + 1) div 64 = id div 64"))
+        .select(expr("id div 64").as("cell"), col("id").as("id_a"),
+          (col("id") + 1).as("id_b"))
+        .localCheckpoint(true)
+      for (variant <- Seq("blocked", "loop")) {
+        val t0 = System.nanoTime()
+        val comps =
+          if (variant == "blocked")
+            graft.functions.Cluster.blockedAssignClusters(chainEdges,
+              "cell", "id_a", "id_b", verts, "id")
+              .filter(col("is_rep")).count()
+          else
+            graft.functions.Cluster.assignClusters(
+              chainEdges.select(col("id_a"), col("id_b")), "id_a", "id_b",
+              verts.select(col("id")), "id")
+              .filter(col("is_rep")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"blocked_cc_isolated","variant":"$variant","mult":$mult,"verts":$n,"components":$comps,"sec":$sec%.2f}""")
       }
     }
 
