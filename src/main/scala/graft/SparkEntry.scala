@@ -778,6 +778,19 @@ object SparkEntry {
           col("recall"), col("precision"))
     },
 
+    // Community detection: 2 rounds of deterministic synchronous label
+    // propagation (majority neighbor label, min tie-break) over the SNM
+    // window-5 candidate graph — communities, unlike components, do not
+    // merge across a single bridge edge.
+    "q_label_prop" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.labelPropagation(cand, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id", rounds = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: docs sharing ANY 3-gram with the eval
     // set (doc_id < 10) drop from the training corpus — broadcast
     // semi-join, linear in the corpus.
@@ -2346,6 +2359,32 @@ object SparkEntry {
               ELSE round(CAST(n_hit AS DOUBLE) /
                 (SELECT CAST(count(*) AS DOUBLE) FROM cand), 6) END AS precision
           FROM hit""",
+
+    "q_label_prop" ->
+      """WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+          l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+          c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+          p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c1) WHERE rn2 = 1),
+          l1 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+            FROM l0 v LEFT JOIN p1 p USING (id)),
+          c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+          p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c2) WHERE rn2 = 1),
+          l2 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+            FROM l1 v LEFT JOIN p2 p USING (id))
+          SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label
+          FROM l2 ORDER BY doc_id""",
 
     "q_minhash_sig" -> {
       val perms = (0 until numMinhashes)

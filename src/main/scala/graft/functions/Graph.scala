@@ -112,4 +112,67 @@ object Graph {
       .orderBy(col("rank_q").desc, col("token").asc)
       .limit(k)
   }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007)
+    * — community detection, the third graph primitive alongside
+    * connected components (reachability) and PageRank (centrality):
+    * every vertex starts as its own label, and each round adopts the
+    * MOST FREQUENT label among its neighbors, ties broken by the
+    * smallest label, isolated vertices keeping their own. The classic
+    * async/random-order LPA is nondeterministic; the synchronous
+    * min-tie-break form is exact and engine-reproducible, which is what
+    * an oracle-gated catalog needs (fixed `rounds`, the k-means/BPE
+    * precedent). Communities differ from components: a bridge edge
+    * joins two cliques into one component, but majority voting keeps
+    * their labels apart.
+    *
+    * Scale shape per round: one label join onto the symmetric edge list
+    * (edge-keyed equi-join), one partial-aggregable (vertex, label)
+    * count, one degree-bounded window for the per-vertex argmax, one
+    * vertex-keyed left join back. No driver state; rounds fixed. The
+    * label table is checkpointed per round (the CC-loop lineage
+    * discipline).
+    *
+    * @param edges    undirected candidate pairs (aCol, bCol) — one row
+    *                 per edge, either orientation
+    * @param vertices one row per vertex
+    * @return (idCol, label) after `rounds` synchronous updates
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      vertices: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftBridge
+    // both orientations from ONE pass (the CC sym discipline)
+    val sym = edges
+      .select(explode(array(
+        struct(col(aCol).as("s"), col(bCol).as("t")),
+        struct(col(bCol).as("s"), col(aCol).as("t")))).as("__e"))
+      .select(col("__e.s").as("__src"), col("__e.t").as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("__id"),
+        col(idCol).as("__lbl"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__c").desc, col("__lbl").asc)
+    for (_ <- 1 to rounds) {
+      val pick = sym
+        .join(labels.withColumnRenamed("__id", "__src"), Seq("__src"))
+        .groupBy(col("__dst").as("__id"), col("__lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__id"), col("__lbl").as("__new"))
+      val next = labels
+        .join(pick, Seq("__id"), "left")
+        .select(col("__id"), coalesce(col("__new"), col("__lbl")).as("__lbl"))
+        .localCheckpoint(true)
+      GraftBridge.unpersistCheckpoint(labels)
+      labels = next
+    }
+    GraftBridge.unpersistCheckpoint(sym)
+    labels.select(col("__id").as(idCol), col("__lbl").as("label"))
+  }
 }

@@ -54,4 +54,35 @@ class GraphSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("label propagation: bridged cliques stay two communities; components merge them") {
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10
+    val vs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val lpa = Graph.labelPropagation(es, "a", "b", vs, "id", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within each triangle labels converge to the min member; the
+    // bridge cannot outvote two in-clique neighbors, so the right
+    // clique keeps its own label instead of adopting 1
+    assert(Set(lpa(1L), lpa(2L), lpa(3L)).size === 1)
+    assert(Set(lpa(10L), lpa(11L), lpa(12L)).size === 1)
+    assert(lpa(1L) !== lpa(10L), lpa.toString)
+    assert(lpa(99L) === 99L) // isolated keeps its own label
+    // contrast: CC merges everything reachable
+    val cc = graft.functions.Cluster.connectedComponents(es, "a", "b",
+        vs, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(12L) === 1L)
+  }
+
+  test("label propagation round 1 matches the hand-computed sync update") {
+    // path 1-2-3: round 1 sync majority (min tie-break):
+    // 1 sees {2} -> 2; 2 sees {1,3} tie -> 1; 3 sees {2} -> 2
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.labelPropagation(es, "a", "b", vs, "id", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
 }
