@@ -791,6 +791,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Graph cohesion: per-doc triangle support in the SNM candidate
+    // graph (degree-oriented enumeration — wedge volume O(m^1.5)
+    // whatever the hubs). Triangle-dense neighborhoods are genuine
+    // content clusters; triangle-free chains are borderline-match
+    // artifacts — the edge-quality signal before cutting a graph.
+    "q_triangles" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.triangleCounts(cand, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: docs sharing ANY 3-gram with the eval
     // set (doc_id < 10) drop from the training corpus — broadcast
     // semi-join, linear in the corpus.
@@ -2385,6 +2399,29 @@ object SparkEntry {
             FROM l1 v LEFT JOIN p2 p USING (id))
           SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label
           FROM l2 ORDER BY doc_id""",
+
+    // The oracle enumerates triangles canonically (a < b < c over the
+    // undirected edge set) — orientation-free, so it matches whatever
+    // enumeration order the Spark side's degree orientation uses.
+    "q_triangles" ->
+      """WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          es AS (SELECT DISTINCT least(id_a, id_b) AS a,
+              greatest(id_a, id_b) AS b FROM cand WHERE id_a <> id_b),
+          tri AS (SELECT x.a, x.b, y.b AS c
+            FROM es x JOIN es y ON y.a = x.b
+            JOIN es z ON z.a = x.a AND z.b = y.b),
+          pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+              SELECT a AS v FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(pv.t, 0) AS BIGINT) AS n_triangles
+          FROM documents d LEFT JOIN pv ON pv.v = d.doc_id
+          ORDER BY d.doc_id""",
 
     "q_minhash_sig" -> {
       val perms = (0 until numMinhashes)

@@ -175,4 +175,60 @@ object Graph {
     GraftBridge.unpersistCheckpoint(sym)
     labels.select(col("__id").as(idCol), col("__lbl").as("label"))
   }
+
+  /** Per-vertex triangle counts — graph COHESION, completing the graph
+    * primitive set (components = reachability, LPA = communities,
+    * PageRank = centrality): near-dup graphs are triangle-dense where
+    * content genuinely clusters and triangle-free where chains of
+    * borderline matches string unrelated docs together, so triangle
+    * support is the standard edge-quality signal before cutting a
+    * candidate graph.
+    *
+    * DEGREE-ORIENTED enumeration (the compact-forward idiom): each
+    * undirected edge is oriented from the (degree, id)-smaller endpoint
+    * to the larger, every triangle then has exactly ONE vertex with two
+    * out-edges, so wedges form only at that vertex — total wedge volume
+    * is O(m^1.5) regardless of hubs, where id-oriented wedges blow up
+    * quadratically on a high-degree vertex. Two equi-joins (wedge build
+    * + closing-edge semi-join), one explode, one groupBy; the oriented
+    * edge list is checkpointed for its two join roles.
+    *
+    * Output: (idCol, n_triangles) for EVERY vertex (0 where none).
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+      vertices: DataFrame, idCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    val orient = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.w").as("w"))
+      .localCheckpoint(true)
+    // wedges at the one two-out-edge vertex of each triangle
+    val wedges = orient.select(col("u"), col("w").as("v1"))
+      .join(orient.select(col("u"), col("w").as("v2")), Seq("u"))
+      .filter(col("v1") < col("v2"))
+    val tris = wedges
+      .join(und.select(col("a").as("v1"), col("b").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+    val perVertex = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+    // both checkpoints stay pinned: the returned (lazy) plan reads them
+    vertices.select(col(idCol))
+      .join(perVertex.withColumnRenamed("__v", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__t"), lit(0L)).as("n_triangles"))
+  }
 }

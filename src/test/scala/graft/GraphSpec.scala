@@ -76,6 +76,30 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(12L) === 1L)
   }
 
+  test("triangle counts: K4 + pendant + hub star, hand-computed") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, 3 through each vertex;
+    // pendant 5 attached to 1: zero; star hub 20-{21,22,23}: zero
+    // (no closing edges) — the hub case the degree orientation bounds.
+    val vs = (Seq(1L, 2L, 3L, 4L, 5L, 20L, 21L, 22L, 23L)).toDF("id")
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (20L, 21L), (20L, 22L), (20L, 23L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(es, "a", "b", vs, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 20L -> 0L, 21L -> 0L, 22L -> 0L, 23L -> 0L))
+  }
+
+  test("triangle counts are orientation-proof: duplicate/reversed edges collapse") {
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    // triangle given with duplicates and both orientations
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(es, "a", "b", vs, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("label propagation round 1 matches the hand-computed sync update") {
     // path 1-2-3: round 1 sync majority (min tie-break):
     // 1 sees {2} -> 2; 2 sees {1,3} tie -> 1; 3 sees {2} -> 2
