@@ -83,7 +83,8 @@ object GroupRank {
     local.join(broadcast(offsets), groupCols :+ "__grshard")
       .withColumn(rankCol, (col("__grlrn").cast("long") + col("__groff")))
       // the using-join puts its keys first; restore the caller's layout
-      .select((df.columns.map(col) :+ col(rankCol) :+ col(countCol)): _*)
+      .select((df.columns.toIndexedSeq.map(col) :+ col(rankCol) :+
+        col(countCol)): _*)
   }
 
   /** Exact integral division on long columns (`a div b`): Spark's `/`

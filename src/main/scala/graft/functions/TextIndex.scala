@@ -123,7 +123,7 @@ object TextIndex {
       .distinct().as[Long].collect()
 
     val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
       .filter(col("term").isin(queryTerms: _*))
       .select(col(idCol), col("term"), col("tf"))
     val dfreq = broadcast(tf.groupBy(col("term"))

@@ -172,7 +172,7 @@ object VecIndex {
     val probedCells = probed.select(col("cell")).distinct()
       .collect().map(_.get(0))
     val c = spark.read.parquet(s"$path/data")
-      .filter(col(cellCol).isin(probedCells: _*))
+      .filter(col(cellCol).isin(probedCells.toIndexedSeq: _*))
       .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
         col(vecCol).as("vc"),
         sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))

@@ -82,7 +82,7 @@ object WinnowIndex {
       .withColumn("bucket", pmod(col("tid"), lit(nBuckets)))
     val buckets = qfp.select(col("bucket")).distinct().as[Long].collect()
     val idx = spark.read.parquet(s"$path/fingerprints")
-      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
       .select(col(indexIdCol), col("tid"))
     val qSizes = qfp.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("long").as("n_q"))

@@ -132,7 +132,8 @@ object Merge {
     val newRows = source.join(
       target.select(keyCols.map(col): _*).dropDuplicates(keyCols),
       keyCols, "left_anti")
-    target.unionByName(newRows.select(target.columns.map(col): _*))
+    target.unionByName(
+      newRows.select(target.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Full upsert: update matched, insert unmatched. */
@@ -190,7 +191,7 @@ object Merge {
             concat(length(st).cast("string"), lit("_"), st)
           }: _*))
           .otherwise(concat(lit("h"),
-            xxhash64(frame.columns.map(col): _*).cast("string"))))
+            xxhash64(frame.columns.toIndexedSeq.map(col): _*).cast("string"))))
       val l = withKey(df)
       val r = withKey(existing)
       val rowEq = df.columns.map(c => l(c) <=> r(c)).reduce(_ && _)

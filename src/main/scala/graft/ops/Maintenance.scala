@@ -71,7 +71,7 @@ object Maintenance {
             .otherwise(acc)
       }
       val totalBuckets = bytesByPart.values.map(filesFor).sum
-      val allCols = df.columns.map(col)
+      val allCols = df.columns.toIndexedSeq.map(col)
       df.withColumn("__bucket", pmod(xxhash64(allCols: _*), filesPerCol))
         .repartition(math.max(totalBuckets, 1),
           col(partitionCol), col("__bucket"))
