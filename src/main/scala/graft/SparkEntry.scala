@@ -805,6 +805,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Link prediction: non-adjacent doc pairs sharing >= 2 neighbors in
+    // the SNM graph — the blocker's likeliest misses, the recall-repair
+    // pass before clustering (common-neighbors score; hub centers cut
+    // at degree 10000 like every inverted-list path).
+    "q_common_neighbors" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.commonNeighbors(cand, "id_a", "id_b",
+          minCommon = 2L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Benchmark decontamination: docs sharing ANY 3-gram with the eval
     // set (doc_id < 10) drop from the training corpus — broadcast
     // semi-join, linear in the corpus.
@@ -2422,6 +2435,27 @@ object SparkEntry {
           SELECT d.doc_id, CAST(coalesce(pv.t, 0) AS BIGINT) AS n_triangles
           FROM documents d LEFT JOIN pv ON pv.v = d.doc_id
           ORDER BY d.doc_id""",
+
+    "q_common_neighbors" ->
+      """WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          es AS (SELECT DISTINCT least(id_a, id_b) AS a,
+              greatest(id_a, id_b) AS b FROM cand WHERE id_a <> id_b),
+          sym AS (SELECT a AS z, b AS n FROM es
+            UNION ALL SELECT b, a FROM es),
+          deg AS (SELECT z, count(*) AS d FROM sym GROUP BY 1),
+          ctr AS (SELECT s.z, s.n FROM sym s
+            JOIN deg ON deg.z = s.z AND deg.d <= 10000),
+          cn AS (SELECT x.n AS id_a, y.n AS id_b,
+              CAST(count(*) AS BIGINT) AS n_common
+            FROM ctr x JOIN ctr y ON y.z = x.z AND x.n < y.n
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT cn.id_a, cn.id_b, cn.n_common
+          FROM cn ANTI JOIN es ON es.a = cn.id_a AND es.b = cn.id_b
+          ORDER BY cn.id_a, cn.id_b""",
 
     "q_minhash_sig" -> {
       val perms = (0 until numMinhashes)

@@ -231,4 +231,46 @@ object Graph {
       .join(perVertex.withColumnRenamed("__v", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__t"), lit(0L)).as("n_triangles"))
   }
+
+  /** Common-neighbor link prediction: for every NON-adjacent vertex
+    * pair sharing at least `minCommon` neighbors, the shared-neighbor
+    * count — the classic candidate-suggestion score (Liben-Nowell &
+    * Kleinberg 2003): in a near-dup graph, two docs that share many
+    * neighbors but no edge are the blocker's likeliest misses, so this
+    * is the recall-repair pass a candidate graph gets before clustering.
+    *
+    * Wedges form at the shared neighbor: one self-join of the symmetric
+    * adjacency on the center vertex. A hub center contributes
+    * deg²/2 wedges, so centers above `degCap` are dropped first — the
+    * same hub cut as every inverted-list path here (a hub's shared-ness
+    * carries no pair signal; its wedge mass is quadratic). Then one
+    * partial-aggregable pair count and one anti-join against the edge
+    * set to keep only non-adjacent pairs.
+    *
+    * Output: (id_a, id_b, n_common) with id_a < id_b.
+    */
+  def commonNeighbors(edges: DataFrame, aCol: String, bCol: String,
+      minCommon: Long = 1L, degCap: Long = 10000L): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("a").as("z"), col("b").as("n"))
+      .unionByName(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("__d"))
+    val centers = sym.join(deg.filter(col("__d") <= degCap).select("z"),
+      Seq("z"))
+    val pairs = centers.select(col("z"), col("n").as("x"))
+      .join(centers.select(col("z"), col("n").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("id_a"), col("y").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    pairs.join(und.select(col("a").as("id_a"), col("b").as("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("n_common"))
+  }
 }

@@ -100,6 +100,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("common neighbors: non-adjacent pairs only, hub centers cut, exact counts") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2 neighbors
+    // and are non-adjacent; adjacent pairs are excluded by the anti-join
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Graph.commonNeighbors(es, "a", "b", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    // degCap 1 drops every center in the square (all degree 2) -> empty
+    assert(Graph.commonNeighbors(es, "a", "b", minCommon = 1L,
+      degCap = 1L).isEmpty)
+  }
+
   test("label propagation round 1 matches the hand-computed sync update") {
     // path 1-2-3: round 1 sync majority (min tie-break):
     // 1 sees {2} -> 2; 2 sees {1,3} tie -> 1; 3 sees {2} -> 2
