@@ -161,6 +161,15 @@ object SparkEntry {
         """
   }
 
+  /** DuckDB fragment: Text.tokenLines over a token list `tk` — space-
+    * joined fixed-width windows of `lineLen` tokens, last line keeps the
+    * remainder, empty list for token-less docs (floor((0-1)/L) = -1 makes
+    * the range empty, matching the Spark guard).
+    */
+  private def duckLines(lineLen: Int): String =
+    s"""list_transform(range(0, CAST(floor((len(tk) - 1) / $lineLen.0) AS INT) + 1),
+        i -> array_to_string(tk[i*$lineLen+1:i*$lineLen+$lineLen], ' '))"""
+
   /** DuckDB CTE chain reproducing MinHash-LSH candidate pairs over the
     * documents table (3-gram shingles, `numMinhashes` permutations, bands
     * of 2, bucket cap 1000) — the body shared by q_minhash_lsh and
@@ -1093,6 +1102,41 @@ object SparkEntry {
     // Span-dedup filter stage: per-doc duplicated-token mass + keep ratio.
     "q_span_stats" -> { (s, d) =>
       Dedup.spanDedupStats(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher duplicate-line signals (Rae et al. 2021 Table A1) over the
+    // deterministic 10-token line segmentation, entirely row-local (the
+    // doc's lines live in one array cell — scan-stage, no shuffle). The
+    // corpus has no natural within-doc line repeats, so every third doc
+    // gets its first two lines re-appended — the q_pii_redact synthesized-
+    // dirty-column idiom — and the oracle applies the same dirtying.
+    "q_gopher_lines" -> { (s, d) =>
+      val ln = Text.tokenLines(Text.tokens(col("text")), 10)
+      val dirty = when(col("doc_id") % 3 === 0 && size(ln) >= 2,
+        concat(ln, slice(ln, 1, 2))).otherwise(ln)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Lines.lineSignals(dirty).as("__s"))
+        .select(col("doc_id"), col("__s.*"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher n-gram repetition: char mass of the most-repeated 2-gram and
+    // total char mass in repeated 3-grams, per doc — one union-tagged gram
+    // stream, two partial-aggregable groupBys, linear at any corpus size.
+    "q_gopher_ngrams" -> { (s, d) =>
+      graft.functions.Lines
+        .ngramRepetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // C4-style corpus-wide keep-first line dedup: lines whose poly hash
+    // occurred earlier (smaller (doc_id, line_no)) anywhere in the corpus
+    // are dropped; survivors re-join into the cleaned text in order.
+    "q_line_dedup" -> { (s, d) =>
+      graft.functions.Lines
+        .lineDedup(Tables.documents(s, d), "doc_id", "text", 10)
         .orderBy(col("doc_id"))
     },
 
@@ -2738,6 +2782,73 @@ object SparkEntry {
                  ELSE CAST(n_tokens - coalesce(dup_tokens, 0) AS DOUBLE)
                       / CAST(n_tokens AS DOUBLE) END AS keep_ratio
           FROM lens LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
+
+    "q_gopher_lines" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          ls0 AS (SELECT doc_id, ${duckLines(10)} AS ls FROM tk),
+          ls AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 AND len(ls) >= 2
+            THEN list_concat(ls, ls[1:2]) ELSE ls END AS ls FROM ls0),
+          m AS (SELECT doc_id, len(ls) AS n, len(list_distinct(ls)) AS nd,
+            CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+              AS BIGINT) AS tc,
+            CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+              x -> length(x))), 0) AS BIGINT) AS dc
+            FROM ls)
+          SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+            CAST(n - nd AS BIGINT) AS dup_lines,
+            CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END AS dup_line_frac,
+            CASE WHEN tc > 0 THEN CAST(tc - dc AS DOUBLE) / CAST(tc AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END AS dup_char_frac
+          FROM m ORDER BY doc_id""",
+
+    "q_gopher_ngrams" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          g2 AS (SELECT doc_id, 2 AS n, unnest(list_transform(
+              range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))
+              AS gram FROM tk),
+          g3 AS (SELECT doc_id, 3 AS n, unnest(list_transform(
+              range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+              AS gram FROM tk),
+          g AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+          c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+          mass AS (SELECT doc_id, n,
+            CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END AS mass FROM c),
+          p AS (SELECT doc_id,
+            max(CASE WHEN n = 2 THEN mass ELSE 0 END) AS top2_mass,
+            sum(CASE WHEN n = 3 THEN mass ELSE 0 END) AS dup3_mass
+            FROM mass GROUP BY 1),
+          dd AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents)
+          SELECT dd.doc_id, n_chars,
+            CAST(coalesce(top2_mass, 0) AS BIGINT) AS top2_mass,
+            CAST(coalesce(dup3_mass, 0) AS BIGINT) AS dup3_mass,
+            CASE WHEN n_chars > 0 THEN CAST(coalesce(top2_mass, 0) AS DOUBLE)
+                / CAST(n_chars AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+              AS top2_frac,
+            CASE WHEN n_chars > 0 THEN CAST(coalesce(dup3_mass, 0) AS DOUBLE)
+                / CAST(n_chars AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+              AS dup3_frac
+          FROM dd LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+
+    "q_line_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          lns AS (SELECT doc_id, ${duckLines(10)} AS ls FROM tk),
+          l AS (SELECT doc_id, unnest(range(0, len(ls))) AS line_no,
+            unnest(ls) AS line FROM lns WHERE len(ls) > 0),
+          h AS (SELECT doc_id, line_no, line, ${duckPolyId("line")} AS lh,
+            doc_id * 1048576 + line_no AS ord FROM l),
+          k AS (SELECT lh, min(ord) AS keep FROM h GROUP BY 1),
+          kept AS (SELECT h.* FROM h JOIN k
+            ON h.lh = k.lh AND h.ord = k.keep),
+          ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+            string_agg(line, ' ' ORDER BY line_no) AS clean_text
+            FROM kept GROUP BY 1),
+          n AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM lns)
+          SELECT n.doc_id, n_lines,
+            CAST(coalesce(kept_lines, 0) AS BIGINT) AS kept_lines,
+            coalesce(clean_text, '') AS clean_text
+          FROM n LEFT JOIN ka USING (doc_id) ORDER BY doc_id""",
 
     "q_textrank" -> {
       // One damped-update round: contributions from `prev`, then

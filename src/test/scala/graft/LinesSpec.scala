@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Lines, Text}
+
+/** Line-granular hygiene: the Gopher duplicate-line/n-gram repetition
+  * signals against hand-computed fixtures, and corpus-wide keep-first
+  * line dedup semantics (first occurrence survives, later copies drop,
+  * reconstruction preserves order, fully-duplicated docs keep '').
+  */
+class LinesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lineSignals: duplicate line and char fractions, hand-computed") {
+    // lines (lineLen=2): ["a b","c d","a b","e"] — "a b" repeats once.
+    // n=4, distinct=3, chars: 3+3+3+1=10, distinct chars 3+3+1=7.
+    val df = Seq((1L, "a b c d a b e")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Lines.lineSignals(Text.tokenLines(Text.tokens(col("text")), 2))
+          .as("s"))
+      .select(col("doc_id"), col("s.*"))
+    val r = df.as[(Long, Long, Long, Double, Double)].head()
+    assert(r == ((1L, 4L, 1L, 0.25, 3.0 / 10.0)))
+  }
+
+  test("lineSignals: clean and empty docs are zero") {
+    val df = Seq((1L, "a b c d"), (2L, "   ")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Lines.lineSignals(Text.tokenLines(Text.tokens(col("text")), 2))
+          .as("s"))
+      .select(col("doc_id"), col("s.*"))
+      .orderBy(col("doc_id"))
+    assert(df.as[(Long, Long, Long, Double, Double)].collect().toSeq ==
+      Seq((1L, 2L, 0L, 0.0, 0.0), (2L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("ngramRepetitionStats: top 2-gram mass and repeated 3-gram mass") {
+    // "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] → "x y"×3 (len 3,
+    // mass 9), "y x"×2 (mass 6) → top2 = 9. 3-grams = [x y x, y x y,
+    // x y x, y x y] → both repeat, dup3 = 2*5 + 2*5 = 20. chars = 11.
+    val df = Lines.ngramRepetitionStats(
+      Seq((1L, "x y x y x y"), (2L, "all distinct tokens here now"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .select("doc_id", "n_chars", "top2_mass", "dup3_mass", "top2_frac",
+        "dup3_frac")
+    val rows = df.as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 11L, 9L, 20L, 9.0 / 11.0, 20.0 / 11.0),
+      (2L, 28L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("lineDedup keeps first occurrences corpus-wide and reconstructs") {
+    // lineLen=2. doc 1: ["a b","c d"]; doc 2: ["a b","e f"] (loses "a b");
+    // doc 3: ["a b","c d"] (loses everything → empty clean_text).
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b e f"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Lines.lineDedup(docs, "doc_id", "text", 2)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("lineDedup: within-doc repeat keeps only the earlier line") {
+    val docs = Seq((7L, "p q r s p q")).toDF("doc_id", "text")
+    val out = Lines.lineDedup(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((7L, 3L, 2L, "p q r s")))
+  }
+
+  test("lineDedup: remainder line participates like any other") {
+    // doc 1 tail "z" is its own line; doc 2's full line "z" has the same
+    // text → dropped as a duplicate of doc 1's remainder.
+    val docs = Seq((1L, "a b z"), (2L, "z")).toDF("doc_id", "text")
+    val out = Lines.lineDedup(docs, "doc_id", "text", 2)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, "a b z"), (2L, 1L, 0L, "")))
+  }
+}
