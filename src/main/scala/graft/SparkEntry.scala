@@ -688,6 +688,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Per-domain cap (RefinedWeb-style): at most 10 docs per source, best
+    // quality first, doc_id tie-break — the anti-domination gate before
+    // mixing, on GroupRank's two-level plan (never one sort per domain).
+    "q_domain_cap" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
+      graft.functions.Quality.groupCap(docs, "source", "quality", "doc_id", 10L)
+        .orderBy(col("doc_id"))
+    },
+
     // Language ID by marker-word voting.
     // Hard-negative mining: BM25 rank-1 is the positive; the next 20
     // candidates survive as negatives only below 0.5 Jaccard vs the
@@ -2150,6 +2161,22 @@ object SparkEntry {
             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
           SELECT doc_id, source, quality FROM r
           WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
+    "q_domain_cap" -> {
+      val hits = duckMarkerHits(stopwords)
+      s"""WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS tk FROM documents),
+          t2 AS (SELECT doc_id, source,
+            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS stop_ratio, tk FROM t),
+          q AS (SELECT doc_id, source,
+            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+          r AS (SELECT doc_id, source, quality,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk FROM q)
+          SELECT doc_id, source, quality, rnk FROM r
+          WHERE rnk <= 10 ORDER BY doc_id"""
     },
 
     "q_lang_id" ->

@@ -89,6 +89,27 @@ object Quality {
     * digits and dots, so redacting narrower patterns first could split an
     * address and leave fragments behind.
     */
+  /** Keep at most `k` rows of each group, best-first — the per-domain cap
+    * of crawl curation (RefinedWeb/Falcon caps documents per registered
+    * domain so no single site dominates the mixture; the same gate caps
+    * per-source contributions before mixing). Ranked by `scoreCol`
+    * descending with `tieCol` as the deterministic tie-break; emits the
+    * within-group rank as `rankCol`.
+    *
+    * Rides [[GroupRank]]'s two-level plan, so a 30 TB domain never becomes
+    * one sort task — the difference between this and a `row_number()`
+    * window is exactly the round-5 audit's single-task-per-group finding.
+    */
+  def groupCap(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      scoreCol: String, tieCol: String, k: Long,
+      rankCol: String = "rnk"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    GroupRank.withRankAndCount(df, Seq(groupCol),
+        Seq(col(scoreCol).desc, col(tieCol).asc), rankCol, "__gcn")
+      .filter(col(rankCol) <= k)
+      .drop("__gcn")
+  }
+
   def redactPii(text: Column): Column = {
     val e = regexp_replace(text, EmailRe, "<EMAIL>")
     val i = regexp_replace(e, Ipv4Re, "<IP>")

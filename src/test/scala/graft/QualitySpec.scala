@@ -179,4 +179,19 @@ class QualitySpec extends AnyFunSuite {
     assert(j0.keySet === c0.keySet)
     assert(j0.forall { case (k, j) => c0(k) >= j })
   }
+
+  test("groupCap keeps the top k per group with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)
+    ).toDF("src", "id", "score")
+    val out = Quality.groupCap(df, "src", "score", "id", 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // ties at 9.0 break by id asc: ids 2 (rnk 1), 3 (rnk 2); group b whole
+    assert(out === Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
+    // partitioning-invariant (two-level rank is exact under any layout)
+    val rep = Quality.groupCap(df.repartition(7), "src", "score", "id", 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rep === out)
+  }
 }
