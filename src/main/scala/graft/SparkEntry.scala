@@ -35,6 +35,20 @@ object SparkEntry {
     * so the rational-idf weighting visibly reorders the hits. */
   val bm25Query: Seq[String] = Seq("dup", "vector", "merge")
 
+  /** Fellegi-Sunter comparison fields for q_fs_linkage: agreement
+    * predicates over the a/b-suffixed pair frame plus m/u permille
+    * priors. ONE definition feeds both the Spark query and the oracle's
+    * interpolated weight constants — parity is structural.
+    */
+  val fsFields: Seq[graft.functions.Linkage.Field] = {
+    import graft.functions.Linkage.Field
+    Seq(
+      Field("src", col("source_a") === col("source_b"), 950, 50),
+      Field("len", abs(col("n_toks_a") - col("n_toks_b")) <= 5, 900, 100),
+      Field("head", col("head_tok_a") === col("head_tok_b"), 800, 50),
+      Field("chars", abs(col("n_chars_a") - col("n_chars_b")) <= 30, 850, 150))
+  }
+
   /** Discounted revenue, exact: decimal arithmetic, final double — must
     * stay bit-identical to the matching expression in the oracle SQL
     * (shared by q_agg_pricing / q_shipping_priority / q_regional_revenue).
@@ -686,6 +700,31 @@ object SparkEntry {
       graft.functions.Quality.percentileGate(docs, "source", "quality",
           keepBps = 2500, tieCol = "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // Fellegi-Sunter probabilistic record linkage: candidate pairs from a
+    // cheap (lang, id-bucket) block get per-field agreement flags and the
+    // summed milli-bit log-likelihood weight -> link/possible/non-link.
+    // Pure map over the blocker's pairs; weights are driver-quantized
+    // integer literals (the oracle interpolates the SAME constants).
+    "q_fs_linkage" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        element_at(Text.tokens(col("text")), 1).as("head_tok"),
+        (col("doc_id") % 25).as("blk"))
+      val a = base.select(base.columns.toIndexedSeq.map(c => col(c).as(c + "_a")): _*)
+      val b = base.select(base.columns.toIndexedSeq.map(c => col(c).as(c + "_b")): _*)
+      val pairs = a.join(b,
+        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
+          col("doc_id_a") < col("doc_id_b"))
+      graft.functions.Linkage.score(pairs, SparkEntry.fsFields,
+          upperMilli = 6000L, lowerMilli = 0L)
+        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
+          col("src_agree"), col("len_agree"), col("head_agree"),
+          col("chars_agree"), col("weight_milli"), col("decision"))
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Per-domain cap (RefinedWeb-style): at most 10 docs per source, best
@@ -2161,6 +2200,32 @@ object SparkEntry {
             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
           SELECT doc_id, source, quality FROM r
           WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
+    "q_fs_linkage" -> {
+      val w = fsFields.map(f => f.name -> (f.agreeMilli, f.disagreeMilli)).toMap
+      def term(n: String) =
+        s"(CASE WHEN ${n}_agree THEN ${w(n)._1} ELSE ${w(n)._2} END)"
+      s"""WITH t AS (SELECT doc_id, lang, source,
+            CAST(len(tk) AS BIGINT) AS n_toks,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            tk[1] AS head_tok, doc_id % 25 AS blk
+            FROM (SELECT *, ${duckToks("text")} AS tk FROM documents)),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.source = b.source AS src_agree,
+            abs(a.n_toks - b.n_toks) <= 5 AS len_agree,
+            a.head_tok = b.head_tok AS head_agree,
+            abs(a.n_chars - b.n_chars) <= 30 AS chars_agree
+            FROM t a JOIN t b ON a.lang = b.lang AND a.blk = b.blk
+              AND a.doc_id < b.doc_id),
+          sc AS (SELECT id_a, id_b, src_agree, len_agree, head_agree,
+            chars_agree,
+            CAST(${term("src")} + ${term("len")} + ${term("head")} +
+              ${term("chars")} AS BIGINT) AS weight_milli FROM p)
+          SELECT *, CASE WHEN weight_milli >= 6000 THEN 'link'
+                         WHEN weight_milli < 0 THEN 'non-link'
+                         ELSE 'possible' END AS decision
+          FROM sc ORDER BY id_a, id_b"""
     },
 
     "q_domain_cap" -> {
