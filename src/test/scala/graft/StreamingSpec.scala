@@ -388,4 +388,113 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState timers close sessions like the old API") {
+    import graft.streaming.{ClosedSession, StatefulSession, UserTimedEvent}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserTimedEvent]
+      val sessions = StatefulSession.sessionizeTws(mem.toDS(), gapMs = 60000)
+      val q = sessions.writeStream.format("memory").queryName("tws_sess")
+        .outputMode("append").start()
+      // batch 1: two users; user 7 carries an IN-BATCH gap-separated
+      // burst that must split without any watermark help
+      mem.addData(
+        UserTimedEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+        UserTimedEvent(1L, ts("2024-01-01 00:00:10"), 2.0),
+        UserTimedEvent(7L, ts("2024-01-01 00:00:00"), 4.0),
+        UserTimedEvent(7L, ts("2024-01-01 00:10:00"), 8.0))
+      q.processAllAvailable()
+      val immediate = spark.table("tws_sess").as[ClosedSession]
+        .collect().map(s => s.user_id -> (s.n_events, s.sum_value)).toSet
+      // u7's first burst closes from the IN-BATCH gap; u1's session closes
+      // from its TIMER in the follow-up batch — u7's 00:10 event advanced
+      // the watermark past u1's (last + gap) = 00:01:10. u7's second burst
+      // (expiry 00:11:00) is the only session still open.
+      assert(immediate === Set(7L -> (1L, 4.0), 1L -> (2L, 3.0)),
+        "in-batch gap + first-watermark timer must close exactly these")
+      // advance the watermark far past every open session's timer, then
+      // one more batch to flush the fired-timer output to the sink
+      mem.addData(UserTimedEvent(3L, ts("2024-01-01 02:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(UserTimedEvent(3L, ts("2024-01-01 02:00:01"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("tws_sess").as[ClosedSession]
+        .collect().map(s => s.user_id -> (s.n_events, s.sum_value)).toSet
+      assert(out.contains(1L -> (2L, 3.0)), s"timer never closed u1: $out")
+      assert(out.contains(7L -> (1L, 8.0)), s"timer never closed u7: $out")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("tws session timers survive a checkpoint restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.{ClosedSession, StatefulSession, UserTimedEvent}
+    val root = TestSpark.tmpDir("tws_sess_restart")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit = {
+      import spark.implicits._
+      rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        import spark.implicits._
+        val events = spark.readStream.schema(schema).parquet(src)
+          .as[UserTimedEvent]
+        val q = StatefulSession.sessionizeTws(events, gapMs = 60000)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[ClosedSession], _: Long) =>
+            batch.write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // run 1: open a session for user 1; nothing can close yet
+      writeBatch(Seq((1L, "2024-01-01 00:00:00", 1.0),
+        (1L, "2024-01-01 00:00:20", 2.0)))
+      runOnce()
+      // run 2 (fresh query, same checkpoint): advance the watermark far
+      // past user 1's (last + gap) — closing it requires BOTH the session
+      // state and its registered timer to have been recovered
+      writeBatch(Seq((9L, "2024-01-01 03:00:00", 5.0)))
+      runOnce()
+      // run 3: flush any fired-timer output still buffered
+      writeBatch(Seq((9L, "2024-01-01 03:00:01", 1.0)))
+      runOnce()
+      import spark.implicits._
+      val out = spark.read.parquet(s"$root/out").as[ClosedSession]
+        .collect().filter(_.user_id == 1L)
+        .map(s => (s.n_events, s.sum_value)).toSet
+      assert(out === Set((2L, 3.0)),
+        s"session not closed across restart: $out")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
