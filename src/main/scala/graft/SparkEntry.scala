@@ -35,6 +35,14 @@ object SparkEntry {
     * so the rational-idf weighting visibly reorders the hits. */
   val bm25Query: Seq[String] = Seq("dup", "vector", "merge")
 
+  /** Blocklist phrases for q_blocklist — a mix of substrings present in
+    * the synthetic corpus and absent ones (bit positions = Seq order;
+    * single-quote-free so the oracle can inline them verbatim).
+    */
+  val blockPhrases: Seq[String] = Seq(
+    "slow fast", "merge batch", "vector table", "wholly absent phrase",
+    "agg row scan", "customer query")
+
   /** Fellegi-Sunter comparison fields for q_fs_linkage: agreement
     * predicates over the a/b-suffixed pair frame plus m/u permille
     * priors. ONE definition feeds both the Spark query and the oracle's
@@ -699,6 +707,20 @@ object SparkEntry {
           Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
       graft.functions.Quality.percentileGate(docs, "source", "quality",
           keepBps = 2500, tieCol = "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // Blocklist screening: one compiled Aho-Corasick pass per doc yields
+    // the phrase-presence bitmask; count and boolean gates derive from it
+    // for free. Scan-stage, no shuffle — the C4/RefinedWeb banned-phrase
+    // filter at parquet-scan speed.
+    "q_blocklist" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.plans.Blocklist.blocklistMask(col("text"),
+            SparkEntry.blockPhrases).as("block_mask"))
+        .withColumn("n_blocked", bit_count(col("block_mask")).cast("long"))
+        .withColumn("blocked", col("block_mask") =!= 0L)
         .orderBy(col("doc_id"))
     },
 
@@ -2200,6 +2222,18 @@ object SparkEntry {
             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
           SELECT doc_id, source, quality FROM r
           WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
+    "q_blocklist" -> {
+      val mask = blockPhrases.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN contains(text, '$p') THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH m AS (SELECT doc_id, CAST($mask AS BIGINT) AS block_mask
+            FROM documents)
+          SELECT doc_id, block_mask,
+            CAST(bit_count(block_mask) AS BIGINT) AS n_blocked,
+            block_mask != 0 AS blocked
+          FROM m ORDER BY doc_id"""
     },
 
     "q_fs_linkage" -> {
