@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Cluster, Dedup, Text, Vec}
+import graft.functions.{Cluster, Dedup, Lines, Quality, Text, Vec}
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
   * pipeline actually runs, built entirely from graft operators —
@@ -261,17 +261,76 @@ object CorpusPipeline {
     (near, stats)
   }
 
+  /** Blocklist gate: drop any document containing a banned phrase — ONE
+    * compiled Aho–Corasick pass per doc ([[graft.plans.Blocklist]]),
+    * map-only, the earliest and cheapest cut in the chain (raw text, no
+    * annotation needed).
+    */
+  def blocklistGate(docs: DataFrame, phrases: Seq[String],
+      cfg: Config = Config()): DataFrame =
+    if (phrases.isEmpty) docs
+    else docs.filter(
+      graft.plans.Blocklist.blocklistMask(col(cfg.textCol), phrases) === 0L)
+
+  /** Corpus-wide keep-first line dedup as a TEXT REWRITE stage: every
+    * doc's text is replaced by [[Lines.lineDedup]]'s cleaned join, and a
+    * doc whose every line occurred earlier in the corpus drops out
+    * entirely. Runs BEFORE annotation — token counts, quality, and every
+    * downstream fingerprint must describe the text that ships.
+    */
+  def lineDedupStage(docs: DataFrame, lineLen: Int = 10,
+      cfg: Config = Config()): DataFrame = {
+    val cleaned = Lines.lineDedup(docs, cfg.idCol, cfg.textCol, lineLen)
+      .filter(col("kept_lines") > 0L)
+      .select(col(cfg.idCol), col("clean_text"))
+    docs.drop(cfg.textCol)
+      .join(cleaned, Seq(cfg.idCol))
+      .withColumnRenamed("clean_text", cfg.textCol)
+  }
+
+  /** Gopher repetition gate: drop docs whose duplicate-line fraction
+    * (row-local, scan-stage) or n-gram repetition mass (one grouped gram
+    * pass) exceeds the caps — boilerplate/spam text that survives
+    * line-level dedup because its repeats are internal.
+    */
+  def gopherGate(docs: DataFrame, lineLen: Int = 10,
+      maxDupLineFrac: Double = 0.3, maxTop2Frac: Double = 0.2,
+      maxDup3Frac: Double = 0.6, cfg: Config = Config()): DataFrame = {
+    val sig = Lines.lineSignals(
+      Text.tokenLines(Text.tokens(col(cfg.textCol)), lineLen))
+    val rowGated = docs.withColumn("__ls", sig)
+      .filter(col("__ls.dup_line_frac") <= maxDupLineFrac)
+      .drop("__ls")
+    val ok = Lines.ngramRepetitionStats(rowGated, cfg.idCol, cfg.textCol)
+      .filter(col("top2_frac") <= maxTop2Frac &&
+        col("dup3_frac") <= maxDup3Frac)
+      .select(col(cfg.idCol))
+    rowGated.join(ok, Seq(cfg.idCol), "left_semi")
+  }
+
+  /** Per-source cap: at most `k` docs per `sourceCol`, best quality
+    * first ([[Quality.groupCap]] on the two-level rank) — the
+    * RefinedWeb-style anti-domination stage. Needs annotated docs.
+    */
+  def domainCapStage(annotated: DataFrame, sourceCol: String, k: Long,
+      cfg: Config = Config()): DataFrame =
+    Quality.groupCap(annotated, sourceCol, "quality", cfg.idCol, k)
+      .drop("rnk")
+
   /** THE end-to-end curation run: every gate and dedup layer this module
     * ships, composed in the order a production corpus build applies them
     * —
     *
-    *   annotate → quality → span → contamination → OOV → LM-fit →
-    *   classifier → exact dedup → near-dup best-copy → semantic dedup →
-    *   split → shard
+    *   blocklist → line dedup (text rewrite) → annotate → quality →
+    *   gopher repetition → domain cap → span → contamination → OOV →
+    *   LM-fit → classifier → exact dedup → near-dup best-copy →
+    *   semantic dedup → split → shard
     *
-    * Gates go cheapest-and-sharpest first (scan-stage token/quality
-    * arithmetic), dedup layers go after the filters (fewer docs to
-    * hash/join), the split after ALL dedup (a near-dup pair straddling
+    * Gates go cheapest-and-sharpest first (the compiled blocklist scan,
+    * then scan-stage token/quality arithmetic), the line-dedup text
+    * rewrite runs BEFORE annotation so every downstream stat describes
+    * the text that ships, dedup layers go after the filters (fewer docs
+    * to hash/join), the split after ALL dedup (a near-dup pair straddling
     * train/test is the leakage splits exist to prevent), sharding last.
     *
     * `lm` is a [[graft.functions.LangModel.knBigramProbs]] table (CCNet
@@ -295,11 +354,19 @@ object CorpusPipeline {
       vocabSize: Int = 50000, maxOovRate: Double = 0.5,
       minKeepRatio: Double = 0.5, semThreshold: Double = 0.9,
       semTargetCellSize: Long = 64L, nShards: Int = 8,
+      blockPhrases: Seq[String] = Seq.empty,
+      lineDedupLen: Option[Int] = Some(10),
+      domainCap: Option[(String, Long)] = None,
       cfg: Config = Config()): (DataFrame, DataFrame, DataFrame) = {
     def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    val ann = cp(annotate(docs, cfg))
+    val bl = cp(blocklistGate(docs, blockPhrases, cfg))
+    val ld = cp(lineDedupLen.map(lineDedupStage(bl, _, cfg)).getOrElse(bl))
+    val ann = cp(annotate(ld, cfg))
     val q = cp(qualityGate(ann, cfg))
-    val sp = cp(spanGate(q, minKeepRatio, cfg = cfg))
+    val gp = cp(gopherGate(q, cfg = cfg))
+    val dc = cp(domainCap.map { case (src, k) =>
+      domainCapStage(gp, src, k, cfg) }.getOrElse(gp))
+    val sp = cp(spanGate(dc, minKeepRatio, cfg = cfg))
     val ct = cp(contamGate(sp, evalDocs, maxContamRatio, cfg))
     val ov = cp(oovGate(ct, vocabSize, maxOovRate, cfg))
     val lf = cp(lmFitGate(ov, lm, minFit, cfg))
@@ -315,7 +382,11 @@ object CorpusPipeline {
     val shards = cp(shardForTraining(split, nShards, cfg))
     def n(df: DataFrame, as: String) = df.select(count(lit(1)).as(as))
     val stats = n(docs, "n_input")
+      .crossJoin(n(bl, "n_blocklist"))
+      .crossJoin(n(ld, "n_linededup"))
       .crossJoin(n(q, "n_quality"))
+      .crossJoin(n(gp, "n_gopher"))
+      .crossJoin(n(dc, "n_domaincap"))
       .crossJoin(n(sp, "n_span"))
       .crossJoin(n(ct, "n_contam"))
       .crossJoin(n(ov, "n_oov"))

@@ -76,7 +76,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
       docs, evalDocs, seed, emb, lm,
       minFit = 0.0005, maxContamRatio = 0.1, vocabSize = 2000,
       maxOovRate = 0.5, minKeepRatio = 0.5, semThreshold = 0.95,
-      nShards = 8)
+      nShards = 8, blockPhrases = Seq("wholly absent phrase", "slow fast"),
+      lineDedupLen = Some(10), domainCap = Some(("source", 22L)))
     val s = stats.head()
     val wall = (System.nanoTime() - t0) / 1e9
     val counts = stats.columns.map(c => c -> s.getAs[Long](c)).toMap
@@ -84,13 +85,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
       stats.columns.map(c => s"$c=${counts(c)}").mkString(" "))
 
     // the gate chain only ever shrinks the corpus
-    val order = Seq("n_input", "n_quality", "n_span", "n_contam", "n_oov",
+    val order = Seq("n_input", "n_blocklist", "n_linededup", "n_quality",
+      "n_gopher", "n_domaincap", "n_span", "n_contam", "n_oov",
       "n_lmfit", "n_classifier", "n_exact", "n_neardup", "n_semantic")
     for (Seq(a, b) <- order.sliding(2))
       assert(counts(b) <= counts(a), s"$b > $a in $counts")
     assert(counts("n_input") === 500L)
-    // the contamination gate removed the 10 eval docs (self-overlap)
-    assert(counts("n_contam") <= counts("n_span") - 10L)
+    // the contamination gate removed every eval doc still in the corpus
+    // (each is 100% contaminated with itself); earlier gates may have
+    // cut some of the 10 already, so the bound is strict shrink here
+    // plus the no-eval-survivor assertion below
+    assert(counts("n_contam") < counts("n_span"))
     // a real corpus survives the chain (the gates cut, not obliterate)
     assert(counts("n_semantic") > 100L)
     // split covers every survivor; the shard handoff is exactly train
@@ -111,7 +116,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
       docs, evalDocs, seed, emb, lm,
       minFit = 0.0005, maxContamRatio = 0.1, vocabSize = 2000,
       maxOovRate = 0.5, minKeepRatio = 0.5, semThreshold = 0.95,
-      nShards = 8)
+      nShards = 8, blockPhrases = Seq("wholly absent phrase", "slow fast"),
+      lineDedupLen = Some(10), domainCap = Some(("source", 22L)))
     assert(split2.select("doc_id").as[Long].collect().toSet ===
       split.select("doc_id").as[Long].collect().toSet)
   }
