@@ -52,7 +52,7 @@ object ScaleProbe {
       "bpe_train", "winnow", "dsir", "kn_lm", "jaccard_prefix",
       "mutual_knn", "blocked_cc", "blocked_cc_isolated", "snm",
       "corpus_shuffle", "kcenter",
-      "unigram_tv", "skew_join")
+      "unigram_tv", "line_dedup", "blocklist", "skew_join")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -500,6 +500,55 @@ object ScaleProbe {
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"unigram_tv","mult":$mult,"docs":${nBase * mult},"pairs":$n,"sec":$sec%.2f}""")
+    }
+
+    // Line-dedup probe: the keep-first corpus-wide line dedup must stay
+    // linear — explode, partial-min groupBy, equi-join, per-doc
+    // re-aggregation all scale with the line stream. Replicas share the
+    // base corpus's lines (the " repN" suffix perturbs only each doc's
+    // LAST line), so duplicate mass grows with the corpus — the
+    // crawl-dump regime, not the clean-corpus one.
+    for (mult <- Seq(1, 4, 16) if want("line_dedup")) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val out = graft.functions.Lines.lineDedup(docs, "doc_id", "text", 10)
+      val kept = out.agg(sum(col("kept_lines"))).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"line_dedup","mult":$mult,"docs":${nBase * mult},"kept_lines":$kept,"sec":$sec%.2f}""")
+    }
+
+    // Blocklist A/B: the compiled Aho-Corasick mask vs the naive
+    // OR-of-contains column form, same phrases, same corpus — the
+    // single-pass claim measured, and the two forms must agree on the
+    // hit count (presence semantics) at every multiplier.
+    for (mult <- Seq(1, 4, 16) if want("blocklist")) {
+      val phrases = Seq("slow fast", "merge batch", "vector table",
+        "wholly absent phrase", "agg row scan", "customer query")
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val nAc = docs.filter(graft.plans.Blocklist
+        .blocklistMask(col("text"), phrases) =!= 0L).count()
+      val tAc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val naive = phrases.map(p => col("text").contains(p)).reduce(_ || _)
+      val nNaive = docs.filter(naive).count()
+      val tNaive = (System.nanoTime() - t1) / 1e9
+      require(nAc == nNaive, s"AC $nAc != naive $nNaive")
+      println(f"""{"probe":"blocklist","mult":$mult,"docs":${nBase * mult},"phrases":6,"hits":$nAc,"sec_ac":$tAc%.2f,"sec_naive":$tNaive%.2f}""")
+      // phrase-count axis: the automaton's one-pass cost is invariant in
+      // the phrase count while OR-of-contains rescans the text per
+      // phrase — 64 entries is where the gap should open.
+      val big = phrases ++ (1 to 58).map(i => s"nonexistent phrase $i")
+      val t2 = System.nanoTime()
+      val nAc64 = docs.filter(graft.plans.Blocklist
+        .blocklistMask(col("text"), big) =!= 0L).count()
+      val tAc64 = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val naive64 = big.map(p => col("text").contains(p)).reduce(_ || _)
+      val nNaive64 = docs.filter(naive64).count()
+      val tNaive64 = (System.nanoTime() - t3) / 1e9
+      require(nAc64 == nNaive64, s"AC64 $nAc64 != naive64 $nNaive64")
+      println(f"""{"probe":"blocklist","mult":$mult,"docs":${nBase * mult},"phrases":64,"hits":$nAc64,"sec_ac":$tAc64%.2f,"sec_naive":$tNaive64%.2f}""")
     }
 
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
