@@ -43,6 +43,24 @@ object SparkEntry {
     "slow fast", "merge batch", "vector table", "wholly absent phrase",
     "agg row scan", "customer query")
 
+  /** The (lang, id-bucket)-blocked candidate pair frame q_fs_linkage and
+    * q_fs_patterns score — a/b-suffixed document features joined on the
+    * block key with id_a < id_b.
+    */
+  def fsCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      Text.tokenCount(col("text")).cast("long").as("n_toks"),
+      length(col("text")).cast("long").as("n_chars"),
+      element_at(Text.tokens(col("text")), 1).as("head_tok"),
+      (col("doc_id") % 25).as("blk"))
+    val a = base.select(base.columns.toIndexedSeq.map(c => col(c).as(c + "_a")): _*)
+    val b = base.select(base.columns.toIndexedSeq.map(c => col(c).as(c + "_b")): _*)
+    a.join(b,
+      col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
+        col("doc_id_a") < col("doc_id_b"))
+  }
+
   /** Fellegi-Sunter comparison fields for q_fs_linkage: agreement
     * predicates over the a/b-suffixed pair frame plus m/u permille
     * priors. ONE definition feeds both the Spark query and the oracle's
@@ -730,23 +748,22 @@ object SparkEntry {
     // Pure map over the blocker's pairs; weights are driver-quantized
     // integer literals (the oracle interpolates the SAME constants).
     "q_fs_linkage" -> { (s, d) =>
-      val base = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), col("source"),
-        Text.tokenCount(col("text")).cast("long").as("n_toks"),
-        length(col("text")).cast("long").as("n_chars"),
-        element_at(Text.tokens(col("text")), 1).as("head_tok"),
-        (col("doc_id") % 25).as("blk"))
-      val a = base.select(base.columns.toIndexedSeq.map(c => col(c).as(c + "_a")): _*)
-      val b = base.select(base.columns.toIndexedSeq.map(c => col(c).as(c + "_b")): _*)
-      val pairs = a.join(b,
-        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
-          col("doc_id_a") < col("doc_id_b"))
-      graft.functions.Linkage.score(pairs, SparkEntry.fsFields,
-          upperMilli = 6000L, lowerMilli = 0L)
+      graft.functions.Linkage.score(SparkEntry.fsCandidatePairs(s, d),
+          SparkEntry.fsFields, upperMilli = 6000L, lowerMilli = 0L)
         .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
           col("src_agree"), col("len_agree"), col("head_agree"),
           col("chars_agree"), col("weight_milli"), col("decision"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Agreement-pattern histogram — the bounded (<= 2^k rows) table EM
+    // parameter estimation consumes; the only corpus-sized pass the
+    // estimator needs (Linkage.emEstimate runs driver-side over it).
+    "q_fs_patterns" -> { (s, d) =>
+      graft.functions.Linkage.agreementHistogram(
+          SparkEntry.fsCandidatePairs(s, d), SparkEntry.fsFields)
+        .orderBy(col("src_agree"), col("len_agree"), col("head_agree"),
+          col("chars_agree"))
     },
 
     // Per-domain cap (RefinedWeb-style): at most 10 docs per source, best
@@ -2261,6 +2278,23 @@ object SparkEntry {
                          ELSE 'possible' END AS decision
           FROM sc ORDER BY id_a, id_b"""
     },
+
+    "q_fs_patterns" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+            CAST(len(tk) AS BIGINT) AS n_toks,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            tk[1] AS head_tok, doc_id % 25 AS blk
+            FROM (SELECT *, ${duckToks("text")} AS tk FROM documents)),
+          p AS (SELECT a.source = b.source AS src_agree,
+            abs(a.n_toks - b.n_toks) <= 5 AS len_agree,
+            a.head_tok = b.head_tok AS head_agree,
+            abs(a.n_chars - b.n_chars) <= 30 AS chars_agree
+            FROM t a JOIN t b ON a.lang = b.lang AND a.blk = b.blk
+              AND a.doc_id < b.doc_id)
+          SELECT src_agree, len_agree, head_agree, chars_agree,
+            CAST(count(*) AS BIGINT) AS n_pairs
+          FROM p GROUP BY 1, 2, 3, 4
+          ORDER BY src_agree, len_agree, head_agree, chars_agree""",
 
     "q_domain_cap" -> {
       val hits = duckMarkerHits(stopwords)

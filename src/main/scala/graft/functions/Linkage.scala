@@ -52,6 +52,95 @@ object Linkage {
         log2((1000.0 - mPermille) / (1000.0 - uPermille)))
   }
 
+  /** Agreement-pattern histogram: candidate pairs collapsed to their
+    * boolean agreement vector with counts — at most 2^k rows for k
+    * fields. This is the ONLY corpus-sized pass parameter estimation
+    * needs: EM over the Fellegi-Sunter mixture depends on the data only
+    * through these counts, so the estimator ([[emEstimate]]) runs on the
+    * driver over a bounded table — the k-means-centroid/perceptron-weight
+    * precedent — while the pairs themselves never leave the cluster.
+    */
+  def agreementHistogram(pairs: DataFrame, fields: Seq[Field]): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field required")
+    val flagged = fields.foldLeft(pairs) { (df, f) =>
+      df.withColumn(s"${f.name}_agree", coalesce(f.agree, lit(false)))
+    }
+    flagged.groupBy(fields.map(f => col(s"${f.name}_agree")): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** EM estimates from an agreement-pattern histogram (Winkler 1988,
+    * "Using the EM Algorithm for Weight Computation in the
+    * Fellegi-Sunter Model of Record Linkage"): the two-class conditional-
+    * independence mixture — match fraction `lambda`, per-field m and u —
+    * fitted by `rounds` EM iterations from the given starts.
+    *
+    * Driver-side double arithmetic over the bounded histogram:
+    * deterministic for fixed inputs (same JVM fp every run), never
+    * touching pair-level data. Returns (lambda, per-field (m, u)) with
+    * probabilities clamped to [1e-6, 1-1e-6] so degenerate histograms
+    * can't push a weight to ±infinity.
+    *
+    * Identifiability: the two-class CI mixture has 2k+1 free parameters
+    * against 2^k - 1 free pattern cells — k >= 3 fields is the classic
+    * floor (k = 2 is under-identified and EM drifts to a data-equivalent
+    * optimum; the spec pins both behaviors). This is a property of the
+    * model, not the optimizer.
+    */
+  def emEstimate(patterns: Seq[(Seq[Boolean], Long)], k: Int,
+      lambda0: Double = 0.1, m0: Double = 0.9, u0: Double = 0.1,
+      rounds: Int = 20): (Double, Seq[(Double, Double)]) = {
+    require(patterns.nonEmpty, "empty histogram")
+    require(patterns.forall(_._1.size == k), s"pattern width != $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val eps = 1e-6
+    def clamp(x: Double) = math.min(1.0 - eps, math.max(eps, x))
+    var lambda = clamp(lambda0)
+    var m = Array.fill(k)(clamp(m0))
+    var u = Array.fill(k)(clamp(u0))
+    val total = patterns.map(_._2).sum.toDouble
+    for (_ <- 1 to rounds) {
+      // E-step: P(match | pattern) per histogram row
+      val resp = patterns.map { case (a, c) =>
+        val pm = a.zipWithIndex.map { case (ai, i) =>
+          if (ai) m(i) else 1.0 - m(i) }.product
+        val pu = a.zipWithIndex.map { case (ai, i) =>
+          if (ai) u(i) else 1.0 - u(i) }.product
+        val w = lambda * pm / (lambda * pm + (1.0 - lambda) * pu)
+        (a, c, w)
+      }
+      // M-step: responsibility-weighted agreement rates
+      val wm = resp.map { case (_, c, w) => c * w }.sum
+      val wu = resp.map { case (_, c, w) => c * (1.0 - w) }.sum
+      lambda = clamp(wm / total)
+      m = Array.tabulate(k) { i =>
+        clamp(resp.collect { case (a, c, w) if a(i) => c * w }.sum /
+          math.max(wm, eps))
+      }
+      u = Array.tabulate(k) { i =>
+        clamp(resp.collect { case (a, c, w) if a(i) => c * (1.0 - w) }.sum /
+          math.max(wu, eps))
+      }
+    }
+    (lambda, m.toIndexedSeq.zip(u.toIndexedSeq))
+  }
+
+  /** Rebuild scoring fields from EM output: probabilities quantized to
+    * permille (the [[Field]] currency) with the asymmetric clamp [1, 999]
+    * and m > u enforced — a field whose EM estimates collapse (m <= u
+    * carries no linkage signal) is REJECTED rather than silently scored
+    * backwards.
+    */
+  def fieldsFromEm(fields: Seq[Field],
+      em: Seq[(Double, Double)]): Seq[Field] = {
+    require(fields.size == em.size, "field/estimate arity mismatch")
+    fields.zip(em).map { case (f, (mProb, uProb)) =>
+      def permille(p: Double): Int =
+        math.min(999, math.max(1, math.round(p * 1000.0).toInt))
+      f.copy(mPermille = permille(mProb), uPermille = permille(uProb))
+    }
+  }
+
   /** Score candidate pairs: adds one `<field>_agree` boolean per field,
     * the summed `weight_milli`, and the three-way `decision` ('link' at
     * or above `upperMilli`, 'non-link' below `lowerMilli`, 'possible'
