@@ -728,6 +728,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ANALYZE-style table profile: one aggregation pass over orders emits
+    // the per-column datasheet (rows/nulls/exact distinct/min/max with
+    // type-routed renderings) — the stats row a CBO or catalog publishes.
+    "q_profile" -> { (s, d) =>
+      graft.ops.Profile.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    },
+
     // Blocklist screening: one compiled Aho-Corasick pass per doc yields
     // the phrase-presence bitmask; count and boolean gates derive from it
     // for free. Scan-stage, no shuffle — the C4/RefinedWeb banned-phrase
@@ -2239,6 +2249,30 @@ object SparkEntry {
             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
           SELECT doc_id, source, quality FROM r
           WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
+    "q_profile" -> {
+      // kind: n = numeric, s = string, t = timestamp
+      val specs = Seq("o_orderkey" -> 'n', "o_custkey" -> 'n',
+        "o_orderstatus" -> 's', "o_totalprice" -> 'n',
+        "o_orderdate" -> 't', "o_orderpriority" -> 's')
+      val parts = specs.map { case (c, kind) =>
+        val (mn, mx, ms, xs) = kind match {
+          case 'n' => (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          case 's' => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"min($c)", s"max($c)")
+          case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+            s"strftime(max($c), '%Y-%m-%d %H:%M:%S')")
+        }
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+            FROM orders"""
+      }
+      parts.mkString("", " UNION ALL ", " ORDER BY col_name")
     },
 
     "q_blocklist" -> {
