@@ -1963,6 +1963,39 @@ object SparkEntry {
     },
 
     // Gap-based sessionization (30-min inactivity) via window functions.
+    // Ordered-step funnel: earliest strictly-ordered signup -> click ->
+    // purchase per user; one filtered join + partial-min per step.
+    "q_funnel" -> { (s, d) =>
+      graft.functions.Events.funnel(Tables.eventsTs(s, d), "user_id",
+          "event_type", "ts", Seq("signup", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
+    // Weekly cohort retention: users bucketed by first-event week,
+    // counted once per active (cohort, offset) cell.
+    "q_retention" -> { (s, d) =>
+      graft.functions.Events.retention(Tables.eventsTs(s, d), "user_id",
+          "ts", 604800000000L)
+        .orderBy(col("cohort"), col("period_offset"))
+    },
+
+    // Daily gap-filled resampling: dense per-user day grid, zero-count
+    // gaps, forward-filled value sums.
+    "q_resample" -> { (s, d) =>
+      graft.functions.Events.resampleFill(Tables.eventsTs(s, d), "user_id",
+          "ts", "value", 86400000000L)
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
+    // SCD Type-2 intervalization of each user's event-type stream:
+    // consecutive repeats collapse, each change carries its validity
+    // interval, NULL valid_to = current.
+    "q_scd2" -> { (s, d) =>
+      graft.functions.Events.scd2(Tables.eventsTs(s, d), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("valid_from_us"))
+    },
+
     "q_sessionize" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -4175,6 +4208,67 @@ object SparkEntry {
           SELECT p.event_id, p.user_id, s.us AS signup_us
           FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.us <= p.us
           ORDER BY p.event_id""",
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t_1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, t_1, min(us) AS t_2 FROM e
+           JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND us > t_1 GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, t_1, t_2, min(us) AS t_3 FROM e
+           JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t_2 GROUP BY 1, 2, 3)
+         SELECT user_id, t_1, t_2, t_3,
+           CAST(1 + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS steps_completed
+         FROM s1 LEFT JOIN s2 USING (user_id, t_1)
+           LEFT JOIN s3 USING (user_id, t_1, t_2)
+         ORDER BY user_id""",
+
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, min(us) // 604800000000 AS cohort FROM e
+           GROUP BY 1),
+         a AS (SELECT DISTINCT e.user_id, cohort,
+           us // 604800000000 - cohort AS period_offset
+           FROM e JOIN f USING (user_id))
+         SELECT cohort, period_offset, CAST(count(*) AS BIGINT) AS n_users
+         FROM a GROUP BY 1, 2 ORDER BY cohort, period_offset""",
+
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+           value FROM events),
+         p AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM e GROUP BY 1, 2),
+         g AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket
+           FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+                 FROM p GROUP BY 1)),
+         j AS (SELECT g.user_id, g.bucket,
+           coalesce(n_events, 0) AS n_events, sum_value
+           FROM g LEFT JOIN p ON g.user_id = p.user_id AND g.bucket = p.bucket)
+         SELECT user_id, bucket, CAST(n_events AS BIGINT) AS n_events,
+           sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_sum
+         FROM j ORDER BY user_id, bucket""",
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+         l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY us, event_id) AS prev FROM e),
+         c AS (SELECT user_id, event_type, us, event_id FROM l
+           WHERE prev IS NULL OR prev != event_type)
+         SELECT user_id, event_type, us AS valid_from_us,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS valid_to_us,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             IS NULL AS is_current
+         FROM c ORDER BY user_id, valid_from_us""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over a (user, timestamp, type, value)
+  * stream: ordered-step funnels, cohort retention, gap-filled
+  * resampling, and SCD Type-2 intervalization — the product-analytics /
+  * warehouse layer next to sessionization ([[q_sessionize]]'s
+  * gaps-and-islands) and the as-of/band/interval joins.
+  *
+  * Time is microsecond longs end to end (`unix_micros` here,
+  * `epoch_us` in the oracle — the q_sessionize convention); bucket
+  * arithmetic is exact integral division (`div`), never a double
+  * quotient. Every per-user window partitions on the user key with
+  * per-user event counts as the bound — the sessionize contract — and
+  * everything else is filtered equi-joins plus partial-aggregable
+  * aggregates: linear at any corpus size.
+  */
+object Events {
+
+  private def us(tsCol: String): Column = unix_micros(col(tsCol))
+
+  /** Ordered-step funnel: for each user, the earliest strictly-ordered
+    * completion times of `steps` — t1 = first step-1 event, t_i = first
+    * step-i event AFTER t_{i-1} (strict: a simultaneous event does not
+    * advance the funnel). One filtered equi-join + partial-min aggregate
+    * per step; users keep NULL from their first missed step on.
+    * Output: (userCol, t_1..t_k as microsecond longs, steps_completed).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    val e = events.select(col(userCol), col(typeCol),
+      us(tsCol).as("__us"))
+    val stages: Seq[DataFrame] = steps.zipWithIndex.tail.scanLeft {
+      e.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col("__us")).as("t_1"))
+    } { case (prev, (step, i)) =>
+      val tPrev = s"t_$i"
+      val keep = (1 to i).map(j => col(s"t_$j"))
+      e.filter(col(typeCol) === step)
+        .join(prev, Seq(userCol))
+        .filter(col("__us") > col(tPrev))
+        .groupBy((col(userCol) +: keep): _*)
+        .agg(min(col("__us")).as(s"t_${i + 1}"))
+    }
+    val out = stages.zipWithIndex.tail.foldLeft(stages.head) {
+      case (acc, (st, i)) =>
+        acc.join(st, userCol +: (1 to i).map(j => s"t_$j"), "left")
+    }
+    val completed = (2 to steps.size).map(i =>
+      when(col(s"t_$i").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    out.withColumn("steps_completed", completed)
+  }
+
+  /** Cohort retention: users bucketed by their FIRST event's period
+    * (`cohort` = first-us div bucketUs), counted once per (cohort,
+    * period offset) they were active in. Two partial-aggregable
+    * groupBys around one equi-join; the distinct is per (cohort,
+    * offset, user) — shuffle-bounded by active-user-period mass.
+    * Output: (cohort, period_offset, n_users).
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    val e = events.select(col(userCol), us(tsCol).as("__us"))
+    val first = e.groupBy(col(userCol))
+      .agg(min(col("__us")).as("__first"))
+      .select(col(userCol), expr(s"__first div $bucketUs").as("cohort"))
+    e.join(first, Seq(userCol))
+      .select(col(userCol), col("cohort"),
+        (expr(s"__us div $bucketUs") - col("cohort")).as("period_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Gap-filled resampling: per (user, bucket) event count and value
+    * sum on a DENSE per-user bucket grid (sequence from the user's
+    * first to last active bucket), missing buckets carrying 0 events
+    * and the last seen sum forward-filled (`filled_sum`; NULL only
+    * before a user's first value — there is none by construction since
+    * the grid starts at an active bucket). Value sums go through
+    * decimal(18,2) then double — the money-math parity rule.
+    * Output: (userCol, bucket, n_events, sum_value, filled_sum).
+    */
+  def resampleFill(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    val e = events.select(col(userCol),
+      expr(s"unix_micros($tsCol) div $bucketUs").as("bucket"),
+      col(valueCol))
+    val per = e.groupBy(col(userCol), col("bucket"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    val grid = per.groupBy(col(userCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(userCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(per, Seq(userCol, "bucket"), "left")
+      .withColumn("n_events", coalesce(col("__n"), lit(0L)))
+      .withColumn("filled_sum", last(col("sum_value"), ignoreNulls = true)
+        .over(w))
+      .select(col(userCol), col("bucket"), col("n_events"),
+        col("sum_value"), col("filled_sum"))
+  }
+
+  /** SCD Type-2 intervalization of a change stream: consecutive repeats
+    * of `stateCol` per key collapse away (lag over the raw stream), and
+    * each surviving change carries [valid_from, valid_to) with NULL
+    * valid_to marking the current row (lead over the collapsed stream).
+    * `ordCol` breaks timestamp ties deterministically. Output:
+    * (keyCol, stateCol, valid_from_us, valid_to_us, is_current).
+    */
+  def scd2(changelog: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, ordCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us").asc, col(ordCol).asc)
+    val collapsed = changelog
+      .select(col(keyCol), col(stateCol), us(tsCol).as("__us"), col(ordCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+    collapsed
+      .withColumn("valid_from_us", col("__us"))
+      .withColumn("valid_to_us", lead(col("__us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col(keyCol), col(stateCol), col("valid_from_us"),
+        col("valid_to_us"), col("is_current"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Events
+
+/** Event analytics: funnel strict ordering, cohort retention arithmetic,
+  * gap-filled resampling, and SCD2 interval semantics on hand fixtures.
+  */
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def usOf(s: String): Long = ts(s).getTime * 1000L
+
+  test("funnel: strict order, missed steps stay NULL from there on") {
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 00:01:00"),
+      (1L, "purchase", "2024-01-01 00:02:00"),
+      // u2: purchase BEFORE click — funnel stops after click
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "purchase", "2024-01-01 00:00:30"),
+      (2L, "click", "2024-01-01 00:01:00"),
+      // u3: click exactly AT signup time — strict > means not advanced
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "click", "2024-01-01 00:00:00"),
+      // u4 never signs up — not in the funnel at all
+      (4L, "click", "2024-01-01 00:00:00")
+    ).map { case (u, t, w) => (u, t, ts(w)) }.toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val byU = out.map(r => r._1 -> r).toMap
+    assert(byU(1L)._5 === 3L)
+    assert(byU(1L)._3 === Some(usOf("2024-01-01 00:01:00")))
+    assert(byU(2L)._5 === 2L) // click reached (after signup), purchase not
+    assert(byU(2L)._4 === None)
+    assert(byU(3L)._5 === 1L) // simultaneous click does not advance
+    assert(byU(3L)._3 === None)
+  }
+
+  test("retention counts each user once per active period") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 12:00:00"), // day 0 twice
+      (1L, "2024-01-03 00:00:00"), // day 2
+      (2L, "2024-01-02 00:00:00"), (2L, "2024-01-03 00:00:00")
+    ).map { case (u, w) => (u, ts(w)) }.toDF("user_id", "ts")
+    val out = Events.retention(ev, "user_id", "ts", day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d0 = usOf("2024-01-01 00:00:00") / day
+    val d1 = usOf("2024-01-02 00:00:00") / day
+    // u1 cohort d0 active offsets {0, 2}; u2 cohort d1 offsets {0, 1}
+    assert(out === Map((d0, 0L) -> 1L, (d0, 2L) -> 1L,
+      (d1, 0L) -> 1L, (d1, 1L) -> 1L))
+  }
+
+  test("resampleFill: dense grid, zero gaps, forward-filled sums") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, "2024-01-01 06:00:00", 2.0), (1L, "2024-01-01 18:00:00", 3.0),
+      (1L, "2024-01-04 00:00:00", 10.0) // days 1-2 are gaps
+    ).map { case (u, w, v) => (u, ts(w), v) }.toDF("user_id", "ts", "value")
+    val out = Events.resampleFill(ev, "user_id", "ts", "value", day)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1) - usOf("2024-01-01 00:00:00") / day,
+        r.getLong(2), Option(r.get(3)), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, Some(5.0), 5.0),
+      (1L, 0L, None, 5.0),
+      (2L, 0L, None, 5.0),
+      (3L, 1L, Some(10.0), 10.0)))
+  }
+
+  test("scd2 collapses repeats and closes intervals at the next change") {
+    val ev = Seq(
+      (1L, 10L, "a", "2024-01-01 00:00:00"),
+      (1L, 11L, "a", "2024-01-01 01:00:00"), // repeat — collapses
+      (1L, 12L, "b", "2024-01-01 02:00:00"),
+      (1L, 13L, "a", "2024-01-01 03:00:00"), // back to a: NEW interval
+      (2L, 20L, "x", "2024-01-01 00:00:00")
+    ).map { case (u, i, st, w) => (u, i, st, ts(w)) }
+      .toDF("user_id", "event_id", "state", "ts")
+    val out = Events.scd2(ev, "user_id", "state", "ts", "event_id")
+      .orderBy("user_id", "valid_from_us")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)), r.getBoolean(4)))
+    def u(s: String) = usOf(s)
+    assert(out.toSeq === Seq(
+      (1L, "a", u("2024-01-01 00:00:00"), Some(u("2024-01-01 02:00:00")), false),
+      (1L, "b", u("2024-01-01 02:00:00"), Some(u("2024-01-01 03:00:00")), false),
+      (1L, "a", u("2024-01-01 03:00:00"), None, true),
+      (2L, "x", u("2024-01-01 00:00:00"), None, true)))
+  }
+}
