@@ -1635,6 +1635,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Binary-quantized ANN: sign-bit vectors packed to 32-dim long words
+    // (32x at rest), Hamming = xor + popcount — pure integer arithmetic,
+    // the coarsest rung of the compression ladder (float32 -> int8 -> PQ
+    // -> 1-bit). Top-5 per query by (hamming, id); exact rerank on the
+    // shortlist is the established IVF/ADC pattern.
+    "q_bit_hamming" -> { (s, d) =>
+      val packed = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.Quant.binarize(col("embedding")).as("bits"))
+      val q = packed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("bits").as("qbits"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      q.crossJoin(packed).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.Quant.hammingDist(col("qbits"), col("bits"))
+            .as("hamming"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Embedding-cosine near-dup pairs — the exact QUADRATIC baseline,
     // deliberately BOUNDED to the first 500 vectors so the benched entry
     // is a fixed-size correctness probe (≤500² pairs at any SF), never a
@@ -3673,6 +3695,31 @@ object SparkEntry {
             CAST(sum(cb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bigram_df
           FROM g JOIN cb USING (tid)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_bit_hamming" -> {
+      val pack = """list_transform(range(0,
+          CAST(ceil(len(embedding) / 32.0) AS INT)), w ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_reverse(embedding[w*32+1 : w*32+32]),
+            x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)),
+          (a, b) -> a * 2 + b))"""
+      s"""WITH bits AS (SELECT vec_id, $pack AS bits FROM embeddings),
+          q AS (SELECT vec_id AS query_id, bits AS qbits FROM bits
+            WHERE vec_id < 10),
+          p AS (SELECT query_id, b.vec_id AS neighbor_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(qbits) + 1),
+                i -> CAST(bit_count(xor(qbits[i], b.bits[i])) AS BIGINT))),
+              (a, x) -> a + x) AS hamming
+            FROM q, bits b WHERE b.vec_id <> q.query_id),
+          r AS (SELECT query_id, neighbor_id, hamming,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, neighbor_id ASC) AS BIGINT) AS "rank"
+            FROM p)
+          SELECT query_id, neighbor_id, hamming, "rank" FROM r
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
 
     "q_cosine_topk" -> {
       val dotSql = duckDotSql _

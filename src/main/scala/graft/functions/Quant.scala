@@ -142,4 +142,41 @@ object Quant {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("subspace"), col("centroid")))),
         s => s.getField("centroid"))).as("embedding"))
+
+  // ------------------------------------------------------------------
+  // 1-bit (sign) quantization + Hamming search
+  // ------------------------------------------------------------------
+
+  /** Binary (sign-bit) quantization: dimension i contributes bit 1 iff
+    * v_i >= 0, packed into 32-dimension long words — 32× smaller at
+    * rest than float32, the coarsest rung of the compression ladder
+    * (float32 → int8 → PQ → 1-bit), and the one whose distance (Hamming)
+    * is pure integer xor+popcount. The classic shortlist layout: scan
+    * the bit corpus, keep a Hamming shortlist, rerank the survivors on
+    * exact floats (cf. the int8/IVF and PQ/ADC paths above).
+    *
+    * Packing is a REVERSED-slice fold (acc·2 + bit), so element
+    * (w·32 + j) lands on bit j of word w with no shift-by-column
+    * gymnastics — one codegen'd fold per word, and the same
+    * list_reduce renders it in the oracle. 32 bits per word keeps every
+    * word positive in a signed 64-bit long in both engines (a 64-bit
+    * pack would need the sign bit). The last word of a non-multiple-of-
+    * 32 dimension simply folds a shorter slice.
+    */
+  def binarize(vec: Column): Column = {
+    val nWords = ceil(size(vec).cast("double") / 32.0).cast("int")
+    transform(sequence(lit(0), nWords - 1), w =>
+      aggregate(
+        reverse(slice(vec, w * 32 + 1, lit(32))),
+        lit(0L),
+        (acc, x) => acc * 2L + when(x >= 0.0f, 1L).otherwise(0L)))
+  }
+
+  /** Hamming distance between two packed bit arrays: sum of popcounts of
+    * per-word xors — exact integer arithmetic end to end.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }
