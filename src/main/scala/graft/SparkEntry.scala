@@ -1191,6 +1191,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Pairwise source-overlap matrix: shared distinct 3-gram shingles and
+    // vocabulary Jaccard per source pair — the "which sources re-crawl
+    // each other" governance report, full matrix (|S|²/2 rows, bounded by
+    // the mixture whatever the corpus).
+    "q_source_overlap" -> { (s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", 3)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // Exact per-source token-count quantiles (p25/p50/p99) by rank
+    // selection — percentile_disc semantics from ONE two-level ranking
+    // pass, never a per-group sort task or value buffer.
+    "q_group_quantiles" -> { (s, d) =>
+      graft.functions.Robust.groupQuantiles(
+          Tables.documents(s, d).select(col("source"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "source", "n_tokens", Seq(2500, 5000, 9900))
+        .orderBy(col("source"), col("q_bps"))
+    },
+
     // Substring-level dedup (Lee et al. 2022): maximal token spans
     // covered by 8-gram windows occurring more than once corpus-wide.
     "q_span_dedup" -> { (s, d) =>
@@ -1211,12 +1231,14 @@ object SparkEntry {
     // gets its first two lines re-appended — the q_pii_redact synthesized-
     // dirty-column idiom — and the oracle applies the same dirtying.
     "q_gopher_lines" -> { (s, d) =>
-      val ln = Text.tokenLines(Text.tokens(col("text")), 10)
-      val dirty = when(col("doc_id") % 3 === 0 && size(ln) >= 2,
-        concat(ln, slice(ln, 1, 2))).otherwise(ln)
+      // compiled single-pass form; the >= 2-lines append guard lives
+      // inside the scanner, matching the oracle's len(ls) >= 2 branch
+      val sig = when(col("doc_id") % 3 === 0,
+        graft.functions.Lines.lineSignalsText(col("text"), 10, appendFirst = 2))
+        .otherwise(
+          graft.functions.Lines.lineSignalsText(col("text"), 10))
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.Lines.lineSignals(dirty).as("__s"))
+        .select(col("doc_id"), sig.as("__s"))
         .select(col("doc_id"), col("__s.*"))
         .orderBy(col("doc_id"))
     },
@@ -3010,6 +3032,45 @@ object SparkEntry {
           SELECT doc_id, source, n_tokens, med, mad,
             adev > 3.0 * mad AS is_outlier
           FROM d JOIN md USING (source) ORDER BY doc_id""",
+
+    "q_source_overlap" ->
+      s"""WITH tk AS (SELECT source, ${duckToks("text")} AS tk FROM documents),
+          sh0 AS (SELECT source, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          sh AS (SELECT DISTINCT source, ${duckPolyId("gram")} AS tid
+            FROM sh0),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh
+            GROUP BY 1),
+          keep AS (SELECT tid FROM sh GROUP BY tid HAVING count(*) <= 1000),
+          c AS (SELECT sh.* FROM sh SEMI JOIN keep USING (tid)),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS shared_grams
+            FROM c a JOIN c b USING (tid) WHERE a.source < b.source
+            GROUP BY 1, 2),
+          m AS (SELECT a.source AS src_a, b.source AS src_b,
+            a.sz AS n_a, b.sz AS n_b
+            FROM sz a, sz b WHERE a.source < b.source)
+          SELECT src_a, src_b, n_a, n_b,
+            CAST(coalesce(shared_grams, 0) AS BIGINT) AS shared_grams,
+            CAST(coalesce(shared_grams, 0) AS DOUBLE) /
+              CAST(n_a + n_b - coalesce(shared_grams, 0) AS DOUBLE) AS jaccard
+          FROM m LEFT JOIN p USING (src_a, src_b)
+          ORDER BY src_a, src_b""",
+
+    "q_group_quantiles" ->
+      s"""WITH t AS (SELECT source,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          r AS (SELECT source, n_tokens,
+            row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+            count(*) OVER (PARTITION BY source) AS n FROM t),
+          qs AS (SELECT CAST(unnest([2500, 5000, 9900]) AS BIGINT) AS q_bps)
+          SELECT source, q_bps, n_tokens AS value
+          FROM r CROSS JOIN qs
+          WHERE rn = greatest(1, (n * q_bps + 9999) // 10000)
+          ORDER BY source, q_bps""",
 
     "q_span_dedup" -> (duckSpanCte(8) +
       s"""SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,

@@ -105,6 +105,49 @@ object Dedup {
     docs.select(col(idCol),
       graft.plans.TextExpressions.hashedShingles(col(textCol), n))
 
+  /** Pairwise source-overlap matrix — the governance report behind
+    * "which sources are re-crawls of each other": per unordered source
+    * pair, the shared distinct shingle count and the Jaccard over each
+    * side's shingle vocabulary. The FULL matrix emits (pairs with zero
+    * shared grams included) — sources are mixture-sized, so the matrix
+    * is bounded at |S|·(|S|−1)/2 rows whatever the corpus.
+    *
+    * Shape: one distinct over (source, tid) — corpus-sized, partial-
+    * aggregable — then a per-tid self-join whose fan-out is bounded by
+    * srcCap²: grams present in more than `srcCap` sources are DROPPED
+    * from the pair stage (ubiquitous grams carry no discriminative
+    * overlap signal — the dfCap hub-cut rationale; they still count in
+    * each side's vocabulary size, so Jaccard stays honest about them
+    * only in the denominator — documented estimator choice).
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int, srcCap: Int = 1000): DataFrame = {
+    require(srcCap >= 2, s"srcCap must be >= 2, got $srcCap")
+    val grams = docs.select(col(groupCol),
+        graft.plans.TextExpressions.hashedShingles(col(textCol), n))
+      .distinct()
+    val sizes = grams.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__sz"))
+    val capped = grams.join(
+      grams.groupBy(col("tid")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= srcCap).select(col("tid")),
+      Seq("tid"))
+    val shared = capped.select(col("tid"), col(groupCol).as("src_a"))
+      .join(capped.select(col("tid"), col(groupCol).as("src_b")), Seq("tid"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val all = sizes.select(col(groupCol).as("src_a"), col("__sz").as("n_a"))
+      .crossJoin(sizes.select(col(groupCol).as("src_b"), col("__sz").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    all.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .withColumn("jaccard",
+        col("shared_grams").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_grams")).cast("double"))
+  }
+
   /** Oracle-mode token dictionary: distinct tokens numbered by
     * lexicographic rank. Rank is computed with a distributed range-
     * partitioned sort + per-partition zipWithIndex (offsets from partition

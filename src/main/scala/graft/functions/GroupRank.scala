@@ -91,9 +91,10 @@ object GroupRank {
     * returns double, whose 53-bit mantissa cannot represent every long
     * quotient — the same exactness rule the `expr("x div y")` forms
     * elsewhere in this package follow, made composable over anonymous
-    * columns.
+    * columns (public: rank-selection consumers build ceil-div targets
+    * from it).
     */
-  private def intDiv(a: Column, b: Column): Column = {
+  def intDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(new org.apache.spark.sql.catalyst.expressions
       .IntegralDivide(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -29,6 +29,11 @@ object Lines {
     *
     * Returns a struct(n_lines, dup_lines, dup_line_frac, dup_char_frac);
     * zero fractions for line-less docs.
+    *
+    * This HOF form is the REFERENCE semantics over an arbitrary lines
+    * array; for the hot text path use [[lineSignalsText]] — the compiled
+    * single-pass expression (the interpreted per-line lambdas here were
+    * the catalog scan's worst entry at 10.8 s before it).
     */
   def lineSignals(lines: Column): Column = {
     val n  = size(lines)
@@ -45,13 +50,35 @@ object Lines {
         .otherwise(lit(0.0)).as("dup_char_frac"))
   }
 
-  /** Gopher n-gram repetition stats, the grouped complement of the
-    * row-local [[lineSignals]]: per document, the character mass of the
-    * single most-repeated word 2-gram (`top2_mass` = max over 2-grams
-    * with count >= 2 of count x gram length, 0 if none repeats) and the
-    * total character mass inside repeated word 3-grams (`dup3_mass` =
-    * sum over 3-grams with count >= 2 of count x gram length), each as a
-    * fraction of the document's characters.
+  /** Compiled single-pass form of [[lineSignals]] straight from the text
+    * column (tokenize → segment → hash-count in one codegen'd scan;
+    * `appendFirst` folds the synthesized-dirty re-append into the same
+    * pass). Same struct contract as the HOF form — LinesSpec holds the
+    * two equal.
+    */
+  def lineSignalsText(text: Column, lineLen: Int,
+      appendFirst: Int = 0): Column = {
+    val sig = graft.plans.TextExpressions.lineSignals(text, lineLen,
+      appendFirst)
+    val n  = element_at(sig, 1)
+    val dl = element_at(sig, 2)
+    val tc = element_at(sig, 3)
+    val dc = element_at(sig, 4)
+    struct(
+      n.as("n_lines"),
+      dl.as("dup_lines"),
+      when(n > 0, dl.cast("double") / n.cast("double"))
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(tc > 0, dc.cast("double") / tc.cast("double"))
+        .otherwise(lit(0.0)).as("dup_char_frac"))
+  }
+
+  /** Gopher n-gram repetition stats: per document, the character mass of
+    * the single most-repeated word 2-gram (`top2_mass` = max over
+    * 2-grams with count >= 2 of count x gram length, 0 if none repeats)
+    * and the total character mass inside repeated word 3-grams
+    * (`dup3_mass` = sum over 3-grams with count >= 2 of count x gram
+    * length), each as a fraction of the document's characters.
     *
     * Gopher's prose ("fraction of characters contained in the most
     * frequently-occurring n-gram") leaves the tie and the denominator
@@ -59,32 +86,20 @@ object Lines {
     * count x length products, document char length as denominator — and
     * the oracle mirrors it bit-for-bit.
     *
-    * Shape: ONE exploded gram stream (2- and 3-grams union-tagged so they
-    * share the shuffle) -> partial-aggregable (doc, n, gram) counts ->
-    * per-doc aggregate -> left join back to the doc frame. Linear at any
-    * corpus size; per-doc partitions bounded by doc gram counts.
+    * Shape: MAP-ONLY — one codegen'd pass per row hash-counts both gram
+    * sizes (the doc's grams are row-local state, bounded by doc length),
+    * so the operator runs at parquet-scan speed with zero shuffle. The
+    * exploded per-(doc, gram) groupBy chain this replaced cost 5.2 s on
+    * the sf0.1 catalog scan; the map-only form is the correct 100 TB
+    * shape for any per-doc-bounded statistic.
     */
   def ngramRepetitionStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    def gramStream(n: Int) = docs.select(col(idCol),
-        lit(n).as("__n"), explode(Text.wordNgrams(toks, n)).as("__gram"))
-    val grams = gramStream(2).unionByName(gramStream(3))
-    val counts = grams.groupBy(col(idCol), col("__n"), col("__gram"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__mass",
-        when(col("__c") >= 2, col("__c") * length(col("__gram")).cast("long"))
-          .otherwise(lit(0L)))
-    val perDoc = counts.groupBy(col(idCol))
-      .agg(max(when(col("__n") === 2, col("__mass")).otherwise(lit(0L)))
-             .as("top2_mass"),
-           sum(when(col("__n") === 3, col("__mass")).otherwise(lit(0L)))
-             .as("dup3_mass"))
-    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_chars"),
-        coalesce(col("top2_mass"), lit(0L)).as("top2_mass"),
-        coalesce(col("dup3_mass"), lit(0L)).as("dup3_mass"))
+    val mass = graft.plans.TextExpressions.ngramRepMass(col(textCol), 2, 3)
+    docs.select(col(idCol),
+        coalesce(length(col(textCol)).cast("long"), lit(0L)).as("n_chars"),
+        coalesce(element_at(mass, 1), lit(0L)).as("top2_mass"),
+        coalesce(element_at(mass, 2), lit(0L)).as("dup3_mass"))
       .withColumn("top2_frac",
         when(col("n_chars") > 0,
           col("top2_mass").cast("double") / col("n_chars").cast("double"))

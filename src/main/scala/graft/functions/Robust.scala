@@ -44,6 +44,32 @@ object Robust {
       .agg(avg(col(valueCol).cast("double")).as("med"))
   }
 
+  /** Exact per-group discrete quantiles by rank selection — SQL
+    * `percentile_disc` semantics (the smallest value whose cumulative
+    * rank covers the quantile: rank ceil(n·q), never interpolated) for
+    * every q in `qsBps` (basis points), all from ONE two-level ranking
+    * pass: each ranked row emits the quantiles whose target rank it
+    * holds, so k quantiles cost zero extra shuffles. Ties are
+    * value-interchangeable exactly as in [[groupMedian]]. Output:
+    * (groupCol, q_bps, value).
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qsBps: Seq[Int]): DataFrame = {
+    require(qsBps.nonEmpty, "at least one quantile")
+    qsBps.foreach(q => require(q >= 1 && q <= 10000,
+      s"quantile must be in [1, 10000] bps, got $q"))
+    val qArr = array(qsBps.map(q => lit(q.toLong)): _*)
+    GroupRank.withRankAndCount(
+        df.select(col(groupCol), col(valueCol))
+          .filter(col(valueCol).isNotNull),
+        Seq(groupCol), Seq(col(valueCol).asc), "__rn", "__n")
+      .withColumn("q_bps", explode(filter(qArr, q =>
+        greatest(lit(1L),
+          GroupRank.intDiv(col("__n") * q + lit(9999L), lit(10000L)))
+          === col("__rn"))))
+      .select(col(groupCol), col("q_bps"), col(valueCol).as("value"))
+  }
+
   /** Per-row robust outlier flags for `valueCol` within `groupCol`
     * groups: a row is an outlier when |x − median| > k · MAD. With
     * MAD = 0 (more than half the group shares the median) any deviation

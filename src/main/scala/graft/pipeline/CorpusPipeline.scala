@@ -296,16 +296,17 @@ object CorpusPipeline {
   def gopherGate(docs: DataFrame, lineLen: Int = 10,
       maxDupLineFrac: Double = 0.3, maxTop2Frac: Double = 0.2,
       maxDup3Frac: Double = 0.6, cfg: Config = Config()): DataFrame = {
-    val sig = Lines.lineSignals(
-      Text.tokenLines(Text.tokens(col(cfg.textCol)), lineLen))
-    val rowGated = docs.withColumn("__ls", sig)
-      .filter(col("__ls.dup_line_frac") <= maxDupLineFrac)
-      .drop("__ls")
-    val ok = Lines.ngramRepetitionStats(rowGated, cfg.idCol, cfg.textCol)
-      .filter(col("top2_frac") <= maxTop2Frac &&
-        col("dup3_frac") <= maxDup3Frac)
-      .select(col(cfg.idCol))
-    rowGated.join(ok, Seq(cfg.idCol), "left_semi")
+    // both signal families are compiled scan-stage expressions now, so
+    // the whole gate is ONE map-only filter — no join, no shuffle
+    val ls = Lines.lineSignalsText(col(cfg.textCol), lineLen)
+    val mass = graft.plans.TextExpressions.ngramRepMass(col(cfg.textCol), 2, 3)
+    val nChars = length(col(cfg.textCol)).cast("long")
+    def frac(i: Int) = when(nChars > 0,
+      coalesce(element_at(mass, i), lit(0L)).cast("double") /
+        nChars.cast("double")).otherwise(lit(0.0))
+    docs
+      .filter(ls.getField("dup_line_frac") <= maxDupLineFrac)
+      .filter(frac(1) <= maxTop2Frac && frac(2) <= maxDup3Frac)
   }
 
   /** Per-source cap: at most `k` docs per `sourceCol`, best quality

@@ -226,6 +226,124 @@ object TokenScan {
     1.0 - sumSq.toDouble / (n.toDouble * n.toDouble)
   }
 
+  /** Gopher line signals in one compiled pass: fixed-width `lineLen`
+    * token lines (Text.tokenLines semantics), returning
+    * [n_lines, dup_lines, total_chars, dup_chars] where dup counts are
+    * occurrences beyond each line's first. `appendFirst` > 0 re-appends
+    * that many leading lines when the doc has >= 2 lines — the
+    * q_pii_redact synthesized-dirty idiom, folded into the scan so the
+    * dirty variant costs nothing extra.
+    */
+  def lineSignals(s: String, lineLen: Int, appendFirst: Int): Array[Long] = {
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    var start = -1
+    val len = s.length
+    while (i < len) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { tokens.add(s.substring(start, i)); start = -1 }
+      i += 1
+    }
+    if (start >= 0) tokens.add(s.substring(start))
+    val m = tokens.size
+    val nBase = if (m == 0) 0 else (m - 1) / lineLen + 1
+    val lines = new java.util.ArrayList[String](nBase + appendFirst)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w < nBase) {
+      sb.setLength(0)
+      var k = w * lineLen
+      val end = math.min(m, k + lineLen)
+      while (k < end) {
+        if (k > w * lineLen) sb.append(' ')
+        sb.append(tokens.get(k))
+        k += 1
+      }
+      lines.add(sb.toString)
+      w += 1
+    }
+    if (appendFirst > 0 && nBase >= 2) {
+      var j = 0
+      val take = math.min(appendFirst, nBase)
+      while (j < take) { lines.add(lines.get(j)); j += 1 }
+    }
+    val seen = new java.util.HashSet[String]()
+    var nLines = 0L; var dupLines = 0L; var totalChars = 0L; var dupChars = 0L
+    val it = lines.iterator()
+    while (it.hasNext) {
+      val l = it.next()
+      nLines += 1L
+      totalChars += l.length.toLong
+      if (!seen.add(l)) { dupLines += 1L; dupChars += l.length.toLong }
+    }
+    Array(nLines, dupLines, totalChars, dupChars)
+  }
+
+  /** Gopher n-gram repetition masses in one compiled pass:
+    * [top-mass of `nTop`-grams, duplicate-mass of `nDup`-grams] where a
+    * gram's mass is count × joined-string length, top takes the max over
+    * grams with count >= 2 (0 if none repeats) and dup sums them — the
+    * per-(doc, gram) shuffle chain folded into per-row hash counting.
+    */
+  def ngramRepMass(s: String, nTop: Int, nDup: Int): Array[Long] = {
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    var start = -1
+    val len = s.length
+    while (i < len) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { tokens.add(s.substring(start, i)); start = -1 }
+      i += 1
+    }
+    if (start >= 0) tokens.add(s.substring(start))
+    val m = tokens.size
+    def massOf(n: Int, top: Boolean): Long = {
+      if (m < n) return 0L
+      val counts = new java.util.HashMap[String, Long]()
+      val sb = new java.lang.StringBuilder
+      var g = 0
+      val total = m - n + 1
+      while (g < total) {
+        sb.setLength(0)
+        var k = g
+        while (k < g + n) {
+          if (k > g) sb.append(' ')
+          sb.append(tokens.get(k))
+          k += 1
+        }
+        val gram = sb.toString
+        counts.put(gram, counts.getOrDefault(gram, 0L) + 1L)
+        g += 1
+      }
+      var acc = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue >= 2L) {
+          val mass = e.getValue * e.getKey.length.toLong
+          if (top) { if (mass > acc) acc = mass } else acc += mass
+        }
+      }
+      acc
+    }
+    Array(massOf(nTop, top = true), massOf(nDup, top = false))
+  }
+
+  /** Catalyst-format entries for the array-returning scanners (codegen
+    * assigns straight into an ArrayData slot).
+    */
+  def lineSignalsData(s: String, lineLen: Int, appendFirst: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(lineSignals(s, lineLen, appendFirst))
+
+  def ngramRepMassData(s: String, nTop: Int, nDup: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(ngramRepMass(s, nTop, nDup))
+
   def repetitionRatio(s: String, n: Int): Double = {
     val tokens = new java.util.ArrayList[String]()
     var i = 0
@@ -419,6 +537,64 @@ case class RepetitionRatioExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Scalar: Gopher line signals [n_lines, dup_lines, total_chars,
+  * dup_chars] in one compiled pass (see TokenScan.lineSignals). The
+  * composed HOF form (tokenLines + aggregate + array_distinct, twice)
+  * interprets per-line lambdas per row — measured 10.8 s for the sf0.1
+  * catalog scan that this expression retires.
+  */
+case class LineSignalsExpr(child: Expression, lineLen: Int, appendFirst: Int)
+    extends UnaryExpression {
+  require(lineLen >= 1, s"lineLen must be >= 1, got $lineLen")
+  require(appendFirst >= 0, s"appendFirst must be >= 0, got $appendFirst")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"line_signals requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.lineSignalsData(input.asInstanceOf[UTF8String].toString,
+      lineLen, appendFirst)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TokenScan.lineSignalsData($c.toString(), $lineLen, $appendFirst)")
+
+  override protected def withNewChildInternal(newChild: Expression): LineSignalsExpr =
+    copy(child = newChild)
+}
+
+/** Scalar: Gopher n-gram repetition masses [top-nTop-gram mass,
+  * duplicated-nDup-gram mass] in one compiled pass (see
+  * TokenScan.ngramRepMass) — the per-(doc, gram) explode/groupBy chain
+  * folded into per-row hash counting, turning the operator map-only.
+  */
+case class NgramRepMassExpr(child: Expression, nTop: Int, nDup: Int)
+    extends UnaryExpression {
+  require(nTop >= 1 && nDup >= 1, s"gram sizes must be >= 1: $nTop, $nDup")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_rep_mass requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.ngramRepMassData(input.asInstanceOf[UTF8String].toString,
+      nTop, nDup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TokenScan.ngramRepMassData($c.toString(), $nTop, $nDup)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepMassExpr =
+    copy(child = newChild)
+}
+
 /** Scalar: Gini-impurity lexical diversity (see TokenScan.tokenGini). */
 case class TokenGiniExpr(child: Expression)
     extends UnaryExpression {
@@ -502,6 +678,20 @@ object TextExpressions {
   /** Column API: Gini-impurity lexical diversity (codegen'd single pass). */
   def tokenGini(c: Column): Column =
     GraftBridge.column(TokenGiniExpr(GraftBridge.expression(c)))
+
+  /** Column API: Gopher line signals [n_lines, dup_lines, total_chars,
+    * dup_chars] (codegen'd single pass).
+    */
+  def lineSignals(c: Column, lineLen: Int, appendFirst: Int = 0): Column =
+    GraftBridge.column(
+      LineSignalsExpr(GraftBridge.expression(c), lineLen, appendFirst))
+
+  /** Column API: Gopher n-gram repetition masses [top mass, dup mass]
+    * (codegen'd single pass).
+    */
+  def ngramRepMass(c: Column, nTop: Int, nDup: Int): Column =
+    GraftBridge.column(
+      NgramRepMassExpr(GraftBridge.expression(c), nTop, nDup))
 
   /** Column API: scan-stage SimHash fingerprint (codegen'd single pass). */
   def simhashFp(c: Column, bits: Int, a: Long, b: Long, m: Long): Column =

@@ -53,6 +53,54 @@ class LinesSpec extends AnyFunSuite {
       (2L, 28L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("compiled lineSignalsText equals the HOF reference on the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hof = docs.select(col("doc_id"),
+        Lines.lineSignals(Text.tokenLines(Text.tokens(col("text")), 10))
+          .as("s"))
+      .select(col("doc_id"), col("s.*"))
+    val compiled = docs.select(col("doc_id"),
+        Lines.lineSignalsText(col("text"), 10).as("s"))
+      .select(col("doc_id"), col("s.*"))
+    assert(hof.exceptAll(compiled).count() === 0L)
+    assert(compiled.exceptAll(hof).count() === 0L)
+    // the dirty (appendFirst) variant against the composed array form
+    val dirtyHof = docs.select(col("doc_id"),
+        Lines.lineSignals({
+          val ln = Text.tokenLines(Text.tokens(col("text")), 10)
+          when(size(ln) >= 2, concat(ln, slice(ln, 1, 2))).otherwise(ln)
+        }).as("s"))
+      .select(col("doc_id"), col("s.*"))
+    val dirtyCompiled = docs.select(col("doc_id"),
+        Lines.lineSignalsText(col("text"), 10, appendFirst = 2).as("s"))
+      .select(col("doc_id"), col("s.*"))
+    assert(dirtyHof.exceptAll(dirtyCompiled).count() === 0L)
+    assert(dirtyCompiled.exceptAll(dirtyHof).count() === 0L)
+  }
+
+  test("compiled ngramRepMass equals the exploded groupBy reference") {
+    import graft.plans.TextExpressions
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+    val toks = Text.tokens(col("text"))
+    def ref(n: Int) = docs
+      .select(col("doc_id"), explode(Text.wordNgrams(toks, n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .withColumn("m", col("c") * length(col("g")).cast("long"))
+    val refTop2 = ref(2).groupBy("doc_id").agg(max("m").as("top2"))
+      .as[(Long, Long)].collect().toMap
+    val refDup3 = ref(3).groupBy("doc_id").agg(sum("m").as("dup3"))
+      .as[(Long, Long)].collect().toMap
+    val got = docs.select(col("doc_id"),
+        TextExpressions.ngramRepMass(col("text"), 2, 3).as("m"))
+      .as[(Long, Seq[Long])].collect()
+    got.foreach { case (id, Seq(t2, d3)) =>
+      assert(t2 === refTop2.getOrElse(id, 0L), s"top2 doc $id")
+      assert(d3 === refDup3.getOrElse(id, 0L), s"dup3 doc $id")
+    }
+  }
+
   test("lineDedup keeps first occurrences corpus-wide and reconstructs") {
     // lineLen=2. doc 1: ["a b","c d"]; doc 2: ["a b","e f"] (loses "a b");
     // doc 3: ["a b","c d"] (loses everything → empty clean_text).

@@ -336,4 +336,48 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin [__tok") ||
       p.contains("BroadcastHashJoin [__tok"), p)
   }
+
+  test("domain cap and group quantiles ride the two-level rank") {
+    val badWindow =
+      "windowspecdefinition\\(source#\\d+, (quality|n_tokens)#".r
+    for (q <- Seq("q_domain_cap", "q_group_quantiles")) {
+      val p = plan(q)
+      assert(badWindow.findFirstIn(p).isEmpty,
+        s"$q has a group-keyed single-partition sort:\n$p")
+      assert(p.contains("__grshard"), s"$q lost the two-level rank:\n$p")
+    }
+  }
+
+  test("line dedup: equi-joins only, pruned scans, per-doc windows") {
+    val p = plan("q_line_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // first-occurrence min combines map-side below its exchange
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("blocklist: compiled single-pass scan, no per-phrase contains") {
+    val p = plan("q_blocklist")
+    assert(p.contains("blocklistmaskexpr") || p.contains("BlocklistMask"), p)
+    assert(!p.contains("Contains("), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("fs linkage: block-keyed equi-join, no all-pairs") {
+    val p = plan("q_fs_linkage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("funnel and retention: filtered equi-joins with partial mins") {
+    for (q <- Seq("q_funnel", "q_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("partial_min") || p.contains("partial_count"),
+        s"$q lost partial aggregation:\n$p")
+    }
+  }
 }

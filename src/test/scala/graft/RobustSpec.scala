@@ -66,4 +66,24 @@ class RobustSpec extends AnyFunSuite {
     assert(out.contains(("c", 6L, true)))
     assert(out.filter(_._1 == "c").count(_._3) == 1)
   }
+
+  test("groupQuantiles: percentile_disc rank selection, hand-computed") {
+    import org.apache.spark.sql.functions.col
+    // group a: values 10..19 (n=10). p25 -> rank ceil(2.5)=3 -> 12,
+    // p50 -> rank 5 -> 14, p99 -> rank ceil(9.9)=10 -> 19.
+    // group b: single value (every quantile = it, rank clamps to 1).
+    val df = ((10 to 19).map(v => ("a", v.toLong)) :+ (("b", 7L)))
+      .toDF("g", "v")
+    val out = Robust.groupQuantiles(df, "g", "v", Seq(2500, 5000, 9900))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("a", 2500L, 12L), ("a", 5000L, 14L), ("a", 9900L, 19L),
+      ("b", 2500L, 7L), ("b", 5000L, 7L), ("b", 9900L, 7L)))
+    // partitioning-invariant, and ties pick the same VALUE
+    val tied = Seq(("t", 1L), ("t", 5L), ("t", 5L), ("t", 5L), ("t", 9L))
+      .toDF("g", "v").repartition(7)
+    val q = Robust.groupQuantiles(tied, "g", "v", Seq(5000))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(q === Seq(("t", 5000L, 5L)))
+  }
 }
