@@ -35,6 +35,21 @@ object SparkEntry {
     * so the rational-idf weighting visibly reorders the hits. */
   val bm25Query: Seq[String] = Seq("dup", "vector", "merge")
 
+  /** WordPiece vocabulary for q_wordpiece: common corpus words, their
+    * fragments, and all single letters except x/z (so x/z-bearing words
+    * exercise the [UNK] fallback). ONE Seq feeds both the expression and
+    * the oracle's interpolated literal — bit-position/order parity is
+    * structural.
+    */
+  val wpVocab: Seq[String] = {
+    val words = Seq("table", "value", "window", "batch", "query", "spark",
+      "scan", "merge", "data", "part", "row", "key", "the", "line", "hash")
+    val sub = Seq("ta", "ble", "val", "ue", "win", "dow", "qu", "ery", "ba",
+      "tch", "sc", "an", "me", "rge", "da", "pa", "rt", "li", "ne", "ha", "sh")
+    val letters = ('a' to 'y').filterNot(_ == 'x').map(_.toString)
+    words ++ sub ++ letters
+  }
+
   /** Blocklist phrases for q_blocklist — a mix of substrings present in
     * the synthetic corpus and absent ones (bit positions = Seq order;
     * single-quote-free so the oracle can inline them verbatim).
@@ -725,6 +740,25 @@ object SparkEntry {
           Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
       graft.functions.Quality.percentileGate(docs, "source", "quality",
           keepBps = 2500, tieCol = "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // WordPiece greedy segmentation (tokenizer INFERENCE for a given
+    // vocab — BPE covers training): longest-match pieces per word with
+    // [UNK] single-char fallback, one compiled pass, map-only; fertility
+    // (pieces per word) is the tokenizer-quality headline stat.
+    "q_wordpiece" -> { (s, d) =>
+      val pieces = graft.plans.WordPiece.wordpiece(col("text"),
+        SparkEntry.wpVocab)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(pieces, " ").as("pieces"),
+          size(pieces).cast("long").as("n_pieces"),
+          Text.tokenCount(col("text")).cast("long").as("n_words"))
+        .withColumn("fertility",
+          when(col("n_words") > 0,
+            col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .otherwise(lit(0.0)))
         .orderBy(col("doc_id"))
     },
 
@@ -2326,6 +2360,38 @@ object SparkEntry {
             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
           SELECT doc_id, source, quality FROM r
           WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
+    "q_wordpiece" -> {
+      val vocabLits = wpVocab.map(p => s"'$p'").mkString(", ")
+      val longest = """(SELECT v.piece FROM vocab v
+        WHERE starts_with(rem, v.piece)
+        ORDER BY len(v.piece) DESC LIMIT 1)"""
+      s"""WITH RECURSIVE vocab(piece) AS (SELECT unnest([$vocabLits])),
+          tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          words AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS wi,
+            unnest(tk) AS w FROM tk WHERE len(tk) > 0),
+          rec(doc_id, wi, done, rem) AS (
+            SELECT doc_id, wi, CAST('' AS VARCHAR), w FROM words
+            UNION ALL
+            SELECT doc_id, wi,
+              done || ' ' || coalesce($longest, '[UNK]'),
+              CASE WHEN $longest IS NULL THEN rem[2:]
+                   ELSE rem[len($longest) + 1:] END
+            FROM rec WHERE rem != ''),
+          fin AS (SELECT doc_id, wi, trim(done) AS wp FROM rec
+            WHERE rem = ''),
+          agg AS (SELECT doc_id,
+            string_agg(wp, ' ' ORDER BY wi) AS pieces,
+            CAST(sum(len(string_split(wp, ' '))) AS BIGINT) AS n_pieces
+            FROM fin GROUP BY 1),
+          n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words FROM tk)
+          SELECT n.doc_id, coalesce(pieces, '') AS pieces,
+            CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces, n_words,
+            CASE WHEN n_words > 0 THEN CAST(coalesce(n_pieces, 0) AS DOUBLE)
+                 / CAST(n_words AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+              AS fertility
+          FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id"""
     },
 
     "q_profile" -> {
