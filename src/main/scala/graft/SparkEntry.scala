@@ -743,6 +743,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Curriculum ordering: quality-ranked NTILE difficulty tiers,
+    // round-robin interleaved into a dense deterministic training order
+    // — one two-level ranking pass, tier + position in closed form.
+    "q_curriculum" -> { (s, d) =>
+      graft.functions.Sampling.curriculumOrder(
+          Tables.documents(s, d).select(col("doc_id"),
+            Text.qualityScore(col("text"), SparkEntry.stopwords)
+              .as("quality")),
+          "doc_id", "quality", 4)
+        .orderBy(col("order_idx"))
+    },
+
     // WordPiece greedy segmentation (tokenizer INFERENCE for a given
     // vocab — BPE covers training): longest-match pieces per word with
     // [UNK] single-char fallback, one compiled pass, map-only; fertility
@@ -2360,6 +2372,26 @@ object SparkEntry {
             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
           SELECT doc_id, source, quality FROM r
           WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
+    "q_curriculum" -> {
+      val hits = duckMarkerHits(stopwords)
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          t2 AS (SELECT doc_id,
+            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS stop_ratio, tk FROM t),
+          q AS (SELECT doc_id,
+            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+          r AS (SELECT doc_id, quality,
+            CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS n,
+            CAST(ntile(4) OVER (ORDER BY quality, doc_id) AS BIGINT) AS bucket
+            FROM q)
+          SELECT doc_id, quality, bucket,
+            (rn - ((bucket - 1) * (n // 4) + least(bucket - 1, n % 4)) - 1)
+              * 4 + bucket AS order_idx
+          FROM r ORDER BY order_idx"""
     },
 
     "q_wordpiece" -> {

@@ -346,4 +346,38 @@ object Sampling {
         round(col("alloc").cast("double") / col("n_tokens").cast("double"), 6)
           .as("epochs"))
   }
+
+  /** Curriculum ordering (Bengio et al. 2009): rank the corpus by a
+    * difficulty score, cut it into `nBuckets` NTILE difficulty tiers,
+    * and emit a deterministic training order that ROUND-ROBINS the
+    * tiers — position (r-1)·k + bucket for the bucket's r-th doc — so
+    * every training window sees the full difficulty mixture while tier
+    * identity stays available for staged curricula (train on buckets
+    * 1..i, then widen).
+    *
+    * One two-level global ranking pass ([[GroupRank]] with a constant
+    * group — the range exchange still yields bounded partitions); tier
+    * and position derive from the global rank in closed form (standard
+    * NTILE arithmetic: the first n mod k tiers take one extra row), so
+    * no second shuffle. Output: (idCol, scoreCol, bucket, order_idx),
+    * order_idx a dense 1..n permutation — the shard writer's sort key.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val kL = lit(nBuckets.toLong)
+    val ranked = GroupRank.withRankAndCount(
+      df.select(col(idCol), col(scoreCol)).withColumn("__one", lit(1)),
+      Seq("__one"), Seq(col(scoreCol).asc, col(idCol).asc), "__rn", "__n")
+    val q = GroupRank.intDiv(col("__n"), kL)
+    val r = col("__n") % kL
+    val bucket = GroupRank.ntileFromRank(col("__rn"), col("__n"), nBuckets)
+    // rows before bucket b: (b-1)·q + min(b-1, r)
+    val before = (bucket - 1L) * q + least(bucket - 1L, r)
+    val rb = col("__rn") - before
+    ranked
+      .withColumn("bucket", bucket)
+      .withColumn("order_idx", (rb - 1L) * kL + col("bucket"))
+      .select(col(idCol), col(scoreCol), col("bucket"), col("order_idx"))
+  }
 }

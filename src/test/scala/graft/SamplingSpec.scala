@@ -276,4 +276,27 @@ class SamplingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("curriculumOrder: dense round-robin interleave of NTILE tiers") {
+    import org.apache.spark.sql.functions.col
+    // 10 docs, difficulty = id (ascending); k = 4 -> tiers sized 3,3,2,2
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val out = Sampling.curriculumOrder(df.repartition(5), "id", "s", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    // order_idx is a dense 1..n permutation
+    assert(out.map(_._3).toSeq === (1L to 10L))
+    // the first k positions hold one doc of EACH tier, easiest first:
+    // tier starts are docs 1, 4, 7, 9
+    assert(out.take(4).map(_._1).toSeq === Seq(1L, 4L, 7L, 9L))
+    assert(out.take(4).map(_._2).toSeq === Seq(1L, 2L, 3L, 4L))
+    // tiers partition the ranked corpus into contiguous runs 3/3/2/2
+    val byTier = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byTier(1L) === Set(1L, 2L, 3L))
+    assert(byTier(2L) === Set(4L, 5L, 6L))
+    assert(byTier(3L) === Set(7L, 8L))
+    assert(byTier(4L) === Set(9L, 10L))
+    // exhausted tiers simply drop out of the tail of the rotation
+    assert(out.drop(8).map(_._1).toSeq === Seq(3L, 6L))
+  }
 }
