@@ -945,6 +945,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Personalized PageRank from a 5-doc seed set over the SNM candidate
+    // graph — seeded-teleport proximity ("expand the seed batch"), ranks
+    // bit-exact under the 2-round unrolled oracle. Top 25 by rank.
+    "q_ppr" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.personalizedPageRank(cand, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id",
+          docs.filter(col("doc_id") < 5).select(col("doc_id")), iters = 2)
+        .orderBy(col("rank_q").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // Graph cohesion: per-doc triangle support in the SNM candidate
     // graph (degree-oriented enumeration — wedge volume O(m^1.5)
     // whatever the hubs). Triangle-dense neighborhoods are genuine
@@ -2825,6 +2839,45 @@ object SparkEntry {
             FROM l1 v LEFT JOIN p2 p USING (id))
           SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label
           FROM l2 ORDER BY doc_id""",
+
+    "q_ppr" ->
+      """WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            WHERE id_a <> id_b
+            UNION SELECT id_b, id_a FROM cand WHERE id_a <> id_b),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM sym
+            GROUP BY 1),
+          seeds AS (SELECT doc_id FROM documents WHERE doc_id < 5),
+          ns AS (SELECT count(*) AS n FROM seeds),
+          r0 AS (SELECT d.doc_id,
+            CASE WHEN s.doc_id IS NOT NULL
+              THEN CAST(1000000000000 AS HUGEINT) // n ELSE 0 END AS rq
+            FROM documents d LEFT JOIN seeds s USING (doc_id) CROSS JOIN ns),
+          c1 AS (SELECT e.dst AS doc_id, sum(r.rq // d.dg) AS inm
+            FROM sym e JOIN r0 r ON r.doc_id = e.src
+            JOIN deg d ON d.src = e.src GROUP BY 1),
+          r1 AS (SELECT v.doc_id,
+            (CASE WHEN s.doc_id IS NOT NULL
+               THEN CAST(3000000000000 AS HUGEINT) // (n * 20) ELSE 0 END)
+              + (17 * coalesce(c.inm, 0)) // 20 AS rq
+            FROM documents v LEFT JOIN seeds s USING (doc_id) CROSS JOIN ns
+            LEFT JOIN c1 c ON c.doc_id = v.doc_id),
+          c2 AS (SELECT e.dst AS doc_id, sum(r.rq // d.dg) AS inm
+            FROM sym e JOIN r1 r ON r.doc_id = e.src
+            JOIN deg d ON d.src = e.src GROUP BY 1),
+          r2 AS (SELECT v.doc_id,
+            (CASE WHEN s.doc_id IS NOT NULL
+               THEN CAST(3000000000000 AS HUGEINT) // (n * 20) ELSE 0 END)
+              + (17 * coalesce(c.inm, 0)) // 20 AS rq
+            FROM documents v LEFT JOIN seeds s USING (doc_id) CROSS JOIN ns
+            LEFT JOIN c2 c ON c.doc_id = v.doc_id)
+          SELECT doc_id, CAST(rq AS BIGINT) AS rank_q,
+            CAST(rq AS DOUBLE) / 1000000000000.0 AS score
+          FROM r2 ORDER BY rank_q DESC, doc_id ASC LIMIT 25""",
 
     // The oracle enumerates triangles canonically (a < b < c over the
     // undirected edge set) — orientation-free, so it matches whatever

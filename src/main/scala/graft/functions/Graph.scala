@@ -113,6 +113,68 @@ object Graph {
       .limit(k)
   }
 
+  /** Personalized PageRank (Page et al. 1998 §6; the seeded-teleport
+    * form behind "expand this seed set over the similarity graph" —
+    * finding documents graph-close to a curated seed batch): teleport
+    * mass lands ONLY on the seeds, so rank measures proximity to the
+    * seed set rather than global centrality. Unweighted undirected
+    * candidate graph (each distinct pair contributes degree 1 both
+    * ways); damping 17/20, `iters` fixed rounds from the seed-uniform
+    * start; isolated vertices keep exactly their base mass.
+    *
+    * Same fixed-point integer discipline as [[textRank]] — 10^12-scaled
+    * ranks, integral divisions of decimal(38,0) products, order-free
+    * sums — so both engines produce bit-identical ranks. Per round: one
+    * equi-join of the rank table against the symmetric edge list + one
+    * partial-aggregable sum + one vertex-keyed left join. Output:
+    * (idCol, rank_q, score), every vertex.
+    */
+  def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+      vertices: DataFrame, idCol: String, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dec = "decimal(38,0)"
+    // one pass emits both orientations; distinct collapses duplicate
+    // candidate pairs to unit weight
+    val sym = pairs
+      .filter(col(aCol) =!= col(bCol))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src"), col("__e.dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("out_w"))
+    val seedSet = seeds.select(col(idCol)).distinct()
+    val nSeeds = broadcast(
+      seedSet.agg(count(lit(1)).cast("long").as("n_seeds")))
+    val verts = vertices.select(col(idCol)).distinct()
+      .join(seedSet.withColumn("__s", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__s"), lit(0L)).as("__s"))
+      .crossJoin(nSeeds)
+      .localCheckpoint(true)
+    var rank = verts.select(col(idCol),
+      expr(s"CAST(__s * $RScale AS $dec) div n_seeds")
+        .cast("long").as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(rank.withColumnRenamed(idCol, "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as(idCol),
+          expr(s"CAST(rank_q AS $dec) div out_w").as("__c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).cast("long").as("__in"))
+      rank = verts.join(contrib, Seq(idCol), "left")
+        .select(col(idCol),
+          (expr(s"CAST(__s * ${RScale * 3L} AS $dec) div (n_seeds * 20)") +
+            expr(s"(CAST(17 AS $dec) * coalesce(__in, CAST(0 AS LONG))) div 20"))
+            .cast("long").as("rank_q"))
+    }
+    rank.withColumn("score",
+      col("rank_q").cast("double") / lit(RScale.toDouble))
+  }
+
   /** Deterministic synchronous label propagation (Raghavan et al. 2007)
     * — community detection, the third graph primitive alongside
     * connected components (reachability) and PageRank (centrality):

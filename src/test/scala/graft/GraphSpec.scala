@@ -121,4 +121,40 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("personalized PageRank: rank measures proximity to the seeds") {
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4-5, isolated 9; seed {1}
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("id")
+    // 12 rounds ≈ stationarity: the synchronous iteration OSCILLATES at
+    // few rounds (the seed pushes 85% of its mass out each step — after
+    // 3 rounds vertex 2 outranks the seed), so distance-monotone decay
+    // is a CONVERGED property, asserted here at depth 12
+    val r = Graph.personalizedPageRank(es, "a", "b", vs, "id", seeds, 12)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L) &&
+      r(4L) > r(5L) && r(5L) > 0L, r.toString)
+    assert(r(9L) === 0L)
+    // seeded teleport differs from global PageRank: re-seeding on 5
+    // mirrors the ranking from the other end
+    val r5 = Graph.personalizedPageRank(es, "a", "b", vs, "id",
+        Seq(5L).toDF("id"), 12)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r5(5L) > r5(4L) && r5(4L) > r5(3L))
+    assert(r5(1L) === r(5L), "path symmetry under mirrored seeds")
+  }
+
+  test("personalized PageRank: an isolated SEED keeps its base mass") {
+    import org.apache.spark.sql.functions.col
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val es = Seq((2L, 3L)).toDF("a", "b")
+    val r = Graph.personalizedPageRank(es, "a", "b", vs, "id",
+        Seq(1L).toDF("id"), 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // base = (3/20)·10^12 with no incoming mass, rounds idempotent
+    assert(r(1L) === 150000000000L, r.toString)
+    assert(r(2L) === 0L && r(3L) === 0L)
+  }
 }
