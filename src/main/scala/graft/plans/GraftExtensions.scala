@@ -38,6 +38,40 @@ object GraftFunctions {
     n
   }
 
+  /** Extract a non-null array<string> literal argument (word lists,
+    * phrase lists, vocabularies) or fail analysis with a named error.
+    */
+  private def requireStringArrayLiteral(fn: String, what: String,
+      e: Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val isStrArr = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    val v = if (e.foldable && isStrArr) e.eval() else null
+    if (v == null) // non-literal, wrong type, or a NULL literal
+      throw new IllegalArgumentException(
+        s"$fn: the $what must be a non-null array<string> literal")
+    val items = v.asInstanceOf[ArrayData].toObjectArray(StringType)
+      .map(x => if (x == null) null else x.toString)
+    if (items.contains(null))
+      throw new IllegalArgumentException(
+        s"$fn: the $what must not contain nulls")
+    items.toSeq
+  }
+
+  /** Extract a non-null string literal argument. */
+  private def requireStringLiteral(fn: String, what: String,
+      e: Expression): String = {
+    import org.apache.spark.sql.types.StringType
+    val v = if (e.foldable && e.dataType == StringType) e.eval() else null
+    if (v == null)
+      throw new IllegalArgumentException(
+        s"$fn: the $what must be a non-null string literal")
+    v.toString
+  }
+
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("poly_hash", classOf[PolyHashExpr], {
       case Seq(c) => PolyHashExpr(c)
@@ -92,24 +126,47 @@ object GraftFunctions {
     }: Seq[Expression] => Expression),
     ("marker_hits", classOf[MarkerHitsExpr], {
       case Seq(c, w) =>
-        import org.apache.spark.sql.catalyst.util.ArrayData
-        import org.apache.spark.sql.types.{ArrayType, StringType}
-        val isStrArr = w.dataType match {
-          case ArrayType(StringType, _) => true
-          case _ => false
-        }
-        val v = if (w.foldable && isStrArr) w.eval() else null
-        if (v == null) // non-literal, wrong type, or a NULL literal
-          throw new IllegalArgumentException(
-            "marker_hits: the word list must be a non-null array<string> literal")
-        val words = v.asInstanceOf[ArrayData].toObjectArray(StringType)
-          .map(x => if (x == null) null else x.toString)
-        if (words.contains(null))
-          throw new IllegalArgumentException(
-            "marker_hits: the word list must not contain nulls")
-        MarkerHitsExpr(c, words.toSeq)
+        MarkerHitsExpr(c,
+          requireStringArrayLiteral("marker_hits", "word list", w))
       case args => throw new IllegalArgumentException(
         s"marker_hits expects (text, words), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
+    ("blocklist_mask", classOf[BlocklistMaskExpr], {
+      case Seq(c, p) =>
+        BlocklistMaskExpr(c,
+          requireStringArrayLiteral("blocklist_mask", "phrase list", p))
+      case args => throw new IllegalArgumentException(
+        s"blocklist_mask expects (text, phrases), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
+    ("wordpiece", classOf[WordPieceExpr], {
+      case Seq(c, v) =>
+        WordPieceExpr(c,
+          requireStringArrayLiteral("wordpiece", "vocabulary", v), "[UNK]")
+      case Seq(c, v, u) =>
+        WordPieceExpr(c,
+          requireStringArrayLiteral("wordpiece", "vocabulary", v),
+          requireStringLiteral("wordpiece", "unknown token", u))
+      case args => throw new IllegalArgumentException(
+        s"wordpiece expects (text, vocab[, unk]), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
+    ("line_signals", classOf[LineSignalsExpr], {
+      case Seq(c, l) =>
+        LineSignalsExpr(c,
+          requireIntLiteral("line_signals", "line length", l, 1), 0)
+      case Seq(c, l, a) =>
+        LineSignalsExpr(c,
+          requireIntLiteral("line_signals", "line length", l, 1),
+          requireIntLiteral("line_signals", "append count", a, 0))
+      case args => throw new IllegalArgumentException(
+        s"line_signals expects (text, lineLen[, appendFirst]), got ${args.length} arguments")
+    }: Seq[Expression] => Expression),
+    ("ngram_rep_mass", classOf[NgramRepMassExpr], {
+      case Seq(c, t, d) =>
+        NgramRepMassExpr(c,
+          requireIntLiteral("ngram_rep_mass", "top-gram size", t, 1),
+          requireIntLiteral("ngram_rep_mass", "dup-gram size", d, 1))
+      case args => throw new IllegalArgumentException(
+        s"ngram_rep_mass expects (text, nTop, nDup), got ${args.length} arguments")
     }: Seq[Expression] => Expression),
     ("cosine_sim", classOf[CosineSimExpr], {
       case Seq(a, b) => CosineSimExpr(a, b)

@@ -169,6 +169,30 @@ class TopKExtensionsSpec extends AnyFunSuite {
       "SELECT rp_lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS b")
       .head().getLong(0)
     assert(bk >= 0 && bk < 16)
+    // session-three additions: blocklist, wordpiece, line/gram signals
+    val bm = spark.sql(
+      "SELECT blocklist_mask('the quick fox', array('quick', 'absent')) AS m")
+      .head().getLong(0)
+    assert(bm === 1L)
+    val wp = spark.sql(
+      "SELECT wordpiece('tab', array('ta', 'b')) AS p").head().getSeq[String](0)
+    assert(wp === Seq("ta", "b"))
+    val wpu = spark.sql(
+      "SELECT wordpiece('z', array('a'), '<u>') AS p").head().getSeq[String](0)
+    assert(wpu === Seq("<u>"))
+    val ls = spark.sql(
+      "SELECT line_signals('a b a b', 2) AS s").head().getSeq[Long](0)
+    assert(ls === Seq(2L, 1L, 6L, 3L)) // lines "a b","a b": 1 dup
+    val nm = spark.sql(
+      "SELECT ngram_rep_mass('x y x y x y', 2, 3) AS m").head().getSeq[Long](0)
+    assert(nm === Seq(9L, 20L)) // the LinesSpec hand fixture
+    // literal contracts fail analysis with named errors
+    intercept[Exception] {
+      spark.sql("SELECT blocklist_mask('t', array(1, 2))").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT line_signals('t', 0)").collect()
+    }
   }
 
   test("GraftExtensions wires functions, strategy, and rewrite into a new session") {
