@@ -438,6 +438,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel: MapState progress, completion, and timeout") {
+    import graft.streaming.{FunnelEvent, FunnelResult, StatefulFunnel}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[FunnelEvent]
+      val out = StatefulFunnel.funnelStream(mem.toDS(),
+        Seq("signup", "click", "purchase"), timeoutMs = 60000)
+      val q = out.writeStream.format("memory").queryName("tws_funnel")
+        .outputMode("append").start()
+      // u1 progresses across batches and completes; u2 reaches step 1
+      // and stalls; a simultaneous step-2 event must NOT advance u3
+      mem.addData(
+        FunnelEvent(1L, ts("2024-01-01 00:00:00"), "signup"),
+        FunnelEvent(2L, ts("2024-01-01 00:00:00"), "signup"),
+        FunnelEvent(3L, ts("2024-01-01 00:00:00"), "signup"),
+        FunnelEvent(3L, ts("2024-01-01 00:00:00"), "click"))
+      q.processAllAvailable()
+      mem.addData(
+        FunnelEvent(1L, ts("2024-01-01 00:00:10"), "click"),
+        FunnelEvent(1L, ts("2024-01-01 00:00:20"), "purchase"))
+      q.processAllAvailable()
+      val afterComplete = spark.table("tws_funnel").as[FunnelResult]
+        .collect().map(r => r.user_id -> r).toMap
+      assert(afterComplete(1L).completed && afterComplete(1L)
+        .steps_completed === 3L, afterComplete.toString)
+      assert(afterComplete(1L).t_first === ts("2024-01-01 00:00:00").getTime)
+      assert(afterComplete(1L).t_last === ts("2024-01-01 00:00:20").getTime)
+      assert(!afterComplete.contains(2L) && !afterComplete.contains(3L))
+      // advance the watermark far past every stalled funnel's timeout,
+      // then flush the fired-timer output
+      mem.addData(FunnelEvent(9L, ts("2024-01-01 02:00:00"), "signup"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(9L, ts("2024-01-01 02:00:01"), "view"))
+      q.processAllAvailable()
+      val fin = spark.table("tws_funnel").as[FunnelResult]
+        .collect().map(r => r.user_id -> r).toMap
+      assert(!fin(2L).completed && fin(2L).steps_completed === 1L, fin.toString)
+      // u3's simultaneous click never advanced it past signup
+      assert(!fin(3L).completed && fin(3L).steps_completed === 1L, fin.toString)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("tws session timers survive a checkpoint restart") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
