@@ -1958,6 +1958,34 @@ object SparkEntry {
         .orderBy(col("window_start"))
     },
 
+    // Arbitrary GROUPING SETS with grouping_id — the general form under
+    // rollup/cube (q_rollup/q_cube cover the prefix/powerset shapes).
+    "q_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    // UNPIVOT/melt: the four lineitem measures into (metric, value) rows
+    // — the wide-to-long reshape dual of q_pivot.
+    "q_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+
     // GROUP BY + HAVING (post-aggregation filter).
     "q_having" -> { (s, d) =>
       Tables.orders(s, d)
@@ -4401,6 +4429,26 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           (o_orderstatus), ())
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           metric, value
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax FROM lineitem)
+         UNPIVOT (value FOR metric IN
+           (l_quantity, l_extendedprice, l_discount, l_tax))
+         ORDER BY l_orderkey, l_linenumber, metric""",
 
     "q_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
