@@ -1958,6 +1958,26 @@ object SparkEntry {
         .orderBy(col("window_start"))
     },
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE): depth labeling of the
+    // implicit binary-heap hierarchy over doc ids (parent of n > 0 is
+    // (n-1) div 2) — tree recursion has unique paths, so UNION ALL (the
+    // only recursive combinator Spark supports; UNION dedup is not yet
+    // in) stays linear, and the per-depth rollup rides on top.
+    "q_recursive" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"))
+        .createOrReplaceTempView("__rec_docs")
+      s.sql("""
+        WITH RECURSIVE tree(doc_id, depth) AS (
+          SELECT doc_id, 0 FROM __rec_docs WHERE doc_id = 0
+          UNION ALL
+          SELECT d.doc_id, t.depth + 1
+          FROM __rec_docs d JOIN tree t ON (d.doc_id - 1) DIV 2 = t.doc_id
+          WHERE d.doc_id > 0)
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM tree GROUP BY depth ORDER BY depth""")
+    },
+
     // Arbitrary GROUPING SETS with grouping_id — the general form under
     // rollup/cube (q_rollup/q_cube cover the prefix/powerset shapes).
     "q_grouping_sets" -> { (s, d) =>
@@ -4429,6 +4449,17 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_recursive" ->
+      """WITH RECURSIVE tree(doc_id, depth) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id = 0
+           UNION ALL
+           SELECT d.doc_id, t.depth + 1
+           FROM documents d JOIN tree t ON (d.doc_id - 1) // 2 = t.doc_id
+           WHERE d.doc_id > 0)
+         SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM tree GROUP BY depth ORDER BY depth""",
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
