@@ -2148,6 +2148,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from_us"))
     },
 
+    // Native session_window aggregation — Spark's built-in gap-session
+    // operator, cross-checked against the first-principles gaps-and-
+    // islands SQL (q_sessionize's manual form). Boundary semantics: a
+    // gap of EXACTLY the 30-minute window starts a new session (the
+    // event lands at the previous session's exclusive end), so the
+    // oracle's split rule is >=, not >.
+    "q_session_window" -> { (s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     "q_sessionize" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -4607,6 +4626,26 @@ object SparkEntry {
            lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
              IS NULL AS is_current
          FROM c ORDER BY user_id, valid_from_us""",
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+           FROM events),
+         l AS (SELECT user_id, us, value,
+           lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS prev_us FROM e),
+         m AS (SELECT user_id, us, value,
+           CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                THEN 1 ELSE 0 END AS is_new FROM l),
+         s AS (SELECT user_id, us, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+             ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         SELECT user_id,
+           strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S')
+             AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

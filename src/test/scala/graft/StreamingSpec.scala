@@ -438,6 +438,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state store reader exposes transformWithState state offline") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StatefulCard
+    val root = TestSpark.tmpDir("tws_statereader")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("n_tokens", LongType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      Seq(("web", 10L), ("web", 5L), ("books", 7L)).toDF("source", "n_tokens")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q = StatefulCard.runningCardStream(
+          spark.readStream.schema(schema).parquet(src), "source", "n_tokens")
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.RunningCard], _: Long) =>
+          batch.write.mode("append").parquet(s"$root/out"): Unit
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the state data source reads the CHECKPOINTED state offline — the
+      // ops story for debugging a live job's keyed state without
+      // touching the job. transformWithState state is addressed by
+      // variable name.
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "card")
+        .load(s"$root/cp")
+      val cards = state.select("key.value", "value.n_docs", "value.n_tokens")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(cards === Map("web" -> (2L, 15L), "books" -> (1L, 7L)), cards)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel: MapState progress, completion, and timeout") {
     import graft.streaming.{FunnelEvent, FunnelResult, StatefulFunnel}
     import spark.implicits._
