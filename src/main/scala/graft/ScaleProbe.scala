@@ -52,7 +52,8 @@ object ScaleProbe {
       "bpe_train", "winnow", "dsir", "kn_lm", "jaccard_prefix",
       "mutual_knn", "blocked_cc", "blocked_cc_isolated", "snm",
       "corpus_shuffle", "kcenter",
-      "unigram_tv", "line_dedup", "blocklist", "skew_join")
+      "unigram_tv", "line_dedup", "blocklist", "events_analytics",
+      "skew_join")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -549,6 +550,32 @@ object ScaleProbe {
       val tNaive64 = (System.nanoTime() - t3) / 1e9
       require(nAc64 == nNaive64, s"AC64 $nAc64 != naive64 $nNaive64")
       println(f"""{"probe":"blocklist","mult":$mult,"docs":${nBase * mult},"phrases":64,"hits":$nAc64,"sec_ac":$tAc64%.2f,"sec_naive":$tNaive64%.2f}""")
+    }
+
+    // Event-analytics probe: funnel + retention + SCD2 over the events
+    // stream replicated with DISJOINT user spaces (each replica shifts
+    // user_id), so per-user state stays constant while users multiply —
+    // the fan-out axis these operators scale along. All three are
+    // filtered equi-joins / partial aggregates / bounded per-user
+    // windows: linear walls expected.
+    for (mult <- Seq(1, 4, 16) if want("events_analytics")) {
+      val ev = Tables.eventsTs(spark, sfDir)
+      val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+      val reps = spark.range(mult).select(col("id").as("rep"))
+      val events = ev.crossJoin(reps)
+        .select((col("user_id") + col("rep") * maxUser).as("user_id"),
+          col("ts"), col("event_type"), col("value"), col("event_id"))
+      val t0 = System.nanoTime()
+      val nF = graft.functions.Events.funnel(events, "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase")).count()
+      val t1 = System.nanoTime()
+      val nR = graft.functions.Events.retention(events, "user_id", "ts",
+        604800000000L).agg(sum(col("n_users"))).head().getLong(0)
+      val t2 = System.nanoTime()
+      val nS = graft.functions.Events.scd2(events, "user_id",
+        "event_type", "ts", "event_id").count()
+      val t3 = System.nanoTime()
+      println(f"""{"probe":"events_analytics","mult":$mult,"funnel_users":$nF,"retained":$nR,"scd2_rows":$nS,"sec_funnel":${(t1 - t0) / 1e9}%.2f,"sec_retention":${(t2 - t1) / 1e9}%.2f,"sec_scd2":${(t3 - t2) / 1e9}%.2f}""")
     }
 
     // Skew probe: one hot key holding ~90% of an 8x-replicated lineitem,
