@@ -1260,6 +1260,20 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // Sketch-vs-exact calibration: the MinHash (k=64) estimate of the
+    // source-overlap Jaccard matrix joined against the exact matrix with
+    // the absolute error per pair — the report that justifies replacing
+    // the per-gram pair join with one signature per source at scale.
+    "q_source_overlap_mh" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val est = Dedup.sourceOverlapMinhash(docs, "source", "text", 3, 64)
+      val exact = Dedup.sourceOverlap(docs, "source", "text", 3)
+        .select(col("src_a"), col("src_b"), col("jaccard"))
+      est.join(exact, Seq("src_a", "src_b"))
+        .withColumn("abs_err", abs(col("jaccard_est") - col("jaccard")))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Exact per-source token-count quantiles (p25/p50/p99) by rank
     // selection — percentile_disc semantics from ONE two-level ranking
     // pass, never a per-group sort task or value buffer.
@@ -3250,6 +3264,51 @@ object SparkEntry {
           SELECT doc_id, source, n_tokens, med, mad,
             adev > 3.0 * mad AS is_outlier
           FROM d JOIN md USING (source) ORDER BY doc_id""",
+
+    "q_source_overlap_mh" -> {
+      val perms = (0 until 64)
+        .map(j => s"(${j}, ${Dedup.permA(j)}, ${Dedup.permB(j)})")
+        .mkString(", ")
+      s"""WITH tk AS (SELECT source, ${duckToks("text")} AS tk FROM documents),
+          sh0 AS (SELECT source, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          ids AS (SELECT source, ${duckPolyId("gram")} AS tid FROM sh0),
+          perms AS (SELECT * FROM (VALUES $perms) p(j, a, b)),
+          sig AS (SELECT source, j,
+            min((tid * a + b) % ${Dedup.MersennePrime}) AS mh
+            FROM ids CROSS JOIN perms GROUP BY source, j),
+          est AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+              AS matching_mins
+            FROM sig a JOIN sig b USING (j) WHERE a.source < b.source
+            GROUP BY 1, 2),
+          sh AS (SELECT DISTINCT source, ${duckPolyId("gram")} AS tid
+            FROM sh0),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh
+            GROUP BY 1),
+          keep AS (SELECT tid FROM sh GROUP BY tid HAVING count(*) <= 1000),
+          c AS (SELECT sh.* FROM sh SEMI JOIN keep USING (tid)),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS shared_grams
+            FROM c a JOIN c b USING (tid) WHERE a.source < b.source
+            GROUP BY 1, 2),
+          m AS (SELECT a.source AS src_a, b.source AS src_b,
+            a.sz AS n_a, b.sz AS n_b
+            FROM sz a, sz b WHERE a.source < b.source),
+          ex AS (SELECT src_a, src_b,
+            CAST(coalesce(shared_grams, 0) AS DOUBLE) /
+              CAST(n_a + n_b - coalesce(shared_grams, 0) AS DOUBLE)
+              AS jaccard
+            FROM m LEFT JOIN p USING (src_a, src_b))
+          SELECT src_a, src_b, matching_mins,
+            CAST(matching_mins AS DOUBLE) / 64.0 AS jaccard_est,
+            jaccard,
+            abs(CAST(matching_mins AS DOUBLE) / 64.0 - jaccard) AS abs_err
+          FROM est JOIN ex USING (src_a, src_b)
+          ORDER BY src_a, src_b"""
+    },
 
     "q_source_overlap" ->
       s"""WITH tk AS (SELECT source, ${duckToks("text")} AS tk FROM documents),

@@ -148,6 +148,39 @@ object Dedup {
           (col("n_a") + col("n_b") - col("shared_grams")).cast("double"))
   }
 
+  /** Sketch estimate of [[sourceOverlap]]'s Jaccard matrix from ONE
+    * MinHash signature per source (numHashes mins over the source's
+    * shingle stream — no distinct, no per-gram pair join): the estimate
+    * is the fraction of matching signature slots, the textbook unbiased
+    * MinHash Jaccard estimator with stderr sqrt(J(1-J)/k). The pair
+    * stage joins signatures on the permutation index — |S|²·k rows,
+    * mixture-bounded whatever the corpus — where the exact matrix pays
+    * a per-gram self-join over the full (source, gram) table.
+    *
+    * The trade: the exact matrix's shared-gram counts cost a
+    * corpus-vocabulary shuffle; this costs one partial-aggregable min
+    * per (source, permutation) and never touches gram pairs. Same
+    * accepted-collision contract (poly-hashed shingles) as every
+    * minhash operator here.
+    */
+  def sourceOverlapMinhash(docs: DataFrame, groupCol: String,
+      textCol: String, n: Int, numHashes: Int = 64): DataFrame = {
+    val grams = docs.select(col(groupCol),
+      graft.plans.TextExpressions.hashedShingles(col(textCol), n))
+    val sig = minhashSignature(grams, groupCol, col("tid"), numHashes)
+    val a = sig.select(col(groupCol).as("src_a"), col("j"),
+      col("mh").as("__ma"))
+    val b = sig.select(col(groupCol).as("src_b"), col("j"),
+      col("mh").as("__mb"))
+    a.join(b, Seq("j"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("__ma") === col("__mb"), 1L).otherwise(0L))
+        .as("matching_mins"))
+      .withColumn("jaccard_est",
+        col("matching_mins").cast("double") / lit(numHashes.toDouble))
+  }
+
   /** Oracle-mode token dictionary: distinct tokens numbered by
     * lexicographic rank. Rank is computed with a distributed range-
     * partitioned sort + per-partition zipWithIndex (offsets from partition

@@ -30,6 +30,31 @@ class OverlapSpec extends AnyFunSuite {
     assert(out(("B", "C")) === ((5L, 3L, 0L, 0.0)))
   }
 
+  test("minhash overlap estimate: exact at the extremes, calibrated between") {
+    // identical sources estimate exactly 1; disjoint sources exactly 0
+    val docs = Seq(
+      (1L, "A", "p q r s t u v w"), (2L, "B", "p q r s t u v w"),
+      (3L, "C", "completely different content in every single gram")
+    ).toDF("doc_id", "source", "text")
+    val est = Dedup.sourceOverlapMinhash(docs, "source", "text", 3, 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(est(("A", "B")) === 1.0)
+    assert(est(("A", "C")) === 0.0 && est(("B", "C")) === 0.0)
+    // corpus calibration: every pair's error within 4 sigma of the
+    // k=64 binomial bound at its exact J (loose, deterministic data)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val e = Dedup.sourceOverlapMinhash(corpus, "source", "text", 3, 64)
+    val x = Dedup.sourceOverlap(corpus, "source", "text", 3)
+      .select(col("src_a"), col("src_b"), col("jaccard"))
+    val bad = e.join(x, Seq("src_a", "src_b"))
+      .filter(abs(col("jaccard_est") - col("jaccard")) >
+        lit(4.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) /
+          lit(64.0)) + lit(1.0 / 64.0))
+      .count()
+    assert(bad === 0L, s"$bad pairs outside the estimator bound")
+  }
+
   test("srcCap drops ubiquitous grams from the pair stage only") {
     // one gram present in ALL three sources; srcCap = 2 cuts it from
     // the shared counts but NOT from the vocabulary sizes.
