@@ -142,6 +142,30 @@ object SparkEntry {
           ii -> CAST(ascii($c[ii]) AS BIGINT))),
         (acc, x) -> (acc * 31 + x) % 1000000007)"""
 
+  /** DuckDB fragment: the count-min row-hash fan-out — one SELECT per
+    * sketch row i with bucket = ((a_i·tid + b_i) mod P) mod w, UNION ALL'd.
+    * Seeds mirror Sketch.CmsA/CmsB literal for literal. `extraCols`
+    * carries probe columns through the lookup variant.
+    */
+  private def duckCmsLookups(from: String, extraCols: String = ""): String =
+    (0 until 4).map { i =>
+      val a = graft.functions.Sketch.CmsA(i)
+      val b = graft.functions.Sketch.CmsB(i)
+      s"""SELECT $extraCols$i AS sketch_row,
+          (($a * tid + $b) % 1000000007) % 64 AS bucket FROM $from"""
+    }.mkString("\n UNION ALL ")
+
+  /** DuckDB fragment: HLL rank of the 25-bit remainder field — descending
+    * power-of-two threshold ladder (identical semantics to Sketch.hllRank;
+    * no floating log anywhere).
+    */
+  private def duckHllRankCase(rem: String): String = {
+    val cases = (1 to 25).map { k =>
+      s"WHEN $rem >= ${1L << (25 - k)} THEN $k"
+    }.mkString(" ")
+    s"(CASE WHEN $rem = 0 THEN 26 $cases END)"
+  }
+
   /** DuckDB fragment: one BPE round — weighted adjacent-pair counts over
     * `prev`'s symbol lists, deterministic top-1 (`t`), double-space-safe
     * rewrite into `next`. Shared by q_bpe_merges and q_bpe_encode.
@@ -627,6 +651,66 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
             .as("p99_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Count-min sketch CONTENT (d=4 rows × w=64 buckets over the corpus
+    // token stream) — the deterministic counterpoint to q_sketch_stats:
+    // with the hash seeds pinned to literals and the item hash the
+    // engine's shared polynomial hash, the full sketch table hash-matches
+    // a DuckDB replay. One pass, bounded d·w state per task (custom
+    // Aggregator — the same extension rung as Misra-Gries).
+    "q_cms_sketch" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .select(graft.plans.TextExpressions.polyHash(col("tok")).as("tid"))
+      graft.functions.Sketch.cmsTable(toks, "tid", d = 4, w = 64)
+        .where(col("cnt") > 0L)
+        .orderBy(col("sketch_row"), col("bucket"))
+    },
+
+    // Count-min point estimates for the exact top-20 tokens: est(x) =
+    // min_i cms[i][h_i(x)] — always >= the true count (the sketch's
+    // one-sided guarantee, checked per row by the oracle). The lookup is
+    // a broadcast join against the 256-row sketch.
+    "q_cms_estimate" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("tok"),
+          graft.plans.TextExpressions.polyHash(col("tok")).as("tid"))
+      val sketch = graft.functions.Sketch.cmsTable(toks, "tid", 4, 64)
+      val probes = toks.groupBy(col("tok"), col("tid"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc)
+        .limit(20)
+      graft.functions.Sketch.cmsEstimates(sketch, probes, "tid", 4, 64)
+        .select(col("tok"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("tok"))
+    },
+
+    // Deterministic HyperLogLog cardinality of l_partkey per return flag —
+    // registers are a partial-aggregable groupBy max over <= 64 rows per
+    // group, and the raw estimator is integer-exact up to one final double
+    // division, so unlike q_sketch_stats the ESTIMATE itself is
+    // oracle-gated. err_bp = relative error in basis points vs the exact
+    // distinct count. lineitem (not documents): thousands of distinct keys
+    // per group keep the raw estimator in its n >> 2.5·m validity regime —
+    // the documents per-source vocabulary (~31 tokens) is linear-counting
+    // territory where the raw estimator reads ~2x high.
+    "q_hll_card" -> { (s, d) =>
+      val keys = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          col("l_partkey").cast("long").as("tid"))
+      val regs = graft.functions.Sketch.hllRegisters(keys, "tid", Seq("grp"))
+      val est = graft.functions.Sketch.hllEstimate(regs, Seq("grp"))
+      val exact = keys.groupBy(col("grp"))
+        .agg(countDistinct(col("tid")).as("n_exact"))
+      exact.join(est, Seq("grp"))
+        .select(col("grp"), col("n_exact"),
+          round(col("est"), 6).as("est"),
+          floor(abs(col("est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") * 10000.0).cast("long").as("err_bp"))
+        .orderBy(col("grp"))
     },
 
     // CUBE — all grouping combinations.
@@ -2298,6 +2382,51 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_cms_sketch" ->
+      s"""WITH toks AS (SELECT unnest(${duckToks("text")}) AS tok FROM documents),
+          t AS (SELECT ${duckPolyId("tok")} AS tid FROM toks),
+          l AS (${duckCmsLookups("t")})
+          SELECT CAST(sketch_row AS BIGINT) AS sketch_row,
+            CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_cms_estimate" ->
+      s"""WITH toks AS (SELECT unnest(${duckToks("text")}) AS tok FROM documents),
+          t AS (SELECT tok, ${duckPolyId("tok")} AS tid FROM toks),
+          cms AS (SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM (${duckCmsLookups("t")}) GROUP BY 1, 2),
+          probes AS (SELECT tok, tid, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM t GROUP BY tok, tid
+            ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
+          lk AS (${duckCmsLookups("probes", extraCols = "tok, exact_cnt, ")}),
+          j AS (SELECT lk.tok, lk.exact_cnt, min(cms.cnt) AS est_cnt
+            FROM lk JOIN cms USING (sketch_row, bucket)
+            GROUP BY 1, 2)
+          SELECT tok, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+          FROM j ORDER BY tok""",
+
+    "q_hll_card" ->
+      s"""WITH t AS (SELECT l_returnflag AS grp, CAST(l_partkey AS BIGINT) AS tid
+            FROM lineitem),
+          h AS (SELECT grp, tid, ${duckMixOf("tid")} AS y FROM t),
+          r AS (SELECT grp, y % 64 AS reg, y // 64 AS rem FROM h),
+          rk AS (SELECT grp, reg, ${duckHllRankCase("rem")} AS rank FROM r),
+          regs AS (SELECT grp, reg, max(rank) AS m_j FROM rk GROUP BY 1, 2),
+          occ AS (SELECT grp,
+            SUM(CAST(1 AS BIGINT) << (26 - m_j)) AS s_occ,
+            CAST(count(*) AS BIGINT) AS n_reg FROM regs GROUP BY 1),
+          s AS (SELECT grp,
+            s_occ + (64 - n_reg) * (CAST(1 AS BIGINT) << 26) AS s_scaled
+            FROM occ),
+          ex AS (SELECT grp, CAST(count(DISTINCT tid) AS BIGINT) AS n_exact
+            FROM t GROUP BY 1)
+          SELECT ex.grp, n_exact,
+            round(0.709 * 274877906944.0 / CAST(s_scaled AS DOUBLE), 6) AS est,
+            CAST(floor(abs(0.709 * 274877906944.0 / CAST(s_scaled AS DOUBLE)
+                - CAST(n_exact AS DOUBLE))
+              / CAST(n_exact AS DOUBLE) * 10000.0) AS BIGINT) AS err_bp
+          FROM ex JOIN s USING (grp) ORDER BY grp""",
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n

@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deterministic, ORACLE-GATED approximation sketches: count-min (frequency
+  * overestimates) and HyperLogLog (cardinality).
+  *
+  * The catalog's other sketch entry (q_sketch_stats, approx_count_distinct /
+  * percentile_approx) is rows-only because Spark's built-in sketches pin
+  * neither their hash functions nor their merge order, so no cross-engine
+  * oracle can reproduce them. These two sketches make the opposite choice:
+  * every hash seed is a FIXED literal, the item hash is the engine's shared
+  * rolling polynomial hash (PolyHash.eval == the DuckDB list_reduce
+  * fragment), and every estimator is integer-exact up to one final IEEE
+  * double division — so the full sketch CONTENT and the estimates
+  * hash-match a DuckDB replay of the same arithmetic. Approximation error
+  * is then a documented property of the algorithm, not an excuse to skip
+  * the correctness gate.
+  *
+  * Scale notes (100 TB):
+  *  - Count-min is a custom typed [[Aggregator]] (the custom-AGGREGATE rung
+  *    of the extension ladder, alongside Freq.MisraGries): the partial
+  *    state is one bounded d×w long array per partition task, merge is
+  *    elementwise add — one pass, no shuffle of item rows, map-side
+  *    combined like any partial aggregation.
+  *  - HyperLogLog needs no custom aggregate at all: register = max(rank)
+  *    IS a partial-aggregable groupBy over at most m=64 register rows per
+  *    group — the idiomatic Spark form is already the mergeable-sketch
+  *    form. Union-merge of two corpora is elementwise register max, which
+  *    the same groupBy computes for free over the concatenation.
+  */
+object Sketch {
+  /** Shared modulus of the engine's polynomial hash family. */
+  val P: Long = 1000000007L
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Fixed affine row-hash seeds h_i(x) = ((a_i x + b_i) mod P) mod w.
+    * a_i < 2^31 and x < 2^30, so a_i*x + b_i < 2^61: no long overflow.
+    */
+  val CmsA: Array[Long] = Array(1103515245L, 69069L, 1664525L, 22695477L)
+  val CmsB: Array[Long] = Array(12345L, 362437L, 1013904223L, 7L)
+
+  /** Count-min sketch over item hashes (tid = PolyHash of the item), d
+    * rows × w buckets. Buffer: one flat long array, row-major.
+    */
+  class CountMin(d: Int, w: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(d >= 1 && d <= CmsA.length, s"d must be in [1, ${CmsA.length}]")
+    require(w >= 2, s"w must be >= 2, got $w")
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(buf: Array[Long], tid: Long): Array[Long] = {
+      var i = 0
+      while (i < d) {
+        val b = ((CmsA(i) * tid + CmsB(i)) % P % w).toInt
+        buf(i * w + b) += 1L
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The sketch as a (sketch_row, bucket, cnt) table — the full content,
+    * zero cells included (callers filter). One pass over `tidCol`, bounded
+    * d·w output.
+    */
+  def cmsTable(df: DataFrame, tidCol: String, d: Int, w: Int): DataFrame = {
+    val agg = udaf(new CountMin(d, w))
+    df.agg(agg(col(tidCol)).as("__cms"))
+      .select(posexplode(col("__cms")).as(Seq("__i", "cnt")))
+      .select(
+        (col("__i") / w).cast("long").as("sketch_row"),
+        (col("__i") % w).cast("long").as("bucket"),
+        col("cnt"))
+  }
+
+  /** Column: bucket of `tid` under row-hash `i` (plan-side mirror of
+    * CountMin.reduce's arithmetic, for the lookup join).
+    */
+  def cmsBucket(tid: Column, i: Int, w: Int): Column =
+    (lit(CmsA(i)) * tid + lit(CmsB(i))) % P % w
+
+  /** Point estimates for a bounded probe set: est(x) = min_i cms[i][h_i(x)].
+    * The d lookups are an equi-join against the bounded sketch table
+    * (broadcast — d·w rows however large the corpus). Count-min guarantees
+    * est >= true count always; overcount <= N·e/w with probability
+    * 1 − e^−d per probe.
+    */
+  def cmsEstimates(sketch: DataFrame, probes: DataFrame, tidCol: String,
+      d: Int, w: Int): DataFrame = {
+    val lookups = probes.select(
+      col("*"),
+      explode(array((0 until d).map { i =>
+        struct(lit(i.toLong).as("sketch_row"),
+          cmsBucket(col(tidCol), i, w).as("bucket"))
+      }: _*)).as("__l"))
+      .select(col("*"), col("__l.sketch_row"), col("__l.bucket"))
+      .drop("__l")
+    lookups
+      .join(broadcast(sketch), Seq("sketch_row", "bucket"))
+      .groupBy((probes.columns.map(col)): _*)
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HLL mixer: the engine's shared affine→square→affine chain mod 2^31−1
+    * (Sampling.hashOrder / the duckMixOf oracle fragment). A single affine
+    * map is only pairwise-independent and PRESERVES arithmetic structure —
+    * consecutive-id item hashes map to arithmetic progressions whose
+    * max-rank statistics are badly non-geometric (measured: a 4000-item
+    * stream estimated at 1511 under the affine mix, 2.6× low). The square
+    * step breaks the linearity; the same chain is what the engine's
+    * hash-order sampling already relies on for dispersion.
+    */
+  val M31: Long = 2147483647L
+
+  private def hllMix(tid: Column): Column = {
+    val h1 = ((tid % M31) * 1103515245L + 12345L) % M31
+    val h2 = (h1 * (h1 + lit(1L))) % M31
+    (h2 * 784588716L + 998244353L) % M31
+  }
+
+  /** Register width: with m = 64 registers, rem = y div 64 < 2^31/64 =
+    * 2^25, so ranks live in [1, W+1] with W = 25 (rank W+1 = rem == 0).
+    */
+  val HllW: Int = 25
+  val HllM: Int = 64
+
+  /** Column: HLL register index of a tid (y mod 64). */
+  def hllReg(tid: Column): Column = hllMix(tid) % HllM
+
+  /** Column: HLL rank of a tid — position of the leftmost 1-bit in the
+    * W-bit remainder field, W+1 if the field is zero. Computed as a
+    * comparison ladder (not floor(log2): double log is not exact at
+    * field boundaries, and DuckDB must replay the identical arithmetic).
+    */
+  def hllRank(tid: Column): Column = {
+    // Integer division y div 64: Column./ is double division, but y < 2^31
+    // and 64 is a power of two, so the double quotient is exact and the
+    // long cast truncates to exactly y div 64 (y is nonnegative).
+    val rem = (hllMix(tid) / lit(HllM)).cast("long")
+    // bitlen(rem) = k when 2^(k-1) <= rem < 2^k; rank = W - bitlen + 1.
+    (1 to HllW).foldLeft(when(rem === 0L, lit(HllW + 1))) { (acc, k) =>
+      acc.when(rem >= (1L << (k - 1)) && rem < (1L << k), lit(HllW + 1 - k))
+    }.cast("long")
+  }
+
+  /** Per-group HLL registers: (groupCols..., reg, m_j = max rank). Only
+    * occupied registers appear; the estimator supplies the 2^0 term for
+    * the missing ones. Partial-aggregable: at most m rows of state per
+    * group at every stage.
+    */
+  def hllRegisters(df: DataFrame, tidCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.select((groupCols.map(col) :+ hllReg(col(tidCol)).as("reg") :+
+        hllRank(col(tidCol)).as("rank")): _*)
+      .groupBy((groupCols.map(col) :+ col("reg")): _*)
+      .agg(max(col("rank")).as("m_j"))
+
+  /** Per-group raw HLL estimate, integer-exact up to ONE double division:
+    * each register term 2^−m_j is carried as the integer 2^(W+1−m_j)
+    * (missing registers contribute 2^(W+1), i.e. m_j = 0), the scaled sum
+    * fits a long exactly (≤ 64·2^25 = 2^31), and
+    * est = 0.709·m²·2^(W+1) / S — written as 0.709 · 2^37 in both engines:
+    * the 2^37 scale is exact in double, so the only roundings are the
+    * decimal literal 0.709 itself and the final division, both
+    * engine-identical. RAW estimator only: valid in the n ≫ 2.5·m regime
+    * (the catalog entry's corpus has thousands of distinct items per
+    * group vs m = 64); the small-range linear-counting branch needs ln,
+    * which is not cross-engine exact — callers in that regime should use
+    * exact distinct instead.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val occupied = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - CAST(m_j AS INT))"))
+          .as("__s_occ"),
+        count(lit(1)).as("__n_reg"))
+    // missing registers: (m − n_reg) · 2^(W+1)
+    occupied.select(
+      (groupCols.map(col) :+
+        (col("__s_occ") +
+          (lit(HllM.toLong) - col("__n_reg")) * lit(1L << (HllW + 1)))
+          .as("s_scaled")): _*)
+      .select(
+        (groupCols.map(col) :+
+          (lit(0.709) * lit((HllM.toLong * HllM.toLong) << (HllW + 1)).cast("double") /
+            col("s_scaled").cast("double")).as("est")): _*)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sketch
+import graft.plans.PolyHash
+
+/** Deterministic oracle-gated sketches: count-min (Aggregator) and
+  * HyperLogLog (grouped max). The catalog gates the cross-engine
+  * arithmetic; these specs pin the SKETCH guarantees — partitioning
+  * independence (merge correctness), the one-sided count-min bound, HLL
+  * union-merge = elementwise register max, and the estimator's accuracy
+  * on a known-cardinality stream.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 64
+
+  /** Zipf-ish stream with known exact counts. */
+  private def stream: Seq[String] =
+    (1 to 12).flatMap(i => Seq.fill(1 << (12 - i).min(7))(s"tok$i")) ++
+      (1 to 500).map(i => s"tail$i")
+
+  private def tids(xs: Seq[String]) = xs.map(PolyHash.eval)
+
+  test("count-min content is partitioning-independent and row sums equal N") {
+    val data = new scala.util.Random(3).shuffle(stream)
+    val n = data.size.toLong
+    val reference = Sketch
+      .cmsTable(tids(data).toDF("tid"), "tid", D, W)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 5, 17)) {
+      val t = tids(data).toDF("tid").repartition(parts)
+      val got = Sketch.cmsTable(t, "tid", D, W)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == reference, s"parts=$parts")
+    }
+    // every row of the sketch counts every item exactly once
+    (0 until D).foreach { i =>
+      val rowSum = reference.collect { case ((r, _), c) if r == i => c }.sum
+      assert(rowSum == n, s"row $i sums to $rowSum, want $n")
+    }
+  }
+
+  test("count-min estimates never undercount, and exact-hit probes match") {
+    val data = stream
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = data.map(s => (s, PolyHash.eval(s))).toDF("tok", "tid")
+    val sketch = Sketch.cmsTable(t.select("tid"), "tid", D, W)
+    val probes = t.groupBy($"tok", $"tid").agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketch.cmsEstimates(sketch, probes, "tid", D, W)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    est.foreach { case (tok, (ex, e)) =>
+      assert(ex == exact(tok))
+      assert(e >= ex, s"$tok undercounted: est $e < exact $ex")
+    }
+    // the heavy head must estimate exactly or near-exactly: error bound is
+    // N/w per row, and min-of-4 rows makes a large overshoot on every row
+    // simultaneously unlikely — pin a loose factor-2 sanity ceiling.
+    val n = data.size.toLong
+    est.foreach { case (tok, (ex, e)) =>
+      assert(e - ex <= 2L * (n / W + 1),
+        s"$tok overcount ${e - ex} above 2N/w sanity bound")
+    }
+  }
+
+  test("hll registers merge by max: union registers == elementwise max") {
+    val (a, b) = stream.splitAt(stream.size / 3)
+    def regs(xs: Seq[String]): Map[Long, Long] =
+      Sketch.hllRegisters(
+          tids(xs).map(t => ("g", t)).toDF("g", "tid"), "tid", Seq("g"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val ra = regs(a)
+    val rb = regs(b)
+    val expected = (ra.keySet ++ rb.keySet).map { k =>
+      k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))
+    }.toMap
+    assert(regs(a ++ b) == expected)
+  }
+
+  test("hll estimate is deterministic and within documented error") {
+    // 4000 distinct items: raw-estimator regime (n >> 2.5 m). HLL standard
+    // error is 1.04/sqrt(64) = 13%; pin a 3-sigma 40% band — this seed's
+    // actual error is recorded much lower, the band guards regressions.
+    val xs = (1 to 4000).map(i => s"item$i")
+    val df = tids(xs).map(t => ("g", t)).toDF("g", "tid")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "tid", Seq("g")),
+      Seq("g")).collect().head.getDouble(1)
+    assert(math.abs(est - 4000.0) / 4000.0 < 0.40,
+      s"estimate $est further than 40% from 4000")
+    // repartitioning does not change the estimate (grouped max is exact)
+    val est2 = Sketch.hllEstimate(
+      Sketch.hllRegisters(df.repartition(13), "tid", Seq("g")),
+      Seq("g")).collect().head.getDouble(1)
+    assert(est == est2)
+  }
+}
