@@ -166,6 +166,47 @@ object SparkEntry {
     s"(CASE WHEN $rem = 0 THEN 26 $cases END)"
   }
 
+  /** DuckDB fragment chain: the unigram-LM Viterbi DP, unrolled one CTE
+    * stage per prefix position (corpus words are <= 8 chars; the stage
+    * count is the only corpus-shape assumption, and dfin's length filter
+    * makes a too-short unroll fail loudly as missing rows, not wrong
+    * ones). Stage j minimizes the lexicographic (cost, n_pieces, path)
+    * triple over last-piece lengths 1..min(j, maxPieceLen) — identical
+    * semantics to UgVocab.segWord. Expects `uw AS (SELECT ... word)` in
+    * scope; emits `up` (the RefVocab cost VALUES) through `dfin (word,
+    * cost, np, path)`.
+    */
+  private def duckUnigramDp(maxWordLen: Int = 8): String = {
+    val vocab = graft.functions.UnigramLm.RefVocab
+    val maxPieceLen = vocab.iterator.map(_._1.length).max
+    val values = vocab
+      .map { case (p, c) => s"('$p', CAST($c AS BIGINT))" }.mkString(", ")
+    val stages = (1 to maxWordLen).map { j =>
+      val cands = (1 to math.min(j, maxPieceLen)).map { l =>
+        s"""SELECT prev.word AS word, prev.cost + p.cost AS cost,
+            prev.np + 1 AS np,
+            CASE WHEN prev.path = '' THEN p.piece
+                 ELSE prev.path || ' ' || p.piece END AS path
+            FROM d${j - l} prev JOIN up p
+              ON p.piece = substr(prev.word, ${j - l + 1}, $l)
+            WHERE length(prev.word) >= $j"""
+      }.mkString("\n UNION ALL ")
+      s"""d$j AS (SELECT word, cost, np, path FROM (
+          SELECT word, cost, np, path,
+            row_number() OVER (PARTITION BY word
+              ORDER BY cost, np, path) AS rn
+          FROM ($cands)) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val fin = (1 to maxWordLen)
+      .map(j => s"SELECT word, cost, np, path FROM d$j WHERE length(word) = $j")
+      .mkString("\n UNION ALL ")
+    s"""up AS (SELECT * FROM (VALUES $values) AS t(piece, cost)),
+        d0 AS (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path
+          FROM uw),
+        $stages,
+        dfin AS ($fin)"""
+  }
+
   /** DuckDB fragment: one BPE round — weighted adjacent-pair counts over
     * `prev`'s symbol lists, deterministic top-1 (`t`), double-space-safe
     * rewrite into `next`. Shared by q_bpe_merges and q_bpe_encode.
@@ -856,6 +897,47 @@ object SparkEntry {
             col("n_pieces").cast("double") / col("n_words").cast("double"))
             .otherwise(lit(0.0)))
         .orderBy(col("doc_id"))
+    },
+
+    // Unigram-LM (SentencePiece) Viterbi segmentation per doc — the third
+    // subword family next to BPE (merge replay) and WordPiece (greedy
+    // longest match): minimum-total-cost piece sequence under the fixed
+    // RefVocab milli-nat cost table, exact integer DP with a total
+    // (cost, n_pieces, path) tie-break that DuckDB replays as an unrolled
+    // stage-per-position chain. Segmentation runs on the DISTINCT word
+    // types and joins back to token occurrences — the 100 TB plan (types
+    // are vocabulary-bounded; tokens are the corpus).
+    "q_unigram_encode" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+      val types = toks.select(col("word")).distinct()
+        .select(col("word"),
+          graft.plans.Unigram.wordStats(col("word"),
+            graft.functions.UnigramLm.RefCosts).as("st"))
+        .select(col("word"), col("st")(0).as("np"), col("st")(1).as("cost"))
+      toks.join(broadcast(types), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("np")).as("n_pieces"),
+          sum(col("cost")).as("cost_milli"),
+          round(sum(col("np")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("fertility"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-wide unigram piece histogram: Viterbi pieces of each word
+    // TYPE weighted by the type's token count.
+    "q_unigram_pieces" -> { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      wc.select(col("wc"),
+          explode(graft.plans.Unigram.wordPieces(col("word"),
+            graft.functions.UnigramLm.RefCosts)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("piece"))
     },
 
     // ANALYZE-style table profile: one aggregation pass over orders emits
@@ -2649,6 +2731,35 @@ object SparkEntry {
               AS fertility
           FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id"""
     },
+
+    "q_unigram_encode" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${duckToks("text")}) AS word
+            FROM documents),
+          tok AS (SELECT doc_id, word FROM tk
+            WHERE regexp_matches(word, '^[a-z]+$$')),
+          uw AS (SELECT DISTINCT word FROM tok),
+          ${duckUnigramDp()}
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(np) AS BIGINT) AS n_pieces,
+            CAST(sum(cost) AS BIGINT) AS cost_milli,
+            round(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+              AS fertility
+          FROM tok JOIN dfin USING (word)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_unigram_pieces" ->
+      s"""WITH tk AS (SELECT unnest(${duckToks("text")}) AS word
+            FROM documents),
+          tok AS (SELECT word FROM tk
+            WHERE regexp_matches(word, '^[a-z]+$$')),
+          wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM tok
+            GROUP BY 1),
+          uw AS (SELECT word FROM wc),
+          ${duckUnigramDp()}
+          SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+          FROM (SELECT wc.wc, unnest(string_split(d.path, ' ')) AS piece
+                FROM wc JOIN dfin d USING (word))
+          GROUP BY piece ORDER BY piece""",
 
     "q_profile" -> {
       // kind: n = numeric, s = string, t = timestamp
