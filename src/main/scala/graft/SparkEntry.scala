@@ -940,6 +940,24 @@ object SparkEntry {
         .orderBy(col("piece"))
     },
 
+    // Edit-distance similarity join over the merged word TYPES of the
+    // document corpus and the part-name vocabulary — the typo/variant
+    // detector: all pairs within Levenshtein distance 2 by positional
+    // q-gram count filtering (lossless candidates, exact threshold-DP
+    // verify; short strings through the alphabet-bounded block). The
+    // vocabulary is aggregate data — types, never tokens — so the join
+    // runs orders below corpus size at any scale.
+    "q_edit_pairs" -> { (s, d) =>
+      val types = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .unionByName(Tables.part(s, d)
+          .select(explode(split(col("p_name"), " ")).as("word")))
+        .where(col("word").rlike("^[a-z]+$"))
+        .distinct()
+      graft.functions.Edit.editPairs(types, "word", "word", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ANALYZE-style table profile: one aggregation pass over orders emits
     // the per-column datasheet (rows/nulls/exact distinct/min/max with
     // type-routed renderings) — the stats row a CBO or catalog publishes.
@@ -2760,6 +2778,21 @@ object SparkEntry {
           FROM (SELECT wc.wc, unnest(string_split(d.path, ' ')) AS piece
                 FROM wc JOIN dfin d USING (word))
           GROUP BY piece ORDER BY piece""",
+
+    "q_edit_pairs" ->
+      s"""WITH tk AS (SELECT unnest(${duckToks("text")}) AS word
+            FROM documents
+            UNION ALL
+            SELECT unnest(string_split(p_name, ' ')) AS word FROM part),
+          w AS (SELECT DISTINCT word FROM tk
+            WHERE regexp_matches(word, '^[a-z]+$$'))
+          SELECT a.word AS id_a, b.word AS id_b,
+            CAST(levenshtein(a.word, b.word) AS INT) AS dist
+          FROM w a JOIN w b
+            ON a.word < b.word
+            AND abs(length(a.word) - length(b.word)) <= 2
+          WHERE levenshtein(a.word, b.word) <= 2
+          ORDER BY id_a, id_b""",
 
     "q_profile" -> {
       // kind: n = numeric, s = string, t = timestamp

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — all pairs within Levenshtein distance
+  * `maxDist` — by positional q-gram count filtering (Gravano et al. 2001,
+  * "Approximate String Joins in a Database (Almost) for Free"): the
+  * typo/variant detector of a record-linkage or vocabulary-normalization
+  * pass, completing the set-similarity family (Jaccard, containment,
+  * winnowing) with its EDIT-metric sibling.
+  *
+  * Candidate filter (lossless, then exact verify): if ed(a, b) <= d then
+  * the pair shares at least T = max(|a|,|b|) - q + 1 - q*d positional
+  * q-grams matched within position shift d — each edit destroys at most
+  * q grams and shifts the rest by at most d. The join counts DISTINCT
+  * matched a-side positions, which upper-bounds any disjoint matching,
+  * so `count >= T` is a relaxation of the bound — a superset of the true
+  * pairs, never a miss. Pairs also obey the length filter
+  * |len_a - len_b| <= d. Survivors are verified with the exact
+  * `levenshtein` (threshold form — the DP early-exits past maxDist).
+  *
+  * The gram bound is vacuous (T <= 0) when max(len) <= q*(d+1) - 1, so
+  * SHORT strings take a separate block: all short-short pairs under the
+  * length filter. Run over DISTINCT strings this block is
+  * ALPHABET-bounded — there exist at most |Sigma|^(q*(d+1)-1) strings
+  * that short — a structural cap, not a data-shape hope (q = 2, d = 1
+  * over [a-z]: <= 18k strings, and real vocabularies hold a few dozen).
+  * Short-long pairs always land in the gram path: their max length
+  * clears q*(d+1) and their min length >= q (length filter), so both
+  * sides carry grams. The two paths partition the pair space by
+  * max(len) — no overlap, no double emission.
+  *
+  * Scale (100 TB): the gram path is the engine's standard inverted-list
+  * shape — explode to (gram, pos) postings, one gram-keyed self-equi-join
+  * with the position/length predicates, partial-aggregable distinct-pos
+  * counts, exact verify on candidates only. `dfCap` optionally drops
+  * hub grams (df > cap) from the index; unlike the Jaccard family's cap
+  * this one TRADES RECALL (a dropped gram can push a true pair below T),
+  * so it defaults to off and the cut is the caller's explicit decision.
+  * Verification cost is candidate-mass-bounded; the threshold
+  * `levenshtein` keeps each check O(len * maxDist).
+  */
+object Edit {
+
+  /** All (id_a, id_b, dist) with id_a < id_b and
+    * levenshtein(str_a, str_b) <= maxDist. Strings must be non-null and
+    * ids unique per string; ids order with their natural type ordering.
+    */
+  def editPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      q: Int = 2, dfCap: Long = Long.MaxValue): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val rows = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      length(col(strCol)).as("__len"))
+    val shortMax = q * (maxDist + 1) - 1
+
+    // -- short block: max(len) <= shortMax, alphabet-bounded all-pairs --
+    val shorts = rows.filter(col("__len") <= shortMax)
+    val shortPairs = shorts.toDF("__ida", "__sa", "__la")
+      .join(shorts.toDF("__idb", "__sb", "__lb"),
+        col("__ida") < col("__idb") &&
+          abs(col("__la") - col("__lb")) <= maxDist)
+
+    // -- gram path: positional q-gram postings over every string with
+    // len >= q; candidate pairs need max(len) >= shortMax + 1 --
+    val posted0 = rows.filter(col("__len") >= q)
+      .select(col("__id"), col("__s"), col("__len"),
+        posexplode(expr(
+          s"transform(sequence(1, __len - ${q - 1}), i -> substring(__s, i, $q))")))
+      .select(col("__id"), col("__s"), col("__len"),
+        (col("pos") + 1).as("__pos"), col("col").as("__gram"))
+    val posted =
+      if (dfCap == Long.MaxValue) posted0
+      else {
+        val keep = posted0.groupBy(col("__gram"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= dfCap).select(col("__gram"))
+        posted0.join(keep, Seq("__gram"))
+      }
+    val a = posted.select(col("__gram"), col("__pos").as("__pa"),
+      col("__id").as("__ida"), col("__s").as("__sa"), col("__len").as("__la"))
+    val b = posted.select(col("__gram"), col("__pos").as("__pb"),
+      col("__id").as("__idb"), col("__s").as("__sb"), col("__len").as("__lb"))
+    val candidates = a.join(b, Seq("__gram"))
+      .filter(col("__ida") < col("__idb") &&
+        abs(col("__la") - col("__lb")) <= maxDist &&
+        abs(col("__pa") - col("__pb")) <= maxDist &&
+        greatest(col("__la"), col("__lb")) > shortMax)
+      .groupBy(col("__ida"), col("__idb"), col("__sa"), col("__sb"),
+        col("__la"), col("__lb"))
+      .agg(countDistinct(col("__pa")).as("__shared"))
+      .filter(col("__shared") >=
+        greatest(col("__la"), col("__lb")) - (q - 1) - q * maxDist)
+      .select(col("__ida"), col("__sa"), col("__la"),
+        col("__idb"), col("__sb"), col("__lb"))
+
+    candidates.unionByName(shortPairs)
+      .withColumn("__dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("__dist") >= 0 && col("__dist") <= maxDist)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("__dist").cast("int").as("dist"))
+  }
+}

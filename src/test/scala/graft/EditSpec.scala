@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Edit
+
+/** Edit-distance similarity join: the q-gram count filter must be
+  * LOSSLESS (plus exact verification), so the whole operator is pinned
+  * against driver-side brute force over randomized vocabularies,
+  * including the short-string block and the short/long boundary.
+  */
+class EditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def brute(words: Seq[String], maxDist: Int): Set[(String, String, Int)] =
+    (for {
+      a <- words; b <- words if a < b
+      dd = lev(a, b) if dd <= maxDist
+    } yield (a, b, dd)).toSet
+
+  private def viaSpark(words: Seq[String], maxDist: Int,
+      q: Int = 2): Set[(String, String, Int)] =
+    Edit.editPairs(words.toDF("w"), "w", "w", maxDist, q = q)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("random vocabulary: filtered join equals brute force (d=1)") {
+    val rnd = new scala.util.Random(42)
+    // small alphabet concentrates near-collisions; lengths 1..9 cross the
+    // short/long boundary (shortMax = 3 at q=2, d=1) repeatedly
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString).distinct
+    val expected = brute(words, 1)
+    assert(expected.nonEmpty, "degenerate fixture: no close pairs")
+    assert(viaSpark(words, 1) == expected)
+  }
+
+  test("random vocabulary: filtered join equals brute force (d=2, q=3)") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(150)(
+      (1 to (1 + rnd.nextInt(11))).map(_ => ('a' + rnd.nextInt(5)).toChar)
+        .mkString).distinct
+    val expected = brute(words, 2)
+    assert(expected.exists(_._3 == 2), "degenerate fixture: no d=2 pairs")
+    assert(viaSpark(words, 2, q = 3) == expected)
+  }
+
+  test("short-string block: pairs below the gram bound are not missed") {
+    // every len <= 3 at q=2, d=1 — the gram filter is vacuous for all of
+    // these; only the short block can find them
+    val words = Seq("a", "b", "ab", "ba", "abc", "abd", "xyz")
+    assert(viaSpark(words, 1) == brute(words, 1))
+    // cross-boundary pair: len 3 vs len 4 must flow through the gram path
+    val cross = Seq("abc", "abcd", "abed", "zzzz")
+    assert(viaSpark(cross, 1) == brute(cross, 1))
+  }
+
+  test("dfCap drops hub grams and is a documented recall trade") {
+    // 'aa' occurs in every word; cap 2 removes it from the index — the
+    // pair (aaab, aaac) then shares too few grams and is LOST, which is
+    // exactly the documented trade (assert it so the contract is pinned)
+    val words = Seq("aaab", "aaac", "aaba")
+    val uncapped = viaSpark(words, 1)
+    assert(uncapped == brute(words, 1))
+    val capped = Edit.editPairs(words.toDF("w"), "w", "w", 1, dfCap = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(uncapped))
+  }
+}
