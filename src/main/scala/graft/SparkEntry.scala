@@ -1068,6 +1068,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Graph density: the 2-core of the n-gram-Jaccard near-dup graph —
+    // synchronous degree peeling (3 fixed rounds, fixed point asserted in
+    // KCoreSpec). Chains and trees of borderline matches peel away;
+    // what survives is the dense duplicate hull worth clustering.
+    "q_kcore" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, minJaccard = 0.2, dfCap = 100000L)
+      graft.functions.Graph.kCore(pairs, "id_a", "id_b", k = 2, rounds = 3)
+        .orderBy(col("id"))
+    },
+
     // Asymmetric containment pairs: |A∩B|/min — the subset detector a
     // Jaccard threshold structurally misses (short doc quoted inside a
     // long one). Same inverted-list blocking as q_ngram_jaccard.
@@ -3083,6 +3094,41 @@ object SparkEntry {
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.2
           ORDER BY id_a, id_b""",
+
+    "q_kcore" -> {
+      val peel = (1 to 3).map { r =>
+        s"""a$r AS (SELECT s AS id FROM sym
+            JOIN a${r - 1} x ON x.id = sym.s
+            JOIN a${r - 1} y ON y.id = sym.t
+            GROUP BY s HAVING count(*) >= 2)"""
+      }.mkString(",\n")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
+          ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS inter
+            FROM gg a JOIN gg b ON a.tid = b.tid AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pr AS (SELECT id_a, id_b FROM ip
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(CAST(inter AS DOUBLE) /
+              CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.2),
+          sym AS (SELECT id_a AS s, id_b AS t FROM pr WHERE id_a <> id_b
+            UNION SELECT id_b, id_a FROM pr WHERE id_a <> id_b),
+          a0 AS (SELECT DISTINCT s AS id FROM sym),
+          $peel
+          SELECT s AS id, CAST(count(*) AS BIGINT) AS degree FROM sym
+          JOIN a3 x ON x.id = sym.s
+          JOIN a3 y ON y.id = sym.t
+          GROUP BY s ORDER BY id"""
+    },
 
     "q_containment" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

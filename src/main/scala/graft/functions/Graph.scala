@@ -335,4 +335,75 @@ object Graph {
         Seq("id_a", "id_b"), "left_anti")
       .select(col("id_a"), col("id_b"), col("n_common"))
   }
+
+  /** k-core peeling — the graph DENSITY primitive next to components
+    * (reachability), LPA (communities), PageRank (centrality), and
+    * triangles (cohesion): synchronously delete every vertex whose
+    * degree in the surviving subgraph is below `k`, `rounds` times. At
+    * the fixed point the survivors are exactly the k-core (Seidman 1983,
+    * "Network structure and minimum degree") — the standard cluster-hull
+    * cut on a near-dup candidate graph: chains and trees of borderline
+    * matches peel away (every tree is 1-degenerate), while genuinely
+    * dense duplicate clusters survive.
+    *
+    * `rounds` is a FIXED constant in both engines — the DuckDB oracle
+    * unrolls the identical peel stage per round — so the gate holds
+    * whatever the corpus; KCoreSpec asserts the fixed point is reached
+    * within `rounds` on the shipped corpus (peeling is monotone:
+    * survivor sets only shrink, so round r == round r+1 proves
+    * convergence).
+    *
+    * Scale (100 TB): each round is one partial-aggregable degree count
+    * over edges with both endpoints alive (two semi-joins) plus a
+    * filter — the connected-components per-round shape. The survivor
+    * set is checkpointed per round and the previous round unpersisted;
+    * rounds is a constant, never data-driven driver looping.
+    *
+    * Output: (idCol, degree) of the surviving vertices with their
+    * INDUCED degree — 0 rows when the whole graph peels away.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.GraftBridge
+    val sym = edges
+      .select(explode(array(
+        struct(col(aCol).as("s"), col(bCol).as("t")),
+        struct(col(bCol).as("s"), col(aCol).as("t")))).as("__e"))
+      .select(col("__e.s").as("__src"), col("__e.t").as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def induced(alive: DataFrame): DataFrame = sym
+      .join(alive.select(col("__id").as("__src")), Seq("__src"), "leftsemi")
+      .join(alive.select(col("__id").as("__dst")), Seq("__dst"), "leftsemi")
+      .groupBy(col("__src").as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+    var alive = sym.select(col("__src").as("__id")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = induced(alive)
+        .filter(col("__deg") >= k)
+        .select(col("__id"))
+        .localCheckpoint(true)
+      GraftBridge.unpersistCheckpoint(alive)
+      alive = next
+    }
+    // materialize before dropping the checkpoints it reads (survivor
+    // degrees are core-sized — bounded output, not corpus data)
+    val out = induced(alive)
+      .select(col("__id").as(idOut(aCol, bCol)), col("__deg").as("degree"))
+      .localCheckpoint(true)
+    GraftBridge.unpersistCheckpoint(sym)
+    GraftBridge.unpersistCheckpoint(alive)
+    out
+  }
+
+  /** Output id column name for vertex results derived from an (aCol,
+    * bCol) edge list: the common "id_" prefix-stripped stem when the two
+    * agree (id_a/id_b → id), else aCol.
+    */
+  private def idOut(aCol: String, bCol: String): String =
+    if (aCol == "id_a" && bCol == "id_b") "id" else aCol
 }
