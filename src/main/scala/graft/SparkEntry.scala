@@ -207,6 +207,44 @@ object SparkEntry {
         dfin AS ($fin)"""
   }
 
+  /** DuckDB fragment chain replaying Pca exactly in HUGEINT: quantize →
+    * division-free centering → Gram cells → `iters` power-iteration
+    * stages (sign-preserving truncated division — positive-operand `//`
+    * is truncation) → sign canonicalization. Emits `qv (vec_id, i, q)`
+    * and `pv (i, v)`.
+    */
+  private def duckPcaChain(dims: Int = 16, iters: Int = 8): String = {
+    // MATERIALIZED: each stage is referenced twice downstream — default
+    // CTE inlining would re-expand the whole chain exponentially
+    val stages = (1 to iters).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT cov.i AS i, sum(cov.m * vv.v) AS w
+            FROM cov JOIN v${r - 1} vv ON vv.i = cov.j GROUP BY 1),
+          m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+          v$r AS MATERIALIZED (SELECT i,
+            CASE WHEN w < 0 THEN -((-w) * 1000000 // m)
+            ELSE w * 1000000 // m END AS v FROM w$r, m$r)"""
+    }.mkString(",\n")
+    s"""qv AS (SELECT vec_id, r.i,
+          CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+            AS q
+          FROM embeddings, range(1, ${dims + 1}) r(i)),
+        tot AS (SELECT i, sum(q) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM qv GROUP BY i),
+        cen AS (SELECT vec_id, qv.i, t.n * qv.q - t.s AS c
+          FROM qv JOIN tot t ON t.i = qv.i),
+        cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+            sum(CAST(a.c AS HUGEINT) * b.c) AS m
+          FROM cen a JOIN cen b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        v0 AS (SELECT r.i,
+          CAST(CASE WHEN r.i = 1 THEN 1000000 ELSE 0 END AS HUGEINT) AS v
+          FROM range(1, ${dims + 1}) r(i)),
+        $stages,
+        fz AS (SELECT min(i) AS fi FROM v$iters WHERE v <> 0),
+        sg AS (SELECT CASE WHEN vf.v < 0 THEN -1 ELSE 1 END AS s
+          FROM v$iters vf, fz WHERE vf.i = fz.fi),
+        pv AS (SELECT vv.i, vv.v * sg.s AS v FROM v$iters vv, sg)"""
+  }
+
   /** DuckDB fragment: one BPE round — weighted adjacent-pair counts over
     * `prev`'s symbol lists, deterministic top-1 (`t`), double-space-safe
     * rewrite into `next`. Shared by q_bpe_merges and q_bpe_encode.
@@ -1976,6 +2014,28 @@ object SparkEntry {
           dPrefix = 16, shortlist = 20)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Exact-arithmetic PCA: the dominant principal direction of the
+    // 16-dim matryoshka prefix by fixed-point power iteration — integer
+    // quantization, division-free centering (n·q − S), decimal(38,0)
+    // Gram cells, 8 driver rounds over the collected 16×16 matrix
+    // (bounded model data), sign-canonicalized. The oracle replays the
+    // identical chain in HUGEINT.
+    "q_pca_dir" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.Pca.principalDirection(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = 16, iters = 8)
+        .toDF("dim", "v_q")
+        .orderBy(col("dim"))
+    },
+
+    // Per-vector exact projection along the dominant direction — the
+    // 1-D embedding ordering (drift axis, equi-depth binning key).
+    "q_pca_project" -> { (s, d) =>
+      graft.functions.Pca.project(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = 16, iters = 8)
+        .orderBy(col("vec_id"))
     },
 
     // Embedding-space decontamination: drop corpus vectors within cosine
@@ -4420,6 +4480,16 @@ object SparkEntry {
       s"""SELECT vec_id, CAST($projs AS BIGINT) AS bucket
           FROM embeddings ORDER BY vec_id"""
     },
+
+    "q_pca_dir" ->
+      s"""WITH ${duckPcaChain()}
+          SELECT i AS dim, CAST(v AS BIGINT) AS v_q FROM pv ORDER BY dim""",
+
+    "q_pca_project" ->
+      s"""WITH ${duckPcaChain()}
+          SELECT qv.vec_id, CAST(sum(qv.q * pv.v) AS BIGINT) AS proj
+          FROM qv JOIN pv ON pv.i = qv.i
+          GROUP BY 1 ORDER BY vec_id""",
 
     "q_mrl_topk" -> {
       val dotSql = duckDotSql _
