@@ -1712,6 +1712,17 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
+    // Weight-proportional sample without replacement (priority /
+    // sequential Poisson sampling): top-50 by exact-integer w/u priority,
+    // weights = token counts — heavy documents oversampled, one scan +
+    // one TakeOrdered, never rand().
+    "q_priority_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("ntok"))
+      graft.functions.Sampling.prioritySample(docs, "doc_id", "ntok", k = 50)
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic train/val/test split assignment (80/10/10) by key
     // hash — the held-out-split primitive of a training-data pipeline.
     "q_split_assign" -> { (s, d) =>
@@ -3996,6 +4007,15 @@ object SparkEntry {
     "q_hash_sample" ->
       s"""WITH b AS (SELECT doc_id, $duckBucket AS bkt FROM documents)
           SELECT doc_id FROM b WHERE bkt < 2000 ORDER BY doc_id""",
+
+    "q_priority_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS w FROM documents),
+          h AS (SELECT doc_id, w,
+            (w * 2147483647) // (${duckMixOf("doc_id")} + 1) AS priority
+            FROM t),
+          top AS (SELECT * FROM h ORDER BY priority DESC, doc_id LIMIT 50)
+          SELECT doc_id, w, priority FROM top ORDER BY doc_id""",
 
     "q_split_assign" ->
       s"""WITH b AS (SELECT doc_id, $duckBucket AS bkt FROM documents)

@@ -65,6 +65,41 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < bps)
   }
 
+  /** Weight-proportional sample WITHOUT replacement by priority
+    * (sequential Poisson) sampling (Ohlsson 1998; Duffield, Lund &
+    * Thorup 2007, "Priority sampling for estimation of arbitrary subset
+    * sums"): every row gets priority = w / u for a deterministic
+    * per-key uniform u, and the sample is the top `k` priorities —
+    * heavier rows systematically draw larger priorities, and the
+    * inclusion rule is a per-row threshold comparison, which is what
+    * makes the scheme mergeable and rerun-stable.
+    *
+    * All arithmetic is exact integer: u = hashOrder(key) + 1 in
+    * [1, 2^31-1], priority = (w * (2^31-1)) div u — the truncation
+    * changes NO top-k decision a double w/u would make beyond ties,
+    * and ties break by key. Weights must be non-negative integers
+    * (token counts, byte sizes); w * 2^31 caps weights at ~4*10^9
+    * before long overflow — cap or pre-scale above that.
+    *
+    * Scale (100 TB): one hash + one multiply per row at the scan, then
+    * a single TakeOrdered(k) — no shuffle, no sort of the corpus; the
+    * same physics as every other sampler here (never `rand()`).
+    *
+    * Output: the k sampled rows as (keyCol, w, priority).
+    */
+  def prioritySample(df: DataFrame, keyCol: String, wCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireNumericKey(df, keyCol)
+    val p = 2147483647L
+    df.select(col(keyCol), col(wCol).cast("long").as("w"))
+      .withColumn("__u", hashOrder(col(keyCol)) + 1L)
+      .withColumn("priority", expr(s"(w * ${p}L) div __u"))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), col("w"), col("priority"))
+  }
+
   /** Deterministic train/validation/test (or any) split: `weights` are
     * (label, positive basis points) summing to <= 10000; rows hash into
     * contiguous bucket ranges per label (leftover buckets get the LAST

@@ -26,6 +26,46 @@ class SamplingSpec extends AnyFunSuite {
     assert(adjacent < sampled.size / 5, s"adjacent=$adjacent of ${sampled.size}")
   }
 
+  /** Driver replica of Sampling.hashOrder. */
+  private def mixOf(key: Long): Long = {
+    val p = 2147483647L
+    val h1 = (((key % p) * 1103515245L + 12345L) % p + p) % p
+    val h2 = (h1 * h1 + h1) % p
+    (h2 * 784588716L + 998244353L) % p
+  }
+
+  test("prioritySample: exact top-k by integer w/u priority") {
+    val rows = (0L until 5000L).map(i => (i, 1L + i % 97))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", "w", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = rows
+      .map { case (id, w) => (id, w, w * 2147483647L / (mixOf(id) + 1L)) }
+      .sortBy { case (id, _, pr) => (-pr, id) }
+      .take(100).sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq == expect)
+    // partition-invariant
+    val again = Sampling.prioritySample(df.repartition(17), "id", "w", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == expect)
+  }
+
+  test("prioritySample: heavier rows are sampled at a higher rate") {
+    // 2500 light (w=1) and 2500 heavy (w=50) rows; a k=500 sample must
+    // be dominated by the heavy half, and zero weights never sample
+    val df = (0L until 5000L).map(i => (i, if (i % 2 == 0) 50L else 1L))
+      .toDF("id", "w")
+    val picked = Sampling.prioritySample(df, "id", "w", k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val heavy = picked.count(_._2 == 50L)
+    assert(heavy > 400, s"heavy=$heavy of 500")
+    val withZero = (0L until 100L).map(i => (i, if (i < 50) 0L else 1L))
+      .toDF("id", "w")
+    val nz = Sampling.prioritySample(withZero, "id", "w", k = 50)
+      .collect().map(_.getLong(1))
+    assert(nz.forall(_ > 0L), "zero-weight rows must never be sampled")
+  }
+
   test("splitAssign covers every row with near-weight proportions") {
     val split = Sampling.splitAssign(ids, "id",
       Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
