@@ -207,6 +207,65 @@ object SparkEntry {
         dfin AS ($fin)"""
   }
 
+  /** DuckDB fragment chain replaying FixLog.log2q bit for bit over a
+    * one-column value table `lx (x)`: MSB position via integer binary
+    * formatting (no libm), 20-bit mantissa normalization, 16 unrolled
+    * squaring stages. Emits `lgt (x, lq)`.
+    */
+  private def duckLog2Chain: String = {
+    val stages = (1 to 16).map { i =>
+      s"""g$i AS (SELECT x, e,
+            CASE WHEN ((m * m) >> 20) >= 2097152 THEN ((m * m) >> 21)
+                 ELSE ((m * m) >> 20) END AS m,
+            f * 2 + (CASE WHEN ((m * m) >> 20) >= 2097152 THEN 1 ELSE 0 END)
+              AS f
+            FROM g${i - 1})"""
+    }.mkString(",\n")
+    s"""g0 AS (SELECT x,
+          length(bin(x)) - 1 AS e,
+          CASE WHEN length(bin(x)) - 1 >= 20
+            THEN x >> (length(bin(x)) - 1 - 20)
+            ELSE x << (20 - (length(bin(x)) - 1)) END AS m,
+          CAST(0 AS BIGINT) AS f
+          FROM lx),
+        $stages,
+        lgt AS MATERIALIZED (SELECT x, e * 65536 + f AS lq FROM g16)"""
+  }
+
+  /** DuckDB fragment chain: the naive-Bayes model over documents —
+    * token-class counts, the class x vocabulary Laplace grid, the log2
+    * table over every needed argument, weights, and priors. Emits
+    * `td (doc_id, lang, token)`, `wts (class, token, n, w_q)`,
+    * `pri (class, nd)`, and `lgt`.
+    */
+  private def duckNbChain: String =
+    s"""td AS MATERIALIZED (SELECT doc_id, lang, t.word AS token
+          FROM (SELECT doc_id, lang, unnest(${duckToks("text")}) AS word
+                FROM documents) t
+          WHERE regexp_matches(t.word, '^[a-z]+$$')),
+        cnt AS MATERIALIZED (SELECT lang AS class, token,
+            CAST(count(*) AS BIGINT) AS n
+          FROM td GROUP BY 1, 2),
+        cls AS (SELECT class, sum(n) AS nc FROM cnt GROUP BY 1),
+        voc AS (SELECT DISTINCT token FROM cnt),
+        vct AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        grid AS MATERIALIZED (SELECT c.class, w.token,
+            coalesce(ct.n, CAST(0 AS BIGINT)) AS n, c.nc, vct.v
+          FROM cls c CROSS JOIN voc w CROSS JOIN vct
+          LEFT JOIN cnt ct ON ct.class = c.class AND ct.token = w.token),
+        pri AS (SELECT lang AS class, CAST(count(*) AS BIGINT) AS nd
+          FROM documents GROUP BY 1),
+        lx AS (SELECT DISTINCT x FROM (
+          SELECT n + 1 AS x FROM grid
+          UNION SELECT nc + v FROM grid
+          UNION SELECT nd FROM pri)),
+        $duckLog2Chain,
+        wts AS MATERIALIZED (SELECT grid.class, grid.token, grid.n,
+            ln1.lq - ld.lq AS w_q
+          FROM grid
+          JOIN lgt ln1 ON ln1.x = grid.n + 1
+          JOIN lgt ld ON ld.x = grid.nc + grid.v)"""
+
   /** DuckDB fragment chain replaying Pca exactly in HUGEINT: quantize →
     * division-free centering → Gram cells → `iters` power-iteration
     * stages (sign-preserving truncated division — positive-operand `//`
@@ -1891,6 +1950,30 @@ object SparkEntry {
           .otherwise(-1L).as("y"))
       graft.functions.Classifier.perceptronScores(docs, "doc_id", "text",
           labels, nBuckets = 64, rounds = 12)
+        .orderBy(col("doc_id"))
+    },
+
+    // Naive-Bayes training grid: Laplace-smoothed per-(lang, token)
+    // log-likelihood weights with ALL log arithmetic in the fixed-point
+    // integer log2 (FixLog — libm-free, bit-identical cross-engine).
+    // The model is class × vocabulary: aggregate data from one
+    // partial-aggregable count.
+    "q_nb_weights" -> { (s, d) =>
+      graft.functions.NaiveBayes.weights(
+          graft.functions.NaiveBayes.tokenClassCounts(
+            Tables.documents(s, d), "text", "lang"))
+        .orderBy(col("class"), col("token"))
+    },
+
+    // Naive-Bayes language ID: every document classified to its argmax
+    // class under the self-trained multinomial model — training is two
+    // counts, scoring one equi-join + per-doc sum, the argmax a
+    // class-count-bounded window. The statistical sibling of the
+    // marker-list q_lang_id.
+    "q_nb_lang" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.NaiveBayes.classify(docs, docs, "doc_id", "text",
+          "lang")
         .orderBy(col("doc_id"))
     },
 
@@ -4301,6 +4384,22 @@ object SparkEntry {
             CAST(sum_q // n_trigrams AS BIGINT) AS fit_q,
             CAST(sum_q // n_trigrams AS DOUBLE) / 1000000000.0 AS fit
           FROM sc ORDER BY doc_id""",
+
+    "q_nb_weights" ->
+      s"""WITH $duckNbChain
+          SELECT class, token, n, w_q FROM wts ORDER BY class, token""",
+
+    "q_nb_lang" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class, sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd)
+          SELECT doc_id, class AS pred_class, score_q FROM fin
+          WHERE rn = 1 ORDER BY doc_id""",
 
     "q_perceptron" -> {
       // Unrolled training rounds, generated: round r scores under

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.FixLog
+
+/** Multinomial naive Bayes over token occurrences (Laplace add-one),
+  * with ALL log-domain arithmetic in [[FixLog]]'s fixed-point integer
+  * log2 — the second classifier family next to the perceptron (margin
+  * learner) and Fellegi-Sunter (generative pairwise): a closed-form
+  * generative text classifier whose training is two partial-aggregable
+  * counts, no iteration. The catalog instance predicts `lang` from
+  * tokens — naive-Bayes language ID, the statistical sibling of the
+  * marker-list langId heuristic.
+  *
+  * Per class c and token t: weight(t, c) = log2q(n_tc + 1) -
+  * log2q(N_c + V), the Laplace-smoothed log-likelihood; a document
+  * scores score_c = sum over its token OCCURRENCES of weight(t, c) +
+  * log2q(n_docs_c) (the prior, up to the class-free -log2q(n_docs)
+  * term argmax ignores). Prediction is argmax with ties to the
+  * lexicographically smallest class. Tokens outside the training
+  * vocabulary are ignored at inference (standard NB OOV handling);
+  * within-vocabulary tokens unseen for a PARTICULAR class get that
+  * class's unseen weight via the full class x vocabulary grid.
+  *
+  * Integer audit: log2q values top out near 63 * 2^16 ~ 4.1e6; a
+  * document contributes |tokens| of them — long-safe past 10^12-token
+  * documents.
+  *
+  * Scale (100 TB): the model is CLASS x VOCABULARY — aggregate data,
+  * built by one partial-aggregable count over the corpus; the grid and
+  * priors are model-sized. Scoring is one equi-join of the token
+  * occurrence stream against the broadcast-worthy weight table and a
+  * partial-aggregable per-(doc, class) sum; the argmax window runs on
+  * nClasses rows per document, never a corpus-wide sort.
+  */
+object NaiveBayes {
+
+  /** (class, token, n) occurrence counts — the sufficient statistics. */
+  def tokenClassCounts(docs: DataFrame, textCol: String,
+      classCol: String): DataFrame =
+    docs.select(col(classCol).as("class"),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .where(col("token").rlike("^[a-z]+$"))
+      .groupBy(col("class"), col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The full class x vocabulary weight grid:
+    * (class, token, n, w_q = log2q(n+1) - log2q(N_c + V)).
+    */
+  def weights(counts: DataFrame): DataFrame = {
+    val classes = counts.groupBy(col("class")).agg(sum(col("n")).as("__nc"))
+    val vocab = counts.select(col("token")).distinct()
+    val v = vocab.agg(count(lit(1)).as("__v"))
+    classes.crossJoin(v).crossJoin(vocab)
+      .join(counts, Seq("class", "token"), "left")
+      .select(col("class"), col("token"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (FixLog.log2qCol(coalesce(col("n"), lit(0L)) + 1L) -
+          FixLog.log2qCol(col("__nc") + col("__v"))).as("w_q"))
+  }
+
+  /** Train on `docs` and classify every document of `score` (usually the
+    * same frame — self-classification): (idCol, pred_class, score_q).
+    * Documents with zero in-vocabulary tokens drop out (inner-join
+    * semantics, like lmFit).
+    */
+  def classify(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, classCol: String): DataFrame = {
+    val w = weights(tokenClassCounts(train, textCol, classCol))
+    val prior = train.groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).as("__nd"))
+      .select(col("class"), FixLog.log2qCol(col("__nd")).as("__prior_q"))
+    val occ = score.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .where(col("token").rlike("^[a-z]+$"))
+    val perClass = occ.join(broadcast(w), Seq("token"))
+      .groupBy(col(idCol), col("class"))
+      .agg(sum(col("w_q")).as("__s"))
+      .join(broadcast(prior), Seq("class"))
+      .select(col(idCol), col("class"),
+        (col("__s") + col("__prior_q")).as("score_q"))
+    val pick = Window.partitionBy(col(idCol))
+      .orderBy(col("score_q").desc, col("class").asc)
+    perClass.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("class").as("pred_class"), col("score_q"))
+  }
+}
