@@ -1726,6 +1726,27 @@ object SparkEntry {
         .orderBy(col("g_a"), col("g_b"))
     },
 
+    // Per-source unigram token entropy in fixed-point bits (FixLog —
+    // the log-domain diversity card the no-libm discipline could not
+    // previously reach). Exact integer numerator hashed alongside the
+    // rendered bits-per-token.
+    "q_source_entropy" -> { (s, d) =>
+      graft.functions.Entropy.unigramEntropy(
+          Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
+    // Directed smoothed KL divergence between language unigram
+    // distributions — the asymmetric companion of q_unigram_tv's exact
+    // TV metric (KL(a||b): the modeling cost of a under b's
+    // distribution, the quantity behind DSIR-style importance and
+    // domain filtering).
+    "q_unigram_kl" -> { (s, d) =>
+      graft.functions.Entropy.unigramKL(
+          Tables.documents(s, d), "lang", "text")
+        .orderBy(col("g_a"), col("g_b"))
+    },
+
     // Overlapping token-window chunking (context-window splitting for
     // long docs): 64-token chunks, 16-token overlap.
     "q_doc_chunk" -> { (s, d) =>
@@ -4069,6 +4090,54 @@ object SparkEntry {
             round(1.0 - CAST(COALESCE(minsum, 0) AS DOUBLE) /
               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS tv
           FROM p LEFT JOIN ov USING (g_a, g_b) ORDER BY g_a, g_b""",
+
+    "q_source_entropy" ->
+      s"""WITH tk AS (SELECT source AS g, unnest(${duckToks("text")}) AS tok
+            FROM documents),
+          c AS MATERIALIZED (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+          t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS vocab FROM c GROUP BY 1),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT c AS x FROM c UNION SELECT n FROM t)),
+          $duckLog2Chain,
+          h AS (SELECT c.g, sum(c.c * (lt.lq - lc.lq)) AS hnum
+            FROM c JOIN t ON t.g = c.g
+            JOIN lgt lt ON lt.x = t.n
+            JOIN lgt lc ON lc.x = c.c
+            GROUP BY 1)
+          SELECT t.g AS source, t.vocab, t.n AS n_tokens, h.hnum AS h_num,
+            round(CAST(h.hnum AS DOUBLE) / (CAST(t.n AS DOUBLE) * 65536.0),
+              6) AS h_bits
+          FROM t JOIN h ON h.g = t.g ORDER BY source""",
+
+    "q_unigram_kl" ->
+      s"""WITH tk AS (SELECT lang AS g, unnest(${duckToks("text")}) AS tok
+            FROM documents),
+          c AS MATERIALIZED (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+          t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+          voc AS (SELECT DISTINCT tok FROM c),
+          vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+          grid AS MATERIALIZED (SELECT t.g, voc.tok, t.n, vv.v,
+            coalesce(c.c, CAST(0 AS BIGINT)) AS c
+            FROM t CROSS JOIN voc CROSS JOIN vv
+            LEFT JOIN c ON c.g = t.g AND c.tok = voc.tok),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT c + 1 AS x FROM grid UNION SELECT n + v FROM grid)),
+          $duckLog2Chain,
+          lt AS MATERIALIZED (SELECT grid.g, grid.tok, grid.c, grid.n,
+            grid.v, l1.lq - l2.lq AS l
+            FROM grid JOIN lgt l1 ON l1.x = grid.c + 1
+            JOIN lgt l2 ON l2.x = grid.n + grid.v),
+          kl AS (SELECT a.g AS g_a, b.g AS g_b, a.n AS na, a.v AS v,
+            sum((a.c + 1) * (a.l - b.l)) AS klnum
+            FROM lt a JOIN lt b ON b.tok = a.tok AND a.g <> b.g
+            GROUP BY 1, 2, 3, 4)
+          SELECT g_a, g_b, klnum AS kl_num,
+            round(CAST(klnum AS DOUBLE) /
+              (CAST(na + v AS DOUBLE) * 65536.0), 6) AS kl_bits
+          FROM kl ORDER BY g_a, g_b""",
 
     "q_doc_chunk" ->
       s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),

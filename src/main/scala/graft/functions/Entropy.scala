@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.FixLog
+
+/** Log-domain distribution diagnostics — unigram entropy and pairwise
+  * KL divergence between group token distributions — built on
+  * [[FixLog]]'s integer fixed-point log2, the operators the engine's
+  * no-libm discipline previously could not reach (its TV distance is
+  * exact rational precisely because TV needs no logarithm; entropy and
+  * KL do). The data-mixing readouts next to q_mix_hhi (concentration)
+  * and q_unigram_tv (metric distance): entropy = how diverse a source's
+  * token usage is; KL(a||b) = how expensive it is to model source a
+  * with source b's distribution — the directed divergence behind DSIR
+  * importance weights and CCNet-style domain filtering.
+  *
+  * All arithmetic integer: entropy numerator
+  * H_num = sum_t n_t * (log2q(N) - log2q(n_t)) — exactly
+  * N * 2^16 * H(distribution) up to log2q truncation — and smoothed KL
+  * numerator KL_num = sum_t (n_at + 1) * (L_a(t) - L_b(t)) over the
+  * GLOBAL vocabulary with Laplace add-one (L_g(t) = log2q(n_gt + 1) -
+  * log2q(N_g + V)), so zero-count tokens are defined on both sides.
+  * The rendered bits-per-token divides by N * 2^16 (resp.
+  * (N_a + V) * 2^16) in double at the very end — presentation only,
+  * the gate hashes the exact numerators too.
+  *
+  * Scale (100 TB): counts are one partial-aggregable groupBy; the grid,
+  * the log2 table, and every join after it are GROUPS x VOCABULARY —
+  * aggregate data. Long audit: each term is (count+1) * Dlog2q <=
+  * n * 4.1e6; numerators accumulate in decimal(38,0), the engine's
+  * standard wide-sum contract.
+  */
+object Entropy {
+
+  private def counts(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol).as("__g"),
+        explode(Text.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__g"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** Per-group unigram entropy:
+    * (groupCol, vocab, n_tokens, h_num, h_bits).
+    */
+  def unigramEntropy(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val cnt = counts(docs, groupCol, textCol)
+    val tot = cnt.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__vocab"))
+    cnt.join(broadcast(tot), Seq("__g"))
+      .select(col("__g"), col("__n"), col("__vocab"),
+        (col("__c").cast("decimal(19,0)") *
+          (FixLog.log2qCol(col("__n")) - FixLog.log2qCol(col("__c"))))
+          .cast("decimal(38,0)").as("__term"))
+      .groupBy(col("__g"), col("__n"), col("__vocab"))
+      .agg(sum(col("__term")).cast("decimal(38,0)").as("__hnum"))
+      .select(col("__g").as(groupCol), col("__vocab").as("vocab"),
+        col("__n").as("n_tokens"), col("__hnum").as("h_num"),
+        round(col("__hnum").cast("double") /
+          (col("__n").cast("double") * 65536.0), 6).as("h_bits"))
+  }
+
+  /** All ordered-pair smoothed KL divergences between group unigram
+    * distributions: (g_a, g_b, kl_num, kl_bits).
+    */
+  def unigramKL(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val cnt = counts(docs, groupCol, textCol)
+    val tot = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val vocab = cnt.select(col("__tok")).distinct()
+    val v = vocab.agg(count(lit(1)).as("__v"))
+    // class x vocabulary Laplace grid with per-token smoothed log-lik
+    val grid = tot.crossJoin(v).crossJoin(vocab)
+      .join(cnt, Seq("__g", "__tok"), "left")
+      .select(col("__g"), col("__tok"), col("__n"), col("__v"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__l",
+        FixLog.log2qCol(col("__c") + 1L) -
+          FixLog.log2qCol(col("__n") + col("__v")))
+    val a = grid.select(col("__tok"), col("__g").as("g_a"),
+      col("__c").as("__ca"), col("__n").as("__na"), col("__v"),
+      col("__l").as("__la"))
+    val b = grid.select(col("__tok"), col("__g").as("g_b"),
+      col("__l").as("__lb"))
+    a.join(b, Seq("__tok"))
+      .filter(col("g_a") =!= col("g_b"))
+      .groupBy(col("g_a"), col("g_b"), col("__na"), col("__v"))
+      .agg(sum(((col("__ca") + 1L).cast("decimal(19,0)") *
+        (col("__la") - col("__lb"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__klnum"))
+      .select(col("g_a"), col("g_b"), col("__klnum").as("kl_num"),
+        round(col("__klnum").cast("double") /
+          ((col("__na") + col("__v")).cast("double") * 65536.0), 6)
+          .as("kl_bits"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Entropy
+
+/** Fixed-point entropy/KL: exact values on power-of-two fixtures, zero
+  * and identity laws, positivity/asymmetry on skewed distributions, and
+  * tolerance against driver double arithmetic.
+  */
+class EntropySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("uniform power-of-two distribution has exact integer entropy") {
+    // 8 tokens x 4 occurrences: H = log2(8) = 3 bits, exact in the
+    // fixed-point arithmetic because every log argument is a power of 2
+    val text = (0 until 8).flatMap(i => Seq.fill(4)(s"t$i")).mkString(" ")
+    val df = Seq(("g", text)).toDF("lang", "text")
+    val r = Entropy.unigramEntropy(df, "lang", "text").collect()(0)
+    assert(r.getLong(1) == 8L && r.getLong(2) == 32L)
+    assert(r.getDecimal(3).longValueExact() == 32L * 3 * 65536L)
+    assert(r.getDouble(4) == 3.0)
+  }
+
+  test("single-token distribution has zero entropy") {
+    val df = Seq(("g", "a a a a a")).toDF("lang", "text")
+    val r = Entropy.unigramEntropy(df, "lang", "text").collect()(0)
+    assert(r.getDecimal(3).longValueExact() == 0L)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("entropy tracks driver double arithmetic on random data") {
+    val rnd = new scala.util.Random(9)
+    val toks = Seq.fill(5000)(s"w${rnd.nextInt(40)}")
+    val df = toks.grouped(100).map(g => ("g", g.mkString(" "))).toSeq
+      .toDF("lang", "text")
+    val got = Entropy.unigramEntropy(df, "lang", "text")
+      .collect()(0).getDouble(4)
+    val n = toks.size.toDouble
+    val expect = toks.groupBy(identity).values
+      .map(g => -g.size / n * (math.log(g.size / n) / math.log(2.0))).sum
+    assert(math.abs(got - expect) < 1e-3, s"$got vs $expect")
+  }
+
+  test("KL is zero between identical distributions, positive and " +
+      "asymmetric between skewed ones") {
+    val mk = (a: Int, b: Int) =>
+      (Seq.fill(a)("x") ++ Seq.fill(b)("y")).mkString(" ")
+    val df = Seq(
+      ("p", mk(30, 30)), ("q", mk(30, 30)),   // identical
+      ("r", mk(55, 5))).toDF("lang", "text")  // skewed
+    val kl = Entropy.unigramKL(df, "lang", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getDecimal(2).longValueExact()).toMap
+    assert(kl(("p", "q")) == 0L && kl(("q", "p")) == 0L)
+    assert(kl(("p", "r")) > 0L && kl(("r", "p")) > 0L)
+    assert(kl(("p", "r")) != kl(("r", "p")), "KL must be asymmetric")
+  }
+}
