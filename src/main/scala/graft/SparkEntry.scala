@@ -1037,6 +1037,25 @@ object SparkEntry {
         .orderBy(col("piece"))
     },
 
+    // L-bounded suffix ranking by prefix doubling (the suffix-array
+    // primitive of exact substring dedup): suffixes ordered by their
+    // first 32 tokens in 5 rounds of pair-ranking — sort keys stay
+    // (long, long) pairs at every round, never 32-token windows (the
+    // L-fold blowup the toy-scale oracle pays).
+    "q_suffix_rank" -> { (s, d) =>
+      graft.functions.Suffix.suffixRanks(Tables.documents(s, d),
+          "doc_id", "text", rounds = 5)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // The classical corollary: top-10 longest repeated token substrings
+    // (31-token cap) as maximal adjacent-suffix LCPs by rank-table
+    // descent, with the repeated text reconstructed.
+    "q_longest_repeat" -> { (s, d) =>
+      graft.functions.Suffix.longestRepeats(Tables.documents(s, d),
+          "doc_id", "text", rounds = 5, k = 10)
+    },
+
     // Edit-distance similarity join over the merged word TYPES of the
     // document corpus and the part-name vocabulary — the typo/variant
     // detector: all pairs within Levenshtein distance 2 by positional
@@ -2964,6 +2983,36 @@ object SparkEntry {
           FROM (SELECT wc.wc, unnest(string_split(d.path, ' ')) AS piece
                 FROM wc JOIN dfin d USING (word))
           GROUP BY piece ORDER BY piece""",
+
+    "q_suffix_rank" ->
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          s AS (SELECT doc_id, u.i, tk[u.i : u.i + 31] AS w
+            FROM t, unnest(range(1, len(tk) + 1)) AS u(i))
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS srank
+          FROM s ORDER BY doc_id, pos""",
+
+    "q_longest_repeat" ->
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          s AS (SELECT doc_id, u.i, tk[u.i : u.i + 31] AS w
+            FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+          r AS MATERIALIZED (SELECT doc_id, i, w,
+            row_number() OVER (ORDER BY w, doc_id, i) AS rn FROM s),
+          p AS (SELECT a.doc_id AS id_a, a.i - 1 AS pos_a,
+            b.doc_id AS id_b, b.i - 1 AS pos_b,
+            coalesce(list_max(list_filter(
+              range(1, least(least(len(a.w), len(b.w)), 31) + 1),
+              j -> a.w[1:j] = b.w[1:j])), 0) AS lcp
+            FROM r a JOIN r b ON b.rn = a.rn + 1),
+          top AS (SELECT * FROM p WHERE lcp >= 1
+            ORDER BY lcp DESC, id_a, pos_a LIMIT 10)
+          SELECT CAST(top.lcp AS BIGINT) AS lcp, top.id_a,
+            CAST(top.pos_a AS BIGINT) AS pos_a, top.id_b,
+            CAST(top.pos_b AS BIGINT) AS pos_b,
+            array_to_string(t.tk[top.pos_a + 1 : top.pos_a + top.lcp], ' ')
+              AS snippet
+          FROM top JOIN t ON t.doc_id = top.id_a
+          ORDER BY lcp DESC, id_a, pos_a""",
 
     "q_edit_pairs" ->
       s"""WITH tk AS (SELECT unnest(${duckToks("text")}) AS word

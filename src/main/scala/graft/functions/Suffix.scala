@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+/** L-bounded suffix ranking by PREFIX DOUBLING (Manber & Myers 1990,
+  * "Suffix arrays: a new method for on-line string searches") over the
+  * per-document token streams — the suffix-array primitive behind exact
+  * substring dedup (Lee et al. 2022 "Deduplicating Training Data Makes
+  * Language Models Better" builds suffix arrays for exactly this), here
+  * re-expressed as log2(L) rounds of the engine's two-level exact
+  * ranking instead of a monolithic suffix sort.
+  *
+  * Round 0 ranks every suffix by its FIRST token (a vocabulary-sized
+  * dense rank). Round k+1 ranks by the pair (rank_k[pos],
+  * rank_k[pos + 2^k]) — one positional self-join plus one two-level
+  * ranking of the DISTINCT pairs (dense: equal prefixes share a rank;
+  * ranking distinct pairs keeps it deterministic), so after R rounds
+  * suffixes are ordered by their first 2^R tokens. Suffixes never cross
+  * document boundaries (no phantom repeats from concatenation); a
+  * missing partner past the end ranks as sentinel 0, which sorts before
+  * every real rank — exactly "shorter prefix first", matching list
+  * lexicographic order.
+  *
+  * The point at scale: the sort keys are PAIRS OF LONGS at every round
+  * — never the L-token windows themselves (an L-fold corpus blowup for
+  * the direct window sort the DuckDB oracle runs at toy scale) — and
+  * every round is one equi-join plus one distinct + two-level rank:
+  * all partial-aggregable / range-exchange shapes, log2(L) of them.
+  *
+  * [[lcpAdjacent]] then yields the classical corollary: the longest
+  * repeated substring (capped at 2^R - 1 tokens) is the maximal
+  * longest-common-prefix between ADJACENT suffixes in rank order,
+  * computed by the standard rank-table descent — at step k, if the two
+  * suffixes' rank_k agree at their current offsets, they share those
+  * 2^k tokens and both offsets advance — log2(L) chained equi-joins,
+  * each over the n adjacent pairs.
+  */
+object Suffix {
+
+  /** (doc_id-as-__id, __pos 0-based, __tok) token stream. */
+  private def stream(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        posexplode(Text.tokens(col(textCol))))
+      .select(col("__id"), col("pos").cast("long").as("__pos"),
+        col("col").as("__tok"))
+
+  /** Dense rank over any frame of UNIQUE rows by `order` — two-level,
+    * no single-task sort. */
+  private def denseRankOf(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      as: String): DataFrame =
+    GroupRank.withRankAndCount(df.withColumn("__g", lit(1)), Seq("__g"),
+        order, as, "__n")
+      .drop("__g", "__n")
+
+  /** Per-round rank tables r_0 .. r_rounds: each (__id, __pos, r) with
+    * r ordering suffixes by their first 2^k tokens. Returned oldest
+    * first; every table is checkpointed (they are re-read by the LCP
+    * descent and the next round).
+    */
+  def rankTables(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): Seq[DataFrame] = {
+    require(rounds >= 1 && rounds <= 10, s"rounds in [1,10], got $rounds")
+    val toks = stream(docs, idCol, textCol).localCheckpoint(true)
+    val typeRank = denseRankOf(toks.select(col("__tok")).distinct(),
+      Seq(col("__tok").asc), "__r")
+    var cur = toks.join(typeRank, Seq("__tok"))
+      .select(col("__id"), col("__pos"), col("__r"))
+      .localCheckpoint(true)
+    val tables = Seq.newBuilder[DataFrame]
+    tables += cur
+    var span = 1L
+    for (_ <- 1 to rounds) {
+      val partner = cur.select(col("__id"),
+        (col("__pos") - span).as("__pos"), col("__r").as("__rb"))
+      val paired = cur.withColumnRenamed("__r", "__ra")
+        .join(partner, Seq("__id", "__pos"), "left")
+        .withColumn("__rb", coalesce(col("__rb"), lit(0L)))
+      val pairRank = denseRankOf(
+        paired.select(col("__ra"), col("__rb")).distinct(),
+        Seq(col("__ra").asc, col("__rb").asc), "__r")
+      val nxt = paired.join(pairRank, Seq("__ra", "__rb"))
+        .select(col("__id"), col("__pos"), col("__r"))
+        .localCheckpoint(true)
+      cur = nxt
+      tables += cur
+      span *= 2
+    }
+    // every per-round table is eagerly materialized; the raw stream
+    // checkpoint has no further reader
+    GraftBridge.unpersistCheckpoint(toks)
+    tables.result()
+  }
+
+  /** Suffix ranks by the first 2^rounds tokens:
+    * (idCol, pos, srank) — dense, deterministic. */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val tables = rankTables(docs, idCol, textCol, rounds)
+    tables.init.foreach(GraftBridge.unpersistCheckpoint)
+    tables.last
+      .select(col("__id").as(idCol), col("__pos").as("pos"),
+        col("__r").as("srank"))
+  }
+
+  /** Adjacent-suffix LCPs (capped at 2^rounds - 1 tokens): for every
+    * neighboring pair in suffix-rank order, the exact shared-prefix
+    * token count by rank-table descent. Output: (id_a, pos_a, id_b,
+    * pos_b, lcp).
+    */
+  def lcpAdjacent(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val tables = rankTables(docs, idCol, textCol, rounds)
+    // per-doc token counts: a rank_k match on a CLAMPED window (fewer
+    // than 2^k tokens remain) means the two suffixes are identical to
+    // their ends — list equality forces equal residual lengths — so the
+    // step credits min(2^k, tokens remaining), not the full span
+    val lens = tables.head.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__len"))
+    val order = denseRankOf(
+      tables.last.select(col("__id"), col("__pos"), col("__r")),
+      Seq(col("__r").asc, col("__id").asc, col("__pos").asc), "__ord")
+    val a = order.select(col("__id").as("__ida"), col("__pos").as("__posa"),
+      col("__ord"))
+    val b = order.select(col("__id").as("__idb"), col("__pos").as("__posb"),
+      (col("__ord") - 1L).as("__ord"))
+    var pairs = a.join(b, Seq("__ord"))
+      .join(lens.select(col("__id").as("__ida"), col("__len").as("__lena")),
+        Seq("__ida"))
+      .select(col("__ida"), col("__posa"), col("__idb"), col("__posb"),
+        col("__lena"))
+      .withColumn("__lcp", lit(0L))
+    for (k <- (rounds - 1) to 0 by -1) {
+      val span = 1L << k
+      val ra = tables(k).select(col("__id").as("__ida"),
+        col("__pos").as("__pa"), col("__r").as("__rka"))
+      val rb = tables(k).select(col("__id").as("__idb"),
+        col("__pos").as("__pb"), col("__r").as("__rkb"))
+      pairs = pairs
+        .withColumn("__pa", col("__posa") + col("__lcp"))
+        .withColumn("__pb", col("__posb") + col("__lcp"))
+        .join(ra, Seq("__ida", "__pa"), "left")
+        .join(rb, Seq("__idb", "__pb"), "left")
+        .withColumn("__lcp",
+          when(col("__rka").isNotNull && col("__rka") === col("__rkb"),
+            col("__lcp") +
+              least(lit(span), col("__lena") - col("__pa")))
+          .otherwise(col("__lcp")))
+        .select(col("__ida"), col("__posa"), col("__idb"), col("__posb"),
+          col("__lena"), col("__lcp"))
+    }
+    val out = pairs.select(col("__ida").as("id_a"), col("__posa").as("pos_a"),
+      col("__idb").as("id_b"), col("__posb").as("pos_b"),
+      col("__lcp").as("lcp")).localCheckpoint(true)
+    tables.foreach(GraftBridge.unpersistCheckpoint)
+    out
+  }
+
+  /** The top-`k` longest repeated token substrings (L-bounded): maximal
+    * adjacent-suffix LCPs with the repeated text reconstructed from the
+    * earlier occurrence. Output: (lcp, id_a, pos_a, id_b, pos_b,
+    * snippet), ordered by (lcp desc, id_a, pos_a).
+    */
+  def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int, k: Int): DataFrame = {
+    val lcps = lcpAdjacent(docs, idCol, textCol, rounds)
+      .filter(col("lcp") >= 1L)
+      .orderBy(col("lcp").desc, col("id_a").asc, col("pos_a").asc)
+      .limit(k)
+    val toksOf = docs.select(col(idCol).as("id_a"),
+      Text.tokens(col(textCol)).as("__tk"))
+    lcps.join(toksOf, Seq("id_a"))
+      .withColumn("snippet", concat_ws(" ",
+        expr("slice(__tk, cast(pos_a as int) + 1, cast(lcp as int))")))
+      .select(col("lcp"), col("id_a"), col("pos_a"), col("id_b"),
+        col("pos_b"), col("snippet"))
+      .orderBy(col("lcp").desc, col("id_a").asc, col("pos_a").asc)
+  }
+}
