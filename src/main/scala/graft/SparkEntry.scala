@@ -2433,6 +2433,56 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     },
 
+    // Correlated SCALAR subqueries — parts priced >=1% above their
+    // brand's average, with the average expressed as exact decimal
+    // sum/count subqueries (price*cnt*100 > sum*101) so both engines
+    // compare identical decimals. Catalyst decorrelates both subqueries
+    // into one aggregate join — the plan a hand-written join would give.
+    "q_scalar_subquery" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("__sq_part")
+      s.sql("""
+        SELECT p_partkey, p_brand,
+          CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM __sq_part p
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM __sq_part p2
+             WHERE p2.p_brand = p.p_brand) * 100 >
+          (SELECT sum(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+           FROM __sq_part p2 WHERE p2.p_brand = p.p_brand) * 101
+        ORDER BY p_partkey""")
+    },
+
+    // Calendar-interval RANGE window frame — per-customer trailing
+    // 30-day spend. Value-based frames have no tie ambiguity, and the
+    // decimal sum keeps the money math exact in both engines.
+    "q_range_frame" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("__rf_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS spend_30d
+        FROM __rf_orders ORDER BY o_orderkey""")
+    },
+
+    // CDC changelog materialization: last-writer-wins per key by the
+    // monotone event_id LSN, 'error' events as tombstones — one
+    // partial-aggregable max_by pass, the Delta-CDF apply shape without
+    // a per-key window sort.
+    "q_cdc_apply" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("__op"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          max(col("event_id")).as("last_event_id"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("__op") =!= "error")
+        .select(col("user_id"), col("last_event_id"), col("last_value"),
+          col("n_changes"))
+        .orderBy(col("user_id"))
+    },
+
     // Left-semi join (EXISTS) — customers with at least one big order.
     "q_semi_join" -> { (s, d) =>
       Tables.customer(s, d)
@@ -5203,6 +5253,33 @@ object SparkEntry {
          WHERE c_custkey IN
            (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
          ORDER BY c_custkey""",
+
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_brand,
+          CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM part p
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM part p2
+             WHERE p2.p_brand = p.p_brand) * 100 >
+          (SELECT sum(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+           FROM part p2 WHERE p2.p_brand = p.p_brand) * 101
+        ORDER BY p_partkey""",
+
+    "q_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS spend_30d
+        FROM orders ORDER BY o_orderkey""",
+
+    "q_cdc_apply" ->
+      """SELECT user_id, max(event_id) AS last_event_id,
+          arg_max(value, event_id) AS last_value,
+          CAST(count(*) AS BIGINT) AS n_changes
+        FROM events GROUP BY 1
+        HAVING arg_max(event_type, event_id) <> 'error'
+        ORDER BY user_id""",
 
     "q_union_tagged" ->
       """SELECT o_orderkey, 'big' AS tag FROM orders WHERE o_totalprice > 250000
