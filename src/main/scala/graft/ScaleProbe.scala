@@ -53,7 +53,7 @@ object ScaleProbe {
       "mutual_knn", "blocked_cc", "blocked_cc_isolated", "snm",
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
-      "skew_join")
+      "skew_join", "suffix", "edit_join")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -238,6 +238,51 @@ object ScaleProbe {
       val spans = Dedup.repeatedSpans(docs, "doc_id", "text", 8).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"span_dedup","mult":$mult,"docs":${nBase * mult},"spans":$spans,"sec":$sec%.2f}""")
+    }
+
+    // Suffix-ranking probe: 5 doubling rounds, each one positional
+    // equi-join + one distinct + one two-level rank over the suffix
+    // stream — wall should track the suffix count (= token count)
+    // linearly; nothing in the plan is quadratic in corpus size.
+    for (mult <- Seq(1, 4, 16) if want("suffix")) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val n = graft.functions.Suffix.suffixRanks(docs, "doc_id", "text", 5)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"suffix","mult":$mult,"suffixes":$n,"sec":$sec%.2f}""")
+    }
+
+    // Edit-join A/B probe on SYNTHETIC vocabularies (replication cannot
+    // grow a corpus's word-type table): n deterministic 5-10 char words
+    // whose letters are Zipf-skewed (pmod of a squared hash biases the
+    // head letters) — natural-vocabulary-shaped gram frequencies with
+    // real near-collisions. Compares the count-filter path (FULL posting
+    // lists, mass = sum(df^2), threshold prune) against the Ed-Join
+    // prefix path (only each word's q*d+1 RAREST grams indexed) — both
+    // exact; the prefix path is the scale regime because hub grams leave
+    // its index entirely.
+    for (mult <- Seq(1, 4, 16) if want("edit_join")) {
+      val n = 15000 * mult
+      val words = spark.range(n).selectExpr(
+        """concat_ws('', transform(sequence(1, 5 + cast(id % 6 as int)),
+           i -> chr(97 + cast(pmod(xxhash64(id, i), 676) *
+                              pmod(xxhash64(id, i), 676) div 17576 as int))))
+           AS w""")
+        .distinct().localCheckpoint(true)
+      val nw = words.count()
+      // the count path is the measured LOSING regime here (sum(df^2)
+      // grows quadratically: 15.4 s at 1x, 241 s at 4x) — probe it only
+      // while affordable; the prefix path runs the full curve
+      val t0 = System.nanoTime()
+      val pc = if (mult <= 4)
+        graft.functions.Edit.editPairs(words, "w", "w", 1).count()
+      else -1L
+      val t1 = System.nanoTime()
+      val pp = graft.functions.Edit.editPairsPrefix(words, "w", "w", 1).count()
+      val t2 = System.nanoTime()
+      require(pc < 0 || pc == pp, s"count/prefix paths disagree: $pc vs $pp")
+      println(f"""{"probe":"edit_join","mult":$mult,"vocab":$nw,"pairs":$pp,"count_sec":${(t1 - t0) / 1e9}%.2f,"prefix_sec":${(t2 - t1) / 1e9}%.2f}""")
     }
 
     // TextRank probe: the co-occurrence edge list is a vocabulary-sized

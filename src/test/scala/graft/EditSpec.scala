@@ -67,6 +67,23 @@ class EditSpec extends AnyFunSuite {
     assert(viaSpark(cross, 1) == brute(cross, 1))
   }
 
+  test("prefix-filtered path equals count-filtered path and brute force") {
+    val rnd = new scala.util.Random(71)
+    val words = Seq.fill(250)(
+      (1 to (1 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(5)).toChar)
+        .mkString).distinct
+    val expected = brute(words, 1)
+    assert(expected.nonEmpty)
+    val viaPrefix = Edit.editPairsPrefix(words.toDF("w"), "w", "w", 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaPrefix == expected)
+    // d=2 as well — the prefix grows to q*d+1 = 5
+    val exp2 = brute(words, 2)
+    val viaPrefix2 = Edit.editPairsPrefix(words.toDF("w"), "w", "w", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaPrefix2 == exp2)
+  }
+
   test("dfCap drops hub grams and is a documented recall trade") {
     // 'aa' occurs in every word; cap 2 removes it from the index — the
     // pair (aaab, aaac) then shares too few grams and is LOST, which is

@@ -380,4 +380,45 @@ class PlanSpec extends AnyFunSuite {
         s"$q lost partial aggregation:\n$p")
     }
   }
+
+  test("edit join: gram candidates equi-join, compiled verify") {
+    val p = plan("q_edit_pairs")
+    // the only nested-loop is the alphabet-bounded short block; the
+    // corpus-shaped gram path must be an equi-join with the exact
+    // levenshtein verify on candidates
+    assert(p.contains("levenshtein"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("naive bayes: broadcast model join, compiled log2") {
+    val p = plan("q_nb_lang")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.toLowerCase.contains("log2fixed"), p)
+  }
+
+  test("pca: projection scan reads only id and embedding") {
+    val p = plan("q_pca_project")
+    assert(p.contains(
+      "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  test("priority sample: one TakeOrdered, no corpus sort exchange") {
+    val p = plan("q_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scalar subqueries decorrelate into aggregate joins") {
+    val p = plan("q_scalar_subquery")
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("cdc apply: partial max_by aggregation below the exchange") {
+    val p = plan("q_cdc_apply")
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
