@@ -1116,6 +1116,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // End-to-end entity resolution: deterministic dirty twins of the
+    // customer table → blocking → Fellegi-Sunter link decisions →
+    // connected components → survivorship (most-complete base record +
+    // cluster-max balance repair). One golden record per resolved
+    // entity — the master-data composition of the linkage layer.
+    "q_er_golden" -> { (s, d) =>
+      graft.pipeline.GoldenRecords.golden(
+          graft.pipeline.GoldenRecords.dirtyCustomers(Tables.customer(s, d)))
+        .orderBy(col("entity_id"))
+    },
+
     // Agreement-pattern histogram — the bounded (<= 2^k rows) table EM
     // parameter estimation consumes; the only corpus-sized pass the
     // estimator needs (Linkage.emEstimate runs driver-side over it).
@@ -3117,6 +3128,47 @@ object SparkEntry {
             CAST(bit_count(block_mask) AS BIGINT) AS n_blocked,
             block_mask != 0 AS blocked
           FROM m ORDER BY doc_id"""
+    },
+
+    "q_er_golden" -> {
+      val f = graft.pipeline.GoldenRecords.erFields
+      val wExpr =
+        s"""(CASE WHEN upper(a.name) = upper(b.name)
+              THEN ${f(0).agreeMilli} ELSE ${f(0).disagreeMilli} END) +
+            (CASE WHEN substr(a.segment, 1, 4) = substr(b.segment, 1, 4)
+              THEN ${f(1).agreeMilli} ELSE ${f(1).disagreeMilli} END) +
+            (CASE WHEN abs(a.acctbal - b.acctbal) < 1
+              THEN ${f(2).agreeMilli} ELSE ${f(2).disagreeMilli} END)"""
+      s"""WITH RECURSIVE
+          clean AS (SELECT CAST(c_custkey AS BIGINT) AS rec_id,
+            c_name AS name, c_mktsegment AS segment,
+            CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+            CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+          dirty AS (SELECT rec_id + 1000000 AS rec_id,
+            upper(name) AS name, substr(segment, 1, 4) AS segment,
+            CAST(acctbal + 0.5 AS DECIMAL(18,2)) AS acctbal, nationkey
+            FROM clean WHERE rec_id % 5 = 0),
+          recs AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+          blk AS (SELECT *, concat(CAST(nationkey AS VARCHAR), '|',
+            upper(substr(name, length(name) - 3, 4))) AS bk FROM recs),
+          links AS (SELECT a.rec_id AS s, b.rec_id AS t
+            FROM blk a JOIN blk b ON a.bk = b.bk AND a.rec_id < b.rec_id
+            WHERE ($wExpr) >= ${graft.pipeline.GoldenRecords.linkMilli}),
+          e AS (SELECT s, t FROM links UNION SELECT t, s FROM links),
+          reach(id, r) AS (SELECT rec_id, rec_id FROM recs
+            UNION SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.id),
+          comp AS (SELECT id AS rec_id, min(r) AS component
+            FROM reach GROUP BY id),
+          member AS (SELECT recs.*, comp.component FROM recs
+            JOIN comp USING (rec_id)),
+          base AS (SELECT *, row_number() OVER (PARTITION BY component
+            ORDER BY length(segment) DESC, rec_id ASC) AS rn FROM member),
+          agg AS (SELECT component, CAST(count(*) AS BIGINT) AS n_records,
+            min(acctbal) AS acctbal FROM member GROUP BY 1)
+          SELECT base.component AS entity_id, agg.n_records, base.name,
+            base.segment, agg.acctbal
+          FROM base JOIN agg USING (component)
+          WHERE rn = 1 ORDER BY entity_id"""
     },
 
     "q_fs_linkage" -> {
