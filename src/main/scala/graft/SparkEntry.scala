@@ -2032,6 +2032,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // TRUE per-doc perplexity (bits per scored bigram) under the
+    // self-trained KN bigram LM — the log-domain reading of q_lm_fit's
+    // mean-probability surrogate, bit-exact cross-engine via FixLog.
+    "q_perplexity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.LangModel.perplexityBits(docs, "doc_id", "text",
+          graft.functions.LangModel.knBigramProbs(docs, "text"))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet head/middle/tail bucketing: within-language exact rank of the
     // LM-fit score cut into three tiers — the keep-head-and-middle
     // perplexity filter, completed from q_lm_fit's scores.
@@ -4541,6 +4551,41 @@ object SparkEntry {
           SELECT doc_id, n_bigrams, n_scored,
             CAST(sum_q // n_bigrams AS BIGINT) AS fit_q,
             CAST(sum_q // n_bigrams AS DOUBLE) / 1000000000.0 AS fit
+          FROM sc ORDER BY doc_id""",
+
+    "q_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          dp AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          dids AS (SELECT doc_id, ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM dp),
+          cab AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM dids GROUP BY 1, 2),
+          ca AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
+          cb AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
+          lm AS (SELECT tid_a, tid_b,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np),
+          j AS MATERIALIZED (SELECT d.doc_id,
+            greatest(lm.pkn_q, 1) AS pq
+            FROM dids d JOIN lm USING (tid_a, tid_b)),
+          lx AS (SELECT DISTINCT pq AS x FROM j
+            UNION SELECT 1000000000),
+          $duckLog2Chain,
+          sc AS (SELECT j.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+            sum(g9.lq - lp.lq) AS sbq
+            FROM j JOIN lgt lp ON lp.x = j.pq
+            CROSS JOIN (SELECT lq FROM lgt WHERE x = 1000000000) g9
+            GROUP BY 1)
+          SELECT doc_id, n_scored, CAST(sbq // n_scored AS BIGINT) AS bits_q,
+            round(CAST(sbq // n_scored AS DOUBLE) / 65536.0, 6) AS bits
           FROM sc ORDER BY doc_id""",
 
     "q_lm_fit3" ->

@@ -322,6 +322,43 @@ object LangModel {
         col("n_scored"), col("fit_q"), col("fit")): _*)
   }
 
+  /** TRUE per-document perplexity in bits per scored bigram under a
+    * [[knBigramProbs]] table — the log-domain quantity [[knScoreDocs]]'s
+    * mean-probability fit stands in for, now reachable because
+    * [[graft.plans.FixLog]] gives both engines the same bit-exact
+    * integer log2: one bigram occurrence costs
+    * log2q(10^9) - log2q(max(pkn_q, 1)) (pkn_q is the 10^9-scaled
+    * integer probability; the floor-to-1 guards quantized-to-zero tail
+    * probabilities identically in both engines), and a document's
+    * bits_q is the integer mean over its SCORED bigrams (unseen bigrams
+    * are outside the model — CCNet scores against a closed LM the same
+    * way; docs with no scored bigram drop, knScoreDocs' inner-aggregate
+    * semantics).
+    *
+    * Same 100 TB shape as knScoreDocs: one scan-stage bigram zip, one
+    * equi-join against the bigram-type-sized LM table, one
+    * partial-aggregable per-doc sum.
+    *
+    * Output: (idCol, n_scored, bits_q, bits) — bits_q fixed-point at
+    * 2^16, bits its rounded double rendering.
+    */
+  def perplexityBits(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame = {
+    val pairs = adjacentPairs(docs.select(col(idCol), col(textCol)),
+      textCol, Seq(idCol))
+    val scale = graft.plans.FixLog.log2q(1000000000L)
+    pairs
+      .join(lm.select(col("tid_a"), col("tid_b"), col("pkn_q")),
+        Seq("tid_a", "tid_b"))
+      .withColumn("__bq", lit(scale) -
+        graft.plans.FixLog.log2qCol(greatest(col("pkn_q"), lit(1L))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"), sum(col("__bq")).as("__sbq"))
+      .withColumn("bits_q", expr("__sbq div n_scored"))
+      .withColumn("bits", round(col("bits_q").cast("double") / 65536.0, 6))
+      .select(col(idCol), col("n_scored"), col("bits_q"), col("bits"))
+  }
+
   /** CCNet-style LM-fit bucketing (Wenzek et al. 2020, arXiv:1911.00359):
     * rank every document by its [[knScoreDocs]] fit within its language
     * and cut the ranking into `nBuckets` equal tiers — bucket 1 ("head",

@@ -129,6 +129,28 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(LangModel.knBigramProbs(docs, "text", minCount = 2L).count() === 2)
   }
 
+  test("perplexityBits: hand-computed bits under the tiny-corpus LM") {
+    // same corpus as the KN test: P(y|x)=21/36, P(x|y)=18/24, P(z|x)=9/36
+    // quantized at 1e9; bits per bigram = log2q(1e9) - log2q(pkn_q)
+    val docs = Seq((1L, "x y x y x z")).toDF("id", "text")
+    val lm = LangModel.knBigramProbs(docs, "text")
+    val got = LangModel.perplexityBits(docs, "id", "text", lm).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    import graft.plans.FixLog.log2q
+    def q(num: Long, den: Long): Long =
+      (BigInt(num) * 1000000000L / den).toLong
+    val s9 = log2q(1000000000L)
+    // occurrences: (x,y) twice, (y,x) twice, (x,z) once
+    val sbq = 2 * (s9 - log2q(q(21, 36))) + 2 * (s9 - log2q(q(18, 24))) +
+      (s9 - log2q(q(9, 36)))
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(2) == sbq / 5L)
+    // sanity: the mean surprise sits between the best and worst bigram
+    assert(r.getDouble(3) > (s9 - log2q(q(18, 24))) / 65536.0 - 1e-6)
+    assert(r.getDouble(3) < (s9 - log2q(q(9, 36))) / 65536.0 + 1e-6)
+  }
+
   test("knTrigramProbs: hand-computed interpolated rationals, short docs drop") {
     // tokens: x y x y x z -> trigrams (x,y,x) x2, (y,x,y), (y,x,z)
     // prefixes: (x,y): c=2, N1fw=1; (y,x): c=2, N1fw=2
