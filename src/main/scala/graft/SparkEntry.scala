@@ -2020,6 +2020,14 @@ object SparkEntry {
         .orderBy(col("class"), col("token"))
     },
 
+    // Feature selection for the classifier family: top-20 tokens by
+    // exact-integer mutual information with the language class —
+    // which tokens carry class signal at all (the NB companion score).
+    "q_feature_mi" -> { (s, d) =>
+      graft.functions.NaiveBayes.tokenClassMi(Tables.documents(s, d),
+          "text", "lang", k = 20)
+    },
+
     // Naive-Bayes language ID: every document classified to its argmax
     // class under the self-trained multinomial model — training is two
     // counts, scoring one equi-join + per-doc sum, the argmax a
@@ -4657,6 +4665,34 @@ object SparkEntry {
     "q_nb_weights" ->
       s"""WITH $duckNbChain
           SELECT class, token, n, w_q FROM wts ORDER BY class, token""",
+
+    "q_feature_mi" ->
+      s"""WITH td AS (SELECT doc_id, lang, t.word AS token
+            FROM (SELECT doc_id, lang, unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(t.word, '^[a-z]+$$')),
+          cnt AS MATERIALIZED (SELECT lang AS class, token,
+            CAST(count(*) AS BIGINT) AS n FROM td GROUP BY 1, 2),
+          bt AS (SELECT token, sum(n) AS nt FROM cnt GROUP BY 1),
+          bc AS (SELECT class, sum(n) AS nc FROM cnt GROUP BY 1),
+          tt AS (SELECT sum(n) AS nn FROM cnt),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT cnt.n * tt.nn AS x FROM cnt, tt
+            UNION SELECT bt.nt * bc.nc
+              FROM cnt JOIN bt USING (token) JOIN bc USING (class))),
+          $duckLog2Chain,
+          mi AS (SELECT cnt.token, bt.nt, tt.nn,
+            sum(cnt.n * (la.lq - lb.lq)) AS mi_num
+            FROM cnt JOIN bt USING (token) JOIN bc USING (class)
+            CROSS JOIN tt
+            JOIN lgt la ON la.x = cnt.n * tt.nn
+            JOIN lgt lb ON lb.x = bt.nt * bc.nc
+            GROUP BY 1, 2, 3)
+          SELECT token, CAST(nt AS BIGINT) AS n_t,
+            CAST(mi_num AS BIGINT) AS mi_num,
+            round(CAST(mi_num AS DOUBLE) / (CAST(nn AS DOUBLE) * 65536.0),
+              6) AS mi_bits
+          FROM mi ORDER BY mi_num DESC, token LIMIT 20""",
 
     "q_nb_lang" ->
       s"""WITH $duckNbChain,

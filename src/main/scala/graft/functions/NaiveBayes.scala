@@ -62,6 +62,43 @@ object NaiveBayes {
           FixLog.log2qCol(col("__nc") + col("__v"))).as("w_q"))
   }
 
+  /** Token-class MUTUAL INFORMATION — the classical feature-selection
+    * score for the classifier family (which tokens carry class signal
+    * at all): MI(T; C) restricted to token t is
+    * sum_c (n_tc / N) * log2((n_tc * N) / (n_t * n_c)), computed here
+    * as the exact integer numerator mi_num(t) = sum_c n_tc *
+    * (log2q(n_tc * N) - log2q(n_t * n_c)) — scaled by N * 2^16, the
+    * [[graft.functions.Entropy]] convention. Products stay far under
+    * long range for any vocabulary-bounded count table (n_tc * N <
+    * N^2; rescale QScale-style past 2^31 occurrences). Top-k by
+    * (mi_num desc, token) — model-sized work end to end after one
+    * partial-aggregable corpus count.
+    *
+    * Output: (token, n_t, mi_num, mi_bits).
+    */
+  def tokenClassMi(docs: DataFrame, textCol: String, classCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = tokenClassCounts(docs, textCol, classCol)
+    val byTok = counts.groupBy(col("token")).agg(sum(col("n")).as("__nt"))
+    val byCls = counts.groupBy(col("class")).agg(sum(col("n")).as("__nc"))
+    val total = counts.agg(sum(col("n")).as("__nn"))
+    counts
+      .join(broadcast(byTok), Seq("token"))
+      .join(broadcast(byCls), Seq("class"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("__nt"), col("__nn"),
+        (col("n") * (FixLog.log2qCol(col("n") * col("__nn")) -
+          FixLog.log2qCol(col("__nt") * col("__nc")))).as("__term"))
+      .groupBy(col("token"), col("__nt"), col("__nn"))
+      .agg(sum(col("__term")).as("mi_num"))
+      .select(col("token"), col("__nt").as("n_t"), col("mi_num"),
+        round(col("mi_num").cast("double") /
+          (col("__nn").cast("double") * 65536.0), 6).as("mi_bits"))
+      .orderBy(col("mi_num").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Train on `docs` and classify every document of `score` (usually the
     * same frame — self-classification): (idCol, pred_class, score_q).
     * Documents with zero in-vocabulary tokens drop out (inner-join

@@ -88,6 +88,25 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(again == pred)
   }
 
+  test("tokenClassMi: hand-computed integer MI, class-neutral token low") {
+    import graft.plans.FixLog.log2q
+    // class x: a:2 c:1; class y: b:1 c:1 — N=5, n_a=2 n_b=1 n_c=2,
+    // n_x=3 n_y=2
+    val docs = Seq(("a a c", "x"), ("b c", "y")).toDF("text", "lang")
+    val got = NaiveBayes.tokenClassMi(docs, "text", "lang", k = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val miA = 2L * (log2q(2L * 5L) - log2q(2L * 3L))
+    val miB = 1L * (log2q(1L * 5L) - log2q(1L * 2L))
+    val miC = (log2q(1L * 5L) - log2q(2L * 3L)) +
+      (log2q(1L * 5L) - log2q(2L * 2L))
+    assert(got("a") == (2L, miA))
+    assert(got("b") == (1L, miB))
+    assert(got("c") == (2L, miC))
+    // the class-exclusive tokens dominate the shared one
+    assert(miA > miC && miB > miC)
+  }
+
   test("ties break to the lexicographically smallest class") {
     // perfectly symmetric classes: every doc scores identically under
     // both -> every prediction must be the smaller class name
