@@ -1119,8 +1119,9 @@ object SparkEntry {
     // End-to-end entity resolution: deterministic dirty twins of the
     // customer table → blocking → Fellegi-Sunter link decisions →
     // connected components → survivorship (most-complete base record +
-    // cluster-max balance repair). One golden record per resolved
-    // entity — the master-data composition of the linkage layer.
+    // cluster-MIN balance repair — the un-drifted clean value; the twin
+    // drifts +0.50). One golden record per resolved entity — the
+    // master-data composition of the linkage layer.
     "q_er_golden" -> { (s, d) =>
       graft.pipeline.GoldenRecords.golden(
           graft.pipeline.GoldenRecords.dirtyCustomers(Tables.customer(s, d)))

@@ -4,66 +4,97 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Edit-distance similarity join — all pairs within Levenshtein distance
-  * `maxDist` — by positional q-gram count filtering (Gravano et al. 2001,
-  * "Approximate String Joins in a Database (Almost) for Free"): the
-  * typo/variant detector of a record-linkage or vocabulary-normalization
-  * pass, completing the set-similarity family (Jaccard, containment,
+  * `maxDist` — in two exact candidate-generation regimes over the same
+  * verification: positional q-gram COUNT filtering (Gravano et al. 2001,
+  * "Approximate String Joins in a Database (Almost) for Free") and
+  * Ed-Join PREFIX filtering (Xiao, Wang & Lin 2008). The typo/variant
+  * detector of a record-linkage or vocabulary-normalization pass,
+  * completing the set-similarity family (Jaccard, containment,
   * winnowing) with its EDIT-metric sibling.
   *
-  * Candidate filter (lossless, then exact verify): if ed(a, b) <= d then
-  * the pair shares at least T = max(|a|,|b|) - q + 1 - q*d positional
-  * q-grams matched within position shift d — each edit destroys at most
-  * q grams and shifts the rest by at most d. The join counts DISTINCT
-  * matched a-side positions, which upper-bounds any disjoint matching,
-  * so `count >= T` is a relaxation of the bound — a superset of the true
-  * pairs, never a miss. Pairs also obey the length filter
-  * |len_a - len_b| <= d. Survivors are verified with the exact
-  * `levenshtein` (threshold form — the DP early-exits past maxDist).
+  * Count filter (lossless): if ed(a, b) <= d then the pair shares at
+  * least T = max(|a|,|b|) - q + 1 - q*d positional q-grams matched
+  * within position shift d — each edit destroys at most q grams and
+  * shifts the rest by at most d. The join counts DISTINCT matched
+  * a-side positions, an upper bound on any disjoint matching, so
+  * `count >= T` is a relaxation — a superset of the true pairs.
   *
-  * The gram bound is vacuous (T <= 0) when max(len) <= q*(d+1) - 1, so
-  * SHORT strings take a separate block: all short-short pairs under the
-  * length filter. Run over DISTINCT strings this block is
-  * ALPHABET-bounded — there exist at most |Sigma|^(q*(d+1)-1) strings
-  * that short — a structural cap, not a data-shape hope (q = 2, d = 1
-  * over [a-z]: <= 18k strings, and real vocabularies hold a few dozen).
-  * Short-long pairs always land in the gram path: their max length
-  * clears q*(d+1) and their min length >= q (length filter), so both
-  * sides carry grams. The two paths partition the pair space by
-  * max(len) — no overlap, no double emission.
+  * Prefix filter (lossless): under a universal gram order (global df
+  * ascending, gram ascending) each string indexes only its q*d + 1
+  * first DISTINCT grams — an edit changes at most q distinct grams, so
+  * ed <= d forces set overlap >= |G_a| - q*d, and disjoint indexed
+  * prefixes would cap overlap at |G_a| - (q*d + 1). Candidates are
+  * prefix-collision pairs, verified directly.
   *
-  * Scale (100 TB): the gram path is the engine's standard inverted-list
-  * shape — explode to (gram, pos) postings, one gram-keyed self-equi-join
-  * with the position/length predicates, partial-aggregable distinct-pos
-  * counts, exact verify on candidates only. `dfCap` optionally drops
-  * hub grams (df > cap) from the index; unlike the Jaccard family's cap
-  * this one TRADES RECALL (a dropped gram can push a true pair below T),
-  * so it defaults to off and the cut is the caller's explicit decision.
-  * Verification cost is candidate-mass-bounded; the threshold
-  * `levenshtein` keeps each check O(len * maxDist).
+  * Regime split (measured in the edit_join ScaleProbe A/B): the count
+  * path joins FULL posting lists — candidate mass sum(df^2) — but
+  * prunes with the shared-gram threshold; the prefix path joins only
+  * (q*d+1)-sized prefixes chosen to be the RAREST grams, so hub grams
+  * leave the index entirely. On Zipf-shaped vocabularies the prefix
+  * path wins by the hub-list mass (15.4 vs 2.9 s at 15k words, 241 vs
+  * 5.5 s at 60k); on degenerate tiny-alphabet vocabularies both are
+  * quadratic (with ~A^2 possible grams every gram is a hub — no gram
+  * signal exists to block on; that floor is information-theoretic, not
+  * a plan defect). The catalog runs the prefix path.
+  *
+  * Both gram bounds are vacuous when max(len) <= q*(d+1) - 1, so SHORT
+  * strings take a separate block: all short-short pairs under the
+  * length filter. Over DISTINCT strings this block is ALPHABET-bounded
+  * — at most |Sigma|^(q*(d+1)-1) strings are that short. Short-long
+  * pairs always land in the gram paths (their max length clears
+  * q*(d+1) and their min length >= q). The paths partition the pair
+  * space by max(len) — no double emission. Survivors are verified with
+  * the exact threshold `levenshtein` (the DP early-exits past
+  * maxDist), so verification is candidate-mass-bounded at
+  * O(len * maxDist) per check.
   */
 object Edit {
 
+  /** (__id, __s, __len) normalized input. */
+  private def normalized(df: DataFrame, idCol: String,
+      strCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      length(col(strCol)).as("__len"))
+
+  /** The alphabet-bounded short-short candidate block (both lengths
+    * <= shortMax) under the length filter.
+    */
+  private def shortBlock(rows: DataFrame, shortMax: Int,
+      maxDist: Int): DataFrame = {
+    val shorts = rows.filter(col("__len") <= shortMax)
+    shorts.toDF("__ida", "__sa", "__la")
+      .join(shorts.toDF("__idb", "__sb", "__lb"),
+        col("__ida") < col("__idb") &&
+          abs(col("__la") - col("__lb")) <= maxDist)
+  }
+
+  /** Exact verification tail shared by both paths: threshold-DP
+    * levenshtein over the candidate union, final (id_a, id_b, dist).
+    */
+  private def verified(candidates: DataFrame, maxDist: Int): DataFrame =
+    candidates
+      .withColumn("__dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("__dist") >= 0 && col("__dist") <= maxDist)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("__dist").cast("int").as("dist"))
+
   /** All (id_a, id_b, dist) with id_a < id_b and
-    * levenshtein(str_a, str_b) <= maxDist. Strings must be non-null and
-    * ids unique per string; ids order with their natural type ordering.
+    * levenshtein(str_a, str_b) <= maxDist — positional-count-filter
+    * path. Strings must be non-null and ids unique per string.
+    * `dfCap` optionally drops grams whose DOCUMENT frequency (distinct
+    * strings containing them) exceeds the cap; unlike the Jaccard
+    * family's cap this TRADES RECALL (a dropped gram can push a true
+    * pair below T), so it defaults to off.
     */
   def editPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
       q: Int = 2, dfCap: Long = Long.MaxValue): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
-    val rows = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
-      length(col(strCol)).as("__len"))
+    val rows = normalized(df, idCol, strCol)
     val shortMax = q * (maxDist + 1) - 1
 
-    // -- short block: max(len) <= shortMax, alphabet-bounded all-pairs --
-    val shorts = rows.filter(col("__len") <= shortMax)
-    val shortPairs = shorts.toDF("__ida", "__sa", "__la")
-      .join(shorts.toDF("__idb", "__sb", "__lb"),
-        col("__ida") < col("__idb") &&
-          abs(col("__la") - col("__lb")) <= maxDist)
-
-    // -- gram path: positional q-gram postings over every string with
-    // len >= q; candidate pairs need max(len) >= shortMax + 1 --
+    // positional q-gram postings over every string with len >= q
     val posted0 = rows.filter(col("__len") >= q)
       .select(col("__id"), col("__s"), col("__len"),
         posexplode(expr(
@@ -74,7 +105,7 @@ object Edit {
       if (dfCap == Long.MaxValue) posted0
       else {
         val keep = posted0.groupBy(col("__gram"))
-          .agg(count(lit(1)).as("__df"))
+          .agg(countDistinct(col("__id")).as("__df"))
           .filter(col("__df") <= dfCap).select(col("__gram"))
         posted0.join(keep, Seq("__gram"))
       }
@@ -95,51 +126,21 @@ object Edit {
       .select(col("__ida"), col("__sa"), col("__la"),
         col("__idb"), col("__sb"), col("__lb"))
 
-    candidates.unionByName(shortPairs)
-      .withColumn("__dist",
-        levenshtein(col("__sa"), col("__sb"), maxDist))
-      .filter(col("__dist") >= 0 && col("__dist") <= maxDist)
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-        col("__dist").cast("int").as("dist"))
+    verified(candidates.unionByName(shortBlock(rows, shortMax, maxDist)),
+      maxDist)
   }
 
-  /** [[editPairs]] with Ed-Join PREFIX filtering (Xiao, Wang & Lin 2008,
-    * "Ed-Join: an efficient algorithm for similarity joins with edit
-    * distance constraints") instead of the count filter — the SCALE
-    * regime of the same operator. Under a universal gram order (global
-    * df ascending, gram ascending), each string indexes only its
-    * q*maxDist + 1 first DISTINCT grams: an edit changes at most q
-    * distinct grams, so ed(a, b) <= d forces set overlap >=
-    * |G_a| - q*d, and a pair whose indexed prefixes are disjoint would
-    * need overlap <= |G_a| - (q*d + 1) — contradiction. Candidates are
-    * prefix-collision pairs (both sides indexed), verified directly by
-    * the threshold DP; the same alphabet-bounded short block handles
-    * T-vacuous lengths.
-    *
-    * Regime split (the jaccardPairsPrefix-style recorded A/B, measured
-    * in the edit_join ScaleProbe): the count path joins FULL posting
-    * lists — candidate mass sum(df^2) — but prunes with the shared-gram
-    * threshold before verification; the prefix path joins only
-    * (q*d+1)-sized prefixes chosen to be the RAREST grams, so hub grams
-    * leave the index entirely. On Zipf-shaped natural vocabularies the
-    * prefix path wins by the hub-list mass; on degenerate tiny-alphabet
-    * vocabularies both are quadratic (with ~A^2 possible grams every
-    * gram is a hub — no gram signal exists to block on; that floor is
-    * information-theoretic, not a plan defect).
+  /** [[editPairs]] with Ed-Join prefix filtering — the SCALE regime of
+    * the same operator (see the object scaladoc for the lemma and the
+    * measured A/B).
     */
   def editPairsPrefix(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
     import org.apache.spark.sql.expressions.Window
-    val rows = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
-      length(col(strCol)).as("__len"))
+    val rows = normalized(df, idCol, strCol)
     val shortMax = q * (maxDist + 1) - 1
-    val shorts = rows.filter(col("__len") <= shortMax)
-    val shortPairs = shorts.toDF("__ida", "__sa", "__la")
-      .join(shorts.toDF("__idb", "__sb", "__lb"),
-        col("__ida") < col("__idb") &&
-          abs(col("__la") - col("__lb")) <= maxDist)
 
     // distinct grams per string (set semantics) + universal order
     val grams = rows.filter(col("__len") >= q)
@@ -149,6 +150,7 @@ object Edit {
           .as("__gram"))
     val dfTable = grams.groupBy(col("__gram"))
       .agg(count(lit(1)).as("__df"))
+    // per-string prefix: word-length-bounded partitions
     val wPrefix = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("__gram").asc)
     val prefix = grams.join(dfTable, Seq("__gram"))
@@ -165,11 +167,7 @@ object Edit {
         col("__idb"), col("__sb"), col("__lb"))
       .distinct()
 
-    candidates.unionByName(shortPairs)
-      .withColumn("__dist",
-        levenshtein(col("__sa"), col("__sb"), maxDist))
-      .filter(col("__dist") >= 0 && col("__dist") <= maxDist)
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-        col("__dist").cast("int").as("dist"))
+    verified(candidates.unionByName(shortBlock(rows, shortMax, maxDist)),
+      maxDist)
   }
 }

@@ -54,9 +54,14 @@ object Sketch {
     override def zero: Array[Long] = new Array[Long](d * w)
 
     override def reduce(buf: Array[Long], tid: Long): Array[Long] = {
+      // normalize into [0, P) FIRST: a raw negative tid (e.g. xxhash64)
+      // would index out of bounds, and a full-range one would overflow
+      // CmsA(i) * tid; for the polynomial-hash domain [0, P) this is the
+      // identity, so sketch contents are unchanged where they were valid
+      val x = { val m = tid % P; if (m < 0) m + P else m }
       var i = 0
       while (i < d) {
-        val b = ((CmsA(i) * tid + CmsB(i)) % P % w).toInt
+        val b = ((CmsA(i) * x + CmsB(i)) % P % w).toInt
         buf(i * w + b) += 1L
         i += 1
       }
@@ -133,7 +138,11 @@ object Sketch {
   val M31: Long = 2147483647L
 
   private def hllMix(tid: Column): Column = {
-    val h1 = ((tid % M31) * 1103515245L + 12345L) % M31
+    // pmod, not %: a negative tid would ripple sign through the chain
+    // and emit negative register indices (and NULL ranks through the
+    // comparison ladder). Identity on [0, M31) — the catalog's
+    // polynomial-hash domain — so existing sketches are unchanged.
+    val h1 = (pmod(tid, lit(M31)) * 1103515245L + 12345L) % M31
     val h2 = (h1 * (h1 + lit(1L))) % M31
     (h2 * 784588716L + 998244353L) % M31
   }
@@ -178,8 +187,9 @@ object Sketch {
   /** Per-group raw HLL estimate, integer-exact up to ONE double division:
     * each register term 2^−m_j is carried as the integer 2^(W+1−m_j)
     * (missing registers contribute 2^(W+1), i.e. m_j = 0), the scaled sum
-    * fits a long exactly (≤ 64·2^25 = 2^31), and
-    * est = 0.709·m²·2^(W+1) / S — written as 0.709 · 2^37 in both engines:
+    * fits a long exactly (≤ 64·2^26 = 2^32), and
+    * est = 0.709·m²·2^(W+1) / S — the constant m²·2^(W+1) = 2^38 =
+    * 274877906944 in both engines:
     * the 2^37 scale is exact in double, so the only roundings are the
     * decimal literal 0.709 itself and the final division, both
     * engine-identical. RAW estimator only: valid in the n ≫ 2.5·m regime

@@ -74,13 +74,19 @@ object UnigramLm {
   /** Train a unigram-LM vocabulary by Viterbi-EM. Returns the final
     * (piece, cnt, cost_milli) table, counts from the last E-step (chars
     * with zero mass keep cnt = 0 and the unk-adjacent max cost).
+    * Non-ASCII word types are EXCLUDED from training (UgVocab's ASCII
+    * contract — its path tie-break relies on Java string order equaling
+    * UTF-8 byte order); without this filter one accented token would
+    * abort the first E-step mid-job.
     */
   def learn(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
       vocabSize: Int = 60, rounds: Int = 4, seedSize: Int = 200): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val types = wordTypes(docs, textCol).localCheckpoint(eager = true)
+    val types = wordTypes(docs, textCol)
+      .where(col("word").rlike("\\A[\\x21-\\x7e]+\\z"))
+      .localCheckpoint(eager = true)
     val seed = seedVocab(types, maxPieceLen, seedSize)
     // uniform init over the seed: equal counts
     var counts: Seq[(String, Long)] =

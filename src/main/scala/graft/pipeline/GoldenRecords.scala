@@ -56,8 +56,10 @@ object GoldenRecords {
     * twin agrees on all three (case-folded name, segment prefix,
     * near-equal balance); unrelated in-block pairs at best share the
     * segment prefix (~1 in 5) — m/u chosen accordingly and interpolated
-    * verbatim into the oracle, so a name agreement alone links and a
-    * segment agreement alone cannot.
+    * verbatim into the oracle. Weight structure (spec-pinned): NO single
+    * agreement clears the threshold (its two disagreements drag it
+    * under), the name plus either corroborating field links, and the
+    * two weak fields without the name do not.
     */
   val erFields: Seq[Linkage.Field] = Seq(
     Linkage.Field("name_ci", upper(col("name_a")) === upper(col("name_b")),

@@ -42,6 +42,13 @@ final class UgVocab(val costs: Map[String, Long], val unkCost: Long)
   require(costs.nonEmpty, "empty vocabulary")
   require(costs.keysIterator.forall(_.nonEmpty), "empty piece")
   require(costs.valuesIterator.forall(_ >= 0L), "negative piece cost")
+  // a negative unkCost fails the DP's c >= 0 reachability check and
+  // leaves positions unreachable (null paths); a space inside a piece
+  // would corrupt the space-joined path invariant the tie-break and
+  // wordPieces' split both rely on
+  require(unkCost >= 0L, s"negative unkCost: $unkCost")
+  require(costs.keysIterator.forall(!_.contains(' ')),
+    "space character inside a vocabulary piece")
   // ASCII-only pieces keep Java string order == UTF-8 byte order for the
   // path tie-break; lift this only together with a UTF8String comparator.
   require(costs.keysIterator.forall(_.forall(_ < 128)),
