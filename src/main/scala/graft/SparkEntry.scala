@@ -2021,6 +2021,35 @@ object SparkEntry {
         .orderBy(col("class"), col("token"))
     },
 
+    // Two-sample Kolmogorov-Smirnov distance between the en and de
+    // document-length distributions — exact rational D = d_num/(n_a·n_b),
+    // the cumulative scan over the bounded DISTINCT length domain.
+    "q_ks_test" -> { (s, d) =>
+      graft.functions.Stats.ksTest(Tables.documents(s, d), "n_chars",
+        col("lang") === "en", col("lang") === "de")
+    },
+
+    // Chi-square independence of token vs language — the frequentist
+    // companion of q_feature_mi: quantized exact cell mass over the
+    // class × vocabulary grid, one row with dof.
+    "q_chi2" -> { (s, d) =>
+      graft.functions.Stats.chi2Independence(Tables.documents(s, d),
+        "text", "lang")
+    },
+
+    // Per-event-type OLS trend of value (cents) on the hour index —
+    // closed-form normal equations, every product exact decimal; the
+    // exact numerator/denominator hashed next to the rendered slope.
+    "q_group_ols" -> { (s, d) =>
+      graft.functions.Stats.groupOls(
+          Tables.eventsTs(s, d)
+            .select(col("event_type"),
+              expr("unix_micros(ts) div 3600000000").as("hr"),
+              round(col("value") * 100, 0).cast("long").as("cents")),
+          "event_type", "hr", "cents")
+        .orderBy(col("event_type"))
+    },
+
     // Feature selection for the classifier family: top-20 tokens by
     // exact-integer mutual information with the language class —
     // which tokens carry class signal at all (the NB companion score).
@@ -4666,6 +4695,74 @@ object SparkEntry {
     "q_nb_weights" ->
       s"""WITH $duckNbChain
           SELECT class, token, n, w_q FROM wts ORDER BY class, token""",
+
+    "q_ks_test" ->
+      """WITH c AS (SELECT n_chars AS v,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+            CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
+          FROM documents),
+          g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+            CAST(sum(ib) AS BIGINT) AS cb FROM c GROUP BY 1),
+          cm AS (SELECT v,
+            sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cca,
+            sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS ccb FROM g),
+          t AS (SELECT max(cca) AS n_a, max(ccb) AS n_b FROM cm)
+          SELECT t.n_a, t.n_b,
+            CAST(max(abs(cm.cca * t.n_b - cm.ccb * t.n_a)) AS BIGINT)
+              AS d_num,
+            round(CAST(max(abs(cm.cca * t.n_b - cm.ccb * t.n_a)) AS DOUBLE)
+              / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS d
+          FROM cm, t GROUP BY t.n_a, t.n_b""",
+
+    "q_chi2" ->
+      s"""WITH td AS (SELECT lang, t.word AS token
+            FROM (SELECT lang, unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(t.word, '^[a-z]+$$')),
+          cnt AS MATERIALIZED (SELECT lang AS class, token,
+            CAST(count(*) AS BIGINT) AS n FROM td GROUP BY 1, 2),
+          bt AS (SELECT token, sum(n) AS nt FROM cnt GROUP BY 1),
+          bc AS (SELECT class, sum(n) AS nc FROM cnt GROUP BY 1),
+          tt AS (SELECT sum(n) AS nn FROM cnt),
+          grid AS (SELECT bt.token, bc.class, bt.nt, bc.nc, tt.nn,
+            coalesce(cnt.n, 0) AS n
+            FROM bt CROSS JOIN bc CROSS JOIN tt
+            LEFT JOIN cnt ON cnt.token = bt.token AND cnt.class = bc.class),
+          cells AS (SELECT nn,
+            (CAST(n * nn - nt * nc AS HUGEINT) *
+             CAST(n * nn - nt * nc AS HUGEINT) * 1000000)
+              // (CAST(nt AS HUGEINT) * nc) AS cell
+            FROM grid),
+          agg AS (SELECT nn, sum(cell) AS s FROM cells GROUP BY 1)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM bt) AS n_tokens,
+            (SELECT CAST(count(*) AS BIGINT) FROM bc) AS n_classes,
+            ((SELECT count(*) FROM bt) - 1) *
+              ((SELECT count(*) FROM bc) - 1) AS dof,
+            CAST(s // nn AS BIGINT) AS chi2_q,
+            round(CAST(s // nn AS DOUBLE) / 1000000.0, 6) AS chi2
+          FROM agg""",
+
+    "q_group_ols" ->
+      """WITH e AS (SELECT event_type,
+            epoch_us(ts) // 3600000000 AS x,
+            CAST(round(value * 100, 0) AS BIGINT) AS y FROM events),
+          s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM e GROUP BY 1)
+          SELECT event_type, n,
+            CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+            CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den,
+            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+          FROM s ORDER BY event_type""",
 
     "q_feature_mi" ->
       s"""WITH td AS (SELECT doc_id, lang, t.word AS token

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-arithmetic statistical testing and fitting — the inference
+  * layer over the engine's descriptive stats (profile, covar, median,
+  * quantiles): two-sample Kolmogorov-Smirnov distance, chi-square
+  * independence, and per-group least-squares trend lines. Every
+  * statistic is an integer/rational computation with the division
+  * deferred to the final rendering, the house no-libm discipline — so
+  * results hash bit-identically against the DuckDB oracle.
+  *
+  * Scale notes: KS runs its cumulative scan over the DISTINCT VALUE
+  * domain of a discrete metric (document lengths, counts, bucketed
+  * scores — bounded domains by construction), never over rows;
+  * chi-square and OLS are single partial-aggregable passes producing
+  * class-x-token / group-sized tables.
+  */
+object Stats {
+
+  /** Two-sample KS distance between the `valueCol` distributions of two
+    * row sets (`aPred` / `bPred` over the same frame) — exact:
+    * D = max_x |F_a(x) - F_b(x)| = D_num / (n_a * n_b) with
+    * D_num = max over the merged value domain of
+    * |C_a(x) * n_b - C_b(x) * n_a| (C = cumulative counts). One row:
+    * (n_a, n_b, d_num, d).
+    */
+  def ksTest(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val counts = df.select(col(valueCol).as("__v"),
+        when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    // cumulative over the DISTINCT value domain (bounded for the
+    // discrete metrics this test is for)
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__Ca", sum(col("__ca")).over(w))
+      .withColumn("__Cb", sum(col("__cb")).over(w))
+    val tot = cum.agg(max(col("__Ca")).as("n_a"), max(col("__Cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("__Ca") * col("n_b") - col("__Cb") * col("n_a")).as("__d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__d")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("d"))
+  }
+
+  /** Chi-square test of independence between token and class over a
+    * corpus (the frequentist companion of
+    * [[NaiveBayes.tokenClassMi]]): cell contributions
+    * (n_tc * N - n_t * n_c)^2 / (n_t * n_c) quantized at 10^6 by
+    * integral division, summed exactly in decimal(38,0), divided by N
+    * once at the end. One row:
+    * (n_tokens, n_classes, dof, chi2_q, chi2). Cells with n_tc = 0
+    * contribute their expected-count mass exactly like the textbook
+    * statistic (the full grid is classes x vocabulary — model-sized).
+    */
+  def chi2Independence(docs: DataFrame, textCol: String,
+      classCol: String): DataFrame = {
+    val counts = NaiveBayes.tokenClassCounts(docs, textCol, classCol)
+    val byTok = counts.groupBy(col("token")).agg(sum(col("n")).as("__nt"))
+    val byCls = counts.groupBy(col("class")).agg(sum(col("n")).as("__nc"))
+    val total = counts.agg(sum(col("n")).as("__nn"))
+    val grid = byTok.crossJoin(byCls.select(col("class"), col("__nc")))
+      .join(counts, Seq("token", "class"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("class"), col("__nt"), col("__nc"),
+        col("__nn"), coalesce(col("n"), lit(0L)).as("__n"))
+    val dec = "decimal(38,0)"
+    grid
+      .select(col("__nn"),
+        expr(s"""CAST((CAST(__n * __nn - __nt * __nc AS $dec) *
+                       CAST(__n * __nn - __nt * __nc AS $dec) *
+                       CAST(1000000 AS $dec))
+                 div (CAST(__nt AS $dec) * CAST(__nc AS $dec))
+                 AS $dec)""").as("__cell"))
+      .groupBy(col("__nn"))
+      .agg(count(lit(1)).as("__cells"),
+        sum(col("__cell")).cast("decimal(38,0)").as("__sum"))
+      .crossJoin(broadcast(byTok.agg(count(lit(1)).as("n_tokens"))))
+      .crossJoin(broadcast(byCls.agg(count(lit(1)).as("n_classes"))))
+      .select(col("n_tokens"), col("n_classes"),
+        ((col("n_tokens") - 1L) * (col("n_classes") - 1L)).as("dof"),
+        expr("CAST(__sum div CAST(__nn AS decimal(38,0)) AS BIGINT)")
+          .as("chi2_q"),
+        round(expr("CAST(__sum div CAST(__nn AS decimal(38,0)) AS BIGINT)")
+          .cast("double") / 1e6, 6).as("chi2"))
+  }
+
+  /** Per-group ordinary least squares of integer y on integer x —
+    * closed-form normal equations with every product exact:
+    * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+    * intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2). Output per group:
+    * (groupCol, n, slope_num, den, slope, intercept) with the exact
+    * integer numerator/denominator hashed alongside the rounded
+    * renderings. Groups whose x is constant (den = 0) emit null
+    * slope/intercept rather than a division error.
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df.select(col(groupCol).as("__g"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(19,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(19,0)")).as("__sy"),
+        sum((col("__x").cast("decimal(19,0)") * col("__x"))
+          .cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__x").cast("decimal(19,0)") * col("__y"))
+          .cast("decimal(38,0)")).as("__sxy"))
+    sums.select(col("__g").as(groupCol), col("n"),
+        expr(s"CAST(n AS $dec) * __sxy - CAST(__sx AS $dec) * __sy")
+          .cast("decimal(38,0)").as("slope_num"),
+        expr(s"CAST(n AS $dec) * __sxx - CAST(__sx AS $dec) * __sx")
+          .cast("decimal(38,0)").as("den"),
+        expr(s"CAST(__sy AS $dec) * __sxx - CAST(__sx AS $dec) * __sxy")
+          .cast("decimal(38,0)").as("__inum"))
+      .withColumn("slope",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("slope_num").cast("double") /
+            col("den").cast("double"), 6)))
+      .withColumn("intercept",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__inum").cast("double") /
+            col("den").cast("double"), 6)))
+      .select(col(groupCol), col("n"), col("slope_num"), col("den"),
+        col("slope"), col("intercept"))
+  }
+}

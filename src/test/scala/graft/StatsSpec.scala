@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Stats
+
+/** Exact statistical tests/fits: hand-computed KS and chi-square
+  * fixtures, exact line recovery for OLS, degenerate-input contracts.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ksTest: hand-computed distance and the identical-sample zero") {
+    // a = {1,2,3}, b = {2,4}: D peaks at v=3 with |3*2 - 1*3| = 3 over 6
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (2L, "b"), (4L, "b"))
+      .toDF("v", "side")
+    val r = Stats.ksTest(df, "v", col("side") === "a", col("side") === "b")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 3L)))
+    assert(r.getDouble(3) == 0.5)
+    // identical multisets -> zero distance
+    val same = Seq((5L, "a"), (7L, "a"), (5L, "b"), (7L, "b")).toDF("v", "side")
+    val z = Stats.ksTest(same, "v", col("side") === "a", col("side") === "b")
+      .collect()(0)
+    assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
+  }
+
+  test("chi2Independence: perfect association vs exact independence") {
+    // perfect: token a only in class x, token b only in class y (2x2)
+    // n_tc*N - nt*nc: diagonal 2*4-2*2=4, off-diag 0*4-2*2=-4; each cell
+    // 16*1e6/4 = 4e6; sum 16e6; /N=4 -> chi2 = 4.0 exactly (= N, the
+    // textbook value for a perfect 2x2 association)
+    val perfect = Seq(("a a", "x"), ("b b", "y")).toDF("text", "lang")
+    val p = Stats.chi2Independence(perfect, "text", "lang").collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((2L, 2L, 1L)))
+    assert(p.getLong(3) == 4000000L && p.getDouble(4) == 4.0)
+    // exact independence: identical token mix in both classes -> 0
+    val indep = Seq(("a b", "x"), ("a b", "y")).toDF("text", "lang")
+    val i = Stats.chi2Independence(indep, "text", "lang").collect()(0)
+    assert(i.getLong(3) == 0L && i.getDouble(4) == 0.0)
+  }
+
+  test("groupOls: exact line recovery and the constant-x null") {
+    val line = (0L to 10L).map(x => ("g", x, 3L * x + 7L))
+    val const = Seq(("c", 5L, 1L), ("c", 5L, 9L))
+    val df = (line ++ const).toDF("grp", "x", "y")
+    val got = Stats.groupOls(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got("g") == ((11L, Some(3.0), Some(7.0))))
+    assert(got("c") == ((2L, None, None)))
+  }
+}
