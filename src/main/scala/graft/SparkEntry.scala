@@ -2021,6 +2021,66 @@ object SparkEntry {
         .orderBy(col("class"), col("token"))
     },
 
+    // Recency-weighted (exponentially decayed) per-user engagement:
+    // half-life = 1 day over day buckets, horizon 30 days — weight
+    // 2^(30 - age) is an exact integer, so the decayed count is an
+    // exact long scaled by 2^30 (no exp/pow), partial-aggregable.
+    "q_decay_count" -> { (s, d) =>
+      val ev = Tables.eventsTs(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+          .as("__day"))
+      val horizon = ev.agg(max(col("__day")).as("__maxd"))
+      ev.crossJoin(broadcast(horizon))
+        .withColumn("__age", col("__maxd") - col("__day"))
+        .filter(col("__age") <= 30)
+        .withColumn("__w", expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - __age AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("decayed_q"))
+        .withColumn("decayed",
+          round(col("decayed_q").cast("double") / (1L << 30).toDouble, 6))
+        .orderBy(col("user_id"))
+    },
+
+    // Order-free per-source content fingerprint: bit_xor of per-row
+    // polynomial hashes — the merkle-style table fingerprint an
+    // incremental pipeline compares to detect changed partitions
+    // without diffing rows. XOR is commutative: any row order, any
+    // partitioning, same fingerprint.
+    "q_content_hash" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          graft.plans.TextExpressions.polyHash(
+            concat_ws("|", col("doc_id"), col("lang"), col("text")))
+            .as("__rh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(__rh)").as("content_hash"))
+        .orderBy(col("source"))
+    },
+
+    // Data-quality expectations report (the dbt-test / expectations
+    // shape): every declared constraint checked in ONE aggregation
+    // pass with conditional sums — no per-constraint scan.
+    "q_dq_report" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val agg = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("pk_duplicates"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("pk_nulls"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("nonpositive_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("bad_status"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+          .as("null_orderdate"),
+        sum(when(length(col("o_orderpriority")) === 0, 1L).otherwise(0L))
+          .as("empty_priority"))
+      agg.unpivot(Array.empty[org.apache.spark.sql.Column],
+          agg.columns.map(col), "check_name", "n_violations")
+        .orderBy(col("check_name"))
+    },
+
     // Two-sample Kolmogorov-Smirnov distance between the en and de
     // document-length distributions — exact rational D = d_num/(n_a·n_b),
     // the cumulative scan over the bounded DISTINCT length domain.
@@ -4695,6 +4755,46 @@ object SparkEntry {
     "q_nb_weights" ->
       s"""WITH $duckNbChain
           SELECT class, token, n, w_q FROM wts ORDER BY class, token""",
+
+    "q_decay_count" ->
+      """WITH e AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+          m AS (SELECT max(day) AS maxd FROM e),
+          w AS (SELECT user_id,
+            (CAST(1 AS BIGINT) << CAST(30 - (m.maxd - day) AS INT)) AS wgt
+            FROM e, m WHERE m.maxd - day <= 30)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(wgt) AS BIGINT) AS decayed_q,
+            round(CAST(sum(wgt) AS DOUBLE) / 1073741824.0, 6) AS decayed
+          FROM w GROUP BY 1 ORDER BY user_id""",
+
+    "q_content_hash" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(bit_xor(${duckPolyId("concat_ws('|', doc_id, lang, text)")})
+              AS BIGINT) AS content_hash
+          FROM documents GROUP BY 1 ORDER BY source""",
+
+    "q_dq_report" ->
+      """WITH a AS (SELECT
+            CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+              AS pk_duplicates,
+            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS pk_nulls,
+            CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nonpositive_price,
+            CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+              THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+            CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_orderdate,
+            CAST(sum(CASE WHEN length(o_orderpriority) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS empty_priority
+          FROM orders)
+          SELECT k AS check_name, v AS n_violations FROM (
+            SELECT unnest(['bad_status','empty_priority','nonpositive_price',
+                'null_orderdate','pk_duplicates','pk_nulls']) AS k,
+              unnest([bad_status, empty_priority, nonpositive_price,
+                null_orderdate, pk_duplicates, pk_nulls]) AS v FROM a)
+          ORDER BY check_name""",
 
     "q_ks_test" ->
       """WITH c AS (SELECT n_chars AS v,

@@ -421,4 +421,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("dq report: every expectation checked in ONE scan of the table") {
+    val p = plan("q_dq_report")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"expected exactly one scan:\n$p")
+  }
+
+  test("decay count and content hash: partial aggregation, no windows") {
+    for (q <- Seq("q_decay_count", "q_content_hash")) {
+      val p = plan(q)
+      assert(p.contains("partial"), s"$q lost partial aggregation:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+    }
+  }
 }
