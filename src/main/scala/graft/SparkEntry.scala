@@ -2021,6 +2021,42 @@ object SparkEntry {
         .orderBy(col("class"), col("token"))
     },
 
+    // Incremental materialized-view maintenance: the per-event-type
+    // stats MV (count/sum/max + HLL user registers) absorbs a delta
+    // batch by ALGEBRAIC merge — full-outer combine for the scalars,
+    // register-wise max for the sketch — and the oracle recomputes from
+    // scratch, so the hash gate PROVES merge == recompute. The split
+    // (even vs odd days) stands in for base snapshot + incoming batch.
+    "q_mv_merge" -> { (s, d) =>
+      import graft.functions.Sketch
+      val ev = Tables.eventsTs(s, d).select(col("event_type").as("grp"),
+        col("user_id").cast("long").as("tid"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("unix_micros(ts) div 86400000000").as("__day"))
+      val base = ev.filter(col("__day") % 2 === 0)
+      val delta = ev.filter(col("__day") % 2 =!= 0)
+      def stats(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          max(col("cents")).as("m"))
+      val merged = stats(base).toDF("grp", "n1", "s1", "m1")
+        .join(stats(delta).toDF("grp", "n2", "s2", "m2"),
+          Seq("grp"), "full_outer")
+        .select(col("grp"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L)))
+            .as("sum_cents"),
+          greatest(coalesce(col("m1"), col("m2")),
+            coalesce(col("m2"), col("m1"))).as("max_cents"))
+      val regs = Sketch.hllMergeRegisters(
+        Sketch.hllRegisters(base, "tid", Seq("grp")),
+        Sketch.hllRegisters(delta, "tid", Seq("grp")), Seq("grp"))
+      merged.join(Sketch.hllEstimate(regs, Seq("grp")), Seq("grp"))
+        .select(col("grp"), col("n_events"), col("sum_cents"),
+          col("max_cents"), round(col("est"), 6).as("users_est"))
+        .orderBy(col("grp"))
+    },
+
     // Recency-weighted (exponentially decayed) per-user engagement:
     // half-life = 1 day over day buckets, horizon 30 days — weight
     // 2^(30 - age) is an exact integer, so the decayed count is an
@@ -4755,6 +4791,28 @@ object SparkEntry {
     "q_nb_weights" ->
       s"""WITH $duckNbChain
           SELECT class, token, n, w_q FROM wts ORDER BY class, token""",
+
+    "q_mv_merge" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+            CAST(user_id AS BIGINT) AS tid,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+          st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            max(cents) AS max_cents FROM e GROUP BY 1),
+          h AS (SELECT grp, ${duckMixOf("tid")} AS y FROM e),
+          r AS (SELECT grp, y % 64 AS reg, y // 64 AS rem FROM h),
+          rk AS (SELECT grp, reg, ${duckHllRankCase("rem")} AS rank FROM r),
+          regs AS (SELECT grp, reg, max(rank) AS m_j FROM rk GROUP BY 1, 2),
+          occ AS (SELECT grp,
+            SUM(CAST(1 AS BIGINT) << (26 - m_j)) AS s_occ,
+            CAST(count(*) AS BIGINT) AS n_reg FROM regs GROUP BY 1),
+          sc AS (SELECT grp,
+            s_occ + (64 - n_reg) * (CAST(1 AS BIGINT) << 26) AS s_scaled
+            FROM occ)
+          SELECT st.grp, st.n_events, st.sum_cents, st.max_cents,
+            round(0.709 * 274877906944.0 / CAST(sc.s_scaled AS DOUBLE), 6)
+              AS users_est
+          FROM st JOIN sc USING (grp) ORDER BY grp""",
 
     "q_decay_count" ->
       """WITH e AS (SELECT user_id,

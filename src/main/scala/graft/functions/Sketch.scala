@@ -184,6 +184,20 @@ object Sketch {
       .groupBy((groupCols.map(col) :+ col("reg")): _*)
       .agg(max(col("rank")).as("m_j"))
 
+  /** Register-wise merge of two per-group HLL register tables — the
+    * mergeability that makes HLL an INCREMENTAL-VIEW aggregate: union +
+    * per-(group, reg) max is exactly the register state a full
+    * recompute over the concatenated inputs produces (max is
+    * associative/commutative), so a materialized view can absorb a
+    * delta batch without revisiting history. q_mv_merge's oracle proves
+    * the equality by recomputing from scratch.
+    */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("reg")): _*)
+      .agg(max(col("m_j")).as("m_j"))
+
   /** Per-group raw HLL estimate, integer-exact up to ONE double division:
     * each register term 2^−m_j is carried as the integer 2^(W+1−m_j)
     * (missing registers contribute 2^(W+1), i.e. m_j = 0), the scaled sum

@@ -82,6 +82,25 @@ class SketchSpec extends AnyFunSuite {
     assert(regs(a ++ b) == expected)
   }
 
+  test("hllMergeRegisters: any split and merge order equals full recompute") {
+    def regDf(xs: Seq[String]) =
+      Sketch.hllRegisters(
+        tids(xs).map(t => ("g", t)).toDF("g", "tid"), "tid", Seq("g"))
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val full = toMap(regDf(stream))
+    // 3-way split merged in two different association orders
+    val parts = stream.grouped((stream.size + 2) / 3).toSeq
+    val m1 = Sketch.hllMergeRegisters(
+      Sketch.hllMergeRegisters(regDf(parts(0)), regDf(parts(1)), Seq("g")),
+      regDf(parts(2)), Seq("g"))
+    val m2 = Sketch.hllMergeRegisters(regDf(parts(0)),
+      Sketch.hllMergeRegisters(regDf(parts(2)), regDf(parts(1)), Seq("g")),
+      Seq("g"))
+    assert(toMap(m1) == full)
+    assert(toMap(m2) == full)
+  }
+
   test("hll estimate is deterministic and within documented error") {
     // 4000 distinct items: raw-estimator regime (n >> 2.5 m). HLL standard
     // error is 1.04/sqrt(64) = 13%; pin a 3-sigma 40% band — this seed's
