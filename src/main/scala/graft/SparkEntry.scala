@@ -1846,6 +1846,26 @@ object SparkEntry {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     },
 
+    // LEAKAGE-SAFE split assignment: near-duplicate clusters (LSH pairs
+    // → connected components) are split as UNITS — the component id,
+    // not the doc id, feeds the hash split, so no near-dup pair ever
+    // straddles train/test (the contamination mode plain per-doc
+    // splitting cannot prevent).
+    "q_split_by_cluster" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"),
+        SparkEntry.numMinhashes)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2),
+        "doc_id")
+      val comp = graft.functions.Cluster.connectedComponents(
+        pairs, "id_a", "id_b", docs.select(col("doc_id")), "doc_id")
+      graft.functions.Sampling.splitAssign(comp, "component",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic corpus shuffle + sharding: (shard, pos) per doc from
     // the exact-arithmetic mixer — the reproducible training-order
     // handoff to the data loader (no rand(), rerun- and engine-stable).
@@ -4467,6 +4487,24 @@ object SparkEntry {
             FROM t),
           top AS (SELECT * FROM h ORDER BY priority DESC, doc_id LIMIT 50)
           SELECT doc_id, w, priority FROM top ORDER BY doc_id""",
+
+    "q_split_by_cluster" ->
+      s"""WITH RECURSIVE $duckLshPairsCte,
+          e AS (SELECT id_a AS s, id_b AS t FROM lsh_pairs
+                UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.id),
+          comp AS (SELECT id AS doc_id, min(r) AS component
+                   FROM reach GROUP BY id),
+          b AS (SELECT doc_id, component,
+            ${duckBucketOf("component")} AS bkt FROM comp)
+          SELECT doc_id, component,
+            CASE WHEN bkt < 8000 THEN 'train'
+                 WHEN bkt < 9000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""",
 
     "q_split_assign" ->
       s"""WITH b AS (SELECT doc_id, $duckBucket AS bkt FROM documents)

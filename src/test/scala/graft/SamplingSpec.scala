@@ -66,6 +66,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(nz.forall(_ > 0L), "zero-weight rows must never be sampled")
   }
 
+  test("split-by-cluster: no near-dup component straddles splits") {
+    val rows = SparkEntry.queries("q_split_by_cluster")(spark,
+      "/root/testdata/sf0.001").collect()
+    val byComp = rows.groupBy(_.getLong(1)).values
+    assert(byComp.forall(g => g.map(_.getString(2)).toSet.size == 1),
+      "a component received two different splits")
+    assert(byComp.exists(_.size > 1),
+      "fixture has no multi-doc component — the guarantee is untested")
+    assert(rows.map(_.getString(2)).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("splitAssign covers every row with near-weight proportions") {
     val split = Sampling.splitAssign(ids, "id",
       Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
