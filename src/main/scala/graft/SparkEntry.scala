@@ -2064,10 +2064,15 @@ object SparkEntry {
         .select(col("grp"),
           (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
             .as("n_events"),
-          (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L)))
-            .as("sum_cents"),
-          greatest(coalesce(col("m1"), col("m2")),
-            coalesce(col("m2"), col("m1"))).as("max_cents"))
+          // sum merge must stay NULL when BOTH halves are null (an
+          // all-null-valued group) — coalescing to 0 would diverge from
+          // the oracle's from-scratch recompute, the very invariant
+          // this query proves; greatest already skips null operands
+          when(col("s1").isNull && col("s2").isNull,
+            lit(null).cast("long"))
+            .otherwise(coalesce(col("s1"), lit(0L)) +
+              coalesce(col("s2"), lit(0L))).as("sum_cents"),
+          greatest(col("m1"), col("m2")).as("max_cents"))
       val regs = Sketch.hllMergeRegisters(
         Sketch.hllRegisters(base, "tid", Seq("grp")),
         Sketch.hllRegisters(delta, "tid", Seq("grp")), Seq("grp"))
@@ -4896,7 +4901,7 @@ object SparkEntry {
       """WITH c AS (SELECT n_chars AS v,
             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
             CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
-          FROM documents),
+          FROM documents WHERE n_chars IS NOT NULL),
           g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
             CAST(sum(ib) AS BIGINT) AS cb FROM c GROUP BY 1),
           cm AS (SELECT v,

@@ -29,7 +29,11 @@ object Stats {
     */
   def ksTest(df: DataFrame, valueCol: String, aPred: Column,
       bPred: Column): DataFrame = {
-    val counts = df.select(col(valueCol).as("__v"),
+    // NULL is not an ordered sample value (and the two engines would
+    // even order it differently); an empty side renders d as null, the
+    // groupOls den = 0 contract
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
         when(aPred, 1L).otherwise(0L).as("__ia"),
         when(bPred, 1L).otherwise(0L).as("__ib"))
       .groupBy(col("__v"))
@@ -48,8 +52,10 @@ object Stats {
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("__d")).as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
-        round(col("d_num").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
           .as("d"))
   }
 
@@ -74,17 +80,30 @@ object Stats {
       .crossJoin(broadcast(total))
       .select(col("token"), col("class"), col("__nt"), col("__nc"),
         col("__nn"), coalesce(col("n"), lit(0L)).as("__n"))
+    // The truncated quotient stays in DECIMAL end to end: Spark's `div`
+    // (IntegralDivide) always returns BIGINT and would silently cap a
+    // big cell at Long range while the oracle's HUGEINT `//` sails on.
+    // (num - num % den) / den is exactly divisible, so the decimal
+    // division is rounding-free; diff is computed in decimal too (the
+    // long form n*nn would wrap past ~3e9 occurrences). Bound: diff^2
+    // needs decimal(38) -> valid to ~10^9 total occurrences; rescale
+    // the 10^6 quantization a decade per decade beyond, the
+    // Pca/textRank audit convention.
     val dec = "decimal(38,0)"
     grid
       .select(col("__nn"),
-        expr(s"""CAST((CAST(__n * __nn - __nt * __nc AS $dec) *
-                       CAST(__n * __nn - __nt * __nc AS $dec) *
-                       CAST(1000000 AS $dec))
-                 div (CAST(__nt AS $dec) * CAST(__nc AS $dec))
-                 AS $dec)""").as("__cell"))
+        expr(s"""CAST((CAST(__n AS $dec) * __nn - CAST(__nt AS $dec) * __nc)
+                 AS $dec)""").as("__diff"),
+        expr(s"CAST(CAST(__nt AS $dec) * __nc AS $dec)").as("__den"))
+      .select(col("__nn"),
+        ((col("__diff") * col("__diff")).cast("decimal(38,0)") *
+          lit(1000000L).cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("__num"), col("__den"))
+      .select(col("__nn"),
+        ((col("__num") - (col("__num") % col("__den"))) / col("__den"))
+          .cast("decimal(38,0)").as("__cell"))
       .groupBy(col("__nn"))
-      .agg(count(lit(1)).as("__cells"),
-        sum(col("__cell")).cast("decimal(38,0)").as("__sum"))
+      .agg(sum(col("__cell")).cast("decimal(38,0)").as("__sum"))
       .crossJoin(broadcast(byTok.agg(count(lit(1)).as("n_tokens"))))
       .crossJoin(broadcast(byCls.agg(count(lit(1)).as("n_classes"))))
       .select(col("n_tokens"), col("n_classes"),
