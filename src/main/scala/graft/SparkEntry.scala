@@ -1846,6 +1846,21 @@ object SparkEntry {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     },
 
+    // Quantile normalization across sources: every doc's length score
+    // mapped onto the POOLED distribution at its within-source relative
+    // rank — cross-source calibration so one global threshold treats
+    // heterogeneous sources fairly. Both rankings on the two-level
+    // plan; exact ceil-division position arithmetic.
+    "q_quantile_norm" -> { (s, d) =>
+      graft.functions.Quality.quantileNormalize(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rank_in_group"), col("norm_v"))
+        .orderBy(col("doc_id"))
+    },
+
     // LEAKAGE-SAFE split assignment: near-duplicate clusters (LSH pairs
     // → connected components) are split as UNITS — the component id,
     // not the doc id, feeds the hash split, so no near-dup pair ever
@@ -4492,6 +4507,21 @@ object SparkEntry {
             FROM t),
           top AS (SELECT * FROM h ORDER BY priority DESC, doc_id LIMIT 50)
           SELECT doc_id, w, priority FROM top ORDER BY doc_id""",
+
+    "q_quantile_norm" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS rg,
+            count(*) OVER (PARTITION BY source) AS n FROM documents),
+          p AS (SELECT n_chars AS norm_v,
+            row_number() OVER (ORDER BY n_chars, source, doc_id) AS pr
+            FROM documents),
+          t AS (SELECT count(*) AS nn FROM documents)
+          SELECT r.doc_id, r.source, r.n_chars,
+            CAST(r.rg AS BIGINT) AS rank_in_group, p.norm_v
+          FROM r CROSS JOIN t
+          JOIN p ON p.pr = (r.rg * t.nn + r.n - 1) // r.n
+          ORDER BY r.doc_id""",
 
     "q_split_by_cluster" ->
       s"""WITH RECURSIVE $duckLshPairsCte,

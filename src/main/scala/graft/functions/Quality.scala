@@ -100,6 +100,43 @@ object Quality {
     * one sort task — the difference between this and a `row_number()`
     * window is exactly the round-5 audit's single-task-per-group finding.
     */
+  /** QUANTILE NORMALIZATION across groups — map every row's value onto
+    * the POOLED distribution at its within-group relative rank (the
+    * cross-source score-calibration standard: after it, "top 10% of
+    * source A" and "top 10% of source B" mean the same pooled value, so
+    * one global threshold treats heterogeneous sources fairly). Exact
+    * integer arithmetic: within-group rank r of n rows maps to pooled
+    * position p = ceil(r * N / n) = (r*N + n - 1) div n, and the
+    * normalized value is the pooled order statistic at p (pooled order
+    * = (value, group, id) — a deterministic total order).
+    *
+    * Both rankings ride [[GroupRank.withRankAndCount]]'s two-level plan
+    * (range exchange + bounded local windows), and the lookup is one
+    * equi-join on the pooled rank — never a single-task sort at any
+    * group size.
+    *
+    * Output: the input columns plus (rank_in_group, norm_v).
+    */
+  def quantileNormalize(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ranked = GroupRank.withRankAndCount(df, Seq(groupCol),
+      Seq(col(valueCol).asc, col(idCol).asc), "rank_in_group", "__qn")
+    val pooled = GroupRank.withRankAndCount(
+        df.withColumn("__qall", lit(1)), Seq("__qall"),
+        Seq(col(valueCol).asc, col(groupCol).asc, col(idCol).asc),
+        "__qpr", "__qpn")
+      .select(col("__qpr"), col(valueCol).as("norm_v"))
+    val total = df.agg(count(lit(1)).as("__qNtot"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("__qpr", GroupRank.intDiv(
+        col("rank_in_group") * col("__qNtot") + col("__qn") - 1L,
+        col("__qn")))
+      .join(pooled, Seq("__qpr"))
+      .drop("__qpr", "__qn", "__qNtot")
+  }
+
   def groupCap(df: org.apache.spark.sql.DataFrame, groupCol: String,
       scoreCol: String, tieCol: String, k: Long,
       rankCol: String = "rnk"): org.apache.spark.sql.DataFrame = {

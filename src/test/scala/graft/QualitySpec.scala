@@ -12,6 +12,28 @@ class QualitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("quantileNormalize: hand-mapped positions, identity on one group") {
+    // group a (n=2): values 10, 20; group b (n=4): 1, 2, 3, 4; N=6.
+    // pooled order: 1,2,3,4,10,20. a's r=1 -> p=ceil(6/2)=3 -> 3;
+    // a's r=2 -> p=6 -> 20. b: p = ceil(r*6/4): r=1->2, 2->3, 3->5, 4->6
+    // -> 2, 3, 10, 20.
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 1L),
+      (4L, "b", 2L), (5L, "b", 3L), (6L, "b", 4L))
+      .toDF("id", "g", "v")
+    val got = Quality.quantileNormalize(df, "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank_in_group"), r.getAs[Long]("norm_v"))).toMap
+    assert(got == Map(1L -> ((1L, 3L)), 2L -> ((2L, 20L)),
+      3L -> ((1L, 2L)), 4L -> ((2L, 3L)), 5L -> ((3L, 10L)),
+      6L -> ((4L, 20L))))
+    // single group: the pooled distribution is its own -> identity
+    val one = Seq((1L, "g", 7L), (2L, "g", 3L), (3L, "g", 9L))
+      .toDF("id", "g", "v")
+    val ident = Quality.quantileNormalize(one, "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("norm_v"))
+    assert(ident.forall { case (v, nv) => v == nv })
+  }
+
   test("repetitionRatio: distinct grams 0, repeated grams ratio, short docs 0") {
     val df = Seq(
       ("a b c d", 0.0),            // 2 grams, both distinct
