@@ -1286,6 +1286,15 @@ object SparkEntry {
         .limit(25)
     },
 
+    // HITS authorities over the doc-term bipartite graph — the
+    // mutual-reinforcement centrality next to PageRank/PPR: top-20
+    // authoritative tokens after 2 synchronous rounds, fixed-point
+    // integer normalization (2-round unrolled oracle).
+    "q_hits" -> { (s, d) =>
+      graft.functions.Graph.hitsAuthorities(Tables.documents(s, d),
+        "doc_id", "text", iters = 2, k = 20)
+    },
+
     // Graph cohesion: per-doc triangle support in the SNM candidate
     // graph (degree-oriented enumeration — wedge volume O(m^1.5)
     // whatever the hubs). Triangle-dense neighborhoods are genuine
@@ -3796,6 +3805,33 @@ object SparkEntry {
     // The oracle enumerates triangles canonically (a < b < c over the
     // undirected edge set) — orientation-free, so it matches whatever
     // enumeration order the Spark side's degree orientation uses.
+    "q_hits" ->
+      s"""WITH ed AS MATERIALIZED (SELECT DISTINCT doc_id AS doc, word AS tok
+            FROM (SELECT doc_id, unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(word, '^[a-z]+$$')),
+          h0 AS (SELECT DISTINCT doc, CAST(1000000 AS BIGINT) AS h FROM ed),
+          ar1 AS (SELECT tok, sum(h) AS ar FROM ed JOIN h0 USING (doc)
+            GROUP BY 1),
+          am1 AS (SELECT max(ar) AS am FROM ar1),
+          a1 AS MATERIALIZED (SELECT tok,
+            CAST((CAST(ar AS HUGEINT) * 1000000) // am AS BIGINT) AS a
+            FROM ar1, am1),
+          hr1 AS (SELECT doc, sum(a) AS hr FROM ed JOIN a1 USING (tok)
+            GROUP BY 1),
+          hm1 AS (SELECT max(hr) AS hm FROM hr1),
+          h1 AS MATERIALIZED (SELECT doc,
+            CAST((CAST(hr AS HUGEINT) * 1000000) // hm AS BIGINT) AS h
+            FROM hr1, hm1),
+          ar2 AS (SELECT tok, sum(h) AS ar FROM ed JOIN h1 USING (doc)
+            GROUP BY 1),
+          am2 AS (SELECT max(ar) AS am FROM ar2),
+          a2 AS (SELECT tok,
+            CAST((CAST(ar AS HUGEINT) * 1000000) // am AS BIGINT) AS a
+            FROM ar2, am2)
+          SELECT tok AS token, a AS auth_q FROM a2
+          ORDER BY auth_q DESC, token LIMIT 20""",
+
     "q_triangles" ->
       """WITH r AS (SELECT doc_id,
             row_number() OVER (ORDER BY lower(substring(text, 1, 30)),

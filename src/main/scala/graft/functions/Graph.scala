@@ -406,4 +406,71 @@ object Graph {
     */
   private def idOut(aCol: String, bCol: String): String =
     if (aCol == "id_a" && bCol == "id_b") "id" else aCol
+
+  /** HITS over the doc-term bipartite graph (Kleinberg 1999,
+    * "Authoritative sources in a hyperlinked environment") — the
+    * mutual-reinforcement centrality completing the family (PageRank =
+    * stationary flow, PPR = seeded proximity, HITS = hub/authority
+    * duality): a token is AUTHORITATIVE when many good hub documents
+    * contain it; a document is a good HUB when it contains many
+    * authoritative tokens. `iters` synchronous rounds of
+    * a = G^T h, h = G a, each side renormalized to max = 10^6 by
+    * integer division (all quantities nonnegative — no sign handling;
+    * the PCA normalize-by-max discipline), from the uniform hub start.
+    *
+    * Scale: the edge list is DISTINCT (doc, token) — one dedup pass;
+    * each half-round is one equi-join of a vertex-sized table against
+    * the edges plus a partial-aggregable sum and a 1-row max broadcast.
+    * Rounds are a fixed constant; the oracle unrolls them.
+    *
+    * Output: top-`k` tokens by (authority desc, token asc) as
+    * (token, auth_q).
+    */
+  def hitsAuthorities(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int, k: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8], got $iters")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.GraftBridge
+    val scale = 1000000L
+    val edges = docs.select(col(idCol).as("__doc"),
+        explode(Text.tokens(col(textCol))).as("__tok"))
+      .where(col("__tok").rlike("^[a-z]+$"))
+      .distinct()
+      .localCheckpoint(true)
+    var hubs = edges.select(col("__doc")).distinct()
+      .withColumn("__h", lit(scale))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = edges.join(hubs, Seq("__doc"))
+        .groupBy(col("__tok")).agg(sum(col("__h")).as("__ar"))
+      val amax = araw.agg(max(col("__ar")).as("__am"))
+      // decimal product: __ar * 10^6 would wrap long past ~9e6 docs;
+      // IntegralDivide's long result is safe (quotient <= 10^6)
+      val nextAuth = araw.crossJoin(broadcast(amax))
+        .select(col("__tok"),
+          expr(s"(CAST(__ar AS decimal(38,0)) * $scale) div __am").as("__a"))
+        .localCheckpoint(true)
+      if (auth != null) GraftBridge.unpersistCheckpoint(auth)
+      auth = nextAuth
+      val hraw = edges.join(auth, Seq("__tok"))
+        .groupBy(col("__doc")).agg(sum(col("__a")).as("__hr"))
+      val hmax = hraw.agg(max(col("__hr")).as("__hm"))
+      val nextHubs = hraw.crossJoin(broadcast(hmax))
+        .select(col("__doc"),
+          expr(s"(CAST(__hr AS decimal(38,0)) * $scale) div __hm").as("__h"))
+        .localCheckpoint(true)
+      GraftBridge.unpersistCheckpoint(hubs)
+      hubs = nextHubs
+    }
+    val out = auth
+      .select(col("__tok").as("token"), col("__a").as("auth_q"))
+      .orderBy(col("auth_q").desc, col("token").asc)
+      .limit(k)
+      .localCheckpoint(true)
+    GraftBridge.unpersistCheckpoint(edges)
+    GraftBridge.unpersistCheckpoint(hubs)
+    GraftBridge.unpersistCheckpoint(auth)
+    out
+  }
 }

@@ -157,4 +157,26 @@ class GraphSpec extends AnyFunSuite {
     assert(r(1L) === 150000000000L, r.toString)
     assert(r(2L) === 0L && r(3L) === 0L)
   }
+
+  test("hits: ubiquitous tokens are top authorities, determinism holds") {
+    // t0 appears in every doc -> max authority (1e6 after normalize);
+    // t9 appears only in one tiny doc -> strictly lower
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta"),
+      (4L, "alpha rare")).toDF("doc_id", "text")
+    val got = Graph.hitsAuthorities(docs, "doc_id", "text", iters = 2,
+        k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head._1 == "alpha" && got.head._2 == 1000000L)
+    val m = got.toMap
+    assert(m("beta") > m("rare"), s"$m")
+    assert(m("rare") < 1000000L)
+    // partition-deterministic
+    val again = Graph.hitsAuthorities(docs.repartition(5), "doc_id",
+        "text", iters = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(again.toSeq == got.toSeq)
+  }
 }
