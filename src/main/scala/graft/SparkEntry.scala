@@ -2557,6 +2557,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Hopping (sliding) window aggregation — 1-hour windows every 15
+    // minutes, each event in 4 overlapping windows — completing the
+    // window-shape set next to tumbling (q_event_window) and session
+    // (q_session_window). The oracle expands the 4 hops explicitly.
+    "q_hopping_window" -> { (s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"))
+    },
+
     // Tumbling-window aggregation over the event stream (batch form; the
     // streaming form with watermark runs in the test suite).
     "q_event_window" -> { (s, d) =>
@@ -5705,6 +5720,18 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, "value" FROM events),
+          h AS (SELECT ((us // 900000000) - i.i) * 900000000 AS ws,
+            "value" FROM e, range(0, 4) i(i)),
+          w AS (SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+              AS window_start,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM h GROUP BY 1)
+          SELECT window_start, n_events, sum_value FROM w
+          ORDER BY window_start""",
 
     "q_recursive" ->
       """WITH RECURSIVE tree(doc_id, depth) AS (
