@@ -2166,6 +2166,56 @@ object SparkEntry {
         .orderBy(col("check_name"))
     },
 
+    // Token burstiness: variance-to-mean ratio of per-document counts
+    // (zeros included) — the corpus-linguistics dispersion signal that
+    // separates topical tokens (bursty: absent mostly, dense where
+    // present) from function words (VMR ≈ const). Exact rational
+    // VMR = (N·Σc² − S²)/(N·S) with the numerator/denominator hashed;
+    // top-20 by the rendered ratio, token tie-break.
+    "q_burstiness" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("__nd"))
+      val perDoc = docs.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token").rlike("^[a-z]+$"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("__c"))
+      perDoc.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("__s"),
+          sum(col("__c") * col("__c")).as("__s2"))
+        .crossJoin(broadcast(n))
+        .select(col("token"), col("n_docs"),
+          col("__s").as("total"),
+          (col("__nd") * col("__s2") - col("__s") * col("__s"))
+            .as("vmr_num"),
+          (col("__nd") * col("__s")).as("vmr_den"))
+        .withColumn("vmr",
+          round(col("vmr_num").cast("double") /
+            col("vmr_den").cast("double"), 6))
+        .orderBy(col("vmr").desc, col("token").asc)
+        .limit(20)
+    },
+
+    // Per-source geometric mean of document length, log-domain (FixLog):
+    // log2(gmean) = mean log2q — exact integer mean hashed; the linear
+    // rendering 2^x would need pow (libm), so the log2 value IS the
+    // deliverable, the house convention.
+    "q_log_gmean" -> { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("n_chars") >= 1)
+        .select(col("source"),
+          graft.plans.FixLog.log2qCol(col("n_chars").cast("long"))
+            .as("__lq"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__lq")).as("__slq"))
+        .withColumn("log2_gmean_q", expr("__slq div n_docs"))
+        .withColumn("log2_gmean",
+          round(col("log2_gmean_q").cast("double") / 65536.0, 6))
+        .select(col("source"), col("n_docs"), col("log2_gmean_q"),
+          col("log2_gmean"))
+        .orderBy(col("source"))
+    },
+
     // Two-sample Kolmogorov-Smirnov distance between the en and de
     // document-length distributions — exact rational D = d_num/(n_a·n_b),
     // the cumulative scan over the bounded DISTINCT length domain.
@@ -4977,6 +5027,36 @@ object SparkEntry {
               unnest([bad_status, empty_priority, nonpositive_price,
                 null_orderdate, pk_duplicates, pk_nulls]) AS v FROM a)
           ORDER BY check_name""",
+
+    "q_burstiness" ->
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+          pd AS (SELECT doc_id, word AS token, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(word, '^[a-z]+$$')
+            GROUP BY 1, 2),
+          agg AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(c) AS BIGINT) AS total,
+            CAST(sum(c * c) AS BIGINT) AS s2 FROM pd GROUP BY 1)
+          SELECT token, n_docs, total,
+            CAST(nd.nn * s2 - total * total AS BIGINT) AS vmr_num,
+            CAST(nd.nn * total AS BIGINT) AS vmr_den,
+            round(CAST(nd.nn * s2 - total * total AS DOUBLE) /
+              CAST(nd.nn * total AS DOUBLE), 6) AS vmr
+          FROM agg, nd
+          ORDER BY vmr DESC, token LIMIT 20""",
+
+    "q_log_gmean" ->
+      s"""WITH lx AS (SELECT DISTINCT CAST(n_chars AS BIGINT) AS x
+            FROM documents WHERE n_chars >= 1),
+          $duckLog2Chain,
+          j AS (SELECT d.source, lgt.lq FROM documents d
+            JOIN lgt ON lgt.x = d.n_chars WHERE d.n_chars >= 1)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(lq) // count(*) AS BIGINT) AS log2_gmean_q,
+            round(CAST(sum(lq) // count(*) AS DOUBLE) / 65536.0, 6)
+              AS log2_gmean
+          FROM j GROUP BY 1 ORDER BY source""",
 
     "q_ks_test" ->
       """WITH c AS (SELECT n_chars AS v,
