@@ -2166,6 +2166,40 @@ object SparkEntry {
         .orderBy(col("check_name"))
     },
 
+    // Zipf exponent of the corpus: OLS slope of log2(freq) on
+    // log2(rank) over the frequency-ranked vocabulary — three session
+    // primitives composed (FixLog log domain, deterministic ranking,
+    // exact closed-form OLS); slope_num/den hashed exactly, slope ~ -1
+    // for natural text.
+    "q_zipf_slope" -> { (s, d) =>
+      val freqs = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token").rlike("^[a-z]+$"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val ranked = graft.functions.GroupRank.withRankAndCount(
+        freqs.withColumn("__all", lit(1)), Seq("__all"),
+        Seq(col("freq").desc, col("token").asc), "__zr", "__zn")
+      graft.functions.Stats.groupOls(
+          ranked.select(lit("corpus").as("g"),
+            graft.plans.FixLog.log2qCol(col("__zr")).as("x"),
+            graft.plans.FixLog.log2qCol(col("freq")).as("y")),
+          "g", "x", "y")
+        .select(col("g"), col("n"), col("slope_num"), col("den"),
+          col("slope"), col("intercept"))
+    },
+
+    // Gini coefficient of the source-size mixture — the inequality
+    // readout next to q_mix_hhi's concentration: exact rational
+    // G_num/G_den from the rank-weighted sum over sizes sorted
+    // ascending (mixture-sized arithmetic).
+    "q_mix_gini" -> { (s, d) =>
+      graft.functions.Stats.gini(
+          Tables.documents(s, d)
+            .groupBy(col("source")).agg(count(lit(1)).as("sz")),
+          "sz", "source")
+        .withColumnRenamed("n", "n_sources")
+    },
+
     // Token burstiness: variance-to-mean ratio of per-document counts
     // (zeros included) — the corpus-linguistics dispersion signal that
     // separates topical tokens (bursty: absent mostly, dense where
@@ -5027,6 +5061,50 @@ object SparkEntry {
               unnest([bad_status, empty_priority, nonpositive_price,
                 null_orderdate, pk_duplicates, pk_nulls]) AS v FROM a)
           ORDER BY check_name""",
+
+    "q_zipf_slope" ->
+      s"""WITH f AS (SELECT word AS token, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+          r AS MATERIALIZED (SELECT token, freq,
+            row_number() OVER (ORDER BY freq DESC, token) AS zr FROM f),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT zr AS x FROM r UNION SELECT freq FROM r)),
+          $duckLog2Chain,
+          pts AS (SELECT la.lq AS x, lf.lq AS y FROM r
+            JOIN lgt la ON la.x = r.zr
+            JOIN lgt lf ON lf.x = r.freq),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM pts)
+          SELECT 'corpus' AS g, n,
+            CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+            CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den,
+            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+          FROM s""",
+
+    "q_mix_gini" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+            FROM documents GROUP BY 1),
+          r AS (SELECT sz,
+            row_number() OVER (ORDER BY sz, source) AS gr FROM s),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+            CAST(sum(sz) AS BIGINT) AS tot,
+            CAST(sum(gr * sz) AS BIGINT) AS ws FROM r)
+          SELECT ns AS n_sources,
+            CAST(2 * ws - (ns + 1) * tot AS BIGINT) AS gini_num,
+            CAST(ns * tot AS BIGINT) AS gini_den,
+            round(CAST(2 * ws - (ns + 1) * tot AS DOUBLE) /
+              CAST(ns * tot AS DOUBLE), 6) AS gini
+          FROM a""",
 
     "q_burstiness" ->
       s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),

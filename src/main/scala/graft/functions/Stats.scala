@@ -114,6 +114,29 @@ object Stats {
           .cast("double") / 1e6, 6).as("chi2"))
   }
 
+  /** Gini coefficient of a set of nonnegative integer sizes — the
+    * inequality readout (0 = perfectly even, ->1 = one holder): exact
+    * rational G = (2 * sum(rank_i * x_i) - (n+1) * sum(x)) /
+    * (n * sum(x)) over sizes ranked ascending (deterministic id
+    * tie-break, two-level rank). One row:
+    * (n, gini_num, gini_den, gini).
+    */
+  def gini(df: DataFrame, sizeCol: String, idCol: String): DataFrame = {
+    val ranked = GroupRank.withRankAndCount(
+      df.select(col(idCol), col(sizeCol).cast("long").as("__gsz"))
+        .withColumn("__gall", lit(1)),
+      Seq("__gall"), Seq(col("__gsz").asc, col(idCol).asc),
+      "__gr", "__gn")
+    ranked.agg(count(lit(1)).as("n"), sum(col("__gsz")).as("__tot"),
+        sum(col("__gr") * col("__gsz")).as("__ws"))
+      .select(col("n"),
+        (lit(2L) * col("__ws") - (col("n") + 1L) * col("__tot"))
+          .as("gini_num"),
+        (col("n") * col("__tot")).as("gini_den"))
+      .withColumn("gini", round(col("gini_num").cast("double") /
+        col("gini_den").cast("double"), 6))
+  }
+
   /** Per-group ordinary least squares of integer y on integer x —
     * closed-form normal equations with every product exact:
     * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),

@@ -42,6 +42,19 @@ class StatsSpec extends AnyFunSuite {
     assert(i.getLong(3) == 0L && i.getDouble(4) == 0.0)
   }
 
+  test("gini: known values — {1,3} = 0.25, uniform = 0, extreme -> (n-1)/n") {
+    def g(sizes: Seq[Long]): (Long, Long, Double) = {
+      val df = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sz")
+      val r = Stats.gini(df, "sz", "id").collect()(0)
+      (r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    assert(g(Seq(1L, 3L)) == ((2L, 8L, 0.25)))
+    assert(g(Seq(5L, 5L, 5L, 5L))._3 == 0.0)
+    // one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert(g(Seq(0L, 0L, 0L, 12L))._3 == 0.75)
+  }
+
   test("groupOls: exact line recovery and the constant-x null") {
     val line = (0L to 10L).map(x => ("g", x, 3L * x + 7L))
     val const = Seq(("c", 5L, 1L), ("c", 5L, 9L))
