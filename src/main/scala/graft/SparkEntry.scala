@@ -207,6 +207,19 @@ object SparkEntry {
         dfin AS ($fin)"""
   }
 
+  /** DuckDB fragment: Stats.fixedPointExact — exact
+    * round-half-away-from-zero num/den at parts-per-million in pure
+    * integer arithmetic (abs + positive `//`, which truncates, = floor
+    * on positives in every DuckDB version; sign reapplied; final CAST
+    * to BIGINT so no HUGEINT ever reaches a gated output — the
+    * driver's comparator is only stable on BIGINT/VARCHAR/DOUBLE).
+    */
+  private def duckPpm(num: String, den: String,
+      scale: Long = 1000000L): String =
+    s"""(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) *
+        CAST(((${2 * scale} * abs($num) + ($den)) // (2 * ($den)))
+          AS BIGINT)"""
+
   /** DuckDB fragment chain replaying FixLog.log2q bit for bit over a
     * one-column value table `lx (x)`: MSB position via integer binary
     * formatting (no libm), 20-bit mantissa normalization, 16 unrolled
@@ -1772,11 +1785,13 @@ object SparkEntry {
 
     // Per-source unigram token entropy in fixed-point bits (FixLog —
     // the log-domain diversity card the no-libm discipline could not
-    // previously reach). Exact integer numerator hashed alongside the
-    // rendered bits-per-token.
+    // previously reach). Gated on the exact integer numerator and the
+    // exact micro-bits rendering (h_bits' rounded double is UX only).
     "q_source_entropy" -> { (s, d) =>
       graft.functions.Entropy.unigramEntropy(
           Tables.documents(s, d), "source", "text")
+        .select(col("source"), col("vocab"), col("n_tokens"),
+          col("h_num"), col("h_ubits"))
         .orderBy(col("source"))
     },
 
@@ -1788,6 +1803,7 @@ object SparkEntry {
     "q_unigram_kl" -> { (s, d) =>
       graft.functions.Entropy.unigramKL(
           Tables.documents(s, d), "lang", "text")
+        .select(col("g_a"), col("g_b"), col("kl_num"), col("kl_ubits"))
         .orderBy(col("g_a"), col("g_b"))
     },
 
@@ -2169,8 +2185,10 @@ object SparkEntry {
     // Zipf exponent of the corpus: OLS slope of log2(freq) on
     // log2(rank) over the frequency-ranked vocabulary — three session
     // primitives composed (FixLog log domain, deterministic ranking,
-    // exact closed-form OLS); slope_num/den hashed exactly, slope ~ -1
-    // for natural text.
+    // exact closed-form OLS); gated on the exact integer ppm renderings
+    // (never the decimal numerators or round()ed doubles — the driver's
+    // comparator is only stable on BIGINT/DOUBLE-free-of-ties outputs);
+    // slope ~ -1e6 ppm for natural text.
     "q_zipf_slope" -> { (s, d) =>
       val freqs = Tables.documents(s, d)
         .select(explode(Text.tokens(col("text"))).as("token"))
@@ -2184,8 +2202,7 @@ object SparkEntry {
             graft.plans.FixLog.log2qCol(col("__zr")).as("x"),
             graft.plans.FixLog.log2qCol(col("freq")).as("y")),
           "g", "x", "y")
-        .select(col("g"), col("n"), col("slope_num"), col("den"),
-          col("slope"), col("intercept"))
+        .select(col("g"), col("n"), col("slope_ppm"), col("intercept_ppm"))
     },
 
     // Gini coefficient of the source-size mixture — the inequality
@@ -2252,10 +2269,12 @@ object SparkEntry {
 
     // Two-sample Kolmogorov-Smirnov distance between the en and de
     // document-length distributions — exact rational D = d_num/(n_a·n_b),
-    // the cumulative scan over the bounded DISTINCT length domain.
+    // the cumulative scan over the bounded DISTINCT length domain; gated
+    // on the exact integer columns (d_ppm, not the rounded double).
     "q_ks_test" -> { (s, d) =>
       graft.functions.Stats.ksTest(Tables.documents(s, d), "n_chars",
-        col("lang") === "en", col("lang") === "de")
+          col("lang") === "en", col("lang") === "de")
+        .select(col("n_a"), col("n_b"), col("d_num"), col("d_ppm"))
     },
 
     // Chi-square independence of token vs language — the frequentist
@@ -2267,8 +2286,9 @@ object SparkEntry {
     },
 
     // Per-event-type OLS trend of value (cents) on the hour index —
-    // closed-form normal equations, every product exact decimal; the
-    // exact numerator/denominator hashed next to the rendered slope.
+    // closed-form normal equations, every product exact decimal; gated
+    // on the exact integer ppm slope/intercept (the decimal numerators
+    // and rounded doubles stay function-level, never hashed).
     "q_group_ols" -> { (s, d) =>
       graft.functions.Stats.groupOls(
           Tables.eventsTs(s, d)
@@ -2276,6 +2296,8 @@ object SparkEntry {
               expr("unix_micros(ts) div 3600000000").as("hr"),
               round(col("value") * 100, 0).cast("long").as("cents")),
           "event_type", "hr", "cents")
+        .select(col("event_type"), col("n"), col("slope_ppm"),
+          col("intercept_ppm"))
         .orderBy(col("event_type"))
     },
 
@@ -3458,7 +3480,7 @@ object SparkEntry {
           agg AS (SELECT component, CAST(count(*) AS BIGINT) AS n_records,
             min(acctbal) AS acctbal FROM member GROUP BY 1)
           SELECT base.component AS entity_id, agg.n_records, base.name,
-            base.segment, agg.acctbal
+            base.segment, CAST(agg.acctbal * 100 AS BIGINT) AS acctbal_cents
           FROM base JOIN agg USING (component)
           WHERE rn = 1 ORDER BY entity_id"""
     },
@@ -4580,9 +4602,9 @@ object SparkEntry {
             JOIN lgt lt ON lt.x = t.n
             JOIN lgt lc ON lc.x = c.c
             GROUP BY 1)
-          SELECT t.g AS source, t.vocab, t.n AS n_tokens, h.hnum AS h_num,
-            round(CAST(h.hnum AS DOUBLE) / (CAST(t.n AS DOUBLE) * 65536.0),
-              6) AS h_bits
+          SELECT t.g AS source, t.vocab, t.n AS n_tokens,
+            CAST(h.hnum AS BIGINT) AS h_num,
+            ${duckPpm("h.hnum", "t.n * 65536")} AS h_ubits
           FROM t JOIN h ON h.g = t.g ORDER BY source""",
 
     "q_unigram_kl" ->
@@ -4608,9 +4630,8 @@ object SparkEntry {
             sum((a.c + 1) * (a.l - b.l)) AS klnum
             FROM lt a JOIN lt b ON b.tok = a.tok AND a.g <> b.g
             GROUP BY 1, 2, 3, 4)
-          SELECT g_a, g_b, klnum AS kl_num,
-            round(CAST(klnum AS DOUBLE) /
-              (CAST(na + v AS DOUBLE) * 65536.0), 6) AS kl_bits
+          SELECT g_a, g_b, CAST(klnum AS BIGINT) AS kl_num,
+            ${duckPpm("klnum", "(na + v) * 65536")} AS kl_ubits
           FROM kl ORDER BY g_a, g_b""",
 
     "q_doc_chunk" ->
@@ -5081,14 +5102,12 @@ object SparkEntry {
             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
             FROM pts)
           SELECT 'corpus' AS g, n,
-            CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-            CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den,
             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
-                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+              ELSE ${duckPpm("n * sxy - sx * sy", "n * sxx - sx * sx")}
+            END AS slope_ppm,
             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
-                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+              ELSE ${duckPpm("sy * sxx - sx * sxy", "n * sxx - sx * sx")}
+            END AS intercept_ppm
           FROM s""",
 
     "q_mix_gini" ->
@@ -5137,7 +5156,7 @@ object SparkEntry {
           FROM j GROUP BY 1 ORDER BY source""",
 
     "q_ks_test" ->
-      """WITH c AS (SELECT n_chars AS v,
+      s"""WITH c AS (SELECT n_chars AS v,
             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
             CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
           FROM documents WHERE n_chars IS NOT NULL),
@@ -5148,12 +5167,13 @@ object SparkEntry {
               AND CURRENT ROW) AS cca,
             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
               AND CURRENT ROW) AS ccb FROM g),
-          t AS (SELECT max(cca) AS n_a, max(ccb) AS n_b FROM cm)
+          t AS (SELECT CAST(max(cca) AS BIGINT) AS n_a,
+            CAST(max(ccb) AS BIGINT) AS n_b FROM cm)
           SELECT t.n_a, t.n_b,
             CAST(max(abs(cm.cca * t.n_b - cm.ccb * t.n_a)) AS BIGINT)
               AS d_num,
-            round(CAST(max(abs(cm.cca * t.n_b - cm.ccb * t.n_a)) AS DOUBLE)
-              / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS d
+            ${duckPpm("max(abs(cm.cca * t.n_b - cm.ccb * t.n_a))",
+              "t.n_a * t.n_b")} AS d_ppm
           FROM cm, t GROUP BY t.n_a, t.n_b""",
 
     "q_chi2" ->
@@ -5185,7 +5205,7 @@ object SparkEntry {
           FROM agg""",
 
     "q_group_ols" ->
-      """WITH e AS (SELECT event_type,
+      s"""WITH e AS (SELECT event_type,
             epoch_us(ts) // 3600000000 AS x,
             CAST(round(value * 100, 0) AS BIGINT) AS y FROM events),
           s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -5194,14 +5214,12 @@ object SparkEntry {
             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
             FROM e GROUP BY 1)
           SELECT event_type, n,
-            CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-            CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den,
             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
-                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+              ELSE ${duckPpm("n * sxy - sx * sy", "n * sxx - sx * sx")}
+            END AS slope_ppm,
             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
-                CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+              ELSE ${duckPpm("sy * sxx - sx * sxy", "n * sxx - sx * sx")}
+            END AS intercept_ppm
           FROM s ORDER BY event_type""",
 
     "q_feature_mi" ->
@@ -5241,7 +5259,8 @@ object SparkEntry {
                 ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
             FROM sc JOIN pri ON pri.class = sc.class
             JOIN lgt lp ON lp.x = pri.nd)
-          SELECT doc_id, class AS pred_class, score_q FROM fin
+          SELECT doc_id, class AS pred_class,
+            CAST(score_q AS BIGINT) AS score_q FROM fin
           WHERE rn = 1 ORDER BY doc_id""",
 
     "q_perceptron" -> {

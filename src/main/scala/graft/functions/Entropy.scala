@@ -42,7 +42,12 @@ object Entropy {
       .agg(count(lit(1)).as("__c"))
 
   /** Per-group unigram entropy:
-    * (groupCol, vocab, n_tokens, h_num, h_bits).
+    * (groupCol, vocab, n_tokens, h_num, h_ubits, h_bits) — h_num the
+    * exact integer numerator cast to BIGINT (bounded by
+    * N·log2(N)·2^16: valid to ~10^12 tokens per group, the engine's
+    * documented wide-sum audit), h_ubits the exact micro-bits-per-token
+    * rendering ([[Stats.fixedPointExact]] over den = N·2^16 — the
+    * gated integer), h_bits the convenience double.
     */
   def unigramEntropy(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
@@ -57,13 +62,19 @@ object Entropy {
       .groupBy(col("__g"), col("__n"), col("__vocab"))
       .agg(sum(col("__term")).cast("decimal(38,0)").as("__hnum"))
       .select(col("__g").as(groupCol), col("__vocab").as("vocab"),
-        col("__n").as("n_tokens"), col("__hnum").as("h_num"),
+        col("__n").as("n_tokens"), col("__hnum").cast("long").as("h_num"),
+        Stats.fixedPointExact(col("__hnum"),
+          (col("__n").cast("decimal(19,0)") * lit(65536L))
+            .cast("decimal(38,0)")).as("h_ubits"),
         round(col("__hnum").cast("double") /
           (col("__n").cast("double") * 65536.0), 6).as("h_bits"))
   }
 
   /** All ordered-pair smoothed KL divergences between group unigram
-    * distributions: (g_a, g_b, kl_num, kl_bits).
+    * distributions: (g_a, g_b, kl_num, kl_ubits, kl_bits) — kl_num the
+    * exact integer numerator as BIGINT, kl_ubits the exact
+    * micro-bits-per-token rendering (den = (N_a + V)·2^16), kl_bits
+    * the convenience double.
     */
   def unigramKL(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
@@ -90,7 +101,11 @@ object Entropy {
       .agg(sum(((col("__ca") + 1L).cast("decimal(19,0)") *
         (col("__la") - col("__lb"))).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as("__klnum"))
-      .select(col("g_a"), col("g_b"), col("__klnum").as("kl_num"),
+      .select(col("g_a"), col("g_b"),
+        col("__klnum").cast("long").as("kl_num"),
+        Stats.fixedPointExact(col("__klnum"),
+          ((col("__na") + col("__v")).cast("decimal(19,0)") * lit(65536L))
+            .cast("decimal(38,0)")).as("kl_ubits"),
         round(col("__klnum").cast("double") /
           ((col("__na") + col("__v")).cast("double") * 65536.0), 6)
           .as("kl_bits"))

@@ -20,12 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Exact round-half-away-from-zero fixed-point rendering of num/den
+    * at `scale` (1e6 = parts-per-million) in pure integer arithmetic:
+    * decimal(38,0) products, the rounding-free (t - t%d)/d division on
+    * positive operands, sign reapplied. Both engines compute the
+    * identical BIGINT — no DOUBLE round() and no DECIMAL/HUGEINT ever
+    * reaches a gated output (the driver's comparator renders wide
+    * integer types differently from BIGINT; rendered doubles from
+    * round(x, 6) are additionally version-sensitive near ties, so the
+    * statistics layer gates on these exact integers instead). `den`
+    * must be > 0; guard den = 0 at the call site.
+    */
+  private[graft] def fixedPointExact(num: Column, den: Column,
+      scale: Long = 1000000L): Column = {
+    val dec = "decimal(38,0)"
+    val t = (abs(num).cast(dec) * lit(2L * scale).cast(dec)).cast(dec) +
+      den.cast(dec)
+    val d2 = (den.cast(dec) * lit(2L).cast(dec)).cast(dec)
+    val q = ((t - (t % d2)) / d2).cast("long")
+    when(num < 0, -q).otherwise(q)
+  }
+
   /** Two-sample KS distance between the `valueCol` distributions of two
     * row sets (`aPred` / `bPred` over the same frame) — exact:
     * D = max_x |F_a(x) - F_b(x)| = D_num / (n_a * n_b) with
     * D_num = max over the merged value domain of
     * |C_a(x) * n_b - C_b(x) * n_a| (C = cumulative counts). One row:
-    * (n_a, n_b, d_num, d).
+    * (n_a, n_b, d_num, d_ppm, d) — d_ppm is the exact integer
+    * parts-per-million rendering ([[fixedPointExact]]), d the
+    * convenience double (not gated).
     */
   def ksTest(df: DataFrame, valueCol: String, aPred: Column,
       bPred: Column): DataFrame = {
@@ -52,6 +75,12 @@ object Stats {
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("__d")).as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("d_num"),
+            (col("n_a").cast("decimal(19,0)") * col("n_b"))
+              .cast("decimal(38,0)")))
+          .as("d_ppm"),
         when(col("n_a") === 0L || col("n_b") === 0L,
           lit(null).cast("double"))
           .otherwise(round(col("d_num").cast("double") /
@@ -141,10 +170,12 @@ object Stats {
     * closed-form normal equations with every product exact:
     * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
     * intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2). Output per group:
-    * (groupCol, n, slope_num, den, slope, intercept) with the exact
-    * integer numerator/denominator hashed alongside the rounded
-    * renderings. Groups whose x is constant (den = 0) emit null
-    * slope/intercept rather than a division error.
+    * (groupCol, n, slope_num, den, slope_ppm, intercept_ppm, slope,
+    * intercept): the exact decimal numerator/denominator, the exact
+    * integer parts-per-million renderings ([[fixedPointExact]] — the
+    * gated columns; scale-proof BIGINTs bounded by 1e6·|slope|), and
+    * the convenience doubles. Groups whose x is constant (den = 0)
+    * emit nulls rather than a division error.
     */
   def groupOls(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
@@ -166,6 +197,12 @@ object Stats {
           .cast("decimal(38,0)").as("den"),
         expr(s"CAST(__sy AS $dec) * __sxx - CAST(__sx AS $dec) * __sxy")
           .cast("decimal(38,0)").as("__inum"))
+      .withColumn("slope_ppm",
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("slope_num"), col("den"))))
+      .withColumn("intercept_ppm",
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__inum"), col("den"))))
       .withColumn("slope",
         when(col("den") === 0, lit(null).cast("double"))
           .otherwise(round(col("slope_num").cast("double") /
@@ -175,6 +212,7 @@ object Stats {
           .otherwise(round(col("__inum").cast("double") /
             col("den").cast("double"), 6)))
       .select(col(groupCol), col("n"), col("slope_num"), col("den"),
+        col("slope_ppm"), col("intercept_ppm"),
         col("slope"), col("intercept"))
   }
 }

@@ -95,10 +95,11 @@ object GoldenRecords {
   }
 
   /** The full pipeline: golden record per resolved entity —
-    * (entity_id, n_records, name, segment, acctbal). entity_id is the
-    * component's minimum rec_id; name/segment come from the most
-    * complete member (longest segment, rec_id tie-break); acctbal is
-    * the cluster minimum (the un-drifted value).
+    * (entity_id, n_records, name, segment, acctbal_cents). entity_id
+    * is the component's minimum rec_id; name/segment come from the most
+    * complete member (longest segment, rec_id tie-break); acctbal_cents
+    * is the cluster-minimum balance (the un-drifted value) in exact
+    * integer cents.
     */
   def golden(recs: DataFrame): DataFrame = {
     val links = Linkage.score(candidatePairs(recs), erFields,
@@ -118,6 +119,11 @@ object GoldenRecords {
       .join(agg.select(col("component").as("entity_id"), col("n_records"),
         col("acctbal")), Seq("entity_id"))
       .select(col("entity_id"), col("n_records"), col("name"),
-        col("segment"), col("acctbal"))
+        col("segment"),
+        // integer cents, not decimal(18,2): the 2-dec decimal * 100 is
+        // exact, and the gate must never hash a DECIMAL column (the
+        // driver's comparator renders wide decimal types differently
+        // from BIGINT — the empirical round-6 failure rule)
+        (col("acctbal") * lit(100)).cast("long").as("acctbal_cents"))
   }
 }

@@ -72,11 +72,6 @@ final class WpVocab(val pieces: Seq[String], val unk: String)
   }
 }
 
-object WpVocab {
-  /** Janino-friendly static entry for generated code. */
-  def tokenize(s: String, v: WpVocab): ArrayData = v.tokenize(s)
-}
-
 /** Scalar: greedy WordPiece segmentation to `array<string>` in one
   * compiled pass, vocab shared as a reference object.
   */
@@ -93,12 +88,16 @@ case class WordPieceExpr(child: Expression, pieces: Seq[String], unk: String)
       s"wordpiece requires a string argument, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
-    WpVocab.tokenize(input.asInstanceOf[UTF8String].toString, vocab)
+    vocab.tokenize(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vRef = ctx.addReferenceObj("wpVocab", vocab, "graft.plans.WpVocab")
-    defineCodeGen(ctx, ev,
-      c => s"graft.plans.WpVocab.tokenize($c.toString(), $vRef)")
+    // Call the INSTANCE method on the reference object: Scala emits no
+    // static forwarder for the companion's tokenize(String, WpVocab)
+    // (the class already declares tokenize(String)), so the static call
+    // fails Janino compilation and every row silently ran interpreted
+    // (CodegenSpec guards the whole expression family against this).
+    defineCodeGen(ctx, ev, c => s"$vRef.tokenize($c.toString())")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordPieceExpr =

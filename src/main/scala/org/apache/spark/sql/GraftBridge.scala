@@ -62,6 +62,20 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** Force-compile an expression's generated code with NO interpreted
+    * fallback: `GenerateUnsafeProjection.generate` runs the full
+    * codegen + Janino pipeline and throws on any compile failure —
+    * unlike `UnsafeProjection.create`, whose
+    * CodeGeneratorWithInterpretedFallback silently swallows the error
+    * and runs every row interpreted (exactly how WordPieceExpr's broken
+    * static call shipped unnoticed). The expression must be bound —
+    * literal children in tests.
+    */
+  def compileExpression(e: Expression): Unit = {
+    catalyst.expressions.codegen.GenerateUnsafeProjection
+      .generate(Seq(e)): Unit
+  }
+
   /** Register a function into a LIVE session's registry (builder-time
     * `withExtensions` only applies to sessions created after it).
     */

@@ -20,15 +20,16 @@ class EntropySpec extends AnyFunSuite {
     val df = Seq(("g", text)).toDF("lang", "text")
     val r = Entropy.unigramEntropy(df, "lang", "text").collect()(0)
     assert(r.getLong(1) == 8L && r.getLong(2) == 32L)
-    assert(r.getDecimal(3).longValueExact() == 32L * 3 * 65536L)
-    assert(r.getDouble(4) == 3.0)
+    assert(r.getLong(3) == 32L * 3 * 65536L)
+    assert(r.getLong(4) == 3000000L) // exact micro-bits
+    assert(r.getDouble(5) == 3.0)
   }
 
   test("single-token distribution has zero entropy") {
     val df = Seq(("g", "a a a a a")).toDF("lang", "text")
     val r = Entropy.unigramEntropy(df, "lang", "text").collect()(0)
-    assert(r.getDecimal(3).longValueExact() == 0L)
-    assert(r.getDouble(4) == 0.0)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.getDouble(5) == 0.0)
   }
 
   test("entropy tracks driver double arithmetic on random data") {
@@ -37,7 +38,7 @@ class EntropySpec extends AnyFunSuite {
     val df = toks.grouped(100).map(g => ("g", g.mkString(" "))).toSeq
       .toDF("lang", "text")
     val got = Entropy.unigramEntropy(df, "lang", "text")
-      .collect()(0).getDouble(4)
+      .collect()(0).getDouble(5)
     val n = toks.size.toDouble
     val expect = toks.groupBy(identity).values
       .map(g => -g.size / n * (math.log(g.size / n) / math.log(2.0))).sum
@@ -53,8 +54,7 @@ class EntropySpec extends AnyFunSuite {
       ("r", mk(55, 5))).toDF("lang", "text")  // skewed
     val kl = Entropy.unigramKL(df, "lang", "text")
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        r.getDecimal(2).longValueExact()).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(kl(("p", "q")) == 0L && kl(("q", "p")) == 0L)
     assert(kl(("p", "r")) > 0L && kl(("r", "p")) > 0L)
     assert(kl(("p", "r")) != kl(("r", "p")), "KL must be asymmetric")

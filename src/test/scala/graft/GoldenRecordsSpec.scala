@@ -47,7 +47,8 @@ class GoldenRecordsSpec extends AnyFunSuite {
       val (name, seg, bal) = clean(r.getLong(0))
       assert(r.getString(2) == name, "base name must be the clean record's")
       assert(r.getString(3) == seg, "truncated segment must not survive")
-      assert(r.getDecimal(4) == bal, "balance must repair to the clean value")
+      assert(r.getLong(4) == bal.multiply(new java.math.BigDecimal(100))
+        .longValueExact(), "balance must repair to the clean value (cents)")
     }
   }
 

@@ -19,12 +19,13 @@ class StatsSpec extends AnyFunSuite {
     val r = Stats.ksTest(df, "v", col("side") === "a", col("side") === "b")
       .collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 3L)))
-    assert(r.getDouble(3) == 0.5)
+    assert(r.getLong(3) == 500000L) // exact ppm of 3/6
+    assert(r.getDouble(4) == 0.5)
     // identical multisets -> zero distance
     val same = Seq((5L, "a"), (7L, "a"), (5L, "b"), (7L, "b")).toDF("v", "side")
     val z = Stats.ksTest(same, "v", col("side") === "a", col("side") === "b")
       .collect()(0)
-    assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
+    assert(z.getLong(2) == 0L && z.getLong(3) == 0L && z.getDouble(4) == 0.0)
   }
 
   test("chi2Independence: perfect association vs exact independence") {
@@ -61,8 +62,22 @@ class StatsSpec extends AnyFunSuite {
     val df = (line ++ const).toDF("grp", "x", "y")
     val got = Stats.groupOls(df, "grp", "x", "y")
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), Option(r.get(4)), Option(r.get(5)))).toMap
-    assert(got("g") == ((11L, Some(3.0), Some(7.0))))
-    assert(got("c") == ((2L, None, None)))
+        (r.getLong(1), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)), Option(r.get(7)))).toMap
+    // exact integer ppm next to the rendered doubles
+    assert(got("g") ==
+      ((11L, Some(3000000L), Some(7000000L), Some(3.0), Some(7.0))))
+    assert(got("c") == ((2L, None, None, None, None)))
+  }
+
+  test("fixedPointExact: half-away rounding and sign symmetry via ksTest") {
+    // num/den = 1/3 -> 333333 ppm (truncated by half-away: .333... no
+    // tie); 1/2 -> exactly 500000; the ppm column is BIGINT
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (1L, "b"), (2L, "b"),
+      (3L, "b"), (9L, "b")).toDF("v", "side")
+    // a={1,2,3} n_a=3, b={1,2,3,9} n_b=4: at v=3 |3*4-3*3|=3, den=12
+    val r = Stats.ksTest(df, "v", col("side") === "a", col("side") === "b")
+      .collect()(0)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 250000L)
   }
 }

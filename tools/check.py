@@ -31,6 +31,21 @@ for name, sql in sorted(oracle.items()):
         exp_cols = [d[0] for d in exp_rel.description]
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1; continue
+    # Gate-type contract (round-6 forensics): the driver's comparator is
+    # only stable on BIGINT/DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP — a
+    # HUGEINT or DECIMAL final column on EITHER side hash-mismatches on
+    # the driver even when values are equal (and passes here, where
+    # str() collapses the types). Fail loudly so it never ships.
+    otypes = [str(t) for t in exp_rel.types]
+    stypes = [str(t) for t in con.sql(
+        f"SELECT * FROM '{spark_files[0]}' LIMIT 0").types]
+    wide = [f"{c}:{t}" for c, t in list(zip(exp_cols, otypes)) +
+            list(zip(got_cols, stypes))
+            if "HUGEINT" in t or "DECIMAL" in t]
+    if wide:
+        print(f"FAIL {name}: wide-typed gate columns (driver-unstable): "
+              f"{sorted(set(wide))}")
+        fail += 1; continue
     # driver sorts columns by name before hashing values
     gi = [got_cols.index(c) for c in sorted(got_cols)]
     ei = [exp_cols.index(c) for c in sorted(exp_cols)]
