@@ -147,12 +147,20 @@ object SparkEntry {
     * Seeds mirror Sketch.CmsA/CmsB literal for literal. `extraCols`
     * carries probe columns through the lookup variant.
     */
-  private def duckCmsLookups(from: String, extraCols: String = ""): String =
-    (0 until 4).map { i =>
+  /** The catalog's count-min geometry — one pair of constants shared by
+    * the Spark cmsTable calls and the DuckDB lookup fan-out so the
+    * sketch and its oracle can never desynchronize.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  private def duckCmsLookups(from: String, extraCols: String = "",
+      d: Int = CmsDepth, w: Int = CmsWidth): String =
+    (0 until d).map { i =>
       val a = graft.functions.Sketch.CmsA(i)
       val b = graft.functions.Sketch.CmsB(i)
       s"""SELECT $extraCols$i AS sketch_row,
-          (($a * tid + $b) % 1000000007) % 64 AS bucket FROM $from"""
+          (($a * tid + $b) % 1000000007) % $w AS bucket FROM $from"""
     }.mkString("\n UNION ALL ")
 
   /** DuckDB fragment: HLL rank of the 25-bit remainder field — descending
@@ -814,7 +822,7 @@ object SparkEntry {
       val toks = Tables.documents(s, d)
         .select(explode(Text.tokens(col("text"))).as("tok"))
         .select(graft.plans.TextExpressions.polyHash(col("tok")).as("tid"))
-      graft.functions.Sketch.cmsTable(toks, "tid", d = 4, w = 64)
+      graft.functions.Sketch.cmsTable(toks, "tid", d = CmsDepth, w = CmsWidth)
         .where(col("cnt") > 0L)
         .orderBy(col("sketch_row"), col("bucket"))
     },
@@ -828,7 +836,8 @@ object SparkEntry {
         .select(explode(Text.tokens(col("text"))).as("tok"))
         .select(col("tok"),
           graft.plans.TextExpressions.polyHash(col("tok")).as("tid"))
-      val sketch = graft.functions.Sketch.cmsTable(toks, "tid", 4, 64)
+      val sketch = graft.functions.Sketch.cmsTable(toks, "tid", CmsDepth,
+        CmsWidth)
       val probes = toks.groupBy(col("tok"), col("tid"))
         .agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok").asc)

@@ -84,22 +84,6 @@ object Quality {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\+\\d{7,15}"
 
-  /** Redact emails, IPv4 addresses, and +international phone numbers to
-    * typed placeholder tags. Email first: its character class covers
-    * digits and dots, so redacting narrower patterns first could split an
-    * address and leave fragments behind.
-    */
-  /** Keep at most `k` rows of each group, best-first — the per-domain cap
-    * of crawl curation (RefinedWeb/Falcon caps documents per registered
-    * domain so no single site dominates the mixture; the same gate caps
-    * per-source contributions before mixing). Ranked by `scoreCol`
-    * descending with `tieCol` as the deterministic tie-break; emits the
-    * within-group rank as `rankCol`.
-    *
-    * Rides [[GroupRank]]'s two-level plan, so a 30 TB domain never becomes
-    * one sort task — the difference between this and a `row_number()`
-    * window is exactly the round-5 audit's single-task-per-group finding.
-    */
   /** QUANTILE NORMALIZATION across groups — map every row's value onto
     * the POOLED distribution at its within-group relative rank (the
     * cross-source score-calibration standard: after it, "top 10% of
@@ -130,13 +114,28 @@ object Quality {
       .select(col("__qpr"), col(valueCol).as("norm_v"))
     val total = df.agg(count(lit(1)).as("__qNtot"))
     ranked.crossJoin(broadcast(total))
+      // rank * N widened to decimal(38,0): the long product wraps
+      // silently (non-ANSI) past ~3e9 total rows; IntegralDivide on
+      // decimal still returns BIGINT, and p <= N always fits it
       .withColumn("__qpr", GroupRank.intDiv(
-        col("rank_in_group") * col("__qNtot") + col("__qn") - 1L,
+        (col("rank_in_group").cast("decimal(19,0)") * col("__qNtot"))
+          .cast("decimal(38,0)") + col("__qn") - 1L,
         col("__qn")))
       .join(pooled, Seq("__qpr"))
       .drop("__qpr", "__qn", "__qNtot")
   }
 
+  /** Keep at most `k` rows of each group, best-first — the per-domain cap
+    * of crawl curation (RefinedWeb/Falcon caps documents per registered
+    * domain so no single site dominates the mixture; the same gate caps
+    * per-source contributions before mixing). Ranked by `scoreCol`
+    * descending with `tieCol` as the deterministic tie-break; emits the
+    * within-group rank as `rankCol`.
+    *
+    * Rides [[GroupRank]]'s two-level plan, so a 30 TB domain never becomes
+    * one sort task — the difference between this and a `row_number()`
+    * window is exactly the round-5 audit's single-task-per-group finding.
+    */
   def groupCap(df: org.apache.spark.sql.DataFrame, groupCol: String,
       scoreCol: String, tieCol: String, k: Long,
       rankCol: String = "rnk"): org.apache.spark.sql.DataFrame = {
@@ -147,6 +146,11 @@ object Quality {
       .drop("__gcn")
   }
 
+  /** Redact emails, IPv4 addresses, and +international phone numbers to
+    * typed placeholder tags. Email first: its character class covers
+    * digits and dots, so redacting narrower patterns first could split an
+    * address and leave fragments behind.
+    */
   def redactPii(text: Column): Column = {
     val e = regexp_replace(text, EmailRe, "<EMAIL>")
     val i = regexp_replace(e, Ipv4Re, "<IP>")

@@ -204,7 +204,7 @@ object Sketch {
     * fits a long exactly (≤ 64·2^26 = 2^32), and
     * est = 0.709·m²·2^(W+1) / S — the constant m²·2^(W+1) = 2^38 =
     * 274877906944 in both engines:
-    * the 2^37 scale is exact in double, so the only roundings are the
+    * the 2^38 scale is exact in double, so the only roundings are the
     * decimal literal 0.709 itself and the final division, both
     * engine-identical. RAW estimator only: valid in the n ≫ 2.5·m regime
     * (the catalog entry's corpus has thousands of distinct items per
