@@ -2672,6 +2672,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // REAL image decode under the hash gate: each document's first 256
+    // bytes become a 16x16 grayscale PNG (ImageCodec.grayToPng), the
+    // payload is decoded back with the real javax.imageio codec, and
+    // the gated output is the decoded header + EXACT integer luma sum.
+    // PNG is lossless, so the decoded statistics equal ascii-code sums
+    // of the source text — which is how a DuckDB oracle verifies a
+    // decoder it cannot run: any decode defect breaks the hash.
+    "q_image_decode" -> { (s, d) =>
+      graft.multimodal.Media.imageMeta(
+          graft.multimodal.Media.textAsPng(
+            Tables.documents(s, d), "doc_id", "text"))
+        .orderBy(col("media_id"))
+    },
+
+    // Decode + nearest-neighbor 4x4 thumbnail over the same real PNG
+    // payloads, exploded to exact integer pixels (thumb value * 255
+    // rounds back to the source byte exactly): the media -> vector
+    // bridge, oracle-checked via the nearest-neighbor index arithmetic
+    // sx = x*4, sy = y*4 over the source bytes.
+    "q_image_thumb" -> { (s, d) =>
+      graft.multimodal.Media.imageThumbnails(
+          graft.multimodal.Media.textAsPng(
+            Tables.documents(s, d), "doc_id", "text"), 4)
+        .select(col("media_id"),
+          posexplode(col("thumb")).as(Seq("px_idx", "__pxf")))
+        .select(col("media_id"), col("px_idx").cast("long").as("px_idx"),
+          round(col("__pxf").cast("double") * 255.0, 0).cast("long")
+            .as("px"))
+        .orderBy(col("media_id"), col("px_idx"))
+    },
+
     // Hopping (sliding) window aggregation — 1-hour windows every 15
     // minutes, each event in 4 overlapping windows — completing the
     // window-shape set next to tumbling (q_event_window) and session
@@ -5900,6 +5931,30 @@ object SparkEntry {
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+
+    // PNG being lossless, the decoded luma sum over the 16x16 payload
+    // equals the ascii-code sum of the first 256 source characters
+    // (zero-padded) — the oracle recomputes it without parsing PNG.
+    "q_image_decode" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+           16 AS width, 16 AS height,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, least(length(text), 256) + 1),
+               i -> CAST(ascii(text[i]) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS sum_luma
+         FROM documents ORDER BY media_id""",
+
+    // Nearest-neighbor 4x4 over the 16x16 image: thumb pixel i samples
+    // source (x*4, y*4) with x = i%4, y = i//4, i.e. source byte index
+    // (i//4)*64 + (i%4)*4 — ascii code when inside the text, else the
+    // zero pad.
+    "q_image_thumb" ->
+      """SELECT doc_id AS media_id, CAST(i.i AS BIGINT) AS px_idx,
+           CAST(CASE WHEN (i.i // 4) * 64 + (i.i % 4) * 4 < length(text)
+             THEN ascii(text[(i.i // 4) * 64 + (i.i % 4) * 4 + 1])
+             ELSE 0 END AS BIGINT) AS px
+         FROM documents, range(0, 16) i(i)
+         ORDER BY media_id, px_idx""",
 
     "q_event_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

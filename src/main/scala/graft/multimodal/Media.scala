@@ -13,11 +13,14 @@ case class MediaFeat(media_id: Long, payload: Array[Byte], meta: MediaMeta,
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / frame-sample operators.
   *
-  * The Spark-side plumbing (schema, batch iteration via mapPartitions,
-  * partition sizing) is real and tested; the codec itself is STUBBED with a
-  * deterministic fake (`StubCodec`) because no image/audio libraries ship
-  * in this environment — swap `StubCodec` for a real decoder binding at
-  * deployment. Payloads stream through executors partition-by-partition;
+  * Two codec tiers: [[ImageCodec]] is a REAL raster decoder/encoder on
+  * the pure-JVM `javax.imageio` stack (PNG/BMP/GIF — decode, exact
+  * integer luma statistics, nearest-neighbor resize, thumbnail
+  * vectors), used by `textAsPng`/`imageMeta`/`imageThumbnails`;
+  * `StubCodec` remains the deterministic stand-in for modalities with
+  * no JVM decoder in this environment (audio/video) — swap it for a
+  * real FFI binding at deployment, the signature is the contract.
+  * Payloads stream through executors partition-by-partition;
   * nothing is collected to the driver, so the operators hold at 100 TB of
   * media given sane `spark.sql.files.maxPartitionBytes`.
   */
@@ -93,6 +96,76 @@ object Media {
           StubCodec.decodeFeatures(r.payload)))
       }
       .toDF()
+  }
+
+  /** A REAL media table from the text corpus: each document's first
+    * w*h UTF-8 bytes become the pixels of a w x h 8-bit grayscale
+    * image, PNG-encoded with [[ImageCodec.grayToPng]] (zero-padded when
+    * the text is shorter). PNG is lossless, so the pixel statistics of
+    * the DECODED payload equal integer functions of the source text —
+    * which is what lets a DuckDB oracle verify the real decoder without
+    * parsing PNG: it recomputes the same sums from ascii codes.
+    */
+  def textAsPng(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = w * h
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = if (text == null) Array.empty[Byte]
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val pixels = java.util.Arrays.copyOf(bytes, n)
+          MediaRec(id, ImageCodec.grayToPng(pixels, w, h),
+            MediaMeta("png", w, h, 1))
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode every payload with the REAL codec and emit its header +
+    * exact luma statistics: (media_id, format, width, height,
+    * sum_luma). Undecodable payloads surface as nulls (the quarantine
+    * discipline — corrupt media never throws on an executor).
+    */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          ImageCodec.imageInfo(payload) match {
+            case Some(i) =>
+              (id, Option(i.format), Option(i.width), Option(i.height),
+                Option(i.sumLuma))
+            case None => (id, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "sum_luma")
+  }
+
+  /** Decode + nearest-neighbor thumbnail per payload: (media_id, thumb)
+    * with thumb a k*k float vector in [0,1] — image content lifted into
+    * the engine's vector layer (ANN / semantic dedup / k-means run on
+    * it unchanged). Undecodable payloads drop out (quarantine them via
+    * [[imageMeta]] first if an audit trail is needed).
+    */
+  def imageThumbnails(media: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          ImageCodec.thumbnailVector(payload, k).map(v => (id, v))
+        }
+      }
+      .toDF("media_id", "thumb")
   }
 
   /** Row-level frame sampling: one output row per sampled frame. */
