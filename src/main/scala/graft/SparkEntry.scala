@@ -2365,6 +2365,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet's ACTUAL threshold mechanics at scale: head/middle/tail
+    // cutoffs fitted on a 40% deterministic hash sample per language,
+    // every doc assigned scan-stage against the broadcast boundary
+    // table — per-doc cost flat in corpus size (no corpus-wide rank).
+    // The mixer, boundary order statistics, and strict-less assignment
+    // replay exactly in the oracle.
+    "q_lm_buckets_sampled" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.LangModel.lmBucketsSampled(docs, "doc_id", "text",
+          "lang", graft.functions.LangModel.knBigramProbs(docs, "text"),
+          nBuckets = 3, samplePerMille = 400)
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic Lloyd's k-means (k=8, 2 iterations): smallest-id
     // init, rounded-distance assignment with cell tie-break, decimal-
     // exact centroid updates — iterative clustering under the oracle gate.
@@ -5376,6 +5390,54 @@ object SparkEntry {
             CASE WHEN bucket = 1 THEN 'head'
                  WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS tier
           FROM bk ORDER BY doc_id""",
+
+    // The sampled-threshold variant: same KN fit chain, then boundary
+    // order statistics off the 40% hash sample and the strict-less
+    // threshold count — the scan-stage assignment replayed exactly.
+    "q_lm_buckets_sampled" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          dp AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          dids AS (SELECT doc_id, ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM dp),
+          cab AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM dids GROUP BY 1, 2),
+          ca AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
+          cb AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
+          lm AS (SELECT tid_a, tid_b,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np),
+          sc AS (SELECT d.doc_id,
+            CAST(sum(coalesce(lm.pkn_q, 0)) // count(*) AS BIGINT) AS fit_q
+            FROM dids d LEFT JOIN lm
+            ON d.tid_a = lm.tid_a AND d.tid_b = lm.tid_b
+            GROUP BY 1),
+          sall AS (SELECT sc.doc_id, dd.lang, sc.fit_q
+            FROM sc JOIN documents dd USING (doc_id)),
+          smp AS (SELECT * FROM sall
+            WHERE ${duckMixOf("doc_id")} % 1000 < 400),
+          rkd AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY fit_q DESC, doc_id) AS BIGINT) AS sr,
+            CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS sn
+            FROM smp),
+          bnd AS (SELECT lang, fit_q AS b FROM rkd, range(1, 3) j(j)
+            WHERE sr = greatest(1, j.j * (sn // 3) + least(j.j, sn % 3))),
+          asg AS (SELECT s.doc_id, s.lang, s.fit_q,
+            1 + CAST(count(CASE WHEN s.fit_q < b.b THEN 1 END) AS BIGINT)
+              AS bucket
+            FROM sall s LEFT JOIN bnd b ON b.lang = s.lang
+            GROUP BY 1, 2, 3)
+          SELECT doc_id, lang, fit_q, bucket,
+            CASE WHEN bucket = 1 THEN 'head'
+                 WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS tier
+          FROM asg ORDER BY doc_id""",
 
     // q_lm_buckets with every LM count keyed by the doc's language —
     // one independent KN table per language, scoring joined on

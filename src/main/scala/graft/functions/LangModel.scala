@@ -390,22 +390,92 @@ object LangModel {
   def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, lm: DataFrame, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val perLang = lm.columns.contains(langCol)
-    val scored =
-      if (perLang)
-        knScoreDocs(docs.select(col(idCol), col(langCol), col(textCol)),
-            idCol, textCol, lm, Seq(langCol))
-          .select(col(idCol), col(langCol), col("fit_q"))
-      else
-        knScoreDocs(docs, idCol, textCol, lm)
-          .select(col(idCol), col("fit_q"))
-          .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val scored = scoredByLang(docs, idCol, textCol, langCol, lm)
     val ranked = GroupRank.withRankAndCount(
       scored.select(col(idCol), col(langCol), col("fit_q")),
       Seq(langCol), Seq(col("fit_q").desc, col(idCol).asc), "__rn", "__n")
     ranked
       .withColumn("bucket",
         GroupRank.ntileFromRank(col("__rn"), col("__n"), nBuckets))
+      .withColumn("tier", when(col("bucket") === 1, "head")
+        .when(col("bucket") === nBuckets, "tail").otherwise("middle"))
+      .select(col(idCol), col(langCol), col("fit_q"), col("bucket"),
+        col("tier"))
+  }
+
+  /** (idCol, langCol, fit_q) under either LM shape — the shared scoring
+    * stage of [[lmBuckets]] and [[lmBucketsSampled]]; per-language
+    * models are detected from the table's columns.
+    */
+  private def scoredByLang(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, lm: DataFrame): DataFrame =
+    if (lm.columns.contains(langCol))
+      knScoreDocs(docs.select(col(idCol), col(langCol), col(textCol)),
+          idCol, textCol, lm, Seq(langCol))
+        .select(col(idCol), col(langCol), col("fit_q"))
+    else
+      knScoreDocs(docs, idCol, textCol, lm)
+        .select(col(idCol), col("fit_q"))
+        .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+
+  /** Sampled-threshold CCNet bucketing — the 100 TB form of
+    * [[lmBuckets]]: instead of ranking EVERY document within its
+    * language (a corpus-wide two-level rank whose range exchange moves
+    * the whole score column), rank only a deterministic hash sample,
+    * read the nBuckets-1 boundary ORDER STATISTICS per language off the
+    * sample, and assign every document SCAN-STAGE against the broadcast
+    * (language, boundaries[]) table — which is how CCNet itself derives
+    * its head/middle/tail perplexity cutoffs (Wenzek et al. 2020 fit
+    * them on a sample, then stream the corpus through fixed thresholds).
+    * Per-document cost is flat in corpus size: one broadcast-join probe
+    * plus a (nBuckets-1)-element array fold, no rank exchange.
+    *
+    * Deterministic end to end: the sample is
+    * [[Sampling.hashOrder]] mod 1000 < samplePerMille (the engine's
+    * exact cross-engine mixer — the oracle replays it bit for bit),
+    * boundary j is the sample's fit at within-language rank
+    * max(1, (j·n_s) div nBuckets) (fit DESC, id tie-break), and
+    * bucket = 1 + |{j : fit_q < b_j}| — a doc EQUAL to a boundary score
+    * lands head-side. Divergence from the exact [[lmBuckets]] is
+    * confined to boundary neighborhoods (order-statistic sampling
+    * error); at samplePerMille = 1000 the boundaries are the exact
+    * population order statistics, so the two paths agree everywhere
+    * except inside boundary TIES (ntile splits a tie run across
+    * buckets, thresholds keep it together — spec-pinned).
+    *
+    * Output: (idCol, langCol, fit_q, bucket, tier) — [[lmBuckets]]'
+    * exact shape, so the two are drop-in interchangeable.
+    */
+  def lmBucketsSampled(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, lm: DataFrame, nBuckets: Int = 3,
+      samplePerMille: Int = 100): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(samplePerMille >= 1 && samplePerMille <= 1000,
+      s"samplePerMille must be in [1, 1000], got $samplePerMille")
+    val spark = docs.sparkSession
+    val scored = scoredByLang(docs, idCol, textCol, langCol, lm)
+    val sample = scored.filter(
+      pmod(Sampling.hashOrder(col(idCol)), lit(1000L)) < samplePerMille)
+    val ranked = GroupRank.withRankAndCount(sample, Seq(langCol),
+      Seq(col("fit_q").desc, col(idCol).asc), "__sr", "__sn")
+    import spark.implicits._
+    val js = (1 until nBuckets).map(_.toLong).toDF("__j")
+    // boundary j closes NTILE bucket j: rank j*(n div k) + min(j, n mod
+    // k) — the padded-buckets-first split, so a full sample reproduces
+    // the exact ntile assignment on tie-free scores
+    val bounds = ranked.crossJoin(broadcast(js))
+      .filter(col("__sr") === greatest(lit(1L),
+        col("__j") * GroupRank.intDiv(col("__sn"), lit(nBuckets.toLong)) +
+          least(col("__j"), col("__sn") % nBuckets.toLong)))
+      .select(col(langCol), col("fit_q").as("__b"))
+    // mixture-sized: one row per language, nBuckets-1 boundary scores
+    val boundsArr = bounds.groupBy(col(langCol))
+      .agg(collect_list(col("__b")).as("__bs"))
+    scored.join(broadcast(boundsArr), Seq(langCol), "left")
+      .withColumn("bucket", lit(1L) +
+        coalesce(aggregate(col("__bs"), lit(0L),
+          (acc, b) => acc + when(col("fit_q") < b, 1L).otherwise(0L)),
+          lit(0L)))
       .withColumn("tier", when(col("bucket") === 1, "head")
         .when(col("bucket") === nBuckets, "tail").otherwise("middle"))
       .select(col(idCol), col(langCol), col("fit_q"), col("bucket"),

@@ -278,6 +278,49 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(got(6L)._4 == "tail" && got(7L)._4 == "tail")
   }
 
+  test("lmBucketsSampled: full-sample boundaries match exact buckets; " +
+      "sub-samples stay monotone and boundary-bounded") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran", "en"),
+      (2L, "the dog sat on the mat and the dog ran", "en"),
+      (3L, "the cat sat on the mat", "en"),
+      (4L, "the cat zz qq on the mat", "en"),
+      (5L, "zz qq ww the cat ee rr", "en"),
+      (6L, "zz qq ww ee rr tt yy", "en"),
+      (7L, "qq zz tt ww yy rr ee", "en"),
+      (20L, "le chat dort sur le tapis", "fr"),
+      (21L, "le chien dort sur le tapis", "fr"),
+      (22L, "xx vv le chat nn pp", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val lm = LangModel.knBigramProbs(docs, "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("fit_q"),
+          r.getAs[Long]("bucket"), r.getAs[String]("tier")))).toMap
+    val exact = asMap(
+      LangModel.lmBuckets(docs, "doc_id", "text", "lang", lm))
+    // full sample: boundaries are the exact population order statistics;
+    // with tie-free fits the assignment equals exact ntile everywhere
+    val full = asMap(LangModel.lmBucketsSampled(docs, "doc_id", "text",
+      "lang", lm, samplePerMille = 1000))
+    val fits = exact.values.groupBy(_._1).values
+    assert(fits.forall(v => v.map(_._2).toSeq.distinct.size == v.size),
+      "fixture must be tie-free for the equivalence leg")
+    assert(full == exact)
+    // a 50% hash sample: assignment stays monotone in fit within
+    // language (thresholding is order-preserving by construction) and
+    // at least half the docs keep their exact bucket
+    val half = asMap(LangModel.lmBucketsSampled(docs, "doc_id", "text",
+      "lang", lm, samplePerMille = 500))
+    for (lang <- Seq("en", "fr")) {
+      val rows = half.values.filter(_._1 == lang).toSeq.sortBy(-_._2)
+      assert(rows.map(_._3) == rows.map(_._3).sorted,
+        s"non-monotone sampled buckets for $lang: $rows")
+    }
+    val agree = half.count { case (id, v) => exact(id)._3 == v._3 }
+    assert(agree * 2 >= exact.size, s"only $agree/${exact.size} agree")
+  }
+
   test("oovStats: tail tokens count as OOV against the top-V vocabulary") {
     val docs = Seq(
       (1L, "a a a b b rare1"),  // corpus counts: a x4, b x3, rare* x1 each
