@@ -53,7 +53,7 @@ object ScaleProbe {
       "mutual_knn", "blocked_cc", "blocked_cc_isolated", "snm",
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
-      "skew_join", "suffix", "edit_join")
+      "skew_join", "suffix", "edit_join", "hier_assign")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -169,6 +169,38 @@ object ScaleProbe {
         .select(col("cell")).distinct().count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"kmeans","mult":$mult,"vecs":${nEmb * mult},"cells":$cells,"sec":$sec%.2f}""")
+    }
+
+    // Hierarchical-assignment probe: FIXED corpus, growing centroid
+    // count. Flat assignment is n·k dot products; the two-level path is
+    // ~n·sqrt(k)·(1+nProbe) — the curve separating the two as k grows
+    // is the deriveKCells extreme-regime claim, measured. Centroids are
+    // k corpus vectors (no training in the timed region — the probe
+    // isolates assignment cost; hier's timed region does include its
+    // k-row super-quantizer fit, which is the real serving cost).
+    if (want("hier_assign")) {
+      val vecs = embBase
+        .crossJoin(spark.range(16).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+        .localCheckpoint(true)
+      val nV = vecs.count()
+      for (k <- Seq(64, 256, 1024)) {
+        val cents = embBase.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").as("centroid"))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val nFlat = graft.functions.Vec.assignToCentroids(vecs, cents)
+          .select(col("cell")).distinct().count()
+        val secFlat = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nHier = graft.functions.Vec
+          .assignToCentroidsHier(vecs, cents, nProbe = 2)
+          .select(col("cell")).distinct().count()
+        val secHier = (System.nanoTime() - t1) / 1e9
+        println(f"""{"probe":"hier_assign","k":$k,"vecs":$nV,"flat_cells":$nFlat,"hier_cells":$nHier,"flat_sec":$secFlat%.2f,"hier_sec":$secHier%.2f}""")
+      }
     }
 
     // SemDedup probe: k-means cells + in-cell cosine pairs on the

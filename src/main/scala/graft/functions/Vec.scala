@@ -327,6 +327,58 @@ object Vec {
       centroids.select(col("cell"), col("centroid").as("cvec")),
       idCol, vecCol)
 
+  /** HIERARCHICAL serving-time assignment — the extreme-kCells regime
+    * [[deriveKCells]]' scaladoc documents, now built: train a coarse
+    * quantizer of ceil(sqrt(k)) super-cells over the CENTROID TABLE
+    * itself (k rows — model-sized work, the existing bounded-collect
+    * contract), then assign each vector in two compiled hops: nProbe
+    * nearest super-cells, argmin over their member centroids. Per-vector
+    * cost drops from k to ~sqrt(k)·(1 + nProbe) dot products —
+    * sublinear in kCells at fixed n (probe-verified) — and the pass
+    * stays map-only against one broadcast table.
+    *
+    * Exactness contract: member scan arithmetic is bit-identical to
+    * [[assignToCentroids]], so with nProbe >= kSuper the output equals
+    * the flat assignment exactly (spec-pinned); smaller nProbe is the
+    * standard IVF approximation — a vector whose true cell lives in an
+    * unprobed super-cell gets its best PROBED cell (boundary-local, the
+    * SemDedup/IVF recall trade).
+    *
+    * Returns (idCol, vecCol, cell, dist2), [[assignToCentroids]]'
+    * exact shape.
+    */
+  def assignToCentroidsHier(vecs: DataFrame, centroids: DataFrame,
+      nProbe: Int = 2, itersSuper: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val rows = centroids.select(col("cell").cast("int"),
+      col("centroid")).collect()
+    val cellIds = rows.map(_.getInt(0))
+    val mat = rows.map(_.getSeq[Float](1).toArray)
+    val kSuper = math.max(1, math.ceil(math.sqrt(cellIds.length.toDouble)).toInt)
+    // coarse-quantize the centroids themselves (k-row frame)
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val centFrame = cellIds.zip(mat.map(_.toSeq))
+      .toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val (superAssign, superCents) =
+      kmeansModel(centFrame, kSuper, itersSuper)
+    val superOf = superAssign.select(col("vec_id").cast("int"), col("cell"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val superRows = superCents.select(col("cell").cast("int"), col("cvec"))
+      .collect()
+    val table = new graft.plans.HierCentroidTable(
+      cellIds, mat, cellIds.map(superOf),
+      superRows.map(_.getInt(0)),
+      superRows.map(_.getSeq[Float](1).toArray), nProbe)
+    val nc = graft.plans.VecExpressions.nearestCellHier(col(vecCol), table)
+    vecs.select(col(idCol), col(vecCol), nc.as("__nc"))
+      .select(col(idCol), col(vecCol),
+        col("__nc.cell").as("cell"), col("__nc.dist2").as("dist2"))
+  }
+
   /** Nearest-centroid assignment: (idCol, vecCol, cell, dist2).
     *
     * MAP-ONLY: the k-row centroid table is collected (the same driver +

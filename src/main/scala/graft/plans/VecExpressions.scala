@@ -379,6 +379,162 @@ case class NearestCellExpr(child: Expression, table: CentroidTable)
     copy(child = newChild)
 }
 
+/** Two-level (hierarchical IVF) centroid table: the flat cells grouped
+  * under a coarse quantizer of the CENTROIDS themselves. Per-row
+  * assignment probes the `nProbe` nearest super-cells and scans only
+  * their member centroids — ~(kSuper + nProbe·k/kSuper) dot products
+  * instead of k, the sublinear-in-k assignment path for the extreme
+  * kCells regime deriveKCells documents. Members are kept in ascending
+  * cell order within each super-cell and the argmin uses the exact
+  * (dist2, cell) lexicographic rule, so probing EVERY super-cell
+  * reproduces the flat [[NearestCell.assignF]] bit for bit.
+  */
+final class HierCentroidTable(cellIds: Array[Int],
+    centroids: Array[Array[Float]], superOfCell: Array[Int],
+    superIds: Array[Int], superCentroids: Array[Array[Float]],
+    val nProbe: Int) extends Serializable {
+  require(cellIds.length == centroids.length &&
+    cellIds.length == superOfCell.length, "ragged centroid arrays")
+  require(superIds.length == superCentroids.length, "ragged super arrays")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  /** Flat table reused for the super level (sorted ids + cached c·c). */
+  val superTable = new CentroidTable(superIds, superCentroids)
+
+  /** Member cells / vectors / c·c per SORTED super position. */
+  val (memberCells, memberVecs, memberCcs) = {
+    val bySuper = cellIds.indices.groupBy(superOfCell)
+    val flat = new CentroidTable(cellIds, centroids)
+    // map original index -> sorted-flat position to reuse flat.ccs
+    val posOf = cellIds.indices.sortBy(cellIds).zipWithIndex
+      .map { case (orig, pos) => orig -> pos }.toMap
+    val perSuper = superTable.cells.map { sid =>
+      bySuper.getOrElse(sid, Seq.empty).sortBy(cellIds)
+    }
+    (perSuper.map(_.map(cellIds).toArray),
+      perSuper.map(_.map(centroids).toArray),
+      perSuper.map(_.map(i => flat.ccs(posOf(i))).toArray))
+  }
+
+  /** First cell id in ascending order — the null-contract cell. */
+  val firstCell: Int =
+    if (cellIds.isEmpty) -1 else new CentroidTable(cellIds, centroids).cells(0)
+}
+
+object NearestCellHier {
+  private def exactD2(raw: Double): Double = {
+    val clamped = if (java.lang.Double.compare(raw, 0.0) >= 0) raw else 0.0
+    if (clamped.isNaN || clamped.isInfinite) clamped
+    else java.math.BigDecimal.valueOf(clamped)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Two-hop assignment: rank super-cells by the SAME rounded dist²
+    * (super-id tie-break), scan the members of the nProbe best, argmin
+    * by (dist2, cell). Null contract mirrors [[NearestCell.assignF]]:
+    * a NULL element yields (first cell ascending, null dist²).
+    */
+  def assignH(v: ArrayData, t: HierCentroidTable): InternalRow = {
+    val kSuper = t.superTable.cells.length
+    if (kSuper == 0 || t.firstCell == -1) return null
+    val n = v.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return new GenericInternalRow(
+        Array[Any](t.firstCell, null))
+      val x = v.getFloat(i).toDouble
+      xx += x * x
+      i += 1
+    }
+    // super distances, then select nProbe best by (d2, position) —
+    // positions ascend in super-id order, so the tie-break is the id
+    val sd = new Array[Double](kSuper)
+    var s = 0
+    while (s < kSuper) {
+      val cv = t.superTable.vecs(s)
+      val m = math.min(n, cv.length)
+      var dp = 0.0
+      var j = 0
+      while (j < m) { dp += v.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+      sd(s) = exactD2((xx - 2.0 * dp) + t.superTable.ccs(s))
+      s += 1
+    }
+    val probes = math.min(t.nProbe, kSuper)
+    val taken = new Array[Boolean](kSuper)
+    var bestCell = -1
+    var bestD2 = 0.0
+    var p = 0
+    while (p < probes) {
+      var pick = -1
+      var ps = 0
+      while (ps < kSuper) {
+        if (!taken(ps) &&
+            (pick == -1 || java.lang.Double.compare(sd(ps), sd(pick)) < 0))
+          pick = ps
+        ps += 1
+      }
+      taken(pick) = true
+      val cells = t.memberCells(pick)
+      val vecs = t.memberVecs(pick)
+      val ccs = t.memberCcs(pick)
+      var c = 0
+      while (c < cells.length) {
+        val cv = vecs(c)
+        val m = math.min(n, cv.length)
+        var dp = 0.0
+        var j = 0
+        while (j < m) { dp += v.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+        val d2 = exactD2((xx - 2.0 * dp) + ccs(c))
+        val cmp = java.lang.Double.compare(d2, bestD2)
+        if (bestCell == -1 || cmp < 0 || (cmp == 0 && cells(c) < bestCell)) {
+          bestCell = cells(c); bestD2 = d2
+        }
+        c += 1
+      }
+      p += 1
+    }
+    if (bestCell == -1) null
+    else new GenericInternalRow(Array[Any](bestCell, bestD2))
+  }
+}
+
+/** Two-level nearest-centroid assignment compiled to one
+  * (kSuper + nProbe·members)×d loop per row — see [[HierCentroidTable]].
+  */
+case class NearestCellHierExpr(child: Expression, table: HierCentroidTable)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist2", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell_hier requires an array<float> argument, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCellHier.assignH(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val tbl = ctx.addReferenceObj("hierTable", table,
+        classOf[HierCentroidTable].getName)
+      val r = ctx.freshName("r")
+      s"""
+         |InternalRow $r = graft.plans.NearestCellHier.assignH($v, $tbl);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellHierExpr =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Compiled cosine similarity between two array<float|double> columns. */
   def cosineSim(a: Column, b: Column): Column =
@@ -403,4 +559,11 @@ object VecExpressions {
       centroids: Array[Array[Float]]): Column =
     GraftBridge.column(NearestCellExpr(GraftBridge.expression(vec),
       new CentroidTable(cellIds, centroids)))
+
+  /** Compiled TWO-LEVEL nearest-centroid assignment: probe the nProbe
+    * best super-cells, scan only their member centroids — sublinear in
+    * the total cell count (see [[HierCentroidTable]]).
+    */
+  def nearestCellHier(vec: Column, table: HierCentroidTable): Column =
+    GraftBridge.column(NearestCellHierExpr(GraftBridge.expression(vec), table))
 }

@@ -59,6 +59,10 @@ class CodegenSpec extends AnyFunSuite {
   compiled("rpLshBucket", VecExpressions.rpLshBucket(vec, 8))
   compiled("nearestCell", VecExpressions.nearestCell(vec, Array(0, 1),
     Array(Array(0.1f, 0.2f, 0.3f, 0.4f), Array(-0.1f, 0.0f, 0.2f, 0.9f))))
+  compiled("nearestCellHier", VecExpressions.nearestCellHier(vec,
+    new graft.plans.HierCentroidTable(Array(0, 1),
+      Array(Array(0.1f, 0.2f, 0.3f, 0.4f), Array(-0.1f, 0.0f, 0.2f, 0.9f)),
+      Array(0, 0), Array(0), Array(Array(0f, 0.1f, 0.25f, 0.65f)), 1)))
   compiled("blocklistMask", Blocklist.blocklistMask(text,
     Seq("lazy dog", "quick brown")))
   compiled("log2q", FixLog.log2qCol(lit(123456789L)))
