@@ -53,7 +53,7 @@ object ScaleProbe {
       "mutual_knn", "blocked_cc", "blocked_cc_isolated", "snm",
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
-      "skew_join", "suffix", "edit_join", "hier_assign")
+      "skew_join", "suffix", "edit_join", "hier_assign", "curate_full")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -169,6 +169,41 @@ object ScaleProbe {
         .select(col("cell")).distinct().count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"kmeans","mult":$mult,"vecs":${nEmb * mult},"cells":$cells,"sec":$sec%.2f}""")
+    }
+
+    // End-to-end curation chain at the probe scale factor: the sf0.01
+    // e2e spec's exact composition (CCNet LM reference, learnable seed
+    // labels, self-contaminating eval slice) with size-scaled
+    // parameters — the scale point SURVEY §8 records. Success = the
+    // chain holds its monotone-shrink contract and finishes in
+    // one-node time at 10x the spec corpus.
+    if (want("curate_full")) {
+      val docs = base.localCheckpoint(true)
+      val nDocs = docs.count()
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val lm = graft.functions.LangModel.knBigramProbs(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      val seed = docs.filter(col("doc_id") < nDocs * 2 / 5)
+        .select(col("doc_id"), col("text"),
+          when(array_contains(
+            graft.functions.Text.tokens(col("text")), "stream"), 1L)
+            .otherwise(-1L).as("y"))
+      val evalDocs = docs.filter(col("doc_id") >= nDocs - 10)
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      val (_, _, stats) = graft.pipeline.CorpusPipeline.curateFull(
+        docs, evalDocs, seed, emb, lm,
+        minFit = 0.0005, maxContamRatio = 0.1, vocabSize = 2000,
+        maxOovRate = 0.5, minKeepRatio = 0.5, semThreshold = 0.95,
+        nShards = 8, blockPhrases = Seq("wholly absent phrase", "slow fast"),
+        lineDedupLen = Some(10),
+        domainCap = Some(("source", math.max(22L, nDocs * 22L / 500L))))
+      val row = stats.head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val counts = stats.columns
+        .map(c => s""""$c":${row.getAs[Long](c)}""").mkString(",")
+      println(f"""{"probe":"curate_full","docs":$nDocs,$counts,"sec":$sec%.1f}""")
     }
 
     // Hierarchical-assignment probe: FIXED corpus, growing centroid

@@ -2286,6 +2286,16 @@ object SparkEntry {
         .select(col("n_a"), col("n_b"), col("d_num"), col("d_ppm"))
     },
 
+    // Bucketized KS over a CONTINUOUS domain — purchase vs signup value
+    // distributions through 64 fixed-width bins: the bounded-domain
+    // form whose cumulative scan never rides a distinct-value window
+    // (the exact form's continuous-domain gap, closed).
+    "q_ks_binned" -> { (s, d) =>
+      graft.functions.Stats.ksTestBinned(Tables.events(s, d), "value",
+        col("event_type") === "purchase", col("event_type") === "signup",
+        nBins = 64)
+    },
+
     // Chi-square independence of token vs language — the frequentist
     // companion of q_feature_mi: quantized exact cell mass over the
     // class × vocabulary grid, one row with dof.
@@ -5224,6 +5234,33 @@ object SparkEntry {
           t AS (SELECT CAST(max(cca) AS BIGINT) AS n_a,
             CAST(max(ccb) AS BIGINT) AS n_b FROM cm)
           SELECT t.n_a, t.n_b,
+            CAST(max(abs(cm.cca * t.n_b - cm.ccb * t.n_a)) AS BIGINT)
+              AS d_num,
+            ${duckPpm("max(abs(cm.cca * t.n_b - cm.ccb * t.n_a))",
+              "t.n_a * t.n_b")} AS d_ppm
+          FROM cm, t GROUP BY t.n_a, t.n_b""",
+
+    "q_ks_binned" ->
+      s"""WITH c AS (SELECT CAST("value" AS DOUBLE) AS v,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+            CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS ib
+          FROM events WHERE "value" IS NOT NULL),
+          f AS (SELECT * FROM c WHERE ia = 1 OR ib = 1),
+          ext AS (SELECT min(v) AS mn, max(v) AS mx FROM f),
+          bb AS (SELECT CASE WHEN ext.mx = ext.mn THEN 0
+              ELSE least(63, CAST(floor((v - mn) * 64 / (mx - mn))
+                AS BIGINT)) END AS b, ia, ib
+            FROM f, ext),
+          g AS (SELECT b, CAST(sum(ia) AS BIGINT) AS ca,
+            CAST(sum(ib) AS BIGINT) AS cb FROM bb GROUP BY 1),
+          cm AS (SELECT b,
+            sum(ca) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cca,
+            sum(cb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS ccb FROM g),
+          t AS (SELECT CAST(max(cca) AS BIGINT) AS n_a,
+            CAST(max(ccb) AS BIGINT) AS n_b FROM cm)
+          SELECT t.n_a, t.n_b, CAST(64 AS BIGINT) AS n_bins,
             CAST(max(abs(cm.cca * t.n_b - cm.ccb * t.n_a)) AS BIGINT)
               AS d_num,
             ${duckPpm("max(abs(cm.cca * t.n_b - cm.ccb * t.n_a))",

@@ -88,6 +88,65 @@ object Stats {
           .as("d"))
   }
 
+  /** BUCKETIZED two-sample KS for CONTINUOUS value domains — the scale
+    * regime [[ksTest]]'s scaladoc flags: the exact form's cumulative
+    * window runs over the global DISTINCT value domain, bounded for
+    * discrete metrics but unbounded for continuous ones. Here every
+    * value maps SCAN-STAGE to one of `nBins` fixed-width bins over the
+    * observed [min, max] (one 1-row extrema aggregate, broadcast), and
+    * the identical cumulative machinery runs over the <= nBins bin
+    * domain — bounded by construction at any corpus size.
+    *
+    * The statistic is the exact KS distance of the BINNED distributions
+    * — equivalently, the exact ECDF difference evaluated at bin right
+    * edges only. Since that evaluates the same sup over a SUBSET of the
+    * domain, D_binned <= D_exact always, and the gap is bounded by the
+    * largest per-bin probability mass (spec-pinned; choose nBins by the
+    * resolution the decision needs). Bin index arithmetic —
+    * floor((v - min) * nBins / (max - min)), clamped — is plain IEEE
+    * double in an order both engines reproduce; all gated outputs are
+    * BIGINT: (n_a, n_b, n_bins, d_num, d_ppm) with d_num over the
+    * bin-level cumulative counts.
+    */
+  def ksTestBinned(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"))
+      .filter(col("__ia") === 1L || col("__ib") === 1L)
+    val ext = vals.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val binned = vals.crossJoin(broadcast(ext))
+      .select(
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("__v") - col("__mn")) * lit(nBins.toDouble) /
+              (col("__mx") - col("__mn"))))).as("__b"),
+        col("__ia"), col("__ib"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("__Ca", sum(col("__ca")).over(w))
+      .withColumn("__Cb", sum(col("__cb")).over(w))
+    val tot = cum.agg(max(col("__Ca")).as("n_a"), max(col("__Cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("__Ca") * col("n_b") - col("__Cb") * col("n_a")).as("__d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__d")).as("d_num"))
+      .select(col("n_a"), col("n_b"), lit(nBins.toLong).as("n_bins"),
+        col("d_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("d_num"),
+            (col("n_a").cast("decimal(19,0)") * col("n_b"))
+              .cast("decimal(38,0)")))
+          .as("d_ppm"))
+  }
+
   /** Chi-square test of independence between token and class over a
     * corpus (the frequentist companion of
     * [[NaiveBayes.tokenClassMi]]): cell contributions

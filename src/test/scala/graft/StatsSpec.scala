@@ -70,6 +70,38 @@ class StatsSpec extends AnyFunSuite {
     assert(got("c") == ((2L, None, None, None, None)))
   }
 
+  test("ksTestBinned: exact when bins separate the values, coarser " +
+      "bins only shrink D, degenerate domain safe") {
+    // integer values 0..9: 20 bins give every value its own bin, so the
+    // binned statistic equals the exact one
+    val a = (0 to 9).map(v => (v.toDouble, "a"))
+    val b = Seq(0, 1, 1, 2, 9).map(v => (v.toDouble, "b"))
+    val df = (a ++ b).toDF("v", "side")
+    val exact = Stats.ksTest(df, "v", col("side") === "a",
+      col("side") === "b").collect()(0)
+    val fine = Stats.ksTestBinned(df, "v", col("side") === "a",
+      col("side") === "b", nBins = 20).collect()(0)
+    assert((fine.getLong(0), fine.getLong(1)) ==
+      ((exact.getLong(0), exact.getLong(1))))
+    assert(fine.getLong(2) == 20L)
+    // same rational: binned d_num/(n_a*n_b) == exact (d_num scale is
+    // identical because the cumulative counts at bin edges coincide)
+    assert(fine.getLong(3) == exact.getLong(2))
+    assert(fine.getLong(4) == exact.getLong(3))
+    // coarsening evaluates the ECDF gap at fewer points: D shrinks
+    for (bins <- Seq(2, 4, 8)) {
+      val c = Stats.ksTestBinned(df, "v", col("side") === "a",
+        col("side") === "b", bins).collect()(0)
+      assert(c.getLong(4) <= exact.getLong(3),
+        s"binned($bins) d_ppm ${c.getLong(4)} > exact ${exact.getLong(3)}")
+    }
+    // degenerate single-value domain: everything in bin 0, D = 0
+    val one = Seq((5.0, "a"), (5.0, "b"), (5.0, "b")).toDF("v", "side")
+    val z = Stats.ksTestBinned(one, "v", col("side") === "a",
+      col("side") === "b", nBins = 8).collect()(0)
+    assert(z.getLong(3) == 0L && z.getLong(4) == 0L)
+  }
+
   test("fixedPointExact: half-away rounding and sign symmetry via ksTest") {
     // num/den = 1/3 -> 333333 ppm (truncated by half-away: .333... no
     // tie); 1/2 -> exactly 500000; the ppm column is BIGINT
