@@ -2727,6 +2727,29 @@ object SparkEntry {
         .orderBy(col("media_id"), col("px_idx"))
     },
 
+    // REAL audio decode under the hash gate: each document's chars
+    // become 16-bit PCM samples ((byte-64)*256), WAV-encoded, decoded
+    // back with the real javax.sound.sampled codec; gated on the
+    // decoded header + EXACT integer energy and zero-crossing counts,
+    // which PCM losslessness makes equal to ascii-code functions the
+    // oracle computes directly.
+    "q_audio_decode" -> { (s, d) =>
+      graft.multimodal.Media.audioMeta(
+          graft.multimodal.Media.textAsWav(
+            Tables.documents(s, d), "doc_id", "text"))
+        .orderBy(col("media_id"))
+    },
+
+    // Frame-level exact energy series over the same real WAV payloads
+    // (64-sample frames, last partial kept) — the audio feature series,
+    // oracle-checked frame by frame.
+    "q_audio_frames" -> { (s, d) =>
+      graft.multimodal.Media.audioFrameEnergies(
+          graft.multimodal.Media.textAsWav(
+            Tables.documents(s, d), "doc_id", "text"), frameLen = 64)
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // Hopping (sliding) window aggregation — 1-hour windows every 15
     // minutes, each event in 4 overlapping windows — completing the
     // window-shape set next to tumbling (q_event_window) and session
@@ -6054,6 +6077,38 @@ object SparkEntry {
              ELSE 0 END AS BIGINT) AS px
          FROM documents, range(0, 16) i(i)
          ORDER BY media_id, px_idx""",
+
+    // PCM-in-WAV is lossless: decoded sample i equals (ascii_i - 64)*256,
+    // so energy = 65536 * sum (ascii-64)^2 and zero crossings count
+    // adjacent opposite-sign pairs (the corpus has no '@', so no zero
+    // samples and the carry rule never engages).
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+           CAST(length(text) AS BIGINT) AS n_frames,
+           CAST(65536 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(text) + 1),
+               i -> CAST((ascii(text[i]) - 64) * (ascii(text[i]) - 64)
+                 AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS energy,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(text)),
+               i -> CAST(CASE WHEN (ascii(text[i]) - 64) *
+                 (ascii(text[i + 1]) - 64) < 0 THEN 1 ELSE 0 END
+                 AS BIGINT))), (a, b) -> a + b) AS BIGINT)
+             AS zero_crossings
+         FROM documents ORDER BY media_id""",
+
+    // 64-sample frames, last partial kept: frame f covers chars
+    // f*64+1 .. min(len, f*64+64).
+    "q_audio_frames" ->
+      """SELECT doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
+           CAST(65536 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               range(f.f * 64 + 1, least(length(text), f.f * 64 + 64) + 1),
+               i -> CAST((ascii(text[i]) - 64) * (ascii(text[i]) - 64)
+                 AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS frame_energy
+         FROM documents, range(0, 16) f(f)
+         WHERE f.f * 64 < length(text)
+         ORDER BY media_id, frame_idx""",
 
     "q_event_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -13,13 +13,17 @@ case class MediaFeat(media_id: Long, payload: Array[Byte], meta: MediaMeta,
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / frame-sample operators.
   *
-  * Two codec tiers: [[ImageCodec]] is a REAL raster decoder/encoder on
+  * Codec tiers: [[ImageCodec]] is a REAL raster decoder/encoder on
   * the pure-JVM `javax.imageio` stack (PNG/BMP/GIF — decode, exact
   * integer luma statistics, nearest-neighbor resize, thumbnail
   * vectors), used by `textAsPng`/`imageMeta`/`imageThumbnails`;
-  * `StubCodec` remains the deterministic stand-in for modalities with
-  * no JVM decoder in this environment (audio/video) — swap it for a
-  * real FFI binding at deployment, the signature is the contract.
+  * [[AudioCodec]] is a REAL WAV (RIFF/PCM) decoder/encoder on
+  * `javax.sound.sampled` (decode, exact energy and zero-crossing
+  * statistics, frame-energy series), used by
+  * `textAsWav`/`audioMeta`/`audioFrameEnergies`; `StubCodec` remains
+  * the deterministic stand-in only for modalities with no JVM decoder
+  * (video) — swap it for a real FFI binding at deployment, the
+  * signature is the contract.
   * Payloads stream through executors partition-by-partition;
   * nothing is collected to the driver, so the operators hold at 100 TB of
   * media given sane `spark.sql.files.maxPartitionBytes`.
@@ -166,6 +170,73 @@ object Media {
         }
       }
       .toDF("media_id", "thumb")
+  }
+
+  /** A REAL audio table from the text corpus: character i of each
+    * document becomes 16-bit PCM sample (byte_i - 64)·256, WAV-encoded
+    * with [[AudioCodec.pcmToWav]]. PCM-in-WAV is lossless, so the
+    * DECODED statistics equal integer functions of the ascii codes —
+    * the same oracle-without-a-codec trick as [[textAsPng]].
+    */
+  def textAsWav(df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = if (text == null) Array.empty[Byte]
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val samples = bytes.map(b => (((b & 0xff) - 64) * 256).toShort)
+          MediaRec(id, AudioCodec.pcmToWav(samples, sampleRate),
+            MediaMeta("wav", 0, 0, samples.length))
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode every payload with the REAL WAV codec and emit header +
+    * exact integer statistics: (media_id, sample_rate, channels,
+    * n_frames, energy, zero_crossings). Undecodable payloads surface
+    * as nulls (quarantine, never an executor throw).
+    */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          AudioCodec.audioInfo(payload) match {
+            case Some(a) =>
+              (id, Option(a.sampleRate), Option(a.channels),
+                Option(a.nFrames), Option(a.energy), Option(a.zeroCrossings))
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "n_frames", "energy",
+        "zero_crossings")
+  }
+
+  /** Decode + frame-level exact energies: one row per
+    * `frameLen`-sample frame — (media_id, frame_idx, frame_energy),
+    * the audio feature series. Undecodable payloads drop out.
+    */
+  def audioFrameEnergies(media: DataFrame, frameLen: Int): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          AudioCodec.frameEnergies(payload, frameLen).toSeq.flatMap(es =>
+            es.iterator.zipWithIndex.map { case (e, i) => (id, i.toLong, e) })
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_energy")
   }
 
   /** Row-level frame sampling: one output row per sampled frame. */
