@@ -2750,6 +2750,19 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // REAL multi-frame (video-tier) decode under the hash gate: each
+    // document becomes an ANIMATED GIF (frame f = chars [f*64, f*64+64)
+    // as an 8x8 gray image, up to 4 frames), decoded back frame by
+    // frame with the real javax.imageio GIF reader; gray-in-GIF is
+    // palette-lossless, so per-frame luma equals the ascii window sum
+    // the oracle computes directly.
+    "q_video_frames" -> { (s, d) =>
+      graft.multimodal.Media.videoFrameLuma(
+          graft.multimodal.Media.textAsGif(
+            Tables.documents(s, d), "doc_id", "text"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // Hopping (sliding) window aggregation — 1-hour windows every 15
     // minutes, each event in 4 overlapping windows — completing the
     // window-shape set next to tumbling (q_event_window) and session
@@ -6096,6 +6109,22 @@ object SparkEntry {
                  AS BIGINT))), (a, b) -> a + b) AS BIGINT)
              AS zero_crossings
          FROM documents ORDER BY media_id""",
+
+    // Animated-GIF frames are 8x8 gray windows over the text: frame f
+    // sums ascii codes of chars f*64+1 .. min(len, f*64+64) (zero pad
+    // contributes nothing); frame count = max(1, min(4, ceil(len/64))).
+    "q_video_frames" ->
+      """SELECT doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
+           8 AS width, 8 AS height,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               range(f.f * 64 + 1, least(length(text), f.f * 64 + 64) + 1),
+               i -> CAST(ascii(text[i]) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS sum_luma
+         FROM documents, range(0, 4) f(f)
+         WHERE f.f < greatest(1, least(4,
+           CAST(ceil(length(text) / 64.0) AS INT)))
+         ORDER BY media_id, frame_idx""",
 
     // 64-sample frames, last partial kept: frame f covers chars
     // f*64+1 .. min(len, f*64+64).

@@ -239,6 +239,78 @@ object Media {
       .toDF("media_id", "frame_idx", "frame_energy")
   }
 
+  /** A REAL video (multi-frame) table from the text corpus: each
+    * document becomes an ANIMATED GIF whose frame f holds chars
+    * [f*64, f*64+64) as an 8x8 grayscale image (zero-padded; up to
+    * `maxFrames` frames, at least one). Gray-in-GIF is palette-lossless,
+    * so decoded per-frame statistics equal ascii-code window sums — the
+    * frame-axis instance of the oracle-without-a-codec trick.
+    */
+  def textAsGif(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, h: Int = 8, maxFrames: Int = 4): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = w * h
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = if (text == null) Array.empty[Byte]
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nFrames = math.max(1,
+            math.min(maxFrames, (bytes.length + n - 1) / n))
+          val frames = (0 until nFrames).map(f =>
+            java.util.Arrays.copyOfRange(bytes, math.min(f * n, bytes.length),
+              f * n + n).ensuring(_.length == n))
+          MediaRec(id, VideoCodec.grayFramesToGif(frames, w, h),
+            MediaMeta("gif", w, h, nFrames))
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode every payload with the REAL multi-frame codec: one row per
+    * frame — (media_id, frame_idx, width, height, sum_luma).
+    * Undecodable payloads drop out (quarantine via [[imageMeta]]-style
+    * null auditing is the single-frame path's job).
+    */
+  def videoFrameLuma(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          VideoCodec.decodeFrames(payload).toSeq.flatMap { case (_, frames) =>
+            frames.iterator.zipWithIndex.map { case (img, i) =>
+              (id, i.toLong, img.getWidth, img.getHeight,
+                VideoCodec.frameLumaOf(img))
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "sum_luma")
+  }
+
+  /** REAL frame sampling: every `every`-th decoded frame re-encoded as
+    * a standalone PNG payload — (media_id, frame_idx, frame_png).
+    */
+  def sampleFramesReal(media: DataFrame, every: Int): DataFrame = {
+    require(every > 0, "every must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          VideoCodec.sampleFramesPng(payload, every)
+            .map { case (i, png) => (id, i.toLong, png) }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_png")
+  }
+
   /** Row-level frame sampling: one output row per sampled frame. */
   def sampleFrames(media: DataFrame, every: Int): DataFrame = {
     // every = 0 would throw "step cannot be 0" per row on executors, and
