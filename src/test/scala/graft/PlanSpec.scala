@@ -435,4 +435,45 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"$q:\n$p")
     }
   }
+
+  test("sampled lm buckets: broadcast boundary table, corpus assignment " +
+      "is scan-stage (no corpus-wide rank feeding it)") {
+    val p = plan("q_lm_buckets_sampled")
+    // the per-language boundary array joins as a broadcast — the
+    // assignment is a map-side probe, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only two-level rank (__grshard machinery) runs over the hash
+    // SAMPLE; the full scored frame reaches the bucket assignment
+    // through the broadcast join, never through a rank exchange —
+    // rank output columns must not appear in the final projection
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ntile"), p)
+  }
+
+  test("media decode operators: map-only over the corpus scan — no " +
+      "shuffle before the decode stage") {
+    for (q <- Seq("q_image_decode", "q_audio_decode")) {
+      val p = plan(q)
+      // one documents scan, pruned to (doc_id, text)
+      assert(p.split("Scan parquet").length - 1 == 1, s"$q:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q:\n$p")
+      // encode -> decode -> stats is mapPartitions work; the only
+      // exchange is the final presentation sort
+      assert(!p.contains("HashAggregate"), s"$q grew an aggregate:\n$p")
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("binned KS: extrema and totals broadcast, cumulative window " +
+      "rides the bounded bin domain only") {
+    val p = plan("q_ks_binned")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // the only window is the bin-domain cumulative (<= nBins rows);
+    // input rows reach it pre-aggregated by bin
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial"), s"bin counts lost partial agg:\n$p")
+  }
 }
