@@ -2750,6 +2750,20 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // Sequence packing — the corpus-to-training-run hop: documents
+    // concatenated in the deterministic hash-shuffled order and cut
+    // into 128-token training sequences (concat-and-chunk: zero
+    // padding waste, docs span cuts). One exact two-level prefix sum
+    // plus scan-stage arithmetic; the mixer, offsets, and overlap rows
+    // replay exactly in the oracle.
+    "q_seq_pack" -> { (s, d) =>
+      graft.functions.Pack.concatChunk(
+          Tables.documents(s, d).select(col("doc_id"),
+            graft.plans.TextExpressions.tokenCount(col("text")).as("__nt")),
+          "doc_id", "__nt", seqLen = 128)
+        .orderBy(col("seq_id"), col("seq_off"))
+    },
+
     // REAL multi-frame (video-tier) decode under the hash gate: each
     // document becomes an ANIMATED GIF (frame f = chars [f*64, f*64+64)
     // as an 8x8 gray image, up to 4 frames), decoded back frame by
@@ -6109,6 +6123,26 @@ object SparkEntry {
                  AS BIGINT))), (a, b) -> a + b) AS BIGINT)
              AS zero_crossings
          FROM documents ORDER BY media_id""",
+
+    // Concat-and-chunk replay: exclusive prefix sum over the mixer
+    // order, then each doc's overlap rows from (s, n, L) arithmetic.
+    "q_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n FROM documents),
+          f AS (SELECT * FROM t WHERE n > 0),
+          o AS (SELECT doc_id, n, ${duckMixOf("doc_id")} AS mx FROM f),
+          p AS (SELECT doc_id, n,
+            CAST(coalesce(sum(n) OVER (ORDER BY mx, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s FROM o),
+          e AS (SELECT doc_id, n, s,
+            unnest(range(s // 128, (s + n - 1) // 128 + 1)) AS seq_id
+            FROM p)
+          SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+            CAST(greatest(seq_id * 128 - s, 0) AS BIGINT) AS tok_from,
+            CAST(least((seq_id + 1) * 128 - s, n) AS BIGINT) AS tok_to,
+            CAST(greatest(s - seq_id * 128, 0) AS BIGINT) AS seq_off
+          FROM e ORDER BY seq_id, seq_off""",
 
     // Animated-GIF frames are 8x8 gray windows over the text: frame f
     // sums ascii codes of chars f*64+1 .. min(len, f*64+64) (zero pad

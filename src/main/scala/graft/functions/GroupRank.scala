@@ -87,6 +87,49 @@ object GroupRank {
         col(countCol)): _*)
   }
 
+  /** `df` + `prefixCol` (EXCLUSIVE prefix sum of `valueCol` — the sum
+    * over all rows STRICTLY preceding this one in the (groupCols,
+    * order) total order, LongType) + `totalCol` (group sum). The same
+    * two-level plan as [[withRankAndCount]] — range exchange, bounded
+    * local running sums, a mixture-sized shard-offset table broadcast
+    * back — so a 30 TB group is many parallel slices, never one sort
+    * task. Positions compose across contiguous slices for SUMS exactly
+    * as they do for counts; include a unique tie-break in `order` for
+    * fully deterministic prefixes. The exclusive form is the packing /
+    * allocation primitive: a row's prefix IS its global start offset.
+    * Values accumulate in LONG — callers whose per-group totals can
+    * exceed ~9.2e18 (not token counts: 100 TB of text is ~2e13 tokens)
+    * must pre-scale.
+    */
+  def withPrefixSum(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], valueCol: String, prefixCol: String,
+      totalCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    require(order.nonEmpty, "order must not be empty")
+    val gc = groupCols.map(col)
+    val ranged = df
+      .repartitionByRange((gc ++ order): _*)
+      .withColumn("__grshard", spark_partition_id())
+    val wLocal = Window.partitionBy((gc :+ col("__grshard")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__grlps",
+      coalesce(sum(col(valueCol).cast("long")).over(wLocal), lit(0L)))
+    val sums = local.groupBy((gc :+ col("__grshard")): _*)
+      .agg(sum(col(valueCol).cast("long")).as("__grs"))
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("__grshard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gc: _*)
+    val offsets = sums
+      .withColumn("__groff", coalesce(sum(col("__grs")).over(wOff), lit(0L)))
+      .withColumn(totalCol, sum(col("__grs")).over(wTot))
+      .drop("__grs")
+    local.join(broadcast(offsets), groupCols :+ "__grshard")
+      .withColumn(prefixCol, col("__grlps") + col("__groff"))
+      .select((df.columns.toIndexedSeq.map(col) :+ col(prefixCol) :+
+        col(totalCol)): _*)
+  }
+
   /** Exact integral division on long columns (`a div b`): Spark's `/`
     * returns double, whose 53-bit mantissa cannot represent every long
     * quotient — the same exactness rule the `expr("x div y")` forms
