@@ -228,6 +228,27 @@ object SparkEntry {
         CAST(((${2 * scale} * abs($num) + ($den)) // (2 * ($den)))
           AS BIGINT)"""
 
+  /** DuckDB fragment chain replaying FixLog.exp2q bit for bit over a
+    * one-column NONNEGATIVE value table `ex$sfx (x)` (negative
+    * exponents would need floor-division bit surgery; every catalog
+    * consumer clips at zero): 16 unrolled fraction-bit stages
+    * multiplying by the integer-sqrt-derived Exp2C ladder, then the
+    * exact integer-part shift. Emits `e2t$sfx (x, v)`.
+    */
+  private def duckExp2Chain(sfx: String): String = {
+    val stages = (0 until 16).map { k =>
+      s"""h$sfx${k + 1} AS (SELECT x, e,
+          CASE WHEN ((x >> ${15 - k}) & 1) = 1
+            THEN (acc * ${graft.plans.FixLog.Exp2C(k)}) >> 20
+            ELSE acc END AS acc
+          FROM h$sfx$k)"""
+    }.mkString(",\n")
+    s"""h${sfx}0 AS (SELECT x, x >> 16 AS e,
+          CAST(1048576 AS BIGINT) AS acc FROM ex$sfx),
+        $stages,
+        e2t$sfx AS MATERIALIZED (SELECT x, acc << e AS v FROM h${sfx}16)"""
+  }
+
   /** DuckDB fragment chain replaying FixLog.log2q bit for bit over a
     * one-column value table `lx (x)`: MSB position via integer binary
     * formatting (no libm), 20-bit mantissa normalization, 16 unrolled
@@ -2748,6 +2769,45 @@ object SparkEntry {
           graft.multimodal.Media.textAsWav(
             Tables.documents(s, d), "doc_id", "text"), frameLen = 64)
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // Bradley-Terry preference fitting (the RLHF reward-data /
+    // leaderboard model): deterministic comparisons synthesized from
+    // the corpus (doc i vs i+50, longer text wins, ties to the lower
+    // id) chained into 50 ladders, six MM rounds in fixed-point integer
+    // arithmetic — strengths recover the within-ladder length order.
+    "q_bradley_terry" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val a = docs.select(col("doc_id").as("__ia"), col("n_chars").as("__ca"))
+      val b = docs.select(col("doc_id").as("__ib"), col("n_chars").as("__cb"))
+      val pairs = a.join(b, col("__ib") === col("__ia") + 50L)
+        .select(
+          when(col("__ca") >= col("__cb"), col("__ia"))
+            .otherwise(col("__ib")).as("winner"),
+          when(col("__ca") >= col("__cb"), col("__ib"))
+            .otherwise(col("__ia")).as("loser"))
+      graft.functions.Preference.bradleyTerry(pairs, "winner", "loser",
+          rounds = 6)
+        .orderBy(col("item"))
+    },
+
+    // DoReMi-style data-mixture reweighting (Xie et al. 2023): domain =
+    // source, loss = mean KN perplexity bits; four multiplicative-
+    // weights rounds, each upweighting domains with excess loss over
+    // the current weighted mixture mean through the fixed-point exp2 —
+    // the exponential side of the FixLog discipline, oracle-replayed
+    // stage for stage.
+    "q_doremi" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pp = graft.functions.LangModel.perplexityBits(docs, "doc_id",
+        "text", graft.functions.LangModel.knBigramProbs(docs, "text"))
+      val lossBySrc = pp
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(expr("CAST(sum(bits_q) div count(1) AS BIGINT)").as("loss_q"))
+      graft.functions.Mixture.doremiWeights(lossBySrc, "source", "loss_q",
+          rounds = 4, etaQ = 16384L)
+        .orderBy(col("source"))
     },
 
     // Sequence packing — the corpus-to-training-run hop: documents
@@ -6123,6 +6183,117 @@ object SparkEntry {
                  AS BIGINT))), (a, b) -> a + b) AS BIGINT)
              AS zero_crossings
          FROM documents ORDER BY media_id""",
+
+    // Six unrolled MM rounds: per-pair truncating term divisions,
+    // per-item win/denominator update, mean-2^20 renormalization —
+    // every stage the same fixed-point arithmetic as the engine.
+    "q_bradley_terry" -> {
+      val rounds = 6
+      val roundCtes = (1 to rounds).map { r =>
+        s"""t$r AS (SELECT u.i AS item,
+              CAST(sum((u.n * 1099511627776) // (wi.wq + wj.wq))
+                AS BIGINT) AS dq
+              FROM und u
+              JOIN w${r - 1} wi ON wi.item = u.i
+              JOIN w${r - 1} wj ON wj.item = u.j
+              GROUP BY 1),
+            u$r AS MATERIALIZED (SELECT w.item, w.wn, greatest(1,
+                CAST((CAST(w.wn AS HUGEINT) * 1099511627776) // t.dq
+                  AS BIGINT)) AS wq
+              FROM w${r - 1} w JOIN t$r t ON t.item = w.item),
+            s$r AS (SELECT CAST(sum(wq) AS HUGEINT) AS sw,
+              CAST(count(*) AS BIGINT) AS ni FROM u$r),
+            w$r AS MATERIALIZED (SELECT item, wn, greatest(1,
+                CAST((CAST(wq AS HUGEINT) * ni * 1048576) // sw
+                  AS BIGINT)) AS wq
+              FROM u$r, s$r)"""
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+            a.n_chars AS ca, b.n_chars AS cb
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 50),
+          e0 AS (SELECT CASE WHEN ca >= cb THEN ia ELSE ib END AS w,
+            CASE WHEN ca >= cb THEN ib ELSE ia END AS l FROM p),
+          ed AS MATERIALIZED (SELECT w AS a, l AS b,
+            CAST(count(*) AS BIGINT) AS n
+            FROM e0 GROUP BY 1, 2),
+          und AS MATERIALIZED (SELECT a AS i, b AS j, n FROM ed
+            UNION ALL SELECT b, a, n FROM ed),
+          items AS (SELECT DISTINCT i AS item FROM und),
+          wins AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS wn
+            FROM ed GROUP BY 1),
+          w0 AS MATERIALIZED (SELECT item,
+            coalesce(wn, CAST(0 AS BIGINT)) AS wn,
+            CAST(1048576 AS BIGINT) AS wq
+            FROM items LEFT JOIN wins USING (item)),
+          $roundCtes,
+          nrm AS (SELECT CAST(sum(wq) AS HUGEINT) AS sw FROM w$rounds)
+          SELECT item, wn AS n_wins, wq AS w_q,
+            CAST((CAST(wq AS HUGEINT) * 1000000) // nrm.sw AS BIGINT)
+              AS w_ppm
+          FROM w$rounds, nrm ORDER BY item"""
+    },
+
+    // The KN perplexity chain per source, then four unrolled
+    // multiplicative-weights rounds with the exp2 ladder replayed per
+    // round over the mixture-sized lw table.
+    "q_doremi" -> {
+      val rounds = 4
+      val etaQ = 16384L
+      val roundCtes = (1 to rounds).map { r =>
+        s"""t$r AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+              CAST(sum(CAST(w AS HUGEINT) * loss) AS HUGEINT) AS swl
+            FROM d${r - 1}),
+            n$r AS (SELECT domain, loss,
+              lw + ((greatest(loss - CAST(t$r.swl // t$r.sw AS BIGINT), 0)
+                * $etaQ) // 65536) AS lw
+              FROM d${r - 1}, t$r),
+            ex$r AS (SELECT DISTINCT lw AS x FROM n$r),
+            ${duckExp2Chain(r.toString)},
+            d$r AS (SELECT n$r.domain, n$r.loss, n$r.lw, e2t$r.v AS w
+              FROM n$r JOIN e2t$r ON e2t$r.x = n$r.lw)"""
+      }.mkString(",\n")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          dp AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          dids AS (SELECT doc_id, ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM dp),
+          cab AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM dids GROUP BY 1, 2),
+          ca AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+            CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
+          cb AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
+          lm AS (SELECT tid_a, tid_b,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np),
+          j AS MATERIALIZED (SELECT d.doc_id,
+            greatest(lm.pkn_q, 1) AS pq
+            FROM dids d JOIN lm USING (tid_a, tid_b)),
+          lx AS (SELECT DISTINCT pq AS x FROM j
+            UNION SELECT 1000000000),
+          $duckLog2Chain,
+          sc AS (SELECT j.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+            sum(g9.lq - lp.lq) AS sbq
+            FROM j JOIN lgt lp ON lp.x = j.pq
+            CROSS JOIN (SELECT lq FROM lgt WHERE x = 1000000000) g9
+            GROUP BY 1),
+          lsrc AS (SELECT dd.source AS domain,
+            CAST(sum(sc.sbq // sc.n_scored) // count(*) AS BIGINT) AS loss
+            FROM sc JOIN documents dd USING (doc_id) GROUP BY 1),
+          d0 AS (SELECT domain, loss, CAST(0 AS BIGINT) AS lw,
+            CAST(1048576 AS BIGINT) AS w FROM lsrc),
+          $roundCtes,
+          nrm AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM d$rounds)
+          SELECT domain AS source, loss AS loss_q, lw AS lw_q,
+            CAST((CAST(w AS HUGEINT) * 1000000) // nrm.sw AS BIGINT)
+              AS w_ppm
+          FROM d$rounds, nrm ORDER BY source"""
+    },
 
     // Concat-and-chunk replay: exclusive prefix sum over the mixer
     // order, then each doc's overlap rows from (s, n, L) arithmetic.

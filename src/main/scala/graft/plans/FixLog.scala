@@ -56,6 +56,85 @@ object FixLog {
   /** Column form over a long column (null-safe, errors on x < 1). */
   def log2qCol(c: Column): Column =
     GraftBridge.column(Log2FixedExpr(GraftBridge.expression(c)))
+
+  /** Exact floor integer square root (Newton, monotone-corrected) —
+    * used to derive the exp2 constant ladder without touching libm.
+    */
+  private def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt needs n >= 0, got $n")
+    if (n < 2) return n
+    var x = java.lang.Long.highestOneBit(n) >> (java.lang.Long
+      .numberOfTrailingZeros(java.lang.Long.highestOneBit(n)) / 2)
+    x = math.max(x, 1L)
+    var prev = -1L
+    while (x != prev) { prev = x; x = (x + n / x) >> 1 }
+    while (x * x > n) x -= 1
+    while ((x + 1) * (x + 1) <= n) x += 1
+    x
+  }
+
+  /** The exp2 fraction-bit ladder: Exp2C(k) = floor(2^(2^-(k+1)) · 2^20)
+    * for k = 0..15, derived by repeated INTEGER square roots
+    * (c_0 = isqrt(2^41); c_{k+1} = isqrt(c_k · 2^20)) — no libm even at
+    * constant-build time, and the oracle interpolates the identical
+    * literals.
+    */
+  val Exp2C: IndexedSeq[Long] = {
+    val b = IndexedSeq.newBuilder[Long]
+    var c = isqrt(1L << (2 * MBits + 1)) // 2^(1/2) in 2^20 fixed point
+    var k = 0
+    while (k < FracBits) { b += c; c = isqrt(c << MBits); k += 1 }
+    b.result()
+  }
+
+  /** Fixed-point base-2 EXPONENTIAL — [[log2q]]'s inverse direction:
+    * exp2q(q) = floor-ish(2^(q / 2^16) · 2^20) for a 16.16 fixed-point
+    * exponent q (negative allowed), computed as the product of the
+    * [[Exp2C]] constants selected by q's fraction bits (each step an
+    * integer multiply + shift — bit-identical in any 64-bit engine,
+    * replayed by the oracle as 16 CASE stages) followed by the exact
+    * integer-part shift. Deterministic lower-bound approximation within
+    * a few ulp at 2^20 scale, the same bit-stability contract as log2q.
+    * Domain: q div 2^16 must stay in [-62, 41] (result must fit a
+    * long); far-negative exponents saturate to 0 via the right shift.
+    */
+  def exp2q(q: Long): Long = {
+    val e = q >> FracBits // arithmetic shift = floor division
+    require(e >= -62 && e <= 41, s"exp2q exponent out of range: q=$q")
+    val f = q & (Scale - 1L)
+    var acc = MOne
+    var k = 0
+    while (k < FracBits) {
+      if (((f >> (FracBits - 1 - k)) & 1L) == 1L)
+        acc = (acc * Exp2C(k)) >> MBits
+      k += 1
+    }
+    if (e >= 0) acc << e.toInt else acc >> (-e).toInt
+  }
+
+  /** Column form over a long column (null-safe). */
+  def exp2qCol(c: Column): Column =
+    GraftBridge.column(Exp2FixedExpr(GraftBridge.expression(c)))
+}
+
+/** Scalar expression: FixLog.exp2q compiled into the scan stage. */
+case class Exp2FixedExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"exp2q requires a bigint argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    FixLog.exp2q(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.FixLog.exp2q($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Exp2FixedExpr =
+    copy(child = newChild)
 }
 
 /** Scalar expression: FixLog.log2q compiled into the scan stage. */

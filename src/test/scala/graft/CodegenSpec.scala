@@ -66,6 +66,7 @@ class CodegenSpec extends AnyFunSuite {
   compiled("blocklistMask", Blocklist.blocklistMask(text,
     Seq("lazy dog", "quick brown")))
   compiled("log2q", FixLog.log2qCol(lit(123456789L)))
+  compiled("exp2q", FixLog.exp2qCol(lit(98304L)))
   compiled("unigramWordStats", Unigram.wordStats(lit("unaffable"),
     Map("un" -> 1000L, "aff" -> 2000L, "able" -> 1500L, "a" -> 4000L)))
   compiled("unigramWordPieces", Unigram.wordPieces(lit("unaffable"),
