@@ -168,6 +168,16 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"ngram_rep_mass expects (text, nTop, nDup), got ${args.length} arguments")
     }: Seq[Expression] => Expression),
+    ("log2q", classOf[Log2FixedExpr], {
+      case Seq(c) => Log2FixedExpr(c)
+      case args => throw new IllegalArgumentException(
+        s"log2q expects 1 argument, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("exp2q", classOf[Exp2FixedExpr], {
+      case Seq(c) => Exp2FixedExpr(c)
+      case args => throw new IllegalArgumentException(
+        s"exp2q expects 1 argument, got ${args.length}")
+    }: Seq[Expression] => Expression),
     ("cosine_sim", classOf[CosineSimExpr], {
       case Seq(a, b) => CosineSimExpr(a, b)
       case args => throw new IllegalArgumentException(

@@ -132,4 +132,18 @@ class TokenScanSpec extends AnyFunSuite {
       assert(e.getMessage.contains("must be"), s"$bad -> ${e.getMessage}")
     }
   }
+
+  test("SQL log2q/exp2q match the FixLog reference arithmetic") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT log2q(CAST(12345 AS BIGINT)) AS l,
+        |       exp2q(CAST(196608 AS BIGINT)) AS e""".stripMargin)
+      .collect()(0)
+    assert(rows.getLong(0) == graft.plans.FixLog.log2q(12345L))
+    assert(rows.getLong(1) == (8L << 20)) // 2^3 at 2^20 scale
+    // round trip through SQL only
+    val rt = spark.sql(
+      "SELECT exp2q(log2q(CAST(1024 AS BIGINT))) AS v").collect()(0)
+    assert(rt.getLong(0) == (1024L << 20))
+  }
 }
