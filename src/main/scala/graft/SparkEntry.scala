@@ -2361,6 +2361,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // NB classification with the CONFIDENCE MARGIN (argmax minus
+    // runner-up) — the selective-classification signal: route
+    // low-margin documents to a stronger model / human review.
+    "q_nb_margin" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.NaiveBayes.classifyWithMargin(docs, docs, "doc_id",
+          "text", "lang")
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-class precision/recall/F1 of the self-trained language
+    // classifier against the true labels — confusion matrix counts and
+    // exact-integer ppm metrics (the eval table every gate's classifier
+    // ships with).
+    "q_class_metrics" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Eval.classMetrics(
+          graft.functions.Eval.confusion(
+            graft.functions.NaiveBayes.classify(docs, docs, "doc_id",
+              "text", "lang"),
+            "doc_id", "pred_class", docs, "lang"))
+        .orderBy(col("class"))
+    },
+
+    // Reliability (calibration) table: accuracy per 1-bit margin
+    // bucket — rising accuracy with the bucket index is what a
+    // calibrated confidence looks like; the gate hashes the exact
+    // bucket counts.
+    "q_reliability" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.reliability(pred, "margin_q",
+          col("pred_class") === col("lang"), binWidth = 65536L)
+        .orderBy(col("bin"))
+    },
+
     // TRUE per-doc perplexity (bits per scored bigram) under the
     // self-trained KN bigram LM — the log-domain reading of q_lm_fit's
     // mean-probability surrogate, bit-exact cross-engine via FixLog.
@@ -5463,6 +5501,80 @@ object SparkEntry {
           SELECT doc_id, class AS pred_class,
             CAST(score_q AS BIGINT) AS score_q FROM fin
           WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_nb_margin" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd)
+          SELECT f1.doc_id, f1.class AS pred_class,
+            CAST(f1.score_q AS BIGINT) AS score_q,
+            CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+          FROM fin f1 LEFT JOIN fin f2
+            ON f2.doc_id = f1.doc_id AND f2.rn = 2
+          WHERE f1.rn = 1 ORDER BY f1.doc_id""",
+
+    "q_class_metrics" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          cm AS MATERIALIZED (SELECT dd.lang AS tc, f.class AS pc,
+              CAST(count(*) AS BIGINT) AS n
+            FROM fin f JOIN documents dd USING (doc_id)
+            WHERE f.rn = 1 GROUP BY 1, 2),
+          clz AS (SELECT DISTINCT tc AS class FROM cm
+            UNION SELECT DISTINCT pc FROM cm),
+          tpv AS (SELECT tc AS class, n AS tp FROM cm WHERE tc = pc),
+          fpv AS (SELECT pc AS class, CAST(sum(n) AS BIGINT) AS fp
+            FROM cm WHERE tc <> pc GROUP BY 1),
+          fnv AS (SELECT tc AS class, CAST(sum(n) AS BIGINT) AS fn
+            FROM cm WHERE tc <> pc GROUP BY 1),
+          m AS (SELECT clz.class, coalesce(tp, 0) AS tp,
+            coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn
+            FROM clz LEFT JOIN tpv USING (class)
+            LEFT JOIN fpv USING (class) LEFT JOIN fnv USING (class))
+          SELECT class, tp, fp, fn,
+            CASE WHEN tp + fp = 0 THEN NULL
+              ELSE ${duckPpm("tp", "tp + fp")} END AS precision_ppm,
+            CASE WHEN tp + fn = 0 THEN NULL
+              ELSE ${duckPpm("tp", "tp + fn")} END AS recall_ppm,
+            CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+              ELSE ${duckPpm("2 * tp", "2 * tp + fp + fn")} END AS f1_ppm
+          FROM m ORDER BY class""",
+
+    "q_reliability" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          mg AS (SELECT f1.doc_id, f1.class AS pred_class,
+              CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+            FROM fin f1 JOIN fin f2
+              ON f2.doc_id = f1.doc_id AND f2.rn = 2
+            WHERE f1.rn = 1),
+          r AS (SELECT mg.margin_q // 65536 AS bin,
+            CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END AS c
+            FROM mg JOIN documents dd USING (doc_id))
+          SELECT CAST(bin AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS BIGINT) AS n_correct,
+            ${duckPpm("sum(c)", "count(*)")} AS acc_ppm
+          FROM r GROUP BY 1 ORDER BY bin""",
 
     "q_perceptron" -> {
       // Unrolled training rounds, generated: round r scores under
