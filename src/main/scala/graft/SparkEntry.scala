@@ -2809,6 +2809,20 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // Winsorization: per-event-type 5%/95% order-statistic clipping of
+    // the value (cents) — the robust pre-aggregation treatment for
+    // heavy-tailed metrics; thresholds by the exact ceil-rank
+    // convention, clip scan-stage.
+    "q_winsorize" -> { (s, d) =>
+      graft.functions.Robust.winsorize(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+          "event_type", "cents", loBps = 500, hiBps = 9500)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("lo_clip"), col("hi_clip"), col("winsorized"))
+        .orderBy(col("event_id"))
+    },
+
     // Bradley-Terry preference fitting (the RLHF reward-data /
     // leaderboard model): deterministic comparisons synthesized from
     // the corpus (doc i vs i+50, longer text wins, ties to the lower
@@ -2860,6 +2874,28 @@ object SparkEntry {
             graft.plans.TextExpressions.tokenCount(col("text")).as("__nt")),
           "doc_id", "__nt", seqLen = 128)
         .orderBy(col("seq_id"), col("seq_off"))
+    },
+
+    // Media -> dedup bridge: pHash-style content grouping — every
+    // payload decoded with the REAL codec, reduced to its 4x4
+    // thumbnail, and grouped EXACTLY on the decoded pixel vector
+    // (perceptual-hash dedup at reduced resolution; 20 multi-doc
+    // groups in the sf0.01 corpus). The thumbnail pixels are decode +
+    // nearest-neighbor output, so the grouping verifies the whole
+    // media path end to end.
+    "q_image_dup_groups" -> { (s, d) =>
+      val thumbs = graft.multimodal.Media.imageThumbnails(
+        graft.multimodal.Media.textAsPng(
+          Tables.documents(s, d), "doc_id", "text"), 4)
+      val keyed = thumbs.select(col("media_id"),
+        transform(col("thumb"), p =>
+          round(p.cast("double") * 255.0, 0).cast("long")).as("__key"))
+      val groups = keyed.groupBy(col("__key"))
+        .agg(min(col("media_id")).as("rep_id"),
+          count(lit(1)).as("gsize"))
+      keyed.join(groups, Seq("__key"))
+        .select(col("media_id"), col("rep_id"), col("gsize"))
+        .orderBy(col("media_id"))
     },
 
     // REAL multi-frame (video-tier) decode under the hash gate: each
@@ -6296,6 +6332,24 @@ object SparkEntry {
              AS zero_crossings
          FROM documents ORDER BY media_id""",
 
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type,
+            CAST(round("value" * 100, 0) AS BIGINT) AS cents FROM events),
+          r AS (SELECT event_type, cents,
+            row_number() OVER (PARTITION BY event_type ORDER BY cents)
+              AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n FROM e),
+          th AS (SELECT event_type,
+            max(CASE WHEN rn = greatest(1, (n * 500 + 9999) // 10000)
+              THEN cents END) AS lo,
+            max(CASE WHEN rn = greatest(1, (n * 9500 + 9999) // 10000)
+              THEN cents END) AS hi
+            FROM r GROUP BY 1)
+          SELECT e.event_id, e.event_type, e.cents, th.lo AS lo_clip,
+            th.hi AS hi_clip,
+            least(greatest(e.cents, th.lo), th.hi) AS winsorized
+          FROM e JOIN th USING (event_type) ORDER BY event_id""",
+
     // Six unrolled MM rounds: per-pair truncating term divisions,
     // per-item win/denominator update, mean-2^20 renormalization —
     // every stage the same fixed-point arithmetic as the engine.
@@ -6426,6 +6480,19 @@ object SparkEntry {
             CAST(least((seq_id + 1) * 128 - s, n) AS BIGINT) AS tok_to,
             CAST(greatest(s - seq_id * 128, 0) AS BIGINT) AS seq_off
           FROM e ORDER BY seq_id, seq_off""",
+
+    // The thumbnail key replays the nearest-neighbor sampling as ascii
+    // codes; the grouping is exact on the 16-value list.
+    "q_image_dup_groups" ->
+      """WITH k AS (SELECT doc_id AS media_id, list_transform(range(0, 16),
+            i -> CASE WHEN (i // 4) * 64 + (i % 4) * 4 < length(text)
+              THEN ascii(text[(i // 4) * 64 + (i % 4) * 4 + 1])
+              ELSE 0 END) AS key
+          FROM documents),
+          g AS (SELECT key, CAST(min(media_id) AS BIGINT) AS rep_id,
+            CAST(count(*) AS BIGINT) AS gsize FROM k GROUP BY 1)
+          SELECT k.media_id, g.rep_id, g.gsize
+          FROM k JOIN g USING (key) ORDER BY media_id""",
 
     // Animated-GIF frames are 8x8 gray windows over the text: frame f
     // sums ascii codes of chars f*64+1 .. min(len, f*64+64) (zero pad

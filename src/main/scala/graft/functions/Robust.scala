@@ -70,6 +70,46 @@ object Robust {
       .select(col(groupCol), col("q_bps"), col(valueCol).as("value"))
   }
 
+  /** WINSORIZATION — clip every value to its group's [loBps, hiBps]
+    * order statistics (the robust-statistics alternative to dropping
+    * outliers: extreme rows keep their mass at the clipped boundary,
+    * the standard pre-aggregation treatment for heavy-tailed metrics).
+    * Thresholds use [[groupQuantiles]]' exact ceil-rank convention
+    * (rank = max(1, ceil(n·q/10000)) over values ascending — rank
+    * permutations inside tie runs share the value, so the threshold is
+    * deterministic). Output: input columns + (lo_clip, hi_clip,
+    * winsorized); NULL values pass through unclipped.
+    *
+    * Scale shape: one two-level rank pass over (group, value), a
+    * mixture-sized threshold table joined back group-keyed, and a
+    * scan-stage least/greatest — no group-sized windows.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loBps: Int, hiBps: Int): DataFrame = {
+    require(loBps >= 1 && hiBps <= 10000 && loBps < hiBps,
+      s"need 1 <= loBps < hiBps <= 10000, got [$loBps, $hiBps]")
+    def rankAt(bps: Int) = greatest(lit(1L),
+      GroupRank.intDiv(col("__n") * bps + lit(9999L), lit(10000L)))
+    val thresholds = GroupRank.withRankAndCount(
+        df.select(col(groupCol), col(valueCol))
+          .filter(col(valueCol).isNotNull),
+        Seq(groupCol), Seq(col(valueCol).asc), "__rn", "__n")
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("__rn") === rankAt(loBps), col(valueCol)))
+          .as("lo_clip"),
+        max(when(col("__rn") === rankAt(hiBps), col(valueCol)))
+          .as("hi_clip"))
+    df.join(thresholds, Seq(groupCol), "left")
+      // explicit null guard: Spark's greatest/least SKIP nulls (they
+      // behave like max/min over the non-null args), so a null value
+      // would otherwise "clip" to lo_clip instead of staying null
+      .withColumn("winsorized",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(
+            least(greatest(col(valueCol), col("lo_clip")), col("hi_clip"))))
+  }
+
   /** Per-row robust outlier flags for `valueCol` within `groupCol`
     * groups: a row is an outlier when |x − median| > k · MAD. With
     * MAD = 0 (more than half the group shares the median) any deviation

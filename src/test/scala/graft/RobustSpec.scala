@@ -86,4 +86,27 @@ class RobustSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(q === Seq(("t", 5000L, 5L)))
   }
+
+  test("winsorize clips to exact order statistics; nulls pass through") {
+    import org.apache.spark.sql.functions.col
+    // group a: values 1..10; 20%/80% -> thresholds at ranks 2 and 8
+    val df = ((1 to 10).map(v => ("a", Some(v.toLong))) :+
+      (("a", Option.empty[Long])) :+ (("b", Some(100L))))
+      .toDF("g", "v")
+    val out = Robust.winsorize(df, "g", "v", loBps = 2000, hiBps = 8000)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out(("a", Some(1L))) == ((Some(2L), Some(8L), Some(2L))))
+    assert(out(("a", Some(5L))) == ((Some(2L), Some(8L), Some(5L))))
+    assert(out(("a", Some(10L))) == ((Some(2L), Some(8L), Some(8L))))
+    // null value: thresholds attach, clipped stays null
+    assert(out(("a", None))._3.isEmpty)
+    // singleton group: both thresholds are the single value
+    assert(out(("b", Some(100L))) ==
+      ((Some(100L), Some(100L), Some(100L))))
+    // monotone: winsorized order preserves value order within group
+    val ws = (1 to 10).map(v =>
+      out(("a", Some(v.toLong)))._3.get.asInstanceOf[Long])
+    assert(ws == ws.sorted)
+  }
 }
