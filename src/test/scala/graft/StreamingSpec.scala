@@ -597,4 +597,66 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("token-bucket rate limiter: burst, refill, per-key isolation, " +
+      "restart continuity") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StatefulQuota
+    val root = TestSpark.tmpDir("tws_quota")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("dom", StringType),
+      StructField("ts_us", LongType), StructField("units", LongType)))
+    def writeBatch(rows: Seq[(String, Long, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("dom", "ts_us", "units")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val events = spark.readStream.schema(schema).parquet(src)
+        val q = StatefulQuota.rateLimit(events, "dom", "ts_us", "units",
+            ratePerSec = 1L, burst = 2L)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.QuotaDecision], _: Long) =>
+            batch.write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // burst of 2: two unit events at t=0 admit, the half-second one
+      // is short (0.5 tokens), the 3s one refills to the full burst
+      writeBatch(Seq(("a", 0L, 1L), ("a", 0L, 1L), ("a", 500000L, 1L),
+        ("a", 3000000L, 2L), ("b", 500000L, 2L)))
+      runOnce()
+      // restart: state carries — 0.5s later still short, 2s later ok
+      writeBatch(Seq(("a", 3500000L, 1L), ("a", 5000000L, 1L)))
+      runOnce()
+      import spark.implicits._
+      val out = spark.read.parquet(s"$root/out")
+        .as[graft.streaming.QuotaDecision].collect()
+        .map(d => (d.key, d.ts_us) -> ((d.admitted, d.tokens_after_micro)))
+        .toMap
+      assert(out(("a", 0L))._1 == true)
+      assert(out(("a", 500000L)) == ((false, 500000L)))
+      assert(out(("a", 3000000L)) == ((true, 0L)))
+      // key b is untouched by a's spend: full burst admits its 2 units
+      assert(out(("b", 500000L)) == ((true, 0L)))
+      // post-restart: bucket continued from the checkpointed state
+      assert(out(("a", 3500000L)) == ((false, 500000L)))
+      assert(out(("a", 5000000L)) == ((true, 1000000L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
