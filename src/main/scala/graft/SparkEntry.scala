@@ -2399,6 +2399,24 @@ object SparkEntry {
         .orderBy(col("bin"))
     },
 
+    // EXACT isotonic calibration of the reliability table: weighted PAV
+    // by its greatest-convex-minorant characterization — hull
+    // membership is an integer chord predicate (a triple join over the
+    // model-sized bin table), calibrated accuracy the hull-segment
+    // slope in exact ppm, monotone by construction. No sequential
+    // pooling loop, no floats — the fit replays relationally in the
+    // oracle.
+    "q_calibrated" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.isotonicCalibrate(
+          graft.functions.Eval.reliability(pred, "margin_q",
+            col("pred_class") === col("lang"), binWidth = 65536L))
+        .orderBy(col("bin"))
+    },
+
     // TRUE per-doc perplexity (bits per scored bigram) under the
     // self-trained KN bigram LM — the log-domain reading of q_lm_fit's
     // mean-probability surrogate, bit-exact cross-engine via FixLog.
@@ -5611,6 +5629,59 @@ object SparkEntry {
             CAST(sum(c) AS BIGINT) AS n_correct,
             ${duckPpm("sum(c)", "count(*)")} AS acc_ppm
           FROM r GROUP BY 1 ORDER BY bin""",
+
+    // The reliability chain, then the greatest-convex-minorant hull
+    // over the cumulative (weight, correct) points: chord predicate in
+    // HUGEINT, segment slopes in exact ppm.
+    "q_calibrated" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          mg AS (SELECT f1.doc_id, f1.class AS pred_class,
+              CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+            FROM fin f1 JOIN fin f2
+              ON f2.doc_id = f1.doc_id AND f2.rn = 2
+            WHERE f1.rn = 1),
+          rel AS MATERIALIZED (SELECT mg.margin_q // 65536 AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+            FROM mg JOIN documents dd USING (doc_id) GROUP BY 1),
+          cumpts AS MATERIALIZED (SELECT bin, n, nc,
+            CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+            CAST(sum(nc) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+            FROM rel),
+          pts AS MATERIALIZED (SELECT cw, cs FROM cumpts
+            UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          viol AS (SELECT DISTINCT m.cw FROM pts m
+            JOIN pts j ON j.cw < m.cw JOIN pts k ON k.cw > m.cw
+            WHERE CAST(m.cs - j.cs AS HUGEINT) * (k.cw - j.cw) >
+              CAST(k.cs - j.cs AS HUGEINT) * (m.cw - j.cw)),
+          hull AS MATERIALIZED (SELECT * FROM pts
+            WHERE cw NOT IN (SELECT cw FROM viol)),
+          sa AS (SELECT c.bin, h.cw AS wa, h.cs AS sa,
+            row_number() OVER (PARTITION BY c.bin ORDER BY h.cw DESC)
+              AS rn
+            FROM cumpts c JOIN hull h ON h.cw < c.cw),
+          sb AS (SELECT c.bin, h.cw AS wb, h.cs AS sb,
+            row_number() OVER (PARTITION BY c.bin ORDER BY h.cw ASC)
+              AS rn
+            FROM cumpts c JOIN hull h ON h.cw >= c.cw)
+          SELECT r.bin, r.n, r.nc AS n_correct,
+            ${duckPpm("r.nc", "r.n")} AS acc_ppm,
+            ${duckPpm("sb.sb - sa.sa", "sb.wb - sa.wa")} AS cal_ppm
+          FROM rel r
+          JOIN sa ON sa.bin = r.bin AND sa.rn = 1
+          JOIN sb ON sb.bin = r.bin AND sb.rn = 1
+          ORDER BY r.bin""",
 
     "q_perceptron" -> {
       // Unrolled training rounds, generated: round r scores under

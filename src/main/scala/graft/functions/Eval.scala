@@ -61,6 +61,67 @@ object Eval {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_ppm"))
   }
 
+  /** EXACT ISOTONIC CALIBRATION of a reliability table — weighted
+    * isotonic regression (the PAV fit) of per-bucket accuracy on the
+    * bucket index, computed NOT by the sequential pool-adjacent-
+    * violators loop but by its geometric characterization: the
+    * calibrated values are the left slopes of the GREATEST CONVEX
+    * MINORANT of the cumulative (weight, correct) curve (Barlow &
+    * Brunk 1972). Hull membership is a pure integer predicate — point
+    * m lies on the minorant iff NO chord (j, k) passes strictly below
+    * it: (S_m − S_j)(W_k − W_j) <= (S_k − S_j)(W_m − W_j), products in
+    * decimal(38,0) — so the whole fit is relational (a triple join on
+    * the BIN table) and replays exactly in the oracle; no sequential
+    * merging, no floats.
+    *
+    * Input: a [[reliability]] frame (bin, n, n_correct). Output: +
+    * (acc_ppm recomputed, cal_ppm) with cal_ppm nondecreasing in bin —
+    * the monotone accuracy estimate to threshold on instead of raw
+    * bucket accuracy. Bins are model-sized (<= domain of conf/bin), so
+    * the O(bins^3) hull predicate and the tiny cumulative window are
+    * bounded regardless of corpus size.
+    */
+  def isotonicCalibrate(rel: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val pts = rel.select(col("bin"), col("n"), col("n_correct"))
+      .withColumn("__W", sum(col("n")).over(w))
+      .withColumn("__S", sum(col("n_correct")).over(w))
+    val spark = rel.sparkSession
+    import spark.implicits._
+    val withOrigin = pts.select(col("__W"), col("__S"))
+      .unionByName(Seq((0L, 0L)).toDF("__W", "__S"))
+    val m = withOrigin.select(col("__W").as("__Wm"), col("__S").as("__Sm"))
+    val j = withOrigin.select(col("__W").as("__Wj"), col("__S").as("__Sj"))
+    val k = withOrigin.select(col("__W").as("__Wk"), col("__S").as("__Sk"))
+    val dec = "decimal(38,0)"
+    val violated = m.join(j, col("__Wj") < col("__Wm"))
+      .join(k, col("__Wk") > col("__Wm"))
+      .filter(
+        expr(s"CAST(__Sm - __Sj AS $dec) * (__Wk - __Wj)") >
+          expr(s"CAST(__Sk - __Sj AS $dec) * (__Wm - __Wj)"))
+      .select(col("__Wm")).distinct()
+    val hull = withOrigin.join(violated,
+        withOrigin("__W") === violated("__Wm"), "left_anti")
+    val ha = hull.select(col("__W").as("__Wa"), col("__S").as("__Sa"))
+    val hb = hull.select(col("__W").as("__Wb"), col("__S").as("__Sb"))
+    // bin i sits on the hull segment (a, b] with Wa < W_i <= Wb: a is
+    // the greatest hull vertex strictly below, b the least at-or-above
+    val seg = pts.join(ha, col("__Wa") < col("__W"))
+      .groupBy(col("bin"), col("n"), col("n_correct"), col("__W"),
+        col("__S"))
+      .agg(max(struct(col("__Wa"), col("__Sa"))).as("__a"))
+      .join(hb, col("__Wb") >= col("__W"))
+      .groupBy(col("bin"), col("n"), col("n_correct"), col("__a"))
+      .agg(min(struct(col("__Wb"), col("__Sb"))).as("__b"))
+    seg.select(col("bin"), col("n"), col("n_correct"),
+        Stats.fixedPointExact(col("n_correct"), col("n")).as("acc_ppm"),
+        Stats.fixedPointExact(col("__b.__Sb") - col("__a.__Sa"),
+          col("__b.__Wb") - col("__a.__Wa")).as("cal_ppm"))
+  }
+
   /** Reliability (calibration) table: predictions bucketed by an
     * integer confidence column (truncating division by `binWidth`),
     * each bucket's exact count, correct count, and accuracy ppm —

@@ -53,6 +53,56 @@ class EvalSpec extends AnyFunSuite {
     assert(r == Map(1L -> ((2L, 1L, 500000L)), 2L -> ((2L, 2L, 1000000L))))
   }
 
+  test("isotonicCalibrate equals reference PAV on random weighted bins") {
+    // reference pool-adjacent-violators over (w, s) blocks
+    def pav(bins: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val blocks = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int)] // (w, s, nBins)
+      for ((w, s) <- bins) {
+        blocks += ((w, s, 1))
+        // pool while the last block's mean < the previous block's mean
+        // (exact cross-multiplied comparison)
+        var go = true
+        while (go && blocks.length >= 2) {
+          val (w2, s2, c2) = blocks(blocks.length - 1)
+          val (w1, s1, c1) = blocks(blocks.length - 2)
+          if (s2 * w1 < s1 * w2) {
+            blocks.remove(blocks.length - 1)
+            blocks.remove(blocks.length - 1)
+            blocks += ((w1 + w2, s1 + s2, c1 + c2))
+          } else go = false
+        }
+      }
+      blocks.toSeq.flatMap { case (w, s, c) => Seq.fill(c)((s, w)) }
+    }
+    val rnd = new scala.util.Random(7)
+    val bins = (0 until 12).map(i =>
+      (i.toLong, 1L + rnd.nextInt(9).toLong)).map { case (b, n) =>
+      (b, n, rnd.nextInt(n.toInt + 1).toLong)
+    }
+    val rel = bins.toDF("bin", "n", "n_correct")
+    val got = Eval.isotonicCalibrate(rel).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val ref = pav(bins.map(t => (t._2, t._3)))
+    for (((b, n, _), (s, w)) <- bins.zip(ref)) {
+      // expected cal_ppm: exact half-away ppm of the pooled fraction
+      val expect = ((2L * 1000000L * s + w) / (2L * w))
+      assert(got(b) == expect, s"bin $b: got ${got(b)} want $expect " +
+        s"(pooled $s/$w) in $bins")
+    }
+    // monotone nondecreasing by construction
+    val ordered = bins.map(t => got(t._1))
+    assert(ordered == ordered.sorted)
+  }
+
+  test("isotonicCalibrate: already-monotone bins keep their accuracy") {
+    val rel = Seq((0L, 4L, 1L), (1L, 4L, 2L), (2L, 4L, 4L))
+      .toDF("bin", "n", "n_correct")
+    val got = Eval.isotonicCalibrate(rel).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got.values.forall { case (acc, cal) => acc == cal }, got)
+  }
+
   test("classifyWithMargin: margin = best minus runner-up, prediction " +
       "matches classify") {
     val docs = Seq((1L, "aa aa bb", "x"), (2L, "cc cc dd", "y"),
