@@ -2399,6 +2399,19 @@ object SparkEntry {
         .orderBy(col("bin"))
     },
 
+    // Exact ROC-AUC of the margin as a correctness ranker — Mann-
+    // Whitney 2U over per-score counts and a two-level prefix sum: no
+    // pairwise join, no global sort; the single-row rational rendered
+    // in exact ppm.
+    "q_auc" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.aucExact(pred, "margin_q",
+        col("pred_class") === col("lang"))
+    },
+
     // EXACT isotonic calibration of the reliability table: weighted PAV
     // by its greatest-convex-minorant characterization — hull
     // membership is an integer chord predicate (a triple join over the
@@ -5629,6 +5642,39 @@ object SparkEntry {
             CAST(sum(c) AS BIGINT) AS n_correct,
             ${duckPpm("sum(c)", "count(*)")} AS acc_ppm
           FROM r GROUP BY 1 ORDER BY bin""",
+
+    "q_auc" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          mg AS (SELECT f1.doc_id, f1.class AS pred_class,
+              CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+            FROM fin f1 JOIN fin f2
+              ON f2.doc_id = f1.doc_id AND f2.rn = 2
+            WHERE f1.rn = 1),
+          lab AS (SELECT mg.margin_q AS scv,
+            CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END AS p
+            FROM mg JOIN documents dd USING (doc_id)
+            WHERE mg.margin_q IS NOT NULL),
+          ps AS (SELECT scv, CAST(sum(p) AS BIGINT) AS np,
+            CAST(count(*) - sum(p) AS BIGINT) AS nn
+            FROM lab GROUP BY 1),
+          cum AS (SELECT *, CAST(coalesce(sum(nn) OVER (ORDER BY scv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below FROM ps),
+          agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+            CAST(sum(nn) AS BIGINT) AS n_neg,
+            CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2 FROM cum)
+          SELECT n_pos, n_neg, u2,
+            CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+              ELSE ${duckPpm("u2", "2 * n_pos * n_neg")} END AS auc_ppm
+          FROM agg""",
 
     // The reliability chain, then the greatest-convex-minorant hull
     // over the cumulative (weight, correct) points: chord predicate in

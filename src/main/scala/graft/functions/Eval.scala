@@ -61,6 +61,41 @@ object Eval {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_ppm"))
   }
 
+  /** EXACT ROC-AUC of an integer score against a binary label — the
+    * Mann-Whitney U form with standard tie handling (a tied pair
+    * counts half): 2U = Σ over positives of (2·negatives_below +
+    * negatives_tied), AUC = 2U / (2·n_pos·n_neg). Computed without a
+    * pairwise join OR a global sort: scores aggregate to per-score
+    * (pos, neg) counts, the running negative count below each score is
+    * [[GroupRank.withPrefixSum]]'s two-level exclusive prefix sum over
+    * the score order — so the statistic holds at any corpus size with
+    * one range exchange, never an O(n²) comparison. Output: one row
+    * (n_pos, n_neg, u2, auc_ppm), NULL auc when either class is empty.
+    * 2U <= 2·n_pos·n_neg bounds the long at ~2.1e9 rows per class —
+    * the engine's documented wide-sum audit.
+    */
+  def aucExact(pred: DataFrame, scoreCol: String,
+      positive: Column): DataFrame = {
+    val perScore = pred.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__sc"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__sc"))
+      .agg(sum(col("__p")).as("__np"),
+        (count(lit(1)) - sum(col("__p"))).as("__nn"))
+    val pre = GroupRank.withPrefixSum(
+      perScore.withColumn("__all", lit(1)),
+      Seq("__all"), Seq(col("__sc").asc), "__nn", "__negBelow", "__negTot")
+    pre.agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__negBelow") + col("__nn")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(col("u2"),
+            (lit(2L).cast("decimal(19,0)") * col("n_pos") * col("n_neg"))
+              .cast("decimal(38,0)"))).as("auc_ppm"))
+  }
+
   /** EXACT ISOTONIC CALIBRATION of a reliability table — weighted
     * isotonic regression (the PAV fit) of per-bucket accuracy on the
     * bucket index, computed NOT by the sequential pool-adjacent-

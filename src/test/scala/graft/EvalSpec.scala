@@ -53,6 +53,35 @@ class EvalSpec extends AnyFunSuite {
     assert(r == Map(1L -> ((2L, 1L, 500000L)), 2L -> ((2L, 2L, 1000000L))))
   }
 
+  test("aucExact equals the brute-force pairwise U on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("score", "pos")
+    val r = Eval.aucExact(df, "score", col("pos")).collect()(0)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((pos.size.toLong, neg.size.toLong, u2)))
+    val expPpm = (2L * 1000000L * u2 +
+      2L * pos.size * neg.size) / (4L * pos.size * neg.size)
+    assert(r.getLong(3) == expPpm)
+    // perfect separation -> 1e6; random labels on one score -> 5e5
+    val perfect = Seq((10L, true), (9L, true), (1L, false), (0L, false))
+      .toDF("score", "pos")
+    assert(Eval.aucExact(perfect, "score", col("pos"))
+      .collect()(0).getLong(3) == 1000000L)
+    val allTied = Seq((5L, true), (5L, false)).toDF("score", "pos")
+    assert(Eval.aucExact(allTied, "score", col("pos"))
+      .collect()(0).getLong(3) == 500000L)
+    // single-class input -> NULL auc
+    val onePos = Seq((5L, true)).toDF("score", "pos")
+    assert(Eval.aucExact(onePos, "score", col("pos"))
+      .collect()(0).isNullAt(3))
+  }
+
   test("isotonicCalibrate equals reference PAV on random weighted bins") {
     // reference pool-adjacent-violators over (w, s) blocks
     def pav(bins: Seq[(Long, Long)]): Seq[(Long, Long)] = {
