@@ -2399,6 +2399,19 @@ object SparkEntry {
         .orderBy(col("bin"))
     },
 
+    // Average precision of the margin ranking (the PR-curve summary
+    // next to q_auc's ROC): per-positive precision@rank quantized once
+    // to exact ppm, two-level rank + prefix sum — deterministic under
+    // the id tie-break, no global sort.
+    "q_avg_precision" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.averagePrecision(pred, "margin_q", "doc_id",
+        col("pred_class") === col("lang"))
+    },
+
     // Exact ROC-AUC of the margin as a correctness ranker — Mann-
     // Whitney 2U over per-score counts and a two-level prefix sum: no
     // pairwise join, no global sort; the single-row rational rendered
@@ -2637,6 +2650,19 @@ object SparkEntry {
           cellCol = "label")
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Recall@5 of the IVF (nProbe=3) index against the exact cosine
+    // top-5 — the set-overlap serving-quality number next to q_rbo's
+    // rank-aware one: per query |approx ∩ exact| / k in exact ppm.
+    "q_ann_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      graft.functions.Eval.topkRecall(
+          Vec.ivfTopK(emb, qs, k = 5, nProbe = 3, cellCol = "label"),
+          Vec.bruteForceTopK(qs, emb, k = 5),
+          "query_id", "neighbor_id")
+        .orderBy(col("query_id"))
     },
 
     // Rank-biased overlap between the exact cosine top-10 and the IVF
@@ -5643,6 +5669,41 @@ object SparkEntry {
             ${duckPpm("sum(c)", "count(*)")} AS acc_ppm
           FROM r GROUP BY 1 ORDER BY bin""",
 
+    "q_avg_precision" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          mg AS (SELECT f1.doc_id, f1.class AS pred_class,
+              CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+            FROM fin f1 JOIN fin f2
+              ON f2.doc_id = f1.doc_id AND f2.rn = 2
+            WHERE f1.rn = 1),
+          lab AS (SELECT mg.doc_id, mg.margin_q AS scv,
+            CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END AS p
+            FROM mg JOIN documents dd USING (doc_id)
+            WHERE mg.margin_q IS NOT NULL),
+          rk AS (SELECT p,
+            CAST(row_number() OVER (ORDER BY scv DESC, doc_id)
+              AS BIGINT) AS rk,
+            CAST(sum(p) OVER (ORDER BY scv DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cpos
+            FROM lab),
+          terms AS (SELECT ${duckPpm("cpos", "rk")} AS prec
+            FROM rk WHERE p = 1),
+          agg AS (SELECT CAST(sum(prec) AS BIGINT) AS ap_sum_ppm,
+            CAST(count(*) AS BIGINT) AS n_pos FROM terms),
+          nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lab)
+          SELECT agg.n_pos, nr.n_rows, agg.ap_sum_ppm,
+            CAST(agg.ap_sum_ppm // agg.n_pos AS BIGINT) AS ap_ppm
+          FROM agg, nr""",
+
     "q_auc" ->
       s"""WITH $duckNbChain,
           sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
@@ -6105,6 +6166,54 @@ object SparkEntry {
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM cand)
           SELECT query_id, neighbor_id, sim, "rank" FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_ann_recall" -> {
+      val dotSql = duckDotSql _
+      // the q_ivf_topk chain (ra) and the q_cosine_topk chain (rx),
+      // intersected per query
+      s"""WITH ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN embeddings e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          ra AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
+            WHERE rk <= 5),
+          px AS (SELECT query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("qv", "e.embedding")} /
+              (sqrt(${dotSql("qv", "qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+          rx AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM px)
+            WHERE rk <= 5),
+          kt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_true
+            FROM rx GROUP BY 1),
+          ht AS (SELECT ra.query_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM ra JOIN rx ON rx.query_id = ra.query_id
+              AND rx.neighbor_id = ra.neighbor_id GROUP BY 1)
+          SELECT kt.query_id, kt.k_true,
+            coalesce(ht.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+            ${duckPpm("coalesce(ht.n_hit, 0)", "kt.k_true")} AS recall_ppm
+          FROM kt LEFT JOIN ht USING (query_id) ORDER BY query_id"""
     },
 
     "q_rbo" -> {

@@ -96,6 +96,67 @@ object Eval {
               .cast("decimal(38,0)"))).as("auc_ppm"))
   }
 
+  /** RECALL@K of an approximate top-k retrieval against the exact one
+    * — the serving-quality number every ANN index ships with (the
+    * set-overlap companion of the rank-aware RBO): per query,
+    * |approx ∩ exact| / |exact|. Output: (queryCol, k_true, n_hit,
+    * recall_ppm), one row per query present in the EXACT frame
+    * (queries the approximate index dropped entirely score 0, not
+    * missing). Equi-joins + per-query counts only — corpus-scale safe.
+    */
+  def topkRecall(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String): DataFrame = {
+    val a = approx.select(col(queryCol), col(neighborCol))
+    val e = exact.select(col(queryCol), col(neighborCol))
+    val kTrue = e.groupBy(col(queryCol)).agg(count(lit(1)).as("k_true"))
+    val hits = a.join(e, Seq(queryCol, neighborCol))
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
+    kTrue.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("k_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col(queryCol), col("k_true"), col("n_hit"),
+        Stats.fixedPointExact(col("n_hit"), col("k_true"))
+          .as("recall_ppm"))
+  }
+
+  /** AVERAGE PRECISION (the PR-curve summary) of an integer score
+    * against a binary label, deterministic cross-engine: rank all rows
+    * by (score desc, tie-break id asc) with the two-level exact rank,
+    * and AP = mean over positives of precision@rank. Each
+    * precision@rank is quantized ONCE to exact ppm (truncating-free
+    * half-away rendering via [[Stats.fixedPointExact]] — a sum of
+    * rationals with unrelated denominators has no single exact form,
+    * so the DETERMINISTIC per-term quantization is the contract, the
+    * FixLog bit-stability convention). Output: one row
+    * (n_pos, n_rows, ap_sum_ppm, ap_ppm) — ap_ppm = ap_sum_ppm div
+    * n_pos; NULL when no positives. The id tie-break makes ranks (and
+    * therefore AP under score ties) reproducible — the pessimistic/
+    * optimistic tie conventions bracket it. With no positive rows the
+    * result is EMPTY (there is no mean to take).
+    */
+  def averagePrecision(pred: DataFrame, scoreCol: String, idCol: String,
+      positive: Column): DataFrame = {
+    val labeled = pred.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__sc"),
+        col(idCol).as("__id"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+      .withColumn("__all", lit(1))
+    val ranked = GroupRank.withRankAndCount(labeled, Seq("__all"),
+      Seq(col("__sc").desc, col("__id").asc), "__rk", "__nr")
+    // cumulative positives AT the rank = exclusive prefix + own label
+    val pre = GroupRank.withPrefixSum(ranked, Seq("__all"),
+      Seq(col("__sc").desc, col("__id").asc), "__p", "__posBefore",
+      "__posTot")
+    pre.filter(col("__p") === 1L)
+      .select(Stats.fixedPointExact(col("__posBefore") + 1L, col("__rk"))
+        .as("__prec"), col("__nr"), col("__posTot"))
+      .groupBy(col("__nr"), col("__posTot"))
+      .agg(sum(col("__prec")).as("ap_sum_ppm"))
+      .select(col("__posTot").as("n_pos"), col("__nr").as("n_rows"),
+        col("ap_sum_ppm"),
+        expr("ap_sum_ppm div __posTot").as("ap_ppm"))
+  }
+
   /** EXACT ISOTONIC CALIBRATION of a reliability table — weighted
     * isotonic regression (the PAV fit) of per-bucket accuracy on the
     * bucket index, computed NOT by the sequential pool-adjacent-

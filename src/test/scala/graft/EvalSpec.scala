@@ -53,6 +53,29 @@ class EvalSpec extends AnyFunSuite {
     assert(r == Map(1L -> ((2L, 1L, 500000L)), 2L -> ((2L, 2L, 1000000L))))
   }
 
+  test("averagePrecision equals the per-positive precision sum, " +
+      "deterministic under ties") {
+    val rows = Seq((10L, 1L, true), (9L, 2L, false), (8L, 3L, true),
+      (8L, 4L, true), (1L, 5L, false))
+    val df = rows.toDF("score", "id", "pos")
+    val r = Eval.averagePrecision(df, "score", "id", col("pos"))
+      .collect()(0)
+    // rank order (score desc, id asc): ids 1,2,3,4,5; positives at
+    // ranks 1 (prec 1/1), 3 (2/3), 4 (3/4)
+    def ppm(a: Long, b: Long) = (2L * 1000000L * a + b) / (2L * b)
+    val expSum = ppm(1, 1) + ppm(2, 3) + ppm(3, 4)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 5L, expSum, expSum / 3L)))
+    // all-negative input: EMPTY result, not a null row
+    val neg = Seq((5L, 1L, false)).toDF("score", "id", "pos")
+    assert(Eval.averagePrecision(neg, "score", "id", col("pos"))
+      .collect().isEmpty)
+    // partitioning determinism
+    val again = Eval.averagePrecision(df.repartition(7), "score", "id",
+      col("pos")).collect()(0)
+    assert(again.getLong(2) == expSum)
+  }
+
   test("aucExact equals the brute-force pairwise U on random data") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i =>
