@@ -76,6 +76,18 @@ class EvalSpec extends AnyFunSuite {
     assert(again.getLong(2) == expSum)
   }
 
+  test("topkRecall: per-query overlap, dropped queries score zero") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)) // query 2 dropped
+      .toDF("query_id", "neighbor_id")
+    val r = Eval.topkRecall(approx, exact, "query_id", "neighbor_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((3L, 2L, 666667L)))
+    assert(r(2L) == ((2L, 0L, 0L)))
+  }
+
   test("aucExact equals the brute-force pairwise U on random data") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i =>
