@@ -5702,7 +5702,8 @@ object SparkEntry {
           nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lab)
           SELECT agg.n_pos, nr.n_rows, agg.ap_sum_ppm,
             CAST(agg.ap_sum_ppm // agg.n_pos AS BIGINT) AS ap_ppm
-          FROM agg, nr""",
+          FROM agg, nr
+          WHERE agg.n_pos > 0""",
 
     "q_auc" ->
       s"""WITH $duckNbChain,
@@ -6518,6 +6519,11 @@ object SparkEntry {
     // PNG being lossless, the decoded luma sum over the 16x16 payload
     // equals the ascii-code sum of the first 256 source characters
     // (zero-padded) — the oracle recomputes it without parsing PNG.
+    // NOTE (shared by every media oracle): chars are equated with
+    // UTF-8 BYTES (length/ascii vs getBytes) — exact because the
+    // corpus is printable ASCII (verified; GateSchema-level guard is
+    // the ascii regexp in the generator); a non-ASCII corpus needs
+    // octet-based oracles.
     "q_image_decode" ->
       """SELECT doc_id AS media_id, 'png' AS format,
            16 AS width, 16 AS height,
@@ -6737,17 +6743,21 @@ object SparkEntry {
          ORDER BY media_id, frame_idx""",
 
     // 64-sample frames, last partial kept: frame f covers chars
-    // f*64+1 .. min(len, f*64+64).
+    // f*64+1 .. min(len, f*64+64); the frame range is CORRELATED
+    // (ceil(len/64) per document) — a fixed cap would silently truncate
+    // long documents on the oracle side only.
     "q_audio_frames" ->
-      """SELECT doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
+      """WITH t AS (SELECT doc_id, text,
+            unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+              AS f
+          FROM documents)
+         SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
            CAST(65536 * list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_transform(
-               range(f.f * 64 + 1, least(length(text), f.f * 64 + 64) + 1),
+               range(f * 64 + 1, least(length(text), f * 64 + 64) + 1),
                i -> CAST((ascii(text[i]) - 64) * (ascii(text[i]) - 64)
                  AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS frame_energy
-         FROM documents, range(0, 16) f(f)
-         WHERE f.f * 64 < length(text)
-         ORDER BY media_id, frame_idx""",
+         FROM t ORDER BY media_id, frame_idx""",
 
     "q_event_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

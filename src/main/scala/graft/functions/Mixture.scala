@@ -65,6 +65,11 @@ object Mixture {
     cur.crossJoin(broadcast(norm))
       .select(col(domainCol), col("__loss").as("loss_q"),
         col("__lw").as("lw_q"),
-        expr("CAST((__w * 1000000) div __sw AS BIGINT)").as("w_ppm"))
+        // widened: __w * 1e6 wraps a raw long once a domain's weight
+        // exceeds ~2^43 (24+ bits of accumulated excess at eta=1); the
+        // oracle computes this product in HUGEINT
+        expr("""CAST((CAST(__w AS decimal(38,0)) * 1000000)
+                div CAST(__sw AS decimal(38,0)) AS BIGINT)""")
+          .as("w_ppm"))
   }
 }

@@ -105,7 +105,42 @@ object NaiveBayes {
     * semantics, like lmFit).
     */
   def classify(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, classCol: String): DataFrame =
+    rankedScores(train, score, idCol, textCol, classCol)
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("class").as("pred_class"), col("score_q"))
+
+  /** [[classify]] plus the CONFIDENCE MARGIN — the argmax score minus
+    * the runner-up's (the standard selective-classification /
+    * active-learning confidence signal; a small margin flags documents
+    * whose language call is a coin flip). margin_q is NULL when only
+    * one class scored the document. The extra work over classify is
+    * keeping rank 2 and one id-keyed left join; the per-document window
+    * partitions stay bounded by the CLASS count — model-sized.
+    * Output: (idCol, pred_class, score_q, margin_q).
+    */
+  def classifyWithMargin(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, classCol: String): DataFrame = {
+    val ranked = rankedScores(train, score, idCol, textCol, classCol)
+      .filter(col("__rn") <= 2)
+    val first = ranked.filter(col("__rn") === 1)
+      .select(col(idCol), col("class").as("pred_class"), col("score_q"))
+    val second = ranked.filter(col("__rn") === 2)
+      .select(col(idCol), col("score_q").as("__s2"))
+    first.join(second, Seq(idCol), "left")
+      .select(col(idCol), col("pred_class"), col("score_q"),
+        (col("score_q") - col("__s2")).as("margin_q"))
+  }
+
+  /** The SHARED scoring chain of [[classify]] and
+    * [[classifyWithMargin]]: every (document, class) posterior
+    * (score_q) with its per-document rank `__rn` (score desc, class
+    * tie-break — window partitions bounded by the class count). One
+    * definition so smoothing, the token regex, and the tie-break can
+    * never drift between the two entry points.
+    */
+  private def rankedScores(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, classCol: String): DataFrame = {
     val w = weights(tokenClassCounts(train, textCol, classCol))
     val prior = train.groupBy(col(classCol).as("class"))
       .agg(count(lit(1)).as("__nd"))
@@ -122,44 +157,5 @@ object NaiveBayes {
     val pick = Window.partitionBy(col(idCol))
       .orderBy(col("score_q").desc, col("class").asc)
     perClass.withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("class").as("pred_class"), col("score_q"))
-  }
-
-  /** [[classify]] plus the CONFIDENCE MARGIN — the argmax score minus
-    * the runner-up's (the standard selective-classification /
-    * active-learning confidence signal; a small margin flags documents
-    * whose language call is a coin flip). margin_q is NULL when only
-    * one class scored the document. The extra work over classify is
-    * keeping rank 2 and one id-keyed left join; the per-document window
-    * partitions stay bounded by the CLASS count — model-sized.
-    * Output: (idCol, pred_class, score_q, margin_q).
-    */
-  def classifyWithMargin(train: DataFrame, score: DataFrame, idCol: String,
-      textCol: String, classCol: String): DataFrame = {
-    val w = weights(tokenClassCounts(train, textCol, classCol))
-    val prior = train.groupBy(col(classCol).as("class"))
-      .agg(count(lit(1)).as("__nd"))
-      .select(col("class"), FixLog.log2qCol(col("__nd")).as("__prior_q"))
-    val occ = score.select(col(idCol),
-        explode(Text.tokens(col(textCol))).as("token"))
-      .where(col("token").rlike("^[a-z]+$"))
-    val perClass = occ.join(broadcast(w), Seq("token"))
-      .groupBy(col(idCol), col("class"))
-      .agg(sum(col("w_q")).as("__s"))
-      .join(broadcast(prior), Seq("class"))
-      .select(col(idCol), col("class"),
-        (col("__s") + col("__prior_q")).as("score_q"))
-    val pick = Window.partitionBy(col(idCol))
-      .orderBy(col("score_q").desc, col("class").asc)
-    val ranked = perClass.withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") <= 2)
-    val first = ranked.filter(col("__rn") === 1)
-      .select(col(idCol), col("class").as("pred_class"), col("score_q"))
-    val second = ranked.filter(col("__rn") === 2)
-      .select(col(idCol), col("score_q").as("__s2"))
-    first.join(second, Seq(idCol), "left")
-      .select(col(idCol), col("pred_class"), col("score_q"),
-        (col("score_q") - col("__s2")).as("margin_q"))
   }
 }

@@ -131,12 +131,18 @@ object Suffix {
   }
 
   /** Suffix ranks by the first 2^rounds tokens:
-    * (idCol, pos, srank) — dense, deterministic. */
+    * (idCol, pos, srank) — dense, deterministic. The result is
+    * checkpointed INDEPENDENTLY of the shared memo: a later build for
+    * a different input evicts (and unpersists) the memo's tables, and
+    * a still-lazy result referencing them would die on missing
+    * checkpoint blocks — so the returned frame must own its storage.
+    */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame =
     sharedRankTables(docs, idCol, textCol, rounds).last
       .select(col("__id").as(idCol), col("__pos").as("pos"),
         col("__r").as("srank"))
+      .localCheckpoint(true)
 
   /** Adjacent-suffix LCPs (capped at 2^rounds - 1 tokens): for every
     * neighboring pair in suffix-rank order, the exact shared-prefix

@@ -108,7 +108,10 @@ object Media {
     * the text is shorter). PNG is lossless, so the pixel statistics of
     * the DECODED payload equal integer functions of the source text —
     * which is what lets a DuckDB oracle verify the real decoder without
-    * parsing PNG: it recomputes the same sums from ascii codes.
+    * parsing PNG: it recomputes the same sums from ascii codes. (The
+    * oracle-side char/byte identity holds for ASCII text — the
+    * synthetic corpus's contract; the codecs themselves are
+    * byte-correct for any input.)
     */
   def textAsPng(df: DataFrame, idCol: String, textCol: String,
       w: Int = 16, h: Int = 16): DataFrame = {

@@ -398,10 +398,21 @@ final class HierCentroidTable(cellIds: Array[Int],
   require(superIds.length == superCentroids.length, "ragged super arrays")
   require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
 
-  /** Flat table reused for the super level (sorted ids + cached c·c). */
-  val superTable = new CentroidTable(superIds, superCentroids)
+  /** Flat table reused for the super level (sorted ids + cached c·c) —
+    * EMPTY super-cells are dropped up front: the final
+    * update-then-assign k-means step can leave a super-centroid no
+    * member maps to, and probing it would scan nothing (with nProbe=1
+    * the assignment would come back null instead of a real cell).
+    * Every member belongs to some kept super, so nothing is lost.
+    */
+  val superTable = {
+    val bySuper = cellIds.indices.groupBy(superOfCell)
+    val kept = superIds.indices.filter(i => bySuper.contains(superIds(i)))
+    new CentroidTable(kept.map(superIds).toArray,
+      kept.map(superCentroids).toArray)
+  }
 
-  /** Member cells / vectors / c·c per SORTED super position. */
+  /** Member cells / vectors / c·c per SORTED (non-empty) super position. */
   val (memberCells, memberVecs, memberCcs) = {
     val bySuper = cellIds.indices.groupBy(superOfCell)
     val flat = new CentroidTable(cellIds, centroids)

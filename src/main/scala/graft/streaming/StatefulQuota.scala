@@ -60,8 +60,12 @@ class TokenBucketProcessor(ratePerSec: Long, burst: Long)
         val elapsed =
           if (bucket.last_us == Long.MinValue) 0L
           else math.max(0L, e.ts_us - bucket.last_us)
+        // clamp the idle gap at "enough to fill the bucket" BEFORE the
+        // multiply: a ~100-day gap at a byte-rate quota would overflow
+        // elapsed * ratePerSec to a negative balance
+        val fillGap = capMicro / ratePerSec + 1L
         val refilled = math.min(capMicro,
-          bucket.tokens_micro + elapsed * ratePerSec)
+          bucket.tokens_micro + math.min(elapsed, fillGap) * ratePerSec)
         val cost = e.units * 1000000L
         val admitted = refilled >= cost
         val after = if (admitted) refilled - cost else refilled
