@@ -2652,6 +2652,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // NDCG@5 of the IVF ranking judged by the exact cosine top-5
+    // (graded: exact rank r earns relevance 6-r) — the graded-ranking
+    // completion of the metric set, discounts through FixLog's log2q,
+    // per-term exact ppm quantization.
+    "q_ndcg" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val judged = Vec.bruteForceTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(6L) - col("rank")).as("rel"))
+      graft.functions.Eval.ndcg(
+          Vec.ivfTopK(emb, qs, k = 5, nProbe = 3, cellCol = "label"),
+          judged, "query_id", "neighbor_id", "rank", "rel", k = 5)
+        .orderBy(col("query_id"))
+    },
+
     // Recall@5 of the IVF (nProbe=3) index against the exact cosine
     // top-5 — the set-overlap serving-quality number next to q_rbo's
     // rank-aware one: per query |approx ∩ exact| / k in exact ppm.
@@ -6167,6 +6183,74 @@ object SparkEntry {
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM cand)
           SELECT query_id, neighbor_id, sim, "rank" FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_ndcg" -> {
+      val dotSql = duckDotSql _
+      // IVF chain positions (ra with rk), exact chain grades (rx with
+      // rel = 6 - rank), FixLog discounts over positions 2..6
+      s"""WITH ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN embeddings e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          ra AS (SELECT query_id, neighbor_id, rk FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM cand)
+            WHERE rk <= 5),
+          px AS (SELECT query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("qv", "e.embedding")} /
+              (sqrt(${dotSql("qv", "qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+          rx AS MATERIALIZED (SELECT query_id, neighbor_id,
+            6 - rk AS rel FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM px)
+            WHERE rk <= 5),
+          lx AS (SELECT DISTINCT CAST(p AS BIGINT) AS x
+            FROM range(2, 7) t(p)),
+          $duckLog2Chain,
+          dt AS (SELECT ra.query_id,
+            CASE WHEN coalesce(rx.rel, 0) > 0
+              THEN ${duckPpm("coalesce(rx.rel, 0) * 65536", "lg.lq")}
+              ELSE 0 END AS t
+            FROM ra LEFT JOIN rx USING (query_id, neighbor_id)
+            JOIN lgt lg ON lg.x = ra.rk + 1),
+          dcg AS (SELECT query_id, CAST(sum(t) AS BIGINT) AS dcg_sum_ppm
+            FROM dt GROUP BY 1),
+          it AS (SELECT query_id,
+            ${duckPpm("rel * 65536", "lg.lq")} AS t
+            FROM (SELECT query_id, rel,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, neighbor_id) AS BIGINT) AS p
+              FROM rx WHERE rel > 0)
+            JOIN lgt lg ON lg.x = p + 1
+            WHERE p <= 5),
+          idcg AS (SELECT query_id, CAST(sum(t) AS BIGINT) AS idcg_sum_ppm
+            FROM it GROUP BY 1)
+          SELECT d.query_id, d.dcg_sum_ppm,
+            coalesce(i.idcg_sum_ppm, CAST(0 AS BIGINT)) AS idcg_sum_ppm,
+            CASE WHEN coalesce(i.idcg_sum_ppm, 0) = 0 THEN NULL
+              ELSE ${duckPpm("d.dcg_sum_ppm", "i.idcg_sum_ppm")} END
+              AS ndcg_ppm
+          FROM dcg d LEFT JOIN idcg i USING (query_id)
+          ORDER BY d.query_id"""
     },
 
     "q_ann_recall" -> {

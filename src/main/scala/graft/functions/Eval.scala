@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CLASSIFIER EVALUATION over corpus-scale prediction frames — the
@@ -117,6 +118,54 @@ object Eval {
       .select(col(queryCol), col("k_true"), col("n_hit"),
         Stats.fixedPointExact(col("n_hit"), col("k_true"))
           .as("recall_ppm"))
+  }
+
+  /** NDCG@K — graded ranking quality (Järvelin & Kekäläinen 2002),
+    * completing the metric set (ROC-AUC, AP, recall@k, RBO):
+    * DCG = Σ rel_i / log2(i+1) over the ranking's first k positions,
+    * normalized by the ideal ordering's IDCG. Logarithms are
+    * [[graft.plans.FixLog.log2q]] (the no-libm discipline), each term
+    * quantized ONCE to exact ppm — rel_i·2^16 / log2q(i+1) IS
+    * rel_i/log2(i+1) in ppm under [[Stats.fixedPointExact]] — so both
+    * engines sum identical integers; ndcg_ppm is the exact ppm ratio
+    * of the two sums. Items the judgment frame doesn't cover score
+    * relevance 0; queries with no positive judgments emit NULL ndcg.
+    * Output per query: (queryCol, dcg_sum_ppm, idcg_sum_ppm,
+    * ndcg_ppm). Per-query windows are bounded by the judgment list
+    * (top-k lists — model-sized).
+    */
+  def ndcg(ranked: DataFrame, judgments: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def term(rel: Column, pos: Column): Column =
+      when(rel > 0L,
+        Stats.fixedPointExact(rel * lit(65536L),
+          graft.plans.FixLog.log2qCol((pos + 1L).cast("long"))))
+        .otherwise(0L)
+    val judged = judgments.select(col(queryCol),
+      col(itemCol), col(relCol).cast("long").as("__rel"))
+    val dcg = ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(itemCol),
+        col(rankCol).cast("long").as("__pos"))
+      .join(judged, Seq(queryCol, itemCol), "left")
+      .select(col(queryCol),
+        term(coalesce(col("__rel"), lit(0L)), col("__pos")).as("__t"))
+      .groupBy(col(queryCol)).agg(sum(col("__t")).as("dcg_sum_ppm"))
+    val wIdeal = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rel").desc, col(itemCol).asc)
+    val idcg = judged.filter(col("__rel") > 0L)
+      .withColumn("__pos", row_number().over(wIdeal).cast("long"))
+      .filter(col("__pos") <= k)
+      .select(col(queryCol), term(col("__rel"), col("__pos")).as("__t"))
+      .groupBy(col(queryCol)).agg(sum(col("__t")).as("idcg_sum_ppm"))
+    dcg.join(idcg, Seq(queryCol), "left")
+      .select(col(queryCol), col("dcg_sum_ppm"),
+        coalesce(col("idcg_sum_ppm"), lit(0L)).as("idcg_sum_ppm"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_sum_ppm") === 0L, lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(col("dcg_sum_ppm"),
+            col("idcg_sum_ppm"))))
   }
 
   /** AVERAGE PRECISION (the PR-curve summary) of an integer score

@@ -76,6 +76,39 @@ class EvalSpec extends AnyFunSuite {
     assert(again.getLong(2) == expSum)
   }
 
+  test("ndcg: perfect ranking scores 1e6, inversions discount, " +
+      "unjudged-only rankings are NULL") {
+    val judged = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L),
+      (2L, 20L, 1L)).toDF("q", "item", "rel")
+    def ranked(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("q", "item", "rank")
+    // query 1 ranked exactly by relevance -> DCG == IDCG -> 1e6
+    val perfect = Eval.ndcg(
+        ranked(Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))),
+        judged, "q", "item", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(perfect(1L) == Some(1000000L))
+    // inverted ranking scores strictly less
+    val inverted = Eval.ndcg(
+        ranked(Seq((1L, 12L, 1L), (1L, 11L, 2L), (1L, 10L, 3L))),
+        judged, "q", "item", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        r.get(3).asInstanceOf[Long]).toMap
+    assert(inverted(1L) < 1000000L && inverted(1L) > 0L)
+    // a ranking of only unjudged items: dcg 0 over idcg > 0 -> 0;
+    // a query with NO positive judgments -> NULL
+    val unjudged = Eval.ndcg(ranked(Seq((1L, 99L, 1L))), judged,
+        "q", "item", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(3))))).toMap
+    assert(unjudged(1L) == ((0L, Some(0L))))
+    val noPos = Eval.ndcg(ranked(Seq((3L, 1L, 1L))),
+        Seq((3L, 1L, 0L)).toDF("q", "item", "rel"),
+        "q", "item", "rank", "rel", k = 3)
+      .collect()
+    assert(noPos.length == 1 && noPos(0).isNullAt(3))
+  }
+
   test("topkRecall: per-query overlap, dropped queries score zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "neighbor_id")
