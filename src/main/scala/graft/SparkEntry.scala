@@ -2641,6 +2641,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Multi-probe LSH (Lv et al. 2007): candidates at Hamming <= 1
+    // between sign-bucket codes — B explodes its nBits 1-bit flips, the
+    // candidate stage stays one equi-join; recall strictly contains the
+    // single-bucket path at ~(nBits+1)x candidates instead of 2^nBits
+    // extra tables.
+    "q_embed_neardup_mp" -> { (s, d) =>
+      Vec.lshMultiProbePairs(Tables.embeddings(s, d), threshold = 0.4,
+          nBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // IVF ANN under the oracle gate: `label` is the coarse cell (any
     // clustering/domain partition works); probe the 3 most-similar cells
     // per query by centroid cosine, brute-force only within them.
@@ -6127,6 +6138,33 @@ object SparkEntry {
             ${dotSql("c.embedding", "c.embedding")} AS nb
             FROM b a JOIN b c
             ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+          SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS sim
+          FROM p WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+          ORDER BY id_a, id_b"""
+    },
+
+    // Hamming <= 1 on the 4-bit codes replayed as a popcount over the
+    // XOR (bounded: bit_count of a 4-bit value).
+    "q_embed_neardup_mp" -> {
+      val dotSql = duckDotSql _
+      val projs = (0 until 4).map { j =>
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(embedding) + 1),
+              i -> (CASE WHEN (i * 2654435761 + ${j + 1} * 40503) % 65536 < 32768
+                    THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE))),
+            (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding,
+            CAST($projs AS BIGINT) AS bucket FROM embeddings),
+          p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+            ${dotSql("a.embedding", "c.embedding")} AS dp,
+            ${dotSql("a.embedding", "a.embedding")} AS na,
+            ${dotSql("c.embedding", "c.embedding")} AS nb
+            FROM b a JOIN b c
+            ON a.vec_id < c.vec_id AND
+              ((xor(a.bucket, c.bucket) & 1) + ((xor(a.bucket, c.bucket) >> 1) & 1)
+               + ((xor(a.bucket, c.bucket) >> 2) & 1)
+               + ((xor(a.bucket, c.bucket) >> 3) & 1)) <= 1)
           SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS sim
           FROM p WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
           ORDER BY id_a, id_b"""

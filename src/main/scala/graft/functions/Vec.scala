@@ -132,6 +132,55 @@ object Vec {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** MULTI-PROBE random-hyperplane LSH near-dup pairs (Lv et al. 2007,
+    * "Multi-probe LSH": probe the buckets most likely to hold missed
+    * neighbors instead of adding hash tables): candidates are pairs
+    * whose sign-bucket codes differ in AT MOST ONE bit — for
+    * hyperplane LSH the 1-bit flips ARE the highest-probability
+    * neighbors (a near-dup lands across a single close hyperplane far
+    * more often than across two). Recall strictly contains
+    * [[lshNearDupPairs]]' (equal buckets = Hamming 0) at ~(nBits+1)×
+    * the candidate volume instead of the 2^nBits-table alternative.
+    *
+    * Plan shape: side A emits its bucket, side B emits its bucket PLUS
+    * its nBits 1-bit flips (a scan-stage explode), so the candidate
+    * stage stays ONE equi-join on the probe key; the exact-cosine
+    * verify keeps correctness identical to the single-bucket path and
+    * the (id_a < id_b, probe = B's ORIGINAL-or-flipped) construction
+    * emits each qualifying pair exactly once per differing bit (0 or 1
+    * flips → at most once from the flip side + once from the equal
+    * side, deduplicated by keeping the flip tag) — a final distinct on
+    * (id_a, id_b) bounds it.
+    */
+  def lshMultiProbePairs(vecs: DataFrame, threshold: Double, nBits: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits in [1, 62], got $nBits")
+    val bucketed = vecs.select(col(idCol), col(vecCol),
+      rpLshBucket(col(vecCol), nBits).as("bucket"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nrm"))
+    val a = bucketed.select(col("bucket").as("probe"),
+      col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    // B probes its own bucket and every 1-bit flip
+    val flips = array((0 until nBits).map(i => lit(1L << i)) :+ lit(0L): _*)
+    val b = bucketed
+      .select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb"),
+        explode(transform(flips,
+          f => col("bucket").bitwiseXOR(f))).as("probe"))
+    val sim = pairSim(col("va"), col("vb"), col("na"), col("nb"))
+    a.join(b, a("probe") === b("probe") &&
+        col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(bucketed.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(bucketed.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        pairSim(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+  }
+
   /** Brute-force exact top-k cosine neighbors of each query vector.
     * The query set is broadcast (it is the small side by construction), so
     * the corpus streams through a single map stage — no shuffle until the

@@ -97,4 +97,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exact))
     assert(exact.nonEmpty)
   }
+
+  test("multi-probe LSH: recall strictly contains the single-bucket " +
+      "path, stays a subset of exact, no duplicate pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = pairSet(
+      graft.functions.Vec.cosineNearDupPairs(emb, 0.3)).toSet
+    val single = pairSet(
+      graft.functions.Vec.lshNearDupPairs(emb, 0.3, nBits = 4)).toSet
+    val multiSeq = pairSet(
+      graft.functions.Vec.lshMultiProbePairs(emb, 0.3, nBits = 4))
+    val multi = multiSeq.toSet
+    assert(multiSeq.size == multi.size, "duplicate pairs emitted")
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-bucket pairs: ${single -- multi}")
+    assert(multi.subsetOf(exact))
+    assert(multi.size > single.size,
+      s"no recall gain: multi ${multi.size} vs single ${single.size}")
+  }
 }
