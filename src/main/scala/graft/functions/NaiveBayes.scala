@@ -132,6 +132,21 @@ object NaiveBayes {
         (col("score_q") - col("__s2")).as("margin_q"))
   }
 
+  /** Single-slot session memo of the last scoring chain, keyed by the
+    * canonicalized input plans + column names — the eval layer runs
+    * classify/margin/reliability/calibration/AUC/AP over the SAME
+    * (train, score) pair, and each rebuilt the identical
+    * tokenize-join-score pipeline (measured: the six NB-chain catalog
+    * entries pay ~2 s each at sf0.1 rebuilding it). The checkpointed
+    * result is documents x classes — corpus-sized but narrow; eviction
+    * only DROPS the reference (classify's returned frames are lazy
+    * views over the checkpoint, so an eager unpersist here would break
+    * a caller that holds one — the Suffix-memo lesson; Spark's
+    * ContextCleaner reclaims the blocks once every consumer is GC'd).
+    */
+  private val memoLock = new Object
+  private var memo: Option[(Seq[Any], DataFrame)] = None
+
   /** The SHARED scoring chain of [[classify]] and
     * [[classifyWithMargin]]: every (document, class) posterior
     * (score_q) with its per-document rank `__rn` (score desc, class
@@ -140,6 +155,23 @@ object NaiveBayes {
     * never drift between the two entry points.
     */
   private def rankedScores(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, classCol: String): DataFrame =
+    memoLock.synchronized {
+      val key = Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(train).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(score).canonicalized,
+        idCol, textCol, classCol)
+      memo match {
+        case Some((k, df)) if k == key => df
+        case _ =>
+          val df = rankedScoresUncached(train, score, idCol, textCol,
+            classCol).localCheckpoint(true)
+          memo = Some((key, df))
+          df
+      }
+    }
+
+  private def rankedScoresUncached(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String, classCol: String): DataFrame = {
     val w = weights(tokenClassCounts(train, textCol, classCol))
     val prior = train.groupBy(col(classCol).as("class"))
