@@ -171,8 +171,12 @@ object NaiveBayes {
       }
     }
 
-  private def rankedScoresUncached(train: DataFrame, score: DataFrame,
-      idCol: String, textCol: String, classCol: String): DataFrame = {
+  // private[graft]: PlanSpec asserts the scoring chain's plan shape
+  // here — the memoized entry point's visible plan is just the
+  // checkpoint scan
+  private[graft] def rankedScoresUncached(train: DataFrame,
+      score: DataFrame, idCol: String, textCol: String,
+      classCol: String): DataFrame = {
     val w = weights(tokenClassCounts(train, textCol, classCol))
     val prior = train.groupBy(col(classCol).as("class"))
       .agg(count(lit(1)).as("__nd"))

@@ -393,7 +393,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("naive bayes: broadcast model join, compiled log2") {
-    val p = plan("q_nb_lang")
+    // the memoized catalog entry's visible plan is the checkpoint scan;
+    // assert on the underlying scoring chain (the snm-test pattern)
+    val docs = Tables.documents(spark, d)
+    val p = graft.functions.NaiveBayes
+      .rankedScoresUncached(docs, docs, "doc_id", "text", "lang")
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.toLowerCase.contains("log2fixed"), p)
   }
