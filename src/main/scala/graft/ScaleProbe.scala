@@ -53,7 +53,8 @@ object ScaleProbe {
       "mutual_knn", "blocked_cc", "blocked_cc_isolated", "snm",
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
-      "skew_join", "suffix", "edit_join", "hier_assign", "curate_full")
+      "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
+      "seq_pack")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -204,6 +205,22 @@ object ScaleProbe {
       val counts = stats.columns
         .map(c => s""""$c":${row.getAs[Long](c)}""").mkString(",")
       println(f"""{"probe":"curate_full","docs":$nDocs,$counts,"sec":$sec%.1f}""")
+    }
+
+    // Sequence-packing probe: the two-level prefix sum + scan-stage
+    // overlap generation must scale linearly in the corpus (one range
+    // exchange, a mixture-sized offset broadcast, map-only explode) —
+    // superlinear growth would expose a hidden global sort.
+    for (mult <- Seq(1, 4, 16) if want("seq_pack")) {
+      val docs = replicate(spark, base, mult)
+        .select(col("doc_id"),
+          graft.plans.TextExpressions.tokenCount(col("text")).as("nt"))
+      val t0 = System.nanoTime()
+      val seqs = graft.functions.Pack
+        .concatChunk(docs, "doc_id", "nt", seqLen = 2048)
+        .select(col("seq_id")).distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"seq_pack","mult":$mult,"docs":${nBase * mult},"seqs":$seqs,"sec":$sec%.2f}""")
     }
 
     // Hierarchical-assignment probe: FIXED corpus, growing centroid
