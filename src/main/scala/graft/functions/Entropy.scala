@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.plans.FixLog
@@ -34,6 +34,18 @@ import graft.plans.FixLog
   */
 object Entropy {
 
+  /** Exact decimal(38,0) → BIGINT rendering that FAILS LOUDLY
+    * (raise_error) instead of wrapping silently once the wide sum
+    * leaves the long domain — past the documented ~1e12 tokens/group
+    * bound a non-ANSI cast would hand the gate a wrapped (wrong but
+    * plausible-looking) value; an error is the honest outcome.
+    */
+  private def longExact(c: Column, what: String): Column =
+    when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+      raise_error(concat(lit(s"$what exceeds the BIGINT wide-sum bound: "),
+        c.cast("string"))))
+      .otherwise(c.cast("long"))
+
   private def counts(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame =
     docs.select(col(groupCol).as("__g"),
@@ -62,7 +74,7 @@ object Entropy {
       .groupBy(col("__g"), col("__n"), col("__vocab"))
       .agg(sum(col("__term")).cast("decimal(38,0)").as("__hnum"))
       .select(col("__g").as(groupCol), col("__vocab").as("vocab"),
-        col("__n").as("n_tokens"), col("__hnum").cast("long").as("h_num"),
+        col("__n").as("n_tokens"), longExact(col("__hnum"), "h_num").as("h_num"),
         Stats.fixedPointExact(col("__hnum"),
           (col("__n").cast("decimal(19,0)") * lit(65536L))
             .cast("decimal(38,0)")).as("h_ubits"),
@@ -102,7 +114,7 @@ object Entropy {
         (col("__la") - col("__lb"))).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as("__klnum"))
       .select(col("g_a"), col("g_b"),
-        col("__klnum").cast("long").as("kl_num"),
+        longExact(col("__klnum"), "kl_num").as("kl_num"),
         Stats.fixedPointExact(col("__klnum"),
           ((col("__na") + col("__v")).cast("decimal(19,0)") * lit(65536L))
             .cast("decimal(38,0)")).as("kl_ubits"),

@@ -471,11 +471,28 @@ object LangModel {
     // mixture-sized: one row per language, nBuckets-1 boundary scores
     val boundsArr = bounds.groupBy(col(langCol))
       .agg(collect_list(col("__b")).as("__bs"))
-    scored.join(broadcast(boundsArr), Seq(langCol), "left")
+    // A language with ZERO sampled documents has no boundary row (null
+    // __bs after the left join) — plausible for small languages at low
+    // samplePerMille. Silently treating those as all-head would breach
+    // the "divergence confined to boundary neighborhoods" contract, so
+    // such languages fall back to the EXACT within-language ranking —
+    // cheap by construction (only languages too small to hit the
+    // sample take the rank exchange).
+    val assigned = scored.join(broadcast(boundsArr), Seq(langCol), "left")
+    val covered = assigned.filter(col("__bs").isNotNull)
       .withColumn("bucket", lit(1L) +
-        coalesce(aggregate(col("__bs"), lit(0L),
-          (acc, b) => acc + when(col("fit_q") < b, 1L).otherwise(0L)),
-          lit(0L)))
+        aggregate(col("__bs"), lit(0L),
+          (acc, b) => acc + when(col("fit_q") < b, 1L).otherwise(0L)))
+    val unsampled = GroupRank.withRankAndCount(
+        assigned.filter(col("__bs").isNull)
+          .select(col(idCol), col(langCol), col("fit_q")),
+        Seq(langCol), Seq(col("fit_q").desc, col(idCol).asc), "__rn", "__n")
+      .withColumn("bucket",
+        GroupRank.ntileFromRank(col("__rn"), col("__n"), nBuckets))
+    covered.select(col(idCol), col(langCol), col("fit_q"), col("bucket"))
+      .unionByName(
+        unsampled.select(col(idCol), col(langCol), col("fit_q"),
+          col("bucket")))
       .withColumn("tier", when(col("bucket") === 1, "head")
         .when(col("bucket") === nBuckets, "tail").otherwise("middle"))
       .select(col(idCol), col(langCol), col("fit_q"), col("bucket"),

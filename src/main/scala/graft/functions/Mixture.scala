@@ -36,6 +36,17 @@ import graft.plans.FixLog
   */
 object Mixture {
 
+  /** The max 16.16 log-weight exp2q can exponentiate (exponent 41 —
+    * its documented long-result domain). Accumulated lw is CLAMPED
+    * here before exp2: a clamped domain already holds ~2^41 of the
+    * weight mass (normalization makes it w_ppm ≈ 1e6 regardless), so
+    * saturating is the right semantics — an executor-side require
+    * mid-round is not. Only reachable at large losses × eta × rounds,
+    * far outside the catalog's operating range (oracle parity there is
+    * unaffected).
+    */
+  private val MaxLwQ = 41L * 65536L
+
   def doremiWeights(domainLoss: DataFrame, domainCol: String,
       lossQCol: String, rounds: Int = 4, etaQ: Long = 65536L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -44,10 +55,15 @@ object Mixture {
       .select(col(domainCol), col(lossQCol).cast("long").as("__loss"))
       .withColumn("__lw", lit(0L))
       .withColumn("__w", FixLog.exp2qCol(col("__lw")))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val tot = cur.agg(sum(col("__w")).as("__sw"),
         sum((col("__w").cast("decimal(19,0)") * col("__loss"))
           .cast("decimal(38,0)")).as("__swl"))
+      // checkpoint per round (the bradleyTerry pattern): the self-
+      // referential cross-join otherwise doubles the logical plan each
+      // round — 2^rounds analysis cost for callers passing rounds >> 4
+      val prev = cur
       cur = cur.crossJoin(broadcast(tot))
         // weighted mean loss under the CURRENT weights (integer div)
         .withColumn("__mean",
@@ -55,11 +71,15 @@ object Mixture {
         .withColumn("__exc",
           greatest(col("__loss") - col("__mean"), lit(0L)))
         // eta·excess in 16.16: both are 16.16-scaled quantities when
-        // loss_q is bits·2^16, so the product needs one descale
+        // loss_q is bits·2^16, so the product needs one descale;
+        // saturate at exp2q's domain edge instead of throwing
         .withColumn("__lw",
-          col("__lw") + expr(s"(__exc * $etaQ) div 65536"))
+          least(col("__lw") + expr(s"(__exc * $etaQ) div 65536"),
+            lit(MaxLwQ)))
         .withColumn("__w", FixLog.exp2qCol(col("__lw")))
         .select(col(domainCol), col("__loss"), col("__lw"), col("__w"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prev)
     }
     val norm = cur.agg(sum(col("__w")).as("__sw"))
     cur.crossJoin(broadcast(norm))

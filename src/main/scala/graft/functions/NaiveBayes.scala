@@ -133,19 +133,27 @@ object NaiveBayes {
   }
 
   /** Single-slot session memo of the last scoring chain, keyed by the
-    * canonicalized input plans + column names — the eval layer runs
-    * classify/margin/reliability/calibration/AUC/AP over the SAME
-    * (train, score) pair, and each rebuilt the identical
-    * tokenize-join-score pipeline (measured: the six NB-chain catalog
-    * entries pay ~2 s each at sf0.1 rebuilding it). The checkpointed
-    * result is documents x classes — corpus-sized but narrow; eviction
-    * only DROPS the reference (classify's returned frames are lazy
-    * views over the checkpoint, so an eager unpersist here would break
-    * a caller that holds one — the Suffix-memo lesson; Spark's
-    * ContextCleaner reclaims the blocks once every consumer is GC'd).
+    * canonicalized input plans + column names + SparkContext identity
+    * (via [[PlanMemo]]) — the eval layer runs classify/margin/
+    * reliability/calibration/AUC/AP over the SAME (train, score) pair,
+    * and each rebuilt the identical tokenize-join-score pipeline
+    * (measured: the six NB-chain catalog entries pay ~2 s each at
+    * sf0.1 rebuilding it). The checkpointed result is documents x
+    * classes — corpus-sized but narrow; eviction only DROPS the
+    * reference (classify's returned frames are lazy views over the
+    * checkpoint, so an eager unpersist would break a caller that holds
+    * one — the Suffix-memo lesson; Spark's ContextCleaner reclaims the
+    * blocks once every consumer is GC'd). [[releaseShared]] is the
+    * explicit "no consumers remain" hook, which DOES unpersist.
     */
-  private val memoLock = new Object
-  private var memo: Option[(Seq[Any], DataFrame)] = None
+  private val memo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
+  /** Drop the shared scoring-chain memo and free its checkpoint
+    * storage (callers declare no live frames derived from classify/
+    * classifyWithMargin remain in use). */
+  def releaseShared(): Unit = memo.release()
 
   /** The SHARED scoring chain of [[classify]] and
     * [[classifyWithMargin]]: every (document, class) posterior
@@ -156,19 +164,12 @@ object NaiveBayes {
     */
   private def rankedScores(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String, classCol: String): DataFrame =
-    memoLock.synchronized {
-      val key = Seq(
+    memo.getOrBuild(train.sparkSession, Seq(
         org.apache.spark.sql.GraftBridge.logicalPlan(train).canonicalized,
         org.apache.spark.sql.GraftBridge.logicalPlan(score).canonicalized,
-        idCol, textCol, classCol)
-      memo match {
-        case Some((k, df)) if k == key => df
-        case _ =>
-          val df = rankedScoresUncached(train, score, idCol, textCol,
-            classCol).localCheckpoint(true)
-          memo = Some((key, df))
-          df
-      }
+        idCol, textCol, classCol)) {
+      rankedScoresUncached(train, score, idCol, textCol, classCol)
+        .localCheckpoint(true)
     }
 
   // private[graft]: PlanSpec asserts the scoring chain's plan shape

@@ -1,0 +1,72 @@
+package graft.functions
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-slot, plan-keyed SESSION MEMO for an expensive shared chain
+  * (the pattern behind [[Suffix]]'s rank tables and [[NaiveBayes]]'s
+  * scoring chain, now also the dedup candidate generators): several
+  * catalog entries consume the SAME intermediate — byte-identical work
+  * — and without the memo each rebuilds it from scratch.
+  *
+  * The slot key ALWAYS includes the owning SparkContext's identity
+  * (instance hash + applicationId) in addition to the caller's
+  * canonicalized-plan key: a canonicalized logical plan is stable
+  * across context restarts (and identical between two sessions reading
+  * the same source), but the memoized value holds `localCheckpoint`
+  * RDD blocks that belong to ONE live context — a hit from a restarted
+  * or foreign context would hand back a frame whose blocks no longer
+  * exist and fail at runtime mid-scan. Keying on the context makes
+  * such a hit a miss, so the chain transparently rebuilds.
+  *
+  * Eviction (a different key arrives) and explicit [[release]] run the
+  * caller-supplied free hooks; both are best-effort (a stopped
+  * context's blocks are already gone and unpersisting them throws —
+  * that exception is swallowed, the storage is reclaimed either way).
+  * Eviction frees AFTER the replacement build succeeds, so a failed
+  * build leaves the old slot intact.
+  */
+private[graft] final class PlanMemo[V](
+    freeOnEvict: V => Unit, freeOnRelease: V => Unit) {
+
+  private val lock = new Object
+  private var slot: Option[(Seq[Any], V)] = None
+
+  private def freeQuietly(f: V => Unit, v: V): Unit =
+    try f(v) catch { case NonFatal(_) => () }
+
+  /** The memoized value for `key` under `spark`'s context, building
+    * (and evicting any previous occupant) on miss. `key` should be the
+    * canonicalized input plan(s) plus every parameter that changes the
+    * result — column names, rounds, thresholds.
+    */
+  def getOrBuild(spark: SparkSession, key: Seq[Any])(build: => V): V =
+    lock.synchronized {
+      val sc = spark.sparkContext
+      val full = Seq[Any](System.identityHashCode(sc), sc.applicationId) ++ key
+      slot match {
+        case Some((k, v)) if k == full => v
+        case old =>
+          val v = build
+          old.foreach { case (_, ov) => freeQuietly(freeOnEvict, ov) }
+          slot = Some((full, v))
+          v
+      }
+    }
+
+  /** Drop the slot and free its storage (callers declare no live
+    * consumers of the memoized frames remain). */
+  def release(): Unit = lock.synchronized {
+    slot.foreach { case (_, v) => freeQuietly(freeOnRelease, v) }
+    slot = None
+  }
+
+  /** Whether the slot currently holds a value (test hook). */
+  private[graft] def isOccupied: Boolean = lock.synchronized(slot.nonEmpty)
+}
+
+private[graft] object PlanMemo {
+  /** A memo whose evict and release hooks are the same `free`. */
+  def apply[V](free: V => Unit): PlanMemo[V] = new PlanMemo(free, free)
+}

@@ -59,20 +59,36 @@ object Suffix {
     * r ordering suffixes by their first 2^k tokens. Returned oldest
     * first; every table is checkpointed (they are re-read by the LCP
     * descent and the next round).
+    *
+    * EARLY EXIT (Manber–Myers termination): once the dense pair rank is
+    * a permutation — max rank equals the suffix count, i.e. every
+    * suffix already distinguished by its first 2^k tokens — further
+    * rounds are the identity map, so the loop stops and the remaining
+    * slots alias the converged table. The alias keeps [[lcpAdjacent]]'s
+    * descent contract intact: with all ranks unique, a level-k "ranks
+    * agree" test on two DISTINCT suffixes can never fire (distinct
+    * ranks at the converged level mean they differ within 2^c ≤ 2^k
+    * tokens), so aliased levels credit nothing — exactly what the real
+    * table would do. The max-rank probe is a cheap scan of the
+    * just-materialized checkpoint, and on real text the deepest rounds
+    * are the expensive ones (biggest distinct-pair domains), so
+    * convergence at round c saves the costliest (rounds − c) builds.
     */
   def rankTables(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): Seq[DataFrame] = {
     require(rounds >= 1 && rounds <= 10, s"rounds in [1,10], got $rounds")
     val toks = stream(docs, idCol, textCol).localCheckpoint(true)
+    val n = toks.count()
     val typeRank = denseRankOf(toks.select(col("__tok")).distinct(),
       Seq(col("__tok").asc), "__r")
     var cur = toks.join(typeRank, Seq("__tok"))
       .select(col("__id"), col("__pos"), col("__r"))
       .localCheckpoint(true)
-    val tables = Seq.newBuilder[DataFrame]
-    tables += cur
+    val tables = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
     var span = 1L
-    for (_ <- 1 to rounds) {
+    var converged =
+      n == 0L || cur.agg(max(col("__r"))).head.getLong(0) == n
+    for (_ <- 1 to rounds if !converged) {
       val partner = cur.select(col("__id"),
         (col("__pos") - span).as("__pos"), col("__r").as("__rb"))
       val paired = cur.withColumnRenamed("__r", "__ra")
@@ -87,48 +103,42 @@ object Suffix {
       cur = nxt
       tables += cur
       span *= 2
+      converged = cur.agg(max(col("__r"))).head.getLong(0) == n
     }
+    while (tables.size < rounds + 1) tables += cur
     // every per-round table is eagerly materialized; the raw stream
     // checkpoint has no further reader
     GraftBridge.unpersistCheckpoint(toks)
-    tables.result()
+    tables.toSeq
   }
 
   /** Single-slot session memo of the LAST rank-table build, keyed by
-    * the canonicalized input plan + parameters: [[suffixRanks]] and
-    * [[lcpAdjacent]] share one prefix-doubling pipeline — the rank
-    * tables are byte-identical work, and the two catalog consumers were
-    * the engine's two costliest entries precisely because each rebuilt
-    * all log2(L) checkpointed rounds (measured: 9.9 + 11.7 s at sf0.1
-    * min-of-2 rebuilt, 9.9 + 2.8 s shared). Checkpointed tables are
-    * frozen data, so reuse is sound for the same logical input; the
-    * slot holds one build (evicting unpersists), and [[releaseShared]]
-    * frees it explicitly — at 100 TB the memo is log2(L) corpus-sized
-    * checkpoint files, a deliberate cache, not a leak.
+    * the canonicalized input plan + parameters + SparkContext identity
+    * (via [[PlanMemo]]): [[suffixRanks]] and [[lcpAdjacent]] share one
+    * prefix-doubling pipeline — the rank tables are byte-identical
+    * work, and the two catalog consumers were the engine's two
+    * costliest entries precisely because each rebuilt all log2(L)
+    * checkpointed rounds (measured: 9.9 + 11.7 s at sf0.1 min-of-2
+    * rebuilt, 9.9 + 2.8 s shared). Checkpointed tables are frozen
+    * data, so reuse is sound for the same logical input under the SAME
+    * context; the slot holds one build (evicting unpersists), and
+    * [[releaseShared]] frees it explicitly — at 100 TB the memo is
+    * log2(L) corpus-sized checkpoint files, a deliberate cache, not a
+    * leak.
     */
-  private val memoLock = new Object
-  private var memo: Option[(org.apache.spark.sql.catalyst.plans.logical
-    .LogicalPlan, String, String, Int, Seq[DataFrame])] = None
+  private val memo = PlanMemo[Seq[DataFrame]](
+    _.foreach(GraftBridge.unpersistCheckpoint))
 
   private def sharedRankTables(docs: DataFrame, idCol: String,
-      textCol: String, rounds: Int): Seq[DataFrame] = memoLock.synchronized {
-    val key = GraftBridge.logicalPlan(docs).canonicalized
-    memo match {
-      case Some((k, ic, tc, r, ts))
-          if k == key && ic == idCol && tc == textCol && r == rounds => ts
-      case old =>
-        val ts = rankTables(docs, idCol, textCol, rounds)
-        old.foreach(_._5.foreach(GraftBridge.unpersistCheckpoint))
-        memo = Some((key, idCol, textCol, rounds, ts))
-        ts
+      textCol: String, rounds: Int): Seq[DataFrame] =
+    memo.getOrBuild(docs.sparkSession,
+        Seq(GraftBridge.logicalPlan(docs).canonicalized, idCol, textCol,
+          rounds)) {
+      rankTables(docs, idCol, textCol, rounds)
     }
-  }
 
   /** Drop the shared rank-table memo and free its checkpoint storage. */
-  def releaseShared(): Unit = memoLock.synchronized {
-    memo.foreach(_._5.foreach(GraftBridge.unpersistCheckpoint))
-    memo = None
-  }
+  def releaseShared(): Unit = memo.release()
 
   /** Suffix ranks by the first 2^rounds tokens:
     * (idCol, pos, srank) — dense, deterministic. The result is

@@ -80,8 +80,15 @@ object AudioCodec {
             if (bits == 16) {
               val lo = raw(off) & 0xff
               val hi = raw(off + 1).toInt // signed high byte
-              if (fmt.isBigEndian) ((raw(off).toInt << 8) | (raw(off + 1) & 0xff))
-              else ((hi << 8) | lo)
+              val s =
+                if (fmt.isBigEndian) ((raw(off).toInt << 8) | (raw(off + 1) & 0xff))
+                else ((hi << 8) | lo)
+              // 16-bit unsigned stores sample + 32768; recenter like the
+              // 8-bit path (reading it as signed would flip the waveform's
+              // halves and corrupt energy / zero-crossing stats)
+              if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                (s & 0xffff) - 32768
+              else s
             } else {
               // 8-bit WAV is unsigned by convention; center then widen
               val u = raw(off) & 0xff

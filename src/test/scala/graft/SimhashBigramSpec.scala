@@ -321,6 +321,45 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(agree * 2 >= exact.size, s"only $agree/${exact.size} agree")
   }
 
+  test("lmBucketsSampled: a language absent from the sample falls back " +
+      "to the exact ranking, not all-head") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran", "en"),
+      (2L, "the dog sat on the mat and the dog ran", "en"),
+      (3L, "the cat sat on the mat", "en"),
+      (4L, "the cat zz qq on the mat", "en"),
+      (5L, "zz qq ww the cat ee rr", "en"),
+      (6L, "zz qq ww ee rr tt yy", "en"),
+      (7L, "qq zz tt ww yy rr ee", "en"),
+      (20L, "le chat dort sur le tapis", "fr"),
+      (21L, "le chien dort sur le tapis", "fr"),
+      (22L, "xx vv le chat nn pp", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val lm = LangModel.knBigramProbs(docs, "text")
+    val spm = 1 // essentially guarantees empty per-language samples here
+    val sampledLangs = docs
+      .filter(pmod(graft.functions.Sampling.hashOrder(col("doc_id")),
+        lit(1000L)) < spm)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assume(sampledLangs.size < 2,
+      "fixture must leave at least one language unsampled at spm=1")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("bucket")))).toMap
+    val exact = asMap(
+      LangModel.lmBuckets(docs, "doc_id", "text", "lang", lm))
+    val got = asMap(LangModel.lmBucketsSampled(docs, "doc_id", "text",
+      "lang", lm, samplePerMille = spm))
+    got.foreach { case (id, (lang, bucket)) =>
+      if (!sampledLangs.contains(lang))
+        assert(bucket == exact(id)._2,
+          s"unsampled language $lang must use the exact ranking (doc $id)")
+    }
+    // the pre-fix symptom: every unsampled doc silently head-bucketed
+    assert(got.values.exists(_._2 != 1L),
+      "fallback must not collapse everything to bucket 1")
+  }
+
   test("oovStats: tail tokens count as OOV against the top-V vocabulary") {
     val docs = Seq(
       (1L, "a a a b b rare1"),  // corpus counts: a x4, b x3, rare* x1 each

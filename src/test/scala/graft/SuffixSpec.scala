@@ -66,6 +66,37 @@ class SuffixSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("early exit: all-distinct tokens converge at round 0; padded " +
+      "slots alias the converged table; results unchanged") {
+    val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val tables = Suffix.rankTables(df, "doc_id", "text", rounds = 5)
+    assert(tables.size == 6, "contract: rounds + 1 tables")
+    assert(tables.tail.forall(_ eq tables.head),
+      "all-distinct tokens are fully ranked at round 0 — later slots " +
+        "must alias, not rebuild")
+    val got = Suffix.suffixRanks(df, "doc_id", "text", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == bruteRanks(docs))
+    // no repeated substrings → every adjacent LCP is 0
+    val lcps = Suffix.lcpAdjacent(df, "doc_id", "text", rounds = 5)
+      .agg(max(col("lcp"))).head.getLong(0)
+    assert(lcps == 0L)
+  }
+
+  test("early exit mid-ladder: planted repeat still measured exactly") {
+    val docs = Seq((1L, "a b c a b d e f g h"))
+    val df = docs.toDF("doc_id", "text")
+    val tables = Suffix.rankTables(df, "doc_id", "text", rounds = 5)
+    assert(tables.size == 6)
+    assert(tables(5) eq tables(4),
+      "10 distinct-by-4-tokens suffixes converge before round 5")
+    val got = Suffix.lcpAdjacent(df, "doc_id", "text", rounds = 5)
+      .filter(col("lcp") > 0).collect()
+    assert(got.length == 2, "'a b' and 'b' adjacent repeats")
+    assert(got.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("longestRepeats recovers a planted cross-doc phrase, capped at 31") {
     val filler1 = (1 to 40).map(i => s"x$i").mkString(" ")
     val filler2 = (1 to 40).map(i => s"y$i").mkString(" ")
