@@ -812,25 +812,40 @@ object SparkEntry {
     // quantiles — the constant-memory cardinality/quantile path for 100 TB
     // (exact countDistinct shuffles every distinct value; these don't).
     // Approximation results are engine-specific, so this entry has no
-    // DuckDB oracle (driver records the weaker rows-only check); the
-    // sketch error bound is asserted in the test suite instead.
-    // DECISION (r6, closing the 123-vs-124 asterisk): stays rows-only BY
-    // DESIGN. The sketches' exact counterparts are already hash-gated
-    // (q_count_distinct, q_median), so correctness of the underlying
-    // quantities is oracle-covered; DedupVecSpec asserts the sketch
-    // values land within the configured error of those exact values.
-    // Hashing a bucketized error column instead would gate Spark's
-    // HLL++/KLL implementation details, not this library's behavior.
+    // Sketch-based stats report, per return flag: approximate distinct
+    // parts from the HOUSE deterministic HLL (integer-exact registers,
+    // one final double division — q_hll_card's estimator) and
+    // approximate price quantiles from an equi-width HISTOGRAM sketch
+    // (bin width 1024 — a power of two, so the double division and
+    // floor are bit-exact in both engines; estimate = lower edge of
+    // the first bin whose cumulative count reaches ceil(q·n), integer
+    // comparison only). Re-expressed in round 8 from Spark's built-in
+    // approx_count_distinct / percentile_approx — whose internal
+    // HLL++/KLL states can't be replayed cross-engine — so this entry
+    // now HASH-GATES like everything else (the built-ins stay covered
+    // by SketchSpec's error-bound asserts). Scale shape: registers and
+    // bins are partial-aggregable groupBys; the cumulative window
+    // rides the ~103-bin bounded domain, never corpus rows.
     "q_sketch_stats" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
-            .as("p99_price"))
-        .orderBy(col("l_returnflag"))
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_partkey").cast("long").as("tid"), col("l_extendedprice"))
+      val regs = graft.functions.Sketch.hllRegisters(
+        li.select(col("grp"), col("tid")), "tid", Seq("grp"))
+      val est = graft.functions.Sketch.hllEstimate(regs, Seq("grp"))
+        .select(col("grp"), round(col("est"), 6).as("approx_parts"))
+      val binned = li
+        .withColumn("bin", floor(col("l_extendedprice") / 1024.0).cast("long"))
+        .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
+      val tot = binned.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      val cum = binned.join(tot, Seq("grp"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("grp")).orderBy(col("bin"))))
+      def qEst(pct: Long, as: String) = cum
+        .filter(col("cum") * 100L >= col("n") * pct)
+        .groupBy(col("grp")).agg((min(col("bin")) * 1024L).as(as))
+      est.join(qEst(50L, "p50_est"), Seq("grp"))
+        .join(qEst(99L, "p99_est"), Seq("grp"))
+        .orderBy(col("grp"))
     },
 
     // Count-min sketch CONTENT (d=4 rows × w=64 buckets over the corpus
@@ -2907,6 +2922,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // Sampled-threshold winsorization — the 100 TB path: clip
+    // boundaries fitted as order statistics of a 40% deterministic
+    // hash sample per event type, every row clipped scan-stage against
+    // the broadcast threshold table (no corpus-wide rank). Mixer,
+    // ceil-rank boundaries, and the empty-sample exact fallback replay
+    // exactly in the oracle.
+    "q_winsorize_sampled" -> { (s, d) =>
+      graft.functions.Robust.winsorizeSampled(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+          "event_type", "cents", "event_id",
+          loBps = 500, hiBps = 9500, samplePerMille = 400)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("lo_clip"), col("hi_clip"), col("winsorized"))
+        .orderBy(col("event_id"))
+    },
+
     // Bradley-Terry preference fitting (the RLHF reward-data /
     // leaderboard model): deterministic comparisons synthesized from
     // the corpus (doc i vs i+50, longer text wins, ties to the lower
@@ -3443,6 +3475,36 @@ object SparkEntry {
                 - CAST(n_exact AS DOUBLE))
               / CAST(n_exact AS DOUBLE) * 10000.0) AS BIGINT) AS err_bp
           FROM ex JOIN s USING (grp) ORDER BY grp""",
+
+    "q_sketch_stats" ->
+      s"""WITH t AS (SELECT l_returnflag AS grp, CAST(l_partkey AS BIGINT) AS tid,
+              l_extendedprice FROM lineitem),
+          h AS (SELECT grp, tid, ${duckMixOf("tid")} AS y FROM t),
+          r AS (SELECT grp, y % 64 AS reg, y // 64 AS rem FROM h),
+          rk AS (SELECT grp, reg, ${duckHllRankCase("rem")} AS rank FROM r),
+          regs AS (SELECT grp, reg, max(rank) AS m_j FROM rk GROUP BY 1, 2),
+          occ AS (SELECT grp,
+            SUM(CAST(1 AS BIGINT) << (26 - m_j)) AS s_occ,
+            CAST(count(*) AS BIGINT) AS n_reg FROM regs GROUP BY 1),
+          s AS (SELECT grp,
+            s_occ + (64 - n_reg) * (CAST(1 AS BIGINT) << 26) AS s_scaled
+            FROM occ),
+          b AS (SELECT grp,
+            CAST(floor(l_extendedprice / 1024.0) AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+          n AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM b GROUP BY 1),
+          cm AS (SELECT grp, bin,
+            CAST(SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum
+            FROM b),
+          q50 AS (SELECT cm.grp, min(bin) * 1024 AS p50_est
+            FROM cm JOIN n USING (grp) WHERE cum * 100 >= n * 50 GROUP BY 1),
+          q99 AS (SELECT cm.grp, min(bin) * 1024 AS p99_est
+            FROM cm JOIN n USING (grp) WHERE cum * 100 >= n * 99 GROUP BY 1)
+          SELECT s.grp,
+            round(0.709 * 274877906944.0 / CAST(s_scaled AS DOUBLE), 6)
+              AS approx_parts,
+            p50_est, p99_est
+          FROM s JOIN q50 USING (grp) JOIN q99 USING (grp) ORDER BY grp""",
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
@@ -6703,6 +6765,43 @@ object SparkEntry {
             th.hi AS hi_clip,
             least(greatest(e.cents, th.lo), th.hi) AS winsorized
           FROM e JOIN th USING (event_type) ORDER BY event_id""",
+
+    "q_winsorize_sampled" ->
+      s"""WITH e AS (SELECT event_id, event_type,
+            CAST(round("value" * 100, 0) AS BIGINT) AS cents FROM events),
+          smp AS (SELECT * FROM e
+            WHERE ${duckMixOf("event_id")} % 1000 < 400),
+          r AS (SELECT event_type, cents,
+            row_number() OVER (PARTITION BY event_type ORDER BY cents)
+              AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n FROM smp
+            WHERE cents IS NOT NULL),
+          th AS (SELECT event_type,
+            max(CASE WHEN rn = greatest(1, (n * 500 + 9999) // 10000)
+              THEN cents END) AS lo,
+            max(CASE WHEN rn = greatest(1, (n * 9500 + 9999) // 10000)
+              THEN cents END) AS hi
+            FROM r GROUP BY 1),
+          miss AS (SELECT DISTINCT event_type FROM e
+            WHERE event_type NOT IN (SELECT event_type FROM th)),
+          rx AS (SELECT e.event_type, cents,
+            row_number() OVER (PARTITION BY e.event_type ORDER BY cents)
+              AS rn,
+            count(*) OVER (PARTITION BY e.event_type) AS n
+            FROM e JOIN miss USING (event_type)
+            WHERE cents IS NOT NULL),
+          thx AS (SELECT event_type,
+            max(CASE WHEN rn = greatest(1, (n * 500 + 9999) // 10000)
+              THEN cents END) AS lo,
+            max(CASE WHEN rn = greatest(1, (n * 9500 + 9999) // 10000)
+              THEN cents END) AS hi
+            FROM rx GROUP BY 1),
+          tha AS (SELECT * FROM th UNION ALL SELECT * FROM thx)
+          SELECT e.event_id, e.event_type, e.cents, t.lo AS lo_clip,
+            t.hi AS hi_clip,
+            CASE WHEN e.cents IS NULL THEN NULL
+              ELSE least(greatest(e.cents, t.lo), t.hi) END AS winsorized
+          FROM e LEFT JOIN tha t USING (event_type) ORDER BY event_id""",
 
     // Six unrolled MM rounds: per-pair truncating term divisions,
     // per-item win/denominator update, mean-2^20 renormalization —

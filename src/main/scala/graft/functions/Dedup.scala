@@ -800,7 +800,33 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Single-slot session memo of the last n-gram-Jaccard pair build
+    * ([[PlanMemo]]): THREE catalog consumers (the pair listing, the
+    * 2-core peel, the blocker-recall truth side) run the identical
+    * shingle→df-cap→self-join→verify pipeline over the same corpus;
+    * the memoized result is the VERIFIED pair set — bounded output,
+    * far smaller than the postings it came from — so sharing it is a
+    * cache of the artifact, not of a corpus-sized intermediate.
+    * Eviction drops the reference only (consumers hold lazy views —
+    * the NB-memo policy); [[releasePairMemos]] frees explicitly.
+    */
+  private val njMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame =
+    njMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        idCol, textCol, n, minJaccard, dfCap)) {
+      ngramJaccardPairsUncached(docs, idCol, textCol, n, minJaccard, dfCap)
+        .localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain —
+  // the memoized entry point's visible plan is just the checkpoint scan
+  private[graft] def ngramJaccardPairsUncached(docs: DataFrame,
+      idCol: String, textCol: String,
       n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
     // The RAW shingle-set table is deliberately NOT persisted: with the
     // compiled HashedShingles generator, recomputing the
@@ -904,8 +930,35 @@ object Dedup {
     * verifier ([[verifyJaccardArrays]], [[verifyEditDistance]]) — SNM is
     * a candidate generator, not a match decision.
     */
+  /** Single-slot session memo of the last SNM candidate build
+    * ([[PlanMemo]]): SEVEN catalog consumers (pair listing, edit-
+    * distance verify, blocker recall, label propagation, PPR,
+    * triangles, common neighbors) run the identical rank+window
+    * pipeline over the same (corpus, key, window); the memoized result
+    * is the (window−1)·n candidate set — linear by construction.
+    * Eviction drops the reference only (consumers hold lazy views);
+    * [[releasePairMemos]] frees explicitly.
+    */
+  private val snmMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
+  /** Drop the shared candidate-pair memos (SNM + n-gram Jaccard) and
+    * free their checkpoint storage. */
+  def releasePairMemos(): Unit = { snmMemo.release(); njMemo.release() }
+
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, key: Column,
-      window: Int): DataFrame = {
+      window: Int): DataFrame =
+    snmMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        idCol, key.toString, window)) {
+      sortedNeighborhoodPairsUncached(docs, idCol, key, window)
+        .localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain
+  private[graft] def sortedNeighborhoodPairsUncached(docs: DataFrame,
+      idCol: String, key: Column, window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val keyed = docs.select(col(idCol), key.as("__snmkey"))
       .withColumn("__snmall", lit(1))

@@ -153,7 +153,43 @@ object LangModel {
     * asserts). The per-group N_pairs table is group-count-sized and
     * rides in as a broadcast equi-join instead of the 1-row cross join.
     */
+  /** Session memos ([[PlanMemo]]) for the KN chain's three shared
+    * stages — SIX catalog entries (lm_fit, perplexity, the three
+    * bucket variants, doremi) rebuilt the identical train/score
+    * pipelines over the same corpus. Capacity 2 where consumers
+    * ALTERNATE between the corpus-wide and per-language keys (a single
+    * slot would thrash on the q_lm_buckets → _perlang → _sampled run
+    * order). Eviction drops references only (consumers hold lazy
+    * views); [[releaseKnMemos]] frees explicitly.
+    */
+  private val lmMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 3) // corpus-wide, per-language, and held-out-half LMs
+  private val scoreMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 2)
+  private val ppMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
+  /** Drop the shared KN-chain memos and free their checkpoint storage. */
+  def releaseKnMemos(): Unit = {
+    lmMemo.release(); scoreMemo.release(); ppMemo.release()
+  }
+
   def knBigramProbs(docs: DataFrame, textCol: String,
+      minCount: Long = 1L, groupCols: Seq[String] = Nil): DataFrame =
+    lmMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        textCol, minCount, groupCols)) {
+      knBigramProbsUncached(docs, textCol, minCount, groupCols)
+        .localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain
+  private[graft] def knBigramProbsUncached(docs: DataFrame, textCol: String,
       minCount: Long = 1L, groupCols: Seq[String] = Nil): DataFrame = {
     val dec = "decimal(38,0)"
     val gc = groupCols.map(col)
@@ -303,7 +339,19 @@ object LangModel {
     * against its group's standalone table.
     */
   def knScoreDocs(docs: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+      lm: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    scoreMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(lm).canonicalized,
+        idCol, textCol, groupCols)) {
+      knScoreDocsUncached(docs, idCol, textCol, lm, groupCols)
+        .localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain
+  private[graft] def knScoreDocsUncached(docs: DataFrame, idCol: String,
+      textCol: String, lm: DataFrame,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val gc = groupCols.map(col)
     val pairs = adjacentPairs(
       docs.select(Seq(col(idCol)) ++ gc :+ col(textCol): _*),
@@ -343,7 +391,17 @@ object LangModel {
     * 2^16, bits its rounded double rendering.
     */
   def perplexityBits(docs: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame): DataFrame = {
+      lm: DataFrame): DataFrame =
+    ppMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(lm).canonicalized,
+        idCol, textCol)) {
+      perplexityBitsUncached(docs, idCol, textCol, lm).localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain
+  private[graft] def perplexityBitsUncached(docs: DataFrame, idCol: String,
+      textCol: String, lm: DataFrame): DataFrame = {
     val pairs = adjacentPairs(docs.select(col(idCol), col(textCol)),
       textCol, Seq(idCol))
     val scale = graft.plans.FixLog.log2q(1000000000L)

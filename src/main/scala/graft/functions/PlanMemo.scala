@@ -28,42 +28,54 @@ import org.apache.spark.sql.SparkSession
   * build leaves the old slot intact.
   */
 private[graft] final class PlanMemo[V](
-    freeOnEvict: V => Unit, freeOnRelease: V => Unit) {
+    freeOnEvict: V => Unit, freeOnRelease: V => Unit,
+    capacity: Int = 1) {
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
 
   private val lock = new Object
-  private var slot: Option[(Seq[Any], V)] = None
+  // MRU first; at most `capacity` entries. capacity > 1 exists for
+  // call sites whose consumers ALTERNATE between a small number of
+  // keys (e.g. the corpus-wide and per-language KN chains) — a single
+  // slot would thrash, rebuilding on every alternation.
+  private var slots: List[(Seq[Any], V)] = Nil
 
   private def freeQuietly(f: V => Unit, v: V): Unit =
     try f(v) catch { case NonFatal(_) => () }
 
   /** The memoized value for `key` under `spark`'s context, building
-    * (and evicting any previous occupant) on miss. `key` should be the
-    * canonicalized input plan(s) plus every parameter that changes the
-    * result — column names, rounds, thresholds.
+    * (and evicting the least-recently-used occupant past capacity) on
+    * miss. `key` should be the canonicalized input plan(s) plus every
+    * parameter that changes the result — column names, rounds,
+    * thresholds.
     */
   def getOrBuild(spark: SparkSession, key: Seq[Any])(build: => V): V =
     lock.synchronized {
       val sc = spark.sparkContext
       val full = Seq[Any](System.identityHashCode(sc), sc.applicationId) ++ key
-      slot match {
-        case Some((k, v)) if k == full => v
-        case old =>
+      slots.find(_._1 == full) match {
+        case Some(hit @ (_, v)) =>
+          slots = hit :: slots.filterNot(_ eq hit)
+          v
+        case None =>
           val v = build
-          old.foreach { case (_, ov) => freeQuietly(freeOnEvict, ov) }
-          slot = Some((full, v))
+          slots = (full, v) :: slots
+          if (slots.size > capacity) {
+            freeQuietly(freeOnEvict, slots.last._2)
+            slots = slots.init
+          }
           v
       }
     }
 
-  /** Drop the slot and free its storage (callers declare no live
+  /** Drop every slot and free its storage (callers declare no live
     * consumers of the memoized frames remain). */
   def release(): Unit = lock.synchronized {
-    slot.foreach { case (_, v) => freeQuietly(freeOnRelease, v) }
-    slot = None
+    slots.foreach { case (_, v) => freeQuietly(freeOnRelease, v) }
+    slots = Nil
   }
 
-  /** Whether the slot currently holds a value (test hook). */
-  private[graft] def isOccupied: Boolean = lock.synchronized(slot.nonEmpty)
+  /** Whether any slot currently holds a value (test hook). */
+  private[graft] def isOccupied: Boolean = lock.synchronized(slots.nonEmpty)
 }
 
 private[graft] object PlanMemo {

@@ -110,6 +110,64 @@ object Robust {
             least(greatest(col(valueCol), col("lo_clip")), col("hi_clip"))))
   }
 
+  /** SAMPLED-THRESHOLD winsorization — the 100 TB form of [[winsorize]]
+    * and the CCNet-mechanics generalization proven out by
+    * [[LangModel.lmBucketsSampled]]: instead of ranking EVERY value
+    * within its group (a corpus-wide range exchange), rank only a
+    * deterministic hash sample ([[Sampling.hashOrder]] mod 1000 <
+    * samplePerMille — the exact cross-engine mixer), read the
+    * [loBps, hiBps] clip boundaries as the SAMPLE's ceil-rank order
+    * statistics, and clip every row SCAN-STAGE against the broadcast
+    * (group, lo_clip, hi_clip) table. Per-row cost is flat in corpus
+    * size: one broadcast probe + least/greatest — no rank exchange
+    * over the population.
+    *
+    * Exactness contract: at samplePerMille = 1000 the sample IS the
+    * population, so thresholds — and therefore every clipped value —
+    * equal [[winsorize]]'s exactly (spec-pinned). Below 1000 the
+    * boundaries carry order-statistic sampling error; divergence from
+    * exact is confined to rows between the true and sampled
+    * thresholds. A group with ZERO sampled non-null values falls back
+    * to the exact ranking over its own rows (cheap by construction:
+    * only groups too small to hit the sample take the rank exchange) —
+    * the [[LangModel.lmBucketsSampled]] empty-sample rule.
+    *
+    * Output: input columns + (lo_clip, hi_clip, winsorized); NULL
+    * values pass through unclipped, like [[winsorize]].
+    */
+  def winsorizeSampled(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, loBps: Int, hiBps: Int,
+      samplePerMille: Int = 100): DataFrame = {
+    require(loBps >= 1 && hiBps <= 10000 && loBps < hiBps,
+      s"need 1 <= loBps < hiBps <= 10000, got [$loBps, $hiBps]")
+    require(samplePerMille >= 1 && samplePerMille <= 1000,
+      s"samplePerMille must be in [1, 1000], got $samplePerMille")
+    def rankAt(bps: Int) = greatest(lit(1L),
+      GroupRank.intDiv(col("__n") * bps + lit(9999L), lit(10000L)))
+    def thresholdsOf(src: DataFrame) = GroupRank.withRankAndCount(
+        src.select(col(groupCol), col(valueCol))
+          .filter(col(valueCol).isNotNull),
+        Seq(groupCol), Seq(col(valueCol).asc), "__rn", "__n")
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("__rn") === rankAt(loBps), col(valueCol)))
+          .as("lo_clip"),
+        max(when(col("__rn") === rankAt(hiBps), col(valueCol)))
+          .as("hi_clip"))
+    val sampled = thresholdsOf(df.filter(
+      pmod(Sampling.hashOrder(col(idCol)), lit(1000L)) < samplePerMille))
+    // groups the sample missed: exact thresholds over their own rows
+    val missing = df.select(col(groupCol)).distinct()
+      .join(sampled.select(col(groupCol)), Seq(groupCol), "left_anti")
+    val fallback = thresholdsOf(df.join(broadcast(missing), Seq(groupCol)))
+    val thresholds = sampled.unionByName(fallback)
+    df.join(broadcast(thresholds), Seq(groupCol), "left")
+      .withColumn("winsorized",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(
+            least(greatest(col(valueCol), col("lo_clip")), col("hi_clip"))))
+  }
+
   /** Per-row robust outlier flags for `valueCol` within `groupCol`
     * groups: a row is an outlier when |x − median| > k · MAD. With
     * MAD = 0 (more than half the group shares the median) any deviation

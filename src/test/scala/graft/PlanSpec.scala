@@ -240,14 +240,62 @@ class PlanSpec extends AnyFunSuite {
 
   test("lm buckets: pruned scans, equi-joined LM table, two-level rank") {
     val p = plan("q_lm_buckets")
-    // scoring reads (doc_id, text); the lang join reads (doc_id, lang)
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the scoring chain is memoized (checkpoint scan in the visible
+    // plan); the lang join and the bucketing rank remain visible
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the tier cut is NTILE arithmetic over the two-level rank — the
     // window-function ntile (one sort task per language) must be gone
     assert(!p.contains("ntile"), p)
     assert(p.contains("__grshard"), p)
+    // the underlying scoring chain (the NB/snm memo pattern): pruned
+    // (doc_id, text) scan, equi-joined LM table, no cartesian product
+    val docs = Tables.documents(spark, d)
+    val up = graft.functions.LangModel.knScoreDocsUncached(docs,
+        "doc_id", "text",
+        graft.functions.LangModel.knBigramProbs(docs, "text"))
+      .queryExecution.executedPlan.toString
+    assert(up.contains("ReadSchema: struct<doc_id:bigint,text:string>"), up)
+    assert(!up.contains("CartesianProduct"), up)
+    assert(up.contains("SortMergeJoin") || up.contains("ShuffledHashJoin") ||
+      up.contains("BroadcastHashJoin"), up)
+  }
+
+  test("shared chains memoize: one build per (input, params) per session") {
+    val docs = Tables.documents(spark, d)
+    import org.apache.spark.sql.functions.{col => c, lower, substring}
+    // same logical input twice -> the SAME checkpointed frame (eq, not
+    // just equal plans): the chain built once
+    val s1 = graft.functions.Dedup.sortedNeighborhoodPairs(
+      Tables.documents(spark, d), "doc_id",
+      lower(substring(c("text"), 1, 30)), window = 5)
+    val s2 = graft.functions.Dedup.sortedNeighborhoodPairs(
+      Tables.documents(spark, d), "doc_id",
+      lower(substring(c("text"), 1, 30)), window = 5)
+    assert(s1 eq s2, "SNM candidate build must be shared across entries")
+    val j1 = graft.functions.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, d), "doc_id", "text", 3, 0.2, 100000L)
+    val j2 = graft.functions.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, d), "doc_id", "text", 3, 0.2, 100000L)
+    assert(j1 eq j2, "n-gram pair build must be shared across entries")
+    val l1 = graft.functions.LangModel.knBigramProbs(docs, "text")
+    val l2 = graft.functions.LangModel.knBigramProbs(
+      Tables.documents(spark, d), "text")
+    assert(l1 eq l2, "KN LM table must be shared across entries")
+    val f1 = graft.functions.LangModel.knScoreDocs(docs, "doc_id", "text", l1)
+    val f2 = graft.functions.LangModel.knScoreDocs(
+      Tables.documents(spark, d), "doc_id", "text", l2)
+    assert(f1 eq f2, "KN scoring chain must be shared across entries")
+    val p1 = graft.functions.LangModel.perplexityBits(docs, "doc_id",
+      "text", l1)
+    val p2 = graft.functions.LangModel.perplexityBits(docs, "doc_id",
+      "text", l2)
+    assert(p1 eq p2, "perplexity chain must be shared across entries")
+    // a DIFFERENT parameterization is a different build, not a hit
+    val s3 = graft.functions.Dedup.sortedNeighborhoodPairs(
+      Tables.documents(spark, d), "doc_id",
+      lower(substring(c("text"), 1, 30)), window = 4)
+    assert(!(s3 eq s1))
   }
 
   test("group-ranked operators: no single-task group sort remains") {

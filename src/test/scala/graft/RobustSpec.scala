@@ -109,4 +109,44 @@ class RobustSpec extends AnyFunSuite {
       out(("a", Some(v.toLong)))._3.get.asInstanceOf[Long])
     assert(ws == ws.sorted)
   }
+
+  test("winsorizeSampled: full sample equals exact winsorize; unsampled " +
+      "groups fall back to their exact thresholds") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i =>
+        (i.toLong, if (i % 2 == 0) "a" else "b", rnd.nextInt(1000).toLong))
+      .toDF("id", "g", "v")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("lo_clip"), col("hi_clip"), col("winsorized"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val exact = asMap(Robust.winsorize(df, "g", "v", 500, 9500))
+    // samplePerMille = 1000: the sample IS the population — thresholds
+    // and every clipped value must be identical
+    val full = asMap(
+      Robust.winsorizeSampled(df, "g", "v", "id", 500, 9500, 1000))
+    assert(full == exact)
+    // a 40% sample: clipping stays monotone and threshold-bounded
+    val part = asMap(
+      Robust.winsorizeSampled(df, "g", "v", "id", 500, 9500, 400))
+    part.foreach { case (_, (lo, hi, w)) =>
+      assert(w >= lo && w <= hi)
+    }
+    // a group too small to hit a 1-per-mille sample uses its EXACT
+    // thresholds (not null, not another group's)
+    val tiny = df.unionByName(
+      Seq((100001L, "z", 5L), (100002L, "z", 50L), (100003L, "z", 500L))
+        .toDF("id", "g", "v"))
+    val spm1 = Robust.winsorizeSampled(tiny, "g", "v", "id", 500, 9500, 1)
+      .filter(col("g") === "z")
+      .select(col("id"), col("lo_clip"), col("hi_clip"), col("winsorized"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val zExact = Robust.winsorize(
+        tiny.filter(col("g") === "z"), "g", "v", 500, 9500)
+      .select(col("id"), col("lo_clip"), col("hi_clip"), col("winsorized"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(spm1 == zExact)
+  }
 }
