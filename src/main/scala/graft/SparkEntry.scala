@@ -2844,6 +2844,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF-PQ — the composed 100 TB ANN serving layout (FAISS IVFPQ,
+    // Jégou et al. 2011), in-plan form under the hash gate: coarse
+    // probe prunes to 3 cells, ADC scores the PQ reconstructions
+    // inside them (4 subspaces × 16 dims, 8 codewords, 2 k-means
+    // iters), top-10 ADC shortlist, exact-cosine rerank to top-5. The
+    // PERSISTED form (codes partitioned by cell, probes read only
+    // probed partitions through the broadcast codebook) is
+    // VecIndex.writeIvfPqIndex/ivfPqProbeIndexed, spec-verified in
+    // IvfIndexSpec against this chain's ADC ranks.
+    "q_ivfpq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nProbe = 3, cellCol = "label", m = 4, subDim = 16, kCodes = 8,
+          iters = 2, shortlist = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Recall@5 of the full IVF-PQ ladder against the exact cosine
+    // top-5 — the serving-quality grade for the composed index, beside
+    // q_ann_recall's IVF-flat number: what the cell pruning AND the
+    // code quantization together cost in recall.
+    "q_ivfpq_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      graft.functions.Eval.topkRecall(
+          Vec.ivfPqTopK(emb, qs, k = 5, nProbe = 3, cellCol = "label",
+            m = 4, subDim = 16, kCodes = 8, iters = 2, shortlist = 10),
+          Vec.bruteForceTopK(qs, emb, k = 5),
+          "query_id", "neighbor_id")
+        .orderBy(col("query_id"))
+    },
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length here; decode/feature-extraction is exercised in the test
     // suite with a stubbed decoder).
@@ -6633,6 +6665,146 @@ object SparkEntry {
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
           SELECT query_id, neighbor_id, sim, "rank" FROM fin
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_ivfpq_topk" -> {
+      val dotSql = duckDotSql _
+      // q_pq_adc's per-subspace codebook/reconstruction stages + the
+      // q_ivf_topk probe: ADC candidates restricted to probed cells,
+      // top-10 shortlist, exact rerank to top-5.
+      val subs = (0 until 4).map { s =>
+        val lo = s * 16 + 1
+        s"""s$s AS (SELECT vec_id, embedding[$lo:${lo + 15}] AS embedding
+            FROM embeddings),
+            ${duckKmeansStages(s"s$s", s"p$s", 8)}"""
+      }.mkString(",\n")
+      val cbU = (0 until 4).map(s =>
+        s"SELECT $s AS subspace, cell, cvec FROM p${s}c1").mkString(" UNION ALL ")
+      val cdU = (0 until 4).map(s =>
+        s"SELECT vec_id, $s AS subspace, cell FROM p${s}a2").mkString(" UNION ALL ")
+      s"""WITH $subs,
+          cb AS ($cbU),
+          cd AS ($cdU),
+          rcn AS (SELECT cd.vec_id,
+            flatten(list(cb.cvec ORDER BY cd.subspace)) AS embedding
+            FROM cd JOIN cb ON cb.subspace = cd.subspace AND cb.cell = cd.cell
+            GROUP BY cd.vec_id),
+          rce AS (SELECT r.vec_id, e.label, r.embedding
+            FROM rcn r JOIN embeddings e USING (vec_id)),
+          ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN rce e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          sl AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
+            WHERE rk <= 10),
+          rr AS (SELECT s.query_id, s.neighbor_id,
+            round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
+            FROM sl s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          fin AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          SELECT query_id, neighbor_id, sim, "rank" FROM fin
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_ivfpq_recall" -> {
+      val dotSql = duckDotSql _
+      // the q_ivfpq_topk chain (through fin) intersected per query with
+      // the exact cosine top-5 (px/rx), q_ann_recall's grade arithmetic
+      val subs = (0 until 4).map { s =>
+        val lo = s * 16 + 1
+        s"""s$s AS (SELECT vec_id, embedding[$lo:${lo + 15}] AS embedding
+            FROM embeddings),
+            ${duckKmeansStages(s"s$s", s"p$s", 8)}"""
+      }.mkString(",\n")
+      val cbU = (0 until 4).map(s =>
+        s"SELECT $s AS subspace, cell, cvec FROM p${s}c1").mkString(" UNION ALL ")
+      val cdU = (0 until 4).map(s =>
+        s"SELECT vec_id, $s AS subspace, cell FROM p${s}a2").mkString(" UNION ALL ")
+      s"""WITH $subs,
+          cb AS ($cbU),
+          cd AS ($cdU),
+          rcn AS (SELECT cd.vec_id,
+            flatten(list(cb.cvec ORDER BY cd.subspace)) AS embedding
+            FROM cd JOIN cb ON cb.subspace = cd.subspace AND cb.cell = cd.cell
+            GROUP BY cd.vec_id),
+          rce AS (SELECT r.vec_id, e.label, r.embedding
+            FROM rcn r JOIN embeddings e USING (vec_id)),
+          ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN rce e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          sl AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
+            WHERE rk <= 10),
+          rr AS (SELECT s.query_id, s.neighbor_id,
+            round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS sim
+            FROM sl s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          ra AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM rr)
+            WHERE rk <= 5),
+          px AS (SELECT query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("qv", "e.embedding")} /
+              (sqrt(${dotSql("qv", "qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+          rx AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM px)
+            WHERE rk <= 5),
+          kt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_true
+            FROM rx GROUP BY 1),
+          ht AS (SELECT ra.query_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM ra JOIN rx ON rx.query_id = ra.query_id
+              AND rx.neighbor_id = ra.neighbor_id GROUP BY 1)
+          SELECT kt.query_id, kt.k_true,
+            coalesce(ht.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+            ${duckPpm("coalesce(ht.n_hit, 0)", "kt.k_true")} AS recall_ppm
+          FROM kt LEFT JOIN ht USING (query_id) ORDER BY query_id"""
     },
 
     "q_ivf_quant" -> {

@@ -541,6 +541,84 @@ object Vec {
     ivfTopK(assigned, queries, k, nProbe, "cell", idCol, vecCol, excludeSelf)
   }
 
+  /** IVF-PQ serving (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search" — the standard 100 TB ANN layout): the
+    * coarse probe prunes to nProbe cells, candidates inside them are
+    * scored by ADC — asymmetric distance computation, the query against
+    * each candidate's PQ RECONSTRUCTION. Scoring against the
+    * reconstruction IS the m-lookup ADC table sum (dot(q, recon) =
+    * Σ_s dot(q_s, codeword_s), exactly, because the engine's dot
+    * products accumulate decimal-exact — order-free), so the relational
+    * form and the LUT form are the same number. The ADC shortlist
+    * (top `shortlist` per query) is reranked with exact float cosine to
+    * top-k — the refine step that repairs quantization-induced ordering
+    * drift inside the shortlist.
+    *
+    * At rest the probed data is CODES — m·log2(kCodes) bits per vector
+    * (m·ceil bytes here) — which is what makes the layout an index: the
+    * persisted form ([[VecIndex.writeIvfPqIndex]]) stores codes
+    * partitioned by cell and reads only probed partitions; only the
+    * shortlist ever touches exact floats.
+    *
+    * Output: (query_id, neighbor_id, sim, rank) — sim the exact rerank
+    * cosine, rank ≤ k.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      cellCol: String, m: Int, subDim: Int, kCodes: Int, iters: Int,
+      shortlist: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val (codes, codebook) =
+      Quant.pqModel(corpus, m, subDim, kCodes, iters, idCol, vecCol)
+    val recon = Quant.pqReconstruct(codes, codebook, idCol)
+      .withColumnRenamed("embedding", "__rv")
+      .join(corpus.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+
+    // coarse probe: exact-corpus centroids, same plan as ivfTopK
+    val centroids = groupCentroids(
+      corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nq"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("nq"), col("cell"))
+
+    // ADC within the probed cells only
+    val c = recon.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("__rv"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col("__rv"), col("__rv")))
+        .as("nc"))
+    val joined = probed.join(c, Seq("cell"))
+    val candidates =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val sl = candidates
+      .withColumn("__adc", pairSim(col("qv"), col("__rv"), col("nq"), col("nc")))
+      .withColumn("__srk", row_number().over(wAdc))
+      .filter(col("__srk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact rerank of the shortlist (shortlist·|queries| rows only);
+    // query vectors come from the QUERY frame (external query sets
+    // need not exist in the corpus)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qe"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sl.join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("__qe"), col("__ne")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** SemDedup-style candidate pairs: cosine near-dups WITHIN k-means
     * cells only. The cell equi-join replaces the all-pairs product, so
     * compute is sum-of-cell-squares instead of corpus² — the scale-safe

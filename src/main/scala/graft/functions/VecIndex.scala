@@ -144,6 +144,90 @@ object VecIndex {
     splits
   }
 
+  /** Write `corpus` as a PERSISTED IVF-PQ index under `path` — the
+    * standard 100 TB ANN serving layout (FAISS's IVFPQ, Jégou et al.
+    * 2011): at rest the corpus is PQ CODES partitioned by coarse cell
+    * (m rows of (id, subspace, code) per vector — m·log2(kCodes) bits
+    * of payload, vs d·32 for floats), beside the cell-count-sized
+    * coarse centroid table and the (m·kCodes)-row PQ codebook. A probe
+    * then reads ONLY its probed cells' code files (partition pruning)
+    * and scores them through the broadcast codebook — full-precision
+    * vectors never need to be co-resident with the index.
+    *
+    * Layout: `path/codes` (cell-partitioned: idCol, subspace, code),
+    * `path/centroids` (cell, centroid), `path/codebook` (subspace,
+    * code, centroid). Overwrites.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, cellCol: String, path: String,
+      m: Int, subDim: Int, kCodes: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (codes, codebook) =
+      Quant.pqModel(corpus, m, subDim, kCodes, iters, idCol, vecCol)
+    codes.select(col(idCol), col("subspace"), col("code"))
+      .join(corpus.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    Vec.groupCentroids(
+        corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k ADC search against a written IVF-PQ index: rank cells per
+    * query by centroid cosine (broadcast centroid table), scan ONLY the
+    * probed cells' code partitions, reconstruct candidates through the
+    * broadcast codebook, and rank by ADC cosine (dot against the
+    * reconstruction = the m-lookup ADC sum, exactly — the engine's dot
+    * products accumulate decimal-exact). Returns ADC ranks; callers
+    * needing exact-refined ranks rerank the returned shortlist against
+    * their full-precision store ([[graft.functions.Vec.ivfPqTopK]]
+    * shows the composition).
+    *
+    * Output: (query_id, neighbor_id, sim, rank) — sim the ADC cosine.
+    */
+  def ivfPqProbeIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("nq"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("cell_sim", Vec.cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("nq"), col("cell"))
+    // bounded driver-side artifact (≤ cell count), inlined so the scan
+    // below never lists or reads an unprobed cell's files
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.get(0))
+    val recon = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .join(broadcast(codebook), Seq("subspace", "code"))
+      .groupBy(col(idCol), col("cell"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("subspace"), col("centroid")))),
+        s => s.getField("centroid"))).as("__rv"))
+    val c = recon.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("__rv"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col("__rv"), col("__rv")))
+        .as("nc"))
+    val joined = probed.join(c, Seq("cell"))
+    val candidates =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("sim", Vec.pairSim(col("qv"), col("__rv"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Top-k ANN against a written IVF index: rank cells per query by
     * centroid cosine (centroid table is k rows — broadcast), collect the
     * union of probed cell ids, and scan ONLY those partitions of the

@@ -93,6 +93,75 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(scan.selectedPartitions.totalNumberOfFiles < full)
   }
 
+  test("IVF-PQ persisted index: ADC probe + exact rerank equals the " +
+      "in-plan ivfPqTopK chain; rebuild is idempotent") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    VecIndex.writeIvfPqIndex(corpus, "label", path, m = 4, subDim = 16,
+      kCodes = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    // the persisted ADC shortlist, exact-reranked, must equal the
+    // in-plan composition end to end (codebook round-trip through
+    // parquet, cell partitioning, ADC arithmetic — all on the line)
+    val sl = VecIndex.ivfPqProbeIndexed(spark, path, queries, k = 10,
+        nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val nv = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val reranked = rows(sl.join(qv, Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      .withColumn("sim", Vec.cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5))
+    val inPlan = rows(Vec.ivfPqTopK(corpus, queries, k = 5, nProbe = 3,
+      cellCol = "label", m = 4, subDim = 16, kCodes = 8, iters = 2,
+      shortlist = 10))
+    assert(reranked.sameElements(inPlan))
+    // rebuild over the same corpus: overwrite, probe unchanged
+    VecIndex.writeIvfPqIndex(corpus, "label", path, m = 4, subDim = 16,
+      kCodes = 8, iters = 2)
+    val again = rows(VecIndex.ivfPqProbeIndexed(spark, path, queries,
+        k = 10, nProbe = 3)
+      .withColumn("rank", col("rank").cast("long")))
+    val first = rows(VecIndex.ivfPqProbeIndexed(spark, path, queries,
+        k = 10, nProbe = 3)
+      .withColumn("rank", col("rank").cast("long")))
+    assert(again.sameElements(first))
+  }
+
+  test("IVF-PQ probe reads ONLY probed cells' code partitions") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq2").toString
+    VecIndex.writeIvfPqIndex(corpus, "label", path, m = 4, subDim = 16,
+      kCodes = 8, iters = 2)
+    val nCells = corpus.select("label").distinct().count()
+    val pruned = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(0, 1, 2))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount == 3,
+      s"expected 3 of $nCells partitions, got " +
+        s"${scan.selectedPartitions.partitionCount}")
+    // the code payload at rest is (id, subspace, code) — no float vector
+    val schema = spark.read.parquet(s"$path/codes").schema.fieldNames.toSet
+    assert(schema == Set("vec_id", "subspace", "code", "cell"), schema)
+  }
+
   test("rebalance splits hot cells: data preserved, sizes cut, probes exact") {
     import spark.implicits._
     // Force ONE giant cell: cluster with k=2 so one cell holds most of
