@@ -328,6 +328,128 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming confusion: batch parity with Eval.confusion, counts " +
+      "continue across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StatefulEval
+    val root = TestSpark.tmpDir("tws_eval")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("pred", StringType),
+      StructField("truth", StringType)))
+    def writeBatch(rows: Seq[(String, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("pred", "truth").coalesce(1).write.mode("append").parquet(src)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val preds = spark.readStream.schema(schema).parquet(src)
+        val q = StatefulEval.confusionStream(preds, "pred", "truth")
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.ConfusionCell], _: Long) =>
+            batch.write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val batch1 = Seq(("en", "en"), ("en", "fr"), ("fr", "fr"),
+        ("fr", "fr"), ("de", "en"))
+      writeBatch(batch1)
+      runOnce()
+      // restart with more data, same checkpoint: counts must CONTINUE
+      val batch2 = Seq(("en", "en"), ("fr", "en"), ("de", "de"))
+      writeBatch(batch2)
+      runOnce()
+      import spark.implicits._
+      val out = spark.read.parquet(s"$root/out")
+        .as[graft.streaming.ConfusionCell].collect()
+      // the latest (= max, counters only grow) row per cell is the
+      // live matrix; it must equal the batch confusion over ALL rows
+      val live = out.groupBy(c => (c.true_class, c.pred_class)).view
+        .mapValues(_.map(_.n).max).toMap
+      val allRows = (batch1 ++ batch2).zipWithIndex
+        .map { case ((p, t), i) => (i.toLong, p, t) }
+        .toDF("id", "pred", "truth")
+      val expected = graft.functions.Eval.confusion(
+          allRows, "id", "pred", allRows, "truth")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(live == expected, s"live=$live expected=$expected")
+      // classMetrics composes over the live cells (the drift monitor)
+      val cells = live.toSeq.map { case ((t, p), n) => (t, p, n) }
+        .toDF("true_class", "pred_class", "n")
+      val f1 = graft.functions.Eval.classMetrics(cells)
+        .select("class", "tp", "fp", "fn").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(f1("en") == ((2L, 1L, 2L)), f1.toString)
+      assert(f1("fr") == ((2L, 1L, 1L)), f1.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming reliability: per-bin tallies match a batch count and " +
+      "survive restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StatefulEval
+    val root = TestSpark.tmpDir("tws_rel")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("bin", LongType),
+      StructField("ok", BooleanType)))
+    def writeBatch(rows: Seq[(Long, Boolean)]): Unit = {
+      import spark.implicits._
+      rows.toDF("bin", "ok").coalesce(1).write.mode("append").parquet(src)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val preds = spark.readStream.schema(schema).parquet(src)
+        val q = StatefulEval.reliabilityStream(preds, "bin", "ok")
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.ReliabilityCell], _: Long) =>
+            batch.write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeBatch(Seq((1L, true), (1L, false), (2L, true)))
+      runOnce()
+      writeBatch(Seq((1L, true), (3L, false)))
+      runOnce()
+      import spark.implicits._
+      val out = spark.read.parquet(s"$root/out")
+        .as[graft.streaming.ReliabilityCell].collect()
+      val live = out.groupBy(_.bin).view
+        .mapValues(cs => cs.maxBy(_.n)).toMap
+      assert(live(1L).n == 3L && live(1L).n_pos == 2L, live.toString)
+      assert(live(2L).n == 1L && live(2L).n_pos == 1L)
+      assert(live(3L).n == 1L && live(3L).n_pos == 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming Misra-Gries keeps the planted heavy hitter across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
