@@ -172,6 +172,58 @@ object VecIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Streaming ingest into a written IVF-PQ index — the
+    * [[streamAppend]] analog for the code layout: each microbatch of
+    * new vectors is assigned to its nearest EXISTING coarse cell (one
+    * broadcast of the centroid table), ENCODED per subspace against
+    * the persisted codebook (nearest codeword, the same rounded-
+    * distance/tie-break arithmetic training used — so re-encoding a
+    * training vector reproduces its stored code exactly, spec-pinned),
+    * and appended to its cell's code partition. Neither centroids nor
+    * codebook are updated by ingest — probes and replays stay
+    * deterministic; retrain offline when drift warrants (then rebuild
+    * with [[writeIvfPqIndex]]). Exactly-once per input file via the
+    * checkpoint plus the same id-anti-join replay guard as
+    * [[streamAppend]].
+    */
+  def streamAppendPq(spark: SparkSession, path: String, streamDir: String,
+      checkpoint: String, m: Int, subDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val incoming = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col(idCol), col(vecCol))
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val cents = s.read.parquet(s"$path/centroids")
+        val codebook = s.read.parquet(s"$path/codebook")
+        val coarse = Vec.assignToCentroids(batch, cents, idCol, vecCol)
+          .select(col(idCol), col(vecCol), col("cell"))
+          .localCheckpoint(true) // m subspace encoders + the cell join
+        val codes = (0 until m).map { ss =>
+          Vec.assignToCentroids(
+              coarse.select(col(idCol),
+                slice(col(vecCol), ss * subDim + 1, subDim).as(vecCol)),
+              codebook.filter(col("subspace") === ss)
+                .select(col("code").as("cell"), col("centroid")),
+              idCol, vecCol)
+            .select(col(idCol), lit(ss).as("subspace"),
+              col("cell").as("code"))
+        }.reduce(_ unionByName _)
+        val rows = codes
+          .join(coarse.select(col(idCol), col("cell")), Seq(idCol))
+          .select(col(idCol), col("subspace"), col("code"), col("cell"))
+        graft.merge.Merge.antiJoinAppend(s, rows, s"$path/codes",
+          Seq(idCol), "cell"): Unit
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(coarse)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .queryName("IvfPq_Stream_Append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Top-k ADC search against a written IVF-PQ index: rank cells per
     * query by centroid cosine (broadcast centroid table), scan ONLY the
     * probed cells' code partitions, reconstruct candidates through the

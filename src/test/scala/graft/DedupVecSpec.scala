@@ -139,16 +139,31 @@ class DedupVecSpec extends AnyFunSuite {
 
   test("sketch aggregates land within their error bounds of exact values") {
     val d = "/root/testdata/sf0.001"
+    // new r8 shape: (grp, approx_parts DOUBLE, p50_est, p99_est) from the
+    // house deterministic HLL + histogram sketches
     val sketch = SparkEntry.queries("q_sketch_stats")(spark, d)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
     val exact = Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (flag, n) =>
-      val approx = sketch(flag)
-      assert(math.abs(approx - n).toDouble / n < 0.1,
+      .agg(countDistinct(col("l_partkey")).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    exact.foreach { case (flag, (n, p50, p99)) =>
+      val (approx, q50, q99) = sketch(flag)
+      // m = 64 registers -> ~13% standard error; 2.5 sigma bound
+      assert(math.abs(approx - n) / n < 0.33,
         s"$flag: approx=$approx exact=$n")
+      // histogram quantile = lower edge of the crossing 1024-wide bin:
+      // within one bin width below the true order statistic
+      assert(q50 <= p50 && p50 - q50 <= 1024.0,
+        s"$flag: q50=$q50 p50=$p50")
+      assert(q99 <= p99 && p99 - q99 <= 1024.0,
+        s"$flag: q99=$q99 p99=$p99")
     }
   }
 

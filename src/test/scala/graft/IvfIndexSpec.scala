@@ -140,6 +140,75 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(again.sameElements(first))
   }
 
+  test("IVF-PQ streaming ingest: codebook encoding matches training, " +
+      "exactly once, new vectors become probeable") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq3").toString
+    VecIndex.writeIvfPqIndex(base, "label", path, m = 4, subDim = 16,
+      kCodes = 8, iters = 2)
+    val baseCodes = spark.read.parquet(s"$path/codes").count()
+    assert(baseCodes == base.count() * 4)
+
+    // encoding consistency: re-encoding a TRAINING vector through the
+    // stored codebook (the ingest path's arithmetic) reproduces its
+    // stored code exactly
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val reEnc = (0 until 4).map { ss =>
+      Vec.assignToCentroids(
+          base.select(col("vec_id"),
+            expr(s"slice(embedding, ${ss * 16 + 1}, 16)").as("embedding")),
+          codebook.filter(col("subspace") === ss)
+            .select(col("code").as("cell"), col("centroid")))
+        .select(col("vec_id"), lit(ss).as("subspace"),
+          col("cell").as("code"))
+    }.reduce(_ unionByName _)
+    val stored = spark.read.parquet(s"$path/codes")
+      .select($"vec_id", $"subspace", $"code")
+      .as[(Long, Int, Int)].collect().toSet
+    val recomputed = reEnc.select($"vec_id", $"subspace", $"code")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(recomputed == stored)
+
+    // stream the held-out 10 vectors in; exactly once + replay-safe
+    val streamDir = java.nio.file.Files.createTempDirectory("ivfpqnew").toString
+    emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(streamDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpqckpt").toString
+    VecIndex.streamAppendPq(spark, path, streamDir, ckpt, m = 4,
+      subDim = 16).awaitTermination()
+    assert(spark.read.parquet(s"$path/codes").count() == baseCodes + 40)
+    VecIndex.streamAppendPq(spark, path, streamDir, ckpt, m = 4,
+      subDim = 16).awaitTermination()
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ivfpqckpt2").toString
+    VecIndex.streamAppendPq(spark, path, streamDir, ckpt2, m = 4,
+      subDim = 16).awaitTermination()
+    assert(spark.read.parquet(s"$path/codes").count() == baseCodes + 40,
+      "replay must not double-append")
+
+    // ingested vectors landed in their L2-nearest coarse cell and are
+    // probeable: with every cell probed, each streamed id shows up as
+    // an ADC candidate for its own query
+    val cents = spark.read.parquet(s"$path/centroids")
+    val newQ = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val expectedCell = Vec.assignToCentroids(newQ, cents)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val gotCell = spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") < 10)
+      .select($"vec_id", $"cell".cast("long")).distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(gotCell == expectedCell)
+    val selfHits = VecIndex.ivfPqProbeIndexed(spark, path, newQ, k = 1000,
+        nProbe = 100, excludeSelf = false)
+      .filter(col("query_id") === col("neighbor_id")).count()
+    assert(selfHits == 10L,
+      "every ingested vector must appear among its own query's candidates")
+  }
+
   test("IVF-PQ probe reads ONLY probed cells' code partitions") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val corpus = emb.select(col("vec_id"), col("label"), col("embedding"))
