@@ -1023,6 +1023,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Sampled-threshold quality gate — the 100 TB path: the per-source
+    // keep cutoff fitted as an order statistic of a 40% deterministic
+    // hash sample, every doc gated scan-stage against the broadcast
+    // threshold table (no corpus-wide rank). Mixer, ceil-rank cutoff,
+    // >= keep rule, and the empty-sample exact fallback replay exactly
+    // in the oracle.
+    "q_quality_gate_sampled" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
+      graft.functions.Quality.percentileGateSampled(docs, "source",
+          "quality", keepBps = 2500, tieCol = "doc_id", idCol = "doc_id",
+          samplePerMille = 400)
+        .orderBy(col("doc_id"))
+    },
+
     // Curriculum ordering: quality-ranked NTILE difficulty tiers,
     // round-robin interleaved into a dense deterministic training order
     // — one two-level ranking pass, tier + position in closed form.
@@ -3706,6 +3722,38 @@ object SparkEntry {
             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
           SELECT doc_id, source, quality FROM r
           WHERE rn * 10000 <= n * 2500 ORDER BY doc_id"""
+    },
+
+    "q_quality_gate_sampled" -> {
+      val hits = duckMarkerHits(stopwords)
+      s"""WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS tk FROM documents),
+          t2 AS (SELECT doc_id, source,
+            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS stop_ratio, tk FROM t),
+          q AS (SELECT doc_id, source,
+            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+          smp AS (SELECT * FROM q WHERE ${duckMixOf("doc_id")} % 1000 < 400),
+          r AS (SELECT doc_id, source, quality,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM smp),
+          th AS (SELECT source,
+            max(CASE WHEN rn = (n * 2500) // 10000 THEN quality END) AS thr
+            FROM r GROUP BY 1),
+          cov AS (SELECT q.doc_id, q.source, q.quality
+            FROM q JOIN th USING (source) WHERE q.quality >= th.thr),
+          rx AS (SELECT q.doc_id, q.source, q.quality,
+            CAST(row_number() OVER (PARTITION BY q.source
+              ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY q.source) AS BIGINT) AS n
+            FROM q WHERE q.source NOT IN (SELECT source FROM th)),
+          mex AS (SELECT doc_id, source, quality FROM rx
+            WHERE rn * 10000 <= n * 2500)
+          SELECT doc_id, source, quality FROM cov
+          UNION ALL SELECT doc_id, source, quality FROM mex
+          ORDER BY doc_id"""
     },
 
     "q_curriculum" -> {

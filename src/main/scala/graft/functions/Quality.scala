@@ -73,6 +73,50 @@ object Quality {
       .drop("__rn", "__n")
   }
 
+  /** SAMPLED-THRESHOLD percentile gate — the 100 TB form of
+    * [[percentileGate]], completing the sampled order-statistic family
+    * ([[LangModel.lmBucketsSampled]], [[Robust.winsorizeSampled]]):
+    * the per-group keep threshold is the score at sample ceil-rank
+    * K = (n_s · keepBps) div 10000 of a deterministic hash sample
+    * ([[Sampling.hashOrder]] mod 1000 < samplePerMille, replayed
+    * bit-exact by the oracle), and every row passes SCAN-STAGE against
+    * the broadcast (group, threshold) table — no corpus-wide rank.
+    *
+    * Keep rule: score >= threshold (a whole tie run at the boundary
+    * keeps together — thresholds cannot split ties the way the exact
+    * gate's rank tie-break does; on tie-free scores a FULL sample
+    * reproduces [[percentileGate]] exactly, spec-pinned). A sampled
+    * group whose K is 0 keeps nothing, like the exact gate at
+    * n·keepBps < 10000; a group with ZERO sampled rows falls back to
+    * the exact ranking over its own rows (cheap by construction).
+    */
+  def percentileGateSampled(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, scoreCol: String, keepBps: Int, tieCol: String,
+      idCol: String, samplePerMille: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(keepBps >= 0 && keepBps <= 10000,
+      s"keepBps must be in [0, 10000], got $keepBps")
+    require(samplePerMille >= 1 && samplePerMille <= 1000,
+      s"samplePerMille must be in [1, 1000], got $samplePerMille")
+    val ranked = GroupRank.withRankAndCount(
+      df.filter(pmod(Sampling.hashOrder(col(idCol)), lit(1000L))
+          < samplePerMille)
+        .select(col(groupCol), col(scoreCol), col(tieCol)),
+      Seq(groupCol), Seq(col(scoreCol).desc, col(tieCol).asc), "__rn", "__n")
+    val thr = ranked.groupBy(col(groupCol))
+      .agg(max(when(col("__rn") ===
+          GroupRank.intDiv(col("__n") * keepBps.toLong, lit(10000L)),
+        col(scoreCol))).as("__thr"))
+      .withColumn("__smp", lit(true))
+    val assigned = df.join(broadcast(thr), Seq(groupCol), "left")
+    val covered = assigned.filter(col("__smp"))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr", "__smp")
+    val fallback = percentileGate(
+      assigned.filter(col("__smp").isNull).drop("__thr", "__smp"),
+      groupCol, scoreCol, keepBps, tieCol)
+    covered.unionByName(fallback)
+  }
+
   // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------

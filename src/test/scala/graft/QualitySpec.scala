@@ -178,6 +178,42 @@ class QualitySpec extends AnyFunSuite {
     assert(rep === kept)
   }
 
+  test("percentileGateSampled: full sample equals the exact gate on " +
+      "tie-free scores; unsampled groups fall back exactly") {
+    val docs = (1 to 40).map(i => ("g", i.toLong, i.toDouble)) ++
+      (1 to 20).map(i => ("h", (100 + i).toLong, (i * 3).toDouble))
+    val df = docs.toDF("src", "id", "score")
+    def keptSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = keptSet(
+      Quality.percentileGate(df, "src", "score", 2500, "id"))
+    val full = keptSet(Quality.percentileGateSampled(df, "src", "score",
+      2500, "id", "id", samplePerMille = 1000))
+    assert(full == exact)
+    // a partial sample stays threshold-consistent: every kept score
+    // >= every dropped score within a group
+    val part = Quality.percentileGateSampled(df, "src", "score", 2500,
+        "id", "id", samplePerMille = 400)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    for (g <- Seq("g", "h")) {
+      val keptScores = part.filter(_._1 == g).map(_._2)
+      val dropped = docs.filter(_._1 == g).map(_._3)
+        .filterNot(keptScores.contains)
+      if (keptScores.nonEmpty && dropped.nonEmpty)
+        assert(keptScores.min >= dropped.max,
+          s"$g: kept ${keptScores.sorted} dropped ${dropped.sorted}")
+    }
+    // a group too small to hit a 1-per-mille sample takes the exact gate
+    val tiny = df.unionByName(Seq(("z", 100001L, 5.0), ("z", 100002L, 9.0),
+      ("z", 100003L, 1.0), ("z", 100004L, 7.0)).toDF("src", "id", "score"))
+    val spm1 = keptSet(Quality.percentileGateSampled(tiny, "src", "score",
+        5000, "id", "id", samplePerMille = 1)
+      .filter($"src" === "z"))
+    val zExact = keptSet(Quality.percentileGate(
+      tiny.filter($"src" === "z"), "src", "score", 5000, "id"))
+    assert(spm1 == zExact && zExact == Set(("z", 100002L), ("z", 100004L)))
+  }
+
   test("containment pairs catch the quoted-subset doc that Jaccard misses") {
     import graft.functions.Dedup
     val long = (1 to 40).map(i => s"tok$i").mkString(" ")
