@@ -2416,6 +2416,18 @@ object SparkEntry {
         .orderBy(col("class"))
     },
 
+    // One-row averaged metrics (the model-card summary): accuracy and
+    // sklearn's macro / support-weighted means over the per-class ppm
+    // table — same NB confusion chain as q_class_metrics (memo-shared).
+    "q_macro_metrics" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Eval.macroMetrics(
+        graft.functions.Eval.confusion(
+          graft.functions.NaiveBayes.classify(docs, docs, "doc_id",
+            "text", "lang"),
+          "doc_id", "pred_class", docs, "lang"))
+    },
+
     // Reliability (calibration) table: accuracy per 1-bit margin
     // bucket — rising accuracy with the bucket index is what a
     // calibrated confidence looks like; the gate hashes the exact
@@ -5813,6 +5825,56 @@ object SparkEntry {
             CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
               ELSE ${duckPpm("2 * tp", "2 * tp + fp + fn")} END AS f1_ppm
           FROM m ORDER BY class""",
+
+    "q_macro_metrics" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          cm AS MATERIALIZED (SELECT dd.lang AS tc, f.class AS pc,
+              CAST(count(*) AS BIGINT) AS n
+            FROM fin f JOIN documents dd USING (doc_id)
+            WHERE f.rn = 1 GROUP BY 1, 2),
+          clz AS (SELECT DISTINCT tc AS class FROM cm
+            UNION SELECT DISTINCT pc FROM cm),
+          tpv AS (SELECT tc AS class, n AS tp FROM cm WHERE tc = pc),
+          fpv AS (SELECT pc AS class, CAST(sum(n) AS BIGINT) AS fp
+            FROM cm WHERE tc <> pc GROUP BY 1),
+          fnv AS (SELECT tc AS class, CAST(sum(n) AS BIGINT) AS fn
+            FROM cm WHERE tc <> pc GROUP BY 1),
+          m AS (SELECT clz.class, coalesce(tp, 0) AS tp,
+            coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn
+            FROM clz LEFT JOIN tpv USING (class)
+            LEFT JOIN fpv USING (class) LEFT JOIN fnv USING (class)),
+          pm AS (SELECT class, tp, fn,
+            CASE WHEN tp + fp = 0 THEN NULL
+              ELSE ${duckPpm("tp", "tp + fp")} END AS precision_ppm,
+            CASE WHEN tp + fn = 0 THEN NULL
+              ELSE ${duckPpm("tp", "tp + fn")} END AS recall_ppm,
+            CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+              ELSE ${duckPpm("2 * tp", "2 * tp + fp + fn")} END AS f1_ppm
+            FROM m),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+            CAST(sum(coalesce(precision_ppm, 0)) AS BIGINT) AS sp,
+            CAST(sum(coalesce(recall_ppm, 0)) AS BIGINT) AS sr,
+            CAST(sum(coalesce(f1_ppm, 0)) AS BIGINT) AS sf,
+            CAST(sum(CAST(tp + fn AS HUGEINT)
+              * coalesce(f1_ppm, 0)) AS HUGEINT) AS swf,
+            CAST(sum(tp + fn) AS BIGINT) AS supp FROM pm),
+          ac AS (SELECT
+            CAST(sum(CASE WHEN tc = pc THEN n ELSE 0 END) AS BIGINT) AS diag,
+            CAST(sum(n) AS BIGINT) AS tot FROM cm)
+          SELECT n_classes,
+            ${duckPpm("diag", "tot")} AS accuracy_ppm,
+            ${duckPpm("sp", "n_classes", 1L)} AS macro_precision_ppm,
+            ${duckPpm("sr", "n_classes", 1L)} AS macro_recall_ppm,
+            ${duckPpm("sf", "n_classes", 1L)} AS macro_f1_ppm,
+            ${duckPpm("swf", "supp", 1L)} AS weighted_f1_ppm
+          FROM ag CROSS JOIN ac""",
 
     "q_reliability" ->
       s"""WITH $duckNbChain,

@@ -62,6 +62,52 @@ object Eval {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_ppm"))
   }
 
+  /** AVERAGED metrics from a confusion matrix — the one-row summary a
+    * model card reports beside [[classMetrics]]' per-class table, in
+    * sklearn's three averaging conventions:
+    *
+    *  - accuracy_ppm (= micro precision = micro recall = micro F1 in
+    *    single-label multi-class): diagonal mass over total mass;
+    *  - macro_*: the UNWEIGHTED mean of the per-class ppm metrics —
+    *    every class counts equally, the minority-class-sensitive view.
+    *    Undefined per-class metrics (zero denominators) count as 0,
+    *    sklearn's zero_division=0 convention;
+    *  - weighted_f1_ppm: the support-weighted mean (support = tp + fn),
+    *    the majority-weighted view.
+    *
+    * Means average the ALREADY-QUANTIZED per-class ppms (one extra
+    * half-up rounding — deterministic and engine-identical, since the
+    * per-class ppms are themselves gated integers). Everything is
+    * class-count-sized aggregate work.
+    */
+  def macroMetrics(conf: DataFrame): DataFrame = {
+    val m = classMetrics(conf)
+    val acc = conf.agg(
+      sum(when(col("true_class") === col("pred_class"), col("n"))
+        .otherwise(0L)).as("__diag"),
+      sum(col("n")).as("__tot"))
+    m.agg(
+        count(lit(1)).as("n_classes"),
+        sum(coalesce(col("precision_ppm"), lit(0L))).as("__sp"),
+        sum(coalesce(col("recall_ppm"), lit(0L))).as("__sr"),
+        sum(coalesce(col("f1_ppm"), lit(0L))).as("__sf"),
+        sum(((col("tp") + col("fn")).cast("decimal(19,0)") *
+          coalesce(col("f1_ppm"), lit(0L))).cast("decimal(38,0)"))
+          .as("__swf"),
+        sum(col("tp") + col("fn")).as("__supp"))
+      .crossJoin(broadcast(acc))
+      .select(col("n_classes"),
+        Stats.fixedPointExact(col("__diag"), col("__tot")).as("accuracy_ppm"),
+        Stats.fixedPointExact(col("__sp"), col("n_classes"), 1L)
+          .as("macro_precision_ppm"),
+        Stats.fixedPointExact(col("__sr"), col("n_classes"), 1L)
+          .as("macro_recall_ppm"),
+        Stats.fixedPointExact(col("__sf"), col("n_classes"), 1L)
+          .as("macro_f1_ppm"),
+        Stats.fixedPointExact(col("__swf"), col("__supp"), 1L)
+          .as("weighted_f1_ppm"))
+  }
+
   /** EXACT ROC-AUC of an integer score against a binary label — the
     * Mann-Whitney U form with standard tie handling (a tied pair
     * counts half): 2U = Σ over positives of (2·negatives_below +

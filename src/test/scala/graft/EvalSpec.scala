@@ -43,6 +43,24 @@ class EvalSpec extends AnyFunSuite {
     assert(m("c") == ((0L, 0L, 1L, None, Some(0L), Some(0L))))
   }
 
+  test("macroMetrics: hand-computed accuracy, macro and weighted means; " +
+      "undefined per-class metrics count as zero") {
+    import spark.implicits._
+    val cm = Seq(("a", "a", 3L), ("a", "b", 1L), ("b", "a", 2L),
+        ("b", "b", 2L), ("c", "a", 1L))
+      .toDF("true_class", "pred_class", "n")
+    val r = Eval.macroMetrics(cm).collect().head
+    assert(r.getLong(0) == 3L) // classes a, b, c
+    assert(r.getLong(1) == 555556L, "accuracy 5/9") // half-up
+    // per-class: a p=3/6 r=3/4 f1=6/10; b p=2/3 r=2/4 f1=4/7;
+    // c p=NULL(->0) r=0 f1=0
+    assert(r.getLong(2) == 388889L, "macro precision (500000+666667+0)/3")
+    assert(r.getLong(3) == 416667L, "macro recall (750000+500000+0)/3")
+    assert(r.getLong(4) == 390476L, "macro f1 (600000+571429+0)/3")
+    // supports 4/4/1: (4*600000 + 4*571429 + 1*0) / 9
+    assert(r.getLong(5) == 520635L, "weighted f1")
+  }
+
   test("reliability buckets by truncating division and drops null conf") {
     val pred = Seq((1L, 10L, true), (2L, 19L, false), (3L, 25L, true),
       (4L, 25L, true)).toDF("id", "conf", "ok")
