@@ -102,8 +102,36 @@ object Quant {
     * codes are the stored corpus, the codebook is the (m·k)-row lookup
     * table broadcast to reconstruct or score against.
     */
+  /** Session memo ([[PlanMemo]]) for the trained PQ model — FOUR
+    * catalog entries (q_pq_codes, q_pq_adc, q_ivfpq_topk,
+    * q_ivfpq_recall) train the identical (corpus, m, subDim, k, iters)
+    * codebooks, each paying the m sub-quantizer chains. Eviction drops
+    * references only; [[releaseModelMemo]] frees explicitly.
+    */
+  private val pqMemo = new PlanMemo[(DataFrame, DataFrame)](
+    freeOnEvict = _ => (),
+    freeOnRelease = { case (a, c) =>
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(a)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(c)
+    })
+
+  /** Drop the PQ model memo and free its checkpoint storage. */
+  def releaseModelMemo(): Unit = pqMemo.release()
+
   def pqModel(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) =
+    pqMemo.getOrBuild(corpus.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(corpus).canonicalized,
+        m, subDim, k, iters, idCol, vecCol)) {
+      val (codes, cb) = pqModelUncached(corpus, m, subDim, k, iters,
+        idCol, vecCol)
+      (codes.localCheckpoint(true), cb.localCheckpoint(true))
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain
+  private[graft] def pqModelUncached(corpus: DataFrame, m: Int,
+      subDim: Int, k: Int, iters: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(m >= 1 && subDim >= 1, s"need m, subDim >= 1, got $m, $subDim")
     // The m sub-quantizers are INDEPENDENT trainings over disjoint
@@ -120,7 +148,7 @@ object Quant {
       Future.sequence((0 until m).map { s => Future {
         val sub = corpus.select(col(idCol),
           slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
-        val (asg, cents) = Vec.kmeansModel(sub, k, iters, idCol, vecCol)
+        val (asg, cents) = Vec.kmeansModelUncached(sub, k, iters, idCol, vecCol)
         (asg.select(col(idCol), lit(s).as("subspace"),
             col("cell").as("code"), col("dist2")),
           cents.select(lit(s).as("subspace"), col("cell").as("code"),

@@ -340,8 +340,41 @@ object Vec {
     * codebook the assignment distances were measured to, not one more
     * update of it.
     */
+  /** Session memo ([[PlanMemo]]) for the trained k-means model — FIVE
+    * catalog entries train the identical (corpus, k, iters) model
+    * (q_kmeans, q_semdedup, q_mutual_knn, q_ivf_kmeans,
+    * q_split_by_cluster), each re-running the full iterative chain.
+    * Capacity 4: the catalog alternates between the fixed-k and the
+    * derived-kCells keys. Eviction drops references only (consumers
+    * hold lazy views); [[releaseModelMemo]] frees explicitly.
+    */
+  private val kmMemo = new PlanMemo[(DataFrame, DataFrame)](
+    freeOnEvict = _ => (),
+    freeOnRelease = { case (a, c) =>
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(a)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(c)
+    },
+    capacity = 4)
+
+  /** Drop the k-means model memo and free its checkpoint storage. */
+  def releaseModelMemo(): Unit = kmMemo.release()
+
   def kmeansModel(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) =
+    kmMemo.getOrBuild(corpus.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(corpus).canonicalized,
+        k, iters, idCol, vecCol)) {
+      val (a, c) = kmeansModelUncached(corpus, k, iters, idCol, vecCol)
+      (a.localCheckpoint(true), c.localCheckpoint(true))
+    }
+
+  // private[functions]: pqModel's m CONCURRENT subspace trainings call
+  // this directly — the memo's build-under-lock would serialize them
+  // (pqModel is memoized as a whole instead); plan-shape assertions
+  // also target this unmemoized chain
+  private[functions] def kmeansModelUncached(corpus: DataFrame, k: Int,
+      iters: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
