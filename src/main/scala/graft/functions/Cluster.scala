@@ -54,8 +54,38 @@ object Cluster {
     *                 the numeric min, string ids to the lexicographic min)
     * @param maxIter  propagation-round cap (component-diameter bound)
     */
+  /** Session memo ([[graft.functions.PlanMemo]]) for the converged
+    * label set — THREE catalog entries (near-dup clustering, canonical
+    * selection, leakage-safe split) run components over the identical
+    * LSH candidate graph, each paying the full eager driver loop.
+    * The memoized value is the final (id, component) checkpoint —
+    * corpus-sized but two columns. Eviction drops references only
+    * (consumers hold lazy views); [[releaseComponentsMemo]] frees
+    * explicitly.
+    */
+  private val ccMemo = new graft.functions.PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 3)
+
+  /** Drop the components memo and free its checkpoint storage. */
+  def releaseComponentsMemo(): Unit = ccMemo.release()
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      vertices: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
+      vertices: DataFrame, idCol: String, maxIter: Int = 20): DataFrame =
+    ccMemo.getOrBuild(edges.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(edges).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(vertices).canonicalized,
+        aCol, bCol, idCol, maxIter)) {
+      connectedComponentsUncached(edges, aCol, bCol, vertices, idCol,
+        maxIter)
+    }
+
+  // private[graft]: the memoized entry point returns the converged
+  // checkpoint; iteration-shape assertions target this chain
+  private[graft] def connectedComponentsUncached(edges: DataFrame,
+      aCol: String, bCol: String, vertices: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     import org.apache.spark.sql.GraftBridge
     // Undirected: materialize both directions once; dedup cuts message

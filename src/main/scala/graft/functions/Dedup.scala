@@ -263,8 +263,29 @@ object Dedup {
     * Bucket posting lists longer than `bucketCap` are dropped (degenerate
     * buckets — e.g. empty docs — would otherwise go quadratic).
     */
+  /** Session memo ([[PlanMemo]]) for the banded LSH candidate set —
+    * FOUR catalog entries (pair listing, near-dup clustering, canonical
+    * selection, leakage-safe split) build the identical shingle →
+    * signature → band → bucket-join chain; the memoized result is the
+    * bounded candidate-pair artifact. Eviction drops references only;
+    * [[releasePairMemos]] frees explicitly.
+    */
+  private val lshMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
   def lshCandidatePairs(bands: DataFrame, idCol: String,
-      bucketCap: Int = 1000): DataFrame = {
+      bucketCap: Int = 1000): DataFrame =
+    lshMemo.getOrBuild(bands.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(bands).canonicalized,
+        idCol, bucketCap)) {
+      lshCandidatePairsUncached(bands, idCol, bucketCap)
+        .localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain
+  private[graft] def lshCandidatePairsUncached(bands: DataFrame,
+      idCol: String, bucketCap: Int = 1000): DataFrame = {
     val w = Window.partitionBy(col("band"), col("band_val"))
     val capped = bands
       .withColumn("__n", count(lit(1)).over(w))
@@ -943,9 +964,11 @@ object Dedup {
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
 
-  /** Drop the shared candidate-pair memos (SNM + n-gram Jaccard) and
-    * free their checkpoint storage. */
-  def releasePairMemos(): Unit = { snmMemo.release(); njMemo.release() }
+  /** Drop the shared candidate-pair memos (SNM + n-gram Jaccard +
+    * banded LSH) and free their checkpoint storage. */
+  def releasePairMemos(): Unit = {
+    snmMemo.release(); njMemo.release(); lshMemo.release()
+  }
 
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, key: Column,
       window: Int): DataFrame =
