@@ -120,7 +120,24 @@ object Dedup {
     * each side's vocabulary size, so Jaccard stays honest about them
     * only in the denominator — documented estimator choice).
     */
+  /** Session memo for the exact source-overlap matrix — built by both
+    * q_source_overlap and the MinHash-calibration entry. Mixture²-sized
+    * output; one shingle pass shared. */
+  private val soMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
   def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int, srcCap: Int = 1000): DataFrame =
+    soMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        groupCol, textCol, n, srcCap)) {
+      sourceOverlapUncached(docs, groupCol, textCol, n, srcCap)
+        .localCheckpoint(true)
+    }
+
+  private[graft] def sourceOverlapUncached(docs: DataFrame,
+      groupCol: String, textCol: String,
       n: Int, srcCap: Int = 1000): DataFrame = {
     require(srcCap >= 2, s"srcCap must be >= 2, got $srcCap")
     val grams = docs.select(col(groupCol),

@@ -187,9 +187,37 @@ object Vec {
     * tiny per-query top-k window. Ranking orders by (similarity desc, id)
     * for determinism.
     */
+  /** Session memos for the bounded (queries × k) top-k rankings — the
+    * eval layer (recall/NDCG/RBO/IVF-PQ grades) reruns the same exact
+    * and IVF rankings as its truth/approx sides. Capacity 3: the
+    * catalog alternates between k=5/k=10 and the recon-corpus keys.
+    */
+  private val bfMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 3)
+  private val ivfMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 3)
+
+  /** Drop the top-k ranking memos and free their checkpoint storage. */
+  def releaseTopKMemos(): Unit = { bfMemo.release(); ivfMemo.release() }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    bfMemo.getOrBuild(queries.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(queries).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(corpus).canonicalized,
+        k, idCol, vecCol, excludeSelf)) {
+      bruteForceTopKUncached(queries, corpus, k, idCol, vecCol, excludeSelf)
+        .localCheckpoint(true)
+    }
+
+  private[graft] def bruteForceTopKUncached(queries: DataFrame,
+      corpus: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(withNorm(queries, idCol, vecCol, "q")
       .withColumnRenamed("id_q", "query_id"))
     val c = withNorm(corpus, idCol, vecCol, "c")
@@ -510,6 +538,18 @@ object Vec {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       cellCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame =
+    ivfMemo.getOrBuild(corpus.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(corpus).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(queries).canonicalized,
+        k, nProbe, cellCol, idCol, vecCol, excludeSelf)) {
+      ivfTopKUncached(corpus, queries, k, nProbe, cellCol, idCol, vecCol,
+        excludeSelf).localCheckpoint(true)
+    }
+
+  private[graft] def ivfTopKUncached(corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, cellCol: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
     val centroids = groupCentroids(

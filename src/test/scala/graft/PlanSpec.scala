@@ -56,7 +56,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("IVF probe: corpus candidates join by cell equi-join, not all-pairs") {
-    val p = plan("q_ivf_topk")
+    // the catalog entry is memoized (checkpoint scan in its visible
+    // plan); assert on the unmemoized chain (the NB/snm pattern)
+    val emb = Tables.embeddings(spark, d)
+    val p = graft.functions.Vec.ivfTopKUncached(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        k = 5, nProbe = 3, cellCol = "label")
+      .queryExecution.executedPlan.toString
     // The query-vs-CORPUS join (the big side) must be an equi-join on the
     // cell. The tiny query×centroid scoring cross-join IS a broadcast
     // nested loop by design — nProbe cells × a handful of queries.
