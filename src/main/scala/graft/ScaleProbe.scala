@@ -54,7 +54,7 @@ object ScaleProbe {
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
-      "seq_pack")
+      "seq_pack", "ivfpq")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -288,6 +288,54 @@ object ScaleProbe {
         k = 8, iters = 2).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"pq_train","mult":$mult,"vecs":${nEmb * mult},"codes":$nCodes,"sec":$sec%.2f}""")
+    }
+
+    // IVF-PQ probe: the persisted serving layout A/B — bytes at rest
+    // (cell-partitioned codes vs the float corpus) and probe wall
+    // (partition-pruned ADC scan vs exact brute force) as the corpus
+    // grows. The claims under test: codes stay ~const-factor smaller
+    // than floats at every mult, and the ADC probe's wall grows with
+    // the PROBED CELLS' share, not the corpus (brute force grows with
+    // the corpus).
+    for (mult <- Seq(1, 4, 16) if want("ivfpq")) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+        .withColumn("cell", pmod(col("vec_id"), lit(16L)).cast("int"))
+      val dir = java.nio.file.Files.createTempDirectory("probe_ivfpq").toString
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      }
+      val t0 = System.nanoTime()
+      graft.functions.VecIndex.writeIvfPqIndex(vecs, "cell", dir,
+        m = 4, subDim = 16, kCodes = 8, iters = 2)
+      val t1 = System.nanoTime()
+      vecs.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$dir/floats")
+      val queries = embBase.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val t2 = System.nanoTime()
+      val adcHits = graft.functions.VecIndex.ivfPqProbeIndexed(spark, dir,
+        queries, k = 10, nProbe = 3, excludeSelf = false).count()
+      val t3 = System.nanoTime()
+      val exactHits = graft.functions.Vec.bruteForceTopKUncached(queries,
+        vecs.select(col("vec_id"), col("embedding")), 10,
+        excludeSelf = false).count()
+      val t4 = System.nanoTime()
+      println(f"""{"probe":"ivfpq","mult":$mult,"vecs":${nEmb * mult},""" +
+        f""""code_bytes":${dirBytes(s"$dir/codes")},""" +
+        f""""float_bytes":${dirBytes(s"$dir/floats")},""" +
+        f""""build_sec":${(t1 - t0) / 1e9}%.2f,""" +
+        f""""adc_hits":$adcHits,"adc_sec":${(t3 - t2) / 1e9}%.2f,""" +
+        f""""exact_hits":$exactHits,"exact_sec":${(t4 - t3) / 1e9}%.2f}""")
     }
 
     // Bloom-decontamination probe: plain broadcast-semi-join decontamination

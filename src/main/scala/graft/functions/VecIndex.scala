@@ -163,7 +163,12 @@ object VecIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val (codes, codebook) =
       Quant.pqModel(corpus, m, subDim, kCodes, iters, idCol, vecCol)
-    codes.select(col(idCol), col("subspace"), col("code"))
+    // PACKED at rest: one row per vector, codes as an m-element array
+    // in subspace order — n rows instead of n·m, and the per-row id/
+    // partition overhead is paid once per vector, not once per code
+    // (probe-side measured 3.3× → ~8× smaller than floats at the probe
+    // scale after packing). Probes unpack with one posexplode.
+    packCodes(codes, idCol)
       .join(corpus.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
@@ -171,6 +176,16 @@ object VecIndex {
         corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** (idCol, subspace, code) rows → (idCol, codes array<int>) with the
+    * array in subspace order — the packed at-rest form of the code
+    * table. */
+  private def packCodes(codes: DataFrame, idCol: String): DataFrame =
+    codes.select(col(idCol), col("subspace"), col("code"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code").cast("int")).as("codes"))
 
   /** Streaming ingest into a written IVF-PQ index — the
     * [[streamAppend]] analog for the code layout: each microbatch of
@@ -210,9 +225,9 @@ object VecIndex {
             .select(col(idCol), lit(ss).as("subspace"),
               col("cell").as("code"))
         }.reduce(_ unionByName _)
-        val rows = codes
+        val rows = packCodes(codes, idCol)
           .join(coarse.select(col(idCol), col("cell")), Seq(idCol))
-          .select(col(idCol), col("subspace"), col("code"), col("cell"))
+          .select(col(idCol), col("codes"), col("cell"))
         graft.merge.Merge.antiJoinAppend(s, rows, s"$path/codes",
           Seq(idCol), "cell"): Unit
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint(coarse)
@@ -256,8 +271,12 @@ object VecIndex {
     // below never lists or reads an unprobed cell's files
     val probedCells = probed.select(col("cell")).distinct()
       .collect().map(_.get(0))
+    // unpack (one map-side posexplode of the m-element code array),
+    // look codewords up in the broadcast codebook, reassemble
     val recon = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .select(col(idCol), col("cell"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
       .join(broadcast(codebook), Seq("subspace", "code"))
       .groupBy(col(idCol), col("cell"))
       .agg(flatten(transform(

@@ -150,7 +150,7 @@ class IvfIndexSpec extends AnyFunSuite {
     VecIndex.writeIvfPqIndex(base, "label", path, m = 4, subDim = 16,
       kCodes = 8, iters = 2)
     val baseCodes = spark.read.parquet(s"$path/codes").count()
-    assert(baseCodes == base.count() * 4)
+    assert(baseCodes == base.count(), "packed: one code-array row per vector")
 
     // encoding consistency: re-encoding a TRAINING vector through the
     // stored codebook (the ingest path's arithmetic) reproduces its
@@ -166,7 +166,8 @@ class IvfIndexSpec extends AnyFunSuite {
           col("cell").as("code"))
     }.reduce(_ unionByName _)
     val stored = spark.read.parquet(s"$path/codes")
-      .select($"vec_id", $"subspace", $"code")
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
       .as[(Long, Int, Int)].collect().toSet
     val recomputed = reEnc.select($"vec_id", $"subspace", $"code")
       .as[(Long, Int, Int)].collect().toSet
@@ -179,13 +180,13 @@ class IvfIndexSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("ivfpqckpt").toString
     VecIndex.streamAppendPq(spark, path, streamDir, ckpt, m = 4,
       subDim = 16).awaitTermination()
-    assert(spark.read.parquet(s"$path/codes").count() == baseCodes + 40)
+    assert(spark.read.parquet(s"$path/codes").count() == baseCodes + 10)
     VecIndex.streamAppendPq(spark, path, streamDir, ckpt, m = 4,
       subDim = 16).awaitTermination()
     val ckpt2 = java.nio.file.Files.createTempDirectory("ivfpqckpt2").toString
     VecIndex.streamAppendPq(spark, path, streamDir, ckpt2, m = 4,
       subDim = 16).awaitTermination()
-    assert(spark.read.parquet(s"$path/codes").count() == baseCodes + 40,
+    assert(spark.read.parquet(s"$path/codes").count() == baseCodes + 10,
       "replay must not double-append")
 
     // ingested vectors landed in their L2-nearest coarse cell and are
@@ -226,9 +227,9 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(scan.selectedPartitions.partitionCount == 3,
       s"expected 3 of $nCells partitions, got " +
         s"${scan.selectedPartitions.partitionCount}")
-    // the code payload at rest is (id, subspace, code) — no float vector
+    // the code payload at rest is (id, packed code array) — no floats
     val schema = spark.read.parquet(s"$path/codes").schema.fieldNames.toSet
-    assert(schema == Set("vec_id", "subspace", "code", "cell"), schema)
+    assert(schema == Set("vec_id", "codes", "cell"), schema)
   }
 
   test("rebalance splits hot cells: data preserved, sizes cut, probes exact") {
