@@ -1318,6 +1318,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ROUGE-2 over the SNM candidate pairs (memo-shared generator):
+    // clipped bigram-multiset overlap with precision/recall/F in exact
+    // ppm — the standard generation/summary eval metric as a verify
+    // stage (clipping is what set-Jaccard misses: repeating one shared
+    // phrase fifty times credits it once).
+    "q_rouge2" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          lower(substring(col("text"), 1, 30)), window = 5)
+        .select(col("id_a"), col("id_b"))
+      graft.functions.Eval.rougeN(cand, docs, "doc_id", "text", n = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Blocking-quality report: the SNM window-5 candidates graded
     // against the verified n-gram-Jaccard truth pairs — the recall a
     // blocker swap must hold (recall lost at blocking is unrecoverable
@@ -4290,6 +4304,40 @@ object SparkEntry {
             CAST(b.rn - a.rn AS BIGINT) AS rdist
           FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
           ORDER BY id_a, id_b""",
+
+    "q_rouge2" ->
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn
+          FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+            i -> tk[i] || ' ' || tk[i + 1])) AS g
+            FROM tk WHERE len(tk) >= 2),
+          gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY 1, 2),
+          tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t
+            FROM gc GROUP BY 1),
+          ov AS (SELECT c.id_a, c.id_b,
+            CAST(sum(least(ga.c, gb.c)) AS BIGINT) AS n_overlap
+            FROM cand c
+            JOIN gc ga ON ga.doc_id = c.id_a
+            JOIN gc gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+            GROUP BY 1, 2),
+          fin AS (SELECT c.id_a, c.id_b,
+            coalesce(ov.n_overlap, 0) AS n_overlap,
+            ta.t AS n_cand, tb.t AS n_ref
+            FROM cand c
+            JOIN tt ta ON ta.doc_id = c.id_a
+            JOIN tt tb ON tb.doc_id = c.id_b
+            LEFT JOIN ov ON ov.id_a = c.id_a AND ov.id_b = c.id_b)
+          SELECT id_a, id_b, n_overlap, n_cand, n_ref,
+            ${duckPpm("n_overlap", "n_cand")} AS rouge_p_ppm,
+            ${duckPpm("n_overlap", "n_ref")} AS rouge_r_ppm,
+            ${duckPpm("2 * n_overlap", "n_cand + n_ref")} AS rouge_f_ppm
+          FROM fin ORDER BY id_a, id_b""",
 
     "q_editdist_verify" ->
       """WITH r AS (SELECT doc_id, lower(substring(text, 1, 30)) AS key,

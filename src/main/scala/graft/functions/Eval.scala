@@ -62,6 +62,63 @@ object Eval {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_ppm"))
   }
 
+  /** ROUGE-N (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
+    * Summaries") between candidate/reference document pairs — the
+    * standard n-gram-overlap eval for summaries/generations, computed
+    * with CLIPPED multiset counts (each reference n-gram credits at
+    * most its own multiplicity — the property plain set-Jaccard
+    * misses: a candidate repeating one reference phrase fifty times
+    * scores the phrase once). With P = overlap/|cand grams| and
+    * R = overlap/|ref grams|, F1 collapses to the single rational
+    * 2·overlap/(cand+ref) — one quantization, engine-exact.
+    *
+    * Scale shape: per-doc n-gram multiset counts (one scan-stage
+    * generate + partial-aggregable groupBy), then TWO id-keyed joins
+    * replicating gram counts onto the bounded candidate-pair set and a
+    * per-pair sum of least(c_a, c_b) — verify-stage cost, linear in
+    * pairs·grams-per-doc, never corpus². Pairs where either side has
+    * fewer than n tokens (no n-grams) drop — inner-join semantics like
+    * the other verify stages.
+    *
+    * Input `pairs` needs (id_a = candidate, id_b = reference). Output:
+    * (id_a, id_b, n_overlap, n_cand, n_ref, rouge_p_ppm, rouge_r_ppm,
+    * rouge_f_ppm).
+    */
+  def rougeN(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs.select(col(idCol),
+        explode(Text.wordNgrams(Text.tokens(col(textCol)), n)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = grams.groupBy(col(idCol)).agg(sum(col("__c")).as("__t"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val overlap = p
+      .join(grams.select(col(idCol).as("id_a"), col("__g"),
+        col("__c").as("__ca")), Seq("id_a"))
+      .join(grams.select(col(idCol).as("id_b"), col("__g"),
+        col("__c").as("__cb")), Seq("id_b", "__g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("n_overlap"))
+    p.join(tot.select(col(idCol).as("id_a"), col("__t").as("n_cand")),
+        Seq("id_a"))
+      .join(tot.select(col(idCol).as("id_b"), col("__t").as("n_ref")),
+        Seq("id_b"))
+      // disjoint pairs still score (their zero IS the signal)
+      .join(overlap, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("n_cand"), col("n_ref"))
+      .select(col("id_a"), col("id_b"), col("n_overlap"), col("n_cand"),
+        col("n_ref"),
+        Stats.fixedPointExact(col("n_overlap"), col("n_cand"))
+          .as("rouge_p_ppm"),
+        Stats.fixedPointExact(col("n_overlap"), col("n_ref"))
+          .as("rouge_r_ppm"),
+        Stats.fixedPointExact(lit(2L) * col("n_overlap"),
+          col("n_cand") + col("n_ref")).as("rouge_f_ppm"))
+  }
+
   /** AVERAGED metrics from a confusion matrix — the one-row summary a
     * model card reports beside [[classMetrics]]' per-class table, in
     * sklearn's three averaging conventions:

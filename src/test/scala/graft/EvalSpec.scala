@@ -43,6 +43,27 @@ class EvalSpec extends AnyFunSuite {
     assert(m("c") == ((0L, 0L, 1L, None, Some(0L), Some(0L))))
   }
 
+  test("rougeN: clipped bigram counts, zero-overlap pairs score zero, " +
+      "gram-less docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: "a b"x3, "b a"x2 -> 5
+      (2L, "a b c"),       // "a b", "b c" -> 2
+      (3L, "x y z"),
+      (4L, "solo")         // no bigrams: pairs with it drop
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 2L), (4L, 2L)).toDF("id_a", "id_b")
+    val got = Eval.rougeN(pairs, docs, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // clipping: "a b" appears 3x in cand but once in ref -> overlap 1
+    assert(got((1L, 2L)) ==
+      ((1L, 5L, 2L, 200000L, 500000L, 285714L)), got.toString)
+    assert(got((3L, 2L)) == ((0L, 2L, 2L, 0L, 0L, 0L)))
+    assert(!got.contains((4L, 2L)), "gram-less side must drop the pair")
+  }
+
   test("macroMetrics: hand-computed accuracy, macro and weighted means; " +
       "undefined per-class metrics count as zero") {
     import spark.implicits._
