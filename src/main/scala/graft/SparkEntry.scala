@@ -1410,6 +1410,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Adamic-Adar link prediction over the SNM candidate graph — the
+    // log-discounted refinement of q_common_neighbors (rare shared
+    // block-mates predict links; hubs are discounted by 1/log2(deg)),
+    // contributions as exact 2^32 div log2q(deg) integers.
+    "q_adamic_adar" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.adamicAdar(cand, "id_a", "id_b",
+          minCommon = 2L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Benchmark decontamination: docs sharing ANY 3-gram with the eval
     // set (doc_id < 10) drop from the training corpus — broadcast
     // semi-join, linear in the corpus.
@@ -4525,6 +4538,35 @@ object SparkEntry {
             FROM ctr x JOIN ctr y ON y.z = x.z AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2)
           SELECT cn.id_a, cn.id_b, cn.n_common
+          FROM cn ANTI JOIN es ON es.a = cn.id_a AND es.b = cn.id_b
+          ORDER BY cn.id_a, cn.id_b""",
+
+    "q_adamic_adar" ->
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          es AS (SELECT DISTINCT least(id_a, id_b) AS a,
+              greatest(id_a, id_b) AS b FROM cand WHERE id_a <> id_b),
+          sym AS (SELECT a AS z, b AS n FROM es
+            UNION ALL SELECT b, a FROM es),
+          deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1),
+          lx AS (SELECT DISTINCT d AS x FROM deg
+            WHERE d >= 2 AND d <= 10000),
+          $duckLog2Chain,
+          disc AS (SELECT deg.z, CAST(4294967296 // lgt.lq AS BIGINT) AS w
+            FROM deg JOIN lgt ON lgt.x = deg.d),
+          ctr AS (SELECT s.z, s.n, disc.w FROM sym s
+            JOIN disc ON disc.z = s.z),
+          cn AS (SELECT x.n AS id_a, y.n AS id_b,
+              CAST(count(*) AS BIGINT) AS n_common,
+              CAST(sum(x.w) AS BIGINT) AS aa_q
+            FROM ctr x JOIN ctr y ON y.z = x.z AND x.n < y.n
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT cn.id_a, cn.id_b, cn.n_common, cn.aa_q,
+            round(CAST(cn.aa_q AS DOUBLE) / 65536.0, 6) AS aa
           FROM cn ANTI JOIN es ON es.a = cn.id_a AND es.b = cn.id_b
           ORDER BY cn.id_a, cn.id_b""",
 

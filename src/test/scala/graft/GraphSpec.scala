@@ -112,6 +112,25 @@ class GraphSpec extends AnyFunSuite {
       degCap = 1L).isEmpty)
   }
 
+  test("adamic-adar: exact fixed-point discounts, rare neighbor " +
+      "outweighs hub, adjacency excluded") {
+    // 1 and 4 share neighbors 2 (degree grows with hub fan-out) and 3
+    val hub = (10L to 15L).map(k => (2L, k))
+    val es = (Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)) ++ hub)
+      .toDF("a", "b")
+    val got = Graph.adamicAdar(es, "a", "b", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // deg(2) = 2 neighbors of {1,4} + 6 hub spokes = 8; deg(3) = 2
+    val w = (d: Long) => 4294967296L / graft.plans.FixLog.log2q(d)
+    assert(got((1L, 4L)) == ((2L, w(8) + w(2))), got.toString)
+    // the degree-2 shared neighbor contributes ~3x the degree-8 hub
+    // (1/1 vs 1/3 in log2 — up to one integer-floor ulp)
+    assert(w(2) >= 3L * w(8) && w(2) <= 3L * w(8) + 3L)
+    // adjacent pairs are prediction non-targets
+    assert(!got.contains((1L, 2L)) && !got.contains((3L, 4L)))
+  }
+
   test("label propagation round 1 matches the hand-computed sync update") {
     // path 1-2-3: round 1 sync majority (min tie-break):
     // 1 sees {2} -> 2; 2 sees {1,3} tie -> 1; 3 sees {2} -> 2
