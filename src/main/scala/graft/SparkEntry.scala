@@ -3263,6 +3263,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // SCD type-2 dimension history (Kimball): three order-status
+    // versions folded through Merge.scd2Apply — changed keys close
+    // their interval and open a new one, no-op changes leave no empty
+    // intervals, history stays queryable by validity interval. The
+    // MERGE family's history-preserving member beside q_status_writeback
+    // (type-1 overwrite) and q_cdc_apply (last-write collapse).
+    "q_scd2" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val keys = Seq("o_orderkey")
+      val vals = Seq("o_orderstatus")
+      val h1 = graft.merge.Merge.scd2Init(
+        orders.select(col("o_orderkey"), col("o_orderstatus")), keys, vals, 1L)
+      val c2 = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"))
+      val h2 = graft.merge.Merge.scd2Apply(h1, c2, keys, vals, 2L)
+      val c3 = orders.filter(col("o_orderkey") % 21 === 0)
+        .select(col("o_orderkey"), lit("Y").as("o_orderstatus"))
+      graft.merge.Merge.scd2Apply(h2, c3, keys, vals, 3L)
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+
     // Left-semi join (EXISTS) — customers with at least one big order.
     "q_semi_join" -> { (s, d) =>
       Tables.customer(s, d)
@@ -7419,6 +7440,47 @@ object SparkEntry {
          WHERE c_custkey IN
            (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
          ORDER BY c_custkey""",
+
+    "q_scd2" ->
+      """WITH h1 AS (SELECT o_orderkey, o_orderstatus,
+            CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+            true AS is_current FROM orders),
+          c2 AS (SELECT o_orderkey, 'X' AS st FROM orders
+            WHERE o_orderkey % 7 = 0),
+          e2 AS (SELECT h.o_orderkey, h.o_orderstatus, h.valid_from,
+              CAST(2 AS BIGINT) AS valid_to, false AS is_current
+            FROM h1 h JOIN c2 ON c2.o_orderkey = h.o_orderkey
+            WHERE h.is_current AND h.o_orderstatus <> c2.st),
+          k2 AS (SELECT h.* FROM h1 h WHERE NOT (h.is_current AND EXISTS (
+            SELECT 1 FROM c2 WHERE c2.o_orderkey = h.o_orderkey
+              AND c2.st <> h.o_orderstatus))),
+          f2 AS (SELECT c2.o_orderkey, c2.st AS o_orderstatus,
+              CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+              true AS is_current
+            FROM c2 LEFT JOIN (SELECT o_orderkey, o_orderstatus FROM h1
+              WHERE is_current) cur USING (o_orderkey)
+            WHERE cur.o_orderkey IS NULL OR cur.o_orderstatus <> c2.st),
+          h2 AS (SELECT * FROM k2 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM f2),
+          c3 AS (SELECT o_orderkey, 'Y' AS st FROM orders
+            WHERE o_orderkey % 21 = 0),
+          e3 AS (SELECT h.o_orderkey, h.o_orderstatus, h.valid_from,
+              CAST(3 AS BIGINT) AS valid_to, false AS is_current
+            FROM h2 h JOIN c3 ON c3.o_orderkey = h.o_orderkey
+            WHERE h.is_current AND h.o_orderstatus <> c3.st),
+          k3 AS (SELECT h.* FROM h2 h WHERE NOT (h.is_current AND EXISTS (
+            SELECT 1 FROM c3 WHERE c3.o_orderkey = h.o_orderkey
+              AND c3.st <> h.o_orderstatus))),
+          f3 AS (SELECT c3.o_orderkey, c3.st AS o_orderstatus,
+              CAST(3 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+              true AS is_current
+            FROM c3 LEFT JOIN (SELECT o_orderkey, o_orderstatus FROM h2
+              WHERE is_current) cur USING (o_orderkey)
+            WHERE cur.o_orderkey IS NULL OR cur.o_orderstatus <> c3.st),
+          h3 AS (SELECT * FROM k3 UNION ALL SELECT * FROM e3
+            UNION ALL SELECT * FROM f3)
+          SELECT o_orderkey, o_orderstatus, valid_from, valid_to, is_current
+          FROM h3 ORDER BY o_orderkey, valid_from""",
 
     "q_scalar_subquery" ->
       """SELECT p_partkey, p_brand,

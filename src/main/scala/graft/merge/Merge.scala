@@ -51,6 +51,73 @@ object Merge {
       .select(col(idCol), col("change"))
   }
 
+  /** SCD TYPE-2 history bootstrap: every snapshot row becomes an open
+    * interval [version, ∞) — (keyCols..., valueCols..., valid_from,
+    * valid_to NULL, is_current true). */
+  def scd2Init(snapshot: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String], version: Long): DataFrame =
+    snapshot.select((keyCols ++ valueCols).map(col): _*)
+      .dropDuplicates(keyCols)
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+
+  /** SCD TYPE-2 apply — the warehouse-standard DIMENSION HISTORY form
+    * of MERGE (Kimball's slowly-changing dimension, type 2): instead of
+    * overwriting a matched row ([[whenMatchedUpdate]]), a changed key
+    * CLOSES its current interval (valid_to = version, is_current =
+    * false) and opens a new one [version, ∞) — every historical value
+    * stays queryable by validity interval ("status of order X as of
+    * version V" = the row with valid_from <= V < coalesce(valid_to,
+    * ∞)).
+    *
+    * Change semantics: `changes` rows are deduplicated on the key
+    * (MERGE's unique-source contract); a change equal to the key's
+    * current value is a no-op (no empty intervals); a NEW key opens its
+    * first interval; an ABSENT key is no change (deletes are a separate
+    * tombstone-valued change if the dimension needs them). Comparison
+    * is null-safe per value column.
+    *
+    * Scale shape: two key-equi-joins of the change batch against the
+    * CURRENT slice plus unions — change-batch-sized work over a
+    * key-partitionable history, no windows, no skew surprises (the
+    * history would be stored partitioned/bucketed by key).
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String],
+      version: Long): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "scd2Apply needs key and value columns")
+    val ch = changes.select((keyCols ++ valueCols).map(col): _*)
+      .dropDuplicates(keyCols)
+    val cur = history.filter(col("is_current"))
+    val past = history.filter(!col("is_current"))
+    val chMark = ch.select(keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"__n_$c")) :+ lit(1).as("__in_n"): _*)
+    val differs = valueCols
+      .map(c => !(col(c) <=> col(s"__n_$c"))).reduce(_ || _)
+    val joined = cur.join(chMark, keyCols, "left")
+    val expired = joined
+      .filter(col("__in_n").isNotNull && differs)
+      .select(history.columns.map(col): _*)
+      .withColumn("valid_to", lit(version))
+      .withColumn("is_current", lit(false))
+    val carried = joined
+      .filter(col("__in_n").isNull || !differs)
+      .select(history.columns.map(col): _*)
+    val curMark = cur.select(keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"__c_$c")) :+ lit(1).as("__in_c"): _*)
+    val differsCur = valueCols
+      .map(c => !(col(c) <=> col(s"__c_$c"))).reduce(_ || _)
+    val fresh = ch.join(curMark, keyCols, "left")
+      .filter(col("__in_c").isNull || differsCur)
+      .select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    past.unionByName(expired).unionByName(carried).unionByName(fresh)
+  }
+
   /** J1 — for each target row with a matching source row on `keyCols`, set
     * each column in `setCols` to the source's value; other rows pass
     * through unchanged. Equivalent to

@@ -94,6 +94,48 @@ class MergeSpec extends AnyFunSuite {
       (5L, "changed"), (6L, "added")))
   }
 
+  test("scd2Apply: changed keys close+open intervals, no-op changes " +
+      "leave none, new keys open, absent keys untouched") {
+    import spark.implicits._
+    val h1 = Merge.scd2Init(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      Seq("k"), Seq("v"), version = 1L)
+    val changes = Seq(
+      (1L, "a2"), // changed -> close [1,2), open [2, inf)
+      (2L, "b"),  // no-op -> untouched
+      (9L, "z")   // new key -> first interval at 2
+    ).toDF("k", "v")
+    val h2 = Merge.scd2Apply(h1, changes, Seq("k"), Seq("v"), version = 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"v", $"valid_from",
+        coalesce($"valid_to", lit(-1L)).as("vt"), $"is_current")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(rows(h2) == Set(
+      (1L, "a", 1L, 2L, false), (1L, "a2", 2L, -1L, true),
+      (2L, "b", 1L, -1L, true),
+      (3L, "c", 1L, -1L, true),
+      (9L, "z", 2L, -1L, true)))
+    // second fold: key 1 changes again -> three intervals; closed rows
+    // never touched again
+    val h3 = Merge.scd2Apply(h2, Seq((1L, "a3")).toDF("k", "v"),
+      Seq("k"), Seq("v"), version = 5L)
+    assert(rows(h3) == Set(
+      (1L, "a", 1L, 2L, false), (1L, "a2", 2L, 5L, false),
+      (1L, "a3", 5L, -1L, true),
+      (2L, "b", 1L, -1L, true),
+      (3L, "c", 1L, -1L, true),
+      (9L, "z", 2L, -1L, true)))
+    // as-of query: the interval containing version 3 for key 1 is a2
+    val asOf3 = h3.filter($"k" === 1L && $"valid_from" <= 3L &&
+        (col("valid_to").isNull || col("valid_to") > 3L))
+      .select($"v").as[String].collect().toSeq
+    assert(asOf3 == Seq("a2"))
+    // duplicate change keys collapse (MERGE's unique-source contract)
+    val dup = Merge.scd2Apply(h1,
+      Seq((1L, "x"), (1L, "x")).toDF("k", "v"), Seq("k"), Seq("v"), 2L)
+    assert(dup.filter($"k" === 1L).count() == 2L)
+  }
+
   test("antiJoinAppend: replay-safe for keyed AND null-keyed rows") {
     val dir = TestSpark.tmpDir("anti_append")
     val path = s"$dir/t"
