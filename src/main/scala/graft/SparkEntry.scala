@@ -1788,6 +1788,17 @@ object SparkEntry {
         .orderBy(col("score_q").desc, col("doc_id").asc)
     },
 
+    // Pseudo-relevance-feedback query expansion (RM1/RM3 family): the
+    // BM25 top-10 feedback docs weight candidate terms by
+    // sum(tf * score_q); seed terms and stopwords excluded. The
+    // retrieval loop's second hop — what a curation team expands a
+    // corpus-slicing query with.
+    "q_prf_expand" -> { (s, d) =>
+      graft.functions.Rank.prfExpansionTerms(Tables.documents(s, d),
+        "doc_id", "text", bm25Query, kDocs = 10, kTerms = 10,
+        stopwords = stopwords)
+    },
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 hit list with
     // a document-quality prior ranking (k=60) — scales never compared,
     // only ranks; contributions quantized to exact integers.
@@ -5061,6 +5072,24 @@ object SparkEntry {
       s"""SELECT doc_id, n_terms, score_q,
             CAST(score_q AS DOUBLE) / 1000000.0 AS score
           FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 20"""),
+
+    "q_prf_expand" -> (duckBm25Cte + {
+      val excluded = (bm25Query ++ stopwords).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s""", fb AS (SELECT doc_id, score_q FROM agg
+            ORDER BY score_q DESC, doc_id LIMIT 10),
+          ptf AS (SELECT t.term, t.doc_id, fb.score_q,
+            CAST(count(*) AS BIGINT) AS tf
+            FROM toks t JOIN fb USING (doc_id)
+            WHERE regexp_full_match(t.term, '[a-z]+')
+              AND t.term NOT IN ($excluded)
+            GROUP BY 1, 2, 3),
+          w AS (SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CAST(tf AS HUGEINT) * score_q) AS BIGINT) AS w_q
+            FROM ptf GROUP BY 1)
+          SELECT term, n_docs, w_q FROM w
+          ORDER BY w_q DESC, term ASC LIMIT 10"""
+    }),
 
     "q_rrf_fuse" -> (duckBm25Cte +
       s""", ra AS (SELECT doc_id, row_number() OVER

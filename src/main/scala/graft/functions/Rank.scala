@@ -85,6 +85,49 @@ object Rank {
       idCol, k)
   }
 
+  /** Pseudo-relevance-feedback QUERY EXPANSION (the RM1/RM3 family,
+    * Lavrenko & Croft 2001, with the BM25 score as the document
+    * weight): score the corpus for the seed query, take the top
+    * `kDocs` feedback documents, and weight every candidate term by
+    * Σ over feedback docs of tf(term, d) · score_q(d) — terms frequent
+    * in highly-ranked documents become the expansion. Seed terms and
+    * stopwords are excluded (expanding a query with itself or with
+    * glue words is the classic PRF failure mode); candidates are
+    * [a-z]+ tokens like the NB vocabulary.
+    *
+    * Exact arithmetic: tf and score_q are integers, the weight is the
+    * decimal-widened sum of their products — engine-identical, so the
+    * expansion list (w_q desc, term asc, top kTerms) is deterministic.
+    *
+    * Scale shape: the BM25 pass is [[bm25TopDocs]]'s (query-vocabulary
+    * bounded); the term tally runs over the kDocs FEEDBACK docs only
+    * (one id-equi-join cuts the corpus token stream to them), then a
+    * term-keyed partial-aggregable sum and a bounded top-kTerms.
+    * Output: (term, n_docs, w_q), ordered (w_q desc, term asc).
+    */
+  def prfExpansionTerms(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], kDocs: Int, kTerms: Int,
+      stopwords: Seq[String] = Nil): DataFrame = {
+    require(kDocs >= 1 && kTerms >= 1,
+      s"kDocs and kTerms must be >= 1, got $kDocs, $kTerms")
+    val fb = bm25TopDocs(docs, idCol, textCol, queryTerms, kDocs)
+      .select(col(idCol), col("score_q"))
+    val excluded = (queryTerms ++ stopwords).distinct
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .where(col("term").rlike("^[a-z]+$"))
+      .filter(!col("term").isin(excluded: _*))
+      .join(fb, Seq(idCol))
+      .groupBy(col("term"), col(idCol), col("score_q"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__tf").cast("decimal(19,0)") * col("score_q"))
+          .cast("decimal(38,0)")).cast("long").as("w_q"))
+      .orderBy(col("w_q").desc, col("term").asc)
+      .limit(kTerms)
+  }
+
   /** The ONE BM25 scoring + top-k pass, shared by the scan path above and
     * the postings-index path in [[TextIndex]] — duplicating the
     * cleared-denominator arithmetic is how index and scan scores would

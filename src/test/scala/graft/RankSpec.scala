@@ -67,6 +67,28 @@ class RankSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("prfExpansionTerms: tf-weighted-by-score sums, seed/stopword " +
+      "exclusion, non-feedback docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup dup apple banana"),
+      (2L, "dup apple apple"),
+      (3L, "zzz zzz zzz") // no query term: outside the feedback set
+    ).toDF("doc_id", "text")
+    val scores = Rank.bm25TopDocs(docs, "doc_id", "text", Seq("dup"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (s1, s2) = (scores(1L), scores(2L))
+    val got = Rank.prfExpansionTerms(docs, "doc_id", "text", Seq("dup"),
+        kDocs = 2, kTerms = 10, stopwords = Seq("banana"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // apple: tf 1 in doc 1, tf 2 in doc 2
+    assert(got == Map("apple" -> ((2L, s1 + 2L * s2))), got.toString)
+    // seed term and stopword never expand; zzz is not in feedback docs
+    assert(!got.contains("dup") && !got.contains("banana") &&
+      !got.contains("zzz"))
+  }
+
   test("rrfFuse matches hand-computed quantized reciprocal ranks") {
     val listA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")
     val listB = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rnk")
