@@ -2389,6 +2389,14 @@ object SparkEntry {
     // Chi-square independence of token vs language — the frequentist
     // companion of q_feature_mi: quantized exact cell mass over the
     // class × vocabulary grid, one row with dof.
+    // Population stability index of the source mixture between the
+    // even- and odd-id halves — the drift monitor a deployed pipeline
+    // tracks between snapshots; exact ppm shares, base-2 FixLog terms.
+    "q_psi" -> { (s, d) =>
+      graft.functions.Stats.psi(Tables.documents(s, d), "source",
+        col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
+    },
+
     "q_chi2" -> { (s, d) =>
       graft.functions.Stats.chi2Independence(Tables.documents(s, d),
         "text", "lang")
@@ -5856,6 +5864,29 @@ object SparkEntry {
             CAST(s // nn AS BIGINT) AS chi2_q,
             round(CAST(s // nn AS DOUBLE) / 1000000.0, 6) AS chi2
           FROM agg""",
+
+    "q_psi" ->
+      s"""WITH c AS (SELECT source AS cat,
+            CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+            FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb FROM c),
+          p AS (SELECT cat, greatest(${duckPpm("ca", "na")}, 1) AS pa,
+            greatest(${duckPpm("cb", "nb")}, 1) AS pb
+            FROM c CROSS JOIN t),
+          lx AS (SELECT DISTINCT pa AS x FROM p
+            UNION SELECT DISTINCT pb FROM p),
+          $duckLog2Chain,
+          terms AS (SELECT (p.pa - p.pb) * (la.lq - lb.lq) AS t FROM p
+            JOIN lgt la ON la.x = p.pa
+            JOIN lgt lb ON lb.x = p.pb)
+          SELECT CAST(count(*) AS BIGINT) AS n_cats,
+            CAST(sum(t) AS BIGINT) AS psi2_q,
+            round(CAST(sum(t) AS DOUBLE) / 65536.0 / 1000000.0, 6) AS psi2
+          FROM terms""",
 
     "q_group_ols" ->
       s"""WITH e AS (SELECT event_type,

@@ -202,6 +202,51 @@ object Stats {
           .cast("double") / 1e6, 6).as("chi2"))
   }
 
+  /** POPULATION STABILITY INDEX between two row populations' category
+    * distributions — THE standard drift monitor for a deployed
+    * pipeline's mixture (source shares, language shares, quality-tier
+    * shares between two snapshots/splits): PSI = Σ over categories of
+    * (p_a − p_b)·log(p_a/p_b). Both factors of every term share a
+    * sign, so PSI ≥ 0, zero iff the distributions agree. The usual
+    * reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Logarithms are base-2 through [[graft.plans.FixLog.log2q]] (the
+    * no-libm discipline): shares are exact ppm integers (clamped at
+    * 1 ppm — the standard smoothing for a category absent from one
+    * side, and log2q's domain floor), each term the exact integer
+    * (pa_ppm − pb_ppm)·(log2q(pa_ppm) − log2q(pb_ppm)), summed as
+    * psi2_q. `psi2` = psi2_q / (2^16·10^6) is PSI in log-2 units; the
+    * natural-log convention multiplies by ln 2 (≈0.6931) — thresholds
+    * above are for the ln convention, so compare psi2·0.6931.
+    *
+    * Scale shape: one partial-aggregable category count pass + a
+    * category-domain-bounded term table. Output: one row
+    * (n_cats, psi2_q, psi2).
+    */
+  def psi(df: DataFrame, catCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val counts = df.select(col(catCol).as("__cat"),
+        when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val tot = counts.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        greatest(fixedPointExact(col("__ca"), col("__na")), lit(1L))
+          .as("__pa"),
+        greatest(fixedPointExact(col("__cb"), col("__nb")), lit(1L))
+          .as("__pb"))
+      .select(((col("__pa") - col("__pb")) *
+        (graft.plans.FixLog.log2qCol(col("__pa")) -
+          graft.plans.FixLog.log2qCol(col("__pb")))).as("__t"))
+      .agg(count(lit(1)).as("n_cats"), sum(col("__t")).as("psi2_q"))
+      .select(col("n_cats"), col("psi2_q"),
+        round(col("psi2_q").cast("double") / 65536.0 / 1000000.0, 6)
+          .as("psi2"))
+  }
+
   /** Gini coefficient of a set of nonnegative integer sizes — the
     * inequality readout (0 = perfectly even, ->1 = one holder): exact
     * rational G = (2 * sum(rank_i * x_i) - (n+1) * sum(x)) /

@@ -43,6 +43,32 @@ class StatsSpec extends AnyFunSuite {
     assert(i.getLong(3) == 0L && i.getDouble(4) == 0.0)
   }
 
+  test("psi: identical distributions score 0, known shift matches the " +
+      "hand-computed fixed-point terms, absent category clamps at 1 ppm") {
+    // same source mix in both halves -> every term 0
+    val same = Seq((0L, "w"), (1L, "w"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "source")
+    val s = Stats.psi(same, "source", col("doc_id") % 2 === 0,
+      col("doc_id") % 2 === 1).collect()(0)
+    assert(s.getLong(0) == 2L && s.getLong(1) == 0L && s.getDouble(2) == 0.0)
+    // a: 3/4 vs 1/4; b: 1/4 vs 3/4 — hand-computed with log2q
+    val shift = Seq((0L, "a"), (2L, "a"), (4L, "a"), (6L, "b"),
+      (1L, "a"), (3L, "b"), (5L, "b"), (7L, "b")).toDF("doc_id", "source")
+    val p = Stats.psi(shift, "source", col("doc_id") % 2 === 0,
+      col("doc_id") % 2 === 1).collect()(0)
+    val l = (v: Long) => graft.plans.FixLog.log2q(v)
+    val expected = (750000L - 250000L) * (l(750000L) - l(250000L)) +
+      (250000L - 750000L) * (l(250000L) - l(750000L))
+    assert(p.getLong(1) == expected, p.toString)
+    assert(p.getLong(1) > 0L)
+    // category absent from one side: share clamps to 1 ppm, PSI finite
+    val absent = Seq((0L, "only_even"), (1L, "only_odd"))
+      .toDF("doc_id", "source")
+    val a = Stats.psi(absent, "source", col("doc_id") % 2 === 0,
+      col("doc_id") % 2 === 1).collect()(0)
+    assert(a.getLong(0) == 2L && a.getLong(1) > 0L)
+  }
+
   test("gini: known values — {1,3} = 0.25, uniform = 0, extreme -> (n-1)/n") {
     def g(sizes: Seq[Long]): (Long, Long, Double) = {
       val df = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
