@@ -119,6 +119,40 @@ object Eval {
           col("n_cand") + col("n_ref")).as("rouge_f_ppm"))
   }
 
+  /** ROUGE-L between candidate/reference pairs — the LCS-based member
+    * of the ROUGE family ([[rougeN]]'s scaladoc; [[graft.plans.Lcs]]):
+    * in-order but non-contiguous agreement over BOUNDED token prefixes
+    * (`cap` — candidates × cap² cost). P = LCS/|cand|, R = LCS/|ref|
+    * over the capped counts, F = 2·LCS/(cand+ref). SPEC-VERIFIED, not
+    * oracle-gated: the LCS DP has no SQL replay (the Lcs scaladoc
+    * records the split). Pairs with a token-less side drop.
+    * Output: (id_a, id_b, lcs, n_cand, n_ref, rougel_p_ppm,
+    * rougel_r_ppm, rougel_f_ppm).
+    */
+  def rougeL(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, cap: Int = 256): DataFrame = {
+    val t = docs.select(col(idCol), col(textCol))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(t.select(col(idCol).as("id_a"), col(textCol).as("__ta")),
+        Seq("id_a"))
+      .join(t.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.Lcs.tokenLcsCol(col("__ta"), col("__tb"), cap)
+          .cast("long").as("lcs"),
+        least(Text.tokenCount(col("__ta")).cast("long"), lit(cap.toLong))
+          .as("n_cand"),
+        least(Text.tokenCount(col("__tb")).cast("long"), lit(cap.toLong))
+          .as("n_ref"))
+      .filter(col("n_cand") > 0L && col("n_ref") > 0L)
+      .select(col("id_a"), col("id_b"), col("lcs"), col("n_cand"),
+        col("n_ref"),
+        Stats.fixedPointExact(col("lcs"), col("n_cand")).as("rougel_p_ppm"),
+        Stats.fixedPointExact(col("lcs"), col("n_ref")).as("rougel_r_ppm"),
+        Stats.fixedPointExact(lit(2L) * col("lcs"),
+          col("n_cand") + col("n_ref")).as("rougel_f_ppm"))
+  }
+
   /** AVERAGED metrics from a confusion matrix — the one-row summary a
     * model card reports beside [[classMetrics]]' per-class table, in
     * sklearn's three averaging conventions:

@@ -171,6 +171,28 @@ object TokenScan {
     n
   }
 
+  /** The first min(cap, count) whitespace tokens as an array — the
+    * bounded-prefix discipline for O(cap²) pairwise work (Lcs).
+    */
+  def tokensCapped(s: String, cap: Int): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    var start = -1
+    val len = s.length
+    while (i < len && out.length < cap) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { out += s.substring(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0 && out.length < cap) {
+      var j = i
+      while (j < len && !isWs(s.charAt(j))) j += 1
+      out += s.substring(start, j)
+    }
+    out.toArray
+  }
+
   /** Total code points across all tokens — equals the sum of `length(t)`
     * over the token array, since tokens partition the non-\s characters.
     */

@@ -64,6 +64,47 @@ class EvalSpec extends AnyFunSuite {
     assert(!got.contains((4L, 2L)), "gram-less side must drop the pair")
   }
 
+  test("rougeL: LCS matches a brute-force reference, cap truncates, " +
+      "codegen compiles") {
+    import spark.implicits._
+    // brute-force LCS over token seqs
+    def ref(a: String, b: String, cap: Int): Int = {
+      val ta = a.split("\\s+").filter(_.nonEmpty).take(cap)
+      val tb = b.split("\\s+").filter(_.nonEmpty).take(cap)
+      val dp = Array.ofDim[Int](ta.length + 1, tb.length + 1)
+      for (i <- 1 to ta.length; j <- 1 to tb.length)
+        dp(i)(j) = if (ta(i - 1) == tb(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(ta.length)(tb.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val words = Seq("a", "b", "c", "d")
+    val texts = (0 until 12).map(i => i.toLong ->
+      (1 to 2 + rnd.nextInt(20)).map(_ => words(rnd.nextInt(4)))
+        .mkString(" ")).toMap
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val pairs = (0L until 6L).map(i => (i, i + 6L)).toDF("id_a", "id_b")
+    val got = Eval.rougeL(pairs, docs, "doc_id", "text", cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    got.foreach { case ((a, b), (lcs, nc, nr)) =>
+      assert(lcs == ref(texts(a), texts(b), 8).toLong, s"pair ($a,$b)")
+      assert(nc == math.min(texts(a).split(" ").length, 8).toLong)
+      assert(nr == math.min(texts(b).split(" ").length, 8).toLong)
+      assert(lcs <= math.min(nc, nr))
+    }
+    assert(got.size == 6)
+    // in-order non-contiguous credit: "a x b y c" vs "a b c" -> 3
+    assert(graft.plans.Lcs.tokenLcs("a x b y c", "a b c", 100) == 3)
+    // order matters: reversed shares only 1
+    assert(graft.plans.Lcs.tokenLcs("a b c", "c b a", 100) == 1)
+    // codegen path actually compiles (no interpreted fallback)
+    org.apache.spark.sql.GraftBridge.compileExpression(
+      graft.plans.TokenLcsExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("a b"),
+        org.apache.spark.sql.catalyst.expressions.Literal("a c"), 16))
+  }
+
   test("macroMetrics: hand-computed accuracy, macro and weighted means; " +
       "undefined per-class metrics count as zero") {
     import spark.implicits._
