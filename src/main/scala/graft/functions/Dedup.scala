@@ -981,10 +981,12 @@ object Dedup {
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
 
-  /** Drop the shared candidate-pair memos (SNM + n-gram Jaccard +
-    * banded LSH) and free their checkpoint storage. */
+  /** Drop the shared candidate-pair/overlap memos (SNM, n-gram
+    * Jaccard, banded LSH, source overlap) and free their checkpoint
+    * storage. */
   def releasePairMemos(): Unit = {
     snmMemo.release(); njMemo.release(); lshMemo.release()
+    soMemo.release()
   }
 
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, key: Column,

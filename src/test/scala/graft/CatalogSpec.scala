@@ -43,4 +43,57 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("USE default")
     spark.sql("DROP DATABASE movie_db")
   }
+
+  test("bucketed tables co-locate: the bucket-key join plans with NO " +
+      "shuffle exchange on either side") {
+    import org.apache.spark.sql.functions._
+    // The 100 TB join posture the scaladocs cite, demonstrated for
+    // real: both sides written bucketed by the join key, the sort-merge
+    // join reads bucket i against bucket i directly — zero Exchange.
+    // At scale this turns every recurring fact-dim or fact-fact join on
+    // the bucket key into a shuffle-free map-side merge.
+    val d = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("g_orders_b")
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("g_lineitem_b")
+    // the fixture is small enough to auto-broadcast; the 100 TB regime
+    // this demonstrates is the one where neither side broadcasts
+    val abKey = "spark.sql.autoBroadcastJoinThreshold"
+    val abPrev = spark.conf.getOption(abKey)
+    spark.conf.set(abKey, "-1")
+    try {
+      val joined = spark.table("g_lineitem_b")
+        .join(spark.table("g_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not reshuffle either bucketed side: no
+      // Exchange may appear BELOW the join (the aggregate above it may
+      // still exchange on o_custkey)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join reshuffled a bucketed side:\n$plan")
+      // and it computes the right thing
+      val viaBuckets = joined.agg(sum(col("rev"))).head.getDouble(0)
+      val direct = Tables.lineitem(spark, d)
+        .agg(sum(col("l_extendedprice"))).head.getDouble(0)
+      assert(math.abs(viaBuckets - direct) < 1e-6)
+    } finally {
+      abPrev match {
+        case Some(v) => spark.conf.set(abKey, v)
+        case None => spark.conf.unset(abKey)
+      }
+      spark.sql("DROP TABLE IF EXISTS g_orders_b")
+      spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    }
+  }
 }
