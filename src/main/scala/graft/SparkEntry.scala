@@ -2935,6 +2935,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // RESIDUAL-encoded IVF-PQ (the FAISS default): codebooks trained
+    // on x − centroid(cell) — the codewords spend their resolution on
+    // within-cell geometry instead of re-encoding the coarse position;
+    // reconstruction adds the centroid back. Same serve tail as
+    // q_ivfpq_topk; both float truncation points are engine-identical
+    // REAL casts, so the full chain hash-gates.
+    "q_ivfpq_res_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nProbe = 3, cellCol = "label", m = 4, subDim = 16, kCodes = 8,
+          iters = 2, shortlist = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Recall@5 of the full IVF-PQ ladder against the exact cosine
     // top-5 — the serving-quality grade for the composed index, beside
     // q_ann_recall's IVF-flat number: what the cell pruning AND the
@@ -6973,6 +6987,77 @@ object SparkEntry {
           rce AS (SELECT r.vec_id, e.label, r.embedding
             FROM rcn r JOIN embeddings e USING (vec_id)),
           ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN rce e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          sl AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
+            WHERE rk <= 10),
+          rr AS (SELECT s.query_id, s.neighbor_id,
+            round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
+            FROM sl s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+          fin AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          SELECT query_id, neighbor_id, sim, "rank" FROM fin
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_ivfpq_res_topk" -> {
+      val dotSql = duckDotSql _
+      // q_ivfpq_topk's chain with the PQ trained on RESIDUALS: rs
+      // subtracts the (label) centroid per element (REAL casts at both
+      // truncation points mirror the Spark zip_with), rce adds it back
+      // to the reconstructed residual before the ADC scoring.
+      val subs = (0 until 4).map { s =>
+        val lo = s * 16 + 1
+        s"""s$s AS (SELECT vec_id, embedding[$lo:${lo + 15}] AS embedding
+            FROM rs),
+            ${duckKmeansStages(s"s$s", s"p$s", 8)}"""
+      }.mkString(",\n")
+      val cbU = (0 until 4).map(s =>
+        s"SELECT $s AS subspace, cell, cvec FROM p${s}c1").mkString(" UNION ALL ")
+      val cdU = (0 until 4).map(s =>
+        s"SELECT vec_id, $s AS subspace, cell FROM p${s}a2").mkString(" UNION ALL ")
+      s"""WITH ${duckCentroidCte("cell")},
+          rs AS (SELECT e.vec_id, e.label,
+            list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(CAST(e.embedding[i] AS DOUBLE)
+                - CAST(cl.centroid[i] AS DOUBLE) AS REAL)) AS embedding
+            FROM embeddings e JOIN cl ON cl.cell = e.label),
+          $subs,
+          cb AS ($cbU),
+          cd AS ($cdU),
+          rcn AS (SELECT cd.vec_id,
+            flatten(list(cb.cvec ORDER BY cd.subspace)) AS embedding
+            FROM cd JOIN cb ON cb.subspace = cd.subspace AND cb.cell = cd.cell
+            GROUP BY cd.vec_id),
+          rce AS (SELECT r.vec_id, e.label,
+            list_transform(range(1, len(r.embedding) + 1),
+              i -> CAST(CAST(cl.centroid[i] AS DOUBLE)
+                + CAST(r.embedding[i] AS DOUBLE) AS REAL)) AS embedding
+            FROM rcn r JOIN embeddings e USING (vec_id)
+            JOIN cl ON cl.cell = e.label),
           q AS (SELECT vec_id AS query_id, embedding AS qv
             FROM embeddings WHERE vec_id < 10),
           pc AS (SELECT q.query_id, q.qv, cl.cell,

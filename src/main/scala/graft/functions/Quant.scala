@@ -113,7 +113,8 @@ object Quant {
     freeOnRelease = { case (a, c) =>
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(a)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(c)
-    })
+    },
+    capacity = 2) // raw-vector and residual trainings alternate
 
   /** Drop the PQ model memo and free its checkpoint storage. */
   def releaseModelMemo(): Unit = pqMemo.release()

@@ -646,8 +646,59 @@ object Vec {
     val recon = Quant.pqReconstruct(codes, codebook, idCol)
       .withColumnRenamed("embedding", "__rv")
       .join(corpus.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+      .select(col(idCol), col("cell"), col("__rv"))
+    ivfPqServe(corpus, queries, recon, k, nProbe, cellCol, shortlist,
+      idCol, vecCol, excludeSelf)
+  }
 
-    // coarse probe: exact-corpus centroids, same plan as ivfTopK
+  /** RESIDUAL-encoded IVF-PQ (the FAISS IVFPQ default): PQ codebooks
+    * are trained on the RESIDUALS x − centroid(cell(x)) rather than
+    * the raw vectors — residuals concentrate near zero, so the same
+    * kCodes codewords spend their resolution on the within-cell
+    * geometry instead of re-encoding the coarse position the cell id
+    * already carries; reconstruction adds the centroid back
+    * (x̂ = c + r̂). Float truncation points (residual cast, recon cast)
+    * are engine-identical REAL casts, so the whole chain stays under
+    * the hash oracle. Serving (probe, ADC, shortlist, exact rerank)
+    * is [[ivfPqTopK]]'s tail verbatim.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, cellCol: String, m: Int, subDim: Int, kCodes: Int,
+      iters: Int, shortlist: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val centroids = groupCentroids(
+      corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
+    val resid = corpus.select(col(idCol), col(cellCol).as("cell"),
+        col(vecCol))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("centroid"),
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+          .as(vecCol))
+    val (codes, codebook) = Quant.pqModel(
+      resid.select(col(idCol), col(vecCol)), m, subDim, kCodes, iters,
+      idCol, vecCol)
+    val recon = resid.select(col(idCol), col("cell"))
+      .join(Quant.pqReconstruct(codes, codebook, idCol)
+        .withColumnRenamed("embedding", "__rr"), Seq(idCol))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("centroid"), col("__rr"),
+          (c, r) => (c.cast("double") + r.cast("double")).cast("float"))
+          .as("__rv"))
+    ivfPqServe(corpus, queries, recon, k, nProbe, cellCol, shortlist,
+      idCol, vecCol, excludeSelf)
+  }
+
+  /** The shared IVF-PQ serving tail: coarse probe over exact-corpus
+    * centroids, ADC against `recon` (idCol, cell, __rv) within probed
+    * cells, top-`shortlist` ADC ranks, exact-cosine rerank to top-k.
+    */
+  private def ivfPqServe(corpus: DataFrame, queries: DataFrame,
+      recon: DataFrame, k: Int, nProbe: Int, cellCol: String,
+      shortlist: Int, idCol: String, vecCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val centroids = groupCentroids(
       corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
