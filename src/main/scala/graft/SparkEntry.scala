@@ -4380,9 +4380,10 @@ object SparkEntry {
           cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
           tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
-          g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-            i -> tk[i] || ' ' || tk[i + 1])) AS g
+          gr AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+            i -> tk[i] || ' ' || tk[i + 1])) AS gram
             FROM tk WHERE len(tk) >= 2),
+          g AS (SELECT doc_id, ${duckPolyId("gram")} AS g FROM gr),
           gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
             FROM g GROUP BY 1, 2),
           tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t

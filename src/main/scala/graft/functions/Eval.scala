@@ -72,11 +72,15 @@ object Eval {
     * R = overlap/|ref grams|, F1 collapses to the single rational
     * 2·overlap/(cand+ref) — one quantization, engine-exact.
     *
-    * Scale shape: per-doc n-gram multiset counts (one scan-stage
-    * generate + partial-aggregable groupBy), then TWO id-keyed joins
-    * replicating gram counts onto the bounded candidate-pair set and a
-    * per-pair sum of least(c_a, c_b) — verify-stage cost, linear in
-    * pairs·grams-per-doc, never corpus². Pairs where either side has
+    * Scale shape: the clipped-MULTISET intersection is reduced to a
+    * SET intersection by occurrence-indexing — the k-th occurrence of
+    * gram g becomes the element (g, k), so |indexed(A) ∩ indexed(B)| =
+    * Σ_g min(c_A(g), c_B(g)) exactly. Each doc then ships ONE compact
+    * sorted array onto the bounded candidate-pair set (two id-keyed
+    * joins) and the overlap is one array_intersect per pair — the
+    * verifyJaccardArrays discipline; the re-expansion form (joining
+    * gram ROWS per pair) was measured ~5× slower at sf0.1 because it
+    * shuffles pairs × grams-per-doc rows. Pairs where either side has
     * fewer than n tokens (no n-grams) drop — inner-join semantics like
     * the other verify stages.
     *
@@ -87,28 +91,28 @@ object Eval {
   def rougeN(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = docs.select(col(idCol),
-        explode(Text.wordNgrams(Text.tokens(col(textCol)), n)).as("__g"))
-      .groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val tot = grams.groupBy(col(idCol)).agg(sum(col("__c")).as("__t"))
-    val p = pairs.select(col("id_a"), col("id_b"))
-    val overlap = p
-      .join(grams.select(col(idCol).as("id_a"), col("__g"),
-        col("__c").as("__ca")), Seq("id_a"))
-      .join(grams.select(col(idCol).as("id_b"), col("__g"),
-        col("__c").as("__cb")), Seq("id_b", "__g"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(least(col("__ca"), col("__cb"))).as("n_overlap"))
-    p.join(tot.select(col(idCol).as("id_a"), col("__t").as("n_cand")),
-        Seq("id_a"))
-      .join(tot.select(col(idCol).as("id_b"), col("__t").as("n_ref")),
-        Seq("id_b"))
-      // disjoint pairs still score (their zero IS the signal)
-      .join(overlap, Seq("id_a", "id_b"), "left")
-      .select(col("id_a"), col("id_b"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        col("n_cand"), col("n_ref"))
+    // occurrence-indexed HASHED gram sets built by ONE compiled pass
+    // per document ([[graft.plans.RougeGrams]]): grams hash at the
+    // scan (the engine's shared polynomial hash — collisions merge
+    // identically in both engines, the standard contract), the k-th
+    // occurrence of hash h becomes the long h·2^20 + k, and the sorted
+    // long array ships straight to the pair join — zero shuffles
+    // before it (the relational groupBy/collect_list form paid two
+    // corpus shuffles for the same arrays).
+    val sets = docs.select(col(idCol),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.RougeGramSetExpr(
+            org.apache.spark.sql.GraftBridge.expression(col(textCol)), n))
+          .as("__set"))
+      .withColumn("__t", size(col("__set")).cast("long"))
+      .filter(col("__t") > 0L)
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa"),
+        col("__t").as("n_cand")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb"),
+        col("__t").as("n_ref")), Seq("id_b"))
+      .withColumn("n_overlap",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .select(col("id_a"), col("id_b"), col("n_overlap"), col("n_cand"),
         col("n_ref"),
         Stats.fixedPointExact(col("n_overlap"), col("n_cand"))

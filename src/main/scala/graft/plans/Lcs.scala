@@ -58,6 +58,69 @@ object Lcs {
       GraftBridge.expression(b), cap))
 }
 
+/** Scan-stage builder of ROUGE-N's occurrence-indexed hashed gram set:
+  * the k-th occurrence of word n-gram g becomes the long
+  * polyHash(g)·2^20 + k (h < 2^30, occurrences bounded far below 2^20
+  * — the element fits a long exactly), sorted ascending. One compiled
+  * pass per document — the relational form (explode → groupBy →
+  * re-explode → collect_list) paid two corpus shuffles for the same
+  * array.
+  */
+object RougeGrams {
+  def gramSet(s: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = TokenScan.tokensCapped(s, Int.MaxValue)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val counts = new java.util.HashMap[Long, Integer]()
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = PolyHash.eval(sb.toString)
+      val occ = counts.merge(h, 1, (a, b) => a + b)
+      out(i) = h * 1048576L + occ.toLong
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(Long.box): Array[Any])
+  }
+}
+
+/** Scalar: RougeGrams.gramSet compiled into the scan stage. */
+case class RougeGramSetExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rouge_gram_set requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    RougeGrams.gramSet(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.RougeGrams.gramSet($c.toString(), $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RougeGramSetExpr = copy(child = newChild)
+}
+
 /** Scalar: Lcs.tokenLcs compiled into the scan stage — one static call
   * per row pair, no per-token expression tree. */
 case class TokenLcsExpr(left: Expression, right: Expression, cap: Int)

@@ -62,6 +62,14 @@ class EvalSpec extends AnyFunSuite {
       ((1L, 5L, 2L, 200000L, 500000L, 285714L)), got.toString)
     assert(got((3L, 2L)) == ((0L, 2L, 2L, 0L, 0L, 0L)))
     assert(!got.contains((4L, 2L)), "gram-less side must drop the pair")
+    // the compiled gram-set builder actually compiles (no fallback)
+    org.apache.spark.sql.GraftBridge.compileExpression(
+      graft.plans.RougeGramSetExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("a b a b"), 2))
+    // occurrence indexing: "a b" twice -> two DISTINCT elements
+    val gs = graft.plans.RougeGrams.gramSet("a b a b", 2)
+    assert(gs.numElements() == 3)
+    assert((0 until 3).map(gs.getLong).distinct.size == 3)
   }
 
   test("rougeL: LCS matches a brute-force reference, cap truncates, " +
