@@ -181,7 +181,12 @@ object Suffix {
       .select(col("__ida"), col("__posa"), col("__idb"), col("__posb"),
         col("__lena"))
       .withColumn("__lcp", lit(0L))
-    for (k <- (rounds - 1) to 0 by -1) {
+    for (k <- (rounds - 1) to 0 by -1
+        // converged levels contribute nothing: tables(k+1) eq tables(k)
+        // means level k's ranks are already a permutation (the early-
+        // exit alias), so no DISTINCT adjacent pair can match at 2^k —
+        // skip the two no-op equi-joins the level would cost
+        if !(tables(k + 1) eq tables(k))) {
       val span = 1L << k
       val ra = tables(k).select(col("__id").as("__ida"),
         col("__pos").as("__pa"), col("__r").as("__rka"))
