@@ -2288,6 +2288,17 @@ object SparkEntry {
     // (never the decimal numerators or round()ed doubles — the driver's
     // comparator is only stable on BIGINT/DOUBLE-free-of-ties outputs);
     // slope ~ -1e6 ppm for natural text.
+    // Heaps'-law vocabulary-growth exponent — the companion diagnostic
+    // to q_zipf_slope: beta near 0.4-0.6 reads as natural text,
+    // beta -> 0 flags template floods, beta -> 1 id/hash floods. Exact
+    // ppm slope over log2q checkpoints; the global token index is the
+    // two-level rank, the cumulative vocabulary rides the 20-point
+    // grid only.
+    "q_heaps" -> { (s, d) =>
+      graft.functions.Stats.heapsFit(Tables.documents(s, d), "doc_id",
+        "text")
+    },
+
     "q_zipf_slope" -> { (s, d) =>
       val freqs = Tables.documents(s, d)
         .select(explode(Text.tokens(col("text"))).as("token"))
@@ -5731,6 +5742,45 @@ object SparkEntry {
               unnest([bad_status, empty_priority, nonpositive_price,
                 null_orderdate, pk_duplicates, pk_nulls]) AS v FROM a)
           ORDER BY check_name""",
+
+    "q_heaps" ->
+      s"""WITH tkk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          st AS (SELECT doc_id, s.i AS p, s.t AS tok FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+              i -> {'i': i, 't': tk[i]})) AS s FROM tkk)),
+          flt AS (SELECT doc_id, p, tok FROM st
+            WHERE regexp_matches(tok, '^[a-z]+$$')),
+          r AS (SELECT tok,
+            CAST(row_number() OVER (ORDER BY doc_id, p) AS BIGINT) AS gp,
+            CAST(count(*) OVER () AS BIGINT) AS nn FROM flt),
+          fp AS (SELECT tok, min(gp) AS fp, max(nn) AS n FROM r GROUP BY 1),
+          pi AS (SELECT ((fp * 20 - 1) // n) + 1 AS i,
+            CAST(count(*) AS BIGINT) AS v, max(n) AS n FROM fp GROUP BY 1),
+          nt AS (SELECT max(n) AS N FROM pi),
+          gr AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(1, 21) t(i)),
+          cum AS (SELECT gr.i,
+            CAST(sum(coalesce(pi.v, 0)) OVER (ORDER BY gr.i) AS BIGINT) AS V,
+            (gr.i * nt.N) // 20 AS prefix
+            FROM gr LEFT JOIN pi ON pi.i = gr.i CROSS JOIN nt),
+          pts AS (SELECT prefix, V FROM cum WHERE V > 0 AND prefix > 0),
+          lx AS (SELECT DISTINCT prefix AS x FROM pts
+            UNION SELECT DISTINCT V FROM pts),
+          $duckLog2Chain,
+          xy AS (SELECT la.lq AS x, lv.lq AS y FROM pts
+            JOIN lgt la ON la.x = pts.prefix
+            JOIN lgt lv ON lv.x = pts.V),
+          sm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy FROM xy)
+          SELECT n,
+            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE ${duckPpm("n * sxy - sx * sy", "n * sxx - sx * sx")}
+            END AS slope_ppm,
+            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE ${duckPpm("sy * sxx - sx * sxy", "n * sxx - sx * sx")}
+            END AS intercept_ppm
+          FROM sm""",
 
     "q_zipf_slope" ->
       s"""WITH f AS (SELECT word AS token, CAST(count(*) AS BIGINT) AS freq

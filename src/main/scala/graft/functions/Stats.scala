@@ -247,6 +247,63 @@ object Stats {
           .as("psi2"))
   }
 
+  /** HEAPS'-LAW FIT — vocabulary growth V(n) ≈ K·n^β over the corpus
+    * token stream (Heaps 1978), the companion diagnostic to the Zipf
+    * slope: β near the English-corpus 0.4–0.6 band says the stream
+    * grows vocabulary like natural text; β → 0 flags template/boiler-
+    * plate floods (vocabulary saturates), β → 1 flags id/hash floods
+    * (every token new). Deterministic stream order = (idCol, position)
+    * — the engine's canonical corpus order, replayed by the oracle.
+    *
+    * Shape: the global token index is [[GroupRank.withRankAndCount]]'s
+    * two-level rank (NO single-task sort over the corpus stream);
+    * first-occurrence positions are a vocabulary-sized min; each type
+    * then lands in the FIRST of `gridPoints` evenly-spaced prefix
+    * checkpoints that contains it (ceil arithmetic — partial-
+    * aggregable), and the cumulative vocabulary rides the
+    * gridPoints-bounded domain only (the binned-KS window discipline).
+    * The fit is [[groupOls]] over (log2q(prefix), log2q(vocab)) at the
+    * checkpoints — slope_ppm ≈ β·10^6 exactly as the gated integer
+    * (log base cancels in the slope).
+    *
+    * Output: one row (n, slope_ppm, intercept_ppm) — n = gridPoints.
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      gridPoints: Int = 20): DataFrame = {
+    require(gridPoints >= 2, s"gridPoints must be >= 2, got $gridPoints")
+    val g = gridPoints.toLong
+    val stream = docs.select(col(idCol).as("__id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("__p", "__tok")))
+      .where(col("__tok").rlike("^[a-z]+$"))
+    val ranked = GroupRank.withRankAndCount(
+      stream.withColumn("__all", lit(1)), Seq("__all"),
+      Seq(col("__id").asc, col("__p").asc), "__gp", "__nn")
+    val firstpos = ranked.groupBy(col("__tok"))
+      .agg(min(col("__gp")).as("__fp"), max(col("__nn")).as("__n"))
+    // a type first seen at position fp joins checkpoint ceil(fp·G/N)
+    val perIdx = firstpos
+      .select((GroupRank.intDiv(col("__fp") * g - 1L, col("__n")) + 1L)
+        .as("__i"), col("__n"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__v"), max(col("__n")).as("__n"))
+    val spark = docs.sparkSession
+    val grid = spark.range(1, gridPoints + 1).toDF("__i")
+      .crossJoin(broadcast(perIdx.agg(max(col("__n")).as("__N"))))
+    val w = Window.orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = grid.join(perIdx.select(col("__i"), col("__v")), Seq("__i"),
+        "left")
+      // gridPoints-bounded window only — never corpus rows
+      .withColumn("__V", sum(coalesce(col("__v"), lit(0L))).over(w))
+      .withColumn("__prefix", GroupRank.intDiv(col("__i") * col("__N"),
+        lit(g)))
+      .filter(col("__V") > 0L && col("__prefix") > 0L)
+    groupOls(pts.select(lit("corpus").as("g"),
+        graft.plans.FixLog.log2qCol(col("__prefix")).as("x"),
+        graft.plans.FixLog.log2qCol(col("__V")).as("y")),
+      "g", "x", "y")
+      .select(col("n"), col("slope_ppm"), col("intercept_ppm"))
+  }
+
   /** Gini coefficient of a set of nonnegative integer sizes — the
     * inequality readout (0 = perfectly even, ->1 = one holder): exact
     * rational G = (2 * sum(rank_i * x_i) - (n+1) * sum(x)) /

@@ -69,6 +69,25 @@ class StatsSpec extends AnyFunSuite {
     assert(a.getLong(0) == 2L && a.getLong(1) > 0L)
   }
 
+  test("heapsFit: all-distinct stream fits beta = 1 exactly, constant " +
+      "stream fits beta = 0") {
+    // 200 distinct [a-z]+ tokens over 4 docs: V(n) = n at every
+    // checkpoint -> y = x in log space -> slope exactly 1e6 ppm
+    val wordsOf = (r: Range) => r.map(i => "w" + ("abcdefghij" * 2)
+      .substring(0, 3) + ("a" + i.toString.map(c => ('a' + (c - '0')).toChar)))
+    val distinctDocs = (0 until 4).map(d => (d.toLong,
+      wordsOf(d * 50 until (d + 1) * 50).mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = Stats.heapsFit(distinctDocs, "doc_id", "text").collect()(0)
+    assert(one.getLong(1) == 1000000L, one.toString)
+    // constant stream: vocabulary saturates at 1 -> slope 0
+    val const = Seq((0L, ("tok " * 100).trim), (1L, ("tok " * 60).trim))
+      .toDF("doc_id", "text")
+    val zero = Stats.heapsFit(const, "doc_id", "text").collect()(0)
+    assert(zero.getLong(1) == 0L, zero.toString)
+    assert(zero.getLong(2) == 0L) // intercept log2q(1) = 0
+  }
+
   test("gini: known values — {1,3} = 0.25, uniform = 0, extreme -> (n-1)/n") {
     def g(sizes: Seq[Long]): (Long, Long, Double) = {
       val df = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
