@@ -2792,6 +2792,19 @@ object SparkEntry {
         .orderBy(col("query_id"))
     },
 
+    // MRR@5 of the IVF ranking against the exact cosine top-5 — the
+    // first-relevant-hit serving metric beside recall/NDCG/RBO; exact
+    // lcm(1..5)-scaled reciprocal ranks, total misses emit rr 0.
+    "q_mrr" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      graft.functions.Eval.mrrAtK(
+          Vec.ivfTopK(emb, qs, k = 5, nProbe = 3, cellCol = "label"),
+          Vec.bruteForceTopK(qs, emb, k = 5),
+          "query_id", "neighbor_id", "rank", k = 5)
+        .orderBy(col("query_id"))
+    },
+
     // Rank-biased overlap between the exact cosine top-10 and the IVF
     // (nProbe=3) top-10 — the rank-aware serving-quality metric for the
     // ANN layer, exact dyadic-rational arithmetic at p = 1/2.
@@ -6777,6 +6790,56 @@ object SparkEntry {
             coalesce(ht.n_hit, CAST(0 AS BIGINT)) AS n_hit,
             ${duckPpm("coalesce(ht.n_hit, 0)", "kt.k_true")} AS recall_ppm
           FROM kt LEFT JOIN ht USING (query_id) ORDER BY query_id"""
+    },
+
+    "q_mrr" -> {
+      val dotSql = duckDotSql _
+      // the q_ann_recall chains with ra keeping its rank; lcm(1..5)=60
+      s"""WITH ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN embeddings e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          ra AS (SELECT query_id, neighbor_id, rk FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM cand)
+            WHERE rk <= 5),
+          px AS (SELECT query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("qv", "e.embedding")} /
+              (sqrt(${dotSql("qv", "qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+          rx AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM px)
+            WHERE rk <= 5),
+          fh AS (SELECT ra.query_id, CAST(min(ra.rk) AS BIGINT) AS first_hit
+            FROM ra JOIN rx ON rx.query_id = ra.query_id
+              AND rx.neighbor_id = ra.neighbor_id GROUP BY 1),
+          qq AS (SELECT DISTINCT query_id FROM rx),
+          fin AS (SELECT qq.query_id,
+            coalesce(fh.first_hit, CAST(0 AS BIGINT)) AS first_hit,
+            CASE WHEN coalesce(fh.first_hit, 0) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(60 // fh.first_hit AS BIGINT) END AS rr_num
+            FROM qq LEFT JOIN fh USING (query_id))
+          SELECT query_id, first_hit, rr_num,
+            ${duckPpm("rr_num", "60")} AS rr_ppm
+          FROM fin ORDER BY query_id"""
     },
 
     "q_rbo" -> {

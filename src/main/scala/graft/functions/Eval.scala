@@ -261,6 +261,40 @@ object Eval {
           .as("recall_ppm"))
   }
 
+  /** MRR@K — mean-reciprocal-rank's per-query form (the navigational
+    * retrieval metric beside recall@k/AP/NDCG/RBO: only the FIRST
+    * relevant hit matters, discounted by its rank): rr = 1/rank of the
+    * first approx result that appears in the exact/relevant set, 0 if
+    * none lands in the top k. Exact arithmetic: rr_num = lcm(1..k) div
+    * first_hit — an exact integer over the fixed denominator
+    * lcm(1..k), the RBO dyadic-lcm discipline; rr_ppm quantizes once.
+    * Queries present in the EXACT frame always emit a row (a total
+    * miss IS the signal). Bounded-k rank joins only.
+    * Output: (queryCol, first_hit — 0 on miss, rr_num, rr_ppm).
+    */
+  def mrrAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+    val lcmK = (1 to k).foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+    val firstHit = approx
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol), col(neighborCol), col(rankCol))
+      .join(exact.select(col(queryCol), col(neighborCol)),
+        Seq(queryCol, neighborCol))
+      .groupBy(col(queryCol))
+      .agg(min(col(rankCol)).cast("long").as("first_hit"))
+    exact.select(col(queryCol)).distinct()
+      .join(firstHit, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("first_hit"), lit(0L)).as("first_hit"))
+      .withColumn("rr_num",
+        when(col("first_hit") === 0L, lit(0L))
+          .otherwise(GroupRank.intDiv(lit(lcmK), col("first_hit"))))
+      .withColumn("rr_ppm",
+        Stats.fixedPointExact(col("rr_num"), lit(lcmK)))
+  }
+
   /** NDCG@K — graded ranking quality (Järvelin & Kekäläinen 2002),
     * completing the metric set (ROC-AUC, AP, recall@k, RBO):
     * DCG = Σ rel_i / log2(i+1) over the ranking's first k positions,

@@ -72,6 +72,29 @@ class EvalSpec extends AnyFunSuite {
     assert((0 until 3).map(gs.getLong).distinct.size == 3)
   }
 
+  test("mrrAtK: exact lcm-scaled reciprocal ranks, misses score zero, " +
+      "rank beyond k ignored") {
+    import spark.implicits._
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L),             // q1: hit at rank 2
+      (2L, 20L, 1L),                            // q2: hit at rank 1
+      (3L, 30L, 1L), (3L, 31L, 2L),             // q3: no hit in top k
+      (4L, 40L, 6L)                             // q4: hit only past k
+    ).toDF("query_id", "neighbor_id", "rank")
+    val exact = Seq((1L, 11L), (1L, 12L), (2L, 20L), (3L, 99L), (4L, 40L))
+      .toDF("query_id", "neighbor_id")
+    val got = Eval.mrrAtK(approx, exact, "query_id", "neighbor_id",
+        "rank", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // lcm(1..5) = 60
+    assert(got(1L) == ((2L, 30L, 500000L)))
+    assert(got(2L) == ((1L, 60L, 1000000L)))
+    assert(got(3L) == ((0L, 0L, 0L)), "no relevant hit -> rr 0")
+    assert(got(4L) == ((0L, 0L, 0L)), "hit past k must not count")
+    assert(got.size == 4, "every exact-side query emits a row")
+  }
+
   test("rougeL: LCS matches a brute-force reference, cap truncates, " +
       "codegen compiles") {
     import spark.implicits._
