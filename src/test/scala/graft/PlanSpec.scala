@@ -267,6 +267,24 @@ class PlanSpec extends AnyFunSuite {
       up.contains("BroadcastHashJoin"), up)
   }
 
+  test("round-8 entries: no cartesian product; nested loops only where " +
+      "a bounded 1-row/centroid cross is the design") {
+    // entries whose every join is key-equi (no 1-row crossJoin inside)
+    for (q <- Seq("q_scd2", "q_adamic_adar", "q_rouge2", "q_mrr")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // entries carrying a deliberate bounded cross (1-row totals / grid /
+    // query x centroid): still never a CartesianProduct
+    for (q <- Seq("q_heaps", "q_psi", "q_prf_expand", "q_macro_metrics",
+        "q_winsorize_sampled", "q_quality_gate_sampled", "q_ivfpq_topk",
+        "q_ivfpq_res_topk")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("shared chains memoize: one build per (input, params) per session") {
     val docs = Tables.documents(spark, d)
     import org.apache.spark.sql.functions.{col => c, lower, substring}
