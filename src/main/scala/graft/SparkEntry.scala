@@ -2792,6 +2792,19 @@ object SparkEntry {
         .orderBy(col("query_id"))
     },
 
+    // AP@5 per query of the IVF ranking against the exact cosine
+    // top-5 — the area-under-PR serving grade beside q_mrr's first-hit
+    // and q_ann_recall's set view; exact lcm-scaled precision terms.
+    "q_map" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      graft.functions.Eval.mapAtK(
+          Vec.ivfTopK(emb, qs, k = 5, nProbe = 3, cellCol = "label"),
+          Vec.bruteForceTopK(qs, emb, k = 5),
+          "query_id", "neighbor_id", "rank", k = 5)
+        .orderBy(col("query_id"))
+    },
+
     // MRR@5 of the IVF ranking against the exact cosine top-5 — the
     // first-relevant-hit serving metric beside recall/NDCG/RBO; exact
     // lcm(1..5)-scaled reciprocal ranks, total misses emit rr 0.
@@ -6840,6 +6853,63 @@ object SparkEntry {
           SELECT query_id, first_hit, rr_num,
             ${duckPpm("rr_num", "60")} AS rr_ppm
           FROM fin ORDER BY query_id"""
+    },
+
+    "q_map" -> {
+      val dotSql = duckDotSql _
+      // q_mrr's chains; cumulative hits over the k-bounded ranking,
+      // per-relevant-position precision terms at lcm(1..5)=60 scale
+      s"""WITH ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN embeddings e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          ra AS (SELECT query_id, neighbor_id, rk FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM cand)
+            WHERE rk <= 5),
+          px AS (SELECT query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("qv", "e.embedding")} /
+              (sqrt(${dotSql("qv", "qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+          rx AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM px)
+            WHERE rk <= 5),
+          rl AS (SELECT ra.query_id, ra.rk,
+            CASE WHEN rx.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+            FROM ra LEFT JOIN rx ON rx.query_id = ra.query_id
+              AND rx.neighbor_id = ra.neighbor_id),
+          cm AS (SELECT query_id, rk, rel,
+            CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rk)
+              AS BIGINT) AS c FROM rl),
+          pq AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_hit,
+            CAST(sum(CASE WHEN rel = 1 THEN c * (60 // rk) ELSE 0 END)
+              AS BIGINT) AS ap_num
+            FROM cm GROUP BY 1),
+          kt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_true
+            FROM rx GROUP BY 1)
+          SELECT kt.query_id, kt.k_true,
+            coalesce(pq.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+            coalesce(pq.ap_num, CAST(0 AS BIGINT)) AS ap_num,
+            ${duckPpm("coalesce(pq.ap_num, 0)", "60 * kt.k_true")} AS ap_ppm
+          FROM kt LEFT JOIN pq USING (query_id) ORDER BY query_id"""
     },
 
     "q_rbo" -> {

@@ -295,6 +295,47 @@ object Eval {
         Stats.fixedPointExact(col("rr_num"), lit(lcmK)))
   }
 
+  /** AP@K per query — average precision of an approximate top-k
+    * ranking against the exact/relevant set (the area-under-PR
+    * companion of [[mrrAtK]]'s first-hit view and [[topkRecall]]'s set
+    * view): AP = (Σ over relevant positions i of P@i) / k_true, with
+    * P@i = hits_so_far/i. Exact arithmetic over the fixed denominator
+    * lcm(1..k)·k_true: each relevant position contributes the integer
+    * c_i·(lcm div i) (i divides lcm — exact), quantized once to
+    * ap_ppm. Queries with no hit score 0; every exact-side query emits
+    * a row. Cumulative hits ride a k-bounded per-query window only.
+    * Output: (queryCol, k_true, n_hit, ap_num, ap_ppm); the corpus MAP
+    * is the caller's mean over ap_ppm.
+    */
+  def mapAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+    val lcmK = (1 to k).foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+    val rel = approx.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(neighborCol),
+        col(rankCol).cast("long").as("__rk"))
+      .join(exact.select(col(queryCol), col(neighborCol))
+        .withColumn("__rel", lit(1L)), Seq(queryCol, neighborCol), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+    val w = Window.partitionBy(col(queryCol)).orderBy(col("__rk"))
+    val perQ = rel
+      .withColumn("__c", sum(col("__rel")).over(w)) // k-bounded window
+      .groupBy(col(queryCol))
+      .agg(sum(col("__rel")).as("n_hit"),
+        sum(when(col("__rel") === 1L,
+          col("__c") * GroupRank.intDiv(lit(lcmK), col("__rk")))
+          .otherwise(0L)).as("ap_num"))
+    exact.groupBy(col(queryCol)).agg(count(lit(1)).as("k_true"))
+      .join(perQ, Seq(queryCol), "left")
+      .select(col(queryCol), col("k_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("ap_num"), lit(0L)).as("ap_num"))
+      .withColumn("ap_ppm", Stats.fixedPointExact(col("ap_num"),
+        (lit(lcmK).cast("decimal(19,0)") * col("k_true"))
+          .cast("decimal(38,0)")))
+  }
+
   /** NDCG@K — graded ranking quality (Järvelin & Kekäläinen 2002),
     * completing the metric set (ROC-AUC, AP, recall@k, RBO):
     * DCG = Σ rel_i / log2(i+1) over the ranking's first k positions,

@@ -95,6 +95,27 @@ class EvalSpec extends AnyFunSuite {
     assert(got.size == 4, "every exact-side query emits a row")
   }
 
+  test("mapAtK: hand-computed lcm-scaled precision terms; miss queries " +
+      "score zero") {
+    import spark.implicits._
+    val approx = Seq(
+      // q1: rel at ranks 1 and 3 -> AP = (1/1 + 2/3)/2 over k_true=2
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      // q2: no relevant hit
+      (2L, 20L, 1L)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = Eval.mapAtK(approx, exact, "query_id", "neighbor_id",
+        "rank", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // lcm(1..5)=60: ap_num = 1*(60/1) + 2*(60/3) = 100; den = 60*2
+    // ap = 100/120 = 5/6 -> 833333 ppm
+    assert(got(1L) == ((2L, 2L, 100L, 833333L)), got.toString)
+    assert(got(2L) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("rougeL: LCS matches a brute-force reference, cap truncates, " +
       "codegen compiles") {
     import spark.implicits._
