@@ -733,6 +733,27 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    // Skew-salted fact-dim join: lineitem x orders through
+    // Scale.saltedJoin (salt the probe side, explode the build side
+    // saltFactor ways) — identical rows to the plain equi-join, but a
+    // hot orderkey's row group is spread over 8 reducers instead of
+    // one straggler; the manual fallback when AQE's skew split can't
+    // see the key (pre-shuffle aggregates, bucketed inputs). Gated
+    // against the PLAIN SQL join — salting must be invisible in the
+    // result.
+    "q_salted_join" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Scale.saltedJoin(l, o, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(SparkEntry.discRevenue.as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // G1 — explode an array column (one row per vector element).
     "q_explode_array" -> { (s, d) =>
       Tables.embeddings(s, d)
@@ -1008,6 +1029,16 @@ object SparkEntry {
           Text.avgTokenLen(col("text")).as("avg_tok_len"),
           Text.stopwordRatio(col("text"), SparkEntry.stopwords).as("stop_ratio"),
           Text.qualityScore(col("text"), SparkEntry.stopwords).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Flesch reading ease per document — the classic readability card
+    // beside the Gopher-style quality score: words/sentences/syllable
+    // (vowel-group) counts collapsed to one exact rational in
+    // micro-units; scan-stage regex arithmetic, no shuffle.
+    "q_readability" -> { (s, d) =>
+      graft.functions.Quality.fleschReadability(
+          Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 
@@ -1397,6 +1428,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Local clustering coefficient over the same SNM candidate graph —
+    // per-node triangle density normalized for degree
+    // (2t/(deg*(deg-1)) in exact ppm): the cut signal that separates
+    // coherent content clusters (cc ~ 1) from chains of borderline
+    // matches (cc ~ 0 at high degree); deg < 2 renders NULL.
+    "q_clustering_coef" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.clusteringCoef(cand, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Link prediction: non-adjacent doc pairs sharing >= 2 neighbors in
     // the SNM graph — the blocker's likeliest misses, the recall-repair
     // pass before clustering (common-neighbors score; hub centers cut
@@ -1617,6 +1662,17 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("tfidf"), col("term_rank").cast("long").as("term_rank"))
         .orderBy(col("doc_id"), col("term_rank"))
+    },
+
+    // Hashing-trick featurization (1024 dims, signed): the
+    // vocabulary-free fixed-width vectorizer for linear models over an
+    // unbounded token stream — no dictionary build, no OOV path; signed
+    // collisions stay unbiased; exact-zero dims drop like any sparse
+    // encoding.
+    "q_feature_hash" -> { (s, d) =>
+      Tfidf.hashingTrick(Tables.documents(s, d), "doc_id", "text",
+          dims = 1024)
+        .orderBy(col("doc_id"), col("dim"))
     },
 
     // BPE merge learning: 3 greedy rounds of most-frequent-adjacent-pair
@@ -1903,6 +1959,17 @@ object SparkEntry {
       graft.functions.Entropy.unigramKL(
           Tables.documents(s, d), "lang", "text")
         .select(col("g_a"), col("g_b"), col("kl_num"), col("kl_ubits"))
+        .orderBy(col("g_a"), col("g_b"))
+    },
+
+    // Jensen-Shannon divergence per unordered language pair — the
+    // symmetric, bounded corpus-similarity card beside TV (exact
+    // metric) and KL (directed cost); smoothing-free (the mixture is
+    // positive on every support token), one intersection-support
+    // equi-join, exact q16 numerators and micro-bit rendering.
+    "q_unigram_js" -> { (s, d) =>
+      graft.functions.Entropy.unigramJS(
+          Tables.documents(s, d), "lang", "text")
         .orderBy(col("g_a"), col("g_b"))
     },
 
@@ -2429,6 +2496,45 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
 
+    // Spearman rank correlation between token count and char count
+    // over documents — monotone association without Pearson's
+    // linearity assumption; the doc_id tie-break makes both engines'
+    // ranks identical permutations, so the classic 1 - 6*sum(d^2) /
+    // (n(n^2-1)) form is exact rational (two-level ranks, no global
+    // window).
+    "q_spearman" -> { (s, d) =>
+      graft.functions.Stats.spearman(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("ntok"),
+            col("n_chars")),
+        "ntok", "n_chars", "doc_id")
+    },
+
+    // Lag-1 autoregression of the daily event-count series — the
+    // burst/trend persistence readout beside q_burstiness's dispersion:
+    // slope of x_{t+1} on x_t over the bounded calendar-day domain,
+    // exact OLS rational in ppm.
+    "q_autocorr" -> { (s, d) =>
+      graft.functions.Stats.lagSlope(
+        Tables.eventsTs(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")
+    },
+
+    // Benford first-digit audit of order totals (in cents) — the
+    // fabricated/truncated-data screen for financial columns: observed
+    // vs log10(1+1/d) expected ppm per digit, signed excess; the digit
+    // from the portable integer decimal rendering, no log10 anywhere.
+    "q_benford" -> { (s, d) =>
+      graft.functions.Stats.benford(
+        Tables.orders(s, d)
+          .select(round(col("o_totalprice") * 100, 0).cast("long")
+            .as("cents")),
+        "cents")
+        .orderBy(col("digit"))
+    },
+
     // Feature selection for the classifier family: top-20 tokens by
     // exact-integer mutual information with the language class —
     // which tokens carry class signal at all (the NB companion score).
@@ -2479,6 +2585,19 @@ object SparkEntry {
     "q_macro_metrics" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       graft.functions.Eval.macroMetrics(
+        graft.functions.Eval.confusion(
+          graft.functions.NaiveBayes.classify(docs, docs, "doc_id",
+            "text", "lang"),
+          "doc_id", "pred_class", docs, "lang"))
+    },
+
+    // Cohen's kappa of the NB classifier vs gold labels — the
+    // chance-corrected agreement card beside accuracy (which the
+    // class-imbalanced corpus inflates); same memo-shared NB confusion
+    // chain, one exact rational: (N*agree - pe_num)/(N^2 - pe_num).
+    "q_kappa" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Eval.cohenKappa(
         graft.functions.Eval.confusion(
           graft.functions.NaiveBayes.classify(docs, docs, "doc_id",
             "text", "lang"),
@@ -3588,6 +3707,15 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
 
+    // the PLAIN join: salting must be invisible in the result
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q_explode_array" ->
       """SELECT vec_id, UNNEST(embedding) AS component FROM embeddings
          ORDER BY vec_id, component""",
@@ -3836,6 +3964,24 @@ object SparkEntry {
               (1.0 - abs(stop_ratio - 0.2)) AS quality
           FROM t2 ORDER BY doc_id"""
     },
+
+    "q_readability" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_words,
+            greatest(CAST(1 AS BIGINT),
+              CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+              AS n_sentences,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+            FROM documents)
+          SELECT doc_id, n_words, n_sentences, n_syllables,
+            CASE WHEN n_words = 0 THEN NULL
+              ELSE ${duckPpm(
+                "206835 * n_sentences * n_words - 1015 * n_words * n_words" +
+                  " - 84600 * n_syllables * n_sentences",
+                "1000 * n_sentences * n_words")}
+            END AS flesch_ppm
+          FROM t ORDER BY doc_id""",
 
     "q_quality_gate" -> {
       val hits = duckMarkerHits(stopwords)
@@ -4612,6 +4758,36 @@ object SparkEntry {
           FROM documents d LEFT JOIN pv ON pv.v = d.doc_id
           ORDER BY d.doc_id""",
 
+    "q_clustering_coef" ->
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          es AS (SELECT DISTINCT least(id_a, id_b) AS a,
+              greatest(id_a, id_b) AS b FROM cand WHERE id_a <> id_b),
+          tri AS (SELECT x.a, x.b, y.b AS c
+            FROM es x JOIN es y ON y.a = x.b
+            JOIN es z ON z.a = x.a AND z.b = y.b),
+          pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+              SELECT a AS v FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            GROUP BY 1),
+          dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT a AS v FROM es UNION ALL SELECT b FROM es)
+            GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree,
+            CAST(coalesce(pv.t, 0) AS BIGINT) AS n_triangles,
+            CASE WHEN coalesce(dg.deg, 0) < 2 THEN NULL
+              ELSE ${duckPpm("2 * coalesce(pv.t, 0)",
+                "dg.deg * (dg.deg - 1)")}
+            END AS cc_ppm
+          FROM documents d LEFT JOIN pv ON pv.v = d.doc_id
+          LEFT JOIN dg ON dg.v = d.doc_id
+          ORDER BY d.doc_id""",
+
     "q_common_neighbors" ->
       """WITH r AS (SELECT doc_id,
             row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
@@ -4808,6 +4984,18 @@ object SparkEntry {
             FROM sc)
           SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q_feature_hash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok
+            FROM documents),
+          h AS (SELECT doc_id, ${duckPolyId("tok")} AS tid FROM toks),
+          f AS (SELECT doc_id, tid % 1024 AS dim,
+            CASE WHEN ((tid // 1024) % 2) = 0 THEN 1 ELSE -1 END AS sgn
+            FROM h),
+          v AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+            CAST(sum(sgn) AS BIGINT) AS val FROM f GROUP BY 1, 2)
+          SELECT doc_id, dim, val FROM v WHERE val <> 0
+          ORDER BY doc_id, dim""",
 
     "q_bpe_merges" -> {
       def round(prev: String, p: String, t: String, next: String): String =
@@ -5319,6 +5507,39 @@ object SparkEntry {
           SELECT g_a, g_b, CAST(klnum AS BIGINT) AS kl_num,
             ${duckPpm("klnum", "(na + v) * 65536")} AS kl_ubits
           FROM kl ORDER BY g_a, g_b""",
+
+    "q_unigram_js" ->
+      s"""WITH tk AS (SELECT lang AS g, unnest(${duckToks("text")}) AS tok
+            FROM documents),
+          c AS MATERIALIZED (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+          t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+          iw AS MATERIALIZED (SELECT a.g AS g_a, b.g AS g_b,
+              ta.n AS na, tb.n AS nb, a.c AS ca, b.c AS cb
+            FROM c a JOIN c b ON b.tok = a.tok AND a.g < b.g
+            JOIN t ta ON ta.g = a.g JOIN t tb ON tb.g = b.g),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT 2 * ca * nb AS x FROM iw
+            UNION SELECT ca * nb + cb * na FROM iw
+            UNION SELECT 2 * cb * na FROM iw)),
+          $duckLog2Chain,
+          sums AS (SELECT g_a, g_b, na, nb,
+              sum(ca * (la.lq - ls.lq)) AS ia,
+              sum(cb * (lb.lq - ls.lq)) AS ib,
+              CAST(sum(ca) AS BIGINT) AS sa,
+              CAST(sum(cb) AS BIGINT) AS sb
+            FROM iw
+            JOIN lgt la ON la.x = 2 * iw.ca * iw.nb
+            JOIN lgt ls ON ls.x = iw.ca * iw.nb + iw.cb * iw.na
+            JOIN lgt lb ON lb.x = 2 * iw.cb * iw.na
+            GROUP BY 1, 2, 3, 4),
+          fin AS (SELECT g_a, g_b, na, nb,
+            ia + 65536 * (na - sa) AS a,
+            ib + 65536 * (nb - sb) AS b FROM sums)
+          SELECT g_a, g_b, CAST(a AS BIGINT) AS jsa_num,
+            CAST(b AS BIGINT) AS jsb_num,
+            ${duckPpm("a * nb + b * na", "131072 * na * nb")} AS js_ubits
+          FROM fin ORDER BY g_a, g_b""",
 
     "q_doc_chunk" ->
       s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
@@ -5997,6 +6218,57 @@ object SparkEntry {
             END AS intercept_ppm
           FROM s ORDER BY event_type""",
 
+    "q_spearman" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS x,
+            n_chars AS y FROM documents),
+          r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY x, doc_id) AS rx,
+            row_number() OVER (ORDER BY y, doc_id) AS ry FROM t),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum FROM r)
+          SELECT n, d2_sum,
+            CASE WHEN n < 2 THEN NULL
+              ELSE ${duckPpm("n * (n * n - 1) - 6 * d2_sum",
+                "n * (n * n - 1)")}
+            END AS rho_ppm
+          FROM s""",
+
+    "q_autocorr" ->
+      s"""WITH dc AS (SELECT CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+          p AS (SELECT lag(y) OVER (ORDER BY day) AS x, y FROM dc),
+          q AS (SELECT x, y FROM p WHERE x IS NOT NULL),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx FROM q)
+          SELECT n_pairs, sx, sy, sxy, sxx,
+            CASE WHEN n_pairs * sxx - sx * sx = 0 THEN NULL
+              ELSE ${duckPpm("n_pairs * sxy - sx * sy",
+                "n_pairs * sxx - sx * sx")}
+            END AS slope_ppm
+          FROM s""",
+
+    "q_benford" ->
+      s"""WITH dd AS (SELECT CAST(substr(CAST(CAST(round(
+              o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit
+            FROM orders WHERE round(o_totalprice * 100) > 0),
+          c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM dd GROUP BY 1),
+          t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+          e AS (SELECT digit, n_obs,
+            ${duckPpm("n_obs", "n")} AS obs_ppm,
+            CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+              WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+              WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+              ELSE 45757 END AS exp_ppm
+            FROM c CROSS JOIN t)
+          SELECT digit, n_obs, obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm,
+            CAST(obs_ppm - exp_ppm AS BIGINT) AS excess_ppm
+          FROM e ORDER BY digit""",
+
     "q_feature_mi" ->
       s"""WITH td AS (SELECT doc_id, lang, t.word AS token
             FROM (SELECT doc_id, lang, unnest(${duckToks("text")}) AS word
@@ -6137,6 +6409,35 @@ object SparkEntry {
             ${duckPpm("sf", "n_classes", 1L)} AS macro_f1_ppm,
             ${duckPpm("swf", "supp", 1L)} AS weighted_f1_ppm
           FROM ag CROSS JOIN ac""",
+
+    "q_kappa" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          cm AS MATERIALIZED (SELECT dd.lang AS tc, f.class AS pc,
+              CAST(count(*) AS BIGINT) AS n
+            FROM fin f JOIN documents dd USING (doc_id)
+            WHERE f.rn = 1 GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+            CAST(coalesce(sum(CASE WHEN tc = pc THEN n END), 0) AS BIGINT)
+              AS agree FROM cm),
+          rt AS (SELECT tc AS c, CAST(sum(n) AS BIGINT) AS r
+            FROM cm GROUP BY 1),
+          cc AS (SELECT pc AS c, CAST(sum(n) AS BIGINT) AS q
+            FROM cm GROUP BY 1),
+          pe AS (SELECT CAST(coalesce(sum(CAST(r AS HUGEINT) * q), 0)
+            AS BIGINT) AS pe_num FROM rt JOIN cc USING (c))
+          SELECT tot.n, tot.agree, pe.pe_num,
+            CASE WHEN tot.n * tot.n - pe.pe_num = 0 THEN NULL
+              ELSE ${duckPpm("tot.n * tot.agree - pe.pe_num",
+                "tot.n * tot.n - pe.pe_num")}
+            END AS kappa_ppm
+          FROM tot CROSS JOIN pe""",
 
     "q_reliability" ->
       s"""WITH $duckNbChain,

@@ -122,4 +122,74 @@ object Entropy {
           ((col("__na") + col("__v")).cast("double") * 65536.0), 6)
           .as("kl_bits"))
   }
+
+  /** Jensen-Shannon divergence between group unigram distributions,
+    * one row per UNORDERED pair (g_a < g_b) — the symmetric, bounded
+    * ([0,1] bit) companion of [[unigramKL]]'s directed divergence, and
+    * the standard corpus-similarity card (which sources are
+    * interchangeable for mixing, which are genuinely distinct).
+    *
+    * NO smoothing is needed: with M = (P+Q)/2, every P-support token
+    * has m > 0, and p/m = 2·c_a·n_b / (c_a·n_b + c_b·n_a) — integer
+    * ratios, so each side's numerator is exact q16 FixLog arithmetic:
+    *   A = sum_{t: c_a>0} c_a·(log2q(2·c_a·n_b) - log2q(c_a·n_b + c_b·n_a))
+    * and A-terms where c_b = 0 collapse to c_a·2^16 (log2(2) = 1 bit
+    * exactly, even in q16) — so the tokens OUTSIDE the intersection
+    * need no join at all: their mass is 2^16·(n_a - sum_inner c_a).
+    * JS bits = (A/n_a + B/n_b) / (2·2^16), rendered exactly in
+    * micro-bits: js_ubits = ppm((A·n_b + B·n_a) / (2·2^16·n_a·n_b)).
+    * Output: (g_a, g_b, jsa_num, jsb_num, js_ubits).
+    *
+    * Scale: one partial-aggregable count pass, ONE vocab-keyed
+    * self-equi-join restricted to the intersection support (tokens in
+    * only one group contribute through the group totals — no grid, no
+    * anti-join), then pair-sized aggregates. Numerators accumulate in
+    * decimal(38,0); the BIGINT finals ride the same loud-failure guard
+    * as entropy/KL. Long audit: the log2q arguments are c·n products,
+    * so the domain bound is max-count × other-group-tokens < 2^62
+    * (two 1e9-token corpora with 1e8-count heads: 1e17, ample; a
+    * petascale pairing should pre-bucket counts before ratioing).
+    */
+  def unigramJS(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = counts(docs, groupCol, textCol)
+    val tot = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val withTot = cnt.join(broadcast(tot), Seq("__g"))
+    val a = withTot.select(col("__tok"), col("__g").as("g_a"),
+      col("__c").as("__ca"), col("__n").as("__na"))
+    val b = withTot.select(col("__tok"), col("__g").as("g_b"),
+      col("__c").as("__cb"), col("__n").as("__nb"))
+    // intersection support only; one-sided tokens enter via the totals
+    val inner = a.join(b, Seq("__tok"))
+      .filter(col("g_a") < col("g_b"))
+      .withColumn("__s",
+        col("__ca") * col("__nb") + col("__cb") * col("__na"))
+      .select(col("g_a"), col("g_b"), col("__na"), col("__nb"),
+        col("__ca"), col("__cb"),
+        (col("__ca").cast("decimal(19,0)") *
+          (FixLog.log2qCol(lit(2L) * col("__ca") * col("__nb")) -
+            FixLog.log2qCol(col("__s")))).cast(dec).as("__ta"),
+        (col("__cb").cast("decimal(19,0)") *
+          (FixLog.log2qCol(lit(2L) * col("__cb") * col("__na")) -
+            FixLog.log2qCol(col("__s")))).cast(dec).as("__tb"))
+    val pairSums = inner
+      .groupBy(col("g_a"), col("g_b"), col("__na"), col("__nb"))
+      .agg(sum(col("__ta")).cast(dec).as("__ia"),
+        sum(col("__tb")).cast(dec).as("__ib"),
+        sum(col("__ca")).as("__sa"), sum(col("__cb")).as("__sb"))
+    pairSums
+      .select(col("g_a"), col("g_b"), col("__na"), col("__nb"),
+        (col("__ia") + ((col("__na") - col("__sa")).cast("decimal(19,0)") *
+          lit(65536L)).cast(dec)).cast(dec).as("__A"),
+        (col("__ib") + ((col("__nb") - col("__sb")).cast("decimal(19,0)") *
+          lit(65536L)).cast(dec)).cast(dec).as("__B"))
+      .select(col("g_a"), col("g_b"),
+        longExact(col("__A"), "jsa_num").as("jsa_num"),
+        longExact(col("__B"), "jsb_num").as("jsb_num"),
+        Stats.fixedPointExact(
+          (col("__A") * col("__nb") + col("__B") * col("__na")).cast(dec),
+          (lit(131072L).cast(dec) * col("__na") * col("__nb")).cast(dec))
+          .as("js_ubits"))
+  }
 }

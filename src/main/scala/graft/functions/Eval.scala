@@ -501,4 +501,43 @@ object Eval {
       .select(col("bin"), col("n"), col("n_correct"),
         Stats.fixedPointExact(col("n_correct"), col("n")).as("acc_ppm"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement from a [[confusion]]
+    * matrix: kappa = (p_o - p_e) / (1 - p_e) with p_o = trace/N and
+    * p_e = sum_c rowTotal(c)·colTotal(c) / N², collapsed to ONE exact
+    * rational: kappa = (N·agree - pe_num) / (N² - pe_num),
+    * pe_num = sum_c rowTotal(c)·colTotal(c). The inter-annotator /
+    * classifier-vs-gold agreement statistic accuracy alone overstates
+    * under class imbalance. One row: (n, agree, pe_num, kappa_ppm);
+    * a degenerate matrix (p_e = 1: both sides constant) renders NULL.
+    *
+    * Scale: class-squared inputs, class-sized marginals — aggregate
+    * data end to end. Products accumulate in decimal(38,0); the
+    * BIGINT renderings are valid to ~3e9 evaluated rows (N² in the
+    * long domain), far past any eval table.
+    */
+  def cohenKappa(conf: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = conf.agg(sum(col("n")).as("n"),
+      sum(when(col("true_class") === col("pred_class"), col("n"))
+        .otherwise(0L)).as("agree"))
+    val rows = conf.groupBy(col("true_class").as("__c"))
+      .agg(sum(col("n")).as("__rt"))
+    val cols = conf.groupBy(col("pred_class").as("__c"))
+      .agg(sum(col("n")).as("__ct"))
+    // inner join: a class absent from either margin contributes 0
+    val pe = rows.join(cols, Seq("__c"))
+      .agg(coalesce(sum((col("__rt").cast("decimal(19,0)") * col("__ct"))
+        .cast(dec)), lit(0).cast(dec)).cast(dec).as("__pe"))
+    tot.crossJoin(pe)
+      .select(col("n"), col("agree"), col("__pe").cast("long").as("pe_num"),
+        (expr(s"CAST(n AS $dec) * n").cast(dec) - col("__pe")).cast(dec)
+          .as("__den"),
+        (expr(s"CAST(n AS $dec) * agree").cast(dec) - col("__pe")).cast(dec)
+          .as("__num"))
+      .select(col("n"), col("agree"), col("pe_num"),
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(col("__num"), col("__den")))
+          .as("kappa_ppm"))
+  }
 }

@@ -244,4 +244,38 @@ object Quality {
           (col("n_docs") * lit(1000000L)).cast("double"), 6)
           .as("mean_quality"))
   }
+
+  /** Flesch reading ease per document, from the three classic counts —
+    * words (the whitespace tokenizer), sentences (runs of [.!?],
+    * floored at 1), syllables (runs of [aeiouy] in the lowercased
+    * text: vowel groups never cross whitespace, so the text-level count
+    * IS the per-word sum) — collapsed to ONE exact rational in
+    * micro-units:
+    *   score = 206.835 - 1.015·W/S - 84.6·Syl/W
+    *         = (206835·S·W - 1015·W² - 84600·Syl·S) / (1000·S·W),
+    * rendered by [[Stats.fixedPointExact]]. Docs with zero words render
+    * NULL. Output: (idCol, n_words, n_sentences, n_syllables,
+    * flesch_ppm). Regexes stay in the Java∩RE2 subset; scan-stage
+    * column arithmetic, no shuffle.
+    */
+  def fleschReadability(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Text.tokenCount(col(textCol)).cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val syl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") === 0L, lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(
+            lit(206835L) * col("n_sentences") * col("n_words") -
+              lit(1015L) * col("n_words") * col("n_words") -
+              lit(84600L) * col("n_syllables") * col("n_sentences"),
+            lit(1000L) * col("n_sentences") * col("n_words")))
+          .as("flesch_ppm"))
+  }
 }

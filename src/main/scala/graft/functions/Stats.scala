@@ -376,4 +376,124 @@ object Stats {
         col("slope_ppm"), col("intercept_ppm"),
         col("slope"), col("intercept"))
   }
+
+  /** Spearman rank correlation between two columns, tie-broken into a
+    * full permutation by `idCol` (both engines then compute IDENTICAL
+    * integer ranks — the deterministic-rank contract every exact-rank
+    * operator here rides). With permutation ranks the classic closed
+    * form is exact rational:
+    *   rho = 1 - 6*sum(d^2) / (n*(n^2-1)),  d = rank_x - rank_y,
+    * rendered as rho_ppm = ppm((n(n^2-1) - 6*sum d^2) / (n(n^2-1))).
+    * One row: (n, d2_sum, rho_ppm); n < 2 renders NULL.
+    *
+    * Scale: both rankings are [[GroupRank.withRankAndCount]] two-level
+    * exact ranks (range exchange + bounded local sort + broadcast shard
+    * offsets) — never a one-task global window; the d^2 reduction is a
+    * partial-aggregable single pass. d^2 sums in decimal(38,0)
+    * (sum d^2 <= n^3/3: safe far past 1e10 rows).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(idCol).as("__id"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .withColumn("__g", lit(1))
+    val rx = GroupRank.withRankAndCount(base, Seq("__g"),
+      Seq(col("__x").asc, col("__id").asc), "__rx", "__n")
+    val rxy = GroupRank.withRankAndCount(rx, Seq("__g"),
+      Seq(col("__y").asc, col("__id").asc), "__ry", "__n2")
+    val sums = rxy
+      .select((((col("__rx") - col("__ry")).cast("decimal(19,0)") *
+          (col("__rx") - col("__ry"))).cast(dec)).as("__d2"),
+        col("__n"))
+      .groupBy(col("__n"))
+      .agg(sum(col("__d2")).cast(dec).as("__d2s"))
+    sums.select(col("__n").as("n"), col("__d2s").cast("long").as("d2_sum"),
+        expr(s"CAST(__n AS $dec) * (CAST(__n AS $dec) * __n - 1)")
+          .cast(dec).as("__den"),
+        (expr(s"CAST(__n AS $dec) * (CAST(__n AS $dec) * __n - 1)").cast(dec)
+          - lit(6).cast(dec) * col("__d2s")).cast(dec).as("__num"))
+      .select(col("n"), col("d2_sum"),
+        when(col("n") < 2L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__num"), col("__den")))
+          .as("rho_ppm"))
+  }
+
+  /** Lag-1 autoregression over an ordered integer series (the
+    * first-order autocorrelation readout as an OLS slope of x_{t+1} on
+    * x_t — exact rational, no sqrt, the no-libm discipline): pairs via
+    * lag over `orderCol`, then the [[groupOls]] normal equations. One
+    * row: (n_pairs, sx, sy, sxy, sxx, slope_ppm); a constant or
+    * too-short series renders NULL. The window rides a BOUNDED ordered
+    * domain (calendar days, window starts — never rows), the house
+    * contract for unpartitioned windows.
+    */
+  def lagSlope(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val pairs = df.select(col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__y"))
+      .withColumn("__x", lag(col("__y"), 1).over(w))
+      .filter(col("__x").isNotNull)
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum((col("__x").cast("decimal(19,0)") * col("__y")).cast(dec))
+          .cast(dec).as("__sxy"),
+        sum((col("__x").cast("decimal(19,0)") * col("__x")).cast(dec))
+          .cast(dec).as("__sxx"))
+      .select(col("n_pairs"), col("sx"), col("sy"),
+        col("__sxy").cast("long").as("sxy"),
+        col("__sxx").cast("long").as("sxx"),
+        expr(s"CAST(n_pairs AS $dec) * __sxy - CAST(sx AS $dec) * sy")
+          .cast(dec).as("__num"),
+        expr(s"CAST(n_pairs AS $dec) * __sxx - CAST(sx AS $dec) * sx")
+          .cast(dec).as("__den"))
+      .select(col("n_pairs"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__num"), col("__den")))
+          .as("slope_ppm"))
+  }
+
+  /** Benford's-law first-digit ppm constants: log10(1 + 1/d) rounded to
+    * the nearest ppm — they sum to exactly 1,000,000, so the expected
+    * side is a proper integer distribution. Fixed literals shared with
+    * the oracle SQL (the no-libm discipline: the log10 is baked in, not
+    * computed).
+    */
+  private[graft] val BenfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit over a positive integer column —
+    * the classic fabricated/truncated-data screen for financial and
+    * count fields (naturally occurring multi-magnitude data follows
+    * log10(1+1/d); uniform or invented data does not). The first digit
+    * comes from the engine-portable integer decimal rendering (no
+    * log10, no float formatting). Per occupied digit: observed count,
+    * exact observed ppm, the Benford expectation, and the signed
+    * excess. Non-positive values are excluded (Benford is defined on
+    * magnitudes).
+    * Output: (digit, n_obs, obs_ppm, exp_ppm, excess_ppm).
+    *
+    * Scale: one partial-aggregable 9-group count; the total joins back
+    * as a broadcast 1-row aggregate.
+    */
+  def benford(df: DataFrame, intCol: String): DataFrame = {
+    val counts = df.filter(col(intCol) > 0L)
+      .select(substring(col(intCol).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("__n"))
+    val exp = BenfordPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (dg, ppm)) =>
+        when(col("digit") === dg.toLong, lit(ppm)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        fixedPointExact(col("n_obs"), col("__n")).as("obs_ppm"),
+        exp.as("exp_ppm"))
+      .withColumn("excess_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
 }

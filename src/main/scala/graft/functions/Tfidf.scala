@@ -46,4 +46,33 @@ object Tfidf {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"),
         col("term_rank"))
   }
+
+  /** Hashing-trick featurizer (Weinberger et al. 2009): each token maps
+    * to dimension polyHash(tok) mod `dims` with a ±1 sign from the next
+    * hash bit, summed per (doc, dim) — the fixed-width, vocabulary-free
+    * vectorization that makes linear models trainable on an unbounded
+    * token stream (no dictionary build, no OOV path, the sign bit keeps
+    * collisions unbiased in expectation). Exact-zero dims (sign
+    * cancellation) are dropped like any sparse encoding.
+    * Output: (idCol, dim, val).
+    *
+    * Scale: explode + one partial-aggregable groupBy — the same shape
+    * as term counting; dims bounds the per-doc state, nothing is
+    * corpus-keyed. The hash is the engine's shared compiled polynomial
+    * (codegen'd, oracle-replayable).
+    */
+  def hashingTrick(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    docs.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        graft.plans.TextExpressions.polyHash(col("__tok")).as("__tid"))
+      .select(col(idCol), (col("__tid") % dims).cast("long").as("dim"),
+        when(expr(s"(__tid div $dims) % 2") === 0L, 1L)
+          .otherwise(-1L).as("__sgn"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("__sgn")).as("val"))
+      .filter(col("val") =!= 0L)
+  }
 }

@@ -59,4 +59,20 @@ class EntropySpec extends AnyFunSuite {
     assert(kl(("p", "r")) > 0L && kl(("r", "p")) > 0L)
     assert(kl(("p", "r")) != kl(("r", "p")), "KL must be asymmetric")
   }
+
+  test("unigramJS: identical = 0, half-overlap = exactly 1/2 bit") {
+    // identical distributions -> every term log2(1) = 0 -> JS exactly 0
+    val same = Seq(("p", "x y"), ("q", "x y")).toDF("lang", "text")
+    val s = Entropy.unigramJS(same, "lang", "text").collect()(0)
+    assert((s.getString(0), s.getString(1)) == (("p", "q")))
+    assert(s.getLong(2) == 0L && s.getLong(3) == 0L && s.getLong(4) == 0L)
+    // P = {x:1/2, z:1/2}, Q = {y:1/2, z:1/2}: JS = 1/2 bit EXACTLY
+    // (the shared token's mixture ratio is 1 -> zero term; each
+    // one-sided half contributes its 1-bit log2(2) mass) — and the q16
+    // one-sided collapse (c*2^16) is exact, so no truncation anywhere.
+    val half = Seq(("p", "x z"), ("q", "y z")).toDF("lang", "text")
+    val h = Entropy.unigramJS(half, "lang", "text").collect()(0)
+    assert(h.getLong(2) == 65536L && h.getLong(3) == 65536L)
+    assert(h.getLong(4) == 500000L)
+  }
 }

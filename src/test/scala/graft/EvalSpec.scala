@@ -348,4 +348,29 @@ class EvalSpec extends AnyFunSuite {
       assert(margin >= 0L, s"doc $id negative margin $margin")
     }
   }
+
+  test("cohenKappa: perfect, chance-level, and hand-computed agreement") {
+    import spark.implicits._
+    // perfect diagonal -> kappa exactly 1
+    val perfect = Seq(("a", "a", 2L), ("b", "b", 3L))
+      .toDF("true_class", "pred_class", "n")
+    val p = Eval.cohenKappa(perfect).collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+      == ((5L, 5L, 13L, 1000000L)))
+    // hand case: cm (a,a)=1,(a,b)=1,(b,b)=2: N=4 agree=3
+    // rows a=2,b=2; cols a=1,b=3; pe = 2*1+2*3 = 8
+    // kappa = (12-8)/(16-8) = 1/2
+    val mixed = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "b", 2L))
+      .toDF("true_class", "pred_class", "n")
+    assert(Eval.cohenKappa(mixed).collect()(0).getLong(3) == 500000L)
+    // degenerate: both sides constant -> p_e = 1 -> NULL, not an error
+    val const = Seq(("a", "a", 4L)).toDF("true_class", "pred_class", "n")
+    assert(Eval.cohenKappa(const).collect()(0).isNullAt(3))
+    // chance-level: predictions independent of truth -> kappa 0
+    // cm = (a,a)=1,(a,b)=1,(b,a)=1,(b,b)=1: N=4 agree=2 pe=8
+    // kappa = (8-8)/(16-8) = 0
+    val chance = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "b", 1L)).toDF("true_class", "pred_class", "n")
+    assert(Eval.cohenKappa(chance).collect()(0).getLong(3) == 0L)
+  }
 }

@@ -198,4 +198,29 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     assert(again.toSeq == got.toSeq)
   }
+
+  test("clusteringCoef: triangle = 1, path center = 0, leaves NULL") {
+    val verts = (1L to 4L).toDF("id")
+    // triangle 1-2-3 plus pendant 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Graph.clusteringCoef(edges, "a", "b", verts, "id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // nodes 1,2: deg 2, one triangle -> cc = 2*1/(2*1) = 1 exactly
+    assert(got(1L) == ((2L, 1L, Some(1000000L))))
+    assert(got(2L) == ((2L, 1L, Some(1000000L))))
+    // node 3: deg 3, one triangle -> cc = 2/(3*2) = 1/3
+    assert(got(3L) == ((3L, 1L, Some(333333L))))
+    // node 4: deg 1 -> coefficient undefined -> NULL
+    assert(got(4L) == ((1L, 0L, None)))
+    // duplicate/reversed edges collapse before counting
+    val noisy = edges.unionAll(Seq((2L, 1L), (3L, 2L)).toDF("a", "b"))
+    val again = Graph.clusteringCoef(noisy, "a", "b", verts, "id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(again == got)
+  }
 }

@@ -553,4 +553,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(p.contains("partial"), s"bin counts lost partial agg:\n$p")
   }
+
+  test("readability: scan-stage column arithmetic — pruned scan, no " +
+      "join, no window, the only exchange is the presentation sort") {
+    val p = plan("q_readability")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("Join"), s"q_readability grew a join:\n$p")
+    assert(!p.contains("Window"), s"q_readability grew a window:\n$p")
+    assert(!p.contains("HashAggregate"), s"grew an aggregate:\n$p")
+  }
+
+  test("spearman: both rankings ride the two-level rank, no " +
+      "single-task global sort window") {
+    val p = plan("q_spearman")
+    assert(p.contains("__grshard"), s"q_spearman lost the two-level rank:\n$p")
+    // a row_number window over an EMPTY partition spec ordered by a data
+    // column would be the one-task global sort this plan exists to avoid
+    val badWindow = "windowspecdefinition\\((__x|__y|ntok|n_chars)#".r
+    assert(badWindow.findFirstIn(p).isEmpty,
+      s"q_spearman has a global single-partition rank:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("new round-8 entries: equi-joins only, no cartesian, salted " +
+      "join spreads the key without changing the join kind") {
+    for (q <- Seq("q_kappa", "q_clustering_coef", "q_unigram_js",
+        "q_autocorr", "q_salted_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // the salt replication is a deliberate bounded cross (saltFactor-row
+    // broadcast against the dim side); the FACT join itself must stay an
+    // equi-join carrying the salt in its keys
+    val sj = plan("q_salted_join")
+    assert(sj.contains("__salt"), s"salt column missing from the join:\n$sj")
+    assert(sj.contains("SortMergeJoin") || sj.contains("ShuffledHashJoin")
+      || sj.contains("BroadcastHashJoin"), sj)
+  }
 }

@@ -252,4 +252,38 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
     assert(rep === out)
   }
+
+  test("hashingTrick: deterministic dims/signs, per-doc sums, zero drop") {
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa")).toDF("doc_id", "text")
+    val got = Tfidf.hashingTrick(docs, "doc_id", "text", dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // polyHash("aa") = (97*31+97) % 1e9+7 = 3104; dim 3104%16 = 0,
+    // sign bit (3104//16)%2 = 0 -> +1. polyHash("bb") = 98*31+98 = 3136;
+    // dim 0, sign (196)%2 = 0 -> +1. doc 1: dim0 = 2(+aa) + 1(bb) = 3.
+    assert(got((1L, 0L)) == 3L)
+    assert(got((2L, 0L)) == 1L)
+    assert(got.size == 2)
+    // opposite-sign collision cancels to zero and the dim drops:
+    // craft two tokens with equal dim, opposite sign bits under dims=2:
+    // "a" = 97: dim 1, (48)%2 = 0 -> +1; "c" = 99: dim 1, (49)%2 -> -1
+    val cancel = Seq((1L, "a c")).toDF("doc_id", "text")
+    assert(Tfidf.hashingTrick(cancel, "doc_id", "text", dims = 2)
+      .collect().isEmpty)
+  }
+
+  test("fleschReadability: hand-computed exact micro-units") {
+    // "The cat sat. It ran!": 5 words, 2 sentence marks, 5 vowel groups
+    // score = 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+    val docs = Seq((1L, "The cat sat. It ran!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Quality.fleschReadability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((5L, 2L, 5L)))
+    assert(r1.getLong(4) == 119697500L)
+    // empty doc: zero words -> NULL score (sentences floored at 1)
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 1L && r2.isNullAt(4))
+  }
 }

@@ -157,4 +157,57 @@ class StatsSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getLong(2) == 3L && r.getLong(3) == 250000L)
   }
+
+  test("spearman: exact rho on permutation ranks") {
+    // x = (1,2,3), y = (3,1,2): rx = (1,2,3), ry = (3,1,2),
+    // d^2 = 4+1+1 = 6, rho = 1 - 36/24 = -1/2
+    val df = Seq((1L, 1L, 3L), (2L, 2L, 1L), (3L, 3L, 2L))
+      .toDF("id", "x", "y")
+    val r = Stats.spearman(df, "x", "y", "id").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 6L, -500000L)))
+    // perfect monotone -> exactly 1e6; perfect reverse -> exactly -1e6
+    val up = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (4L, 40L, 400L)).toDF("id", "x", "y")
+    assert(Stats.spearman(up, "x", "y", "id").collect()(0).getLong(2)
+      == 1000000L)
+    val dn = Seq((1L, 10L, 400L), (2L, 20L, 300L), (3L, 30L, 200L),
+      (4L, 40L, 100L)).toDF("id", "x", "y")
+    assert(Stats.spearman(dn, "x", "y", "id").collect()(0).getLong(2)
+      == -1000000L)
+    // n = 1: rho undefined -> NULL
+    val one = Seq((1L, 5L, 7L)).toDF("id", "x", "y")
+    assert(Stats.spearman(one, "x", "y", "id").collect()(0).isNullAt(2))
+  }
+
+  test("lagSlope: exact AR(1) slope and the constant-series NULL") {
+    // series 1,2,3,4: pairs (1,2),(2,3),(3,4) -> slope exactly 1
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("t", "y")
+    val r = Stats.lagSlope(df, "t", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 6L, 9L, 20L, 14L)))
+    assert(r.getLong(5) == 1000000L)
+    // constant series: den = 0 -> NULL, not a division error
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("t", "y")
+    assert(Stats.lagSlope(const, "t", "y").collect()(0).isNullAt(5))
+    // anti-persistent alternation 4,0,4,0: pairs (4,0),(0,4),(4,0):
+    // n=3 sx=8 sy=4 sxy=0 sxx=32; slope = (0-32)/(96-64) = -1
+    val alt = Seq((1L, 4L), (2L, 0L), (3L, 4L), (4L, 0L)).toDF("t", "y")
+    assert(Stats.lagSlope(alt, "t", "y").collect()(0).getLong(5)
+      == -1000000L)
+  }
+
+  test("benford: constants sum to 1e6; digits, counts, and excess exact") {
+    assert(Stats.BenfordPpm.values.sum == 1000000L)
+    // values 1..9, 10, 100, 0, -5: zeros/negatives excluded; digit 1
+    // appears for 1, 10, 100 -> 3 of 11
+    val df = ((1L to 10L) ++ Seq(100L, 0L, -5L)).toSeq.toDF("v")
+    val got = Stats.benford(df, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 == 3L && got(9L)._1 == 1L && !got.contains(0L))
+    assert(got(1L)._2 == 272727L)           // round(3/11 * 1e6)
+    assert(got(1L)._3 == 301030L)           // Benford expectation
+    assert(got(1L)._4 == 272727L - 301030L) // signed excess
+    assert(got(2L) == ((1L, 90909L, 176091L, 90909L - 176091L)))
+  }
 }
