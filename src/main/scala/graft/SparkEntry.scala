@@ -2192,6 +2192,16 @@ object SparkEntry {
         .orderBy(col("tid_a"), col("tid_b"), col("tid_c"))
     },
 
+    // Jelinek-Mercer interpolated bigram LM (λ = 3/4): the
+    // fixed-weight mixture smoother beside KN's absolute discounting —
+    // dyadic λ collapses it to one exact rational per bigram, gated in
+    // the same q9 fixed point.
+    "q_jm_bigram" -> { (s, d) =>
+      graft.functions.LangModel.jmBigramProbs(
+          Tables.documents(s, d), "text", minCount = 2L)
+        .orderBy(col("tid_a"), col("tid_b"))
+    },
+
     // LM-fit scoring (CCNet-style, log-free): every doc scored by the
     // mean KN probability of its bigrams under the corpus's own table.
     "q_lm_fit" -> { (s, d) =>
@@ -2533,6 +2543,19 @@ object SparkEntry {
             .as("cents")),
         "cents")
         .orderBy(col("digit"))
+    },
+
+    // Kendall tau-a between the two natural source rankings (by doc
+    // count vs by token volume) — "do the mixture metrics order the
+    // sources the same way": exact concordant/discordant counts over
+    // the bounded source domain, tau in exact ppm.
+    "q_kendall" -> { (s, d) =>
+      graft.functions.Stats.kendallTau(
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens")),
+        "source", "n_docs", "n_tokens")
     },
 
     // Feature selection for the classifier family: top-20 tokens by
@@ -2895,6 +2918,24 @@ object SparkEntry {
       graft.functions.Eval.ndcg(
           Vec.ivfTopK(emb, qs, k = 5, nProbe = 3, cellCol = "label"),
           judged, "query_id", "neighbor_id", "rank", "rel", k = 5)
+        .orderBy(col("query_id"))
+    },
+
+    // Expected reciprocal rank @5 of the IVF ranking under the cascade
+    // user model — the diminishing-returns serving grade beside NDCG
+    // (a satisfying early hit absorbs the later mass): exact dyadic
+    // stop-mass products, per-term ppm quantization, one codegen'd
+    // fold per query.
+    "q_err" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val judged = Vec.bruteForceTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(6L) - col("rank")).as("rel"))
+      graft.functions.Eval.errAtK(
+          Vec.ivfTopK(emb, qs, k = 5, nProbe = 3, cellCol = "label"),
+          judged, "query_id", "neighbor_id", "rank", "rel", k = 5,
+          gmax = 5)
         .orderBy(col("query_id"))
     },
 
@@ -5750,6 +5791,30 @@ object SparkEntry {
             CAST(pkn_q AS DOUBLE) / 1000000000.0 AS pkn
           FROM q WHERE c_ab >= 2 ORDER BY tid_a, tid_b""",
 
+    "q_jm_bigram" ->
+      s"""WITH tk AS (SELECT ${duckToks("text")} AS tk FROM documents),
+          p AS (SELECT unnest(tk[1:len(tk)-1]) AS a,
+                       unnest(tk[2:len(tk)]) AS b
+            FROM tk WHERE len(tk) >= 2),
+          ids AS (SELECT ${duckPolyId("a")} AS tid_a,
+            ${duckPolyId("b")} AS tid_b FROM p),
+          cab AS (SELECT tid_a, tid_b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM ids GROUP BY 1, 2),
+          ca AS (SELECT tid_a, CAST(sum(c_ab) AS BIGINT) AS c_a
+            FROM cab GROUP BY 1),
+          cb AS (SELECT tid_b, CAST(sum(c_ab) AS BIGINT) AS c_b
+            FROM cab GROUP BY 1),
+          np AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM cab),
+          q AS (SELECT tid_a, tid_b, c_ab,
+            CAST((CAST(3 AS HUGEINT) * c_ab * np
+                  + CAST(c_b AS HUGEINT) * c_a) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pjm_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np)
+          SELECT tid_a, tid_b, c_ab, pjm_q,
+            CAST(pjm_q AS DOUBLE) / 1000000000.0 AS pjm
+          FROM q WHERE c_ab >= 2 ORDER BY tid_a, tid_b""",
+
     "q_kn_trigram" ->
       s"""WITH tk AS (SELECT ${duckToks("text")} AS tk FROM documents),
           p AS (SELECT unnest(tk[1:len(tk)-1]) AS a,
@@ -6268,6 +6333,23 @@ object SparkEntry {
           SELECT digit, n_obs, obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm,
             CAST(obs_ppm - exp_ppm AS BIGINT) AS excess_ppm
           FROM e ORDER BY digit""",
+
+    "q_kendall" ->
+      s"""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+            CAST(sum(len(${duckToks("text")})) AS BIGINT) AS nt
+            FROM documents GROUP BY 1),
+          p AS (SELECT sign(b.nd - a.nd) * sign(b.nt - a.nt) AS s
+            FROM m a JOIN m b ON a.source < b.source),
+          c AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(coalesce(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS concordant,
+            CAST(coalesce(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS discordant FROM p)
+          SELECT n_pairs, concordant, discordant,
+            CASE WHEN n_pairs = 0 THEN NULL
+              ELSE ${duckPpm("concordant - discordant", "n_pairs")}
+            END AS tau_ppm
+          FROM c""",
 
     "q_feature_mi" ->
       s"""WITH td AS (SELECT doc_id, lang, t.word AS token
@@ -7056,6 +7138,69 @@ object SparkEntry {
               AS ndcg_ppm
           FROM dcg d LEFT JOIN idcg i USING (query_id)
           ORDER BY d.query_id"""
+    },
+
+    "q_err" -> {
+      val dotSql = duckDotSql _
+      // same IVF-position (ra) / exact-grade (rx) chains as q_ndcg;
+      // the ERR fold replays graft's packed-integer state machine:
+      // bits 0-3 = r, 4-29 = stop-mass numerator over 2^(5r),
+      // 30+ = accumulated ppm
+      s"""WITH ${duckCentroidCte("cell")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM probed p JOIN embeddings e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+          ra AS (SELECT query_id, neighbor_id, rk FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM cand)
+            WHERE rk <= 5),
+          px AS (SELECT query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("qv", "e.embedding")} /
+              (sqrt(${dotSql("qv", "qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+          rx AS MATERIALIZED (SELECT query_id, neighbor_id,
+            6 - rk AS rel FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM px)
+            WHERE rk <= 5),
+          gg AS (SELECT ra.query_id, ra.rk,
+              CAST(coalesce(rx.rel, 0) AS BIGINT) AS g
+            FROM ra LEFT JOIN rx USING (query_id, neighbor_id)),
+          ls AS (SELECT query_id, list(g ORDER BY rk, g) AS gs
+            FROM gg GROUP BY 1),
+          f AS (SELECT query_id,
+            list_reduce(list_prepend(CAST(16 AS BIGINT), gs),
+              (a, x) ->
+                (((a >> 30) +
+                  (2 * ((CAST(1 AS BIGINT) << x) - 1)
+                     * ((a >> 4) & 67108863) * 1000000
+                   + ((CAST(1 AS BIGINT) << (5 * ((a & 15) + 1)))
+                      * ((a & 15) + 1)))
+                  // (2 * (CAST(1 AS BIGINT) << (5 * ((a & 15) + 1)))
+                      * ((a & 15) + 1))) << 30)
+                | ((((a >> 4) & 67108863)
+                    * (32 - ((CAST(1 AS BIGINT) << x) - 1))) << 4)
+                | ((a & 15) + 1)) AS packed
+            FROM ls)
+          SELECT query_id, CAST(packed >> 30 AS BIGINT) AS err_ppm
+          FROM f ORDER BY query_id"""
     },
 
     "q_ann_recall" -> {

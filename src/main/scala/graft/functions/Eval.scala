@@ -502,6 +502,58 @@ object Eval {
         Stats.fixedPointExact(col("n_correct"), col("n")).as("acc_ppm"))
   }
 
+  /** Expected reciprocal rank at `k` (Chapelle et al. 2009) — the
+    * cascade-model serving metric completing the retrieval family
+    * (recall = set view, MRR = first hit, MAP/NDCG = graded area,
+    * RBO = rank agreement): ERR = sum_r (1/r)·R_r·prod_{i<r}(1-R_i)
+    * with R = (2^g - 1)/2^gmax, modeling a user who stops at the first
+    * satisfying result. All R are dyadic rationals, so the stop-mass
+    * product is EXACT integer arithmetic (numerator over 2^(gmax·r));
+    * each term is quantized ONCE to exact ppm (the [[averagePrecision]]
+    * convention: a sum of unrelated-denominator rationals has no single
+    * exact form, so deterministic per-term quantization is the
+    * contract). The per-query fold runs over the sorted ≤k-element
+    * gain list inside ONE codegen'd `aggregate` HOF — no recurrence
+    * join, no window. Unjudged ranked items carry gain 0 (full mass
+    * passes through). Output: (queryCol, err_ppm).
+    *
+    * Long audit (k ≤ 10, gmax ≤ 5): stop-mass numerator ≤ 2^(gmax·k)
+    * = 2^50 at the extreme; the shipped gmax=5/k=5 keeps every
+    * intermediate under 2^52.
+    */
+  def errAtK(ranked: DataFrame, judgments: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, relCol: String, k: Int,
+      gmax: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1,10], got $k")
+    require(gmax >= 1 && gmax <= 5, s"gmax must be in [1,5], got $gmax")
+    val d = 1L << gmax
+    val judged = judgments.select(col(queryCol), col(itemCol),
+      col(relCol).cast("long").as("__rel"))
+    ranked.filter(col(rankCol) <= k)
+      .join(judged, Seq(queryCol, itemCol), "left")
+      .select(col(queryCol), struct(col(rankCol).cast("long").as("r"),
+        coalesce(col("__rel"), lit(0L)).as("g")).as("__s"))
+      .groupBy(col(queryCol))
+      .agg(sort_array(collect_list(col("__s"))).as("__lst"))
+      .select(col(queryCol),
+        // state: array(p_num over D^r, r, acc_ppm); term_ppm is the
+        // half-away rendering of rel_num·p_num / (D^r·r) at 1e6
+        expr(s"""
+          aggregate(transform(__lst, s -> s.g),
+            array(1L, 0L, 0L),
+            (acc, g) -> array(
+              acc[0] * (${d}L - (shiftleft(1L, cast(g as int)) - 1L)),
+              acc[1] + 1L,
+              acc[2] +
+                (2L * (shiftleft(1L, cast(g as int)) - 1L) * acc[0]
+                   * 1000000L
+                 + shiftleft(1L, $gmax * cast(acc[1] + 1L as int))
+                   * (acc[1] + 1L))
+                div (2L * shiftleft(1L, $gmax * cast(acc[1] + 1L as int))
+                     * (acc[1] + 1L))))[2]
+        """).as("err_ppm"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement from a [[confusion]]
     * matrix: kappa = (p_o - p_e) / (1 - p_e) with p_o = trace/N and
     * p_e = sum_c rowTotal(c)·colTotal(c) / N², collapsed to ONE exact

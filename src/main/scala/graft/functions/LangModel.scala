@@ -236,6 +236,53 @@ object LangModel {
         col("pkn_q"), col("pkn")): _*)
   }
 
+  /** Jelinek-Mercer interpolated bigram LM over the bigram event
+    * space — the fixed-weight linear-interpolation smoother next to
+    * [[knBigramProbs]]'s absolute discounting (the two classic ways a
+    * production n-gram LM handles sparsity; JM is what you deploy when
+    * held-out tuning picked a global mixing weight):
+    *
+    *   p_jm(b|a) = λ·c(ab)/c(a) + (1-λ)·c(·b)/N,   λ = 3/4
+    *
+    * with c(·b) = occurrences of b as a successor and N = total
+    * bigram events. The DYADIC λ collapses the mixture to ONE exact
+    * rational, (3·c_ab·N + c_b·c_a) / (4·c_a·N), rendered in the
+    * same exact q9 fixed point as KN's (pjm_q; pjm the convenience
+    * double). `minCount` prunes singleton bigram types AFTER
+    * estimation (they still carry probability mass).
+    * Output: (tid_a, tid_b, c_ab, pjm_q, pjm).
+    *
+    * Scale: identical to the KN chain — one scan-stage pair explode,
+    * a type-sized count table, two partial-aggregable marginals, a
+    * broadcast 1-row total. Single catalog consumer, so unlike the
+    * KN chain it takes no memo slot.
+    */
+  def jmBigramProbs(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pairs = adjacentPairs(docs.select(col(textCol)), textCol, Nil)
+    val cab = pairs.groupBy(col("tid_a"), col("tid_b"))
+      .agg(count(lit(1)).cast("long").as("c_ab"))
+      .localCheckpoint(true)
+    val ca = cab.groupBy(col("tid_a"))
+      .agg(sum(col("c_ab")).cast("long").as("c_a"))
+    val cb = cab.groupBy(col("tid_b"))
+      .agg(sum(col("c_ab")).cast("long").as("c_b"))
+    val np = broadcast(cab.agg(sum(col("c_ab")).cast("long").as("np")))
+    cab.join(ca, Seq("tid_a")).join(cb, Seq("tid_b")).crossJoin(np)
+      .withColumn("pjm_q",
+        expr(s"""CAST((CAST(3 AS $dec) * CAST(c_ab AS $dec) *
+                       CAST(np AS $dec) +
+                       CAST(c_b AS $dec) * CAST(c_a AS $dec)) *
+                      CAST(1000000000 AS $dec) div
+                      (CAST(4 AS $dec) * CAST(c_a AS $dec) *
+                       CAST(np AS $dec)) AS BIGINT)"""))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("pjm", col("pjm_q").cast("double") / lit(1e9))
+      .select(col("tid_a"), col("tid_b"), col("c_ab"), col("pjm_q"),
+        col("pjm"))
+  }
+
   /** (carryCols..., tid_a, tid_b, tid_c): hashed adjacent-token TRIPLES,
     * one scan pass — the same projected-once zip discipline as
     * [[adjacentPairs]], nested one level (pair-zip then a third slice).

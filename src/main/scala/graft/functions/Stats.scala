@@ -456,6 +456,44 @@ object Stats {
           .as("slope_ppm"))
   }
 
+  /** Kendall's tau-a rank correlation over a BOUNDED key domain —
+    * the concordance view of monotone association next to [[spearman]]
+    * (which compares rank positions; tau counts order agreements and
+    * is the standard "did the two metrics rank the mixture the same
+    * way" readout for source/language/bucket tables). All K·(K-1)/2
+    * unordered key pairs are classified exactly: concordant
+    * (sgn(dx)·sgn(dy) = +1), discordant (-1), or tied (either delta
+    * 0); tau_a = (C - D) / n_pairs in exact ppm.
+    *
+    * CONTRACT: `keyCol`'s domain must be mixture-sized (sources,
+    * languages, buckets — the engine's bounded-domain rule); the pair
+    * build is a broadcast nested loop over that domain, aggregate
+    * data by construction. For row-scale monotone association use
+    * [[spearman]], which is O(n log n) by two-level rank.
+    * Output: (n_pairs, concordant, discordant, tau_ppm); an empty or
+    * single-key input yields n_pairs = 0 and a NULL tau.
+    */
+  def kendallTau(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val a = df.select(col(keyCol).as("__ka"),
+      col(xCol).cast("long").as("__xa"), col(yCol).cast("long").as("__ya"))
+    val b = df.select(col(keyCol).as("__kb"),
+      col(xCol).cast("long").as("__xb"), col(yCol).cast("long").as("__yb"))
+    val sgn = signum(col("__xb") - col("__xa")).cast("long") *
+      signum(col("__yb") - col("__ya")).cast("long")
+    a.join(broadcast(b), col("__ka") < col("__kb"))
+      .select(sgn.as("__s"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("__s") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("concordant"),
+        coalesce(sum(when(col("__s") === -1L, 1L).otherwise(0L)), lit(0L))
+          .as("discordant"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        when(col("n_pairs") === 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("concordant") - col("discordant"),
+            col("n_pairs"))).as("tau_ppm"))
+  }
+
   /** Benford's-law first-digit ppm constants: log10(1 + 1/d) rounded to
     * the nearest ppm — they sum to exactly 1,000,000, so the expected
     * side is a proper integer distribution. Fixed literals shared with

@@ -349,6 +349,24 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("errAtK: cascade fold matches the hand-computed dyadic terms") {
+    import spark.implicits._
+    // q1 grades by rank: (5, 0, 2) at gmax=5 (D=32):
+    //  r1: R=31/32        -> term = 31e6/32 = 968750 exactly
+    //  r2: R=0            -> term 0, stop mass unchanged (1/32)
+    //  r3: R=3/32, mass 1/32 -> (1/3)(3/32)(1/32) = 976.5625 -> 977
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 10L, 1L)).toDF("query_id", "item", "rank")
+    val judged = Seq((1L, 10L, 5L), (1L, 12L, 2L))
+      .toDF("query_id", "item", "rel")
+    val got = Eval.errAtK(ranked, judged, "query_id", "item", "rank",
+        "rel", k = 5, gmax = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 968750L + 977L, got)
+    // a ranking with no judged items scores exactly 0 (never NULL)
+    assert(got(2L) == 0L)
+  }
+
   test("cohenKappa: perfect, chance-level, and hand-computed agreement") {
     import spark.implicits._
     // perfect diagonal -> kappa exactly 1

@@ -129,6 +129,32 @@ class SimhashBigramSpec extends AnyFunSuite {
     assert(LangModel.knBigramProbs(docs, "text", minCount = 2L).count() === 2)
   }
 
+  test("jmBigramProbs: hand-computed 3/4-interpolated rationals") {
+    // same corpus: c(x,y)=2, c(y,x)=2, c(x,z)=1; N=5
+    // c_a: x=3, y=2; successor counts c_b: y=2, x=2, z=1
+    // P(y|x) = (3*2*5 + 2*3) / (4*3*5) = 36/60
+    // P(x|y) = (3*2*5 + 2*2) / (4*2*5) = 34/40
+    // P(z|x) = (3*1*5 + 1*3) / 60      = 18/60
+    val docs = Seq((1L, "x y x y x z")).toDF("id", "text")
+    def h(s: String) =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def q(num: Long, den: Long): Long =
+      (BigInt(num) * 1000000000L / den).toLong
+    val got = LangModel.jmBigramProbs(docs, "text")
+      .collect().map(r => (r.getAs[Long]("tid_a"), r.getAs[Long]("tid_b")) ->
+        ((r.getAs[Long]("c_ab"), r.getAs[Long]("pjm_q")))).toMap
+    assert(got === Map(
+      (h("x"), h("y")) -> ((2L, q(36, 60))),
+      (h("y"), h("x")) -> ((2L, q(34, 40))),
+      (h("x"), h("z")) -> ((1L, q(18, 60)))))
+    // per-context mass sums to 1 BEFORE pruning: P(y|x) + P(z|x) =
+    // 36/60 + 18/60 + the unigram leak 6/60 of contexts x never
+    // precedes -- here x precedes everything seen after it, so the two
+    // terms plus nothing: 54/60 (the remaining 6/60 is the 1/4-weighted
+    // unigram mass of successor x itself, never observed after x)
+    assert(LangModel.jmBigramProbs(docs, "text", minCount = 2L).count() === 2)
+  }
+
   test("perplexityBits: hand-computed bits under the tiny-corpus LM") {
     // same corpus as the KN test: P(y|x)=21/36, P(x|y)=18/24, P(z|x)=9/36
     // quantized at 1e9; bits per bigram = log2q(1e9) - log2q(pkn_q)

@@ -196,6 +196,30 @@ class StatsSpec extends AnyFunSuite {
       == -1000000L)
   }
 
+  test("kendallTau: concordance counting with ties and sign symmetry") {
+    // keys a<b<c: x = (1,2,3), y = (1,3,2): pairs (a,b)+ (a,c)+ (b,c)-
+    // tau = (2-1)/3 = 1/3
+    val df = Seq(("a", 1L, 1L), ("b", 2L, 3L), ("c", 3L, 2L))
+      .toDF("k", "x", "y")
+    val r = Stats.kendallTau(df, "k", "x", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+    assert(r.getLong(3) == 333333L)
+    // a tie in either metric is neither concordant nor discordant
+    val tied = Seq(("a", 1L, 1L), ("b", 1L, 2L)).toDF("k", "x", "y")
+    val t = Stats.kendallTau(tied, "k", "x", "y").collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3))
+      == ((1L, 0L, 0L, 0L)))
+    // single key: no pairs -> NULL tau
+    val one = Seq(("a", 1L, 1L)).toDF("k", "x", "y")
+    val o = Stats.kendallTau(one, "k", "x", "y").collect()(0)
+    assert(o.getLong(0) == 0L && o.isNullAt(3))
+    // perfect reversal -> exactly -1e6
+    val rev = Seq(("a", 1L, 3L), ("b", 2L, 2L), ("c", 3L, 1L))
+      .toDF("k", "x", "y")
+    assert(Stats.kendallTau(rev, "k", "x", "y").collect()(0).getLong(3)
+      == -1000000L)
+  }
+
   test("benford: constants sum to 1e6; digits, counts, and excess exact") {
     assert(Stats.BenfordPpm.values.sum == 1000000L)
     // values 1..9, 10, 100, 0, -5: zeros/negatives excluded; digit 1
