@@ -54,7 +54,7 @@ object ScaleProbe {
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
-      "seq_pack", "ivfpq")
+      "seq_pack", "ivfpq", "spearman")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -781,6 +781,23 @@ object ScaleProbe {
         .head().getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"skew_join","variant":"$tag","rows":$n,"sec":$sec%.2f}""")
+    }
+
+    // Spearman probe: both rankings ride the two-level exact rank, so
+    // wall-clock must grow linearly with the corpus (a global-window
+    // plan would collapse to one sort task and go superlinear while
+    // starving the other 31 cores).
+    for (mult <- Seq(1, 4, 16) if want("spearman")) {
+      val docs = replicate(spark, base, mult)
+        .select(col("doc_id"),
+          graft.plans.TextExpressions.tokenCount(col("text")).cast("long")
+            .as("ntok"),
+          length(col("text")).cast("long").as("nch"))
+      val t0 = System.nanoTime()
+      val rho = graft.functions.Stats.spearman(docs, "ntok", "nch",
+        "doc_id").head().getLong(2)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"spearman","mult":$mult,"docs":${nBase * mult},"rho_ppm":$rho,"sec":$sec%.2f}""")
     }
     spark.stop()
   }

@@ -2545,6 +2545,20 @@ object SparkEntry {
         .orderBy(col("digit"))
     },
 
+    // CUSUM surge detection over the daily event-count series — the
+    // sequential change chart beside q_autocorr's persistence readout:
+    // closed-form two-window plan over the bounded day domain (never a
+    // row recurrence), reference = floored daily mean, alarm at 2x.
+    "q_cusum" -> { (s, d) =>
+      graft.functions.Stats.cusum(
+        Tables.eventsTs(s, d)
+          .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd")
+            .as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events", hMult = 2L)
+        .orderBy(col("day"))
+    },
+
     // Kendall tau-a between the two natural source rankings (by doc
     // count vs by token volume) — "do the mixture metrics order the
     // sources the same way": exact concordant/discordant counts over
@@ -6333,6 +6347,23 @@ object SparkEntry {
           SELECT digit, n_obs, obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm,
             CAST(obs_ppm - exp_ppm AS BIGINT) AS excess_ppm
           FROM e ORDER BY digit""",
+
+    "q_cusum" ->
+      s"""WITH dc AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+            CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+          kk AS (SELECT CAST(sum(n_events) // count(*) AS BIGINT) AS k
+            FROM dc),
+          p AS (SELECT day, n_events,
+            sum(n_events - kk.k) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+            kk.k FROM dc CROSS JOIN kk),
+          m AS (SELECT day, n_events, p, k,
+            least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mn
+            FROM p)
+          SELECT day, n_events, CAST(p - mn AS BIGINT) AS cusum,
+            (p - mn) > 2 * k AS alarm
+          FROM m ORDER BY day""",
 
     "q_kendall" ->
       s"""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,

@@ -456,6 +456,36 @@ object Stats {
           .as("slope_ppm"))
   }
 
+  /** One-sided (upper) CUSUM control chart over an ordered integer
+    * series — sequential change detection for pipeline monitoring
+    * (ingest-volume surges, quality-score drift): the classic
+    * recurrence S_t = max(0, S_{t-1} + x_t - k) taken in its CLOSED
+    * FORM, S_t = P_t - min(0, min_{j<=t} P_j) with P the running sum
+    * of (x - k) — so both engines compute it with two windows over the
+    * bounded ordered domain (calendar days, window starts) instead of
+    * a row recurrence. The reference k is the floored global mean
+    * (sum div count, broadcast 1-row); the alarm threshold is
+    * `hMult`·k. All arithmetic exact integer.
+    * Output per input row: (orderCol, valueCol, cusum, alarm).
+    */
+  def cusum(df: DataFrame, orderCol: String, valueCol: String,
+      hMult: Long = 2L): DataFrame = {
+    require(hMult >= 1, s"hMult must be >= 1, got $hMult")
+    val base = df.select(col(orderCol).as("__o"),
+      col(valueCol).cast("long").as("__x"))
+    val ref = broadcast(base
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__c"))
+      .select(expr("__s div __c").as("__k")))
+    val w = Window.orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.crossJoin(ref)
+      .withColumn("__p", sum(col("__x") - col("__k")).over(w))
+      .withColumn("__m", least(lit(0L), min(col("__p")).over(w)))
+      .select(col("__o").as(orderCol), col("__x").as(valueCol),
+        (col("__p") - col("__m")).as("cusum"),
+        (col("__p") - col("__m") > col("__k") * hMult).as("alarm"))
+  }
+
   /** Kendall's tau-a rank correlation over a BOUNDED key domain —
     * the concordance view of monotone association next to [[spearman]]
     * (which compares rank positions; tau counts order agreements and

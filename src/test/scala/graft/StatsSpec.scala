@@ -196,6 +196,26 @@ class StatsSpec extends AnyFunSuite {
       == -1000000L)
   }
 
+  test("cusum: closed form equals the textbook recurrence") {
+    // series 4,4,10,4,2 (k = 24 div 5 = 4): recurrence
+    // S = max(0, S + x - 4): 0, 0, 6, 6, 4; alarm at S > 2k = 8: none
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 10L), (4L, 4L), (5L, 2L))
+      .toDF("t", "x")
+    val got = Stats.cusum(df, "t", "x", hMult = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(1L -> ((0L, false)), 2L -> ((0L, false)),
+      3L -> ((6L, false)), 4L -> ((6L, false)), 5L -> ((4L, false))))
+    // a sustained surge alarms: 1,1,1,9,9 (k = 21 div 5 = 4, h = 8):
+    // S: 0,0,0,5,10 -> alarm on the last day only
+    val surge = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 9L), (5L, 9L))
+      .toDF("t", "x")
+    val g2 = Stats.cusum(surge, "t", "x", hMult = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(g2(4L) == ((5L, false)) && g2(5L) == ((10L, true)), g2)
+    // the dip before a spike resets the chart (max(0, ...) floor)
+    assert(g2(3L) == ((0L, false)))
+  }
+
   test("kendallTau: concordance counting with ties and sign symmetry") {
     // keys a<b<c: x = (1,2,3), y = (1,3,2): pairs (a,b)+ (a,c)+ (b,c)-
     // tau = (2-1)/3 = 1/3
