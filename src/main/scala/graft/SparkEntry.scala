@@ -2757,6 +2757,26 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // Simplified (centroid-based) silhouette over the same k-means
+    // model — per-point cluster-quality: (b2-a2)/max(a2,b2) from the
+    // assignment's own rounded distances; negative = closer to a
+    // foreign centroid. Linear (point x k centroids), never pairwise.
+    "q_silhouette" -> { (s, d) =>
+      Vec.silhouette(Tables.embeddings(s, d), k = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    },
+
+    // Cluster purity of the k-means cells against the reference label
+    // column — the external clustering grade beside q_silhouette's
+    // internal one: per-cell majority-label share in exact ppm.
+    "q_cluster_purity" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.functions.Eval.clusterPurity(
+          Vec.kmeans(emb, k = 8, iters = 2), emb,
+          "vec_id", "cell", "label")
+        .orderBy(col("cell"))
+    },
+
     // Greedy k-center selection (farthest-point-first): the coverage-
     // maximizing coreset selector — deterministic seed, incremental
     // min-distance state, one bounded argmax per round.
@@ -7054,6 +7074,42 @@ object SparkEntry {
       s"""WITH $duckKmeansCte
           SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist2 FROM a2
           ORDER BY vec_id""",
+
+    "q_silhouette" -> {
+      val dotSql = duckDotSql _
+      // all point x final-centroid (c1) distances in the a2 chain's own
+      // rounded-6 arithmetic; a2 = own-cell distance, b2 = min other
+      s"""WITH $duckKmeansCte,
+          ad AS (SELECT e.vec_id, e.cell AS own, c.cell AS cc,
+            round(greatest(0.0, (${dotSql("e.embedding", "e.embedding")}
+              - 2 * ${dotSql("e.embedding", "c.cvec")})
+              + ${dotSql("c.cvec", "c.cvec")}), 6) AS d2
+            FROM a2 e CROSS JOIN c1 c),
+          g AS (SELECT vec_id, own,
+            min(CASE WHEN cc = own THEN d2 END) AS a2,
+            min(CASE WHEN cc <> own THEN d2 END) AS b2
+            FROM ad GROUP BY 1, 2)
+          SELECT vec_id, CAST(own AS BIGINT) AS cell, a2, b2,
+            CASE WHEN greatest(a2, b2) = 0.0 THEN 0.0
+              ELSE round((b2 - a2) / greatest(a2, b2), 6) END AS sil
+          FROM g ORDER BY vec_id"""
+    },
+
+    "q_cluster_purity" ->
+      s"""WITH $duckKmeansCte,
+          j AS (SELECT a2.cell, e.label FROM a2
+            JOIN embeddings e USING (vec_id)),
+          c AS (SELECT cell, CAST(label AS BIGINT) AS lab,
+            CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+          t AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n FROM c
+            GROUP BY 1),
+          r AS (SELECT cell, lab, n AS n_top, row_number() OVER
+            (PARTITION BY cell ORDER BY n DESC, lab ASC) AS rn FROM c)
+          SELECT CAST(t.cell AS BIGINT) AS cell, t.n,
+            r.lab AS top_label, r.n_top,
+            ${duckPpm("r.n_top", "t.n")} AS purity_ppm
+          FROM t JOIN r ON r.cell = t.cell AND r.rn = 1
+          ORDER BY cell""",
 
     "q_kcenter" -> duckKCenterSql(6),
 

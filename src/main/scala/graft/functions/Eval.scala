@@ -502,6 +502,37 @@ object Eval {
         Stats.fixedPointExact(col("n_correct"), col("n")).as("acc_ppm"))
   }
 
+  /** Cluster purity per cell — an unsupervised clustering graded
+    * against reference labels: each cell's majority label share,
+    * purity = n_top / n in exact ppm (the corpus-level purity is the
+    * support-weighted mean; per-cell rows expose WHICH cells are
+    * mixed). Majority ties break by label order — deterministic
+    * cross-engine. Output: (cell, n, top_label, n_top, purity_ppm).
+    *
+    * Scale: one id-equi-join of assignment to labels, then
+    * cells×labels-sized aggregates and a cell-keyed top-1 window over
+    * that bounded table.
+    */
+  def clusterPurity(assigned: DataFrame, labels: DataFrame,
+      idCol: String, cellCol: String, labelCol: String): DataFrame = {
+    val joined = assigned.select(col(idCol),
+        col(cellCol).cast("long").as("cell"))
+      .join(labels.select(col(idCol),
+        col(labelCol).cast("long").as("__lab")), Seq(idCol))
+      .groupBy(col("cell"), col("__lab"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = joined.groupBy(col("cell")).agg(sum(col("__n")).as("n"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("__n").desc, col("__lab").asc)
+    val top = joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cell"), col("__lab").as("top_label"),
+        col("__n").as("n_top"))
+    tot.join(top, Seq("cell"))
+      .select(col("cell"), col("n"), col("top_label"), col("n_top"),
+        Stats.fixedPointExact(col("n_top"), col("n")).as("purity_ppm"))
+  }
+
   /** Expected reciprocal rank at `k` (Chapelle et al. 2009) — the
     * cascade-model serving metric completing the retrieval family
     * (recall = set view, MRR = first hit, MAP/NDCG = graded area,

@@ -1055,4 +1055,48 @@ object Vec {
         col("dmin").as("radius2"))
     }.reduce(_.union(_))
   }
+
+  /** SIMPLIFIED silhouette per point over the [[kmeansModel]]
+    * clustering (memo-shared with every other k-means consumer) — the
+    * cluster-quality card: a2 = squared distance to the own centroid,
+    * b2 = the smallest squared distance to any OTHER centroid,
+    * sil = (b2 - a2) / max(a2, b2) in [-1, 1] (negative = the point
+    * sits closer to a foreign centroid — a mis-clustered or boundary
+    * point). The centroid-based simplification (Hartigan) keeps it
+    * sqrt-free AND linear: distances go point→k centroids, never
+    * point→point; the full silhouette's pairwise form is quadratic
+    * and adds nothing at corpus scale. Distances are the k-means
+    * assignment's own rounded-6 doubles, so a2 matches dist2
+    * bit-for-bit; sil is one deterministic division rounded to 6.
+    * Both-zero distances (a point ON two centroids) render sil 0.
+    * Output: (idCol, cell, a2, b2, sil).
+    *
+    * Scale: one broadcast of the k-row codebook, map-only distance
+    * fan-out (k rows per point), one point-keyed partial aggregate.
+    */
+  def silhouette(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (assigned, cents) = kmeansModel(corpus, k, iters, idCol, vecCol)
+    val d2 = round(greatest(lit(0.0),
+      graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)) -
+        lit(2.0) * graft.plans.VecExpressions.dotProduct(col(vecCol),
+          col("cvec")) +
+        graft.plans.VecExpressions.dotProduct(col("cvec"), col("cvec"))),
+      6)
+    val all = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents.select(col("cell").as("__c"),
+        col("cvec"))))
+      .select(col(idCol), col("__c"), d2.as("__d2"))
+    val own = assigned.select(col(idCol), col("cell"))
+    all.join(own, Seq(idCol))
+      .groupBy(col(idCol), col("cell"))
+      .agg(min(when(col("__c") === col("cell"), col("__d2"))).as("a2"),
+        min(when(col("__c") =!= col("cell"), col("__d2"))).as("b2"))
+      .select(col(idCol), col("cell").cast("long").as("cell"), col("a2"),
+        col("b2"),
+        when(greatest(col("a2"), col("b2")) === 0.0, lit(0.0))
+          .otherwise(round((col("b2") - col("a2")) /
+            greatest(col("a2"), col("b2")), 6)).as("sil"))
+  }
 }

@@ -484,4 +484,47 @@ class DedupVecSpec extends AnyFunSuite {
     }
     assert(got.toSeq === chosen)
   }
+
+  test("silhouette: tight separated clusters score near 1, a2/b2 match " +
+      "the assignment geometry") {
+    val emb = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(11f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Vec.silhouette(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // iters=2 ends update-then-assign: codebook is c0=(0,0) (its lone
+    // member) and c1=mean(1,10,11)=(22/3,0); cells land {1,2} | {3,4}
+    val cells = got.view.mapValues(_._1).toMap
+    assert(cells(1L) == cells(2L) && cells(3L) == cells(4L) &&
+      cells(1L) != cells(3L))
+    // a2 is the assignment's own distance: vec1 sits ON its centroid
+    assert(got(1L)._2 == 0.0 && got(1L)._4 == 1.0)
+    assert(got(2L)._2 == 1.0, got(2L))
+    for ((id, (_, a2, b2, sil)) <- got) {
+      assert(b2 > a2, s"vec $id b2 $b2 <= a2 $a2")
+      assert(sil > 0.88 && sil <= 1.0, s"vec $id sil $sil")
+    }
+  }
+
+  test("clusterPurity: majority share with deterministic label ties") {
+    val assigned = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
+      .toDF("vec_id", "cell")
+    val labels = Seq((1L, 7), (2L, 7), (3L, 8), (4L, 8), (5L, 8))
+      .toDF("vec_id", "label")
+    val got = graft.functions.Eval.clusterPurity(assigned, labels,
+        "vec_id", "cell", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((3L, 7L, 2L, 666667L)))
+    assert(got(1L) == ((2L, 8L, 2L, 1000000L)))
+    // exact tie: the smaller label wins in both engines
+    val tied = Seq((1L, 0), (2L, 0)).toDF("vec_id", "cell")
+    val tl = Seq((1L, 9), (2L, 3)).toDF("vec_id", "label")
+    val t = graft.functions.Eval.clusterPurity(tied, tl, "vec_id",
+      "cell", "label").collect()(0)
+    assert(t.getLong(2) == 3L && t.getLong(4) == 500000L)
+  }
 }
