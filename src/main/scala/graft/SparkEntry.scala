@@ -2777,6 +2777,17 @@ object SparkEntry {
         .orderBy(col("cell"))
     },
 
+    // Linear-kernel MMD between label groups' embedding distributions
+    // — first-moment drift in embedding space (the retraining trigger
+    // beside the token layer's PSI): ||mean_a - mean_b||^2 from the
+    // order-free decimal centroids, bounded group-pair cross only.
+    "q_mmd" -> { (s, d) =>
+      Vec.mmdLinear(Tables.embeddings(s, d), "label")
+        .withColumn("g_a", col("g_a").cast("long"))
+        .withColumn("g_b", col("g_b").cast("long"))
+        .orderBy(col("g_a"), col("g_b"))
+    },
+
     // Greedy k-center selection (farthest-point-first): the coverage-
     // maximizing coreset selector — deterministic seed, incremental
     // min-distance state, one bounded argmax per round.
@@ -3050,6 +3061,20 @@ object SparkEntry {
       Vec.semDedupAuto(Tables.embeddings(s, d), threshold = 0.3,
           iters = 2, targetCellSize = 64L)
         .orderBy(col("vec_id"))
+    },
+
+    // k-NN classification by retrieval: every vector classified by the
+    // majority label of its IVF (k-means cells, excludeSelf) top-5
+    // neighbors — the label-propagation primitive for weakly-labeled
+    // corpora, and the leave-self-out check that labels are recoverable
+    // from the embedding geometry at all.
+    "q_knn_classify" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.functions.Eval.knnClassify(
+          Vec.ivfKmeansTopK(emb, emb, k = 5, nProbe = 3, kCells = 8,
+            iters = 2),
+          emb, "query_id", "neighbor_id", "vec_id", "label")
+        .orderBy(col("query_id"))
     },
 
     // Threshold-free semantic clustering: connected components over the
@@ -7111,6 +7136,21 @@ object SparkEntry {
           FROM t JOIN r ON r.cell = t.cell AND r.rn = 1
           ORDER BY cell""",
 
+    "q_mmd" -> {
+      val dotSql = duckDotSql _
+      s"""WITH ${duckCentroidCte("g")},
+          n AS (SELECT label AS g, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY 1),
+          gg AS (SELECT cl.g, cl.centroid, n.n FROM cl JOIN n USING (g))
+          SELECT CAST(a.g AS BIGINT) AS g_a, CAST(b.g AS BIGINT) AS g_b,
+            a.n AS n_a, b.n AS n_b,
+            round(greatest(0.0, (${dotSql("a.centroid", "a.centroid")}
+              - 2 * ${dotSql("a.centroid", "b.centroid")})
+              + ${dotSql("b.centroid", "b.centroid")}), 6) AS mmd2
+          FROM gg a JOIN gg b ON a.g < b.g
+          ORDER BY g_a, g_b"""
+    },
+
     "q_kcenter" -> duckKCenterSql(6),
 
     "q_diverse_sample" ->
@@ -7528,6 +7568,45 @@ object SparkEntry {
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM cand)
           SELECT query_id, neighbor_id, sim, "rank" FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
+
+    "q_knn_classify" -> {
+      val dotSql = duckDotSql _
+      // the q_ivf_kmeans chain with ALL vectors as queries, then a
+      // majority vote over each query's top-5 neighbor labels
+      s"""WITH $duckKmeansCte,
+          ${duckCentroidStages("a2", "cell", "cell", "exq", "ctq", "clq")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings),
+          pc AS (SELECT q.query_id, q.qv, cl.cell,
+            round(${dotSql("q.qv", "cl.centroid")} /
+              (sqrt(${dotSql("q.qv", "q.qv")}) *
+               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
+            FROM q CROSS JOIN clq cl),
+          pr AS (SELECT query_id, qv, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
+          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
+          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+            round(${dotSql("p.qv", "e.embedding")} /
+              (sqrt(${dotSql("p.qv", "p.qv")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) + 0.0 AS sim
+            FROM probed p JOIN a2 e ON e.cell = p.cell
+            WHERE e.vec_id <> p.query_id),
+          rr AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM cand),
+          v AS (SELECT rr.query_id, CAST(e.label AS BIGINT) AS nl,
+            CAST(count(*) AS BIGINT) AS v
+            FROM rr JOIN embeddings e ON e.vec_id = rr.neighbor_id
+            WHERE rr.rk <= 5 GROUP BY 1, 2),
+          p AS (SELECT query_id, nl, row_number() OVER
+            (PARTITION BY query_id ORDER BY v DESC, nl ASC) AS rn FROM v)
+          SELECT p.query_id, p.nl AS pred_label,
+            CAST(t.label AS BIGINT) AS true_label,
+            p.nl = t.label AS correct
+          FROM p JOIN embeddings t ON t.vec_id = p.query_id
+          WHERE p.rn = 1 ORDER BY p.query_id"""
     },
 
     "q_semdedup" -> {

@@ -502,6 +502,38 @@ object Eval {
         Stats.fixedPointExact(col("n_correct"), col("n")).as("acc_ppm"))
   }
 
+  /** Classification by retrieval: majority vote over a top-k neighbor
+    * table — the k-NN classifier that turns any ANN index into a label
+    * propagator for weakly-labeled corpora (and, run self-supervised
+    * over the training set, the leave-self-out sanity check of the
+    * embedding space: can labels be recovered from neighbors alone?).
+    * Vote ties break by label order — deterministic cross-engine.
+    * Output: (queryCol, pred_label, true_label, correct).
+    *
+    * Scale: neighbor tables are k-bounded per query, so both the vote
+    * count and the top-1 window ride queries×labels-sized data; the
+    * label joins are id-equi-joins against the (broadcastable) label
+    * frame.
+    */
+  def knnClassify(neighbors: DataFrame, labels: DataFrame,
+      queryCol: String, neighborCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    val votes = neighbors
+      .join(labels.select(col(idCol).as(neighborCol),
+        col(labelCol).cast("long").as("__nl")), Seq(neighborCol))
+      .groupBy(col(queryCol), col("__nl"))
+      .agg(count(lit(1)).as("__v"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__v").desc, col("__nl").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(labels.select(col(idCol).as(queryCol),
+        col(labelCol).cast("long").as("true_label")), Seq(queryCol))
+      .select(col(queryCol), col("__nl").as("pred_label"),
+        col("true_label"),
+        (col("__nl") === col("true_label")).as("correct"))
+  }
+
   /** Cluster purity per cell — an unsupervised clustering graded
     * against reference labels: each cell's majority label share,
     * purity = n_top / n in exact ppm (the corpus-level purity is the

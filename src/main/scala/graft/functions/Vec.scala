@@ -1056,6 +1056,41 @@ object Vec {
     }.reduce(_.union(_))
   }
 
+  /** Linear-kernel maximum mean discrepancy between group embedding
+    * distributions — the embedding-space drift card beside the token
+    * layer's PSI/KS/JS: with the linear kernel, MMD² collapses to the
+    * squared distance between group MEANS, ||μ_a - μ_b||², so the
+    * whole statistic rides [[groupCentroids]]' order-free decimal-exact
+    * means (one partial-aggregable pass) and a bounded group-pair
+    * cross — no point-pair kernel matrix, which is what makes richer
+    * kernels quadratic and unusable at corpus scale. Zero means no
+    * distributional shift in the first moment; rising values per
+    * ingest batch are the retraining signal. Distances are the
+    * engine's standard rounded-6 doubles over REAL-rounded centroids.
+    * Output: (g_a, g_b, n_a, n_b, mmd2) with g_a < g_b.
+    */
+  def mmdLinear(vecs: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = groupCentroids(
+      vecs.select(col(groupCol).as("__g"), col(vecCol)), "__g", vecCol)
+    val n = vecs.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val g = broadcast(cents.join(n, Seq("__g")))
+    val a = g.select(col("__g").as("g_a"), col("centroid").as("__ca"),
+      col("__n").as("n_a"))
+    val b = g.select(col("__g").as("g_b"), col("centroid").as("__cb"),
+      col("__n").as("n_b"))
+    val d2 = round(greatest(lit(0.0),
+      graft.plans.VecExpressions.dotProduct(col("__ca"), col("__ca")) -
+        lit(2.0) * graft.plans.VecExpressions.dotProduct(col("__ca"),
+          col("__cb")) +
+        graft.plans.VecExpressions.dotProduct(col("__cb"), col("__cb"))),
+      6)
+    a.join(b, col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        d2.as("mmd2"))
+  }
+
   /** SIMPLIFIED silhouette per point over the [[kmeansModel]]
     * clustering (memo-shared with every other k-means consumer) — the
     * cluster-quality card: a2 = squared distance to the own centroid,

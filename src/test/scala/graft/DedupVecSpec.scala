@@ -509,6 +509,21 @@ class DedupVecSpec extends AnyFunSuite {
     }
   }
 
+  test("mmdLinear: squared mean distance, zero for identical groups") {
+    val emb = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)),   // mean (1,0)
+      (3L, 1, Array(4f, 0f)), (4L, 1, Array(6f, 0f)),   // mean (5,0)
+      (5L, 2, Array(0f, 0f)), (6L, 2, Array(2f, 0f)))   // = group 0
+      .toDF("vec_id", "label", "embedding")
+    val got = Vec.mmdLinear(emb, "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((0, 1)) == ((2L, 2L, 16.0)))   // ||(1,0)-(5,0)||^2
+    assert(got((0, 2)) == ((2L, 2L, 0.0)))    // identical distribution
+    assert(got((1, 2))._3 == 16.0)
+    assert(got.size == 3)                      // unordered pairs only
+  }
+
   test("clusterPurity: majority share with deterministic label ties") {
     val assigned = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
       .toDF("vec_id", "cell")

@@ -349,6 +349,23 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("knnClassify: majority vote, deterministic tie, correctness flag") {
+    import spark.implicits._
+    // q1: neighbors 10,11,12 labeled 7,7,8 -> majority 7 (true 7: hit)
+    // q2: neighbors 10,12 labeled 7,8 -> 1-1 tie, smaller label 7 wins
+    //     (true 8: miss)
+    val nn = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val labels = Seq((1L, 7), (2L, 8), (10L, 7), (11L, 7), (12L, 8))
+      .toDF("vec_id", "label")
+    val got = Eval.knnClassify(nn, labels, "query_id", "neighbor_id",
+        "vec_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((7L, 7L, true)))
+    assert(got(2L) == ((7L, 8L, false)))
+  }
+
   test("errAtK: cascade fold matches the hand-computed dyadic terms") {
     import spark.implicits._
     // q1 grades by rank: (5, 0, 2) at gmax=5 (D=32):
