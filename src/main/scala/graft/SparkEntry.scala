@@ -1032,6 +1032,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // k-anonymity / l-diversity audit of the event log: (event_type,
+    // day) quasi-identifier groups with under 5 records are linkable;
+    // groups whose records span under 3 distinct users leak the user
+    // even at k — the release screen beside q_pii_redact's scrubbing.
+    "q_k_anon" -> { (s, d) =>
+      graft.functions.Quality.kAnonymity(
+        Tables.eventsTs(s, d)
+          .select(col("event_type"),
+            date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("user_id")),
+        Seq("event_type", "day"), "user_id", k = 5L, l = 3L)
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Flesch reading ease per document — the classic readability card
     // beside the Gopher-style quality score: words/sentences/syllable
     // (vowel-group) counts collapsed to one exact rational in
@@ -2543,6 +2557,19 @@ object SparkEntry {
             .as("cents")),
         "cents")
         .orderBy(col("digit"))
+    },
+
+    // Welch's t² (unequal-variance mean test, sqrt-free) between en
+    // and fr per-doc token counts — "are the groups' means genuinely
+    // apart relative to their spreads": one exact rational over
+    // integer sums, the inference card beside q_ks_test's
+    // distribution-shape distance.
+    "q_welch_t2" -> { (s, d) =>
+      graft.functions.Stats.welchT2(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", col("lang") === "en", col("lang") === "fr")
     },
 
     // CUSUM surge detection over the daily event-count series — the
@@ -4064,6 +4091,14 @@ object SparkEntry {
               (1.0 - abs(stop_ratio - 0.2)) AS quality
           FROM t2 ORDER BY doc_id"""
     },
+
+    "q_k_anon" ->
+      s"""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l,
+           count(*) < 5 AS k_risk,
+           count(DISTINCT user_id) < 3 AS l_risk
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
 
     "q_readability" ->
       s"""WITH t AS (SELECT doc_id,
@@ -6392,6 +6427,41 @@ object SparkEntry {
           SELECT digit, n_obs, obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm,
             CAST(obs_ppm - exp_ppm AS BIGINT) AS excess_ppm
           FROM e ORDER BY digit""",
+
+    "q_welch_t2" ->
+      s"""WITH t AS (SELECT lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS x FROM documents),
+          s AS (SELECT
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS na,
+            CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nb,
+            CAST(sum(CASE WHEN lang = 'en' THEN x ELSE 0 END) AS BIGINT)
+              AS sa,
+            CAST(sum(CASE WHEN lang = 'fr' THEN x ELSE 0 END) AS BIGINT)
+              AS sb,
+            CAST(sum(CASE WHEN lang = 'en' THEN x * x ELSE 0 END)
+              AS HUGEINT) AS ssa,
+            CAST(sum(CASE WHEN lang = 'fr' THEN x * x ELSE 0 END)
+              AS HUGEINT) AS ssb
+            FROM t),
+          f AS (SELECT na, nb,
+            CASE WHEN na = 0 THEN NULL ELSE ${duckPpm("sa", "na")} END
+              AS mean_a_ppm,
+            CASE WHEN nb = 0 THEN NULL ELSE ${duckPpm("sb", "nb")} END
+              AS mean_b_ppm,
+            (CAST(na AS HUGEINT) * ssa - CAST(sa AS HUGEINT) * sa) *
+              (CAST(nb AS HUGEINT) * nb * (nb - 1)) +
+            (CAST(nb AS HUGEINT) * ssb - CAST(sb AS HUGEINT) * sb) *
+              (CAST(na AS HUGEINT) * na * (na - 1)) AS den,
+            (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) *
+              (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) *
+              (CAST(na - 1 AS HUGEINT) * (nb - 1)) AS num
+            FROM s)
+          SELECT na AS n_a, nb AS n_b, mean_a_ppm, mean_b_ppm,
+            CASE WHEN na < 2 OR nb < 2 OR den <= 0 THEN NULL
+              ELSE ${duckPpm("num", "den")} END AS t2_ppm
+          FROM f""",
 
     "q_cusum" ->
       s"""WITH dc AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -245,6 +245,32 @@ object Quality {
           .as("mean_quality"))
   }
 
+  /** k-anonymity / l-diversity audit over quasi-identifier groups —
+    * the privacy screen a corpus gets before release (Sweeney 2002;
+    * Machanavajjhala et al. 2007): every combination of the
+    * quasi-identifier columns with fewer than `k` records is
+    * re-identifiable by linkage, and one whose records share too few
+    * DISTINCT sensitive values (l < `l`) leaks the sensitive attribute
+    * even when k holds. Exact counts; both flags per group.
+    * Output: (qiCols..., n, l, k_risk, l_risk).
+    *
+    * Scale: one partial-aggregable groupBy with an exact
+    * count_distinct — group-domain-sized output; at petascale swap
+    * the distinct for the house HLL ladder (documented trade: the
+    * audit then over-reports l, never under).
+    */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long,
+      l: Long): org.apache.spark.sql.DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must not be empty")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l"))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("l"),
+        (col("n") < k).as("k_risk"), (col("l") < l).as("l_risk")): _*)
+  }
+
   /** Flesch reading ease per document, from the three classic counts —
     * words (the whitespace tokenizer), sentences (runs of [.!?],
     * floored at 1), syllables (runs of [aeiouy] in the lowercased

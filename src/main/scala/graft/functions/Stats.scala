@@ -456,6 +456,61 @@ object Stats {
           .as("slope_ppm"))
   }
 
+  /** Welch's two-sample t statistic, SQUARED — the unequal-variance
+    * mean-difference test in the engine's sqrt-free discipline (t² is
+    * the monotone equivalent for any fixed df, and F(1, df) = t²):
+    *
+    *   t² = (S_a·n_b - S_b·n_a)² · (n_a-1)(n_b-1) / den,
+    *   den = (n_a·SS_a - S_a²)·n_b²(n_b-1) + (n_b·SS_b - S_b²)·n_a²(n_a-1)
+    *
+    * — the classic form with every division cleared, so the statistic
+    * is ONE exact rational over integer sums (S = Σx, SS = Σx²),
+    * rendered in exact ppm. Both-degenerate inputs (zero pooled
+    * variance or a side with n < 2) render NULL. One row:
+    * (n_a, n_b, mean_a_ppm, mean_b_ppm, t2_ppm).
+    *
+    * Scale: one partial-aggregable pass over the filtered frame;
+    * decimal(38,0) clears the cleared-denominator products (valid to
+    * ~1e9 rows × 1e6 values — the documented wide-sum audit).
+    */
+  def welchT2(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(valueCol).cast("long")
+    val side = df.select(x.as("__x"),
+      when(aPred, 1L).otherwise(0L).as("__ia"),
+      when(bPred, 1L).otherwise(0L).as("__ib"))
+    val sums = side.agg(
+      sum(col("__ia")).as("na"), sum(col("__ib")).as("nb"),
+      sum(col("__ia") * col("__x")).as("__sa"),
+      sum(col("__ib") * col("__x")).as("__sb"),
+      sum((col("__ia") * col("__x")).cast("decimal(19,0)") * col("__x"))
+        .cast(dec).as("__ssa"),
+      sum((col("__ib") * col("__x")).cast("decimal(19,0)") * col("__x"))
+        .cast(dec).as("__ssb"))
+    sums.select(col("na"), col("nb"),
+        when(col("na") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__sa"), col("na")))
+          .as("mean_a_ppm"),
+        when(col("nb") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__sb"), col("nb")))
+          .as("mean_b_ppm"),
+        expr(s"""CAST((CAST(na AS $dec) * __ssa -
+            CAST(__sa AS $dec) * __sa) *
+          (CAST(nb AS $dec) * nb * (nb - 1)) +
+          (CAST(nb AS $dec) * __ssb - CAST(__sb AS $dec) * __sb) *
+          (CAST(na AS $dec) * na * (na - 1)) AS $dec)""").as("__den"),
+        expr(s"""CAST((CAST(__sa AS $dec) * nb - CAST(__sb AS $dec) * na)
+          * (CAST(__sa AS $dec) * nb - CAST(__sb AS $dec) * na)
+          * (CAST(na - 1 AS $dec) * (nb - 1)) AS $dec)""").as("__num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("mean_a_ppm"), col("mean_b_ppm"),
+        when(col("na") < 2 || col("nb") < 2 || col("__den") <= 0,
+            lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__num"), col("__den")))
+          .as("t2_ppm"))
+  }
+
   /** One-sided (upper) CUSUM control chart over an ordered integer
     * series — sequential change detection for pipeline monitoring
     * (ingest-volume surges, quality-score drift): the classic

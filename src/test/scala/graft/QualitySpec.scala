@@ -253,6 +253,24 @@ class QualitySpec extends AnyFunSuite {
     assert(rep === out)
   }
 
+  test("kAnonymity: k and l flags are independent and exact") {
+    val df = Seq(
+      ("a", "d1", 1L), ("a", "d1", 1L), ("a", "d1", 2L), ("a", "d1", 3L),
+      ("a", "d1", 4L),                      // n=5 l=4: safe at k=5,l=3
+      ("b", "d1", 1L), ("b", "d1", 1L), ("b", "d1", 1L), ("b", "d1", 1L),
+      ("b", "d1", 1L),                      // n=5 l=1: k ok, l risk
+      ("c", "d1", 1L), ("c", "d1", 2L), ("c", "d1", 3L))
+      .toDF("qi1", "qi2", "user")
+    val got = graft.functions.Quality.kAnonymity(df, Seq("qi1", "qi2"),
+        "user", k = 5L, l = 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(got("a") == ((5L, 4L, false, false)))
+    assert(got("b") == ((5L, 1L, false, true)))
+    assert(got("c") == ((3L, 3L, true, false)))  // n<k but diverse
+  }
+
   test("hashingTrick: deterministic dims/signs, per-doc sums, zero drop") {
     val docs = Seq((1L, "aa aa bb"), (2L, "aa")).toDF("doc_id", "text")
     val got = Tfidf.hashingTrick(docs, "doc_id", "text", dims = 16)

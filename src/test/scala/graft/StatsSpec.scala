@@ -196,6 +196,32 @@ class StatsSpec extends AnyFunSuite {
       == -1000000L)
   }
 
+  test("welchT2: hand-computed cleared-denominator rational") {
+    // a = {1,3} (mean 2, var 2), b = {5,7} (mean 6, var 2):
+    // t = (2-6)/sqrt(2/2 + 2/2) = -4/sqrt(2) -> t^2 = 8
+    val df = Seq((1L, "a"), (3L, "a"), (5L, "b"), (7L, "b"))
+      .toDF("v", "side")
+    val r = Stats.welchT2(df, "v", col("side") === "a",
+      col("side") === "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 2000000L && r.getLong(3) == 6000000L)
+    assert(r.getLong(4) == 8000000L)
+    // identical groups: t^2 exactly 0
+    val same = Seq((1L, "a"), (3L, "a"), (1L, "b"), (3L, "b"))
+      .toDF("v", "side")
+    assert(Stats.welchT2(same, "v", col("side") === "a",
+      col("side") === "b").collect()(0).getLong(4) == 0L)
+    // zero pooled variance (all constants): NULL, not a division error
+    val const = Seq((4L, "a"), (4L, "a"), (4L, "b"), (4L, "b"))
+      .toDF("v", "side")
+    assert(Stats.welchT2(const, "v", col("side") === "a",
+      col("side") === "b").collect()(0).isNullAt(4))
+    // a side with one sample: NULL (no variance estimate)
+    val tiny = Seq((1L, "a"), (5L, "b"), (7L, "b")).toDF("v", "side")
+    assert(Stats.welchT2(tiny, "v", col("side") === "a",
+      col("side") === "b").collect()(0).isNullAt(4))
+  }
+
   test("cusum: closed form equals the textbook recurrence") {
     // series 4,4,10,4,2 (k = 24 div 5 = 4): recurrence
     // S = max(0, S + x - 4): 0, 0, 6, 6, 4; alarm at S > 2k = 8: none
