@@ -2559,6 +2559,19 @@ object SparkEntry {
         .orderBy(col("digit"))
     },
 
+    // Deterministic Poisson bootstrap (64 replicates) for the mean
+    // doc token count — the map-reduce bootstrap: per-row Poisson(1)
+    // multiplicities from the engine-shared hash, so the uncertainty
+    // interval needs no resample materialization and no RNG; CI =
+    // ranks 2/63 of the replicate means.
+    "q_bootstrap_ci" -> { (s, d) =>
+      graft.functions.Stats.poissonBootstrapCi(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", "doc_id", reps = 64, loRank = 2, hiRank = 63)
+    },
+
     // Welch's t² (unequal-variance mean test, sqrt-free) between en
     // and fr per-doc token counts — "are the groups' means genuinely
     // apart relative to their spreads": one exact rational over
@@ -2678,6 +2691,20 @@ object SparkEntry {
           "doc_id", "text", "lang")
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       graft.functions.Eval.reliability(pred, "margin_q",
+          col("pred_class") === col("lang"), binWidth = 65536L)
+        .orderBy(col("bin"))
+    },
+
+    // Selective-prediction risk/coverage curve over the same margin
+    // bins — accept only predictions above each bin threshold and read
+    // (coverage, selective risk) top-down: the operating-point card
+    // for deploying the classifier at a target error rate.
+    "q_selective_risk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.selectiveRisk(pred, "margin_q",
           col("pred_class") === col("lang"), binWidth = 65536L)
         .orderBy(col("bin"))
     },
@@ -6428,6 +6455,34 @@ object SparkEntry {
             CAST(obs_ppm - exp_ppm AS BIGINT) AS excess_ppm
           FROM e ORDER BY digit""",
 
+    "q_bootstrap_ci" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS x FROM documents),
+          bb AS (SELECT unnest(range(0, 64)) AS b),
+          u AS (SELECT bb.b, t.x,
+            ${duckMixOf("(t.id * 64 + bb.b)")} % 1000000 AS u
+            FROM t CROSS JOIN bb),
+          w AS (SELECT b, x,
+            CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+              WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+              WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+              WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+              WHEN u < 999999 THEN 8 ELSE 9 END AS w FROM u),
+          m AS (SELECT b, CAST(sum(w) AS BIGINT) AS n,
+            CAST(sum(CAST(w AS HUGEINT) * x) AS HUGEINT) AS s
+            FROM w GROUP BY 1),
+          mm AS (SELECT b, CASE WHEN n = 0 THEN NULL
+            ELSE ${duckPpm("s", "n")} END AS m FROM m),
+          r AS (SELECT m, row_number() OVER
+            (ORDER BY m ASC NULLS FIRST, b ASC) AS rk FROM mm),
+          p AS (SELECT CASE WHEN count(*) = 0 THEN NULL
+            ELSE ${duckPpm("sum(x)", "count(*)")} END AS point_ppm FROM t)
+          SELECT CAST(64 AS BIGINT) AS b_reps, p.point_ppm,
+            lo.m AS lo_ppm, hi.m AS hi_ppm
+          FROM p
+          CROSS JOIN (SELECT m FROM r WHERE rk = 2) lo
+          CROSS JOIN (SELECT m FROM r WHERE rk = 63) hi""",
+
     "q_welch_t2" ->
       s"""WITH t AS (SELECT lang,
             CAST(len(${duckToks("text")}) AS BIGINT) AS x FROM documents),
@@ -6690,6 +6745,41 @@ object SparkEntry {
             CAST(sum(c) AS BIGINT) AS n_correct,
             ${duckPpm("sum(c)", "count(*)")} AS acc_ppm
           FROM r GROUP BY 1 ORDER BY bin""",
+
+    "q_selective_risk" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          mg AS (SELECT f1.doc_id, f1.class AS pred_class,
+              CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+            FROM fin f1 JOIN fin f2
+              ON f2.doc_id = f1.doc_id AND f2.rn = 2
+            WHERE f1.rn = 1),
+          r AS (SELECT mg.margin_q // 65536 AS bin,
+            CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END AS c
+            FROM mg JOIN documents dd USING (doc_id)),
+          rel AS (SELECT CAST(bin AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n_bin,
+            CAST(sum(c) AS BIGINT) AS nc FROM r GROUP BY 1),
+          t AS (SELECT CAST(sum(n_bin) AS BIGINT) AS tot FROM rel),
+          cm AS (SELECT bin, n_bin,
+            CAST(sum(n_bin) OVER (ORDER BY bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_accepted,
+            CAST(sum(nc) OVER (ORDER BY bin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_correct
+            FROM rel)
+          SELECT bin, n_bin, n_accepted, n_correct,
+            ${duckPpm("n_accepted", "tot")} AS coverage_ppm,
+            ${duckPpm("n_accepted - n_correct", "n_accepted")} AS risk_ppm
+          FROM cm CROSS JOIN t ORDER BY bin""",
 
     "q_avg_precision" ->
       s"""WITH $duckNbChain,

@@ -534,6 +534,35 @@ object Eval {
         (col("__nl") === col("true_label")).as("correct"))
   }
 
+  /** Selective-prediction risk/coverage curve — the deployment
+    * thresholding card (El-Yaniv & Wiener 2010): for every confidence
+    * bin b, accepting ONLY predictions with confidence >= b yields
+    * coverage = accepted/total and selective risk = errors/accepted.
+    * Reading the curve top-down gives the operating point for any
+    * target risk — the number a gated quality classifier ships with.
+    * Computed as cumulative-from-the-top sums over the
+    * [[reliability]] bin table, so the window rides the BOUNDED bin
+    * domain, never rows. Output per occupied bin:
+    * (bin, n_bin, n_accepted, n_correct, coverage_ppm, risk_ppm).
+    */
+  def selectiveRisk(pred: DataFrame, confCol: String, correct: Column,
+      binWidth: Long): DataFrame = {
+    val rel = reliability(pred, confCol, correct, binWidth)
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rel.agg(sum(col("n")).as("__t"))
+    rel.select(col("bin"), col("n").as("n_bin"), col("n_correct"))
+      .withColumn("n_accepted", sum(col("n_bin")).over(w))
+      .withColumn("__ca", sum(col("n_correct")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_bin"), col("n_accepted"),
+        col("__ca").as("n_correct"),
+        Stats.fixedPointExact(col("n_accepted"), col("__t"))
+          .as("coverage_ppm"),
+        Stats.fixedPointExact(col("n_accepted") - col("__ca"),
+          col("n_accepted")).as("risk_ppm"))
+  }
+
   /** Cluster purity per cell — an unsupervised clustering graded
     * against reference labels: each cell's majority label share,
     * purity = n_top / n in exact ppm (the corpus-level purity is the

@@ -456,6 +456,70 @@ object Stats {
           .as("slope_ppm"))
   }
 
+  /** Cumulative Poisson(1) inverse-CDF cutoffs in ppm — the weight
+    * ladder of the POISSON BOOTSTRAP (each resample gives every row an
+    * independent Poisson(1) multiplicity; Chamandy et al., the
+    * map-reduce bootstrap: no resample ever needs the full dataset in
+    * one place). Fixed literals shared with the oracle SQL; the tail
+    * past 8 (cumulative 999999 ppm) collapses to weight 9.
+    */
+  private[graft] val PoissonCumPpm: Seq[Long] = Seq(367879L, 735759L,
+    919699L, 981012L, 996340L, 999406L, 999917L, 999990L, 999999L)
+
+  /** Percentile-bootstrap confidence interval for the mean of an
+    * integer column, fully DETERMINISTIC: replicate `b`'s weight for
+    * row `id` is the Poisson(1) inverse CDF at the engine-shared hash
+    * u(id·reps + b) — so reruns, engines, and cluster layouts agree on
+    * every resample, and the whole bootstrap is one map-only fan-out
+    * (reps rows per input row) plus a reps-sized aggregate. The CI is
+    * the (loRank, hiRank) order statistics of the replicate means
+    * (exact ppm renderings; an empty replicate sorts first as NULL).
+    * One row: (b_reps, point_ppm, lo_ppm, hi_ppm).
+    *
+    * Scale: the fan-out IS the Poisson bootstrap's documented cost
+    * (reps× map-side rows, partial-aggregable to a reps-sized table);
+    * nothing is corpus-keyed, no resample materializes.
+    */
+  def poissonBootstrapCi(df: DataFrame, valueCol: String, idCol: String,
+      reps: Int = 64, loRank: Int = 2, hiRank: Int = 63): DataFrame = {
+    require(reps >= 2, s"reps must be >= 2, got $reps")
+    require(1 <= loRank && loRank < hiRank && hiRank <= reps,
+      s"need 1 <= loRank < hiRank <= reps, got $loRank/$hiRank/$reps")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(valueCol).cast("long").as("__x"))
+    val bs = broadcast(df.sparkSession.range(reps)
+      .select(col("id").as("__b")))
+    val u = pmod(Sampling.hashOrder(col("__id") * reps + col("__b")),
+      lit(1000000L))
+    val w = PoissonCumPpm.zipWithIndex.foldRight(
+        lit(PoissonCumPpm.size.toLong)) { case ((cum, k), els) =>
+      when(u < cum, k.toLong).otherwise(els)
+    }
+    val means = base.crossJoin(bs)
+      .select(col("__b"), w.as("__w"), col("__x"))
+      .groupBy(col("__b"))
+      .agg(sum((col("__w").cast("decimal(19,0)") * col("__x"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__s"),
+        sum(col("__w")).as("__n"))
+      .select(col("__b"),
+        when(col("__n") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__s"), col("__n")))
+          .as("__m"))
+    val wRank = Window.orderBy(col("__m").asc_nulls_first, col("__b").asc)
+    val ranked = means.withColumn("__rk", row_number().over(wRank))
+    val point = base.agg(count(lit(1)).as("__c"), sum(col("__x")).as("__t"))
+      .select(when(col("__c") === 0, lit(null).cast("long"))
+        .otherwise(fixedPointExact(col("__t"), col("__c")))
+        .as("point_ppm"))
+    point
+      .crossJoin(broadcast(ranked.filter(col("__rk") === loRank)
+        .select(col("__m").as("lo_ppm"))))
+      .crossJoin(broadcast(ranked.filter(col("__rk") === hiRank)
+        .select(col("__m").as("hi_ppm"))))
+      .select(lit(reps.toLong).as("b_reps"), col("point_ppm"),
+        col("lo_ppm"), col("hi_ppm"))
+  }
+
   /** Welch's two-sample t statistic, SQUARED — the unequal-variance
     * mean-difference test in the engine's sqrt-free discipline (t² is
     * the monotone equivalent for any fixed df, and F(1, df) = t²):

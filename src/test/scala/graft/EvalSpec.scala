@@ -349,6 +349,23 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("selectiveRisk: cumulative-from-top coverage and risk") {
+    import spark.implicits._
+    // bins (width 10): bin 2 = {correct, correct}, bin 1 = {correct,
+    // wrong}, bin 0 = {wrong}
+    val pred = Seq((25L, true), (22L, true), (15L, true), (12L, false),
+      (5L, false)).toDF("conf", "ok")
+    val got = Eval.selectiveRisk(pred, "conf", col("ok"), binWidth = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // accept >= bin2: 2 rows, 0 errors; >= bin1: 4 rows, 1 error;
+    // >= bin0: all 5, 2 errors
+    assert(got(2L) == ((2L, 2L, 2L, 400000L, 0L)))
+    assert(got(1L) == ((2L, 4L, 3L, 800000L, 250000L)))
+    assert(got(0L) == ((1L, 5L, 3L, 1000000L, 400000L)))
+  }
+
   test("knnClassify: majority vote, deterministic tie, correctness flag") {
     import spark.implicits._
     // q1: neighbors 10,11,12 labeled 7,7,8 -> majority 7 (true 7: hit)

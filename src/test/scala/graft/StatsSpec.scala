@@ -196,6 +196,27 @@ class StatsSpec extends AnyFunSuite {
       == -1000000L)
   }
 
+  test("poissonBootstrapCi: ladder sums to ~1, interval brackets the " +
+      "point estimate, deterministic across partitionings") {
+    // the cumulative ladder is a proper quantized CDF
+    assert(Stats.PoissonCumPpm == Stats.PoissonCumPpm.sorted)
+    assert(Stats.PoissonCumPpm.last == 999999L)
+    val df = (1L to 200L).map(i => (i, (i % 7) + 10L)).toDF("id", "x")
+    val r = Stats.poissonBootstrapCi(df, "x", "id", reps = 64,
+      loRank = 2, hiRank = 63).collect()(0)
+    val (point, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getLong(0) == 64L)
+    assert(lo <= point && point <= hi, s"($lo, $point, $hi)")
+    assert(lo < hi)
+    // resampling noise of a mean near 13 stays well inside +-2
+    assert(hi - lo < 2000000L, s"interval too wide: $lo..$hi")
+    // partitioning-invariant: the hash weights don't depend on layout
+    val r2 = Stats.poissonBootstrapCi(df.repartition(13), "x", "id",
+      reps = 64, loRank = 2, hiRank = 63).collect()(0)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3))
+      == ((point, lo, hi)))
+  }
+
   test("welchT2: hand-computed cleared-denominator rational") {
     // a = {1,3} (mean 2, var 2), b = {5,7} (mean 6, var 2):
     // t = (2-6)/sqrt(2/2 + 2/2) = -4/sqrt(2) -> t^2 = 8
