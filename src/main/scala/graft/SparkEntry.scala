@@ -3728,6 +3728,40 @@ object SparkEntry {
         .orderBy(col("cohort"), col("period_offset"))
     },
 
+    // Kaplan-Meier survival over user lifetimes (days first→last
+    // event), users active on the final observed day right-censored —
+    // the bias correction naive retention curves miss; log-domain
+    // product through the FixLog ladders, one row per death time.
+    "q_kaplan_meier" -> { (s, d) =>
+      graft.functions.Events.kaplanMeier(Tables.eventsTs(s, d),
+          "user_id", "ts")
+        .orderBy(col("t_days"))
+    },
+
+    // A/B proportion test: users hash-split into two variants, did
+    // they ever purchase — exact 2x2 chi-square (= z² of the
+    // two-proportion test) in one rational, per-variant rates in ppm.
+    "q_ab_test" -> { (s, d) =>
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("__bkt",
+          graft.functions.Sampling.hashBucket(col("user_id")))
+      graft.functions.Stats.abTest(perUser,
+        col("__bkt") < 5000L, col("__bkt") >= 5000L,
+        col("converted") === 1L)
+    },
+
+    // First-order Markov transitions over each user's event-type
+    // sequence — the behavioral what-follows-what card with exact
+    // row-normalized probabilities; types²-sized output.
+    "q_markov" -> { (s, d) =>
+      graft.functions.Events.markovTransitions(Tables.eventsTs(s, d),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // Daily gap-filled resampling: dense per-user day grid, zero-count
     // gaps, forward-filled value sums.
     "q_resample" -> { (s, d) =>
@@ -8684,6 +8718,96 @@ object SparkEntry {
            FROM e JOIN f USING (user_id))
          SELECT cohort, period_offset, CAST(count(*) AS BIGINT) AS n_users
          FROM a GROUP BY 1, 2 ORDER BY cohort, period_offset""",
+
+    "q_ab_test" ->
+      s"""WITH pu AS (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+            FROM events GROUP BY 1),
+          bk AS (SELECT conv, ${duckBucketOf("user_id")} AS bkt FROM pu),
+          s AS (SELECT
+            CAST(sum(CASE WHEN bkt < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(sum(CASE WHEN bkt >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            CAST(sum(CASE WHEN bkt < 5000 THEN conv ELSE 0 END)
+              AS BIGINT) AS conv_a,
+            CAST(sum(CASE WHEN bkt >= 5000 THEN conv ELSE 0 END)
+              AS BIGINT) AS conv_b
+            FROM bk),
+          f AS (SELECT n_a, n_b, conv_a, conv_b,
+            (CAST(n_a AS HUGEINT) + n_b) *
+              (CAST(conv_a AS HUGEINT) * (n_b - conv_b) -
+               CAST(conv_b AS HUGEINT) * (n_a - conv_a)) *
+              (CAST(conv_a AS HUGEINT) * (n_b - conv_b) -
+               CAST(conv_b AS HUGEINT) * (n_a - conv_a)) AS num,
+            CAST(n_a AS HUGEINT) * n_b *
+              (CAST(conv_a AS HUGEINT) + conv_b) *
+              (CAST(n_a AS HUGEINT) - conv_a + n_b - conv_b) AS den
+            FROM s)
+          SELECT n_a, n_b, conv_a, conv_b,
+            CASE WHEN n_a = 0 THEN NULL
+              ELSE ${duckPpm("conv_a", "n_a")} END AS rate_a_ppm,
+            CASE WHEN n_b = 0 THEN NULL
+              ELSE ${duckPpm("conv_b", "n_b")} END AS rate_b_ppm,
+            CASE WHEN den = 0 THEN NULL
+              ELSE ${duckPpm("num", "den")} END AS chi2_ppm
+          FROM f""",
+
+    "q_markov" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS nxt
+            FROM events),
+          p AS (SELECT event_type AS from_type, nxt AS to_type,
+            CAST(count(*) AS BIGINT) AS n
+            FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tt
+            FROM p GROUP BY 1)
+          SELECT p.from_type, p.to_type, p.n,
+            ${duckPpm("p.n", "t.tt")} AS p_ppm
+          FROM p JOIN t USING (from_type)
+          ORDER BY from_type, to_type""",
+
+    "q_kaplan_meier" ->
+      s"""WITH pu AS (SELECT user_id,
+            min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+            FROM events GROUP BY 1),
+          mxd AS (SELECT max(l) AS mx FROM pu),
+          bt AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN l = mxd.mx THEN 0 ELSE 1 END) AS BIGINT)
+              AS d
+            FROM pu CROSS JOIN mxd GROUP BY 1),
+          tt AS (SELECT CAST(sum(na) AS BIGINT) AS n FROM bt),
+          rk AS (SELECT t, d, tt.n - CAST(coalesce(sum(na) OVER
+              (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) AS nr
+            FROM bt CROSS JOIN tt),
+          de AS (SELECT t, nr, d FROM rk WHERE d > 0),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT nr AS x FROM de WHERE d < nr
+            UNION SELECT nr - d FROM de WHERE d < nr)),
+          $duckLog2Chain,
+          ls AS (SELECT de.t, de.nr, de.d,
+            CASE WHEN de.d = de.nr THEN 0 ELSE l1.lq - l2.lq END AS loss
+            FROM de LEFT JOIN lgt l1 ON l1.x = de.nr
+            LEFT JOIN lgt l2 ON l2.x = de.nr - de.d),
+          cmv AS (SELECT t, nr, d,
+            CAST(sum(loss) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            max(CASE WHEN d = nr THEN 1 ELSE 0 END) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+            FROM ls),
+          exkm AS (SELECT DISTINCT cum AS x FROM cmv WHERE z = 0),
+          ${duckExp2Chain("km")}
+          SELECT cmv.t AS t_days, cmv.nr AS n_at_risk,
+            cmv.d AS n_events,
+            CASE WHEN cmv.z = 1 THEN 0
+              ELSE ${duckPpm("CAST(1048576 AS BIGINT)", "e.v")}
+            END AS surv_ppm
+          FROM cmv LEFT JOIN e2tkm e ON e.x = cmv.cum
+          ORDER BY t_days""",
 
     "q_resample" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,

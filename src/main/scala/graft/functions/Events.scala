@@ -133,4 +133,83 @@ object Events {
       .select(col(keyCol), col(stateCol), col("valid_from_us"),
         col("valid_to_us"), col("is_current"))
   }
+
+  /** First-order Markov transition table over each user's event-type
+    * sequence — the behavioral-model card (what follows what): counts
+    * of adjacent (from, to) type pairs in timestamp order (event-id
+    * tie-break) and the row-normalized transition probability in exact
+    * ppm. Per-user lag windows ride the sessionize contract (partition
+    * by user, per-user event counts as the bound); the transition
+    * table itself is types²-sized. Output:
+    * (from_type, to_type, n, p_ppm).
+    */
+  def markovTransitions(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(us(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__t"))
+    pairs.join(broadcast(fromTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        Stats.fixedPointExact(col("n"), col("__t")).as("p_ppm"))
+  }
+
+  /** Kaplan-Meier survival over user lifetimes with RIGHT-CENSORING —
+    * the principled form of "how long do users stay": lifetime = days
+    * between a user's first and last event; users still active on the
+    * corpus's last observed day are censored (their lifetime is a
+    * lower bound, so they leave the risk set without counting as a
+    * death — the correction naive retention curves get wrong).
+    * S(t) = prod_{death times t_i <= t} (1 - d_i / n_i), computed in
+    * the engine's log domain: per-step loss log2q(n) - log2q(n-d)
+    * summed over the bounded lifetime-day domain, exponentiated once
+    * through the fixed-point exp2 ladder — both FixLog chains replay
+    * bit-for-bit in the oracle. A step where every at-risk user dies
+    * pins S to exactly 0 from there on. Output, one row per DEATH
+    * time: (t_days, n_at_risk, n_events, surv_ppm).
+    *
+    * Scale: one per-user min/max aggregate, day-domain-sized tables,
+    * cumulative windows over the bounded day domain only.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import graft.plans.FixLog
+    val perUser = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .groupBy(col("__u"))
+      .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+    val mx = broadcast(perUser.agg(max(col("__l")).as("__mx")))
+    val byT = perUser.crossJoin(mx)
+      .select(datediff(col("__l"), col("__f")).cast("long").as("t_days"),
+        when(col("__l") === col("__mx"), 0L).otherwise(1L).as("__dead"))
+      .groupBy(col("t_days"))
+      .agg(count(lit(1)).as("__all"), sum(col("__dead")).as("__d"))
+    val tot = broadcast(byT.agg(sum(col("__all")).as("__n")))
+    val wBefore = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(tot)
+      .withColumn("__before",
+        coalesce(sum(col("__all")).over(wBefore), lit(0L)))
+      .withColumn("n_at_risk", col("__n") - col("__before"))
+      .filter(col("__d") > 0)
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk
+      .withColumn("__loss",
+        when(col("__d") === col("n_at_risk"), lit(0L))
+          .otherwise(FixLog.log2qCol(col("n_at_risk")) -
+            FixLog.log2qCol(col("n_at_risk") - col("__d"))))
+      .withColumn("__zero", max(when(col("__d") === col("n_at_risk"), 1L)
+        .otherwise(0L)).over(wCum))
+      .withColumn("__cum", sum(col("__loss")).over(wCum))
+      .select(col("t_days"), col("n_at_risk"), col("__d").as("n_events"),
+        when(col("__zero") === 1L, 0L)
+          .otherwise(Stats.fixedPointExact(lit(1048576L),
+            FixLog.exp2qCol(col("__cum")))).as("surv_ppm"))
+  }
 }

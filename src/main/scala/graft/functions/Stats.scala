@@ -456,6 +456,54 @@ object Stats {
           .as("slope_ppm"))
   }
 
+  /** 2x2 proportion test — the A/B readout: conversion counts per
+    * variant and the chi-square statistic in its exact 2x2 closed form
+    * chi2 = N·(ad - bc)² / ((a+b)(c+d)(a+c)(b+d)) (= z² of the
+    * two-proportion z-test), one exact rational rendered in ppm.
+    * Rows outside both variants are ignored; a degenerate margin
+    * (either variant empty, or outcomes all-true/all-false) renders
+    * NULL. One row: (n_a, n_b, conv_a, conv_b, rate_a_ppm,
+    * rate_b_ppm, chi2_ppm).
+    *
+    * Scale: one partial-aggregable pass; decimal(38,0) clears the
+    * four-margin product.
+    */
+  def abTest(df: DataFrame, aPred: Column, bPred: Column,
+      converted: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df
+      .select(when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"),
+        when(converted, 1L).otherwise(0L).as("__c"))
+      .filter(col("__ia") === 1L || col("__ib") === 1L)
+      .agg(sum(col("__ia")).as("n_a"), sum(col("__ib")).as("n_b"),
+        sum(col("__ia") * col("__c")).as("conv_a"),
+        sum(col("__ib") * col("__c")).as("conv_b"))
+    // a = conv_a, b = n_a - conv_a, c = conv_b, d = n_b - conv_b
+    sums.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        when(col("n_a") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("conv_a"), col("n_a")))
+          .as("rate_a_ppm"),
+        when(col("n_b") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("conv_b"), col("n_b")))
+          .as("rate_b_ppm"),
+        expr(s"""CAST((CAST(n_a AS $dec) + n_b) *
+          (CAST(conv_a AS $dec) * (n_b - conv_b) -
+           CAST(conv_b AS $dec) * (n_a - conv_a)) *
+          (CAST(conv_a AS $dec) * (n_b - conv_b) -
+           CAST(conv_b AS $dec) * (n_a - conv_a)) AS $dec)""")
+          .as("__num"),
+        expr(s"""CAST(CAST(n_a AS $dec) * n_b *
+          (CAST(conv_a AS $dec) + conv_b) *
+          (CAST(n_a AS $dec) - conv_a + n_b - conv_b) AS $dec)""")
+          .as("__den"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("rate_a_ppm"), col("rate_b_ppm"),
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__num"), col("__den")))
+          .as("chi2_ppm"))
+  }
+
   /** Cumulative Poisson(1) inverse-CDF cutoffs in ppm — the weight
     * ladder of the POISSON BOOTSTRAP (each resample gives every row an
     * independent Poisson(1) multiplicity; Chamandy et al., the

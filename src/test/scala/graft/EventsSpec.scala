@@ -101,4 +101,58 @@ class EventsSpec extends AnyFunSuite {
       (1L, "a", u("2024-01-01 03:00:00"), None, true),
       (2L, "x", u("2024-01-01 00:00:00"), None, true)))
   }
+
+  test("markovTransitions: per-user adjacency, exact row-normalized p") {
+    val ev = Seq(
+      (1L, 1L, "a", "2024-01-01 00:00:00"),
+      (1L, 2L, "b", "2024-01-01 00:01:00"),
+      (1L, 3L, "a", "2024-01-01 00:02:00"),
+      (2L, 4L, "a", "2024-01-01 00:00:00"),
+      (2L, 5L, "b", "2024-01-01 00:01:00"),
+      (3L, 6L, "a", "2024-01-01 00:00:00"),
+      (3L, 7L, "a", "2024-01-01 00:01:00"))
+      .map { case (u, id, t, w) => (u, id, t, ts(w)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Events.markovTransitions(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from a: (a->b) x2, (a->a) x1; from b: (b->a) x1
+    assert(got(("a", "b")) == ((2L, 666667L)))
+    assert(got(("a", "a")) == ((1L, 333333L)))
+    assert(got(("b", "a")) == ((1L, 1000000L)))
+    // no cross-user pair: (b from u2) never chains into u3's events
+    assert(got.size == 3)
+  }
+
+  test("kaplanMeier: censoring shrinks the risk set without deaths; " +
+      "total extinction pins survival to zero") {
+    def ev(rows: (Long, String)*) =
+      rows.map { case (u, day) => (u, "e", ts(s"$day 12:00:00")) }
+        .toDF("user_id", "event_type", "ts")
+    // u1 dies at T=0; u2,u3 die at T=2; u4 (T=8), u5 (T=9) end on the
+    // last observed day -> censored. S(0) = 4/5, S(2) = 4/5 * 2/4.
+    val e = ev((1L, "2024-01-01"),
+      (2L, "2024-01-01"), (2L, "2024-01-03"),
+      (3L, "2024-01-01"), (3L, "2024-01-03"),
+      (4L, "2024-01-02"), (4L, "2024-01-10"),
+      (5L, "2024-01-01"), (5L, "2024-01-10"))
+    val got = Events.kaplanMeier(e, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(0L, 2L))   // death times only
+    assert(got(0L)._1 == 5L && got(0L)._2 == 1L)
+    assert(got(2L)._1 == 4L && got(2L)._2 == 2L)
+    // q16 log/exp chain lands within ~100 ppm of the exact rational
+    assert(math.abs(got(0L)._3 - 800000L) <= 100L, got(0L))
+    assert(math.abs(got(2L)._3 - 400000L) <= 100L, got(2L))
+    // all at-risk users dying at one step -> exact 0 from there on
+    val ext = ev((1L, "2024-01-01"), (1L, "2024-01-02"),
+      (2L, "2024-01-01"), (2L, "2024-01-02"),
+      (3L, "2024-01-03"))
+    val z = Events.kaplanMeier(ext, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(z == Map(1L -> ((2L, 2L, 0L))))
+  }
 }

@@ -196,6 +196,29 @@ class StatsSpec extends AnyFunSuite {
       == -1000000L)
   }
 
+  test("abTest: hand-computed 2x2 chi-square and degenerate NULLs") {
+    // a: 10 users 5 conv; b: 10 users 2 conv
+    // chi2 = 20*(5*8 - 2*5)^2 / (10*10*7*13) = 18000/9100 = 1.978022
+    val df = ((1 to 10).map(i => ("a", i <= 5)) ++
+      (1 to 10).map(i => ("b", i <= 2)))
+      .toDF("variant", "conv")
+    val r = Stats.abTest(df, col("variant") === "a",
+      col("variant") === "b", col("conv")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((10L, 10L, 5L, 2L)))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 200000L)
+    assert(r.getLong(6) == 1978022L)
+    // identical rates -> chi2 exactly 0
+    val same = ((1 to 4).map(i => ("a", i <= 2)) ++
+      (1 to 4).map(i => ("b", i <= 2))).toDF("variant", "conv")
+    assert(Stats.abTest(same, col("variant") === "a",
+      col("variant") === "b", col("conv")).collect()(0).getLong(6) == 0L)
+    // nobody converts: degenerate margin -> NULL, not a division error
+    val none = Seq(("a", false), ("b", false)).toDF("variant", "conv")
+    assert(Stats.abTest(none, col("variant") === "a",
+      col("variant") === "b", col("conv")).collect()(0).isNullAt(6))
+  }
+
   test("poissonBootstrapCi: ladder sums to ~1, interval brackets the " +
       "point estimate, deterministic across partitionings") {
     // the cumulative ladder is a proper quantized CDF
