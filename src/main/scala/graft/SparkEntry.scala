@@ -1032,6 +1032,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Boilerplate screen per source: the share of docs opening with
+    // the source's modal 8-token prefix — crawl sources with shared
+    // header/navigation templates score high and earn a
+    // prefix-stripping pass before training.
+    "q_boilerplate" -> { (s, d) =>
+      graft.functions.Quality.boilerplateShare(
+          Tables.documents(s, d), "source", "text", n = 8)
+        .orderBy(col("source"))
+    },
+
     // k-anonymity / l-diversity audit of the event log: (event_type,
     // day) quasi-identifier groups with under 5 records are linkable;
     // groups whose records span under 3 distinct users leak the user
@@ -1578,6 +1588,17 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 2), "doc_id")
         .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // MinHash calibration: per LSH candidate pair, the k=8 sketch's
+    // Jaccard estimate vs the exact shingle-set Jaccard with signed
+    // error — the estimator-quality card that justifies the sketch
+    // before a corpus-scale dedup trusts it (same memoized chain).
+    "q_minhash_calib" -> { (s, d) =>
+      Dedup.minhashCalibration(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, numHashes = SparkEntry.numMinhashes,
+          rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Near-dup clustering: connected components over the MinHash-LSH
@@ -4153,6 +4174,22 @@ object SparkEntry {
           FROM t2 ORDER BY doc_id"""
     },
 
+    "q_boilerplate" ->
+      s"""WITH p AS (SELECT source,
+            ${duckPolyId(s"""array_to_string((${duckToks("text")})[1:8], ' ')""")}
+              AS ph
+            FROM documents),
+          c AS (SELECT source, ph, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2),
+          t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+            FROM c GROUP BY 1),
+          r AS (SELECT source, ph, n, row_number() OVER
+            (PARTITION BY source ORDER BY n DESC, ph ASC) AS rn FROM c)
+          SELECT t.source, t.n_docs, r.ph AS top_prefix_hash,
+            r.n AS n_top, ${duckPpm("r.n", "t.n_docs")} AS share_ppm
+          FROM t JOIN r ON r.source = t.source AND r.rn = 1
+          ORDER BY t.source""",
+
     "q_k_anon" ->
       s"""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            CAST(count(*) AS BIGINT) AS n,
@@ -5055,6 +5092,39 @@ object SparkEntry {
       s"""WITH $duckLshPairsCte
           SELECT id_a AS doc_a, id_b AS doc_b FROM lsh_pairs
           ORDER BY doc_a, doc_b""",
+
+    "q_minhash_calib" ->
+      s"""WITH $duckLshPairsCte,
+          est AS (SELECT p.id_a, p.id_b,
+            CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+              AS k_match
+            FROM lsh_pairs p
+            JOIN sig a ON a.doc_id = p.id_a
+            JOIN sig b ON b.doc_id = p.id_b AND b.j = a.j
+            GROUP BY 1, 2),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS z FROM ids
+            GROUP BY 1),
+          iv AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS ni
+            FROM lsh_pairs p
+            JOIN ids a ON a.doc_id = p.id_a
+            JOIN ids b ON b.doc_id = p.id_b AND b.tid = a.tid
+            GROUP BY 1, 2),
+          f AS (SELECT e.id_a, e.id_b, e.k_match,
+            coalesce(iv.ni, 0) AS n_inter,
+            za.z + zb.z - coalesce(iv.ni, 0) AS n_union
+            FROM est e LEFT JOIN iv USING (id_a, id_b)
+            JOIN sz za ON za.doc_id = e.id_a
+            JOIN sz zb ON zb.doc_id = e.id_b),
+          g AS (SELECT id_a, id_b, k_match,
+            CAST(n_inter AS BIGINT) AS n_inter,
+            CAST(n_union AS BIGINT) AS n_union,
+            ${duckPpm("k_match", numMinhashes.toString)} AS est_ppm,
+            CASE WHEN n_union = 0 THEN NULL
+              ELSE ${duckPpm("n_inter", "n_union")} END AS exact_ppm
+            FROM f)
+          SELECT id_a, id_b, k_match, n_inter, n_union, est_ppm,
+            exact_ppm, CAST(est_ppm - exact_ppm AS BIGINT) AS err_ppm
+          FROM g ORDER BY id_a, id_b""",
 
     "q_neardup_cluster" ->
       s"""WITH RECURSIVE $duckLshPairsCte,

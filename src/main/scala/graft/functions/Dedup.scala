@@ -247,6 +247,59 @@ object Dedup {
       .agg(min(col("h")).as("mh"))
   }
 
+  /** MinHash CALIBRATION card — per LSH candidate pair, the sketch's
+    * Jaccard estimate (matching signature components / k) against the
+    * EXACT shingle-set Jaccard, with the signed error: the
+    * estimator-quality readout that justifies (or indicts) the
+    * configured k before a corpus-wide dedup run trusts it. Rides the
+    * same memoized shingle → signature → band chain as the dedup
+    * entries, so the catalog pays no extra corpus pass; the exact side
+    * touches only candidate pairs (LSH-bounded), never all pairs.
+    * Output: (id_a, id_b, k_match, n_inter, n_union, est_ppm,
+    * exact_ppm, err_ppm).
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sh = docShingleIds(docs, idCol, textCol, shingleN)
+    val sig = minhashSignature(sh, idCol, col("tid"), numHashes)
+    val pairs = lshCandidatePairs(lshBands(sig, idCol, rowsPerBand), idCol)
+    val sa = sig.select(col(idCol).as("id_a"), col("j"),
+      col("mh").as("__ma"))
+    val sb = sig.select(col(idCol).as("id_b"), col("j"),
+      col("mh").as("__mb"))
+    val est = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b", "j"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("__ma") === col("__mb"), 1L).otherwise(0L))
+        .as("k_match"))
+    // SET semantics for the exact side: the shingle generator emits
+    // per-occurrence rows (min over a multiset = min over its set, so
+    // the signature path never needs the distinct — Jaccard does)
+    val ds = sh.select(col(idCol), col("tid")).distinct()
+    val sizes = ds.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val ia = ds.select(col(idCol).as("id_a"), col("tid"))
+    val ib = ds.select(col(idCol).as("id_b"), col("tid"))
+    val inter = pairs.join(ia, Seq("id_a")).join(ib, Seq("id_b", "tid"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__za")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__zb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("k_match"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("__za") + col("__zb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"),
+        Stats.fixedPointExact(col("k_match"), lit(numHashes.toLong))
+          .as("est_ppm"))
+      .withColumn("exact_ppm",
+        when(col("n_union") === 0L, lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(col("n_inter"),
+            col("n_union"))))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+  }
+
   /** Production MinHash: token ids from xxhash64 (no dictionary). The
     * shingle rows are NOT deduplicated — min over a multiset equals min
     * over its set, so a pre-distinct would shuffle the job's largest

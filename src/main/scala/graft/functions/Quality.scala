@@ -245,6 +245,45 @@ object Quality {
           .as("mean_quality"))
   }
 
+  /** Template/boilerplate detection per source — the share of a
+    * source's documents opening with the source's single most common
+    * `n`-token prefix (polyHash'd): crawl sources whose docs share a
+    * boilerplate header/navigation block score high and get a
+    * prefix-stripping pass before training (the C4/CCNet boilerplate
+    * concern at the document level, complementing line-level dedup's
+    * within-doc view). Modal-prefix ties break by hash — deterministic.
+    * Output: (groupCol, n_docs, top_prefix_hash, n_top, share_ppm).
+    *
+    * Scale: one scan-stage prefix hash, two partial-aggregable
+    * groupBys, a group-keyed top-1 window over the group×prefix-type
+    * table.
+    */
+  def boilerplateShare(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val prefix = concat_ws(" ",
+      slice(Text.tokens(col(textCol)), 1, n))
+    val cnt = docs
+      .select(col(groupCol).as("__g"),
+        graft.plans.TextExpressions.polyHash(prefix).as("__p"))
+      .groupBy(col("__g"), col("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = cnt.groupBy(col("__g")).agg(sum(col("__n")).as("n_docs"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__n").desc, col("__p").asc)
+    val top = cnt.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__g"), col("__p").as("top_prefix_hash"),
+        col("__n").as("n_top"))
+    tot.join(top, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_docs"),
+        col("top_prefix_hash"), col("n_top"),
+        Stats.fixedPointExact(col("n_top"), col("n_docs"))
+          .as("share_ppm"))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier groups —
     * the privacy screen a corpus gets before release (Sweeney 2002;
     * Machanavajjhala et al. 2007): every combination of the

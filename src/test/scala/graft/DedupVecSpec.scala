@@ -509,6 +509,30 @@ class DedupVecSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashCalibration: identical docs estimate exactly 1, " +
+      "overlap pairs carry exact set Jaccard and signed error") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg hh"),           // identical to 1
+      (3L, "aa bb cc dd ee ff gg zz"))           // one tail token off
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // identical docs: all 8 components match, exact Jaccard 1, err 0
+    val (km, ni, nu, est, exact, err) = got((1L, 2L))
+    assert(km == 8L && est == 1000000L)
+    assert(ni == nu && exact == 1000000L && err == 0L)
+    // 6 shingles each, 5 shared (only the last window differs):
+    // exact = 5/7 = 714286; the estimate is k_match/8 with the error
+    // recorded, not hidden
+    val (_, ni2, nu2, est2, exact2, err2) = got((1L, 3L))
+    assert(ni2 == 5L && nu2 == 7L && exact2 == 714286L)
+    assert(err2 == est2 - exact2)
+  }
+
   test("mmdLinear: squared mean distance, zero for identical groups") {
     val emb = Seq(
       (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)),   // mean (1,0)
