@@ -2593,6 +2593,18 @@ object SparkEntry {
         "ntok", "doc_id", reps = 64, loRank = 2, hiRank = 63)
     },
 
+    // Wasserstein-1 (earth mover's) distance between en and fr doc
+    // token-count distributions — the transport-cost drift metric that
+    // prices broad small shifts KS under-reports; exact integer sums
+    // over the bounded distinct-length domain.
+    "q_wasserstein" -> { (s, d) =>
+      graft.functions.Stats.wasserstein1(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", col("lang") === "en", col("lang") === "fr")
+    },
+
     // Welch's t² (unequal-variance mean test, sqrt-free) between en
     // and fr per-doc token counts — "are the groups' means genuinely
     // apart relative to their spreads": one exact rational over
@@ -6586,6 +6598,34 @@ object SparkEntry {
           FROM p
           CROSS JOIN (SELECT m FROM r WHERE rk = 2) lo
           CROSS JOIN (SELECT m FROM r WHERE rk = 63) hi""",
+
+    "q_wasserstein" ->
+      s"""WITH t AS (SELECT lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS v FROM documents
+            WHERE lang IN ('en', 'fr')),
+          c AS (SELECT v,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+            FROM t GROUP BY 1),
+          cm AS (SELECT v,
+            sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cca,
+            sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS ccb,
+            lead(v) OVER (ORDER BY v) AS nv
+            FROM c),
+          tt AS (SELECT CAST(max(cca) AS BIGINT) AS n_a,
+            CAST(max(ccb) AS BIGINT) AS n_b FROM cm),
+          nm AS (SELECT CAST(coalesce(sum(CAST(nv - v AS HUGEINT) *
+            abs(cca * tt.n_b - ccb * tt.n_a)), 0) AS HUGEINT) AS num
+            FROM cm CROSS JOIN tt WHERE nv IS NOT NULL)
+          SELECT tt.n_a, tt.n_b, CAST(nm.num AS BIGINT) AS w1_num,
+            CASE WHEN tt.n_a = 0 OR tt.n_b = 0 THEN NULL
+              ELSE ${duckPpm("nm.num", "CAST(tt.n_a AS HUGEINT) * tt.n_b")}
+            END AS w1_ppm
+          FROM tt CROSS JOIN nm""",
 
     "q_welch_t2" ->
       s"""WITH t AS (SELECT lang,

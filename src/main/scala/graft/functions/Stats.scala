@@ -147,6 +147,60 @@ object Stats {
           .as("d_ppm"))
   }
 
+  /** 1-D Wasserstein-1 (earth mover's) distance between the
+    * `valueCol` distributions of two row sets — the transport-cost
+    * drift metric beside [[ksTest]]'s sup-norm: where KS sees only the
+    * worst single gap, W1 integrates |F_a - F_b| over the value axis,
+    * so a broad small shift (which KS under-reports) and a narrow
+    * large one are priced by the mass actually moved:
+    *
+    *   W1 = sum over consecutive distinct values (v' - v) ·
+    *        |C_a(v)·n_b - C_b(v)·n_a| / (n_a·n_b)
+    *
+    * — exact integer arithmetic on the same distinct-value cumulative
+    * machinery as KS (bounded discrete domains; bucketize continuous
+    * values first, the ksTestBinned convention). One row:
+    * (n_a, n_b, w1_num, w1_ppm) with w1_ppm the exact ppm rendering
+    * of W1 (in VALUE units — micro-units of the metric's scale).
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"),
+        when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"))
+      .filter(col("__ia") === 1L || col("__ib") === 1L)
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("__v"))
+    val cum = counts
+      .withColumn("__Ca", sum(col("__ca")).over(w))
+      .withColumn("__Cb", sum(col("__cb")).over(w))
+      .withColumn("__nv", lead(col("__v"), 1).over(wNext))
+    val tot = cum.agg(max(col("__Ca")).as("n_a"),
+      max(col("__Cb")).as("n_b"))
+    // un-keyed 1-row aggregate so a single-value (or empty) domain
+    // still yields its zero-transport row instead of vanishing
+    val num = cum.filter(col("__nv").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(((col("__nv") - col("__v")).cast("decimal(19,0)") *
+        abs(col("__Ca") * col("n_b") - col("__Cb") * col("n_a")))
+        .cast(dec).as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast(dec)).cast(dec)
+        .as("__num"))
+    broadcast(tot).crossJoin(num)
+      .select(col("n_a"), col("n_b"), col("__num").cast("long").as("w1_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L
+            || col("n_a").isNull || col("n_b").isNull,
+          lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__num"),
+            (col("n_a").cast("decimal(19,0)") * col("n_b"))
+              .cast(dec))).as("w1_ppm"))
+  }
+
   /** Chi-square test of independence between token and class over a
     * corpus (the frequentist companion of
     * [[NaiveBayes.tokenClassMi]]): cell contributions

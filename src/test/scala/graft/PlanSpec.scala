@@ -578,7 +578,14 @@ class PlanSpec extends AnyFunSuite {
   test("new round-8 entries: equi-joins only, no cartesian, salted " +
       "join spreads the key without changing the join kind") {
     for (q <- Seq("q_kappa", "q_clustering_coef", "q_unigram_js",
-        "q_autocorr", "q_salted_join")) {
+        "q_autocorr", "q_salted_join",
+        // the round-8 continuation batch: bounded 1-row/group-pair
+        // crosses are fine (broadcast), a CartesianProduct never is
+        "q_err", "q_kendall", "q_jm_bigram", "q_cusum", "q_silhouette",
+        "q_cluster_purity", "q_mmd", "q_knn_classify", "q_k_anon",
+        "q_welch_t2", "q_benford", "q_bootstrap_ci", "q_selective_risk",
+        "q_kaplan_meier", "q_ab_test", "q_markov", "q_boilerplate",
+        "q_minhash_calib", "q_wasserstein")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }

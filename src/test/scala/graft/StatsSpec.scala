@@ -196,6 +196,28 @@ class StatsSpec extends AnyFunSuite {
       == -1000000L)
   }
 
+  test("wasserstein1: transport cost prices shifts KS flattens") {
+    // a = {0, 10}, b = {1, 11}: F differs by 1/2 on [0,1) and [10,11)
+    // -> W1 = 1; KS would report the same 1/2 as for a tiny shift
+    val df = Seq((0L, "a"), (10L, "a"), (1L, "b"), (11L, "b"))
+      .toDF("v", "side")
+    val r = Stats.wasserstein1(df, "v", col("side") === "a",
+      col("side") === "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    // num = sum dv*|Ca*nb - Cb*na| = 1*2 + 9*0 + 1*2 = 4; den = 4
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1000000L)
+    // identical samples: exactly zero transport
+    val same = Seq((3L, "a"), (7L, "a"), (3L, "b"), (7L, "b"))
+      .toDF("v", "side")
+    assert(Stats.wasserstein1(same, "v", col("side") === "a",
+      col("side") === "b").collect()(0).getLong(3) == 0L)
+    // single-value domain: the zero-transport row still comes back
+    val one = Seq((5L, "a"), (5L, "b")).toDF("v", "side")
+    val o = Stats.wasserstein1(one, "v", col("side") === "a",
+      col("side") === "b").collect()(0)
+    assert(o.getLong(2) == 0L && o.getLong(3) == 0L)
+  }
+
   test("abTest: hand-computed 2x2 chi-square and degenerate NULLs") {
     // a: 10 users 5 conv; b: 10 users 2 conv
     // chi2 = 20*(5*8 - 2*5)^2 / (10*10*7*13) = 18000/9100 = 1.978022
