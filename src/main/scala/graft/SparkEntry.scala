@@ -2525,6 +2525,15 @@ object SparkEntry {
         "text", "lang")
     },
 
+    // Cramér's V between the corpus's two categorical axes (lang x
+    // source) — the [0,1]-normalized association strength q_chi2's raw
+    // statistic can't give (chi2 grows with n); category-domain-sized
+    // contingency, exact quantized-cell arithmetic end to end.
+    "q_cramers_v" -> { (s, d) =>
+      graft.functions.Stats.cramersV(Tables.documents(s, d),
+        "lang", "source")
+    },
+
     // Per-event-type OLS trend of value (cents) on the hour index —
     // closed-form normal equations, every product exact decimal; gated
     // on the exact integer ppm slope/intercept (the decimal numerators
@@ -2612,6 +2621,18 @@ object SparkEntry {
     // distribution-shape distance.
     "q_welch_t2" -> { (s, d) =>
       graft.functions.Stats.welchT2(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", col("lang") === "en", col("lang") === "fr")
+    },
+
+    // Mann-Whitney U rank test between the same two groups — the
+    // nonparametric companion of q_welch_t2: rank-based, so the
+    // location reading is immune to the token-count tail that drives
+    // the means; tie-corrected z² in exact ppm, sqrt-free.
+    "q_mann_whitney" -> { (s, d) =>
+      graft.functions.Stats.mannWhitneyU(
         Tables.documents(s, d)
           .select(col("lang"), Text.tokenCount(col("text")).cast("long")
             .as("ntok")),
@@ -2712,6 +2733,20 @@ object SparkEntry {
           graft.functions.NaiveBayes.classify(docs, docs, "doc_id",
             "text", "lang"),
           "doc_id", "pred_class", docs, "lang"))
+    },
+
+    // Matthews correlation of the NB classifier's en-vs-rest
+    // binarization — the imbalance-honest single number beside kappa
+    // and F1 (all four confusion cells must be good for MCC to be
+    // high); same memo-shared NB confusion chain, sqrt-free exact
+    // rendering (sign in mcc_num, magnitude as MCC² ppm).
+    "q_mcc" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Eval.mcc(
+        graft.functions.Eval.confusion(
+          graft.functions.NaiveBayes.classify(docs, docs, "doc_id",
+            "text", "lang"),
+          "doc_id", "pred_class", docs, "lang"), "en")
     },
 
     // Reliability (calibration) table: accuracy per 1-bit margin
@@ -6479,6 +6514,32 @@ object SparkEntry {
             round(CAST(s // nn AS DOUBLE) / 1000000.0, 6) AS chi2
           FROM agg""",
 
+    "q_cramers_v" ->
+      s"""WITH cells AS (SELECT lang AS x, source AS y,
+            CAST(count(*) AS BIGINT) AS n FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+          bx AS (SELECT x, sum(n) AS nx FROM cells GROUP BY 1),
+          my AS (SELECT y, sum(n) AS ny FROM cells GROUP BY 1),
+          tt AS (SELECT sum(n) AS nn FROM cells),
+          grid AS (SELECT bx.x, my.y, bx.nx, my.ny, tt.nn,
+            coalesce(cells.n, 0) AS n
+            FROM bx CROSS JOIN my CROSS JOIN tt
+            LEFT JOIN cells ON cells.x = bx.x AND cells.y = my.y),
+          cellv AS (SELECT nn,
+            (CAST(n * nn - nx * ny AS HUGEINT) *
+             CAST(n * nn - nx * ny AS HUGEINT) * 1000000)
+              // (CAST(nx AS HUGEINT) * ny) AS cell
+            FROM grid),
+          agg AS (SELECT nn, sum(cell) AS s FROM cellv GROUP BY 1),
+          chi AS (SELECT nn, CAST(s // nn AS BIGINT) AS chi2_q FROM agg),
+          kx AS (SELECT CAST(count(*) AS BIGINT) AS n_x FROM bx),
+          ky AS (SELECT CAST(count(*) AS BIGINT) AS n_y FROM my)
+          SELECT CAST(nn AS BIGINT) AS n, n_x, n_y, chi2_q,
+            CASE WHEN least(n_x, n_y) <= 1 THEN NULL
+              ELSE ${duckPpm("chi2_q", "nn * (least(n_x, n_y) - 1)")}
+            END AS v2_pptr
+          FROM chi CROSS JOIN kx CROSS JOIN ky""",
+
     "q_psi" ->
       s"""WITH c AS (SELECT source AS cat,
             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -6660,6 +6721,41 @@ object SparkEntry {
           SELECT na AS n_a, nb AS n_b, mean_a_ppm, mean_b_ppm,
             CASE WHEN na < 2 OR nb < 2 OR den <= 0 THEN NULL
               ELSE ${duckPpm("num", "den")} END AS t2_ppm
+          FROM f""",
+
+    "q_mann_whitney" ->
+      s"""WITH t AS (SELECT lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS v FROM documents
+            WHERE lang IN ('en', 'fr')),
+          c AS (SELECT v,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+            FROM t GROUP BY 1),
+          cm AS (SELECT v, ca, cb, ca + cb AS tv,
+            sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cc
+            FROM c),
+          s AS (SELECT
+            CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+            CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b,
+            CAST(coalesce(sum(CAST(ca AS HUGEINT) *
+              (2 * (cc - tv) + tv + 1)), 0) AS HUGEINT) AS r2a,
+            CAST(coalesce(sum(CAST(tv AS HUGEINT) * tv * tv - tv), 0)
+              AS HUGEINT) AS ties3
+            FROM cm),
+          f AS (SELECT n_a, n_b,
+            r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a,
+            r2a - CAST(n_a AS HUGEINT) * (n_a + 1) -
+              CAST(n_a AS HUGEINT) * n_b AS dev,
+            CAST(n_a + n_b AS HUGEINT) AS n, ties3 FROM s)
+          SELECT n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
+            CASE WHEN n_a = 0 OR n_b = 0
+                OR n * n * n - n - ties3 = 0 THEN NULL
+              ELSE ${duckPpm("3 * n * (n - 1) * dev * dev",
+                "CAST(n_a AS HUGEINT) * n_b * (n * n * n - n - ties3)")}
+            END AS z2_ppm
           FROM f""",
 
     "q_cusum" ->
@@ -6865,6 +6961,39 @@ object SparkEntry {
                 "tot.n * tot.n - pe.pe_num")}
             END AS kappa_ppm
           FROM tot CROSS JOIN pe""",
+
+    "q_mcc" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          cm AS (SELECT dd.lang AS tc, f.class AS pc,
+              CAST(count(*) AS BIGINT) AS n
+            FROM fin f JOIN documents dd USING (doc_id)
+            WHERE f.rn = 1 GROUP BY 1, 2),
+          cl AS (SELECT
+            CAST(coalesce(sum(CASE WHEN tc = 'en' AND pc = 'en'
+              THEN n END), 0) AS BIGINT) AS tp,
+            CAST(coalesce(sum(CASE WHEN tc <> 'en' AND pc = 'en'
+              THEN n END), 0) AS BIGINT) AS fp,
+            CAST(coalesce(sum(CASE WHEN tc = 'en' AND pc <> 'en'
+              THEN n END), 0) AS BIGINT) AS fn,
+            CAST(coalesce(sum(CASE WHEN tc <> 'en' AND pc <> 'en'
+              THEN n END), 0) AS BIGINT) AS tn
+            FROM cm),
+          d AS (SELECT tp, fp, fn, tn,
+            CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS num,
+            CAST(tp + fp AS HUGEINT) * (tp + fn) AS m1,
+            CAST(tn + fp AS HUGEINT) * (tn + fn) AS m2
+            FROM cl)
+          SELECT tp, fp, fn, tn, CAST(num AS BIGINT) AS mcc_num,
+            CASE WHEN m1 = 0 OR m2 = 0 THEN NULL
+              ELSE ${duckPpm("num * num", "m1 * m2")} END AS mcc2_ppm
+          FROM d""",
 
     "q_reliability" ->
       s"""WITH $duckNbChain,

@@ -684,4 +684,43 @@ object Eval {
           .otherwise(Stats.fixedPointExact(col("__num"), col("__den")))
           .as("kappa_ppm"))
   }
+
+  /** Matthews correlation coefficient of a one-vs-rest binarization of
+    * a multi-class confusion matrix — the single-number binary-quality
+    * summary that, unlike accuracy or F1, stays honest under class
+    * imbalance (it needs all four confusion cells to be good to be
+    * high). Sqrt-free exact rendering: the gated columns are the four
+    * cells, the covariance numerator mcc_num = tp·tn − fp·fn (its sign
+    * IS MCC's sign), and mcc2_ppm = ppm of
+    * MCC² = mcc_num² / ((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — NULL when any
+    * margin is empty (the textbook 0/0). One row.
+    */
+  def mcc(conf: DataFrame, posClass: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = conf.agg(
+      coalesce(sum(when(col("true_class") === posClass &&
+        col("pred_class") === posClass, col("n"))), lit(0L)).as("tp"),
+      coalesce(sum(when(col("true_class") =!= posClass &&
+        col("pred_class") === posClass, col("n"))), lit(0L)).as("fp"),
+      coalesce(sum(when(col("true_class") === posClass &&
+        col("pred_class") =!= posClass, col("n"))), lit(0L)).as("fn"),
+      coalesce(sum(when(col("true_class") =!= posClass &&
+        col("pred_class") =!= posClass, col("n"))), lit(0L)).as("tn"))
+    cells
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("decimal(19,0)") * col("tn") -
+          col("fp").cast("decimal(19,0)") * col("fn")).cast(dec)
+          .as("__num"),
+        ((col("tp") + col("fp")).cast("decimal(19,0)") *
+          (col("tp") + col("fn"))).cast(dec).as("__m1"),
+        ((col("tn") + col("fp")).cast("decimal(19,0)") *
+          (col("tn") + col("fn"))).cast(dec).as("__m2"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        col("__num").cast("long").as("mcc_num"),
+        when(col("__m1") === 0 || col("__m2") === 0,
+          lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(
+            (col("__num") * col("__num")).cast(dec),
+            (col("__m1") * col("__m2")).cast(dec))).as("mcc2_ppm"))
+  }
 }

@@ -201,6 +201,127 @@ object Stats {
               .cast(dec))).as("w1_ppm"))
   }
 
+  /** Mann-Whitney U rank test between the `valueCol` distributions of
+    * two row sets — the nonparametric location test beside
+    * [[welchT2]]'s mean test: ranks are immune to the heavy tails a
+    * token-count metric always has, so a shift in the BULK of the
+    * distribution registers even when a few giant documents dominate
+    * the means. Midranks handle ties; everything stays integer by
+    * working at twice the rank scale:
+    *
+    *   2·midrank(v) = 2·C_prev(v) + t_v + 1
+    *   u2_a = 2·U_a = Σ_v c_a(v)·2·midrank(v) − n_a·(n_a + 1)
+    *   z² = 3·n·(n−1)·(2·U_a − n_a·n_b)² /
+    *        (n_a·n_b·(n³ − n − Σ_v (t_v³ − t_v)))
+    *
+    * (the standard tie-corrected normal approximation, squared to stay
+    * sqrt-free — compare z2_ppm against 3.84·10^6 for the two-sided 5%
+    * level). Same distinct-value cumulative machinery as [[ksTest]]:
+    * the scan rides the bounded value domain, never rows. One row:
+    * (n_a, n_b, u2_a, z2_ppm); z2_ppm is NULL when either side is
+    * empty or every value is tied (zero variance).
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"),
+        when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"))
+      .filter(col("__ia") === 1L || col("__ib") === 1L)
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__C", sum(col("__t")).over(w))
+    val agg = cum.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+      // Σ c_a·(2·C_prev + t + 1) with C_prev = C − t
+      coalesce(sum((col("__ca").cast("decimal(19,0)") *
+        (lit(2L) * (col("__C") - col("__t")) + col("__t") + lit(1L))
+          .cast("decimal(19,0)")).cast(dec)), lit(0).cast(dec)).cast(dec)
+        .as("__r2a"),
+      coalesce(sum((col("__t").cast("decimal(19,0)") * col("__t") *
+        col("__t") - col("__t")).cast(dec)), lit(0).cast(dec)).cast(dec)
+        .as("__ties3"))
+    agg
+      .select(col("n_a"), col("n_b"),
+        (col("__r2a") - (col("n_a").cast("decimal(19,0)") *
+          (col("n_a") + lit(1L)).cast("decimal(19,0)")).cast(dec))
+          .cast(dec).as("__u2a"),
+        col("__ties3"),
+        (col("n_a") + col("n_b")).as("__n"))
+      .select(col("n_a"), col("n_b"), col("__u2a").cast("long").as("u2_a"),
+        ((col("__u2a") - (col("n_a").cast("decimal(19,0)") * col("n_b"))
+          .cast(dec)).cast(dec)).as("__dev"),
+        ((col("__n").cast("decimal(19,0)") * col("__n") * col("__n") -
+          col("__n")).cast(dec) - col("__ties3")).cast(dec).as("__vden"),
+        col("__n"))
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+        when(col("n_a") === 0L || col("n_b") === 0L ||
+            col("__vden") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(
+            (lit(3L).cast(dec) * col("__n") * (col("__n") - 1L) *
+              col("__dev") * col("__dev")).cast(dec),
+            (col("n_a").cast("decimal(19,0)") * col("n_b")).cast(dec) *
+              col("__vden"))).as("z2_ppm"))
+  }
+
+  /** Cramér's V association between two categorical columns — the
+    * [0, 1]-normalized strength reading the raw chi-square (which
+    * grows with n) can't give: V² = χ²/(n·(min(r,c) − 1)). The χ²
+    * follows [[chi2Independence]]'s exact quantized-cell discipline
+    * (cell contributions (n_xy·N − n_x·n_y)²·10^6 // (n_x·n_y), summed
+    * in decimal, divided by N once), then V² is the exact ppm
+    * rendering of chi2_q/(n·(k−1)) — a two-stage deterministic floor
+    * both engines replay bit for bit. Contingency is category-domain
+    * sized (model-sized); the scan is one partial-aggregable count
+    * pass. One row: (n, n_x, n_y, chi2_q, v2_pptr) — v2_pptr is V² in
+    * parts per TRILLION (ppm of a ppm-scaled χ²).
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__n"))
+    val byX = cells.groupBy(col("__x")).agg(sum(col("__n")).as("__nx"))
+    val byY = cells.groupBy(col("__y")).agg(sum(col("__n")).as("__ny"))
+    val total = cells.agg(sum(col("__n")).as("__nn"))
+    val grid = byX.crossJoin(byY)
+      .join(cells, Seq("__x", "__y"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("__nn"), col("__nx"), col("__ny"),
+        coalesce(col("__n"), lit(0L)).as("__c"))
+    val chi = grid
+      .select(col("__nn"),
+        ((col("__c").cast(dec) * col("__nn") -
+          col("__nx").cast(dec) * col("__ny")).cast(dec)).as("__diff"),
+        (col("__nx").cast(dec) * col("__ny")).cast(dec).as("__den"))
+      .select(col("__nn"),
+        ((col("__diff") * col("__diff")).cast(dec) *
+          lit(1000000L).cast(dec)).cast(dec).as("__num"), col("__den"))
+      .select(col("__nn"),
+        ((col("__num") - (col("__num") % col("__den"))) / col("__den"))
+          .cast(dec).as("__cell"))
+      .groupBy(col("__nn"))
+      .agg(sum(col("__cell")).cast(dec).as("__sum"))
+      .select(col("__nn"),
+        expr(s"CAST(__sum div CAST(__nn AS $dec) AS BIGINT)")
+          .as("chi2_q"))
+    chi
+      .crossJoin(broadcast(byX.agg(count(lit(1)).as("n_x"))))
+      .crossJoin(broadcast(byY.agg(count(lit(1)).as("n_y"))))
+      .select(col("__nn").as("n"), col("n_x"), col("n_y"), col("chi2_q"),
+        when(least(col("n_x"), col("n_y")) <= 1L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("chi2_q"),
+            col("__nn") * (least(col("n_x"), col("n_y")) - 1L)))
+          .as("v2_pptr"))
+  }
+
   /** Chi-square test of independence between token and class over a
     * corpus (the frequentist companion of
     * [[NaiveBayes.tokenClassMi]]): cell contributions

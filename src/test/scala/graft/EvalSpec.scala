@@ -425,4 +425,30 @@ class EvalSpec extends AnyFunSuite {
       ("b", "b", 1L)).toDF("true_class", "pred_class", "n")
     assert(Eval.cohenKappa(chance).collect()(0).getLong(3) == 0L)
   }
+
+  test("mcc: perfect, chance, hand-computed 1/3, empty-margin NULL") {
+    import spark.implicits._
+    // perfect: tp=2 tn=2 -> mcc_num = 4, MCC^2 = 1
+    val perfect = Seq(("a", "a", 2L), ("b", "b", 2L))
+      .toDF("true_class", "pred_class", "n")
+    val p = Eval.mcc(perfect, "a").collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+      == ((2L, 0L, 0L, 2L)))
+    assert(p.getLong(4) == 4L && p.getLong(5) == 1000000L)
+    // chance: uniform cells -> num = 0
+    val chance = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "b", 1L)).toDF("true_class", "pred_class", "n")
+    val c = Eval.mcc(chance, "a").collect()(0)
+    assert(c.getLong(4) == 0L && c.getLong(5) == 0L)
+    // hand case: tp=2 fp=1 fn=1 tn=2 -> MCC = 3/9 = 1/3,
+    // MCC^2 = 9/81 -> 111111 ppm
+    val mixed = Seq(("a", "a", 2L), ("b", "a", 1L), ("a", "b", 1L),
+      ("b", "b", 2L)).toDF("true_class", "pred_class", "n")
+    val m = Eval.mcc(mixed, "a").collect()(0)
+    assert(m.getLong(4) == 3L && m.getLong(5) == 111111L)
+    // degenerate: everything labeled/predicted positive -> a zero
+    // margin -> NULL (the textbook 0/0), not a crash
+    val allPos = Seq(("a", "a", 4L)).toDF("true_class", "pred_class", "n")
+    assert(Eval.mcc(allPos, "a").collect()(0).isNullAt(5))
+  }
 }

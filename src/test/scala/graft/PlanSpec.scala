@@ -585,7 +585,8 @@ class PlanSpec extends AnyFunSuite {
         "q_cluster_purity", "q_mmd", "q_knn_classify", "q_k_anon",
         "q_welch_t2", "q_benford", "q_bootstrap_ci", "q_selective_risk",
         "q_kaplan_meier", "q_ab_test", "q_markov", "q_boilerplate",
-        "q_minhash_calib", "q_wasserstein")) {
+        "q_minhash_calib", "q_wasserstein", "q_mann_whitney",
+        "q_cramers_v", "q_mcc")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }

@@ -218,6 +218,44 @@ class StatsSpec extends AnyFunSuite {
     assert(o.getLong(2) == 0L && o.getLong(3) == 0L)
   }
 
+  test("mannWhitneyU: separation, midrank ties, zero-variance NULL") {
+    // complete separation a = {1,2} below b = {3,4}: U_a = 0;
+    // z^2 = 3*4*3*(0-4)^2 / (4*(64-4)) = 576/240 = 2.4
+    val sep = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("v", "side")
+    val r = Stats.mannWhitneyU(sep, "v", col("side") === "a",
+      col("side") === "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 0L)))
+    assert(r.getLong(3) == 2400000L)
+    // ties take midranks: a = {1,1}, b = {1,2} -> midrank(1) = 2,
+    // R_a = 4, U_a = 1; T = 24, z^2 = 144/144 = 1
+    val tied = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"))
+      .toDF("v", "side")
+    val t = Stats.mannWhitneyU(tied, "v", col("side") === "a",
+      col("side") === "b").collect()(0)
+    assert(t.getLong(2) == 2L && t.getLong(3) == 1000000L)
+    // every value tied -> zero variance -> NULL, not a crash
+    val const = Seq((5L, "a"), (5L, "b")).toDF("v", "side")
+    assert(Stats.mannWhitneyU(const, "v", col("side") === "a",
+      col("side") === "b").collect()(0).isNullAt(3))
+  }
+
+  test("cramersV: perfect association, independence, 1-level NULL") {
+    // x = y always (2x2): chi2 = N -> V^2 exactly 1 (1e12 pptr)
+    val perfect = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val p = Stats.cramersV(perfect, "x", "y").collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((4L, 2L, 2L)))
+    assert(p.getLong(3) == 4000000L && p.getLong(4) == 1000000000000L)
+    // uniform 2x2 -> chi2 = 0 -> V^2 = 0
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    assert(Stats.cramersV(indep, "x", "y").collect()(0).getLong(4) == 0L)
+    // a single-level axis has no association to measure -> NULL
+    val flat = Seq(("a", "a"), ("a", "b")).toDF("x", "y")
+    assert(Stats.cramersV(flat, "x", "y").collect()(0).isNullAt(4))
+  }
+
   test("abTest: hand-computed 2x2 chi-square and degenerate NULLs") {
     // a: 10 users 5 conv; b: 10 users 2 conv
     // chi2 = 20*(5*8 - 2*5)^2 / (10*10*7*13) = 18000/9100 = 1.978022
