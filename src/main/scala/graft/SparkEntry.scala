@@ -222,6 +222,15 @@ object SparkEntry {
     * to BIGINT so no HUGEINT ever reaches a gated output — the
     * driver's comparator is only stable on BIGINT/VARCHAR/DOUBLE).
     */
+  /** DuckDB fragment: Layout.zValue's Morton interleave — one
+    * shift/mask term pair per dimension bit, identical arithmetic to
+    * the Spark expression chain.
+    */
+  private def duckZ(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   private def duckPpm(num: String, den: String,
       scale: Long = 1000000L): String =
     s"""(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) *
@@ -2612,6 +2621,70 @@ object SparkEntry {
           .select(col("lang"), Text.tokenCount(col("text")).cast("long")
             .as("ntok")),
         "ntok", col("lang") === "en", col("lang") === "fr")
+    },
+
+    // Decision stump by exact Gini impurity: the best single token-
+    // count threshold separating English docs from the rest — the
+    // split-finder inner loop of every distributed tree learner,
+    // candidate thresholds riding the bounded distinct-length domain.
+    "q_stump" -> { (s, d) =>
+      graft.functions.Classifier.giniStump(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", col("lang") === "en")
+    },
+
+    // Z-order (Morton) layout audit over lineitem's two join keys —
+    // the multi-dimensional clustering a range-partitioned write by
+    // z-value gives: every z-bucket (quadtree cell) has a narrow
+    // min/max envelope on BOTH dimensions, exactly the parquet stats
+    // a scan with a predicate on either key prunes against.
+    "q_zorder" -> { (s, d) =>
+      graft.functions.Layout.zorderAudit(
+          Tables.lineitem(s, d)
+            .select((col("l_partkey") % 1024L).as("px"),
+              (col("l_suppkey") % 1024L).as("sy")),
+          "px", "sy", bits = 10, bucketShift = 14)
+        .orderBy(col("bucket"))
+    },
+
+    // Small-file compaction plan: pack the corpus's (source, lang)
+    // partition byte sizes into 6 equal-share output bins, biggest
+    // first — the OPTIMIZE/coalesce planner's arithmetic as a gated
+    // table (per-bin file count and byte fill).
+    "q_compaction_plan" -> { (s, d) =>
+      graft.functions.Layout.compactionPlan(
+          Tables.documents(s, d)
+            .groupBy(concat(col("source"), lit("/"), col("lang"))
+              .as("part"))
+            .agg(sum(col("n_chars")).cast("long").as("bytes")),
+          "part", "bytes", bins = 6)
+        .orderBy(col("bin"))
+    },
+
+    // Quantile-based shape card per language: Bowley skewness + Moors
+    // kurtosis of the token-count distribution — the heavy-tail-proof
+    // alternative to moment skew/kurtosis (whose 3rd/4th-power sums
+    // overflow exact arithmetic and follow three giant docs).
+    "q_robust_shape" -> { (s, d) =>
+      graft.functions.Robust.shapeStats(
+          Tables.documents(s, d)
+            .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+              .as("ntok")),
+          "lang", "ntok")
+        .orderBy(col("lang"))
+    },
+
+    // Randomized-response (Warner) English-share estimation per source
+    // — the local-DP mechanism with the deterministic mixer as its
+    // replayable coin: reported tallies debiased back to honest
+    // estimates, gated next to the true counts they approximate.
+    "q_rand_response" -> { (s, d) =>
+      graft.functions.Quality.randomizedResponse(
+          Tables.documents(s, d), "source", "doc_id",
+          col("lang") === "en", denom = 3L)
+        .orderBy(col("source"))
     },
 
     // Welch's t² (unequal-variance mean test, sqrt-free) between en
@@ -6687,6 +6760,121 @@ object SparkEntry {
               ELSE ${duckPpm("nm.num", "CAST(tt.n_a AS HUGEINT) * tt.n_b")}
             END AS w1_ppm
           FROM tt CROSS JOIN nm""",
+
+    "q_stump" ->
+      s"""WITH t AS (SELECT CAST(len(${duckToks("text")}) AS BIGINT) AS v,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),
+          c AS (SELECT v, CAST(sum(p) AS BIGINT) AS pv,
+            CAST(sum(1 - p) AS BIGINT) AS qv FROM t GROUP BY 1),
+          cum AS (SELECT v,
+            sum(pv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS pl,
+            sum(qv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS ql
+            FROM c),
+          tot AS (SELECT CAST(coalesce(max(pl), 0) AS BIGINT) AS tp,
+            CAST(coalesce(max(ql), 0) AS BIGINT) AS tq FROM cum),
+          root AS (SELECT tp, tq, tp + tq AS n,
+            CASE WHEN tp + tq = 0 THEN NULL
+              ELSE ${duckPpm(
+                """CAST(tp + tq AS HUGEINT) * (tp + tq) -
+                   CAST(tp AS HUGEINT) * tp - CAST(tq AS HUGEINT) * tq""",
+                "CAST(tp + tq AS HUGEINT) * (tp + tq)")} END AS root_ppm
+            FROM tot),
+          cand AS (SELECT cum.v, root.root_ppm,
+              pl + ql AS nl, root.n - pl - ql AS nr,
+              (CAST(pl + ql AS HUGEINT) * (pl + ql) -
+               CAST(pl AS HUGEINT) * pl - CAST(ql AS HUGEINT) * ql) *
+                (root.n - pl - ql) +
+              (CAST(root.n - pl - ql AS HUGEINT) * (root.n - pl - ql) -
+               CAST(root.tp - pl AS HUGEINT) * (root.tp - pl) -
+               CAST(root.tq - ql AS HUGEINT) * (root.tq - ql)) *
+                (pl + ql) AS num,
+              CAST(root.n AS HUGEINT) * (pl + ql) * (root.n - pl - ql)
+                AS den
+            FROM cum CROSS JOIN root
+            WHERE pl + ql < root.n),
+          scored AS (SELECT v, nl, nr, ${duckPpm("num", "den")}
+              AS imp_ppm, root_ppm FROM cand),
+          best AS (SELECT CAST(v AS BIGINT) AS threshold,
+              CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+              imp_ppm, root_ppm
+            FROM scored ORDER BY imp_ppm, v LIMIT 1),
+          nosplit AS (SELECT CAST(NULL AS BIGINT) AS threshold,
+              CAST(n AS BIGINT) AS n_left, CAST(0 AS BIGINT) AS n_right,
+              CAST(NULL AS BIGINT) AS imp_ppm, root_ppm
+            FROM root WHERE (SELECT count(*) FROM cand) = 0)
+          SELECT * FROM best UNION ALL SELECT * FROM nosplit""",
+
+    "q_zorder" ->
+      s"""WITH t AS (SELECT CAST(l_partkey % 1024 AS BIGINT) AS px,
+            CAST(l_suppkey % 1024 AS BIGINT) AS sy FROM lineitem),
+          z AS (SELECT px, sy, (${duckZ("px", "sy", 10)}) >> 14 AS bucket
+            FROM t)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+            CAST(min(px) AS BIGINT) AS min_x, CAST(max(px) AS BIGINT)
+              AS max_x,
+            CAST(min(sy) AS BIGINT) AS min_y, CAST(max(sy) AS BIGINT)
+              AS max_y
+          FROM z GROUP BY 1 ORDER BY bucket""",
+
+    "q_compaction_plan" ->
+      s"""WITH f AS (SELECT source || '/' || lang AS k,
+            CAST(sum(n_chars) AS BIGINT) AS sz FROM documents GROUP BY 1),
+          tt AS (SELECT CAST(sum(sz) AS BIGINT) AS tot FROM f),
+          c AS (SELECT k, sz,
+            sum(sz) OVER (ORDER BY sz DESC, k ASC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cum
+            FROM f)
+          SELECT CASE WHEN tot <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(((cum - sz) * 6) // tot AS BIGINT) END AS bin,
+            CAST(count(*) AS BIGINT) AS n_files,
+            CAST(sum(sz) AS BIGINT) AS bytes
+          FROM c CROSS JOIN tt GROUP BY 1 ORDER BY bin""",
+
+    "q_robust_shape" ->
+      s"""WITH t AS (SELECT lang AS g,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS v FROM documents
+            WHERE lang IS NOT NULL),
+          r AS (SELECT g, v,
+            row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY g) AS n FROM t),
+          qs AS (SELECT CAST(unnest([1250, 2500, 3750, 5000, 6250, 7500,
+            8750]) AS BIGINT) AS q),
+          e AS (SELECT g, q, v FROM r CROSS JOIN qs
+            WHERE rn = greatest(1, (n * q + 9999) // 10000)),
+          p AS (SELECT g,
+            max(CASE WHEN q = 1250 THEN v END) AS e1,
+            max(CASE WHEN q = 2500 THEN v END) AS e2,
+            max(CASE WHEN q = 3750 THEN v END) AS e3,
+            max(CASE WHEN q = 5000 THEN v END) AS e4,
+            max(CASE WHEN q = 6250 THEN v END) AS e5,
+            max(CASE WHEN q = 7500 THEN v END) AS e6,
+            max(CASE WHEN q = 8750 THEN v END) AS e7
+            FROM e GROUP BY 1)
+          SELECT g AS lang,
+            CASE WHEN e6 = e2 THEN NULL
+              ELSE ${duckPpm("e6 + e2 - 2 * e4", "e6 - e2")}
+            END AS bowley_ppm,
+            CASE WHEN e6 = e2 THEN NULL
+              ELSE ${duckPpm("(e7 - e5) + (e3 - e1)", "e6 - e2")}
+            END AS moors_ppm
+          FROM p ORDER BY lang""",
+
+    "q_rand_response" ->
+      s"""WITH t AS (SELECT source,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b,
+            CASE WHEN ${duckMixOf("doc_id")} % 3 = 0 THEN 1 ELSE 0 END
+              AS f
+            FROM documents),
+          a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(b) AS BIGINT) AS true_cnt,
+            CAST(sum((b + f) % 2) AS BIGINT) AS reported_cnt
+            FROM t GROUP BY 1)
+          SELECT source, n, true_cnt, reported_cnt,
+            CAST((3 * reported_cnt - n) // 1 AS BIGINT) AS est_cnt,
+            CAST((3 * reported_cnt - n) // 1 - true_cnt AS BIGINT) AS err
+          FROM a ORDER BY source""",
 
     "q_welch_t2" ->
       s"""WITH t AS (SELECT lang,

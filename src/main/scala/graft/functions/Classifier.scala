@@ -174,4 +174,83 @@ object Classifier {
     // Empty on a zero-round-progress run — coalesce(w, 0) still scores.
     (wMap.toSeq.toDF("bkt", "w"), x)
   }
+
+  /** DECISION STUMP by exact Gini impurity — the one-split tree
+    * learner (and the inner loop of every distributed GBDT/random-
+    * forest split finder): scan the candidate thresholds t of an
+    * integer feature and pick the split `value <= t` minimizing the
+    * mass-weighted Gini of the two sides,
+    *
+    *   imp(t) = [(nL² − pL² − qL²)·nR + (nR² − pR² − qR²)·nL]
+    *            / (n·nL·nR)
+    *
+    * (p/q = positive/negative counts; nL·gini_L = (nL²−pL²−qL²)/nL) —
+    * one exact rational per threshold, ppm-rendered, argmin broken by
+    * the smaller threshold. Candidate thresholds ride the DISTINCT
+    * value domain with cumulative class counts (the ksTest cumulative
+    * machinery: bounded domains by construction, never rows); the max
+    * value is excluded (its right side is empty — not a split).
+    *
+    * One row: (threshold, n_left, n_right, imp_ppm, root_ppm) with
+    * root_ppm the unsplit Gini — gain = root − imp is the split's
+    * purchase. Empty input or a single distinct value yields the
+    * no-split row (NULL threshold, root only).
+    */
+  def giniStump(df: DataFrame, valueCol: String,
+      posPred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"),
+        when(posPred, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__p")).as("__pv"),
+        sum(lit(1L) - col("__p")).as("__qv"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__PL", sum(col("__pv")).over(w))
+      .withColumn("__QL", sum(col("__qv")).over(w))
+    val tot = cum.agg(coalesce(max(col("__PL")), lit(0L)).as("__P"),
+      coalesce(max(col("__QL")), lit(0L)).as("__Q"))
+    def sq(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(19,0)") * c).cast(dec)
+    val root = tot.select(col("__P"), col("__Q"),
+      (col("__P") + col("__Q")).as("__n"),
+      when(col("__P") + col("__Q") === 0L, lit(null).cast("long"))
+        .otherwise(Stats.fixedPointExact(
+          (sq(col("__P") + col("__Q")) - sq(col("__P")) - sq(col("__Q")))
+            .cast(dec),
+          sq(col("__P") + col("__Q")))).as("root_ppm"))
+    val cand = cum.crossJoin(broadcast(root))
+      .filter(col("__PL") + col("__QL") < col("__n")) // right side non-empty
+      .select(col("__v"), col("root_ppm"),
+        (col("__PL") + col("__QL")).as("__nl"),
+        (col("__n") - col("__PL") - col("__QL")).as("__nr"),
+        ((sq(col("__PL") + col("__QL")) - sq(col("__PL")) - sq(col("__QL")))
+          .cast(dec) * (col("__n") - col("__PL") - col("__QL")) +
+         (sq(col("__n") - col("__PL") - col("__QL")) -
+          sq(col("__P") - col("__PL")) - sq(col("__Q") - col("__QL")))
+          .cast(dec) * (col("__PL") + col("__QL"))).cast(dec).as("__num"),
+        (col("__n").cast("decimal(19,0)") *
+          (col("__PL") + col("__QL")).cast("decimal(19,0)") *
+          (col("__n") - col("__PL") - col("__QL")).cast("decimal(19,0)"))
+          .cast(dec).as("__den"))
+      .select(col("__v"), col("root_ppm"), col("__nl"), col("__nr"),
+        Stats.fixedPointExact(col("__num"), col("__den")).as("imp_ppm"))
+    val best = cand
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("imp_ppm").asc, col("__v").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__v").as("threshold"), col("__nl").as("n_left"),
+        col("__nr").as("n_right"), col("imp_ppm"), col("root_ppm"))
+    // no candidate split (empty or single-value input): the root row
+    val guard = cand.agg(count(lit(1)).as("__nc"))
+      .filter(col("__nc") === 0L)
+    val noSplit = root.crossJoin(broadcast(guard))
+      .select(lit(null).cast("long").as("threshold"),
+        col("__n").as("n_left"), lit(0L).as("n_right"),
+        lit(null).cast("long").as("imp_ppm"), col("root_ppm"))
+    best.unionByName(noSplit)
+  }
 }

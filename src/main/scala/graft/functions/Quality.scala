@@ -310,6 +310,47 @@ object Quality {
         (col("n") < k).as("k_risk"), (col("l") < l).as("l_risk")): _*)
   }
 
+  /** RANDOMIZED RESPONSE frequency estimation (Warner 1965 — the
+    * local-DP mechanism under RAPPOR): each record reports its binary
+    * attribute FLIPPED with probability 1/denom, and the aggregator
+    * debiases the per-group tally,
+    *
+    *   E[reported] = true·(1 − p) + (n − true)·p,  p = 1/denom
+    *   est = (denom·reported − n) / (denom − 2)
+    *
+    * — so no individual row's report reveals its attribute (plausible
+    * deniability at ε = ln(denom − 1)) while group counts stay
+    * consistent. Flips ride [[Sampling.hashOrder]]'s deterministic
+    * cross-engine mixer over the id (`mix(id) % denom == 0`), the
+    * catalog's replayable stand-in for the mechanism's coin — so the
+    * oracle replays the exact mechanism and the gate hashes real
+    * estimates next to the true counts they approximate. Exact
+    * integers end to end. Output per group: (group, n, true_cnt,
+    * reported_cnt, est_cnt, err) — est_cnt truncates toward zero on
+    * the debias division (`div` here = `//` in the oracle, both
+    * C-style). `denom` >= 3 (denom = 2 has zero signal).
+    *
+    * Scale shape: scan-stage hash + one partial-aggregable groupBy.
+    */
+  def randomizedResponse(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String,
+      attr: org.apache.spark.sql.Column,
+      denom: Long = 3L): org.apache.spark.sql.DataFrame = {
+    require(denom >= 3, s"denom must be >= 3, got $denom")
+    val flip = Sampling.hashOrder(col(idCol)) % denom === 0L
+    df.select(col(groupCol).as("__g"),
+        when(attr, 1L).otherwise(0L).as("__b"),
+        when(flip, 1L).otherwise(0L).as("__f"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__b")).as("true_cnt"),
+        sum((col("__b") + col("__f")) % 2L).as("reported_cnt"))
+      .select(col("__g").as(groupCol), col("n"), col("true_cnt"),
+        col("reported_cnt"),
+        GroupRank.intDiv(lit(denom) * col("reported_cnt") - col("n"),
+          lit(denom - 2L)).as("est_cnt"))
+      .withColumn("err", col("est_cnt") - col("true_cnt"))
+  }
+
   /** Flesch reading ease per document, from the three classic counts —
     * words (the whitespace tokenizer), sentences (runs of [.!?],
     * floored at 1), syllables (runs of [aeiouy] in the lowercased

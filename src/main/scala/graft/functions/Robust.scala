@@ -192,4 +192,43 @@ object Robust {
       .withColumn("is_outlier", col("__adev") > lit(k) * col("mad"))
       .drop("__adev")
   }
+
+  /** QUANTILE-BASED SHAPE statistics per group — Bowley skewness and
+    * Moors kurtosis from the octiles E1..E7 (12.5%..87.5% in
+    * [[groupQuantiles]]' exact ceil-rank convention):
+    *
+    *   bowley = (E6 + E2 − 2·E4) / (E6 − E2)        (quartiles)
+    *   moors  = ((E7 − E5) + (E3 − E1)) / (E6 − E2) (octile spread)
+    *
+    * — the heavy-tail-proof alternative to moment skewness/kurtosis,
+    * whose 3rd/4th-power sums both overflow exact integer arithmetic
+    * and let three giant documents own the statistic. Order statistics
+    * are immune to both, and ride the existing two-level rank
+    * machinery (no group-sized windows; the sampled-boundary variant
+    * generalizes to 100 TB exactly like winsorizeSampled). Moors'
+    * uniform-reference value is 1.233; normal is ~1.23/σ-free 1.233 —
+    * rising values read as heavy tails. Exact ppm renderings; a
+    * zero interquartile range (degenerate group) renders NULL.
+    * Output: (group, bowley_ppm, moors_ppm), one row per group.
+    */
+  def shapeStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val oct = groupQuantiles(df, groupCol, valueCol,
+      Seq(1250, 2500, 3750, 5000, 6250, 7500, 8750))
+    def at(bps: Int) =
+      max(when(col("q_bps") === bps.toLong, col("value"))).as(s"__e$bps")
+    oct.groupBy(col(groupCol))
+      .agg(at(1250), at(2500), at(3750), at(5000), at(6250), at(7500),
+        at(8750))
+      .select(col(groupCol),
+        when(col("__e7500") === col("__e2500"), lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(
+            col("__e7500") + col("__e2500") - lit(2L) * col("__e5000"),
+            col("__e7500") - col("__e2500"))).as("bowley_ppm"),
+        when(col("__e7500") === col("__e2500"), lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(
+            (col("__e8750") - col("__e6250")) +
+              (col("__e3750") - col("__e1250")),
+            col("__e7500") - col("__e2500"))).as("moors_ppm"))
+  }
 }

@@ -98,4 +98,27 @@ class ClassifierSpec extends AnyFunSuite {
       assert(got === expected)
     }
   }
+
+  test("giniStump: perfect split, hand-computed impurity, no-split row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // separable: pos {1,2} | neg {3,4} -> threshold 2, impurity 0,
+    // root gini = (16-4-4)/16 = 1/2
+    val sep = Seq((1L, "p"), (2L, "p"), (3L, "n"), (4L, "n"))
+      .toDF("v", "c")
+    val s = Classifier.giniStump(sep, "v", col("c") === "p").collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getLong(4)) == ((2L, 2L, 2L, 0L, 500000L)))
+    // mixed: (1,p),(1,n),(2,p): only split at 1 -> nl=2 nr=1,
+    // imp = (4-1-1)*1 / (3*2*1) = 1/3; root = (9-4-1)/9 = 4/9
+    val mixed = Seq((1L, "p"), (1L, "n"), (2L, "p")).toDF("v", "c")
+    val m = Classifier.giniStump(mixed, "v", col("c") === "p").collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+      m.getLong(4)) == ((1L, 2L, 1L, 333333L, 444444L)))
+    // one distinct value: no candidate split -> the root-only row
+    val const = Seq((7L, "p"), (7L, "n")).toDF("v", "c")
+    val n = Classifier.giniStump(const, "v", col("c") === "p").collect()(0)
+    assert(n.isNullAt(0) && n.getLong(1) == 2L && n.getLong(2) == 0L)
+    assert(n.isNullAt(3) && n.getLong(4) == 500000L)
+  }
 }

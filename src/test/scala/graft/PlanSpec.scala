@@ -586,7 +586,8 @@ class PlanSpec extends AnyFunSuite {
         "q_welch_t2", "q_benford", "q_bootstrap_ci", "q_selective_risk",
         "q_kaplan_meier", "q_ab_test", "q_markov", "q_boilerplate",
         "q_minhash_calib", "q_wasserstein", "q_mann_whitney",
-        "q_cramers_v", "q_mcc")) {
+        "q_cramers_v", "q_mcc", "q_stump", "q_zorder",
+        "q_compaction_plan", "q_robust_shape", "q_rand_response")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }

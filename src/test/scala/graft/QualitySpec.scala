@@ -304,4 +304,29 @@ class QualitySpec extends AnyFunSuite {
     val r2 = got(2L)
     assert(r2.getLong(1) == 0L && r2.getLong(2) == 1L && r2.isNullAt(4))
   }
+
+  test("randomizedResponse: mechanism replay and exact debias") {
+    import org.apache.spark.sql.Row
+    // replay the deterministic coin to build the expected tallies
+    val ids = (0L until 12L).toSeq
+    val flips = ids.map { id =>
+      val p = 2147483647L
+      val h1 = ((id % p) * 1103515245L + 12345L) % p
+      val h2 = (h1 * h1 + h1) % p
+      id -> (((h2 * 784588716L + 998244353L) % p) % 3L == 0L)
+    }.toMap
+    val rows = ids.map(id => (id, if (id % 2 == 0) "en" else "fr"))
+    val df = rows.toDF("doc_id", "lang")
+      .withColumn("g", lit("s"))
+    val r = Quality.randomizedResponse(df, "g", "doc_id",
+      col("lang") === "en", denom = 3L).collect()(0)
+    val trueCnt = rows.count(_._2 == "en").toLong
+    val reported = rows.count { case (id, l) =>
+      (l == "en") ^ flips(id)
+    }.toLong
+    assert(r.getLong(1) == 12L && r.getLong(2) == trueCnt)
+    assert(r.getLong(3) == reported)
+    assert(r.getLong(4) == 3L * reported - 12L) // exact debias, denom 3
+    assert(r.getLong(5) == r.getLong(4) - trueCnt)
+  }
 }

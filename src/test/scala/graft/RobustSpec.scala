@@ -149,4 +149,21 @@ class RobustSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(spm1 == zExact)
   }
+
+  test("shapeStats: symmetric zero, hand-computed skew, tie NULL") {
+    // 1..8: octiles 1..7 -> bowley = (6+2-8)/4 = 0, moors = 4/4 = 1
+    val sym = (1L to 8L).map(v => ("g", v)).toDF("g", "v")
+    val s = Robust.shapeStats(sym, "g", "v").collect()(0)
+    assert(s.getLong(1) == 0L && s.getLong(2) == 1000000L)
+    // right-skewed 1,2,2,2,3,3,4,10: octiles 1,2,2,2,3,3,4
+    // bowley = (3+2-4)/(3-2) = 1; moors = ((4-3)+(2-1))/1 = 2
+    val skew = Seq(1L, 2L, 2L, 2L, 3L, 3L, 4L, 10L).map(("g", _))
+      .toDF("g", "v")
+    val k = Robust.shapeStats(skew, "g", "v").collect()(0)
+    assert(k.getLong(1) == 1000000L && k.getLong(2) == 2000000L)
+    // degenerate interquartile range -> NULL, not a div-by-zero
+    val flat = Seq(5L, 5L, 5L).map(("g", _)).toDF("g", "v")
+    val f = Robust.shapeStats(flat, "g", "v").collect()(0)
+    assert(f.isNullAt(1) && f.isNullAt(2))
+  }
 }
