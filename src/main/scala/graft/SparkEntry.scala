@@ -2676,6 +2676,55 @@ object SparkEntry {
         .orderBy(col("lang"))
     },
 
+    // Brown-Forsythe variance-homogeneity test across the language
+    // groups' token counts — the robust Levene variant (median
+    // centers) that gates every pooled-variance analysis; F in exact
+    // ppm via the chi2 quantized-floor discipline.
+    "q_levene" -> { (s, d) =>
+      graft.functions.Stats.brownForsythe(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "lang", "ntok")
+    },
+
+    // Theil-Sen robust trend of the daily event-count series — the
+    // median of pairwise slopes (29% breakdown) beside q_group_ols'
+    // least squares; quadratic only in the bounded day domain.
+    "q_theil_sen" -> { (s, d) =>
+      graft.functions.Stats.theilSen(
+        Tables.eventsTs(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")
+    },
+
+    // Split conformal prediction sets over the NB posteriors: τ
+    // calibrated on even doc_ids at α = 10%, coverage + mean set size
+    // audited on the odd half — distribution-free validity made
+    // measurable, on the same memo-shared scoring chain.
+    "q_conformal" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Eval.conformalSplit(
+        graft.functions.NaiveBayes.posteriors(docs, docs, "doc_id",
+          "text", "lang"),
+        docs, "doc_id", "lang", col("doc_id") % 2 === 0,
+        alphaBps = 1000)
+    },
+
+    // Area under the precision-recall curve of the NB margin as a
+    // correctness scorer — the imbalance-native companion of q_auc
+    // (same margin chain): one PR point per distinct margin,
+    // quantized-term exact AP.
+    "q_pr_auc" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.prAuc(pred, "margin_q",
+        col("pred_class") === col("lang"))
+    },
+
     // Randomized-response (Warner) English-share estimation per source
     // — the local-DP mechanism with the deterministic mixer as its
     // replayable coin: reported tallies debiased back to honest
@@ -6860,6 +6909,130 @@ object SparkEntry {
               ELSE ${duckPpm("(e7 - e5) + (e3 - e1)", "e6 - e2")}
             END AS moors_ppm
           FROM p ORDER BY lang""",
+
+    "q_levene" ->
+      s"""WITH t AS (SELECT lang AS g,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS v FROM documents),
+          r AS (SELECT g, v,
+            row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY g) AS n FROM t),
+          md AS (SELECT g, v AS med FROM r
+            WHERE rn = greatest(1, (n * 5000 + 9999) // 10000)),
+          z AS (SELECT t.g, abs(t.v - md.med) AS zv
+            FROM t JOIN md USING (g)),
+          per AS (SELECT g, CAST(count(*) AS BIGINT) AS ni,
+            CAST(sum(zv) AS BIGINT) AS si,
+            CAST(sum(CAST(zv AS HUGEINT) * zv) AS HUGEINT) AS ti
+            FROM z GROUP BY 1),
+          pa AS (SELECT ni, si, ti,
+            (CAST(si AS HUGEINT) * si * 1000000) // ni AS ai FROM per),
+          ag AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(si) AS HUGEINT) AS s, sum(ai) AS a,
+            sum(ti * 1000000 - ai) AS ssw FROM pa),
+          fin AS (SELECT n, k,
+            greatest(a - (s * s * 1000000) // n, 0) AS ssb, ssw
+            FROM ag)
+          SELECT n, k,
+            CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+              ELSE ${duckPpm("(n - k) * ssb", "(k - 1) * ssw")}
+            END AS f_ppm
+          FROM fin""",
+
+    "q_theil_sen" ->
+      s"""WITH dc AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+              CAST(ts AS DATE)) AS BIGINT) AS x,
+            CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+          p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+            FROM dc a JOIN dc b ON a.x < b.x),
+          s AS (SELECT ${duckPpm("y2 - y1", "x2 - x1")} AS sl FROM p),
+          r AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn,
+            count(*) OVER () AS np FROM s),
+          m AS (SELECT sl AS slope_med_ppm, CAST(np AS BIGINT) AS n_pairs
+            FROM r WHERE rn = (np * 5000 + 9999) // 10000),
+          c AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM dc)
+          SELECT c.n_points,
+            CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+            m.slope_med_ppm
+          FROM c LEFT JOIN m ON true""",
+
+    "q_conformal" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          po AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          tp AS (SELECT doc_id, max(score) AS top FROM po GROUP BY 1),
+          at AS (SELECT tp.doc_id,
+              CAST(tp.top - po.score AS BIGINT) AS a,
+              (tp.doc_id % 2 = 0) AS cal
+            FROM tp JOIN documents dd USING (doc_id)
+            LEFT JOIN po ON po.doc_id = tp.doc_id
+              AND po.class = dd.lang),
+          cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+            CAST(count(a) AS BIGINT) AS m_cal FROM at WHERE cal),
+          tu AS (SELECT a AS tau_q FROM
+            (SELECT a, row_number() OVER (ORDER BY a) AS rn
+             FROM at WHERE cal AND a IS NOT NULL) rr CROSS JOIN cc
+            WHERE rn = (n_cal * 9000 + 9999) // 10000),
+          ev AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(coalesce(sum(CASE WHEN at.a IS NOT NULL
+              AND at.a <= tu.tau_q THEN 1 ELSE 0 END), 0) AS BIGINT)
+              AS covered
+            FROM at LEFT JOIN tu ON true WHERE NOT at.cal),
+          sz AS (SELECT CAST(count(*) AS BIGINT) AS sizes
+            FROM po JOIN tp USING (doc_id) CROSS JOIN tu
+            WHERE tp.doc_id % 2 = 1 AND tp.top - po.score <= tu.tau_q)
+          SELECT cc.n_cal, cc.m_cal, tu.tau_q, ev.n_eval, ev.covered,
+            CASE WHEN ev.n_eval = 0 OR tu.tau_q IS NULL THEN NULL
+              ELSE ${duckPpm("ev.covered", "ev.n_eval")}
+            END AS coverage_ppm,
+            CASE WHEN ev.n_eval = 0 OR tu.tau_q IS NULL THEN NULL
+              ELSE ${duckPpm("sz.sizes", "ev.n_eval")}
+            END AS avg_set_ppm
+          FROM cc CROSS JOIN ev CROSS JOIN sz LEFT JOIN tu ON true""",
+
+    "q_pr_auc" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+              sc.s + lp.lq AS score_q,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          mg AS (SELECT f1.doc_id, f1.class AS pred_class,
+              CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+            FROM fin f1 JOIN fin f2
+              ON f2.doc_id = f1.doc_id AND f2.rn = 2
+            WHERE f1.rn = 1),
+          lab AS (SELECT mg.margin_q AS scv,
+            CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END AS p
+            FROM mg JOIN documents dd USING (doc_id)
+            WHERE mg.margin_q IS NOT NULL),
+          ps AS (SELECT scv, CAST(sum(p) AS BIGINT) AS np,
+            CAST(count(*) - sum(p) AS BIGINT) AS nn
+            FROM lab GROUP BY 1),
+          cum AS (SELECT *,
+            CAST(coalesce(sum(np) OVER (ORDER BY scv DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+              AS BIGINT) AS tpc,
+            CAST(coalesce(sum(np + nn) OVER (ORDER BY scv DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+              AS BIGINT) AS ctc FROM ps),
+          terms AS (SELECT np, nn,
+            (CAST(tpc AS HUGEINT) * np * 1000000) // ctc AS t FROM cum),
+          agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+            CAST(sum(nn) AS BIGINT) AS n_neg,
+            CAST(coalesce(sum(t), 0) AS HUGEINT) AS sm FROM terms)
+          SELECT n_pos, n_neg,
+            CASE WHEN n_pos = 0 THEN NULL
+              ELSE ${duckPpm("sm", "CAST(n_pos AS HUGEINT) * 1000000")}
+            END AS ap_ppm
+          FROM agg""",
 
     "q_rand_response" ->
       s"""WITH t AS (SELECT source,

@@ -685,6 +685,130 @@ object Eval {
           .as("kappa_ppm"))
   }
 
+  /** SPLIT CONFORMAL prediction sets over a (id, class, score_q)
+    * posterior table — the distribution-free coverage machinery
+    * (Vovk et al.; Angelopoulos & Bates 2022): calibrate the
+    * nonconformity a(x, c) = top_score(x) − score(x, c) on held-out
+    * labeled rows (τ = the ceil-rank (1−α) quantile of the true
+    * class's nonconformity), then the prediction set on new rows is
+    * every class within τ of the top — and coverage ≥ 1 − α holds by
+    * exchangeability, for ANY underlying scorer. The audit this
+    * computes: empirical coverage and mean set size on the eval half
+    * (the efficiency/validity trade every conformal deployment
+    * reports). A calibration row whose true class never scored
+    * (vocabulary miss) carries infinite nonconformity — it counts in
+    * the quantile denominator and can push τ to NULL (degenerate
+    * calibration) but never shrinks it.
+    *
+    * Exact integers end to end: scores are the house log-posterior
+    * integers, τ a rank-selected value ([[Robust.groupQuantiles]]'
+    * ceil-rank convention), coverage/set sizes exact counts in ppm.
+    * One row: (n_cal, m_cal, tau_q, n_eval, covered, coverage_ppm,
+    * avg_set_ppm).
+    *
+    * Scale shape: two-level rank over the calibration nonconformities,
+    * id-keyed equi-joins, class-count-bounded per-doc set counting —
+    * no row-domain windows.
+    */
+  def conformalSplit(posteriors: DataFrame, truth: DataFrame,
+      idCol: String, truthCol: String, calPred: Column,
+      alphaBps: Int = 1000): DataFrame = {
+    require(alphaBps >= 1 && alphaBps <= 9999,
+      s"alphaBps must be in [1, 9999], got $alphaBps")
+    val top = posteriors.filter(col("rank") === 1)
+      .select(col(idCol), col("score_q").as("__top"))
+    val aTrue = top
+      .join(truth.select(col(idCol), col(truthCol).as("__y")), Seq(idCol))
+      .join(posteriors.select(col(idCol), col("class").as("__y"),
+        col("score_q").as("__sy")), Seq(idCol, "__y"), "left")
+      .select(col(idCol), (col("__top") - col("__sy")).as("__a"),
+        calPred.as("__cal"))
+    val cal = aTrue.filter(col("__cal"))
+    val calCnt = cal.agg(count(lit(1)).as("n_cal"),
+      count(col("__a")).as("m_cal"))
+    val tau = GroupRank.withRankAndCount(
+        cal.filter(col("__a").isNotNull).select(lit(1).as("__g"),
+          col("__a")),
+        Seq("__g"), Seq(col("__a").asc), "__rn", "__m")
+      .crossJoin(broadcast(calCnt))
+      .filter(col("__rn") === GroupRank.intDiv(
+        col("n_cal") * (10000L - alphaBps) + 9999L, lit(10000L)))
+      .select(col("__a").as("tau_q"))
+    val tauRow = calCnt.join(broadcast(tau), lit(true), "left")
+    val evalRows = aTrue.filter(!col("__cal"))
+    val evalAgg = evalRows.crossJoin(broadcast(tauRow))
+      .agg(count(lit(1)).as("n_eval"),
+        coalesce(sum(when(col("__a").isNotNull &&
+          col("__a") <= col("tau_q"), 1L).otherwise(0L)), lit(0L))
+          .as("covered"))
+    val setSizes = posteriors
+      .join(evalRows.select(col(idCol)), Seq(idCol), "left_semi")
+      .join(top, Seq(idCol))
+      .crossJoin(broadcast(tauRow.select(col("tau_q"))))
+      .filter(col("__top") - col("score_q") <= col("tau_q"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("__sizes"))
+    broadcast(tauRow).crossJoin(evalAgg).crossJoin(broadcast(setSizes))
+      .select(col("n_cal"), col("m_cal"), col("tau_q"), col("n_eval"),
+        col("covered"),
+        when(col("n_eval") === 0L || col("tau_q").isNull,
+          lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(col("covered"), col("n_eval")))
+          .as("coverage_ppm"),
+        when(col("n_eval") === 0L || col("tau_q").isNull,
+          lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(col("__sizes"), col("n_eval")))
+          .as("avg_set_ppm"))
+  }
+
+  /** AREA UNDER THE PRECISION-RECALL CURVE (average precision over
+    * score thresholds) of a binary scorer — the imbalance-native
+    * companion of [[aucExact]]: where ROC-AUC stays rosy when
+    * negatives dominate, AP prices every false positive against the
+    * positive count. Threshold convention: one PR point per DISTINCT
+    * score (descending — ties enter together, the deterministic
+    * cross-engine form of the curve),
+    *
+    *   AP = Σ_g ΔTP_g · precision_g / n_pos,
+    *   precision_g = TP_≥g / (TP_≥g + FP_≥g)
+    *
+    * quantized per threshold at 10^6 by integral division (the chi2
+    * cell discipline), summed exactly, rendered once. One row:
+    * (n_pos, n_neg, ap_ppm). Scale shape: the cumulative scan rides
+    * the distinct-score domain, never rows.
+    */
+  def prAuc(pred: DataFrame, scoreCol: String,
+      positive: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perScore = pred.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__sc"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__sc"))
+      .agg(sum(col("__p")).as("__np"),
+        (count(lit(1)) - sum(col("__p"))).as("__nn"))
+      .withColumn("__nt", col("__np") + col("__nn"))
+    val withTp = GroupRank.withPrefixSum(
+      perScore.withColumn("__all", lit(1)),
+      Seq("__all"), Seq(col("__sc").desc), "__np", "__tpAbove", "__tpTot")
+    val withCum = GroupRank.withPrefixSum(
+      withTp, Seq("__all"), Seq(col("__sc").desc), "__nt", "__ctAbove",
+      "__ctTot")
+    val terms = withCum
+      .select(col("__np"), col("__nn"),
+        ((col("__tpAbove") + col("__np")).cast("decimal(19,0)") *
+          col("__np") * lit(1000000L)).cast(dec).as("__num"),
+        (col("__ctAbove") + col("__nt")).cast(dec).as("__den"))
+      .select(col("__np"), col("__nn"),
+        ((col("__num") - (col("__num") % col("__den"))) / col("__den"))
+          .cast(dec).as("__t"))
+    terms.agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        coalesce(sum(col("__t")), lit(0).cast(dec)).cast(dec).as("__s"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L, lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(col("__s"),
+            (col("n_pos").cast("decimal(19,0)") * lit(1000000L))
+              .cast(dec))).as("ap_ppm"))
+  }
+
   /** Matthews correlation coefficient of a one-vs-rest binarization of
     * a multi-class confusion matrix — the single-number binary-quality
     * summary that, unlike accuracy or F1, stays honest under class

@@ -162,6 +162,18 @@ object NaiveBayes {
     * definition so smoothing, the token regex, and the tie-break can
     * never drift between the two entry points.
     */
+  /** The full (idCol, class, score_q) posterior table — every class's
+    * log-posterior per document, the raw material for prediction SETS
+    * (conformal classification) rather than argmax points. Same
+    * memo-shared chain as [[classify]]/[[classifyWithMargin]]; `rank`
+    * is the per-document score rank (1 = argmax, class tie-break).
+    */
+  def posteriors(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, classCol: String): DataFrame =
+    rankedScores(train, score, idCol, textCol, classCol)
+      .select(col(idCol), col("class"), col("score_q"),
+        col("__rn").as("rank"))
+
   private def rankedScores(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String, classCol: String): DataFrame =
     memo.getOrBuild(train.sparkSession, Seq(

@@ -322,6 +322,103 @@ object Stats {
           .as("v2_pptr"))
   }
 
+  /** BROWN-FORSYTHE test of variance homogeneity across k groups —
+    * the robust Levene variant (deviations from the MEDIAN, not the
+    * mean): the gatekeeper for every pooled-variance analysis (Welch
+    * exists because this test usually fails on real corpora) and a
+    * drift monitor for SPREAD where the location tests watch the
+    * middle. Centers are [[Robust.groupQuantiles]]' ceil-rank medians
+    * (integer, so z = |x − med| stays integer); the F statistic
+    *
+    *   F = (N−k)/(k−1) · SSB(z)/SSW(z)
+    *
+    * runs through the chi2 quantized-cell discipline: per-group
+    * a_i = (10^6·S_i²) // n_i, SSB_q = max(0, Σa_i − (10^6·S²) // N)
+    * (the max absorbs the ≤ k ppm of floor slack on a true zero),
+    * SSW_q = Σ(10^6·T_i − a_i) ≥ 0 by Cauchy-Schwarz — deterministic
+    * integer floors both engines replay exactly. One row:
+    * (n, k, f_ppm); NULL when k < 2, N ≤ k, or SSW = 0 (all
+    * deviations equal). Scale shape: one rank pass for medians + two
+    * partial-aggregable passes; group-domain-sized intermediates.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val med = Robust.groupQuantiles(
+        df.select(col(groupCol), col(valueCol).cast("long").as("__v")),
+        groupCol, "__v", Seq(5000))
+      .select(col(groupCol), col("value").as("__med"))
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - (num % den)) / den).cast(dec)
+    val z = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(med, Seq(groupCol))
+      .select(col(groupCol), abs(col("__v") - col("__med")).as("__z"))
+    val per = z.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ni"), sum(col("__z")).as("__si"),
+        sum((col("__z").cast("decimal(19,0)") * col("__z")).cast(dec))
+          .cast(dec).as("__ti"))
+      .select(col("__ni"), col("__si"), col("__ti"),
+        floorDiv((col("__si").cast("decimal(19,0)") * col("__si"))
+          .cast(dec) * lit(1000000L), col("__ni").cast(dec)).as("__ai"))
+    per.agg(sum(col("__ni")).as("n"), count(lit(1)).as("k"),
+        sum(col("__si")).as("__s"),
+        sum(col("__ai")).cast(dec).as("__a"),
+        sum((col("__ti") * lit(1000000L)).cast(dec) - col("__ai"))
+          .cast(dec).as("__ssw"))
+      .select(col("n"), col("k"),
+        greatest(col("__a") - floorDiv(
+          (col("__s").cast(dec) * col("__s")).cast(dec) * lit(1000000L),
+          col("n").cast(dec)), lit(0).cast(dec)).as("__ssb"),
+        col("__ssw"))
+      .select(col("n"), col("k"),
+        when(col("k") < 2L || col("n") <= col("k") || col("__ssw") <= 0,
+          lit(null).cast("long"))
+          .otherwise(fixedPointExact(
+            ((col("n") - col("k")).cast(dec) * col("__ssb")).cast(dec),
+            ((col("k") - 1L).cast(dec) * col("__ssw")).cast(dec)))
+          .as("f_ppm"))
+  }
+
+  /** THEIL-SEN slope of a (x, y) series — the median of all pairwise
+    * slopes (Sen 1968): the robust trend line whose breakdown point
+    * (~29%) shrugs off the outlier days that swing [[groupOls]]'
+    * least-squares fit. Pairwise slopes are exact ppm rationals
+    * ([[fixedPointExact]] per pair); the median is the ceil-rank
+    * selection over the quantized slope multiset (the documented
+    * quantization: slopes are compared at ppm resolution, the house
+    * convention for cross-engine rational ordering). Duplicate x's
+    * collapse to max(y) first (a slope needs distinct abscissae).
+    * One row: (n_points, n_pairs, slope_med_ppm); NULL with < 2
+    * points.
+    *
+    * Scale shape: quadratic in the POINT DOMAIN by construction (use
+    * on bounded series — daily/hourly aggregates); the broadcast
+    * self-join never touches row-scale data. For longer series,
+    * pre-sample points with [[Sampling.hashOrder]].
+    */
+  def theilSen(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("__x"))
+      .agg(max(col(yCol).cast("long")).as("__y"))
+    val slopes = pts.as("a")
+      .join(broadcast(pts.as("b")), col("a.__x") < col("b.__x"))
+      .select(fixedPointExact(col("b.__y") - col("a.__y"),
+        col("b.__x") - col("a.__x")).as("__sl"))
+    val ranked = GroupRank.withRankAndCount(
+      slopes.select(lit(1).as("__g"), col("__sl")),
+      Seq("__g"), Seq(col("__sl").asc), "__rn", "__np")
+    val medRow = ranked
+      .filter(col("__rn") === GroupRank.intDiv(
+        col("__np") * 5000L + 9999L, lit(10000L)))
+      .select(col("__sl").as("slope_med_ppm"), col("__np").as("n_pairs"))
+    pts.agg(count(lit(1)).as("n_points"))
+      .join(broadcast(medRow), lit(true), "left")
+      .select(col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("slope_med_ppm"))
+  }
+
   /** Chi-square test of independence between token and class over a
     * corpus (the frequentist companion of
     * [[NaiveBayes.tokenClassMi]]): cell contributions

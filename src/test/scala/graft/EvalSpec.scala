@@ -426,6 +426,63 @@ class EvalSpec extends AnyFunSuite {
     assert(Eval.cohenKappa(chance).collect()(0).getLong(3) == 0L)
   }
 
+  test("conformalSplit: hand-built posteriors, tau rank, coverage, sets") {
+    import spark.implicits._
+    val po = Seq(
+      (0L, "a", 10L, 1), (0L, "b", 8L, 2),   // cal, truth a -> a = 0
+      (2L, "a", 10L, 1), (2L, "b", 4L, 2),   // cal, truth b -> a = 6
+      (1L, "a", 9L, 1), (1L, "b", 7L, 2),    // eval, truth b -> a = 2
+      (3L, "a", 5L, 1), (3L, "b", 3L, 2))    // eval, truth a -> a = 0
+      .toDF("doc_id", "class", "score_q", "rank")
+    val truth = Seq((0L, "a"), (1L, "b"), (2L, "b"), (3L, "a"))
+      .toDF("doc_id", "lang")
+    // alpha 10%: rank ceil(2*0.9) = 2 of {0,6} -> tau 6; both eval
+    // docs covered, both sets = {a, b}
+    val r = Eval.conformalSplit(po, truth, "doc_id", "lang",
+      col("doc_id") % 2 === 0, alphaBps = 1000).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 6L, 2L, 2L)))
+    assert(r.getLong(5) == 1000000L && r.getLong(6) == 2000000L)
+    // alpha 50%: rank 1 -> tau 0; only doc3 covered; singleton sets
+    val h = Eval.conformalSplit(po, truth, "doc_id", "lang",
+      col("doc_id") % 2 === 0, alphaBps = 5000).collect()(0)
+    assert(h.getLong(2) == 0L && h.getLong(4) == 1L)
+    assert(h.getLong(5) == 500000L && h.getLong(6) == 1000000L)
+    // a calibration doc whose true class never scored counts in the
+    // quantile denominator with infinite nonconformity: at alpha 10%
+    // the target rank (3 of 3) lands in the infinite tail -> tau NULL
+    // (tau = infinity: degenerate calibration, coverage not gated);
+    // at alpha 50% the rank (2) stays finite -> tau = 6
+    val po2 = po.unionByName(Seq((4L, "a", 7L, 1))
+      .toDF("doc_id", "class", "score_q", "rank"))
+    val truth2 = truth.unionByName(Seq((4L, "c")).toDF("doc_id", "lang"))
+    val inf = Eval.conformalSplit(po2, truth2, "doc_id", "lang",
+      col("doc_id") % 2 === 0, alphaBps = 1000).collect()(0)
+    assert((inf.getLong(0), inf.getLong(1)) == ((3L, 2L)))
+    assert(inf.isNullAt(2) && inf.isNullAt(5))
+    val m = Eval.conformalSplit(po2, truth2, "doc_id", "lang",
+      col("doc_id") % 2 === 0, alphaBps = 5000).collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == ((3L, 2L, 6L)))
+  }
+
+  test("prAuc: perfect ranking, hand-computed interleaved AP") {
+    import spark.implicits._
+    // perfect: positives above every negative -> AP exactly 1
+    val perfect = Seq((3L, "p"), (2L, "p"), (1L, "n")).toDF("s", "c")
+    val p = Eval.prAuc(perfect, "s", col("c") === "p").collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2))
+      == ((2L, 1L, 1000000L)))
+    // interleaved pos(3), neg(2), pos(1):
+    // terms 1e6 + 0 + (2e6 // 3) -> AP = round(1666666/2) = 833333
+    val mixed = Seq((3L, "p"), (2L, "n"), (1L, "p")).toDF("s", "c")
+    assert(Eval.prAuc(mixed, "s", col("c") === "p").collect()(0)
+      .getLong(2) == 833333L)
+    // no positives -> NULL, not 0/0
+    val none = Seq((1L, "n")).toDF("s", "c")
+    assert(Eval.prAuc(none, "s", col("c") === "p").collect()(0)
+      .isNullAt(2))
+  }
+
   test("mcc: perfect, chance, hand-computed 1/3, empty-margin NULL") {
     import spark.implicits._
     // perfect: tp=2 tn=2 -> mcc_num = 4, MCC^2 = 1

@@ -256,6 +256,32 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.cramersV(flat, "x", "y").collect()(0).isNullAt(4))
   }
 
+  test("brownForsythe: hand-computed F and the zero-spread NULL") {
+    // g1 = {0,10} (med 0, z = {0,10}), g2 = {5,5} (z = {0,0})
+    // SSB = 2.5e7, SSW = 5e7 -> F = 2 * 0.5 = 1
+    val df = Seq(("g1", 0L), ("g1", 10L), ("g2", 5L), ("g2", 5L))
+      .toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1000000L)))
+    // all deviations zero -> SSW = 0 -> NULL, not a crash
+    val flat = Seq(("g1", 1L), ("g1", 1L), ("g2", 2L), ("g2", 2L))
+      .toDF("g", "v")
+    assert(Stats.brownForsythe(flat, "g", "v").collect()(0).isNullAt(2))
+  }
+
+  test("theilSen: outlier-immune median slope, degenerate single point") {
+    // (0,0),(1,2),(2,4) on slope 2 plus the outlier (3,100):
+    // sorted pair slopes [2,2,2,33.3,49,96] -> median 2 exactly
+    val df = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 100L)).toDF("x", "y")
+    val r = Stats.theilSen(df, "x", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      == ((4L, 6L, 2000000L)))
+    // one point: no pairs, NULL slope
+    val one = Seq((5L, 7L)).toDF("x", "y")
+    val o = Stats.theilSen(one, "x", "y").collect()(0)
+    assert(o.getLong(0) == 1L && o.getLong(1) == 0L && o.isNullAt(2))
+  }
+
   test("abTest: hand-computed 2x2 chi-square and degenerate NULLs") {
     // a: 10 users 5 conv; b: 10 users 2 conv
     // chi2 = 20*(5*8 - 2*5)^2 / (10*10*7*13) = 18000/9100 = 1.978022
