@@ -2688,6 +2688,27 @@ object SparkEntry {
         "lang", "ntok")
     },
 
+    // At-most-one-change estimation over the daily event-count series
+    // — WHERE the level shifted (argmax of the scale-free between-
+    // segment statistic), beside q_cusum's THAT-it-drifted chart;
+    // day-domain-bounded scan, earliest-split tie-break.
+    "q_changepoint" -> { (s, d) =>
+      graft.functions.Stats.changePoint(
+        Tables.eventsTs(s, d)
+          .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd")
+            .as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")
+    },
+
+    // Top event-type trigrams by distinct-user support — the
+    // PrefixSpan-core sequential patterns beside q_markov's one-step
+    // matrix; user-partitioned windows, pattern-domain top-k.
+    "q_seq_patterns" -> { (s, d) =>
+      graft.functions.Events.seqPatterns(Tables.eventsTs(s, d),
+        "user_id", "event_type", "ts", "event_id", k = 3, topK = 10)
+    },
+
     // Theil-Sen robust trend of the daily event-count series — the
     // median of pairwise slopes (29% breakdown) beside q_group_ols'
     // least squares; quadratic only in the bounded day domain.
@@ -6938,6 +6959,42 @@ object SparkEntry {
               ELSE ${duckPpm("(n - k) * ssb", "(k - 1) * ssw")}
             END AS f_ppm
           FROM fin""",
+
+    "q_changepoint" ->
+      s"""WITH dc AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d')
+              AS day,
+            CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+          p AS (SELECT day, y,
+            sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS st,
+            row_number() OVER (ORDER BY day) AS t FROM dc),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS s FROM dc),
+          c AS (SELECT day, t, st, n, s,
+            CASE WHEN s = 0 THEN 0
+              ELSE (CAST(st * n - s * t AS HUGEINT) *
+                (st * n - s * t) * 1000000)
+                // (CAST(t AS HUGEINT) * (n - t) * s * s) END AS gq
+            FROM p CROSS JOIN tt WHERE t < n)
+          SELECT n, day AS change_at, CAST(gq AS BIGINT) AS g_q,
+            ${duckPpm("st", "t")} AS mean_left_ppm,
+            ${duckPpm("s - st", "n - t")} AS mean_right_ppm
+          FROM c ORDER BY gq DESC, day LIMIT 1""",
+
+    "q_seq_patterns" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+            lead(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS n1,
+            lead(event_type, 2) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS n2
+            FROM events),
+          g AS (SELECT event_type || '->' || n1 || '->' || n2 AS pattern,
+            user_id FROM e WHERE n1 IS NOT NULL AND n2 IS NOT NULL),
+          a AS (SELECT pattern,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS support,
+            CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY 1)
+          SELECT * FROM a ORDER BY support DESC, pattern LIMIT 10""",
 
     "q_theil_sen" ->
       s"""WITH dc AS (SELECT CAST(datediff('day', DATE '1970-01-01',

@@ -159,6 +159,43 @@ object Events {
         Stats.fixedPointExact(col("n"), col("__t")).as("p_ppm"))
   }
 
+  /** SEQUENTIAL PATTERN mining (the length-k PrefixSpan core): the
+    * top event-type k-grams by USER SUPPORT — "what do sessions
+    * actually do, in order", the behavioral companion of
+    * [[markovTransitions]]' one-step matrix (a 3-gram catches
+    * browse→add→buy where the Markov chain only sees its two halves).
+    * Per-user event streams in (ts, id) order yield contiguous
+    * k-grams via lead; support counts DISTINCT users (the standard
+    * anti-spam convention — one hyperactive user can't promote a
+    * pattern), occurrences counted beside. Top `topK` by (support
+    * desc, pattern asc) — a deterministic total order.
+    *
+    * Scale shape: user-partitioned windows (bounded by per-user
+    * activity, never corpus-wide), one partial-aggregable distinct
+    * count over the |types|^k-bounded pattern domain, and a top-k
+    * over that domain.
+    */
+  def seqPatterns(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, k: Int = 3,
+      topK: Int = 10): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(us(tsCol).asc, col(idCol).asc)
+    val withNext = (1 until k).foldLeft(events.toDF()) { (df, i) =>
+      df.withColumn(s"__n$i", lead(col(typeCol), i).over(w))
+    }
+    val parts = col(typeCol) +: (1 until k).map(i => col(s"__n$i"))
+    withNext
+      .filter(parts.drop(1).map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws("->", parts: _*).as("pattern"), col(userCol))
+      .groupBy(col("pattern"))
+      .agg(countDistinct(col(userCol)).as("support"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("support").desc, col("pattern").asc)
+      .limit(topK)
+  }
+
   /** Kaplan-Meier survival over user lifetimes with RIGHT-CENSORING —
     * the principled form of "how long do users stay": lifetime = days
     * between a user's first and last event; users still active on the

@@ -380,6 +380,65 @@ object Stats {
           .as("f_ppm"))
   }
 
+  /** CHANGE-POINT estimation (at-most-one-change, the binary-
+    * segmentation step) over an ordered series — WHERE the level
+    * shifted, where [[cusum]] says THAT it drifted: the split t
+    * maximizing the between-segment sum of squares, located by the
+    * scale-free statistic
+    *
+    *   G(t) = (S_t·N − S·t)² / (t·(N−t)·S²)
+    *
+    * (S_t = prefix sum; the S² normalization keeps the gated integer
+    * bounded by N²·10^6 — domain-bounded at ANY data scale, where the
+    * raw between-SS would overflow a long on petascale counts).
+    * Quantized at 10^6 by integral division; argmax ties break to the
+    * earliest split. Recursing on the two sides gives full binary
+    * segmentation. One row: (n, change_at, g_q, mean_left_ppm,
+    * mean_right_ppm) — change_at is the LAST orderCol value of the
+    * left segment; empty result when the series has < 2 points.
+    *
+    * Scale shape: the cumulative scan and argmax ride the bounded
+    * order domain (days/hours), never rows — the cusum convention.
+    */
+  def changePoint(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - (num % den)) / den).cast(dec)
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = df.select(col(orderCol), col(valueCol).cast("long").as("__y"))
+      .withColumn("__st", sum(col("__y")).over(w))
+      .withColumn("__t", row_number().over(Window.orderBy(col(orderCol))))
+    val tot = pre.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"))
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter(col("__t") < col("__n"))
+      .select(col(orderCol), col("__t"), col("__st"), col("__n"),
+        col("__s"),
+        ((col("__st").cast("decimal(19,0)") * col("__n") -
+          col("__s").cast("decimal(19,0)") * col("__t")).cast(dec))
+          .as("__d"),
+        ((col("__t").cast("decimal(19,0)") * (col("__n") - col("__t")))
+          .cast(dec) *
+          (col("__s").cast("decimal(19,0)") * col("__s")).cast(dec))
+          .cast(dec).as("__den"))
+      .select(col(orderCol), col("__t"), col("__st"), col("__n"),
+        col("__s"),
+        when(col("__s") === 0L, lit(0L))
+          .otherwise(floorDiv(
+            (col("__d") * col("__d") * lit(1000000L)).cast(dec),
+            col("__den")).cast("long")).as("g_q"))
+    cand
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("g_q").desc, col(orderCol).asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__n").as("n"), col(orderCol).as("change_at"),
+        col("g_q"),
+        fixedPointExact(col("__st"), col("__t")).as("mean_left_ppm"),
+        fixedPointExact(col("__s") - col("__st"),
+          col("__n") - col("__t")).as("mean_right_ppm"))
+  }
+
   /** THEIL-SEN slope of a (x, y) series — the median of all pairwise
     * slopes (Sen 1968): the robust trend line whose breakdown point
     * (~29%) shrugs off the outlier days that swing [[groupOls]]'

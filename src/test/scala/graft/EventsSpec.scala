@@ -155,4 +155,31 @@ class EventsSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(z == Map(1L -> ((2L, 2L, 0L))))
   }
+
+  test("seqPatterns: distinct-user support, in-order grams, top-k order") {
+    val ev = Seq(
+      (1L, 1L, "x", "2024-01-01 00:00:00"),
+      (1L, 2L, "y", "2024-01-01 00:01:00"),
+      (1L, 3L, "z", "2024-01-01 00:02:00"),
+      (1L, 4L, "x", "2024-01-01 00:03:00"),
+      (1L, 5L, "y", "2024-01-01 00:04:00"),
+      (2L, 6L, "x", "2024-01-01 00:00:00"),
+      (2L, 7L, "y", "2024-01-01 00:01:00"),
+      (2L, 8L, "z", "2024-01-01 00:02:00"))
+      .map { case (u, id, t, w) => (u, id, t, ts(w)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Events.seqPatterns(ev, "user_id", "event_type", "ts",
+        "event_id", k = 3, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // x->y->z seen by both users; support-1 ties break by pattern asc
+    assert(got.toSeq == Seq(("x->y->z", 2L, 2L), ("y->z->x", 1L, 1L)))
+    // a second occurrence within ONE user raises occurrences, not
+    // support
+    val dup = ev.unionByName(Seq((1L, 9L, "z", ts("2024-01-01 00:05:00")))
+      .toDF("user_id", "event_id", "event_type", "ts"))
+    val d = Events.seqPatterns(dup, "user_id", "event_type", "ts",
+        "event_id", k = 3, topK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(d.toSeq == Seq(("x->y->z", 2L, 3L)))
+  }
 }

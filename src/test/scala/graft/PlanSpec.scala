@@ -588,7 +588,8 @@ class PlanSpec extends AnyFunSuite {
         "q_minhash_calib", "q_wasserstein", "q_mann_whitney",
         "q_cramers_v", "q_mcc", "q_stump", "q_zorder",
         "q_compaction_plan", "q_robust_shape", "q_rand_response",
-        "q_levene", "q_theil_sen", "q_conformal", "q_pr_auc")) {
+        "q_levene", "q_theil_sen", "q_conformal", "q_pr_auc",
+        "q_changepoint", "q_seq_patterns")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }

@@ -269,6 +269,25 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.brownForsythe(flat, "g", "v").collect()(0).isNullAt(2))
   }
 
+  test("changePoint: hand-computed split, means, constant-series tie") {
+    // 1,1,5,5: split after t=2 maximizes G
+    // d = st*n - s*t: -8, -16, -8; den = t(n-t)*s^2
+    // g_q at t=2: 256e6 // 576 = 444444
+    val df = Seq(("d1", 1L), ("d2", 1L), ("d3", 5L), ("d4", 5L))
+      .toDF("day", "y")
+    val r = Stats.changePoint(df, "day", "y").collect()(0)
+    assert((r.getLong(0), r.getString(1), r.getLong(2)) ==
+      ((4L, "d2", 444444L)))
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 5000000L)
+    // constant series: every split scores 0 -> earliest split wins
+    val const = Seq(("d1", 3L), ("d2", 3L), ("d3", 3L)).toDF("day", "y")
+    val c = Stats.changePoint(const, "day", "y").collect()(0)
+    assert(c.getString(1) == "d1" && c.getLong(2) == 0L)
+    // a single point has no split
+    assert(Stats.changePoint(Seq(("d1", 3L)).toDF("day", "y"),
+      "day", "y").collect().isEmpty)
+  }
+
   test("theilSen: outlier-immune median slope, degenerate single point") {
     // (0,0),(1,2),(2,4) on slope 2 plus the outlier (3,100):
     // sorted pair slopes [2,2,2,33.3,49,96] -> median 2 exactly
