@@ -1438,6 +1438,20 @@ object SparkEntry {
         .limit(25)
     },
 
+    // Global PageRank over the same candidate graph (memo-shared
+    // neighborhood pairs): uniform teleport = centrality, where
+    // q_ppr's seeded teleport = seed proximity; top-25 by the exact
+    // fixed-point rank.
+    "q_pagerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.pageRank(cand, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id", iters = 2)
+        .orderBy(col("rank_q").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // HITS authorities over the doc-term bipartite graph — the
     // mutual-reinforcement centrality next to PageRank/PPR: top-20
     // authoritative tokens after 2 synchronous rounds, fixed-point
@@ -2540,6 +2554,15 @@ object SparkEntry {
     // contingency, exact quantized-cell arithmetic end to end.
     "q_cramers_v" -> { (s, d) =>
       graft.functions.Stats.cramersV(Tables.documents(s, d),
+        "lang", "source")
+    },
+
+    // Mutual information lang<->source in BITS — the information-
+    // theoretic member of the association trio (chi2 significance,
+    // Cramér's V effect size, MI budget units); FixLog log2 ladder,
+    // populated cells only.
+    "q_mi_cat" -> { (s, d) =>
+      graft.functions.Stats.categoricalMi(Tables.documents(s, d),
         "lang", "source")
     },
 
@@ -5131,6 +5154,41 @@ object SparkEntry {
             CAST(rq AS DOUBLE) / 1000000000000.0 AS score
           FROM r2 ORDER BY rank_q DESC, doc_id ASC LIMIT 25""",
 
+    "q_pagerank" ->
+      """WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            WHERE id_a <> id_b
+            UNION SELECT id_b, id_a FROM cand WHERE id_a <> id_b),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM sym
+            GROUP BY 1),
+          ns AS (SELECT count(*) AS n FROM documents),
+          r0 AS (SELECT d.doc_id,
+            CAST(1000000000000 AS HUGEINT) // n AS rq
+            FROM documents d CROSS JOIN ns),
+          c1 AS (SELECT e.dst AS doc_id, sum(r.rq // d.dg) AS inm
+            FROM sym e JOIN r0 r ON r.doc_id = e.src
+            JOIN deg d ON d.src = e.src GROUP BY 1),
+          r1 AS (SELECT v.doc_id,
+            CAST(3000000000000 AS HUGEINT) // (n * 20)
+              + (17 * coalesce(c.inm, 0)) // 20 AS rq
+            FROM documents v CROSS JOIN ns
+            LEFT JOIN c1 c ON c.doc_id = v.doc_id),
+          c2 AS (SELECT e.dst AS doc_id, sum(r.rq // d.dg) AS inm
+            FROM sym e JOIN r1 r ON r.doc_id = e.src
+            JOIN deg d ON d.src = e.src GROUP BY 1),
+          r2 AS (SELECT v.doc_id,
+            CAST(3000000000000 AS HUGEINT) // (n * 20)
+              + (17 * coalesce(c.inm, 0)) // 20 AS rq
+            FROM documents v CROSS JOIN ns
+            LEFT JOIN c2 c ON c.doc_id = v.doc_id)
+          SELECT doc_id, CAST(rq AS BIGINT) AS rank_q,
+            CAST(rq AS DOUBLE) / 1000000000000.0 AS score
+          FROM r2 ORDER BY rank_q DESC, doc_id ASC LIMIT 25""",
+
     // The oracle enumerates triangles canonically (a < b < c over the
     // undirected edge set) — orientation-free, so it matches whatever
     // enumeration order the Spark side's degree orientation uses.
@@ -6682,6 +6740,31 @@ object SparkEntry {
               ELSE ${duckPpm("chi2_q", "nn * (least(n_x, n_y) - 1)")}
             END AS v2_pptr
           FROM chi CROSS JOIN kx CROSS JOIN ky""",
+
+    "q_mi_cat" ->
+      s"""WITH cells AS (SELECT lang AS x, source AS y,
+            CAST(count(*) AS BIGINT) AS c FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+          bx AS (SELECT x, CAST(sum(c) AS BIGINT) AS nx FROM cells
+            GROUP BY 1),
+          my AS (SELECT y, CAST(sum(c) AS BIGINT) AS ny FROM cells
+            GROUP BY 1),
+          tt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+          args AS (SELECT cells.c, tt.nn, bx.nx, my.ny
+            FROM cells JOIN bx USING (x) JOIN my USING (y) CROSS JOIN tt),
+          lx AS (SELECT DISTINCT c * nn AS x FROM args
+            UNION SELECT DISTINCT nx * ny FROM args),
+          $duckLog2Chain,
+          terms AS (SELECT a.c * (l1.lq - l2.lq) AS t, a.nn FROM args a
+            JOIN lgt l1 ON l1.x = a.c * a.nn
+            JOIN lgt l2 ON l2.x = a.nx * a.ny)
+          SELECT CAST(max(nn) AS BIGINT) AS n,
+            (SELECT CAST(count(*) AS BIGINT) FROM bx) AS n_x,
+            (SELECT CAST(count(*) AS BIGINT) FROM my) AS n_y,
+            CAST(sum(t) AS BIGINT) AS mi2_q,
+            round(CAST(sum(t) AS DOUBLE) /
+              (CAST(max(nn) AS DOUBLE) * 65536.0), 6) AS mi2
+          FROM terms""",
 
     "q_psi" ->
       s"""WITH c AS (SELECT source AS cat,

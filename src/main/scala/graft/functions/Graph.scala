@@ -175,6 +175,18 @@ object Graph {
       col("rank_q").cast("double") / lit(RScale.toDouble))
   }
 
+  /** Global PageRank — [[personalizedPageRank]] with the teleport
+    * spread uniformly over EVERY vertex (the original Page et al.
+    * 1998 form): rank measures global centrality in the candidate
+    * graph rather than proximity to a seed set. Identical fixed-point
+    * integer discipline, join shape, and per-round cost; isolated
+    * vertices keep exactly the damped base mass 3·RScale/(20·n).
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      vertices: DataFrame, idCol: String, iters: Int): DataFrame =
+    personalizedPageRank(pairs, aCol, bCol, vertices, idCol,
+      vertices.select(col(idCol)), iters)
+
   /** Deterministic synchronous label propagation (Raghavan et al. 2007)
     * — community detection, the third graph primitive alongside
     * connected components (reachability) and PageRank (centrality):

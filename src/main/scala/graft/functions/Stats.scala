@@ -478,6 +478,46 @@ object Stats {
         col("slope_med_ppm"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * information-theoretic member of the association trio beside
+    * [[cramersV]] (effect size) and the chi-square (significance):
+    * MI = Σ_xy p_xy·log2(p_xy/(p_x·p_y)) answers "how many BITS does
+    * knowing x buy about y" — the units a mixture/curriculum planner
+    * actually budgets in. Logs ride [[graft.plans.FixLog.log2q]] (the
+    * no-libm discipline): each populated cell contributes the exact
+    * integer c_xy·(log2q(c_xy·N) − log2q(n_x·n_y)), summed as mi2_q;
+    * MI in bits = mi2_q/(N·2^16). Empty cells contribute exactly 0
+    * (the 0·log 0 limit), so only the populated contingency is
+    * scanned. One row: (n, n_x, n_y, mi2_q, mi2).
+    *
+    * Scale shape: one partial-aggregable count pass; category-domain-
+    * sized cell and margin tables, broadcast-joined.
+    */
+  def categoricalMi(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val byX = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__nx"))
+    val byY = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__ny"))
+    val total = cells.agg(sum(col("__c")).as("__nn"))
+    cells
+      .join(broadcast(byX), Seq("__x"))
+      .join(broadcast(byY), Seq("__y"))
+      .crossJoin(broadcast(total))
+      .select(col("__c"), col("__nn"),
+        (col("__c") * (graft.plans.FixLog.log2qCol(col("__c") * col("__nn"))
+          - graft.plans.FixLog.log2qCol(col("__nx") * col("__ny"))))
+          .as("__t"))
+      .agg(max(col("__nn")).as("n"), sum(col("__t")).as("mi2_q"))
+      .crossJoin(broadcast(byX.agg(count(lit(1)).as("n_x"))))
+      .crossJoin(broadcast(byY.agg(count(lit(1)).as("n_y"))))
+      .select(col("n"), col("n_x"), col("n_y"), col("mi2_q"),
+        round(col("mi2_q").cast("double") /
+          (col("n").cast("double") * 65536.0), 6).as("mi2"))
+  }
+
   /** Chi-square test of independence between token and class over a
     * corpus (the frequentist companion of
     * [[NaiveBayes.tokenClassMi]]): cell contributions

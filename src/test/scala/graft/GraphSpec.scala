@@ -223,4 +223,19 @@ class GraphSpec extends AnyFunSuite {
         if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
     assert(again == got)
   }
+
+  test("global pageRank: hand-computed star-graph ranks after 1 round") {
+    // star a-{b,c}: r0 = 1e12 // 3 everywhere
+    //   r1(a) = 3e12 // 60 + (17 * (2 * 333333333333)) // 20
+    //   r1(b) = r1(c) = 3e12 // 60 + (17 * (333333333333 // 2)) // 20
+    val es = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val got = Graph.pageRank(es, "a", "b", vs, "id", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 50000000000L + (17L * 666666666666L) / 20L)
+    assert(got(2L) == 50000000000L + (17L * (333333333333L / 2L)) / 20L)
+    assert(got(2L) == got(3L))
+    // the hub out-ranks the leaves — centrality, not seed proximity
+    assert(got(1L) > got(2L))
+  }
 }

@@ -240,6 +240,22 @@ class StatsSpec extends AnyFunSuite {
       col("side") === "b").collect()(0).isNullAt(3))
   }
 
+  test("categoricalMi: exactly 1 bit on the diagonal, 0 at independence") {
+    // x = y (2x2 diagonal): each cell term 2*(log2q(8)-log2q(4)) =
+    // 2*65536 -> mi2_q = 262144 -> exactly 1.0 bit
+    val perfect = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val p = Stats.categoricalMi(perfect, "x", "y").collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+      == ((4L, 2L, 2L, 262144L)))
+    assert(p.getDouble(4) == 1.0)
+    // uniform 2x2: every cell log-ratio is exactly 0
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    assert(Stats.categoricalMi(indep, "x", "y").collect()(0)
+      .getLong(3) == 0L)
+  }
+
   test("cramersV: perfect association, independence, 1-level NULL") {
     // x = y always (2x2): chi2 = N -> V^2 exactly 1 (1e12 pptr)
     val perfect = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
