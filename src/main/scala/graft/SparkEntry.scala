@@ -2711,6 +2711,29 @@ object SparkEntry {
         "lang", "ntok")
     },
 
+    // Fano factor of each event type's daily arrival counts —
+    // Poisson-like (≈1) vs bursty (>1) dispersion, the formal reading
+    // beside q_burstiness; one exact rational per type.
+    "q_overdispersion" -> { (s, d) =>
+      graft.functions.Stats.fanoFactor(
+          Tables.eventsTs(s, d)
+            .groupBy(col("event_type"),
+              date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+            .agg(count(lit(1)).as("x")),
+          "event_type", "x")
+        .orderBy(col("event_type"))
+    },
+
+    // Per-document character entropy (bits/char) — the deterministic
+    // compressibility proxy of the quality suite: template floods
+    // score near zero, natural text ~4 bits; FixLog ladder, exact
+    // integer h2_q gated per doc.
+    "q_char_entropy" -> { (s, d) =>
+      graft.functions.Quality.charEntropy(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // At-most-one-change estimation over the daily event-count series
     // — WHERE the level shifted (argmax of the scale-free between-
     // segment statistic), beside q_cusum's THAT-it-drifted chart;
@@ -7042,6 +7065,42 @@ object SparkEntry {
               ELSE ${duckPpm("(n - k) * ssb", "(k - 1) * ssw")}
             END AS f_ppm
           FROM fin""",
+
+    "q_overdispersion" ->
+      s"""WITH dc AS (SELECT event_type,
+            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+          a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS t
+            FROM dc GROUP BY 1)
+          SELECT event_type, n,
+            CASE WHEN n < 2 OR s <= 0 THEN NULL
+              ELSE ${duckPpm("n * t - CAST(s AS HUGEINT) * s",
+                "(n - 1) * CAST(s AS HUGEINT)")}
+            END AS fano_ppm
+          FROM a ORDER BY event_type""",
+
+    "q_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id,
+            substr(text, CAST(i AS INTEGER), 1) AS ch FROM
+            (SELECT doc_id, text,
+              unnest(range(1, length(text) + 1)) AS i FROM documents)),
+          cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+            FROM ch GROUP BY 1, 2),
+          nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+            FROM cc GROUP BY 1),
+          lx AS (SELECT DISTINCT c AS x FROM cc
+            UNION SELECT DISTINCT n FROM nn),
+          $duckLog2Chain,
+          sl AS (SELECT cc.doc_id, CAST(sum(cc.c * l.lq) AS BIGINT) AS sl
+            FROM cc JOIN lgt l ON l.x = cc.c GROUP BY 1)
+          SELECT nn.doc_id, nn.n AS n_chars_h,
+            CAST(nn.n * ln.lq - sl.sl AS BIGINT) AS h2_q,
+            round(CAST(nn.n * ln.lq - sl.sl AS DOUBLE) /
+              (CAST(nn.n AS DOUBLE) * 65536.0), 6) AS bits_per_char
+          FROM nn JOIN lgt ln ON ln.x = nn.n JOIN sl USING (doc_id)
+          ORDER BY doc_id""",
 
     "q_changepoint" ->
       s"""WITH dc AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d')

@@ -310,6 +310,44 @@ object Quality {
         (col("n") < k).as("k_risk"), (col("l") < l).as("l_risk")): _*)
   }
 
+  /** Per-document CHARACTER ENTROPY in bits/char — the compressibility
+    * proxy of the quality suite (gzip-ratio's deterministic stand-in):
+    * near-zero flags repeated-character/template floods, natural text
+    * sits ~4 bits, id/hash floods push toward log2(charset). Shannon
+    * entropy through [[graft.plans.FixLog.log2q]] (no libm):
+    *
+    *   h2_q = n·log2q(n) − Σ_c c·log2q(c)   (2^16-scaled bit units)
+    *
+    * — exact integers; bits_per_char = h2_q/(n·2^16) is the rounded
+    * convenience double. Empty documents drop out (no characters, no
+    * distribution). BMP-only contract: Spark's split("") walks UTF-16
+    * units while the oracle's substr walks code points — identical on
+    * BMP text, divergent on astral chars (the corpus has none; a
+    * surrogate-aware splitter is the extension point).
+    * Output: (idCol, n_chars_h, h2_q, bits_per_char).
+    *
+    * Scale shape: scan-stage char explode + two partial-aggregable
+    * groupBys keyed by (doc, char) then doc — charset-bounded fanout.
+    */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cc = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .filter(length(col("__ch")) === 1)
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    cc.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c") * graft.plans.FixLog.log2qCol(col("__c")))
+          .as("__sl"))
+      .select(col(idCol), col("__n").as("n_chars_h"),
+        (col("__n") * graft.plans.FixLog.log2qCol(col("__n")) -
+          col("__sl")).as("h2_q"))
+      .withColumn("bits_per_char",
+        round(col("h2_q").cast("double") /
+          (col("n_chars_h").cast("double") * 65536.0), 6))
+  }
+
   /** RANDOMIZED RESPONSE frequency estimation (Warner 1965 — the
     * local-DP mechanism under RAPPOR): each record reports its binary
     * attribute FLIPPED with probability 1/denom, and the aggregator

@@ -478,6 +478,38 @@ object Stats {
         col("slope_med_ppm"))
   }
 
+  /** FANO FACTOR (index of dispersion) per group — sample variance
+    * over mean of a count series, the overdispersion card that says
+    * whether arrivals are Poisson-like (F ≈ 1), regular (F < 1), or
+    * bursty/clustered (F > 1; the [[Quality]] burstiness signal's
+    * formal cousin). One exact rational per group:
+    *
+    *   F = s²/x̄ = (n·T − S²) / ((n−1)·S),  S = Σx, T = Σx²
+    *
+    * ppm-rendered; NULL when n < 2 or S = 0 (no mean to divide by —
+    * note a nonempty count series with S = 0 is all-zero, where F is
+    * the 0/0 limit). Output: (group, n, fano_ppm). One partial-
+    * aggregable pass, group-domain-sized output.
+    */
+  def fanoFactor(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(groupCol), col(valueCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+        sum((col("__x").cast("decimal(19,0)") * col("__x")).cast(dec))
+          .cast(dec).as("__t"))
+      .select(col(groupCol), col("n"),
+        when(col("n") < 2L || col("__s") <= 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(
+            (col("n").cast(dec) * col("__t") -
+              (col("__s").cast("decimal(19,0)") * col("__s")).cast(dec))
+              .cast(dec),
+            ((col("n") - 1L).cast("decimal(19,0)") * col("__s"))
+              .cast(dec))).as("fano_ppm"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * information-theoretic member of the association trio beside
     * [[cramersV]] (effect size) and the chi-square (significance):

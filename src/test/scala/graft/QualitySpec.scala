@@ -305,6 +305,20 @@ class QualitySpec extends AnyFunSuite {
     assert(r2.getLong(1) == 0L && r2.getLong(2) == 1L && r2.isNullAt(4))
   }
 
+  test("charEntropy: uniform = log2(k) bits, constant = 0, empty drops") {
+    // "abcd": 4 distinct chars once each -> exactly 2 bits/char
+    //   h2_q = 4*log2q(4) - 4*1*log2q(1) = 4*131072 = 524288
+    // "aaaa": one char -> exactly 0
+    val docs = Seq((1L, "abcd"), (2L, "aaaa"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Quality.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 524288L, 2.0)))
+    assert(got(2L) == ((4L, 0L, 0.0)))
+    assert(!got.contains(3L)) // empty doc: no distribution, no row
+  }
+
   test("randomizedResponse: mechanism replay and exact debias") {
     import org.apache.spark.sql.Row
     // replay the deterministic coin to build the expected tallies

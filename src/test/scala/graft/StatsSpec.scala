@@ -285,6 +285,22 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.brownForsythe(flat, "g", "v").collect()(0).isNullAt(2))
   }
 
+  test("fanoFactor: Poisson-like 1, regular 0, bursty > 1, NULL guards") {
+    // {1,3}: var = 2, mean = 2 -> F = 1; {2,2}: var 0 -> F = 0;
+    // {0,8}: var = 32, mean = 4 -> F = 8
+    val df = Seq(("p", 1L), ("p", 3L), ("r", 2L), ("r", 2L),
+      ("b", 0L), ("b", 8L)).toDF("g", "x")
+    val got = Stats.fanoFactor(df, "g", "x").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) -1L
+        else r.getLong(2))).toMap
+    assert(got == Map("p" -> 1000000L, "r" -> 0L, "b" -> 8000000L))
+    // n = 1 and all-zero series have no dispersion reading
+    val deg = Seq(("one", 5L), ("z", 0L), ("z", 0L)).toDF("g", "x")
+    val d = Stats.fanoFactor(deg, "g", "x").collect()
+      .map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(d == Map("one" -> true, "z" -> true))
+  }
+
   test("changePoint: hand-computed split, means, constant-series tie") {
     // 1,1,5,5: split after t=2 maximizes G
     // d = st*n - s*t: -8, -16, -8; den = t(n-t)*s^2
