@@ -231,6 +231,65 @@ object SparkEntry {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** DuckDB fragment: the full q_corr_matrix statement — one
+    * aggregation row of HUGEINT power sums, then one SELECT per
+    * unordered column pair replaying Stats.corrMatrix's staged
+    * ppm floors.
+    */
+  private def duckCorrMatrix: String = {
+    val cols = Seq("qty", "price_c", "disc_pct", "tax_pct")
+    val sums = cols.map(c =>
+      s"""CAST(sum($c) AS HUGEINT) AS s_$c,
+          CAST(sum(CAST($c AS HUGEINT) * $c) AS HUGEINT) AS ss_$c""")
+      .mkString(", ")
+    val sps = (for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield s"""CAST(sum(CAST(${cols(i)} AS HUGEINT) * ${cols(j)})
+          AS HUGEINT) AS sp_${cols(i)}_${cols(j)}""").mkString(", ")
+    val pairSelects = (for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield {
+        val (x, y) = (cols(i), cols(j))
+        val cov = s"(n * sp_${x}_$y - s_$x * s_$y)"
+        val vx = s"(n * ss_$x - s_$x * s_$x)"
+        val vy = s"(n * ss_$y - s_$y * s_$y)"
+        val a = duckPpm(cov, vx)
+        s"""SELECT '$x' AS x_col, '$y' AS y_col, CAST(n AS BIGINT) AS n,
+            CAST(CASE WHEN $cov > 0 THEN 1 WHEN $cov < 0 THEN -1
+              ELSE 0 END AS BIGINT) AS r_sign,
+            CASE WHEN $vx <= 0 OR $vy <= 0 THEN NULL
+              ELSE ${duckPpm(s"CAST($a AS HUGEINT) * $cov", vy)}
+            END AS r2_pptr
+            FROM agg"""
+      }).mkString("\n UNION ALL ")
+    s"""WITH t AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+          CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+          CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct
+          FROM lineitem),
+        agg AS (SELECT CAST(count(*) AS HUGEINT) AS n, $sums, $sps FROM t)
+        SELECT * FROM ($pairSelects) ORDER BY x_col, y_col"""
+  }
+
+  /** DuckDB fragment: the q_image_dhash statement — gradient-sign
+    * bits over the 4x4 thumbnail grid replayed arithmetically through
+    * the text-as-PNG sampling contract (grid cell i reads the char at
+    * (i div 4)·64 + (i mod 4)·4, the q_image_thumb formula).
+    */
+  private def duckDhash: String = {
+    def pxi(i: Int): String = {
+      val pos = (i / 4) * 64 + (i % 4) * 4
+      s"(CASE WHEN $pos < length(text) THEN ascii(text[${pos + 1}]) ELSE 0 END)"
+    }
+    val hbits = (for { r <- 0 until 4; c <- 0 until 3 } yield
+      s"""CASE WHEN ${pxi(r * 4 + c)} > ${pxi(r * 4 + c + 1)}
+          THEN ${1L << (r * 3 + c)} ELSE 0 END""").mkString(" + ")
+    val vbits = (for { cc <- 0 until 4; r <- 0 until 3 } yield
+      s"""CASE WHEN ${pxi(r * 4 + cc)} > ${pxi((r + 1) * 4 + cc)}
+          THEN ${1L << (cc * 3 + r)} ELSE 0 END""").mkString(" + ")
+    s"""SELECT doc_id AS media_id, CAST($hbits AS BIGINT) AS dhash_h,
+        CAST($vbits AS BIGINT) AS dhash_v
+        FROM documents ORDER BY media_id"""
+  }
+
   private def duckPpm(num: String, den: String,
       scale: Long = 1000000L): String =
     s"""(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) *
@@ -2709,6 +2768,39 @@ object SparkEntry {
           .select(col("lang"), Text.tokenCount(col("text")).cast("long")
             .as("ntok")),
         "lang", "ntok")
+    },
+
+    // Pairwise Pearson correlation matrix over lineitem's four
+    // quantized measures in ONE aggregation pass — sign + sqrt-free
+    // r² per pair (staged floors keep corpus-scale cent sums inside
+    // decimal(38)); the redundancy card a feature audit opens with.
+    "q_corr_matrix" -> { (s, d) =>
+      graft.functions.Stats.corrMatrix(
+          Tables.lineitem(s, d).select(
+            round(col("l_quantity"), 0).cast("long").as("qty"),
+            round(col("l_extendedprice") * 100, 0).cast("long")
+              .as("price_c"),
+            round(col("l_discount") * 100, 0).cast("long").as("disc_pct"),
+            round(col("l_tax") * 100, 0).cast("long").as("tax_pct")),
+          Seq("qty", "price_c", "disc_pct", "tax_pct"))
+        .orderBy(col("x_col"), col("y_col"))
+    },
+
+    // Perceptual difference-hash (dHash) of every synthesized image's
+    // 4x4 thumbnail — gradient-sign bits that survive re-encoding
+    // where byte hashes break; horizontal + vertical 12-bit pair per
+    // image, replayed arithmetically by the oracle through the
+    // text-as-PNG contract.
+    "q_image_dhash" -> { (s, d) =>
+      val thumbs = graft.multimodal.Media.imageThumbnails(
+        graft.multimodal.Media.textAsPng(
+          Tables.documents(s, d), "doc_id", "text"), 4)
+      val px = transform(col("thumb"), p =>
+        round(p.cast("double") * 255.0, 0).cast("long"))
+      thumbs.select(col("media_id"),
+          graft.multimodal.Media.dHashH(px, 4).as("dhash_h"),
+          graft.multimodal.Media.dHashV(px, 4).as("dhash_v"))
+        .orderBy(col("media_id"))
     },
 
     // Fano factor of each event type's daily arrival counts —
@@ -7065,6 +7157,10 @@ object SparkEntry {
               ELSE ${duckPpm("(n - k) * ssb", "(k - 1) * ssw")}
             END AS f_ppm
           FROM fin""",
+
+    "q_corr_matrix" -> duckCorrMatrix,
+
+    "q_image_dhash" -> duckDhash,
 
     "q_overdispersion" ->
       s"""WITH dc AS (SELECT event_type,

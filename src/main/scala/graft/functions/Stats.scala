@@ -478,6 +478,60 @@ object Stats {
         col("slope_med_ppm"))
   }
 
+  /** PAIRWISE PEARSON CORRELATION MATRIX over k integer-quantized
+    * columns in ONE aggregation pass — the descriptive-stats card a
+    * feature audit opens with ("which metrics are redundant"):
+    * per pair, sign(cov) and the sqrt-free magnitude
+    *
+    *   r² = cov² / (var_x·var_y),
+    *   cov = n·Σxy − Σx·Σy,  var = n·Σx² − (Σx)²
+    *
+    * rendered as r2_pptr (parts per trillion) by the deterministic
+    * two-stage floor a = ppm(cov, var_x); r2_pptr = ppm(a·cov, var_y)
+    * — squaring cov directly would overflow decimal(38) on corpus-
+    * scale cent sums, the staged form never leaves the safe range
+    * (|a| ≤ 10^6·√(var_y/var_x) by |r| ≤ 1). NULL when either
+    * variance is 0. Output: one row per unordered pair (x_col <
+    * y_col positionally): (x_col, y_col, n, r_sign, r2_pptr).
+    *
+    * Scale shape: a single partial-aggregable pass computing the
+    * k + k + C(k,2) sums; the pair table is k²-bounded.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val dec = "decimal(38,0)"
+    val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+      .na.drop(cols)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(col(c)).as(s"__s_$c")) ++
+      cols.map(c => sum((col(c).cast("decimal(19,0)") * col(c)).cast(dec))
+        .cast(dec).as(s"__ss_$c")) ++
+      (for { i <- cols.indices; j <- i + 1 until cols.size } yield
+        sum((col(cols(i)).cast("decimal(19,0)") * col(cols(j))).cast(dec))
+          .cast(dec).as(s"__sp_${cols(i)}_${cols(j)}"))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield {
+        val (x, y) = (cols(i), cols(j))
+        val n = col("__n").cast(dec)
+        val cov = (n * col(s"__sp_${x}_$y") -
+          col(s"__s_$x").cast(dec) * col(s"__s_$y")).cast(dec)
+        val vx = (n * col(s"__ss_$x") -
+          col(s"__s_$x").cast(dec) * col(s"__s_$x")).cast(dec)
+        val vy = (n * col(s"__ss_$y") -
+          col(s"__s_$y").cast(dec) * col(s"__s_$y")).cast(dec)
+        one.select(lit(x).as("x_col"), lit(y).as("y_col"),
+          col("__n").as("n"),
+          signum(cov.cast("double")).cast("long").as("r_sign"),
+          when(vx <= 0 || vy <= 0, lit(null).cast("long"))
+            .otherwise(fixedPointExact(
+              (fixedPointExact(cov, vx).cast("decimal(19,0)") * cov)
+                .cast(dec), vy)).as("r2_pptr"))
+      }
+    pairs.reduce(_.unionByName(_))
+  }
+
   /** FANO FACTOR (index of dispersion) per group — sample variance
     * over mean of a count series, the overdispersion card that says
     * whether arrivals are Poisson-like (F ≈ 1), regular (F < 1), or

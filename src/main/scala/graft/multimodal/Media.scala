@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -174,6 +174,32 @@ object Media {
       }
       .toDF("media_id", "thumb")
   }
+
+  /** DIFFERENCE-HASH (dHash) bits over a k×k pixel grid — the
+    * classic perceptual image fingerprint (gradient signs survive
+    * re-encoding, brightness shifts, and mild noise that break exact
+    * byte hashes): bit r·(k−1)+c is set iff px[r][c] > px[r][c+1].
+    * `px` is a 1-based array column of integer pixel values (the
+    * [[imageThumbnails]] grid, rescaled to 0..255). A pure literal-
+    * mask comparison chain — codegen-friendly, oracle-replayable.
+    * Horizontal gradients; [[dHashV]] is the column-wise transpose,
+    * and the (h, v) pair is the standard 2·k·(k−1)-bit fingerprint.
+    */
+  def dHashH(px: Column, k: Int): Column =
+    (for { r <- 0 until k; c <- 0 until k - 1 } yield
+      when(element_at(px, r * k + c + 1) > element_at(px, r * k + c + 2),
+        lit(1L << (r * (k - 1) + c))).otherwise(lit(0L))
+    ).reduce(_ + _)
+
+  /** Vertical companion of [[dHashH]]: bit c·(k−1)+r is set iff
+    * px[r][c] > px[r+1][c].
+    */
+  def dHashV(px: Column, k: Int): Column =
+    (for { c <- 0 until k; r <- 0 until k - 1 } yield
+      when(element_at(px, r * k + c + 1) >
+          element_at(px, (r + 1) * k + c + 1),
+        lit(1L << (c * (k - 1) + r))).otherwise(lit(0L))
+    ).reduce(_ + _)
 
   /** A REAL audio table from the text corpus: character i of each
     * document becomes 16-bit PCM sample (byte_i - 64)·256, WAV-encoded

@@ -102,4 +102,24 @@ class ImageCodecSpec extends AnyFunSuite {
     // (0,1),(2,1) = 'a','c','e','g'
     assert(thumbs(1L) == Seq('a', 'c', 'e', 'g').map(_.toInt / 255.0f))
   }
+
+  test("dHash bits: hand-computed 2x2 gradients, flat image all-zero") {
+    // grid [[10,5],[3,8]]: H: 10>5 -> bit0 of row0; 3>8 no.
+    //                      V: 10>3 -> bit0 of col0; 5>8 no.
+    val df = Seq((1L, Seq(10L, 5L, 3L, 8L)), (2L, Seq(7L, 7L, 7L, 7L)))
+      .toDF("id", "px")
+    val got = df.select(col("id"), Media.dHashH(col("px"), 2).as("h"),
+        Media.dHashV(col("px"), 2).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((0L, 0L))) // no strict gradient anywhere
+    // 3x3 descending rows: every horizontal comparison fires ->
+    // h = all 6 bits; vertical ascending columns -> v = 0
+    val desc = Seq((3L, Seq(9L, 8L, 7L, 19L, 18L, 17L, 29L, 28L, 27L)))
+      .toDF("id", "px")
+    val d3 = desc.select(Media.dHashH(col("px"), 3).as("h"),
+      Media.dHashV(col("px"), 3).as("v")).collect()(0)
+    assert(d3.getLong(0) == 63L && d3.getLong(1) == 0L)
+  }
 }

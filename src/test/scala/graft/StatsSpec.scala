@@ -285,6 +285,21 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.brownForsythe(flat, "g", "v").collect()(0).isNullAt(2))
   }
 
+  test("corrMatrix: perfect +/- correlation, zero-variance NULL") {
+    // y = 2x exactly -> r_sign +1, r2 = 1e12; z = -x -> sign -1, 1e12;
+    // w constant -> NULL against everything
+    val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L))
+      .toDF("x", "y", "z", "w")
+    val got = Stats.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(("x", "y")) == ((1L, 1000000000000L)))
+    assert(got(("x", "z")) == ((-1L, 1000000000000L)))
+    assert(got(("y", "z")) == ((-1L, 1000000000000L)))
+    assert(got(("x", "w"))._2 == -1L && got(("y", "w"))._2 == -1L)
+    assert(got.size == 6)
+  }
+
   test("fanoFactor: Poisson-like 1, regular 0, bursty > 1, NULL guards") {
     // {1,3}: var = 2, mean = 2 -> F = 1; {2,2}: var 0 -> F = 0;
     // {0,8}: var = 32, mean = 4 -> F = 8
