@@ -511,7 +511,9 @@ object Stats {
         sum((col(cols(i)).cast("decimal(19,0)") * col(cols(j))).cast(dec))
           .cast(dec).as(s"__sp_${cols(i)}_${cols(j)}"))
     val one = base.agg(aggs.head, aggs.tail: _*)
-    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+    // ONE aggregation row exploded into the pair table — never one
+    // re-aggregation (= one more full scan) per pair
+    val pairStructs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield {
         val (x, y) = (cols(i), cols(j))
         val n = col("__n").cast(dec)
@@ -521,7 +523,7 @@ object Stats {
           col(s"__s_$x").cast(dec) * col(s"__s_$x")).cast(dec)
         val vy = (n * col(s"__ss_$y") -
           col(s"__s_$y").cast(dec) * col(s"__s_$y")).cast(dec)
-        one.select(lit(x).as("x_col"), lit(y).as("y_col"),
+        struct(lit(x).as("x_col"), lit(y).as("y_col"),
           col("__n").as("n"),
           signum(cov.cast("double")).cast("long").as("r_sign"),
           when(vx <= 0 || vy <= 0, lit(null).cast("long"))
@@ -529,7 +531,9 @@ object Stats {
               (fixedPointExact(cov, vx).cast("decimal(19,0)") * cov)
                 .cast(dec), vy)).as("r2_pptr"))
       }
-    pairs.reduce(_.unionByName(_))
+    one.select(explode(array(pairStructs: _*)).as("__p"))
+      .select(col("__p.x_col"), col("__p.y_col"), col("__p.n"),
+        col("__p.r_sign"), col("__p.r2_pptr"))
   }
 
   /** FANO FACTOR (index of dispersion) per group — sample variance

@@ -505,6 +505,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one scan:\n$p")
   }
 
+  test("corr matrix: all 14 power sums in ONE scan + ONE aggregate, " +
+      "pairs exploded from the single row") {
+    val p = plan("q_corr_matrix")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"expected exactly one scan (one re-aggregation per pair would " +
+        s"scan 6x at 100 TB):\n$p")
+    assert(p.contains("partial"), s"lost partial aggregation:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("decay count and content hash: partial aggregation, no windows") {
     for (q <- Seq("q_decay_count", "q_content_hash")) {
       val p = plan(q)
