@@ -360,4 +360,98 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  val twoSampleGen: Gen[List[(Long, Boolean)]] = Gen.listOfN(60,
+    for {
+      v <- Gen.choose(0L, 30L)
+      side <- Gen.oneOf(true, false)
+    } yield (v, side))
+
+  test("property: Mann-Whitney z² is invariant under strictly monotone " +
+      "maps; U sides are complementary") {
+    import spark.implicits._
+    import graft.functions.Stats
+    forAll(twoSampleGen) { rows =>
+      val df = rows.toDF("v", "a")
+      val r = Stats.mannWhitneyU(df, "v", col("a"), !col("a")).collect()(0)
+      // ranks only see order: v -> 7v + 3 changes nothing
+      val mapped = rows.map { case (v, s) => (7L * v + 3L, s) }
+        .toDF("v", "a")
+      val m = Stats.mannWhitneyU(mapped, "v", col("a"), !col("a"))
+        .collect()(0)
+      assert(r.getLong(2) == m.getLong(2))
+      assert(r.isNullAt(3) == m.isNullAt(3))
+      if (!r.isNullAt(3)) assert(r.getLong(3) == m.getLong(3))
+      // U_a + U_b = n_a * n_b (at 2x scale)
+      val rb = Stats.mannWhitneyU(df, "v", !col("a"), col("a"))
+        .collect()(0)
+      assert(r.getLong(2) + rb.getLong(2) ==
+        2L * r.getLong(0) * r.getLong(1))
+    }
+  }
+
+  test("property: Wasserstein-1 is translation-invariant, scales " +
+      "linearly, and vanishes iff the multisets match") {
+    import spark.implicits._
+    import graft.functions.Stats
+    forAll(twoSampleGen) { rows =>
+      val df = rows.toDF("v", "a")
+      val r = Stats.wasserstein1(df, "v", col("a"), !col("a")).collect()(0)
+      if (r.getLong(0) > 0 && r.getLong(1) > 0) {
+        val shift = rows.map { case (v, s) => (v + 11L, s) }.toDF("v", "a")
+        val sR = Stats.wasserstein1(shift, "v", col("a"), !col("a"))
+          .collect()(0)
+        assert(r.getLong(2) == sR.getLong(2), "translation invariance")
+        val scaled = rows.map { case (v, s) => (5L * v, s) }.toDF("v", "a")
+        val kR = Stats.wasserstein1(scaled, "v", col("a"), !col("a"))
+          .collect()(0)
+        assert(kR.getLong(2) == 5L * r.getLong(2), "positive homogeneity")
+        val aSorted = rows.filter(_._2).map(_._1).sorted
+        val bSorted = rows.filterNot(_._2).map(_._1).sorted
+        if (aSorted == bSorted) assert(r.getLong(2) == 0L)
+      }
+    }
+  }
+
+  test("property: conformal sets always hold the argmax, and shrinking " +
+      "alpha only grows tau, coverage, and set size") {
+    import spark.implicits._
+    import graft.functions.Eval
+    forAll(Gen.listOfN(80, for {
+      id <- Gen.choose(0L, 100000L)
+      s1 <- Gen.choose(0L, 50L)
+      s2 <- Gen.choose(0L, 50L)
+    } yield (id, s1, s2))) { raw =>
+      val rows = raw.distinctBy(_._1)
+      if (rows.size >= 20) {
+        val po = rows.flatMap { case (id, s1, s2) =>
+          val (hi, lo) = (math.max(s1, s2), math.min(s1, s2))
+          Seq((id, "a", hi, 1), (id, "b", lo, 2))
+        }.toDF("doc_id", "class", "score_q", "rank")
+        val truth = rows.map { case (id, _, _) =>
+          (id, if (id % 2 == 0) "a" else "b")
+        }.toDF("doc_id", "lang")
+        def run(alphaBps: Int) = Eval.conformalSplit(po, truth,
+          "doc_id", "lang", col("doc_id") % 3 === 0, alphaBps)
+          .collect()(0)
+        val strict = run(5000)
+        val loose = run(1000)
+        for (r <- Seq(strict, loose) if !r.isNullAt(2) && r.getLong(3) > 0) {
+          // tau >= 0, so the argmax (nonconformity 0) is ALWAYS in the
+          // set: sizes live in [1, n_classes] exactly
+          assert(r.getLong(2) >= 0L)
+          assert(r.getLong(6) >= 1000000L && r.getLong(6) <= 2000000L)
+        }
+        // smaller alpha -> higher rank -> weakly larger tau, coverage,
+        // and set size (the validity/efficiency dial is monotone)
+        if (!strict.isNullAt(2) && !loose.isNullAt(2)) {
+          assert(loose.getLong(2) >= strict.getLong(2))
+          if (strict.getLong(3) > 0) {
+            assert(loose.getLong(5) >= strict.getLong(5))
+            assert(loose.getLong(6) >= strict.getLong(6))
+          }
+        }
+      }
+    }
+  }
 }
