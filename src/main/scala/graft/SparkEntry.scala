@@ -2770,6 +2770,30 @@ object SparkEntry {
         "lang", "ntok")
     },
 
+    // Positional phrase search: exact-sequence match over term-
+    // filtered postings — the query bag-of-words BM25 can't answer;
+    // the scan prunes to the phrase's three posting lists before any
+    // join (the selective-term pushdown that keeps phrase queries
+    // cheap at corpus scale).
+    "q_phrase_search" -> { (s, d) =>
+      graft.functions.TextIndex.phraseSearch(Tables.documents(s, d),
+          "doc_id", "text", Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-slice (per-language) accuracy of the NB classifier — the
+    // fairness/robustness audit the aggregate accuracy hides; same
+    // memo-shared scoring chain, exact counts per slice.
+    "q_slice_accuracy" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classify(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.sliceAccuracy(pred, "lang",
+          col("pred_class") === col("lang"))
+        .orderBy(col("lang"))
+    },
+
     // Pairwise Pearson correlation matrix over lineitem's four
     // quantized measures in ONE aggregation pass — sign + sqrt-free
     // r² per pair (staged floors keep corpus-scale cent sums inside
@@ -7157,6 +7181,37 @@ object SparkEntry {
               ELSE ${duckPpm("(n - k) * ssb", "(k - 1) * ssw")}
             END AS f_ppm
           FROM fin""",
+
+    "q_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk
+            FROM documents),
+          hits AS (SELECT doc_id, i - 1 AS p FROM
+            (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+             FROM tk)
+            WHERE tk[i] = 'slow' AND tk[i + 1] = 'hash'
+              AND tk[i + 2] = 'batch')
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+            CAST(min(p) AS BIGINT) AS first_pos
+          FROM hits GROUP BY 1 ORDER BY doc_id""",
+
+    "q_slice_accuracy" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          pr AS (SELECT f.doc_id, f.class AS pc, dd.lang
+            FROM fin f JOIN documents dd USING (doc_id) WHERE f.rn = 1),
+          a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(CASE WHEN pc = lang THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_correct
+            FROM pr GROUP BY 1)
+          SELECT lang, n, n_correct, ${duckPpm("n_correct", "n")}
+            AS acc_ppm
+          FROM a ORDER BY lang""",
 
     "q_corr_matrix" -> duckCorrMatrix,
 

@@ -685,6 +685,23 @@ object Eval {
           .as("kappa_ppm"))
   }
 
+  /** PER-SLICE ACCURACY — the fairness/robustness audit a single
+    * aggregate accuracy hides: the same classifier can be 95% on the
+    * majority slice and 60% on a minority one, and the aggregate
+    * won't say so. One partial-aggregable pass; exact counts and ppm
+    * per slice. The max−min gap across the returned rows is the
+    * standard worst-slice fairness reading. Output:
+    * (sliceCol, n, n_correct, acc_ppm), one row per slice.
+    */
+  def sliceAccuracy(pred: DataFrame, sliceCol: String,
+      correct: Column): DataFrame =
+    pred.groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(correct, 1L).otherwise(0L)), lit(0L))
+          .as("n_correct"))
+      .select(col(sliceCol), col("n"), col("n_correct"),
+        Stats.fixedPointExact(col("n_correct"), col("n")).as("acc_ppm"))
+
   /** SPLIT CONFORMAL prediction sets over a (id, class, score_q)
     * posterior table — the distribution-free coverage machinery
     * (Vovk et al.; Angelopoulos & Bates 2022): calibrate the

@@ -134,4 +134,34 @@ object TextIndex {
         .crossJoin(broadcast(meta.select(col("n_docs"), col("t_tokens")))),
       idCol, k)
   }
+
+  /** PHRASE SEARCH over positional postings — the exact-sequence
+    * query a bag-of-words index (BM25, tf-idf) cannot answer: doc
+    * positions of token i must sit at `first + i` for every phrase
+    * token. The classic positional-index plan: postings are filtered
+    * to the PHRASE'S OWN TOKENS before any join (the selective-term
+    * pushdown that makes phrase queries cheap at corpus scale — the
+    * scan prunes to |phrase| posting lists, never the full index),
+    * then an equi-join chain on (doc, aligned position). Output:
+    * (idCol, n_matches, first_pos), 0-based positions, one row per
+    * matching document.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must not be empty")
+    val post = docs.select(col(idCol),
+        posexplode(Text.tokens(col(textCol))).as(Seq("__pi", "__t")))
+      .select(col(idCol), col("__pi").cast("long").as("__p"), col("__t"))
+      .filter(col("__t").isInCollection(phrase.distinct))
+    val first = post.filter(col("__t") === phrase.head)
+      .select(col(idCol), col("__p").as("__p0"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (tok, i)) =>
+        acc.join(post.filter(col("__t") === tok)
+          .select(col(idCol), (col("__p") - i).as("__p0")),
+          Seq(idCol, "__p0"))
+    }
+    aligned.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("__p0")).as("first_pos"))
+  }
 }

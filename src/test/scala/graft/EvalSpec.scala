@@ -426,6 +426,19 @@ class EvalSpec extends AnyFunSuite {
     assert(Eval.cohenKappa(chance).collect()(0).getLong(3) == 0L)
   }
 
+  test("sliceAccuracy: exact per-slice ppm, empty-correct slice is 0") {
+    import spark.implicits._
+    val pred = Seq((1L, "en", "en"), (2L, "en", "fr"), (3L, "en", "en"),
+      (4L, "fr", "en"), (5L, "fr", "en"))
+      .toDF("doc_id", "lang", "pred_class")
+    val got = Eval.sliceAccuracy(pred, "lang",
+        col("pred_class") === col("lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("en") == ((3L, 2L, 666667L)))
+    assert(got("fr") == ((2L, 0L, 0L))) // the slice the aggregate hides
+  }
+
   test("conformalSplit: hand-built posteriors, tau rank, coverage, sets") {
     import spark.implicits._
     val po = Seq(

@@ -113,4 +113,25 @@ class TextIndexSpec extends AnyFunSuite {
       .select("doc_id").as[Long].head()
     assert(first == 3L)
   }
+
+  test("phraseSearch: exact sequences only, overlaps count, 0-based pos") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c a b c"),  // two matches, first at 0
+      (2L, "a b"),          // prefix only — no match
+      (3L, "x a b c y"),    // one match at 1
+      (4L, "c b a"),        // all tokens, wrong order
+      (5L, "a a a"))        // phrase tokens repeat without the sequence
+      .toDF("doc_id", "text")
+    val got = TextIndex.phraseSearch(docs, "doc_id", "text",
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 0L)), 3L -> ((1L, 1L))))
+    // overlapping occurrences all count: "a a a" vs phrase "a a"
+    val over = TextIndex.phraseSearch(docs.filter(col("doc_id") === 5),
+        "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(over.toSeq == Seq((2L, 0L)))
+  }
 }
