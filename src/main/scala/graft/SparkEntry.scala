@@ -231,6 +231,68 @@ object SparkEntry {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** DuckDB fragment: Vec.rpSign's random-hyperplane bucket id over a
+    * list column — one left-fold projection per bit (the
+    * q_rp_lsh_bucket arithmetic, parameterized).
+    */
+  private def duckRpBucket(embCol: String, nBits: Int): String =
+    (0 until nBits).map { j =>
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len($embCol) + 1),
+            i -> (CASE WHEN (i * 2654435761 + ${j + 1} * 40503) % 65536 < 32768
+                  THEN 1.0 ELSE -1.0 END) * CAST($embCol[i] AS DOUBLE))),
+          (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  /** DuckDB statement: the full q_nndescent replay — LSH-bucket
+    * seeding, then `rounds` unrolled neighbor-of-neighbor stages,
+    * each rescoring candidates with the load-bearing dot shape and
+    * keeping top-k per node (sim DESC NULLS LAST, id — Vec.pairSim's
+    * NULL-for-zero-norm and tie-break exactly).
+    */
+  private def duckNnDescent(k: Int, nBits: Int, rounds: Int,
+      ringWindow: Int): String = {
+    val dot = duckDotSql _
+    def simStage(r: Int): String =
+      s"""s$r AS (SELECT c.s, c.d,
+            CASE WHEN a.nm * b.nm = 0 THEN NULL
+              ELSE round(${dot("va.embedding", "vb.embedding")} /
+                (a.nm * b.nm), 6) END AS sim
+            FROM c$r c JOIN v va ON va.id = c.s JOIN v vb ON vb.id = c.d
+            JOIN nm a ON a.id = c.s JOIN nm b ON b.id = c.d),
+          g$r AS (SELECT s, d, sim, rn FROM
+            (SELECT s, d, sim, row_number() OVER (PARTITION BY s
+               ORDER BY sim DESC NULLS LAST, d) AS rn FROM s$r)
+            WHERE rn <= $k)"""
+    def candStage(r: Int): String =
+      s"""sym$r AS (SELECT s, d FROM g$r UNION SELECT d, s FROM g$r),
+          c${r + 1} AS (SELECT x.s, y.d FROM sym$r x JOIN sym$r y
+            ON y.s = x.d WHERE x.s <> y.d
+          UNION SELECT s, d FROM sym$r)"""
+    val stages = (0 to rounds).map { r =>
+      if (r < rounds) simStage(r) + ",\n" + candStage(r)
+      else simStage(r)
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        nm AS (SELECT id, sqrt(${dot("embedding", "embedding")}) AS nm
+          FROM v),
+        bkt AS (SELECT id, ${duckRpBucket("embedding", nBits)} AS b
+          FROM v),
+        ord AS (SELECT id, row_number() OVER
+            (ORDER BY ${duckMixOf("id")}, id) AS rn FROM v),
+        ring AS (SELECT a.id AS s, b.id AS d FROM ord a JOIN ord b
+            ON b.rn > a.rn AND b.rn <= a.rn + ${ringWindow - 1}
+          UNION SELECT b.id, a.id FROM ord a JOIN ord b
+            ON b.rn > a.rn AND b.rn <= a.rn + ${ringWindow - 1}),
+        c0 AS (SELECT a.id AS s, b.id AS d FROM bkt a
+            JOIN bkt b ON a.b = b.b AND a.id <> b.id
+          UNION SELECT s, d FROM ring),
+        $stages
+        SELECT s AS node_id, d AS neighbor_id, sim,
+          CAST(rn AS BIGINT) AS "rank"
+        FROM g$rounds ORDER BY node_id, "rank""""
+  }
+
   /** DuckDB fragment: the full q_corr_matrix statement — one
     * aggregation row of HUGEINT power sums, then one SELECT per
     * unordered column pair replaying Stats.corrMatrix's staged
@@ -3302,6 +3364,17 @@ object SparkEntry {
       Tables.embeddings(s, d)
         .select(col("vec_id"), Vec.rpLshBucket(col("embedding"), 8).as("bucket"))
         .orderBy(col("vec_id"))
+    },
+
+    // NN-descent approximate kNN GRAPH (the structure under graph ANN
+    // and mutual-kNN dedup): LSH + hash-ring seeded, three neighbor-
+    // of-neighbor refinement rounds at k=16 — 0.96 recall@4 vs the
+    // exact graph (DedupVecSpec) at O(n·k²) candidates per round
+    // where brute force is O(n²).
+    "q_nndescent" -> { (s, d) =>
+      Vec.nnDescent(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 16, nBits = 4, rounds = 3, ringWindow = 8)
+        .orderBy(col("node_id"), col("rank"))
     },
 
     // Matryoshka funnel search: 16-dim-prefix shortlist of 20, exact
@@ -8122,17 +8195,13 @@ object SparkEntry {
           ORDER BY id_a, id_b"""
     },
 
-    "q_rp_lsh_bucket" -> {
-      val projs = (0 until 8).map { j =>
-        s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, len(embedding) + 1),
-              i -> (CASE WHEN (i * 2654435761 + ${j + 1} * 40503) % 65536 < 32768
-                    THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE))),
-            (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END)"""
-      }.mkString(" + ")
-      s"""SELECT vec_id, CAST($projs AS BIGINT) AS bucket
-          FROM embeddings ORDER BY vec_id"""
-    },
+    "q_rp_lsh_bucket" ->
+      s"""SELECT vec_id, CAST(${duckRpBucket("embedding", 8)} AS BIGINT)
+            AS bucket
+          FROM embeddings ORDER BY vec_id""",
+
+    "q_nndescent" -> duckNnDescent(k = 16, nBits = 4, rounds = 3,
+      ringWindow = 8),
 
     "q_pca_dir" ->
       s"""WITH ${duckPcaChain()}

@@ -566,4 +566,39 @@ class DedupVecSpec extends AnyFunSuite {
       "cell", "label").collect()(0)
     assert(t.getLong(2) == 3L && t.getLong(4) == 500000L)
   }
+
+  test("nnDescent: refinement rounds strictly improve recall against " +
+      "the exact kNN graph; shape invariants hold") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 4
+    val exact = Vec.bruteForceTopK(emb, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    def recallOf(rounds: Int): Double = {
+      // recall@4 of a WIDER (k=16) graph truncated to the top 4 —
+      // the build-wide-serve-narrow kNN-graph practice
+      val g = Vec.nnDescent(emb, "vec_id", "embedding", k = 16,
+          nBits = 4, rounds = rounds, ringWindow = 8)
+        .filter(col("rank") <= k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      val hits = exact.map { case (q, ex) =>
+        (g.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+      }
+      hits.sum / exact.size
+    }
+    val r0 = recallOf(0)
+    val r3 = recallOf(3)
+    assert(r3 > r0, s"rounds did not help: seed=$r0 refined=$r3")
+    assert(r3 >= 0.9, s"refined recall too low: $r3")
+    // shape: at most k neighbors per node, ranks contiguous from 1,
+    // no self-edges
+    val g2 = Vec.nnDescent(emb, "vec_id", "embedding", k, 4, 2).collect()
+    assert(g2.forall(r => r.getLong(0) != r.getLong(1)))
+    val byNode = g2.groupBy(_.getLong(0))
+    assert(byNode.values.forall(rs =>
+      rs.length <= k && rs.map(_.getLong(3)).sorted.toSeq ==
+        (1L to rs.length.toLong)))
+  }
 }

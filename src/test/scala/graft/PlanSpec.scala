@@ -601,7 +601,8 @@ class PlanSpec extends AnyFunSuite {
         "q_levene", "q_theil_sen", "q_conformal", "q_pr_auc",
         "q_changepoint", "q_seq_patterns", "q_pagerank", "q_mi_cat",
         "q_overdispersion", "q_char_entropy", "q_corr_matrix",
-        "q_image_dhash", "q_phrase_search", "q_slice_accuracy")) {
+        "q_image_dhash", "q_phrase_search", "q_slice_accuracy",
+        "q_nndescent")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
