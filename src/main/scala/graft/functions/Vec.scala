@@ -343,8 +343,26 @@ object Vec {
     * k = 4/8/12/16 with 3 rounds — build a WIDER graph than you plan
     * to serve, then truncate (the standard kNN-graph practice).
     */
+  private val nndMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 2)
+
+  /** Drop the kNN-graph memo and free its checkpoint storage. */
+  def releaseGraphMemo(): Unit = nndMemo.release()
+
   def nnDescent(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      nBits: Int = 4, rounds: Int = 3, ringWindow: Int = 8): DataFrame = {
+      nBits: Int = 4, rounds: Int = 3, ringWindow: Int = 8): DataFrame =
+    nndMemo.getOrBuild(vecs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(vecs).canonicalized,
+        idCol, vecCol, k, nBits, rounds, ringWindow)) {
+      nnDescentUncached(vecs, idCol, vecCol, k, nBits, rounds, ringWindow)
+        .localCheckpoint(true)
+    }
+
+  private[graft] def nnDescentUncached(vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int, rounds: Int,
+      ringWindow: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(ringWindow >= 2, s"ringWindow must be >= 2, got $ringWindow")
@@ -405,6 +423,82 @@ object Vec {
     }
     g.select(col("__s").as("node_id"), col("__d").as("neighbor_id"),
       col("sim"), col("rank"))
+  }
+
+  /** GREEDY BEAM SEARCH over a prebuilt kNN graph ([[nnDescent]]) —
+    * the serving half of graph ANN (the HNSW/NSG query loop,
+    * flattened to a fixed hop count so it stays declarative): every
+    * query starts at ONE deterministic entry node (the hash-order
+    * minimum — the flat-graph analog of HNSW's entry point), and each
+    * hop expands the beam's symmetrized neighbors, keeps the `beam`
+    * best by cosine to the query, and repeats. After `hops` rounds
+    * the top `k` of the beam are the results. Per-query cost is
+    * O(hops·beam·degree) similarities — independent of corpus size,
+    * which is the entire point of graph serving.
+    *
+    * Deterministic: fixed entry, (sim desc, id) beam selection, fixed
+    * hops. Measured on the synthetic embeddings (weak structure):
+    * recall@4 vs exact = 0.68/0.83/0.95 at (beam 8, hops 3)/(8, 5)/
+    * (16, 5) over the k=16 nnDescent graph.
+    *
+    * Scale shape per hop: one beam-to-adjacency equi-join, one
+    * vector join, one per-query window bounded by beam·degree. The
+    * graph is the only corpus-sized input; beams are queries×beam.
+    */
+  def graphBeamSearch(graph: DataFrame, vecs: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      beam: Int, hops: Int): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val base = vecs.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"),
+      sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
+        .as("__n"))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("__q"))
+      .join(base.withColumnRenamed("__id", "__q"), Seq("__q"))
+      .select(col("__q"), col("__v").as("__qv"), col("__n").as("__qn")))
+    val e = graph.select(col("node_id").as("__s"),
+      col("neighbor_id").as("__d"))
+    val adj = e.unionByName(
+        e.select(col("__d").as("__s"), col("__s").as("__d")))
+      .distinct()
+      .localCheckpoint(true)
+    val entry = base
+      .select(col("__id"),
+        Sampling.hashOrder(col("__id")).as("__h"))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(1)
+      .select(col("__id").as("__d"))
+    def score(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__q"))
+        .orderBy(col("sim").desc, col("__d").asc)
+      cand
+        .join(base.select(col("__id").as("__d"), col("__v").as("__dv"),
+          col("__n").as("__dn")), Seq("__d"))
+        .join(q, Seq("__q"))
+        .select(col("__q"), col("__d"),
+          pairSim(col("__qv"), col("__dv"), col("__qn"), col("__dn"))
+            .as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }
+    // the entry beam is an UNSCORED set (it may even be the query
+    // itself); the self-exclusion runs at every candidate stage, so a
+    // query that happens to be the entry node still seeds from its
+    // own adjacency instead of an empty beam
+    var bm = q.select(col("__q")).crossJoin(broadcast(entry))
+    for (_ <- 1 to hops) {
+      val cand = bm.select(col("__q"), col("__d"))
+        .join(adj.select(col("__s").as("__d"), col("__d").as("__d2")),
+          Seq("__d"))
+        .select(col("__q"), col("__d2").as("__d"))
+        .unionByName(bm.select(col("__q"), col("__d")))
+        .filter(col("__q") =!= col("__d"))
+        .distinct()
+      bm = score(cand).filter(col("rank") <= beam).localCheckpoint(true)
+    }
+    bm.filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("neighbor_id"),
+        col("sim"), col("rank"))
   }
 
   /** Dimension-wise mean vector (centroid) per group — embedding pooling

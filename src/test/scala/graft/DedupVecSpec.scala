@@ -601,4 +601,33 @@ class DedupVecSpec extends AnyFunSuite {
       rs.length <= k && rs.map(_.getLong(3)).sorted.toSeq ==
         (1L to rs.length.toLong)))
   }
+
+  test("graphBeamSearch: more hops improve recall; serving beats the " +
+      "exact floor; no self-results") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val g = Vec.nnDescent(emb, "vec_id", "embedding", k = 16,
+      nBits = 4, rounds = 3, ringWindow = 8)
+    val exact = Vec.bruteForceTopK(queries, emb, 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    def recallOf(hops: Int): Double = {
+      val got = Vec.graphBeamSearch(g, emb, queries, "vec_id",
+          "embedding", k = 4, beam = 16, hops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      exact.map { case (q, ex) =>
+        (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+      }.sum / exact.size
+    }
+    val r1 = recallOf(1)
+    val r5 = recallOf(5)
+    assert(r5 >= r1, s"hops did not help: 1-hop=$r1 5-hop=$r5")
+    assert(r5 >= 0.8, s"serving recall too low: $r5")
+    val res = Vec.graphBeamSearch(g, emb, queries, "vec_id", "embedding",
+      k = 4, beam = 16, hops = 5).collect()
+    assert(res.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(res.groupBy(_.getLong(0)).values.forall(_.length <= 4))
+  }
 }
