@@ -303,7 +303,7 @@ object SparkEntry {
     * the hash-order minimum; candidates = beam ∪ symmetrized
     * adjacency, self excluded; top-`beam` kept, final top-`k`).
     */
-  private def duckGraphSearch(k: Int, beam: Int, hops: Int, graphK: Int,
+  private def duckGraphSearchCtes(beam: Int, hops: Int, graphK: Int,
       nBits: Int, rounds: Int, ringWindow: Int): String = {
     val dot = duckDotSql _
     val hopsSql = (1 to hops).map { r =>
@@ -324,16 +324,53 @@ object SparkEntry {
                ORDER BY sim DESC NULLS LAST, d) AS rn FROM sc$r)
             WHERE rn <= $beam)"""
     }.mkString(",\n")
-    s"""WITH ${duckNnDescentCtes(graphK, nBits, rounds, ringWindow)},
+    s"""${duckNnDescentCtes(graphK, nBits, rounds, ringWindow)},
         ga AS MATERIALIZED (SELECT s, d AS d2 FROM g$rounds
           UNION SELECT d, s FROM g$rounds),
         qs AS (SELECT id AS q FROM v WHERE id < 10),
         ent AS (SELECT id AS d FROM ord WHERE rn = 1),
         b0 AS (SELECT qs.q, ent.d FROM qs CROSS JOIN ent),
-        $hopsSql
+        $hopsSql"""
+  }
+
+  private def duckGraphSearch(k: Int, beam: Int, hops: Int, graphK: Int,
+      nBits: Int, rounds: Int, ringWindow: Int): String =
+    s"""WITH ${duckGraphSearchCtes(beam, hops, graphK, nBits, rounds,
+          ringWindow)}
         SELECT q AS query_id, d AS neighbor_id, sim,
           CAST(rn AS BIGINT) AS "rank"
         FROM b$hops WHERE rn <= $k ORDER BY query_id, "rank""""
+
+  /** DuckDB statement: q_graph_recall — the graph-search beams
+    * intersected with the exact cosine top-k per query
+    * (Eval.topkRecall's counting and ppm rendering).
+    */
+  private def duckGraphRecall(k: Int, beam: Int, hops: Int, graphK: Int,
+      nBits: Int, rounds: Int, ringWindow: Int): String = {
+    val dot = duckDotSql _
+    s"""WITH ${duckGraphSearchCtes(beam, hops, graphK, nBits, rounds,
+          ringWindow)},
+        appr AS (SELECT q, d FROM b$hops WHERE rn <= $k),
+        exs AS (SELECT qs.q, vv.id AS d,
+          CASE WHEN qn.nm * dn.nm = 0 THEN NULL
+            ELSE round(${dot("qv.embedding", "vv.embedding")} /
+              (qn.nm * dn.nm), 6) END AS sim
+          FROM qs JOIN v qv ON qv.id = qs.q
+          JOIN nm qn ON qn.id = qs.q
+          CROSS JOIN v vv JOIN nm dn ON dn.id = vv.id
+          WHERE vv.id <> qs.q),
+        rx AS (SELECT q, d FROM
+          (SELECT q, d, row_number() OVER (PARTITION BY q
+             ORDER BY sim DESC NULLS LAST, d) AS rk FROM exs)
+          WHERE rk <= $k),
+        rec AS (SELECT rx.q, CAST(count(*) AS BIGINT) AS k_true,
+          CAST(coalesce(sum(CASE WHEN a.d IS NOT NULL THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_hit
+          FROM rx LEFT JOIN appr a ON a.q = rx.q AND a.d = rx.d
+          GROUP BY 1)
+        SELECT q AS query_id, k_true, n_hit,
+          ${duckPpm("n_hit", "k_true")} AS recall_ppm
+        FROM rec ORDER BY query_id"""
   }
 
   /** DuckDB fragment: the full q_corr_matrix statement — one
@@ -3432,6 +3469,22 @@ object SparkEntry {
       Vec.graphBeamSearch(g, emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 4, beam = 16, hops = 5)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Recall@4 of the graph serving path against the exact cosine
+    // top-4 — the per-query quality card every ANN deployment ships
+    // (the q_ann_recall/q_ivfpq_recall pattern for the graph rung).
+    "q_graph_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val g = Vec.nnDescent(emb, "vec_id", "embedding", k = 16,
+        nBits = 4, rounds = 3, ringWindow = 8)
+      graft.functions.Eval.topkRecall(
+          Vec.graphBeamSearch(g, emb, qs, "vec_id", "embedding",
+            k = 4, beam = 16, hops = 5),
+          Vec.bruteForceTopK(qs, emb, k = 4),
+          "query_id", "neighbor_id")
+        .orderBy(col("query_id"))
     },
 
     // Matryoshka funnel search: 16-dim-prefix shortlist of 20, exact
@@ -8261,6 +8314,9 @@ object SparkEntry {
       ringWindow = 8),
 
     "q_graph_search" -> duckGraphSearch(k = 4, beam = 16, hops = 5,
+      graphK = 16, nBits = 4, rounds = 3, ringWindow = 8),
+
+    "q_graph_recall" -> duckGraphRecall(k = 4, beam = 16, hops = 5,
       graphK = 16, nBits = 4, rounds = 3, ringWindow = 8),
 
     "q_pca_dir" ->
