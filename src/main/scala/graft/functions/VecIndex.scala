@@ -344,4 +344,181 @@ object VecIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  // ----- kNN-GRAPH index (the graph rung's persisted serving layout) ----
+
+  /** Persist a [[Vec.nnDescent]] kNN graph as a SERVING INDEX: the
+    * SYMMETRIZED adjacency partitioned by a hash bucket of the source
+    * node (so a probe pages in only its beam's buckets — the graph
+    * analog of IVF's cell pruning), the vectors bucketed the same way,
+    * and a one-row meta table holding the deterministic entry node and
+    * the bucket count. Symmetrization is materialized at WRITE time
+    * because the probe walks edges source-side only — a reverse edge
+    * stored under its own source bucket is what keeps every hop's read
+    * partition-pruned (HNSW stores bidirectional links for the same
+    * reason).
+    */
+  def writeGraphIndex(corpus: DataFrame, path: String, k: Int,
+      nBits: Int = 4, rounds: Int = 3, ringWindow: Int = 8,
+      nBuckets: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val g = Vec.nnDescent(corpus, idCol, vecCol, k, nBits, rounds,
+      ringWindow)
+    val e = g.select(col("node_id"), col("neighbor_id"), col("sim"))
+    val sym = e.unionByName(e.select(col("neighbor_id").as("node_id"),
+        col("node_id").as("neighbor_id"), col("sim")))
+      .distinct()
+    sym.withColumn("node_bucket", pmod(col("node_id"), lit(nBuckets.toLong)))
+      .write.partitionBy("node_bucket").mode("overwrite")
+      .parquet(s"$path/adj")
+    corpus.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .withColumn("vec_bucket", pmod(col(idCol), lit(nBuckets.toLong)))
+      .write.partitionBy("vec_bucket").mode("overwrite")
+      .parquet(s"$path/vectors")
+    corpus.select(col(idCol).cast("long").as("id"))
+      .select(col("id"), Sampling.hashOrder(col("id")).as("__h"))
+      .orderBy(col("__h").asc, col("id").asc).limit(1)
+      .select(col("id").as("entry_id"), lit(nBuckets.toLong).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Beam search OVER THE PERSISTED graph — [[Vec.graphBeamSearch]]'s
+    * serving twin, but each hop reads ONLY the adjacency buckets its
+    * current beams touch (partition-pruned, the ivfProbeIndexed
+    * discipline) and only the vector buckets its candidates live in.
+    * The per-hop beam-id collect is a bounded serving artifact
+    * (queries × beam ids, never corpus-sized). Semantics are identical
+    * to the in-memory search (same entry, scoring, tie-breaks) —
+    * GraphIndexSpec pins the equality.
+    */
+  def graphProbeIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val nB = meta.getLong(meta.fieldIndex("n_buckets"))
+    val qIds = queries.select(col(idCol).cast("long")).collect()
+      .map(_.getLong(0))
+    val qv = broadcast(spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_bucket")
+        .isin(qIds.map(_ % nB).distinct.toIndexedSeq: _*))
+      .filter(col(idCol).isin(qIds.toIndexedSeq: _*))
+      .select(col(idCol).cast("long").as("__q"), col(vecCol).as("__qv"),
+        sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
+          col(vecCol))).as("__qn")))
+    graphProbeForQueries(spark, path, qv, nB, k, beam, hops, idCol, vecCol)
+  }
+
+  /** Streaming ingest into a persisted graph index: each microbatch's
+    * new vectors are beam-searched against the CURRENT index for their
+    * k nearest resident nodes (the HNSW insert procedure), then the
+    * new node's edges land in BOTH directions (its own bucket and the
+    * neighbors' buckets — the write-time symmetrization invariant),
+    * and the vectors append to their bucket. Exactly-once per input
+    * file via the checkpoint; replayed microbatches are de-duplicated
+    * by the (node, neighbor) anti-join guard. The graph is NOT
+    * re-descended on ingest (the centroids-not-retrained policy);
+    * rebuild offline when drift warrants.
+    */
+  def streamAppendGraph(spark: SparkSession, path: String,
+      streamDir: String, checkpoint: String, k: Int, beam: Int,
+      hops: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val incoming = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col(idCol), col(vecCol))
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val meta = s.read.parquet(s"$path/meta").collect()(0)
+        val nB = meta.getLong(meta.fieldIndex("n_buckets"))
+        val b = batch.select(col(idCol).cast("long").as(idCol),
+          col(vecCol)).localCheckpoint(true)
+        // search BEFORE appending the batch's own vectors, so a new
+        // node can never resolve to itself or a batch-mate
+        val vdir = s"$path/vectors"
+        val nbrs = {
+          // new vectors are not in the index yet: score them against
+          // the probe path by feeding them as an in-memory query side
+          val qv = b.select(col(idCol).cast("long").as("__q"),
+            col(vecCol).as("__qv"),
+            sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
+              col(vecCol))).as("__qn"))
+          graphProbeForQueries(s, path, broadcast(qv), nB, k, beam, hops,
+            idCol, vecCol)
+        }
+        val edges = nbrs
+          .select(col("query_id").as("node_id"),
+            col("neighbor_id"), col("sim"))
+        val sym = edges.unionByName(edges.select(
+          col("neighbor_id").as("node_id"), col("node_id")
+            .as("neighbor_id"), col("sim")))
+        graft.merge.Merge.antiJoinAppend(s,
+          sym.withColumn("node_bucket", pmod(col("node_id"), lit(nB))),
+          s"$path/adj", Seq("node_id", "neighbor_id"), "node_bucket"): Unit
+        graft.merge.Merge.antiJoinAppend(s,
+          b.withColumn("vec_bucket", pmod(col(idCol), lit(nB))),
+          vdir, Seq(idCol), "vec_bucket"): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .queryName("Graph_Stream_Append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The probe loop over an EXTERNAL (not-yet-indexed) query side —
+    * shared by [[graphProbeIndexed]]'s ingest use; `qv` carries
+    * (__q, __qv, __qn).
+    */
+  private def graphProbeForQueries(spark: SparkSession, path: String,
+      qv: DataFrame, nB: Long, k: Int, beam: Int, hops: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val entryId = meta.getLong(meta.fieldIndex("entry_id"))
+    def vecsFor(ids: Array[Long]): DataFrame =
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("vec_bucket")
+          .isin(ids.map(_ % nB).distinct.toIndexedSeq: _*))
+        .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+        .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+          sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
+            col(vecCol))).as("__n"))
+    var bm: DataFrame = qv.select(col("__q")).withColumn("__d", lit(entryId))
+    for (_ <- 1 to hops) {
+      val beamIds = bm.select(col("__d")).distinct().collect()
+        .map(_.getLong(0))
+      val adj = spark.read.parquet(s"$path/adj")
+        .filter(col("node_bucket")
+          .isin(beamIds.map(_ % nB).distinct.toIndexedSeq: _*))
+        .filter(col("node_id").isin(beamIds.toIndexedSeq: _*))
+        .select(col("node_id").as("__d"), col("neighbor_id").as("__d2"))
+      val cand = bm.select(col("__q"), col("__d"))
+        .join(adj, Seq("__d"))
+        .select(col("__q"), col("__d2").as("__d"))
+        .unionByName(bm.select(col("__q"), col("__d")))
+        .filter(col("__q") =!= col("__d"))
+        .distinct()
+        .localCheckpoint(true)
+      val candIds = cand.select(col("__d")).distinct().collect()
+        .map(_.getLong(0))
+      val w = Window.partitionBy(col("__q"))
+        .orderBy(col("sim").desc, col("__d").asc)
+      bm = cand
+        .join(vecsFor(candIds).select(col("__id").as("__d"),
+          col("__v").as("__dv"), col("__n").as("__dn")), Seq("__d"))
+        .join(qv, Seq("__q"))
+        .select(col("__q"), col("__d"),
+          Vec.pairSim(col("__qv"), col("__dv"), col("__qn"), col("__dn"))
+            .as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= beam)
+        .localCheckpoint(true)
+    }
+    bm.filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
 }
