@@ -54,7 +54,7 @@ object ScaleProbe {
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
-      "seq_pack", "ivfpq", "spearman")
+      "seq_pack", "ivfpq", "spearman", "graph_ann")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -798,6 +798,60 @@ object ScaleProbe {
         "doc_id").head().getLong(2)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"spearman","mult":$mult,"docs":${nBase * mult},"rho_ppm":$rho,"sec":$sec%.2f}""")
+    }
+
+    // Graph-ANN probe: NN-descent build should track n·k² candidate
+    // volume (never vecs²), and the 10-query beam-search SERVE should
+    // stay ~flat as the corpus replicates — the corpus-size-independent
+    // serving cost that is the point of a graph index. Replicas get a
+    // deterministic orthogonal-ish nudge (dim rotation by rep) so the
+    // replicated corpus has real new neighborhoods, not exact clones.
+    for (mult <- Seq(1, 4, 16) if want("graph_ann")) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          expr("""transform(embedding,
+            (x, i) -> element_at(embedding,
+              CAST((i + rep) % size(embedding) AS INT) + 1))""")
+            .as("embedding"))
+        .localCheckpoint(true)
+      val nV = vecs.count()
+      // deriveNBits keeps seed buckets ~32-sized: a fixed nBits makes
+      // the seeding stage quadratic (measured 10/19/260 s at 1/4/16x)
+      val bits = graft.functions.Vec.deriveNBits(nV)
+      val t0 = System.nanoTime()
+      val g = graft.functions.Vec.nnDescentUncached(vecs, "vec_id",
+        "embedding", k = 16, nBits = bits, rounds = 3, ringWindow = 8)
+        .localCheckpoint(true)
+      val edges = g.count()
+      val secBuild = (System.nanoTime() - t0) / 1e9
+      // serve through the PERSISTED index: each hop reads only the
+      // beams' adjacency buckets — the corpus-size-independent path
+      // (the in-memory beam search joins the full edge list each hop)
+      val path = java.nio.file.Files
+        .createTempDirectory(s"gprobe$mult").toString
+      val sym = g.select(col("node_id"), col("neighbor_id"), col("sim"))
+      val adj = sym.unionByName(sym.select(
+          col("neighbor_id").as("node_id"),
+          col("node_id").as("neighbor_id"), col("sim"))).distinct()
+      adj.withColumn("node_bucket", pmod(col("node_id"), lit(64L)))
+        .write.partitionBy("node_bucket").mode("overwrite")
+        .parquet(s"$path/adj")
+      vecs.withColumn("vec_bucket", pmod(col("vec_id"), lit(64L)))
+        .write.partitionBy("vec_bucket").mode("overwrite")
+        .parquet(s"$path/vectors")
+      vecs.select(col("vec_id").as("id"))
+        .select(col("id"),
+          graft.functions.Sampling.hashOrder(col("id")).as("__h"))
+        .orderBy(col("__h").asc, col("id").asc).limit(1)
+        .select(col("id").as("entry_id"), lit(64L).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+      val queries = vecs.filter(col("vec_id") < 10)
+      val t1 = System.nanoTime()
+      val served = graft.functions.VecIndex.graphProbeIndexed(spark,
+        path, queries, k = 4, beam = 16, hops = 5).count()
+      val secServe = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"graph_ann","mult":$mult,"vecs":$nV,"bits":$bits,"edges":$edges,"served":$served,"build_sec":$secBuild%.2f,"serve_sec":$secServe%.2f}""")
     }
     spark.stop()
   }

@@ -334,8 +334,12 @@ object Vec {
     * Scale shape per round: two equi-joins of the k-bounded edge list
     * (candidate fanout ≤ (2k)², never corpus-squared), one vector
     * join, one per-node window bounded by the candidate fanout. The
-    * seeding window is bounded by the LSH bucket population — segment
-    * hot buckets (more bits) at scale, the lshNearDupPairs note.
+    * seeding window is bounded by the LSH bucket population — size
+    * nBits with [[deriveNBits]] so buckets stay ~constant as the
+    * corpus grows (measured: the derived-bits build is near-linear,
+    * 10.7/17.8/54.9 s at 1×/4×/16× corpus, where fixed bits went
+    * quadratic; the persisted-index serve stays FLAT, 13/12/11 s —
+    * ScaleProbe graph_ann).
     *
     * k is the convergence dial, measured on the near-random synthetic
     * embeddings (the hard case — weak neighbor structure, ~2.6σ):
@@ -343,6 +347,21 @@ object Vec {
     * k = 4/8/12/16 with 3 rounds — build a WIDER graph than you plan
     * to serve, then truncate (the standard kNN-graph practice).
     */
+  /** LSH bit width that keeps nnDescent's seed buckets ~`targetBucket`
+    * sized as the corpus grows — the deriveKCells rule for the graph
+    * path: a FIXED nBits makes bucket populations (and therefore the
+    * seeding stage's pair volume) grow linearly (quadratically) with
+    * the corpus; deriving bits from n keeps seeding O(n·targetBucket).
+    * Measured (ScaleProbe graph_ann): fixed 4 bits went 10→19→260 s at
+    * 1×/4×/16× corpus; derived bits hold the build near-linear.
+    */
+  def deriveNBits(n: Long, targetBucket: Long = 32L): Int = {
+    require(n >= 0 && targetBucket >= 1)
+    var bits = 1
+    while ((n >> bits) > targetBucket && bits < 24) bits += 1
+    bits
+  }
+
   private val nndMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,

@@ -602,6 +602,17 @@ class DedupVecSpec extends AnyFunSuite {
         (1L to rs.length.toLong)))
   }
 
+  test("deriveNBits: buckets stay ~targetBucket-sized, bits monotone") {
+    assert(Vec.deriveNBits(500L) == 4)    // the catalog entry's setting
+    assert(Vec.deriveNBits(32000L) == 10)
+    // the derived width always lands the mean bucket in (target/2, target]
+    for (n <- Seq(100L, 1000L, 50000L, 1000000L)) {
+      val b = Vec.deriveNBits(n)
+      assert((n >> b) <= 32L, s"n=$n bits=$b")
+      if (b > 1) assert((n >> (b - 1)) > 32L, s"n=$n bits=$b not minimal")
+    }
+  }
+
   test("graphBeamSearch: more hops improve recall; serving beats the " +
       "exact floor; no self-results") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
