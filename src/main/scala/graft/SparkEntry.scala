@@ -2969,6 +2969,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     },
 
+    // Neyman (optimal) allocation of a 100-doc sample budget across
+    // sources — n_h ∝ N_h·S_h, so big AND volatile strata get the
+    // samples where proportional allocation spends on size alone;
+    // exact largest-remainder rounding lands the budget exactly.
+    "q_neyman_alloc" -> { (s, d) =>
+      graft.functions.Sampling.neymanAllocation(
+          Tables.documents(s, d)
+            .select(col("source"), Text.tokenCount(col("text"))
+              .cast("long").as("ntok")),
+          "source", "ntok", budget = 100L)
+        .orderBy(col("source"))
+    },
+
+    // Horvitz-Thompson total-token estimate from the 10% deterministic
+    // hash sample — the audit card that makes hash sampling
+    // quantitatively honest: exact inclusion probability by
+    // construction, unbiased debias, gated sampling error.
+    "q_ht_estimate" -> { (s, d) =>
+      graft.functions.Sampling.htEstimate(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokenCount(col("text"))
+            .cast("long").as("ntok")),
+        "doc_id", "ntok", bps = 1000)
+    },
+
     // Fano factor of each event type's daily arrival counts —
     // Poisson-like (≈1) vs bursty (>1) dispersion, the formal reading
     // beside q_burstiness; one exact rational per type.
@@ -7399,6 +7424,54 @@ object SparkEntry {
     "q_corr_matrix" -> duckCorrMatrix,
 
     "q_image_dhash" -> duckDhash,
+
+    "q_neyman_alloc" ->
+      s"""WITH t AS (SELECT source AS g,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS x FROM documents),
+          per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS t2
+            FROM t GROUP BY 1),
+          wq AS (SELECT g, n_rows,
+            CASE WHEN n_rows < 2 THEN 0
+              ELSE CAST(floor(sqrt(
+                CAST(n_rows * t2 - CAST(s AS HUGEINT) * s AS DOUBLE) *
+                CAST(n_rows AS DOUBLE) / CAST(n_rows - 1 AS DOUBLE)))
+                AS BIGINT) END AS w_q
+            FROM per),
+          tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS w,
+            CAST(count(*) AS BIGINT) AS k FROM wq),
+          sh AS (SELECT g, n_rows, w_q,
+            CASE WHEN tot.w = 0 THEN 1 ELSE w_q END AS we,
+            CASE WHEN tot.w = 0 THEN tot.k ELSE tot.w END AS weff
+            FROM wq CROSS JOIN tot),
+          base AS (SELECT g, n_rows, w_q,
+            (100 * we) // weff AS b, (100 * we) % weff AS rem FROM sh),
+          sb AS (SELECT CAST(sum(b) AS BIGINT) AS sum_base FROM base),
+          rk AS (SELECT g, n_rows, w_q, b, sum_base,
+            row_number() OVER (ORDER BY rem DESC, g ASC) AS r
+            FROM base CROSS JOIN sb)
+          SELECT g AS source, n_rows, w_q,
+            CAST(b + CASE WHEN r <= 100 - sum_base THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc
+          FROM rk ORDER BY source""",
+
+    "q_ht_estimate" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS v,
+            (${duckBucketOf("doc_id")} < 1000) AS inc FROM documents),
+          a AS (SELECT
+            CAST(coalesce(sum(CASE WHEN inc THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_sampled,
+            CAST(coalesce(sum(CASE WHEN inc THEN v ELSE 0 END), 0)
+              AS BIGINT) AS sample_total,
+            CAST(coalesce(sum(v), 0) AS BIGINT) AS true_total FROM t)
+          SELECT n_sampled, sample_total,
+            CAST((sample_total * 10000) // 1000 AS BIGINT) AS est_total,
+            true_total,
+            CAST((sample_total * 10000) // 1000 - true_total AS BIGINT)
+              AS err
+          FROM a""",
 
     "q_overdispersion" ->
       s"""WITH dc AS (SELECT event_type,

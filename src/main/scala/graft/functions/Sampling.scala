@@ -415,4 +415,99 @@ object Sampling {
       .withColumn("order_idx", (rb - 1L) * kL + col("bucket"))
       .select(col(idCol), col(scoreCol), col("bucket"), col("order_idx"))
   }
+
+  /** NEYMAN (optimal) ALLOCATION of a fixed sample budget across
+    * strata — minimum-variance stratified sampling (Neyman 1934):
+    * n_h ∝ N_h·S_h, so big AND volatile strata get the samples while a
+    * huge-but-uniform stratum (boilerplate floods) is sampled lightly
+    * — where [[stratifiedSample]]'s proportional allocation spends
+    * budget on size alone. S_h is floor(sqrt(·)) of the exact integer
+    * variance numerator (IEEE sqrt is correctly rounded, so the floor
+    * is engine-identical — the deterministic contract; the ±1 ulp of
+    * true sqrt is allocation-irrelevant). Budget lands EXACTLY:
+    * largest-remainder rounding over the exact rational shares, ties
+    * to the earlier stratum. Output per stratum:
+    * (stratum, n_rows, w_q, alloc) with Σ alloc = budget; degenerate
+    * all-zero-weight inputs split the budget by largest-remainder over
+    * equal weights.
+    *
+    * Scale shape: one partial-aggregable moment pass + stratum-
+    * domain-sized windows.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val dec = "decimal(38,0)"
+    val per = df.select(col(stratumCol), col(valueCol).cast("long")
+        .as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("__s"),
+        sum((col("__x").cast("decimal(19,0)") * col("__x")).cast(dec))
+          .cast(dec).as("__t"))
+      // w = N_h·S_h = sqrt(N_h²·S_h²) = sqrt((n·T − S²)·n/(n−1));
+      // the sqrt argument is (exact-int → double) then double·double /
+      // double in THIS order — the one load-bearing op order both
+      // engines replay (the duckDotSql discipline)
+      .select(col(stratumCol), col("n_rows"),
+        when(col("n_rows") < 2L, lit(0L)).otherwise(
+          floor(sqrt(
+            (col("n_rows").cast(dec) * col("__t") -
+              (col("__s").cast("decimal(19,0)") * col("__s")).cast(dec))
+              .cast(dec).cast("double") *
+              col("n_rows").cast("double") /
+              (col("n_rows") - 1L).cast("double")))
+            .cast("long")).as("w_q"))
+    val tot = per.agg(sum(col("w_q")).as("__W"),
+      count(lit(1)).as("__k"))
+    val shares = per.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_rows"), col("w_q"),
+        // zero total weight: fall back to equal weights so the budget
+        // still lands exactly
+        when(col("__W") === 0L, lit(1L)).otherwise(col("w_q"))
+          .as("__w"),
+        when(col("__W") === 0L, col("__k")).otherwise(col("__W"))
+          .as("__Weff"))
+      .select(col(stratumCol), col("n_rows"), col("w_q"),
+        GroupRank.intDiv(lit(budget) * col("__w"), col("__Weff"))
+          .as("__base"),
+        ((lit(budget) * col("__w")) % col("__Weff")).as("__rem"))
+    val w = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
+    val totBase = shares.agg(sum(col("__base")).as("__sumBase"))
+    shares.crossJoin(broadcast(totBase))
+      .withColumn("__rk", row_number().over(w))
+      .select(col(stratumCol), col("n_rows"), col("w_q"),
+        (col("__base") + when(col("__rk") <= lit(budget) -
+          col("__sumBase"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  /** HORVITZ-THOMPSON estimation from the deterministic hash sample —
+    * the audit card that makes [[hashSample]] quantitatively honest:
+    * every sampled row's inclusion probability is exactly bps/10000 by
+    * construction, so est = sample_total·10000 div bps is the unbiased
+    * HT estimator of the population total, computed exactly, and the
+    * gated err column IS the sampling error (available on the gate
+    * corpus because the truth is computable there; at 100 TB the
+    * estimate is the point). One row: (n_sampled, sample_total,
+    * est_total, true_total, err). One partial-aggregable pass.
+    */
+  def htEstimate(df: DataFrame, keyCol: String, valueCol: String,
+      bps: Int): DataFrame = {
+    require(bps >= 1 && bps <= 10000, s"bps must be in [1, 10000], got $bps")
+    requireNumericKey(df, keyCol)
+    val base = df.select(col(keyCol).as("__k"),
+      col(valueCol).cast("long").as("__v"),
+      (hashBucket(col(keyCol)) < bps).as("__in"))
+    base.agg(
+        coalesce(sum(when(col("__in"), 1L).otherwise(0L)), lit(0L))
+          .as("n_sampled"),
+        coalesce(sum(when(col("__in"), col("__v")).otherwise(0L)),
+          lit(0L)).as("sample_total"),
+        coalesce(sum(col("__v")), lit(0L)).as("true_total"))
+      .select(col("n_sampled"), col("sample_total"),
+        GroupRank.intDiv(col("sample_total") * 10000L, lit(bps.toLong))
+          .as("est_total"),
+        col("true_total"))
+      .withColumn("err", col("est_total") - col("true_total"))
+  }
 }

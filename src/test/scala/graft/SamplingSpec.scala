@@ -351,4 +351,48 @@ class SamplingSpec extends AnyFunSuite {
     // exhausted tiers simply drop out of the tail of the rotation
     assert(out.drop(8).map(_._1).toSeq === Seq(3L, 6L))
   }
+
+  test("neymanAllocation: volatile strata win, budget lands exactly, " +
+      "degenerate fallbacks") {
+    import spark.implicits._
+    // a = {0,10} (w = floor(sqrt(200)) = 14), b = {5,5} (zero spread),
+    // c = {7} (n < 2): the whole budget goes to the volatile stratum
+    val df = Seq(("a", 0L), ("a", 10L), ("b", 5L), ("b", 5L), ("c", 7L))
+      .toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", budget = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((2L, 14L, 10L)))
+    assert(got("b") == ((2L, 0L, 0L)) && got("c") == ((1L, 0L, 0L)))
+    assert(got.values.map(_._3).sum == 10L)
+    // all-constant strata: zero total weight falls back to EQUAL
+    // weights, largest-remainder still lands the budget exactly
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 3L), ("b", 3L),
+      ("c", 9L), ("c", 9L)).toDF("g", "v")
+    val eq = Sampling.neymanAllocation(flat, "g", "v", budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(eq.values.sum == 10L)
+    // 10 over 3 equal strata: 3 each + the tie-broken extra to 'a'
+    assert(eq == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("htEstimate: exact debias identity and deterministic inclusion") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, i % 7L))
+    val df = rows.toDF("id", "v")
+    val r = Sampling.htEstimate(df, "id", "v", bps = 1000).collect()(0)
+    // replay the mixer to compute the expected sample
+    def mix(x: Long): Long = {
+      val p = 2147483647L
+      val h1 = ((x % p) * 1103515245L + 12345L) % p
+      val h2 = (h1 * h1 + h1) % p
+      (h2 * 784588716L + 998244353L) % p
+    }
+    val in = rows.filter { case (id, _) => mix(id) % 10000L < 1000L }
+    assert(r.getLong(0) == in.size.toLong)
+    assert(r.getLong(1) == in.map(_._2).sum)
+    assert(r.getLong(2) == in.map(_._2).sum * 10L) // exact 10% debias
+    assert(r.getLong(3) == rows.map(_._2).sum)
+    assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+  }
 }
