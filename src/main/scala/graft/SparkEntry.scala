@@ -2969,6 +2969,17 @@ object SparkEntry {
         .orderBy(col("media_id"))
     },
 
+    // Hill tail-index of the doc-length distribution over the top-100
+    // order statistics — HOW heavy the tail is (the Pareto alpha),
+    // the quantitative case for caps/winsorization; FixLog ladder,
+    // two-level rank selection, exact ppm alpha.
+    "q_hill_tail" -> { (s, d) =>
+      graft.functions.Stats.hillTail(
+        Tables.documents(s, d)
+          .select(Text.tokenCount(col("text")).cast("long").as("ntok")),
+        "ntok", k = 100)
+    },
+
     // Neyman (optimal) allocation of a 100-doc sample budget across
     // sources — n_h ∝ N_h·S_h, so big AND volatile strata get the
     // samples where proportional allocation spends on size alone;
@@ -7424,6 +7435,28 @@ object SparkEntry {
     "q_corr_matrix" -> duckCorrMatrix,
 
     "q_image_dhash" -> duckDhash,
+
+    "q_hill_tail" ->
+      s"""WITH t AS (SELECT CAST(len(${duckToks("text")}) AS BIGINT) AS x
+            FROM documents WHERE len(${duckToks("text")}) >= 1),
+          r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn
+            FROM t),
+          top AS (SELECT x FROM r WHERE rn <= 100),
+          thr AS (SELECT x AS xt FROM r WHERE rn = 101),
+          lx AS (SELECT DISTINCT x FROM top
+            UNION SELECT xt FROM thr),
+          $duckLog2Chain,
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(l.lq) AS BIGINT) AS sl
+            FROM top JOIN lgt l ON l.x = top.x),
+          tl AS (SELECT thr.xt, l.lq AS lt FROM thr
+            JOIN lgt l ON l.x = thr.xt)
+          SELECT agg.k, tl.xt AS x_threshold,
+            CAST(agg.sl - agg.k * tl.lt AS BIGINT) AS hill2_q,
+            CASE WHEN agg.sl - agg.k * tl.lt <= 0 THEN NULL
+              ELSE ${duckPpm("agg.k * 65536", "agg.sl - agg.k * tl.lt")}
+            END AS alpha_ppm
+          FROM agg CROSS JOIN tl""",
 
     "q_neyman_alloc" ->
       s"""WITH t AS (SELECT source AS g,

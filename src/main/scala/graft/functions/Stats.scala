@@ -536,6 +536,44 @@ object Stats {
         col("__p.r_sign"), col("__p.r2_pptr"))
   }
 
+  /** HILL TAIL-INDEX estimator over the top-k order statistics — HOW
+    * heavy the tail is (the Pareto exponent α), where [[psi]] and the
+    * Zipf slope read distributional SHAPE: α̂ = k / Σ_{i≤k} ln(x_(i) /
+    * x_(k+1)). Small α (≤ 2) means the corpus's length/size budget is
+    * owned by a few giants — the signal that caps/winsorization are
+    * load-bearing, not cosmetic. Logs ride
+    * [[graft.plans.FixLog.log2q]] (α is log-base-free since the base
+    * cancels in the ratio k/Σ): hill2_q = Σ log2q(x_i) − k·log2q(x_t)
+    * over the rank-selected top k with threshold x_t = x_(k+1), and
+    * alpha_ppm = ppm of k·2^16/hill2_q. NULL when the top k+1 values
+    * are all equal (zero tail information). Values must be ≥ 1 (log
+    * domain); zero/NULL rows are excluded. One row:
+    * (k, x_threshold, hill2_q, alpha_ppm).
+    *
+    * Scale shape: the two-level exact rank selects the top k+1 — no
+    * global sort task; one bounded aggregate over k rows.
+    */
+  def hillTail(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = GroupRank.withRankAndCount(
+        df.select(lit(1).as("__g"), col(valueCol).cast("long").as("__x"))
+          .filter(col("__x").isNotNull && col("__x") >= 1L),
+        Seq("__g"), Seq(col("__x").desc), "__rn", "__n")
+      .filter(col("__rn") <= k + 1)
+    val thr = ranked.filter(col("__rn") === k + 1)
+      .select(col("__x").as("__xt"),
+        graft.plans.FixLog.log2qCol(col("__x")).as("__lt"))
+    ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("k"), max(col("__xt")).as("x_threshold"),
+        (sum(graft.plans.FixLog.log2qCol(col("__x"))) -
+          count(lit(1)) * max(col("__lt"))).as("hill2_q"))
+      .select(col("k"), col("x_threshold"), col("hill2_q"),
+        when(col("hill2_q") <= 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("k") * lit(65536L),
+            col("hill2_q"))).as("alpha_ppm"))
+  }
+
   /** FANO FACTOR (index of dispersion) per group — sample variance
     * over mean of a count series, the overdispersion card that says
     * whether arrivals are Poisson-like (F ≈ 1), regular (F < 1), or

@@ -300,6 +300,21 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("hillTail: exact power-of-two tail, flat-tail NULL") {
+    // top-2 = {8, 4}, threshold x_(3) = 2:
+    //   hill2_q = (log2q(8) + log2q(4)) - 2*log2q(2)
+    //           = (3 + 2 - 2) * 65536 = 196608
+    //   alpha = 2*65536/196608 = 2/3 -> 666667 ppm
+    val df = Seq(8L, 4L, 2L, 1L, 1L).toDF("v")
+    val r = Stats.hillTail(df, "v", k = 2).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 196608L, 666667L)))
+    // a flat tail (top k+1 all equal) carries zero information -> NULL
+    val flat = Seq(5L, 5L, 5L, 1L).toDF("v")
+    val f = Stats.hillTail(flat, "v", k = 2).collect()(0)
+    assert(f.getLong(2) == 0L && f.isNullAt(3))
+  }
+
   test("fanoFactor: Poisson-like 1, regular 0, bursty > 1, NULL guards") {
     // {1,3}: var = 2, mean = 2 -> F = 1; {2,2}: var 0 -> F = 0;
     // {0,8}: var = 32, mean = 4 -> F = 8
