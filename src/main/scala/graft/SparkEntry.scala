@@ -2969,6 +2969,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     },
 
+    // Chao1 unseen-vocabulary estimate from singleton/doubleton type
+    // counts — "how big is the vocabulary REALLY": far above d_obs
+    // means keep scaling data; the one-snapshot answer to what
+    // q_heaps reads longitudinally.
+    "q_chao1" -> { (s, d) =>
+      graft.functions.Stats.chao1Richness(Tables.documents(s, d), "text")
+    },
+
+    // Kish effective sample size of the DSIR importance weights — the
+    // diagnostic every importance-sampled curation must report: ESS
+    // far below n says a few documents own the weighted mass.
+    "q_ess" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Importance.effectiveSampleSize(
+        graft.functions.Importance.importanceScores(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", nBuckets = 512),
+        "score_q")
+    },
+
     // Hill tail-index of the doc-length distribution over the top-100
     // order statistics — HOW heavy the tail is (the Pareto alpha),
     // the quantitative case for caps/winsorization; FixLog ladder,
@@ -7435,6 +7455,57 @@ object SparkEntry {
     "q_corr_matrix" -> duckCorrMatrix,
 
     "q_image_dhash" -> duckDhash,
+
+    "q_chao1" ->
+      s"""WITH tk AS (SELECT unnest(${duckToks("text")}) AS w
+            FROM documents),
+          c AS (SELECT w, count(*) AS n FROM tk GROUP BY 1),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS d_obs,
+            CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT)
+              AS f1,
+            CAST(coalesce(sum(CASE WHEN n = 2 THEN 1 END), 0) AS BIGINT)
+              AS f2
+            FROM c)
+          SELECT d_obs, f1, f2,
+            CAST(d_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+              AS chao1
+          FROM a""",
+
+    "q_ess" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk
+            FROM documents),
+          toks AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+          b AS (SELECT doc_id, ${duckPolyId("tok")} % 512 AS bkt FROM toks),
+          rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS rc FROM b
+            WHERE doc_id >= 10 GROUP BY 1),
+          tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS tc FROM b
+            WHERE doc_id < 10 GROUP BY 1),
+          tot AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM b WHERE doc_id >= 10) AS n_r,
+            (SELECT CAST(count(*) AS BIGINT) FROM b WHERE doc_id < 10) AS n_t),
+          r AS (SELECT rc.bkt,
+            CAST((CAST(coalesce(tc.tc, 0) + 1 AS HUGEINT) * (n_r + 512)
+                    * 1000000)
+                 // (CAST(rc.rc + 1 AS HUGEINT) * (n_t + 512)) AS BIGINT)
+              AS lr_q
+            FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tot),
+          sc AS (SELECT b.doc_id,
+            CAST(sum(lr_q) AS BIGINT) AS lr_sum,
+            CAST(count(*) AS BIGINT) AS n_tokens
+            FROM b JOIN r USING (bkt) WHERE b.doc_id >= 10 GROUP BY 1),
+          wts AS (SELECT CAST(lr_sum // n_tokens AS BIGINT) AS w FROM sc
+            WHERE lr_sum // n_tokens >= 0),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(w) AS BIGINT) AS w_sum,
+            CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS ws2 FROM wts)
+          SELECT n, w_sum,
+            CASE WHEN ws2 = 0 THEN NULL
+              ELSE CAST((CAST(w_sum AS HUGEINT) * w_sum) // ws2 AS BIGINT)
+            END AS ess_floor,
+            CASE WHEN ws2 = 0 THEN NULL
+              ELSE ${duckPpm("CAST(w_sum AS HUGEINT) * w_sum", "n * ws2")}
+            END AS ess_ratio_ppm
+          FROM a""",
 
     "q_hill_tail" ->
       s"""WITH t AS (SELECT CAST(len(${duckToks("text")}) AS BIGINT) AS x

@@ -95,6 +95,37 @@ object Importance {
       .select(col(idCol), col("n_tokens"), col("score_q"), col("score"))
   }
 
+  /** EFFECTIVE SAMPLE SIZE of an importance-weighted sample — the
+    * Kish diagnostic every importance-sampling pipeline (DSIR
+    * selection, mixture reweighting) must report: ESS = (Σw)²/Σw².
+    * ESS ≈ n says the weights are near-uniform (reweighting is
+    * cosmetic); ESS ≪ n says a few documents own the weighted mass —
+    * the curated set behaves like a tiny corpus, whatever its row
+    * count. Exact integers: ess_floor = (Σw)² div Σw², and
+    * ess_ratio_ppm = ppm of ESS/n (the weighting-efficiency ratio).
+    * NULL when every weight is 0. One partial-aggregable pass; one
+    * row: (n, w_sum, ess_floor, ess_ratio_ppm).
+    */
+  def effectiveSampleSize(weights: DataFrame, wCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    weights.select(col(wCol).cast("long").as("__w"))
+      .filter(col("__w").isNotNull && col("__w") >= 0L)
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("w_sum"),
+        sum((col("__w").cast("decimal(19,0)") * col("__w")).cast(dec))
+          .cast(dec).as("__ws2"))
+      .select(col("n"), col("w_sum"),
+        when(col("__ws2") === 0, lit(null).cast("long"))
+          .otherwise((((col("w_sum").cast("decimal(19,0)") * col("w_sum"))
+            .cast(dec) - ((col("w_sum").cast("decimal(19,0)") *
+              col("w_sum")).cast(dec) % col("__ws2"))) / col("__ws2"))
+            .cast("long")).as("ess_floor"),
+        when(col("__ws2") === 0, lit(null).cast("long"))
+          .otherwise(graft.functions.Stats.fixedPointExact(
+            (col("w_sum").cast("decimal(19,0)") * col("w_sum")).cast(dec),
+            (col("n").cast("decimal(19,0)") * col("__ws2")).cast(dec)))
+          .as("ess_ratio_ppm"))
+  }
+
   /** Deterministic top-`k` selection by importance score — the "curated
     * slice that looks like the target" a data-mixing run feeds downstream.
     * One bounded TakeOrdered over the per-doc scores.

@@ -536,6 +536,31 @@ object Stats {
         col("__p.r_sign"), col("__p.r2_pptr"))
   }
 
+  /** CHAO1 RICHNESS estimator of the UNSEEN vocabulary (Chao 1984 —
+    * the ecology species estimator, standard for "how big is this
+    * corpus's vocabulary really"): singletons predict what sampling
+    * missed, chao1 = D + f1·(f1−1)/(2·(f2+1)) (the bias-corrected
+    * form — defined even with no doubletons). A chao1 far above D says
+    * the corpus has barely scratched its vocabulary (keep scaling
+    * data); chao1 ≈ D says the type inventory is saturated — the
+    * decision [[heapsFit]]'s growth exponent reads longitudinally,
+    * estimated here from one snapshot. Exact integers (the additive
+    * term floors — documented; it is an estimate, not a count). One
+    * row: (d_obs, f1, f2, chao1).
+    *
+    * Scale shape: one partial-aggregable token count + one vocabulary-
+    * domain aggregate.
+    */
+  def chao1Richness(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("d_obs"),
+        coalesce(sum(when(col("__n") === 1L, 1L)), lit(0L)).as("f1"),
+        coalesce(sum(when(col("__n") === 2L, 1L)), lit(0L)).as("f2"))
+      .select(col("d_obs"), col("f1"), col("f2"),
+        (col("d_obs") + GroupRank.intDiv(col("f1") * (col("f1") - 1L),
+          lit(2L) * (col("f2") + 1L))).as("chao1"))
+
   /** HILL TAIL-INDEX estimator over the top-k order statistics — HOW
     * heavy the tail is (the Pareto exponent α), where [[psi]] and the
     * Zipf slope read distributional SHAPE: α̂ = k / Σ_{i≤k} ln(x_(i) /

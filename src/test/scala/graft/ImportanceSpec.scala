@@ -81,4 +81,23 @@ class ImportanceSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("score_q")).toSeq
     assert(sq === sq.sorted.reverse)
   }
+
+  test("effectiveSampleSize: uniform = n, concentrated ~ 1, zero NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // equal weights: ESS exactly n, ratio exactly 1
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("w")
+    val e = Importance.effectiveSampleSize(eq, "w").collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
+      == ((4L, 20L, 4L, 1000000L)))
+    // one row owns the mass: ESS collapses toward 1
+    val hot = Seq(1000L, 1L, 1L, 1L).toDF("w")
+    val h = Importance.effectiveSampleSize(hot, "w").collect()(0)
+    assert(h.getLong(2) == 1L) // floor((1003)^2 / 1000003) = 1
+    assert(h.getLong(3) < 300000L)
+    // all-zero weights carry no sample at all
+    val z = Seq(0L, 0L).toDF("w")
+    val zr = Importance.effectiveSampleSize(z, "w").collect()(0)
+    assert(zr.isNullAt(2) && zr.isNullAt(3))
+  }
 }

@@ -300,6 +300,23 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("chao1Richness: hand-computed estimate, saturated corpus adds 0") {
+    // types: a x1, b x1, c x2, d x3 -> D=4 f1=2 f2=1
+    // add = 2*1 // (2*2) = 0 -> floor keeps the estimate conservative;
+    // with 3 singletons: add = 3*2 // 2 = 3
+    val docs = Seq((1L, "a b c c d"), (2L, "d d")).toDF("doc_id", "text")
+    val r = Stats.chao1Richness(docs, "text").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 2L, 1L, 4L)))
+    val rich = Seq((1L, "a b c d d")).toDF("doc_id", "text")
+    val k = Stats.chao1Richness(rich, "text").collect()(0)
+    // D=4 f1=3 f2=1 -> add = 6 // 4 = 1 -> chao1 = 5
+    assert((k.getLong(1), k.getLong(2), k.getLong(3)) == ((3L, 1L, 5L)))
+    // no singletons: nothing unseen predicted
+    val sat = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    assert(Stats.chao1Richness(sat, "text").collect()(0).getLong(3) == 2L)
+  }
+
   test("hillTail: exact power-of-two tail, flat-tail NULL") {
     // top-2 = {8, 4}, threshold x_(3) = 2:
     //   hill2_q = (log2q(8) + log2q(4)) - 2*log2q(2)
