@@ -464,9 +464,29 @@ object Vec {
     * vector join, one per-query window bounded by beam·degree. The
     * graph is the only corpus-sized input; beams are queries×beam.
     */
+  private val beamMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 2)
+
+  /** Drop the beam-search memo and free its checkpoint storage. */
+  def releaseBeamMemo(): Unit = beamMemo.release()
+
   def graphBeamSearch(graph: DataFrame, vecs: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      beam: Int, hops: Int): DataFrame = {
+      beam: Int, hops: Int): DataFrame =
+    beamMemo.getOrBuild(vecs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(graph).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(vecs).canonicalized,
+        org.apache.spark.sql.GraftBridge.logicalPlan(queries).canonicalized,
+        idCol, vecCol, k, beam, hops)) {
+      graphBeamSearchUncached(graph, vecs, queries, idCol, vecCol, k,
+        beam, hops).localCheckpoint(true)
+    }
+
+  private[graft] def graphBeamSearchUncached(graph: DataFrame,
+      vecs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, beam: Int, hops: Int): DataFrame = {
     require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
     require(hops >= 1, s"hops must be >= 1, got $hops")
     val base = vecs.select(col(idCol).cast("long").as("__id"),
