@@ -2969,6 +2969,33 @@ object SparkEntry {
         .orderBy(col("media_id"))
     },
 
+    // McNemar's paired test: does halving the NB training data
+    // SIGNIFICANTLY hurt? Discordant-pair χ² between the full-trained
+    // and half-trained classifiers on the same documents — the
+    // ablation-significance card an unpaired accuracy diff overstates.
+    "q_mcnemar" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = graft.functions.NaiveBayes.classify(docs, docs,
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("pred_class").as("__pa"))
+      val b = graft.functions.NaiveBayes.classify(
+          docs.filter(col("doc_id") % 2 === 0), docs,
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("pred_class").as("__pb"))
+      graft.functions.Eval.mcnemar(
+        docs.select(col("doc_id"), col("lang"))
+          .join(a, Seq("doc_id"), "left")
+          .join(b, Seq("doc_id"), "left"),
+        col("__pa") === col("lang"), col("__pb") === col("lang"))
+    },
+
+    // Good-Turing missing mass: the probability the next token is an
+    // unseen type — what chao1 counts, p0 weighs; the mass every
+    // unsmoothed LM misassigns.
+    "q_good_turing" -> { (s, d) =>
+      graft.functions.Stats.goodTuringMass(Tables.documents(s, d), "text")
+    },
+
     // Chao1 unseen-vocabulary estimate from singleton/doubleton type
     // counts — "how big is the vocabulary REALLY": far above d_obs
     // means keep scaling data; the one-snapshot answer to what
@@ -7455,6 +7482,96 @@ object SparkEntry {
     "q_corr_matrix" -> duckCorrMatrix,
 
     "q_image_dhash" -> duckDhash,
+
+    "q_mcnemar" ->
+      s"""WITH td AS MATERIALIZED (SELECT doc_id, lang, t.word AS token
+            FROM (SELECT doc_id, lang, unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(t.word, '^[a-z]+$$')),
+          cnt AS MATERIALIZED (SELECT lang AS class, token,
+            CAST(count(*) AS BIGINT) AS n FROM td GROUP BY 1, 2),
+          cls AS (SELECT class, sum(n) AS nc FROM cnt GROUP BY 1),
+          voc AS (SELECT DISTINCT token FROM cnt),
+          vct AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+          grid AS MATERIALIZED (SELECT c.class, w.token,
+              coalesce(ct.n, CAST(0 AS BIGINT)) AS n, c.nc, vct.v
+            FROM cls c CROSS JOIN voc w CROSS JOIN vct
+            LEFT JOIN cnt ct ON ct.class = c.class AND ct.token = w.token),
+          pri AS (SELECT lang AS class, CAST(count(*) AS BIGINT) AS nd
+            FROM documents GROUP BY 1),
+          cnt2 AS MATERIALIZED (SELECT lang AS class, token,
+            CAST(count(*) AS BIGINT) AS n FROM td
+            WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+          cls2 AS (SELECT class, sum(n) AS nc FROM cnt2 GROUP BY 1),
+          voc2 AS (SELECT DISTINCT token FROM cnt2),
+          vct2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc2),
+          grid2 AS MATERIALIZED (SELECT c.class, w.token,
+              coalesce(ct.n, CAST(0 AS BIGINT)) AS n, c.nc, vct2.v
+            FROM cls2 c CROSS JOIN voc2 w CROSS JOIN vct2
+            LEFT JOIN cnt2 ct ON ct.class = c.class
+              AND ct.token = w.token),
+          pri2 AS (SELECT lang AS class, CAST(count(*) AS BIGINT) AS nd
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT n + 1 AS x FROM grid
+            UNION SELECT nc + v FROM grid
+            UNION SELECT nd FROM pri
+            UNION SELECT n + 1 FROM grid2
+            UNION SELECT nc + v FROM grid2
+            UNION SELECT nd FROM pri2)),
+          $duckLog2Chain,
+          wts AS MATERIALIZED (SELECT grid.class, grid.token,
+              ln1.lq - ld.lq AS w_q
+            FROM grid JOIN lgt ln1 ON ln1.x = grid.n + 1
+            JOIN lgt ld ON ld.x = grid.nc + grid.v),
+          wts2 AS MATERIALIZED (SELECT grid2.class, grid2.token,
+              ln1.lq - ld.lq AS w_q
+            FROM grid2 JOIN lgt ln1 ON ln1.x = grid2.n + 1
+            JOIN lgt ld ON ld.x = grid2.nc + grid2.v),
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          sc2 AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts2 w ON w.token = td.token GROUP BY 1, 2),
+          fin2 AS (SELECT sc2.doc_id, sc2.class,
+              row_number() OVER (PARTITION BY sc2.doc_id
+                ORDER BY sc2.s + lp.lq DESC, sc2.class ASC) AS rn
+            FROM sc2 JOIN pri2 ON pri2.class = sc2.class
+            JOIN lgt lp ON lp.x = pri2.nd),
+          pa AS (SELECT doc_id, class AS p FROM fin WHERE rn = 1),
+          pb AS (SELECT doc_id, class AS p FROM fin2 WHERE rn = 1),
+          pp AS (SELECT dd.doc_id,
+            coalesce(pa.p = dd.lang, false) AS ra,
+            coalesce(pb.p = dd.lang, false) AS rb
+            FROM documents dd LEFT JOIN pa USING (doc_id)
+            LEFT JOIN pb USING (doc_id)),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS b,
+            CAST(coalesce(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS c FROM pp)
+          SELECT n, b, c,
+            CASE WHEN b + c = 0 THEN NULL
+              ELSE ${duckPpm("(b - c) * (b - c)", "b + c")}
+            END AS chi2_ppm
+          FROM ag""",
+
+    "q_good_turing" ->
+      s"""WITH tk AS (SELECT unnest(${duckToks("text")}) AS w
+            FROM documents),
+          c AS (SELECT w, count(*) AS n FROM tk GROUP BY 1),
+          a AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
+            CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT)
+              AS f1
+            FROM c)
+          SELECT n_tokens, f1,
+            CASE WHEN n_tokens = 0 THEN NULL
+              ELSE ${duckPpm("f1", "n_tokens")} END AS p0_ppm
+          FROM a""",
 
     "q_chao1" ->
       s"""WITH tk AS (SELECT unnest(${duckToks("text")}) AS w

@@ -826,6 +826,32 @@ object Eval {
               .cast(dec))).as("ap_ppm"))
   }
 
+  /** McNEMAR's test on PAIRED classifier correctness — the right way
+    * to ask "is model A actually better than model B on the same
+    * rows": only the DISCORDANT pairs carry information (b = A right
+    * where B wrong, c = the reverse), and χ² = (b−c)²/(b+c) under the
+    * null that flips are symmetric. Comparing two accuracies with an
+    * unpaired test wastes the pairing and overstates significance.
+    * Exact integers; chi2_ppm vs 3.84·10^6 is the two-sided 5% read.
+    * NULL when there are no discordant pairs (the models are
+    * indistinguishable on this data — that IS the answer). One row:
+    * (n, b, c, chi2_ppm); one partial-aggregable pass.
+    */
+  def mcnemar(paired: DataFrame, aCorrect: Column,
+      bCorrect: Column): DataFrame = {
+    val a = coalesce(aCorrect, lit(false))
+    val b = coalesce(bCorrect, lit(false))
+    paired.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(a && !b, 1L).otherwise(0L)), lit(0L)).as("b"),
+        coalesce(sum(when(!a && b, 1L).otherwise(0L)), lit(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") === 0L, lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(
+            (col("b") - col("c")).cast("decimal(19,0)") *
+              (col("b") - col("c")),
+            col("b") + col("c"))).as("chi2_ppm"))
+  }
+
   /** Matthews correlation coefficient of a one-vs-rest binarization of
     * a multi-class confusion matrix — the single-number binary-quality
     * summary that, unlike accuracy or F1, stays honest under class

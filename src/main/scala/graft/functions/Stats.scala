@@ -561,6 +561,23 @@ object Stats {
         (col("d_obs") + GroupRank.intDiv(col("f1") * (col("f1") - 1L),
           lit(2L) * (col("f2") + 1L))).as("chao1"))
 
+  /** GOOD-TURING MISSING MASS — the probability the NEXT token drawn
+    * is a type never seen: p0 = f1/N (Good 1953), the companion
+    * number to [[chao1Richness]] (chao1 says how many types are
+    * unseen, p0 says how much probability they carry — the mass every
+    * unsmoothed LM misassigns). Exact ppm. One row:
+    * (n_tokens, f1, p0_ppm); one partial-aggregable pass.
+    */
+  def goodTuringMass(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("__n") === 1L, 1L)), lit(0L)).as("f1"))
+      .select(col("n_tokens"), col("f1"),
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("f1"), col("n_tokens")))
+          .as("p0_ppm"))
+
   /** HILL TAIL-INDEX estimator over the top-k order statistics — HOW
     * heavy the tail is (the Pareto exponent α), where [[psi]] and the
     * Zipf slope read distributional SHAPE: α̂ = k / Σ_{i≤k} ln(x_(i) /

@@ -496,6 +496,28 @@ class EvalSpec extends AnyFunSuite {
       .isNullAt(2))
   }
 
+  test("mcnemar: discordant-pair chi-square, NULL-as-wrong, no-signal") {
+    import spark.implicits._
+    // b = 3 (A right, B wrong), c = 1: chi2 = 4/4 = 1
+    val paired = Seq(
+      (1L, true, false), (2L, true, false), (3L, true, false),
+      (4L, false, true), (5L, true, true), (6L, false, false))
+      .toDF("id", "ra", "rb")
+    val r = Eval.mcnemar(paired, col("ra"), col("rb")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((6L, 3L, 1L, 1000000L)))
+    // a NULL correctness (model couldn't answer) counts as wrong
+    val withNull = Seq((1L, Some(true), None: Option[Boolean]),
+      (2L, Some(true), Some(true))).toDF("id", "ra", "rb")
+    val n = Eval.mcnemar(withNull, col("ra"), col("rb")).collect()(0)
+    assert(n.getLong(1) == 1L && n.getLong(2) == 0L)
+    // fully concordant models are indistinguishable -> NULL
+    val same = Seq((1L, true, true), (2L, false, false))
+      .toDF("id", "ra", "rb")
+    assert(Eval.mcnemar(same, col("ra"), col("rb")).collect()(0)
+      .isNullAt(3))
+  }
+
   test("mcc: perfect, chance, hand-computed 1/3, empty-margin NULL") {
     import spark.implicits._
     // perfect: tp=2 tn=2 -> mcc_num = 4, MCC^2 = 1
