@@ -2969,6 +2969,22 @@ object SparkEntry {
         .orderBy(col("media_id"))
     },
 
+    // Wald-Wolfowitz runs test on the above/below-mean daily event
+    // pattern — IS the series random, where q_autocorr reads
+    // persistence and q_cusum drift: too few runs = clustering, too
+    // many = oscillation; exact sqrt-free z².
+    "q_runs_test" -> { (s, d) =>
+      val daily = Tables.eventsTs(s, d)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val mean = daily.agg(
+        expr("sum(n_events) div count(*)").as("__k"))
+      graft.functions.Stats.runsTest(
+        daily.crossJoin(broadcast(mean))
+          .select(col("day"), (col("n_events") > col("__k")).as("__f")),
+        "day", col("__f"))
+    },
+
     // McNemar's paired test: does halving the NB training data
     // SIGNIFICANTLY hurt? Discordant-pair χ² between the full-trained
     // and half-trained classifiers on the same documents — the
@@ -7482,6 +7498,30 @@ object SparkEntry {
     "q_corr_matrix" -> duckCorrMatrix,
 
     "q_image_dhash" -> duckDhash,
+
+    "q_runs_test" ->
+      s"""WITH dc AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+            CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+          kk AS (SELECT CAST(sum(y) // count(*) AS BIGINT) AS k FROM dc),
+          s AS (SELECT day, y > kk.k AS f FROM dc CROSS JOIN kk),
+          p AS (SELECT day, f, lag(f) OVER (ORDER BY day) AS pf FROM s),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(CASE WHEN f THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_true,
+            CAST(1 + coalesce(sum(CASE WHEN pf IS NOT NULL AND f <> pf
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS runs
+            FROM p)
+          SELECT n, n_true, runs,
+            CASE WHEN 2 * n_true * (n - n_true) <= n THEN NULL
+              ELSE ${duckPpm(
+                """(CAST(runs AS HUGEINT) * n - n -
+                    2 * n_true * (n - n_true)) *
+                   (CAST(runs AS HUGEINT) * n - n -
+                    2 * n_true * (n - n_true)) * (n - 1)""",
+                """CAST(2 * n_true AS HUGEINT) * (n - n_true) *
+                   (2 * n_true * (n - n_true) - n)""")}
+            END AS z2_ppm
+          FROM a""",
 
     "q_mcnemar" ->
       s"""WITH td AS MATERIALIZED (SELECT doc_id, lang, t.word AS token

@@ -561,6 +561,50 @@ object Stats {
         (col("d_obs") + GroupRank.intDiv(col("f1") * (col("f1") - 1L),
           lit(2L) * (col("f2") + 1L))).as("chao1"))
 
+  /** WALD-WOLFOWITZ RUNS TEST of a binary sequence — IS the series
+    * actually random, the question [[lagSlope]] (persistence) and
+    * [[cusum]] (drift) each answer only half of: too FEW runs means
+    * clustering/trend, too MANY means oscillation. Exact rational,
+    * sqrt-free:
+    *
+    *   z² = (R·n − n − 2ab)²·(n−1) / (2ab·(2ab − n))
+    *
+    * (a/b = the two symbol counts, R = observed runs; compare z2_ppm
+    * against 3.84·10^6). NULL when either symbol is too rare for the
+    * variance to exist (2ab ≤ n). One row: (n, n_true, runs, z2_ppm).
+    * The run count rides a lag window over the bounded order domain
+    * (the cusum convention).
+    */
+  def runsTest(df: DataFrame, orderCol: String,
+      flag: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col(orderCol))
+    val seq0 = df.select(col(orderCol), flag.cast("boolean").as("__f"))
+      .filter(col("__f").isNotNull)
+      .withColumn("__prev", lag(col("__f"), 1).over(w))
+    seq0.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__f"), 1L).otherwise(0L)), lit(0L))
+          .as("n_true"),
+        (lit(1L) + coalesce(sum(when(col("__prev").isNotNull &&
+          col("__f") =!= col("__prev"), 1L).otherwise(0L)), lit(0L)))
+          .as("runs"))
+      .select(col("n"), col("n_true"), col("runs"),
+        (col("n") - col("n_true")).as("__b"))
+      .select(col("n"), col("n_true"), col("runs"),
+        when(lit(2L) * col("n_true") * col("__b") <= col("n"),
+          lit(null).cast("long"))
+          .otherwise(fixedPointExact(
+            ((col("runs").cast("decimal(19,0)") * col("n") - col("n") -
+              lit(2L) * col("n_true") * col("__b")).cast(dec) *
+              (col("runs").cast("decimal(19,0)") * col("n") - col("n") -
+                lit(2L) * col("n_true") * col("__b")).cast(dec) *
+              (col("n") - 1L)).cast(dec),
+            ((lit(2L).cast("decimal(19,0)") * col("n_true") * col("__b"))
+              .cast(dec) *
+              (lit(2L).cast("decimal(19,0)") * col("n_true") * col("__b")
+                - col("n")).cast(dec)).cast(dec))).as("z2_ppm"))
+  }
+
   /** GOOD-TURING MISSING MASS — the probability the NEXT token drawn
     * is a type never seen: p0 = f1/N (Good 1953), the companion
     * number to [[chao1Richness]] (chao1 says how many types are

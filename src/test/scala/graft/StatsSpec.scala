@@ -300,6 +300,27 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("runsTest: alternating vs clustered, hand-computed z², guards") {
+    // perfectly alternating T F T F T F: a=b=3, n=6, R=6
+    // num = (36 - 6 - 18)^2 * 5 = 720; den = 18 * 12 = 216
+    // z² = 10/3 -> 3333333 ppm (too MANY runs)
+    def seq2df(s: Seq[Boolean]) = s.zipWithIndex
+      .map { case (f, i) => (f"d$i%02d", f) }.toDF("day", "f")
+    val alt = Stats.runsTest(seq2df(Seq(true, false, true, false, true,
+      false)), "day", col("f")).collect()(0)
+    assert((alt.getLong(0), alt.getLong(1), alt.getLong(2)) ==
+      ((6L, 3L, 6L)))
+    assert(alt.getLong(3) == 3333333L)
+    // fully clustered T T T F F F: R = 2 -> same |deviation| -> same z²
+    val clus = Stats.runsTest(seq2df(Seq(true, true, true, false, false,
+      false)), "day", col("f")).collect()(0)
+    assert(clus.getLong(2) == 2L && clus.getLong(3) == 3333333L)
+    // a constant series has no variance to test against
+    val const = Stats.runsTest(seq2df(Seq(true, true, true)), "day",
+      col("f")).collect()(0)
+    assert(const.isNullAt(3))
+  }
+
   test("chao1Richness: hand-computed estimate, saturated corpus adds 0") {
     // types: a x1, b x1, c x2, d x3 -> D=4 f1=2 f2=1
     // add = 2*1 // (2*2) = 0 -> floor keeps the estimate conservative;
