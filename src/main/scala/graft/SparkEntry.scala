@@ -2969,6 +2969,15 @@ object SparkEntry {
         .orderBy(col("media_id"))
     },
 
+    // Entropy rate of the per-user event stream — the predictability
+    // ceiling of the behavior q_markov tabulates: bits the next event
+    // carries given the current one; FixLog ladder, |types|²-bounded
+    // term table.
+    "q_entropy_rate" -> { (s, d) =>
+      graft.functions.Events.entropyRate(Tables.eventsTs(s, d),
+        "user_id", "event_type", "ts", "event_id")
+    },
+
     // Wald-Wolfowitz runs test on the above/below-mean daily event
     // pattern — IS the series random, where q_autocorr reads
     // persistence and q_cusum drift: too few runs = clustering, too
@@ -7498,6 +7507,31 @@ object SparkEntry {
     "q_corr_matrix" -> duckCorrMatrix,
 
     "q_image_dhash" -> duckDhash,
+
+    "q_entropy_rate" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS nxt
+            FROM events),
+          p AS (SELECT event_type AS f, nxt AS t,
+            CAST(count(*) AS BIGINT) AS c
+            FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          ft AS (SELECT f, CAST(sum(c) AS BIGINT) AS ci FROM p
+            GROUP BY 1),
+          lx AS (SELECT DISTINCT c AS x FROM p
+            UNION SELECT DISTINCT ci FROM ft),
+          $duckLog2Chain,
+          terms AS (SELECT p.c, p.c * (li.lq - lc.lq) AS t
+            FROM p JOIN ft USING (f)
+            JOIN lgt li ON li.x = ft.ci
+            JOIN lgt lc ON lc.x = p.c)
+          SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_transitions,
+            (SELECT CAST(count(*) AS BIGINT) FROM ft) AS n_states,
+            CAST(sum(t) AS BIGINT) AS h2_q,
+            CASE WHEN coalesce(sum(c), 0) = 0 THEN NULL
+              ELSE round(CAST(sum(t) AS DOUBLE) /
+                (CAST(sum(c) AS DOUBLE) * 65536.0), 6) END AS h_bits
+          FROM terms""",
 
     "q_runs_test" ->
       s"""WITH dc AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -196,6 +196,44 @@ object Events {
       .limit(topK)
   }
 
+  /** ENTROPY RATE of the per-user event stream — how many BITS the
+    * next event carries given the current one, the compressibility /
+    * predictability ceiling of the behavior [[markovTransitions]]
+    * tabulates: H(next|cur) = Σ_ij p_ij·log2(c_i/c_ij) computed as
+    * the exact integer h2_q = Σ_ij c_ij·(log2q(c_i) − log2q(c_ij))
+    * over the [[graft.plans.FixLog.log2q]] ladder; rate in bits =
+    * h2_q/(N·2^16). 0 means the stream is deterministic (every state
+    * has one successor); log2(|types|) means memoryless-uniform.
+    * One row: (n_transitions, n_states, h2_q, h_bits).
+    *
+    * Scale shape: the transition counts are [[markovTransitions]]'
+    * one partial-aggregable pass; the term table is |types|²-bounded.
+    */
+  def entropyRate(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(us(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("__from"), col("__next").as("__to"))
+      .agg(count(lit(1)).as("__c"))
+    val fromTot = pairs.groupBy(col("__from"))
+      .agg(sum(col("__c")).as("__ci"))
+    pairs.join(broadcast(fromTot), Seq("__from"))
+      .select(col("__c"),
+        (col("__c") * (graft.plans.FixLog.log2qCol(col("__ci")) -
+          graft.plans.FixLog.log2qCol(col("__c")))).as("__t"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_transitions"),
+        sum(col("__t")).as("h2_q"))
+      .crossJoin(broadcast(fromTot.agg(count(lit(1)).as("n_states"))))
+      .select(col("n_transitions"), col("n_states"), col("h2_q"),
+        when(col("n_transitions") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("h2_q").cast("double") /
+            (col("n_transitions").cast("double") * 65536.0), 6))
+          .as("h_bits"))
+  }
+
   /** Kaplan-Meier survival over user lifetimes with RIGHT-CENSORING —
     * the principled form of "how long do users stay": lifetime = days
     * between a user's first and last event; users still active on the

@@ -156,6 +156,31 @@ class EventsSpec extends AnyFunSuite {
     assert(z == Map(1L -> ((2L, 2L, 0L))))
   }
 
+  test("entropyRate: deterministic chain = 0, fair alternative = 1 bit") {
+    // user 1: a->b->a->b (deterministic successor per state) -> H = 0
+    val det = Seq((1L, 1L, "a", "2024-01-01 00:00:00"),
+      (1L, 2L, "b", "2024-01-01 00:01:00"),
+      (1L, 3L, "a", "2024-01-01 00:02:00"),
+      (1L, 4L, "b", "2024-01-01 00:03:00"))
+      .map { case (u, id, t, w) => (u, id, t, ts(w)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val d = Events.entropyRate(det, "user_id", "event_type", "ts",
+      "event_id").collect()(0)
+    assert(d.getLong(0) == 3L && d.getLong(2) == 0L
+      && d.getDouble(3) == 0.0)
+    // from 'a' the successor is b or c with equal counts -> exactly
+    // 1 bit per transition (log2q is exact on powers of two)
+    val fair = Seq((1L, 1L, "a", "2024-01-01 00:00:00"),
+      (1L, 2L, "b", "2024-01-01 00:01:00"),
+      (2L, 3L, "a", "2024-01-01 00:00:00"),
+      (2L, 4L, "c", "2024-01-01 00:01:00"))
+      .map { case (u, id, t, w) => (u, id, t, ts(w)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val f = Events.entropyRate(fair, "user_id", "event_type", "ts",
+      "event_id").collect()(0)
+    assert(f.getLong(0) == 2L && f.getDouble(3) == 1.0)
+  }
+
   test("seqPatterns: distinct-user support, in-order grams, top-k order") {
     val ev = Seq(
       (1L, 1L, "x", "2024-01-01 00:00:00"),

@@ -604,7 +604,8 @@ class PlanSpec extends AnyFunSuite {
         "q_image_dhash", "q_phrase_search", "q_slice_accuracy",
         "q_nndescent", "q_graph_search", "q_graph_recall",
         "q_neyman_alloc", "q_ht_estimate", "q_hill_tail", "q_chao1",
-        "q_ess", "q_mcnemar", "q_good_turing", "q_runs_test")) {
+        "q_ess", "q_mcnemar", "q_good_turing", "q_runs_test",
+        "q_entropy_rate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
