@@ -3021,6 +3021,24 @@ object SparkEntry {
       graft.functions.Stats.goodTuringMass(Tables.documents(s, d), "text")
     },
 
+    // Turing-smoothed adjusted counts r* over the TRIGRAM count-of-
+    // counts (unigram counts are all huge in this corpus — trigrams
+    // have the low-frequency spectrum the correction exists for):
+    // the Katz-backoff adjustment and the empirical reading behind
+    // Kneser-Ney's fixed discount.
+    "q_sgt_counts" -> { (s, d) =>
+      graft.functions.Stats.turingCounts(Tables.documents(s, d), "text",
+          maxR = 10, gram = 3)
+        .orderBy(col("r"))
+    },
+
+    // Day-of-week seasonality chi-square over the full 7-day grid —
+    // is event volume actually uniform across the week; dof = 6,
+    // 5% critical value 12.59e6.
+    "q_seasonality" -> { (s, d) =>
+      graft.functions.Stats.dowSeasonality(Tables.eventsTs(s, d), "ts")
+    },
+
     // Chao1 unseen-vocabulary estimate from singleton/doubleton type
     // counts — "how big is the vocabulary REALLY": far above d_obs
     // means keep scaling data; the one-snapshot answer to what
@@ -7646,6 +7664,39 @@ object SparkEntry {
             CASE WHEN n_tokens = 0 THEN NULL
               ELSE ${duckPpm("f1", "n_tokens")} END AS p0_ppm
           FROM a""",
+
+    "q_sgt_counts" ->
+      s"""WITH tks AS (SELECT ${duckToks("text")} AS tk FROM documents),
+          tk AS (SELECT unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS w FROM tks),
+          c AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tk
+            GROUP BY 1),
+          fr AS (SELECT r, CAST(count(*) AS BIGINT) AS f_r FROM c
+            WHERE r <= 11 GROUP BY 1),
+          nx AS (SELECT r, f_r,
+            CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+              THEN lead(f_r) OVER (ORDER BY r) ELSE 0 END AS fn
+            FROM fr)
+          SELECT r, f_r, ${duckPpm("(r + 1) * fn", "f_r")} AS rstar_ppm
+          FROM nx WHERE r <= 10 ORDER BY r""",
+
+    "q_seasonality" ->
+      s"""WITH dw AS (SELECT isodow(CAST(ts AS DATE)) - 1 AS d
+            FROM events),
+          c AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM dw
+            GROUP BY 1),
+          g AS (SELECT CAST(gs.d AS BIGINT) AS d, coalesce(c.c, 0) AS c
+            FROM (SELECT unnest(range(0, 7)) AS d) gs
+            LEFT JOIN c ON c.d = gs.d),
+          t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+          cells AS (SELECT t.n,
+            (CAST(7 * g.c - t.n AS HUGEINT) * (7 * g.c - t.n) * 1000000)
+              // (7 * CAST(t.n AS HUGEINT)) AS cell
+            FROM g CROSS JOIN t)
+          SELECT n, CAST(sum(cell) AS BIGINT) AS chi2_q
+          FROM cells GROUP BY 1""",
 
     "q_chao1" ->
       s"""WITH tk AS (SELECT unnest(${duckToks("text")}) AS w

@@ -561,6 +561,68 @@ object Stats {
         (col("d_obs") + GroupRank.intDiv(col("f1") * (col("f1") - 1L),
           lit(2L) * (col("f2") + 1L))).as("chao1"))
 
+  /** TURING-SMOOTHED COUNTS over the count-of-counts table — the
+    * Good-Turing adjusted frequency r* = (r+1)·f_{r+1}/f_r for the
+    * low-frequency classes r ≤ maxR (the regime where raw counts
+    * overstate: singletons behave like ~r* < 1 occurrences, the
+    * correction under Katz backoff and the empirical side of
+    * Kneser-Ney's fixed discount). Count-of-counts ride the bounded
+    * frequency domain; rstar_ppm is the exact ppm rendering (0 when
+    * f_{r+1} = 0 — Turing's estimate of a class with no successor).
+    * Output: (r, f_r, rstar_ppm) for r = 1..maxR with f_r > 0.
+    */
+  def turingCounts(docs: DataFrame, textCol: String,
+      maxR: Int = 10, gram: Int = 1): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    require(gram >= 1, s"gram must be >= 1, got $gram")
+    val fr = docs.select(explode(
+        Text.wordNgrams(Text.tokens(col(textCol)), gram)).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__r"))
+      .groupBy(col("__r").as("r")).agg(count(lit(1)).as("f_r"))
+    val w = Window.orderBy(col("r"))
+    fr.filter(col("r") <= maxR + 1)
+      .withColumn("__fnext", when(lead(col("r"), 1).over(w) ===
+        col("r") + 1L, lead(col("f_r"), 1).over(w)).otherwise(0L))
+      .filter(col("r") <= maxR)
+      .select(col("r"), col("f_r"),
+        fixedPointExact((col("r") + 1L).cast("decimal(19,0)") *
+          col("__fnext"), col("f_r")).as("rstar_ppm"))
+  }
+
+  /** DAY-OF-WEEK SEASONALITY chi-square — is the event volume
+    * actually uniform across the week (the null every capacity plan
+    * assumes until shown otherwise): χ² = Σ_d (7·c_d − N)²/(7·N) over
+    * the full 7-day grid (absent days contribute their expected-count
+    * mass), each cell quantized at 10^6 by integral division (the
+    * chi2Independence discipline), dof = 6. Days are Monday-based
+    * (0..6). One row: (n, chi2_q); compare chi2_q against
+    * 12.59·10^6 (the 5% critical value at 6 dof).
+    */
+  def dowSeasonality(events: DataFrame, tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = events
+      .select(expr(s"weekday(to_date($tsCol))").cast("long").as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+    val grid = events.sparkSession.range(7)
+      .select(col("id").as("__d"))
+      .join(counts, Seq("__d"), "left")
+      .select(col("__d"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = grid.agg(sum(col("__c")).as("__n"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("__n"),
+        ((lit(7L) * col("__c") - col("__n")).cast("decimal(19,0)") *
+          (lit(7L) * col("__c") - col("__n"))).cast(dec).as("__d2"))
+      .select(col("__n"),
+        (((col("__d2") * lit(1000000L)).cast(dec) -
+          ((col("__d2") * lit(1000000L)).cast(dec) %
+            (lit(7L).cast(dec) * col("__n")).cast(dec))) /
+          (lit(7L).cast(dec) * col("__n")).cast(dec)).cast(dec)
+          .as("__cell"))
+      .groupBy(col("__n"))
+      .agg(sum(col("__cell")).cast("long").as("chi2_q"))
+      .select(col("__n").as("n"), col("chi2_q"))
+  }
+
   /** WALD-WOLFOWITZ RUNS TEST of a binary sequence — IS the series
     * actually random, the question [[lagSlope]] (persistence) and
     * [[cusum]] (drift) each answer only half of: too FEW runs means

@@ -605,7 +605,7 @@ class PlanSpec extends AnyFunSuite {
         "q_nndescent", "q_graph_search", "q_graph_recall",
         "q_neyman_alloc", "q_ht_estimate", "q_hill_tail", "q_chao1",
         "q_ess", "q_mcnemar", "q_good_turing", "q_runs_test",
-        "q_entropy_rate")) {
+        "q_entropy_rate", "q_sgt_counts", "q_seasonality")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }

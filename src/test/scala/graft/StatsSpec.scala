@@ -300,6 +300,31 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("turingCounts: hand-computed r*, empty-successor class = 0") {
+    // counts a=3 b=2 c=1 -> f1=f2=f3=1
+    // r*(1) = 2*f2/f1 = 2; r*(2) = 3*f3/f2 = 3; r*(3) = 4*0/1 = 0
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = Stats.turingCounts(docs, "text", maxR = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((1L, 2000000L)), 2L -> ((1L, 3000000L)),
+      3L -> ((1L, 0L))))
+  }
+
+  test("dowSeasonality: uniform week = 0, one-day spike = 6N exactly") {
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday; one event per weekday -> chi2 exactly 0
+    val uniform = (1 to 7).map(d =>
+      Tuple1(Timestamp.valueOf(f"2024-01-0$d 10:00:00"))).toDF("ts")
+    val u = Stats.dowSeasonality(uniform, "ts").collect()(0)
+    assert(u.getLong(0) == 7L && u.getLong(1) == 0L)
+    // all 7 events on one Monday: chi2 = 6N = 42
+    val spike = (1 to 7).map(_ =>
+      Tuple1(Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("ts")
+    val s = Stats.dowSeasonality(spike, "ts").collect()(0)
+    assert(s.getLong(1) == 42000000L)
+  }
+
   test("runsTest: alternating vs clustered, hand-computed z², guards") {
     // perfectly alternating T F T F T F: a=b=3, n=6, R=6
     // num = (36 - 6 - 18)^2 * 5 = 720; den = 18 * 12 = 216
