@@ -7667,10 +7667,11 @@ object SparkEntry {
 
     "q_sgt_counts" ->
       s"""WITH tks AS (SELECT ${duckToks("text")} AS tk FROM documents),
-          tk AS (SELECT unnest(CASE WHEN len(tk) >= 3
+          sh0 AS (SELECT unnest(CASE WHEN len(tk) >= 3
             THEN list_transform(range(1, len(tk) - 1),
               i -> array_to_string(tk[i:i+2], ' '))
-            ELSE [] END) AS w FROM tks),
+            ELSE [] END) AS gram FROM tks),
+          tk AS (SELECT ${duckPolyId("gram")} AS w FROM sh0),
           c AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tk
             GROUP BY 1),
           fr AS (SELECT r, CAST(count(*) AS BIGINT) AS f_r FROM c

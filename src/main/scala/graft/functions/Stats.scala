@@ -575,8 +575,18 @@ object Stats {
       maxR: Int = 10, gram: Int = 1): DataFrame = {
     require(maxR >= 1, s"maxR must be >= 1, got $maxR")
     require(gram >= 1, s"gram must be >= 1, got $gram")
-    val fr = docs.select(explode(
-        Text.wordNgrams(Text.tokens(col(textCol)), gram)).as("__w"))
+    // gram > 1 counts HASHED gram ids (the compiled scan-stage
+    // generator + long keys of the minhash tid discipline — 3x faster
+    // than string-gram shuffles; the 1e9+7 polynomial's rare collision
+    // merges two classes identically in both engines)
+    val units =
+      if (gram == 1)
+        docs.select(explode(Text.tokens(col(textCol))).as("__w"))
+      else
+        docs.select(graft.plans.TextExpressions
+            .hashedShingles(col(textCol), gram))
+          .select(col("tid").as("__w"))
+    val fr = units
       .groupBy(col("__w")).agg(count(lit(1)).as("__r"))
       .groupBy(col("__r").as("r")).agg(count(lit(1)).as("f_r"))
     val w = Window.orderBy(col("r"))
