@@ -48,7 +48,15 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Memo attribution (first pass only — catalog order, every shared
+    // chain cold): "cold" = this entry BUILT at least one session-memoized
+    // shared chain (its time carries the family's training cost), "hit" =
+    // it only reused one, "mixed" = both, "none" = no shared chain.
+    // Order-dependent times (whichever family member runs first pays the
+    // build) are attributable instead of reading as regressions.
+    val memo = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (r <- 1 to runs; (name, fn) <- selected) {
+      val (h0, b0) = graft.functions.PlanMemo.counters
       val t0 = System.nanoTime()
       // A failure must be VISIBLE: a query that regresses to throwing in
       // 50 ms would otherwise record a great "time" and silently deflate
@@ -58,6 +66,15 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       best(name) = best.get(name).fold(sec)(math.min(_, sec))
+      if (r == 1) {
+        val (h1, b1) = graft.functions.PlanMemo.counters
+        memo(name) = (b1 > b0, h1 > h0) match {
+          case (true, true)   => "mixed"
+          case (true, false)  => "cold"
+          case (false, true)  => "hit"
+          case (false, false) => "none"
+        }
+      }
     }
     // One compact line PER QUERY: the harness log capture keeps only the
     // trailing ~2k chars, and round 5 lost 38 of 124 per-query entries
@@ -70,7 +87,10 @@ object Bench {
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val qs = best.map { case (k, v) => s""""$k":${ms(v)}""" }
       .mkString("{", ",", "}")
-    val line = s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,""" +
+    val memoJson = memo.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"queries":$qs,"memo":$memoJson,""" +
+      s""""sf":"$sfDir","runs":$runs,""" +
       s""""metric":"total","unit":"sec","value":${ms(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

@@ -54,7 +54,7 @@ object ScaleProbe {
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
-      "seq_pack", "ivfpq", "spearman", "graph_ann")
+      "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -205,6 +205,76 @@ object ScaleProbe {
       val counts = stats.columns
         .map(c => s""""$c":${row.getAs[Long](c)}""").mkString(",")
       println(f"""{"probe":"curate_full","docs":$nDocs,$counts,"sec":$sec%.1f}""")
+    }
+
+    // Composed end-to-end probe: the FULL curation chain (blocklist →
+    // line dedup → annotate → quality/gopher gates → domain cap → span →
+    // decontaminate → oov → lm-fit → classifier → exact dedup → LSH
+    // near-dedup → semantic dedup → split → shard) plus the training
+    // handoff (token-budget mix → sequence pack), at 1×/4×/16× corpus,
+    // with wall AND rows-out PER STAGE. Each stage is individually
+    // probed elsewhere; this card proves the COMPOSITION stays linear —
+    // memo interactions, checkpoint pressure, and cross-stage shuffle
+    // reuse included. Emits one JSON line per multiple with the stage
+    // breakdown.
+    if (want("corpus_e2e")) {
+      for (mult <- Seq(1, 4, 16)) {
+        graft.functions.Memos.releaseAll() // each multiple starts cold
+        val docs = replicate(spark, base, mult).localCheckpoint(true)
+        val nDocs = docs.count()
+        val embBase = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val reps = spark.range(mult).select(col("id").as("rep"))
+        val emb = embBase.crossJoin(reps)
+          .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+            col("embedding"))
+          .localCheckpoint(true)
+        val lm = graft.functions.LangModel.knBigramProbs(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        val seed = docs.filter(col("doc_id") < nDocs * 2 / 5)
+          .select(col("doc_id"), col("text"),
+            when(array_contains(
+              graft.functions.Text.tokens(col("text")), "stream"), 1L)
+              .otherwise(-1L).as("y"))
+        val evalDocs = docs.filter(col("doc_id") >= nDocs - 10)
+          .select(col("doc_id"), col("text"))
+        val stages =
+          scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
+        val t0 = System.nanoTime()
+        val (split, _, _) = graft.pipeline.CorpusPipeline.curateFull(
+          docs, evalDocs, seed, emb, lm,
+          minFit = 0.0005, maxContamRatio = 0.1, vocabSize = 2000,
+          maxOovRate = 0.5, minKeepRatio = 0.5, semThreshold = 0.95,
+          nShards = 8,
+          blockPhrases = Seq("wholly absent phrase", "slow fast"),
+          lineDedupLen = Some(10),
+          domainCap = Some(("source", math.max(22L, nDocs * 22L / 500L))),
+          onStage = Some((n, s, c) => stages += ((n, s, c))))
+        // training handoff over the survivors: deterministic token-budget
+        // mix per synthetic domain, then fixed-budget sequence packing
+        def stage(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+          val s0 = System.nanoTime()
+          val c = df.localCheckpoint(true)
+          stages += ((name, (System.nanoTime() - s0) / 1e9, c.count()))
+        }
+        val train = split.filter(col("split") === "train")
+          .withColumn("domain", pmod(col("doc_id"), lit(8L)).cast("string"))
+          .withColumn("n_tok", col("n_tokens").cast("long"))
+        val budgets = (0 until 8).map(i => i.toString -> 4000L * mult)
+        stage("mix") {
+          graft.functions.Sampling.tokenBudgetSample(
+            train, "domain", "n_tok", "doc_id", budgets)
+        }
+        stage("pack") {
+          graft.functions.Sampling.packBudget(
+            train.withColumn("shard", pmod(col("doc_id"), lit(8L))),
+            "doc_id", "n_tok", budget = 256L, partCols = Seq("shard"))
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stageJson = stages.map { case (n, s, c) =>
+          f"""{"stage":"$n","sec":$s%.2f,"rows":$c}""" }.mkString("[", ",", "]")
+        println(f"""{"probe":"corpus_e2e","mult":$mult,"docs":$nDocs,"sec":$sec%.1f,"stages":$stageJson}""")
+      }
     }
 
     // Sequence-packing probe: the two-level prefix sum + scan-stage

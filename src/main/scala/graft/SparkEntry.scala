@@ -2487,9 +2487,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // Batch-perceptron classifier: two integer-exact training rounds over
-    // hashed token features (w0 = 0, so round 1's update is the
-    // class-difference vector), every doc scored under the final weights
+    // Batch-perceptron classifier: integer-exact training under a
+    // 12-round budget with convergence early-exit (Classifier.scala —
+    // training stops at the first round with zero misclassifications;
+    // w0 = 0, so round 1's update is the class-difference vector),
+    // every doc scored under the final weights
     // — supervised classifier training under the oracle gate. The label
     // (does the doc contain the token "stream") is text-determined, so
     // the training demonstrably finds the signal (the lang column is

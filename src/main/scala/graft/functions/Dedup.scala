@@ -647,8 +647,34 @@ object Dedup {
     * minimum of their whole (clipped) stream; documents with no grams
     * contribute nothing. Output: (idCol, sel_pos, tid) distinct.
     */
+  /** Session memo for the winnow fingerprint selection — the doc-keyed
+    * window min is the expensive half of both the fingerprint listing
+    * (q_winnow) and the pair generator ([[winnowPairs]]); identical
+    * (corpus, n, w) → identical selection, built once. Capacity 2: an
+    * index build (corpus) and its query side (query docs) alternate.
+    * Eviction drops the reference only (consumers hold lazy views);
+    * [[releasePairMemos]] frees explicitly. Per-batch STREAMING callers
+    * use [[winnowFingerprintsUncached]] — a memo keyed on an
+    * ever-changing batch plan would thrash and strand checkpoints.
+    */
+  private val wfMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 2)
+
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, w: Int): DataFrame = {
+      n: Int, w: Int): DataFrame =
+    wfMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        idCol, textCol, n, w)) {
+      winnowFingerprintsUncached(docs, idCol, textCol, n, w)
+        .localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions and streaming per-batch
+  // callers target the unmemoized chain
+  private[graft] def winnowFingerprintsUncached(docs: DataFrame,
+      idCol: String, textCol: String, n: Int, w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1 hashes, got $w")
     val cap = 2147483648L // 2^31
     val pos = docs.select(col(idCol),
@@ -684,12 +710,14 @@ object Dedup {
       w: Int, minJaccard: Double, dfCap: Long = 100000L,
       minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    // Materialized once: the fingerprint selection (a doc-keyed window
-    // min over the positioned gram stream) feeds THREE consumers below
-    // (df cut, both join sides) — unlike ngramJaccardPairs' compiled
-    // scan chain, recomputing a window shuffle per consumer is not
-    // cheap. The table is the ~2/(w+1)-density winnow index — smaller
-    // than the corpus gram stream it came from.
+    // The fingerprint selection (a doc-keyed window min over the
+    // positioned gram stream) comes from the SHARED memoized
+    // [[winnowFingerprints]] checkpoint — the listing entry (q_winnow)
+    // and this generator split the cost. The (id, tid) projection is
+    // materialized once more because it feeds THREE consumers below
+    // (df cut, both join sides); it is the ~2/(w+1)-density winnow
+    // index — smaller than the gram stream it came from, and derived
+    // here from an in-memory checkpoint, not the corpus scan.
     val fpDocs = winnowFingerprints(docs, idCol, textCol, n, w)
       .select(col(idCol), col("tid")).distinct()
       .localCheckpoint(true)
@@ -905,6 +933,37 @@ object Dedup {
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
 
+  /** Session memo for the df-capped inverted postings table (id, tid):
+    * distinct hashed shingles with hub grams (df > dfCap) removed — the
+    * candidate index BOTH pair generators ([[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]) build from the same (corpus, n, dfCap),
+    * previously twice. It is the bounded artifact an inverted-list
+    * system stores anyway; sharing it leaves each generator paying only
+    * its own self-join + verify. Eviction drops the reference only
+    * (consumers hold lazy views); [[releasePairMemos]] frees explicitly.
+    */
+  private val pgMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
+  private[graft] def cappedPostings(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, dfCap: Long): DataFrame =
+    pgMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        idCol, textCol, n, dfCap)) {
+      // The RAW shingle-set table is deliberately NOT persisted: with
+      // the compiled HashedShingles generator, recomputing the
+      // scan→hash→distinct chain is cheaper than materializing it
+      // (measured at sf0.1: 2.2s vs 2.6s steady-state plus a 7s+
+      // first-run cost), and caching a corpus-sized intermediate is
+      // infeasible at 100 TB anyway. The POST-CAP table below is the
+      // hub-cut index — smaller, and read by many consumers.
+      val grams = docShingleIds(docs, idCol, textCol, n).distinct()
+      val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap).select("tid")
+      grams.join(rare, Seq("tid")).localCheckpoint(true)
+    }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame =
     njMemo.getOrBuild(docs.sparkSession, Seq(
@@ -919,22 +978,12 @@ object Dedup {
   private[graft] def ngramJaccardPairsUncached(docs: DataFrame,
       idCol: String, textCol: String,
       n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
-    // The RAW shingle-set table is deliberately NOT persisted: with the
-    // compiled HashedShingles generator, recomputing the
-    // scan→hash→distinct chain is cheaper than materializing it
-    // (measured at sf0.1: 2.2s vs 2.6s steady-state plus a 7s+
-    // first-run cost), and caching a corpus-sized intermediate is
-    // infeasible at 100 TB anyway. The POST-CAP postings table is a
-    // different call (below).
-    val grams = docShingleIds(docs, idCol, textCol, n).distinct()
-    val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select("tid")
     // Post-cap postings feed THREE consumers (sizes + both join sides),
     // each of which would re-run the distinct AND the df join —
     // shuffles, not the compiled scan. Materialized once (measured on
-    // the containment twin: 3.1 → 2.5 s); it is the hub-cut index, the
-    // bounded artifact an inverted-list system stores anyway.
-    val g = grams.join(rare, Seq("tid")).localCheckpoint(true)
+    // the containment twin: 3.1 → 2.5 s) in the SHARED [[cappedPostings]]
+    // memo — the containment generator reads the same table.
+    val g = cappedPostings(docs, idCol, textCol, n, dfCap)
     // Set sizes come from the CAPPED table too: hub shingles must leave
     // both the intersection and the denominators, or docs made of hub
     // shingles would see their Jaccard biased toward zero and be missed.
@@ -975,12 +1024,9 @@ object Dedup {
     */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minContainment: Double, dfCap: Long = 100000L): DataFrame = {
-    val grams = docShingleIds(docs, idCol, textCol, n).distinct()
-    val rare = grams.groupBy("tid").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select("tid")
-    // Post-cap postings materialized once for its three consumers — see
-    // ngramJaccardPairs.
-    val g = grams.join(rare, Seq("tid")).localCheckpoint(true)
+    // Shared df-capped postings — identical table to the Jaccard twin's
+    // for the same (corpus, n, dfCap), built once ([[cappedPostings]]).
+    val g = cappedPostings(docs, idCol, textCol, n, dfCap)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = g.select(col("tid"), col(idCol).as("id_a"))
     val b = g.select(col("tid"), col(idCol).as("id_b"))
@@ -1039,7 +1085,7 @@ object Dedup {
     * storage. */
   def releasePairMemos(): Unit = {
     snmMemo.release(); njMemo.release(); lshMemo.release()
-    soMemo.release()
+    soMemo.release(); pgMemo.release(); wfMemo.release()
   }
 
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, key: Column,

@@ -54,10 +54,12 @@ private[graft] final class PlanMemo[V](
       val full = Seq[Any](System.identityHashCode(sc), sc.applicationId) ++ key
       slots.find(_._1 == full) match {
         case Some(hit @ (_, v)) =>
+          PlanMemo.hits.incrementAndGet()
           slots = hit :: slots.filterNot(_ eq hit)
           v
         case None =>
           val v = build
+          PlanMemo.builds.incrementAndGet()
           slots = (full, v) :: slots
           if (slots.size > capacity) {
             freeQuietly(freeOnEvict, slots.last._2)
@@ -81,4 +83,13 @@ private[graft] final class PlanMemo[V](
 private[graft] object PlanMemo {
   /** A memo whose evict and release hooks are the same `free`. */
   def apply[V](free: V => Unit): PlanMemo[V] = new PlanMemo(free, free)
+
+  // Session-global hit/build counters across EVERY memo instance — the
+  // bench harness snapshots them around each catalog entry to attribute
+  // shared-chain training cost (a memo-cold entry pays its family's
+  // build; hits ride it), so order-dependent per-entry times stop
+  // reading as regressions. Monotonic; readers diff snapshots.
+  private val hits = new java.util.concurrent.atomic.AtomicLong
+  private val builds = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def counters: (Long, Long) = (hits.get, builds.get)
 }

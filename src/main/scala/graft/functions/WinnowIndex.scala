@@ -138,7 +138,9 @@ object WinnowIndex {
           .withColumn("bucket", pmod(xxhash64(col("query_id")), lit(nBuckets)))
         graft.merge.Merge.antiJoinAppend(s, hits, reportDir,
           Seq("query_id", "index_id"), "bucket")
-        val fp = Dedup.winnowFingerprints(batch, idCol, textCol,
+        // Uncached form: per-batch plans never repeat, so the session
+        // memo would thrash and strand checkpoint blocks.
+        val fp = Dedup.winnowFingerprintsUncached(batch, idCol, textCol,
             n.toInt, w.toInt)
           .select(col(idCol), col("tid")).distinct()
           .withColumn("bucket", pmod(col("tid"), lit(nBuckets)))

@@ -165,7 +165,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("winnow: fused positioned generator, one doc-keyed window, no join") {
-    val p = plan("q_winnow")
+    // the catalog entry is memoized (checkpoint scan in its visible
+    // plan); assert on the unmemoized chain (the NB/snm pattern)
+    val p = graft.functions.Dedup
+      .winnowFingerprintsUncached(Tables.documents(spark, d),
+        "doc_id", "text", 3, 4)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("sel_pos"))
+      .queryExecution.executedPlan.toString
     assert(p.contains("hashedshinglespos"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
     assert(p.contains("Window"), p)
@@ -425,8 +432,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
-    // first-occurrence min combines map-side below its exchange
-    assert(p.contains("partial_min"), p)
+    // first-occurrence is ONE hash-partitioned window min over numeric
+    // line keys — no first-occurrence table and no join against it
+    assert(p.contains("Window"), p)
+    // the survivor aggregate combines map-side below its exchange
+    assert(p.contains("partial_max") || p.contains("partial_sum"), p)
   }
 
   test("blocklist: compiled single-pass scan, no per-phrase contains") {
