@@ -37,6 +37,11 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling: the concurrent_serving probe submits jobs from
+      // many threads; FIFO would serialize a long scan ahead of every
+      // short probe. No effect on the sequential probes (one job at a
+      // time schedules identically under either mode).
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm
@@ -54,7 +59,8 @@ object ScaleProbe {
       "corpus_shuffle", "kcenter",
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
-      "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e")
+      "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e",
+      "index_compaction", "graph_rebuild", "concurrent_serving")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -220,7 +226,14 @@ object ScaleProbe {
     if (want("corpus_e2e")) {
       for (mult <- Seq(1, 4, 16)) {
         graft.functions.Memos.releaseAll() // each multiple starts cold
-        val docs = replicate(spark, base, mult).localCheckpoint(true)
+        // replicate WITH the source column (the domain-cap stage keys
+        // on it); the shared replicate() keeps only (doc_id, text)
+        val docs = base
+          .crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"),
+            col("source"))
+          .localCheckpoint(true)
         val nDocs = docs.count()
         val embBase = Tables.embeddings(spark, sfDir)
           .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -922,6 +935,187 @@ object ScaleProbe {
         path, queries, k = 4, beam = 16, hops = 5).count()
       val secServe = (System.nanoTime() - t1) / 1e9
       println(f"""{"probe":"graph_ann","mult":$mult,"vecs":$nV,"bits":$bits,"edges":$edges,"served":$served,"build_sec":$secBuild%.2f,"serve_sec":$secServe%.2f}""")
+    }
+
+    // Concurrent-serving probe: every bench number is one-query-at-a-
+    // time, but a serving layer runs many — this card runs a mixed
+    // workload (BM25, IVF-PQ ADC, graph beam) of 24 indexed probes
+    // sequentially and then from a 12-thread client pool against ONE
+    // session (FAIR scheduler), recording per-probe p50/p95 and total
+    // wall both ways. The multi-tenant realism check on the partition-
+    // pruned index claims: per-probe latency may stretch under
+    // contention, but total wall must drop well below the sequential
+    // sum, and no probe may starve (p95 bounded by a small multiple of
+    // its sequential self).
+    if (want("concurrent_serving")) {
+      val docs = base
+      val bmPath = java.nio.file.Files
+        .createTempDirectory("csbm").toString
+      graft.functions.TextIndex.writePostingsIndex(docs, bmPath, 64)
+      val vecs = embBase.localCheckpoint(true)
+      val cells = graft.functions.Vec.kmeans(vecs, k = 16, iters = 2)
+        .select(col("vec_id"), col("cell"))
+      val pqPath = java.nio.file.Files
+        .createTempDirectory("cspq").toString
+      graft.functions.VecIndex.writeIvfPqIndex(
+        vecs.join(cells, Seq("vec_id")), "cell", pqPath,
+        m = 4, subDim = 16, kCodes = 8, iters = 2)
+      val gPath = java.nio.file.Files
+        .createTempDirectory("csg").toString
+      graft.functions.VecIndex.writeGraphIndex(vecs, gPath, k = 16,
+        nBits = graft.functions.Vec.deriveNBits(nEmb))
+      // 24 probes, 8 per kind, disjoint query slices so no two probes
+      // share a plan (nothing memo- or cache-shared between them)
+      val terms = Seq("data", "stream", "model", "value", "code",
+        "point", "line", "set")
+      val probes: Seq[(String, () => Unit)] =
+        (0 until 8).flatMap { i =>
+          Seq(
+            s"bm25_$i" -> (() => {
+              graft.functions.TextIndex.bm25Indexed(spark, bmPath,
+                Seq(terms(i), terms((i + 1) % 8)), 20).count(): Unit
+            }),
+            s"ivfpq_$i" -> (() => {
+              graft.functions.VecIndex.ivfPqProbeIndexed(spark, pqPath,
+                vecs.filter(col("vec_id") % 8 === i)
+                  .filter(col("vec_id") < 64), k = 10, nProbe = 3)
+                .count(): Unit
+            }),
+            s"graph_$i" -> (() => {
+              graft.functions.VecIndex.graphProbeIndexed(spark, gPath,
+                vecs.filter(col("vec_id") % 8 === i)
+                  .filter(col("vec_id") < 64), k = 4, beam = 16,
+                hops = 5).count(): Unit
+            }))
+        }
+      def pct(xs: Seq[Double], p: Double): Double = {
+        val s = xs.sorted
+        s(math.min(s.size - 1, (p * s.size).toInt))
+      }
+      def run(parallelism: Int): (Seq[Double], Double) = {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(parallelism)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val t0 = System.nanoTime()
+        val futs = probes.map { case (_, f) =>
+          scala.concurrent.Future {
+            val s0 = System.nanoTime()
+            f()
+            (System.nanoTime() - s0) / 1e9
+          }
+        }
+        val lats = futs.map(scala.concurrent.Await
+          .result(_, scala.concurrent.duration.Duration.Inf))
+        val total = (System.nanoTime() - t0) / 1e9
+        pool.shutdown()
+        (lats, total)
+      }
+      run(1) // warm: parquet footers, codegen for all three probe plans
+      val (seqLat, seqTotal) = run(1)
+      val (conLat, conTotal) = run(12)
+      println(f"""{"probe":"concurrent_serving","n_probes":${probes.size},"threads":12,"seq_total_sec":$seqTotal%.2f,"con_total_sec":$conTotal%.2f,"speedup":${seqTotal / conTotal}%.2f,"seq_p50":${pct(seqLat, 0.5)}%.2f,"seq_p95":${pct(seqLat, 0.95)}%.2f,"con_p50":${pct(conLat, 0.5)}%.2f,"con_p95":${pct(conLat, 0.95)}%.2f}""")
+    }
+
+    // Graph-rebuild drift card: index 1/16 of a replicated corpus, bulk-
+    // ingest the other 15/16 through the sink's batch arithmetic (16×
+    // appended volume — appended nodes carry only their weak insert-time
+    // edges), then measure the rebuild-trigger statistic
+    // (graphRecallDrift: recall@k of the persisted beam search vs exact,
+    // deterministic resident sample) before and after the offline
+    // NN-descent rebuild. The card is the policy: rebuild when the
+    // drifted recall crosses the serving floor.
+    if (want("graph_rebuild")) {
+      val vecs = embBase
+        .crossJoin(spark.range(16).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          expr("""transform(embedding,
+            (x, i) -> element_at(embedding,
+              CAST((i + rep) % size(embedding) AS INT) + 1))""")
+            .as("embedding"))
+        .localCheckpoint(true)
+      val path = java.nio.file.Files
+        .createTempDirectory("grebuild").toString
+      graft.functions.VecIndex.writeGraphIndex(
+        vecs.filter(col("vec_id") % 16 === 0), path, k = 16,
+        nBits = graft.functions.Vec.deriveNBits(nEmb))
+      val t0 = System.nanoTime()
+      for (r <- 1 until 16)
+        graft.functions.VecIndex.appendGraphBatch(spark, path,
+          vecs.filter(col("vec_id") % 16 === r), k = 2, beam = 8,
+          hops = 3)
+      val secIngest = (System.nanoTime() - t0) / 1e9
+      // beam 32 / hops 6: a 32k-node flat graph from one entry point
+      // needs a wider frontier than the 2k-node serving defaults for
+      // ground-truth-comparable recall — the drift RATIO is the
+      // trigger either way, but the card should read near the graph's
+      // real ceiling, not the frontier's
+      def recallPpm: Double = graft.functions.VecIndex
+        .graphRecallDrift(spark, path, k = 4, beam = 32, hops = 6,
+          nQueries = 32)
+        .agg(avg(col("recall_ppm"))).head().getDouble(0)
+      val drifted = recallPpm
+      val t1 = System.nanoTime()
+      graft.functions.VecIndex.rebuildGraphIndex(spark, path, k = 16)
+      val secRebuild = (System.nanoTime() - t1) / 1e9
+      val rebuilt = recallPpm
+      println(f"""{"probe":"graph_rebuild","vecs":${nEmb * 16},"appended":${nEmb * 15},"recall_drifted_ppm":$drifted%.0f,"recall_rebuilt_ppm":$rebuilt%.0f,"ingest_sec":$secIngest%.1f,"rebuild_sec":$secRebuild%.1f}""")
+    }
+
+    // Index-compaction probe: a streamed-into IVF index accumulates one
+    // file per (batch, touched cell); OPTIMIZE must collapse them
+    // WITHOUT changing what probes see or costing more than a bounded
+    // rewrite of the fragmented cells. Card records file counts
+    // before/after, cells rewritten, and the indexed-probe wall
+    // before/after (min-of-2 each) — the wall should be flat-to-better,
+    // the results are asserted byte-identical in IndexMaintenanceSpec.
+    if (want("index_compaction")) {
+      val vecs = embBase
+        .crossJoin(spark.range(16).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+        .localCheckpoint(true)
+      val cells = graft.functions.Vec.kmeans(vecs, k = 32, iters = 2)
+        .select(col("vec_id"), col("cell"))
+      val corpus = vecs.join(cells, Seq("vec_id"))
+      val path = java.nio.file.Files
+        .createTempDirectory("cmpprobe").toString
+      graft.functions.VecIndex.writeIvfIndex(
+        corpus.filter(col("vec_id") % 17 =!= 0), "cell", path)
+      // 8 ingest rounds of the held-out slice — the streaming sink's
+      // exact append arithmetic (assign to persisted centroids, anti-
+      // join append per cell) without the per-batch harness cost
+      val held = corpus.filter(col("vec_id") % 17 === 0)
+        .localCheckpoint(true)
+      val cents = spark.read.parquet(s"$path/centroids")
+      for (round <- 0 until 8) {
+        val slice = held.filter(col("vec_id") % 8 === round)
+          .select(col("vec_id"), col("embedding"))
+        val assigned = graft.functions.Vec
+          .assignToCentroids(slice, cents)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        graft.merge.Merge.antiJoinAppend(spark, assigned,
+          s"$path/data", Seq("vec_id"), "cell"): Unit
+      }
+      def nFiles = graft.ops.Maintenance
+        .partitionFileCounts(spark, s"$path/data").values.sum
+      val queries = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      def probeSec: Double = (1 to 2).map { _ =>
+        val t = System.nanoTime()
+        graft.functions.VecIndex.ivfProbeIndexed(spark, path, queries,
+          k = 5, nProbe = 3).count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+      val filesBefore = nFiles
+      val secBefore = probeSec
+      val t0 = System.nanoTime()
+      val compacted = graft.functions.IndexMaintenance
+        .compactIvf(spark, path, maxFiles = 4)("data")
+      val secCompact = (System.nanoTime() - t0) / 1e9
+      val filesAfter = nFiles
+      val secAfter = probeSec
+      println(f"""{"probe":"index_compaction","vecs":${nEmb * 16},"files_before":$filesBefore,"files_after":$filesAfter,"cells_rewritten":${compacted.size},"probe_before_sec":$secBefore%.2f,"probe_after_sec":$secAfter%.2f,"compact_sec":$secCompact%.2f}""")
     }
     spark.stop()
   }

@@ -431,42 +431,121 @@ object VecIndex {
       .select(col(idCol), col(vecCol))
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val meta = s.read.parquet(s"$path/meta").collect()(0)
-        val nB = meta.getLong(meta.fieldIndex("n_buckets"))
-        val b = batch.select(col(idCol).cast("long").as(idCol),
-          col(vecCol)).localCheckpoint(true)
-        // search BEFORE appending the batch's own vectors, so a new
-        // node can never resolve to itself or a batch-mate
-        val vdir = s"$path/vectors"
-        val nbrs = {
-          // new vectors are not in the index yet: score them against
-          // the probe path by feeding them as an in-memory query side
-          val qv = b.select(col(idCol).cast("long").as("__q"),
-            col(vecCol).as("__qv"),
-            sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
-              col(vecCol))).as("__qn"))
-          graphProbeForQueries(s, path, broadcast(qv), nB, k, beam, hops,
-            idCol, vecCol)
-        }
-        val edges = nbrs
-          .select(col("query_id").as("node_id"),
-            col("neighbor_id"), col("sim"))
-        val sym = edges.unionByName(edges.select(
-          col("neighbor_id").as("node_id"), col("node_id")
-            .as("neighbor_id"), col("sim")))
-        graft.merge.Merge.antiJoinAppend(s,
-          sym.withColumn("node_bucket", pmod(col("node_id"), lit(nB))),
-          s"$path/adj", Seq("node_id", "neighbor_id"), "node_bucket"): Unit
-        graft.merge.Merge.antiJoinAppend(s,
-          b.withColumn("vec_bucket", pmod(col(idCol), lit(nB))),
-          vdir, Seq(idCol), "vec_bucket"): Unit
+        appendGraphBatch(batch.sparkSession, path, batch, k, beam, hops,
+          idCol, vecCol)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .queryName("Graph_Stream_Append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** One graph-ingest batch — the [[streamAppendGraph]] arithmetic
+    * (beam-search each new vector against the CURRENT index, append
+    * symmetrized edges and the vectors, both replay-guarded), callable
+    * directly for bulk loads and the drift probes. */
+  private[graft] def appendGraphBatch(s: SparkSession, path: String,
+      batch: DataFrame, k: Int, beam: Int, hops: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val meta = s.read.parquet(s"$path/meta").collect()(0)
+    val nB = meta.getLong(meta.fieldIndex("n_buckets"))
+    val b = batch.select(col(idCol).cast("long").as(idCol),
+      col(vecCol)).localCheckpoint(true)
+    // search BEFORE appending the batch's own vectors, so a new
+    // node can never resolve to itself or a batch-mate
+    val vdir = s"$path/vectors"
+    val nbrs = {
+      // new vectors are not in the index yet: score them against
+      // the probe path by feeding them as an in-memory query side
+      val qv = b.select(col(idCol).cast("long").as("__q"),
+        col(vecCol).as("__qv"),
+        sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
+          col(vecCol))).as("__qn"))
+      graphProbeForQueries(s, path, broadcast(qv), nB, k, beam, hops,
+        idCol, vecCol)
+    }
+    val edges = nbrs
+      .select(col("query_id").as("node_id"),
+        col("neighbor_id"), col("sim"))
+    val sym = edges.unionByName(edges.select(
+      col("neighbor_id").as("node_id"), col("node_id")
+        .as("neighbor_id"), col("sim")))
+    graft.merge.Merge.antiJoinAppend(s,
+      sym.withColumn("node_bucket", pmod(col("node_id"), lit(nB))),
+      s"$path/adj", Seq("node_id", "neighbor_id"), "node_bucket"): Unit
+    graft.merge.Merge.antiJoinAppend(s,
+      b.withColumn("vec_bucket", pmod(col(idCol), lit(nB))),
+      vdir, Seq(idCol), "vec_bucket"): Unit
+  }
+
+  /** RECALL-DRIFT measurement for a streamed-into graph index — the
+    * statistic that decides when "rebuild offline" is warranted (the
+    * ingest path appends each new node with only its insert-time edges
+    * and never re-runs NN-descent, so graph quality decays as appended
+    * volume grows; nothing else in the layout measures that decay).
+    *
+    * Per query of a DETERMINISTIC hash-sampled resident query set
+    * (same [[graft.functions.Sampling.hashOrder]] order every call, so
+    * successive drift checks are comparable): recall@k of the persisted
+    * beam search against exact brute-force cosine over the CURRENT
+    * resident vectors. Output: [[graft.functions.Eval.topkRecall]] rows
+    * (query_id, k_true, n_hit, recall_ppm) — callers trigger a rebuild
+    * when avg(recall_ppm) crosses their floor.
+    *
+    * Scale shape: the query side is `nQueries` rows (bounded,
+    * broadcast); the exact side is one corpus map-scan per drift check
+    * — the price of ground truth, paid on a sample, not per serve.
+    */
+  def graphRecallDrift(spark: SparkSession, path: String, k: Int,
+      beam: Int, hops: Int, nQueries: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .select(col(idCol), col(vecCol))
+    val queries = vecs
+      .withColumn("__h", Sampling.hashOrder(col(idCol)))
+      .orderBy(col("__h").asc, col(idCol).asc).limit(nQueries)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    graft.functions.Eval.topkRecall(
+      graphProbeIndexed(spark, path, queries, k, beam, hops, idCol, vecCol),
+      Vec.bruteForceTopKUncached(queries, vecs, k, idCol, vecCol),
+      "query_id", "neighbor_id")
+  }
+
+  /** Offline rebuild of a drifted graph index: re-run NN-descent over
+    * the CURRENT resident vectors (originals + everything streamed in)
+    * and rewrite `adj/` and `meta/` in place; `vectors/` is already the
+    * full corpus and is untouched. The [[graphRecallDrift]] +
+    * rebuild pair is the maintenance loop: measure, rebuild past the
+    * floor, measure again (GraphIndexSpec pins recall recovery).
+    * Offline like compaction — a probe racing the adj overwrite can see
+    * a partial graph.
+    */
+  def rebuildGraphIndex(spark: SparkSession, path: String, k: Int,
+      rounds: Int = 3, ringWindow: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val nB = meta.getLong(meta.fieldIndex("n_buckets"))
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint(true)
+    val nBits = Vec.deriveNBits(vecs.count())
+    val g = Vec.nnDescentUncached(vecs, idCol, vecCol, k, nBits, rounds,
+      ringWindow)
+    val e = g.select(col("node_id"), col("neighbor_id"), col("sim"))
+    val sym = e.unionByName(e.select(col("neighbor_id").as("node_id"),
+        col("node_id").as("neighbor_id"), col("sim")))
+      .distinct()
+      .localCheckpoint(true) // adj/ is about to be overwritten under it
+    sym.withColumn("node_bucket", pmod(col("node_id"), lit(nB)))
+      .write.partitionBy("node_bucket").mode("overwrite")
+      .parquet(s"$path/adj")
+    vecs.select(col(idCol).as("id"))
+      .select(col("id"), Sampling.hashOrder(col("id")).as("__h"))
+      .orderBy(col("__h").asc, col("id").asc).limit(1)
+      .select(col("id").as("entry_id"), lit(nB).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** The probe loop over an EXTERNAL (not-yet-indexed) query side —

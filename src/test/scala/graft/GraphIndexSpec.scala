@@ -81,4 +81,36 @@ class GraphIndexSpec extends AnyFunSuite {
       emb.filter(col("vec_id") === 0), k = 4, beam = 16, hops = 5)
     assert(probe.count() == 4)
   }
+
+  test("recall drift after heavy ingest is measurable; offline rebuild " +
+      "recovers it") {
+    val path = java.nio.file.Files.createTempDirectory("gdrift").toString
+    // index a QUARTER of the corpus, then ingest the other three
+    // quarters through the sink's batch arithmetic with WEAK insert
+    // edges (k=2) — 3× appended volume, the drift regime the rebuild
+    // policy exists for
+    VecIndex.writeGraphIndex(emb.filter(col("vec_id") % 4 === 0), path,
+      k = 16)
+    for (r <- 1 to 3)
+      VecIndex.appendGraphBatch(spark, path,
+        emb.filter(col("vec_id") % 4 === r), k = 2, beam = 8, hops = 3)
+    def card() = VecIndex.graphRecallDrift(spark, path, k = 4, beam = 16,
+      hops = 5, nQueries = 24)
+    def avgPpm(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall_ppm"))).head.getDouble(0)
+    val driftCard = card().localCheckpoint(true)
+    // the drift statistic is per-query and deterministic (hash-sampled
+    // resident queries): same card on a re-measure
+    assert(driftCard.count() == 24)
+    assert(avgPpm(card()) == avgPpm(driftCard))
+    val drifted = avgPpm(driftCard)
+    VecIndex.rebuildGraphIndex(spark, path, k = 16)
+    val rebuilt = avgPpm(card())
+    info(f"recall_ppm drifted=$drifted%.0f rebuilt=$rebuilt%.0f")
+    // rebuild re-runs NN-descent over ALL residents: recall must
+    // recover past the drifted index and land high in absolute terms
+    assert(rebuilt > drifted,
+      f"rebuild did not improve recall: $drifted%.0f -> $rebuilt%.0f")
+    assert(rebuilt >= 800000.0, f"rebuilt recall too low: $rebuilt%.0f")
+  }
 }
