@@ -711,13 +711,31 @@ object SparkEntry {
     */
   private def duckKmeansCte: String = duckKmeansStages("embeddings", "", 8)
 
+  /** [[duckKmeansCte]] with kCells DERIVED from the corpus size — the
+    * SQL twin of `Vec.deriveKCells(count, 64)` (ceil(n/64), via a
+    * LIMIT subquery), so the *Auto catalog entries (q_semdedup,
+    * q_mutual_knn) hash-match at EVERY scale factor: at sf0.01 the
+    * derivation yields the same 8 cells as the fixed-k chain; at sf0.1
+    * both engines derive 32. A literal k here was the one
+    * scale-pinned constant in the catalog (found by the round-9
+    * full-catalog sf0.1 cross-check).
+    */
+  private def duckKmeansCteAuto: String =
+    duckKmeansStages("embeddings", "",
+      "(SELECT (count(*) + 63) // 64 FROM embeddings)")
+
   /** Generalized form: Vec.kmeans(k, iters=2) over CTE/table `src`
     * (vec_id, embedding), every stage name prefixed with `p` so several
     * unrolled k-means runs coexist in one WITH chain (product
     * quantization trains one per subspace). Ends with `${p}a2(vec_id,
     * embedding, cell, dist2)`.
     */
-  private def duckKmeansStages(src: String, p: String, k: Int): String = {
+  private def duckKmeansStages(src: String, p: String, k: Int): String =
+    duckKmeansStages(src, p, k.toString)
+
+  /** `k` as raw SQL — a literal, or a scalar subquery for the derived-
+    * kCells form ([[duckKmeansCteAuto]]). */
+  private def duckKmeansStages(src: String, p: String, k: String): String = {
     val dotSql = duckDotSql _
     val dotSqlEE = dotSql("e.embedding", "e.embedding")
     // one unrolled assignment stage against centroid CTE `cent`
@@ -9362,10 +9380,11 @@ object SparkEntry {
 
     "q_semdedup" -> {
       val dotSql = duckDotSql _
-      // a2 = unrolled k-means assignment; in-cell pairs at rounded-sim
-      // >= 0.3; then the same recursive-closure component labeling as
-      // q_neardup_cluster, over the full vec_id universe.
-      s"""WITH RECURSIVE $duckKmeansCte,
+      // a2 = unrolled k-means assignment with DERIVED kCells (the
+      // deriveKCells twin — scale-portable); in-cell pairs at
+      // rounded-sim >= 0.3; then the same recursive-closure component
+      // labeling as q_neardup_cluster, over the full vec_id universe.
+      s"""WITH RECURSIVE $duckKmeansCteAuto,
           pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE round(${dotSql("a.embedding", "b.embedding")} /
@@ -9389,10 +9408,11 @@ object SparkEntry {
 
     "q_mutual_knn" -> {
       val dotSql = duckDotSql _
-      // a2 = unrolled k-means assignment; directed in-cell top-3 by
+      // a2 = unrolled k-means assignment with DERIVED kCells (the
+      // deriveKCells twin — scale-portable); directed in-cell top-3 by
       // rounded sim (neighbor-id tie-break), reciprocity via self-join,
       // then the shared recursive component labeling.
-      s"""WITH RECURSIVE $duckKmeansCte,
+      s"""WITH RECURSIVE $duckKmeansCteAuto,
           dd AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
             round(${dotSql("a.embedding", "b.embedding")} /
               (sqrt(${dotSql("a.embedding", "a.embedding")}) *

@@ -118,6 +118,60 @@ object IncrementalDedup {
     accepted
   }
 
+  /** Index maintenance: fold the band partitions of COMMITTED streaming
+    * batches (`0 <= __batch < belowBatch`) into the bulk partition
+    * (`__batch = -1`) and delete their directories. The stream writes
+    * one partition per micro-batch for replay idempotence, so partition
+    * COUNT grows without bound as the stream runs — at 100 TB the
+    * partition listing alone would come to dominate the per-batch probe
+    * join. Folding committed history restores a bounded layout (bulk +
+    * the recent replayable tail) without changing one dedup decision.
+    *
+    * Safety contract: `belowBatch` must not exceed the stream's last
+    * COMMITTED batch id — a replay of a folded batch would find its own
+    * bands in the bulk partition (the probe excludes only `__batch =
+    * <id>`) and drop every one of its rows as self-duplicates. Batches
+    * at or above `belowBatch` keep their partitions and their replay
+    * guarantee.
+    *
+    * Crash-safety is by SEMANTIC idempotence, not write atomicity: the
+    * fold appends to the bulk partition BEFORE deleting the source
+    * partitions, and the index is consumed through a left-semi probe,
+    * so a crash between the two steps leaves duplicate band rows that
+    * change no decision; re-running the fold converges. After folding,
+    * `Maintenance.compactPartitions(indexPath, "__batch", Seq("-1"))`
+    * collapses the bulk partition's accumulated files (the fold itself
+    * appends, it does not rewrite).
+    *
+    * Returns the batch ids folded (empty = nothing below the bound).
+    */
+  def checkpointIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, belowBatch: Long): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val batches = fs.listStatus(root)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") &&
+          n.stripPrefix("__batch=").forall(c => c.isDigit) =>
+        n.stripPrefix("__batch=").toLong
+      }
+      .filter(b => b >= 0L && b < belowBatch)
+      .sorted.toSeq
+    if (batches.isEmpty) return Seq.empty
+    val folded = spark.read.parquet(indexPath)
+      .filter(col("__batch").isin(batches: _*))
+      .drop("__batch")
+      .withColumn("__batch", lit(-1L))
+      .localCheckpoint(true) // materialize BEFORE touching the layout
+    folded.write.mode("append").partitionBy("__batch").parquet(indexPath)
+    batches.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"__batch=$b"), true)
+    }
+    batches
+  }
+
   /** Streaming wrapper: accepted docs land at `acceptedPath`, bands at
     * `indexPath`, both written into `__batch=<id>` partitions with dynamic
     * partition overwrite so a replayed microbatch overwrites its own

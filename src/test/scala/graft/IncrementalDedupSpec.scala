@@ -144,4 +144,64 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(got3 === Array(1L, 3L, 5L))
   }
+
+  test("checkpointIndex folds committed batches into the bulk partition " +
+      "without changing any dedup decision") {
+    val root = TestSpark.tmpDir("inc_dedup_fold")
+    val indexPath = s"$root/index"
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // three committed batches
+    ids(IncrementalDedup.step(
+      Seq((1L, base), (3L, other)).toDF("doc_id", "text"),
+      indexPath, batchId = Some(0L)))
+    ids(IncrementalDedup.step(
+      Seq((5L, third)).toDF("doc_id", "text"),
+      indexPath, batchId = Some(1L)))
+    ids(IncrementalDedup.step(
+      Seq((6L, base.reverse)).toDF("doc_id", "text"),
+      indexPath, batchId = Some(2L)))
+
+    // control: byte-copy of the unfolded index
+    val ctlPath = s"$root/index_ctl"
+    val src = java.nio.file.Paths.get(indexPath)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val dst = java.nio.file.Paths.get(ctlPath)
+        .resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+    }
+
+    // fold batches 0 and 1 (committed); 2 keeps its replay partition
+    val folded = IncrementalDedup.checkpointIndex(spark, indexPath, 2L)
+    assert(folded === Seq(0L, 1L))
+    val fs = new java.io.File(indexPath)
+    val dirs = fs.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains("__batch=0") && !dirs.contains("__batch=1"), dirs)
+    assert(dirs.contains("__batch=-1") && dirs.contains("__batch=2"), dirs)
+
+    // a new batch (near-dup of batch-0 content + one distinct doc)
+    // dedups IDENTICALLY against the folded and the control index
+    val b4 = Seq((9L, base.replace("dog", "cat")),
+      (10L, "entirely novel content that matches nothing indexed before " +
+        "with unique words like zirconium and palimpsest in it today"))
+      .toDF("doc_id", "text")
+    val aFolded = ids(IncrementalDedup.step(b4, indexPath,
+      batchId = Some(3L)))
+    val aControl = ids(IncrementalDedup.step(b4, ctlPath,
+      batchId = Some(3L)))
+    assert(aFolded === aControl)
+
+    // the bulk partition's accumulated files compact without changing
+    // a replayed probe (same batchId → idempotent, same decisions)
+    graft.ops.Maintenance.compactPartitions(spark, indexPath,
+      "__batch", Seq("-1"))
+    val aReplay = ids(IncrementalDedup.step(b4, indexPath,
+      batchId = Some(3L)))
+    assert(aReplay === aFolded)
+
+    // refold below the same bound is a no-op
+    assert(IncrementalDedup.checkpointIndex(spark, indexPath, 2L).isEmpty)
+  }
 }

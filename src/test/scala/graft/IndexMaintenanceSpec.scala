@@ -189,4 +189,35 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(res("postings").nonEmpty || res("lens").nonEmpty)
     assert(probe() == before)
   }
+
+  test("winnow fingerprints+sizes: compaction after streaming admit, " +
+      "screen results byte-identical") {
+    import spark.implicits._
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+    val path = TestSpark.tmpDir("wncmp")
+    graft.functions.WinnowIndex.writeWinnowIndex(corpus, path,
+      nBuckets = 8, n = 3, w = 4)
+    val thr = math.max(maxPartCount(s"$path/fingerprints", "bucket"),
+      maxPartCount(s"$path/sizes", "bucket"))
+
+    // admit two new docs through the streaming path (appends to both
+    // layout dirs through the anti-join guard)
+    val streamDir = TestSpark.tmpDir("wncmps")
+    all.filter(col("doc_id") < 2).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(streamDir)
+    graft.functions.WinnowIndex.streamScreenAndAdmit(spark, path,
+      streamDir, TestSpark.tmpDir("wncmpc"), TestSpark.tmpDir("wncmpr"))
+      .awaitTermination()
+
+    val queries = all.filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"))
+    def probe() = graft.functions.WinnowIndex.screen(spark, path,
+        queries, minShared = 1L)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val before = probe()
+    val res = IndexMaintenance.compactWinnow(spark, path, maxFiles = thr)
+    assert(res("fingerprints").nonEmpty || res("sizes").nonEmpty)
+    assert(probe() == before)
+  }
 }
