@@ -60,7 +60,8 @@ object ScaleProbe {
       "unigram_tv", "line_dedup", "blocklist", "events_analytics",
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
       "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e",
-      "index_compaction", "graph_rebuild", "concurrent_serving")
+      "index_compaction", "graph_rebuild", "concurrent_serving",
+      "incr_dedup_fold")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -1015,6 +1016,47 @@ object ScaleProbe {
       val (seqLat, seqTotal) = run(1)
       val (conLat, conTotal) = run(12)
       println(f"""{"probe":"concurrent_serving","n_probes":${probes.size},"threads":12,"seq_total_sec":$seqTotal%.2f,"con_total_sec":$conTotal%.2f,"speedup":${seqTotal / conTotal}%.2f,"seq_p50":${pct(seqLat, 0.5)}%.2f,"seq_p95":${pct(seqLat, 0.95)}%.2f,"con_p50":${pct(conLat, 0.5)}%.2f,"con_p95":${pct(conLat, 0.95)}%.2f}""")
+    }
+
+    // Band-index fold card: a long-running dedup stream leaves one
+    // __batch partition per micro-batch; checkpointIndex folds the
+    // committed history into the bulk partition and compaction collapses
+    // its files. Card records partition/file counts before/after and the
+    // per-batch step wall before/after (the probe's partition-listing
+    // cost is what unbounded growth inflates).
+    if (want("incr_dedup_fold")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("incfold").toString
+      val indexPath = s"$root/index"
+      val nBatches = 32
+      for (b <- 0 until nBatches) {
+        graft.streaming.IncrementalDedup.step(
+          base.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b),
+          indexPath, batchId = Some(b.toLong)): Unit
+      }
+      def partCount = graft.ops.Maintenance
+        .partitionFileCounts(spark, indexPath).size
+      def fileCount = graft.ops.Maintenance
+        .partitionFileCounts(spark, indexPath).values.sum
+      def stepSec(id: Long): Double = {
+        val probe = base.limit(200)
+          .select((col("doc_id") + 1000000L * id).as("doc_id"), col("text"))
+        val t = System.nanoTime()
+        graft.streaming.IncrementalDedup.step(probe, indexPath,
+          batchId = Some(id)).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val partsBefore = partCount
+      val filesBefore = fileCount
+      val secBefore = stepSec(100L)
+      val folded = graft.streaming.IncrementalDedup
+        .checkpointIndex(spark, indexPath, nBatches.toLong)
+      graft.ops.Maintenance.compactPartitions(spark, indexPath,
+        "__batch", Seq("-1"))
+      val partsAfter = partCount
+      val filesAfter = fileCount
+      val secAfter = stepSec(101L)
+      println(f"""{"probe":"incr_dedup_fold","batches":$nBatches,"folded":${folded.size},"parts_before":$partsBefore,"parts_after":$partsAfter,"files_before":$filesBefore,"files_after":$filesAfter,"step_before_sec":$secBefore%.2f,"step_after_sec":$secAfter%.2f}""")
     }
 
     // Graph-rebuild drift card: index 1/16 of a replicated corpus, bulk-

@@ -557,8 +557,14 @@ object VecIndex {
       idCol: String, vecCol: String): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val entryId = meta.getLong(meta.fieldIndex("entry_id"))
+    // One reader frame per layout dir for the WHOLE search: building a
+    // fresh spark.read.parquet per hop re-runs file listing and schema
+    // resolution 2×hops times per probe — pure serving latency. The
+    // per-hop partition pruning happens in the filters below either way.
+    val vecsBase = spark.read.parquet(s"$path/vectors")
+    val adjBase = spark.read.parquet(s"$path/adj")
     def vecsFor(ids: Array[Long]): DataFrame =
-      spark.read.parquet(s"$path/vectors")
+      vecsBase
         .filter(col("vec_bucket")
           .isin(ids.map(_ % nB).distinct.toIndexedSeq: _*))
         .filter(col(idCol).isin(ids.toIndexedSeq: _*))
@@ -569,7 +575,7 @@ object VecIndex {
     for (_ <- 1 to hops) {
       val beamIds = bm.select(col("__d")).distinct().collect()
         .map(_.getLong(0))
-      val adj = spark.read.parquet(s"$path/adj")
+      val adj = adjBase
         .filter(col("node_bucket")
           .isin(beamIds.map(_ % nB).distinct.toIndexedSeq: _*))
         .filter(col("node_id").isin(beamIds.toIndexedSeq: _*))
