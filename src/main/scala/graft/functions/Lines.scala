@@ -147,12 +147,15 @@ object Lines {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       lineLen: Int): DataFrame = {
     def lineArr = Text.tokenLines(Text.tokens(col(textCol)), lineLen)
+    // Hash side rides the compiled fused generator (tokenize → window →
+    // poly hash in one scan-stage pass, no line-string rows); the string
+    // side below builds lineArr only once, for the reconstruction.
     val lines = docs
-      .select(col(idCol), posexplode(lineArr))
-      .select(col(idCol), col("pos").as("line_no"),
-        Text.charFingerprint(col("col")).as("__lh"))
+      .select(col(idCol),
+        graft.plans.TextExpressions.hashedTokenLines(col(textCol), lineLen))
       .withColumn("__ord",
         col(idCol).cast("long") * lit(1048576L) + col("line_no").cast("long"))
+      .withColumnRenamed("lh", "__lh")
     val w = Window.partitionBy(col("__lh"))
     // collect_list skips nulls, so when(__kept, line_no) collects
     // exactly the survivors; max(line_no)+1 is the doc's line count
@@ -169,8 +172,8 @@ object Lines {
       .select(col(idCol),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
-        // posexplode positions ARE array indices, so looking the sorted
-        // survivor positions back up in the doc's own lines array
+        // generator line_no values ARE array indices, so looking the
+        // sorted survivor positions back up in the doc's own lines array
         // reproduces "survivors in line_no order" exactly — O(kept)
         // element_at lookups, not an O(lines·kept) membership filter. A
         // doc with no surviving line has a null __keep_nos → transform
@@ -178,7 +181,7 @@ object Lines {
         // LEFT-join miss.
         coalesce(
           array_join(transform(col("__keep_nos"),
-            j => element_at(col("__la"), j + 1)), " "),
+            j => element_at(col("__la"), (j + 1).cast("int"))), " "),
           lit("")).as("clean_text"))
   }
 }

@@ -144,6 +144,53 @@ case class HashedShinglesPos(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Generator: one output row per fixed-width token LINE of the input
+  * text (`line_no: bigint, lh: bigint`) — non-overlapping `lineLen`-token
+  * windows INCLUDING the remainder tail, each hashed as its space-joined
+  * string. Bit-identical to
+  * `posexplode(Text.tokenLines(Text.tokens(text), lineLen))` +
+  * `Text.charFingerprint(line)` (the corpus-wide line-dedup key stream),
+  * fused into one compiled pass with no intermediate token/line arrays
+  * and no line-string Spark rows — at corpus scale the interpreted
+  * transform/slice/concat_ws HOF chain those build is the dominant cost
+  * of the hash side of line dedup.
+  */
+case class HashedTokenLines(child: Expression, lineLen: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(lineLen >= 1, "line length must be >= 1 tokens")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_token_lines requires a string argument, got ${child.dataType.sql}")
+
+  override def elementSchema: StructType =
+    StructType(StructField("line_no", LongType) ::
+      StructField("lh", LongType) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val tokens = v.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
+      if (tokens.length == 0) Nil
+      else (0 until (tokens.length + lineLen - 1) / lineLen).iterator
+        .map { line =>
+          val i = line * lineLen
+          val end = math.min(i + lineLen, tokens.length)
+          val sb = new java.lang.StringBuilder(tokens(i))
+          var k = i + 1
+          while (k < end) { sb.append(' ').append(tokens(k)); k += 1 }
+          InternalRow(line.toLong, PolyHash.eval(sb.toString))
+        }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedTokenLines =
+    copy(child = newChild)
+}
+
 /** Static kernels for single-pass whitespace token scans.
   *
   * Tokenization is bit-identical to `Text.tokens` =
@@ -680,6 +727,10 @@ object TextExpressions {
   /** Column API: positioned hashed word n-grams (pos, tid rows). */
   def hashedShinglesPos(c: Column, n: Int): Column =
     GraftBridge.column(HashedShinglesPos(GraftBridge.expression(c), n))
+
+  /** Column API: hashed fixed-width token lines (line_no, lh rows). */
+  def hashedTokenLines(c: Column, lineLen: Int): Column =
+    GraftBridge.column(HashedTokenLines(GraftBridge.expression(c), lineLen))
 
   /** Column API: whitespace token count (codegen'd single pass). */
   def tokenCount(c: Column): Column =

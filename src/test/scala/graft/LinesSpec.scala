@@ -123,6 +123,23 @@ class LinesSpec extends AnyFunSuite {
     assert(out == ((7L, 3L, 2L, "p q r s")))
   }
 
+  test("hashedTokenLines generator equals the HOF line+fingerprint chain " +
+      "on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaGen = docs.select(col("doc_id"),
+        graft.plans.TextExpressions.hashedTokenLines(col("text"), 10))
+      .select(col("doc_id"), col("line_no"), col("lh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    val viaHof = docs.select(col("doc_id"),
+        posexplode(Text.tokenLines(Text.tokens(col("text")), 10)))
+      .select(col("doc_id"), col("pos").cast("long"),
+        Text.charFingerprint(col("col")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(viaGen == viaHof)
+  }
+
   test("lineDedup: remainder line participates like any other") {
     // doc 1 tail "z" is its own line; doc 2's full line "z" has the same
     // text → dropped as a duplicate of doc 1's remainder.
