@@ -3643,6 +3643,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Grid-blocked DBSCAN over the 2-D matryoshka prefix plane — the
+    // density rung of the clustering family (k-means partitions all
+    // points; DBSCAN finds arbitrary-shape dense regions and calls the
+    // rest noise). Cell side = eps, so the 3x3-cell join enumerates every
+    // eps-pair exactly once and the result is EXACT while the all-pairs
+    // join never happens; cores cluster via the checkpointed min-label
+    // components, borders take their smallest core neighbor's label.
+    "q_dbscan" -> { (s, d) =>
+      Vec.dbscanGrid(Tables.embeddings(s, d), eps = 0.02, minPts = 5)
+        .orderBy(col("vec_id"))
+    },
+
+    // Maximal Marginal Relevance top-k (Carbonell & Goldstein 1998):
+    // diversity-aware re-rank of the cosine shortlist — at each of 5
+    // greedy steps pick argmax 0.7·rel − 0.3·max-sim-to-selected. The
+    // shortlist pass rides the memoized brute-force top-k; the greedy
+    // loop sees only |queries|·shortlist rows (corpus-size-independent).
+    "q_mmr_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.mmrTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+          shortlist = 20, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Exact-arithmetic PCA: the dominant principal direction of the
     // 16-dim matryoshka prefix by fixed-point power iteration — integer
     // quantization, division-free centering (n·q − S), decimal(38,0)
@@ -8813,6 +8837,94 @@ object SparkEntry {
           SELECT vec_id FROM c
           WHERE vec_id NOT IN (SELECT vec_id FROM bad)
           ORDER BY vec_id"""
+    },
+
+    // DBSCAN over (embedding[1], embedding[2]): the oracle does the plain
+    // all-pairs eps-join (fine at oracle scale; the Spark side's grid is
+    // blocking only, so the pair set is identical), the same
+    // self-inclusive core test, reachable-min-label components over
+    // core-core edges, min-label border attach.
+    "q_dbscan" ->
+      s"""WITH RECURSIVE p AS (SELECT vec_id AS id,
+            CAST(embedding[1] AS DOUBLE) AS x,
+            CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+          nbr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+            ON (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 0.02*0.02),
+          core AS (SELECT ia AS id FROM nbr GROUP BY ia
+            HAVING count(*) >= 5),
+          ce AS (SELECT n.ia AS s, n.ib AS t FROM nbr n
+            JOIN core ca ON ca.id = n.ia JOIN core cb ON cb.id = n.ib
+            WHERE n.ia <> n.ib),
+          reach(id, r) AS (SELECT id, id FROM core
+            UNION SELECT ce.t, reach.r FROM ce JOIN reach ON ce.s = reach.id),
+          comp AS (SELECT id, min(r) AS cl FROM reach GROUP BY id),
+          border AS (SELECT n.ia AS id, min(c.cl) AS cl
+            FROM nbr n JOIN comp c ON c.id = n.ib
+            WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia),
+          lab AS (SELECT id, 'core' AS role, cl FROM comp
+            UNION ALL SELECT id, 'border' AS role, cl FROM border)
+          SELECT p.id AS vec_id, coalesce(l.role, 'noise') AS role,
+            CAST(coalesce(l.cl, -1) AS BIGINT) AS cluster
+          FROM p LEFT JOIN lab l ON l.id = p.id
+          ORDER BY vec_id""",
+
+    // MMR: the oracle unrolls the 5 greedy steps verbatim — same rounded
+    // cosine inputs, same fixed-shape double score, same id tie-break.
+    "q_mmr_topk" -> {
+      val dotSql = duckDotSql _
+      val k = 5
+      val steps = (1 to k).map { i =>
+        val prev = s"sel${i - 1}"
+        s"""cand$i AS (SELECT r.* FROM rel r WHERE NOT EXISTS
+              (SELECT 1 FROM $prev s WHERE s.query_id = r.query_id
+                 AND s.neighbor_id = r.neighbor_id)),
+            pen$i AS (SELECT c.query_id, c.neighbor_id, max(p.psim) AS mx
+              FROM cand$i c JOIN $prev s ON s.query_id = c.query_id
+              JOIN ps p ON p.query_id = c.query_id
+                AND p.id_a = c.neighbor_id AND p.id_b = s.neighbor_id
+              GROUP BY 1, 2),
+            sc$i AS (SELECT c.query_id, c.neighbor_id, c.sim,
+              0.7 * c.sim - (1.0 - 0.7) * coalesce(p.mx, 0.0) AS mmr
+              FROM cand$i c LEFT JOIN pen$i p
+                ON p.query_id = c.query_id
+                 AND p.neighbor_id = c.neighbor_id),
+            win$i AS (SELECT query_id, neighbor_id, sim, mmr FROM
+              (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY mmr DESC, neighbor_id) AS rn FROM sc$i)
+              WHERE rn = 1),
+            sel$i AS (SELECT query_id, neighbor_id FROM $prev
+              UNION ALL SELECT query_id, neighbor_id FROM win$i)"""
+      }.mkString(",\n")
+      val finals = (1 to k).map { i =>
+        s"""SELECT query_id, CAST($i AS BIGINT) AS "rank", neighbor_id,
+            sim AS rel,
+            CAST(round(mmr * 10000000.0) AS BIGINT) AS mmr_e7 FROM win$i"""
+      }.mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding FROM embeddings),
+          sc0 AS (SELECT query_id, c.vec_id AS neighbor_id,
+            round(${dotSql("qv", "c.embedding")} /
+              (sqrt(${dotSql("qv", "qv")}) *
+               sqrt(${dotSql("c.embedding", "c.embedding")})), 6) AS sim
+            FROM q JOIN c ON c.vec_id <> q.query_id),
+          rel AS (SELECT query_id, neighbor_id, sim FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rn FROM sc0)
+            WHERE rn <= 20),
+          ps AS (SELECT a.query_id, a.neighbor_id AS id_a,
+            b.neighbor_id AS id_b,
+            round(${dotSql("ea.embedding", "eb.embedding")} /
+              (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+               sqrt(${dotSql("eb.embedding", "eb.embedding")})), 6) AS psim
+            FROM rel a JOIN rel b ON a.query_id = b.query_id
+              AND a.neighbor_id <> b.neighbor_id
+            JOIN c ea ON ea.vec_id = a.neighbor_id
+            JOIN c eb ON eb.vec_id = b.neighbor_id),
+          sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+            CAST(NULL AS BIGINT) AS neighbor_id WHERE 1 = 0),
+          $steps
+          SELECT * FROM ($finals) ORDER BY query_id, "rank""""
     },
 
     "q_embed_neardup_lsh" -> {

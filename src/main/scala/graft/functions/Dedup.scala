@@ -467,24 +467,30 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"simhashPairs: fingerprint outside [0, 2^$bits): "),
         col(fpCol).cast("string"))))
+    // Carry the fingerprint THROUGH the blocking join instead of rejoining
+    // the fps relation per pair side: fps (often a scan-stage SimhashExpr
+    // over full document text) is evaluated exactly once into the
+    // checkpointed keyed relation (4 longs x maxHamming+1 rows per doc),
+    // and the exact-hamming verify reads the carried lanes — no re-scan of
+    // the text, no verify-side joins.
     val keyed = fps.select(col(idCol), guarded.as("__fp"))
       .join(chunksDf)
-      .select(col(idCol), col("ck"),
+      .select(col(idCol), col("__fp"), col("ck"),
         expr("(__fp div cp) % cmod").as("cv"))
     val w = Window.partitionBy(col("ck"), col("cv"))
     val capped = keyed
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= bucketCap)
       .drop("__n")
-    val a = capped.select(col("ck"), col("cv"), col(idCol).as("id_a"))
-    val b = capped.select(col("ck"), col("cv"), col(idCol).as("id_b"))
-    val cands = a.join(b, Seq("ck", "cv"))
+      .localCheckpoint(true)
+    val a = capped.select(col("ck"), col("cv"),
+      col(idCol).as("id_a"), col("__fp").as("__fa"))
+    val b = capped.select(col("ck"), col("cv"),
+      col(idCol).as("id_b"), col("__fp").as("__fb"))
+    a.join(b, Seq("ck", "cv"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__fa"), col("__fb"))
       .distinct()
-    val fa = fps.select(col(idCol).as("id_a"), col(fpCol).as("__fa"))
-    val fb = fps.select(col(idCol).as("id_b"), col(fpCol).as("__fb"))
-    cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
       .withColumn("hd", hamming(col("__fa"), col("__fb")).cast("long"))
       .filter(col("hd") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hd"))

@@ -1359,4 +1359,190 @@ object Vec {
           .otherwise(round((col("b2") - col("a2")) /
             greatest(col("a2"), col("b2")), 6)).as("sil"))
   }
+
+  /** Grid-blocked DBSCAN (Ester et al. 1996, KDD'96) over the first two
+    * embedding dimensions — the density rung of the clustering family:
+    * k-means/k-center partition EVERY point into a fixed k; DBSCAN finds
+    * arbitrary-shape dense regions and labels sparse points noise, the
+    * shape corpus cartography needs over a 2-D projection (the matryoshka
+    * prefix plane here; a PCA projection composes the same way).
+    *
+    * Exact, not approximate: the grid (cell side = eps) is a BLOCKING
+    * device only. Any pair within eps differs by at most eps per axis, so
+    * it lands within one cell offset and the 3x3-neighborhood join
+    * enumerates every eps-pair exactly once (each point probes 9 distinct
+    * cells; the neighbor's home cell is unique) — the O(n²) all-pairs
+    * join never happens. Neighborhood counts include the point itself
+    * (|N_eps(p)| >= minPts, the paper's / sklearn's convention). Core
+    * points cluster via the house checkpointed min-label connected
+    * components over core-core eps-edges; a border point (non-core with a
+    * core neighbor) joins its smallest neighboring core's cluster;
+    * everything else is noise.
+    *
+    * Determinism: coordinates are float->double (exact); dist² and eps²
+    * are fixed-shape double expressions the oracle repeats verbatim;
+    * cluster label = min core id of the component; border tie-break =
+    * min cluster label; noise labeled -1.
+    *
+    * Scale shape: one linear pass to cell keys, a cell-equi-join whose
+    * cost is Σ products of adjacent-cell sizes — linear for bounded
+    * density, which is DBSCAN's own operating contract (a cell denser
+    * than minPts·O(1) is all-core and could be short-circuited; not
+    * needed at these SFs) — then the components fixpoint over core
+    * edges only. No driver-side data, no unconditionally-quadratic stage.
+    *
+    * Output: (idCol, role core|border|noise, cluster) — one row per
+    * input vector, cluster = -1 for noise.
+    */
+  def dbscanGrid(vecs: DataFrame, eps: Double, minPts: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(eps > 0.0, s"eps must be > 0, got $eps")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = vecs.select(
+        col(idCol).cast("long").as("__id"),
+        element_at(col(vecCol), 1).cast("double").as("__x"),
+        element_at(col(vecCol), 2).cast("double").as("__y"))
+      .withColumn("__cx", floor(col("__x") / lit(eps)).cast("long"))
+      .withColumn("__cy", floor(col("__y") / lit(eps)).cast("long"))
+      .localCheckpoint(true)
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val probes = pts.select(col("__id").as("ia"), col("__x").as("xa"),
+        col("__y").as("ya"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("__cx") + dx).as("cx"), (col("__cy") + dy).as("cy"))
+        }: _*)).as("__c"))
+      .select(col("ia"), col("xa"), col("ya"),
+        col("__c.cx").as("cx"), col("__c.cy").as("cy"))
+    val owners = pts.select(col("__id").as("ib"), col("__x").as("xb"),
+      col("__y").as("yb"), col("__cx").as("cx"), col("__cy").as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    // Directed eps-neighbor list, self included (the core test counts it).
+    val nbr = probes.join(owners, Seq("cx", "cy"))
+      .filter(d2 <= lit(eps * eps))
+      .select(col("ia"), col("ib"))
+      .localCheckpoint(true)
+    val core = nbr.groupBy(col("ia")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts)
+      .select(col("ia").as("__id"))
+      .localCheckpoint(true)
+    val coreEdges = nbr
+      .join(core.select(col("__id").as("ia")), Seq("ia"))
+      .join(core.select(col("__id").as("ib")), Seq("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val comp = Cluster.connectedComponents(coreEdges, "id_a", "id_b",
+      core, "__id")
+    val coreOut = comp.select(col("__id"), lit("core").as("role"),
+      col("component").as("cluster"))
+    // comp only labels core ids, so the inner join doubles as the
+    // "neighbor is core" filter; the anti-join removes core ia rows.
+    val borderOut = nbr
+      .join(comp.select(col("__id").as("ib"), col("component")), Seq("ib"))
+      .join(core.select(col("__id").as("ia")), Seq("ia"), "left_anti")
+      .groupBy(col("ia"))
+      .agg(min(col("component")).as("cluster"))
+      .select(col("ia").as("__id"), lit("border").as("role"),
+        col("cluster"))
+    val labeled = coreOut.unionByName(borderOut)
+    val noise = pts.select(col("__id"))
+      .join(labeled.select(col("__id")), Seq("__id"), "left_anti")
+      .select(col("__id"), lit("noise").as("role"),
+        lit(-1L).as("cluster"))
+    labeled.unionByName(noise)
+      .select(col("__id").as(idCol), col("role"),
+        col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * SIGIR'98): diversity-aware top-k over a cosine shortlist — the step
+    * between "retrieve nearest" and "retrieve nearest that aren't k
+    * copies of one passage" every RAG/hard-negative pipeline ships.
+    * Greedily selects k of the `shortlist` nearest candidates; at each
+    * step the pick maximizes
+    *   lambda·rel(c) − (1−lambda)·max_{s∈selected} sim(c, s)
+    * (rel = cosine(query, c), sim = cosine(c, s), both rounded to 6 — the
+    * house cross-engine contract; the empty-set max is 0, so the first
+    * pick is the plain nearest neighbor). Ties break by neighbor id.
+    *
+    * Determinism: both rel and sim are the rounded house cosine; the MMR
+    * score is a fixed-shape double expression of those rounded inputs, so
+    * it is bit-identical in any IEEE engine and the oracle replays the
+    * greedy loop verbatim (unrolled k steps). The REPORTED score is
+    * integer-scaled (mmr_e7 = round(score·1e7), a BIGINT): the raw score
+    * is an exact multiple of 1e-7 of its decimal inputs, so rounding it
+    * to 6 places is a perpetual half-way tie that double-rounding breaks
+    * differently per engine — scaling to the exact grid has no midpoint.
+    *
+    * Scale shape: the shortlist pass is [[bruteForceTopK]] (broadcast
+    * queries, one corpus map stage — swap in the IVF/graph shortlist for
+    * planet-scale corpora; the MMR stage only sees shortlisted rows). The
+    * greedy loop runs k driver-bounded rounds over |queries|·shortlist
+    * candidate rows and a |queries|·shortlist² pairwise-sim relation —
+    * both bounded by configuration, linear in query count, never in
+    * corpus size. Each round's selected set is checkpointed so the plan
+    * stays k-bounded.
+    *
+    * Output: (query_id, rank 1..k, neighbor_id, rel, mmr_e7).
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int, lambda: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= shortlist,
+      s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val rel = bruteForceTopK(queries, corpus, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val cand = rel.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v")), Seq("neighbor_id"))
+    val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("__v").as("__va"))
+    val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"),
+      col("__v").as("__vb"))
+    val ps = a.join(b, Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb"), 6).as("psim"))
+      .localCheckpoint(true)
+    val relCk = rel.localCheckpoint(true)
+    var out: DataFrame = null
+    var sel: DataFrame = null
+    for (step <- 1 to k) {
+      val remaining =
+        if (sel == null) relCk
+        else relCk.join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val pen =
+        if (sel == null) remaining.select(col("query_id"),
+          col("neighbor_id"), lit(0.0).as("__mx"))
+        else remaining
+          .join(sel.select(col("query_id"),
+            col("neighbor_id").as("id_b")), Seq("query_id"))
+          .join(ps, Seq("query_id") :+ "id_b")
+          .filter(col("id_a") === col("neighbor_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(max(col("psim")).as("__mx"))
+      val scored = remaining.join(pen, Seq("query_id", "neighbor_id"),
+          "left_outer")
+        .withColumn("__mmr", lit(lambda) * col("sim") -
+          (lit(1.0) - lit(lambda)) * coalesce(col("__mx"), lit(0.0)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__mmr").desc, col("neighbor_id"))
+      val win = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"),
+          round(col("__mmr") * lit(1e7), 0).cast("long").as("mmr_e7"),
+          lit(step.toLong).as("rank"))
+        .localCheckpoint(true)
+      out = if (out == null) win else out.unionByName(win)
+      sel = if (sel == null) win.select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      else sel.unionByName(win.select(col("query_id"), col("neighbor_id")))
+        .localCheckpoint(true)
+    }
+    out.select(col("query_id"), col("rank"), col("neighbor_id"),
+      col("rel"), col("mmr_e7"))
+  }
 }
