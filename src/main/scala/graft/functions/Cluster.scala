@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate cluster assignment: connected components over a
@@ -229,6 +230,64 @@ object Cluster {
         parent.keys.toArray.map(v => (v, find(v))).iterator
       }
       .toDF(idCol, "component")
+  }
+
+  /** TWO-LEVEL connected components for spatially-blocked graphs whose
+    * components DO span blocks — the middle ground between
+    * [[connectedComponents]] (fully general, log(diameter) join rounds)
+    * and [[blockedComponents]] (one pass, but components must stay
+    * in-block). Geometric candidate graphs (DBSCAN eps-neighbors, grid
+    * near-dup cells) percolate: a near-critical eps-graph forms thin
+    * chains hundreds of hops long, and min-label propagation — even
+    * pointer-jumped — pays a join round per label doubling, which
+    * measured PAST a 20-round cap on the sf0.1 eps-graph. Here the
+    * fixpoint never sees those chains: every intra-tile edge is folded by
+    * the per-tile union-find in ONE grouped pass (state bounded by tile
+    * size — the caller's tiling contract), and the iterative loop runs
+    * only on the contracted remnant (one supernode per tile-local
+    * component, edges = tile-crossing pairs), whose diameter is the TILE
+    * graph's, not the point graph's.
+    *
+    * Contraction validity: a tile-local root is the min id of a set of
+    * genuinely-connected vertices, so remnant min-label CC converges to
+    * the component's global min id — labels are IDENTICAL to running
+    * [[connectedComponents]] on the raw graph (spec-pinned).
+    *
+    * Requirements: integral ids; `tileCol` must be a function of the
+    * VERTEX (both edge tile columns derived from their endpoint's tile),
+    * so intra-tile edges group uniquely and tiles partition the vertices.
+    *
+    * @param edges    (aCol, bCol, tileACol, tileBCol) candidate pairs
+    * @param vertices (idCol, tileCol), one row per vertex
+    */
+  def tiledComponents(edges: DataFrame, aCol: String, bCol: String,
+      tileACol: String, tileBCol: String, vertices: DataFrame,
+      idCol: String, tileCol: String, maxIter: Int = 20): DataFrame = {
+    val intra = edges.filter(col(tileACol) === col(tileBCol))
+      .select(col(tileACol).as("__tile"), col(aCol).as("__a"),
+        col(bCol).as("__b"))
+    val verts = vertices.select(col(tileCol).as("__tile"),
+      col(idCol).cast("long").as("__v"))
+    val roots = blockedComponents(intra, "__tile", "__a", "__b",
+        verts, "__v")
+      .select(col("__v"), col("component").as("__root"))
+      .localCheckpoint(true)
+    // Only tile-crossing edges can join two local roots (an intra-tile
+    // edge's endpoints already share one), so the remnant edge build
+    // never touches the intra volume.
+    val cross = edges.filter(col(tileACol) =!= col(tileBCol))
+      .select(col(aCol).cast("long").as("__v"),
+        col(bCol).cast("long").as("__vb"))
+      .join(roots, Seq("__v"))
+      .select(col("__vb").as("__v"), col("__root").as("__ra"))
+      .join(roots, Seq("__v"))
+      .filter(col("__ra") =!= col("__root"))
+      .select(col("__ra").as("id_a"), col("__root").as("id_b"))
+    val remnant = roots.select(col("__root").as("__v")).distinct()
+    val cc = connectedComponents(cross, "id_a", "id_b", remnant, "__v",
+      maxIter)
+    roots.join(cc.withColumnRenamed("__v", "__root"), Seq("__root"))
+      .select(col("__v").as(idCol), col("component"))
   }
 
   /** [[blockedComponents]] with sizes/representatives — the block-local

@@ -1388,70 +1388,94 @@ object Vec {
     * cost is Σ products of adjacent-cell sizes — linear for bounded
     * density, which is DBSCAN's own operating contract (a cell denser
     * than minPts·O(1) is all-core and could be short-circuited; not
-    * needed at these SFs) — then the components fixpoint over core
-    * edges only. No driver-side data, no unconditionally-quadratic stage.
+    * needed at these SFs) — then TWO-LEVEL components over the core
+    * edges ([[Cluster.tiledComponents]]): eps-graphs percolate into thin
+    * chains whose hop diameter grows with spatial extent, so the
+    * iterative min-label loop alone needs diameter-driven rounds (it
+    * measured past a 20-round cap on the sf0.1 graph); the per-tile
+    * union-find (tiles of `tileCells`×`tileCells` cells, state bounded
+    * by tile occupancy) collapses everything intra-tile in one grouped
+    * pass and the loop only crosses TILE boundaries. No driver-side
+    * data, no unconditionally-quadratic stage.
     *
     * Output: (idCol, role core|border|noise, cluster) — one row per
     * input vector, cluster = -1 for noise.
     */
   def dbscanGrid(vecs: DataFrame, eps: Double, minPts: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tileCells: Int = 32): DataFrame = {
     require(eps > 0.0, s"eps must be > 0, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    require(tileCells >= 1, s"tileCells must be >= 1, got $tileCells")
+    // Not checkpointed: only probes/owners read it, and re-running the
+    // column-pruned scan twice inside the nbr job is cheaper than a
+    // separate materialization action.
     val pts = vecs.select(
         col(idCol).cast("long").as("__id"),
         element_at(col(vecCol), 1).cast("double").as("__x"),
         element_at(col(vecCol), 2).cast("double").as("__y"))
       .withColumn("__cx", floor(col("__x") / lit(eps)).cast("long"))
       .withColumn("__cy", floor(col("__y") / lit(eps)).cast("long"))
-      .localCheckpoint(true)
+    // Tile id of a cell: packed (tileX, tileY) longs — the per-vertex
+    // blocking key for the two-level components (collision-free while
+    // |cy/tileCells| < 2^31, i.e. any real coordinate range).
+    def tileOf(cx: Column, cy: Column): Column =
+      floor(cx / lit(tileCells.toDouble)).cast("long") *
+        lit(4294967296L) +
+        pmod(floor(cy / lit(tileCells.toDouble)).cast("long"),
+          lit(4294967296L))
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
     val probes = pts.select(col("__id").as("ia"), col("__x").as("xa"),
         col("__y").as("ya"),
+        tileOf(col("__cx"), col("__cy")).as("tile_a"),
         explode(array(offsets.map { case (dx, dy) =>
           struct((col("__cx") + dx).as("cx"), (col("__cy") + dy).as("cy"))
         }: _*)).as("__c"))
-      .select(col("ia"), col("xa"), col("ya"),
+      .select(col("ia"), col("xa"), col("ya"), col("tile_a"),
         col("__c.cx").as("cx"), col("__c.cy").as("cy"))
     val owners = pts.select(col("__id").as("ib"), col("__x").as("xb"),
-      col("__y").as("yb"), col("__cx").as("cx"), col("__cy").as("cy"))
+      col("__y").as("yb"), tileOf(col("__cx"), col("__cy")).as("tile_b"),
+      col("__cx").as("cx"), col("__cy").as("cy"))
     val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
       (col("ya") - col("yb")) * (col("ya") - col("yb"))
     // Directed eps-neighbor list, self included (the core test counts it).
     val nbr = probes.join(owners, Seq("cx", "cy"))
       .filter(d2 <= lit(eps * eps))
-      .select(col("ia"), col("ib"))
+      .select(col("ia"), col("ib"), col("tile_a"), col("tile_b"))
       .localCheckpoint(true)
-    val core = nbr.groupBy(col("ia")).agg(count(lit(1)).as("__deg"))
+    // tile_a is a function of ia, so grouping by both keeps it along.
+    val core = nbr.groupBy(col("ia"), col("tile_a"))
+      .agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") >= minPts)
-      .select(col("ia").as("__id"))
+      .select(col("ia").as("__id"), col("tile_a").as("__tile"))
       .localCheckpoint(true)
     val coreEdges = nbr
       .join(core.select(col("__id").as("ia")), Seq("ia"))
       .join(core.select(col("__id").as("ib")), Seq("ib"))
       .filter(col("ia") < col("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"))
-    val comp = Cluster.connectedComponents(coreEdges, "id_a", "id_b",
-      core, "__id")
-    val coreOut = comp.select(col("__id"), lit("core").as("role"),
-      col("component").as("cluster"))
-    // comp only labels core ids, so the inner join doubles as the
-    // "neighbor is core" filter; the anti-join removes core ia rows.
-    val borderOut = nbr
-      .join(comp.select(col("__id").as("ib"), col("component")), Seq("ib"))
-      .join(core.select(col("__id").as("ia")), Seq("ia"), "left_anti")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        col("tile_a"), col("tile_b"))
+    val comp = Cluster.tiledComponents(coreEdges, "id_a", "id_b",
+      "tile_a", "tile_b", core, "__id", "__tile")
+    // One assembly pass over nbr (every point self-neighbors, so every
+    // point has a row): a point's min core-neighbor component (comp only
+    // labels cores, so the outer join doubles as the "neighbor is core"
+    // filter), then its own core component. Core label wins; a non-core
+    // with a core neighbor is a border on the smallest such cluster;
+    // everything else is noise. No anti-joins, no union legs.
+    val out = nbr
+      .join(comp.select(col("__id").as("ib"), col("component")),
+        Seq("ib"), "left_outer")
       .groupBy(col("ia"))
-      .agg(min(col("component")).as("cluster"))
-      .select(col("ia").as("__id"), lit("border").as("role"),
-        col("cluster"))
-    val labeled = coreOut.unionByName(borderOut)
-    val noise = pts.select(col("__id"))
-      .join(labeled.select(col("__id")), Seq("__id"), "left_anti")
-      .select(col("__id"), lit("noise").as("role"),
-        lit(-1L).as("cluster"))
-    labeled.unionByName(noise)
-      .select(col("__id").as(idCol), col("role"),
-        col("cluster").cast("long").as("cluster"))
+      .agg(min(col("component")).as("__nc"))
+      .join(comp.select(col("__id").as("ia"),
+        col("component").as("__cc")), Seq("ia"), "left_outer")
+    out.select(col("ia").as(idCol),
+      when(col("__cc").isNotNull, lit("core"))
+        .when(col("__nc").isNotNull, lit("border"))
+        .otherwise(lit("noise")).as("role"),
+      coalesce(col("__cc"), col("__nc"), lit(-1L)).cast("long")
+        .as("cluster"))
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
@@ -1537,6 +1561,9 @@ object Vec {
           lit(step.toLong).as("rank"))
         .localCheckpoint(true)
       out = if (out == null) win else out.unionByName(win)
+      // sel re-checkpoints each round: it feeds TWO joins next step, and
+      // leaving it a growing k-way union replans that tree per step
+      // (measured slower than the extra tiny checkpoint job).
       sel = if (sel == null) win.select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true)
       else sel.unionByName(win.select(col("query_id"), col("neighbor_id")))

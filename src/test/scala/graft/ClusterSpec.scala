@@ -185,6 +185,43 @@ class ClusterSpec extends AnyFunSuite {
       (20L, 20L, 2L, true), (21L, 20L, 2L, false), (30L, 30L, 1L, true)))
   }
 
+  test("tiledComponents matches the iterative loop on random cross-tile graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // vertices scattered over a 1-D line of tiles (tile = id / 10), so
+      // random short-range edges mix intra- and cross-tile
+      val n = 30 + rnd.nextInt(40)
+      val verts = (0L until n.toLong).map(v => (v, v / 10L))
+      val edges = (0 until n).flatMap { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = math.min(n - 1L, a + rnd.nextInt(15))
+        if (a == b) Nil else Seq((a, b, a / 10L, b / 10L))
+      }
+      val got = Cluster.tiledComponents(
+          edges.toDF("a", "b", "ta", "tb"), "a", "b", "ta", "tb",
+          verts.toDF("id", "tile"), "id", "tile")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = sparkComponents(verts.map(_._1),
+        edges.map { case (a, b, _, _) => (a, b) })
+      assert(got == exp, s"trial $trial")
+      // the trial must actually exercise tile-crossing edges
+      assert(edges.exists { case (_, _, ta, tb) => ta != tb })
+    }
+  }
+
+  test("tiledComponents: a chain spanning many tiles converges") {
+    // 120-vertex chain, tiles of 8 — the percolating-eps-graph shape
+    // that exhausts a small maxIter on the raw loop but crosses only
+    // 15 tile boundaries after contraction
+    val verts = (0L until 120L).map(v => (v, v / 8L))
+    val edges = (0L until 119L).map(v => (v + 1, v, (v + 1) / 8L, v / 8L))
+    val got = Cluster.tiledComponents(
+        edges.toDF("a", "b", "ta", "tb"), "a", "b", "ta", "tb",
+        verts.toDF("id", "tile"), "id", "tile", maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 120L).map(_ -> 0L).toMap)
+  }
+
   test("blockedComponents rejects non-integral ids") {
     val ex = intercept[IllegalArgumentException] {
       Cluster.blockedComponents(
