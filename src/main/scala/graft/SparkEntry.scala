@@ -3522,6 +3522,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // c-TF-IDF cluster labeling (BERTopic's naming step): each k-means
+    // cell becomes one pseudo-document; its top-5 terms by ctf·T/ttf
+    // (cluster-frequent, corpus-rare) are the cell's human-readable
+    // label. Rides the memoized k-means chain shared with
+    // q_diverse_sample/q_semdedup.
+    "q_cluster_keywords" -> { (s, d) =>
+      val cells = Vec.kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val docs = Tables.documents(s, d).join(cells, Seq("doc_id"))
+      graft.functions.Tfidf.clusterTerms(docs, "cell", "text", k = 5)
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy(col("cell"), col("term_rank"))
+    },
+
     // Per-label embedding centroids (decimal-exact order-free sums) with
     // group sizes — pooling for prototypes / coarse quantizers. The
     // centroid is emitted EXPLODED to (dim, cval) scalar rows: the
@@ -3665,6 +3679,16 @@ object SparkEntry {
       Vec.mmrTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
           shortlist = 20, lambda = 0.7)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Facility-location greedy coreset: pick the 5 candidates (of a
+    // 32-candidate pool) maximizing corpus COVERAGE Σ_v max_s sim(v,s) —
+    // the submodular data-selection objective (1−1/e greedy), integer
+    // 1e6-grid arithmetic so ties are exact in both engines.
+    "q_coreset_select" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.facilityLocationSelect(emb.filter(col("vec_id") < 32), emb, k = 5)
+        .orderBy(col("rank"))
     },
 
     // Exact-arithmetic PCA: the dominant principal direction of the
@@ -8927,6 +8951,49 @@ object SparkEntry {
           SELECT * FROM ($finals) ORDER BY query_id, "rank""""
     },
 
+    // Facility location: the oracle unrolls the same 5 greedy rounds over
+    // the identical clipped 1e6-grid integer similarities — gains are
+    // exact integers, so argmax ties resolve identically.
+    "q_coreset_select" -> {
+      val dotSql = duckDotSql _
+      val k = 5
+      val steps = (1 to k).map { i =>
+        s"""gain$i AS (SELECT s.c,
+              CAST(sum(GREATEST(s.s - cur.cur, 0)) AS BIGINT) AS g
+              FROM sims s JOIN cur${i - 1} cur ON cur.v = s.v
+              WHERE s.c NOT IN (SELECT c FROM sel${i - 1})
+              GROUP BY s.c),
+            win$i AS (SELECT c, g, CAST($i AS BIGINT) AS "rank" FROM
+              (SELECT *, row_number() OVER (ORDER BY g DESC, c) AS rn
+               FROM gain$i) WHERE rn = 1),
+            sel$i AS (SELECT c FROM sel${i - 1}
+              UNION ALL SELECT c FROM win$i),
+            cur$i AS (SELECT cur.v, GREATEST(cur.cur, coalesce(w.s, 0))
+                AS cur
+              FROM cur${i - 1} cur LEFT JOIN
+                (SELECT s.v, s.s FROM sims s JOIN win$i ON s.c = win$i.c)
+                w ON w.v = cur.v)"""
+      }.mkString(",\n")
+      val finals = (1 to k).map { i =>
+        s"""SELECT "rank", c AS vec_id, g AS gain_e6 FROM win$i"""
+      }.mkString(" UNION ALL ")
+      s"""WITH p AS (SELECT vec_id AS c, embedding AS vc
+            FROM embeddings WHERE vec_id < 32),
+          u AS (SELECT vec_id AS v, embedding AS vu FROM embeddings),
+          sims AS (SELECT c, v,
+            GREATEST(CAST(0 AS BIGINT),
+              CAST(round(round(${dotSql("vc", "vu")} /
+                (sqrt(${dotSql("vc", "vc")}) *
+                 sqrt(${dotSql("vu", "vu")})), 6) * 1000000.0)
+                AS BIGINT)) AS s
+            FROM p, u),
+          sel0 AS (SELECT CAST(NULL AS BIGINT) AS c WHERE 1 = 0),
+          cur0 AS (SELECT vec_id AS v, CAST(0 AS BIGINT) AS cur
+            FROM embeddings),
+          $steps
+          SELECT * FROM ($finals) ORDER BY "rank""""
+    },
+
     "q_embed_neardup_lsh" -> {
       val dotSql = duckDotSql _
       val projs = (0 until 4).map { j =>
@@ -9041,6 +9108,25 @@ object SparkEntry {
             (PARTITION BY cell ORDER BY bkt, vec_id) AS rn FROM b)
           SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM r
           WHERE rn <= 12 ORDER BY vec_id""",
+
+    "q_cluster_keywords" ->
+      s"""WITH $duckKmeansCte,
+          dt AS (SELECT a2.cell, d.text FROM documents d
+            JOIN a2 ON a2.vec_id = d.doc_id),
+          tk AS (SELECT cell, unnest(${duckToks("text")}) AS term FROM dt),
+          ctf AS (SELECT cell, term, CAST(count(*) AS BIGINT) AS ctf
+            FROM tk GROUP BY 1, 2),
+          ttf AS (SELECT term, CAST(sum(ctf) AS BIGINT) AS ttf
+            FROM ctf GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tk),
+          sc AS (SELECT cell, ctf.term, ctf, ttf,
+            CAST(ctf * t AS DOUBLE) / CAST(ttf AS DOUBLE) AS score
+            FROM ctf JOIN ttf USING (term), tot),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+            ORDER BY score DESC, term) AS BIGINT) AS term_rank FROM sc)
+          SELECT CAST(cell AS BIGINT) AS cell, term, ctf, ttf, score,
+            term_rank
+          FROM r WHERE term_rank <= 5 ORDER BY cell, term_rank""",
 
     "q_embed_centroid" ->
       s"""WITH ${duckCentroidCte("label")},

@@ -75,4 +75,43 @@ object Tfidf {
       .agg(sum(col("__sgn")).as("val"))
       .filter(col("val") =!= 0L)
   }
+
+  /** Class-based TF-IDF cluster labeling (the BERTopic "name the topic"
+    * step, Grootendorst 2022, arXiv:2203.05794): treat each cluster as
+    * ONE pseudo-document and rank its terms by cluster term count against
+    * the term's corpus-wide count — the top-k terms ARE the cluster's
+    * human-readable label. Scoring is ctf·T/ttf (cluster term count ×
+    * total corpus tokens / corpus term count): the division-exact analog
+    * of BERTopic's tf·log(1 + A/f) under the repo's no-transcendentals
+    * oracle-parity rule — both weight cluster-frequent, corpus-rare terms
+    * up; exact-integer double division is bit-reproducible where libm
+    * log is not.
+    *
+    * Scale: two partial-aggregable groupBys over the exploded token
+    * stream (cluster-term, then term), one broadcast 1-row total, one
+    * window over per-cluster term lists — nothing corpus-keyed beyond
+    * the token counting every TF-IDF pass already does.
+    *
+    * Output: (clusterCol, term, ctf, ttf, score, term_rank 1..k).
+    */
+  def clusterTerms(docs: DataFrame, clusterCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(clusterCol),
+      explode(Text.tokens(col(textCol))).as("term"))
+    val ctf = toks.groupBy(col(clusterCol), col("term"))
+      .agg(count(lit(1)).as("ctf"))
+    val ttf = ctf.groupBy(col("term")).agg(sum(col("ctf")).as("ttf"))
+    val total = broadcast(toks.agg(count(lit(1)).as("__t")))
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col("score").desc, col("term").asc)
+    ctf.join(ttf, Seq("term"))
+      .crossJoin(total)
+      .withColumn("score",
+        (col("ctf") * col("__t")).cast("double") / col("ttf").cast("double"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select(col(clusterCol), col("term"), col("ctf"), col("ttf"),
+        col("score"), col("term_rank"))
+  }
 }

@@ -1572,4 +1572,70 @@ object Vec {
     out.select(col("query_id"), col("rank"), col("neighbor_id"),
       col("rel"), col("mmr_e7"))
   }
+
+  /** Facility-location greedy selection (the submodular-coverage coreset:
+    * Nemhauser/Wolsey/Fisher 1978 greedy on F(S) = Σ_v max_{s∈S} sim(v,s),
+    * the standard embedding-based data-selection objective — pick the k
+    * examples that best COVER the corpus, with the classic 1−1/e
+    * guarantee). The complement of [[kCenters]] (max-min spread) and
+    * stratified sampling (per-cell quotas): coverage weights dense
+    * regions by mass instead of spreading to outliers.
+    *
+    * Arithmetic contract: similarities are the rounded house cosine
+    * scaled to exact 1e6-grid LONGS and clipped at 0 (facility location
+    * needs a non-negative utility; anti-correlated vectors contribute no
+    * coverage). All gains and coverage updates are integer sums —
+    * order-free, overflow-safe to |universe| ≈ 9·10¹² at full coverage —
+    * so greedy ties are EXACT and break by candidate id identically in
+    * any engine; the oracle unrolls the same k steps.
+    *
+    * Scale shape: the sims relation is |pool| × |universe| — pool is the
+    * caller-bounded candidate set (broadcast side), so this is one
+    * corpus map stage, linear in the universe; each of the k greedy
+    * rounds is one join + one integer aggregate over it, plus a
+    * 1-row-broadcast coverage update. Nothing is driver-side; nothing is
+    * quadratic in the corpus.
+    *
+    * Output: (rank 1..k, idCol = the picked pool id, gain_e6 = the exact
+    * marginal coverage gain).
+    */
+  def facilityLocationSelect(pool: DataFrame, universe: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = pool.select(col(idCol).as("__c"), col(vecCol).as("__vc"))
+    val u = universe.select(col(idCol).as("__v"), col(vecCol).as("__vu"))
+    val sims = p.join(u)
+      .select(col("__c"), col("__v"),
+        greatest(lit(0L),
+          round(cosine(col("__vc"), col("__vu"), 6) * lit(1e6), 0)
+            .cast("long")).as("__s"))
+      .localCheckpoint(true)
+    // Coverage state is never materialized: cur(v) = max_{s∈sel} sim(v,s)
+    // recomputes per round from the checkpointed sims and the <= k-row
+    // selected set — one semi-join + max inside the round's single
+    // action, instead of a second checkpointed state relation per round.
+    var sel: DataFrame = null
+    for (step <- 1 to k) {
+      val scored =
+        if (sel == null) sims.select(col("__c"), col("__s").as("__g"))
+        else {
+          val cur = sims.join(sel.select(col("__c")), Seq("__c"))
+            .groupBy(col("__v")).agg(max(col("__s")).as("__cur"))
+          sims.join(sel.select(col("__c")), Seq("__c"), "left_anti")
+            .join(cur, Seq("__v"), "left_outer")
+            .select(col("__c"),
+              greatest(col("__s") - coalesce(col("__cur"), lit(0L)),
+                lit(0L)).as("__g"))
+        }
+      val win = scored.groupBy(col("__c"))
+        .agg(sum(col("__g")).as("gain_e6"))
+        .withColumn("__rn", row_number().over(Window
+          .orderBy(col("gain_e6").desc, col("__c"))))
+        .filter(col("__rn") === 1)
+        .select(col("__c"), col("gain_e6"), lit(step.toLong).as("rank"))
+        .localCheckpoint(true)
+      sel = if (sel == null) win else sel.unionByName(win)
+    }
+    sel.select(col("rank"), col("__c").as(idCol), col("gain_e6"))
+  }
 }

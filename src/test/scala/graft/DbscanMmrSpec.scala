@@ -140,6 +140,43 @@ class DbscanMmrSpec extends AnyFunSuite {
     assert(got.head._2 == 10L && got(1)._2 == 12L)
   }
 
+  /** Reference facility-location greedy on the exact 1e6-grid integers. */
+  private def bruteFacility(pool: Seq[Long],
+      corpus: Seq[(Long, Array[Float])], k: Int): Seq[(Long, Long, Long)] = {
+    val vec = corpus.toMap
+    def s(c: Long, v: Long): Long =
+      math.max(0L, math.round(cos6(vec(c), vec(v)) * 1e6))
+    val cur = scala.collection.mutable.Map(
+      corpus.map { case (v, _) => v -> 0L }: _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to k).map { step =>
+      val (pick, gain) = pool.filterNot(selected.contains).map { c =>
+        c -> corpus.map { case (v, _) => math.max(0L, s(c, v) - cur(v)) }.sum
+      }.minBy { case (c, g) => (-g, c) }
+      selected += pick
+      corpus.foreach { case (v, _) => cur(v) = math.max(cur(v), s(pick, v)) }
+      (step.toLong, pick, gain)
+    }
+  }
+
+  test("facilityLocationSelect equals the plain-Scala greedy; gains shrink") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 50L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val pool = (0L until 12L)
+    val cDf = corpus.toDF("vec_id", "embedding")
+    val pDf = corpus.take(12).toDF("vec_id", "embedding")
+    val got = Vec.facilityLocationSelect(pDf, cDf, k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = bruteFacility(pool, corpus, k = 4)
+    assert(got == exp)
+    // Submodularity: marginal gains are non-increasing along the greedy.
+    assert(got.map(_._3) == got.map(_._3).sorted(Ordering[Long].reverse))
+    // The first pick is the single best coverer, never repeated later.
+    assert(got.map(_._2).distinct.size == 4)
+  }
+
   test("mmrTopK at lambda=1 equals relevance-ordered top-k") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 40L).map(i =>
