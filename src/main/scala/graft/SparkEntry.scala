@@ -3647,6 +3647,17 @@ object SparkEntry {
         .orderBy(col("query_id"))
     },
 
+    // Frontier majority-vote label densification over the memo-shared
+    // NN-descent graph: 200 seed labels spread to the corpus in 2
+    // monotone rounds (labels freeze once assigned; integer votes, exact
+    // ties) — the weak-supervision step that tags the unlabeled bulk.
+    "q_label_spread" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.labelSpread(emb, emb.filter(col("vec_id") < 200),
+          spreadRounds = 2)
+        .orderBy(col("vec_id"))
+    },
+
     // Matryoshka funnel search: 16-dim-prefix shortlist of 20, exact
     // 64-dim rerank to top-5 (Kusupati et al. 2022).
     "q_mrl_topk" -> { (s, d) =>
@@ -8806,6 +8817,34 @@ object SparkEntry {
 
     "q_graph_recall" -> duckGraphRecall(k = 4, beam = 16, hops = 5,
       graphK = 16, nBits = 4, rounds = 3, ringWindow = 8),
+
+    // Label spreading: the nnDescent graph CTEs, then 2 unrolled
+    // frontier-majority rounds (same freeze/tie contract as the Spark
+    // loop).
+    "q_label_spread" -> {
+      val rounds = 2
+      val steps = (1 to rounds).map { i =>
+        s"""v$i AS (SELECT e.s AS id, l.label, count(*) AS c
+              FROM e JOIN l${i - 1} l ON l.id = e.d GROUP BY 1, 2),
+            m$i AS (SELECT id, label FROM
+              (SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY c DESC, label) AS rn FROM v$i) WHERE rn = 1),
+            l$i AS (SELECT id, label FROM l${i - 1}
+              UNION ALL SELECT id, label FROM m$i
+              WHERE id NOT IN (SELECT id FROM l${i - 1}))"""
+      }.mkString(",\n")
+      s"""WITH ${duckNnDescentCtes(16, 4, 3, 8)},
+          e AS (SELECT s, d FROM g3 UNION SELECT d, s FROM g3),
+          l0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+            FROM embeddings WHERE vec_id < 200),
+          $steps
+          SELECT em.vec_id, coalesce(l.label, CAST(-1 AS BIGINT)) AS label,
+            CASE WHEN em.vec_id < 200 THEN 'seed'
+                 WHEN l.label IS NOT NULL THEN 'spread'
+                 ELSE 'none' END AS src
+          FROM embeddings em LEFT JOIN l$rounds l ON l.id = em.vec_id
+          ORDER BY em.vec_id"""
+    },
 
     "q_pca_dir" ->
       s"""WITH ${duckPcaChain()}

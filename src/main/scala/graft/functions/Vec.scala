@@ -1638,4 +1638,66 @@ object Vec {
     }
     sel.select(col("rank"), col("__c").as(idCol), col("gain_e6"))
   }
+
+  /** Frontier majority-vote label densification over the kNN graph — the
+    * semi-supervised step that turns a small labeled subset into corpus
+    * coverage (weak supervision for quality/domain/topic tags; the
+    * deterministic cousin of Zhu/Ghahramani 2002 label propagation).
+    * Each round, every UNLABELED node adjacent to a labeled one takes the
+    * majority label of its labeled neighbors over the symmetrized
+    * NN-descent graph (count desc, label asc tie-break); assigned labels
+    * FREEZE (seed clamping extended to the spread fringe), so the sweep
+    * is monotone — no oscillation, convergence within graph-diameter
+    * rounds, and every round's frontier is reproducible in any engine
+    * (integer votes, exact ties).
+    *
+    * Scale shape: the graph build is the memoized [[nnDescent]] (shared
+    * with the ANN serving rungs); each spread round is one edge-keyed
+    * equi-join + one integer-count groupBy over edges incident to the
+    * frozen label set — O(edges) per round, `spreadRounds` bounded.
+    *
+    * Output: (idCol, label — -1 where never reached, src
+    * seed|spread|none), one row per vector.
+    */
+  def labelSpread(vecs: DataFrame, seeds: DataFrame, spreadRounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", k: Int = 16, nBits: Int = 4,
+      graphRounds: Int = 3, ringWindow: Int = 8): DataFrame = {
+    require(spreadRounds >= 1, s"spreadRounds must be >= 1, got $spreadRounds")
+    val g = nnDescent(vecs, idCol, vecCol, k, nBits, graphRounds,
+      ringWindow)
+    val e = g.select(col("node_id").as("__s"), col("neighbor_id").as("__d"))
+      .unionByName(g.select(col("neighbor_id").as("__s"),
+        col("node_id").as("__d")))
+      .distinct()
+      .localCheckpoint(true)
+    var lab = seeds
+      .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__lab"))
+      .localCheckpoint(true)
+    val seedIds = lab.select(col("__id"))
+    for (_ <- 1 to spreadRounds) {
+      val w = Window.partitionBy(col("__s"))
+        .orderBy(col("__c").desc, col("__lab").asc)
+      val maj = e
+        .join(lab.select(col("__id").as("__d"), col("__lab")), Seq("__d"))
+        .groupBy(col("__s"), col("__lab"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__s").as("__id"), col("__lab"))
+      lab = lab
+        .unionByName(maj.join(lab.select(col("__id")), Seq("__id"),
+          "left_anti"))
+        .localCheckpoint(true)
+    }
+    vecs.select(col(idCol).as("__id"))
+      .join(lab, Seq("__id"), "left_outer")
+      .join(seedIds.select(col("__id"), lit(true).as("__seed")),
+        Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("__lab"), lit(-1L)).as("label"),
+        when(col("__seed"), lit("seed"))
+          .when(col("__lab").isNotNull, lit("spread"))
+          .otherwise(lit("none")).as("src"))
+  }
 }

@@ -177,6 +177,46 @@ class DbscanMmrSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.size == 4)
   }
 
+  test("labelSpread equals the plain-Scala frontier sweep on its own graph") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 60L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val cDf = corpus.toDF("vec_id", "embedding")
+    val seeds = corpus.take(20).map { case (i, _) => (i, (i % 3).toInt) }
+    val sDf = seeds.toDF("vec_id", "label")
+    val got = Vec.labelSpread(cDf, sDf, spreadRounds = 2,
+        k = 6, nBits = 3, graphRounds = 2, ringWindow = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // Replay: same symmetrized nnDescent graph (memo-shared), same
+    // freeze-once frontier-majority rounds (count desc, label asc).
+    val g = Vec.nnDescent(cDf, "vec_id", "embedding", k = 6, nBits = 3,
+        rounds = 2, ringWindow = 4)
+      .select("node_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = (g ++ g.map(_.swap)).distinct
+    val lab = scala.collection.mutable.Map(
+      seeds.map { case (i, l) => i -> l.toLong }: _*)
+    for (_ <- 1 to 2) {
+      val votes = e.filter { case (_, d) => lab.contains(d) }
+        .groupBy(_._1).map { case (s, es) =>
+          s -> es.groupBy(p => lab(p._2)).view.mapValues(_.size).toSeq
+            .minBy { case (l, c) => (-c, l) }._1
+        }
+      votes.foreach { case (s, l) =>
+        if (!lab.contains(s)) lab(s) = l
+      }
+    }
+    val exp = corpus.map { case (i, _) =>
+      val seeded = i < 20
+      i -> ((lab.getOrElse(i, -1L),
+        if (seeded) "seed" else if (lab.contains(i)) "spread" else "none"))
+    }.toMap
+    assert(got == exp)
+    // The sweep must have actually spread past the seeds.
+    assert(exp.values.count(_._2 == "spread") > 10)
+  }
+
   test("mmrTopK at lambda=1 equals relevance-ordered top-k") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 40L).map(i =>
