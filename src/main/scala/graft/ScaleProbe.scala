@@ -61,7 +61,7 @@ object ScaleProbe {
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
       "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e",
       "index_compaction", "graph_rebuild", "concurrent_serving",
-      "incr_dedup_fold")
+      "incr_dedup_fold", "dbscan", "coreset")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -177,6 +177,48 @@ object ScaleProbe {
         .select(col("cell")).distinct().count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"kmeans","mult":$mult,"vecs":${nEmb * mult},"cells":$cells,"sec":$sec%.2f}""")
+    }
+
+    // DBSCAN probe: replicas are TRANSLATED one unit apart along x (not
+    // stacked in place — identical coordinates would square the in-cell
+    // pair volume and measure the density blow-up, not the operator), so
+    // density — DBSCAN's own operating contract — stays constant while
+    // the corpus and the spatial extent grow. Wall should track the
+    // corpus linearly: the eps-pair join volume per point is constant
+    // and tiledComponents' remnant grows with tile count, not points.
+    for (mult <- Seq(1, 4, 16) if want("dbscan")) {
+      val vecs = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          array(
+            (element_at(col("embedding"), 1) +
+              col("rep").cast("float")).cast("float"),
+            element_at(col("embedding"), 2)).as("embedding"))
+      val t0 = System.nanoTime()
+      val out = graft.functions.Vec.dbscanGrid(vecs, eps = 0.02, minPts = 5)
+      val nClusters = out.filter(col("cluster") >= 0)
+        .select(col("cluster")).distinct().count()
+      val nNoise = out.filter(col("role") === "noise").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"dbscan","mult":$mult,"vecs":${nEmb * mult},"clusters":$nClusters,"noise":$nNoise,"sec":$sec%.2f}""")
+    }
+
+    // Facility-location coreset probe: fixed 32-candidate pool, growing
+    // universe. Each greedy round is one integer aggregate over the
+    // |pool|x|universe| sims relation, so wall should track the corpus
+    // linearly with k and |pool| in the constant.
+    for (mult <- Seq(1, 4, 16) if want("coreset")) {
+      val universe = embBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("rep") * nEmb + col("vec_id")).as("vec_id"),
+          col("embedding"))
+      val pool = embBase.filter(col("vec_id") < 32)
+      val t0 = System.nanoTime()
+      val picks = graft.functions.Vec
+        .facilityLocationSelect(pool, universe, k = 5)
+        .collect() // 5 rows — bounded model output
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"coreset","mult":$mult,"vecs":${nEmb * mult},"first_pick":${picks.head.getLong(1)},"sec":$sec%.2f}""")
     }
 
     // End-to-end curation chain at the probe scale factor: the sf0.01
