@@ -2258,6 +2258,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // TextTiling semantic boundaries (Hearst 1997): adjacent 20-token
+    // blocks scored by integer term-count cosine; valleys (strict local
+    // minima) are the topic-shift cut candidates for semantic chunking.
+    "q_text_tiling" -> { (s, d) =>
+      graft.functions.Chunk.textTileBoundaries(Tables.documents(s, d),
+          "doc_id", "text", blockTokens = 20)
+        .orderBy(col("doc_id"), col("boundary"))
+    },
+
     // Banded range join: |purchase.value - signup.value| <= 0.05, planned
     // as a bucket-blocked equi-join (one shuffle per side) instead of the
     // quadratic nested loop Spark gives a raw inequality join.
@@ -6592,6 +6601,37 @@ object SparkEntry {
             array_to_string(tk[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
             CAST(len(tk[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_chunk_tokens
           FROM c ORDER BY doc_id, chunk_id""",
+
+    // TextTiling: positional tokens via the range-unnest idiom, integer
+    // dot/norm aggregates per adjacent block pair, the same rounded
+    // sqrt-cosine, lag/lead valley test with coalesce(false) edges.
+    "q_text_tiling" ->
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          tok AS (SELECT doc_id,
+            CAST((i - 1) // 20 AS BIGINT) AS blk, tk[i] AS term FROM
+            (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)),
+          cnt AS (SELECT doc_id, blk, term, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2, 3),
+          dots AS (SELECT a.doc_id, a.blk,
+            CAST(sum(a.c * b.c) AS BIGINT) AS dot
+            FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id
+              AND b.blk = a.blk + 1 AND b.term = a.term
+            GROUP BY 1, 2),
+          n2 AS (SELECT doc_id, blk, CAST(sum(c * c) AS BIGINT) AS n2
+            FROM cnt GROUP BY 1, 2),
+          bnd AS (SELECT na.doc_id, na.blk AS boundary,
+            round(CAST(coalesce(d.dot, 0) AS DOUBLE) /
+              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+              6) AS score
+            FROM n2 na JOIN n2 nb ON nb.doc_id = na.doc_id
+              AND nb.blk = na.blk + 1
+            LEFT JOIN dots d ON d.doc_id = na.doc_id AND d.blk = na.blk),
+          fin AS (SELECT doc_id, boundary, score,
+            coalesce(lag(score) OVER w > score, false) AND
+            coalesce(lead(score) OVER w > score, false) AS is_valley
+            FROM bnd WINDOW w AS (PARTITION BY doc_id ORDER BY boundary))
+          SELECT doc_id, boundary, score, is_valley
+          FROM fin ORDER BY doc_id, boundary""",
 
     "q_token_dict" ->
       s"""WITH toks AS (SELECT DISTINCT unnest(${duckToks("text")}) AS tok

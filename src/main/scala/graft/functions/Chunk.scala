@@ -51,4 +51,64 @@ object Chunk {
         concat_ws(" ", col("__ct")).as("chunk_text"),
         size(col("__ct")).cast("long").as("n_chunk_tokens"))
   }
+
+  /** TextTiling-style semantic boundary scores (Hearst 1997,
+    * Computational Linguistics 23(1)): the lexical-cohesion signal under
+    * SEMANTIC chunking — split where the topic shifts, not at a fixed
+    * token count. Documents are cut into consecutive `blockTokens`-token
+    * blocks; boundary b scores the cosine of the integer term-count
+    * vectors of blocks b and b+1 (low score = vocabulary shift), and a
+    * boundary is a VALLEY when strictly below both neighbors — Hearst's
+    * depth-minimum, the cut candidates a RAG chunker feeds to
+    * [[chunkByTokens]]-style splitting.
+    *
+    * Determinism: dots and squared norms are integer sums (order-free);
+    * the score is round(dot/(sqrt(na²)·sqrt(nb²)), 6) of exact integers
+    * — bit-identical in any IEEE engine; the valley test's lag/lead NULL
+    * edges coalesce to false identically.
+    *
+    * Scale shape: one partial-aggregable (doc, block, term) count over
+    * the exploded token stream, one adjacent-block equi-join keyed
+    * (doc, block, term), integer aggregates, and one per-doc window over
+    * block-count-sized partitions — nothing corpus-keyed beyond token
+    * counting; no pairwise-block stage (only adjacent pairs exist).
+    *
+    * Output: (idCol, boundary 0-based, score, is_valley), one row per
+    * interior block boundary; docs under two blocks emit nothing.
+    */
+  def textTileBoundaries(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 20): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val toks = docs.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "term")))
+    val counts = toks
+      .select(col(idCol),
+        floor(col("pos") / lit(blockTokens)).cast("long").as("blk"),
+        col("term"))
+      .groupBy(col(idCol), col("blk"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val a = counts.select(col(idCol), col("blk"), col("term"),
+      col("c").as("ca"))
+    val bs = counts.select(col(idCol), (col("blk") - 1).as("blk"),
+      col("term"), col("c").as("cb"))
+    val dots = a.join(bs, Seq(idCol, "blk", "term"))
+      .groupBy(col(idCol), col("blk"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    val norms = counts.groupBy(col(idCol), col("blk"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val na = norms.select(col(idCol), col("blk"), col("n2").as("na2"))
+    val nb = norms.select(col(idCol), (col("blk") - 1).as("blk"),
+      col("n2").as("nb2"))
+    val bounds = na.join(nb, Seq(idCol, "blk"))
+      .join(dots, Seq(idCol, "blk"), "left_outer")
+      .select(col(idCol), col("blk").as("boundary"),
+        round(coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("na2").cast("double")) *
+           sqrt(col("nb2").cast("double"))), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("boundary"))
+    bounds.withColumn("is_valley",
+      coalesce(lag(col("score"), 1).over(w) > col("score"), lit(false)) &&
+        coalesce(lead(col("score"), 1).over(w) > col("score"), lit(false)))
+  }
 }

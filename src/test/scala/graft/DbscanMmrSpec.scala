@@ -217,6 +217,29 @@ class DbscanMmrSpec extends AnyFunSuite {
     assert(exp.values.count(_._2 == "spread") > 10)
   }
 
+  test("textTileBoundaries: hand-checked scores and valley on a topic shift") {
+    // Three 4-token blocks: A/A share all terms (cosine 1), A/B share
+    // none (cosine 0), B/B' share half — the valley must land at the
+    // A->B shift, not at the edges.
+    val doc = (("alpha beta alpha beta " * 2) +
+      "gamma delta gamma delta " + "gamma epsilon gamma zeta").trim
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val got = graft.functions.Chunk
+      .textTileBoundaries(df, "doc_id", "text", blockTokens = 4)
+      .orderBy("boundary").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    // counts: A=(2,2) vs A=(2,2) -> 1.0; A vs B disjoint -> 0.0;
+    // B=(2,2) over {gamma,delta} vs B'=(2,1,1) over {gamma,eps,zeta}:
+    // dot=4, norms sqrt(8)*sqrt(6) -> 0.57735.
+    assert(got.map(_._1) == Seq(0L, 1L, 2L))
+    assert(got.map(_._2) == Seq(1.0, 0.0, 0.577350))
+    assert(got.map(_._3) == Seq(false, true, false))
+    // A doc shorter than two blocks emits no boundaries.
+    assert(graft.functions.Chunk.textTileBoundaries(
+      Seq((2L, "tiny doc")).toDF("doc_id", "text"), "doc_id", "text",
+      blockTokens = 20).count() == 0L)
+  }
+
   test("mmrTopK at lambda=1 equals relevance-ordered top-k") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 40L).map(i =>
