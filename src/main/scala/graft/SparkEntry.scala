@@ -1142,6 +1142,24 @@ object SparkEntry {
     // per group keep the raw estimator in its n >> 2.5·m validity regime —
     // the documents per-source vocabulary (~31 tokens) is linear-counting
     // territory where the raw estimator reads ~2x high.
+    // KMV bottom-k distinct sketch beside q_hll_card's register form —
+    // (k−1)·M div h_k over the catalog mixer's k smallest values; the
+    // kept sample additionally supports set-algebra estimates registers
+    // can't. Exact integer estimator, window replanned to bounded top-k.
+    "q_kmv_distinct" -> { (s, d) =>
+      val keys = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          col("l_partkey").cast("long").as("tid"))
+      val est = graft.functions.Sketch.kmvEstimate(keys, "tid", k = 128,
+        Seq("grp"))
+      val exact = keys.groupBy(col("grp"))
+        .agg(countDistinct(col("tid")).as("n_exact"))
+      exact.join(est, Seq("grp"))
+        .select(col("grp"), col("n_exact"), col("n_kept"), col("kth_mv"),
+          col("est_distinct"))
+        .orderBy(col("grp"))
+    },
+
     "q_hll_card" -> { (s, d) =>
       val keys = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"),
@@ -1678,6 +1696,34 @@ object SparkEntry {
     "q_hits" -> { (s, d) =>
       graft.functions.Graph.hitsAuthorities(Tables.documents(s, d),
         "doc_id", "text", iters = 2, k = 20)
+    },
+
+    // Bounded-hop harmonic centrality over the SNM candidate graph —
+    // the closeness-family readout that stays defined on disconnected
+    // graphs (unreached docs contribute 0): Σ 1e6 div d over the 3-hop
+    // ego set, layered BFS so every pair carries its true distance once.
+    "q_harmonic" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      graft.functions.Graph.harmonicCentrality(cand, "id_a", "id_b",
+          docs.select(col("doc_id")), "doc_id", maxHops = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Newman modularity of the 2-round label-prop communities over the
+    // same graph — the partition-quality audit (which communities carry
+    // the structure), per-community exact rational (4m·e_c − d_c²)/4m²
+    // in signed ppm; whole-graph Q is the column sum.
+    "q_modularity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      val comm = graft.functions.Graph.labelPropagation(cand, "id_a",
+        "id_b", docs.select(col("doc_id")), "doc_id", rounds = 2)
+      graft.functions.Graph.modularity(cand, "id_a", "id_b", comm,
+          "doc_id", "label")
+        .orderBy(col("label"))
     },
 
     // Graph cohesion: per-doc triangle support in the SNM candidate
@@ -3241,6 +3287,18 @@ object SparkEntry {
         "ntok", col("lang") === "en", col("lang") === "fr")
     },
 
+    // Kruskal–Wallis H across ALL languages (the k-sample rank test
+    // q_mann_whitney generalizes to): do token-count distributions
+    // differ anywhere in the mixture — one ppm-staged exact statistic
+    // with tie correction, same bounded-value-domain rank machinery.
+    "q_kruskal" -> { (s, d) =>
+      graft.functions.Stats.kruskalWallis(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", "lang")
+    },
+
     // CUSUM surge detection over the daily event-count series — the
     // sequential change chart beside q_autocorr's persistence readout:
     // closed-form two-window plan over the bounded day domain (never a
@@ -3709,6 +3767,31 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Vec.facilityLocationSelect(emb.filter(col("vec_id") < 32), emb, k = 5)
         .orderBy(col("rank"))
+    },
+
+    // Local Outlier Factor over the memo-shared NN-descent graph — the
+    // density-relative embedding outlier score (Breunig et al. 2000):
+    // ~1000 (e3) inside any cluster, >1000 where local density lags the
+    // neighbors'. Distances, reach sums, and both divides are exact
+    // integers on the 1e6 grid, so the score is engine-independent.
+    "q_lof" -> { (s, d) =>
+      Vec.lofScores(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))
+    },
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): even-id
+    // vectors play the source language, odd-id the target; each of the
+    // 50 probe sources keeps its argmax RATIO-margin candidate —
+    // cos(x,y) normalized by the two neighborhoods' average top-8
+    // cosine. Both kNN passes ride the memoized brute-force rung (the
+    // ANN ladder at scale); margins are one positive integer divide.
+    "q_bitext_margin" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val x = emb.filter(col("vec_id") % 2 === 0)
+      val y = emb.filter(col("vec_id") % 2 === 1)
+      Vec.bitextMarginMine(x.filter(col("vec_id") < 100), y, x,
+          k = 8, acceptE6 = 1060000L)
+        .orderBy(col("query_id"))
     },
 
     // Exact-arithmetic PCA: the dominant principal direction of the
@@ -4718,6 +4801,26 @@ object SparkEntry {
           SELECT tok, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
           FROM j ORDER BY tok""",
 
+    "q_kmv_distinct" ->
+      s"""WITH t AS (SELECT DISTINCT l_returnflag AS grp,
+            CAST(l_partkey AS BIGINT) AS tid FROM lineitem),
+          h AS (SELECT grp, tid, ${duckMixOf("tid")} AS mv FROM t),
+          rk AS (SELECT grp, tid, mv, row_number() OVER
+            (PARTITION BY grp ORDER BY mv ASC, tid ASC) AS rn FROM h),
+          kept AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+            CAST(max(mv) AS BIGINT) AS kth_mv
+            FROM rk WHERE rn <= 128 GROUP BY 1),
+          ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact
+            FROM t GROUP BY 1)
+          SELECT ex.grp, ex.n_exact, kept.n_kept, kept.kth_mv,
+            CASE WHEN kept.n_kept < 128 THEN kept.n_kept
+                 WHEN kept.kth_mv = 0 THEN NULL
+                 ELSE CAST((CAST(127 AS BIGINT) * 2147483647)
+                   // kept.kth_mv AS BIGINT)
+            END AS est_distinct
+          FROM ex JOIN kept USING (grp)
+          ORDER BY grp""",
+
     "q_hll_card" ->
       s"""WITH t AS (SELECT l_returnflag AS grp, CAST(l_partkey AS BIGINT) AS tid
             FROM lineitem),
@@ -5650,6 +5753,92 @@ object SparkEntry {
             FROM l1 v LEFT JOIN p2 p USING (id))
           SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label
           FROM l2 ORDER BY doc_id""",
+
+    // Layered-BFS replay: hop h = distinct neighbors of hop h−1 minus
+    // everything nearer (NOT EXISTS per earlier layer), reciprocals on
+    // the 1e6 integer grid.
+    "q_harmonic" ->
+      """WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            WHERE id_a <> id_b
+            UNION SELECT id_b, id_a FROM cand WHERE id_a <> id_b),
+          h1 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym),
+          h2 AS MATERIALIZED (SELECT DISTINCT h.u, e.dst AS v
+            FROM h1 h JOIN sym e ON e.src = h.v
+            WHERE e.dst <> h.u AND NOT EXISTS
+              (SELECT 1 FROM h1 x WHERE x.u = h.u AND x.v = e.dst)),
+          h3 AS (SELECT DISTINCT h.u, e.dst AS v
+            FROM h2 h JOIN sym e ON e.src = h.v
+            WHERE e.dst <> h.u AND NOT EXISTS
+              (SELECT 1 FROM h1 x WHERE x.u = h.u AND x.v = e.dst)
+            AND NOT EXISTS
+              (SELECT 1 FROM h2 x WHERE x.u = h.u AND x.v = e.dst)),
+          allr AS (SELECT u, v, 1 AS d FROM h1
+            UNION ALL SELECT u, v, 2 FROM h2
+            UNION ALL SELECT u, v, 3 FROM h3),
+          ag AS (SELECT u, CAST(count(*) AS BIGINT) AS n_reached,
+            CAST(sum(1000000 // d) AS BIGINT) AS harmonic_e6
+            FROM allr GROUP BY 1)
+          SELECT d.doc_id,
+            coalesce(ag.n_reached, CAST(0 AS BIGINT)) AS n_reached,
+            coalesce(ag.harmonic_e6, CAST(0 AS BIGINT)) AS harmonic_e6
+          FROM documents d LEFT JOIN ag ON ag.u = d.doc_id
+          ORDER BY doc_id""",
+
+    // The q_label_prop CTE chain (same 2 rounds), then exact per-
+    // community modularity contributions in signed ppm.
+    "q_modularity" -> {
+      val num = "4 * mm.m * coalesce(ie.n_edges_in, 0) - " +
+        "coalesce(ds.deg_sum, 0) * coalesce(ds.deg_sum, 0)"
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+          l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+          c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+          p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c1) WHERE rn2 = 1),
+          l1 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+            FROM l0 v LEFT JOIN p1 p USING (id)),
+          c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+          p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c2) WHERE rn2 = 1),
+          l2 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+            FROM l1 v LEFT JOIN p2 p USING (id)),
+          und AS (SELECT DISTINCT least(id_a, id_b) AS a,
+              greatest(id_a, id_b) AS b
+            FROM cand WHERE id_a <> id_b),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+          lab AS (SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l2),
+          ie AS (SELECT la.lbl AS label,
+              CAST(count(*) AS BIGINT) AS n_edges_in
+            FROM und JOIN lab la ON la.id = und.a
+            JOIN lab lb ON lb.id = und.b
+            WHERE la.lbl = lb.lbl GROUP BY 1),
+          ds AS (SELECT l.lbl AS label, CAST(count(*) AS BIGINT) AS deg_sum
+            FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) e
+            JOIN lab l ON l.id = e.id GROUP BY 1),
+          mem AS (SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_vertices
+            FROM lab GROUP BY 1)
+          SELECT mem.label, mem.n_vertices,
+            coalesce(ie.n_edges_in, CAST(0 AS BIGINT)) AS n_edges_in,
+            coalesce(ds.deg_sum, CAST(0 AS BIGINT)) AS deg_sum,
+            ${duckPpm(num, "4 * mm.m * mm.m")} AS q_c_ppm
+          FROM mem LEFT JOIN ie USING (label) LEFT JOIN ds USING (label)
+          CROSS JOIN mm
+          ORDER BY label"""
+    },
 
     "q_ppr" ->
       """WITH r AS (SELECT doc_id,
@@ -8191,6 +8380,46 @@ object SparkEntry {
             END AS z2_ppm
           FROM f""",
 
+    // The mannWhitney rank machinery over ALL langs: ppm stages in the
+    // pinned order (per-group S_i²/(4·n_i·N(N+1)), linear combination,
+    // one H/C divide) — HUGEINT intermediates, BIGINT gate columns.
+    "q_kruskal" -> {
+      val t1ppm = duckPpm("CAST(s_i AS HUGEINT) * s_i",
+        "CAST(4 AS HUGEINT) * n_i * tot.n * (tot.n + 1)")
+      s"""WITH t AS (SELECT lang AS g,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS v FROM documents
+            WHERE lang IS NOT NULL),
+          c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+            FROM t GROUP BY 1, 2),
+          dom AS (SELECT v, CAST(sum(c) AS BIGINT) AS tv
+            FROM c GROUP BY 1),
+          dc2 AS (SELECT v, tv,
+            sum(tv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cc FROM dom),
+          grp AS (SELECT c.g, CAST(sum(c.c) AS BIGINT) AS n_i,
+            CAST(sum(CAST(c.c AS HUGEINT) *
+              (2 * (dc2.cc - dc2.tv) + dc2.tv + 1)) AS BIGINT) AS s_i
+            FROM c JOIN dc2 ON dc2.v = c.v GROUP BY 1),
+          tot AS (SELECT CAST(sum(tv) AS BIGINT) AS n,
+            CAST(sum(CAST(tv AS HUGEINT) * tv * tv - tv) AS HUGEINT) AS t3
+            FROM dom),
+          t1 AS (SELECT grp.g, $t1ppm AS t1
+            FROM grp CROSS JOIN tot),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+            CAST(sum(t1) AS BIGINT) AS st FROM t1),
+          fin AS (SELECT ag.k_groups, tot.n,
+            CAST(12 * ag.st - 3 * (tot.n + 1) * 1000000 AS BIGINT)
+              AS h_ppm,
+            ${duckPpm(
+        "CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n - tot.t3",
+        "CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n")} AS c_ppm
+            FROM ag CROSS JOIN tot)
+          SELECT k_groups, n, h_ppm, c_ppm,
+            CASE WHEN c_ppm <= 0 THEN NULL
+              ELSE ${duckPpm("h_ppm", "c_ppm")} END AS h_adj_ppm
+          FROM fin"""
+    },
+
     "q_cusum" ->
       s"""WITH dc AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
             CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
@@ -9071,6 +9300,87 @@ object SparkEntry {
             FROM embeddings),
           $steps
           SELECT * FROM ($finals) ORDER BY "rank""""
+    },
+
+    // LOF replay: the shared nnDescent CTEs give the kNN lists; distance
+    // = 1e6 − c_e6 (NULL sim → 2e6), k-distance = max over each node's
+    // own list, reach = max(kdist(o), dist), and the two floor-divides
+    // are staged exactly as the Spark side (r(o) = n·1e9 // Sr(o), then
+    // (Sr_p // n)·(Σr // n) // 1e6 — positive `//` = div).
+    "q_lof" ->
+      s"""WITH ${duckNnDescentCtes(16, 4, 3, 8)},
+          dd AS (SELECT s, d, CAST(1000000 - CAST(round(
+              coalesce(sim, -1.0) * 1000000.0) AS BIGINT) AS BIGINT) AS dist
+            FROM g3),
+          kd AS (SELECT s AS id, max(dist) AS kdist FROM dd GROUP BY 1),
+          rch AS (SELECT dd.s, dd.d,
+              GREATEST(kd.kdist, dd.dist) AS reach
+            FROM dd JOIN kd ON kd.id = dd.d),
+          sr AS (SELECT s AS id,
+              CAST(GREATEST(CAST(1 AS BIGINT), sum(reach)) AS BIGINT) AS sr,
+              count(*) AS n
+            FROM rch GROUP BY 1),
+          rr AS (SELECT id, (n * 1000000000) // sr AS r FROM sr),
+          ag AS (SELECT dd.s AS id, CAST(sum(rr.r) AS BIGINT) AS sumr
+            FROM dd JOIN rr ON rr.id = dd.d GROUP BY 1)
+          SELECT sr.id AS vec_id, CAST(sr.n AS BIGINT) AS n_nbr,
+            sr.sr AS sr_e6,
+            CAST(((sr.sr // sr.n) * (ag.sumr // sr.n)) // 1000000
+              AS BIGINT) AS lof_e3
+          FROM sr JOIN ag ON ag.id = sr.id
+          ORDER BY vec_id""",
+
+    // Bitext margin replay: forward top-8 of each probe source against
+    // the odd side, backward top-8 of only the mined candidates against
+    // the full even side, one integer divide, argmax per query.
+    "q_bitext_margin" -> {
+      val dotSql = duckDotSql _
+      val k = 8
+      s"""WITH xs AS (SELECT vec_id, embedding,
+            sqrt(${dotSql("embedding", "embedding")}) AS nm
+            FROM embeddings WHERE vec_id % 2 = 0),
+          ys AS (SELECT vec_id, embedding,
+            sqrt(${dotSql("embedding", "embedding")}) AS nm
+            FROM embeddings WHERE vec_id % 2 = 1),
+          xq AS (SELECT * FROM xs WHERE vec_id < 100),
+          fp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CASE WHEN q.nm * c.nm = 0 THEN NULL
+              ELSE round(${dotSql("q.embedding", "c.embedding")} /
+                (q.nm * c.nm), 6) END AS sim
+            FROM xq q, ys c),
+          fwd AS MATERIALIZED (SELECT query_id, neighbor_id,
+            CAST(round(sim * 1000000.0) AS BIGINT) AS c_e6 FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC NULLS LAST, neighbor_id) AS rn FROM fp)
+            WHERE rn <= $k),
+          sx AS (SELECT query_id, CAST(sum(c_e6) AS BIGINT) AS sxv
+            FROM fwd GROUP BY 1),
+          cand AS (SELECT DISTINCT neighbor_id FROM fwd),
+          bp AS (SELECT y.vec_id AS yid, x.vec_id AS xid,
+            CASE WHEN y.nm * x.nm = 0 THEN NULL
+              ELSE round(${dotSql("y.embedding", "x.embedding")} /
+                (y.nm * x.nm), 6) END AS sim
+            FROM ys y JOIN cand ON cand.neighbor_id = y.vec_id, xs x),
+          bwd AS (SELECT yid,
+            CAST(round(sim * 1000000.0) AS BIGINT) AS c_e6 FROM
+            (SELECT *, row_number() OVER (PARTITION BY yid
+               ORDER BY sim DESC NULLS LAST, xid) AS rn FROM bp)
+            WHERE rn <= $k),
+          sy AS (SELECT yid, CAST(sum(c_e6) AS BIGINT) AS syv
+            FROM bwd GROUP BY 1),
+          sc AS (SELECT f.query_id, f.neighbor_id, f.c_e6,
+            CASE WHEN sx.sxv + sy.syv > 0
+              THEN CAST((GREATEST(f.c_e6, 0) * ${2 * k} * 1000000)
+                // (sx.sxv + sy.syv) AS BIGINT)
+              ELSE NULL END AS margin_e6
+            FROM fwd f JOIN sx ON sx.query_id = f.query_id
+            JOIN sy ON sy.yid = f.neighbor_id)
+          SELECT query_id, neighbor_id AS target_id, c_e6, margin_e6,
+            margin_e6 >= 1060000 AS accepted FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY margin_e6 DESC NULLS LAST, neighbor_id) AS rn
+             FROM sc) WHERE rn = 1
+          ORDER BY query_id"""
     },
 
     "q_embed_neardup_lsh" -> {

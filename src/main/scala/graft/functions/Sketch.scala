@@ -230,4 +230,48 @@ object Sketch {
           (lit(0.709) * lit((HllM.toLong * HllM.toLong) << (HllW + 1)).cast("double") /
             col("s_scaled").cast("double")).as("est")): _*)
   }
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch (Bar-Yossef et
+    * al. 2002; the theta-sketch base form): keep the k smallest mixer
+    * values of the distinct keys; the k-th smallest h_k estimates
+    * cardinality as (k−1)·M div h_k with M = 2^31−1 the mixer modulus —
+    * one integer divide, no transcendentals, so estimate and sketch are
+    * both engine-exact for a given key set. The family's second
+    * cardinality rung next to HLL: KMV's kept SAMPLE of values also
+    * supports set-algebra estimates (intersection/Jaccard via the
+    * bottom-k union trick) that registers can't answer.
+    *
+    * Exactly k·|groups| rows survive; groups with fewer than k distinct
+    * keys are exact by construction (est = their true count). The
+    * rank-k cut is a per-group window the TopKNative rule replans to a
+    * bounded top-k (never a full sort at scale); the mixer is the
+    * catalog-standard affine→square→affine chain ([[Sampling.hashOrder]]
+    * — pairwise-independence is NOT enough here, the square step is
+    * what makes consecutive-id minima geometric).
+    *
+    * Output: one row per group — (groupCols..., n_kept, kth_mv,
+    * est_distinct).
+    */
+  def kmvEstimate(df: DataFrame, tidCol: String, k: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val mixed = df.select((g :+ col(tidCol).as("__tid")): _*)
+      .distinct()
+      .withColumn("__mv", Sampling.hashOrder(col("__tid")))
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("__mv").asc, col("__tid").asc)
+    mixed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__mv")).as("kth_mv"))
+      .select((g :+ col("n_kept") :+ col("kth_mv") :+
+        when(col("n_kept") < k, col("n_kept"))
+          // a zero k-th minimum needs k mixer collisions at 0 — treat as
+          // "sketch degenerate" rather than divide (DuckDB errors on //0)
+          .when(col("kth_mv") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"((${k - 1}L * ${M31}L) div kth_mv)"))
+          .as("est_distinct")): _*)
+  }
 }

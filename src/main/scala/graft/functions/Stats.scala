@@ -270,6 +270,72 @@ object Stats {
               col("__vden"))).as("z2_ppm"))
   }
 
+  /** Kruskal–Wallis H test across ALL groups of `groupCol` — the
+    * k-sample generalization of [[mannWhitneyU]] (same rank machinery:
+    * average ranks via the cumulative count over the bounded DISTINCT-
+    * VALUE domain, tie correction from the same t³−t sums). H =
+    * 12/(N(N+1))·Σ R_i²/n_i − 3(N+1), divided by the tie factor
+    * C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Exactness: every division is a [[fixedPointExact]] ppm stage in a
+    * PINNED order (per-group R_i²/(n_i·N(N+1)) first, then the linear
+    * combination, then the single H/C divide), so both engines replay
+    * the identical integer/decimal chain — the statistic is exact at
+    * ppm, not merely close. Rank sums are doubled (S_i = 2·R_i) so
+    * half-ranks never appear.
+    *
+    * Scale: one (group, value) count pass, one cumulative window over
+    * the bounded distinct-value domain (the documented bounded-domain
+    * convention — never rows), then group-count-sized arithmetic.
+    *
+    * Output: one row — (k_groups, n, h_ppm, c_ppm, h_adj_ppm); h_adj
+    * NULL when degenerate (no data or all values tied).
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val dom = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __cum, not __C: Spark's case-insensitive resolver would collide a
+    // __C window alias with the per-group __c count after the join
+    val domc = dom.withColumn("__cum", sum(col("__t")).over(w))
+    val grp = counts.join(domc, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n_i"),
+        sum(col("__c") * (lit(2L) * (col("__cum") - col("__t")) +
+          col("__t") + lit(1L))).as("__s_i"))
+    val tot = domc.agg(sum(col("__t")).as("__N"),
+      sum((col("__t").cast("decimal(19,0)") * col("__t") * col("__t") -
+        col("__t")).cast("decimal(38,0)")).as("__T3"))
+    val t1 = grp.crossJoin(tot)
+      .select(col("__N"), col("__T3"),
+        fixedPointExact(
+          (col("__s_i").cast("decimal(19,0)") * col("__s_i"))
+            .cast("decimal(38,0)"),
+          (lit(4L) * col("__n_i")).cast("decimal(19,0)") * col("__N") *
+            (col("__N") + lit(1L))).as("__t1"))
+    // N³ in decimal(38,0) BEFORE the subtraction: a long cube overflows
+    // past N ~ 2M rows, well inside this operator's scale contract
+    val dec = "decimal(38,0)"
+    val n3 = (col("__N").cast(dec) * col("__N").cast(dec) *
+      col("__N").cast(dec)).cast(dec) - col("__N").cast(dec)
+    t1.groupBy(col("__N"), col("__T3"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("__t1")).as("__st"))
+      .select(col("k_groups"), col("__N").as("n"),
+        (lit(12L) * col("__st") -
+          lit(3L) * (col("__N") + lit(1L)) * lit(1000000L)).as("h_ppm"),
+        fixedPointExact((n3 - col("__T3").cast(dec)).cast(dec), n3)
+          .as("c_ppm"))
+      .select(col("k_groups"), col("n"), col("h_ppm"), col("c_ppm"),
+        when(col("c_ppm") <= 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("h_ppm"), col("c_ppm")))
+          .as("h_adj_ppm"))
+  }
+
   /** Cramér's V association between two categorical columns — the
     * [0, 1]-normalized strength reading the raw chi-square (which
     * grows with n) can't give: V² = χ²/(n·(min(r,c) − 1)). The χ²

@@ -1639,6 +1639,132 @@ object Vec {
     sel.select(col("rank"), col("__c").as(idCol), col("gain_e6"))
   }
 
+  /** Local Outlier Factor (Breunig et al. 2000) over the memoized
+    * NN-descent kNN graph — the density-relative outlier score for
+    * embedding-space corpus auditing (a point deep inside ANY cluster
+    * scores ~1, a point whose local density is lower than its
+    * neighbors' scores >1), complementing the per-group median/MAD gate
+    * (`Robust.outlierStats`) which only sees scalar columns.
+    *
+    * Exactness contract: cosine distance lives on the 1e6 integer grid
+    * (dist_e6 = 1e6 − round(sim·1e6); NULL sim from a zero-norm vector
+    * reads as the maximal distance 2e6), so k-distance, reachability
+    * distance, and the reachability sums are exact integers. The two
+    * divisions are positive integer floor-divides staged identically in
+    * both engines: per-node inverse-lrd reciprocal r(o) = n_o·1e9 div
+    * Sr(o) (Sr clamped to >= 1 — an all-duplicate neighborhood has
+    * infinite density, and the clamp caps its lrd at n·1e9 instead),
+    * then lof_e3(p) = (Sr_p div n_p)·(Σ_o r(o) div n_p) div 1e6 — the
+    * LOF ratio at three decimals with every operand bounded well inside
+    * int64 ((2e6·k)·(1e9·k) after the two div-by-n_p stages is < 2^62).
+    *
+    * Scale shape: the graph build is the memoized [[nnDescent]] (the
+    * serving-index build shared by q_nndescent/q_graph_search/
+    * q_label_spread); everything after it is three integer groupBys and
+    * two equi-joins over the k·|V| edge list — linear, no pairwise
+    * stage, no driver data.
+    *
+    * Output: (idCol, n_nbr, sr_e6 = Σ reach-dist, lof_e3), one row per
+    * vector.
+    */
+  def lofScores(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 16, nBits: Int = 4,
+      graphRounds: Int = 3, ringWindow: Int = 8): DataFrame = {
+    val g = nnDescent(vecs, idCol, vecCol, k, nBits, graphRounds,
+      ringWindow)
+    val d = g.select(col("node_id").as("__s"), col("neighbor_id").as("__d"),
+      (lit(1000000L) - round(coalesce(col("sim"), lit(-1.0)) * 1e6, 0)
+        .cast("long")).as("__dist"))
+    val kd = d.groupBy(col("__s").as("__id"))
+      .agg(max(col("__dist")).as("__kdist"))
+    val reach = d.join(kd.withColumnRenamed("__id", "__d"), Seq("__d"))
+      .select(col("__s"), col("__d"),
+        greatest(col("__kdist"), col("__dist")).as("__reach"))
+    val sr = reach.groupBy(col("__s").as("__id"))
+      .agg(greatest(lit(1L), sum(col("__reach"))).as("__sr"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val r = sr.select(col("__id").as("__d"),
+      expr("(__n * 1000000000L) div __sr").as("__r"))
+    val sums = d.join(r, Seq("__d"))
+      .groupBy(col("__s").as("__id")).agg(sum(col("__r")).as("__sumr"))
+    sr.join(sums, Seq("__id"))
+      .select(col("__id").as(idCol), col("__n").as("n_nbr"),
+        col("__sr").as("sr_e6"),
+        expr("((__sr div __n) * (__sumr div __n)) div 1000000")
+          .as("lof_e3"))
+  }
+
+  /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"; the CCMatrix/LASER alignment step): for each source
+    * vector x, score its forward nearest neighbors y by the RATIO margin
+    *   margin(x,y) = cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z) +
+    *                              Σ_{z∈NNk(y)} cos(y,z)) / 2k)
+    * — raw cosine normalized by the average similarity of each side's
+    * own neighborhood, which cancels the hubness that makes absolute
+    * thresholds unusable across density regimes — and keep the best y
+    * per x with its margin.
+    *
+    * Exactness contract: cosines ride the 1e6 integer grid, so both
+    * neighborhood sums are exact integers and the margin is ONE positive
+    * integer floor-divide, margin_e6 = c_e6·2k·1e6 div (sum_x + sum_y),
+    * identical in any engine (a non-positive denominator — conceivable
+    * only when every top-k cosine is negative — yields NULL, excluded
+    * from ranking like a NULL sim).
+    *
+    * Scale shape: the forward pass is the memoized [[bruteForceTopK]]
+    * of the bounded query set (at corpus scale: any rung of the ANN
+    * ladder — the margin only needs each side's top-k list); the
+    * backward sums are computed ONLY for the |queries|·k candidate
+    * targets (the standard mined-candidate restriction), so the second
+    * pass is bounded by the first. No corpus×corpus stage anywhere.
+    *
+    * Output: (query_id, target_id, cos_e6, margin_e6, accepted), one
+    * row per query (its argmax-margin candidate; margin desc, id asc
+    * ties).
+    */
+  def bitextMarginMine(queries: DataFrame, targets: DataFrame,
+      sources: DataFrame, k: Int, acceptE6: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val simE6 = round(col("sim") * 1e6, 0).cast("long")
+    val fwd = bruteForceTopK(queries, targets, k, idCol, vecCol,
+        excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id"), simE6.as("c_e6"))
+      .localCheckpoint(true)
+    val sumX = fwd.groupBy(col("query_id"))
+      .agg(sum(col("c_e6")).as("__sx"))
+    val candIds = fwd.select(col("neighbor_id").as(idCol)).distinct()
+    val bwd = bruteForceTopK(targets.join(candIds, Seq(idCol)), sources,
+        k, idCol, vecCol, excludeSelf = false)
+      .select(col("query_id").as("neighbor_id"), simE6.as("c_e6"))
+    val sumY = bwd.groupBy(col("neighbor_id"))
+      .agg(sum(col("c_e6")).as("__sy"))
+    val den = col("__sx") + col("__sy")
+    // The numerator clamps at 0 (a negative cosine has no useful margin
+    // and mining thresholds sit well above 1.0 anyway) so the single
+    // divide only ever sees non-negative operands — Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors, and they agree
+    // exactly on the non-negative domain.
+    val scored = fwd.join(sumX, Seq("query_id"))
+      .join(sumY, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_e6"),
+        when(den > 0,
+          (greatest(col("c_e6"), lit(0L)) * lit(2L * k) * lit(1000000L))
+            .cast("long"))
+          .otherwise(lit(null)).as("__num"),
+        when(den > 0, den).otherwise(lit(null)).as("__den"))
+      .withColumn("margin_e6", expr("__num div __den"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin_e6").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("target_id"),
+        col("c_e6"), col("margin_e6"),
+        (col("margin_e6") >= acceptE6).as("accepted"))
+  }
+
   /** Frontier majority-vote label densification over the kNN graph — the
     * semi-supervised step that turns a small labeled subset into corpus
     * coverage (weak supervision for quality/domain/topic tags; the
