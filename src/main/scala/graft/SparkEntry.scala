@@ -2167,6 +2167,37 @@ object SparkEntry {
         .orderBy(col("score_q").desc, col("doc_id").asc)
     },
 
+    // Exposure parity of the BM25 top-20 by source (fairness of
+    // exposure): each group's share of total 1/rank exposure vs its
+    // corpus share, signed ppm gap — the audit that catches a retrieval
+    // stack systematically amplifying one source. Groups with no ranked
+    // doc still emit their row.
+    "q_exposure_parity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ranked = graft.functions.Rank.bm25TopDocs(docs, "doc_id",
+          "text", bm25Query, 20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_q").desc, col("doc_id").asc)))
+      graft.functions.Eval.exposureParity(
+          ranked.select(col("doc_id"), col("rank")), "doc_id", "rank",
+          docs, "source")
+        .orderBy(col("source"))
+    },
+
+    // Equalized-odds audit of the NB language gate binarized on 'en',
+    // by source (Hardt et al. 2016): per-group TPR/FPR in exact ppm and
+    // the max−min gaps — a corpus filter whose TPR differs by group
+    // throttles that group's data. Rides the memoized NB chain.
+    "q_eo_gap" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Eval.equalizedOdds(
+          graft.functions.NaiveBayes.classify(docs, docs, "doc_id",
+            "text", "lang"),
+          "doc_id", "pred_class", docs, "lang", "source", "en")
+        .orderBy(col("source"))
+    },
+
     // Pseudo-relevance-feedback query expansion (RM1/RM3 family): the
     // BM25 top-10 feedback docs weight candidate terms by
     // sum(tf * score_q); seed terms and stopwords excluded. The
@@ -2503,6 +2534,16 @@ object SparkEntry {
       graft.functions.LangModel.cooccurrenceLift(Tables.documents(s, d),
           "doc_id", "text", minPairCount = 5L)
         .orderBy(col("tok_a"), col("tok_b"))
+    },
+
+    // word2phrase collocation mining — ADJACENT-bigram discounted lift
+    // (c_ab−δ)·N div (c_a·c_b), the phrase pass that fuses multiword
+    // units before tokenizer/embedding training; q_cooccur_lift's
+    // document-level cousin finds topics, this finds units. Top-40.
+    "q_phrase_mine" -> { (s, d) =>
+      graft.functions.LangModel.phraseMine(Tables.documents(s, d),
+          "text", delta = 2L, minCount = 3L, topK = 40)
+        .orderBy(col("score_e6").desc, col("tok_a"), col("tok_b"))
     },
 
     // Corpus bigram novelty: occurrence counts, corpus-hapax ratio, and
@@ -6560,6 +6601,34 @@ object SparkEntry {
             CAST(score_q AS DOUBLE) / 1000000.0 AS score
           FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 20"""),
 
+    "q_exposure_parity" -> (duckBm25Cte +
+      s""", top AS (SELECT doc_id, row_number() OVER
+            (ORDER BY score_q DESC, doc_id ASC) AS rnk
+            FROM (SELECT * FROM agg ORDER BY score_q DESC, doc_id ASC
+                  LIMIT 20)),
+          ex AS (SELECT d.source,
+            CAST(1000000 AS BIGINT) // t.rnk AS e
+            FROM top t JOIN documents d USING (doc_id)),
+          ge AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranked,
+            CAST(sum(e) AS BIGINT) AS es FROM ex GROUP BY 1),
+          tote AS (SELECT CAST(sum(e) AS BIGINT) AS te FROM ex),
+          cs AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+            FROM documents GROUP BY 1),
+          totd AS (SELECT CAST(count(*) AS BIGINT) AS ndall
+            FROM documents),
+          fin AS (SELECT cs.source,
+            coalesce(ge.n_ranked, CAST(0 AS BIGINT)) AS n_ranked,
+            coalesce(ge.es, CAST(0 AS BIGINT)) AS exp_sum_e6,
+            ${duckPpm("coalesce(ge.es, CAST(0 AS BIGINT))", "tote.te")}
+              AS exp_share_ppm,
+            ${duckPpm("cs.nd", "totd.ndall")} AS corpus_share_ppm
+            FROM cs LEFT JOIN ge USING (source)
+            CROSS JOIN tote CROSS JOIN totd)
+          SELECT source, n_ranked, exp_sum_e6, exp_share_ppm,
+            corpus_share_ppm,
+            exp_share_ppm - corpus_share_ppm AS parity_gap_ppm
+          FROM fin ORDER BY source"""),
+
     "q_prf_expand" -> (duckBm25Cte + {
       val excluded = (bm25Query ++ stopwords).distinct
         .map(t => s"'$t'").mkString(", ")
@@ -6979,6 +7048,32 @@ object SparkEntry {
           FROM toks CROSS JOIN n
           GROUP BY tok, total HAVING count(*) * 41 > total
           ORDER BY tok""",
+
+    // Adjacent-bigram discounted lift, one positive integer divide
+    // (minCount > δ keeps the numerator positive, so // = div).
+    "q_phrase_mine" ->
+      s"""WITH tk AS (SELECT ${duckToks("text")} AS tk FROM documents),
+          uni AS (SELECT unnest(tk) AS tok FROM tk),
+          cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM uni GROUP BY 1),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+          bg AS (SELECT unnest(CASE WHEN len(tk) >= 2
+            THEN list_transform(range(1, len(tk)),
+              i -> struct_pack(a := tk[i], b := tk[i + 1]))
+            ELSE [] END) AS p FROM tk),
+          cb AS (SELECT p.a AS tok_a, p.b AS tok_b,
+            CAST(count(*) AS BIGINT) AS c_ab
+            FROM bg GROUP BY 1, 2 HAVING count(*) >= 3),
+          sc AS (SELECT tok_a, tok_b, c_ab,
+            CAST(((c_ab - 2) * nn.n * 1000000) // (ca.c * cbb.c)
+              AS BIGINT) AS score_e6
+            FROM cb JOIN cu ca ON ca.tok = tok_a
+            JOIN cu cbb ON cbb.tok = tok_b CROSS JOIN nn)
+          SELECT tok_a, tok_b, c_ab, score_e6 FROM
+            (SELECT *, row_number() OVER
+              (ORDER BY score_e6 DESC, tok_a, tok_b) AS rn FROM sc)
+          WHERE rn <= 40
+          ORDER BY score_e6 DESC, tok_a, tok_b""",
 
     "q_cooccur_lift" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(${duckToks("text")}) AS tok
@@ -8511,6 +8606,42 @@ object SparkEntry {
           FROM fin f1 LEFT JOIN fin f2
             ON f2.doc_id = f1.doc_id AND f2.rn = 2
           WHERE f1.rn = 1 ORDER BY f1.doc_id""",
+
+    // The NB prediction chain binarized on 'en', grouped by source:
+    // per-group confusion cells, ppm TPR/FPR, max−min gaps repeated.
+    "q_eo_gap" ->
+      s"""WITH $duckNbChain,
+          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+          fin AS (SELECT sc.doc_id, sc.class,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+            FROM sc JOIN pri ON pri.class = sc.class
+            JOIN lgt lp ON lp.x = pri.nd),
+          pr AS (SELECT doc_id, class AS pred FROM fin WHERE rn = 1),
+          j AS (SELECT d.source,
+            CASE WHEN p.pred = 'en' THEN 1 ELSE 0 END AS pp,
+            CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS yy
+            FROM pr p JOIN documents d USING (doc_id)),
+          g AS (SELECT source,
+            CAST(sum(pp * yy) AS BIGINT) AS tp,
+            CAST(sum(pp * (1 - yy)) AS BIGINT) AS fp,
+            CAST(sum((1 - pp) * yy) AS BIGINT) AS fn,
+            CAST(sum((1 - pp) * (1 - yy)) AS BIGINT) AS tn
+            FROM j GROUP BY 1),
+          r AS (SELECT source, tp, fp, fn, tn,
+            CASE WHEN tp + fn = 0 THEN NULL
+              ELSE ${duckPpm("tp", "tp + fn")} END AS tpr_ppm,
+            CASE WHEN fp + tn = 0 THEN NULL
+              ELSE ${duckPpm("fp", "fp + tn")} END AS fpr_ppm
+            FROM g),
+          gp AS (SELECT
+            CAST(max(tpr_ppm) - min(tpr_ppm) AS BIGINT) AS eo_tpr_gap_ppm,
+            CAST(max(fpr_ppm) - min(fpr_ppm) AS BIGINT) AS eo_fpr_gap_ppm
+            FROM r)
+          SELECT r.source, r.tp, r.fp, r.fn, r.tn, r.tpr_ppm, r.fpr_ppm,
+            gp.eo_tpr_gap_ppm, gp.eo_fpr_gap_ppm
+          FROM r CROSS JOIN gp ORDER BY source""",
 
     "q_class_metrics" ->
       s"""WITH $duckNbChain,

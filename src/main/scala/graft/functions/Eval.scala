@@ -890,4 +890,91 @@ object Eval {
             (col("__num") * col("__num")).cast(dec),
             (col("__m1") * col("__m2")).cast(dec))).as("mcc2_ppm"))
   }
+
+  /** Exposure parity of a ranking (Singh & Joachims 2018's
+    * fairness-of-exposure reading, with the integer-exact 1/rank
+    * exposure model): per group, the share of total exposure its
+    * members receive in a ranked result vs the share of the corpus the
+    * group makes up — the audit that catches a retrieval stack
+    * systematically amplifying one source/domain/language. Groups with
+    * NO ranked member still emit a row (exposure share 0, corpus share
+    * real — the worst finding this report exists to surface).
+    *
+    * exposure(rank r) = 1e6 div r (integer), shares are
+    * [[Stats.fixedPointExact]] ppm, gap = exposure share − corpus
+    * share (signed ppm; positive = over-exposed).
+    *
+    * Scale: ranked results are top-k bounded by construction; the only
+    * corpus-sized work is one group count. Output: one row per group —
+    * (groupCol, n_ranked, exp_sum_e6, exp_share_ppm, corpus_share_ppm,
+    * parity_gap_ppm).
+    */
+  def exposureParity(ranked: DataFrame, idCol: String, rankCol: String,
+      universe: DataFrame, groupCol: String): DataFrame = {
+    val ex = ranked
+      .select(col(idCol), expr(s"1000000L div $rankCol").as("__e"))
+      .join(universe.select(col(idCol), col(groupCol).as("__grp")),
+        Seq(idCol))
+    val ge = ex.groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("__e")).as("__es"))
+    val tote = ex.agg(sum(col("__e")).as("__te"))
+    val cs = universe.groupBy(col(groupCol).as("__grp"))
+      .agg(count(lit(1)).as("__nd"))
+    val totd = universe.agg(count(lit(1)).as("__ndall"))
+    cs.join(ge, Seq("__grp"), "left")
+      .crossJoin(tote).crossJoin(totd)
+      .select(col("__grp").as(groupCol),
+        coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        coalesce(col("__es"), lit(0L)).as("exp_sum_e6"),
+        Stats.fixedPointExact(coalesce(col("__es"), lit(0L)), col("__te"))
+          .as("exp_share_ppm"),
+        Stats.fixedPointExact(col("__nd"), col("__ndall"))
+          .as("corpus_share_ppm"))
+      .withColumn("parity_gap_ppm",
+        col("exp_share_ppm") - col("corpus_share_ppm"))
+  }
+
+  /** Equalized-odds audit of a binary-ized classifier across groups
+    * (Hardt et al. 2016): per group, TPR = P(pred = + | y = +) and
+    * FPR = P(pred = + | y = −) in exact ppm, plus the whole-table
+    * max−min gaps repeated on every row — a classifier is
+    * equalized-odds fair when both gaps are ~0. The fairness gate for
+    * any model-based corpus filter (quality classifier, language gate):
+    * a filter whose TPR differs by group throttles that group's data.
+    *
+    * Degenerate groups (no positives / no negatives) render NULL rates
+    * and are excluded from the gaps by max/min's NULL semantics (same
+    * in both engines).
+    *
+    * Output: (groupCol, tp, fp, fn, tn, tpr_ppm, fpr_ppm,
+    * eo_tpr_gap_ppm, eo_fpr_gap_ppm), one row per group.
+    */
+  def equalizedOdds(pred: DataFrame, idCol: String, predCol: String,
+      truth: DataFrame, labelCol: String, groupCol: String,
+      positive: String): DataFrame = {
+    val j = pred.select(col(idCol), col(predCol).as("__p"))
+      .join(truth.select(col(idCol), col(labelCol).as("__y"),
+        col(groupCol).as("__grp")), Seq(idCol))
+      .select(col("__grp"),
+        when(col("__p") === positive, 1L).otherwise(0L).as("__pp"),
+        when(col("__y") === positive, 1L).otherwise(0L).as("__yy"))
+    val g = j.groupBy(col("__grp")).agg(
+      sum(col("__pp") * col("__yy")).as("tp"),
+      sum(col("__pp") * (lit(1L) - col("__yy"))).as("fp"),
+      sum((lit(1L) - col("__pp")) * col("__yy")).as("fn"),
+      sum((lit(1L) - col("__pp")) * (lit(1L) - col("__yy"))).as("tn"))
+    val r = g.select(col("__grp"), col("tp"), col("fp"), col("fn"),
+      col("tn"),
+      when(col("tp") + col("fn") === 0L, lit(null).cast("long"))
+        .otherwise(Stats.fixedPointExact(col("tp"),
+          col("tp") + col("fn"))).as("tpr_ppm"),
+      when(col("fp") + col("tn") === 0L, lit(null).cast("long"))
+        .otherwise(Stats.fixedPointExact(col("fp"),
+          col("fp") + col("tn"))).as("fpr_ppm"))
+    val gaps = r.agg(
+      (max(col("tpr_ppm")) - min(col("tpr_ppm"))).as("eo_tpr_gap_ppm"),
+      (max(col("fpr_ppm")) - min(col("fpr_ppm"))).as("eo_fpr_gap_ppm"))
+    r.crossJoin(gaps)
+      .withColumnRenamed("__grp", groupCol)
+  }
 }

@@ -700,6 +700,57 @@ object LangModel {
           .as("avg_bigram_df"))
   }
 
+  /** word2phrase collocation mining (Mikolov et al. 2013, the phrase
+    * pass that turns "new york" into a unit before embedding training):
+    * adjacent-bigram score (c_ab − δ)·N / (c_a·c_b) — count-discounted
+    * lift, where δ kills rare accidental pairs — rendered as one exact
+    * positive integer divide (score_e6; c_ab > δ is forced by the
+    * minCount filter, so the numerator never goes negative and
+    * truncating/flooring division agree). The ADJACENCY complement of
+    * [[cooccurrenceLift]]'s document-level co-occurrence: this one
+    * finds units, that one finds topics.
+    *
+    * Scale: one token-occurrence count, one adjacent-pair count (both
+    * partial-aggregable), two vocabulary-keyed equi-joins, a global
+    * top-k window the TopKNative rule replans to a bounded top-k.
+    *
+    * Output: top `topK` rows (tok_a, tok_b, c_ab, score_e6) by
+    * (score desc, toks asc).
+    */
+  def phraseMine(docs: DataFrame, textCol: String, delta: Long = 2L,
+      minCount: Long = 3L, topK: Int = 40): DataFrame = {
+    require(minCount > delta,
+      s"minCount ($minCount) must exceed delta ($delta) to keep the " +
+        "score numerator positive")
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(Text.tokens(col(textCol)).as("__tk"))
+    val uni = tk.select(explode(col("__tk")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cu"))
+    val totN = uni.agg(sum(col("__cu")).as("__n"))
+    val pairs = tk
+      .filter(size(col("__tk")) >= 2)
+      .select(expr("slice(__tk, 1, size(__tk) - 1)").as("__l"),
+        expr("slice(__tk, 2, size(__tk) - 1)").as("__r"))
+      .select(explode(arrays_zip(col("__l"), col("__r"))).as("__p"))
+      .select(col("__p.__l").as("tok_a"), col("__p.__r").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = pairs
+      .join(uni.select(col("__tok").as("tok_a"), col("__cu").as("__ca")),
+        Seq("tok_a"))
+      .join(uni.select(col("__tok").as("tok_b"), col("__cu").as("__cb")),
+        Seq("tok_b"))
+      .crossJoin(totN)
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        expr(s"((c_ab - $delta) * __n * 1000000L) div (__ca * __cb)")
+          .as("score_e6"))
+    val w = Window.orderBy(col("score_e6").desc, col("tok_a"),
+      col("tok_b"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .drop("__rn")
+  }
+
   /** Pairwise total-variation distance between per-group unigram token
     * distributions — the mixture-design diagnostic that says how
     * distributionally distinct two sources/languages/shards actually are
