@@ -3810,6 +3810,25 @@ object SparkEntry {
         .orderBy(col("rank"))
     },
 
+    // kNN label-noise scan (confident-learning style): vectors whose
+    // neighborhood majority label disagrees with their own — the label-
+    // error detector before a labeled set trains any gate. Integer
+    // votes over the memo-shared NN-descent out-lists.
+    "q_label_noise" -> { (s, d) =>
+      Vec.labelNoiseScan(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))
+    },
+
+    // Deterministic DeepWalk-style walk corpus: 4-hop walks from 100
+    // start nodes over the memo-shared kNN graph, next hop picked by
+    // the catalog mixer mod out-degree — reproducible skip-gram
+    // training data without an RNG.
+    "q_graph_walks" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.graphWalks(emb, emb.filter(col("vec_id") < 100), steps = 4)
+        .orderBy(col("start_id"), col("step"))
+    },
+
     // Local Outlier Factor over the memo-shared NN-descent graph — the
     // density-relative embedding outlier score (Breunig et al. 2000):
     // ~1000 (e3) inside any cluster, >1000 where local density lags the
@@ -9431,6 +9450,52 @@ object SparkEntry {
             FROM embeddings),
           $steps
           SELECT * FROM ($finals) ORDER BY "rank""""
+    },
+
+    // Majority vote over the shared nnDescent out-lists, count desc /
+    // label asc ties — same staging as the Spark scan.
+    "q_label_noise" ->
+      s"""WITH ${duckNnDescentCtes(16, 4, 3, 8)},
+          lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lab
+            FROM embeddings),
+          votes AS (SELECT g.s AS id, l.lab AS nl,
+            CAST(count(*) AS BIGINT) AS c
+            FROM g3 g JOIN lab l ON l.id = g.d GROUP BY 1, 2),
+          maj AS (SELECT id, nl AS maj_label FROM
+            (SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY c DESC, nl ASC) AS rn FROM votes) WHERE rn = 1),
+          nb AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_nbr
+            FROM votes GROUP BY 1),
+          ag AS (SELECT v.id, v.c AS agree FROM votes v
+            JOIN lab l ON l.id = v.id AND l.lab = v.nl)
+          SELECT m.id AS vec_id, l.lab AS label, m.maj_label,
+            coalesce(ag.agree, CAST(0 AS BIGINT)) AS n_agree, nb.n_nbr,
+            m.maj_label <> l.lab AS is_suspect
+          FROM maj m JOIN nb USING (id) JOIN lab l USING (id)
+          LEFT JOIN ag USING (id)
+          ORDER BY vec_id""",
+
+    // Walk replay: ranked adjacency straight from g3, hop s picks rank
+    // (mix(cur*17+s) mod deg) + 1 — the catalog mixer verbatim.
+    "q_graph_walks" -> {
+      val hops = (1 to 4).map { s =>
+        s"""w$s AS (SELECT w.strt, a.nb AS cur
+              FROM w${s - 1} w JOIN dg ON dg.v = w.cur
+              JOIN adj a ON a.v = w.cur
+                AND a.rk = (${duckMixOf(s"(w.cur * 17 + $s)")} % dg.deg) + 1)"""
+      }.mkString(",\n")
+      val unions = (0 to 4).map { s =>
+        s"SELECT strt, CAST($s AS BIGINT) AS step, cur FROM w$s"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${duckNnDescentCtes(16, 4, 3, 8)},
+          adj AS (SELECT s AS v, d AS nb, CAST(rn AS BIGINT) AS rk
+            FROM g3),
+          dg AS (SELECT v, max(rk) AS deg FROM adj GROUP BY 1),
+          w0 AS (SELECT vec_id AS strt, vec_id AS cur FROM embeddings
+            WHERE vec_id < 100),
+          $hops
+          SELECT strt AS start_id, step, cur AS node_id FROM ($unions)
+          ORDER BY start_id, step"""
     },
 
     // LOF replay: the shared nnDescent CTEs give the kNN lists; distance

@@ -1695,6 +1695,100 @@ object Vec {
           .as("lof_e3"))
   }
 
+  /** kNN label-noise scan (the confident-learning/"cleanlab" reading of
+    * Wilson 1972's edited nearest neighbors): flag vectors whose
+    * neighborhood majority label disagrees with their own — the label-
+    * error detector run before any labeled corpus trains a gate. Votes
+    * are integer counts over the memoized [[nnDescent]] out-lists
+    * (count desc, label asc ties), so the verdict is engine-exact.
+    *
+    * Scale shape: the graph build is the shared memo; the scan is one
+    * edge-keyed join + one (node, label) count + one degree-bounded
+    * argmax window. Output: (idCol, label, maj_label, n_agree, n_nbr,
+    * is_suspect), one row per vector with >= 1 neighbor.
+    */
+  def labelNoiseScan(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      k: Int = 16, nBits: Int = 4, graphRounds: Int = 3,
+      ringWindow: Int = 8): DataFrame = {
+    val g = nnDescent(vecs, idCol, vecCol, k, nBits, graphRounds,
+      ringWindow)
+    val lab = vecs.select(col(idCol).as("__id"),
+      col(labelCol).cast("long").as("__lab"))
+    val votes = g
+      .join(lab.withColumnRenamed("__id", "neighbor_id")
+        .withColumnRenamed("__lab", "__nl"), Seq("neighbor_id"))
+      .groupBy(col("node_id"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("__c").desc, col("__nl").asc)
+    val maj = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("node_id"), col("__nl").as("maj_label"),
+        col("__c").as("__cm"))
+    val nb = votes.groupBy(col("node_id"))
+      .agg(sum(col("__c")).as("n_nbr"))
+    val agree = votes.select(col("node_id").as("__an"),
+      col("__nl").as("__al"), col("__c").as("__agree"))
+    maj.join(nb, Seq("node_id"))
+      .join(lab.withColumnRenamed("__id", "node_id"), Seq("node_id"))
+      .join(agree, col("__an") === col("node_id") &&
+        col("__al") === col("__lab"), "left_outer")
+      .select(col("node_id").as(idCol), col("__lab").as("label"),
+        col("maj_label"),
+        coalesce(col("__agree"), lit(0L)).as("n_agree"), col("n_nbr"),
+        (col("maj_label") =!= col("__lab")).as("is_suspect"))
+  }
+
+  /** Deterministic DeepWalk-style walk corpus over the kNN graph
+    * (Perozzi et al. 2014's data-generation step, de-randomized): from
+    * each start node, `steps` hops where hop s at node v follows the
+    * out-neighbor at rank mix(v·17 + s) mod deg(v) + 1 in the graph's
+    * own (sim desc, id) ranking — the catalog mixer supplies the
+    * "randomness", so the walk corpus is reproducible in any engine
+    * (the same fixed-seed discipline as every sampler here; a single
+    * affine hash would correlate consecutive steps, the mixer's square
+    * step decorrelates). The emitted (start, step, node) rows are what
+    * a skip-gram embedding trainer consumes.
+    *
+    * Scale shape: graph is the memoized [[nnDescent]]; each hop is one
+    * equi-join of the walk frontier against the ranked adjacency —
+    * O(starts) rows per hop, `steps` bounded.
+    *
+    * Output: (start_id, step 0..steps, node_id) — step 0 is the start
+    * itself; walks stop early only at sink nodes (absent out-list).
+    */
+  def graphWalks(vecs: DataFrame, starts: DataFrame, steps: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 16, nBits: Int = 4, graphRounds: Int = 3,
+      ringWindow: Int = 8): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val g = nnDescent(vecs, idCol, vecCol, k, nBits, graphRounds,
+      ringWindow)
+    val adj = g.select(col("node_id").as("__v"),
+        col("neighbor_id").as("__nb"), col("rank").cast("long").as("__rk"))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("__v")).agg(max(col("__rk")).as("__deg"))
+    var frontier = starts.select(col(idCol).as("__start"),
+      col(idCol).as("__cur"))
+    var out = frontier.select(col("__start"), lit(0L).as("step"),
+      col("__cur").as("node_id"))
+    for (s <- 1 to steps) {
+      val pick = frontier
+        .join(deg.withColumnRenamed("__v", "__cur"), Seq("__cur"))
+        .withColumn("__idx",
+          pmod(Sampling.hashOrder(col("__cur") * 17L + lit(s.toLong)),
+            col("__deg")) + 1L)
+      frontier = pick
+        .join(adj, pick("__cur") === adj("__v") &&
+          pick("__idx") === adj("__rk"))
+        .select(col("__start"), col("__nb").as("__cur"))
+      out = out.unionByName(frontier.select(col("__start"),
+        lit(s.toLong).as("step"), col("__cur").as("node_id")))
+    }
+    out.select(col("__start").as("start_id"), col("step"), col("node_id"))
+  }
+
   /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
     * "Margin-based Parallel Corpus Mining with Multilingual Sentence
     * Embeddings"; the CCMatrix/LASER alignment step): for each source
