@@ -3810,6 +3810,17 @@ object SparkEntry {
         .orderBy(col("rank"))
     },
 
+    // Exact KNN-Shapley data valuation (Jia et al. 2019): the Shapley
+    // value of every training vector for the 5-NN classifier against a
+    // 10-vector probe set — the closed-form suffix sum, integer-staged,
+    // never 2^N coalitions. Negative-value vectors are what a curation
+    // pass drops first.
+    "q_knn_shapley" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Vec.knnShapley(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy(col("vec_id"))
+    },
+
     // kNN label-noise scan (confident-learning style): vectors whose
     // neighborhood majority label disagrees with their own — the label-
     // error detector before a labeled set trains any gate. Integer
@@ -9450,6 +9461,44 @@ object SparkEntry {
             FROM embeddings),
           $steps
           SELECT * FROM ($finals) ORDER BY "rank""""
+    },
+
+    // KNN-Shapley replay: full ranking per probe, lead() for m_{j+1},
+    // the positive-divide term staging, one suffix-sum window.
+    "q_knn_shapley" -> {
+      val dotSql = duckDotSql _
+      s"""WITH qv AS (SELECT vec_id AS qid, embedding,
+            CAST(label AS BIGINT) AS ql,
+            sqrt(${dotSql("embedding", "embedding")}) AS nm
+            FROM embeddings WHERE vec_id < 10),
+          cv AS (SELECT vec_id AS cid, embedding,
+            CAST(label AS BIGINT) AS cl,
+            sqrt(${dotSql("embedding", "embedding")}) AS nm
+            FROM embeddings),
+          p AS (SELECT q.qid, c.cid,
+            CASE WHEN c.cl = q.ql THEN 1 ELSE 0 END AS m,
+            CASE WHEN q.nm * c.nm = 0 THEN NULL
+              ELSE round(${dotSql("q.embedding", "c.embedding")} /
+                (q.nm * c.nm), 6) END AS sim
+            FROM qv q JOIN cv c ON q.qid <> c.cid),
+          r AS (SELECT qid, cid, m,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC NULLS LAST, cid) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS np
+            FROM p),
+          t AS (SELECT qid, cid, rn,
+            CASE WHEN lead(m) OVER w IS NULL
+              THEN (m * 1000000000) // np
+              ELSE (m - lead(m) OVER w) *
+                (1000000000 // greatest(rn, 5)) END AS term
+            FROM r WINDOW w AS (PARTITION BY qid ORDER BY rn)),
+          s AS (SELECT qid, cid,
+            CAST(sum(term) OVER (PARTITION BY qid ORDER BY rn
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS shp FROM t)
+          SELECT cid AS vec_id, CAST(sum(shp) AS BIGINT) AS shap_sum_e9,
+            CAST(count(*) AS BIGINT) AS n_tests
+          FROM s GROUP BY 1 ORDER BY vec_id"""
     },
 
     // Majority vote over the shared nnDescent out-lists, count desc /

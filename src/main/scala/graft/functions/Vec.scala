@@ -1859,6 +1859,69 @@ object Vec {
         (col("margin_e6") >= acceptE6).as("accepted"))
   }
 
+  /** Exact KNN-Shapley data valuation (Jia et al. 2019, "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms"):
+    * the Shapley value of every training vector for a KNN classifier
+    * admits a closed form over the distance-sorted ranking —
+    *   s_(N) = m_N/N,   s_(j) = s_(j+1) + (m_j − m_{j+1})/max(j, K)
+    * with m_j = 1[label_j = label_test] — i.e. ONE suffix sum per test
+    * point, no 2^N coalitions. This is the data-selection signal that
+    * prices each candidate document/example against a probe set:
+    * negative-value points are the ones a curation pass drops first.
+    *
+    * Integer staging both engines replay exactly: each term is
+    * sign(m_j − m_{j+1}) · (1e9 div max(j, K)) — the divide always on
+    * positives — and the rank-N base term is m_N·1e9 div N; the suffix
+    * sum and the per-train aggregation are plain integer sums.
+    *
+    * Scale shape: |tests| is probe-sized by contract, so the pair stage
+    * is |tests|·N with the test side broadcast (at corpus scale the
+    * ranking feeds from the ANN ladder's top-M with the tail's
+    * contribution collapsing to the base term — the standard truncation,
+    * since terms vanish as 1/j past the neighborhood). The suffix sum
+    * runs per test partition, never globally.
+    *
+    * Output: (idCol, shap_sum_e9, n_tests) — the summed value of each
+    * training vector over all probe tests (self-pairs excluded).
+    */
+  def knnShapley(tests: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = broadcast(withNorm(tests, idCol, vecCol, "q")
+      .withColumnRenamed("id_q", "__qid")
+      .join(tests.select(col(idCol).as("__qid"),
+        col(labelCol).cast("long").as("__ql")), Seq("__qid")))
+    val c = withNorm(corpus, idCol, vecCol, "c")
+      .withColumnRenamed("id_c", "__cid")
+      .join(corpus.select(col(idCol).as("__cid"),
+        col(labelCol).cast("long").as("__cl")), Seq("__cid"))
+    val scored = q.join(c, col("__qid") =!= col("__cid"))
+      .withColumn("__sim", pairSim(col("vq"), col("vc"),
+        col("nq"), col("nc")))
+      .select(col("__qid"), col("__cid"),
+        when(col("__cl") === col("__ql"), 1L).otherwise(0L).as("__m"),
+        col("__sim"))
+    val wr = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc_nulls_last, col("__cid"))
+    val wp = Window.partitionBy(col("__qid"))
+    val ranked = scored
+      .withColumn("__rn", row_number().over(wr).cast("long"))
+      .withColumn("__np", count(lit(1)).over(wp))
+      .withColumn("__mn", lead(col("__m"), 1).over(wr))
+    val terms = ranked.withColumn("__term",
+      when(col("__mn").isNull,
+        expr("(__m * 1000000000L) div __np"))
+        .otherwise((col("__m") - col("__mn")) *
+          expr(s"1000000000L div greatest(__rn, ${k}L)")))
+    val ws = Window.partitionBy(col("__qid")).orderBy(col("__rn"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    terms.withColumn("__s", sum(col("__term")).over(ws))
+      .groupBy(col("__cid").as(idCol))
+      .agg(sum(col("__s")).as("shap_sum_e9"),
+        count(lit(1)).as("n_tests"))
+  }
+
   /** Frontier majority-vote label densification over the kNN graph — the
     * semi-supervised step that turns a small labeled subset into corpus
     * coverage (weak supervision for quality/domain/topic tags; the
