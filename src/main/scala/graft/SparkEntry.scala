@@ -3074,9 +3074,8 @@ object SparkEntry {
     // image, replayed arithmetically by the oracle through the
     // text-as-PNG contract.
     "q_image_dhash" -> { (s, d) =>
-      val thumbs = graft.multimodal.Media.imageThumbnails(
-        graft.multimodal.Media.textAsPng(
-          Tables.documents(s, d), "doc_id", "text"), 4)
+      val thumbs = graft.multimodal.Media.thumbnailsOfText(
+        Tables.documents(s, d), "doc_id", "text", 16, 16, 4)
       val px = transform(col("thumb"), p =>
         round(p.cast("double") * 255.0, 0).cast("long"))
       thumbs.select(col("media_id"),
@@ -4228,9 +4227,8 @@ object SparkEntry {
     // bridge, oracle-checked via the nearest-neighbor index arithmetic
     // sx = x*4, sy = y*4 over the source bytes.
     "q_image_thumb" -> { (s, d) =>
-      graft.multimodal.Media.imageThumbnails(
-          graft.multimodal.Media.textAsPng(
-            Tables.documents(s, d), "doc_id", "text"), 4)
+      graft.multimodal.Media.thumbnailsOfText(
+          Tables.documents(s, d), "doc_id", "text", 16, 16, 4)
         .select(col("media_id"),
           posexplode(col("thumb")).as(Seq("px_idx", "__pxf")))
         .select(col("media_id"), col("px_idx").cast("long").as("px_idx"),
@@ -4354,9 +4352,8 @@ object SparkEntry {
     // nearest-neighbor output, so the grouping verifies the whole
     // media path end to end.
     "q_image_dup_groups" -> { (s, d) =>
-      val thumbs = graft.multimodal.Media.imageThumbnails(
-        graft.multimodal.Media.textAsPng(
-          Tables.documents(s, d), "doc_id", "text"), 4)
+      val thumbs = graft.multimodal.Media.thumbnailsOfText(
+        Tables.documents(s, d), "doc_id", "text", 16, 16, 4)
       val keyed = thumbs.select(col("media_id"),
         transform(col("thumb"), p =>
           round(p.cast("double") * 255.0, 0).cast("long")).as("__key"))

@@ -19,5 +19,6 @@ object Memos {
     Vec.releaseModelMemo()
     Vec.releaseTopKMemos()
     Quant.releaseModelMemo()
+    graft.multimodal.Media.releaseThumbMemo()
   }
 }

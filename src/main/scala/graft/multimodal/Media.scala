@@ -155,6 +155,37 @@ object Media {
       .toDF("media_id", "format", "width", "height", "sum_luma")
   }
 
+  /** Session memo ([[graft.functions.PlanMemo]]) for the decoded
+    * thumbnail relation of [[thumbnailsOfText]] — THREE catalog
+    * consumers (the thumbnail listing, the dHash fingerprints, the
+    * perceptual dup-grouping) run the byte-identical synthesize →
+    * PNG-decode → resample chain; the memo decodes once. Keyed on the
+    * canonicalized SOURCE plan plus every synthesis/resample parameter
+    * (keying on the media frame itself would never hit: each
+    * [[textAsPng]] call creates a fresh mapPartitions closure, and
+    * closure-bearing plans only canonicalize equal by reference).
+    */
+  private val thumbMemo = new graft.functions.PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+
+  /** [[textAsPng]] → [[imageThumbnails]] as ONE memo-shared relation:
+    * (media_id, thumb). Catalog entries that agree on the source and
+    * parameters ride a single localCheckpoint instead of re-decoding
+    * the corpus per entry.
+    */
+  def thumbnailsOfText(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, h: Int, k: Int): DataFrame =
+    thumbMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        idCol, textCol, w, h, k)) {
+      imageThumbnails(textAsPng(docs, idCol, textCol, w, h), k)
+        .localCheckpoint(true)
+    }
+
+  /** Drop the shared thumbnail slot (see [[graft.functions.Memos]]). */
+  def releaseThumbMemo(): Unit = thumbMemo.release()
+
   /** Decode + nearest-neighbor thumbnail per payload: (media_id, thumb)
     * with thumb a k*k float vector in [0,1] — image content lifted into
     * the engine's vector layer (ANN / semantic dedup / k-means run on

@@ -122,4 +122,31 @@ class ImageCodecSpec extends AnyFunSuite {
       Media.dHashV(col("px"), 3).as("v")).collect()(0)
     assert(d3.getLong(0) == 63L && d3.getLong(1) == 0L)
   }
+
+  test("thumbnailsOfText memo: hit on same source+params, miss on " +
+      "different k, results match the uncached chain") {
+    Media.releaseThumbMemo()
+    val docs = Seq((1L, "abcdefgh"), (2L, "zyxwvuts")).toDF("doc_id", "text")
+    val direct = Media.imageThumbnails(
+        Media.textAsPng(docs, "doc_id", "text", w = 4, h = 2), 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val (h0, b0) = graft.functions.PlanMemo.counters
+    val shared = Media.thumbnailsOfText(docs, "doc_id", "text", 4, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(shared == direct)
+    val (h1, b1) = graft.functions.PlanMemo.counters
+    assert(b1 == b0 + 1 && h1 == h0)
+    // a SECOND call with a re-derived (plan-equal) source hits the slot
+    val again = Media.thumbnailsOfText(
+        Seq((1L, "abcdefgh"), (2L, "zyxwvuts")).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val (h2, b2) = graft.functions.PlanMemo.counters
+    assert(again == direct && h2 == h1 + 1 && b2 == b1)
+    // a different thumbnail size is a different key, not a stale hit
+    val k1 = Media.thumbnailsOfText(docs, "doc_id", "text", 4, 2, 1)
+      .collect().map(r => r.getSeq[Float](1).length).toSet
+    assert(k1 == Set(1))
+    Media.releaseThumbMemo()
+  }
 }
