@@ -4739,6 +4739,88 @@ object SparkEntry {
           col("session_start"))
         .orderBy(col("user_id"), col("session_id"))
     },
+
+    // CUPED variance-reduced A/B effect — per-user pre-period value
+    // (Jan 1-15, cents) as the covariate, post-period value as the
+    // metric, arms by the deterministic hash bucket; θ and both deltas
+    // exact rationals in ppm (Stats.cuped scaladoc for the θ-ppm
+    // composition contract).
+    "q_cuped" -> { (s, d) =>
+      val cut = lit("2024-01-16").cast("timestamp")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val perUser = Tables.eventsTs(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"))
+        .withColumn("__bkt",
+          graft.functions.Sampling.hashBucket(col("user_id")))
+      graft.functions.Stats.cuped(perUser,
+        col("__bkt") < 5000L, col("__bkt") >= 5000L, "x", "y")
+    },
+
+    // Difference-in-differences over the same 2x2 (hash-bucket arm x
+    // Jan-16 period split) at event grain — the parallel-trends causal
+    // card next to q_ab_test (outcome lift) and q_cuped (variance
+    // reduction).
+    "q_did" -> { (s, d) =>
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("__bkt",
+          graft.functions.Sampling.hashBucket(col("user_id")))
+        .withColumn("__cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      graft.functions.Stats.diffInDiff(ev, col("__bkt") < 5000L,
+        col("ts") >= lit("2024-01-16").cast("timestamp"), "__cents")
+    },
+
+    // Exact 2-D Pareto frontier (skyline) under "shortest at each
+    // lexical-richness level": minimize n_chars, maximize distinct
+    // token count. Linear two-level prefix-max shape (Sampling
+    // .paretoFront); the oracle is the quadratic NOT EXISTS definition.
+    "q_pareto_front" -> { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(graft.functions.Text.tokens(col("text"))))
+            .cast("long").as("n_vocab"))
+      graft.functions.Sampling.paretoFront(t, "doc_id", "n_chars",
+          "n_vocab")
+        .orderBy(col("n_chars"), col("doc_id"))
+    },
+
+    // Content-defined chunking dedup: landmark chunks (16-char rolling
+    // window, 2^5-char expected length) duplicated across the corpus —
+    // span-level duplicate mass that exact/doc and line dedup both
+    // miss (Cdc scaladoc). The oracle recomputes every window hash
+    // positionally.
+    "q_cdc_chunks" -> { (s, d) =>
+      graft.functions.Cdc.chunkStats(Tables.documents(s, d), "doc_id",
+          "text", w = 16, maskBits = 5, minOcc = 2L)
+        .orderBy(col("chash"))
+    },
+
+    // chrF (char 3-gram F_2) over the SNM window-5 candidate pairs —
+    // the tokenizer-robust generation/MT eval next to q_rouge2's word
+    // bigrams; same multiset-overlap machinery at character level.
+    "q_chrf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          lower(substring(col("text"), 1, 30)), window = 5)
+        .select(col("id_a"), col("id_b"))
+      graft.functions.Eval.chrF(cand, docs, "doc_id", "text", n = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // KMV set algebra between sources — sketch-estimated union /
+    // intersection / Jaccard of the 3-gram vocabularies from 128-value
+    // bottom-k sketches: the composable-sketch rung of the source-
+    // overlap ladder (exact q_source_overlap, MinHash
+    // q_source_overlap_mh), exact-replayable in both engines.
+    "q_source_overlap_kmv" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("source"),
+          graft.plans.TextExpressions.hashedShingles(col("text"), 3))
+      graft.functions.Sketch.kmvPairOps(grams, "tid", k = 128, "source")
+        .orderBy(col("grp_a"), col("grp_b"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11282,5 +11364,190 @@ object SparkEntry {
          SELECT user_id, session_id, COUNT(*) AS n_events,
            strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q_cuped" ->
+      s"""WITH u AS (SELECT user_id,
+            sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS x,
+            sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS y
+            FROM events GROUP BY 1),
+          v AS (SELECT x, y, ${duckBucketOf("user_id")} AS bkt FROM u),
+          s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum(x * x) AS sxx, sum(x * y) AS sxy,
+            sum(CASE WHEN bkt < 5000 THEN 1 ELSE 0 END) AS n_a,
+            sum(CASE WHEN bkt >= 5000 THEN 1 ELSE 0 END) AS n_b,
+            sum(CASE WHEN bkt < 5000 THEN x ELSE 0 END) AS sx_a,
+            sum(CASE WHEN bkt >= 5000 THEN x ELSE 0 END) AS sx_b,
+            sum(CASE WHEN bkt < 5000 THEN y ELSE 0 END) AS sy_a,
+            sum(CASE WHEN bkt >= 5000 THEN y ELSE 0 END) AS sy_b
+            FROM v),
+          t AS (SELECT *, n * sxy - sx * sy AS tnum,
+            n * sxx - sx * sx AS tden,
+            sy_a * n_b - sy_b * n_a AS dynum,
+            sx_a * n_b - sx_b * n_a AS dxnum,
+            n_a * n_b AS dden FROM s),
+          th AS (SELECT *, CASE WHEN tden > 0
+            THEN ${duckPpm("tnum", "tden")} END AS theta_ppm FROM t)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+            theta_ppm,
+            CASE WHEN dden > 0 THEN ${duckPpm("dynum", "dden")} END
+              AS delta_raw_ppm,
+            CASE WHEN dden > 0 AND theta_ppm IS NOT NULL THEN
+              ${duckPpm("1000000 * dynum - theta_ppm * dxnum",
+                "1000000 * dden")} END AS delta_cuped_ppm
+          FROM th""",
+
+    "q_did" ->
+      s"""WITH e AS (SELECT
+            ${duckBucketOf("user_id")} < 5000 AS treated,
+            ts >= TIMESTAMP '2024-01-16' AS post,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+          s AS (SELECT
+            sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS n_tq,
+            sum(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS n_tp,
+            sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS n_cq,
+            sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS n_cp,
+            sum(CASE WHEN treated AND NOT post THEN cents ELSE 0 END) AS s_tq,
+            sum(CASE WHEN treated AND post THEN cents ELSE 0 END) AS s_tp,
+            sum(CASE WHEN NOT treated AND NOT post THEN cents ELSE 0 END) AS s_cq,
+            sum(CASE WHEN NOT treated AND post THEN cents ELSE 0 END) AS s_cp
+            FROM e),
+          tr AS (SELECT *,
+            CASE WHEN n_tp > 0 AND n_tq > 0 THEN
+              ${duckPpm("s_tp * n_tq - s_tq * n_tp", "n_tp * n_tq")} END
+              AS trend_t_ppm,
+            CASE WHEN n_cp > 0 AND n_cq > 0 THEN
+              ${duckPpm("s_cp * n_cq - s_cq * n_cp", "n_cp * n_cq")} END
+              AS trend_c_ppm FROM s)
+          SELECT CAST(n_tq AS BIGINT) AS n_t_pre,
+            CAST(n_tp AS BIGINT) AS n_t_post,
+            CAST(n_cq AS BIGINT) AS n_c_pre,
+            CAST(n_cp AS BIGINT) AS n_c_post,
+            CASE WHEN n_tq > 0 THEN ${duckPpm("s_tq", "n_tq")} END
+              AS mean_t_pre_ppm,
+            CASE WHEN n_tp > 0 THEN ${duckPpm("s_tp", "n_tp")} END
+              AS mean_t_post_ppm,
+            CASE WHEN n_cq > 0 THEN ${duckPpm("s_cq", "n_cq")} END
+              AS mean_c_pre_ppm,
+            CASE WHEN n_cp > 0 THEN ${duckPpm("s_cp", "n_cp")} END
+              AS mean_c_post_ppm,
+            trend_t_ppm, trend_c_ppm,
+            trend_t_ppm - trend_c_ppm AS did_ppm
+          FROM tr""",
+
+    "q_pareto_front" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+            CAST(len(list_distinct(${duckToks("text")})) AS BIGINT)
+              AS n_vocab FROM documents)
+          SELECT doc_id, n_chars, n_vocab FROM t a
+          WHERE NOT EXISTS (SELECT 1 FROM t b
+            WHERE b.n_chars <= a.n_chars AND b.n_vocab >= a.n_vocab
+              AND (b.n_chars < a.n_chars OR b.n_vocab > a.n_vocab))
+          ORDER BY n_chars, doc_id""",
+
+    "q_cdc_chunks" ->
+      s"""WITH pos AS (SELECT doc_id, text,
+            unnest(range(16, length(text) + 1)) AS i FROM documents),
+          b AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
+            WHERE ${duckPolyId("substr(text, CAST(i - 15 AS INTEGER), 16)")}
+              % 32 = 31),
+          be AS (SELECT doc_id, i FROM b
+            UNION
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS i
+            FROM documents WHERE length(text) > 0),
+          ch AS (SELECT doc_id, text, i AS e,
+            coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+              AS sprev
+            FROM be JOIN documents USING (doc_id)),
+          ck AS (SELECT doc_id, e - sprev AS clen,
+            ${duckPolyId(
+              "substr(text, CAST(sprev + 1 AS INTEGER), CAST(e - sprev AS INTEGER))")}
+              AS chash FROM ch)
+          SELECT chash, CAST(min(clen) AS BIGINT) AS clen,
+            CAST(count(*) AS BIGINT) AS n_occ,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM ck GROUP BY 1 HAVING count(*) >= 2 ORDER BY chash""",
+
+    "q_chrf" ->
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn
+          FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          st AS (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS t
+            FROM documents),
+          gr AS (SELECT doc_id, unnest(list_transform(
+              range(1, length(t) - 1),
+              i -> substr(t, CAST(i AS INTEGER), 3))) AS gram
+            FROM st WHERE length(t) >= 3),
+          g AS (SELECT doc_id, ${duckPolyId("gram")} AS g FROM gr),
+          gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY 1, 2),
+          tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t
+            FROM gc GROUP BY 1),
+          ov AS (SELECT c.id_a, c.id_b,
+              CAST(sum(least(a.c, b.c)) AS BIGINT) AS o
+            FROM cand c JOIN gc a ON a.doc_id = c.id_a
+            JOIN gc b ON b.doc_id = c.id_b AND b.g = a.g
+            GROUP BY 1, 2),
+          f AS (SELECT c.id_a, c.id_b,
+              CAST(coalesce(o.o, 0) AS BIGINT) AS n_overlap,
+              ta.t AS n_cand, tb.t AS n_ref
+            FROM cand c JOIN tot ta ON ta.doc_id = c.id_a
+            JOIN tot tb ON tb.doc_id = c.id_b
+            LEFT JOIN ov o ON o.id_a = c.id_a AND o.id_b = c.id_b)
+          SELECT id_a, id_b, n_overlap, n_cand, n_ref,
+            ${duckPpm("n_overlap", "n_cand")} AS chrf_p_ppm,
+            ${duckPpm("n_overlap", "n_ref")} AS chrf_r_ppm,
+            ${duckPpm("5 * n_overlap", "4 * n_ref + n_cand")} AS chrf_ppm
+          FROM f ORDER BY id_a, id_b""",
+
+    "q_source_overlap_kmv" ->
+      s"""WITH tk AS (SELECT source, ${duckToks("text")} AS tk
+            FROM documents),
+          sh0 AS (SELECT source, unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS gram FROM tk),
+          sh AS (SELECT DISTINCT source, ${duckPolyId("gram")} AS tid
+            FROM sh0),
+          h AS (SELECT source, tid, ${duckMixOf("tid")} AS mv FROM sh),
+          rk AS (SELECT source, tid, mv, row_number() OVER
+            (PARTITION BY source ORDER BY mv ASC, tid ASC) AS rn FROM h),
+          sk AS (SELECT source, tid, mv FROM rk WHERE rn <= 128),
+          pr AS (SELECT a.source AS grp_a, b.source AS grp_b
+            FROM (SELECT DISTINCT source FROM sk) a,
+                 (SELECT DISTINCT source FROM sk) b
+            WHERE a.source < b.source),
+          du AS (SELECT pr.grp_a, pr.grp_b, sk.tid, sk.mv,
+              CAST(sum(CASE WHEN sk.source = pr.grp_a THEN 1 ELSE 2 END)
+                AS BIGINT) AS src
+            FROM pr JOIN sk
+              ON sk.source = pr.grp_a OR sk.source = pr.grp_b
+            GROUP BY 1, 2, 3, 4),
+          ur AS (SELECT *, row_number() OVER
+            (PARTITION BY grp_a, grp_b ORDER BY mv ASC, tid ASC) AS rn
+            FROM du),
+          ks AS (SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(max(mv) AS BIGINT) AS kth_mv,
+              CAST(sum(CASE WHEN src = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_inter
+            FROM ur WHERE rn <= 128 GROUP BY 1, 2),
+          es AS (SELECT *, CASE WHEN n_kept < 128 THEN n_kept
+              WHEN kth_mv = 0 THEN NULL
+              ELSE (CAST(127 AS BIGINT) * 2147483647) // kth_mv END
+              AS est_union FROM ks)
+          SELECT grp_a, grp_b, n_kept, kth_mv,
+            CAST(est_union AS BIGINT) AS est_union, n_inter,
+            ${duckPpm("n_inter", "n_kept")} AS jaccard_ppm,
+            CAST(CASE WHEN est_union IS NULL THEN NULL
+              ELSE (n_inter * est_union) // n_kept END AS BIGINT)
+              AS est_inter
+          FROM es ORDER BY grp_a, grp_b""",
   )
 }

@@ -123,6 +123,50 @@ object Eval {
           col("n_cand") + col("n_ref")).as("rouge_f_ppm"))
   }
 
+  /** chrF between candidate/reference pairs (Popović, WMT 2015) — the
+    * CHARACTER n-gram F_β companion of [[rougeN]], the MT/generation
+    * eval metric that survives tokenizer and morphology differences
+    * word grams are blind to. Whitespace is stripped before gramming
+    * (the chrF convention: word boundaries carry no char-gram mass);
+    * the multiset char-gram overlap comes from one compiled
+    * occurrence-indexed set per document
+    * ([[graft.plans.CharGrams]] — the RougeGrams packing at char
+    * level) intersected per pair. P = o/c, R = o/r, and the reported
+    * score is the exact rational F_β for β² = `beta2`:
+    * F = (1+β²)·o / (β²·r + c) (β = 2 default: recall-weighted, the
+    * published chrF2). Pairs with a gram-less side drop.
+    * Output: (id_a, id_b, n_overlap, n_cand, n_ref, chrf_p_ppm,
+    * chrf_r_ppm, chrf_ppm).
+    *
+    * Scale: scan-stage gram sets, one broadcast-able pair join —
+    * [[rougeN]]'s exact shape.
+    */
+  def chrF(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, beta2: Long = 4L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(beta2 >= 0, s"beta2 must be >= 0, got $beta2")
+    val sets = docs.select(col(idCol),
+        graft.plans.CdcColumns.charGramSet(
+          regexp_replace(col(textCol), "\\s+", ""), n).as("__set"))
+      .withColumn("__t", size(col("__set")).cast("long"))
+      .filter(col("__t") > 0L)
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa"),
+        col("__t").as("n_cand")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb"),
+        col("__t").as("n_ref")), Seq("id_b"))
+      .withColumn("n_overlap",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_overlap"), col("n_cand"),
+        col("n_ref"),
+        Stats.fixedPointExact(col("n_overlap"), col("n_cand"))
+          .as("chrf_p_ppm"),
+        Stats.fixedPointExact(col("n_overlap"), col("n_ref"))
+          .as("chrf_r_ppm"),
+        Stats.fixedPointExact(lit(1L + beta2) * col("n_overlap"),
+          lit(beta2) * col("n_ref") + col("n_cand")).as("chrf_ppm"))
+  }
+
   /** ROUGE-L between candidate/reference pairs — the LCS-based member
     * of the ROUGE family ([[rougeN]]'s scaladoc; [[graft.plans.Lcs]]):
     * in-order but non-contiguous agreement over BOUNDED token prefixes

@@ -510,4 +510,42 @@ object Sampling {
         col("true_total"))
       .withColumn("err", col("est_total") - col("true_total"))
   }
+
+  /** Exact 2-D PARETO FRONTIER (skyline) — the non-dominated rows under
+    * "minimize `xCol`, maximize `yCol`" (Börzsönyi, Kossmann & Stocker,
+    * ICDE 2001): row b dominates a iff x_b ≤ x_a ∧ y_b ≥ y_a with at
+    * least one strict. The multi-criteria data-selection primitive
+    * (e.g. shortest documents at each lexical-richness level: nothing
+    * on the frontier is beaten on both axes at once). Coordinate ties
+    * that are equal on BOTH axes dominate neither way — every such
+    * duplicate of a frontier point is kept (set semantics, matching the
+    * NOT EXISTS oracle form).
+    *
+    * Shape — NOT the quadratic anti-join: a row survives iff
+    * y = M₌(x) (the max y among its exact x peers) and y > M₍(x)
+    * (the max y over all strictly smaller x). One partial-aggregable
+    * groupBy(x) builds the per-value maxima; the prefix max M₍ runs on
+    * that x-DOMAIN-sized relation (distinct values, never rows — the
+    * house bounded-domain window convention: document lengths, scores,
+    * byte sizes all have value domains orders below row counts); one
+    * broadcast-sized join back tags survivors. Linear in rows at any
+    * corpus size.
+    * Output: the surviving rows as (idCol, xCol, yCol).
+    */
+  def paretoFront(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol))
+      .agg(max(col(yCol)).as("__my"))
+    // bounded-domain window: one row per DISTINCT x value
+    val w = Window.orderBy(col(xCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = perX
+      .withColumn("__mlt", max(col("__my")).over(w))
+      .filter(col("__mlt").isNull || col("__my") > col("__mlt"))
+      .select(col(xCol).as("__fx"), col("__my").as("__fy"))
+    df.select(col(idCol), col(xCol), col(yCol))
+      .join(broadcast(front),
+        col(xCol) === col("__fx") && col(yCol) === col("__fy"))
+      .select(col(idCol), col(xCol), col(yCol))
+  }
 }

@@ -274,4 +274,72 @@ object Sketch {
           .otherwise(expr(s"((${k - 1}L * ${M31}L) div kth_mv)"))
           .as("est_distinct")): _*)
   }
+
+  /** KMV SET ALGEBRA between every pair of groups — the estimate HLL
+    * registers cannot answer (Beyer et al., SIGMOD 2007: bottom-k
+    * sketches are uniform SAMPLES of the key space, so they compose):
+    * the union sketch is the k smallest distinct mixer values of the
+    * two sketches' union, estimating |A∪B| by the usual (k−1)·M div
+    * h_k; the fraction ρ of union-sketch members present in BOTH input
+    * sketches estimates Jaccard, and ρ·|A∪B|^ estimates the
+    * intersection — all integer arithmetic on the house mixer, so
+    * sketch, estimates, and oracle are engine-exact for a given key
+    * set. Groups with fewer than k distinct keys degrade gracefully
+    * (their sketch IS the key set; estimates turn exact).
+    * Output per group pair (grp_a < grp_b): (grp_a, grp_b, n_kept,
+    * kth_mv, est_union, n_inter, jaccard_ppm, est_inter).
+    *
+    * Scale: the per-group bottom-k is [[kmvEstimate]]'s partial-
+    * aggregable window (TopKNative replans it bounded); everything
+    * after runs on k·|groups| rows — sketch-sized, never key-sized.
+    * The pair stage is |groups|²-bounded (mixture-sized, the
+    * sourceOverlap contract).
+    */
+  def kmvPairOps(df: DataFrame, tidCol: String, k: Int,
+      groupCol: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val mixed = df.select(col(groupCol).as("__g"), col(tidCol).as("__tid"))
+      .distinct()
+      .withColumn("__mv", Sampling.hashOrder(col("__tid")))
+    val wg = Window.partitionBy(col("__g"))
+      .orderBy(col("__mv").asc, col("__tid").asc)
+    val sk = mixed.withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= k)
+      .select(col("__g"), col("__tid"), col("__mv"))
+    // pairwise union of sketches: |groups|² × 2k rows, mixture-sized
+    val pairs = sk.select(col("__g").as("grp_a")).distinct()
+      .join(sk.select(col("__g").as("grp_b")).distinct(),
+        col("grp_a") < col("grp_b"))
+    val both = pairs
+      .join(sk.select(col("__g").as("grp_a"), col("__tid"),
+        col("__mv"), lit(1L).as("__ina")), Seq("grp_a"))
+      .unionByName(pairs
+        .join(sk.select(col("__g").as("grp_b"), col("__tid"),
+          col("__mv"), lit(2L).as("__ina")), Seq("grp_b"))
+        .select(col("grp_a"), col("grp_b"), col("__tid"), col("__mv"),
+          col("__ina")))
+      // one row per (pair, key): __src = 3 when the key sits in BOTH
+      // sketches, 1/2 when in one
+      .groupBy(col("grp_a"), col("grp_b"), col("__tid"), col("__mv"))
+      .agg(sum(col("__ina")).as("__src"))
+    val wp = Window.partitionBy(col("grp_a"), col("grp_b"))
+      .orderBy(col("__mv").asc, col("__tid").asc)
+    val unioned = both.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= k)
+    unioned.groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_kept"), max(col("__mv")).as("kth_mv"),
+        sum(when(col("__src") === 3L, 1L).otherwise(0L)).as("n_inter"))
+      .select(col("grp_a"), col("grp_b"), col("n_kept"), col("kth_mv"),
+        when(col("n_kept") < k, col("n_kept"))
+          .when(col("kth_mv") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"((${k - 1}L * ${M31}L) div kth_mv)"))
+          .as("est_union"),
+        col("n_inter"),
+        Stats.fixedPointExact(col("n_inter"), col("n_kept"))
+          .as("jaccard_ppm"))
+      .withColumn("est_inter",
+        when(col("est_union").isNull, lit(null).cast("long"))
+          .otherwise(expr("(n_inter * est_union) div n_kept")))
+  }
 }

@@ -1454,4 +1454,127 @@ object Stats {
         exp.as("exp_ppm"))
       .withColumn("excess_ppm", col("obs_ppm") - col("exp_ppm"))
   }
+
+  /** CUPED variance-reduced A/B effect (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013): the experiment metric Y is adjusted by the
+    * pre-experiment covariate X — Ycv = Y − θ·X with θ = cov(X,Y)/var(X)
+    * pooled over both arms — removing the variance X explains (the
+    * workhorse sensitivity trick of large-scale experimentation).
+    * `xCol`/`yCol` must be integer-valued (cents); θ is the exact
+    * rational (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) REPORTED — and applied —
+    * as its ppm quantization: the adjusted delta is defined as
+    * Δ_raw − θ_ppm·Δx/10⁶, so both engines compose the identical
+    * integers (composing the unrounded rational would gate a
+    * denominator product neither engine can render; the θ quantization
+    * shifts the estimate by < 10⁻⁶·Δx — far inside the estimator's own
+    * noise). A constant covariate (var = 0) renders NULL θ and NULL
+    * adjusted delta; an empty arm renders all-NULL effects.
+    * One row: (n_a, n_b, theta_ppm, delta_raw_ppm, delta_cuped_ppm) —
+    * deltas in the unit of `yCol` per 10⁶ (a − b).
+    *
+    * Scale: ONE partial-aggregable pass over the unit table; all
+    * composition happens on the single aggregate row. decimal(38,0)
+    * clears n·Σxy at 10⁹ units of 10⁶-cent sums (~10³⁰).
+    */
+  def cuped(df: DataFrame, aPred: Column, bPred: Column,
+      xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val sums = df
+      .select(when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"),
+        x.as("__x"), y.as("__y"))
+      .filter(col("__ia") === 1L || col("__ib") === 1L)
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("__x")).cast(dec).as("sx"),
+        sum(col("__y")).cast(dec).as("sy"),
+        sum(col("__x").cast(dec) * col("__x")).cast(dec).as("sxx"),
+        sum(col("__x").cast(dec) * col("__y")).cast(dec).as("sxy"),
+        sum(col("__ia")).cast(dec).as("n_a"),
+        sum(col("__ib")).cast(dec).as("n_b"),
+        sum(col("__ia") * col("__x")).cast(dec).as("sx_a"),
+        sum(col("__ib") * col("__x")).cast(dec).as("sx_b"),
+        sum(col("__ia") * col("__y")).cast(dec).as("sy_a"),
+        sum(col("__ib") * col("__y")).cast(dec).as("sy_b"))
+    sums
+      .withColumn("__tnum",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec))
+      .withColumn("__tden",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec))
+      .withColumn("theta_ppm", when(col("__tden") > 0,
+        fixedPointExact(col("__tnum"), col("__tden"))))
+      .withColumn("__dynum",
+        (col("sy_a") * col("n_b") - col("sy_b") * col("n_a")).cast(dec))
+      .withColumn("__dxnum",
+        (col("sx_a") * col("n_b") - col("sx_b") * col("n_a")).cast(dec))
+      .withColumn("__dden", (col("n_a") * col("n_b")).cast(dec))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("theta_ppm"),
+        when(col("__dden") > 0,
+          fixedPointExact(col("__dynum"), col("__dden")))
+          .as("delta_raw_ppm"),
+        when(col("__dden") > 0 && col("theta_ppm").isNotNull,
+          fixedPointExact(
+            (lit(1000000L).cast(dec) * col("__dynum") -
+              col("theta_ppm").cast(dec) * col("__dxnum")).cast(dec),
+            (lit(1000000L).cast(dec) * col("__dden")).cast(dec)))
+          .as("delta_cuped_ppm"))
+  }
+
+  /** Difference-in-differences — the 2×2 panel estimator of causal
+    * effect under the parallel-trends assumption (Card & Krueger 1994):
+    * DiD = (Ȳ_treated,post − Ȳ_treated,pre) − (Ȳ_control,post −
+    * Ȳ_control,pre). `yCol` must be integer-valued (cents); each
+    * within-group trend is ONE exact rational in ppm, and the reported
+    * DiD is their integer difference (composing the four-cell rational
+    * directly would need an n⁴ denominator product that overflows
+    * decimal(38,0) at 10⁹-row cells; the per-trend ppm quantization
+    * bounds the composition error at 2 ppm). Any empty cell renders the
+    * dependent effects NULL. One row: (n_t_pre, n_t_post, n_c_pre,
+    * n_c_post, mean_t_pre_ppm, mean_t_post_ppm, mean_c_pre_ppm,
+    * mean_c_post_ppm, trend_t_ppm, trend_c_ppm, did_ppm).
+    *
+    * Scale: ONE partial-aggregable pass; composition on the single
+    * aggregate row.
+    */
+  def diffInDiff(df: DataFrame, treatedPred: Column, postPred: Column,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = col(yCol).cast("long")
+    def cell(t: Boolean, p: Boolean): Column =
+      when(treatedPred === lit(t) && postPred === lit(p), 1L).otherwise(0L)
+    val sums = df
+      .select(cell(true, false).as("__tq"), cell(true, true).as("__tp"),
+        cell(false, false).as("__cq"), cell(false, true).as("__cp"),
+        y.as("__y"))
+      .agg(sum(col("__tq")).cast(dec).as("n_tq"),
+        sum(col("__tp")).cast(dec).as("n_tp"),
+        sum(col("__cq")).cast(dec).as("n_cq"),
+        sum(col("__cp")).cast(dec).as("n_cp"),
+        sum(col("__tq") * col("__y")).cast(dec).as("s_tq"),
+        sum(col("__tp") * col("__y")).cast(dec).as("s_tp"),
+        sum(col("__cq") * col("__y")).cast(dec).as("s_cq"),
+        sum(col("__cp") * col("__y")).cast(dec).as("s_cp"))
+    def meanPpm(s: String, n: String): Column =
+      when(col(n) > 0, fixedPointExact(col(s), col(n)))
+    def trendPpm(sp: String, np: String, sq: String, nq: String): Column =
+      when(col(np) > 0 && col(nq) > 0, fixedPointExact(
+        (col(sp) * col(nq) - col(sq) * col(np)).cast(dec),
+        (col(np) * col(nq)).cast(dec)))
+    sums.select(
+      col("n_tq").cast("long").as("n_t_pre"),
+      col("n_tp").cast("long").as("n_t_post"),
+      col("n_cq").cast("long").as("n_c_pre"),
+      col("n_cp").cast("long").as("n_c_post"),
+      meanPpm("s_tq", "n_tq").as("mean_t_pre_ppm"),
+      meanPpm("s_tp", "n_tp").as("mean_t_post_ppm"),
+      meanPpm("s_cq", "n_cq").as("mean_c_pre_ppm"),
+      meanPpm("s_cp", "n_cp").as("mean_c_post_ppm"),
+      trendPpm("s_tp", "n_tp", "s_tq", "n_tq").as("trend_t_ppm"),
+      trendPpm("s_cp", "n_cp", "s_cq", "n_cq").as("trend_c_ppm"),
+      (trendPpm("s_tp", "n_tp", "s_tq", "n_tq") -
+        trendPpm("s_cp", "n_cp", "s_cq", "n_cq")).as("did_ppm"))
+  }
 }

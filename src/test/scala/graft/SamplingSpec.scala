@@ -395,4 +395,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(r.getLong(3) == rows.map(_._2).sum)
     assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
   }
+
+  test("paretoFront: hand case with value ties and exact duplicates") {
+    val pts = Seq((1L, 1L, 5L), (2L, 1L, 7L), (3L, 2L, 9L), (4L, 2L, 9L),
+      (5L, 3L, 9L), (6L, 3L, 4L), (7L, 4L, 10L), (8L, 5L, 10L))
+      .toDF("id", "x", "y")
+    val got = Sampling.paretoFront(pts, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    // (1,7) beats (1,5); both (2,9) duplicates survive (no strict coord);
+    // x=3 rows dominated by (2,9); (4,10) in; (5,10) beaten by (4,10)
+    assert(got == Set(2L, 3L, 4L, 7L))
+  }
+
+  test("paretoFront matches the quadratic definition on random points") {
+    val rnd = new scala.util.Random(41)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = Sampling.paretoFront(pts.toDF("id", "x", "y"), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y)
+      }
+    }.map(_._1).toSet
+    assert(got == brute)
+  }
 }

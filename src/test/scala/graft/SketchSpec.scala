@@ -117,4 +117,49 @@ class SketchSpec extends AnyFunSuite {
       Seq("g")).collect().head.getDouble(1)
     assert(est == est2)
   }
+
+  /** Driver replica of Sampling.hashOrder. */
+  private def mixOf(key: Long): Long = {
+    val p = 2147483647L
+    val h1 = ((key % p) * 1103515245L + 12345L) % p
+    val h2 = (h1 * h1 + h1) % p
+    (h2 * 784588716L + 998244353L) % p
+  }
+
+  test("kmvPairOps: sketch-regime estimates match a plain-Scala replay") {
+    val a = (1L to 400L).map(("a", _))
+    val b = (201L to 700L).map(("b", _))
+    val df = (a ++ b).toDF("g", "tid")
+    val k = 16
+    val r = Sketch.kmvPairOps(df, "tid", k, "g").collect()(0)
+    // replay: bottom-k per group by (mv, tid), union bottom-k, count both
+    def sketch(keys: Seq[Long]) =
+      keys.map(t => (mixOf(t), t)).sorted.take(k)
+    val sa = sketch(a.map(_._2))
+    val sb = sketch(b.map(_._2))
+    val uni = (sa ++ sb).distinct.sorted.take(k)
+    val kth = uni.last._1
+    val inBoth = uni.count(v => sa.contains(v) && sb.contains(v))
+    assert(r.getAs[Long]("n_kept") == k.toLong)
+    assert(r.getAs[Long]("kth_mv") == kth)
+    assert(r.getAs[Long]("est_union") == (k - 1).toLong * 2147483647L / kth)
+    assert(r.getAs[Long]("n_inter") == inBoth.toLong)
+    // union of 700 distinct keys: the estimate should be in the right
+    // decade even at k=16
+    val est = r.getAs[Long]("est_union")
+    assert(est > 200L && est < 2500L, s"est_union=$est")
+  }
+
+  test("kmvPairOps: groups below k turn exact (union, intersection, " +
+      "jaccard are the true values)") {
+    val a = (1L to 30L).map(("a", _))
+    val b = (21L to 60L).map(("b", _))
+    val r = Sketch.kmvPairOps((a ++ b).toDF("g", "tid"), "tid", 128, "g")
+      .collect()(0)
+    assert(r.getAs[Long]("n_kept") == 60L)    // |A u B|
+    assert(r.getAs[Long]("est_union") == 60L)
+    assert(r.getAs[Long]("n_inter") == 10L)   // |A n B|
+    assert(r.getAs[Long]("est_inter") == 10L)
+    assert(r.getAs[Long]("jaccard_ppm") == 166667L) // 10/60
+  }
 }

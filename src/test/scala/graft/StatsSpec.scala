@@ -554,4 +554,52 @@ class StatsSpec extends AnyFunSuite {
     assert(got(1L)._4 == 272727L - 301030L) // signed excess
     assert(got(2L) == ((1L, 90909L, 176091L, 90909L - 176091L)))
   }
+
+  test("cuped: hand-computed theta and deltas, theta-ppm composition") {
+    // arm a: (x,y) = (10,20),(20,35); arm b: (0,5),(10,18),(20,40)
+    val units = Seq((10L, 20L, "a"), (20L, 35L, "a"),
+      (0L, 5L, "b"), (10L, 18L, "b"), (20L, 40L, "b"))
+      .toDF("x", "y", "arm")
+    val r = Stats.cuped(units, col("arm") === "a", col("arm") === "b",
+      "x", "y").collect()(0)
+    // pooled: n=5 sx=60 sy=118 sxx=1000 sxy=1880
+    // theta = (5*1880-60*118)/(5*1000-60^2) = 2320/1400
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("theta_ppm") == 1657143L)
+    // raw delta = 55/2 - 63/3 = 6.5
+    assert(r.getAs[Long]("delta_raw_ppm") == 6500000L)
+    // cuped delta = 6.5 - theta_ppm/1e6 * (30/2 - 30/3)
+    //             = (1e6*39 - 1657143*30) / 6e6
+    assert(r.getAs[Long]("delta_cuped_ppm") == -1785715L)
+  }
+
+  test("cuped: constant covariate renders NULL theta and adjusted delta") {
+    val units = Seq((5L, 20L, "a"), (5L, 35L, "b"), (5L, 10L, "b"))
+      .toDF("x", "y", "arm")
+    val r = Stats.cuped(units, col("arm") === "a", col("arm") === "b",
+      "x", "y").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("theta_ppm")))
+    assert(r.isNullAt(r.fieldIndex("delta_cuped_ppm")))
+    assert(r.getAs[Long]("delta_raw_ppm") == -2500000L) // 20 - 22.5
+  }
+
+  test("diffInDiff: hand-computed 2x2 trends; empty cell renders NULL") {
+    val rows = Seq(
+      (true, false, 10L), (true, false, 20L), (true, true, 30L),
+      (false, false, 5L), (false, true, 10L), (false, true, 12L))
+      .toDF("treated", "post", "y")
+    val r = Stats.diffInDiff(rows, col("treated"), col("post"), "y")
+      .collect()(0)
+    assert(r.getAs[Long]("n_t_pre") == 2L && r.getAs[Long]("n_t_post") == 1L)
+    assert(r.getAs[Long]("mean_t_pre_ppm") == 15000000L)
+    assert(r.getAs[Long]("trend_t_ppm") == 15000000L) // 30 - 15
+    assert(r.getAs[Long]("trend_c_ppm") == 6000000L)  // 11 - 5
+    assert(r.getAs[Long]("did_ppm") == 9000000L)
+    val empty = Stats.diffInDiff(
+      rows.filter(!(col("treated") && col("post"))),
+      col("treated"), col("post"), "y").collect()(0)
+    assert(empty.isNullAt(empty.fieldIndex("trend_t_ppm")))
+    assert(empty.isNullAt(empty.fieldIndex("did_ppm")))
+    assert(empty.getAs[Long]("trend_c_ppm") == 6000000L)
+  }
 }
