@@ -438,6 +438,34 @@ object SparkEntry {
         CAST(((${2 * scale} * abs($num) + ($den)) // (2 * ($den)))
           AS BIGINT)"""
 
+  /** DuckDB CTE prefix: per-document content-defined chunks
+    * `ck (doc_id, clen, chash)` — [[graft.plans.CdcScan]]'s landmark
+    * chunking replayed POSITIONALLY (the window hash recomputed from
+    * scratch at every char position, no rolling), shared by every
+    * CDC-family oracle so chunker and oracles can never desynchronize.
+    */
+  private def duckCdcCk(w: Int = 16, maskBits: Int = 5): String = {
+    val mask = 1L << maskBits
+    s"""pos AS (SELECT doc_id, text,
+          unnest(range($w, length(text) + 1)) AS i FROM documents),
+        b AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
+          WHERE ${duckPolyId(
+            s"substr(text, CAST(i - ${w - 1} AS INTEGER), $w)")}
+            % $mask = ${mask - 1}),
+        be AS (SELECT doc_id, i FROM b
+          UNION
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS i
+          FROM documents WHERE length(text) > 0),
+        ch AS (SELECT doc_id, text, i AS e,
+          coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+            AS sprev
+          FROM be JOIN documents USING (doc_id)),
+        ck AS (SELECT doc_id, e - sprev AS clen,
+          ${duckPolyId(
+            "substr(text, CAST(sprev + 1 AS INTEGER), CAST(e - sprev AS INTEGER))")}
+            AS chash FROM ch)"""
+  }
+
   /** DuckDB fragment chain replaying FixLog.exp2q bit for bit over a
     * one-column NONNEGATIVE value table `ex$sfx (x)` (negative
     * exponents would need floor-division bit surgery; every catalog
@@ -4820,6 +4848,54 @@ object SparkEntry {
           graft.plans.TextExpressions.hashedShingles(col("text"), 3))
       graft.functions.Sketch.kmvPairOps(grams, "tid", k = 128, "source")
         .orderBy(col("grp_a"), col("grp_b"))
+    },
+
+    // Chunk-grain decontamination: corpus docs sharing a >= 24-char
+    // content-defined chunk with the eval split (doc_id < 50 — wider
+    // than q_decontaminate's so the verbatim-span signal is non-vacuous
+    // at every tested scale) — the verbatim-span member of the
+    // decontamination ladder next to n-gram (q_decontaminate), Bloom,
+    // and embedding variants.
+    "q_cdc_decontam" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Cdc.decontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", w = 16, maskBits = 5, minLen = 24L)
+        .orderBy(col("doc_id"))
+    },
+
+    // One-row chunk-store savings card: unique vs total chunk chars
+    // under CDC — what a dedup store saves on this corpus.
+    "q_cdc_savings" -> { (s, d) =>
+      graft.functions.Cdc.dedupSavings(Tables.documents(s, d), "doc_id",
+        "text", w = 16, maskBits = 5)
+    },
+
+    // Post-stratified treatment effect: the q_cuped cohort re-analyzed
+    // with pre-period activity BANDS as strata (least(x div 5000.00, 4))
+    // — treated-weighted within-stratum differences vs the raw gap;
+    // their difference is the measured confounding.
+    "q_strat_att" -> { (s, d) =>
+      val cut = lit("2024-01-16").cast("timestamp")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val perUser = Tables.eventsTs(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"))
+        .withColumn("__bkt",
+          graft.functions.Sampling.hashBucket(col("user_id")))
+        .withColumn("stratum", expr("least(x div 500000, 4)"))
+      graft.functions.Stats.stratifiedEffect(perUser,
+        col("__bkt") < 5000L, "stratum", "y")
+    },
+
+    // Deterministic T5-style span-corruption plan (15% noise, adjacent
+    // masks merge) — per-doc mask/span statistics, hash-mixer
+    // reproducible (Sampling.spanCorruptionPlan scaladoc).
+    "q_span_corrupt" -> { (s, d) =>
+      graft.functions.Sampling.spanCorruptionPlan(Tables.documents(s, d),
+          "doc_id", "text", noiseBps = 1500L)
+        .orderBy(col("doc_id"))
     },
   )
 
@@ -11450,27 +11526,88 @@ object SparkEntry {
           ORDER BY n_chars, doc_id""",
 
     "q_cdc_chunks" ->
-      s"""WITH pos AS (SELECT doc_id, text,
-            unnest(range(16, length(text) + 1)) AS i FROM documents),
-          b AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
-            WHERE ${duckPolyId("substr(text, CAST(i - 15 AS INTEGER), 16)")}
-              % 32 = 31),
-          be AS (SELECT doc_id, i FROM b
-            UNION
-            SELECT doc_id, CAST(length(text) AS BIGINT) AS i
-            FROM documents WHERE length(text) > 0),
-          ch AS (SELECT doc_id, text, i AS e,
-            coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
-              AS sprev
-            FROM be JOIN documents USING (doc_id)),
-          ck AS (SELECT doc_id, e - sprev AS clen,
-            ${duckPolyId(
-              "substr(text, CAST(sprev + 1 AS INTEGER), CAST(e - sprev AS INTEGER))")}
-              AS chash FROM ch)
+      s"""WITH ${duckCdcCk()}
           SELECT chash, CAST(min(clen) AS BIGINT) AS clen,
             CAST(count(*) AS BIGINT) AS n_occ,
             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           FROM ck GROUP BY 1 HAVING count(*) >= 2 ORDER BY chash""",
+
+    "q_cdc_decontam" ->
+      s"""WITH ${duckCdcCk()},
+          ek AS (SELECT DISTINCT chash FROM ck
+            WHERE doc_id < 50 AND clen >= 24),
+          co AS (SELECT DISTINCT doc_id, chash FROM ck
+            WHERE doc_id >= 50 AND clen >= 24)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_chunks
+          FROM co JOIN ek USING (chash)
+          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_cdc_savings" ->
+      s"""WITH ${duckCdcCk()},
+          cs AS (SELECT chash, min(clen) AS clen, count(*) AS n_occ
+            FROM ck GROUP BY 1),
+          t AS (SELECT sum(n_occ) AS n_chunks, count(*) AS n_unique,
+            sum(clen * n_occ) AS total_chars, sum(clen) AS unique_chars
+            FROM cs)
+          SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+            CAST(n_unique AS BIGINT) AS n_unique,
+            CAST(total_chars AS BIGINT) AS total_chars,
+            CAST(unique_chars AS BIGINT) AS unique_chars,
+            ${duckPpm("total_chars - unique_chars", "total_chars")}
+              AS savings_ppm
+          FROM t""",
+
+    "q_strat_att" ->
+      s"""WITH u AS (SELECT user_id,
+            sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS x,
+            sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS y
+            FROM events GROUP BY 1),
+          st AS (SELECT least(x // 500000, 4) AS s,
+            CASE WHEN ${duckBucketOf("user_id")} < 5000 THEN 1 ELSE 0 END
+              AS it, y FROM u),
+          g AS (SELECT s, sum(it) AS n_t, sum(1 - it) AS n_c,
+            sum(it * y) AS s_t, sum((1 - it) * y) AS s_c
+            FROM st GROUP BY 1),
+          us AS (SELECT *,
+            ${duckPpm("s_t * n_c - s_c * n_t", "n_t * n_c")} AS diff_ppm
+            FROM g WHERE n_t > 0 AND n_c > 0),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+            sum(n_t) AS nt, sum(n_t * diff_ppm) AS wd FROM us),
+          r AS (SELECT sum(n_t) AS rnt, sum(n_c) AS rnc,
+            sum(s_t) AS rst, sum(s_c) AS rsc FROM g)
+          SELECT n_strata_used, CAST(nt AS BIGINT) AS n_t_used,
+            CASE WHEN nt > 0 THEN ${duckPpm("wd", "nt", 1L)} END
+              AS att_ppm,
+            CASE WHEN rnt > 0 AND rnc > 0 THEN
+              ${duckPpm("rst * rnc - rsc * rnt", "rnt * rnc")} END
+              AS raw_diff_ppm
+          FROM a, r""",
+
+    "q_span_corrupt" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk
+            FROM documents),
+          p AS (SELECT doc_id, CAST(unnest(range(0, len(tk))) AS BIGINT)
+              AS pos, CAST(len(tk) AS BIGINT) AS nt
+            FROM tk WHERE len(tk) > 0),
+          m AS (SELECT doc_id, pos, nt,
+            CASE WHEN ${duckBucketOf("(doc_id * 1048576 + pos)")} < 1500
+              THEN 1 ELSE 0 END AS mk FROM p),
+          sp AS (SELECT doc_id, nt, mk,
+            CASE WHEN mk = 1 AND coalesce(lag(mk) OVER
+              (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS st FROM m),
+          g AS (SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+            CAST(sum(mk) AS BIGINT) AS n_masked,
+            CAST(sum(st) AS BIGINT) AS n_spans FROM sp GROUP BY 1)
+          SELECT doc_id, n_tokens, n_masked, n_spans,
+            ${duckPpm("n_masked", "n_tokens")} AS mask_ratio_ppm,
+            CASE WHEN n_spans > 0 THEN ${duckPpm("n_masked", "n_spans")}
+              END AS mean_span_len_ppm
+          FROM g ORDER BY doc_id""",
 
     "q_chrf" ->
       s"""WITH r AS (SELECT doc_id,

@@ -39,4 +39,52 @@ object Cdc {
         countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_occ") >= minOcc)
   }
+
+  /** Chunk-level DECONTAMINATION: corpus documents sharing at least one
+    * content-defined chunk (of at least `minLen` chars — short chunks
+    * carry no copying signal) with the eval set. The substring-grain
+    * member of the decontamination ladder: n-gram overlap
+    * (Dedup.decontaminate) fires on any phrase reuse, embedding
+    * distance on paraphrase — chunk identity fires exactly on VERBATIM
+    * spans long enough to be a leak, at the cost CDC already paid.
+    * Output: (idCol, n_shared_chunks) for contaminated documents.
+    *
+    * Scale: both sides are the compiled O(len) chunk scan; the eval
+    * chunk set is eval-sized (broadcast — the decontaminate contract);
+    * corpus side is one scan + partial-aggregable groupBy. Linear.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, w: Int, maskBits: Int, minLen: Long): DataFrame = {
+    def chunksOf(df: DataFrame) = df
+      .select(col(idCol),
+        graft.plans.CdcColumns.cdcChunks(col(textCol), w, maskBits))
+      .filter(col("clen") >= minLen)
+    val evalChunks = chunksOf(evalSet).select(col("chash")).distinct()
+    chunksOf(corpus).select(col(idCol), col("chash")).distinct()
+      .join(broadcast(evalChunks), Seq("chash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+  }
+
+  /** One-row corpus DEDUP-SAVINGS card over content-defined chunks —
+    * what a chunk store would save on this corpus: total chunk
+    * occurrences and chars vs unique chunk identities and chars, and
+    * the savings ratio in ppm (1 − unique/total). The capacity-planning
+    * readout of [[chunkStats]]; same linear scan + groupBy, then one
+    * aggregate over the chunk-identity table.
+    * Output: (n_chunks, n_unique, total_chars, unique_chars,
+    * savings_ppm).
+    */
+  def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, maskBits: Int): DataFrame =
+    chunkStats(docs, idCol, textCol, w, maskBits, minOcc = 1L)
+      .agg(sum(col("n_occ")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("clen") * col("n_occ")).as("total_chars"),
+        sum(col("clen")).as("unique_chars"))
+      .select(col("n_chunks"), col("n_unique"), col("total_chars"),
+        col("unique_chars"),
+        graft.functions.Stats.fixedPointExact(
+          col("total_chars") - col("unique_chars"), col("total_chars"))
+          .as("savings_ppm"))
 }

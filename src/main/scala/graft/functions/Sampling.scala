@@ -548,4 +548,48 @@ object Sampling {
         col(xCol) === col("__fx") && col(yCol) === col("__fy"))
       .select(col(idCol), col(xCol), col(yCol))
   }
+
+  /** Deterministic SPAN-CORRUPTION plan statistics — the T5/UL2
+    * denoising mask (Raffel et al. 2020) planned with the house hash
+    * mixer instead of rand(): token position p of document d is masked
+    * iff hashBucket(d·2^20 + p) < `noiseBps`, and maximal masked runs
+    * are the corruption spans (adjacent masked tokens merge — the T5
+    * convention). Same document, same plan, every run/engine/cluster —
+    * the reproducibility contract every Sampling operator carries,
+    * applied to the pretraining objective itself. Per document:
+    * (idCol, n_tokens, n_masked, n_spans, mask_ratio_ppm,
+    * mean_span_len_ppm) — ratio vs the requested noise density is the
+    * calibration readout, span count vs n_masked the merge statistics.
+    *
+    * Scale: scan-stage position explode + ONE per-document window
+    * (partitioned, never global) + partial-aggregable groupBy. Linear.
+    */
+  def spanCorruptionPlan(docs: DataFrame, idCol: String, textCol: String,
+      noiseBps: Long): DataFrame = {
+    require(noiseBps >= 0 && noiseBps <= 10000,
+      s"noiseBps must be in [0, 10000], got $noiseBps")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    docs
+      .select(col(idCol),
+        posexplode(graft.functions.Text.tokens(col(textCol)))
+          .as(Seq("pos", "__tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+      .withColumn("__m",
+        when(hashBucket(col(idCol) * 1048576L + col("pos")) < noiseBps,
+          1L).otherwise(0L))
+      .withColumn("__start",
+        when(col("__m") === 1L &&
+          coalesce(lag(col("__m"), 1).over(byDoc), lit(0L)) === 0L, 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__m")).as("n_masked"),
+        sum(col("__start")).as("n_spans"))
+      .select(col(idCol), col("n_tokens"), col("n_masked"), col("n_spans"),
+        Stats.fixedPointExact(col("n_masked"), col("n_tokens"))
+          .as("mask_ratio_ppm"),
+        when(col("n_spans") > 0,
+          Stats.fixedPointExact(col("n_masked"), col("n_spans")))
+          .as("mean_span_len_ppm"))
+  }
 }

@@ -1577,4 +1577,56 @@ object Stats {
       (trendPpm("s_tp", "n_tp", "s_tq", "n_tq") -
         trendPpm("s_cp", "n_cp", "s_cq", "n_cq")).as("did_ppm"))
   }
+
+  /** Post-stratified treatment effect (ATT form) — the covariate-
+    * adjustment that needs no model: within each stratum of a
+    * confounder the arms are compared directly, and the per-stratum
+    * differences average with TREATED weights (Cochran 1968;
+    * the standardization estimator). Strata missing either arm
+    * contribute nothing (no counterfactual — the overlap condition
+    * made explicit). `yCol` must be integer-valued (cents). Per-stratum
+    * differences are exact rationals in ppm; the ATT composes them with
+    * integer weights, one more half-up rounding (the house ppm-
+    * quantization contract — error ≤ 1 ppm per level). The unadjusted
+    * difference over the same rows rides along for contrast — their gap
+    * IS the measured confounding.
+    * One row: (n_strata_used, n_t_used, att_ppm, raw_diff_ppm).
+    *
+    * Scale: one partial-aggregable groupBy(stratum) — stratum-domain-
+    * sized state — then one aggregate over the stratum table.
+    */
+  def stratifiedEffect(df: DataFrame, treatedPred: Column,
+      strataCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = col(yCol).cast("long")
+    val perStratum = df
+      .select(col(strataCol).as("__s"),
+        when(treatedPred, 1L).otherwise(0L).as("__it"), y.as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__it")).cast(dec).as("n_t"),
+        sum(lit(1L) - col("__it")).cast(dec).as("n_c"),
+        sum(col("__it") * col("__y")).cast(dec).as("s_t"),
+        sum((lit(1L) - col("__it")) * col("__y")).cast(dec).as("s_c"))
+    val used = perStratum.filter(col("n_t") > 0 && col("n_c") > 0)
+      .withColumn("diff_ppm", fixedPointExact(
+        (col("s_t") * col("n_c") - col("s_c") * col("n_t")).cast(dec),
+        (col("n_t") * col("n_c")).cast(dec)))
+    val att = used.agg(count(lit(1)).as("n_strata_used"),
+      sum(col("n_t")).cast(dec).as("__nt"),
+      sum(col("n_t") * col("diff_ppm")).cast(dec).as("__wd"))
+    val raw = perStratum.agg(sum(col("n_t")).cast(dec).as("__rnt"),
+      sum(col("n_c")).cast(dec).as("__rnc"),
+      sum(col("s_t")).cast(dec).as("__rst"),
+      sum(col("s_c")).cast(dec).as("__rsc"))
+    att.crossJoin(broadcast(raw))
+      .select(col("n_strata_used"),
+        col("__nt").cast("long").as("n_t_used"),
+        when(col("__nt") > 0,
+          fixedPointExact(col("__wd"), col("__nt"), scale = 1L))
+          .as("att_ppm"),
+        when(col("__rnt") > 0 && col("__rnc") > 0, fixedPointExact(
+          (col("__rst") * col("__rnc") - col("__rsc") * col("__rnt"))
+            .cast(dec),
+          (col("__rnt") * col("__rnc")).cast(dec))).as("raw_diff_ppm"))
+  }
 }

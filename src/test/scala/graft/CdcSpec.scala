@@ -128,6 +128,41 @@ class CdcSpec extends AnyFunSuite {
     assert(r.getAs[Long]("chrf_ppm") == 454545L)
   }
 
+  test("cdc decontaminate flags only verbatim long-chunk sharers") {
+    val leak = "this exact evaluation passage was copied verbatim into " +
+      "the training corpus by a careless crawl of the benchmark site"
+    val evalSet = Seq((1L, s"benchmark question: $leak"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, s"some scraped page containing $leak and advertising"),
+      (11L, "a paraphrase that copied the ideas but not one exact span " +
+        "of the evaluation passage text appears here"),
+      (12L, "completely unrelated training document content"))
+      .toDF("doc_id", "text")
+    val got = Cdc.decontaminate(corpus, evalSet, "doc_id", "text",
+      w = 16, maskBits = 4, minLen = 16L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(10L), s"verbatim sharer must flag, got $got")
+    assert(!got.contains(11L) && !got.contains(12L))
+  }
+
+  test("dedupSavings: duplicated corpus saves, unique corpus does not") {
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val dup = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    val r = Cdc.dedupSavings(dup, "doc_id", "text", 16, 4).collect()(0)
+    assert(r.getAs[Long]("total_chars") == 1800L)
+    assert(r.getAs[Long]("unique_chars") == 600L)
+    assert(r.getAs[Long]("savings_ppm") == 666667L)
+    // three DISTINCT random strings: virtually nothing saved
+    val uniq = Seq.tabulate(3)(i => ((i + 1).toLong,
+      (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+      .toDF("doc_id", "text")
+    val r2 = Cdc.dedupSavings(uniq, "doc_id", "text", 16, 4).collect()(0)
+    assert(r2.getAs[Long]("savings_ppm") < 50000L)
+  }
+
   test("chrF drops pairs with a gram-less side") {
     val docs = Seq((1L, "abcdef"), (2L, "xy")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")

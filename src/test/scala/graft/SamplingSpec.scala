@@ -407,6 +407,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Set(2L, 3L, 4L, 7L))
   }
 
+  test("spanCorruptionPlan: deterministic, near requested density, " +
+      "spans = maximal masked runs") {
+    val text = (1 to 400).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val r1 = Sampling.spanCorruptionPlan(docs, "doc_id", "text", 1500L)
+      .collect()(0)
+    val r2 = Sampling.spanCorruptionPlan(docs, "doc_id", "text", 1500L)
+      .collect()(0)
+    assert(r1.toSeq == r2.toSeq) // rerun-identical
+    assert(r1.getAs[Long]("n_tokens") == 400L)
+    val masked = r1.getAs[Long]("n_masked")
+    assert(masked > 20L && masked < 120L, s"n_masked=$masked at 15%")
+    // replay the plan on the driver: spans == maximal runs
+    val flags = (0 until 400).map { p =>
+      val key = 7L * 1048576L + p
+      mixOf(key) % 10000L < 1500L
+    }
+    assert(masked == flags.count(identity).toLong)
+    val spans = flags.zip(false +: flags.init).count {
+      case (m, prev) => m && !prev
+    }
+    assert(r1.getAs[Long]("n_spans") == spans.toLong)
+  }
+
   test("paretoFront matches the quadratic definition on random points") {
     val rnd = new scala.util.Random(41)
     val pts = (1L to 300L).map(i =>

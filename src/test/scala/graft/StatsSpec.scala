@@ -602,4 +602,37 @@ class StatsSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("did_ppm")))
     assert(empty.getAs[Long]("trend_c_ppm") == 6000000L)
   }
+
+  test("stratifiedEffect: confounded raw gap, zero adjusted effect") {
+    // identical outcomes within each (stratum, arm); treated
+    // over-represented in the high-outcome stratum -> raw gap positive,
+    // within-stratum differences all zero
+    val rows = Seq(
+      // stratum 0: outcome 10, mostly control
+      (0L, false, 10L), (0L, false, 10L), (0L, false, 10L), (0L, true, 10L),
+      // stratum 1: outcome 100, mostly treated
+      (1L, true, 100L), (1L, true, 100L), (1L, true, 100L), (1L, false, 100L))
+      .toDF("stratum", "treated", "y")
+    val r = Stats.stratifiedEffect(rows, col("treated"), "stratum", "y")
+      .collect()(0)
+    assert(r.getAs[Long]("n_strata_used") == 2L)
+    assert(r.getAs[Long]("n_t_used") == 4L)
+    assert(r.getAs[Long]("att_ppm") == 0L)
+    // raw: treated mean (10+300)/4 = 77.5, control (30+100)/4 = 32.5
+    assert(r.getAs[Long]("raw_diff_ppm") == 45000000L)
+  }
+
+  test("stratifiedEffect: treated weights, single-arm strata excluded") {
+    val rows = Seq(
+      (0L, true, 20L), (0L, true, 30L), (0L, false, 10L),   // diff 15
+      (1L, true, 50L), (1L, false, 20L), (1L, false, 30L),  // diff 25
+      (2L, true, 999L), (2L, true, 999L))                    // no control
+      .toDF("stratum", "treated", "y")
+    val r = Stats.stratifiedEffect(rows, col("treated"), "stratum", "y")
+      .collect()(0)
+    assert(r.getAs[Long]("n_strata_used") == 2L)
+    assert(r.getAs[Long]("n_t_used") == 3L)
+    // att = (2*15e6 + 1*25e6) / 3 = 18333333.33 -> half-up 18333333
+    assert(r.getAs[Long]("att_ppm") == 18333333L)
+  }
 }
