@@ -61,7 +61,7 @@ object ScaleProbe {
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
       "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e",
       "index_compaction", "graph_rebuild", "concurrent_serving",
-      "incr_dedup_fold", "dbscan", "coreset")
+      "incr_dedup_fold", "dbscan", "coreset", "cdc")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -219,6 +219,22 @@ object ScaleProbe {
         .collect() // 5 rows — bounded model output
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"coreset","mult":$mult,"vecs":${nEmb * mult},"first_pick":${picks.head.getLong(1)},"sec":$sec%.2f}""")
+    }
+
+    // Content-defined chunking probe: the near-dup replicas share most
+    // of their chunk identities (each replica differs only in its
+    // appended token), so duplicated-chunk mass and savings both grow
+    // with mult while the scan itself is one compiled O(len) pass +
+    // one hash groupBy — wall should track the corpus linearly.
+    for (mult <- Seq(1, 4, 16) if want("cdc")) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val sav = graft.functions.Cdc.dedupSavings(docs, "doc_id", "text",
+        w = 16, maskBits = 5).collect()(0) // one-row card
+      val nDup = graft.functions.Cdc.chunkStats(docs, "doc_id", "text",
+        w = 16, maskBits = 5, minOcc = 2L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"cdc","mult":$mult,"docs":${nBase * mult},"dup_chunks":$nDup,"savings_ppm":${sav.getAs[Long]("savings_ppm")},"sec":$sec%.2f}""")
     }
 
     // End-to-end curation chain at the probe scale factor: the sf0.01
