@@ -4897,6 +4897,65 @@ object SparkEntry {
           "doc_id", "text", noiseBps = 1500L)
         .orderBy(col("doc_id"))
     },
+
+    // Log-rank survival test between the hash-bucket arms — do they
+    // churn at the same hazard (the inference companion of
+    // q_kaplan_meier's curve, same lifetime/censoring model).
+    "q_logrank" -> { (s, d) =>
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("arm",
+          (graft.functions.Sampling.hashBucket(col("user_id")) < 5000L)
+            .cast("long"))
+      graft.functions.Events.logRank(ev, "user_id", "arm", "ts")
+    },
+
+    // Mann-Kendall trend test on the daily event-count series — the
+    // IS-there-a-trend card next to q_theil_sen's slope and
+    // q_runs_test's randomness; day-domain-bounded pair statistic.
+    "q_mann_kendall" -> { (s, d) =>
+      val daily = Tables.eventsTs(s, d)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.functions.Stats.mannKendall(daily, "day", "n_events")
+    },
+
+    // Cliff's delta ordinal effect size on per-user event counts
+    // between the hash-bucket arms — HOW MUCH one arm dominates, next
+    // to q_mann_whitney's whether; Romano et al. magnitude bands.
+    "q_cliffs_delta" -> { (s, d) =>
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .withColumn("__bkt",
+          graft.functions.Sampling.hashBucket(col("user_id")))
+      graft.functions.Stats.cliffsDelta(perUser, "n_ev",
+        col("__bkt") < 5000L, col("__bkt") >= 5000L)
+    },
+
+    // Quantile treatment effects: exact per-arm order statistics of
+    // per-user post-period spend at 25/50/75 — WHERE in the outcome
+    // distribution the q_cuped/q_ab_test effect lives (tail vs median),
+    // on groupQuantiles' ceil-rank convention.
+    "q_qte" -> { (s, d) =>
+      val cut = lit("2024-01-16").cast("timestamp")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val perUser = Tables.eventsTs(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(graft.functions.Sampling.hashBucket(col("user_id")) < 5000L,
+            "a").otherwise("b"))
+      val q = graft.functions.Robust.groupQuantiles(
+        perUser.select(col("arm"), col("y")), "arm", "y",
+        Seq(2500, 5000, 7500))
+      q.filter(col("arm") === "a")
+        .select(col("q_bps"), col("value").as("q_a"))
+        .join(q.filter(col("arm") === "b")
+          .select(col("q_bps"), col("value").as("q_b")), Seq("q_bps"))
+        .select(col("q_bps"), col("q_a"), col("q_b"),
+          (col("q_a") - col("q_b")).as("qte"))
+        .orderBy(col("q_bps"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11608,6 +11667,117 @@ object SparkEntry {
             CASE WHEN n_spans > 0 THEN ${duckPpm("n_masked", "n_spans")}
               END AS mean_span_len_ppm
           FROM g ORDER BY doc_id""",
+
+    "q_logrank" ->
+      s"""WITH pu AS (SELECT user_id,
+            min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+            FROM events GROUP BY 1),
+          pa AS (SELECT f, l,
+            CASE WHEN ${duckBucketOf("user_id")} < 5000 THEN 1 ELSE 0 END
+              AS a FROM pu),
+          mxd AS (SELECT max(l) AS mx FROM pa),
+          bt AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+            CAST(sum(a) AS BIGINT) AS all1,
+            CAST(sum(1 - a) AS BIGINT) AS all0,
+            CAST(sum(CASE WHEN l = mxd.mx THEN 0 ELSE a END) AS BIGINT)
+              AS d1,
+            CAST(sum(CASE WHEN l = mxd.mx THEN 0 ELSE 1 - a END)
+              AS BIGINT) AS d0
+            FROM pa CROSS JOIN mxd GROUP BY 1),
+          tt AS (SELECT CAST(sum(all1) AS BIGINT) AS n1t,
+            CAST(sum(all0) AS BIGINT) AS n0t FROM bt),
+          rk AS (SELECT t, d1, d0,
+            tt.n1t - CAST(coalesce(sum(all1) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n1,
+            tt.n0t - CAST(coalesce(sum(all0) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n0
+            FROM bt CROSS JOIN tt),
+          de AS (SELECT t, d1, d0, n1, n0, d1 + d0 AS dd, n1 + n0 AS nn
+            FROM rk WHERE d1 + d0 > 0),
+          tm AS (SELECT d1, d0, ${duckPpm("dd * n1", "nn")} AS e1,
+            CASE WHEN nn > 1 THEN
+              ${duckPpm("dd * n1 * n0 * (nn - dd)", "nn * nn * (nn - 1)")}
+              ELSE 0 END AS v FROM de),
+          ag AS (SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+            CAST(coalesce(sum(d0), 0) AS BIGINT) AS o0,
+            CAST(coalesce(sum(e1), 0) AS BIGINT) AS e1s,
+            CAST(coalesce(sum(v), 0) AS BIGINT) AS vs FROM tm)
+          SELECT tt.n1t AS n_a, tt.n0t AS n_b, o1 AS n_deaths_a,
+            o0 AS n_deaths_b,
+            1000000 * o1 - e1s AS o_minus_e_ppm, vs AS var_ppm,
+            CASE WHEN vs > 0 THEN ${duckPpm(
+              "CAST(1000000 * o1 - e1s AS HUGEINT) * (1000000 * o1 - e1s)",
+              "CAST(1000000 AS HUGEINT) * vs")} END AS z2_ppm
+          FROM ag CROSS JOIN tt""",
+
+    "q_mann_kendall" ->
+      s"""WITH t AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS o,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+          p AS (SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+              WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+            FROM t a JOIN t b ON b.o > a.o),
+          ti AS (SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)
+              AS BIGINT) AS tsum,
+            CAST(coalesce(sum(c), 0) AS BIGINT) AS n_obs
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM t GROUP BY x)),
+          v AS (SELECT n_obs, s_stat,
+            n_obs * (n_obs - 1) * (2 * n_obs + 5) - tsum AS var18
+            FROM p CROSS JOIN ti)
+          SELECT n_obs, s_stat, CAST(var18 AS BIGINT) AS var18,
+            CASE WHEN s_stat = 0 THEN 0
+              WHEN var18 > 0 THEN ${duckPpm(
+                "18 * (abs(s_stat) - 1) * (abs(s_stat) - 1)", "var18")}
+              END AS z2_ppm
+          FROM v""",
+
+    "q_cliffs_delta" ->
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+            FROM events GROUP BY 1),
+          m AS (SELECT v,
+            CASE WHEN ${duckBucketOf("user_id")} < 5000 THEN 1 ELSE 0 END
+              AS ia FROM u),
+          c AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+            CAST(sum(1 - ia) AS BIGINT) AS cb FROM m GROUP BY 1),
+          w AS (SELECT *, CAST(coalesce(sum(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cbb FROM c),
+          a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+            CAST(sum(cb) AS BIGINT) AS n_b,
+            CAST(sum(ca * (2 * cbb + cb)) AS BIGINT) AS win FROM w),
+          d AS (SELECT n_a, n_b, win - n_a * n_b AS dom FROM a),
+          e AS (SELECT n_a, n_b, CAST(dom AS BIGINT) AS dominance,
+            CASE WHEN n_a > 0 AND n_b > 0 THEN
+              ${duckPpm("dom", "n_a * n_b")} END AS cliffs_ppm FROM d)
+          SELECT n_a, n_b, dominance, cliffs_ppm,
+            CASE WHEN cliffs_ppm IS NULL THEN NULL
+              WHEN abs(cliffs_ppm) < 147000 THEN 'negligible'
+              WHEN abs(cliffs_ppm) < 330000 THEN 'small'
+              WHEN abs(cliffs_ppm) < 474000 THEN 'medium'
+              ELSE 'large' END AS magnitude
+          FROM e""",
+
+    "q_qte" ->
+      s"""WITH u AS (SELECT user_id,
+            sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS y
+            FROM events GROUP BY 1),
+          m AS (SELECT CAST(y AS BIGINT) AS y,
+            CASE WHEN ${duckBucketOf("user_id")} < 5000 THEN 'a'
+              ELSE 'b' END AS arm FROM u),
+          r AS (SELECT arm, y,
+            row_number() OVER (PARTITION BY arm ORDER BY y) AS rn,
+            count(*) OVER (PARTITION BY arm) AS n FROM m),
+          qs AS (SELECT CAST(unnest([2500, 5000, 7500]) AS BIGINT)
+            AS q_bps),
+          pick AS (SELECT arm, q_bps, y FROM r CROSS JOIN qs
+            WHERE rn = greatest(1, (n * q_bps + 9999) // 10000))
+          SELECT a.q_bps, a.y AS q_a, b.y AS q_b, a.y - b.y AS qte
+          FROM pick a JOIN pick b ON a.q_bps = b.q_bps
+          WHERE a.arm = 'a' AND b.arm = 'b'
+          ORDER BY 1""",
 
     "q_chrf" ->
       s"""WITH r AS (SELECT doc_id,

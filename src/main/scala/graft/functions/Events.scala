@@ -287,4 +287,85 @@ object Events {
           .otherwise(Stats.fixedPointExact(lit(1048576L),
             FixLog.exp2qCol(col("__cum")))).as("surv_ppm"))
   }
+
+  /** LOG-RANK TEST between two survival arms (Mantel 1966; Peto &
+    * Peto 1972) — does arm A churn at the same hazard as arm B, the
+    * inference companion of [[kaplanMeier]] (same lifetime model:
+    * first→last observed day per user, users last seen on the corpus's
+    * final day censored). At each death time the observed arm-A deaths
+    * are compared with the hypergeometric expectation d·n₁/n, and
+    * z² = (Σ(O₁−E₁))² / ΣV with the standard per-time variance
+    * d·n₁·n₀·(n−d) / (n²·(n−1)). Each per-time term is one exact
+    * rational rendered in ppm before summing (the house quantization
+    * contract: ≤ 1 ppm per death time, day-domain-bounded), so both
+    * engines compose identical integers. `armCol` must be 0/1 and
+    * constant per user. One row: (n_a, n_b, n_deaths_a, n_deaths_b,
+    * o_minus_e_ppm, var_ppm, z2_ppm) — arm A is armCol = 1; z2_ppm
+    * NULL when the variance is zero (no comparable death times).
+    *
+    * Scale: [[kaplanMeier]]'s exact shape — one per-user aggregate,
+    * then day-domain-sized tables and one bounded-domain cumulative
+    * window.
+    */
+  def logRank(events: DataFrame, userCol: String, armCol: String,
+      tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUser = events
+      .select(col(userCol).as("__u"), col(armCol).cast("long").as("__a"),
+        to_date(col(tsCol)).as("__d"))
+      .groupBy(col("__u"))
+      .agg(max(col("__a")).as("__a"), min(col("__d")).as("__f"),
+        max(col("__d")).as("__l"))
+    val mx = broadcast(perUser.agg(max(col("__l")).as("__mx")))
+    val byT = perUser.crossJoin(mx)
+      .select(datediff(col("__l"), col("__f")).cast("long").as("t_days"),
+        col("__a"),
+        when(col("__l") === col("__mx"), 0L).otherwise(1L).as("__dead"))
+      .groupBy(col("t_days"))
+      .agg(sum(when(col("__a") === 1L, 1L).otherwise(0L)).as("__all1"),
+        sum(when(col("__a") === 0L, 1L).otherwise(0L)).as("__all0"),
+        sum(when(col("__a") === 1L, col("__dead")).otherwise(0L))
+          .as("__d1"),
+        sum(when(col("__a") === 0L, col("__dead")).otherwise(0L))
+          .as("__d0"))
+    val tot = broadcast(byT.agg(sum(col("__all1")).as("__n1t"),
+      sum(col("__all0")).as("__n0t")))
+    val wBefore = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(tot)
+      .withColumn("__b1", coalesce(sum(col("__all1")).over(wBefore),
+        lit(0L)))
+      .withColumn("__b0", coalesce(sum(col("__all0")).over(wBefore),
+        lit(0L)))
+      .withColumn("__n1", col("__n1t") - col("__b1"))
+      .withColumn("__n0", col("__n0t") - col("__b0"))
+      .withColumn("__dd", col("__d1") + col("__d0"))
+      .withColumn("__nn", col("__n1") + col("__n0"))
+      .filter(col("__dd") > 0)
+    val terms = risk.select(col("__d1"), col("__d0"),
+      Stats.fixedPointExact(col("__dd") * col("__n1"), col("__nn"))
+        .as("__e1"),
+      when(col("__nn") > 1, Stats.fixedPointExact(
+        (col("__dd").cast(dec) * col("__n1") * col("__n0") *
+          (col("__nn") - col("__dd"))).cast(dec),
+        (col("__nn").cast(dec) * col("__nn") * (col("__nn") - 1))
+          .cast(dec)))
+        .otherwise(lit(0L)).as("__v"))
+    terms
+      .agg(coalesce(sum(col("__d1")), lit(0L)).as("__o1"),
+        coalesce(sum(col("__d0")), lit(0L)).as("__o0"),
+        coalesce(sum(col("__e1")), lit(0L)).as("__e1s"),
+        coalesce(sum(col("__v")), lit(0L)).as("__vs"))
+      .crossJoin(tot)
+      .select(col("__n1t").as("n_a"), col("__n0t").as("n_b"),
+        col("__o1").as("n_deaths_a"), col("__o0").as("n_deaths_b"),
+        (lit(1000000L) * col("__o1") - col("__e1s")).as("o_minus_e_ppm"),
+        col("__vs").as("var_ppm"),
+        when(col("__vs") > 0, Stats.fixedPointExact(
+          ((lit(1000000L) * col("__o1") - col("__e1s")).cast(dec) *
+            (lit(1000000L) * col("__o1") - col("__e1s")).cast(dec))
+            .cast(dec),
+          (lit(1000000L).cast(dec) * col("__vs")).cast(dec)))
+          .as("z2_ppm"))
+  }
 }

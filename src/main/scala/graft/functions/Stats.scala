@@ -1578,6 +1578,100 @@ object Stats {
         trendPpm("s_cp", "n_cp", "s_cq", "n_cq")).as("did_ppm"))
   }
 
+  /** MANN–KENDALL trend test over an ordered series (Mann 1945;
+    * Kendall 1975) — the distribution-free IS-there-a-trend companion
+    * of [[theilSen]]'s how-steep: S = Σ_{i<j} sgn(x_j − x_i) over all
+    * ordered pairs, with the tie-corrected variance
+    * Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5). The squared
+    * continuity-corrected statistic z² = 18·(|S|−1)² / (Var·18) is one
+    * exact rational in ppm (compare against 3.84·10⁶ for two-sided
+    * 5%); S = 0 renders z² = 0, zero variance renders NULL.
+    * One row: (n_obs, s_stat, var18, z2_ppm).
+    *
+    * Scale: the pair join is |series|²-BOUNDED — the series is a
+    * bounded-domain aggregate (days, buckets), never corpus rows; at
+    * 10⁹-row grain use the O(n log n) rank form instead (documented
+    * trade, same statistic).
+    */
+  def mannKendall(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = df.select(col(orderCol).as("__o"),
+      col(valueCol).cast("long").as("__x"))
+    val pairs = t.select(col("__o").as("__oa"), col("__x").as("__xa"))
+      .join(t.select(col("__o").as("__ob"), col("__x").as("__xb")),
+        col("__oa") < col("__ob"))
+      .agg(coalesce(sum(signum(col("__xb") - col("__xa")).cast("long")),
+        lit(0L)).as("s_stat"))
+    val ties = t.groupBy(col("__x")).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum((col("__t").cast(dec) * (col("__t") - 1) *
+        (lit(2L) * col("__t") + 5)).cast(dec)), lit(0).cast(dec))
+        .cast(dec).as("__tsum"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_obs"))
+    pairs.crossJoin(broadcast(ties))
+      .withColumn("__var18",
+        ((col("n_obs").cast(dec) * (col("n_obs") - 1) *
+          (lit(2L) * col("n_obs") + 5)).cast(dec) - col("__tsum"))
+          .cast(dec))
+      .select(col("n_obs"), col("s_stat"),
+        col("__var18").cast("long").as("var18"),
+        when(col("s_stat") === 0L, lit(0L))
+          .when(col("__var18") > 0, fixedPointExact(
+            (lit(18L).cast(dec) * (abs(col("s_stat")) - 1) *
+              (abs(col("s_stat")) - 1)).cast(dec), col("__var18")))
+          .as("z2_ppm"))
+  }
+
+  /** CLIFF'S DELTA effect size (Cliff 1993) — the ordinal dominance
+    * companion of [[mannWhitneyU]]'s significance: δ = (#(a>b) −
+    * #(a<b)) / (n_a·n_b) ∈ [−1, 1], computed from the same bounded
+    * distinct-value cumulative scan (δ·n_a·n_b = 2·U_a − n_a·n_b, no
+    * pair join). The reported magnitude band uses the Romano et al.
+    * 2006 thresholds (0.147 / 0.33 / 0.474). One row: (n_a, n_b,
+    * dominance, cliffs_ppm, magnitude) — NULL δ when either side is
+    * empty.
+    *
+    * Scale: [[mannWhitneyU]]'s exact shape — value-domain-sized state.
+    */
+  def cliffsDelta(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"),
+        when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"))
+      .filter(col("__ia") === 1L || col("__ib") === 1L)
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // #(a>b) − #(a<b) = Σ_v c_a(v)·(C_b_below(v) − (n_b − C_b_upto(v)))
+    val cum = counts
+      .withColumn("__cbBelow", coalesce(sum(col("__cb")).over(w), lit(0L)))
+    val agg = cum.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+      coalesce(sum((col("__ca").cast(dec) *
+        (lit(2L) * col("__cbBelow") + col("__cb"))).cast(dec)),
+        lit(0).cast(dec)).cast(dec).as("__winTerm"))
+    // Σ c_a·(2·C_b_below + t_b) = 2·#(a>b) + #ties = 2·U_a, so
+    // dominance = 2·U_a − n_a·n_b
+    agg
+      .withColumn("__dom", (col("__winTerm") -
+        (col("n_a").cast(dec) * col("n_b")).cast(dec)).cast(dec))
+      .select(col("n_a"), col("n_b"),
+        col("__dom").cast("long").as("dominance"),
+        when(col("n_a") > 0 && col("n_b") > 0, fixedPointExact(
+          col("__dom"), (col("n_a").cast(dec) * col("n_b")).cast(dec)))
+          .as("cliffs_ppm"))
+      .withColumn("magnitude",
+        when(col("cliffs_ppm").isNull, lit(null).cast("string"))
+          .when(abs(col("cliffs_ppm")) < 147000L, lit("negligible"))
+          .when(abs(col("cliffs_ppm")) < 330000L, lit("small"))
+          .when(abs(col("cliffs_ppm")) < 474000L, lit("medium"))
+          .otherwise(lit("large")))
+  }
+
   /** Post-stratified treatment effect (ATT form) — the covariate-
     * adjustment that needs no model: within each stratum of a
     * confounder the arms are compared directly, and the per-stratum

@@ -207,4 +207,39 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(d.toSeq == Seq(("x->y->z", 2L, 3L)))
   }
+
+  test("logRank: hand-computed hypergeometric terms with censoring") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    // u1(arm1) lives [0,2] dies t=2; u2(arm1) [0,4] censored (corpus max);
+    // u3(arm0) [0,2] dies 2; u4(arm0) [0,3] dies 3; u5(arm0) [0,4] censored
+    val rows = Seq(
+      (1L, 1L, day(0)), (1L, 1L, day(2)),
+      (2L, 1L, day(0)), (2L, 1L, day(4)),
+      (3L, 0L, day(0)), (3L, 0L, day(2)),
+      (4L, 0L, day(0)), (4L, 0L, day(3)),
+      (5L, 0L, day(0)), (5L, 0L, day(4)))
+      .toDF("user_id", "arm", "ts")
+    val r = Events.logRank(rows, "user_id", "arm", "ts").collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_deaths_a") == 1L)
+    assert(r.getAs[Long]("n_deaths_b") == 2L)
+    // t=2: e1 = ppm(2*2/5) = 800000, v = ppm(36/100) = 360000
+    // t=3: e1 = ppm(1/3) = 333333, v = ppm(4/18) = 222222
+    assert(r.getAs[Long]("o_minus_e_ppm") == 1000000L - 1133333L)
+    assert(r.getAs[Long]("var_ppm") == 582222L)
+    assert(r.getAs[Long]("z2_ppm") == 30534L)
+  }
+
+  test("logRank: identical arms give near-zero statistic") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    // two identical cohorts: every per-time O-E term cancels exactly
+    val rows = (0 until 6).flatMap { i =>
+      val arm = (i % 2).toLong // same lifetime pattern in both arms
+      val life = 1 + (i / 2)
+      Seq((i.toLong, arm, day(0)), (i.toLong, arm, day(life)))
+    } :+ ((100L, 0L, day(5))) :+ ((101L, 1L, day(5))) // censored pair
+    val df = rows.toDF("user_id", "arm", "ts")
+    val r = Events.logRank(df, "user_id", "arm", "ts").collect()(0)
+    assert(math.abs(r.getAs[Long]("o_minus_e_ppm")) <= 2L) // ppm rounding
+  }
 }

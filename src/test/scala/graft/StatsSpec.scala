@@ -603,6 +603,42 @@ class StatsSpec extends AnyFunSuite {
     assert(empty.getAs[Long]("trend_c_ppm") == 6000000L)
   }
 
+  test("mannKendall: hand-computed S, tie correction, z2") {
+    val series = Seq(("d1", 1L), ("d2", 2L), ("d3", 2L), ("d4", 4L),
+      ("d5", 3L)).toDF("day", "x")
+    val r = Stats.mannKendall(series, "day", "x").collect()(0)
+    assert(r.getAs[Long]("n_obs") == 5L)
+    assert(r.getAs[Long]("s_stat") == 7L)
+    // var18 = 5*4*15 - 2*1*9 = 282; z2 = 18*36/282
+    assert(r.getAs[Long]("var18") == 282L)
+    assert(r.getAs[Long]("z2_ppm") == 2297872L)
+    // a perfectly tied series: S = 0 -> z2 = 0
+    val flat = Seq(("d1", 5L), ("d2", 5L), ("d3", 5L)).toDF("day", "x")
+    assert(Stats.mannKendall(flat, "day", "x").collect()(0)
+      .getAs[Long]("z2_ppm") == 0L)
+  }
+
+  test("cliffsDelta: hand case and brute-force pair parity") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (2L, "b"), (2L, "b"), (4L, "b")).toDF("v", "arm")
+    val r = Stats.cliffsDelta(df, "v", col("arm") === "a",
+      col("arm") === "b").collect()(0)
+    // #(a>b)=2, #(a<b)=5 -> dom=-3, delta=-1/3
+    assert(r.getAs[Long]("dominance") == -3L)
+    assert(r.getAs[Long]("cliffs_ppm") == -333333L)
+    assert(r.getAs[String]("magnitude") == "medium")
+    // randomized parity with the O(n^2) definition
+    val rnd = new scala.util.Random(11)
+    val as = Seq.fill(80)(rnd.nextInt(20).toLong)
+    val bs = Seq.fill(60)(rnd.nextInt(20).toLong + 3L)
+    val big = (as.map((_, "a")) ++ bs.map((_, "b"))).toDF("v", "arm")
+    val got = Stats.cliffsDelta(big, "v", col("arm") === "a",
+      col("arm") === "b").collect()(0)
+    val dom = (for (a <- as; b <- bs) yield
+      java.lang.Long.signum(a - b).toLong).sum
+    assert(got.getAs[Long]("dominance") == dom)
+  }
+
   test("stratifiedEffect: confounded raw gap, zero adjusted effect") {
     // identical outcomes within each (stratum, arm); treated
     // over-represented in the high-outcome stratum -> raw gap positive,
