@@ -4898,6 +4898,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Linear CKA between the full 64-dim embedding and its 32-dim
+    // matryoshka truncation — the representation-fidelity scalar (does
+    // the half-width view preserve the geometry the ANN/cluster layer
+    // runs on); exact integer moment matrices, one double ratio.
+    "q_cka" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.functions.Vec.linearCka(emb,
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 32)
+          .as("emb32")),
+        "vec_id", "embedding", "emb32")
+    },
+
     // Log-rank survival test between the hash-bucket arms — do they
     // churn at the same hazard (the inference companion of
     // q_kaplan_meier's curve, same lifetime/censoring model).
@@ -11667,6 +11679,47 @@ object SparkEntry {
             CASE WHEN n_spans > 0 THEN ${duckPpm("n_masked", "n_spans")}
               END AS mean_span_len_ppm
           FROM g ORDER BY doc_id""",
+
+    "q_cka" ->
+      s"""WITH ea AS (SELECT vec_id AS id,
+            CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS i,
+            unnest(list_transform(range(1, len(embedding) + 1),
+              k -> CAST(round(CAST(embedding[k] AS DOUBLE) * 1000, 0)
+                AS BIGINT))) AS x
+            FROM embeddings),
+          eb AS (SELECT id, i, x FROM ea WHERE i <= 32),
+          nn AS (SELECT CAST(count(DISTINCT id) AS HUGEINT) AS n FROM ea),
+          mab AS (SELECT a.i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT)
+              AS sxy FROM ea a JOIN eb b ON a.id = b.id GROUP BY 1, 2),
+          maa AS (SELECT a.i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT)
+              AS sxy FROM ea a JOIN ea b ON a.id = b.id GROUP BY 1, 2),
+          mbb AS (SELECT a.i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT)
+              AS sxy FROM eb a JOIN eb b ON a.id = b.id GROUP BY 1, 2),
+          sxa AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM ea
+            GROUP BY 1),
+          sxb AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM eb
+            GROUP BY 1),
+          cab AS (SELECT coalesce(sum((n * sxy - a.sx * b.sx) *
+              (n * sxy - a.sx * b.sx)), 0) AS f
+            FROM mab JOIN sxa a ON a.i = mab.i
+            JOIN sxb b ON b.i = mab.j CROSS JOIN nn),
+          caa AS (SELECT coalesce(sum((n * sxy - a.sx * b.sx) *
+              (n * sxy - a.sx * b.sx)), 0) AS f
+            FROM maa JOIN sxa a ON a.i = maa.i
+            JOIN sxa b ON b.i = maa.j CROSS JOIN nn),
+          cbb AS (SELECT coalesce(sum((n * sxy - a.sx * b.sx) *
+              (n * sxy - a.sx * b.sx)), 0) AS f
+            FROM mbb JOIN sxb a ON a.i = mbb.i
+            JOIN sxb b ON b.i = mbb.j CROSS JOIN nn)
+          SELECT
+            (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM ea) AS n_rows,
+            (SELECT CAST(max(i) AS BIGINT) FROM ea) AS d_a,
+            (SELECT CAST(max(i) AS BIGINT) FROM eb) AS d_b,
+            CASE WHEN caa.f > 0 AND cbb.f > 0 THEN
+              round((CAST(cab.f AS DOUBLE) / CAST(caa.f AS DOUBLE)) *
+                (CAST(cab.f AS DOUBLE) / CAST(cbb.f AS DOUBLE)), 6)
+              END AS cka2
+          FROM cab, caa, cbb""",
 
     "q_logrank" ->
       s"""WITH pu AS (SELECT user_id,

@@ -1983,4 +1983,80 @@ object Vec {
           .when(col("__lab").isNotNull, lit("spread"))
           .otherwise(lit("none")).as("src"))
   }
+
+  /** Explode a vector column to integer-grid components:
+    * (__id, __i (1-based), __x = round(v·grid)). The shared scan of
+    * [[linearCka]]'s three moment passes.
+    */
+  private def ckaComponents(df: DataFrame, idCol: String, vecCol: String,
+      grid: Double): DataFrame =
+    df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__i0", "__v")))
+      .select(col("__id"), (col("__i0") + 1).cast("long").as("__i"),
+        round(col("__v").cast("double") * grid, 0).cast("long").as("__x"))
+
+  /** Squared Frobenius norm of the n²-scaled centered cross-moment
+    * matrix C[i,j] = n·Σxᵢyⱼ − Σxᵢ·Σyⱼ — one exact decimal integer.
+    */
+  private def ckaFro2(ea: DataFrame, eb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sxy = ea.join(eb.select(col("__id"), col("__i").as("__j"),
+        col("__x").as("__y")), Seq("__id"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("__sxy"))
+    val sx = ea.groupBy(col("__i"))
+      .agg(sum(col("__x")).cast(dec).as("__sx"))
+    val sy = eb.groupBy(col("__i"))
+      .agg(sum(col("__x")).cast(dec).as("__sy"))
+      .select(col("__i").as("__j"), col("__sy"))
+    val n = ea.select(col("__id")).distinct()
+      .agg(count(lit(1)).cast(dec).as("__n"))
+    sxy.join(sx, Seq("__i")).join(sy, Seq("__j"))
+      .crossJoin(broadcast(n))
+      .select(((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        .cast(dec)).as("__c"))
+      .agg(coalesce(sum((col("__c") * col("__c")).cast(dec)),
+        lit(0).cast(dec)).cast(dec).as("__fro2"))
+  }
+
+  /** LINEAR CKA between two views of the same rows (Kornblith et al.,
+    * ICML 2019) — the representation-similarity scalar of the ML-ops
+    * layer: does a transformed embedding (truncated, quantized,
+    * re-trained) preserve the GEOMETRY of the original, invariant to
+    * rotation and isotropic scale. Components land on an integer grid
+    * (round(v·grid) — the catalog's fixed-point vector convention), so
+    * all three centered moment matrices and their Frobenius norms are
+    * EXACT integers; the single approximation is the final
+    * double-precision ratio, reported as cka² (sqrt-free, the z²
+    * convention): cka² = ‖C_ab‖⁴/(‖C_aa‖²·‖C_bb‖²), rounded to 6
+    * decimals from two exact-integer divisions.
+    * One row: (n_rows, d_a, d_b, cka2) — cka² ∈ [0, 1], 1 = identical
+    * geometry.
+    *
+    * Scale: three relational moment passes (explode → d_a·d_b-fanout
+    * equi-join on the row id → partial-aggregable groupBy) — d²-sized
+    * state, linear in rows. decimal(38,0) clears n²·Σxy up to ~10⁶
+    * rows on the default grid; beyond that coarsen `grid` (the
+    * statistic is scale-invariant, the contract re-derives).
+    */
+  def linearCka(a: DataFrame, b: DataFrame, idCol: String,
+      vecColA: String, vecColB: String, grid: Double = 1000.0): DataFrame = {
+    val ea = ckaComponents(a, idCol, vecColA, grid).localCheckpoint(true)
+    val eb = ckaComponents(b, idCol, vecColB, grid).localCheckpoint(true)
+    val dims = ea.agg(max(col("__i")).as("d_a"))
+      .crossJoin(eb.agg(max(col("__i")).as("d_b")))
+      .crossJoin(ea.select(col("__id")).distinct()
+        .agg(count(lit(1)).as("n_rows")))
+    val fab = ckaFro2(ea, eb).select(col("__fro2").as("__fab"))
+    val faa = ckaFro2(ea, ea).select(col("__fro2").as("__faa"))
+    val fbb = ckaFro2(eb, eb).select(col("__fro2").as("__fbb"))
+    dims.crossJoin(broadcast(fab)).crossJoin(broadcast(faa))
+      .crossJoin(broadcast(fbb))
+      .select(col("n_rows"), col("d_a"), col("d_b"),
+        when(col("__faa") > 0 && col("__fbb") > 0,
+          round((col("__fab").cast("double") / col("__faa").cast("double")) *
+            (col("__fab").cast("double") / col("__fbb").cast("double")), 6))
+          .as("cka2"))
+  }
 }

@@ -254,4 +254,34 @@ class DbscanMmrSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(1))).toSet
     assert(got == top)
   }
+
+  test("linearCka: identity/negation/scale give 1, independent noise " +
+      "gives near 0, truncation in between") {
+    val rnd = new scala.util.Random(23)
+    def vec(d: Int) = Array.fill(d)(rnd.nextFloat() - 0.5f)
+    val rows = (1L to 120L).map(i => (i, vec(8)))
+    val a = rows.toDF("id", "va")
+    def cka2(b: org.apache.spark.sql.DataFrame, colB: String): Double =
+      Vec.linearCka(a, b, "id", "va", colB).collect()(0)
+        .getAs[Double]("cka2")
+    // self: exactly 1 (all three fro2 coincide)
+    assert(cka2(a.select(col("id"), col("va").as("vb")), "vb") == 1.0)
+    // negation: exactly 1 (the grid rounds symmetrically, so the
+    // moment matrices flip sign and the norms coincide bit for bit)
+    val neg = a.select(col("id"),
+      transform(col("va"), v => -v).as("vb"))
+    assert(cka2(neg, "vb") == 1.0)
+    // 2x scale: invariant up to grid quantization (round(2v·g) is not
+    // 2·round(v·g) on half-grid points)
+    val twice = a.select(col("id"),
+      transform(col("va"), v => v * 2.0f).as("vb"))
+    assert(cka2(twice, "vb") > 0.99999)
+    // independent noise: near zero; half-truncation: strictly between
+    val noise = rows.map { case (i, _) => (i, vec(8)) }.toDF("id", "vb")
+    val cNoise = cka2(noise, "vb")
+    assert(cNoise < 0.2, s"noise cka2=$cNoise")
+    val trunc = a.select(col("id"), slice(col("va"), 1, 4).as("vb"))
+    val cTr = cka2(trunc, "vb")
+    assert(cTr > cNoise && cTr < 1.0, s"trunc cka2=$cTr")
+  }
 }
