@@ -4898,6 +4898,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Degree assortativity of the SNM candidate graph — do well-
+    // connected docs pair with each other (assortative template
+    // families) or with singletons; Newman's r as one exact signed
+    // rational over edge-degree moments.
+    "q_assortativity" -> { (s, d) =>
+      val cand = Dedup.sortedNeighborhoodPairs(Tables.documents(s, d),
+          "doc_id", lower(substring(col("text"), 1, 30)), window = 5)
+        .select(col("id_a"), col("id_b"))
+      graft.functions.Graph.degreeAssortativity(cand)
+    },
+
     // Linear CKA between the full 64-dim embedding and its 32-dim
     // matryoshka truncation — the representation-fidelity scalar (does
     // the half-width view preserve the geometry the ANN/cluster layer
@@ -11679,6 +11690,30 @@ object SparkEntry {
             CASE WHEN n_spans > 0 THEN ${duckPpm("n_masked", "n_spans")}
               END AS mean_span_len_ppm
           FROM g ORDER BY doc_id""",
+
+    "q_assortativity" ->
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn
+          FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+            (SELECT id_a AS v FROM cand
+             UNION ALL SELECT id_b FROM cand) GROUP BY 1),
+          jj AS (SELECT da.d AS du, db.d AS dv FROM cand
+            JOIN dg da ON da.v = cand.id_a
+            JOIN dg db ON db.v = cand.id_b),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(du * dv) AS BIGINT) AS a,
+            CAST(sum(du + dv) AS BIGINT) AS b,
+            CAST(sum(du * du + dv * dv) AS BIGINT) AS c FROM jj)
+          SELECT m AS n_edges, a AS sum_jk, b AS sum_j_plus_k,
+            c AS sum_j2_plus_k2,
+            CASE WHEN 2 * m * c - b * b > 0 THEN
+              ${duckPpm("4 * m * a - b * b", "2 * m * c - b * b")} END
+              AS r_ppm
+          FROM s""",
 
     "q_cka" ->
       s"""WITH ea AS (SELECT vec_id AS id,

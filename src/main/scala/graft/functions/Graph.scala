@@ -687,4 +687,50 @@ object Graph {
           col("deg_sum") * col("deg_sum"),
         lit(4L) * lit(m) * lit(m)))
   }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002) of an undirected edge list —
+    * do high-degree nodes link to high-degree nodes (social-network
+    * signature, r > 0) or to leaves (hub-and-spoke/technological,
+    * r < 0). The Pearson correlation of endpoint degrees over edges,
+    * exact: with M = |E|, A = Σ dᵤ·dᵥ, B = Σ(dᵤ+dᵥ),
+    * C = Σ(dᵤ²+dᵥ²) over undirected edges,
+    * r = (4·M·A − B²) / (2·M·C − B²) — one signed rational in ppm.
+    * Degree-regular graphs (zero variance, den = 0) render NULL.
+    * One row: (n_edges, sum_jk, sum_j_plus_k, sum_j2_plus_k2, r_ppm).
+    *
+    * Scale: one union-all degree count plus two edge-keyed equi-joins
+    * and a single aggregate — linear in edges, no pair enumeration.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("id_a"), col("id_b"))
+    val deg = e.select(col("id_a").as("__v"))
+      .unionAll(e.select(col("id_b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+    val j = e
+      .join(deg.select(col("__v").as("id_a"), col("__d").as("__da")),
+        Seq("id_a"))
+      .join(deg.select(col("__v").as("id_b"), col("__d").as("__db")),
+        Seq("id_b"))
+    j.agg(count(lit(1)).cast(dec).as("__m"),
+        coalesce(sum((col("__da").cast(dec) * col("__db")).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("__A"),
+        coalesce(sum(col("__da") + col("__db")), lit(0L)).cast(dec)
+          .as("__B"),
+        coalesce(sum((col("__da").cast(dec) * col("__da") +
+          col("__db").cast(dec) * col("__db")).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("__C"))
+      .select(col("__m").cast("long").as("n_edges"),
+        col("__A").cast("long").as("sum_jk"),
+        col("__B").cast("long").as("sum_j_plus_k"),
+        col("__C").cast("long").as("sum_j2_plus_k2"),
+        when((lit(2L).cast(dec) * col("__m") * col("__C") -
+            col("__B") * col("__B")).cast(dec) > 0,
+          graft.functions.Stats.fixedPointExact(
+            (lit(4L).cast(dec) * col("__m") * col("__A") -
+              col("__B") * col("__B")).cast(dec),
+            (lit(2L).cast(dec) * col("__m") * col("__C") -
+              col("__B") * col("__B")).cast(dec)))
+          .as("r_ppm"))
+  }
 }

@@ -238,4 +238,20 @@ class GraphSpec extends AnyFunSuite {
     // the hub out-ranks the leaves — centrality, not seed proximity
     assert(got(1L) > got(2L))
   }
+
+  test("degreeAssortativity: star = -1 exactly, path = -1/2, " +
+      "regular graph NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val rs = Graph.degreeAssortativity(star).collect()(0)
+    assert(rs.getAs[Long]("n_edges") == 3L)
+    assert(rs.getAs[Long]("r_ppm") == -1000000L)
+    // path 1-2-3-4: degrees 1,2,2,1 -> r = -1/2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Graph.degreeAssortativity(path).collect()(0)
+      .getAs[Long]("r_ppm") == -500000L)
+    // a cycle is 2-regular: zero degree variance -> NULL
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val rc = Graph.degreeAssortativity(cycle).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("r_ppm")))
+  }
 }
