@@ -1997,11 +1997,22 @@ object Vec {
 
   /** Squared Frobenius norm of the n²-scaled centered cross-moment
     * matrix C[i,j] = n·Σxᵢyⱼ − Σxᵢ·Σyⱼ — one exact decimal integer.
+    * `symmetric = true` declares eb ≡ ea (the two SELF passes): the
+    * matrix is symmetric, so only the upper triangle joins (i ≤ j,
+    * HALF the d²-fanout) and off-diagonal squares count twice —
+    * identical integer by symmetry, not approximation.
     */
-  private def ckaFro2(ea: DataFrame, eb: DataFrame): DataFrame = {
+  private def ckaFro2(ea: DataFrame, eb: DataFrame,
+      symmetric: Boolean): DataFrame = {
     val dec = "decimal(38,0)"
-    val sxy = ea.join(eb.select(col("__id"), col("__i").as("__j"),
-        col("__x").as("__y")), Seq("__id"))
+    val ebr = eb.select(col("__id").as("__idb"), col("__i").as("__j"),
+      col("__x").as("__y"))
+    val joined =
+      if (symmetric)
+        ea.join(ebr, col("__id") === col("__idb") &&
+          col("__i") <= col("__j"))
+      else ea.join(ebr, col("__id") === col("__idb"))
+    val sxy = joined
       .groupBy(col("__i"), col("__j"))
       .agg(sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
         .as("__sxy"))
@@ -2015,8 +2026,10 @@ object Vec {
     sxy.join(sx, Seq("__i")).join(sy, Seq("__j"))
       .crossJoin(broadcast(n))
       .select(((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
-        .cast(dec)).as("__c"))
-      .agg(coalesce(sum((col("__c") * col("__c")).cast(dec)),
+        .cast(dec)).as("__c"),
+        (if (symmetric) when(col("__i") === col("__j"), 1L).otherwise(2L)
+         else lit(1L)).as("__w"))
+      .agg(coalesce(sum((col("__c") * col("__c") * col("__w")).cast(dec)),
         lit(0).cast(dec)).cast(dec).as("__fro2"))
   }
 
@@ -2048,9 +2061,12 @@ object Vec {
       .crossJoin(eb.agg(max(col("__i")).as("d_b")))
       .crossJoin(ea.select(col("__id")).distinct()
         .agg(count(lit(1)).as("n_rows")))
-    val fab = ckaFro2(ea, eb).select(col("__fro2").as("__fab"))
-    val faa = ckaFro2(ea, ea).select(col("__fro2").as("__faa"))
-    val fbb = ckaFro2(eb, eb).select(col("__fro2").as("__fbb"))
+    val fab = ckaFro2(ea, eb, symmetric = false)
+      .select(col("__fro2").as("__fab"))
+    val faa = ckaFro2(ea, ea, symmetric = true)
+      .select(col("__fro2").as("__faa"))
+    val fbb = ckaFro2(eb, eb, symmetric = true)
+      .select(col("__fro2").as("__fbb"))
     dims.crossJoin(broadcast(fab)).crossJoin(broadcast(faa))
       .crossJoin(broadcast(fbb))
       .select(col("n_rows"), col("d_a"), col("d_b"),
