@@ -4898,6 +4898,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Duplicate-aware training weights: every near-dup cluster member
+    // weighted 1/csize (SemDeDup/D4 downweighting — each cluster
+    // counts once toward the mixture without dropping rows), with the
+    // per-doc effective token mass; rides the memoized components.
+    "q_dedup_weights" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"),
+        SparkEntry.numMinhashes)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sig, "doc_id", 2), "doc_id")
+      val comp = Cluster.assignClusters(pairs, "id_a", "id_b",
+        docs.select(col("doc_id")), "doc_id")
+      val toks = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Cluster.dedupWeights(comp, toks, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Degree assortativity of the SNM candidate graph — do well-
     // connected docs pair with each other (assortative template
     // families) or with singletons; Newman's r as one exact signed
@@ -11690,6 +11709,28 @@ object SparkEntry {
             CASE WHEN n_spans > 0 THEN ${duckPpm("n_masked", "n_spans")}
               END AS mean_span_len_ppm
           FROM g ORDER BY doc_id""",
+
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE $duckLshPairsCte,
+          e AS (SELECT id_a AS s, id_b AS t FROM lsh_pairs
+                UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.id),
+          comp AS (SELECT id AS doc_id, min(r) AS component
+                   FROM reach GROUP BY id),
+          csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                     FROM comp GROUP BY component),
+          tkw AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+            FROM documents)
+          SELECT c.doc_id, c.component, z.csize, t.n_tokens,
+            ${duckPpm("1", "z.csize")} AS w_ppm,
+            ${duckPpm("t.n_tokens", "z.csize")} AS eff_tokens_ppm
+          FROM comp c JOIN csizes z USING (component)
+          JOIN tkw t USING (doc_id)
+          ORDER BY c.doc_id""",
 
     "q_assortativity" ->
       s"""WITH r AS (SELECT doc_id,

@@ -332,4 +332,28 @@ object Cluster {
       .select(col(idCol), col("component"), col("csize"), col(scoreCol),
         col("keep"))
   }
+
+  /** DUPLICATE-AWARE TRAINING WEIGHTS — the soft alternative to
+    * dropping near-duplicates (the SemDeDup/D4 finding: duplicated
+    * text should count ONCE toward the training distribution, however
+    * many copies the crawl found): every member of a near-dup cluster
+    * gets weight 1/csize, so each cluster contributes exactly one
+    * document's mass and the mixture is dedup-invariant without
+    * discarding any row (copies still add coverage/ordering slack).
+    * `comp` is [[assignClusters]] output; `toks` carries (idCol,
+    * n_tokens). Weights and effective token mass are exact rationals
+    * in ppm. Output: (idCol, component, csize, n_tokens, w_ppm,
+    * eff_tokens_ppm).
+    *
+    * Scale: one id-keyed equi-join over the already-clustered relation
+    * — linear; the cluster chain itself is the memoized
+    * connected-components pass.
+    */
+  def dedupWeights(comp: DataFrame, toks: DataFrame,
+      idCol: String): DataFrame =
+    comp.join(toks, Seq(idCol))
+      .select(col(idCol), col("component"), col("csize"), col("n_tokens"),
+        Stats.fixedPointExact(lit(1L), col("csize")).as("w_ppm"),
+        Stats.fixedPointExact(col("n_tokens"), col("csize"))
+          .as("eff_tokens_ppm"))
 }

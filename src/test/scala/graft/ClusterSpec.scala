@@ -230,4 +230,25 @@ class ClusterSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("integral"))
   }
+
+  test("dedupWeights: each cluster contributes exactly one doc's mass") {
+    // components: {1,2,3} (chain), {4,5}, {6} singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val verts = (1L to 6L).toDF("doc_id")
+    val comp = Cluster.assignClusters(edges, "id_a", "id_b", verts,
+      "doc_id")
+    val toks = Seq((1L, 30L), (2L, 60L), (3L, 90L), (4L, 10L), (5L, 20L),
+      (6L, 7L)).toDF("doc_id", "n_tokens")
+    val got = Cluster.dedupWeights(comp, toks, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("csize"), r.getAs[Long]("w_ppm"),
+          r.getAs[Long]("eff_tokens_ppm")))).toMap
+    assert(got(1L) == ((3L, 333333L, 10000000L)))  // 30/3
+    assert(got(2L) == ((3L, 333333L, 20000000L)))
+    assert(got(4L) == ((2L, 500000L, 5000000L)))
+    assert(got(6L) == ((1L, 1000000L, 7000000L)))
+    // cluster {1,2,3}: weight mass 3 * 1/3 = one document
+    assert(got.filterKeys(Set(1L, 2L, 3L)).values.map(_._2).sum
+      === 999999L) // 3 x 333333 — ppm floor of thirds
+  }
 }
