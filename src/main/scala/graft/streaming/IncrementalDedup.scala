@@ -47,12 +47,48 @@ object IncrementalDedup {
   def step(batch: DataFrame, indexPath: String, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 8,
       rowsPerBand: Int = 2, batchId: Option[Long] = None): DataFrame = {
-    val spark = batch.sparkSession
     val bands = Dedup.lshBands(
       Dedup.minhashSignatureHashed(batch, idCol, textCol, shingleSize,
         numHashes),
       idCol, rowsPerBand)
       .localCheckpoint(true) // consumed 3x below; plan is 2 shuffles deep
+    keyedStep(batch, bands, Seq("band", "band_val"), indexPath, idCol,
+      batchId)
+  }
+
+  /** [[step]] at CHUNK grain: the persistent index holds content-defined
+    * chunk hashes ([[graft.plans.CdcScan]], chunks of at least `minLen`
+    * chars) instead of MinHash bands, so the stream rejects documents
+    * sharing a VERBATIM long span with anything already accepted — the
+    * incremental form of [[graft.functions.Cdc.decontaminate]], with the
+    * same state design (keys on parquet storage, `__batch`-partitioned
+    * replay idempotence, probe excludes the batch's own partition) and
+    * the same in-batch smallest-id resolution per shared chunk.
+    */
+  def cdcStep(batch: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 16,
+      maskBits: Int = 5, minLen: Long = 24L,
+      batchId: Option[Long] = None): DataFrame = {
+    val chunks = batch
+      .select(col(idCol),
+        graft.plans.CdcColumns.cdcChunks(col(textCol), w, maskBits))
+      .filter(col("clen") >= minLen)
+      .select(col(idCol), col("chash")).distinct()
+      .localCheckpoint(true) // consumed 3x below
+    keyedStep(batch, chunks, Seq("chash"), indexPath, idCol, batchId)
+  }
+
+  /** The shared accept/append engine of [[step]] and [[cdcStep]]: `keys`
+    * is the per-document key relation (idCol, keyCols...) whose shared
+    * values define duplication; everything else — fixed-schema index
+    * read, own-partition exclusion, window-min in-batch resolution,
+    * idempotent `__batch` append — is key-agnostic.
+    */
+  private def keyedStep(batch: DataFrame, keys: DataFrame,
+      keyCols: Seq[String], indexPath: String, idCol: String,
+      batchId: Option[Long]): DataFrame = {
+    val spark = batch.sparkSession
+    val bands = keys
 
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,7 +114,7 @@ object IncrementalDedup {
         // plain =!= would evaluate NULL and silently drop it from the
         // probe, accepting duplicates.
         val prior = batchId.fold(idx)(b => idx.filter(!(col("__batch") <=> b)))
-        bands.join(prior, Seq("band", "band_val"), "left_semi")
+        bands.join(prior, keyCols, "left_semi")
           .select(col(idCol))
       }
     // in-batch hits: keep the smallest id per shared bucket, drop the
@@ -88,7 +124,7 @@ object IncrementalDedup {
     // buckets entirely, accepting every copy. The window is linear in
     // bucket size and correct at any occupancy.
     val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_val"))
+      .partitionBy(keyCols.map(col): _*)
     val inBatch = bands
       .withColumn("__min", min(col(idCol)).over(wBucket))
       .filter(col(idCol) > col("__min"))

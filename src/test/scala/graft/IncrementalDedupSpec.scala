@@ -204,4 +204,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // refold below the same bound is a no-op
     assert(IncrementalDedup.checkpointIndex(spark, indexPath, 2L).isEmpty)
   }
+
+  test("cdcStep: verbatim long-span sharers drop, paraphrases pass, " +
+      "replay is idempotent") {
+    val root = TestSpark.tmpDir("inc_cdc")
+    val indexPath = s"$root/index"
+    // batch 1: base, a doc EMBEDDING a verbatim span of base, a distinct
+    // doc, and a doc too short to chunk past minLen
+    val b1 = Seq((1L, base), (2L, s"totally new head then $base tail"),
+      (3L, other)).toDF("doc_id", "text")
+    val a1 = IncrementalDedup.cdcStep(b1, indexPath, maskBits = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1 === Array(1L, 3L)) // 2 shares base's internal chunks
+    // batch 2: cross-batch verbatim reuse drops; a PARAPHRASE (idea
+    // overlap, no exact long span) passes — the grain that separates
+    // cdcStep from the MinHash step
+    val paraphrase = "the fast brown fox leaps over a sleepy dog then " +
+      "sprints far off into deep dark woods while a moon climbs the hill"
+    val b2 = Seq((4L, s"$base with a novel suffix appended"),
+      (5L, paraphrase)).toDF("doc_id", "text")
+    val a2 = IncrementalDedup.cdcStep(b2, indexPath, maskBits = 4,
+        batchId = Some(1L))
+      .select("doc_id").as[Long].collect().sorted
+    assert(a2 === Array(5L))
+    // replay of batch 1's keys cannot self-collide
+    val replay = IncrementalDedup.cdcStep(
+        Seq((6L, third)).toDF("doc_id", "text"), indexPath,
+        maskBits = 4, batchId = Some(2L))
+      .select("doc_id").as[Long].collect()
+    assert(replay === Array(6L))
+    val replay2 = IncrementalDedup.cdcStep(
+        Seq((6L, third)).toDF("doc_id", "text"), indexPath,
+        maskBits = 4, batchId = Some(2L))
+      .select("doc_id").as[Long].collect()
+    assert(replay2 === Array(6L))
+    val idx = spark.read.parquet(indexPath)
+      .select("doc_id").distinct().as[Long].collect().sorted
+    assert(idx === Array(1L, 3L, 5L, 6L))
+  }
 }
