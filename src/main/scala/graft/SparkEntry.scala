@@ -4917,6 +4917,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // The one-row corpus readout of q_dedup_weights: duplicate-aware
+    // EFFECTIVE token count and the inflation factor raw/effective —
+    // "the crawl is X tokens but trains like Y".
+    "q_effective_tokens" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.docShingleIds(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", col("tid"),
+        SparkEntry.numMinhashes)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sig, "doc_id", 2), "doc_id")
+      val comp = Cluster.assignClusters(pairs, "id_a", "id_b",
+        docs.select(col("doc_id")), "doc_id")
+      val toks = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = graft.functions.Cluster.dedupWeights(comp, toks, "doc_id")
+      val agg = w.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("eff_tokens_ppm")).as("eff_tokens_ppm"))
+      agg.select(col("n_docs"), col("n_clusters"), col("total_tokens"),
+        col("eff_tokens_ppm"),
+        when(col("eff_tokens_ppm") > 0,
+          graft.functions.Stats.fixedPointExact(
+            lit(1000000L).cast("decimal(38,0)") * col("total_tokens"),
+            col("eff_tokens_ppm")))
+          .as("inflation_ppm"))
+    },
+
     // Degree assortativity of the SNM candidate graph — do well-
     // connected docs pair with each other (assortative template
     // families) or with singletons; Newman's r as one exact signed
@@ -11731,6 +11759,35 @@ object SparkEntry {
           FROM comp c JOIN csizes z USING (component)
           JOIN tkw t USING (doc_id)
           ORDER BY c.doc_id""",
+
+    "q_effective_tokens" ->
+      s"""WITH RECURSIVE $duckLshPairsCte,
+          e AS (SELECT id_a AS s, id_b AS t FROM lsh_pairs
+                UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.id),
+          comp AS (SELECT id AS doc_id, min(r) AS component
+                   FROM reach GROUP BY id),
+          csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                     FROM comp GROUP BY component),
+          tkw AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          pw AS (SELECT c.doc_id, c.component, t.n_tokens,
+            ${duckPpm("t.n_tokens", "z.csize")} AS eff
+            FROM comp c JOIN csizes z USING (component)
+            JOIN tkw t USING (doc_id)),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(sum(eff) AS BIGINT) AS eff_tokens_ppm FROM pw)
+          SELECT n_docs, n_clusters, total_tokens, eff_tokens_ppm,
+            CASE WHEN eff_tokens_ppm > 0 THEN ${duckPpm(
+              "CAST(1000000 AS HUGEINT) * total_tokens",
+              "eff_tokens_ppm")} END AS inflation_ppm
+          FROM ag""",
 
     "q_assortativity" ->
       s"""WITH r AS (SELECT doc_id,
