@@ -546,6 +546,62 @@ object SparkEntry {
           JOIN lgt ln1 ON ln1.x = grid.n + 1
           JOIN lgt ld ON ld.x = grid.nc + grid.v)"""
 
+  /** DuckDB fragment chain: the NB margin reliability table and its
+    * exact PAV isotonic fit (greatest-convex-minorant characterization,
+    * replaying [[graft.functions.Eval.isotonicCalibrate]] bit for bit).
+    * Emits `iso (bin, n, nc, acc_ppm, cal_ppm)` — shared by the
+    * q_calibrated gate and the q_brier_decomp decomposition so fit and
+    * consumers can never desynchronize.
+    */
+  private def duckIsoCalCte: String =
+    s"""$duckNbChain,
+        sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
+          FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
+        fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
+            sc.s + lp.lq AS score_q,
+            row_number() OVER (PARTITION BY sc.doc_id
+              ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
+          FROM sc JOIN pri ON pri.class = sc.class
+          JOIN lgt lp ON lp.x = pri.nd),
+        mg AS (SELECT f1.doc_id, f1.class AS pred_class,
+            CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
+          FROM fin f1 JOIN fin f2
+            ON f2.doc_id = f1.doc_id AND f2.rn = 2
+          WHERE f1.rn = 1),
+        rel AS MATERIALIZED (SELECT mg.margin_q // 65536 AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS nc
+          FROM mg JOIN documents dd USING (doc_id) GROUP BY 1),
+        cumpts AS MATERIALIZED (SELECT bin, n, nc,
+          CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+          CAST(sum(nc) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+          FROM rel),
+        pts AS MATERIALIZED (SELECT cw, cs FROM cumpts
+          UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        viol AS (SELECT DISTINCT m.cw FROM pts m
+          JOIN pts j ON j.cw < m.cw JOIN pts k ON k.cw > m.cw
+          WHERE CAST(m.cs - j.cs AS HUGEINT) * (k.cw - j.cw) >
+            CAST(k.cs - j.cs AS HUGEINT) * (m.cw - j.cw)),
+        hull AS MATERIALIZED (SELECT * FROM pts
+          WHERE cw NOT IN (SELECT cw FROM viol)),
+        sa AS (SELECT c.bin, h.cw AS wa, h.cs AS sa,
+          row_number() OVER (PARTITION BY c.bin ORDER BY h.cw DESC)
+            AS rn
+          FROM cumpts c JOIN hull h ON h.cw < c.cw),
+        sb AS (SELECT c.bin, h.cw AS wb, h.cs AS sb,
+          row_number() OVER (PARTITION BY c.bin ORDER BY h.cw ASC)
+            AS rn
+          FROM cumpts c JOIN hull h ON h.cw >= c.cw),
+        iso AS MATERIALIZED (SELECT r.bin, r.n, r.nc,
+          ${duckPpm("r.nc", "r.n")} AS acc_ppm,
+          ${duckPpm("sb.sb - sa.sa", "sb.wb - sa.wa")} AS cal_ppm
+          FROM rel r
+          JOIN sa ON sa.bin = r.bin AND sa.rn = 1
+          JOIN sb ON sb.bin = r.bin AND sb.rn = 1)"""
+
   /** DuckDB fragment chain replaying Pca exactly in HUGEINT: quantize →
     * division-free centering → Gram cells → `iters` power-iteration
     * stages (sign-preserving truncated division — positive-operand `//`
@@ -1330,6 +1386,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // t-closeness over the same (event_type, day) quasi-identifier
+    // groups — the distributional leak k/l miss: groups whose spend-band
+    // distribution sits far (EMD > 0.2) from the table's let an observer
+    // sharpen beliefs about members. Bounded-domain cumulative scans.
+    "q_t_closeness" -> { (s, d) =>
+      graft.functions.Quality.tCloseness(
+        Tables.eventsTs(s, d)
+          .select(col("event_type"),
+            date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            least(floor(col("value") / lit(50.0)), lit(9L)).as("band")),
+        Seq("event_type", "day"), "band", thresholdPpm = 200000L)
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Flesch reading ease per document — the classic readability card
     // beside the Gopher-style quality score: words/sentences/syllable
     // (vowel-group) counts collapsed to one exact rational in
@@ -1647,6 +1717,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Damerau-Levenshtein verify over the same SNM candidates — the
+    // transposition-aware metric beside q_editdist_verify's plain
+    // Levenshtein; transposition_gain counts the single-op swaps the
+    // plain metric double-charges (the dominant real typo class).
+    "q_damerau_verify" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      Dedup.verifyDamerau(cand, docs, "doc_id", "text",
+          prefixLen = 80, maxDist = 40)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ROUGE-2 over the SNM candidate pairs (memo-shared generator):
     // clipped bigram-multiset overlap with precision/recall/F in exact
     // ppm — the standard generation/summary eval metric as a verify
@@ -1658,6 +1741,20 @@ object SparkEntry {
           lower(substring(col("text"), 1, 30)), window = 5)
         .select(col("id_a"), col("id_b"))
       graft.functions.Eval.rougeN(cand, docs, "doc_id", "text", n = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Sentence BLEU-4 over the SNM candidates — the classic MT metric
+    // completing the generation-eval deck beside q_rouge2 and q_chrf:
+    // clipped 1..4-gram precisions, add-1 smoothing above unigrams,
+    // brevity penalty; gated in the division-free log domain
+    // (4*log2 BLEU in 2^16 units), FixLog logs, one pair join.
+    "q_bleu4" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          lower(substring(col("text"), 1, 30)), window = 5)
+        .select(col("id_a"), col("id_b"))
+      graft.functions.Eval.bleu4(cand, docs, "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -2192,6 +2289,17 @@ object SparkEntry {
     "q_bm25" -> { (s, d) =>
       graft.functions.Rank.bm25TopDocs(Tables.documents(s, d), "doc_id",
           "text", bm25Query, 20)
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+    },
+
+    // Query-likelihood retrieval with Dirichlet smoothing over the same
+    // query — the language-modeling scorer beside BM25's probabilistic-
+    // relevance one; rank disagreements between the two are the standard
+    // retrieval-stack diagnostic. FixLog logs, broadcast corpus stats,
+    // TakeOrdered top-k — no corpus shuffle.
+    "q_ql_dirichlet" -> { (s, d) =>
+      graft.functions.Rank.qlDirichletTopDocs(Tables.documents(s, d),
+          "doc_id", "text", bm25Query, mu = 64L, k = 20)
         .orderBy(col("score_q").desc, col("doc_id").asc)
     },
 
@@ -2793,6 +2901,15 @@ object SparkEntry {
             graft.plans.FixLog.log2qCol(col("freq")).as("y")),
           "g", "x", "y")
         .select(col("g"), col("n"), col("slope_ppm"), col("intercept_ppm"))
+    },
+
+    // Yule's characteristic K per source — the length-invariant
+    // repeat-rate diversity constant beside q_zipf_slope's rank-law fit
+    // and q_heaps' growth exponent: template floods push K up, id
+    // floods pull it toward 0. One wordcount shuffle, group-sized out.
+    "q_yule_k" -> { (s, d) =>
+      graft.functions.Stats.yuleK(Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))
     },
 
     // Gini coefficient of the source-size mixture — the inequality
@@ -3547,6 +3664,22 @@ object SparkEntry {
           graft.functions.Eval.reliability(pred, "margin_q",
             col("pred_class") === col("lang"), binWidth = 65536L))
         .orderBy(col("bin"))
+    },
+
+    // Murphy decomposition of the Brier score over the calibrated
+    // reliability table — REL (residual miscalibration after PAV) vs
+    // RES (discrimination) vs UNC (base rate), the card separating
+    // "scores can't rank" from "probabilities are off". One row, exact
+    // ppm^2 integers, bin-domain-sized arithmetic end to end.
+    "q_brier_decomp" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.brierDecomposition(
+        graft.functions.Eval.isotonicCalibrate(
+          graft.functions.Eval.reliability(pred, "margin_q",
+            col("pred_class") === col("lang"), binWidth = 65536L)))
     },
 
     // TRUE per-doc perplexity (bits per scored bigram) under the
@@ -5405,6 +5538,47 @@ object SparkEntry {
            count(DISTINCT user_id) < 3 AS l_risk
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
 
+    "q_t_closeness" ->
+      s"""WITH rws AS (SELECT event_type,
+            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+            CAST(least(floor("value" / 50.0), 9.0) AS BIGINT) AS v
+          FROM events),
+          cnt AS (SELECT event_type, day, v,
+            CAST(count(*) AS BIGINT) AS c FROM rws GROUP BY 1, 2, 3),
+          gcnt AS (SELECT v, CAST(count(*) AS BIGINT) AS cg
+            FROM rws GROUP BY 1),
+          dom AS (SELECT v, CAST(sum(cg) OVER (ORDER BY v ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg
+            FROM gcnt),
+          tot AS (SELECT CAST(sum(cg) AS BIGINT) AS n_all,
+            CAST(count(*) AS BIGINT) AS d FROM gcnt),
+          grp AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS ng
+            FROM cnt GROUP BY 1, 2),
+          grid AS (SELECT g.event_type, g.day, g.ng, dm.v, dm.cumg,
+            coalesce(c.c, CAST(0 AS BIGINT)) AS c
+            FROM grp g CROSS JOIN dom dm
+            LEFT JOIN cnt c ON c.event_type = g.event_type
+              AND c.day = g.day AND c.v = dm.v),
+          cum AS (SELECT event_type, day, ng, v, cumg,
+            CAST(sum(c) OVER (PARTITION BY event_type, day ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cgrp
+            FROM grid),
+          agg AS (SELECT event_type, day, max(ng) AS n,
+            max(tot.n_all) AS n_all, max(tot.d) AS d,
+            sum(abs(CAST(cgrp AS HUGEINT) * tot.n_all
+              - CAST(cumg AS HUGEINT) * ng)) AS tnum
+            FROM cum CROSS JOIN tot GROUP BY 1, 2),
+          fin AS (SELECT event_type, day, n,
+            CAST(tnum AS BIGINT) AS t_num,
+            CASE WHEN d <= 1 THEN CAST(0 AS BIGINT)
+              ELSE ${duckPpm("tnum",
+                "CAST(n AS HUGEINT) * n_all * (d - 1)")} END AS t_ppm
+            FROM agg)
+          SELECT event_type, day, n, t_num, t_ppm,
+            t_ppm > 200000 AS t_risk
+          FROM fin ORDER BY event_type, day""",
+
     "q_readability" ->
       s"""WITH t AS (SELECT doc_id,
             CAST(len(${duckToks("text")}) AS BIGINT) AS n_words,
@@ -6030,6 +6204,72 @@ object SparkEntry {
             ${duckPpm("2 * n_overlap", "n_cand + n_ref")} AS rouge_f_ppm
           FROM fin ORDER BY id_a, id_b""",
 
+    "q_bleu4" -> {
+      val bp = s"""CASE WHEN k.c >= k.r THEN 0
+        ELSE -${duckPpm("(k.r - k.c) * 378192", "k.c", 1)} END"""
+      val gramStreams = (1 to 4).map { nn =>
+        s"""SELECT doc_id, $nn AS n,
+            unnest(list_transform(range(1, len(tk) + ${2 - nn}),
+              i -> array_to_string(tk[i:i+${nn - 1}], ' '))) AS gram
+            FROM tk WHERE len(tk) >= $nn"""
+      }.mkString("\n            UNION ALL ")
+      val mCols = (1 to 4).map(nn =>
+        s"max(CASE WHEN pp.n = $nn THEN pp.m END) AS m$nn").mkString(", ")
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn
+          FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          tk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+          gr AS ($gramStreams),
+          g AS (SELECT doc_id, n, ${duckPolyId("gram")} AS g FROM gr),
+          gc AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY 1, 2, 3),
+          tt AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS t
+            FROM gc GROUP BY 1, 2),
+          ov AS (SELECT c.id_a, c.id_b, ga.n,
+            CAST(sum(least(ga.c, gb.c)) AS BIGINT) AS m
+            FROM cand c
+            JOIN gc ga ON ga.doc_id = c.id_a
+            JOIN gc gb ON gb.doc_id = c.id_b AND gb.n = ga.n
+              AND gb.g = ga.g
+            GROUP BY 1, 2, 3),
+          pp AS (SELECT c.id_a, c.id_b, ta.n,
+            coalesce(ov.m, CAST(0 AS BIGINT)) AS m,
+            CASE WHEN ta.n = 1 THEN coalesce(ov.m, CAST(0 AS BIGINT))
+              ELSE coalesce(ov.m, CAST(0 AS BIGINT)) + 1 END AS num,
+            CASE WHEN ta.n = 1 THEN ta.t ELSE ta.t + 1 END AS den
+            FROM cand c
+            JOIN tt ta ON ta.doc_id = c.id_a
+            LEFT JOIN ov ON ov.id_a = c.id_a AND ov.id_b = c.id_b
+              AND ov.n = ta.n),
+          keep AS MATERIALIZED (SELECT c.id_a, c.id_b,
+            ca.t AS c, rb.t AS r
+            FROM cand c
+            JOIN tt ca ON ca.doc_id = c.id_a AND ca.n = 1
+            JOIN tt rb ON rb.doc_id = c.id_b AND rb.n = 1
+            JOIN pp p1 ON p1.id_a = c.id_a AND p1.id_b = c.id_b
+              AND p1.n = 1
+            WHERE ca.t >= 4 AND rb.t >= 1 AND p1.m >= 1),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT num AS x FROM pp SEMI JOIN keep USING (id_a, id_b)
+            UNION
+            SELECT den FROM pp SEMI JOIN keep USING (id_a, id_b))),
+          $duckLog2Chain,
+          sq AS (SELECT pp.id_a, pp.id_b,
+            CAST(sum(l1.lq - l2.lq) AS BIGINT) AS s, $mCols
+            FROM pp SEMI JOIN keep USING (id_a, id_b)
+            JOIN lgt l1 ON l1.x = pp.num
+            JOIN lgt l2 ON l2.x = pp.den
+            GROUP BY 1, 2)
+          SELECT k.id_a, k.id_b, k.c, k.r, sq.m1, sq.m2, sq.m3, sq.m4,
+            CAST(sq.s + $bp AS BIGINT) AS bleu_log2x4_q,
+            CAST(sq.s + $bp AS DOUBLE) / 262144.0 AS bleu_log2
+          FROM keep k JOIN sq ON sq.id_a = k.id_a AND sq.id_b = k.id_b
+          ORDER BY k.id_a, k.id_b"""
+    },
+
     "q_editdist_verify" ->
       """WITH r AS (SELECT doc_id, lower(substring(text, 1, 30)) AS key,
             row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
@@ -6043,6 +6283,25 @@ object SparkEntry {
           FROM cand c JOIN p pa ON pa.doc_id = c.id_a
           JOIN p pb ON pb.doc_id = c.id_b
           WHERE levenshtein(pa.pfx, pb.pfx) <= 40
+          ORDER BY id_a, id_b""",
+
+    "q_damerau_verify" ->
+      """WITH r AS (SELECT doc_id, lower(substring(text, 1, 30)) AS key,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn
+          FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          p AS (SELECT doc_id, substring(text, 1, 80) AS pfx FROM documents)
+          SELECT c.id_a, c.id_b,
+            CAST(damerau_levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS dist,
+            CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS lev_dist,
+            CAST(levenshtein(pa.pfx, pb.pfx)
+              - damerau_levenshtein(pa.pfx, pb.pfx) AS BIGINT)
+              AS transposition_gain
+          FROM cand c JOIN p pa ON pa.doc_id = c.id_a
+          JOIN p pb ON pb.doc_id = c.id_b
+          WHERE damerau_levenshtein(pa.pfx, pb.pfx) <= 40
           ORDER BY id_a, id_b""",
 
     "q_blocker_recall" ->
@@ -6915,6 +7174,36 @@ object SparkEntry {
             CAST(score_q AS DOUBLE) / 1000000.0 AS score
           FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 20"""),
 
+    "q_ql_dirichlet" -> (duckBm25Cte +
+      s""", cfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY 1),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT tf.tf * tot.t_tokens + 64 * cfq.cf AS x
+              FROM tf JOIN cfq USING (term) CROSS JOIN tot
+            UNION SELECT 64 * cf FROM cfq
+            UNION SELECT (lens.dl + 64) * tot.t_tokens
+              FROM lens CROSS JOIN tot)),
+          $duckLog2Chain,
+          pos AS (SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+              CAST(sum(l1.lq - l2.lq) AS BIGINT) AS p
+            FROM tf JOIN cfq USING (term) CROSS JOIN tot
+            JOIN lgt l1 ON l1.x = tf.tf * tot.t_tokens + 64 * cfq.cf
+            JOIN lgt l2 ON l2.x = 64 * cfq.cf
+            GROUP BY 1),
+          k0 AS (SELECT CAST(sum(lg.lq) AS BIGINT) AS k0,
+              CAST(count(*) AS BIGINT) AS nq
+            FROM cfq JOIN lgt lg ON lg.x = 64 * cfq.cf),
+          scq AS (SELECT lens.doc_id,
+              coalesce(pos.n_terms, CAST(0 AS BIGINT)) AS n_terms,
+              CAST(coalesce(pos.p, 0) + k0.k0 - k0.nq * ld.lq AS BIGINT)
+                AS score_q
+            FROM lens CROSS JOIN tot CROSS JOIN k0
+            JOIN lgt ld ON ld.x = (lens.dl + 64) * tot.t_tokens
+            LEFT JOIN pos ON pos.doc_id = lens.doc_id)
+          SELECT doc_id, n_terms, score_q,
+            CAST(score_q AS DOUBLE) / 65536.0 AS score
+          FROM scq ORDER BY score_q DESC, doc_id ASC LIMIT 20"""),
+
     "q_exposure_parity" -> (duckBm25Cte +
       s""", top AS (SELECT doc_id, row_number() OVER
             (ORDER BY score_q DESC, doc_id ASC) AS rnk
@@ -7758,6 +8047,22 @@ object SparkEntry {
               ELSE ${duckPpm("sy * sxx - sx * sxy", "n * sxx - sx * sx")}
             END AS intercept_ppm
           FROM s""",
+
+    "q_yule_k" ->
+      s"""WITH tf AS (SELECT source, word,
+            CAST(count(*) AS BIGINT) AS m
+            FROM (SELECT source, unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+          agg AS (SELECT source, CAST(sum(m) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            sum(CAST(m AS HUGEINT) * m) AS s2
+            FROM tf GROUP BY 1)
+          SELECT source, n_tokens, n_types, CAST(s2 AS BIGINT) AS sum_m2,
+            ${duckPpm("10000 * (s2 - n_tokens)",
+              "CAST(n_tokens AS HUGEINT) * n_tokens", 1000)}
+              AS yule_k_milli
+          FROM agg ORDER BY source""",
 
     "q_mix_gini" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
@@ -9234,54 +9539,31 @@ object SparkEntry {
     // over the cumulative (weight, correct) points: chord predicate in
     // HUGEINT, segment slopes in exact ppm.
     "q_calibrated" ->
-      s"""WITH $duckNbChain,
-          sc AS (SELECT td.doc_id, w.class, sum(w.w_q) AS s
-            FROM td JOIN wts w ON w.token = td.token GROUP BY 1, 2),
-          fin AS MATERIALIZED (SELECT sc.doc_id, sc.class,
-              sc.s + lp.lq AS score_q,
-              row_number() OVER (PARTITION BY sc.doc_id
-                ORDER BY sc.s + lp.lq DESC, sc.class ASC) AS rn
-            FROM sc JOIN pri ON pri.class = sc.class
-            JOIN lgt lp ON lp.x = pri.nd),
-          mg AS (SELECT f1.doc_id, f1.class AS pred_class,
-              CAST(f1.score_q - f2.score_q AS BIGINT) AS margin_q
-            FROM fin f1 JOIN fin f2
-              ON f2.doc_id = f1.doc_id AND f2.rn = 2
-            WHERE f1.rn = 1),
-          rel AS MATERIALIZED (SELECT mg.margin_q // 65536 AS bin,
-            CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(CASE WHEN mg.pred_class = dd.lang THEN 1 ELSE 0 END)
-              AS BIGINT) AS nc
-            FROM mg JOIN documents dd USING (doc_id) GROUP BY 1),
-          cumpts AS MATERIALIZED (SELECT bin, n, nc,
-            CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-              PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
-            CAST(sum(nc) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-              PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
-            FROM rel),
-          pts AS MATERIALIZED (SELECT cw, cs FROM cumpts
-            UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-          viol AS (SELECT DISTINCT m.cw FROM pts m
-            JOIN pts j ON j.cw < m.cw JOIN pts k ON k.cw > m.cw
-            WHERE CAST(m.cs - j.cs AS HUGEINT) * (k.cw - j.cw) >
-              CAST(k.cs - j.cs AS HUGEINT) * (m.cw - j.cw)),
-          hull AS MATERIALIZED (SELECT * FROM pts
-            WHERE cw NOT IN (SELECT cw FROM viol)),
-          sa AS (SELECT c.bin, h.cw AS wa, h.cs AS sa,
-            row_number() OVER (PARTITION BY c.bin ORDER BY h.cw DESC)
-              AS rn
-            FROM cumpts c JOIN hull h ON h.cw < c.cw),
-          sb AS (SELECT c.bin, h.cw AS wb, h.cs AS sb,
-            row_number() OVER (PARTITION BY c.bin ORDER BY h.cw ASC)
-              AS rn
-            FROM cumpts c JOIN hull h ON h.cw >= c.cw)
-          SELECT r.bin, r.n, r.nc AS n_correct,
-            ${duckPpm("r.nc", "r.n")} AS acc_ppm,
-            ${duckPpm("sb.sb - sa.sa", "sb.wb - sa.wa")} AS cal_ppm
-          FROM rel r
-          JOIN sa ON sa.bin = r.bin AND sa.rn = 1
-          JOIN sb ON sb.bin = r.bin AND sb.rn = 1
-          ORDER BY r.bin""",
+      s"""WITH $duckIsoCalCte
+          SELECT bin, n, nc AS n_correct, acc_ppm, cal_ppm
+          FROM iso ORDER BY bin""",
+
+    "q_brier_decomp" ->
+      s"""WITH $duckIsoCalCte,
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+              CAST(sum(nc) AS BIGINT) AS nnc FROM iso),
+          ob AS (SELECT nn, ${duckPpm("nnc", "nn")} AS obar FROM tot),
+          ag AS (SELECT
+              sum(CAST(n AS HUGEINT) * (cal_ppm - acc_ppm)
+                * (cal_ppm - acc_ppm)) AS relnum,
+              sum(CAST(n AS HUGEINT) * (acc_ppm - ob.obar)
+                * (acc_ppm - ob.obar)) AS resnum
+            FROM iso CROSS JOIN ob)
+          SELECT ob.nn AS n, ob.obar AS base_ppm,
+            ${duckPpm("ag.relnum", "ob.nn", 1)} AS rel_ppm2,
+            ${duckPpm("ag.resnum", "ob.nn", 1)} AS res_ppm2,
+            ${duckPpm("ob.obar * (1000000 - ob.obar)", "1000000", 1)}
+              AS unc_ppm2,
+            ${duckPpm("ag.relnum", "ob.nn", 1)}
+              - ${duckPpm("ag.resnum", "ob.nn", 1)}
+              + ${duckPpm("ob.obar * (1000000 - ob.obar)", "1000000", 1)}
+              AS brier_ppm2
+          FROM ob CROSS JOIN ag""",
 
     "q_perceptron" -> {
       // Unrolled training rounds, generated: round r scores under

@@ -1196,4 +1196,41 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Damerau–Levenshtein verify stage beside [[verifyEditDistance]]:
+    * the same candidate x bounded-prefix discipline, scored with the
+    * TRUE transposition-aware metric ([[graft.plans.Damerau]]) next to
+    * plain Levenshtein — `transposition_gain` (lev − dl) is the count
+    * of single-op transpositions plain edit distance double-charged,
+    * the typo class that dominates real linkage corpora (Damerau
+    * 1964). Pairs are kept by the DL threshold, so near-misses that
+    * only transpositions rescue ENTER the match set here while
+    * [[verifyEditDistance]] at the same threshold drops them.
+    *
+    * Scale shape: two id-equi-joins fan the bounded prefixes onto the
+    * candidate pairs; the O(prefixLen^2) kernel runs scan-stage per
+    * pair (codegen'd) — candidates x prefix^2 cost, never corpus x
+    * full-text^2. Output: (id_a, id_b, dist, lev_dist,
+    * transposition_gain), DL-threshold-filtered.
+    */
+  def verifyDamerau(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val p = docs.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(p.select(col(idCol).as("id_a"), col("__pfx").as("__pa")),
+        Seq("id_a"))
+      .join(p.select(col(idCol).as("id_b"), col("__pfx").as("__pb")),
+        Seq("id_b"))
+      .withColumn("dist",
+        graft.plans.Damerau.damerau(col("__pa"), col("__pb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("lev_dist",
+        levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .select(col("id_a"), col("id_b"), col("dist"), col("lev_dist"),
+        (col("lev_dist") - col("dist")).as("transposition_gain"))
+  }
 }

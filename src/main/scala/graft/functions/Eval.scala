@@ -123,6 +123,75 @@ object Eval {
           col("n_cand") + col("n_ref")).as("rouge_f_ppm"))
   }
 
+  /** Sentence BLEU-4 between candidate/reference pairs (Papineni et
+    * al. 2002) — the classic MT/generation metric completing the eval
+    * deck beside [[rougeN]] (recall-oriented) and [[chrF]]
+    * (character-level): clipped modified n-gram precisions p_1..p_4,
+    * add-1 smoothing on the higher orders (Lin & Och 2004 — a zero
+    * 4-gram match must dampen, not annihilate), and the brevity
+    * penalty min(1, e^(1-r/c)).
+    *
+    * No-libm discipline: the gated score is the LOG-domain integer
+    *
+    *   bleu_log2x4_q = sum_{n=1..4} [log2q(num_n) - log2q(den_n)]
+    *                   + bp4_q
+    *
+    * (= 4·log2(BLEU) in 2^16 units) with num_1 = m_1, den_1 = t_1,
+    * num_n = m_n+1, den_n = t_n+1 for n >= 2, and bp4_q = 0 when
+    * c >= r else -round((r-c)·4·log2(e)·2^16 / c) (one exact
+    * half-away rounding, [[Stats.fixedPointExact]] at scale 1; the
+    * log2(e) constant is the shared integer 94548). Summing the four
+    * log-ratios instead of averaging keeps the whole score
+    * division-free except BP — no floor-vs-truncate divergence
+    * anywhere. The convenience double `bleu_log2` = q/(4·2^16).
+    *
+    * Gram counting rides the compiled occurrence-indexed hashed sets
+    * ([[graft.plans.RougeGramSetExpr]], one scan-stage pass per
+    * order); the clipped overlap is one array_intersect per order.
+    * Pairs need c >= 4 (all four orders defined) and m_1 >= 1 (BLEU
+    * is 0 = log -inf otherwise) — others drop, documented.
+    * Output: (id_a, id_b, c, r, m1..m4, bleu_log2x4_q, bleu_log2).
+    *
+    * Scale: scan-stage gram sets, ONE pair join shipping the four
+    * arrays per side — [[rougeN]]'s shape; candidates-bounded.
+    */
+  def bleu4(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val Log2eQ4 = 378192L // 4 * round(log2(e) * 2^16)
+    def gset(nn: Int) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.RougeGramSetExpr(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)), nn))
+    val sets = docs.select(
+      col(idCol) +: (1 to 4).map(nn => gset(nn).as(s"__g$nn")): _*)
+    val lg = graft.plans.FixLog.log2qCol _
+    val joined = pairs.select(col("id_a"), col("id_b"))
+      .join(sets.select(col(idCol).as("id_a") +:
+        (1 to 4).map(nn => col(s"__g$nn").as(s"__a$nn")): _*), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b") +:
+        (1 to 4).map(nn => col(s"__g$nn").as(s"__b$nn")): _*), Seq("id_b"))
+      .withColumn("c", size(col("__a1")).cast("long"))
+      .withColumn("r", size(col("__b1")).cast("long"))
+      .filter(col("c") >= 4L && col("r") >= 1L)
+    val withM = (1 to 4).foldLeft(joined) { (df, nn) =>
+      df.withColumn(s"m$nn",
+        size(array_intersect(col(s"__a$nn"), col(s"__b$nn"))).cast("long"))
+        .withColumn(s"__t$nn", size(col(s"__a$nn")).cast("long"))
+    }.filter(col("m1") >= 1L)
+    val s = (1 to 4).map { nn =>
+      if (nn == 1) lg(col("m1")) - lg(col("__t1"))
+      else lg(col(s"m$nn") + 1L) - lg(col(s"__t$nn") + 1L)
+    }.reduce(_ + _)
+    val bp4 = when(col("c") >= col("r"), lit(0L))
+      .otherwise(-Stats.fixedPointExact(
+        (col("r") - col("c")) * lit(Log2eQ4), col("c"), scale = 1L))
+    withM.select(
+      Seq(col("id_a"), col("id_b"), col("c"), col("r")) ++
+        (1 to 4).map(nn => col(s"m$nn")) :+
+        (s + bp4).as("bleu_log2x4_q"): _*)
+      .withColumn("bleu_log2", col("bleu_log2x4_q").cast("double") / 262144.0)
+  }
+
   /** chrF between candidate/reference pairs (Popović, WMT 2015) — the
     * CHARACTER n-gram F_β companion of [[rougeN]], the MT/generation
     * eval metric that survives tokenizer and morphology differences
@@ -525,6 +594,58 @@ object Eval {
         Stats.fixedPointExact(col("n_correct"), col("n")).as("acc_ppm"),
         Stats.fixedPointExact(col("__b.__Sb") - col("__a.__Sa"),
           col("__b.__Wb") - col("__a.__Wa")).as("cal_ppm"))
+  }
+
+  /** MURPHY DECOMPOSITION of the Brier score over the calibrated
+    * reliability table (Murphy 1973): with the isotonic fit's cal_ppm
+    * as the forecast probability f_b and each bin's empirical accuracy
+    * o_b,
+    *
+    *   BS = REL - RES + UNC,
+    *   REL = (1/N) sum_b n_b (f_b - o_b)^2   (residual miscalibration
+    *                                          after the PAV pooling),
+    *   RES = (1/N) sum_b n_b (o_b - obar)^2  (resolution/discrimination),
+    *   UNC = obar (1 - obar)                 (base-rate uncertainty)
+    *
+    * — the card separating "the scores can't rank" (low RES) from "the
+    * probabilities are off" (high REL). Raw classifier margins aren't
+    * probabilities, so graft decomposes the CALIBRATED forecaster —
+    * REL measures what survives PAV (within-segment deviation, plus
+    * ppm rounding), the honest residual.
+    *
+    * All terms are exact integers in ppm^2 units (ppm inputs, decimal-
+    * widened squares, [[Stats.fixedPointExact]] at scale 1 for the
+    * weighted means; round-half rendering). Input: an
+    * [[isotonicCalibrate]] frame (bin, n, n_correct, acc_ppm,
+    * cal_ppm) — bin-domain-sized, so every aggregate here is bounded
+    * regardless of corpus size (one broadcast totals row, no windows).
+    * Output: one row (n, base_ppm, rel_ppm2, res_ppm2, unc_ppm2,
+    * brier_ppm2).
+    */
+  def brierDecomposition(cal: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = broadcast(cal.agg(sum(col("n")).as("__N"),
+        sum(col("n_correct")).as("__NC"))
+      .select(col("__N"),
+        Stats.fixedPointExact(col("__NC"), col("__N")).as("__obar")))
+    cal.crossJoin(tot)
+      .agg(max(col("__N")).as("n"), max(col("__obar")).as("base_ppm"),
+        sum((col("cal_ppm") - col("acc_ppm")).cast(dec) *
+          (col("cal_ppm") - col("acc_ppm")).cast(dec) * col("n"))
+          .as("__rel"),
+        sum((col("acc_ppm") - col("__obar")).cast(dec) *
+          (col("acc_ppm") - col("__obar")).cast(dec) * col("n"))
+          .as("__res"))
+      .select(col("n"), col("base_ppm"),
+        Stats.fixedPointExact(col("__rel"), col("n"), scale = 1L)
+          .as("rel_ppm2"),
+        Stats.fixedPointExact(col("__res"), col("n"), scale = 1L)
+          .as("res_ppm2"),
+        Stats.fixedPointExact(
+          col("base_ppm") * (lit(1000000L) - col("base_ppm")),
+          lit(1000000L), scale = 1L).as("unc_ppm2"))
+      .withColumn("brier_ppm2",
+        col("rel_ppm2") - col("res_ppm2") + col("unc_ppm2"))
   }
 
   /** Reliability (calibration) table: predictions bucketed by an

@@ -310,6 +310,73 @@ object Quality {
         (col("n") < k).as("k_risk"), (col("l") < l).as("l_risk")): _*)
   }
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the
+    * release screen [[kAnonymity]] still misses: a quasi-identifier
+    * group can be large (k holds) and diverse (l holds) yet SKEWED —
+    * its sensitive-value distribution far from the table's — letting
+    * an observer sharpen beliefs about every member. t is the earth
+    * mover's distance between the group's and the global sensitive
+    * distribution over the ORDERED value domain with unit ground
+    * distance (the paper's numeric-attribute form):
+    *
+    *   t = sum_v |C_g(v)/n_g - C(v)/N| / (D - 1)
+    *
+    * (C = cumulative counts, D = domain size) — computed as the exact
+    * integer rational sum_v |C_g(v)*N - C(v)*n_g| / (n_g*N*(D-1)),
+    * decimal-widened, rendered as t_ppm; `t_risk` flags groups above
+    * `thresholdPpm`. Degenerate single-value domains render t = 0.
+    * The sensitive column must be integer-ordinal (bucket upstream).
+    *
+    * Scale shape: one (QI, value) count shuffle with map-side combine;
+    * the cumulative sums ride the BOUNDED value domain (global: one
+    * domain-sized window; per group: a domain-bounded partition window
+    * over the groups x domain grid) — never corpus rows. The grid is
+    * groups x domain, both aggregate-sized; the domain table is one
+    * broadcast.
+    * Output: (qiCols..., n, t_num, t_ppm, t_risk), t_num the exact
+    * EMD numerator.
+    */
+  def tCloseness(df: org.apache.spark.sql.DataFrame, qiCols: Seq[String],
+      sensitiveCol: String,
+      thresholdPpm: Long): org.apache.spark.sql.DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must not be empty")
+    require(thresholdPpm >= 0,
+      s"thresholdPpm must be >= 0, got $thresholdPpm")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val qi = qiCols.map(col)
+    val rows = df.select(qi :+ col(sensitiveCol).cast("long").as("__v"): _*)
+    val cnt = rows.groupBy(qi :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val glob = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cg"))
+    val wg = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // domain-bounded global window (the binned-KS discipline)
+    val dom = glob.withColumn("__cumall", sum(col("__cg")).over(wg))
+      .select(col("__v"), col("__cumall"))
+    val tot = broadcast(glob.agg(sum(col("__cg")).as("__N"),
+      count(lit(1)).as("__D")))
+    val groups = cnt.groupBy(qi: _*).agg(sum(col("__c")).as("__ng"))
+    val grid = groups.crossJoin(broadcast(dom))
+      .join(cnt, qiCols :+ "__v", "left")
+    val wgrp = Window.partitionBy(qi: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__cumgrp", sum(coalesce(col("__c"), lit(0L))).over(wgrp))
+      .crossJoin(tot)
+      .groupBy(qi: _*)
+      .agg(max(col("__ng")).as("n"), max(col("__N")).as("__N2"),
+        max(col("__D")).as("__D2"),
+        sum(abs(col("__cumgrp").cast(dec) * col("__N") -
+          col("__cumall").cast(dec) * col("__ng"))).as("t_num_d"))
+      .select(qi ++ Seq(col("n"), col("t_num_d").cast("long").as("t_num"),
+        when(col("__D2") <= 1L, lit(0L)).otherwise(
+          Stats.fixedPointExact(col("t_num_d"),
+            col("n").cast(dec) * col("__N2").cast(dec) *
+              (col("__D2") - 1L).cast(dec))).as("t_ppm")): _*)
+      .withColumn("t_risk", col("t_ppm") > thresholdPpm)
+  }
+
   /** Per-document CHARACTER ENTROPY in bits/char — the compressibility
     * proxy of the quality suite (gzip-ratio's deterministic stand-in):
     * near-zero flags repeated-character/template floods, natural text

@@ -85,6 +85,84 @@ object Rank {
       idCol, k)
   }
 
+  /** Top-`k` documents by QUERY-LIKELIHOOD with Dirichlet smoothing
+    * (Zhai & Lafferty 2001) — the language-modeling retrieval scorer
+    * beside [[bm25TopDocs]]'s probabilistic-relevance one (the two
+    * classic lexical families; their rank disagreements are the
+    * standard retrieval-stack diagnostic):
+    *
+    *   score(q, d) = sum_{w in q} log P(w|d),
+    *   P(w|d) = (tf_{w,d} + mu * cf_w / C) / (dl_d + mu)
+    *
+    * with cf_w the corpus frequency, C total corpus tokens, mu the
+    * Dirichlet prior mass. Logs are the house 2^16-quantized
+    * [[graft.plans.FixLog.log2q]] (no libm), each term's log taken of
+    * the cleared-denominator rational:
+    *
+    *   log2 P(w|d) ~ log2q(tf*C + mu*cf_w) - log2q((dl+mu)*C)
+    *
+    * so score_q = sum over matched terms of log2q(tf*C + mu*cf_w)
+    * minus the analytic remainder — UNMATCHED terms contribute their
+    * smoothing floor log2q(mu*cf_w) without materializing a doc x term
+    * grid: score_q = pos + K0 - nq*log2q((dl+mu)*C), with
+    * pos = sum_{tf>0} [log2q(tf*C + mu*cf_w) - log2q(mu*cf_w)] and
+    * K0 = sum_{w in q} log2q(mu*cf_w) a broadcast constant. Query
+    * terms absent from the corpus drop out (their P(w|C) = 0 floor
+    * would send every document to -inf alike).
+    *
+    * Scale design mirrors BM25: the token scan is cut to the query
+    * vocabulary before any shuffle, doc lengths ride the codegen'd
+    * token counter, cf/C/K0 are broadcast one-row aggregates, every
+    * document's score is one partial-aggregable sum + scan-stage
+    * arithmetic, and the top-k is a TakeOrdered — no corpus-sized
+    * shuffle. Bound check: tf*C + mu*cf stays under 10^18 up to
+    * C ~ 10^13 tokens with tf <= 10^4 (and log2q takes a long).
+    *
+    * Output: (idCol, n_terms, score_q, score), ordered
+    * (score_q desc, id asc); score = score_q / 2^16 in bits.
+    */
+  def qlDirichletTopDocs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], mu: Long, k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(mu >= 1, s"mu must be >= 1, got $mu")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lg: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      graft.plans.FixLog.log2qCol
+    val lens = docs.select(col(idCol),
+      Text.tokenCount(col(textCol)).cast("long").as("dl"))
+    val totals = broadcast(lens.agg(
+      sum(col("dl")).cast("long").as("t_tokens")))
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val cf = broadcast(tf.groupBy(col("term"))
+      .agg(sum(col("tf")).cast("long").as("cf")))
+    val pos = tf.join(cf, Seq("term")).crossJoin(totals)
+      .select(col(idCol),
+        (lg(col("tf") * col("t_tokens") + lit(mu) * col("cf")) -
+          lg(lit(mu) * col("cf"))).as("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("__t")).as("__pos"))
+    val k0 = broadcast(cf.agg(
+      sum(lg(lit(mu) * col("cf"))).as("__k0"),
+      count(lit(1)).cast("long").as("__nq")))
+    lens.crossJoin(totals).crossJoin(k0)
+      .join(pos, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        (coalesce(col("__pos"), lit(0L)) + col("__k0") -
+          col("__nq") * lg((col("dl") + lit(mu)) * col("t_tokens")))
+          .cast("long").as("score_q"))
+      .withColumn("score", col("score_q").cast("double") / 65536.0)
+      .orderBy(col("score_q").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_terms"), col("score_q"), col("score"))
+  }
+
   /** Pseudo-relevance-feedback QUERY EXPANSION (the RM1/RM3 family,
     * Lavrenko & Croft 2001, with the BM25 score as the document
     * weight): score the corpus for the seed query, take the top

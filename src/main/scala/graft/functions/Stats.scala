@@ -1050,6 +1050,47 @@ object Stats {
         col("gini_den").cast("double"), 6))
   }
 
+  /** YULE'S CHARACTERISTIC K per group — the repeat-rate lexical
+    * diversity constant (Yule 1944, "The Statistical Study of Literary
+    * Vocabulary"): K = 10^4 * (S2 - N) / N^2 over the group's token
+    * frequency spectrum, with S2 = sum over types of m^2 (m = type
+    * frequency) and N = token count. Unlike type-token ratio, K is
+    * length-invariant under the Poisson urn model — the property that
+    * makes it the CROSS-SOURCE comparability card of the corpus QA
+    * deck: template/boilerplate floods (few types, hammered) push K
+    * up by orders of magnitude, id/hash floods (every token fresh)
+    * pull it toward 0, natural prose sits in a stable band. Rendered
+    * as the exact integer yule_k_milli = round(1000*K)
+    * ([[fixedPointExact]] at scale 1000 over the (10^4*(S2-N), N^2)
+    * rational — decimal-widened, overflow-proof at any corpus size).
+    * Vocabulary contract: [a-z]+ word types, the engine's NB/zipf
+    * token universe.
+    *
+    * Scale shape: one (group, token) wordcount shuffle with map-side
+    * combine, then a group-sized collapse — linear, no windows, no
+    * driver round-trip.
+    * Output: (groupCol, n_tokens, n_types, sum_m2, yule_k_milli).
+    */
+  def yuleK(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tf = docs
+      .select(col(groupCol), explode(Text.tokens(col(textCol))).as("__w"))
+      .where(col("__w").rlike("^[a-z]+$"))
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__m"))
+    tf.groupBy(col(groupCol))
+      .agg(sum(col("__m")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__m").cast(dec) * col("__m").cast(dec)).as("__s2"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("__s2").cast("long").as("sum_m2"),
+        fixedPointExact(
+          lit(10000L).cast(dec) * (col("__s2") - col("n_tokens").cast(dec)),
+          col("n_tokens").cast(dec) * col("n_tokens").cast(dec),
+          scale = 1000L).as("yule_k_milli"))
+  }
+
   /** Per-group ordinary least squares of integer y on integer x —
     * closed-form normal equations with every product exact:
     * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),

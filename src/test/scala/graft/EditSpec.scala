@@ -95,4 +95,34 @@ class EditSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(capped.subsetOf(uncapped))
   }
+
+  test("damerau: true DL distances (unrestricted transpositions)") {
+    import graft.plans.Damerau.distance
+    assert(distance("", "") == 0)
+    assert(distance("abc", "") == 3 && distance("", "abc") == 3)
+    assert(distance("abc", "abc") == 0)
+    assert(distance("ab", "ba") == 1)        // one transposition
+    assert(distance("recieve", "receive") == 1) // lev would say 2
+    // the unrestricted case OSA gets wrong: ca -> ac -> abc
+    assert(distance("ca", "abc") == 2)
+    assert(distance("abcdef", "abcfed") == 2)
+    assert(distance("kitten", "sitting") == 3) // degenerates to lev
+  }
+
+  test("damerau column kernel: dl <= lev on every pair, gain counted") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "teh quick brown fox"),   // one transposition
+      (3L, "the quick brwon fxo")    // two transpositions
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.functions.Dedup.verifyDamerau(cand, docs, "doc_id",
+        "text", prefixLen = 80, maxDist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, 2L)) == ((1L, 2L, 1L)))
+    assert(got((1L, 3L)) == ((2L, 4L, 2L)))
+    assert(got.values.forall { case (dl, lev, gain) =>
+      dl <= lev && gain == lev - dl })
+  }
 }

@@ -543,4 +543,70 @@ class EvalSpec extends AnyFunSuite {
     val allPos = Seq(("a", "a", 4L)).toDF("true_class", "pred_class", "n")
     assert(Eval.mcc(allPos, "a").collect()(0).isNullAt(5))
   }
+
+  test("brierDecomposition: REL/RES/UNC in exact ppm^2, BS identity") {
+    val cal = Seq(
+      (0L, 2L, 1L, 500000L, 400000L),
+      (1L, 2L, 1L, 500000L, 600000L)
+    ).toDF("bin", "n", "n_correct", "acc_ppm", "cal_ppm")
+    val r = Eval.brierDecomposition(cal).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("base_ppm") == 500000L)
+    // rel = (2*1e10 + 2*1e10)/4; res = 0; unc = 5e5*5e5/1e6
+    assert(r.getAs[Long]("rel_ppm2") == 10000000000L)
+    assert(r.getAs[Long]("res_ppm2") == 0L)
+    assert(r.getAs[Long]("unc_ppm2") == 250000L)
+    assert(r.getAs[Long]("brier_ppm2") == 10000250000L)
+  }
+
+  test("brierDecomposition: perfectly calibrated bins put all mass in RES") {
+    val cal = Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (1L, 1L, 1L, 1000000L, 1000000L)
+    ).toDF("bin", "n", "n_correct", "acc_ppm", "cal_ppm")
+    val r = Eval.brierDecomposition(cal).collect()(0)
+    assert(r.getAs[Long]("rel_ppm2") == 0L)
+    // obar = 250000; res = (3*250000^2 + 1*750000^2)/4 = 187500000000/4*?
+    val res = (3L * 250000L * 250000L + 750000L * 750000L) / 4L
+    assert(r.getAs[Long]("res_ppm2") == res)
+    assert(r.getAs[Long]("unc_ppm2") == 187500L)
+  }
+
+  test("bleu4: clipped precisions, smoothing, BP and drop rules") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on a mat"),
+      (3L, "cat sat"),             // c < 4: drops as hypothesis
+      (4L, "x y z w")              // no unigram overlap with 1: drops
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 2L), (4L, 1L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val rows = Eval.bleu4(pairs, docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(rows.keySet == Set((1L, 2L))) // short hyp + zero-m1 drop
+    def L(x: Long): Long = graft.plans.FixLog.log2q(x)
+    // m: 5/6, (3+1)/(5+1), (2+1)/(4+1), (1+1)/(3+1); c = r so BP = 0
+    val q = (L(5) - L(6)) + (L(4) - L(6)) + (L(3) - L(5)) + (L(2) - L(4))
+    assert(rows((1L, 2L)) == ((6L, 6L, 5L, 3L, 2L, 1L, q)))
+  }
+
+  test("bleu4: brevity penalty fires only when hyp is shorter") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val both = Seq((1L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val m = Eval.bleu4(both, docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(8)).toMap
+    def L(x: Long): Long = graft.plans.FixLog.log2q(x)
+    // hyp=1 (c=4, r=8): m = 4,3,2,1 over t = 4,3,2,1 -> perfect
+    // precisions, all mass is BP: -round((8-4)*378192/4) = -378192
+    assert(m((1L, 2L)) == -378192L)
+    // hyp=2 (c=8, r=4): no BP; matches clipped at the short ref
+    val q = (L(4) - L(8)) + (L(4) - L(8)) + (L(3) - L(7)) +
+      (L(2) - L(6))
+    assert(m((2L, 1L)) == q)
+  }
 }

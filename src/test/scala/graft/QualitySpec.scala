@@ -343,4 +343,27 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getLong(4) == 3L * reported - 12L) // exact debias, denom 3
     assert(r.getLong(5) == r.getLong(4) - trueCnt)
   }
+
+  test("tCloseness: exact EMD vs the global distribution; flags skew") {
+    val rows = Seq(
+      ("A", 0L), ("A", 0L),
+      ("B", 1L), ("B", 1L)
+    ).toDF("g", "v")
+    val m = Quality.tCloseness(rows, Seq("g"), "v", thresholdPpm = 400000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // global cums: C(0)=2 C(1)=4, N=4, D=2.
+    // A: |2*4-2*2| + |2*4-4*2| = 4; t = 4/(2*4*1) = 0.5
+    assert(m("A") == ((2L, 4L, 500000L, true)))
+    assert(m("B") == ((2L, 4L, 500000L, true)))
+  }
+
+  test("tCloseness: identical distributions and single-value domains -> 0") {
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val r = Quality.tCloseness(same, Seq("g"), "v", 1L).collect()
+    assert(r.forall(x => x.getLong(3) == 0L && !x.getBoolean(4)))
+    val degen = Seq(("A", 7L), ("B", 7L)).toDF("g", "v")
+    val d = Quality.tCloseness(degen, Seq("g"), "v", 1L).collect()
+    assert(d.forall(x => x.getLong(3) == 0L))
+  }
 }

@@ -194,4 +194,34 @@ class RankSpec extends AnyFunSuite {
     // probing every cell IS brute force: perfect rank agreement
     assert(mAll === 0.999023, s"$mAll")
   }
+
+  test("qlDirichlet: FixLog-exact smoothed scores, unmatched-doc floor") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c c"), (3L, "b b b"), (4L, "z z z")
+    ).toDF("doc_id", "text")
+    val got = Rank.qlDirichletTopDocs(docs, "doc_id", "text",
+        Seq("a", "b"), mu = 2L, k = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def L(x: Long): Long = graft.plans.FixLog.log2q(x)
+    // C=12, cf_a=3, cf_b=4; score = pos + K0 - nq*L((dl+mu)*C)
+    val base = L(2L * 3L) + L(2L * 4L) - 2L * L(5L * 12L)
+    val s1 = (L(2L * 12L + 6L) - L(6L)) + (L(1L * 12L + 8L) - L(8L)) + base
+    val s2 = (L(1L * 12L + 6L) - L(6L)) + base
+    val s3 = (L(3L * 12L + 8L) - L(8L)) + base
+    assert(got(1L) == ((2L, s1)))
+    assert(got(2L) == ((1L, s2)))
+    assert(got(3L) == ((1L, s3)))
+    assert(got(4L) == ((0L, base))) // smoothing floor only
+    // the doc matching both terms outranks single-term docs, which
+    // outrank the unmatched floor
+    assert(s1 > s2 && s1 > s3 && s2 > base && s3 > base)
+  }
+
+  test("qlDirichlet: longer docs dilute the smoothing floor") {
+    val docs = Seq((1L, "x x"), (2L, "x x x x x x x x")).toDF("doc_id", "text")
+    val r = Rank.qlDirichletTopDocs(docs, "doc_id", "text", Seq("q"),
+        mu = 2L, k = 2).collect()
+    // neither matches; both are pure floor -nq*L((dl+mu)*C): shorter wins
+    assert(r.head.getLong(0) == 1L)
+  }
 }

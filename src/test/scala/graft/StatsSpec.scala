@@ -671,4 +671,25 @@ class StatsSpec extends AnyFunSuite {
     // att = (2*15e6 + 1*25e6) / 3 = 18333333.33 -> half-up 18333333
     assert(r.getAs[Long]("att_ppm") == 18333333L)
   }
+
+  test("yuleK: exact repeat-rate constant per group; zero for all-fresh") {
+    val docs = Seq(
+      ("s", "a a a b b c"), // m: a3 b2 c1 -> N=6 V=3 S2=14
+      ("t", "x y")          // every token fresh -> K = 0
+    ).toDF("source", "text")
+    val m = Stats.yuleK(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // K = 1e4*(14-6)/36 = 2222.22.. -> milli round 2222222
+    assert(m("s") == ((6L, 3L, 14L, 2222222L)))
+    assert(m("t") == ((2L, 2L, 2L, 0L)))
+  }
+
+  test("yuleK: non [a-z]+ tokens leave the vocabulary") {
+    val docs = Seq(("s", "a a 42 B. a")).toDF("source", "text")
+    val r = Stats.yuleK(docs, "source", "text").collect()(0)
+    // only 'a' x3 survives: N=3 V=1 S2=9 -> K = 1e4*6/9
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(4) == 6666667L)
+  }
 }
