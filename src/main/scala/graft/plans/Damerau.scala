@@ -28,6 +28,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Damerau {
 
+  /** Per-thread scratch: the da last-row table is a full char-indexed
+    * array with GENERATION STAMPS (entry = gen·2^20 + row), so a new
+    * call invalidates every stale entry by bumping one counter instead
+    * of clearing 64k slots — and the DP matrix is a grown-on-demand
+    * buffer. Verify stages run the kernel millions of times per task;
+    * per-call HashMap/matrix allocation was the dominant cost.
+    */
+  private final class Scratch {
+    val da = new Array[Long](65536)
+    var gen = 0L
+    var h: Array[Int] = new Array[Int](84 * 84)
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
   /** Static kernel, callable from generated code. */
   def distance(a: UTF8String, b: UTF8String): Int =
     distance(a.toString, b.toString)
@@ -37,22 +53,27 @@ object Damerau {
     val n = b.length
     if (m == 0) return n
     if (n == 0) return m
+    val st = scratch.get()
+    st.gen += 1
+    val gen = st.gen << 20
+    val da = st.da
     val inf = m + n
     // H is (m+2) x (n+2) with the standard -1 row/column of INF
     val w = n + 2
-    val h = new Array[Int]((m + 2) * w)
+    if (st.h.length < (m + 2) * w) st.h = new Array[Int]((m + 2) * w)
+    val h = st.h
     h(0) = inf
     var i = 0
     while (i <= m) { h((i + 1) * w) = inf; h((i + 1) * w + 1) = i; i += 1 }
     var j = 0
     while (j <= n) { h(j + 1) = inf; h(w + j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Char, Int]()
     i = 1
     while (i <= m) {
       var db = 0
       j = 1
       while (j <= n) {
-        val i1 = da.getOrDefault(b.charAt(j - 1), 0)
+        val v = da(b.charAt(j - 1))
+        val i1 = if ((v & ~1048575L) == gen) (v & 1048575L).toInt else 0
         val j1 = db
         val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 }
           else 1
@@ -67,7 +88,7 @@ object Damerau {
         h((i + 1) * w + j + 1) = best
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      da(a.charAt(i - 1)) = gen | i.toLong
       i += 1
     }
     h((m + 1) * w + n + 1)
