@@ -1410,6 +1410,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // The grade-level panel beside Flesch ease: ARI (char-counting),
+    // Coleman-Liau, and Gunning fog as exact milli-graded integers —
+    // the three disagree exactly where difficulty is channel-specific
+    // (long words vs long sentences). Scan-stage, no shuffle.
+    "q_readability_panel" -> { (s, d) =>
+      graft.functions.Quality.readabilityPanel(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Relative quality gate: keep the top 25% of each source by quality
     // score — the percentile twin of the absolute q_quality_rules
     // threshold gate, exact-integer keep rule, deterministic ties.
@@ -2282,6 +2292,15 @@ object SparkEntry {
     "q_textrank" -> { (s, d) =>
       graft.functions.Graph.textRank(Tables.documents(s, d), "text", 2, 25)
         .orderBy(col("rank_q").desc, col("token").asc)
+    },
+
+    // RAKE corpus keyphrases: degree-over-frequency scoring of maximal
+    // content-word runs (stopwords/punct break phrases) — the cheap
+    // co-occurrence keyword miner beside q_textrank's random-walk one;
+    // exact ppm word scores summed per phrase, corpus-level stats.
+    "q_rake" -> { (s, d) =>
+      graft.functions.Rank.rakeKeywords(Tables.documents(s, d),
+        "doc_id", "text", stopwords, maxPhraseLen = 4, k = 25)
     },
 
     // BM25 retrieval (rational idf, exact integer-quantized scoring): top
@@ -5597,6 +5616,37 @@ object SparkEntry {
             END AS flesch_ppm
           FROM t ORDER BY doc_id""",
 
+    "q_readability_panel" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS n_words,
+            greatest(CAST(1 AS BIGINT),
+              CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+              AS n_sentences,
+            CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              AS BIGINT) AS n_chars_an,
+            CAST(len(list_filter(${duckToks("lower(text)")},
+              w -> regexp_matches(w, '([aeiouy]+[^aeiouy]*){3}')))
+              AS BIGINT) AS n_complex
+            FROM documents)
+          SELECT doc_id, n_words, n_sentences, n_chars_an, n_complex,
+            CASE WHEN n_words = 0 THEN NULL
+              ELSE ${duckPpm(
+                "4710 * n_chars_an * n_sentences + 500 * n_words * n_words" +
+                  " - 21430 * n_words * n_sentences",
+                "n_words * n_sentences", 1)}
+            END AS ari_milli,
+            CASE WHEN n_words = 0 THEN NULL
+              ELSE ${duckPpm(
+                "5880 * n_chars_an - 29600 * n_sentences - 15800 * n_words",
+                "n_words", 1)}
+            END AS cli_milli,
+            CASE WHEN n_words = 0 THEN NULL
+              ELSE ${duckPpm(
+                "400 * n_words * n_words + 40000 * n_complex * n_sentences",
+                "n_words * n_sentences", 1)}
+            END AS fog_milli
+          FROM t ORDER BY doc_id""",
+
     "q_quality_gate" -> {
       val hits = duckMarkerHits(stopwords)
       s"""WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS tk FROM documents),
@@ -7167,6 +7217,37 @@ object SparkEntry {
           SELECT token, CAST(rank_q AS BIGINT) AS rank_q,
             CAST(rank_q AS DOUBLE) / 1000000000000.0 AS score
           FROM r2 ORDER BY rank_q DESC, token ASC LIMIT 25"""
+    },
+
+    "q_rake" -> {
+      val stops = stopwords.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("lower(text)")} AS tk
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS tok,
+            unnest(range(1, len(tk) + 1)) AS pos FROM tk),
+          kept AS (SELECT doc_id, pos, tok FROM tok
+            WHERE regexp_matches(tok, '^[a-z]+$$')
+              AND tok NOT IN ($stops)),
+          isl AS (SELECT doc_id, pos, tok,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS grp FROM kept),
+          ph AS (SELECT doc_id, grp,
+            string_agg(tok, ' ' ORDER BY pos) AS phrase,
+            CAST(count(*) AS BIGINT) AS plen
+            FROM isl GROUP BY 1, 2),
+          php AS (SELECT * FROM ph WHERE plen <= 4),
+          pw AS (SELECT doc_id, grp, phrase, plen,
+            unnest(string_split(phrase, ' ')) AS w FROM php),
+          ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+            CAST(sum(plen) AS BIGINT) AS degree FROM pw GROUP BY 1),
+          psc AS (SELECT pw.doc_id, pw.grp, pw.phrase,
+            CAST(sum(${duckPpm("ws.degree", "ws.freq")}) AS BIGINT)
+              AS score_ppm
+            FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3),
+          fin AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+            max(score_ppm) AS score_ppm FROM psc GROUP BY 1)
+          SELECT phrase, n, score_ppm FROM fin
+          ORDER BY score_ppm DESC, phrase ASC LIMIT 25"""
     },
 
     "q_bm25" -> (duckBm25Cte +

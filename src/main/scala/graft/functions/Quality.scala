@@ -489,4 +489,59 @@ object Quality {
             lit(1000L) * col("n_sentences") * col("n_words")))
           .as("flesch_ppm"))
   }
+
+  /** READABILITY PANEL — the three classic grade-level formulas beside
+    * [[fleschReadability]]'s ease score, each the exact milli-graded
+    * integer (round(1000·index), [[Stats.fixedPointExact]] at scale 1
+    * over the cleared-denominator rational; the formulas' decimal
+    * constants become integer coefficients):
+    *
+    *   ARI  = 4.71·chars/words + 0.5·words/sentences − 21.43
+    *          (Automated Readability Index — character-counting)
+    *   CLI  = 5.88·chars/words − 29.6·sentences/words − 15.8
+    *          (Coleman–Liau — per-100-words form cleared)
+    *   Fog  = 0.4·(words/sentences + 100·complex/words)
+    *          (Gunning fog — complex = 3+ vowel-group words)
+    *
+    * Counting conventions shared with Flesch: whitespace words,
+    * [.!?]+ runs as sentences (min 1), chars = alphanumeric count
+    * ([A-Za-z0-9]), complex words detected by the 3-vowel-group
+    * contains-regex on lowercased tokens (the Java∩RE2 subset). The
+    * three formulas disagree on exactly the documents whose difficulty
+    * is channel-specific (long words vs long sentences) — shipping
+    * them as one panel is the point. Zero-word documents render NULL.
+    * Output: (idCol, n_words, n_sentences, n_chars_an, n_complex,
+    * ari_milli, cli_milli, fog_milli). Scan-stage only, no shuffle.
+    */
+  def readabilityPanel(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Text.tokenCount(col(textCol)).cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val c = length(regexp_replace(col(textCol), "[^A-Za-z0-9]", ""))
+      .cast("long")
+    val x = size(filter(Text.tokens(lower(col(textCol))),
+      t => t.rlike("([aeiouy]+[^aeiouy]*){3}"))).cast("long")
+    def milli(num: Column, den: Column): Column =
+      when(col("n_words") === 0L, lit(null).cast("long"))
+        .otherwise(Stats.fixedPointExact(num, den, scale = 1L))
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        c.as("n_chars_an"), x.as("n_complex"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_chars_an"), col("n_complex"),
+        milli(
+          lit(4710L) * col("n_chars_an") * col("n_sentences") +
+            lit(500L) * col("n_words") * col("n_words") -
+            lit(21430L) * col("n_words") * col("n_sentences"),
+          col("n_words") * col("n_sentences")).as("ari_milli"),
+        milli(
+          lit(5880L) * col("n_chars_an") -
+            lit(29600L) * col("n_sentences") - lit(15800L) * col("n_words"),
+          col("n_words")).as("cli_milli"),
+        milli(
+          lit(400L) * col("n_words") * col("n_words") +
+            lit(40000L) * col("n_complex") * col("n_sentences"),
+          col("n_words") * col("n_sentences")).as("fog_milli"))
+  }
 }

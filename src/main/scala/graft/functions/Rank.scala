@@ -85,6 +85,60 @@ object Rank {
       idCol, k)
   }
 
+  /** RAKE corpus keyword extraction (Rose et al. 2010, "Automatic
+    * Keyword Extraction from Individual Documents") — the
+    * degree-over-frequency phrase miner beside
+    * [[graft.functions.Graph.textRank]]'s random-walk one: candidate
+    * phrases are maximal runs of content words (lowercased [a-z]+
+    * tokens, stopwords and punctuation break runs), each word scores
+    * degree(w)/freq(w) over the phrase table (degree = summed length
+    * of phrases containing the word — long-phrase membership is
+    * evidence of salience), and a phrase scores the sum of its words'
+    * scores. Run CORPUS-level: word stats aggregate over every
+    * document's phrases, so the ranking surfaces collection-wide
+    * keyphrases. Per-word scores render as exact ppm integers
+    * ([[Stats.fixedPointExact]]) before summing — deterministic
+    * cross-engine, no float accumulation order.
+    *
+    * Scale shape: one token scan; the gaps-and-islands run numbering
+    * rides per-document windows (doc-bounded partitions); the phrase
+    * table is token-stream sized with map-side-combinable word stats
+    * (vocabulary-sized); the final ranking is a TakeOrdered top-k.
+    * Output: (phrase, n, score_ppm) — n = corpus occurrence count —
+    * ordered (score_ppm desc, phrase asc), top `k`.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxPhraseLen: Int, k: Int): DataFrame = {
+    require(maxPhraseLen >= 1, s"maxPhraseLen must be >= 1, got $maxPhraseLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(Text.tokens(lower(col(textCol)))).as(Seq("__p", "__tok")))
+      .filter(col("__tok").rlike("^[a-z]+$") &&
+        !col("__tok").isin(stopwords: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__p"))
+    val ph = toks
+      .withColumn("__grp", col("__p") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("phrase"),
+        count(lit(1)).as("__plen"))
+      .filter(col("__plen") <= maxPhraseLen)
+    val pw = ph.select(col("__id"), col("__grp"), col("phrase"),
+      col("__plen"), explode(split(col("phrase"), " ")).as("__w"))
+    val ws = pw.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+    pw.join(ws, Seq("__w"))
+      .groupBy(col("__id"), col("__grp"), col("phrase"))
+      .agg(sum(Stats.fixedPointExact(col("__deg"), col("__freq")))
+        .as("__sc"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n"), max(col("__sc")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+      .limit(k)
+  }
+
   /** Top-`k` documents by QUERY-LIKELIHOOD with Dirichlet smoothing
     * (Zhai & Lafferty 2001) — the language-modeling retrieval scorer
     * beside [[bm25TopDocs]]'s probabilistic-relevance one (the two

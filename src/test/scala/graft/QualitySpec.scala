@@ -366,4 +366,28 @@ class QualitySpec extends AnyFunSuite {
     val d = Quality.tCloseness(degen, Seq("g"), "v", 1L).collect()
     assert(d.forall(x => x.getLong(3) == 0L))
   }
+
+  test("readabilityPanel: exact milli grades on hand fixtures") {
+    val docs = Seq(
+      (1L, "The cat sat. A dog ran!"),
+      (2L, "avocado banana"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = Quality.readabilityPanel(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)), Option(r.get(6)),
+        Option(r.get(7))))).toMap
+    // doc 1: 6 words, 2 sentences, 16 alnum chars, 0 complex
+    // ARI = (4710*16*2 + 500*36 - 21430*12)/12 = -7370 milli exactly
+    // CLI = (5880*16 - 29600*2 - 15800*6)/6 = -59920/6 -> -9987
+    // Fog = 400*36/12 = 1200
+    assert(m(1L) == ((6L, 2L, 16L, 0L, Some(-7370L), Some(-9987L),
+      Some(1200L))))
+    // doc 2: both words have >= 3 vowel groups -> complex
+    val (w2, s2, c2, x2, _, _, fog2) = m(2L)
+    assert((w2, s2, c2, x2) == ((2L, 1L, 13L, 2L)))
+    assert(fog2 == Some(40800L)) // (400*4 + 40000*2)/2
+    // doc 3: zero words -> all three NULL
+    assert(m(3L)._5.isEmpty && m(3L)._6.isEmpty && m(3L)._7.isEmpty)
+  }
 }

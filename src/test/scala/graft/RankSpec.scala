@@ -224,4 +224,32 @@ class RankSpec extends AnyFunSuite {
     // neither matches; both are pure floor -nq*L((dl+mu)*C): shorter wins
     assert(r.head.getLong(0) == 1L)
   }
+
+  test("rakeKeywords: degree/freq phrase scores over stopword-broken runs") {
+    val docs = Seq(
+      (1L, "deep learning of the deep net"),
+      (2L, "net")
+    ).toDF("doc_id", "text")
+    val got = Rank.rakeKeywords(docs, "doc_id", "text",
+        stopwords = Seq("the", "of"), maxPhraseLen = 4, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // deep: freq 2 deg 4 -> 2e6; learning: 1/2 -> 2e6; net: freq 2
+    // (phrases "deep net" len 2 + "net" len 1) deg 3 -> 1.5e6
+    assert(got.toSeq == Seq(
+      ("deep learning", 1L, 4000000L),
+      ("deep net", 1L, 3500000L),
+      ("net", 1L, 1500000L)))
+  }
+
+  test("rakeKeywords: runs longer than maxPhraseLen drop; dupes counted") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // one 5-run: dropped at 4
+      (2L, "alpha beta"), (3L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val got = Rank.rakeKeywords(docs, "doc_id", "text", Nil, 4, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // only the two identical "alpha beta" phrases survive; each word
+    // freq 2 deg 4 -> 2e6 + 2e6
+    assert(got.toSeq == Seq(("alpha beta", 2L, 4000000L)))
+  }
 }
