@@ -1217,6 +1217,19 @@ object SparkEntry {
         .orderBy(col("tok"))
     },
 
+    // AMS tug-of-war sketch of F2 (the self-join size / "surprise
+    // number") over the token stream — the moment sketch beside
+    // count-min and HLL: 16 fixed-seed signed counters, each estimate
+    // Z^2 gated WITH its signed error vs the exact F2. Vocabulary-
+    // bounded fanout, never stream-sized.
+    "q_ams_f2" -> { (s, d) =>
+      val tids = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .select(graft.plans.TextExpressions.polyHash(col("tok")).as("tid"))
+      graft.functions.Sketch.amsF2(tids, "tid", rows = 16)
+        .orderBy(col("sketch_row"))
+    },
+
     // Deterministic HyperLogLog cardinality of l_partkey per return flag —
     // registers are a partial-aggregable groupBy max over <= 64 rows per
     // group, and the raw estimator is integer-exact up to one final double
@@ -1794,6 +1807,21 @@ object SparkEntry {
       graft.functions.Graph.labelPropagation(cand, "id_a", "id_b",
           docs.select(col("doc_id")), "doc_id", rounds = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // Conductance of the label-propagation communities over the same
+    // SNM graph — the cut-quality score beside q_modularity's null-model
+    // one: low phi keeps edges inside, phi = 1e6 means every edge
+    // leaves (catches label prop gluing strangers). Exact counts, ppm.
+    "q_conductance" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        lower(substring(col("text"), 1, 30)), window = 5)
+      val labels = graft.functions.Graph.labelPropagation(cand, "id_a",
+        "id_b", docs.select(col("doc_id")), "doc_id", rounds = 2)
+      graft.functions.Graph.conductance(cand, "id_a", "id_b",
+          labels, "doc_id")
+        .orderBy(col("label"))
     },
 
     // Personalized PageRank from a 5-doc seed set over the SNM candidate
@@ -3113,6 +3141,19 @@ object SparkEntry {
           .select(col("doc_id"), Text.tokenCount(col("text")).cast("long")
             .as("ntok")),
         "ntok", "doc_id", reps = 64, loRank = 2, hiRank = 63)
+    },
+
+    // Delete-one-SOURCE jackknife of the mean doc token count — the
+    // clustered-data uncertainty card beside q_bootstrap_ci's row-level
+    // resampling (rows within a source are correlated; deleting whole
+    // sources is the honest resampling unit). Exact ppm arithmetic,
+    // integer-corrected square root for the SE.
+    "q_jackknife" -> { (s, d) =>
+      graft.functions.Stats.jackknifeGroups(
+        Tables.documents(s, d)
+          .select(col("source"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "source", "ntok")
     },
 
     // Wasserstein-1 (earth mover's) distance between en and fr doc
@@ -5293,6 +5334,31 @@ object SparkEntry {
             CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
           FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q_ams_f2" -> {
+      val seedRows = (0 until 16).map(i =>
+        s"(${i}, ${graft.functions.Sketch.AmsA(i)}, " +
+          s"${graft.functions.Sketch.AmsB(i)})").mkString(", ")
+      s"""WITH ids AS (SELECT ${duckPolyId("tok")} AS x
+            FROM (SELECT unnest(${duckToks("text")}) AS tok
+                  FROM documents)),
+          cnt AS (SELECT x, CAST(count(*) AS BIGINT) AS m
+            FROM ids GROUP BY 1),
+          ex AS (SELECT CAST(sum(CAST(m AS HUGEINT) * m) AS BIGINT)
+            AS exact_f2 FROM cnt),
+          rws AS (SELECT * FROM (VALUES $seedRows) r(i, a, b)),
+          zz AS (SELECT CAST(r.i AS BIGINT) AS sketch_row,
+            CAST(sum(c.m * (1 - 2 *
+              ((CAST(r.a AS BIGINT) * c.x + r.b) % 1000000007 % 2)))
+              AS BIGINT) AS z
+            FROM cnt c CROSS JOIN rws r GROUP BY 1)
+          SELECT zz.sketch_row, zz.z,
+            CAST(CAST(zz.z AS HUGEINT) * zz.z AS BIGINT) AS est,
+            ex.exact_f2,
+            ${duckPpm("CAST(zz.z AS HUGEINT) * zz.z - ex.exact_f2",
+              "ex.exact_f2")} AS err_ppm
+          FROM zz CROSS JOIN ex ORDER BY sketch_row"""
+    },
+
     "q_cms_estimate" ->
       s"""WITH toks AS (SELECT unnest(${duckToks("text")}) AS tok FROM documents),
           t AS (SELECT tok, ${duckPolyId("tok")} AS tid FROM toks),
@@ -6417,6 +6483,50 @@ object SparkEntry {
             FROM l1 v LEFT JOIN p2 p USING (id))
           SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label
           FROM l2 ORDER BY doc_id""",
+
+    "q_conductance" ->
+      s"""WITH r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY lower(substring(text, 1, 30)),
+              doc_id) AS rn FROM documents),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+          l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+          c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+          p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c1) WHERE rn2 = 1),
+          l1 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+            FROM l0 v LEFT JOIN p1 p USING (id)),
+          c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+          p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c2) WHERE rn2 = 1),
+          l2 AS MATERIALIZED (SELECT v.id,
+            CAST(coalesce(p.lbl, v.lbl) AS BIGINT) AS lbl
+            FROM l1 v LEFT JOIN p2 p USING (id)),
+          deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+          vol AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_vertices,
+            CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS vol
+            FROM l2 l LEFT JOIN deg d USING (id) GROUP BY 1),
+          tot AS (SELECT CAST(sum(vol) AS BIGINT) AS volall FROM vol),
+          cut AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS cut
+            FROM sym e
+            JOIN l2 la ON la.id = e.src
+            JOIN l2 lb ON lb.id = e.dst
+            WHERE la.lbl <> lb.lbl GROUP BY 1)
+          SELECT v.lbl AS label, v.n_vertices, v.vol,
+            coalesce(c.cut, CAST(0 AS BIGINT)) AS cut,
+            CASE WHEN least(v.vol, tot.volall - v.vol) = 0 THEN NULL
+              ELSE ${duckPpm("coalesce(c.cut, CAST(0 AS BIGINT))",
+                "least(v.vol, tot.volall - v.vol)")}
+            END AS phi_ppm
+          FROM vol v LEFT JOIN cut c ON c.lbl = v.lbl CROSS JOIN tot
+          ORDER BY label""",
 
     // Layered-BFS replay: hop h = distinct neighbors of hop h−1 minus
     // everything nearer (NOT EXISTS per earlier layer), reciprocals on
@@ -8408,6 +8518,39 @@ object SparkEntry {
           SELECT digit, n_obs, obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm,
             CAST(obs_ppm - exp_ppm AS BIGINT) AS excess_ppm
           FROM e ORDER BY digit""",
+
+    "q_jackknife" ->
+      s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(len(${duckToks("text")}) AS BIGINT))
+              AS BIGINT) AS s
+            FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+            CAST(sum(s) AS BIGINT) AS ss,
+            CAST(count(*) AS BIGINT) AS g FROM per),
+          loo AS (SELECT
+            ${duckPpm("tot.ss - per.s", "tot.nn - per.n")} AS t
+            FROM per CROSS JOIN tot),
+          ts AS (SELECT CAST(sum(t) AS BIGINT) AS ts FROM loo),
+          hd AS (SELECT tot.g, tot.nn AS n,
+            ${duckPpm("tot.ss", "tot.nn")} AS theta_ppm,
+            ${duckPpm("ts.ts", "tot.g", 1)} AS jk_mean_ppm
+            FROM tot CROSS JOIN ts),
+          ssq AS (SELECT CAST(sum(
+            CAST(loo.t - hd.jk_mean_ppm AS HUGEINT)
+              * (loo.t - hd.jk_mean_ppm)) AS HUGEINT) AS ss2
+            FROM loo CROSS JOIN hd),
+          vr AS (SELECT hd.g, hd.n, hd.theta_ppm, hd.jk_mean_ppm,
+            (hd.g - 1) * (hd.jk_mean_ppm - hd.theta_ppm) AS jk_bias_ppm,
+            ${duckPpm("(hd.g - 1) * ssq.ss2", "hd.g", 1)} AS jk_var_ppm2
+            FROM hd CROSS JOIN ssq),
+          sq0 AS (SELECT *, CAST(floor(sqrt(CAST(jk_var_ppm2 AS DOUBLE)))
+            AS BIGINT) AS s0 FROM vr),
+          sq1 AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= jk_var_ppm2
+            THEN s0 + 1 ELSE s0 END AS s1 FROM sq0)
+          SELECT g, n, theta_ppm, jk_mean_ppm, jk_bias_ppm, jk_var_ppm2,
+            CASE WHEN s1 * s1 > jk_var_ppm2 THEN s1 - 1 ELSE s1 END
+              AS jk_se_ppm
+          FROM sq1""",
 
     "q_bootstrap_ci" ->
       s"""WITH t AS (SELECT doc_id AS id,

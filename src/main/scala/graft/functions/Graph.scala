@@ -701,6 +701,58 @@ object Graph {
     * Scale: one union-all degree count plus two edge-keyed equi-joins
     * and a single aggregate — linear in edges, no pair enumeration.
     */
+  /** CONDUCTANCE per community — the cut-quality score beside
+    * [[modularity]]'s null-model one (Kannan, Vempala & Vetta 2004):
+    * φ(C) = cut(C) / min(vol(C), vol(V∖C)) with cut = edges leaving C
+    * and vol = summed degrees — low φ means a community keeps its
+    * edges inside (a good cluster / a good partition for locality);
+    * φ = 1 means every edge leaves (the score that catches label
+    * propagation gluing strangers). Exact integer counts over the
+    * DEDUPLICATED symmetric edge list (each undirected cut edge counts
+    * once per side), φ in ppm; communities owning zero or all volume
+    * render NULL (no outside to cut to).
+    * Output: (label, n_vertices, vol, cut, phi_ppm).
+    *
+    * Scale: one symmetric-edge degree count, two id-equi-joins of
+    * labels onto edges, community-sized aggregates — linear in edges,
+    * the modularity shape.
+    */
+  def conductance(edges: DataFrame, aCol: String, bCol: String,
+      communities: DataFrame, idCol: String,
+      labelCol: String = "label"): DataFrame = {
+    val sym = edges.filter(col(aCol) =!= col(bCol))
+      .select(explode(array(
+        struct(col(aCol).as("s"), col(bCol).as("t")),
+        struct(col(bCol).as("s"), col(aCol).as("t")))).as("__e"))
+      .select(col("__e.s").as("s"), col("__e.t").as("t"))
+      .distinct()
+    val lab = communities.select(col(idCol).as("__id"),
+      col(labelCol).cast("long").as("__lbl"))
+    val deg = sym.groupBy(col("s").as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+    val vol = lab.join(deg, Seq("__id"), "left")
+      .groupBy(col("__lbl"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(coalesce(col("__deg"), lit(0L))).as("vol"))
+    val tot = broadcast(vol.agg(sum(col("vol")).as("__volall")))
+    val cut = sym
+      .join(lab.select(col("__id").as("s"), col("__lbl").as("__ls")),
+        Seq("s"))
+      .join(lab.select(col("__id").as("t"), col("__lbl").as("__lt")),
+        Seq("t"))
+      .filter(col("__ls") =!= col("__lt"))
+      .groupBy(col("__ls").as("__lbl")).agg(count(lit(1)).as("cut"))
+    vol.join(cut, Seq("__lbl"), "left").crossJoin(tot)
+      .select(col("__lbl").as("label"), col("n_vertices"), col("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        when(least(col("vol"), col("__volall") - col("vol")) === 0L,
+          lit(null).cast("long"))
+          .otherwise(Stats.fixedPointExact(
+            coalesce(col("cut"), lit(0L)),
+            least(col("vol"), col("__volall") - col("vol"))))
+          .as("phi_ppm"))
+  }
+
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val e = edges.select(col("id_a"), col("id_b"))

@@ -124,6 +124,72 @@ object Sketch {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  // ---------------------------------------------------------------- AMS
+
+  /** Fixed affine sign-hash seeds for the AMS rows (same family and
+    * bounds as [[CmsA]]: a < 2^31, x < 2^30 — no overflow).
+    */
+  val AmsA: Array[Long] = Array(
+    1103515245L, 69069L, 1664525L, 22695477L,
+    134775813L, 214013L, 16807L, 48271L,
+    40692L, 69621L, 40014L, 65539L,
+    1220703125L, 2147437301L, 630360016L, 397204094L)
+  val AmsB: Array[Long] = Array(
+    12345L, 362437L, 1013904223L, 7L,
+    1L, 2531011L, 0L, 11L,
+    3791L, 23902L, 824L, 13L,
+    71L, 453816693L, 2027L, 997L)
+
+  /** AMS (Alon–Matias–Szegedy 1996) tug-of-war sketch of the SECOND
+    * FREQUENCY MOMENT F2 = sum_x f_x^2 — the self-join size / "surprise
+    * number" estimator, the moment sketch beside count-min's point
+    * frequencies and HLL's cardinality: each row i folds the stream
+    * into one signed counter Z_i = sum_x f_x·s_i(x) with the ±1 sign
+    * s_i(x) = 1 − 2·((a_i·x + b_i) mod P mod 2), and E[Z_i^2] = F2.
+    * All seeds are FIXED literals (the house gated-sketch contract:
+    * approximation error is a property of the algorithm, not an excuse
+    * to skip the gate), so every Z_i and estimate hash-matches the
+    * oracle replay, and the per-row signed error vs the EXACT F2 is
+    * part of the gated output.
+    *
+    * Scale shape: one wordcount-style (type, count) aggregation, then
+    * a rows-wide fanout over the VOCABULARY (never the stream) into R
+    * partial-aggregable signed sums — charset-discipline bounded; the
+    * exact F2 rides the same count table. Estimates are decimal-
+    * widened squares (Z can reach stream size; Z^2 needs 128 bits at
+    * petascale).
+    * Output: (sketch_row, z, est, exact_f2, err_ppm), one row per
+    * sketch row, est = Z^2, err_ppm signed vs exact.
+    */
+  def amsF2(df: DataFrame, tidCol: String, rows: Int): DataFrame = {
+    require(rows >= 1 && rows <= AmsA.length,
+      s"rows must be in [1, ${AmsA.length}], got $rows")
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(tidCol).as("__x"))
+      .agg(count(lit(1)).as("__m"))
+    val exact = counts
+      .agg(sum(col("__m").cast(dec) * col("__m").cast(dec)).as("__f2d"))
+      .select(col("__f2d").cast("long").as("exact_f2"))
+    val z = counts
+      .select(col("__x"), col("__m"),
+        explode(array((0 until rows).map { i =>
+          struct(lit(i.toLong).as("sketch_row"),
+            (lit(1L) - lit(2L) *
+              ((lit(AmsA(i)) * col("__x") + lit(AmsB(i))) % P % 2L))
+              .as("__s"))
+        }: _*)).as("__r"))
+      .groupBy(col("__r.sketch_row").as("sketch_row"))
+      .agg(sum(col("__m") * col("__r.__s")).as("z"))
+    z.crossJoin(broadcast(exact))
+      .select(col("sketch_row"), col("z"),
+        (col("z").cast(dec) * col("z").cast(dec)).cast("long").as("est"),
+        col("exact_f2"),
+        graft.functions.Stats.fixedPointExact(
+          col("z").cast(dec) * col("z").cast(dec) -
+            col("exact_f2").cast(dec),
+          col("exact_f2").cast(dec)).as("err_ppm"))
+  }
+
   // ---------------------------------------------------------------- HLL
 
   /** HLL mixer: the engine's shared affine→square→affine chain mod 2^31−1

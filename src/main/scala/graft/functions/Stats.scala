@@ -1091,6 +1091,67 @@ object Stats {
           scale = 1000L).as("yule_k_milli"))
   }
 
+  /** DELETE-ONE-GROUP JACKKNIFE (Quenouille 1956; Tukey 1958) of the
+    * corpus mean of `valueCol`, leaving out one `groupCol` group at a
+    * time — the variance/bias estimator that respects CLUSTERED data:
+    * bootstrap rows of a 20-source corpus and the resamples are
+    * correlated inside sources; deleting whole sources is the honest
+    * resampling unit (the survey-statistics "delete-a-group" form).
+    *
+    *   θ = S/N,  θ_(i) = (S−s_i)/(N−n_i),
+    *   bias ≈ (g−1)(θ̄_(.) − θ),
+    *   var  = (g−1)/g · Σ_i (θ_(i) − θ̄_(.))²
+    *
+    * Everything is the exact integer pipeline: leave-one-out means
+    * render in ppm ([[fixedPointExact]]) and the variance/bias are
+    * computed FROM those gated ppm integers (one documented rounding
+    * layer, replayed identically by the oracle); the standard error is
+    * the EXACT integer square root of var (a floored double sqrt with
+    * ±1 integer correction — exact for var < 2^52, which g·ppm² always
+    * is). Groups must be proper subsets (some other group non-empty).
+    * Output: one row (g, n, theta_ppm, jk_mean_ppm, jk_bias_ppm,
+    * jk_var_ppm2, jk_se_ppm).
+    *
+    * Scale: one group-domain aggregation, then group-sized arithmetic
+    * with broadcast one-row totals — bounded regardless of corpus.
+    */
+  def jackknifeGroups(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("long")).as("__s"))
+    val tot = broadcast(per.agg(sum(col("__n")).as("__NN"),
+      sum(col("__s")).as("__SS"), count(lit(1)).as("__GG")))
+    val loo = per.crossJoin(tot)
+      .select(fixedPointExact(col("__SS") - col("__s"),
+        col("__NN") - col("__n")).as("__t"))
+    val head = broadcast(loo
+      .agg(sum(col("__t")).as("__ts"))
+      .crossJoin(tot)
+      .select(col("__GG"), col("__NN"),
+        fixedPointExact(col("__SS"), col("__NN")).as("theta_ppm"),
+        fixedPointExact(col("__ts"), col("__GG"), scale = 1L)
+          .as("jk_mean_ppm")))
+    def isqrt(x: Column): Column = {
+      val s0 = floor(sqrt(x.cast("double"))).cast("long")
+      val s1 = when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L).otherwise(s0)
+      when(s1 * s1 > x, s1 - 1L).otherwise(s1)
+    }
+    loo.crossJoin(head)
+      .groupBy(col("__GG"), col("__NN"), col("theta_ppm"),
+        col("jk_mean_ppm"))
+      .agg(sum((col("__t") - col("jk_mean_ppm")).cast(dec) *
+        (col("__t") - col("jk_mean_ppm")).cast(dec)).as("__ss"))
+      .select(col("__GG").as("g"), col("__NN").as("n"), col("theta_ppm"),
+        col("jk_mean_ppm"),
+        ((col("__GG") - 1L) * (col("jk_mean_ppm") - col("theta_ppm")))
+          .as("jk_bias_ppm"),
+        fixedPointExact((col("__GG") - 1L).cast(dec) * col("__ss"),
+          col("__GG").cast(dec), scale = 1L).as("jk_var_ppm2"))
+      .withColumn("jk_se_ppm", isqrt(col("jk_var_ppm2")))
+  }
+
   /** Per-group ordinary least squares of integer y on integer x —
     * closed-form normal equations with every product exact:
     * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),

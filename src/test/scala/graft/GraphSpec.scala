@@ -254,4 +254,20 @@ class GraphSpec extends AnyFunSuite {
     val rc = Graph.degreeAssortativity(cycle).collect()(0)
     assert(rc.isNullAt(rc.fieldIndex("r_ppm")))
   }
+
+  test("conductance: exact cut/volume ratios; isolated community NULL") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 30L)).toDF("doc_id", "label")
+    val m = graft.functions.Graph.conductance(edges, "id_a", "id_b",
+        labels, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4))))).toMap
+    // degrees 1,2,2,2,1; vol(10)=5 vol(20)=3; one crossing edge (3-4)
+    assert(m(10L) == ((3L, 5L, 1L, Some(333333L))))
+    assert(m(20L) == ((2L, 3L, 1L, Some(333333L))))
+    // node 6 has no edges: zero volume -> NULL conductance
+    assert(m(30L) == ((1L, 0L, 0L, None)))
+  }
 }

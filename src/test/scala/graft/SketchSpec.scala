@@ -162,4 +162,30 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getAs[Long]("est_inter") == 10L)
     assert(r.getAs[Long]("jaccard_ppm") == 166667L) // 10/60
   }
+
+  test("amsF2: fixed-seed signed sums, exact F2, signed error") {
+    val tids = Seq(1L, 1L, 1L, 2L).toDF("tid")
+    val got = graft.functions.Sketch.amsF2(tids, "tid", rows = 2)
+      .orderBy(col("sketch_row")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // f = {1: 3, 2: 1} -> exact F2 = 10; signs from the fixed seeds:
+    // row 0: s(1) = s(2) = -1 -> Z = -4; row 1: s(1)=+1 s(2)=-1 -> Z = 2
+    assert(got.toSeq == Seq(
+      (0L, -4L, 16L, 10L, 600000L),
+      (1L, 2L, 4L, 10L, -600000L)))
+  }
+
+  test("amsF2: mean of row estimates is unbiased-ish on a real stream") {
+    val tids = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .select(graft.plans.TextExpressions.polyHash(col("tok")).as("tid"))
+    val rows = graft.functions.Sketch.amsF2(tids, "tid", rows = 16)
+      .collect()
+    val exact = rows.head.getLong(3).toDouble
+    val mean = rows.map(_.getLong(2).toDouble).sum / rows.length
+    // 16-row tug-of-war on a zipfy stream: mean within 60% of exact
+    assert(math.abs(mean - exact) / exact < 0.6,
+      s"mean $mean vs exact $exact")
+  }
 }

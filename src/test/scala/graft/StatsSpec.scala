@@ -692,4 +692,17 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
     assert(r.getLong(4) == 6666667L)
   }
+
+  test("jackknifeGroups: delete-one-source means, bias, var, exact isqrt") {
+    val rows = Seq(("A", 1L), ("A", 3L), ("B", 5L),
+      ("C", 3L), ("C", 3L), ("C", 3L)).toDF("source", "v")
+    val r = Stats.jackknifeGroups(rows, "source", "v").collect()(0)
+    // theta = 18/6 = 3; loo means 3.5, 2.6, 3.0 -> jk mean 3033333 ppm
+    assert(r.getAs[Long]("g") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("theta_ppm") == 3000000L)
+    assert(r.getAs[Long]("jk_mean_ppm") == 3033333L)
+    assert(r.getAs[Long]("jk_bias_ppm") == 66666L)
+    assert(r.getAs[Long]("jk_var_ppm2") == 271111111111L)
+    assert(r.getAs[Long]("jk_se_ppm") == 520683L) // floor sqrt, corrected
+  }
 }
