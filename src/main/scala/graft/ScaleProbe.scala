@@ -61,7 +61,7 @@ object ScaleProbe {
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
       "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e",
       "index_compaction", "graph_rebuild", "concurrent_serving",
-      "incr_dedup_fold", "dbscan", "coreset", "cdc")
+      "incr_dedup_fold", "dbscan", "coreset", "cdc", "eval_pairs")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -235,6 +235,32 @@ object ScaleProbe {
         w = 16, maskBits = 5, minOcc = 2L).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"cdc","mult":$mult,"docs":${nBase * mult},"dup_chunks":$nDup,"savings_ppm":${sav.getAs[Long]("savings_ppm")},"sec":$sec%.2f}""")
+    }
+
+    // Pair-eval deck over the SNM candidates: ROUGE-2 + chrF + BLEU-4
+    // + Damerau verify share ONE memoized candidate generator and each
+    // runs candidates x (gram-set | prefix^2) work — the window is
+    // FIXED, so candidates grow linearly with docs and the whole deck
+    // must track the corpus linearly. Replicas share 30-char keys and
+    // cluster inside SNM windows (worst-case adjacency), so this also
+    // stresses the near-duplicate-heavy regime the deck serves.
+    for (mult <- Seq(1, 4, 16) if want("eval_pairs")) {
+      val docs = replicate(spark, base, mult)
+      val t0 = System.nanoTime()
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          lower(substring(col("text"), 1, 30)), window = 5)
+        .select(col("id_a"), col("id_b"))
+      val nPairs = cand.count()
+      val nRouge = graft.functions.Eval.rougeN(cand, docs, "doc_id",
+        "text", n = 2).count()
+      val nChrf = graft.functions.Eval.chrF(cand, docs, "doc_id",
+        "text", n = 3).count()
+      val nBleu = graft.functions.Eval.bleu4(cand, docs, "doc_id",
+        "text").count()
+      val nDam = Dedup.verifyDamerau(cand, docs, "doc_id", "text",
+        prefixLen = 80, maxDist = 40).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"eval_pairs","mult":$mult,"docs":${nBase * mult},"pairs":$nPairs,"rouge":$nRouge,"chrf":$nChrf,"bleu":$nBleu,"damerau":$nDam,"sec":$sec%.2f}""")
     }
 
     // End-to-end curation chain at the probe scale factor: the sf0.01
