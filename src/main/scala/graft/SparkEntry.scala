@@ -1681,6 +1681,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Per-doc 8-gram novelty vs the REST of the corpus — the
+    // selection/curriculum signal gopher's within-doc stats and the
+    // pairwise containment miss: low novelty = assembled from corpus
+    // boilerplate, high = fresh text. Hashed-gram wordcount shape.
+    "q_novelty" -> { (s, d) =>
+      Dedup.noveltyScores(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Exact dedup: representative id + group size per 60-char text prefix.
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Tables.documents(s, d),
@@ -2237,6 +2246,17 @@ object SparkEntry {
     "q_source_overlap" -> { (s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", 3)
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // Burrows' Delta stylometric distance per source pair — function-
+    // word usage standardized across sources, mean |z_a - z_b| over the
+    // top-50 corpus words: the governance twin of the shingle-overlap
+    // matrix on ORTHOGONAL evidence (style, not content) — a low-Delta
+    // pair flags a re-crawl even when topics differ.
+    "q_burrows_delta" -> { (s, d) =>
+      graft.functions.Stats.burrowsDelta(Tables.documents(s, d),
+          "source", "text", topK = 50)
+        .orderBy(col("source_a"), col("source_b"))
     },
 
     // Sketch-vs-exact calibration: the MinHash (k=64) estimate of the
@@ -6045,6 +6065,25 @@ object SparkEntry {
              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
 
+    "q_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS tk
+            FROM documents),
+          sh0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+            THEN list_transform(range(1, len(tk) - 6),
+              i -> array_to_string(tk[i:i+7], ' '))
+            ELSE [] END) AS gram FROM tk),
+          ids AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid
+            FROM sh0),
+          dfq AS (SELECT tid, CAST(count(*) AS BIGINT) AS df
+            FROM ids GROUP BY 1),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_shared
+            FROM ids JOIN dfq USING (tid) GROUP BY 1)
+          SELECT doc_id, n_grams, n_shared,
+            ${duckPpm("n_grams - n_shared", "n_grams")} AS novelty_ppm
+          FROM agg ORDER BY doc_id""",
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY substr(text, 1, 60) ORDER BY keep_id""",
@@ -7168,6 +7207,52 @@ object SparkEntry {
           FROM est JOIN ex USING (src_a, src_b)
           ORDER BY src_a, src_b"""
     },
+
+    "q_burrows_delta" ->
+      s"""WITH cnt AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT source, unnest(${duckToks("text")}) AS word
+                  FROM documents) t
+            WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+          ng AS (SELECT source, CAST(sum(c) AS BIGINT) AS ntok
+            FROM cnt GROUP BY 1),
+          topw AS (SELECT word FROM (SELECT word, sum(c) AS tot
+            FROM cnt GROUP BY 1 ORDER BY tot DESC, word ASC LIMIT 50)),
+          consts AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM ng) AS gcnt,
+            (SELECT CAST(count(*) AS BIGINT) FROM topw) AS kw),
+          grid AS (SELECT ng.source, w.word,
+            ${duckPpm("coalesce(c.c, CAST(0 AS BIGINT))", "ng.ntok")} AS f
+            FROM ng CROSS JOIN topw w
+            LEFT JOIN cnt c ON c.source = ng.source AND c.word = w.word),
+          mu0 AS (SELECT word, CAST(sum(f) AS BIGINT) AS sf
+            FROM grid GROUP BY 1),
+          mu AS (SELECT word, ${duckPpm("sf", "gcnt", 1)} AS mean_f
+            FROM mu0 CROSS JOIN consts),
+          sd0 AS (SELECT g.word, CAST(sum(
+            CAST(g.f - m.mean_f AS HUGEINT) * (g.f - m.mean_f))
+              AS HUGEINT) AS ssd
+            FROM grid g JOIN mu m USING (word) GROUP BY 1),
+          vr AS (SELECT word, ${duckPpm("ssd", "gcnt", 1)} AS v
+            FROM sd0 CROSS JOIN consts),
+          sg0 AS (SELECT vr.word, mu.mean_f, v,
+            CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+            FROM vr JOIN mu USING (word)),
+          sg1 AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= v
+            THEN s0 + 1 ELSE s0 END AS s1 FROM sg0),
+          sg AS (SELECT word, mean_f,
+            CASE WHEN s1 * s1 > v THEN s1 - 1 ELSE s1 END AS sig
+            FROM sg1),
+          z AS (SELECT g.word, g.source,
+            CASE WHEN s.sig = 0 THEN CAST(0 AS BIGINT)
+              ELSE ${duckPpm("g.f - s.mean_f", "s.sig", 1000)} END AS z
+            FROM grid g JOIN sg s USING (word)),
+          pr AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(sum(abs(a.z - b.z)) AS BIGINT) AS sd
+            FROM z a JOIN z b ON b.word = a.word AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT source_a, source_b, consts.kw AS n_words,
+            ${duckPpm("pr.sd", "consts.kw", 1)} AS delta_milli
+          FROM pr CROSS JOIN consts ORDER BY source_a, source_b""",
 
     "q_source_overlap" ->
       s"""WITH tk AS (SELECT source, ${duckToks("text")} AS tk FROM documents),

@@ -1197,6 +1197,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Per-document n-gram NOVELTY against the rest of the corpus — the
+    * selection/curriculum signal the within-doc repetition stats
+    * (gopher n-grams) and the pairwise containment miss: what fraction
+    * of a document's distinct word n-grams appears in NO other
+    * document. Low novelty means the doc is assembled from corpus
+    * boilerplate (near-dup tail, template floods — prune or
+    * down-weight); high novelty means fresh text (or noise — pair with
+    * the quality gate). novelty_ppm = (distinct grams with df = 1) /
+    * distinct grams, exact ppm; docs too short to gram drop.
+    *
+    * Shape: one compiled shingle scan, distinct over (doc, tid), a
+    * tid-keyed df count (partial-aggregable), one join back — the
+    * wordcount shape, linear at any corpus size; the gram space is
+    * hashed longs end to end (the q_sgt_counts discipline — no string
+    * shuffles).
+    * Output: (idCol, n_grams, n_shared, novelty_ppm).
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sh = docShingleIds(docs, idCol, textCol, n)
+      .select(col(idCol), col("tid")).distinct()
+    val dfq = sh.groupBy(col("tid")).agg(count(lit(1)).as("__df"))
+    sh.join(dfq, Seq("tid"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        graft.functions.Stats.fixedPointExact(
+          col("n_grams") - col("n_shared"), col("n_grams"))
+          .as("novelty_ppm"))
+  }
+
   /** Damerau–Levenshtein verify stage beside [[verifyEditDistance]]:
     * the same candidate x bounded-prefix discipline, scored with the
     * TRUE transposition-aware metric ([[graft.plans.Damerau]]) next to

@@ -1091,6 +1091,17 @@ object Stats {
           scale = 1000L).as("yule_k_milli"))
   }
 
+  /** EXACT INTEGER SQUARE ROOT: floored double sqrt with a ±1 integer
+    * correction — the double sqrt is correctly rounded (IEEE, identical
+    * cross-engine) and the correction makes the result exact for any
+    * x < 2^52 regardless of rounding direction at perfect squares.
+    */
+  private[graft] def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L).otherwise(s0)
+    when(s1 * s1 > x, s1 - 1L).otherwise(s1)
+  }
+
   /** DELETE-ONE-GROUP JACKKNIFE (Quenouille 1956; Tukey 1958) of the
     * corpus mean of `valueCol`, leaving out one `groupCol` group at a
     * time — the variance/bias estimator that respects CLUSTERED data:
@@ -1133,11 +1144,6 @@ object Stats {
         fixedPointExact(col("__SS"), col("__NN")).as("theta_ppm"),
         fixedPointExact(col("__ts"), col("__GG"), scale = 1L)
           .as("jk_mean_ppm")))
-    def isqrt(x: Column): Column = {
-      val s0 = floor(sqrt(x.cast("double"))).cast("long")
-      val s1 = when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L).otherwise(s0)
-      when(s1 * s1 > x, s1 - 1L).otherwise(s1)
-    }
     loo.crossJoin(head)
       .groupBy(col("__GG"), col("__NN"), col("theta_ppm"),
         col("jk_mean_ppm"))
@@ -1150,6 +1156,81 @@ object Stats {
         fixedPointExact((col("__GG") - 1L).cast(dec) * col("__ss"),
           col("__GG").cast(dec), scale = 1L).as("jk_var_ppm2"))
       .withColumn("jk_se_ppm", isqrt(col("jk_var_ppm2")))
+  }
+
+  /** BURROWS' DELTA stylometric distance between groups (Burrows 2002,
+    * "'Delta': a Measure of Stylistic Difference") — the authorship /
+    * source-forensics classic: over the corpus's `topK` most frequent
+    * word types, each group's relative frequencies are standardized
+    * against the cross-group distribution (z-scores), and Delta(a, b)
+    * is the mean |z_a − z_b| — function-word usage is the stylistic
+    * fingerprint content words can't fake, so a low-Delta source pair
+    * flags a re-crawl/mirror even when topics differ (the governance
+    * twin of the shingle-overlap matrix, orthogonal evidence).
+    *
+    * Exact pipeline with three documented rounding layers, each an
+    * integer the oracle replays bit for bit: relative frequencies in
+    * ppm ([[fixedPointExact]]), per-word mean and population variance
+    * over groups from those ppm integers, σ via [[isqrt]], z-scores in
+    * milli-units, Delta as the mean milli |Δz|. σ = 0 words (uniform
+    * across groups) carry z = 0 everywhere — zero stylistic signal,
+    * zero contribution, no division hazard.
+    * Output: (source_a, source_b, n_words, delta_milli) for every
+    * unordered group pair, delta ascending = stylistically closest.
+    *
+    * Scale: one wordcount shuffle; everything after rides the
+    * groups × topK grid (mixture-bounded) — the source-overlap shape.
+    */
+  def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cnt = docs.select(col(groupCol).as("__grp"),
+        explode(Text.tokens(col(textCol))).as("__w"))
+      .where(col("__w").rlike("^[a-z]+$"))
+      .groupBy(col("__grp"), col("__w")).agg(count(lit(1)).as("__c"))
+    val ng = cnt.groupBy(col("__grp")).agg(sum(col("__c")).as("__ntok"))
+    val topw = broadcast(cnt.groupBy(col("__w"))
+      .agg(sum(col("__c")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__w").asc).limit(topK)
+      .select(col("__w")))
+    val consts = broadcast(ng.agg(count(lit(1)).as("__gcnt"))
+      .crossJoin(topw.agg(count(lit(1)).as("__kw"))))
+    val grid = ng.crossJoin(topw)
+      .join(cnt, Seq("__grp", "__w"), "left")
+      .select(col("__grp"), col("__w"),
+        fixedPointExact(coalesce(col("__c"), lit(0L)), col("__ntok"))
+          .as("__f"))
+    val dec = "decimal(38,0)"
+    val mu = grid.groupBy(col("__w")).agg(sum(col("__f")).as("__sf"))
+      .crossJoin(consts)
+      .select(col("__w"),
+        fixedPointExact(col("__sf"), col("__gcnt"), scale = 1L)
+          .as("__mu"))
+    val sig = grid.join(mu, Seq("__w"))
+      .groupBy(col("__w"), col("__mu"))
+      .agg(sum((col("__f") - col("__mu")).cast(dec) *
+        (col("__f") - col("__mu")).cast(dec)).as("__ssd"))
+      .crossJoin(consts)
+      .select(col("__w"), col("__mu"),
+        isqrt(fixedPointExact(col("__ssd"), col("__gcnt").cast(dec),
+          scale = 1L)).as("__sig"))
+    val z = grid.join(broadcast(sig), Seq("__w"))
+      .select(col("__w"), col("__grp"),
+        when(col("__sig") === 0L, lit(0L))
+          .otherwise(fixedPointExact(col("__f") - col("__mu"),
+            col("__sig"), scale = 1000L)).as("__z"))
+    val za = z.select(col("__w"), col("__grp").as("source_a"),
+      col("__z").as("__za"))
+    val zb = z.select(col("__w"), col("__grp").as("source_b"),
+      col("__z").as("__zb"))
+    za.join(zb, Seq("__w")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(abs(col("__za") - col("__zb"))).as("__sd"))
+      .crossJoin(consts)
+      .select(col("source_a"), col("source_b"),
+        col("__kw").as("n_words"),
+        fixedPointExact(col("__sd"), col("__kw"), scale = 1L)
+          .as("delta_milli"))
   }
 
   /** Per-group ordinary least squares of integer y on integer x —

@@ -641,4 +641,20 @@ class DedupVecSpec extends AnyFunSuite {
     assert(res.forall(r => r.getLong(0) != r.getLong(1)))
     assert(res.groupBy(_.getLong(0)).values.forall(_.length <= 4))
   }
+
+  test("noveltyScores: df=1 grams are novel, shared grams are not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "solo")
+    ).toDF("doc_id", "text")
+    val m = graft.functions.Dedup.noveltyScores(docs, "doc_id", "text",
+        n = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // "a b" shared by 1 and 2; every other bigram unique
+    assert(m(1L) == ((2L, 1L, 500000L)))
+    assert(m(2L) == ((2L, 1L, 500000L)))
+    assert(m(3L) == ((1L, 0L, 1000000L)))
+    assert(!m.contains(4L)) // too short to gram
+  }
 }

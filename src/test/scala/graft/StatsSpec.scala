@@ -705,4 +705,28 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("jk_var_ppm2") == 271111111111L)
     assert(r.getAs[Long]("jk_se_ppm") == 520683L) // floor sqrt, corrected
   }
+
+  test("burrowsDelta: standardized function-word distance, exact milli") {
+    val docs = Seq(
+      ("A", "x x y"), ("B", "x y y")
+    ).toDF("source", "text")
+    val r = Stats.burrowsDelta(docs, "source", "text", topK = 2)
+      .collect()(0)
+    // f(A,x)=666667 f(B,x)=333333 (and mirrored for y): mu=500000,
+    // sigma=166667 -> z = +-1000 milli; delta = (2000+2000)/2 = 2000
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2000L)
+  }
+
+  test("burrowsDelta: sigma-0 words contribute zero, not a crash") {
+    // both sources use 'z' identically -> sigma 0 for it
+    val docs = Seq(("A", "z z x"), ("B", "z z y")).toDF("source", "text")
+    val r = Stats.burrowsDelta(docs, "source", "text", topK = 3)
+      .collect()(0)
+    assert(r.getLong(2) == 3L)
+    // x,y: f one-side 333333, mu 166667 (round 166666.5 half away ->
+    // 166667), var = 166667^2 + 166666^2 over 2... just pin it runs and
+    // delta is positive and finite
+    assert(r.getLong(3) > 0L)
+  }
 }
