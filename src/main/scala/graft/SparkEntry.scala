@@ -4718,6 +4718,21 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     },
 
+    // Correlated LATERAL subquery with LIMIT — per-nation top-2
+    // customers by balance as a lateral derived table, the SQL-surface
+    // form of the window-top-n idiom (Catalyst decorrelates it into a
+    // ranked join; DuckDB runs the same ANSI text verbatim).
+    "q_lateral_topn" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    },
+
     // Correlated SCALAR subqueries — parts priced >=1% above their
     // brand's average, with the average expressed as exact decimal
     // sum/count subqueries (price*cnt*100 > sum*101) so both engines
@@ -11853,6 +11868,14 @@ object SparkEntry {
            WHERE o.o_custkey = c.c_custkey
              AND o.o_totalprice > c.c_acctbal * 100)
          ORDER BY c_custkey""",
+
+    "q_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+         FROM nation n JOIN LATERAL (
+           SELECT c_name, c_acctbal FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
+         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
