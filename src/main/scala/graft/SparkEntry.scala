@@ -3540,6 +3540,18 @@ object SparkEntry {
         "ntok", col("lang") === "en", col("lang") === "fr")
     },
 
+    // Cohen's d effect size between the same two groups — the MAGNITUDE
+    // companion of q_welch_t2's significance (a huge corpus makes any
+    // difference "significant"; d says whether it matters). Pooled
+    // sigma through the exact integer square root, d in milli.
+    "q_cohens_d" -> { (s, d) =>
+      graft.functions.Stats.cohensD(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", col("lang") === "en", col("lang") === "fr")
+    },
+
     // Mann-Whitney U rank test between the same two groups — the
     // nonparametric companion of q_welch_t2: rank-based, so the
     // location reading is immune to the token-count tail that drives
@@ -3744,6 +3756,20 @@ object SparkEntry {
           graft.functions.Eval.reliability(pred, "margin_q",
             col("pred_class") === col("lang"), binWidth = 65536L))
         .orderBy(col("bin"))
+    },
+
+    // Expected calibration error over the calibrated reliability table
+    // — the L1 twin of q_brier_decomp's quadratic REL and the single
+    // number calibration dashboards report. One exact ppm mean.
+    "q_ece" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.functions.Eval.ece(
+        graft.functions.Eval.isotonicCalibrate(
+          graft.functions.Eval.reliability(pred, "margin_q",
+            col("pred_class") === col("lang"), binWidth = 65536L)))
     },
 
     // Murphy decomposition of the Brier score over the calibrated
@@ -9348,6 +9374,51 @@ object SparkEntry {
             CAST((3 * reported_cnt - n) // 1 - true_cnt AS BIGINT) AS err
           FROM a ORDER BY source""",
 
+    "q_cohens_d" -> {
+      val sq0 = "CAST(floor(sqrt(CAST(v12 AS DOUBLE))) AS BIGINT)"
+      s"""WITH t AS (SELECT lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS x FROM documents),
+          s AS (SELECT
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS na,
+            CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nb,
+            CAST(sum(CASE WHEN lang = 'en' THEN x ELSE 0 END) AS BIGINT)
+              AS sa,
+            CAST(sum(CASE WHEN lang = 'fr' THEN x ELSE 0 END) AS BIGINT)
+              AS sb,
+            CAST(sum(CASE WHEN lang = 'en' THEN x * x ELSE 0 END)
+              AS HUGEINT) AS ssa,
+            CAST(sum(CASE WHEN lang = 'fr' THEN x * x ELSE 0 END)
+              AS HUGEINT) AS ssb
+            FROM t),
+          f AS (SELECT na, nb,
+            CASE WHEN na = 0 THEN NULL ELSE ${duckPpm("sa", "na")} END
+              AS mean_a_ppm,
+            CASE WHEN nb = 0 THEN NULL ELSE ${duckPpm("sb", "nb")} END
+              AS mean_b_ppm,
+            (CAST(na AS HUGEINT) * ssa - CAST(sa AS HUGEINT) * sa) * nb +
+            (CAST(nb AS HUGEINT) * ssb - CAST(sb AS HUGEINT) * sb) * na
+              AS pnum,
+            CAST(na AS HUGEINT) * nb * (na + nb - 2) AS pden
+            FROM s),
+          v AS (SELECT *, CASE WHEN na < 2 OR nb < 2 OR pnum < 0
+            THEN NULL ELSE ${duckPpm("pnum", "pden", 1000000000000L)}
+            END AS v12 FROM f),
+          q0 AS (SELECT *, $sq0 AS s0 FROM v),
+          q1 AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= v12
+            THEN s0 + 1 ELSE s0 END AS s1 FROM q0),
+          q2 AS (SELECT na, nb, mean_a_ppm, mean_b_ppm, v12,
+            CASE WHEN v12 IS NULL THEN NULL
+              WHEN s1 * s1 > v12 THEN s1 - 1 ELSE s1 END AS sp_ppm
+            FROM q1)
+          SELECT na AS n_a, nb AS n_b, mean_a_ppm, mean_b_ppm, sp_ppm,
+            CASE WHEN sp_ppm IS NULL OR sp_ppm = 0 THEN NULL
+              ELSE ${duckPpm("mean_a_ppm - mean_b_ppm", "sp_ppm", 1000)}
+            END AS d_milli
+          FROM q2"""
+    },
+
     "q_welch_t2" ->
       s"""WITH t AS (SELECT lang,
             CAST(len(${duckToks("text")}) AS BIGINT) AS x FROM documents),
@@ -9866,6 +9937,13 @@ object SparkEntry {
       s"""WITH $duckIsoCalCte
           SELECT bin, n, nc AS n_correct, acc_ppm, cal_ppm
           FROM iso ORDER BY bin""",
+
+    "q_ece" ->
+      s"""WITH $duckIsoCalCte,
+          l1 AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(abs(cal_ppm - acc_ppm) * n) AS BIGINT) AS lsum
+            FROM iso)
+          SELECT n, ${duckPpm("lsum", "n", 1)} AS ece_ppm FROM l1""",
 
     "q_brier_decomp" ->
       s"""WITH $duckIsoCalCte,

@@ -648,6 +648,21 @@ object Eval {
         col("rel_ppm2") - col("res_ppm2") + col("unc_ppm2"))
   }
 
+  /** EXPECTED CALIBRATION ERROR over the calibrated reliability table
+    * — the L1 twin of [[brierDecomposition]]'s quadratic REL term and
+    * the single number calibration dashboards report:
+    * ECE = Σ_b n_b·|f_b − o_b| / N with f the isotonic forecast and o
+    * the empirical bin accuracy, both already exact ppm integers, so
+    * ECE is one exact weighted mean in ppm. Input:
+    * [[isotonicCalibrate]] output. Output: one row (n, ece_ppm).
+    */
+  def ece(cal: DataFrame): DataFrame =
+    cal.agg(sum(col("n")).as("n"),
+        sum(abs(col("cal_ppm") - col("acc_ppm")) * col("n")).as("__l1"))
+      .select(col("n"),
+        Stats.fixedPointExact(col("__l1"), col("n"), scale = 1L)
+          .as("ece_ppm"))
+
   /** Reliability (calibration) table: predictions bucketed by an
     * integer confidence column (truncating division by `binWidth`),
     * each bucket's exact count, correct count, and accuracy ppm —

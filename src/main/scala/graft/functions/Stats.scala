@@ -1529,6 +1529,64 @@ object Stats {
           .as("t2_ppm"))
   }
 
+  /** COHEN'S d effect size between two row sets — the magnitude
+    * companion of [[welchT2]]'s significance test (a huge corpus makes
+    * any difference "significant"; d says whether it MATTERS):
+    * d = (μ_a − μ_b) / s_p with the pooled standard deviation
+    * s_p² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2). Exact pipeline:
+    * raw decimal moment sums, pooled variance rendered at 10^12 scale
+    * (so its [[isqrt]] is the ppm-scaled σ directly), means in ppm,
+    * d in milli-units from the gated integers — three documented
+    * rounding layers, each replayed by the oracle. Degenerate inputs
+    * (a side under 2 rows, zero pooled variance) render NULL.
+    * Output: one row (n_a, n_b, mean_a_ppm, mean_b_ppm, sp_ppm,
+    * d_milli).
+    *
+    * Scale: one partial-aggregable pass (the welchT2 shape).
+    */
+  def cohensD(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(valueCol).cast("long")
+    val side = df.select(x.as("__x"),
+      when(aPred, 1L).otherwise(0L).as("__ia"),
+      when(bPred, 1L).otherwise(0L).as("__ib"))
+    val sums = side.agg(
+      sum(col("__ia")).as("na"), sum(col("__ib")).as("nb"),
+      sum(col("__ia") * col("__x")).as("__sa"),
+      sum(col("__ib") * col("__x")).as("__sb"),
+      sum((col("__ia") * col("__x")).cast("decimal(19,0)") * col("__x"))
+        .cast(dec).as("__ssa"),
+      sum((col("__ib") * col("__x")).cast("decimal(19,0)") * col("__x"))
+        .cast(dec).as("__ssb"))
+    sums
+      .select(col("na"), col("nb"),
+        when(col("na") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__sa"), col("na")))
+          .as("mean_a_ppm"),
+        when(col("nb") === 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__sb"), col("nb")))
+          .as("mean_b_ppm"),
+        expr(s"""CAST((CAST(na AS $dec) * __ssa -
+            CAST(__sa AS $dec) * __sa) * nb +
+          (CAST(nb AS $dec) * __ssb - CAST(__sb AS $dec) * __sb) * na
+          AS $dec)""").as("__pnum"),
+        expr(s"""CAST(CAST(na AS $dec) * nb * (na + nb - 2)
+          AS $dec)""").as("__pden"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("mean_a_ppm"), col("mean_b_ppm"),
+        when(col("na") < 2 || col("nb") < 2 || col("__pnum") < 0,
+            lit(null).cast("long"))
+          .otherwise(isqrt(fixedPointExact(col("__pnum"), col("__pden"),
+            scale = 1000000000000L))).as("sp_ppm"))
+      .withColumn("d_milli",
+        when(col("sp_ppm").isNull || col("sp_ppm") === 0L,
+          lit(null).cast("long"))
+          .otherwise(fixedPointExact(
+            col("mean_a_ppm") - col("mean_b_ppm"), col("sp_ppm"),
+            scale = 1000L)))
+  }
+
   /** One-sided (upper) CUSUM control chart over an ordered integer
     * series — sequential change detection for pipeline monitoring
     * (ingest-volume surges, quality-score drift): the classic

@@ -609,4 +609,14 @@ class EvalSpec extends AnyFunSuite {
       (L(2) - L(6))
     assert(m((2L, 1L)) == q)
   }
+
+  test("ece: exact weighted L1 over the calibrated bins") {
+    val cal = Seq(
+      (0L, 2L, 1L, 500000L, 400000L),
+      (1L, 2L, 1L, 500000L, 600000L)
+    ).toDF("bin", "n", "n_correct", "acc_ppm", "cal_ppm")
+    val r = Eval.ece(cal).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 100000L) // (2*1e5 + 2*1e5)/4
+  }
 }

@@ -729,4 +729,30 @@ class StatsSpec extends AnyFunSuite {
     // delta is positive and finite
     assert(r.getLong(3) > 0L)
   }
+
+  test("cohensD: pooled sigma via exact isqrt, milli effect size") {
+    val rows = Seq(("a", 2L), ("a", 4L), ("b", 6L), ("b", 8L))
+      .toDF("g", "v")
+    val r = Stats.cohensD(rows, "v", col("g") === "a", col("g") === "b")
+      .collect()(0)
+    // means 3 and 7, both variances 2 -> pooled sigma = sqrt(2)
+    assert(r.getAs[Long]("mean_a_ppm") == 3000000L)
+    assert(r.getAs[Long]("mean_b_ppm") == 7000000L)
+    assert(r.getAs[Long]("sp_ppm") == 1414213L) // isqrt(2e12)
+    assert(r.getAs[Long]("d_milli") == -2828L)  // -4/sqrt(2) = -2.828
+  }
+
+  test("cohensD: degenerate sides render NULL, never crash") {
+    val rows = Seq(("a", 5L), ("b", 6L), ("b", 6L)).toDF("g", "v")
+    val r = Stats.cohensD(rows, "v", col("g") === "a", col("g") === "b")
+      .collect()(0)
+    assert(Option(r.get(r.fieldIndex("sp_ppm"))).isEmpty) // n_a < 2
+    assert(Option(r.get(r.fieldIndex("d_milli"))).isEmpty)
+    // identical values on both sides: sigma 0 -> d NULL
+    val same = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val r2 = Stats.cohensD(same, "v", col("g") === "a", col("g") === "b")
+      .collect()(0)
+    assert(r2.getAs[Long]("sp_ppm") == 0L)
+    assert(Option(r2.get(r2.fieldIndex("d_milli"))).isEmpty)
+  }
 }
