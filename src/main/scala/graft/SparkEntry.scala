@@ -3540,6 +3540,36 @@ object SparkEntry {
         "ntok", col("lang") === "en", col("lang") === "fr")
     },
 
+    // Energy distance between the same two groups — the distribution
+    // metric sensitive to ALL moments where KS saturates on the CDF
+    // gap: pairwise |difference| sums collapsed to bounded-domain
+    // cumulative scans (the wasserstein shape), exact milli.
+    "q_energy_dist" -> { (s, d) =>
+      graft.functions.Stats.energyDistance(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "ntok", col("lang") === "en", col("lang") === "fr")
+    },
+
+    // Cronbach's alpha over the readability item battery (tokens,
+    // alnum chars, syllables, sentences) — the measurement-theory
+    // card: alpha near 1 says the sub-scores measure one construct and
+    // a composite gate is safe; low alpha says a composite threshold
+    // mixes incompatible signals. One exact decimal rational.
+    "q_cronbach" -> { (s, d) =>
+      val items = Tables.documents(s, d).select(
+        Text.tokenCount(col("text")).cast("long").as("i_tokens"),
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+          .cast("long").as("i_alnum"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("i_syll"),
+        greatest(lit(1L), size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))).cast("long")).as("i_sent"))
+      graft.functions.Stats.cronbachAlpha(items,
+        Seq("i_tokens", "i_alnum", "i_syll", "i_sent"))
+    },
+
     // Cohen's d effect size between the same two groups — the MAGNITUDE
     // companion of q_welch_t2's significance (a huge corpus makes any
     // difference "significant"; d says whether it matters). Pooled
@@ -9373,6 +9403,81 @@ object SparkEntry {
             CAST((3 * reported_cnt - n) // 1 AS BIGINT) AS est_cnt,
             CAST((3 * reported_cnt - n) // 1 - true_cnt AS BIGINT) AS err
           FROM a ORDER BY source""",
+
+    "q_energy_dist" ->
+      s"""WITH t AS (SELECT lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS v
+            FROM documents WHERE lang IN ('en', 'fr')),
+          cnt AS (SELECT v,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+            FROM t GROUP BY 1),
+          cum AS (SELECT v, ca, cb,
+            CAST(sum(ca) OVER win AS BIGINT) AS qa,
+            CAST(sum(cb) OVER win AS BIGINT) AS qb,
+            CAST(sum(CAST(ca AS HUGEINT) * v) OVER win AS HUGEINT) AS ra,
+            CAST(sum(CAST(cb AS HUGEINT) * v) OVER win AS HUGEINT) AS rb
+            FROM cnt WINDOW win AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)),
+          tot AS (SELECT max(qa) AS na, max(qb) AS nb,
+            max(ra) AS rat, max(rb) AS rbt FROM cum),
+          sums AS (SELECT
+            CAST(sum(CAST(ca AS HUGEINT) *
+              ((CAST(v AS HUGEINT) * qb - rb) + (tot.rbt - rb)
+                - CAST(v AS HUGEINT) * (tot.nb - qb))) AS HUGEINT)
+              AS sab,
+            CAST(sum(CAST(ca AS HUGEINT) *
+              ((CAST(v AS HUGEINT) * qa - ra) + (tot.rat - ra)
+                - CAST(v AS HUGEINT) * (tot.na - qa))) AS HUGEINT)
+              AS saa,
+            CAST(sum(CAST(cb AS HUGEINT) *
+              ((CAST(v AS HUGEINT) * qb - rb) + (tot.rbt - rb)
+                - CAST(v AS HUGEINT) * (tot.nb - qb))) AS HUGEINT)
+              AS sbb
+            FROM cum CROSS JOIN tot)
+          SELECT tot.na AS n_a, tot.nb AS n_b,
+            CASE WHEN tot.na = 0 OR tot.nb = 0 THEN NULL
+              ELSE ${duckPpm(
+                "2 * sums.sab * tot.na * tot.nb" +
+                  " - sums.saa * CAST(tot.nb AS HUGEINT) * tot.nb" +
+                  " - sums.sbb * CAST(tot.na AS HUGEINT) * tot.na",
+                "CAST(tot.na AS HUGEINT) * tot.na * tot.nb * tot.nb",
+                1000)}
+            END AS e_milli
+          FROM tot CROSS JOIN sums""",
+
+    "q_cronbach" -> {
+      val items = Seq(
+        s"CAST(len(${duckToks("text")}) AS BIGINT)",
+        "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)",
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)",
+        """greatest(CAST(1 AS BIGINT),
+          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))""")
+      val defs = items.zipWithIndex
+        .map { case (e, i) => s"$e AS i${i + 1}" }.mkString(",\n            ")
+      val qs = (1 to 4).map(i =>
+        s"""CAST(sum(i$i) AS BIGINT) AS s$i,
+            CAST(sum(CAST(i$i AS HUGEINT) * i$i) AS HUGEINT) AS q$i""")
+        .mkString(",\n            ")
+      val itemNum = (1 to 4).map(i =>
+        s"(n * q$i - CAST(s$i AS HUGEINT) * s$i)").mkString(" + ")
+      s"""WITH t0 AS (SELECT $defs FROM documents),
+          t AS (SELECT *, i1 + i2 + i3 + i4 AS it FROM t0),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            $qs,
+            CAST(sum(it) AS BIGINT) AS st,
+            CAST(sum(CAST(it AS HUGEINT) * it) AS HUGEINT) AS qt
+            FROM t)
+          SELECT n, CAST(4 AS BIGINT) AS k,
+            CASE WHEN (n * qt - CAST(st AS HUGEINT) * st) <= 0 THEN NULL
+              ELSE ${duckPpm(
+                s"4 * ((n * qt - CAST(st AS HUGEINT) * st) - ($itemNum))",
+                "3 * (n * qt - CAST(st AS HUGEINT) * st)", 1000)}
+            END AS alpha_milli
+          FROM s"""
+    },
 
     "q_cohens_d" -> {
       val sq0 = "CAST(floor(sqrt(CAST(v12 AS DOUBLE))) AS BIGINT)"

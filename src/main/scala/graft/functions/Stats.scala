@@ -1529,6 +1529,121 @@ object Stats {
           .as("t2_ppm"))
   }
 
+  /** ENERGY DISTANCE (Székely & Rizzo 2004) between the `valueCol`
+    * distributions of two row sets — the distribution-difference
+    * metric beside KS (sup-norm), Wasserstein (transport cost) and MMD
+    * (kernel mean): E² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, zero iff the
+    * distributions are equal, sensitive to ALL moments where KS
+    * saturates on the CDF gap. Exact: every pairwise-|difference| sum
+    * collapses to cumulative count/value sums over the SORTED DISTINCT
+    * VALUE DOMAIN (the binned-KS window discipline — never row-sized
+    * windows), the three sums combine over the common n_a²·n_b²
+    * denominator, and the statistic renders as the exact milli integer
+    * (value units). Self-pairs contribute zero, matching the
+    * independent-copies convention with n² denominators.
+    * Output: one row (n_a, n_b, e_milli); either side empty → NULL.
+    *
+    * Scale: one value-domain count aggregation + domain-bounded
+    * cumulative windows + one fold — the wasserstein1 shape.
+    */
+  def energyDistance(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"),
+        when(aPred, 1L).otherwise(0L).as("__ia"),
+        when(bPred, 1L).otherwise(0L).as("__ib"))
+      .filter(col("__ia") === 1L || col("__ib") === 1L)
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__qa", sum(col("__ca")).over(w))
+      .withColumn("__qb", sum(col("__cb")).over(w))
+      .withColumn("__ra", sum((col("__ca") * col("__v")).cast(dec)).over(w))
+      .withColumn("__rb", sum((col("__cb") * col("__v")).cast(dec)).over(w))
+    val tot = broadcast(cum.agg(max(col("__qa")).as("__na2"),
+      max(col("__qb")).as("__nb2"),
+      max(col("__ra")).cast(dec).as("__rat"),
+      max(col("__rb")).cast(dec).as("__rbt")))
+    // Σ_j c_j·|v_i − v_j| = v·Q − R (at-or-below) + (Rt − R) − v·(Nt − Q)
+    def absSum(q: Column, r: Column, nt: Column, rt: Column): Column =
+      (col("__v").cast(dec) * q - r) + (rt - r) -
+        col("__v").cast(dec) * (nt - q)
+    val sums = cum.crossJoin(tot)
+      .select(
+        (col("__ca").cast(dec) *
+          absSum(col("__qb"), col("__rb"), col("__nb2"), col("__rbt")))
+          .as("__tab"),
+        (col("__ca").cast(dec) *
+          absSum(col("__qa"), col("__ra"), col("__na2"), col("__rat")))
+          .as("__taa"),
+        (col("__cb").cast(dec) *
+          absSum(col("__qb"), col("__rb"), col("__nb2"), col("__rbt")))
+          .as("__tbb"))
+      .agg(coalesce(sum(col("__tab")), lit(0).cast(dec)).as("__sab"),
+        coalesce(sum(col("__taa")), lit(0).cast(dec)).as("__saa"),
+        coalesce(sum(col("__tbb")), lit(0).cast(dec)).as("__sbb"))
+    tot.crossJoin(sums)
+      .select(col("__na2").as("n_a"), col("__nb2").as("n_b"),
+        when(col("__na2").isNull || col("__nb2").isNull ||
+            col("__na2") === 0L || col("__nb2") === 0L,
+          lit(null).cast("long"))
+          .otherwise(fixedPointExact(
+            lit(2).cast(dec) * col("__sab") * col("__na2") * col("__nb2")
+              - col("__saa") * col("__nb2") * col("__nb2")
+              - col("__sbb") * col("__na2") * col("__na2"),
+            col("__na2").cast(dec) * col("__na2") *
+              col("__nb2") * col("__nb2"),
+            scale = 1000L)).as("e_milli"))
+  }
+
+  /** CRONBACH'S ALPHA (Cronbach 1951) over a battery of per-row
+    * integer item scores — the measurement-theory card for the quality
+    * suite: do the sub-scores measure ONE construct (α near 1, safe to
+    * sum into a composite gate) or disagree (α low, a composite
+    * threshold mixes incompatible signals)?
+    *
+    *   α = k/(k−1) · (1 − Σ_i var_i / var_total)
+    *
+    * Raw covariance alpha with population variances; since every
+    * variance is (n·ss − s²)/n², the n² cancels and
+    * α = k·(D − N) / ((k−1)·D) with N = Σ_i (n·ss_i − s_i²) and
+    * D = n·ss_t − s_t² over the rowwise total — ONE exact decimal
+    * rational from one aggregation pass, rendered in milli. Zero
+    * total variance (constant battery) renders NULL.
+    * Output: one row (n, k, alpha_milli).
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[String]): DataFrame = {
+    require(items.size >= 2, s"need >= 2 items, got ${items.size}")
+    val dec = "decimal(38,0)"
+    val k = items.size
+    val withTotal = df.select(
+      items.map(i => col(i).cast("long").as(s"__i_$i")) :+
+        items.map(i => col(i).cast("long")).reduce(_ + _).as("__t0"): _*)
+    val aggs = Seq(count(lit(1)).as("__n0")) ++
+      items.flatMap(i => Seq(
+        sum(col(s"__i_$i")).as(s"__s_$i"),
+        sum(col(s"__i_$i").cast("decimal(19,0)") * col(s"__i_$i"))
+          .cast(dec).as(s"__q_$i"))) ++
+      Seq(sum(col("__t0")).as("__st"),
+        sum(col("__t0").cast("decimal(19,0)") * col("__t0")).cast(dec)
+          .as("__qt"))
+    val s = withTotal.agg(aggs.head, aggs.tail: _*)
+    val itemVarNum = items.map(i =>
+      col("__n0").cast(dec) * col(s"__q_$i") -
+        col(s"__s_$i").cast(dec) * col(s"__s_$i")).reduce(_ + _)
+    val totVarNum = col("__n0").cast(dec) * col("__qt") -
+      col("__st").cast(dec) * col("__st")
+    s.select(col("__n0").as("n"), lit(k.toLong).as("k"),
+      when(totVarNum <= 0, lit(null).cast("long"))
+        .otherwise(fixedPointExact(
+          lit(k.toLong).cast(dec) * (totVarNum - itemVarNum),
+          lit((k - 1).toLong).cast(dec) * totVarNum,
+          scale = 1000L)).as("alpha_milli"))
+  }
+
   /** COHEN'S d effect size between two row sets — the magnitude
     * companion of [[welchT2]]'s significance test (a huge corpus makes
     * any difference "significant"; d says whether it MATTERS):

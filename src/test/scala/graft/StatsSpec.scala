@@ -755,4 +755,29 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("sp_ppm") == 0L)
     assert(Option(r2.get(r2.fieldIndex("d_milli"))).isEmpty)
   }
+
+  test("energyDistance: exact on hand pairs; zero for equal samples") {
+    val rows = Seq(("a", 0L), ("a", 2L), ("b", 1L)).toDF("g", "v")
+    val r = Stats.energyDistance(rows, "v", col("g") === "a",
+      col("g") === "b").collect()(0)
+    // 2*E|X-Y| - E|X-X'| - E|Y-Y'| = 2*1 - 1 - 0 = 1
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1000L)
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val r2 = Stats.energyDistance(same, "v", col("g") === "a",
+      col("g") === "b").collect()(0)
+    assert(r2.getLong(2) == 0L)
+  }
+
+  test("cronbachAlpha: perfectly parallel items; constant battery NULL") {
+    val rows = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("i1", "i2")
+    val r = Stats.cronbachAlpha(rows, Seq("i1", "i2")).collect()(0)
+    // vars 6 and 24 (n-scaled), total 54: alpha = 2*(54-30)/54 = 8/9
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 889L)
+    val const = Seq((5L, 5L), (5L, 5L)).toDF("i1", "i2")
+    val r2 = Stats.cronbachAlpha(const, Seq("i1", "i2")).collect()(0)
+    assert(Option(r2.get(2)).isEmpty)
+  }
 }
