@@ -3540,6 +3540,19 @@ object SparkEntry {
         "ntok", col("lang") === "en", col("lang") === "fr")
     },
 
+    // Odds ratio of clearing the 128-token length gate, en vs fr, with
+    // the Haldane-corrected log-domain Wald 95% CI — the ablation/
+    // cohort card: the CI excluding zero (in log2) is the significance
+    // read without any p-value machinery. Exact integers end to end.
+    "q_odds_ratio" -> { (s, d) =>
+      graft.functions.Stats.oddsRatio(
+        Tables.documents(s, d)
+          .filter(col("lang").isin("en", "fr"))
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        col("lang") === "en", col("ntok") >= 128L)
+    },
+
     // Energy distance between the same two groups — the distribution
     // metric sensitive to ALL moments where KS saturates on the CDF
     // gap: pairwise |difference| sums collapsed to bounded-domain
@@ -9403,6 +9416,48 @@ object SparkEntry {
             CAST((3 * reported_cnt - n) // 1 AS BIGINT) AS est_cnt,
             CAST((3 * reported_cnt - n) // 1 - true_cnt AS BIGINT) AS err
           FROM a ORDER BY source""",
+
+    "q_odds_ratio" -> {
+      val se2 = Seq("a", "b", "c", "d").map(x =>
+        duckPpm("2", s"2 * $x + 1", 1000000000000L)).mkString(" + ")
+      s"""WITH t AS (SELECT lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS ntok
+            FROM documents WHERE lang IN ('en', 'fr')),
+          cells AS (SELECT
+            CAST(sum(CASE WHEN lang = 'en' AND ntok >= 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN lang = 'en' AND ntok < 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN lang = 'fr' AND ntok >= 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN lang = 'fr' AND ntok < 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM t),
+          lx AS (SELECT DISTINCT x FROM (
+            SELECT (2 * a + 1) * (2 * d + 1) AS x FROM cells
+            UNION SELECT (2 * b + 1) * (2 * c + 1) FROM cells)),
+          $duckLog2Chain,
+          se AS (SELECT cells.*, ($se2) AS se2 FROM cells),
+          q0 AS (SELECT *, CAST(floor(sqrt(CAST(se2 AS DOUBLE)))
+            AS BIGINT) AS s0 FROM se),
+          q1 AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= se2
+            THEN s0 + 1 ELSE s0 END AS s1 FROM q0),
+          q2 AS (SELECT *, CASE WHEN s1 * s1 > se2 THEN s1 - 1
+            ELSE s1 END AS sev FROM q1),
+          fin AS (SELECT q2.*,
+            CAST(l1.lq - l2.lq AS BIGINT) AS lor2_q,
+            ${duckPpm("sev * 185315", "1000000", 1)} AS dq
+            FROM q2
+            JOIN lgt l1 ON l1.x = (2 * a + 1) * (2 * d + 1)
+            JOIN lgt l2 ON l2.x = (2 * b + 1) * (2 * c + 1))
+          SELECT a, b, c, d,
+            CASE WHEN b * c = 0 THEN NULL
+              ELSE ${duckPpm("CAST(a AS HUGEINT) * d",
+                "CAST(b AS HUGEINT) * c", 1000)} END AS or_milli,
+            lor2_q, CAST(lor2_q - dq AS BIGINT) AS ci_lo2_q,
+            CAST(lor2_q + dq AS BIGINT) AS ci_hi2_q
+          FROM fin"""
+    },
 
     "q_energy_dist" ->
       s"""WITH t AS (SELECT lang,

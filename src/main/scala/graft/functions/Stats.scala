@@ -1529,6 +1529,59 @@ object Stats {
           .as("t2_ppm"))
   }
 
+  /** ODDS RATIO of a binary outcome between two exposure groups, with
+    * the Haldane-Anscombe-corrected log-domain Wald 95% CI — the
+    * ablation/cohort card ("is group A more likely to pass the gate
+    * than group B, and does the interval exclude 1?"): from the 2x2
+    * table (a, b, c, d) = (A-pass, A-fail, B-pass, B-fail),
+    *
+    *   OR = a·d / (b·c)   (exact milli rational; NULL if b·c = 0),
+    *   log2 OR* = log2q((2a+1)(2d+1)) − log2q((2b+1)(2c+1))
+    *   SE²(ln OR*) = Σ 2/(2x+1) over the four cells
+    *   CI = log2 OR* ± 1.96·log2(e)·SE   (log2 q units)
+    *
+    * — the +1/2 correction lands as EXACT integers by doubling every
+    * cell ((x+1/2) → 2x+1), the SE² renders at 10^12 scale so
+    * [[isqrt]] gives 10^6·SE directly, and the 1.96·log2(e)·2^16
+    * constant is the shared integer 185315. A CI that stays above (or
+    * below) zero in the log domain is the significance read — no
+    * p-value machinery, no libm.
+    * Output: one row (a, b, c, d, or_milli, lor2_q, ci_lo2_q,
+    * ci_hi2_q).
+    *
+    * Scale: one partial-aggregable pass over the predicates.
+    */
+  def oddsRatio(df: DataFrame, exposurePred: Column,
+      outcomePred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(
+      when(exposurePred, 1L).otherwise(0L).as("__e"),
+      when(outcomePred, 1L).otherwise(0L).as("__o"))
+      .agg(sum(col("__e") * col("__o")).as("a"),
+        sum(col("__e") * (lit(1L) - col("__o"))).as("b"),
+        sum((lit(1L) - col("__e")) * col("__o")).as("c"),
+        sum((lit(1L) - col("__e")) * (lit(1L) - col("__o"))).as("d"))
+    val lg = graft.plans.FixLog.log2qCol _
+    val lor = lg((lit(2L) * col("a") + 1L) * (lit(2L) * col("d") + 1L)) -
+      lg((lit(2L) * col("b") + 1L) * (lit(2L) * col("c") + 1L))
+    val se2 = Seq("a", "b", "c", "d").map(x =>
+      fixedPointExact(lit(2L), lit(2L) * col(x) + 1L,
+        scale = 1000000000000L)).reduce(_ + _)
+    cells
+      .select(col("a"), col("b"), col("c"), col("d"),
+        when(col("b") * col("c") === 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("a").cast(dec) * col("d"),
+            col("b").cast(dec) * col("c"), scale = 1000L))
+          .as("or_milli"),
+        lor.as("lor2_q"),
+        fixedPointExact(isqrt(se2) * lit(185315L), lit(1000000L),
+          scale = 1L).as("__dq"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("or_milli"),
+        col("lor2_q"),
+        (col("lor2_q") - col("__dq")).as("ci_lo2_q"),
+        (col("lor2_q") + col("__dq")).as("ci_hi2_q"))
+  }
+
   /** ENERGY DISTANCE (Székely & Rizzo 2004) between the `valueCol`
     * distributions of two row sets — the distribution-difference
     * metric beside KS (sup-norm), Wasserstein (transport cost) and MMD

@@ -780,4 +780,28 @@ class StatsSpec extends AnyFunSuite {
     val r2 = Stats.cronbachAlpha(const, Seq("i1", "i2")).collect()(0)
     assert(Option(r2.get(2)).isEmpty)
   }
+
+  test("oddsRatio: exact 2x2 OR, Haldane log CI covering zero on noise") {
+    val rows = Seq(("a", 10L), ("a", 10L), ("a", 1L),
+      ("b", 10L), ("b", 1L), ("b", 1L)).toDF("g", "v")
+    val r = Stats.oddsRatio(rows, col("g") === "a", col("v") >= 10L)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getAs[Long]("or_milli") == 4000L) // (2*2)/(1*1)
+    // Haldane: log2(25/9) in q units; CI from SE = sqrt(4/5 + 4/3)
+    assert(r.getAs[Long]("lor2_q") == 96595L)
+    assert(r.getAs[Long]("ci_lo2_q") == -174075L)
+    assert(r.getAs[Long]("ci_hi2_q") == 367265L)
+    // 6 rows cannot separate: the CI straddles zero
+    assert(r.getAs[Long]("ci_lo2_q") < 0L && r.getAs[Long]("ci_hi2_q") > 0L)
+  }
+
+  test("oddsRatio: zero off-diagonal renders OR NULL, CI still finite") {
+    val rows = Seq(("a", 10L), ("b", 1L)).toDF("g", "v")
+    val r = Stats.oddsRatio(rows, col("g") === "a", col("v") >= 10L)
+      .collect()(0)
+    assert(Option(r.get(r.fieldIndex("or_milli"))).isEmpty) // b*c = 0
+    assert(r.getAs[Long]("lor2_q") > 0L) // Haldane keeps the log finite
+  }
 }
