@@ -3540,6 +3540,20 @@ object SparkEntry {
         "ntok", col("lang") === "en", col("lang") === "fr")
     },
 
+    // Mantel-Haenszel pooled odds ratio of the same length gate,
+    // STRATIFIED BY SOURCE, reported beside the crude OR — the
+    // confounder-adjusted pair: when the exposure mix differs by
+    // stratum the crude OR can invert against every stratum (Simpson's
+    // paradox); the two columns disagreeing IS the finding.
+    "q_mh_odds" -> { (s, d) =>
+      graft.functions.Stats.mantelHaenszel(
+        Tables.documents(s, d)
+          .filter(col("lang").isin("en", "fr"))
+          .select(col("source"), col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("ntok")),
+        "source", col("lang") === "en", col("ntok") >= 128L)
+    },
+
     // Odds ratio of clearing the 128-token length gate, en vs fr, with
     // the Haldane-corrected log-domain Wald 95% CI — the ablation/
     // cohort card: the CI excluding zero (in log2) is the significance
@@ -9416,6 +9430,38 @@ object SparkEntry {
             CAST((3 * reported_cnt - n) // 1 AS BIGINT) AS est_cnt,
             CAST((3 * reported_cnt - n) // 1 - true_cnt AS BIGINT) AS err
           FROM a ORDER BY source""",
+
+    "q_mh_odds" ->
+      s"""WITH t AS (SELECT source, lang,
+            CAST(len(${duckToks("text")}) AS BIGINT) AS ntok
+            FROM documents WHERE lang IN ('en', 'fr')),
+          cells AS (SELECT source,
+            CAST(sum(CASE WHEN lang = 'en' AND ntok >= 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN lang = 'en' AND ntok < 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN lang = 'fr' AND ntok >= 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN lang = 'fr' AND ntok < 128
+              THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM t GROUP BY 1),
+          w AS (SELECT *, a + b + c + d AS n FROM cells),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+            CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+            CAST(sum(c) AS BIGINT) AS sc, CAST(sum(d) AS BIGINT) AS sd,
+            CAST(sum(${duckPpm("CAST(a AS HUGEINT) * d", "n")})
+              AS BIGINT) AS mhn,
+            CAST(sum(${duckPpm("CAST(b AS HUGEINT) * c", "n")})
+              AS BIGINT) AS mhd
+            FROM w)
+          SELECT n_strata,
+            CASE WHEN sb * sc = 0 THEN NULL
+              ELSE ${duckPpm("CAST(sa AS HUGEINT) * sd",
+                "CAST(sb AS HUGEINT) * sc", 1000)} END
+              AS or_crude_milli,
+            CASE WHEN mhd = 0 THEN NULL
+              ELSE ${duckPpm("mhn", "mhd", 1000)} END AS or_mh_milli
+          FROM agg""",
 
     "q_odds_ratio" -> {
       val se2 = Seq("a", "b", "c", "d").map(x =>

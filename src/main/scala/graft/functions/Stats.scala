@@ -1582,6 +1582,56 @@ object Stats {
         (col("lor2_q") + col("__dq")).as("ci_hi2_q"))
   }
 
+  /** MANTEL-HAENSZEL pooled odds ratio across strata (Mantel &
+    * Haenszel 1959) — the confounder-adjusted companion of
+    * [[oddsRatio]]: when the exposure mix differs by stratum (source,
+    * domain, date), the crude 2x2 OR can invert against every stratum
+    * (Simpson's paradox); MH pools the per-stratum tables as
+    *
+    *   OR_MH = Σ_i a_i·d_i/n_i  /  Σ_i b_i·c_i/n_i
+    *
+    * weighting each stratum by its size. Exact pipeline: the two sums
+    * render per stratum in ppm ([[fixedPointExact]] — one documented
+    * rounding layer per stratum, replayed by the oracle), the ratio in
+    * milli. Reported beside the crude OR so the paradox is VISIBLE:
+    * (or_crude_milli, or_mh_milli) disagreeing is the finding.
+    * Strata with n = 0 cannot occur (they'd have no rows); a zero
+    * pooled denominator renders NULL.
+    * Output: one row (n_strata, or_crude_milli, or_mh_milli).
+    *
+    * Scale: one (stratum, exposure, outcome) count aggregation —
+    * stratum-domain-sized, partial-aggregable.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposurePred: Column, outcomePred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(col(stratumCol).as("__st"),
+        when(exposurePred, 1L).otherwise(0L).as("__e"),
+        when(outcomePred, 1L).otherwise(0L).as("__o"))
+      .groupBy(col("__st"))
+      .agg(sum(col("__e") * col("__o")).as("__a"),
+        sum(col("__e") * (lit(1L) - col("__o"))).as("__b"),
+        sum((lit(1L) - col("__e")) * col("__o")).as("__c"),
+        sum((lit(1L) - col("__e")) * (lit(1L) - col("__o"))).as("__d"))
+      .withColumn("__n",
+        col("__a") + col("__b") + col("__c") + col("__d"))
+    cells.agg(count(lit(1)).as("n_strata"),
+        sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+        sum(col("__c")).as("__sc"), sum(col("__d")).as("__sd"),
+        sum(fixedPointExact(col("__a").cast(dec) * col("__d"),
+          col("__n"))).as("__mhn"),
+        sum(fixedPointExact(col("__b").cast(dec) * col("__c"),
+          col("__n"))).as("__mhd"))
+      .select(col("n_strata"),
+        when(col("__sb") * col("__sc") === 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__sa").cast(dec) * col("__sd"),
+            col("__sb").cast(dec) * col("__sc"), scale = 1000L))
+          .as("or_crude_milli"),
+        when(col("__mhd") === 0L, lit(null).cast("long"))
+          .otherwise(fixedPointExact(col("__mhn"), col("__mhd"),
+            scale = 1000L)).as("or_mh_milli"))
+  }
+
   /** ENERGY DISTANCE (Székely & Rizzo 2004) between the `valueCol`
     * distributions of two row sets — the distribution-difference
     * metric beside KS (sup-norm), Wasserstein (transport cost) and MMD

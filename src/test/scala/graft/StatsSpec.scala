@@ -804,4 +804,19 @@ class StatsSpec extends AnyFunSuite {
     assert(Option(r.get(r.fieldIndex("or_milli"))).isEmpty) // b*c = 0
     assert(r.getAs[Long]("lor2_q") > 0L) // Haldane keeps the log finite
   }
+
+  test("mantelHaenszel: pooled OR vs the crude one (confounded mix)") {
+    val s1 = Seq.fill(4)(("s1", 1L, 1L)) ++ Seq(("s1", 1L, 0L),
+      ("s1", 0L, 1L), ("s1", 0L, 0L))
+    val s2 = Seq(("s2", 1L, 1L), ("s2", 1L, 0L), ("s2", 0L, 1L)) ++
+      Seq.fill(4)(("s2", 0L, 0L))
+    val rows = (s1 ++ s2).toDF("st", "e", "o")
+    val r = Stats.mantelHaenszel(rows, "st", col("e") === 1L,
+      col("o") === 1L).collect()(0)
+    assert(r.getLong(0) == 2L)
+    // per-stratum OR = 4 in both; the crude table (5,2,2,5) says 6.25
+    // because the exposure mix differs by stratum — MH recovers 4
+    assert(r.getAs[Long]("or_crude_milli") == 6250L)
+    assert(r.getAs[Long]("or_mh_milli") == 4000L)
+  }
 }
