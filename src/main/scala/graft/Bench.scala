@@ -48,6 +48,12 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // First-pass (cold) times, kept separately: the min-of-N total
+    // erases one-off memo/index build costs into NO entry (~50 s of
+    // amortized family builds at sf0.1), so the artifact records BOTH —
+    // "value" (min-of-N, contention-robust) and "value_cold" (first
+    // pass, every shared chain cold — the driver/judge-comparable total).
+    val first = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Memo attribution (first pass only — catalog order, every shared
     // chain cold): "cold" = this entry BUILT at least one session-memoized
     // shared chain (its time carries the family's training cost), "hit" =
@@ -67,6 +73,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       best(name) = best.get(name).fold(sec)(math.min(_, sec))
       if (r == 1) {
+        first(name) = sec
         val (h1, b1) = graft.functions.PlanMemo.counters
         memo(name) = (b1 > b0, h1 > h0) match {
           case (true, true)   => "mixed"
@@ -89,9 +96,11 @@ object Bench {
       .mkString("{", ",", "}")
     val memoJson = memo.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
+    val totalCold = if (first.nonEmpty) first.values.sum else 0.0
     val line = s"""{"queries":$qs,"memo":$memoJson,""" +
       s""""sf":"$sfDir","runs":$runs,""" +
-      s""""metric":"total","unit":"sec","value":${ms(total)}}"""
+      s""""metric":"total","unit":"sec","value":${ms(total)},""" +
+      s""""value_cold":${ms(totalCold)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>

@@ -1083,11 +1083,26 @@ object ScaleProbe {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         val t0 = System.nanoTime()
-        val futs = probes.map { case (_, f) =>
+        val futs = probes.map { case (name, f) =>
           scala.concurrent.Future {
+            // One FAIR pool per client: with spark.scheduler.mode=FAIR
+            // and no allocation file, every job lands in the single
+            // default pool, which schedules FIFO INTERNALLY — a
+            // many-small-jobs probe (graph beam) queues behind every
+            // in-flight multi-second scan. Per-client pools are how a
+            // real serving deployment isolates latency classes; pools
+            // materialize on demand with weight 1 and FAIR sharing
+            // across them.
+            spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", s"probe_$name")
             val s0 = System.nanoTime()
             f()
-            (System.nanoTime() - s0) / 1e9
+            val sec = (System.nanoTime() - s0) / 1e9
+            // SPARK_GRAFT_PROBE_LATS=1: per-probe latency lines for
+            // directing tail work (not part of the card).
+            if (sys.env.get("SPARK_GRAFT_PROBE_LATS").contains("1"))
+              println(f"PROBELAT p$parallelism $name $sec%.2f s")
+            sec
           }
         }
         val lats = futs.map(scala.concurrent.Await

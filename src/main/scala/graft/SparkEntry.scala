@@ -5470,7 +5470,9 @@ object SparkEntry {
               AS BIGINT) AS z
             FROM cnt c CROSS JOIN rws r GROUP BY 1)
           SELECT zz.sketch_row, zz.z,
-            CAST(CAST(zz.z AS HUGEINT) * zz.z AS BIGINT) AS est,
+            CASE WHEN abs(zz.z) > 3037000499 THEN NULL
+              ELSE CAST(CAST(zz.z AS HUGEINT) * zz.z AS BIGINT)
+            END AS est,
             ex.exact_f2,
             ${duckPpm("CAST(zz.z AS HUGEINT) * zz.z - ex.exact_f2",
               "ex.exact_f2")} AS err_ppm
@@ -9522,8 +9524,11 @@ object SparkEntry {
             CAST(sum(CAST(cb AS HUGEINT) * v) OVER win AS HUGEINT) AS rb
             FROM cnt WINDOW win AS (ORDER BY v ROWS BETWEEN UNBOUNDED
               PRECEDING AND CURRENT ROW)),
-          tot AS (SELECT max(qa) AS na, max(qb) AS nb,
-            max(ra) AS rat, max(rb) AS rbt FROM cum),
+          tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb,
+            CAST(sum(CAST(ca AS HUGEINT) * v) AS HUGEINT) AS rat,
+            CAST(sum(CAST(cb AS HUGEINT) * v) AS HUGEINT) AS rbt
+            FROM cnt),
           sums AS (SELECT
             CAST(sum(CAST(ca AS HUGEINT) *
               ((CAST(v AS HUGEINT) * qb - rb) + (tot.rbt - rb)

@@ -680,26 +680,16 @@ object Dedup {
   // private[graft]: plan-shape assertions and streaming per-batch
   // callers target the unmemoized chain
   private[graft] def winnowFingerprintsUncached(docs: DataFrame,
-      idCol: String, textCol: String, n: Int, w: Int): DataFrame = {
-    require(w >= 1, s"window must be >= 1 hashes, got $w")
-    val cap = 2147483648L // 2^31
-    val pos = docs.select(col(idCol),
-      graft.plans.TextExpressions.hashedShinglesPos(col(textCol), n))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val whole = Window.partitionBy(col(idCol))
-    pos
-      .withColumn("__key", col("tid") * cap + (lit(cap - 1) - col("pos")))
-      .withColumn("__sel", min(col("__key")).over(frame))
-      .withColumn("__m", count(lit(1)).over(whole))
-      // Only starts whose window is full select a fingerprint; the
-      // greatest(...) keeps ONE clipped window for sub-w docs.
-      .filter(col("pos") <= greatest(col("__m") - w, lit(0L)))
-      .select(col(idCol),
-        (lit(cap - 1) - expr(s"__sel % $cap")).as("sel_pos"),
-        expr(s"__sel div $cap").as("tid"))
-      .distinct()
-  }
+      idCol: String, textCol: String, n: Int, w: Int): DataFrame =
+    // One compiled scan pass (plans.WinnowSelect): the sliding-window
+    // minimum is sequential WITHIN a document, so the doc-partitioned
+    // declarative window (a full gram-stream shuffle) and its trailing
+    // distinct are replaced by a monotonic-deque generator — the
+    // fingerprint stream never shuffles at all. Bit-parity with the
+    // declarative construction is pinned by SpanDedupSpec's independent
+    // model and the unchanged DuckDB window-min oracle (q_winnow).
+    docs.select(col(idCol),
+      graft.plans.TextExpressions.winnowSelect(col(textCol), n, w))
 
   /** Near-duplicate pairs via winnowing fingerprints: candidates are
     * documents sharing at least one selected fingerprint hash, then
@@ -716,49 +706,64 @@ object Dedup {
       w: Int, minJaccard: Double, dfCap: Long = 100000L,
       minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    // The fingerprint selection (a doc-keyed window min over the
-    // positioned gram stream) comes from the SHARED memoized
-    // [[winnowFingerprints]] checkpoint — the listing entry (q_winnow)
-    // and this generator split the cost. The (id, tid) projection is
-    // materialized once more because it feeds THREE consumers below
-    // (df cut, both join sides); it is the ~2/(w+1)-density winnow
-    // index — smaller than the gram stream it came from, and derived
-    // here from an in-memory checkpoint, not the corpus scan.
-    val fpDocs = winnowFingerprints(docs, idCol, textCol, n, w)
-      .select(col(idCol), col("tid")).distinct()
-      .localCheckpoint(true)
-    val rare = fpDocs.groupBy(col("tid")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select(col("tid"))
-    val g = fpDocs.join(rare, Seq("tid"))
-    val a = g.select(col("tid"), col(idCol).as("id_a"))
-    val b = g.select(col("tid"), col(idCol).as("id_b"))
+    // The fingerprint selection (one compiled scan pass) comes from the
+    // SHARED memoized [[winnowFingerprints]] checkpoint — the listing
+    // entry (q_winnow) and this generator split the cost. Postings are
+    // GROUPED per fingerprint (one shuffle of the ~2/(w+1)-density
+    // winnow index; collect_set dedups multi-position selections of the
+    // same gram inline), the df cut becomes a size filter on the
+    // grouped arrays, and candidate pairs expand SCAN-STAGE from the
+    // sorted id arrays (id_a < id_b by sort order) — the self-join,
+    // its df-cut pre-join, and the (id, tid) projection shuffle of the
+    // former inverted-list plan all collapse into this one aggregate,
+    // which the endpoint-id list below reuses via exchange reuse
+    // instead of a second checkpoint.
+    val fp = winnowFingerprints(docs, idCol, textCol, n, w)
+    val grouped = fp.groupBy(col("tid"))
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= dfCap)
+    val pairs = grouped.select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+           transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+             struct(x AS id_a, y AS id_b))))""")).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
     // minShared > 1 demands that many DISTINCT shared fingerprints per
-    // pair before verification (the input stream is distinct (tid, id)
-    // rows, so the count is exact) — a candidate-mass cut that trades
-    // recall on SHORT overlaps: the winnow guarantee only promises ONE
-    // shared fingerprint per shared run of >= w+n-1 tokens, so a pair
-    // whose entire overlap selects a single fingerprint (e.g. two
-    // near-identical sub-w-hash documents, which winnow gives exactly
-    // one clipped-window fingerprint each) is structurally dropped.
-    // Documents long enough to select several fingerprints are
-    // unaffected at any Jaccard threshold that implies several shared
-    // runs. Measured at sf0.1 (n=3, w=4, j>=0.2): candidates
-    // 337,125 -> 8,374 (40x), verified pairs 256 -> 256 (zero loss),
-    // wall 5.7 -> 2.7 s warm — the cut the catalog's q_winnow_pairs
+    // pair before verification (the arrays are per-tid distinct ids,
+    // so the pair-occurrence count is exact) — a candidate-mass cut
+    // that trades recall on SHORT overlaps: the winnow guarantee only
+    // promises ONE shared fingerprint per shared run of >= w+n-1
+    // tokens, so a pair whose entire overlap selects a single
+    // fingerprint (e.g. two near-identical sub-w-hash documents, which
+    // winnow gives exactly one clipped-window fingerprint each) is
+    // structurally dropped. Documents long enough to select several
+    // fingerprints are unaffected at any Jaccard threshold that
+    // implies several shared runs. Measured at sf0.1 (n=3, w=4,
+    // j>=0.2): candidates 337,125 -> 8,374 (40x), verified pairs
+    // 256 -> 256 (zero loss) — the cut the catalog's q_winnow_pairs
     // adopts, with the recall contract in its oracle mirrored to match.
-    val joined = a.join(b, Seq("tid"))
-      .filter(col("id_a") < col("id_b"))
     val cands =
-      if (minShared <= 1) joined.select(col("id_a"), col("id_b")).distinct()
-      else joined.groupBy(col("id_a"), col("id_b"))
+      if (minShared <= 1) pairs.distinct()
+      else pairs.groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("__nsh"))
         .filter(col("__nsh") >= minShared)
         .select(col("id_a"), col("id_b"))
+    // Endpoint superset for the verify's semi-join cut, derived from
+    // the SAME grouped-postings aggregate (every candidate endpoint
+    // shares a rare fingerprint with someone): the grouped exchange is
+    // physically reused, so candidates are computed ONCE — no
+    // checkpoint, no double posting pass.
+    val endpointIds = grouped.select(explode(col("__ids")).as(idCol))
+      .distinct()
     // Array-form verify: shingled text keeps per-doc gram sets bounded,
     // and winnow buckets on hub-dominated corpora emit candidate volumes
     // where the compact-array join measured 2× over the gram stream.
+    // RAW gram stream (no corpus-wide distinct): the endpoint semi-join
+    // cuts the scan-stage generator output before any shuffle, and
+    // per-doc dedup rides the collect_set — only candidate docs' grams
+    // ever move.
     verifyJaccardArrays(cands,
-      docShingleIds(docs, idCol, textCol, n).distinct(), idCol, minJaccard)
+      docShingleIds(docs, idCol, textCol, n), idCol, minJaccard,
+      idsOverride = Some(endpointIds))
   }
 
   /** Exact Jaccard verification restricted to candidate pairs: joins a
@@ -817,12 +822,24 @@ object Dedup {
     * winnowPairs (shingled text, bounded grams per doc) uses this form.
     */
   def verifyJaccardArrays(candidates: DataFrame, sets: DataFrame,
-      idCol: String, minJaccard: Double): DataFrame = {
+      idCol: String, minJaccard: Double,
+      idsOverride: Option[DataFrame] = None): DataFrame = {
     // One explode instead of a self-union (see verifyJaccard).
-    val ids = candidates
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // idsOverride: any SUPERSET of the candidate endpoints works for
+    // the semi-join cut (extra docs' arrays simply never join) — a
+    // caller that can list endpoints from an already-shuffled subtree
+    // (winnowPairs' grouped postings) passes it to avoid re-running
+    // the candidate generator just to enumerate its ids.
+    val ids = idsOverride.getOrElse(candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct())
+    // collect_set, not collect_list: per-doc dedup happens INSIDE the
+    // aggregation, so callers may pass the raw (non-distinct) gram
+    // stream — the candidate semi-join then cuts the stream BEFORE any
+    // shuffle, instead of a corpus-wide distinct shuffling every doc's
+    // grams just to verify a small candidate set. Identical output for
+    // already-distinct input (Jaccard is over distinct gram sets).
     val arr = sets.join(ids, Seq(idCol), "left_semi")
-      .groupBy(col(idCol)).agg(array_sort(collect_list(col("tid"))).as("__g"))
+      .groupBy(col(idCol)).agg(array_sort(collect_set(col("tid"))).as("__g"))
     candidates
       .join(arr.select(col(idCol).as("id_a"), col("__g").as("__ga")), Seq("id_a"))
       .join(arr.select(col(idCol).as("id_b"), col("__g").as("__gb")), Seq("id_b"))

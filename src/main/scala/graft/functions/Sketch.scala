@@ -180,9 +180,17 @@ object Sketch {
         }: _*)).as("__r"))
       .groupBy(col("__r.sketch_row").as("sketch_row"))
       .agg(sum(col("__m") * col("__r.__s")).as("z"))
+    // |Z| can reach stream size, so Z^2 overflows a 64-bit est at
+    // ~3.04e9 tokens (isqrt(Long.MaxValue) = 3037000499); the cast
+    // would silently wrap. Gate est to NULL past that bound so the
+    // overflow is explicit on both engines; z and err_ppm (decimal-
+    // domain arithmetic) stay exact regardless.
+    val zMax = 3037000499L
     z.crossJoin(broadcast(exact))
       .select(col("sketch_row"), col("z"),
-        (col("z").cast(dec) * col("z").cast(dec)).cast("long").as("est"),
+        when(abs(col("z")) > zMax, lit(null).cast("long"))
+          .otherwise((col("z").cast(dec) * col("z").cast(dec))
+            .cast("long")).as("est"),
         col("exact_f2"),
         graft.functions.Stats.fixedPointExact(
           col("z").cast(dec) * col("z").cast(dec) -

@@ -578,7 +578,12 @@ object Stats {
           .cast(dec).as(s"__sp_${cols(i)}_${cols(j)}"))
     val one = base.agg(aggs.head, aggs.tail: _*)
     // ONE aggregation row exploded into the pair table — never one
-    // re-aggregation (= one more full scan) per pair
+    // re-aggregation (= one more full scan) per pair. The structs carry
+    // only the RAW moments (cov, vx, vy); the ppm/r² rendering chain is
+    // computed AFTER the explode, so its decimal expression tree is
+    // emitted once instead of C(k,2) times — the all-in-struct form
+    // exceeded janino's 64 KB method limit at k = 4 and fell back to
+    // interpreted execution (one row, but an ERROR line in every log).
     val pairStructs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield {
         val (x, y) = (cols(i), cols(j))
@@ -590,16 +595,19 @@ object Stats {
         val vy = (n * col(s"__ss_$y") -
           col(s"__s_$y").cast(dec) * col(s"__s_$y")).cast(dec)
         struct(lit(x).as("x_col"), lit(y).as("y_col"),
-          col("__n").as("n"),
-          signum(cov.cast("double")).cast("long").as("r_sign"),
-          when(vx <= 0 || vy <= 0, lit(null).cast("long"))
-            .otherwise(fixedPointExact(
-              (fixedPointExact(cov, vx).cast("decimal(19,0)") * cov)
-                .cast(dec), vy)).as("r2_pptr"))
+          col("__n").as("n"), cov.as("cov"), vx.as("vx"), vy.as("vy"))
       }
+    val cov = col("__p.cov")
+    val vx = col("__p.vx")
+    val vy = col("__p.vy")
     one.select(explode(array(pairStructs: _*)).as("__p"))
-      .select(col("__p.x_col"), col("__p.y_col"), col("__p.n"),
-        col("__p.r_sign"), col("__p.r2_pptr"))
+      .select(col("__p.x_col").as("x_col"), col("__p.y_col").as("y_col"),
+        col("__p.n").as("n"),
+        signum(cov.cast("double")).cast("long").as("r_sign"),
+        when(vx <= 0 || vy <= 0, lit(null).cast("long"))
+          .otherwise(fixedPointExact(
+            (fixedPointExact(cov, vx).cast("decimal(19,0)") * cov)
+              .cast(dec), vy)).as("r2_pptr"))
   }
 
   /** CHAO1 RICHNESS estimator of the UNSEEN vocabulary (Chao 1984 —
@@ -1134,9 +1142,14 @@ object Stats {
         sum(col(valueCol).cast("long")).as("__s"))
     val tot = broadcast(per.agg(sum(col("__n")).as("__NN"),
       sum(col("__s")).as("__SS"), count(lit(1)).as("__GG")))
+    // A group equal to the whole frame (g = 1, or one group holding
+    // every row) makes __NN - __n = 0 — outside fixedPointExact's
+    // den > 0 contract. Null the leave-one-out term EXPLICITLY for
+    // that degenerate group instead of tripping the decimal division.
     val loo = per.crossJoin(tot)
-      .select(fixedPointExact(col("__SS") - col("__s"),
-        col("__NN") - col("__n")).as("__t"))
+      .select(when(col("__NN") === col("__n"), lit(null).cast("long"))
+        .otherwise(fixedPointExact(col("__SS") - col("__s"),
+          col("__NN") - col("__n"))).as("__t"))
     val head = broadcast(loo
       .agg(sum(col("__t")).as("__ts"))
       .crossJoin(tot)
@@ -1666,10 +1679,15 @@ object Stats {
       .withColumn("__qb", sum(col("__cb")).over(w))
       .withColumn("__ra", sum((col("__ca") * col("__v")).cast(dec)).over(w))
       .withColumn("__rb", sum((col("__cb") * col("__v")).cast(dec)).over(w))
-    val tot = broadcast(cum.agg(max(col("__qa")).as("__na2"),
-      max(col("__qb")).as("__nb2"),
-      max(col("__ra")).cast(dec).as("__rat"),
-      max(col("__rb")).cast(dec).as("__rbt")))
+    // Totals via direct sums over the value-domain counts — NOT max of
+    // the running sum: cumsum(c*v) is monotone only for nonnegative v,
+    // so a signed value domain would make max(__ra) != total and
+    // silently corrupt e_milli. Count cumsums (__qa/__qb) stay monotone
+    // either way, but both totals come from the same cheap aggregate.
+    val tot = broadcast(counts.agg(sum(col("__ca")).as("__na2"),
+      sum(col("__cb")).as("__nb2"),
+      sum((col("__ca") * col("__v")).cast(dec)).cast(dec).as("__rat"),
+      sum((col("__cb") * col("__v")).cast(dec)).cast(dec).as("__rbt")))
     // Σ_j c_j·|v_i − v_j| = v·Q − R (at-or-below) + (Rt − R) − v·(Nt − Q)
     def absSum(q: Column, r: Column, nt: Column, rt: Column): Column =
       (col("__v").cast(dec) * q - r) + (rt - r) -

@@ -394,7 +394,8 @@ object VecIndex {
     */
   def graphProbeIndexed(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, beam: Int, hops: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      frontierMax: Long = FrontierCollectMax): DataFrame = {
     require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
     require(hops >= 1, s"hops must be >= 1, got $hops")
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
@@ -408,7 +409,8 @@ object VecIndex {
       .select(col(idCol).cast("long").as("__q"), col(vecCol).as("__qv"),
         sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
           col(vecCol))).as("__qn")))
-    graphProbeForQueries(spark, path, qv, nB, k, beam, hops, idCol, vecCol)
+    graphProbeForQueries(spark, path, qv, nB, k, beam, hops, idCol,
+      vecCol, frontierMax)
   }
 
   /** Streaming ingest into a persisted graph index: each microbatch's
@@ -548,13 +550,36 @@ object VecIndex {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Query-count ceiling for the batched-frontier serving loop: below
+    * it the whole per-hop frontier (queries × beam × degree rows) is a
+    * bounded serving artifact the driver holds; above it (bulk ingest
+    * batches) the distributed loop keeps the frontier on executors.
+    */
+  private[graft] val FrontierCollectMax = 1024L
+
   /** The probe loop over an EXTERNAL (not-yet-indexed) query side —
     * shared by [[graphProbeIndexed]]'s ingest use; `qv` carries
     * (__q, __qv, __qn).
+    *
+    * Two regimes, identical semantics (GraphIndexSpec pins equality):
+    *
+    * - SERVING (≤ [[FrontierCollectMax]] queries): the batched-frontier
+    *   loop — the beam state lives on the DRIVER and each hop is ONE
+    *   Spark job that scores the whole frontier against the pruned
+    *   vector buckets AND expands the survivors through the pruned
+    *   adjacency buckets in the same plan. The former shape (2 collects
+    *   + 2 localCheckpoints per hop = ~4 driver round-trips/hop) was
+    *   the p95 bound under concurrent serving; per-hop driver data is
+    *   queries × beam × degree rows — a bounded serving artifact,
+    *   never corpus-sized.
+    * - BULK (ingest batches): the distributed loop — beams stay on
+    *   executors as checkpointed frames, only the id lists needed for
+    *   partition pruning ever reach the driver.
     */
-  private def graphProbeForQueries(spark: SparkSession, path: String,
+  private[graft] def graphProbeForQueries(spark: SparkSession, path: String,
       qv: DataFrame, nB: Long, k: Int, beam: Int, hops: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String,
+      frontierMax: Long = FrontierCollectMax): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val entryId = meta.getLong(meta.fieldIndex("entry_id"))
     // One reader frame per layout dir for the WHOLE search: building a
@@ -571,17 +596,112 @@ object VecIndex {
         .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
           sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
             col(vecCol))).as("__n"))
+    def adjFor(ids: Array[Long]): DataFrame =
+      adjBase
+        .filter(col("node_bucket")
+          .isin(ids.map(_ % nB).distinct.toIndexedSeq: _*))
+        .filter(col("node_id").isin(ids.toIndexedSeq: _*))
+        .select(col("node_id").as("__d"), col("neighbor_id").as("__d2"))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("sim").desc, col("__d").asc)
+
+    // Serving detection in ONE job: collect at most frontierMax + 1
+    // query rows — fewer means the whole query side is a bounded
+    // serving artifact the driver can hold; hitting the cap falls
+    // through to the bulk loop without having materialized anything.
+    val qProbe = qv.limit(frontierMax.toInt + 1).collect()
+    if (qProbe.length <= frontierMax) {
+      // ---- batched-frontier serving loop: one job per hop ----
+      // A tuned CHILD session (shared SparkContext, own SQLConf) runs
+      // the hop jobs: AQE off (its per-shuffle re-plan rounds are pure
+      // driver latency on frontier-sized data) and ONE shuffle
+      // partition for the beam window (32 near-empty tasks per hop
+      // otherwise). The shared session's conf is untouched — serving
+      // probes run concurrently with bulk work.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", "1")
+      val ssVecs = ss.read.parquet(s"$path/vectors")
+      val ssAdj = ss.read.parquet(s"$path/adj")
+      def ssVecsFor(ids: Array[Long]): DataFrame =
+        ssVecs
+          .filter(col("vec_bucket")
+            .isin(ids.map(_ % nB).distinct.toIndexedSeq: _*))
+          .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+          .select(col(idCol).cast("long").as("__d"), col(vecCol).as("__dv"),
+            sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol),
+              col(vecCol))).as("__dn"))
+      def ssAdjFor(ids: Array[Long]): DataFrame =
+        ssAdj
+          .filter(col("node_bucket")
+            .isin(ids.map(_ % nB).distinct.toIndexedSeq: _*))
+          .filter(col("node_id").isin(ids.toIndexedSeq: _*))
+          .select(col("node_id").as("__d"), col("neighbor_id").as("__d2"))
+      val qvLocal = broadcast(ss.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(qProbe: _*)), qv.schema))
+      val qIds = qProbe.map(_.getLong(qv.schema.fieldIndex("__q"))).distinct
+      // Hop-1 candidate pairs = the entry node plus its neighbors per
+      // query (one tiny pruned adjacency read), self-pairs dropped —
+      // exactly the distributed loop's first cand frame.
+      val entryNbrs = ssAdjFor(Array(entryId)).collect().map(_.getLong(1))
+      var cand: Array[(Long, Long)] =
+        (qIds.map(q => (q, entryId)) ++
+          qIds.flatMap(q => entryNbrs.map(q -> _)))
+          .filter { case (q, dd) => q != dd }.distinct
+      var result: Array[org.apache.spark.sql.Row] = Array.empty
+      for (h <- 1 to hops) {
+        val candIds = cand.map(_._2).distinct
+        import ss.implicits._
+        val local = cand.toSeq.toDF("__q", "__d")
+        val scored = local
+          .join(ssVecsFor(candIds), Seq("__d"))
+          .join(qvLocal, Seq("__q"))
+          .select(col("__q"), col("__d"),
+            Vec.pairSim(col("__qv"), col("__dv"), col("__qn"), col("__dn"))
+              .as("sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= beam)
+        if (h == hops) {
+          result = scored.filter(col("rank") <= k)
+            .select(col("__q"), col("__d"), col("sim"), col("rank"))
+            .collect()
+        } else {
+          // Score AND expand in the same job: the survivors' adjacency
+          // rides a left join pruned by candIds (a driver-known
+          // superset of the surviving beam ids).
+          val rows = scored
+            .join(ssAdjFor(candIds), Seq("__d"), "left")
+            .select(col("__q"), col("__d"), col("__d2"))
+            .collect()
+          val bmPairs = rows.map(r => (r.getLong(0), r.getLong(1))).distinct
+          val expanded = rows.filter(!_.isNullAt(2))
+            .map(r => (r.getLong(0), r.getLong(2)))
+          cand = (bmPairs ++ expanded)
+            .filter { case (q, dd) => q != dd }.distinct
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(result: _*)), schema)
+    }
+
+    // ---- distributed bulk loop ----
     var bm: DataFrame = qv.select(col("__q")).withColumn("__d", lit(entryId))
     for (_ <- 1 to hops) {
       val beamIds = bm.select(col("__d")).distinct().collect()
         .map(_.getLong(0))
-      val adj = adjBase
-        .filter(col("node_bucket")
-          .isin(beamIds.map(_ % nB).distinct.toIndexedSeq: _*))
-        .filter(col("node_id").isin(beamIds.toIndexedSeq: _*))
-        .select(col("node_id").as("__d"), col("neighbor_id").as("__d2"))
       val cand = bm.select(col("__q"), col("__d"))
-        .join(adj, Seq("__d"))
+        .join(adjFor(beamIds), Seq("__d"))
         .select(col("__q"), col("__d2").as("__d"))
         .unionByName(bm.select(col("__q"), col("__d")))
         .filter(col("__q") =!= col("__d"))
@@ -589,8 +709,6 @@ object VecIndex {
         .localCheckpoint(true)
       val candIds = cand.select(col("__d")).distinct().collect()
         .map(_.getLong(0))
-      val w = Window.partitionBy(col("__q"))
-        .orderBy(col("sim").desc, col("__d").asc)
       bm = cand
         .join(vecsFor(candIds).select(col("__id").as("__d"),
           col("__v").as("__dv"), col("__n").as("__dn")), Seq("__d"))

@@ -53,6 +53,13 @@ object Damerau {
     val n = b.length
     if (m == 0) return n
     if (n == 0) return m
+    // The da-table stamp packs the row index into the low 20 bits
+    // (gen << 20 | i); a row index >= 2^20 would overflow into the
+    // generation bits and return a WRONG distance instead of failing.
+    // Enforce the bounded-prefix contract loudly.
+    require(m < (1 << 20) && n < (1 << 20),
+      s"Damerau.distance: input lengths ($m, $n) exceed the 2^20-1 " +
+        "stamp-packing bound; truncate inputs before comparing")
     val st = scratch.get()
     st.gen += 1
     val gen = st.gen << 20

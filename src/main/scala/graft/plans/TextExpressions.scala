@@ -144,6 +144,100 @@ case class HashedShinglesPos(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Generator: winnowing fingerprint selection (Schleimer et al. 2003)
+  * fused into ONE compiled scan pass (`sel_pos: bigint, tid: bigint`) —
+  * the minimum of every `w`-hash window over the word-n-gram hash
+  * stream, rightmost occurrence on ties, distinct selections emitted.
+  *
+  * Bit-identical to the declarative construction (HashedShinglesPos →
+  * doc-partitioned sliding window min over the composite key
+  * `tid * 2^31 + (2^31 - 1 - pos)` → distinct), WITHOUT the doc-keyed
+  * shuffle: selection is sequential within a document, so a monotonic
+  * deque computes every window minimum in O(grams), and the classic
+  * winnowing property (as the window slides, the selection either stays
+  * or moves to the entering gram; a selection never recurs after being
+  * displaced — displaced means a smaller key is in every later window
+  * that still contains it) makes consecutive-dedup produce exactly the
+  * distinct selection set. Documents with fewer than `w` grams
+  * contribute the minimum of their whole stream (the clipped-window
+  * rule); documents with no grams contribute nothing. Keys are unique
+  * (the position is packed into the key), so the minimum is unambiguous.
+  */
+case class WinnowSelect(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  require(w >= 1, "window must be >= 1 hashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_select requires a string argument, got ${child.dataType.sql}")
+
+  override def elementSchema: StructType =
+    StructType(StructField("sel_pos", LongType) ::
+      StructField("tid", LongType) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val tokens = v.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
+      val m = tokens.length - n + 1
+      if (m <= 0) Nil
+      else {
+        val cap = 2147483648L // 2^31
+        // Gram keys: (tid asc, pos desc) as one long — same packing as
+        // the declarative window construction.
+        val keys = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val sb = new java.lang.StringBuilder(tokens(i))
+          var k = i + 1
+          while (k < i + n) { sb.append(' ').append(tokens(k)); k += 1 }
+          keys(i) = PolyHash.eval(sb.toString) * cap + (cap - 1 - i)
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        if (m <= w) {
+          // Sub-w stream: one clipped window = global minimum.
+          var best = keys(0)
+          i = 1
+          while (i < m) { if (keys(i) < best) best = keys(i); i += 1 }
+          out += InternalRow(cap - 1 - (best % cap), best / cap)
+        } else {
+          // Monotonic deque of positions with increasing keys; window
+          // starts 0 .. m - w, each full (the declarative filter keeps
+          // only full-window starts when m > w).
+          val dq = new Array[Int](m)
+          var lo = 0
+          var hi = 0 // deque is dq[lo, hi)
+          var prev = -1L
+          i = 0
+          while (i < m) {
+            while (hi > lo && keys(dq(hi - 1)) > keys(i)) hi -= 1
+            dq(hi) = i; hi += 1
+            val start = i - w + 1
+            if (start >= 0) {
+              if (dq(lo) < start) lo += 1
+              val sel = keys(dq(lo))
+              if (sel != prev) {
+                out += InternalRow(cap - 1 - (sel % cap), sel / cap)
+                prev = sel
+              }
+            }
+            i += 1
+          }
+        }
+        out
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
 /** Generator: one output row per fixed-width token LINE of the input
   * text (`line_no: bigint, lh: bigint`) — non-overlapping `lineLen`-token
   * windows INCLUDING the remainder tail, each hashed as its space-joined
@@ -727,6 +821,10 @@ object TextExpressions {
   /** Column API: positioned hashed word n-grams (pos, tid rows). */
   def hashedShinglesPos(c: Column, n: Int): Column =
     GraftBridge.column(HashedShinglesPos(GraftBridge.expression(c), n))
+
+  /** Column API: winnowing fingerprint selection (sel_pos, tid rows). */
+  def winnowSelect(c: Column, n: Int, w: Int): Column =
+    GraftBridge.column(WinnowSelect(GraftBridge.expression(c), n, w))
 
   /** Column API: hashed fixed-width token lines (line_no, lh rows). */
   def hashedTokenLines(c: Column, lineLen: Int): Column =

@@ -30,6 +30,24 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(idx.sameElements(mem))
   }
 
+  test("batched-frontier serving loop equals the distributed bulk loop") {
+    // The serving path (frontier on the driver, one job per hop) and
+    // the bulk path (checkpointed executor-side beams) must produce
+    // identical beams — same candidates, sims, and tie-breaks.
+    val path = java.nio.file.Files.createTempDirectory("gidx4").toString
+    VecIndex.writeGraphIndex(emb, path, k = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    val serving = rows(VecIndex.graphProbeIndexed(spark, path, queries,
+      k = 4, beam = 16, hops = 5))
+    val bulk = rows(VecIndex.graphProbeIndexed(spark, path, queries,
+      k = 4, beam = 16, hops = 5, frontierMax = 0L))
+    assert(serving.sameElements(bulk))
+  }
+
   test("a hop's adjacency read prunes to the beam's buckets") {
     val path = java.nio.file.Files.createTempDirectory("gidx2").toString
     VecIndex.writeGraphIndex(emb, path, k = 16, nBuckets = 16)

@@ -164,22 +164,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("winnow: fused positioned generator, one doc-keyed window, no join") {
+  test("winnow: one compiled scan pass — no window, no shuffle, no join") {
     // the catalog entry is memoized (checkpoint scan in its visible
     // plan); assert on the unmemoized chain (the NB/snm pattern)
     val p = graft.functions.Dedup
       .winnowFingerprintsUncached(Tables.documents(spark, d),
         "doc_id", "text", 3, 4)
-      .orderBy(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("sel_pos"))
       .queryExecution.executedPlan.toString
-    assert(p.contains("hashedshinglespos"), p)
+    // The whole selection is the WinnowSelect generator in the scan
+    // stage: no doc-keyed window shuffle, no distinct, no join — the
+    // fingerprint stream never leaves the scan.
+    assert(p.contains("winnowselect"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
-    assert(p.contains("Window"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
-    // one hash exchange for the doc-partitioned window + the final sort's
-    // range exchange; anything more is a regression
-    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("Exchange"), p)
   }
 
   test("importance selection: broadcast ratio table, bounded TakeOrdered") {
