@@ -61,7 +61,8 @@ object ScaleProbe {
       "skew_join", "suffix", "edit_join", "hier_assign", "curate_full",
       "seq_pack", "ivfpq", "spearman", "graph_ann", "corpus_e2e",
       "index_compaction", "graph_rebuild", "concurrent_serving",
-      "incr_dedup_fold", "dbscan", "coreset", "cdc", "eval_pairs")
+      "incr_dedup_fold", "dbscan", "coreset", "cdc", "eval_pairs",
+      "skew_dedup")
     val only = args.headOption.map(_.split(',').filter(_.nonEmpty).toSet)
     only.foreach { names =>
       val unknown = names -- knownProbes
@@ -799,6 +800,75 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val expected = 4L * nBase * mult - 10L
       println(f"""{"probe":"snm","mult":$mult,"docs":${nBase * mult},"pairs":$pairs,"expected":$expected,"sec":$sec%.2f}""")
+    }
+
+    // Adversarial-skew probe for the dedup/blocking family: the uniform
+    // replication cards hide HUB KEYS — real corpora have boilerplate
+    // that lands 20% of documents in ONE band/fingerprint bucket. The
+    // fixture makes every 5th document an EXACT COPY of one boilerplate
+    // text (unique ids, identical content → identical minhash bands and
+    // identical winnow fingerprint sets → one n/5-occupancy bucket per
+    // band/fingerprint) and measures each blocker GUARDED (the
+    // occupancy caps the operators ship) vs UNGUARDED (caps effectively
+    // off) — walls and candidate volumes side by side. SNM has no
+    // unguarded twin: its (window−1)·n candidate bound is structural,
+    // so the card records its skewed wall staying linear. The guarded
+    // LSH/winnow paths must neither blow up NOR silently go quadratic:
+    // a bucket over the cap leaves the join entirely (boilerplate
+    // carries no pair signal — the documented recall trade).
+    for (mult <- Seq(1, 4) if want("skew_dedup")) {
+      val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+      val hub = replicate(spark, base, mult).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L, lit(boiler))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint(true)
+      val nHub = hub.filter(col("text") === boiler).count()
+      def card(name: String, f: () => Long): Unit = {
+        val t0 = System.nanoTime()
+        val pairs = f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"skew_dedup","path":"$name","docs":${nBase * mult},"hub_docs":$nHub,"pairs":$pairs,"sec":$sec%.2f}""")
+      }
+      // LSH banding: guarded (bucketCap 500 < the 1000-doc hub
+      // occupancy) vs off. One untimed warm pass first — the cards
+      // compare steady-state walls, not who paid scan/JIT warm-up.
+      def lshPairs(cap: Int): Long = {
+        val sig = Dedup.minhashSignatureHashed(hub, "doc_id", "text", 3, 8)
+        Dedup.lshCandidatePairsUncached(
+          Dedup.lshBands(sig, "doc_id", 2), "doc_id", bucketCap = cap)
+          .count()
+      }
+      lshPairs(2): Unit
+      card("lsh_guarded", () => lshPairs(500))
+      card("lsh_unguarded", () => lshPairs(Int.MaxValue))
+      // Winnow postings: guarded (dfCap 500 < hub occupancy) vs the
+      // catalog default 100000, which at THIS skew is no guard at all —
+      // the card is the evidence that dfCap must sit below the hub
+      // occupancy a corpus actually has, not at a comfortable constant.
+      def winnowCands(dfCap: Long): Long = {
+        val fp = Dedup
+          .winnowFingerprintsUncached(hub, "doc_id", "text", 3, 4)
+        fp.groupBy(col("tid"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("__ids"))
+          .filter(size(col("__ids")) >= 2 &&
+            size(col("__ids")) <= dfCap)
+          .select(explode(expr(
+            """flatten(transform(__ids, (x, i) ->
+               transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+                 struct(x AS id_a, y AS id_b))))""")).as("__p"))
+          .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("__nsh")).filter(col("__nsh") >= 2)
+          .count()
+      }
+      winnowCands(1L): Unit
+      card("winnow_guarded", () => winnowCands(500L))
+      card("winnow_unguarded", () => winnowCands(100000L))
+      // SNM: the hub key collapses 20% of ranks onto one key value;
+      // ties break by id and the candidate count stays (window−1)·n.
+      card("snm_skewed", () => Dedup.sortedNeighborhoodPairsUncached(
+        hub, "doc_id", lower(substring(col("text"), 1, 30)), window = 5)
+        .count())
     }
 
     // Corpus-shuffle probe: one scan-stage hash + ONE shard-keyed sort

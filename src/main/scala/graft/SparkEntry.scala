@@ -3829,6 +3829,30 @@ object SparkEntry {
             col("pred_class") === col("lang"), binWidth = 65536L)))
     },
 
+    // The STREAMED form of q_ece: the same scored predictions arrive
+    // as four disjoint microbatches, each folded into the persisted
+    // per-bin reliability histogram (the foreachBatch serving loop,
+    // replay-idempotent __batch partitions), and the live card
+    // re-renders the isotonic/ECE chain from the bounded histogram —
+    // hash-equal to the batch chain because reliability counts are
+    // additive over disjoint row sets. The ORACLE IS q_ece's: the gate
+    // proves streamed == batch.
+    "q_incr_calibration" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = graft.functions.NaiveBayes.classifyWithMargin(docs, docs,
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint(true) // sliced four times below
+      val hist = java.nio.file.Files
+        .createTempDirectory("incrcal").toString
+      for (b <- 0L until 4L)
+        graft.streaming.IncrementalCalibration.step(
+          pred.filter(pmod(col("doc_id"), lit(4L)) === b), hist,
+          "margin_q", col("pred_class") === col("lang"),
+          binWidth = 65536L, batchId = Some(b))
+      graft.streaming.IncrementalCalibration.eceCard(s, hist)
+    },
+
     // Murphy decomposition of the Brier score over the calibrated
     // reliability table — REL (residual miscalibration after PAV) vs
     // RES (discrimination) vs UNC (base rate), the card separating
@@ -10150,6 +10174,15 @@ object SparkEntry {
           FROM iso ORDER BY bin""",
 
     "q_ece" ->
+      s"""WITH $duckIsoCalCte,
+          l1 AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(abs(cal_ppm - acc_ppm) * n) AS BIGINT) AS lsum
+            FROM iso)
+          SELECT n, ${duckPpm("lsum", "n", 1)} AS ece_ppm FROM l1""",
+
+    // Streamed == batch: the incremental histogram chain must land on
+    // exactly the batch ECE, so the oracle is q_ece's verbatim.
+    "q_incr_calibration" ->
       s"""WITH $duckIsoCalCte,
           l1 AS (SELECT CAST(sum(n) AS BIGINT) AS n,
               CAST(sum(abs(cal_ppm - acc_ppm) * n) AS BIGINT) AS lsum
