@@ -33,11 +33,22 @@ object SpillProbe {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SPILL_MULT", "16").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // More, smaller shuffle partitions than the bench's cpu-count
-      // default: under a tight heap the per-partition working set is
-      // what must fit; 64 partitions × 8 threads bounds each task's
-      // slice at 1/64 of the data while keeping all cores busy.
-      .config("spark.sql.shuffle.partitions", "64")
+      // Shuffle partitions sized BY DATA VOLUME, not by core count —
+      // the 100 TB sizing discipline under test: the per-partition
+      // working set is what must fit in a task's share of the heap, so
+      // partitions scale with the corpus multiplier (the first probe
+      // run, at a fixed 64, OOM'd the n-gram intersection aggregate's
+      // spill MERGE at 16× — hundreds of spill files per oversized
+      // task, each merge reader allocating its buffer at once).
+      .config("spark.sql.shuffle.partitions", (16 * mult).toString)
+      // Under a tight heap the memoized postings/rank checkpoints must
+      // YIELD to execution memory (they respill to disk and re-read);
+      // the default 0.5 storageFraction protects cached blocks so hard
+      // that 8 concurrent join+agg+sort consumers starve
+      // (UNABLE_TO_ACQUIRE_MEMORY with storage pinned at ~0.5 of the
+      // unified region). 0.1 is the constrained-memory posture: caches
+      // are an optimization, completion is the contract.
+      .config("spark.memory.storageFraction", "0.1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -128,7 +139,11 @@ object SpillProbe {
           dfCap = 1000000L))
       }))
 
-    for ((name, f) <- probes) {
+    // SPARK_GRAFT_SPILL_ONLY=name,name: iterate on one entry.
+    val only = sys.env.get("SPARK_GRAFT_SPILL_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = probes.filter { case (n, _) => only.forall(_.contains(n)) }
+    for ((name, f) <- selected) {
       val m0 = memSpill.get(); val d0 = diskSpill.get()
       val t0 = System.nanoTime()
       f()
@@ -137,7 +152,7 @@ object SpillProbe {
       val dMb = (diskSpill.get() - d0) / (1024.0 * 1024)
       println(f"""{"probe":"spill_$name","mult":$mult,"sec":$sec%.2f,"mem_spill_mb":$mMb%.1f,"disk_spill_mb":$dMb%.1f,"completed":true}""")
     }
-    println(f"""{"probe":"spill_summary","heap_gb":$heapGb%.2f,"mult":$mult,"entries":${probes.size},"all_completed":true,"mem_spill_mb":${memSpill.get() / (1024.0 * 1024)}%.1f,"disk_spill_mb":${diskSpill.get() / (1024.0 * 1024)}%.1f}""")
+    println(f"""{"probe":"spill_summary","heap_gb":$heapGb%.2f,"mult":$mult,"entries":${selected.size},"all_completed":true,"mem_spill_mb":${memSpill.get() / (1024.0 * 1024)}%.1f,"disk_spill_mb":${diskSpill.get() / (1024.0 * 1024)}%.1f}""")
     spark.stop()
   }
 }

@@ -987,6 +987,35 @@ object Dedup {
       grams.join(rare, Seq("tid")).localCheckpoint(true)
     }
 
+  /** Fan-out-sized partitioning for an inverted-list pair join: the
+    * post-shuffle work of a GENERATING join is Σ_tid df·(df−1)/2 pairs,
+    * not its input bytes, so AQE's byte-based coalescing (and any fixed
+    * shuffle-partition count) under-partitions exactly when the join is
+    * heaviest — measured as a spill-merge OOM in the intersection
+    * aggregate at 16× corpus under a 2 GiB heap (SpillProbe): AQE
+    * coalesced the small postings shuffle to a handful of tasks, each
+    * then generating billions of pairs whose partial-agg spill files
+    * could not all be buffered for the final merge. Partition count =
+    * predicted pair volume at ~2M pairs per task, floored at the
+    * session's shuffle parallelism, capped at 65536. The predicting
+    * aggregate is tid-domain-sized and rides the already-materialized
+    * postings memo; an explicit repartition is exempt from AQE
+    * coalescing, so the sizing sticks.
+    */
+  private def pairJoinParts(g: DataFrame): Int = {
+    val dec = "decimal(38,0)"
+    val row = g.groupBy(col("tid")).agg(count(lit(1)).as("__df"))
+      .agg(coalesce(sum(col("__df").cast(dec) * (col("__df") - lit(1L))),
+        lit(0).cast(dec)).as("__p2"))
+      .collect()(0)
+    val pairs =
+      if (row.isNullAt(0)) BigInt(0)
+      else BigInt(row.getDecimal(0).toBigInteger) / 2
+    val target = (pairs / 2000000).toLong + 1L
+    val base = g.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    math.min(65536L, math.max(base, target)).toInt
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame =
     njMemo.getOrBuild(docs.sparkSession, Seq(
@@ -1011,8 +1040,11 @@ object Dedup {
     // both the intersection and the denominators, or docs made of hub
     // shingles would see their Jaccard biased toward zero and be missed.
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val a = g.select(col("tid"), col(idCol).as("id_a"))
-    val b = g.select(col("tid"), col(idCol).as("id_b"))
+    // Fan-out-sized tid partitioning (see [[pairJoinParts]]); both join
+    // sides read the SAME repartitioned subtree — one exchange, reused.
+    val gp = g.repartition(pairJoinParts(g), col("tid"))
+    val a = gp.select(col("tid"), col(idCol).as("id_a"))
+    val b = gp.select(col("tid"), col(idCol).as("id_b"))
     val inter = a.join(b, Seq("tid"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -1051,8 +1083,10 @@ object Dedup {
     // for the same (corpus, n, dfCap), built once ([[cappedPostings]]).
     val g = cappedPostings(docs, idCol, textCol, n, dfCap)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val a = g.select(col("tid"), col(idCol).as("id_a"))
-    val b = g.select(col("tid"), col(idCol).as("id_b"))
+    // Fan-out-sized tid partitioning (see [[pairJoinParts]]).
+    val gp = g.repartition(pairJoinParts(g), col("tid"))
+    val a = gp.select(col("tid"), col(idCol).as("id_a"))
+    val b = gp.select(col("tid"), col(idCol).as("id_b"))
     val inter = a.join(b, Seq("tid"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
