@@ -5485,8 +5485,11 @@ object SparkEntry {
                   FROM documents)),
           cnt AS (SELECT x, CAST(count(*) AS BIGINT) AS m
             FROM ids GROUP BY 1),
-          ex AS (SELECT CAST(sum(CAST(m AS HUGEINT) * m) AS BIGINT)
-            AS exact_f2 FROM cnt),
+          ex AS (SELECT CASE
+              WHEN sum(CAST(m AS HUGEINT) * m) > 9223372036854775807
+              THEN NULL
+              ELSE CAST(sum(CAST(m AS HUGEINT) * m) AS BIGINT)
+            END AS exact_f2 FROM cnt),
           rws AS (SELECT * FROM (VALUES $seedRows) r(i, a, b)),
           zz AS (SELECT CAST(r.i AS BIGINT) AS sketch_row,
             CAST(sum(c.m * (1 - 2 *

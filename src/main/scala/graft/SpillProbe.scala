@@ -137,6 +137,15 @@ object SpillProbe {
         exec(graft.functions.Dedup.ngramJaccardPairsUncached(
           docsX(mult), "doc_id", "text", n = 3, minJaccard = 0.2,
           dfCap = 1000000L))
+      }),
+      // This round's grouped-postings winnow rework under the same cap:
+      // the HOF pair expansion and the raw-gram-stream verify must
+      // spill like the inverted list they replaced.
+      "winnow_pairs" -> (() => {
+        exec(graft.functions.Dedup.winnowPairs(
+          docsX(mult), "doc_id", "text", n = 3, w = 4,
+          minJaccard = 0.2, minShared = 2))
+        graft.functions.Dedup.releasePairMemos()
       }))
 
     // SPARK_GRAFT_SPILL_ONLY=name,name: iterate on one entry.

@@ -169,7 +169,13 @@ object Sketch {
       .agg(count(lit(1)).as("__m"))
     val exact = counts
       .agg(sum(col("__m").cast(dec) * col("__m").cast(dec)).as("__f2d"))
-      .select(col("__f2d").cast("long").as("exact_f2"))
+      // Same overflow gate as est below (quadratically later — Σm²
+      // needs ~3e12 total tokens — but the engines DIVERGE past it:
+      // DuckDB's HUGEINT→BIGINT cast throws where Spark's decimal→long
+      // nulls). Explicit NULL on both keeps the replay bit-identical.
+      .select(when(col("__f2d") > lit(Long.MaxValue).cast(dec),
+        lit(null).cast("long"))
+        .otherwise(col("__f2d").cast("long")).as("exact_f2"))
     val z = counts
       .select(col("__x"), col("__m"),
         explode(array((0 until rows).map { i =>

@@ -770,6 +770,28 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getLong(2) == 0L)
   }
 
+  test("energyDistance: SIGNED value domain (totals are sums, not " +
+      "max of a non-monotone running sum)") {
+    // Regression for the ADVICE finding: cumsum(c*v) is only monotone
+    // for nonnegative v, so deriving totals as max(running sum) gave a
+    // silently wrong e_milli on any signed metric — and the oracle
+    // replayed the same construction, so the hash gate couldn't see it.
+    val xs = Seq(-5L, -2L, 0L, 3L)
+    val ys = Seq(-4L, 1L, 6L)
+    val df = (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("g", "v")
+    val r = Stats.energyDistance(df, "v", col("g") === "a",
+      col("g") === "b").collect()(0)
+    def s(a: Seq[Long], b: Seq[Long]): BigInt =
+      (for { x <- a; y <- b } yield BigInt(math.abs(x - y))).sum
+    val (na, nb) = (BigInt(xs.size), BigInt(ys.size))
+    val num = 2 * s(xs, ys) * na * nb - s(xs, xs) * nb * nb -
+      s(ys, ys) * na * na
+    val den = na * na * nb * nb
+    val milli = (num * 2000 + den) / (den * 2) // fixedPointExact, num>=0
+    assert(r.getLong(0) == xs.size.toLong && r.getLong(1) == ys.size.toLong)
+    assert(r.getLong(2) == milli.toLong)
+  }
+
   test("cronbachAlpha: perfectly parallel items; constant battery NULL") {
     val rows = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("i1", "i2")
     val r = Stats.cronbachAlpha(rows, Seq("i1", "i2")).collect()(0)
