@@ -95,6 +95,54 @@ object IncrementalCalibration {
   def eceCard(spark: SparkSession, histPath: String): DataFrame =
     Eval.ece(calibrated(spark, histPath))
 
+  /** Histogram maintenance: fold the delta partitions of COMMITTED
+    * streaming batches (`0 <= __batch < belowBatch`) and the existing
+    * bulk into ONE aggregated `__batch = -1` partition and drop their
+    * directories — the [[IncrementalDedup.checkpointIndex]] analog for
+    * a layout whose partition count otherwise grows one per microbatch
+    * forever. The rows here are ADDITIVE DELTAS, so (unlike the dedup
+    * index, where a crash between append and delete only leaves
+    * harmless duplicate probe rows) the fold must be all-or-nothing:
+    * it rides [[graft.merge.Merge.rewriteTable]]'s aside-then-swap —
+    * a crash leaves either the old layout or the new one reachable,
+    * never a double-counted bin.
+    *
+    * Safety contract, same shape as the dedup fold but with the
+    * opposite failure: `belowBatch` must not exceed the stream's last
+    * COMMITTED batch id — a replay of a folded batch would find its
+    * `__batch=<id>` partition gone, dynamic-overwrite it afresh, and
+    * DOUBLE-COUNT its delta (the bulk already holds it). Batches at or
+    * above `belowBatch` keep their partitions and their replay
+    * idempotence. Returns the batch ids folded.
+    */
+  def checkpointHistogram(spark: SparkSession, histPath: String,
+      belowBatch: Long): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(histPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val batches = fs.listStatus(root)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") &&
+          n.stripPrefix("__batch=").forall(_.isDigit) =>
+        n.stripPrefix("__batch=").toLong
+      }
+      .filter(b => b >= 0L && b < belowBatch)
+      .sorted.toSeq
+    if (batches.isEmpty) return Seq.empty
+    graft.merge.Merge.rewriteTable(spark, histPath,
+        partitionCol = Some("__batch")) { df =>
+      val folded = col("__batch") === -1L ||
+        (col("__batch") >= 0L && col("__batch") < belowBatch)
+      df.filter(folded)
+        .groupBy(col("bin"))
+        .agg(sum(col("n")).as("n"), sum(col("n_correct")).as("n_correct"))
+        .withColumn("__batch", lit(-1L))
+        .unionByName(df.filter(!folded))
+    }
+    batches
+  }
+
   /** Wire a directory of scored-prediction parquet into the histogram:
     * exactly-once per input file via the checkpoint; each microbatch's
     * delta lands in its own `__batch` partition (idempotent replay).

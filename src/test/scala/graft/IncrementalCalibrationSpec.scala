@@ -92,6 +92,46 @@ class IncrementalCalibrationSpec extends AnyFunSuite {
     assert(streamed === batchEce.collect().map(_.toSeq.toList).toList)
   }
 
+  test("checkpointHistogram folds committed deltas exactly — no bin moves") {
+    val hist = TestSpark.tmpDir("inccal_fold")
+    for (b <- 0L until 4L)
+      IncrementalCalibration.step(
+        preds.filter(pmod(col("id"), lit(4L)) === b), hist, "conf",
+        col("correct"), binWidth = 100L, batchId = Some(b))
+    val before = IncrementalCalibration.histogram(spark, hist)
+      .orderBy("bin").collect().map(_.toSeq.toList).toList
+    // fold batches 0..2, keep batch 3's replayable tail
+    val folded = IncrementalCalibration.checkpointHistogram(spark, hist, 3L)
+    assert(folded === Seq(0L, 1L, 2L))
+    val after = IncrementalCalibration.histogram(spark, hist)
+      .orderBy("bin").collect().map(_.toSeq.toList).toList
+    assert(after === before)
+    // layout is bulk + tail only
+    // partition-value inference types __batch as int on a bare read
+    val parts = spark.read.parquet(hist)
+      .select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(parts === Array(-1L, 3L))
+    // the kept tail batch is still replay-idempotent
+    IncrementalCalibration.step(
+      preds.filter(pmod(col("id"), lit(4L)) === 3L), hist, "conf",
+      col("correct"), binWidth = 100L, batchId = Some(3L))
+    val replayed = IncrementalCalibration.histogram(spark, hist)
+      .orderBy("bin").collect().map(_.toSeq.toList).toList
+    assert(replayed === before)
+    // a LATER batch still folds in additively
+    IncrementalCalibration.step(
+      preds.filter(col("id") < 40L)
+        .select(col("id") + 1000L as "id", col("conf"), col("correct")),
+      hist, "conf", col("correct"), binWidth = 100L, batchId = Some(4L))
+    val grown = IncrementalCalibration.histogram(spark, hist)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(grown === 440L)
+    // idempotent: re-running the same fold bound is a no-op
+    assert(IncrementalCalibration.checkpointHistogram(spark, hist, 3L)
+      === Seq.empty)
+  }
+
   test("empty histogram renders an empty card, not a failure") {
     val hist = TestSpark.tmpDir("inccal_empty")
     assert(IncrementalCalibration.calibrated(spark, hist).count() === 0L)
