@@ -97,7 +97,14 @@ object Bench {
     val memoJson = memo.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val totalCold = if (first.nonEmpty) first.values.sum else 0.0
-    val line = s"""{"queries":$qs,"memo":$memoJson,""" +
+    // Per-query first-pass times beside the min-of-N: value_cold exposes
+    // the aggregate amortized build cost, but WHICH entries carry it is
+    // only visible per-query (e.g. a 10 s cold / 0.5 s warm memo build
+    // reads as a regression without this map + its memo flag).
+    val coldJson = first.map { case (k, v) => s""""$k":${ms(v)}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"queries":$qs,"queries_cold":$coldJson,""" +
+      s""""memo":$memoJson,""" +
       s""""sf":"$sfDir","runs":$runs,""" +
       s""""metric":"total","unit":"sec","value":${ms(total)},""" +
       s""""value_cold":${ms(totalCold)}}"""

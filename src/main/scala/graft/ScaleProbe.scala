@@ -864,6 +864,17 @@ object ScaleProbe {
       winnowCands(1L): Unit
       card("winnow_guarded", () => winnowCands(500L))
       card("winnow_unguarded", () => winnowCands(100000L))
+      // Fraction-of-corpus cap (Dedup.fractionalDfCap, 1% = 10000 ppm):
+      // the DERIVED guard. The hand-tuned 500 above guards because the
+      // prober knew the hub size; the fractional cap lands below any
+      // >1%-occupancy hub at EVERY corpus size with no tuning — the
+      // card shows it binding at both mults (cap << hub occupancy)
+      // with candidate volume matching the hand-tuned path's shape.
+      val fCap = Dedup.fractionalDfCap(nBase * mult, maxDfPpm = 10000L)
+      println(s"""{"probe":"skew_dedup","path":"fractional_cap","docs":${nBase * mult},"hub_docs":$nHub,"cap":$fCap}""")
+      card("winnow_fractional", () => winnowCands(fCap))
+      card("lsh_fractional",
+        () => lshPairs(math.min(fCap, Int.MaxValue.toLong).toInt))
       // SNM: the hub key collapses 20% of ranks onto one key value;
       // ties break by id and the candidate count stays (window−1)·n.
       card("snm_skewed", () => Dedup.sortedNeighborhoodPairsUncached(

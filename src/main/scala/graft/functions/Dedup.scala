@@ -969,6 +969,31 @@ object Dedup {
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
 
+  /** Fraction-of-corpus document-frequency cap: `max(floor,
+    * nDocs·maxDfPpm/1e6)`. A FIXED dfCap stops guarding the moment the
+    * corpus outgrows it — the skew card measured the catalog's
+    * comfortable 100000 default doing NOTHING against a hub occupying
+    * 20% of a 20k-doc corpus — whereas occupancy is what makes a key a
+    * hub: a gram/fingerprint/band in more than `maxDfPpm` parts-per-
+    * million of documents is stopword-like (no discrimination value for
+    * near-dup evidence, quadratic pair fan-out) at ANY corpus size.
+    * Deriving the cap from the corpus count is the IR max-df discipline
+    * applied to blocking, and it is scale-invariant: the same 10000 ppm
+    * (1%) setting guards a 10^4-doc fixture and a 10^10-doc crawl. The
+    * floor keeps small corpora from dropping legitimately shared grams
+    * (at 1000 docs a 1% cap would be df ≤ 10 — below real boilerplate).
+    * `nDocs` is one count() the caller typically has anyway; pass the
+    * result as the `dfCap`/`bucketCap` of any generator in this file.
+    */
+  def fractionalDfCap(nDocs: Long, maxDfPpm: Long, floor: Long = 50L): Long = {
+    require(nDocs >= 0, s"nDocs must be >= 0, got $nDocs")
+    require(maxDfPpm >= 1 && maxDfPpm <= 1000000L,
+      s"maxDfPpm in [1, 1e6], got $maxDfPpm")
+    require(floor >= 1, s"floor must be >= 1, got $floor")
+    math.max(floor, nDocs / 1000000L * maxDfPpm
+      + nDocs % 1000000L * maxDfPpm / 1000000L)
+  }
+
   private[graft] def cappedPostings(docs: DataFrame, idCol: String,
       textCol: String, n: Int, dfCap: Long): DataFrame =
     pgMemo.getOrBuild(docs.sparkSession, Seq(

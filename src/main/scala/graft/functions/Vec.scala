@@ -220,7 +220,15 @@ object Vec {
       vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(withNorm(queries, idCol, vecCol, "q")
       .withColumnRenamed("id_q", "query_id"))
-    val c = withNorm(corpus, idCol, vecCol, "c")
+    // The broadcast join streams the corpus with the SCAN's partitioning,
+    // so a corpus arriving as few parquet files would run the whole
+    // |queries| × |corpus| scoring pass on a handful of tasks (measured:
+    // one busy core out of 4 on a single-file corpus). One linear
+    // round-robin exchange parallelizes the quadratic compute — the
+    // cosineNearDupPairs discipline.
+    val c = withNorm(corpus
+        .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions),
+        idCol, vecCol, "c")
       .withColumnRenamed("id_c", "neighbor_id")
     // excludeSelf assumes query and corpus ids share one id space; pass
     // false for an external query set (an id collision would otherwise

@@ -51,6 +51,25 @@ class DedupVecSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") > 0.5)
   }
 
+  test("fractionalDfCap: exact floor(n*ppm/1e6), floor clamp, scale-invariant") {
+    // exact vs BigInt reference across magnitudes incl. overflow-prone n
+    for (n <- Seq(0L, 999L, 1000000L, 1999999L, 12345678901L, Long.MaxValue / 2);
+         ppm <- Seq(1L, 37L, 10000L, 999999L)) {
+      val exact = (BigInt(n) * ppm / 1000000).toLong
+      assert(Dedup.fractionalDfCap(n, ppm, floor = 1L) === math.max(1L, exact),
+        s"n=$n ppm=$ppm")
+    }
+    // floor binds below it, not above
+    assert(Dedup.fractionalDfCap(1000L, 10000L) === 50L) // 1% of 1k = 10 < floor
+    assert(Dedup.fractionalDfCap(100000L, 10000L) === 1000L)
+    // scale-invariance: 100x the corpus => 100x the cap (above the floor)
+    assert(Dedup.fractionalDfCap(10000000L, 10000L) ===
+      100L * Dedup.fractionalDfCap(100000L, 10000L))
+    // a 20%-occupancy hub exceeds a 1% cap at ANY corpus size
+    for (n <- Seq(10000L, 10000000L, 10000000000L))
+      assert(n / 5 > Dedup.fractionalDfCap(n, 10000L))
+  }
+
   test("prefix-filtered jaccard: lossless vs the uncapped inverted list") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("inter"),
