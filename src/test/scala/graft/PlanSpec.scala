@@ -97,6 +97,22 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("brute top-k: corpus side repartitioned before scoring, queries broadcast") {
+    // A single-file corpus must NOT run the |q|x|corpus| scoring pass as
+    // one task: bruteForceTopKUncached owes the scan a round-robin
+    // exchange (the cosineNearDupPairs discipline; regression measured
+    // as one busy core out of 4).
+    val emb = Tables.embeddings(spark, d)
+    val p = graft.functions.Vec.bruteForceTopKUncached(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        emb, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tfidf: corpus size joins as a broadcast, top-k is one doc-keyed pass") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
