@@ -310,7 +310,13 @@ object ScaleProbe {
     // reuse included. Emits one JSON line per multiple with the stage
     // breakdown.
     if (want("corpus_e2e")) {
-      for (mult <- Seq(1, 4, 16)) {
+      // SPARK_GRAFT_E2E_MULTS=1,4,16,64: the default ladder matches the
+      // other cards; the 64× rung exists for the deeper composed-chain
+      // record (scan stages linear, funnel tail output-bounded).
+      val e2eMults = sys.env.get("SPARK_GRAFT_E2E_MULTS")
+        .map(_.split(",").map(_.trim.toInt).filter(_ >= 1).toSeq)
+        .getOrElse(Seq(1, 4, 16))
+      for (mult <- e2eMults) {
         graft.functions.Memos.releaseAll() // each multiple starts cold
         // replicate WITH the source column (the domain-cap stage keys
         // on it); the shared replicate() keeps only (doc_id, text)

@@ -74,6 +74,14 @@ object Suffix {
     * are the expensive ones (biggest distinct-pair domains), so
     * convergence at round c saves the costliest (rounds − c) builds.
     */
+  /** Largest rank value whose composite `ra·(m+1)+rb` still fits a
+    * long: floor(sqrt(Long.MaxValue)) − 1. Corpora under ~3e9 suffixes
+    * take the composite shortcut on alternate rounds; past it every
+    * round dense-ranks (the classic construction) — correctness never
+    * depends on the shortcut.
+    */
+  private val MaxCompositeRank = 3037000498L
+
   def rankTables(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): Seq[DataFrame] = {
     require(rounds >= 1 && rounds <= 10, s"rounds in [1,10], got $rounds")
@@ -86,25 +94,68 @@ object Suffix {
       .localCheckpoint(true)
     val tables = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
     var span = 1L
-    var converged =
-      n == 0L || cur.agg(max(col("__r"))).head.getLong(0) == n
-    for (_ <- 1 to rounds if !converged) {
-      val partner = cur.select(col("__id"),
-        (col("__pos") - span).as("__pos"), col("__r").as("__rb"))
+    // max rank of the last DENSE table: the convergence probe, and the
+    // composite base K below.
+    var maxRank = if (n == 0L) 0L else cur.agg(max(col("__r"))).head.getLong(0)
+    var converged = n == 0L || maxRank == n
+    // Whether `cur` holds dense ranks (true after round 0 and every
+    // ranked round) or composite order-codes (see below).
+    var dense = true
+    for (r <- 1 to rounds if !converged) {
+      // Partner rank by a PER-DOCUMENT window — lead(r, span) over
+      // (doc, pos) is exactly "the rank span positions later in the
+      // same document", the bounded-domain window kind (document
+      // length), and costs ONE hash exchange by __id where the former
+      // positional self-join exchanged both sides by (__id, __pos).
+      // Composite rounds keep that id-partitioning through their
+      // checkpoint (no join-back follows), so the NEXT round's window
+      // reuses it exchange-free.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id")).orderBy(col("__pos").asc)
       val paired = cur.withColumnRenamed("__r", "__ra")
-        .join(partner, Seq("__id", "__pos"), "left")
-        .withColumn("__rb", coalesce(col("__rb"), lit(0L)))
-      val pairRank = denseRankOf(
-        paired.select(col("__ra"), col("__rb")).distinct(),
-        Seq(col("__ra").asc, col("__rb").asc), "__r")
-      val nxt = paired.join(pairRank, Seq("__ra", "__rb"))
-        .select(col("__id"), col("__pos"), col("__r"))
-        .localCheckpoint(true)
-      cur = nxt
+        .withColumn("__rb",
+          coalesce(lead(col("__ra"), span.toInt).over(w), lit(0L)))
+      // COMPOSITE round (odd rounds, while ranks fit): downstream
+      // consumers need only the ORDER and EQUALITY structure of the
+      // pair (ra, rb) — the next round compares/sorts them, the LCP
+      // descent tests equality — and `ra·K + rb` with K > max(rb)
+      // preserves both exactly (rb < K makes the map injective and
+      // lexicographic; the missing-partner sentinel 0 stays strictly
+      // smallest since every real code is ≥ K > 0). That removes the
+      // distinct + two-level rank + join-back (≈3 exchanges + a rank)
+      // from every other round; the following round's dense rank then
+      // compresses the codes back under n, so composites never nest
+      // (a composite of composites would need 2^80 bits). The final
+      // table is ALWAYS dense-ranked — [[suffixRanks]]'s contract.
+      val composite = dense && (r % 2 == 1) && r != rounds &&
+        maxRank <= MaxCompositeRank
+      if (composite) {
+        cur = paired.select(col("__id"), col("__pos"),
+            (col("__ra") * (maxRank + 1L) + col("__rb")).as("__r"))
+          .localCheckpoint(true)
+        dense = false
+        // no convergence probe: max(code) == n means nothing for
+        // codes; detection resumes on the next dense round (costs at
+        // most one cheap extra round after actual convergence)
+      } else {
+        val pairRank = denseRankOf(
+          paired.select(col("__ra"), col("__rb")).distinct(),
+          Seq(col("__ra").asc, col("__rb").asc), "__r")
+        cur = paired.join(pairRank, Seq("__ra", "__rb"))
+          .select(col("__id"), col("__pos"), col("__r"))
+          .localCheckpoint(true)
+        dense = true
+        maxRank = cur.agg(max(col("__r"))).head.getLong(0)
+        converged = maxRank == n
+      }
       tables += cur
       span *= 2
-      converged = cur.agg(max(col("__r"))).head.getLong(0) == n
     }
+    // a trailing composite table would leak order-codes to
+    // [[suffixRanks]]; by construction the loop never ends on one
+    // (composite rounds exclude r == rounds and convergence only
+    // fires on dense rounds), so this is an invariant, not a repair
+    assert(dense, "rankTables ended on a composite (non-dense) table")
     while (tables.size < rounds + 1) tables += cur
     // every per-round table is eagerly materialized; the raw stream
     // checkpoint has no further reader
