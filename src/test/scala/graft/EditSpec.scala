@@ -109,6 +109,19 @@ class EditSpec extends AnyFunSuite {
     assert(distance("kitten", "sitting") == 3) // degenerates to lev
   }
 
+  test("damerau: inputs past the 2^20 stamp-packing bound fail loudly") {
+    import graft.plans.Damerau.distance
+    // the da-table stamp packs the row index into 20 bits; an
+    // out-of-contract input must throw, never return a wrong distance
+    val big = "a" * (1 << 20)
+    val e = intercept[IllegalArgumentException] { distance(big, "b") }
+    assert(e.getMessage.contains("stamp-packing"))
+    assert(intercept[IllegalArgumentException] { distance("b", big) }
+      .getMessage.contains("stamp-packing"))
+    // the largest in-contract length still computes (O(n) here: m = 1)
+    assert(distance("a" * ((1 << 20) - 1), "a") == (1 << 20) - 2)
+  }
+
   test("damerau column kernel: dl <= lev on every pair, gain counted") {
     val docs = Seq(
       (1L, "the quick brown fox"),

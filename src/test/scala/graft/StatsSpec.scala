@@ -706,6 +706,18 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("jk_se_ppm") == 520683L) // floor sqrt, corrected
   }
 
+  test("jackknifeGroups: single (whole-frame) group nulls the LOO chain, never divides by zero") {
+    // one group == the whole frame makes NN - n = 0; the leave-one-out
+    // term must be EXPLICITLY null (propagating to the jk columns),
+    // with theta still exact — not a decimal division-by-zero
+    val rows = Seq(("A", 2L), ("A", 4L)).toDF("source", "v")
+    val r = Stats.jackknifeGroups(rows, "source", "v").collect()(0)
+    assert(r.getAs[Long]("g") == 1L && r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Long]("theta_ppm") == 3000000L)
+    assert(r.isNullAt(r.fieldIndex("jk_mean_ppm")))
+    assert(r.isNullAt(r.fieldIndex("jk_bias_ppm")))
+  }
+
   test("burrowsDelta: standardized function-word distance, exact milli") {
     val docs = Seq(
       ("A", "x x y"), ("B", "x y y")
