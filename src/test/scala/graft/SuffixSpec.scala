@@ -43,6 +43,29 @@ class SuffixSpec extends AnyFunSuite {
     assert(got == bruteRanks(docs))
   }
 
+  test("composite-round alternation: brute parity across rounds 1..5 and seeds") {
+    // rounds parity drives which rounds take the composite order-code
+    // shortcut (odd, non-final) vs a dense rank — every ladder shape
+    // must land on identical final dense ranks
+    for (rounds <- 1 to 5; seed <- Seq(7, 101)) {
+      val cap = 1 << rounds
+      val docs = randomDocs(12, seed)
+      val sufs = docs.flatMap { case (id, text) =>
+        val tk = text.split("\\s+").filter(_.nonEmpty)
+        tk.indices.map(p => (id, p.toLong, tk.slice(p, p + cap).toSeq))
+      }
+      implicit val ord: Ordering[Seq[String]] = Ordering.Implicits.seqOrdering
+      val rk = sufs.map(_._3).distinct.sorted.zipWithIndex
+        .map { case (w, i) => w -> (i + 1L) }.toMap
+      val expect = sufs.map(s => (s._1, s._2) -> rk(s._3)).toMap
+      val got = Suffix.suffixRanks(docs.toDF("doc_id", "text"),
+          "doc_id", "text", rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expect, s"rounds=$rounds seed=$seed")
+      Suffix.releaseShared()
+    }
+  }
+
   test("adjacent LCPs equal brute force") {
     val docs = randomDocs(25, 29)
     val tkOf = docs.map { case (id, t) =>
