@@ -109,6 +109,16 @@ object SparkEntry {
   private def duckToks(c: String): String =
     s"list_filter(string_split_regex($c, '\\s+'), t -> t != '')"
 
+  /** DuckDB fragment: the scale-invariant derived hub cap —
+    * `Dedup.fractionalDfCap(n, DefaultMaxDfPpm=10000, floor=50)` with
+    * `countSql` supplying the corpus cardinality (a scalar subquery, so
+    * the twin derives from the SAME universe the Spark generator counts).
+    * Integer semantics match exactly: for any BIGINT n,
+    * n*10000 // 1000000 == n/1e6*10000 + n%1e6*10000/1e6 in 64-bit.
+    */
+  private def duckDerivedCap(countSql: String): String =
+    s"(SELECT greatest(50, ($countSql) * 10000 // 1000000))"
+
   /** DuckDB fragment: Sampling.hashBucket's affine→quadratic→affine mixer
     * mod 2^31-1 over doc_id (h2 = h1*(h1+1) = h1²+h1).
     */
@@ -747,7 +757,7 @@ object SparkEntry {
           FROM sig GROUP BY doc_id, band),
         caps AS (SELECT band, band_val, count(*) AS c FROM bands GROUP BY 1, 2),
         capped AS (SELECT bands.doc_id, bands.band, bands.band_val
-          FROM bands JOIN caps USING (band, band_val) WHERE c <= 1000),
+          FROM bands JOIN caps USING (band, band_val) WHERE c <= ${duckDerivedCap("SELECT count(DISTINCT doc_id) FROM bands")}),
         lsh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM capped a JOIN capped b USING (band, band_val)
           WHERE a.doc_id < b.doc_id)"""
@@ -1701,7 +1711,7 @@ object SparkEntry {
     // Near-dup pairs by word-3-gram Jaccard (inverted-list self-join).
     "q_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minJaccard = 0.2, dfCap = 100000L)
+          n = 3, minJaccard = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1711,7 +1721,7 @@ object SparkEntry {
     // what survives is the dense duplicate hull worth clustering.
     "q_kcore" -> { (s, d) =>
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
-        "text", n = 3, minJaccard = 0.2, dfCap = 100000L)
+        "text", n = 3, minJaccard = 0.2)
       graft.functions.Graph.kCore(pairs, "id_a", "id_b", k = 2, rounds = 3)
         .orderBy(col("id"))
     },
@@ -1721,7 +1731,7 @@ object SparkEntry {
     // long one). Same inverted-list blocking as q_ngram_jaccard.
     "q_containment" -> { (s, d) =>
       Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minContainment = 0.4, dfCap = 100000L)
+          n = 3, minContainment = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1799,7 +1809,7 @@ object SparkEntry {
       val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
         lower(substring(col("text"), 1, 30)), window = 5)
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, minJaccard = 0.2, dfCap = 100000L)
+        n = 3, minJaccard = 0.2)
       Dedup.blockerRecall(cand, truth)
         .select(col("n_truth"), col("n_candidates"), col("n_hit"),
           col("recall"), col("precision"))
@@ -6302,7 +6312,7 @@ object SparkEntry {
           f AS (SELECT DISTINCT doc_id, sel // 2147483648 AS tid
             FROM w WHERE pos <= greatest(m - 4, 0)),
           rare AS (SELECT tid FROM f GROUP BY tid
-            HAVING count(*) <= 100000),
+            HAVING count(*) <= ${duckDerivedCap("SELECT count(*) FROM documents")}),
           ff AS (SELECT doc_id, tid FROM f JOIN rare USING (tid)),
           cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM ff a JOIN ff b USING (tid) WHERE a.doc_id < b.doc_id
@@ -6371,7 +6381,7 @@ object SparkEntry {
               i -> array_to_string(tk[i:i+2], ' '))
             ELSE [] END) AS gram FROM tk),
           g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
-          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= ${duckDerivedCap("SELECT count(*) FROM documents")}),
           gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
           sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
           ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6398,7 +6408,7 @@ object SparkEntry {
               i -> array_to_string(tk[i:i+2], ' '))
             ELSE [] END) AS gram FROM tk),
           g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
-          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= ${duckDerivedCap("SELECT count(*) FROM documents")}),
           gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
           sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
           ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6427,7 +6437,7 @@ object SparkEntry {
               i -> array_to_string(tk[i:i+2], ' '))
             ELSE [] END) AS gram FROM tk),
           g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
-          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= ${duckDerivedCap("SELECT count(*) FROM documents")}),
           gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
           sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
           ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6593,7 +6603,7 @@ object SparkEntry {
               i -> array_to_string(tk[i:i+2], ' '))
             ELSE [] END) AS gram FROM tk),
           g AS (SELECT DISTINCT doc_id, ${duckPolyId("gram")} AS tid FROM gr),
-          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= 100000),
+          rare AS (SELECT tid FROM g GROUP BY tid HAVING count(*) <= ${duckDerivedCap("SELECT count(*) FROM documents")}),
           gg AS (SELECT g.doc_id, g.tid FROM g JOIN rare USING (tid)),
           sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
           ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -8034,7 +8044,7 @@ object SparkEntry {
             FROM fps CROSS JOIN ch),
           caps AS (SELECT ck, cv, count(*) AS c FROM keyed GROUP BY 1, 2),
           capped AS (SELECT keyed.* FROM keyed JOIN caps USING (ck, cv)
-            WHERE c <= 1000),
+            WHERE c <= ${duckDerivedCap("SELECT count(DISTINCT doc_id) FROM fps")}),
           cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM capped a JOIN capped b USING (ck, cv)
             WHERE a.doc_id < b.doc_id)

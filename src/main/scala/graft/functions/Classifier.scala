@@ -21,13 +21,24 @@ import org.apache.spark.sql.functions._
   * misclassified when y·score ≤ 0, so the all-zero start counts every
   * doc as misclassified — the standard batch-perceptron bootstrap.
   *
-  * Scale shape: each round is one broadcast of the ≤(B+1)-row weight
-  * table, one pass over the (doc, bucket, count) stream, and two
-  * partial-aggregable groupBys (per-doc scores; per-bucket deltas).
-  * Rounds are a fixed hyperparameter, not data-dependent. Sums run in
-  * decimal(38,0): weights are bounded by total corpus tokens (~10^15 at
-  * 100 TB) and per-doc margins by weight × doc length — past a long,
-  * never past the decimal edge.
+  * Scale shape: a document's whole feature vector is ROW-LOCAL (its
+  * distinct bucket array), and the model is a dense (B+1)-long array
+  * riding the plan's codegen reference table — so each round is ONE
+  * pass over the checkpointed (id, y, buckets) frame: the margin folds
+  * at the scan stage (compiled WeightFoldSum, whole-stage codegen),
+  * misclassified docs explode into (bkt, y)
+  * pairs, and the only shuffle is the partial-aggregable ≤(B+1)-group
+  * bucket fold. No doc-keyed shuffle anywhere in training — the
+  * k-means-round shape (broadcast model, map-side-combined gradient).
+  * Rounds are a fixed hyperparameter, not data-dependent. Margins run
+  * in exact long arithmetic behind a LOUD overflow trap
+  * (WeightFoldSum's addExact): |margin| ≤ (buckets-per-doc + 1)·max|w|
+  * and max|w| ≤ rounds × corpus docs — ~10^15-scale at a 10^12-doc
+  * corpus, three orders under 2^63, and a corpus that somehow crossed
+  * it fails with the offending value, never a silent wrap. The dense
+  * model array assumes nBuckets small enough to ship per task (the
+  * classifier regime, ≤~10^6); a wider sparse model scores through
+  * [[scoreWith]]'s broadcast join instead.
   *
   * Training dynamics, measured: the full-batch update overshoots, so
   * early rounds predict the majority class and the weights walk a limit
@@ -71,8 +82,12 @@ object Classifier {
     * train on a labeled seed, score everything).
     */
   def perceptronTrain(docs: DataFrame, idCol: String, textCol: String,
-      labels: DataFrame, nBuckets: Int = 256, rounds: Int = 2): DataFrame =
+      labels: DataFrame, nBuckets: Int = 256, rounds: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     trainAndX(docs, idCol, textCol, labels, nBuckets, rounds)._1
+      .toSeq.toDF("bkt", "w")
+  }
 
   /** Score `docs` under a trained weight table: (idCol, score,
     * predicted) with predicted = +1 iff the integer margin is > 0 (ties
@@ -99,71 +114,86 @@ object Classifier {
     */
   def perceptronScores(docs: DataFrame, idCol: String, textCol: String,
       labels: DataFrame, nBuckets: Int = 256, rounds: Int = 2): DataFrame = {
-    val (w, x) = trainAndX(docs, idCol, textCol, labels, nBuckets, rounds)
-    scoresOver(x, w)
-      .withColumn("score", col("__s").cast("long"))
+    val (w, xa) = trainAndX(docs, idCol, textCol, labels, nBuckets, rounds)
+    xa.withColumn("score", marginCol(w, nBuckets))
       .withColumn("predicted",
         when(col("score") > 0, 1L).otherwise(-1L))
       .select(col(idCol), col("y"), col("score"), col("predicted"))
   }
 
-  private val dec = "decimal(38,0)"
-
-  /** (idCol grouping of margin sums under `w`; w = null means all-zero). */
-  private def scoresOver(x: DataFrame, w: DataFrame): DataFrame = {
-    val idCol = x.columns.head
-    val joined =
-      if (w == null) x.withColumn("__p", lit(0L).cast(dec))
-      else x.join(broadcast(w), Seq("bkt"), "left")
-        .withColumn("__p",
-          (coalesce(col("w"), lit(0L)) * col("cnt")).cast(dec))
-        .drop("w")
-    joined.groupBy(col(idCol))
-      .agg(min(col("y")).as("y"), sum(col("__p")).cast(dec).as("__s"))
+  /** Row-local margin of a bucket-array doc under the driver-held model:
+    * bias + Σ w(b) over the doc's `__bkts`, folded at the SCAN stage by
+    * the compiled [[graft.plans.WeightFoldSum]] (the model array rides
+    * codegen's reference table — one tree node per round, so per-round
+    * Catalyst work is constant-size; the HOF-lambda fold it replaced
+    * cost ~half the training wall in per-round analysis). Per-doc
+    * scoring with zero shuffle and zero joins; exact long arithmetic
+    * with a loud overflow trap (see the object doc's budget).
+    */
+  private def marginCol(
+      wMap: scala.collection.immutable.SortedMap[Long, Long],
+      nBuckets: Int): org.apache.spark.sql.Column = {
+    val bias = wMap.getOrElse(-1L, 0L)
+    val dense = Array.tabulate(nBuckets)(b => wMap.getOrElse(b.toLong, 0L))
+    graft.plans.WeightFoldSum.margin(col("__bkts"), bias, dense)
   }
 
   private def trainAndX(docs: DataFrame, idCol: String, textCol: String,
-      labels: DataFrame, nBuckets: Int, rounds: Int): (DataFrame, DataFrame) = {
+      labels: DataFrame, nBuckets: Int, rounds: Int)
+      : (scala.collection.immutable.SortedMap[Long, Long], DataFrame) = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val lab = labels.select(col(idCol), col("y").cast("long").as("y"))
-    // Materialized once: every round re-reads the feature stream, and the
-    // per-round weight tables are (B+1)-row — checkpointing both keeps
-    // the iterated plan flat instead of doubling per round (the kmeans
-    // lineage discipline; without it round 6+ plans explode).
-    val x = features(docs, idCol, textCol, nBuckets)
-      .unionByName(lab.select(col(idCol), lit(-1L).as("bkt"),
-        lit(1L).as("cnt")))
-      .join(lab, Seq(idCol))
+    // Feature vectors stay ROW-LOCAL: (id, y, distinct-bucket array),
+    // materialized once (the kmeans lineage discipline — the rounds
+    // re-read this frame, never its upstream). Labels LEFT-join docs so
+    // a label without a document still trains through its bias, exactly
+    // as the former bias-row union did.
+    val tk = docs.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+    val feats = tk.select(col(idCol),
+      array_distinct(transform(col("__tk"),
+        t => pmod(graft.plans.TextExpressions.polyHash(t),
+          lit(nBuckets.toLong)))).as("__bkts"))
+    val xa = lab.join(feats, Seq(idCol), "left")
+      .select(col(idCol), col("y"),
+        coalesce(col("__bkts"), typedLit(Seq.empty[Long])).as("__bkts"))
       .localCheckpoint(true)
 
-    // The model lives on the DRIVER: the weight table is bounded at
-    // nBuckets + 1 rows (the same class of bounded artifact as k-means'
-    // collected centroids), so each round is ONE job — score, filter to
-    // the misclassified ids, fold their feature rows into per-bucket
-    // deltas, collect the ≤(B+1)-row result — instead of separate
-    // emptiness-probe and weight-checkpoint actions with a full-outer
-    // weight join whose lineage re-ran the delta. Rounds touch the
-    // checkpointed stream twice WITHIN one job (score + delta), shuffle
-    // only doc-keyed partials and the (B+1)-row bucket fold.
-    val spark = docs.sparkSession
-    import spark.implicits._
+    // The model lives on the DRIVER (a ≤(B+1)-entry map — the same
+    // class of bounded artifact as k-means' collected centroids) and
+    // enters each round's plan as a LITERAL, so a round is ONE job over
+    // xa: scan-stage margin fold, filter to misclassified, explode the
+    // bias-prefixed bucket array, partial-aggregable ≤(B+1)-group sum,
+    // collect the delta. The only exchange in the whole round is the
+    // (B+1)-key bucket fold — no doc-keyed shuffle, no semi-join, no
+    // per-round weight broadcast.
+    //
+    // Rounds run in the TUNED child session ([[Serving]]): the per-round
+    // exchange is ≤(B+1) keys, so AQE's per-stage re-plan (an extra job
+    // + driver optimization pass per round) and a full-width shuffle
+    // fan-out are pure driver latency — measured at sf0.1 as ~half the
+    // entry's wall. Scan parallelism is untouched (the checkpoint keeps
+    // its partitioning); integer sums are partitioning-independent, so
+    // the gradient is bit-identical in either session.
+    val ts = Serving.tuned(docs.sparkSession, "classifier-rounds",
+      shufflePartitions = 8)(_ => Nil)._1
+    val xaT = org.apache.spark.sql.GraftBridge.dataFrame(ts,
+      org.apache.spark.sql.GraftBridge.logicalPlan(xa))
     var wMap = scala.collection.immutable.SortedMap.empty[Long, Long]
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      val w = if (wMap.isEmpty) null else wMap.toSeq.toDF("bkt", "w")
-      val mis = scoresOver(x, w)
-        .filter(col("y") * col("__s") <= 0)
-        .select(col(idCol))
-      val delta = x.join(mis, Seq(idCol), "left_semi")
+      val delta = xaT
+        .filter(col("y") * marginCol(wMap, nBuckets) <= 0)
+        .select(col("y"),
+          explode(concat(array(lit(-1L)), col("__bkts"))).as("bkt"))
         .groupBy(col("bkt"))
-        .agg(sum(col("y") * col("cnt")).cast("long").as("__d"))
+        .agg(sum(col("y")).cast("long").as("__d"))
         .collect()
-      // Every misclassified doc carries its bias row, so the delta has
-      // rows exactly when mis is non-empty (a zero-VALUED delta still
-      // emits its group row) — mis = ∅ is the FIXPOINT: every later
-      // round is a no-op, so stopping early changes nothing.
+      // Every misclassified doc carries its bias element, so the delta
+      // has rows exactly when misclassifications exist (a zero-VALUED
+      // delta still emits its group row) — empty delta is the FIXPOINT:
+      // every later round is a no-op, so stopping early changes nothing.
       if (delta.isEmpty) converged = true
       else delta.foreach { row =>
         val b = row.getLong(0)
@@ -171,8 +201,7 @@ object Classifier {
       }
       r += 1
     }
-    // Empty on a zero-round-progress run — coalesce(w, 0) still scores.
-    (wMap.toSeq.toDF("bkt", "w"), x)
+    (wMap, xa)
   }
 
   /** DECISION STUMP by exact Gini impurity — the one-split tree

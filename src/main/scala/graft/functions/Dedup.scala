@@ -345,21 +345,24 @@ object Dedup {
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
 
   def lshCandidatePairs(bands: DataFrame, idCol: String,
-      bucketCap: Int = 1000): DataFrame =
+      bucketCap: Int = DerivedCap.toInt): DataFrame = {
+    val cap = resolveBucketCap(bucketCap, distinctIdCount(bands, idCol))
     lshMemo.getOrBuild(bands.sparkSession, Seq(
         org.apache.spark.sql.GraftBridge.logicalPlan(bands).canonicalized,
-        idCol, bucketCap)) {
-      lshCandidatePairsUncached(bands, idCol, bucketCap)
+        idCol, cap)) {
+      lshCandidatePairsUncached(bands, idCol, cap)
         .localCheckpoint(true)
     }
+  }
 
   // private[graft]: plan-shape assertions target the unmemoized chain
   private[graft] def lshCandidatePairsUncached(bands: DataFrame,
-      idCol: String, bucketCap: Int = 1000): DataFrame = {
+      idCol: String, bucketCap: Int = DerivedCap.toInt): DataFrame = {
+    val cap = resolveBucketCap(bucketCap, distinctIdCount(bands, idCol))
     val w = Window.partitionBy(col("band"), col("band_val"))
     val capped = bands
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= bucketCap)
+      .filter(col("__n") <= cap)
       .drop("__n")
     val a = capped.select(col("band"), col("band_val"), col(idCol).as("id_a"))
     val b = capped.select(col("band"), col("band_val"), col(idCol).as("id_b"))
@@ -443,7 +446,8 @@ object Dedup {
   }
 
   def simhashPairs(fps: DataFrame, idCol: String, fpCol: String, bits: Int,
-      maxHamming: Int, bucketCap: Int = 1000): DataFrame = {
+      maxHamming: Int, bucketCap: Int = DerivedCap.toInt): DataFrame = {
+    val cap = resolveBucketCap(bucketCap, distinctIdCount(fps, idCol))
     // Capped at 31, not 62: SimhashExpr's per-token hash is mod 2^31-1,
     // so fingerprint lanes above bit ~31 are constant zero. Wider widths
     // would make the upper pigeonhole chunks a single degenerate all-equal
@@ -480,7 +484,7 @@ object Dedup {
     val w = Window.partitionBy(col("ck"), col("cv"))
     val capped = keyed
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= bucketCap)
+      .filter(col("__n") <= cap)
       .drop("__n")
       .localCheckpoint(true)
     val a = capped.select(col("ck"), col("cv"),
@@ -703,9 +707,10 @@ object Dedup {
     * boilerplate fingerprints carry no pair signal and go quadratic).
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      w: Int, minJaccard: Double, dfCap: Long = 100000L,
+      w: Int, minJaccard: Double, dfCap: Long = DerivedCap,
       minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val cap = resolveDfCap(dfCap, corpusCount(docs))
     // The fingerprint selection (one compiled scan pass) comes from the
     // SHARED memoized [[winnowFingerprints]] checkpoint — the listing
     // entry (q_winnow) and this generator split the cost. Postings are
@@ -721,7 +726,7 @@ object Dedup {
     val fp = winnowFingerprints(docs, idCol, textCol, n, w)
     val grouped = fp.groupBy(col("tid"))
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= dfCap)
+      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= cap)
     val pairs = grouped.select(explode(expr(
         """flatten(transform(__ids, (x, i) ->
            transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
@@ -994,6 +999,57 @@ object Dedup {
       + nDocs % 1000000L * maxDfPpm / 1000000L)
   }
 
+  /** Sentinel default for every dfCap/bucketCap in this file: "derive
+    * the cap from THIS corpus via [[fractionalDfCap]]". The round-10
+    * skew card proved a fixed default cap is only a guard when it
+    * happens to sit below the corpus's hub occupancy — so the shipped
+    * default is now the scale-invariant derivation (1% of the corpus,
+    * [[DefaultMaxDfPpm]], floored at 50 so small fixtures never cut
+    * legitimately shared keys). An explicit non-negative argument
+    * always wins. Deriving costs one count over the input at PLAN-BUILD
+    * time (an eager action, memoized per canonicalized plan — the same
+    * documented eagerness as the fan-out-sized pair-join partitioning).
+    */
+  val DerivedCap: Long = -1L
+
+  /** Default hub-occupancy cap for [[DerivedCap]] derivation: 10000 ppm
+    * (1% of the corpus) — the IR max-df discipline; below any >1%-
+    * occupancy hub at every corpus size (skew-card setting). */
+  val DefaultMaxDfPpm: Long = 10000L
+
+  /** Plan-keyed memo of corpus cardinalities used by cap derivation —
+    * the count is an eager plan-build action, so repeated generator
+    * calls over the same (memoized-checkpoint) input must not re-count.
+    * Values are tiny (one Long); capacity covers the distinct corpus
+    * frames alive in a session.
+    */
+  private val nDocsMemo = new PlanMemo[java.lang.Long](
+    freeOnEvict = _ => (), freeOnRelease = _ => (), capacity = 8)
+
+  private def memoCount(df: DataFrame, tag: String, cols: Seq[String])(
+      build: => Long): Long =
+    nDocsMemo.getOrBuild(df.sparkSession, Seq[Any](tag,
+      org.apache.spark.sql.GraftBridge.logicalPlan(df).canonicalized) ++ cols) {
+      java.lang.Long.valueOf(build)
+    }.longValue()
+
+  private[graft] def corpusCount(docs: DataFrame): Long =
+    memoCount(docs, "rows", Nil)(docs.count())
+
+  private[graft] def distinctIdCount(df: DataFrame, idCol: String): Long =
+    memoCount(df, "ids", Seq(idCol))(df.select(col(idCol)).distinct().count())
+
+  /** `dfCap` verbatim if explicitly set (>= 0), else the scale-invariant
+    * derivation from the corpus cardinality. */
+  private[graft] def resolveDfCap(dfCap: Long, nDocs: => Long): Long =
+    if (dfCap == DerivedCap) fractionalDfCap(nDocs, DefaultMaxDfPpm)
+    else dfCap
+
+  private[graft] def resolveBucketCap(bucketCap: Int, nDocs: => Long): Int =
+    if (bucketCap.toLong == DerivedCap)
+      math.min(Int.MaxValue.toLong, fractionalDfCap(nDocs, DefaultMaxDfPpm)).toInt
+    else bucketCap
+
   private[graft] def cappedPostings(docs: DataFrame, idCol: String,
       textCol: String, n: Int, dfCap: Long): DataFrame =
     pgMemo.getOrBuild(docs.sparkSession, Seq(
@@ -1021,11 +1077,12 @@ object Dedup {
     * coalesced the small postings shuffle to a handful of tasks, each
     * then generating billions of pairs whose partial-agg spill files
     * could not all be buffered for the final merge. Partition count =
-    * predicted pair volume at ~2M pairs per task, floored at the
-    * session's shuffle parallelism, capped at 65536. The predicting
-    * aggregate is tid-domain-sized and rides the already-materialized
-    * postings memo; an explicit repartition is exempt from AQE
-    * coalescing, so the sizing sticks.
+    * predicted pair volume over a MEMORY-ADAPTIVE per-task pair budget
+    * (see [[pairTaskBudget]]), floored at the session's shuffle
+    * parallelism, capped at 65536. The predicting aggregate is
+    * tid-domain-sized and rides the already-materialized postings memo;
+    * an explicit repartition is exempt from AQE coalescing, so the
+    * sizing sticks.
     */
   private def pairJoinParts(g: DataFrame): Int = {
     val dec = "decimal(38,0)"
@@ -1036,31 +1093,74 @@ object Dedup {
     val pairs =
       if (row.isNullAt(0)) BigInt(0)
       else BigInt(row.getDecimal(0).toBigInteger) / 2
-    val target = (pairs / 2000000).toLong + 1L
+    val target = (pairs / pairTaskBudget(g.sparkSession)).toLong + 1L
     val base = g.sparkSession.sessionState.conf.numShufflePartitions.toLong
     math.min(65536L, math.max(base, target)).toInt
   }
 
+  /** Per-task PAIR budget for the generating join: the number of
+    * distinct pairs whose partial-aggregate hash map fits comfortably
+    * in one task's share of execution memory. The former fixed 2M
+    * budget was tuned on a 128 GiB heap and silently assumed ~200 MB
+    * of aggregate map per task; under a constrained heap (the 2 GiB
+    * spill-probe posture — and any real cluster's per-core share) the
+    * same 2M-pair map exceeds the task's unified-memory slice, so every
+    * task built a map, overflowed it, and spilled ~the whole pair
+    * stream through sorted runs. Budget = half a task's execution-
+    * memory share at ~128 B per map entry (two long keys + count +
+    * UnsafeRow/bucket overhead), clamped to [250k, 2M] — the 2M ceiling
+    * reproduces the tuned big-heap plans exactly, the floor keeps tiny
+    * heaps from exploding into degenerate task counts. Executor memory
+    * resolves from spark.executor.memory when set (cluster mode),
+    * else this JVM's max heap (local mode, where the executor IS the
+    * driver JVM).
+    */
+  private def pairTaskBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    val conf = spark.sparkContext.getConf
+    val execBytes = conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val memFrac =
+      conf.getOption("spark.memory.fraction").map(_.toDouble).getOrElse(0.6)
+    val slots = math.max(1,
+      conf.getOption("spark.executor.cores").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism))
+    val perTask = execBytes * memFrac / slots
+    math.min(2000000L, math.max(250000L, (perTask * 0.5 / 128).toLong))
+  }
+
+  /** Near-dup pairs by word-n-gram Jaccard over a df-capped inverted
+    * list (see [[ngramJaccardPairsUncached]] for the plan shape).
+    * NOTE: constructing this frame runs EAGER Spark actions — the
+    * derived-cap corpus count (default dfCap only) and the fan-out
+    * sizing aggregate behind [[pairJoinParts]] — so plan BUILD triggers
+    * jobs and surfaces input failures immediately; both actions are
+    * memoized alongside the pair memo, and the postings they aggregate
+    * are the memoized checkpoint, so repeated builds don't re-scan.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame =
+      n: Int, minJaccard: Double, dfCap: Long = DerivedCap): DataFrame = {
+    val cap = resolveDfCap(dfCap, corpusCount(docs))
     njMemo.getOrBuild(docs.sparkSession, Seq(
         org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
-        idCol, textCol, n, minJaccard, dfCap)) {
-      ngramJaccardPairsUncached(docs, idCol, textCol, n, minJaccard, dfCap)
+        idCol, textCol, n, minJaccard, cap)) {
+      ngramJaccardPairsUncached(docs, idCol, textCol, n, minJaccard, cap)
         .localCheckpoint(true)
     }
+  }
 
   // private[graft]: plan-shape assertions target the unmemoized chain —
   // the memoized entry point's visible plan is just the checkpoint scan
   private[graft] def ngramJaccardPairsUncached(docs: DataFrame,
       idCol: String, textCol: String,
-      n: Int, minJaccard: Double, dfCap: Long = 100000L): DataFrame = {
+      n: Int, minJaccard: Double, dfCap: Long = DerivedCap): DataFrame = {
+    val cap = resolveDfCap(dfCap, corpusCount(docs))
     // Post-cap postings feed THREE consumers (sizes + both join sides),
     // each of which would re-run the distinct AND the df join —
     // shuffles, not the compiled scan. Materialized once (measured on
     // the containment twin: 3.1 → 2.5 s) in the SHARED [[cappedPostings]]
     // memo — the containment generator reads the same table.
-    val g = cappedPostings(docs, idCol, textCol, n, dfCap)
+    val g = cappedPostings(docs, idCol, textCol, n, cap)
     // Set sizes come from the CAPPED table too: hub shingles must leave
     // both the intersection and the denominators, or docs made of hub
     // shingles would see their Jaccard biased toward zero and be missed.
@@ -1103,10 +1203,11 @@ object Dedup {
     * containment rounded to 6.
     */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minContainment: Double, dfCap: Long = 100000L): DataFrame = {
+      n: Int, minContainment: Double, dfCap: Long = DerivedCap): DataFrame = {
+    val cap = resolveDfCap(dfCap, corpusCount(docs))
     // Shared df-capped postings — identical table to the Jaccard twin's
     // for the same (corpus, n, dfCap), built once ([[cappedPostings]]).
-    val g = cappedPostings(docs, idCol, textCol, n, dfCap)
+    val g = cappedPostings(docs, idCol, textCol, n, cap)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     // Fan-out-sized tid partitioning (see [[pairJoinParts]]).
     val gp = g.repartition(pairJoinParts(g), col("tid"))

@@ -60,6 +60,13 @@ object LangModel {
     */
   def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
       minPairCount: Long = 2L, dfCap: Long = 100000L): DataFrame = {
+    // Deliberately NOT the blocking generators' derived fractional cap:
+    // token df is not shingle df — ordinary content words live in
+    // 5-30% of documents (where shingle/fingerprint hubs at 1% are
+    // already boilerplate), so a 1%-occupancy cut would delete the
+    // co-occurrence signal itself, and the pair fan-out here is already
+    // bounded by minPairCount + the per-doc distinct-token join shape.
+    // Callers wanting an occupancy cut pass fractionalDfCap explicitly.
     // the one distinct-token-per-doc builder, shared with the dedup paths
     val toks = Dedup.docTokens(docs, idCol, textCol)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))

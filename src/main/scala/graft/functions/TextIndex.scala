@@ -29,21 +29,36 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Build and write the postings index. Overwrites. */
+  /** Build and write the postings index. Overwrites.
+    *
+    * Each posting row CARRIES its document's length (`dl`) — the
+    * classic IR denormalization (Lucene stores norms with the
+    * postings): +8 bytes per posting at build time buys query plans
+    * that touch ONLY the query terms' bucket partitions. With lengths
+    * in a separate per-doc table, every probe paid a corpus-sized join
+    * against `lens/` — un-prunable before the probe knows its candidate
+    * ids, and the one relation that kept BM25 serving from running in a
+    * 1-partition tuned session at 100 TB.
+    */
   def writePostingsIndex(docs: DataFrame, path: String, nBuckets: Int,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val dls = docs.select(col(idCol),
+      Text.tokenCount(col(textCol)).cast("long").as("dl"))
     val tf = docs
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .join(dls, Seq(idCol))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     tf.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings")
-    // Lens shares the bucketed layout (keyed by doc hash) so streaming
-    // ingest can append through the same partitioned anti-join guard.
-    val lens = docs.select(col(idCol),
-      Text.tokenCount(col(textCol)).cast("long").as("dl"))
+    // Lens stays beside the postings as the per-doc AUDIT table (doc
+    // counts, compaction and replay guards key on it); queries no
+    // longer read it. Shares the bucketed layout (keyed by doc hash) so
+    // streaming ingest can append through the same partitioned
+    // anti-join guard.
+    val lens = dls
       .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
     lens.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/lens")
@@ -51,6 +66,7 @@ object TextIndex {
         sum(col("dl")).cast("long").as("t_tokens"))
       .withColumn("n_buckets", lit(nBuckets.toLong))
       .write.mode("overwrite").parquet(s"$path/meta")
+    Serving.invalidate(s"postings:$path")
   }
 
   /** Streaming ingest into a written postings index: each microbatch of
@@ -80,15 +96,17 @@ object TextIndex {
         import s.implicits._
         val nBuckets = s.read.parquet(s"$path/meta")
           .select(col("n_buckets")).as[Long].head()
+        val dls = batch.select(col(idCol),
+          Text.tokenCount(col(textCol)).cast("long").as("dl"))
         val tf = batch
           .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
           .groupBy(col(idCol), col("term"))
           .agg(count(lit(1)).cast("long").as("tf"))
+          .join(dls, Seq(idCol)) // dl rides the posting (write-side rule)
           .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
         graft.merge.Merge.antiJoinAppend(s, tf, s"$path/postings",
           Seq(idCol), "bucket")
-        val lens = batch.select(col(idCol),
-          Text.tokenCount(col(textCol)).cast("long").as("dl"))
+        val lens = dls
           .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
         graft.merge.Merge.antiJoinAppend(s, lens, s"$path/lens",
           Seq(idCol), "bucket"): Unit
@@ -106,6 +124,14 @@ object TextIndex {
     * terms' bucket partitions; the bucket set is a bounded driver-side
     * artifact (≤ |queryTerms| values), same class as the IVF probe's
     * cell list.
+    *
+    * Runs in the CACHED tuned child session ([[Serving]]): with `dl`
+    * riding the postings, every relation in the probe plan is either
+    * partition-pruned (the term buckets) or one row (meta), so AQE's
+    * per-exchange re-plan rounds and a full-width shuffle fan-out are
+    * pure per-probe driver latency, and the cached reader frames skip
+    * per-probe file listing + schema resolution. The returned frame is
+    * bound to the child session — same context, collectable anywhere.
     */
   def bm25Indexed(spark: SparkSession, path: String,
       queryTerms: Seq[String], k: Int,
@@ -113,8 +139,11 @@ object TextIndex {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     require(k >= 1, s"k must be >= 1, got $k")
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta")
+    val (ss, frames) = Serving.tuned(spark, s"postings:$path") { ss =>
+      Seq(ss.read.parquet(s"$path/meta"), ss.read.parquet(s"$path/postings"))
+    }
+    import ss.implicits._
+    val meta = frames(0)
     // n_buckets is part of the index's frozen metadata: ONE small row.
     val nBuckets = meta.select(col("n_buckets")).as[Long].head()
     // The probed buckets, computed with the exact write-side expression.
@@ -122,15 +151,14 @@ object TextIndex {
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
       .distinct().as[Long].collect()
 
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = frames(1)
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
       .filter(col("term").isin(queryTerms: _*))
-      .select(col(idCol), col("term"), col("tf"))
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
     val dfreq = broadcast(tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df")))
-    val lens = spark.read.parquet(s"$path/lens").select(col(idCol), col("dl"))
     Rank.bm25Aggregate(
-      tf.join(dfreq, Seq("term")).join(lens, Seq(idCol))
+      tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(meta.select(col("n_docs"), col("t_tokens")))),
       idCol, k)
   }

@@ -32,6 +32,7 @@ object VecIndex {
     Vec.groupCentroids(
         corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    Serving.invalidate(s"ivf:$path")
   }
 
   /** Streaming ingest into a written IVF index: each microbatch of new
@@ -141,6 +142,7 @@ object VecIndex {
         newCents.select(col("cell").cast("int").as("cell"), col("centroid")))
       .localCheckpoint(true)
     updated.write.mode("overwrite").parquet(s"$path/centroids")
+    Serving.invalidate(s"ivf:$path")
     splits
   }
 
@@ -175,6 +177,7 @@ object VecIndex {
     Vec.groupCentroids(
         corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    Serving.invalidate(s"ivfpq:$path")
   }
 
   /** (idCol, subspace, code) rows → (idCol, codes array<int>) with the
@@ -255,8 +258,28 @@ object VecIndex {
       queries: DataFrame, k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val codebook = spark.read.parquet(s"$path/codebook")
+    // Serving split (the graphProbeForQueries discipline): a bounded
+    // query side runs in the cached tuned child session — every
+    // relation in the probe plan is pruned (probed cells) or broadcast
+    // (centroids/codebook/queries), so AQE re-plan rounds and wide
+    // shuffles are pure per-probe latency. Bulk query sides keep the
+    // shared session's analytics posture.
+    val (session, centroids, codebook, codes, qSide) =
+      servingQuerySide(spark, s"ivfpq:$path", queries,
+        Seq("centroids", "codebook", "codes"), path) match {
+        case Some((ss, fr, qv)) => (ss, fr(0), fr(1), fr(2), qv)
+        case None => (spark, spark.read.parquet(s"$path/centroids"),
+          spark.read.parquet(s"$path/codebook"),
+          spark.read.parquet(s"$path/codes"), queries)
+      }
+    ivfPqProbeBody(session, centroids, codebook, codes, qSide, k, nProbe,
+      idCol, vecCol, excludeSelf)
+  }
+
+  private def ivfPqProbeBody(spark: SparkSession, centroids: DataFrame,
+      codebook: DataFrame, codesBase: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, idCol: String, vecCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
         .as("nq"))
@@ -273,7 +296,7 @@ object VecIndex {
       .collect().map(_.get(0))
     // unpack (one map-side posexplode of the m-element code array),
     // look codewords up in the broadcast codebook, reassemble
-    val recon = spark.read.parquet(s"$path/codes")
+    val recon = codesBase
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .select(col(idCol), col("cell"),
         posexplode(col("codes")).as(Seq("subspace", "code")))
@@ -309,7 +332,46 @@ object VecIndex {
       k: Int, nProbe: Int, cellCol: String = "cell",
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    // Serving split — see ivfPqProbeIndexed.
+    val (session, centroids, dataBase, qSide) =
+      servingQuerySide(spark, s"ivf:$path", queries,
+        Seq("centroids", "data"), path) match {
+        case Some((ss, fr, qv)) => (ss, fr(0), fr(1), qv)
+        case None => (spark, spark.read.parquet(s"$path/centroids"),
+          spark.read.parquet(s"$path/data"), queries)
+      }
+    ivfProbeBody(session, centroids, dataBase, qSide, k, nProbe, cellCol,
+      idCol, vecCol, excludeSelf)
+  }
+
+  /** Bounded-query serving detection shared by the IVF probes: collect
+    * at most [[FrontierCollectMax]]+1 query rows in ONE job — fewer
+    * means the query side is a bounded serving artifact, so return the
+    * cached tuned session ([[Serving]]), its reader frames for
+    * `path/<dir>` per requested dir, and the queries re-hosted as a
+    * broadcastable local frame on that session; hitting the cap returns
+    * None (bulk path, nothing materialized beyond the probe rows).
+    */
+  private def servingQuerySide(spark: SparkSession, purpose: String,
+      queries: DataFrame, dirs: Seq[String], path: String)
+      : Option[(SparkSession, Seq[DataFrame], DataFrame)] = {
+    val probe = queries.limit(FrontierCollectMax.toInt + 1).collect()
+    if (probe.length > FrontierCollectMax) None
+    else {
+      val (ss, frames) = Serving.tuned(spark, purpose) { ss =>
+        dirs.map(d => ss.read.parquet(s"$path/$d"))
+      }
+      val local = ss.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(probe: _*)), queries.schema)
+      Some((ss, frames, broadcast(local)))
+    }
+  }
+
+  private def ivfProbeBody(spark: SparkSession, centroids: DataFrame,
+      dataBase: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      cellCol: String, idCol: String, vecCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
         .as("nq"))
@@ -326,7 +388,7 @@ object VecIndex {
     // never lists, opens, or reads an unprobed cell's files.
     val probedCells = probed.select(col("cell")).distinct()
       .collect().map(_.get(0))
-    val c = spark.read.parquet(s"$path/data")
+    val c = dataBase
       .filter(col(cellCol).isin(probedCells.toIndexedSeq: _*))
       .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
         col(vecCol).as("vc"),
@@ -381,6 +443,7 @@ object VecIndex {
       .orderBy(col("__h").asc, col("id").asc).limit(1)
       .select(col("id").as("entry_id"), lit(nBuckets.toLong).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    invalidateServing(path)
   }
 
   /** Beam search OVER THE PERSISTED graph — [[Vec.graphBeamSearch]]'s
@@ -479,6 +542,7 @@ object VecIndex {
     graft.merge.Merge.antiJoinAppend(s,
       b.withColumn("vec_bucket", pmod(col(idCol), lit(nB))),
       vdir, Seq(idCol), "vec_bucket"): Unit
+    invalidateServing(path)
   }
 
   /** RECALL-DRIFT measurement for a streamed-into graph index — the
@@ -548,6 +612,7 @@ object VecIndex {
       .orderBy(col("__h").asc, col("id").asc).limit(1)
       .select(col("id").as("entry_id"), lit(nB).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    invalidateServing(path)
   }
 
   /** Query-count ceiling for the batched-frontier serving loop: below
@@ -576,6 +641,24 @@ object VecIndex {
     *   executors as checkpointed frames, only the id lists needed for
     *   partition pruning ever reach the driver.
     */
+  /** One tuned serving child session (AQE off, 1 shuffle partition)
+    * and its vectors/adj reader frames per (SparkContext, index path) —
+    * the [[Serving]] cache (rationale + invalidation contract there).
+    * Every in-JVM writer of a graph layout calls [[invalidateServing]].
+    */
+  private def servingSession(spark: SparkSession, path: String)
+      : (SparkSession, DataFrame, DataFrame) = {
+    val (ss, frames) = Serving.tuned(spark, s"graph:$path") { ss =>
+      Seq(ss.read.parquet(s"$path/vectors"), ss.read.parquet(s"$path/adj"))
+    }
+    (ss, frames(0), frames(1))
+  }
+
+  /** Drop the cached serving session/readers for `path` (every layout
+    * writer below calls this; external writers call it explicitly). */
+  def invalidateServing(path: String): Unit =
+    Serving.invalidate(s"graph:$path")
+
   private[graft] def graphProbeForQueries(spark: SparkSession, path: String,
       qv: DataFrame, nB: Long, k: Int, beam: Int, hops: Int,
       idCol: String, vecCol: String,
@@ -617,12 +700,13 @@ object VecIndex {
       // driver latency on frontier-sized data) and ONE shuffle
       // partition for the beam window (32 near-empty tasks per hop
       // otherwise). The shared session's conf is untouched — serving
-      // probes run concurrently with bulk work.
-      val ss = spark.newSession()
-      ss.conf.set("spark.sql.adaptive.enabled", "false")
-      ss.conf.set("spark.sql.shuffle.partitions", "1")
-      val ssVecs = ss.read.parquet(s"$path/vectors")
-      val ssAdj = ss.read.parquet(s"$path/adj")
+      // probes run concurrently with bulk work. The session AND its
+      // reader frames are CACHED per (context, path): allocating a
+      // fresh session per probe accumulated SessionStates under the
+      // sustained concurrent workload this path exists for, and
+      // re-reading the layout re-ran file listing + schema resolution
+      // per probe. In-JVM writers invalidate via [[invalidateServing]].
+      val (ss, ssVecs, ssAdj) = servingSession(spark, path)
       def ssVecsFor(ids: Array[Long]): DataFrame =
         ssVecs
           .filter(col("vec_bucket")

@@ -267,9 +267,13 @@ object Merge {
         .drop("__mk")
     }).localCheckpoint(true)
     val n = fresh.count()
-    if (n > 0)
+    if (n > 0) {
       fresh.write.format("parquet").mode("append")
         .partitionBy(partitionCol).save(path)
+      // appended files invalidate any serving reader pinning this
+      // layout's file listing (no-op when nothing serves it)
+      graft.functions.Serving.invalidatePath(path)
+    }
     n
   }
 
@@ -477,5 +481,8 @@ object Merge {
         s"rewrite: cannot remove streaming-sink log $sinkLog")
     spark.catalog.refreshByPath(base)
     org.apache.spark.sql.GraftBridge.invalidateFileListingCache(spark)
+    // cached serving sessions pin their own reader frames (their child
+    // session has its own FileStatusCache) — drop any serving this path
+    graft.functions.Serving.invalidatePath(base)
   }
 }

@@ -25,6 +25,14 @@ object ImageCodec {
   // in driver-local tests (server JVMs usually default to headless)
   locally { System.setProperty("java.awt.headless", "true"): Unit }
 
+  // ImageIO's default stream factories are FILE-cache-backed: every
+  // createImageInputStream/OutputStream call creates (and deletes) a
+  // temp file, so per-record encode/decode paid two disk round-trips
+  // per payload — the dominant cost of the small-frame video path.
+  // All payloads here are in-memory byte arrays; memory-backed streams
+  // are bit-identical and touch no disk. Process-wide, set once.
+  locally { ImageIO.setUseCache(false) }
+
   /** Decoded header + integer pixel statistics of one image payload:
     * format name (lower case), dimensions, and the exact integer sum of
     * 8-bit luma over all pixels (gray band for grayscale images;

@@ -22,6 +22,10 @@ object VideoCodec {
 
   locally { System.setProperty("java.awt.headless", "true"): Unit }
 
+  // memory-backed ImageIO streams (no temp file per encode/decode) —
+  // see the rationale at the same init in [[ImageCodec]]
+  locally { ImageIO.setUseCache(false) }
+
   /** Encode gray frames (each w*h row-major pixels) as an animated GIF. */
   def grayFramesToGif(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
     require(frames.nonEmpty, "at least one frame")

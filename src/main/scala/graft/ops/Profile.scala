@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.{DateType, NumericType, StringType,
   * ~150k-distinct): 4.0 → 1.5 s. At 100 TB a profile job swaps in
   * approx_count_distinct's HLL per column and keeps everything else
   * unchanged; exactness here is what makes the operator oracle-gateable.
+  *
+  * The k+1-branch plan assumes a COLUMNAR SOURCE: its equal-bytes
+  * argument (k single-column scans ≈ one k-column scan) holds when each
+  * branch's scan prunes to its one column. Profiling an expensive
+  * derived frame (a join, a UDF view, a non-columnar source) re-executes
+  * that upstream plan once per branch — cache/checkpoint such an input
+  * first, or accept the single-pass Expand shape instead.
   */
 object Profile {
 

@@ -64,11 +64,41 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The ONE tokenize + joined-gram-hash kernel behind every gram-stream
+  * generator here ([[HashedShingles]], [[HashedShinglesPos]],
+  * [[WinnowSelect]], [[HashedTokenLines]]): whitespace tokenization
+  * bit-identical to Text.tokens, and PolyHash over the space-joined
+  * token window — so the documented bit-parity between the compiled
+  * generators and the declarative tokens→ngram→hash construction lives
+  * in exactly one place. A tokenization or hash-joining change edits
+  * this object or nothing (previously each generator inlined the loop,
+  * and a drift in one would only have been caught by the parity specs).
+  */
+private[plans] object GramHash {
+  /** Maximal runs of non-whitespace (Java `\s`), empty fragments
+    * dropped — Text.tokens verbatim. */
+  def tokens(v: UTF8String): Array[String] =
+    v.toString.split("\\s+").filter(_.nonEmpty)
+
+  /** PolyHash of the space-joined token window [from, until). */
+  def windowHash(tokens: Array[String], from: Int, until: Int): Long = {
+    val sb = new java.lang.StringBuilder(tokens(from))
+    var k = from + 1
+    while (k < until) { sb.append(' ').append(tokens(k)); k += 1 }
+    PolyHash.eval(sb.toString)
+  }
+
+  /** PolyHash of the n-gram starting at token `i`. */
+  def gramHash(tokens: Array[String], i: Int, n: Int): Long =
+    windowHash(tokens, i, i + n)
+}
+
 /** Generator: one output row per word n-gram of the input text, carrying
   * the n-gram's polynomial hash (`tid: bigint`). Tokenization is
   * whitespace-split with empty fragments dropped — identical to
   * Text.tokens — and the hashed string is the space-joined n-gram,
-  * identical to Text.wordNgrams + PolyHash. With n = 1 this is a hashed
+  * identical to Text.wordNgrams + PolyHash ([[GramHash]] is the shared
+  * kernel). With n = 1 this is a hashed
   * tokenizer. Fuses tokenize → shingle → hash into one compiled pass with
   * no intermediate Spark arrays.
   */
@@ -88,14 +118,10 @@ case class HashedShingles(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val tokens = v.asInstanceOf[UTF8String].toString
-        .split("\\s+").filter(_.nonEmpty)
+      val tokens = GramHash.tokens(v.asInstanceOf[UTF8String])
       if (tokens.length < n) Nil
       else (0 to tokens.length - n).iterator.map { i =>
-        val sb = new java.lang.StringBuilder(tokens(i))
-        var k = i + 1
-        while (k < i + n) { sb.append(' ').append(tokens(k)); k += 1 }
-        InternalRow(PolyHash.eval(sb.toString))
+        InternalRow(GramHash.gramHash(tokens, i, n))
       }
     }
   }
@@ -128,14 +154,10 @@ case class HashedShinglesPos(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val tokens = v.asInstanceOf[UTF8String].toString
-        .split("\\s+").filter(_.nonEmpty)
+      val tokens = GramHash.tokens(v.asInstanceOf[UTF8String])
       if (tokens.length < n) Nil
       else (0 to tokens.length - n).iterator.map { i =>
-        val sb = new java.lang.StringBuilder(tokens(i))
-        var k = i + 1
-        while (k < i + n) { sb.append(' ').append(tokens(k)); k += 1 }
-        InternalRow(i.toLong, PolyHash.eval(sb.toString))
+        InternalRow(i.toLong, GramHash.gramHash(tokens, i, n))
       }
     }
   }
@@ -181,8 +203,7 @@ case class WinnowSelect(child: Expression, n: Int, w: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val tokens = v.asInstanceOf[UTF8String].toString
-        .split("\\s+").filter(_.nonEmpty)
+      val tokens = GramHash.tokens(v.asInstanceOf[UTF8String])
       val m = tokens.length - n + 1
       if (m <= 0) Nil
       else {
@@ -192,10 +213,7 @@ case class WinnowSelect(child: Expression, n: Int, w: Int)
         val keys = new Array[Long](m)
         var i = 0
         while (i < m) {
-          val sb = new java.lang.StringBuilder(tokens(i))
-          var k = i + 1
-          while (k < i + n) { sb.append(' ').append(tokens(k)); k += 1 }
-          keys(i) = PolyHash.eval(sb.toString) * cap + (cap - 1 - i)
+          keys(i) = GramHash.gramHash(tokens, i, n) * cap + (cap - 1 - i)
           i += 1
         }
         val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -266,17 +284,13 @@ case class HashedTokenLines(child: Expression, lineLen: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val tokens = v.asInstanceOf[UTF8String].toString
-        .split("\\s+").filter(_.nonEmpty)
+      val tokens = GramHash.tokens(v.asInstanceOf[UTF8String])
       if (tokens.length == 0) Nil
       else (0 until (tokens.length + lineLen - 1) / lineLen).iterator
         .map { line =>
           val i = line * lineLen
           val end = math.min(i + lineLen, tokens.length)
-          val sb = new java.lang.StringBuilder(tokens(i))
-          var k = i + 1
-          while (k < end) { sb.append(' ').append(tokens(k)); k += 1 }
-          InternalRow(line.toLong, PolyHash.eval(sb.toString))
+          InternalRow(line.toLong, GramHash.windowHash(tokens, i, end))
         }
     }
   }
