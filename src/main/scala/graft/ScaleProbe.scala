@@ -886,6 +886,30 @@ object ScaleProbe {
       card("snm_skewed", () => Dedup.sortedNeighborhoodPairsUncached(
         hub, "doc_id", lower(substring(col("text"), 1, 30)), window = 5)
         .count())
+      // Round 11: the derived fractional cap is now the GENERATOR
+      // DEFAULT — these rows call the public blockers with NO cap
+      // argument at all. Bounded candidates here close round 10's gap
+      // (fractionalDfCap existed but every signature still shipped a
+      // fixed default the skew card had just proven was not a guard).
+      card("lsh_no_caps", () => {
+        val sig = Dedup.minhashSignatureHashed(hub, "doc_id", "text", 3, 8)
+        val n = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sig, "doc_id", 2), "doc_id").count()
+        Dedup.releasePairMemos()
+        n
+      })
+      card("winnow_no_caps", () => {
+        val n = Dedup.winnowPairs(hub, "doc_id", "text", n = 3, w = 4,
+          minJaccard = 0.2, minShared = 2).count()
+        Dedup.releasePairMemos()
+        n
+      })
+      card("ngram_no_caps", () => {
+        val n = Dedup.ngramJaccardPairs(hub, "doc_id", "text", n = 3,
+          minJaccard = 0.2).count()
+        Dedup.releasePairMemos()
+        n
+      })
     }
 
     // Corpus-shuffle probe: one scan-stage hash + ONE shard-keyed sort

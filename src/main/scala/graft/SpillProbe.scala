@@ -58,9 +58,14 @@ object SpillProbe {
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     println(f"""{"probe":"spill_setup","heap_gb":$heapGb%.2f,"mult":$mult,"cpus":$cpus}""")
 
-    // Listener: accumulate spill bytes across all tasks.
+    // Listener: accumulate spill bytes across all tasks, and per STAGE
+    // (keyed by stage id, labeled by the stage's callsite name) so a
+    // spill regression names the operator that paid it instead of one
+    // opaque total.
     val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
     val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageSpill = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -69,9 +74,23 @@ object SpillProbe {
           if (m != null) {
             memSpill.addAndGet(m.memoryBytesSpilled): Unit
             diskSpill.addAndGet(m.diskBytesSpilled): Unit
+            if (m.memoryBytesSpilled > 0)
+              stageSpill.merge(te.stageId, m.memoryBytesSpilled,
+                (a, b) => a + b): Unit
           }
         }
+        override def onStageSubmitted(
+            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          stageName.put(ss.stageInfo.stageId, ss.stageInfo.name): Unit
       })
+    def topSpillStages(): String = {
+      import scala.jdk.CollectionConverters._
+      stageSpill.asScala.toSeq.sortBy(-_._2).take(5).map { case (sid, b) =>
+        val n = Option(stageName.get(sid)).getOrElse("?")
+          .takeWhile(_ != '\n').take(60).replace("\"", "'")
+        f""""stage_$sid ($n)": ${b / (1024.0 * 1024)}%.0f"""
+      }.mkString("{", ", ", "}")
+    }
 
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -159,7 +178,8 @@ object SpillProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val mMb = (memSpill.get() - m0) / (1024.0 * 1024)
       val dMb = (diskSpill.get() - d0) / (1024.0 * 1024)
-      println(f"""{"probe":"spill_$name","mult":$mult,"sec":$sec%.2f,"mem_spill_mb":$mMb%.1f,"disk_spill_mb":$dMb%.1f,"completed":true}""")
+      println(f"""{"probe":"spill_$name","mult":$mult,"sec":$sec%.2f,"mem_spill_mb":$mMb%.1f,"disk_spill_mb":$dMb%.1f,"completed":true,"top_stages_mb":${topSpillStages()}}""")
+      stageSpill.clear()
     }
     println(f"""{"probe":"spill_summary","heap_gb":$heapGb%.2f,"mult":$mult,"entries":${selected.size},"all_completed":true,"mem_spill_mb":${memSpill.get() / (1024.0 * 1024)}%.1f,"disk_spill_mb":${diskSpill.get() / (1024.0 * 1024)}%.1f}""")
     spark.stop()

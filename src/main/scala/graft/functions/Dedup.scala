@@ -1107,8 +1107,10 @@ object Dedup {
     * same 2M-pair map exceeds the task's unified-memory slice, so every
     * task built a map, overflowed it, and spilled ~the whole pair
     * stream through sorted runs. Budget = half a task's execution-
-    * memory share at ~128 B per map entry (two long keys + count +
-    * UnsafeRow/bucket overhead), clamped to [250k, 2M] — the 2M ceiling
+    * memory share at ~256 B per map entry (two long keys + count, each
+    * UnsafeRow-framed, plus BytesToBytesMap pointer/page sparsity at its
+    * working load factor — 128 B of payload measures as ~2× resident),
+    * clamped to [250k, 2M] — the 2M ceiling
     * reproduces the tuned big-heap plans exactly, the floor keeps tiny
     * heaps from exploding into degenerate task counts. Executor memory
     * resolves from spark.executor.memory when set (cluster mode),
@@ -1126,7 +1128,7 @@ object Dedup {
       conf.getOption("spark.executor.cores").map(_.toInt)
         .getOrElse(spark.sparkContext.defaultParallelism))
     val perTask = execBytes * memFrac / slots
-    math.min(2000000L, math.max(250000L, (perTask * 0.5 / 128).toLong))
+    math.min(2000000L, math.max(250000L, (perTask * 0.5 / 256).toLong))
   }
 
   /** Near-dup pairs by word-n-gram Jaccard over a df-capped inverted
@@ -1170,13 +1172,23 @@ object Dedup {
     val gp = g.repartition(pairJoinParts(g), col("tid"))
     val a = gp.select(col("tid"), col(idCol).as("id_a"))
     val b = gp.select(col("tid"), col(idCol).as("id_b"))
-    val inter = a.join(b, Seq("tid"))
+    // SHUFFLE-HASH everywhere on this chain, never sort-merge: SMJ
+    // would SORT the generated pair stream (and the postings), and
+    // those sort buffers both spill ~the whole stream and starve the
+    // intersection aggregate's hash map in the unified pool — the
+    // spill probe measured the verify joins re-spilling the pair
+    // stream once per join. Hash sides are per-task slivers (a tid
+    // partition of the postings; an id partition of the one-row-per-
+    // doc sizes table), bounded at any corpus size.
+    val inter = a.hint("shuffle_hash").join(b, Seq("tid"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n_grams").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_grams").as("n_b")), Seq("id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_grams").as("n_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_grams").as("n_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
@@ -1213,13 +1225,16 @@ object Dedup {
     val gp = g.repartition(pairJoinParts(g), col("tid"))
     val a = gp.select(col("tid"), col(idCol).as("id_a"))
     val b = gp.select(col("tid"), col(idCol).as("id_b"))
-    val inter = a.join(b, Seq("tid"))
+    // shuffle-hash chain — see the Jaccard twin's rationale
+    val inter = a.hint("shuffle_hash").join(b, Seq("tid"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n_grams").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_grams").as("n_b")), Seq("id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_grams").as("n_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_grams").as("n_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("containment",
         round(col("inter").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 6))

@@ -92,30 +92,54 @@ object TextIndex {
       .select(col(idCol), col(textCol))
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        import s.implicits._
-        val nBuckets = s.read.parquet(s"$path/meta")
-          .select(col("n_buckets")).as[Long].head()
-        val dls = batch.select(col(idCol),
-          Text.tokenCount(col(textCol)).cast("long").as("dl"))
-        val tf = batch
-          .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
-          .groupBy(col(idCol), col("term"))
-          .agg(count(lit(1)).cast("long").as("tf"))
-          .join(dls, Seq(idCol)) // dl rides the posting (write-side rule)
-          .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
-        graft.merge.Merge.antiJoinAppend(s, tf, s"$path/postings",
-          Seq(idCol), "bucket")
-        val lens = dls
-          .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
-        graft.merge.Merge.antiJoinAppend(s, lens, s"$path/lens",
-          Seq(idCol), "bucket"): Unit
+        appendBatch(batch.sparkSession, path, batch, idCol, textCol): Unit
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .queryName("Postings_Stream_Append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** One microbatch of documents into a written postings index —
+    * [[streamAppend]]'s per-batch body, public so composed ingest loops
+    * ([[graft.streaming.CorpusStream]]) can drive it from their own
+    * foreachBatch. Replay-idempotent per document (anti-join guard).
+    * `bootstrapBuckets` > 0 additionally BOOTSTRAPS an absent index
+    * from this batch (frozen corpus statistics then come from the
+    * bootstrap batch — the documented streamAppend contract applies
+    * from batch two onward); a crash between bootstrap and the sink's
+    * checkpoint commit replays into the append path, which the guard
+    * makes a no-op.
+    */
+  def appendBatch(s: SparkSession, path: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      bootstrapBuckets: Int = 0): Unit = {
+    import s.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaDir)) {
+      require(bootstrapBuckets > 0,
+        s"no postings index at $path and bootstrapBuckets not set")
+      writePostingsIndex(batch, path, bootstrapBuckets, idCol, textCol)
+      return
+    }
+    val nBuckets = s.read.parquet(s"$path/meta")
+      .select(col("n_buckets")).as[Long].head()
+    val dls = batch.select(col(idCol),
+      Text.tokenCount(col(textCol)).cast("long").as("dl"))
+    val tf = batch
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .join(dls, Seq(idCol)) // dl rides the posting (write-side rule)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+    graft.merge.Merge.antiJoinAppend(s, tf, s"$path/postings",
+      Seq(idCol), "bucket")
+    val lens = dls
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
+    graft.merge.Merge.antiJoinAppend(s, lens, s"$path/lens",
+      Seq(idCol), "bucket"): Unit
   }
 
   /** Top-`k` BM25 retrieval against a written index — scoring is

@@ -214,42 +214,35 @@ object IncrementalDedup {
     * output — exactly-once end to end on top of the checkpointed
     * foreachBatch.
     */
-  def stream(docs: DataFrame, indexPath: String, acceptedPath: String,
-      checkpoint: String): StreamingQuery = {
-    // Bind the index to ONE checkpoint: batchIds restart from 0 with a
-    // fresh checkpoint, and dynamic overwrite would then REPLACE old
-    // __batch=N index partitions — silently erasing the accepted
-    // corpus's bands and accepting all its future duplicates. Refuse a
-    // mismatched (index, checkpoint) pairing instead.
-    val spark = docs.sparkSession
+  /** Bind `indexPath` to ONE streaming checkpoint — shared by [[stream]]
+    * and composed ingest loops ([[CorpusStream]]): batchIds restart from
+    * 0 with a fresh checkpoint, and dynamic overwrite would then REPLACE
+    * old `__batch=N` index partitions — silently erasing the accepted
+    * corpus's state. Paths compare fully-qualified ('/data/cp',
+    * 'file:/data/cp' and '/data/cp/' are one checkpoint, not three);
+    * a mismatch throws rather than guessing (probing the bound
+    * checkpoint's directories cannot distinguish "never used" from
+    * "deleted after use", and guessing wrong reuses batch ids). An
+    * operator who really wants a new checkpoint deletes
+    * `_checkpoint_binding` by hand after checking.
+    */
+  private[streaming] def bindCheckpoint(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, checkpoint: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
-    // Paths compare in fully-qualified form so '/data/cp', 'file:/data/cp'
-    // and '/data/cp/' are one checkpoint, not three.
     def qualify(p: String): String = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
     val cpQualified = qualify(checkpoint)
     val binding = new org.apache.hadoop.fs.Path(indexPath, "_checkpoint_binding")
-    def writeBinding(): Unit = {
-      fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
-      val out = fs.create(binding, true)
-      out.write(cpQualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-    }
     if (fs.exists(binding)) {
       val in = fs.open(binding)
       val bound =
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
-      // STRICT mismatch check, both sides qualified (older bindings may
-      // hold the raw string). No liveness heuristic: probing the bound
-      // checkpoint's directories cannot distinguish "never used" from
-      // "deleted after use", and guessing wrong silently erases index
-      // partitions through batch-id reuse. An operator who really wants a
-      // new checkpoint removes _checkpoint_binding by hand after checking.
       if (qualify(bound) != cpQualified)
         throw new IllegalStateException(
           s"IncrementalDedup index $indexPath is bound to checkpoint " +
@@ -258,7 +251,23 @@ object IncrementalDedup {
             "partitions; reuse the original checkpoint, start a new index, " +
             "or (after verifying the old checkpoint is truly gone) delete " +
             s"$binding")
-    } else writeBinding()
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
+      val out = fs.create(binding, true)
+      out.write(cpQualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
+  def stream(docs: DataFrame, indexPath: String, acceptedPath: String,
+      checkpoint: String): StreamingQuery = {
+    // Bind the index to ONE checkpoint: batchIds restart from 0 with a
+    // fresh checkpoint, and dynamic overwrite would then REPLACE old
+    // __batch=N index partitions — silently erasing the accepted
+    // corpus's bands and accepting all its future duplicates. Refuse a
+    // mismatched (index, checkpoint) pairing instead.
+    val spark = docs.sparkSession
+    bindCheckpoint(spark, indexPath, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
