@@ -145,6 +145,25 @@ object SparkEntry {
   private def duckMarkerHits(lang: Seq[String]): String =
     s"CAST(len(list_filter(tk, t -> list_contains([${lang.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
 
+  /** DuckDB CTE chain: the catalog's document quality score
+    * (Quality.qualityScore replayed — length saturation at 50 tokens ×
+    * stopword-ratio distance from 0.2), shared by every gate/cap/
+    * curriculum oracle. `withSource` carries the source column for the
+    * per-source ranked variants. Ends with `q(doc_id[, source],
+    * quality)`.
+    */
+  private def duckQualityCte(withSource: Boolean = false): String = {
+    val keys = if (withSource) "doc_id, source" else "doc_id"
+    val hits = duckMarkerHits(stopwords)
+    s"""t AS (SELECT $keys, ${duckToks("text")} AS tk FROM documents),
+          t2 AS (SELECT $keys,
+            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS stop_ratio, tk FROM t),
+          q AS (SELECT $keys,
+            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2)"""
+  }
+
   /** DuckDB fragment: the rolling polynomial char hash (Dedup.polyId). */
   private def duckPolyId(c: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -670,6 +689,23 @@ object SparkEntry {
                        ' ' || sym_a || sym_b || ' ') AS rep
           FROM $prev CROSS JOIN $t)"""
 
+  /** DuckDB CTE chain: word counts → double-space symbol
+    * representation → three greedy BPE merge rounds
+    * ([[duckBpeRound]] ×3) — the shared corpus chain of every BPE
+    * oracle. Ends with round-3 state: `t1/t2/t3` (the merges) and
+    * `r3` (the re-segmented types).
+    */
+  private def duckBpeChain: String =
+    s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
+            GROUP BY 1),
+          r0 AS (SELECT word, wc, '  ' ||
+            array_to_string(list_filter(string_split(word, ''),
+              c -> c != ''), '  ') || '  ' AS rep FROM w),
+          ${duckBpeRound("r0", "p1", "t1", "r1")},
+          ${duckBpeRound("r1", "p2", "t2", "r2")},
+          ${duckBpeRound("r2", "p3", "t3", "r3")}"""
+
   /** DuckDB CTE chain for the BM25 scorer over `bm25Query` — the exact
     * integer-quantized pipeline of Rank.bm25TopDocs. Ends with
     * `agg(doc_id, n_terms, score_q)`; shared by q_bm25 and q_rrf_fuse.
@@ -897,24 +933,35 @@ object SparkEntry {
     * visible for exact-side twins. `simTail` appends e.g. " + 0.0"
     * (the -0.0 normalizer) where the sim VALUE is output rather than
     * only ranked; `withQ=false` + `qFrom` ride a caller-supplied query
-    * CTE instead. One shared body so an IVF-probe arithmetic fix edits
-    * one place (the round-11 builder-extraction directive: the energy-
-    * distance defect survived five rounds inside a hand-replayed twin).
+    * CTE instead. The quantized-index twins probe the same chain over a
+    * DIFFERENT corpus: `corpus`/`cellCol` redirect the candidate join
+    * (reconstructed `rce`/`rc`, k-means `a2`), and a non-empty
+    * `centroidRel` rides a caller-built centroid relation (e.g. `clq`)
+    * instead of emitting `duckCentroidCte` over embeddings. One shared
+    * body so an IVF-probe arithmetic fix edits one place (the round-11
+    * builder-extraction directive: the energy-distance defect survived
+    * five rounds inside a hand-replayed twin).
     */
   private def duckIvfProbeCte(simTail: String = "", withQ: Boolean = true,
-      qFrom: String = "q"): String = {
+      qFrom: String = "q", corpus: String = "embeddings",
+      cellCol: String = "label", centroidRel: String = ""): String = {
     val dotSql = duckDotSql _
     val qCte = if (withQ)
       """q AS (SELECT vec_id AS query_id, embedding AS qv
             FROM embeddings WHERE vec_id < 10),
           """
     else ""
-    s"""${duckCentroidCte("cell")},
-          ${qCte}pc AS (SELECT q.query_id, q.qv, cl.cell,
+    val cenCte = if (centroidRel.isEmpty) s"""${duckCentroidCte("cell")},
+          """
+    else ""
+    val cenRel =
+      if (centroidRel.isEmpty || centroidRel == "cl") "cl"
+      else s"$centroidRel cl"
+    s"""$cenCte${qCte}pc AS (SELECT q.query_id, q.qv, cl.cell,
             round(${dotSql("q.qv", "cl.centroid")} /
               (sqrt(${dotSql("q.qv", "q.qv")}) *
                sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
-            FROM $qFrom CROSS JOIN cl),
+            FROM $qFrom CROSS JOIN $cenRel),
           pr AS (SELECT query_id, qv, cell,
             row_number() OVER (PARTITION BY query_id
               ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
@@ -923,7 +970,7 @@ object SparkEntry {
             round(${dotSql("p.qv", "e.embedding")} /
               (sqrt(${dotSql("p.qv", "p.qv")}) *
                sqrt(${dotSql("e.embedding", "e.embedding")})), 6)$simTail AS sim
-            FROM probed p JOIN embeddings e ON e.label = p.cell
+            FROM probed p JOIN $corpus e ON e.$cellCol = p.cell
             WHERE e.vec_id <> p.query_id)"""
   }
 
@@ -1042,6 +1089,70 @@ object SparkEntry {
           CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
         cb AS (SELECT tid_b, CAST(count(*) AS BIGINT) AS n1b
           FROM cab GROUP BY 1),"""
+
+  /** DuckDB CTE chain: the interpolated-Kneser-Ney bigram probability
+    * (d = 0.75 as the exact rational 3/4, ppb-quantized) over
+    * [[duckBigramCountsCte]]'s counts — the shared scorer of every
+    * KN-smoothed LM oracle. Ends with `lm(tid_a, tid_b, pkn_q)`.
+    */
+  private def duckKnLmCte: String =
+    """np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
+        lm AS (SELECT tid_a, tid_b,
+            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
+                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
+                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
+            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
+            CROSS JOIN np),"""
+
+  /** DuckDB CTE chain: shortlist-rescore — top-10 approximate
+    * candidates per query (from a caller-built `cand(query_id,
+    * neighbor_id, sim)`) re-scored with EXACT cosine over the raw
+    * embeddings and re-ranked; the shared tail of every quantized-index
+    * oracle (PQ/ADC/residual variants differ only in how `cand`
+    * approximates). Ends with `fin(query_id, neighbor_id, sim, rank)`.
+    */
+  private def duckRescoreCte: String = {
+    val dotSql = duckDotSql _
+    s"""sl AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
+            WHERE rk <= 10),
+        rr AS (SELECT s.query_id, s.neighbor_id,
+            round(${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
+            FROM sl s
+            JOIN embeddings a ON a.vec_id = s.query_id
+            JOIN embeddings b ON b.vec_id = s.neighbor_id),
+        fin AS (SELECT query_id, neighbor_id, sim,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)"""
+  }
+
+  /** DuckDB CTE chain: two rounds of deterministic synchronous label
+    * propagation (majority neighbor label, min tie-break) over the SNM
+    * candidate graph — the shared community base of the label-prop /
+    * conductance / modularity oracles. Rides [[duckSnmCandCte]]'s
+    * `cand`; ends with `p2` (the callers define their own final `l2`
+    * fold — plain, or MATERIALIZED/cast where re-read per cut).
+    */
+  private def duckLabelPropCte: String =
+    """sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+        l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+        c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+        p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c1) WHERE rn2 = 1),
+        l1 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+            FROM l0 v LEFT JOIN p1 p USING (id)),
+        c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+            FROM sym e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+        p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
+              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
+            FROM c2) WHERE rn2 = 1),"""
 
   private def duckSimhashCte(nBits: Int): String = {
     val bits = (0 until nBits).map(k => s"($k, ${1L << k})").mkString(", ")
@@ -6025,14 +6136,7 @@ object SparkEntry {
           FROM t ORDER BY doc_id""",
 
     "q_quality_gate" -> {
-      val hits = duckMarkerHits(stopwords)
-      s"""WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS tk FROM documents),
-          t2 AS (SELECT doc_id, source,
-            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
-                 ELSE 0.0 END AS stop_ratio, tk FROM t),
-          q AS (SELECT doc_id, source,
-            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
-              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+      s"""WITH ${duckQualityCte(withSource = true)},
           r AS (SELECT doc_id, source, quality,
             CAST(row_number() OVER (PARTITION BY source
               ORDER BY quality DESC, doc_id) AS BIGINT) AS rn,
@@ -6042,14 +6146,7 @@ object SparkEntry {
     },
 
     "q_quality_gate_sampled" -> {
-      val hits = duckMarkerHits(stopwords)
-      s"""WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS tk FROM documents),
-          t2 AS (SELECT doc_id, source,
-            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
-                 ELSE 0.0 END AS stop_ratio, tk FROM t),
-          q AS (SELECT doc_id, source,
-            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
-              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+      s"""WITH ${duckQualityCte(withSource = true)},
           smp AS (SELECT * FROM q WHERE ${duckMixOf("doc_id")} % 1000 < 400),
           r AS (SELECT doc_id, source, quality,
             CAST(row_number() OVER (PARTITION BY source
@@ -6074,14 +6171,7 @@ object SparkEntry {
     },
 
     "q_curriculum" -> {
-      val hits = duckMarkerHits(stopwords)
-      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
-          t2 AS (SELECT doc_id,
-            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
-                 ELSE 0.0 END AS stop_ratio, tk FROM t),
-          q AS (SELECT doc_id,
-            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
-              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+      s"""WITH ${duckQualityCte()},
           r AS (SELECT doc_id, quality,
             CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rn,
             CAST(count(*) OVER () AS BIGINT) AS n,
@@ -6320,14 +6410,7 @@ object SparkEntry {
           ORDER BY src_agree, len_agree, head_agree, chars_agree""",
 
     "q_domain_cap" -> {
-      val hits = duckMarkerHits(stopwords)
-      s"""WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS tk FROM documents),
-          t2 AS (SELECT doc_id, source,
-            CASE WHEN len(tk) > 0 THEN CAST($hits AS DOUBLE) / CAST(len(tk) AS DOUBLE)
-                 ELSE 0.0 END AS stop_ratio, tk FROM t),
-          q AS (SELECT doc_id, source,
-            least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
-              (1.0 - abs(stop_ratio - 0.2)) AS quality FROM t2),
+      s"""WITH ${duckQualityCte(withSource = true)},
           r AS (SELECT doc_id, source, quality,
             CAST(row_number() OVER (PARTITION BY source
               ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk FROM q)
@@ -6732,21 +6815,7 @@ object SparkEntry {
 
     "q_label_prop" ->
       s"""WITH $duckSnmCandCte,
-          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
-            UNION SELECT id_b, id_a FROM cand),
-          l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-          c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
-            FROM sym e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
-          p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
-              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
-            FROM c1) WHERE rn2 = 1),
-          l1 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
-            FROM l0 v LEFT JOIN p1 p USING (id)),
-          c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
-            FROM sym e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
-          p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
-              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
-            FROM c2) WHERE rn2 = 1),
+          $duckLabelPropCte
           l2 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
             FROM l1 v LEFT JOIN p2 p USING (id))
           SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label
@@ -6754,21 +6823,7 @@ object SparkEntry {
 
     "q_conductance" ->
       s"""WITH $duckSnmCandCte,
-          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
-            UNION SELECT id_b, id_a FROM cand),
-          l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-          c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
-            FROM sym e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
-          p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
-              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
-            FROM c1) WHERE rn2 = 1),
-          l1 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
-            FROM l0 v LEFT JOIN p1 p USING (id)),
-          c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
-            FROM sym e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
-          p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
-              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
-            FROM c2) WHERE rn2 = 1),
+          $duckLabelPropCte
           l2 AS MATERIALIZED (SELECT v.id,
             CAST(coalesce(p.lbl, v.lbl) AS BIGINT) AS lbl
             FROM l1 v LEFT JOIN p2 p USING (id)),
@@ -6829,21 +6884,7 @@ object SparkEntry {
       val num = "4 * mm.m * coalesce(ie.n_edges_in, 0) - " +
         "coalesce(ds.deg_sum, 0) * coalesce(ds.deg_sum, 0)"
       s"""WITH $duckSnmCandCte,
-          sym AS (SELECT id_a AS src, id_b AS dst FROM cand
-            UNION SELECT id_b, id_a FROM cand),
-          l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-          c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
-            FROM sym e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
-          p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
-              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
-            FROM c1) WHERE rn2 = 1),
-          l1 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
-            FROM l0 v LEFT JOIN p1 p USING (id)),
-          c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
-            FROM sym e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
-          p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number()
-              OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn2
-            FROM c2) WHERE rn2 = 1),
+          $duckLabelPropCte
           l2 AS (SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
             FROM l1 v LEFT JOIN p2 p USING (id)),
           und AS (SELECT DISTINCT least(id_a, id_b) AS a,
@@ -7229,17 +7270,7 @@ object SparkEntry {
           ORDER BY doc_id, dim""",
 
     "q_bpe_merges" -> {
-      def round(prev: String, p: String, t: String, next: String): String =
-        duckBpeRound(prev, p, t, next)
-      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
-            FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
-            GROUP BY 1),
-          r0 AS (SELECT word, wc, '  ' ||
-            array_to_string(list_filter(string_split(word, ''),
-              c -> c != ''), '  ') || '  ' AS rep FROM w),
-          ${round("r0", "p1", "t1", "r1")},
-          ${round("r1", "p2", "t2", "r2")},
-          ${round("r2", "p3", "t3", "r3")}
+      s"""WITH $duckBpeChain
           SELECT * FROM (
             SELECT CAST(1 AS BIGINT) AS round, sym_a, sym_b, pair_count FROM t1
             UNION ALL
@@ -7250,17 +7281,7 @@ object SparkEntry {
     },
 
     "q_bpe_fertility" -> {
-      def round(prev: String, p: String, t: String, next: String): String =
-        duckBpeRound(prev, p, t, next)
-      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
-            FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
-            GROUP BY 1),
-          r0 AS (SELECT word, wc, '  ' ||
-            array_to_string(list_filter(string_split(word, ''),
-              c -> c != ''), '  ') || '  ' AS rep FROM w),
-          ${round("r0", "p1", "t1", "r1")},
-          ${round("r1", "p2", "t2", "r2")},
-          ${round("r2", "p3", "t3", "r3")}
+      s"""WITH $duckBpeChain
           SELECT CAST(len(list_filter(string_split(rep, '  '),
               x -> x != '')) AS BIGINT) AS n_syms,
             CAST(count(*) AS BIGINT) AS n_types,
@@ -7269,8 +7290,6 @@ object SparkEntry {
     },
 
     "q_bpe_encode" -> {
-      def round(prev: String, p: String, t: String, next: String): String =
-        duckBpeRound(prev, p, t, next)
       val rep = s"""'  ' || array_to_string(list_filter(string_split(w, ''),
           c -> c != ''), '  ') || '  '"""
       val chain = s"""replace(replace(replace($rep,
@@ -7280,15 +7299,7 @@ object SparkEntry {
           ' ' || t2.sym_a || t2.sym_b || ' '),
           ' ' || t3.sym_a || '  ' || t3.sym_b || ' ',
           ' ' || t3.sym_a || t3.sym_b || ' ')"""
-      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
-            FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents)
-            GROUP BY 1),
-          r0 AS (SELECT word, wc, '  ' ||
-            array_to_string(list_filter(string_split(word, ''),
-              c -> c != ''), '  ') || '  ' AS rep FROM w),
-          ${round("r0", "p1", "t1", "r1")},
-          ${round("r1", "p2", "t2", "r2")},
-          ${round("r2", "p3", "t3", "r3")},
+      s"""WITH $duckBpeChain,
           enc AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
           seg AS (SELECT doc_id, tk,
             flatten(list_transform(tk, w ->
@@ -8233,13 +8244,7 @@ object SparkEntry {
 
     "q_lm_fit" ->
       s"""WITH $duckBigramCountsCte
-          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
-          lm AS (SELECT tid_a, tid_b,
-            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
-                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
-                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
-            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
-            CROSS JOIN np),
+          $duckKnLmCte
           sc AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
             CAST(sum(CASE WHEN lm.pkn_q IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_scored,
@@ -8254,13 +8259,7 @@ object SparkEntry {
 
     "q_perplexity" ->
       s"""WITH $duckBigramCountsCte
-          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
-          lm AS (SELECT tid_a, tid_b,
-            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
-                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
-                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
-            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
-            CROSS JOIN np),
+          $duckKnLmCte
           j AS MATERIALIZED (SELECT d.doc_id,
             greatest(lm.pkn_q, 1) AS pq
             FROM dids d JOIN lm USING (tid_a, tid_b)),
@@ -10189,13 +10188,7 @@ object SparkEntry {
 
     "q_lm_buckets" ->
       s"""WITH $duckBigramCountsCte
-          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
-          lm AS (SELECT tid_a, tid_b,
-            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
-                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
-                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
-            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
-            CROSS JOIN np),
+          $duckKnLmCte
           sc AS (SELECT d.doc_id,
             CAST(sum(coalesce(lm.pkn_q, 0)) // count(*) AS BIGINT) AS fit_q
             FROM dids d LEFT JOIN lm
@@ -10215,13 +10208,7 @@ object SparkEntry {
     // threshold count — the scan-stage assignment replayed exactly.
     "q_lm_buckets_sampled" ->
       s"""WITH $duckBigramCountsCte
-          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
-          lm AS (SELECT tid_a, tid_b,
-            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
-                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
-                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
-            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
-            CROSS JOIN np),
+          $duckKnLmCte
           sc AS (SELECT d.doc_id,
             CAST(sum(coalesce(lm.pkn_q, 0)) // count(*) AS BIGINT) AS fit_q
             FROM dids d LEFT JOIN lm
@@ -11103,29 +11090,13 @@ object SparkEntry {
     },
 
     "q_ivf_kmeans" -> {
-      val dotSql = duckDotSql _
       // a2 = the unrolled k-means final assignment (vec_id, embedding,
       // cell); centroids over a2 use the same decimal-exact stages, then
       // the probe/scan SQL mirrors q_ivf_topk with a2 as the corpus.
       s"""WITH $duckKmeansCte,
           ${duckCentroidStages("a2", "cell", "cell", "exq", "ctq", "clq")},
-          q AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          pc AS (SELECT q.query_id, q.qv, cl.cell,
-            round(${dotSql("q.qv", "cl.centroid")} /
-              (sqrt(${dotSql("q.qv", "q.qv")}) *
-               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
-            FROM q CROSS JOIN clq cl),
-          pr AS (SELECT query_id, qv, cell,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
-          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
-          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-            round(${dotSql("p.qv", "e.embedding")} /
-              (sqrt(${dotSql("p.qv", "p.qv")}) *
-               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) + 0.0 AS sim
-            FROM probed p JOIN a2 e ON e.cell = p.cell
-            WHERE e.vec_id <> p.query_id),
+          ${duckIvfProbeCte(simTail = " + 0.0", corpus = "a2",
+            cellCol = "cell", centroidRel = "clq")},
           r AS (SELECT query_id, neighbor_id, sim,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM cand)
@@ -11134,28 +11105,14 @@ object SparkEntry {
     },
 
     "q_knn_classify" -> {
-      val dotSql = duckDotSql _
       // the q_ivf_kmeans chain with ALL vectors as queries, then a
       // majority vote over each query's top-5 neighbor labels
       s"""WITH $duckKmeansCte,
           ${duckCentroidStages("a2", "cell", "cell", "exq", "ctq", "clq")},
           q AS (SELECT vec_id AS query_id, embedding AS qv
             FROM embeddings),
-          pc AS (SELECT q.query_id, q.qv, cl.cell,
-            round(${dotSql("q.qv", "cl.centroid")} /
-              (sqrt(${dotSql("q.qv", "q.qv")}) *
-               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
-            FROM q CROSS JOIN clq cl),
-          pr AS (SELECT query_id, qv, cell,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
-          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
-          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-            round(${dotSql("p.qv", "e.embedding")} /
-              (sqrt(${dotSql("p.qv", "p.qv")}) *
-               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) + 0.0 AS sim
-            FROM probed p JOIN a2 e ON e.cell = p.cell
-            WHERE e.vec_id <> p.query_id),
+          ${duckIvfProbeCte(simTail = " + 0.0", withQ = false,
+            corpus = "a2", cellCol = "cell", centroidRel = "clq")},
           rr AS (SELECT query_id, neighbor_id,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM cand),
@@ -11304,27 +11261,12 @@ object SparkEntry {
                sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
             FROM q CROSS JOIN rcn e
             WHERE e.vec_id <> q.query_id),
-          sl AS (SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
-            WHERE rk <= 10),
-          rr AS (SELECT s.query_id, s.neighbor_id,
-            round(${dotSql("a.embedding", "b.embedding")} /
-              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
-            FROM sl s
-            JOIN embeddings a ON a.vec_id = s.query_id
-            JOIN embeddings b ON b.vec_id = s.neighbor_id),
-          fin AS (SELECT query_id, neighbor_id, sim,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          $duckRescoreCte
           SELECT query_id, neighbor_id, sim, "rank" FROM fin
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
     },
 
     "q_ivfpq_topk" -> {
-      val dotSql = duckDotSql _
       // q_pq_adc's per-subspace codebook/reconstruction stages + the
       // q_ivf_topk probe: ADC candidates restricted to probed cells,
       // top-10 shortlist, exact rerank to top-5.
@@ -11347,45 +11289,13 @@ object SparkEntry {
             GROUP BY cd.vec_id),
           rce AS (SELECT r.vec_id, e.label, r.embedding
             FROM rcn r JOIN embeddings e USING (vec_id)),
-          ${duckCentroidCte("cell")},
-          q AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          pc AS (SELECT q.query_id, q.qv, cl.cell,
-            round(${dotSql("q.qv", "cl.centroid")} /
-              (sqrt(${dotSql("q.qv", "q.qv")}) *
-               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
-            FROM q CROSS JOIN cl),
-          pr AS (SELECT query_id, qv, cell,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
-          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
-          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-            round(${dotSql("p.qv", "e.embedding")} /
-              (sqrt(${dotSql("p.qv", "p.qv")}) *
-               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
-            FROM probed p JOIN rce e ON e.label = p.cell
-            WHERE e.vec_id <> p.query_id),
-          sl AS (SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
-            WHERE rk <= 10),
-          rr AS (SELECT s.query_id, s.neighbor_id,
-            round(${dotSql("a.embedding", "b.embedding")} /
-              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
-            FROM sl s
-            JOIN embeddings a ON a.vec_id = s.query_id
-            JOIN embeddings b ON b.vec_id = s.neighbor_id),
-          fin AS (SELECT query_id, neighbor_id, sim,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          ${duckIvfProbeCte(corpus = "rce")},
+          $duckRescoreCte
           SELECT query_id, neighbor_id, sim, "rank" FROM fin
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
     },
 
     "q_ivfpq_res_topk" -> {
-      val dotSql = duckDotSql _
       // q_ivfpq_topk's chain with the PQ trained on RESIDUALS: rs
       // subtracts the (label) centroid per element (REAL casts at both
       // truncation points mirror the Spark zip_with), rce adds it back
@@ -11419,44 +11329,13 @@ object SparkEntry {
                 + CAST(r.embedding[i] AS DOUBLE) AS REAL)) AS embedding
             FROM rcn r JOIN embeddings e USING (vec_id)
             JOIN cl ON cl.cell = e.label),
-          q AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          pc AS (SELECT q.query_id, q.qv, cl.cell,
-            round(${dotSql("q.qv", "cl.centroid")} /
-              (sqrt(${dotSql("q.qv", "q.qv")}) *
-               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
-            FROM q CROSS JOIN cl),
-          pr AS (SELECT query_id, qv, cell,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
-          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
-          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-            round(${dotSql("p.qv", "e.embedding")} /
-              (sqrt(${dotSql("p.qv", "p.qv")}) *
-               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
-            FROM probed p JOIN rce e ON e.label = p.cell
-            WHERE e.vec_id <> p.query_id),
-          sl AS (SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
-            WHERE rk <= 10),
-          rr AS (SELECT s.query_id, s.neighbor_id,
-            round(${dotSql("a.embedding", "b.embedding")} /
-              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
-            FROM sl s
-            JOIN embeddings a ON a.vec_id = s.query_id
-            JOIN embeddings b ON b.vec_id = s.neighbor_id),
-          fin AS (SELECT query_id, neighbor_id, sim,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          ${duckIvfProbeCte(corpus = "rce", centroidRel = "cl")},
+          $duckRescoreCte
           SELECT query_id, neighbor_id, sim, "rank" FROM fin
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
     },
 
     "q_ivfpq_recall" -> {
-      val dotSql = duckDotSql _
       // the q_ivfpq_topk chain (through fin) intersected per query with
       // the exact cosine top-5 (px/rx), q_ann_recall's grade arithmetic
       val subs = (0 until 4).map { s =>
@@ -11478,41 +11357,9 @@ object SparkEntry {
             GROUP BY cd.vec_id),
           rce AS (SELECT r.vec_id, e.label, r.embedding
             FROM rcn r JOIN embeddings e USING (vec_id)),
-          ${duckCentroidCte("cell")},
-          q AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          pc AS (SELECT q.query_id, q.qv, cl.cell,
-            round(${dotSql("q.qv", "cl.centroid")} /
-              (sqrt(${dotSql("q.qv", "q.qv")}) *
-               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
-            FROM q CROSS JOIN cl),
-          pr AS (SELECT query_id, qv, cell,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
-          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
-          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-            round(${dotSql("p.qv", "e.embedding")} /
-              (sqrt(${dotSql("p.qv", "p.qv")}) *
-               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
-            FROM probed p JOIN rce e ON e.label = p.cell
-            WHERE e.vec_id <> p.query_id),
-          sl AS (SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
-            WHERE rk <= 10),
-          rr AS (SELECT s.query_id, s.neighbor_id,
-            round(${dotSql("a.embedding", "b.embedding")} /
-              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS sim
-            FROM sl s
-            JOIN embeddings a ON a.vec_id = s.query_id
-            JOIN embeddings b ON b.vec_id = s.neighbor_id),
-          ra AS (SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, neighbor_id) AS rk FROM rr)
-            WHERE rk <= 5),
+          ${duckIvfProbeCte(corpus = "rce")},
+          $duckRescoreCte,
+          ra AS (SELECT query_id, neighbor_id FROM fin WHERE "rank" <= 5),
           ${duckExactTopkCte(graded = false)},
           kt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_true
             FROM rx GROUP BY 1),
@@ -11526,7 +11373,6 @@ object SparkEntry {
     },
 
     "q_ivf_quant" -> {
-      val dotSql = duckDotSql _
       // Quantize → reconstruct per dim → reassemble the recon list in dim
       // order; centroids/probe over recon (same decimal-exact stages);
       // exact-embedding rerank of the top-10 shortlist.
@@ -11550,38 +11396,8 @@ object SparkEntry {
               AS embedding
           FROM qc GROUP BY vec_id, label),
           ${duckCentroidStages("rc", "label", "cell", "exq", "ctq", "clq")},
-          q AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          pc AS (SELECT q.query_id, q.qv, cl.cell,
-            round(${dotSql("q.qv", "cl.centroid")} /
-              (sqrt(${dotSql("q.qv", "q.qv")}) *
-               sqrt(${dotSql("cl.centroid", "cl.centroid")})), 6) AS cell_sim
-            FROM q CROSS JOIN clq cl),
-          pr AS (SELECT query_id, qv, cell,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cell_sim DESC, cell) AS cell_rank FROM pc),
-          probed AS (SELECT query_id, qv, cell FROM pr WHERE cell_rank <= 3),
-          cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-            round(${dotSql("p.qv", "e.embedding")} /
-              (sqrt(${dotSql("p.qv", "p.qv")}) *
-               sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
-            FROM probed p JOIN rc e ON e.label = p.cell
-            WHERE e.vec_id <> p.query_id),
-          sl AS (SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, neighbor_id) AS rk FROM cand)
-            WHERE rk <= 10),
-          rr AS (SELECT s.query_id, s.neighbor_id,
-            round(${dotSql("a.embedding", "b.embedding")} /
-              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-               sqrt(${dotSql("b.embedding", "b.embedding")})), 6) + 0.0 AS sim
-            FROM sl s
-            JOIN embeddings a ON a.vec_id = s.query_id
-            JOIN embeddings b ON b.vec_id = s.neighbor_id),
-          fin AS (SELECT query_id, neighbor_id, sim,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank" FROM rr)
+          ${duckIvfProbeCte(corpus = "rc", centroidRel = "clq")},
+          $duckRescoreCte
           SELECT query_id, neighbor_id, sim, "rank" FROM fin
           WHERE "rank" <= 5 ORDER BY query_id, "rank""""
     },
@@ -11762,13 +11578,7 @@ object SparkEntry {
               FROM n$r JOIN e2t$r ON e2t$r.x = n$r.lw)"""
       }.mkString(",\n")
       s"""WITH $duckBigramCountsCte
-          np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cab),
-          lm AS (SELECT tid_a, tid_b,
-            CAST((CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * np
-                  + CAST(3 AS HUGEINT) * n1a * n1b) * 1000000000
-                 // (CAST(4 AS HUGEINT) * c_a * np) AS BIGINT) AS pkn_q
-            FROM cab JOIN ca USING (tid_a) JOIN cb USING (tid_b)
-            CROSS JOIN np),
+          $duckKnLmCte
           j AS MATERIALIZED (SELECT d.doc_id,
             greatest(lm.pkn_q, 1) AS pq
             FROM dids d JOIN lm USING (tid_a, tid_b)),
