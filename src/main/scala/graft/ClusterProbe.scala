@@ -146,6 +146,39 @@ object ClusterProbe {
             graft.multimodal.Media.textAsGif(docsX(s, m), "doc_id", "text"))
           .agg(sum(col("sum_luma")).cast("long")).head().getLong(0)
       }),
+      // lexical serving: tuned child session + bucket-pruned postings
+      // reads (term buckets live on whichever executor reads them —
+      // the pruned-scan claim under real multi-executor file IO)
+      ("bm25_serve", 2, (s, m) => {
+        val docs = docsX(s, m)
+        val path = java.nio.file.Files
+          .createTempDirectory("clusterbm").toString
+        graft.functions.TextIndex.writePostingsIndex(docs, path, 64)
+        val terms = Seq("data", "stream", "model", "value",
+          "code", "point", "line", "set")
+        terms.indices.map { i =>
+          graft.functions.TextIndex.bm25Indexed(s, path,
+            Seq(terms(i), terms((i + 1) % terms.size)), 20).count()
+        }.sum
+      }),
+      // IVF serving: centroid ranking on the driver-side tuned session,
+      // cell-partition-pruned data reads on executors
+      ("ivf_serve", 2, (s, m) => {
+        val vecs = embX(s, m).localCheckpoint(true)
+        val cells = graft.functions.Vec.kmeans(vecs, k = 16, iters = 2)
+          .select(col("vec_id"), col("cell"))
+        val path = java.nio.file.Files
+          .createTempDirectory("clusterivf").toString
+        graft.functions.VecIndex.writeIvfIndex(
+          vecs.join(cells, Seq("vec_id")), "cell", path)
+        val out = (0 until 4).map { i =>
+          graft.functions.VecIndex.ivfProbeIndexed(s, path,
+            vecs.filter(col("vec_id") % 4 === i)
+              .filter(col("vec_id") < 64), k = 5, nProbe = 3).count()
+        }.sum
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(vecs)
+        out
+      }),
       // serving loop: driver-held frontier, executor-held buckets,
       // tuned child session — the graph index's whole probe path
       ("graph_serve", 1, (s, m) => {

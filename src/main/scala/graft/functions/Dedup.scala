@@ -1115,18 +1115,29 @@ object Dedup {
     * heaps from exploding into degenerate task counts. Executor memory
     * resolves from spark.executor.memory when set (cluster mode),
     * else this JVM's max heap (local mode, where the executor IS the
-    * driver JVM).
+    * driver JVM). Slots are PER-EXECUTOR task slots: spark.executor
+    * .cores when set, else total parallelism divided by the live
+    * executor count — dividing one executor's memory by the CLUSTER's
+    * core count (the former fallback) undersized per-task memory by
+    * the executor count under real multi-executor isolation, found by
+    * the round-11 ClusterProbe.
     */
   private def pairTaskBudget(spark: org.apache.spark.sql.SparkSession): Long = {
-    val conf = spark.sparkContext.getConf
+    val sc = spark.sparkContext
+    val conf = sc.getConf
     val execBytes = conf.getOption("spark.executor.memory")
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
       .getOrElse(Runtime.getRuntime.maxMemory)
     val memFrac =
       conf.getOption("spark.memory.fraction").map(_.toDouble).getOrElse(0.6)
     val slots = math.max(1,
-      conf.getOption("spark.executor.cores").map(_.toInt)
-        .getOrElse(spark.sparkContext.defaultParallelism))
+      conf.getOption("spark.executor.cores").map(_.toInt).getOrElse {
+        // block-manager census counts the driver alongside executors
+        // except in local mode, where the driver IS the one executor
+        val census = sc.getExecutorMemoryStatus.size
+        val workers = math.max(1, census - 1)
+        sc.defaultParallelism / workers
+      })
     val perTask = execBytes * memFrac / slots
     math.min(2000000L, math.max(250000L, (perTask * 0.5 / 256).toLong))
   }
