@@ -179,6 +179,44 @@ object ClusterProbe {
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint(vecs)
         out
       }),
+      // composed streaming loop: the exactly-once multi-sink
+      // foreachBatch (dedup gate -> dynamic-overwrite corpus ->
+      // postings anti-join append -> calibration fold) driven one
+      // staged file per microbatch — the streaming serialization
+      // surface (checkpoint offsets, per-sink writes) under real
+      // executor JVMs. Wave 2 re-sends half of wave 0 VERBATIM, so
+      // the checksum also proves the gate rejected the replays in
+      // both modes.
+      ("corpus_stream", 2, (s, m) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("clustercs").toString
+        val in = s"$root/in"
+        val docs = docsX(s, m).localCheckpoint(true)
+        val w0 = docs.filter(col("doc_id") % 4 === 0)
+        val w1 = docs.filter(col("doc_id") % 4 === 1)
+        val w2 = docs.filter(col("doc_id") % 4 === 2)
+          .unionByName(w0.filter(col("doc_id") % 8 === 0))
+        Seq(w0, w1, w2).foreach(w =>
+          w.coalesce(1).write.mode("append").parquet(in))
+        val schema = s.read.parquet(in).schema
+        graft.streaming.CorpusStream.stream(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+              .parquet(in),
+            root, s"$root/cp", pmod(col("doc_id"), lit(100L)),
+            col("doc_id") % 2 === 0, binWidth = 10L,
+            postingsBuckets = 16)
+          .awaitTermination()
+        val acc = s.read.parquet(s"$root/accepted")
+        val nAcc = acc.count()
+        val idSum = acc.agg(sum(col("doc_id")).cast("long"))
+          .head().getLong(0)
+        val nPost = s.read
+          .parquet(s"$root/postings_index/postings").count()
+        val nHist = s.read.parquet(s"$root/hist")
+          .agg(sum(col("n")).cast("long")).head().getLong(0)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
+        idSum + nAcc * 1000003L + nPost * 7919L + nHist * 104729L
+      }),
       // serving loop: driver-held frontier, executor-held buckets,
       // tuned child session — the graph index's whole probe path
       ("graph_serve", 1, (s, m) => {
