@@ -208,6 +208,10 @@ object ClusterProbe {
           .awaitTermination()
         val acc = s.read.parquet(s"$root/accepted")
         val nAcc = acc.count()
+        // exactly-once, asserted in-probe: no id may appear in two
+        // batches (the re-sent wave must have been gated)
+        require(nAcc == acc.select(col("doc_id")).distinct().count(),
+          "corpus_stream: duplicate doc_id crossed the dedup gate")
         val idSum = acc.agg(sum(col("doc_id")).cast("long"))
           .head().getLong(0)
         val nPost = s.read
