@@ -14,8 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Reader-frame memo per (session, path): `spark.read.parquet`
+    * re-resolves the data source on every call (file listing + footer
+    * schema read + analysis — pure driver latency repeated hundreds of
+    * times across the catalog); a catalog table resolves once. The memo
+    * holds only the LAZY analyzed reader (metadata — never rows or
+    * results): every execution still scans the parquet files.
+    */
+  private val readers =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readers.computeIfAbsent(
+      (System.identityHashCode(spark), s"$sfDir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

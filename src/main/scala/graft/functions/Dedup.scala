@@ -223,28 +223,29 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** MinHash signatures in long form: (id, j, mh) for j in [0, numHashes).
-    * `tokenId` must be a long column (rank id or hash). Cross-joining the
-    * tiny perm table broadcasts; the min-aggregate is map-side combinable.
+    * `tokenId` must be a long column (rank id or hash). The numHashes
+    * mins are computed as one aggregate row per id (one min column per
+    * permutation, exploded to long form AFTER the fold): every token row
+    * updates its group's numHashes buffer slots in the scan stage, where
+    * the former perm-table cross join materialized numHashes ROWS per
+    * token through the partial aggregate — a ×numHashes row fan-out on
+    * the corpus-sized stream for the same arithmetic. Map-side
+    * combinable either way; post-aggregate rows are |ids|·numHashes.
     */
   def minhashSignature(docTok: DataFrame, idCol: String, tokenId: Column,
       numHashes: Int): DataFrame = {
-    val spark = docTok.sparkSession
-    // Reflection-free literal table (tuple toDF needs runtime-reflection
-    // encoders, which fail under REPL/notebook classloaders).
-    val permDf = broadcast(smallTable(spark,
-      Seq("j" -> org.apache.spark.sql.types.IntegerType,
-        "a" -> org.apache.spark.sql.types.LongType,
-        "b" -> org.apache.spark.sql.types.LongType),
-      (0 until numHashes).map(j => Seq[Any](j, permA(j), permB(j)))))
-    // Materialize the token id BEFORE the perm cross-join: otherwise the
-    // (possibly expensive) id expression is re-evaluated numHashes times
-    // per token.
+    // Materialize the token id ONCE per row: the (possibly expensive) id
+    // expression feeds all numHashes hash lanes.
+    val mins = (0 until numHashes).map { j =>
+      min((col("__tid") * lit(permA(j)) + lit(permB(j))) % MersennePrime)
+        .as(s"__mh$j")
+    }
     docTok.select(col(idCol), tokenId.as("__tid"))
-      .join(permDf)
-      .select(col(idCol), col("j"),
-        ((col("__tid") * col("a") + col("b")) % MersennePrime).as("h"))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(col("h")).as("mh"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), posexplode(
+        array((0 until numHashes).map(j => col(s"__mh$j")): _*))
+        .as(Seq("j", "mh")))
   }
 
   /** MinHash CALIBRATION card — per LSH candidate pair, the sketch's

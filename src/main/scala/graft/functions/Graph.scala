@@ -479,10 +479,18 @@ object Graph {
     * integer division (all quantities nonnegative — no sign handling;
     * the PCA normalize-by-max discipline), from the uniform hub start.
     *
-    * Scale: the edge list is DISTINCT (doc, token) — one dedup pass;
-    * each half-round is one equi-join of a vertex-sized table against
-    * the edges plus a partial-aggregable sum and a 1-row max broadcast.
-    * Rounds are a fixed constant; the oracle unrolls them.
+    * Scale: the edge list is DISTINCT (doc, token) — one dedup pass —
+    * and is checkpointed TWICE, hash-partitioned by each half-round's
+    * join key (doc and token), with the rounds in a tuned child
+    * session ([[Serving]], AQE off, partition count derived from the
+    * edge count): the vertex frames come out of each half-round's
+    * groupBy already partitioned on the next join's key, so with
+    * shuffle-hash joins a half-round's ONLY exchange is its own
+    * vertex-domain aggregate, and each half-round is materialized once
+    * (the 1-row max rides the checkpoint instead of re-running the
+    * join). Integer sums are partitioning-independent, so the fit is
+    * bit-identical in either session. Rounds are a fixed constant; the
+    * oracle unrolls them.
     *
     * Output: top-`k` tokens by (authority desc, token asc) as
     * (token, auth_q).
@@ -493,46 +501,67 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.GraftBridge
     val scale = 1000000L
-    val edges = docs.select(col(idCol).as("__doc"),
+    val spark0 = docs.sparkSession
+    val edges0 = docs.select(col(idCol).as("__doc"),
         explode(Text.tokens(col(textCol))).as("__tok"))
       .where(col("__tok").rlike("^[a-z]+$"))
       .distinct()
       .localCheckpoint(true)
-    var hubs = edges.select(col("__doc")).distinct()
-      .withColumn("__h", lit(scale))
+    // ~250k edges per round partition (each round's joins and folds
+    // scan edge-sized streams): sf-sized corpora run a handful of
+    // partitions, a 10^12-edge graph derives ~4M — capped as a
+    // driver-metadata guard well past any real round width.
+    val parts = math.max(1L,
+      math.min(1L << 15, edges0.count() / 250000L + 1L)).toInt
+    val ts = Serving.tuned(spark0, s"hits-rounds:$parts", parts)(_ => Nil)._1
+    def bind(df: DataFrame): DataFrame =
+      GraftBridge.dataFrame(ts, GraftBridge.logicalPlan(df))
+    val edgesByDoc = bind(edges0).repartition(parts, col("__doc"))
       .localCheckpoint(true)
+    val edgesByTok = bind(edges0).repartition(parts, col("__tok"))
+      .localCheckpoint(true)
+    GraftBridge.unpersistCheckpoint(edges0)
+    // distinct over the doc-partitioned checkpoint: no exchange, and the
+    // result carries hash(__doc, parts) into the first round's join
+    var hubs = edgesByDoc.select(col("__doc")).distinct()
+      .withColumn("__h", lit(scale))
+    var curA: DataFrame = null
+    var curH: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = edges.join(hubs, Seq("__doc"))
+      // both sides hash(__doc, parts): the shuffle-hash join plans zero
+      // exchanges; the round's one exchange is the token-domain fold
+      val araw = edgesByDoc.join(hubs.hint("shuffle_hash"), Seq("__doc"))
         .groupBy(col("__tok")).agg(sum(col("__h")).as("__ar"))
+        .localCheckpoint(true)
+      if (curA != null) GraftBridge.unpersistCheckpoint(curA)
+      curA = araw
       val amax = araw.agg(max(col("__ar")).as("__am"))
       // decimal product: __ar * 10^6 would wrap long past ~9e6 docs;
       // IntegralDivide's long result is safe (quotient <= 10^6)
-      val nextAuth = araw.crossJoin(broadcast(amax))
+      auth = araw.crossJoin(broadcast(amax))
         .select(col("__tok"),
           expr(s"(CAST(__ar AS decimal(38,0)) * $scale) div __am").as("__a"))
-        .localCheckpoint(true)
-      if (auth != null) GraftBridge.unpersistCheckpoint(auth)
-      auth = nextAuth
-      val hraw = edges.join(auth, Seq("__tok"))
+      val hraw = edgesByTok.join(auth.hint("shuffle_hash"), Seq("__tok"))
         .groupBy(col("__doc")).agg(sum(col("__a")).as("__hr"))
+        .localCheckpoint(true)
+      if (curH != null) GraftBridge.unpersistCheckpoint(curH)
+      curH = hraw
       val hmax = hraw.agg(max(col("__hr")).as("__hm"))
-      val nextHubs = hraw.crossJoin(broadcast(hmax))
+      hubs = hraw.crossJoin(broadcast(hmax))
         .select(col("__doc"),
           expr(s"(CAST(__hr AS decimal(38,0)) * $scale) div __hm").as("__h"))
-        .localCheckpoint(true)
-      GraftBridge.unpersistCheckpoint(hubs)
-      hubs = nextHubs
     }
     val out = auth
       .select(col("__tok").as("token"), col("__a").as("auth_q"))
       .orderBy(col("auth_q").desc, col("token").asc)
       .limit(k)
       .localCheckpoint(true)
-    GraftBridge.unpersistCheckpoint(edges)
-    GraftBridge.unpersistCheckpoint(hubs)
-    GraftBridge.unpersistCheckpoint(auth)
-    out
+    GraftBridge.unpersistCheckpoint(edgesByDoc)
+    GraftBridge.unpersistCheckpoint(edgesByTok)
+    if (curA != null) GraftBridge.unpersistCheckpoint(curA)
+    if (curH != null) GraftBridge.unpersistCheckpoint(curH)
+    GraftBridge.dataFrame(spark0, GraftBridge.logicalPlan(out))
   }
 
   /** Local clustering coefficient per vertex — the fraction of a

@@ -1197,10 +1197,16 @@ object Stats {
   def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
       topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // Materialized ONCE: four consumers (ng, topw, grid's left join, and
+    // through grid every moment pass) would otherwise each re-run the
+    // full-corpus tokenize + count — measured as four concurrent
+    // corpus-pass jobs at sf0.1. The aggregate is (groups × word types),
+    // orders below corpus size at any scale.
     val cnt = docs.select(col(groupCol).as("__grp"),
         explode(Text.tokens(col(textCol))).as("__w"))
       .where(col("__w").rlike("^[a-z]+$"))
       .groupBy(col("__grp"), col("__w")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val ng = cnt.groupBy(col("__grp")).agg(sum(col("__c")).as("__ntok"))
     val topw = broadcast(cnt.groupBy(col("__w"))
       .agg(sum(col("__c")).as("__tot"))

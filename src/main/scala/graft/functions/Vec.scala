@@ -1992,44 +1992,55 @@ object Vec {
           .otherwise(lit("none")).as("src"))
   }
 
-  /** Explode a vector column to integer-grid components:
-    * (__id, __i (1-based), __x = round(v·grid)). The shared scan of
-    * [[linearCka]]'s three moment passes.
+  /** Vector column on the integer grid, kept as an ARRAY:
+    * (__id, __xs = transform(vec, v → round(v·grid) as long)). Keeping
+    * the whole vector in its row lets [[ckaFro2]] generate the
+    * d²-fanout INTRA-ROW — the shared scan of [[linearCka]]'s three
+    * moment passes.
     */
-  private def ckaComponents(df: DataFrame, idCol: String, vecCol: String,
+  private def ckaVecs(df: DataFrame, idCol: String, vecCol: String,
       grid: Double): DataFrame =
     df.select(col(idCol).as("__id"),
-        posexplode(col(vecCol)).as(Seq("__i0", "__v")))
-      .select(col("__id"), (col("__i0") + 1).cast("long").as("__i"),
-        round(col("__v").cast("double") * grid, 0).cast("long").as("__x"))
+      transform(col(vecCol), v =>
+        round(v.cast("double") * grid, 0).cast("long")).as("__xs"))
 
   /** Squared Frobenius norm of the n²-scaled centered cross-moment
     * matrix C[i,j] = n·Σxᵢyⱼ − Σxᵢ·Σyⱼ — one exact decimal integer.
-    * `symmetric = true` declares eb ≡ ea (the two SELF passes): the
-    * matrix is symmetric, so only the upper triangle joins (i ≤ j,
-    * HALF the d²-fanout) and off-diagonal squares count twice —
-    * identical integer by symmetry, not approximation.
+    * `uCol`/`vCol` are grid-integer ARRAY columns of `comps` (one row
+    * per id, both views in the row): the (i,j) product fan-out is two
+    * CHAINED posexplodes in the scan stage feeding the partial
+    * aggregate directly — zero exchanges before the d²-group fold,
+    * where the former component-level formulation shuffled n·d rows
+    * per side into an id-keyed self-join. `symmetric = true` declares
+    * vCol ≡ uCol (the two SELF passes): only the upper triangle is
+    * generated (i ≤ j, HALF the d²-fanout) and off-diagonal squares
+    * count twice — identical integer by symmetry, not approximation.
     */
-  private def ckaFro2(ea: DataFrame, eb: DataFrame,
+  private def ckaFro2(comps: DataFrame, uCol: String, vCol: String,
       symmetric: Boolean): DataFrame = {
     val dec = "decimal(38,0)"
-    val ebr = eb.select(col("__id").as("__idb"), col("__i").as("__j"),
-      col("__x").as("__y"))
-    val joined =
-      if (symmetric)
-        ea.join(ebr, col("__id") === col("__idb") &&
-          col("__i") <= col("__j"))
-      else ea.join(ebr, col("__id") === col("__idb"))
-    val sxy = joined
+    val pairs0 = comps
+      .select(col(vCol).as("__vs"),
+        posexplode(col(uCol)).as(Seq("__i0", "__x")))
+      .select((col("__i0") + 1).cast("long").as("__i"), col("__x"),
+        posexplode(col("__vs")).as(Seq("__j0", "__y")))
+      .select(col("__i"), (col("__j0") + 1).cast("long").as("__j"),
+        col("__x"), col("__y"))
+    val pairs =
+      if (symmetric) pairs0.filter(col("__i") <= col("__j")) else pairs0
+    val sxy = pairs
       .groupBy(col("__i"), col("__j"))
       .agg(sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
         .as("__sxy"))
-    val sx = ea.groupBy(col("__i"))
+    val sx = comps
+      .select(posexplode(col(uCol)).as(Seq("__i0", "__x")))
+      .groupBy((col("__i0") + 1).cast("long").as("__i"))
       .agg(sum(col("__x")).cast(dec).as("__sx"))
-    val sy = eb.groupBy(col("__i"))
-      .agg(sum(col("__x")).cast(dec).as("__sy"))
-      .select(col("__i").as("__j"), col("__sy"))
-    val n = ea.select(col("__id")).distinct()
+    val sy = comps
+      .select(posexplode(col(vCol)).as(Seq("__j0", "__y")))
+      .groupBy((col("__j0") + 1).cast("long").as("__j"))
+      .agg(sum(col("__y")).cast(dec).as("__sy"))
+    val n = comps.select(col("__id")).distinct()
       .agg(count(lit(1)).cast(dec).as("__n"))
     sxy.join(sx, Seq("__i")).join(sy, Seq("__j"))
       .crossJoin(broadcast(n))
@@ -2055,25 +2066,33 @@ object Vec {
     * One row: (n_rows, d_a, d_b, cka2) — cka² ∈ [0, 1], 1 = identical
     * geometry.
     *
-    * Scale: three relational moment passes (explode → d_a·d_b-fanout
-    * equi-join on the row id → partial-aggregable groupBy) — d²-sized
-    * state, linear in rows. decimal(38,0) clears n²·Σxy up to ~10⁶
+    * Scale: three moment passes over one row-level checkpoint of both
+    * views (the d_a·d_b product fan-out is chained posexplodes in the
+    * scan stage — no component-level exchange; the only shuffles are
+    * the d²-group partial aggregates) — d²-sized state, linear in
+    * rows. decimal(38,0) clears n²·Σxy up to ~10⁶
     * rows on the default grid; beyond that coarsen `grid` (the
     * statistic is scale-invariant, the contract re-derives).
     */
   def linearCka(a: DataFrame, b: DataFrame, idCol: String,
       vecColA: String, vecColB: String, grid: Double = 1000.0): DataFrame = {
-    val ea = ckaComponents(a, idCol, vecColA, grid).localCheckpoint(true)
-    val eb = ckaComponents(b, idCol, vecColB, grid).localCheckpoint(true)
-    val dims = ea.agg(max(col("__i")).as("d_a"))
-      .crossJoin(eb.agg(max(col("__i")).as("d_b")))
-      .crossJoin(ea.select(col("__id")).distinct()
+    val va = ckaVecs(a, idCol, vecColA, grid)
+    val vb = ckaVecs(b, idCol, vecColB, grid)
+      .select(col("__id"), col("__xs").as("__ys"))
+    // ONE row-level join pairs the two views (n array rows — the former
+    // shape joined the EXPLODED components, n·d rows per side, once per
+    // Frobenius pass); all three moment passes read this checkpoint.
+    val comps = va.join(vb, Seq("__id")).localCheckpoint(true)
+    val dims = comps.agg(
+        max(nullif(size(col("__xs")), lit(0))).cast("long").as("d_a"),
+        max(nullif(size(col("__ys")), lit(0))).cast("long").as("d_b"))
+      .crossJoin(comps.select(col("__id")).distinct()
         .agg(count(lit(1)).as("n_rows")))
-    val fab = ckaFro2(ea, eb, symmetric = false)
+    val fab = ckaFro2(comps, "__xs", "__ys", symmetric = false)
       .select(col("__fro2").as("__fab"))
-    val faa = ckaFro2(ea, ea, symmetric = true)
+    val faa = ckaFro2(comps, "__xs", "__xs", symmetric = true)
       .select(col("__fro2").as("__faa"))
-    val fbb = ckaFro2(eb, eb, symmetric = true)
+    val fbb = ckaFro2(comps, "__ys", "__ys", symmetric = true)
       .select(col("__fro2").as("__fbb"))
     dims.crossJoin(broadcast(fab)).crossJoin(broadcast(faa))
       .crossJoin(broadcast(fbb))
