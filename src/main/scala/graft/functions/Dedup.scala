@@ -125,7 +125,8 @@ object Dedup {
     * output; one shingle pass shared. */
   private val soMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
-    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
 
   def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
       n: Int, srcCap: Int = 1000): DataFrame =
@@ -343,7 +344,8 @@ object Dedup {
     */
   private val lshMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
-    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
 
   def lshCandidatePairs(bands: DataFrame, idCol: String,
       bucketCap: Int = DerivedCap.toInt): DataFrame = {
@@ -671,7 +673,7 @@ object Dedup {
   private val wfMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
-    capacity = 2)
+    capacity = 12)
 
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int): DataFrame =
@@ -960,7 +962,8 @@ object Dedup {
     */
   private val njMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
-    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
 
   /** Session memo for the df-capped inverted postings table (id, tid):
     * distinct hashed shingles with hub grams (df > dfCap) removed — the
@@ -973,7 +976,8 @@ object Dedup {
     */
   private val pgMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
-    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
 
   /** Fraction-of-corpus document-frequency cap: `max(floor,
     * nDocs·maxDfPpm/1e6)`. A FIXED dfCap stops guarding the moment the
@@ -1025,7 +1029,7 @@ object Dedup {
     * frames alive in a session.
     */
   private val nDocsMemo = new PlanMemo[java.lang.Long](
-    freeOnEvict = _ => (), freeOnRelease = _ => (), capacity = 8)
+    freeOnEvict = _ => (), freeOnRelease = _ => (), capacity = 32)
 
   private def memoCount(df: DataFrame, tag: String, cols: Seq[String])(
       build: => Long): Long =
@@ -1288,7 +1292,8 @@ object Dedup {
     */
   private val snmMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
-    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
 
   /** Drop the shared candidate-pair/overlap memos (SNM, n-gram
     * Jaccard, banded LSH, source overlap) and free their checkpoint
@@ -1303,7 +1308,17 @@ object Dedup {
     snmMemo.getOrBuild(docs.sparkSession, Seq(
         org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
         idCol, key.toString, window)) {
+      // Repartition BEFORE the checkpoint: AQE coalesces the (w−1)·n
+      // candidate rows — a few MB — into ONE partition, and every
+      // checkpoint consumer inherits that single partition. The
+      // consumers are the CPU-bound verify stages (banded edit/Damerau
+      // DP, gram-multiset evals: quadratic-per-ROW work on narrow
+      // rows), so bytes-sized coalescing serializes them onto one core
+      // at any scale — the bruteForceTopK scan-partitioning hazard,
+      // same one-linear-exchange fix (measured here: the Damerau DP
+      // stage ran 1-partition, 2.3 s; 32-way it is ~0.1 s).
       sortedNeighborhoodPairsUncached(docs, idCol, key, window)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(true)
     }
 

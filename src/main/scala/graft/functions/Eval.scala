@@ -560,9 +560,18 @@ object Eval {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
         .currentRow)
+    // Materialize the cumulative BIN table (bounded: one row per bin)
+    // before the hull predicate: the fit references it six ways (m/j/k
+    // chord roles, the segment join, and the hull's two sides), and
+    // every reference used to splice the ENTIRE upstream plan — the
+    // corpus-sized margin/reliability chain — into the logical tree.
+    // Measured on the calibrated-Brier entry: a 267 KB analyzed plan
+    // and ~1.7 s of per-run driver analysis for ~0.5 s of jobs. The
+    // checkpoint is one tiny eager action; downstream reads LogicalRDD.
     val pts = rel.select(col("bin"), col("n"), col("n_correct"))
       .withColumn("__W", sum(col("n")).over(w))
       .withColumn("__S", sum(col("n_correct")).over(w))
+      .localCheckpoint(true)
     val spark = rel.sparkSession
     import spark.implicits._
     val withOrigin = pts.select(col("__W"), col("__S"))

@@ -172,14 +172,15 @@ object LangModel {
   private val lmMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
-    capacity = 3) // corpus-wide, per-language, and held-out-half LMs
+    capacity = 12) // corpus-wide, per-language, held-out-half, ... LMs
   private val scoreMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
-    capacity = 2)
+    capacity = 12)
   private val ppMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
-    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
 
   /** Drop the shared KN-chain memos and free their checkpoint storage. */
   def releaseKnMemos(): Unit = {

@@ -148,7 +148,8 @@ object NaiveBayes {
     */
   private val memo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
-    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
 
   /** Drop the shared scoring-chain memo and free its checkpoint
     * storage (callers declare no live frames derived from classify/

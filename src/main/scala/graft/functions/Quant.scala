@@ -114,7 +114,7 @@ object Quant {
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(a)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(c)
     },
-    capacity = 2) // raw-vector and residual trainings alternate
+    capacity = 12) // raw-vector, residual, ... trainings alternate
 
   /** Drop the PQ model memo and free its checkpoint storage. */
   def releaseModelMemo(): Unit = pqMemo.release()

@@ -195,11 +195,11 @@ object Vec {
   private val bfMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
-    capacity = 3)
+    capacity = 12)
   private val ivfMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
-    capacity = 3)
+    capacity = 12)
 
   /** Drop the top-k ranking memos and free their checkpoint storage. */
   def releaseTopKMemos(): Unit = { bfMemo.release(); ivfMemo.release() }
@@ -373,7 +373,7 @@ object Vec {
   private val nndMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
-    capacity = 2)
+    capacity = 12)
 
   /** Drop the kNN-graph memo and free its checkpoint storage. */
   def releaseGraphMemo(): Unit = nndMemo.release()
@@ -475,7 +475,7 @@ object Vec {
   private val beamMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
-    capacity = 2)
+    capacity = 12)
 
   /** Drop the beam-search memo and free its checkpoint storage. */
   def releaseBeamMemo(): Unit = beamMemo.release()
@@ -605,7 +605,7 @@ object Vec {
     * catalog entries train the identical (corpus, k, iters) model
     * (q_kmeans, q_semdedup, q_mutual_knn, q_ivf_kmeans,
     * q_split_by_cluster), each re-running the full iterative chain.
-    * Capacity 4: the catalog alternates between the fixed-k and the
+    * Capacity 12: the catalog alternates between the fixed-k and the
     * derived-kCells keys. Eviction drops references only (consumers
     * hold lazy views); [[releaseModelMemo]] frees explicitly.
     */
@@ -615,7 +615,7 @@ object Vec {
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(a)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(c)
     },
-    capacity = 4)
+    capacity = 12)
 
   /** Drop the k-means model memo and free its checkpoint storage. */
   def releaseModelMemo(): Unit = kmMemo.release()
@@ -1533,12 +1533,31 @@ object Vec {
       col("__v").as("__va"))
     val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"),
       col("__v").as("__vb"))
-    val ps = a.join(b, Seq("query_id"))
+    val ps0 = a.join(b, Seq("query_id"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("query_id"), col("id_a"), col("id_b"),
         cosine(col("__va"), col("__vb"), 6).as("psim"))
       .localCheckpoint(true)
-    val relCk = rel.localCheckpoint(true)
+    val relCk0 = rel.localCheckpoint(true)
+    // The k greedy rounds run in a tuned child session (AQE off,
+    // shuffle width derived at ~100k candidate rows per partition —
+    // the Bradley-Terry rounds discipline): every frame inside the
+    // loop is |queries|·shortlist(²)-bounded by construction, so AQE's
+    // per-exchange re-plan job and the 200-partition default were pure
+    // driver latency — measured 58 jobs / 3.3 s warm for k=5 on
+    // bounded-tiny rounds, none of it data. Arithmetic and tie-breaks
+    // are partitioning-independent (rounded cosines, row_number over a
+    // per-query window), so the fit is bit-identical in either session.
+    val nCand = relCk0.count()
+    val parts = math.max(1L,
+      math.min(1L << 15, nCand * shortlist / 100000L + 1L)).toInt
+    val ts = Serving.tuned(queries.sparkSession,
+      s"mmr-rounds:$parts", parts)(_ => Nil)._1
+    def bind(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftBridge.dataFrame(ts,
+        org.apache.spark.sql.GraftBridge.logicalPlan(df))
+    val ps = bind(ps0)
+    val relCk = bind(relCk0)
     var out: DataFrame = null
     var sel: DataFrame = null
     for (step <- 1 to k) {
@@ -1577,8 +1596,10 @@ object Vec {
       else sel.unionByName(win.select(col("query_id"), col("neighbor_id")))
         .localCheckpoint(true)
     }
-    out.select(col("query_id"), col("rank"), col("neighbor_id"),
-      col("rel"), col("mmr_e7"))
+    org.apache.spark.sql.GraftBridge.dataFrame(queries.sparkSession,
+      org.apache.spark.sql.GraftBridge.logicalPlan(
+        out.select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("rel"), col("mmr_e7"))))
   }
 
   /** Facility-location greedy selection (the submodular-coverage coreset:
@@ -1612,12 +1633,27 @@ object Vec {
     require(k >= 1, s"k must be >= 1, got $k")
     val p = pool.select(col(idCol).as("__c"), col(vecCol).as("__vc"))
     val u = universe.select(col(idCol).as("__v"), col(vecCol).as("__vu"))
-    val sims = p.join(u)
+    val sims0 = p.join(u)
       .select(col("__c"), col("__v"),
         greatest(lit(0L),
           round(cosine(col("__vc"), col("__vu"), 6) * lit(1e6), 0)
             .cast("long")).as("__s"))
       .localCheckpoint(true)
+    // Greedy rounds in a tuned child session (AQE off, shuffle width
+    // derived at ~100k sims rows per partition — the Bradley-Terry
+    // rounds discipline): each round is one semi-join + one integer
+    // aggregate over the CHECKPOINTED |pool|·|universe| sims relation,
+    // so with AQE on, every round paid per-exchange re-plan jobs and
+    // driver passes that dwarfed the data (31 jobs / 2.0 s warm at
+    // k=5). Integer sums and the id tie-break are partitioning-
+    // independent — the selection is bit-identical in either session.
+    val nSims = sims0.count()
+    val parts = math.max(1L,
+      math.min(1L << 15, nSims / 100000L + 1L)).toInt
+    val ts = Serving.tuned(pool.sparkSession,
+      s"facility-rounds:$parts", parts)(_ => Nil)._1
+    val sims = org.apache.spark.sql.GraftBridge.dataFrame(ts,
+      org.apache.spark.sql.GraftBridge.logicalPlan(sims0))
     // Coverage state is never materialized: cur(v) = max_{s∈sel} sim(v,s)
     // recomputes per round from the checkpointed sims and the <= k-row
     // selected set — one semi-join + max inside the round's single
@@ -1644,7 +1680,9 @@ object Vec {
         .localCheckpoint(true)
       sel = if (sel == null) win else sel.unionByName(win)
     }
-    sel.select(col("rank"), col("__c").as(idCol), col("gain_e6"))
+    org.apache.spark.sql.GraftBridge.dataFrame(pool.sparkSession,
+      org.apache.spark.sql.GraftBridge.logicalPlan(
+        sel.select(col("rank"), col("__c").as(idCol), col("gain_e6"))))
   }
 
   /** Local Outlier Factor (Breunig et al. 2000) over the memoized
@@ -2013,25 +2051,43 @@ object Vec {
     * where the former component-level formulation shuffled n·d rows
     * per side into an id-keyed self-join. `symmetric = true` declares
     * vCol ≡ uCol (the two SELF passes): only the upper triangle is
-    * generated (i ≤ j, HALF the d²-fanout) and off-diagonal squares
-    * count twice — identical integer by symmetry, not approximation.
+    * generated (the inner posexplode runs over slice(vs, i, d) — HALF
+    * the d²-fanout never exists, not filtered away) and off-diagonal
+    * squares count twice — identical integer by symmetry, not
+    * approximation.
+    *
+    * Σxy accumulates in LONG, not decimal(38): the decimal accumulator
+    * was measured 5-6× slower across the whole n·d² stream (the one
+    * hot aggregate of the query), while grid integers keep n·max|x·y|
+    * inside long far past the documented ~10⁶-row decimal headroom of
+    * the FINAL combine (|x|≈10³ at the default grid → Σxy fits long to
+    * ~10¹² rows); ANSI mode (Spark 4 default) makes any violation a
+    * loud ArithmeticException, never a silent wrap. The n²-scaled
+    * combine below stays in decimal(38,0).
     */
   private def ckaFro2(comps: DataFrame, uCol: String, vCol: String,
       symmetric: Boolean): DataFrame = {
     val dec = "decimal(38,0)"
-    val pairs0 = comps
-      .select(col(vCol).as("__vs"),
-        posexplode(col(uCol)).as(Seq("__i0", "__x")))
-      .select((col("__i0") + 1).cast("long").as("__i"), col("__x"),
-        posexplode(col("__vs")).as(Seq("__j0", "__y")))
-      .select(col("__i"), (col("__j0") + 1).cast("long").as("__j"),
-        col("__x"), col("__y"))
     val pairs =
-      if (symmetric) pairs0.filter(col("__i") <= col("__j")) else pairs0
+      if (symmetric) comps
+        .select(col(uCol).as("__vs"),
+          posexplode(col(uCol)).as(Seq("__i0", "__x")))
+        .select((col("__i0") + 1).cast("long").as("__i"), col("__x"),
+          posexplode(slice(col("__vs"), col("__i0") + 1,
+            greatest(size(col("__vs")) - col("__i0"), lit(0))))
+            .as(Seq("__j0", "__y")))
+        .select(col("__i"), (col("__j0") + col("__i")).cast("long").as("__j"),
+          col("__x"), col("__y"))
+      else comps
+        .select(col(vCol).as("__vs"),
+          posexplode(col(uCol)).as(Seq("__i0", "__x")))
+        .select((col("__i0") + 1).cast("long").as("__i"), col("__x"),
+          posexplode(col("__vs")).as(Seq("__j0", "__y")))
+        .select(col("__i"), (col("__j0") + 1).cast("long").as("__j"),
+          col("__x"), col("__y"))
     val sxy = pairs
       .groupBy(col("__i"), col("__j"))
-      .agg(sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
-        .as("__sxy"))
+      .agg(sum(col("__x") * col("__y")).cast(dec).as("__sxy"))
     val sx = comps
       .select(posexplode(col(uCol)).as(Seq("__i0", "__x")))
       .groupBy((col("__i0") + 1).cast("long").as("__i"))
