@@ -48,9 +48,35 @@ object Bpe {
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
     learn(docs, textCol, rounds)._1
 
+  /** Session memo for the trained merge/vocabulary pair: three catalog
+    * consumers (merges, encode, fertility) run byte-identical
+    * trainings over the same corpus — the NB-memo shared-chain
+    * pattern. The merges frame is a driver-local relation; the
+    * vocabulary is type-domain-sized. Eviction drops references only;
+    * [[releaseLearnMemo]] frees explicitly.
+    */
+  private val bpeMemo = new PlanMemo[(DataFrame, DataFrame)](
+    freeOnEvict = _ => (),
+    freeOnRelease = { case (_, reps) =>
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(reps) },
+    capacity = 12)
+
+  /** Drop the BPE training memo and free its checkpoint storage. */
+  def releaseLearnMemo(): Unit = bpeMemo.release()
+
   /** As `learnMerges`, also returning the final word-level symbol table
     * (word, wc, rep) — the trained segmentation of every corpus type. */
   def learn(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) =
+    bpeMemo.getOrBuild(docs.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(docs).canonicalized,
+        textCol, rounds)) {
+      learnUncached(docs, textCol, rounds)
+    }
+
+  // private[graft]: the memoized value's reps table owns its storage
+  // (every round's table is checkpointed inside)
+  private[graft] def learnUncached(docs: DataFrame, textCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession

@@ -923,12 +923,19 @@ object Eval {
       s"alphaBps must be in [1, 9999], got $alphaBps")
     val top = posteriors.filter(col("rank") === 1)
       .select(col(idCol), col("score_q").as("__top"))
+    // Materialized once: the nonconformity table feeds FOUR consumers
+    // (calibration counts, the τ rank, the eval coverage fold, and the
+    // set-size semi-join), and each used to re-execute the top/truth/
+    // posterior join chain — measured as 60 warm jobs, none above
+    // 0.13 s, for one ~n-row narrow relation. Linear storage (id, a,
+    // cal), the NB-chain checkpoint discipline.
     val aTrue = top
       .join(truth.select(col(idCol), col(truthCol).as("__y")), Seq(idCol))
       .join(posteriors.select(col(idCol), col("class").as("__y"),
         col("score_q").as("__sy")), Seq(idCol, "__y"), "left")
       .select(col(idCol), (col("__top") - col("__sy")).as("__a"),
         calPred.as("__cal"))
+      .localCheckpoint(true)
     val cal = aTrue.filter(col("__cal"))
     val calCnt = cal.agg(count(lit(1)).as("n_cal"),
       count(col("__a")).as("m_cal"))

@@ -212,8 +212,36 @@ object Graph {
     * @param vertices one row per vertex
     * @return (idCol, label) after `rounds` synchronous updates
     */
+  /** Session memo for the propagated label table: three catalog
+    * consumers (labels, conductance, modularity over the same SNM
+    * graph) run byte-identical 2-round propagations — the NB-memo
+    * shared-chain pattern. The artifact is vertex-domain narrow
+    * (id, label); eviction drops references only,
+    * [[releaseLabelMemo]] frees explicitly.
+    */
+  private val lpMemo = new PlanMemo[DataFrame](
+    freeOnEvict = _ => (),
+    freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
+    capacity = 12)
+
+  /** Drop the label-propagation memo and free its checkpoint storage. */
+  def releaseLabelMemo(): Unit = lpMemo.release()
+
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      vertices: DataFrame, idCol: String, rounds: Int): DataFrame = {
+      vertices: DataFrame, idCol: String, rounds: Int): DataFrame =
+    lpMemo.getOrBuild(edges.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(edges).canonicalized,
+        aCol, bCol,
+        org.apache.spark.sql.GraftBridge.logicalPlan(vertices).canonicalized,
+        idCol, rounds)) {
+      labelPropagationUncached(edges, aCol, bCol, vertices, idCol, rounds)
+        .localCheckpoint(true)
+    }
+
+  // private[graft]: plan-shape assertions target the unmemoized chain
+  private[graft] def labelPropagationUncached(edges: DataFrame,
+      aCol: String, bCol: String, vertices: DataFrame, idCol: String,
+      rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.GraftBridge

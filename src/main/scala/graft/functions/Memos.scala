@@ -16,6 +16,8 @@ object Memos {
     LangModel.releaseKnMemos()
     Dedup.releasePairMemos()
     Cluster.releaseComponentsMemo()
+    Graph.releaseLabelMemo()
+    Bpe.releaseLearnMemo()
     Vec.releaseModelMemo()
     Vec.releaseTopKMemos()
     Quant.releaseModelMemo()
