@@ -1212,13 +1212,24 @@ object Stats {
       .agg(sum(col("__c")).as("__tot"))
       .orderBy(col("__tot").desc, col("__w").asc).limit(topK)
       .select(col("__w")))
-    val consts = broadcast(ng.agg(count(lit(1)).as("__gcnt"))
-      .crossJoin(topw.agg(count(lit(1)).as("__kw"))))
+    // The groups × topK grid is checkpointed: its three consumers (mu,
+    // sig, z — and through z both self-join sides) would each re-run
+    // ng + the topw broadcast build + the cnt join (measured: 24 jobs
+    // and ~1.1 s of between-job driver latency at sf0.1 for a
+    // mixture-bounded relation). One execution; every moment pass reads
+    // the LogicalRDD.
     val grid = ng.crossJoin(topw)
       .join(cnt, Seq("__grp", "__w"), "left")
       .select(col("__grp"), col("__w"),
         fixedPointExact(coalesce(col("__c"), lit(0L)), col("__ntok"))
           .as("__f"))
+      .localCheckpoint(true)
+    // Same integers as counting ng/topw directly — the grid holds every
+    // (group, top word) pair exactly once — without re-running either
+    // chain per consts consumer.
+    val consts = broadcast(grid.agg(
+      countDistinct(col("__grp")).as("__gcnt"),
+      countDistinct(col("__w")).as("__kw")))
     val dec = "decimal(38,0)"
     val mu = grid.groupBy(col("__w")).agg(sum(col("__f")).as("__sf"))
       .crossJoin(consts)
@@ -1587,14 +1598,24 @@ object Stats {
       fixedPointExact(lit(2L), lit(2L) * col(x) + 1L,
         scale = 1000000000000L)).reduce(_ + _)
     cells
+      // se2 lands behind a projection boundary BEFORE isqrt/the ppm
+      // rendering touch it: Column composition copies subtrees, so
+      // isqrt(se2) (se2 x4) inside fixedPointExact (num x3) builds a
+      // multi-thousand-node expression the ANALYZER re-walks on every
+      // run — measured 1.8 s/run of pure driver time on a 0.05 s job.
+      // Behind the boundary each reuse is one attribute reference;
+      // the arithmetic (and the gated integers) are unchanged.
       .select(col("a"), col("b"), col("c"), col("d"),
         when(col("b") * col("c") === 0L, lit(null).cast("long"))
           .otherwise(fixedPointExact(col("a").cast(dec) * col("d"),
             col("b").cast(dec) * col("c"), scale = 1000L))
           .as("or_milli"),
         lor.as("lor2_q"),
-        fixedPointExact(isqrt(se2) * lit(185315L), lit(1000000L),
-          scale = 1L).as("__dq"))
+        se2.as("__se2"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("or_milli"),
+        col("lor2_q"),
+        fixedPointExact(isqrt(col("__se2")) * lit(185315L),
+          lit(1000000L), scale = 1L).as("__dq"))
       .select(col("a"), col("b"), col("c"), col("d"), col("or_milli"),
         col("lor2_q"),
         (col("lor2_q") - col("__dq")).as("ci_lo2_q"),

@@ -1533,73 +1533,74 @@ object Vec {
       col("__v").as("__va"))
     val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"),
       col("__v").as("__vb"))
-    val ps0 = a.join(b, Seq("query_id"))
+    val ps = a.join(b, Seq("query_id"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("query_id"), col("id_a"), col("id_b"),
         cosine(col("__va"), col("__vb"), 6).as("psim"))
       .localCheckpoint(true)
-    val relCk0 = rel.localCheckpoint(true)
-    // The k greedy rounds run in a tuned child session (AQE off,
-    // shuffle width derived at ~100k candidate rows per partition —
-    // the Bradley-Terry rounds discipline): every frame inside the
-    // loop is |queries|·shortlist(²)-bounded by construction, so AQE's
-    // per-exchange re-plan job and the 200-partition default were pure
-    // driver latency — measured 58 jobs / 3.3 s warm for k=5 on
-    // bounded-tiny rounds, none of it data. Arithmetic and tie-breaks
-    // are partitioning-independent (rounded cosines, row_number over a
-    // per-query window), so the fit is bit-identical in either session.
-    val nCand = relCk0.count()
-    val parts = math.max(1L,
-      math.min(1L << 15, nCand * shortlist / 100000L + 1L)).toInt
-    val ts = Serving.tuned(queries.sparkSession,
-      s"mmr-rounds:$parts", parts)(_ => Nil)._1
-    def bind(df: DataFrame): DataFrame =
-      org.apache.spark.sql.GraftBridge.dataFrame(ts,
-        org.apache.spark.sql.GraftBridge.logicalPlan(df))
-    val ps = bind(ps0)
-    val relCk = bind(relCk0)
-    var out: DataFrame = null
-    var sel: DataFrame = null
-    for (step <- 1 to k) {
-      val remaining =
-        if (sel == null) relCk
-        else relCk.join(sel.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-      val pen =
-        if (sel == null) remaining.select(col("query_id"),
-          col("neighbor_id"), lit(0.0).as("__mx"))
-        else remaining
-          .join(sel.select(col("query_id"),
-            col("neighbor_id").as("id_b")), Seq("query_id"))
-          .join(ps, Seq("query_id") :+ "id_b")
-          .filter(col("id_a") === col("neighbor_id"))
-          .groupBy(col("query_id"), col("neighbor_id"))
-          .agg(max(col("psim")).as("__mx"))
-      val scored = remaining.join(pen, Seq("query_id", "neighbor_id"),
-          "left_outer")
-        .withColumn("__mmr", lit(lambda) * col("sim") -
-          (lit(1.0) - lit(lambda)) * coalesce(col("__mx"), lit(0.0)))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("__mmr").desc, col("neighbor_id"))
-      val win = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"),
-          round(col("__mmr") * lit(1e7), 0).cast("long").as("mmr_e7"),
-          lit(step.toLong).as("rank"))
-        .localCheckpoint(true)
-      out = if (out == null) win else out.unionByName(win)
-      // sel re-checkpoints each round: it feeds TWO joins next step, and
-      // leaving it a growing k-way union replans that tree per step
-      // (measured slower than the extra tiny checkpoint job).
-      sel = if (sel == null) win.select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
-      else sel.unionByName(win.select(col("query_id"), col("neighbor_id")))
-        .localCheckpoint(true)
+    val relCk = rel.localCheckpoint(true)
+    // The greedy loop is PER-QUERY LOCAL: each query's k picks depend
+    // only on its own shortlist rel scores and pairwise sims — a
+    // |shortlist|²·k computation. The former k driver rounds (anti-join
+    // + penalty join + window + checkpoint per round, even in a tuned
+    // child session) paid ~0.2 s/round of pure plan latency on
+    // |queries|·shortlist-bounded frames; one cogroup replaces them.
+    // Parity: the pick comparisons use the SAME IEEE doubles (rel and
+    // psim come from the checkpoints unchanged; the score is the same
+    // λ·rel − (1−λ)·mx expression), ties break by neighbor_id asc
+    // exactly like the former row_number window, and the GATED integer
+    // (mmr_e7) is still rendered by the same Spark SQL round(·) — the
+    // local pass decides only the selection order and carries mx.
+    val kk = k
+    val lam = lambda
+    val relKV = relCk.rdd.map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+    val psKV = ps.rdd.map(r => (r.getLong(0), ((r.getLong(1), r.getLong(2)), r.getDouble(3))))
+    val picked = relKV.cogroup(psKV).flatMap { case (qid, (cs, prs)) =>
+      val cands = cs.toArray
+      val sim = prs.toMap
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val used = scala.collection.mutable.HashSet.empty[Long]
+      val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var step = 1
+      while (step <= kk && used.size < cands.length) {
+        var any = false
+        var bid = 0L; var bscore = 0.0; var brel = 0.0; var bmx = 0.0
+        for ((id, rv) <- cands if !used(id)) {
+          var mx = 0.0
+          if (sel.nonEmpty) {
+            var m = java.lang.Double.NEGATIVE_INFINITY
+            for (s <- sel) { val p = sim((id, s)); if (p > m) m = p }
+            mx = m
+          }
+          val sc = lam * rv - (1.0 - lam) * mx
+          if (!any || sc > bscore || (sc == bscore && id < bid)) {
+            any = true; bid = id; bscore = sc; brel = rv; bmx = mx
+          }
+        }
+        rows += org.apache.spark.sql.Row(qid, step.toLong, bid, brel, bmx)
+        used += bid; sel += bid
+        step += 1
+      }
+      rows
     }
-    org.apache.spark.sql.GraftBridge.dataFrame(queries.sparkSession,
-      org.apache.spark.sql.GraftBridge.logicalPlan(
-        out.select(col("query_id"), col("rank"), col("neighbor_id"),
-          col("rel"), col("mmr_e7"))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("__mx",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    queries.sparkSession.createDataFrame(picked.toJavaRDD(), schema)
+      .localCheckpoint(true)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("rel"),
+        round((lit(lambda) * col("rel") -
+            (lit(1.0) - lit(lambda)) * col("__mx")) * lit(1e7), 0)
+          .cast("long").as("mmr_e7"))
   }
 
   /** Facility-location greedy selection (the submodular-coverage coreset:
@@ -1639,50 +1640,54 @@ object Vec {
           round(cosine(col("__vc"), col("__vu"), 6) * lit(1e6), 0)
             .cast("long")).as("__s"))
       .localCheckpoint(true)
-    // Greedy rounds in a tuned child session (AQE off, shuffle width
-    // derived at ~100k sims rows per partition — the Bradley-Terry
-    // rounds discipline): each round is one semi-join + one integer
-    // aggregate over the CHECKPOINTED |pool|·|universe| sims relation,
-    // so with AQE on, every round paid per-exchange re-plan jobs and
-    // driver passes that dwarfed the data (31 jobs / 2.0 s warm at
-    // k=5). Integer sums and the id tie-break are partitioning-
-    // independent — the selection is bit-identical in either session.
-    val nSims = sims0.count()
-    val parts = math.max(1L,
-      math.min(1L << 15, nSims / 100000L + 1L)).toInt
-    val ts = Serving.tuned(pool.sparkSession,
-      s"facility-rounds:$parts", parts)(_ => Nil)._1
-    val sims = org.apache.spark.sql.GraftBridge.dataFrame(ts,
-      org.apache.spark.sql.GraftBridge.logicalPlan(sims0))
-    // Coverage state is never materialized: cur(v) = max_{s∈sel} sim(v,s)
-    // recomputes per round from the checkpointed sims and the <= k-row
-    // selected set — one semi-join + max inside the round's single
-    // action, instead of a second checkpointed state relation per round.
-    var sel: DataFrame = null
+    // Greedy rounds as an RDD pass over the sims relation GROUPED PER
+    // UNIVERSE POINT (one shuffle, done once): coverage cur(v) =
+    // max_{s∈sel} sim(v,s) is a lookup inside v's own pool-sized row,
+    // so a round is one mapPartitions (local per-candidate marginal
+    // gains, pre-aggregated per partition) + one pool-domain
+    // reduceByKey + one scalar argmax reduce — zero Catalyst. The
+    // former DataFrame rounds (semi-join + aggregate per round, even
+    // AQE-off in a tuned session) paid ~0.2 s/round of plan latency on
+    // data this shape dwarfs. Integer gain sums are order-free
+    // (Math.addExact keeps the SQL's ANSI loudness), and the argmax
+    // tie-breaks by candidate id ascending — exactly the former
+    // row_number(gain desc, id) window — so the selection is
+    // bit-identical (DbscanMmrSpec pins it against a plain-Scala
+    // greedy; the oracle unrolls the same k steps).
+    val simsByV = sims0.rdd
+      .map(r => (r.getLong(1), (r.getLong(0), r.getLong(2))))
+      .groupByKey()
+      .mapValues(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simsByV.count(): Unit
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (step <- 1 to k) {
-      val scored =
-        if (sel == null) sims.select(col("__c"), col("__s").as("__g"))
-        else {
-          val cur = sims.join(sel.select(col("__c")), Seq("__c"))
-            .groupBy(col("__v")).agg(max(col("__s")).as("__cur"))
-          sims.join(sel.select(col("__c")), Seq("__c"), "left_anti")
-            .join(cur, Seq("__v"), "left_outer")
-            .select(col("__c"),
-              greatest(col("__s") - coalesce(col("__cur"), lit(0L)),
-                lit(0L)).as("__g"))
+      val selIds = picks.map(_._2).toSet
+      val gains = simsByV.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+        for ((_, arr) <- it) {
+          var cur = 0L
+          if (selIds.nonEmpty) {
+            for ((c, s) <- arr; if selIds.contains(c); if s > cur) cur = s
+          }
+          for ((c, s) <- arr; if !selIds.contains(c)) {
+            val g = math.max(s - cur, 0L)
+            acc.update(c, Math.addExact(acc.getOrElse(c, 0L), g))
+          }
         }
-      val win = scored.groupBy(col("__c"))
-        .agg(sum(col("__g")).as("gain_e6"))
-        .withColumn("__rn", row_number().over(Window
-          .orderBy(col("gain_e6").desc, col("__c"))))
-        .filter(col("__rn") === 1)
-        .select(col("__c"), col("gain_e6"), lit(step.toLong).as("rank"))
-        .localCheckpoint(true)
-      sel = if (sel == null) win else sel.unionByName(win)
+        acc.iterator
+      }.reduceByKey((x, y) => Math.addExact(x, y))
+      if (!gains.isEmpty()) {
+        val (bc, bg) = gains.reduce { (x, y) =>
+          if (x._2 > y._2 || (x._2 == y._2 && x._1 < y._1)) x else y
+        }
+        picks += ((step.toLong, bc, bg))
+      }
     }
-    org.apache.spark.sql.GraftBridge.dataFrame(pool.sparkSession,
-      org.apache.spark.sql.GraftBridge.logicalPlan(
-        sel.select(col("rank"), col("__c").as(idCol), col("gain_e6"))))
+    simsByV.unpersist(false)
+    import pool.sparkSession.implicits._
+    picks.toSeq.toDF("rank", "__c", "gain_e6")
+      .select(col("rank"), col("__c").as(idCol), col("gain_e6"))
   }
 
   /** Local Outlier Factor (Breunig et al. 2000) over the memoized

@@ -76,6 +76,24 @@ object GraftBridge {
       .generate(Seq(e)): Unit
   }
 
+  /** Block until every queued listener event is delivered — lets a
+    * measurement harness attribute listener-counted job time to the
+    * action that just returned (the bus is async; without the drain a
+    * job's end event can land in the next query's window).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The session's configured auto-broadcast byte budget
+    * (`spark.sql.autoBroadcastJoinThreshold`; <= 0 means disabled).
+    * Operators over checkpointed intermediates (LogicalRDD: no size
+    * statistics, so the planner can never auto-broadcast them) use this
+    * with their own exact row counts to restore the planner's
+    * broadcast-vs-shuffle decision — the same budget, better stats.
+    */
+  def autoBroadcastThreshold(spark: SparkSession): Long =
+    spark.sessionState.conf.autoBroadcastJoinThreshold
+
   /** Register a function into a LIVE session's registry (builder-time
     * `withExtensions` only applies to sessions created after it).
     */
