@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -393,26 +393,29 @@ object Vec {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(ringWindow >= 2, s"ringWindow must be >= 2, got $ringWindow")
-    val base = vecs.select(col(idCol).cast("long").as("__id"),
+    import org.apache.spark.sql.GraftBridge
+    val spark0 = vecs.sparkSession
+    val base0 = vecs.select(col(idCol).cast("long").as("__id"),
         col(vecCol).as("__v"),
         sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
           .as("__n"))
       .localCheckpoint(true)
-    def simRank(cand: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("__s"))
-        .orderBy(col("sim").desc, col("__d").asc)
-      cand
-        .join(base.select(col("__id").as("__s"), col("__v").as("__vs"),
-          col("__n").as("__ns")), Seq("__s"))
-        .join(base.select(col("__id").as("__d"), col("__v").as("__vd"),
-          col("__n").as("__nd")), Seq("__d"))
-        .select(col("__s"), col("__d"),
-          pairSim(col("__vs"), col("__vd"), col("__ns"), col("__nd"))
-            .as("sim"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-    }
-    val bkt = base.select(col("__id"),
+    // One pass over the checkpointed base prices the planner choice
+    // below: whether the vector table fits the session's own broadcast
+    // budget (the checkpoint is a LogicalRDD with no size statistics,
+    // so the planner could never make its usual broadcast-vs-shuffle
+    // call — restore it with the exact count; a corpus-scale vector
+    // table falls back to the shuffle joins). A tuned AQE-off child
+    // session for the rounds was measured WORSE here (12.9 → 18.1 s
+    // cold build) — unlike HITS's sliver rounds, each nn-descent round
+    // carries real candidate volume and benefits from AQE's runtime
+    // coalescing; do not re-run that experiment.
+    val shape = base0.agg(count(lit(1)), max(size(col("__v")))).head()
+    val n = shape.getLong(0)
+    val dim = if (shape.isNullAt(1)) 0L else shape.getInt(1).toLong
+    val bcBudget = GraftBridge.autoBroadcastThreshold(spark0)
+    val vecsFit = bcBudget > 0 && n * (dim * 8L + 64L) <= bcBudget
+    val bkt = base0.select(col("__id"),
       rpLshBucket(col("__v"), nBits).as("__b"))
     val local = bkt.select(col("__id").as("__s"), col("__b"))
       .join(bkt.select(col("__id").as("__d"), col("__b")), Seq("__b"))
@@ -425,12 +428,32 @@ object Vec {
     // sorted-neighborhood ring over the hashOrder permutation —
     // diverse cross-bucket edges, engine-replayable.
     val ring = Dedup.sortedNeighborhoodPairs(
-      base.select(col("__id")), "__id",
+      base0.select(col("__id")), "__id",
       Sampling.hashOrder(col("__id")), window = ringWindow)
-    val seed = local
+    val seedRaw = local
       .unionByName(ring.select(col("id_a").as("__s"), col("id_b").as("__d")))
       .unionByName(ring.select(col("id_b").as("__s"), col("id_a").as("__d")))
-      .distinct()
+    if (vecsFit)
+      return nndRoundsLocal(spark0, base0, seedRaw, k, rounds)
+    val seed = seedRaw.distinct()
+    def simRank(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__s"))
+        .orderBy(col("sim").desc, col("__d").asc)
+      val dSide = base0.select(col("__id").as("__d"), col("__v").as("__vd"),
+        col("__n").as("__nd"))
+      val sSide = base0.select(col("__id").as("__s"), col("__v").as("__vs"),
+        col("__n").as("__ns"))
+      // d-join first (the candidate rows are still bare long pairs),
+      // s-join last so the window's hash(__s) requirement is satisfied
+      // by the join's own output partitioning.
+      cand.join(dSide, Seq("__d"))
+        .join(sSide, Seq("__s"))
+        .select(col("__s"), col("__d"),
+          pairSim(col("__vs"), col("__vd"), col("__ns"), col("__nd"))
+            .as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
     var g = simRank(seed).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       // the full local join runs on the SYMMETRIZED edge set (Dong et
@@ -446,10 +469,210 @@ object Vec {
         .filter(col("__s") =!= col("__d"))
         .unionByName(sym)
         .distinct()
+      val prev = g
       g = simRank(cand).localCheckpoint(true)
+      GraftBridge.unpersistCheckpoint(prev)
     }
-    g.select(col("__s").as("node_id"), col("__d").as("neighbor_id"),
-      col("sim"), col("rank"))
+    val out = g.select(col("__s").as("node_id"),
+      col("__d").as("neighbor_id"), col("sim"), col("rank"))
+    GraftBridge.unpersistCheckpoint(base0)
+    GraftBridge.dataFrame(spark0, GraftBridge.logicalPlan(out))
+  }
+
+  /** Exact [[pairSim]] replay for the in-memory round path:
+    * [[graft.plans.VecOps.dot]]'s left fold (min-length, null element →
+    * null), precomputed norms, zero norm-product → null, and Spark's
+    * HALF_UP double round (`java.math.BigDecimal.valueOf` — the shortest
+    * decimal representation, exactly what catalyst's Round compiles to).
+    * NnDescentParitySpec pins bit-equality against the compiled
+    * expression, including half-way rounding points and null shapes.
+    */
+  private[graft] def pairSimLocal(va: Array[java.lang.Float],
+      na: java.lang.Double, vb: Array[java.lang.Float],
+      nb: java.lang.Double): java.lang.Double = {
+    if (va == null || vb == null || na == null || nb == null) return null
+    val p = na.doubleValue * nb.doubleValue
+    if (p == 0.0) return null
+    val m = math.min(va.length, vb.length)
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      if (va(i) == null || vb(i) == null) return null
+      acc += va(i).floatValue.toDouble * vb(i).floatValue.toDouble
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(acc / p)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Growable primitive long buffer — the aggregateByKey combiner for
+    * the in-memory nn-descent rounds. Deliberately NOT a set: Spark's
+    * spill-tracking size estimator walks combiner object graphs, and a
+    * primitive array is O(1) to size where a boxed set is O(n).
+    */
+  private final class LongBuf extends Serializable {
+    var a = new Array[Long](8)
+    var n = 0
+    def add(x: Long): LongBuf = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = x; n += 1; this
+    }
+    def addAll(o: LongBuf): LongBuf = {
+      if (n + o.n > a.length)
+        a = java.util.Arrays.copyOf(a, math.max(n + o.n, n * 2))
+      System.arraycopy(o.a, 0, a, n, o.n); n += o.n; this
+    }
+  }
+
+  /** (sim desc NULLS LAST, id asc) — Spark's window order with its
+    * double semantics: −0.0 ties 0.0 (normalized before compare), NaN
+    * above every value (unreachable here — [[pairSimLocal]] never
+    * produces one, the zero-product guard precedes the divide).
+    */
+  private val simDescIdAsc: Ordering[(Long, java.lang.Double)] =
+    new Ordering[(Long, java.lang.Double)] {
+      override def compare(x: (Long, java.lang.Double),
+          y: (Long, java.lang.Double)): Int = {
+        val c =
+          if (x._2 == null && y._2 == null) 0
+          else if (x._2 == null) 1
+          else if (y._2 == null) -1
+          else {
+            def norm(v: Double): Double = if (v == 0.0) 0.0 else v
+            java.lang.Double.compare(norm(y._2.doubleValue),
+              norm(x._2.doubleValue))
+          }
+        if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+      }
+    }
+
+  /** The nn-descent rounds on in-memory vectors — taken when the vector
+    * table fits the session's broadcast budget (the same gate, and the
+    * same per-node memory contract, as the broadcast joins it replaces;
+    * the [[graft.plans.CentroidTable]] discipline). Each round is two
+    * long-pair shuffles with map-side set combiners — no Catalyst
+    * analysis, no janino unit, no window exchange per round, which is
+    * where the DataFrame loop's cold-build time measurably went (the
+    * per-round work is k-bounded per node; the driver floor wasn't).
+    * Candidate SETS are identical to the DataFrame loop by construction
+    * (the per-key set combiner replays `distinct()`; the symmetric
+    * neighbor-of-neighbor expansion enumerates N(m)×N(m) exactly as the
+    * self-join on the symmetrized edge list does), sims and ordering
+    * replay [[pairSimLocal]]/[[simDescIdAsc]]; NnDescentParitySpec pins
+    * the two paths row-identical.
+    */
+  private def nndRoundsLocal(spark0: SparkSession, base0: DataFrame,
+      seedRaw: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.types._
+    val tbl = base0.collect()
+    val vm = new java.util.HashMap[Long,
+      (Array[java.lang.Float], java.lang.Double)](tbl.length * 2)
+    for (r <- tbl; if !r.isNullAt(0)) {
+      val v: Array[java.lang.Float] =
+        if (r.isNullAt(1)) null
+        else r.getSeq[Any](1).map(_.asInstanceOf[java.lang.Float]).toArray
+      val nn: java.lang.Double =
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+      vm.put(r.getLong(0), (v, nn))
+    }
+    val bc = spark0.sparkContext.broadcast(vm)
+    val kk = k
+    // Combiners are primitive long buffers, NOT hash sets: the shuffle
+    // reader's spill tracker size-samples combiner objects by walking
+    // their object graph, and a boxed set is O(|set|) per sample (a
+    // measured 26 s straggler job); a long[] is O(1). Dedupe (the
+    // `distinct()` the DataFrame loop runs) happens per key at scoring
+    // time by sort + unique scan.
+    def uniq(buf: LongBuf): Array[Long] = {
+      java.util.Arrays.sort(buf.a, 0, buf.n)
+      var w = 0
+      var i = 0
+      while (i < buf.n) {
+        if (w == 0 || buf.a(i) != buf.a(w - 1)) { buf.a(w) = buf.a(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(buf.a, w)
+    }
+    val parts = spark0.sparkContext.defaultParallelism
+    def byKey(pairs: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Array[Long])] =
+      pairs.aggregateByKey(new LongBuf, parts)((b, d) => b.add(d),
+        (x, y) => x.addAll(y)).mapValues(uniq)
+    def topK(cand: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long, java.lang.Double, Long)] =
+      byKey(cand).flatMap { case (s, ds) =>
+        val m = bc.value
+        val sv = m.get(s)
+        if (sv == null) Iterator.empty
+        else {
+          val scored = new Array[(Long, java.lang.Double)](ds.length)
+          var i = 0
+          ds.foreach { d =>
+            val dv = m.get(d)
+            if (dv != null) {
+              scored(i) = (d, pairSimLocal(sv._1, sv._2, dv._1, dv._2))
+              i += 1
+            }
+          }
+          val kept = java.util.Arrays.copyOf(scored, i)
+            .sorted(simDescIdAsc)
+          kept.iterator.take(kk).zipWithIndex.map { case ((d, sim), j) =>
+            (s, d, sim, (j + 1).toLong)
+          }
+        }
+      }
+    val seedPairs = seedRaw
+      .where(col("__s").isNotNull && col("__d").isNotNull)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    var g = topK(seedPairs)
+    for (_ <- 1 to rounds) {
+      // One grouped pass replays BOTH candidate sources of the
+      // DataFrame loop's round — the neighbor-of-neighbor self-join on
+      // the symmetrized edge set (per middle node m: N(m)×N(m) minus
+      // the diagonal) and the symmetrized edges themselves ((x,m) and
+      // (m,x) for x ∈ N(m)) — so a round is exactly two long-pair
+      // shuffles of fixed `parts` width, with no RDD unions (a union
+      // SUMS partition counts and re-runs shared map stages per
+      // consumer; the first cut of this loop drowned in tiny shuffle
+      // commits because of it).
+      val symByM = g.flatMap(t => Iterator((t._1, t._2), (t._2, t._1)))
+      g = topK(byKey(symByM).flatMap { case (m, a) =>
+        a.iterator.flatMap(x =>
+          a.iterator.filter(_ != x).map(y => (x, y))) ++
+          a.iterator.flatMap(x => Iterator((x, m), (m, x)))
+      })
+    }
+    val rows = g.map { case (s, d, sim, r) =>
+      org.apache.spark.sql.Row(s, d, sim, r) }
+    val schema = StructType(Seq(
+      StructField("node_id", LongType, nullable = true),
+      StructField("neighbor_id", LongType, nullable = true),
+      StructField("sim", DoubleType, nullable = true),
+      StructField("rank", LongType, nullable = false)))
+    // base0's checkpoint stays persisted: `seedRaw` reads it lazily at
+    // the caller's first action (the memo's own checkpoint); it is
+    // budget-gated small and dies with the context.
+    //
+    // The DataFrame loop's checkpoint carried the final window's
+    // hashpartitioning(node_id) + (node_id, sim desc, neighbor_id)
+    // ordering, which every graph consumer's joins and windows reuse
+    // exchange-free — restore the same physical properties over the
+    // in-memory result (one k·n-row exchange; the RDD's HashPartitioner
+    // is Java-hash, not the murmur3 the SQL layer could reuse).
+    val sqlParts = spark0.conf.get("spark.sql.shuffle.partitions").toInt
+    val laid = spark0.createDataFrame(rows, schema)
+      .repartition(sqlParts, col("node_id"))
+      .sortWithinPartitions(col("node_id").asc, col("sim").desc,
+        col("neighbor_id").asc)
+      .localCheckpoint(true)
+    // localCheckpoint under AQE records UnknownPartitioning; re-declare
+    // the layout the plan above genuinely produced so consumers reuse
+    // it exchange- and sort-free (the memo's own checkpoint passes the
+    // properties through a bare scan).
+    GraftBridge.relabelCheckpointLayout(laid, Seq("node_id"),
+      Seq(("node_id", true), ("sim", false), ("neighbor_id", true)),
+      sqlParts)
   }
 
   /** GREEDY BEAM SEARCH over a prebuilt kNN graph ([[nnDescent]]) —
@@ -1814,14 +2037,36 @@ object Vec {
       k: Int = 16, nBits: Int = 4, graphRounds: Int = 3,
       ringWindow: Int = 8): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
+    import org.apache.spark.sql.GraftBridge
+    val spark0 = vecs.sparkSession
     val g = nnDescent(vecs, idCol, vecCol, k, nBits, graphRounds,
       ringWindow)
-    val adj = g.select(col("node_id").as("__v"),
+    val adj0 = g.select(col("node_id").as("__v"),
         col("neighbor_id").as("__nb"), col("rank").cast("long").as("__rk"))
       .localCheckpoint(true)
-    val deg = adj.groupBy(col("__v")).agg(max(col("__rk")).as("__deg"))
+    // Each `out` union branch is a LAZY plan: left un-truncated, branch
+    // s re-derives every hop before its own, so the unioned walk corpus
+    // re-ran the hop joins quadratically in `steps` (the before-plan
+    // carried 98 exchanges and 32 sort-merge joins for 4 hops — one
+    // Catalyst/codegen pass per branch of driver latency even where AQE
+    // rescued the execution). Every hop's frontier is therefore
+    // checkpointed — one |starts|-row job per hop, linear in steps —
+    // and the union reads the materialized hops. Within a hop, the
+    // degree and adjacency sides are k-bounded per node but corpus-
+    // sized overall: broadcast them only when they fit the session's
+    // broadcast budget (restored over the stats-less checkpoint with
+    // the exact count — a hop is then exchange-free); at corpus scale
+    // the hop joins stay shuffles of the frontier.
+    val m = adj0.count()
+    val bcBudget = GraftBridge.autoBroadcastThreshold(spark0)
+    val adjFits = bcBudget > 0 && m * 72L <= bcBudget
+    val deg0 = adj0.groupBy(col("__v")).agg(max(col("__rk")).as("__deg"))
+      .localCheckpoint(true)
+    val deg = if (adjFits) broadcast(deg0) else deg0
+    val adj = if (adjFits) broadcast(adj0) else adj0
     var frontier = starts.select(col(idCol).as("__start"),
       col(idCol).as("__cur"))
+      .localCheckpoint(true)
     var out = frontier.select(col("__start"), lit(0L).as("step"),
       col("__cur").as("node_id"))
     for (s <- 1 to steps) {
@@ -1834,6 +2079,7 @@ object Vec {
         .join(adj, pick("__cur") === adj("__v") &&
           pick("__idx") === adj("__rk"))
         .select(col("__start"), col("__nb").as("__cur"))
+        .localCheckpoint(true)
       out = out.unionByName(frontier.select(col("__start"),
         lit(s.toLong).as("step"), col("__cur").as("node_id")))
     }

@@ -94,6 +94,37 @@ object GraftBridge {
   def autoBroadcastThreshold(spark: SparkSession): Long =
     spark.sessionState.conf.autoBroadcastJoinThreshold
 
+  /** Re-declare the physical layout of an eagerly checkpointed
+    * DataFrame. Under adaptive execution `Dataset.localCheckpoint`
+    * records `UnknownPartitioning` even when the checkpointed plan
+    * ended in an explicit REPARTITION_BY_NUM exchange plus a
+    * per-partition sort — so consumers re-exchange and re-sort data
+    * that is already laid out. The caller asserts (and must have
+    * actually produced — the layout is a correctness contract exactly
+    * like a bucketed table's) hash partitioning on `partitionCols`
+    * into `numPartitions` with rows sorted by `ordering`
+    * (name, ascending); descending orders carry NULLS LAST and
+    * ascending NULLS FIRST, the window/sort defaults.
+    */
+  def relabelCheckpointLayout(df: Dataset[_], partitionCols: Seq[String],
+      ordering: Seq[(String, Boolean)], numPartitions: Int): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        val attr = l.output.map(a => a.name -> a).toMap
+        val part = catalyst.plans.physical.HashPartitioning(
+          partitionCols.map(attr), numPartitions)
+        val ord = ordering.map { case (n, asc) =>
+          catalyst.expressions.SortOrder(attr(n),
+            if (asc) catalyst.expressions.Ascending
+            else catalyst.expressions.Descending)
+        }
+        val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+        classic.Dataset.ofRows(cs,
+          l.copy(outputPartitioning = part, outputOrdering = ord)(
+            cs, None, None))
+      case _ => df.toDF()
+    }
+
   /** Register a function into a LIVE session's registry (builder-time
     * `withExtensions` only applies to sessions created after it).
     */
