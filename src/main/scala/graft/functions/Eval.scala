@@ -556,18 +556,84 @@ object Eval {
     * bounded regardless of corpus size.
     */
   def isotonicCalibrate(rel: DataFrame): DataFrame = {
+    // The bin table is bounded by CONTRACT (one row per occupied
+    // confidence bucket — model-sized at any corpus scale), yet the
+    // relational hull fit ran it through ~30 bounded-data Spark jobs
+    // per calibration (triple chord join, anti-join, two segment
+    // aggregates, a no-partition cumulative window) — measured ~2-3 s
+    // of pure scheduling/planning floor per consumer at sf0.1 for ~20
+    // rows of arithmetic. The fit now collects the bin table (the
+    // CentroidTable discipline: bounded aggregate to the driver, the
+    // same bytes a broadcast would hold) and computes the greatest
+    // convex minorant with the SAME integer arithmetic the relational
+    // form ran — BigInt products replay decimal(38,0) exactly, and
+    // fpExact below replays [[Stats.fixedPointExact]]'s half-up
+    // rendering bit for bit (IsotonicParitySpec pins both against the
+    // relational form). The corpus-sized work (reliability's aggregate)
+    // stays distributed; downstream consumers read a LocalRelation.
+    val spark = rel.sparkSession
+    val pts = rel.select(col("bin").cast("long"), col("n").cast("long"),
+        col("n_correct").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var wAcc = 0L
+    var sAcc = 0L
+    val cum = pts.map { case (b, n, c) =>
+      wAcc += n; sAcc += c; (b, n, c, wAcc, sAcc)
+    }
+    val verts = (0L, 0L) +: cum.map(t => (t._4, t._5))
+    // vertex m is ON the minorant iff no chord (j, k) passes strictly
+    // below it — the exact predicate the triple join evaluated
+    val hull = verts.filterNot { case (wm, sm) =>
+      verts.exists { case (wj, sj) =>
+        wj < wm && verts.exists { case (wk, sk) =>
+          wk > wm &&
+            BigInt(sm - sj) * BigInt(wk - wj) >
+              BigInt(sk - sj) * BigInt(wm - wj)
+        }
+      }
+    }
+    // round-half-up of |num|*scale/den with the sign reapplied —
+    // fixedPointExact's decimal staging verbatim (den > 0 throughout:
+    // bin counts and hull spans are positive)
+    def fpExact(num: Long, den: Long, scale: Long = 1000000L): Long = {
+      val q = ((BigInt(num).abs * BigInt(2L * scale) + BigInt(den)) /
+        BigInt(2L * den)).toLong
+      if (num < 0) -q else q
+    }
+    val outRows: Seq[org.apache.spark.sql.Row] = cum.toSeq.map {
+      case (b, n, c, w, s) =>
+        // bin i sits on the hull segment (a, b] with Wa < W_i <= Wb:
+        // a the greatest vertex strictly below, b the least at-or-above
+        // (W values are distinct — counts are positive — so the struct
+        // max/min the aggregates took is the plain lexicographic one)
+        val (wa, sa) = hull.filter(_._1 < w).max
+        val (wb, sb) = hull.filter(_._1 >= w).min
+        org.apache.spark.sql.Row(b, n, c, fpExact(c, n),
+          fpExact(sb - sa, wb - wa))
+    }
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("bin", LongType, nullable = true),
+      StructField("n", LongType, nullable = true),
+      StructField("n_correct", LongType, nullable = true),
+      StructField("acc_ppm", LongType, nullable = true),
+      StructField("cal_ppm", LongType, nullable = true)))
+    spark.createDataFrame(outRows.asJava, schema)
+  }
+
+  /** The relational greatest-convex-minorant fit [[isotonicCalibrate]]
+    * replays locally — kept as the executable specification
+    * IsotonicParitySpec compares the in-memory fit against (chord
+    * predicate in decimal(38,0), segment struct-extrema, ppm rendering
+    * through [[Stats.fixedPointExact]]).
+    */
+  private[graft] def isotonicCalibrateRelational(rel: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
         .currentRow)
-    // Materialize the cumulative BIN table (bounded: one row per bin)
-    // before the hull predicate: the fit references it six ways (m/j/k
-    // chord roles, the segment join, and the hull's two sides), and
-    // every reference used to splice the ENTIRE upstream plan — the
-    // corpus-sized margin/reliability chain — into the logical tree.
-    // Measured on the calibrated-Brier entry: a 267 KB analyzed plan
-    // and ~1.7 s of per-run driver analysis for ~0.5 s of jobs. The
-    // checkpoint is one tiny eager action; downstream reads LogicalRDD.
     val pts = rel.select(col("bin"), col("n"), col("n_correct"))
       .withColumn("__W", sum(col("n")).over(w))
       .withColumn("__S", sum(col("n_correct")).over(w))
@@ -590,8 +656,6 @@ object Eval {
         withOrigin("__W") === violated("__Wm"), "left_anti")
     val ha = hull.select(col("__W").as("__Wa"), col("__S").as("__Sa"))
     val hb = hull.select(col("__W").as("__Wb"), col("__S").as("__Sb"))
-    // bin i sits on the hull segment (a, b] with Wa < W_i <= Wb: a is
-    // the greatest hull vertex strictly below, b the least at-or-above
     val seg = pts.join(ha, col("__Wa") < col("__W"))
       .groupBy(col("bin"), col("n"), col("n_correct"), col("__W"),
         col("__S"))

@@ -191,19 +191,65 @@ object NaiveBayes {
   private[graft] def rankedScoresUncached(train: DataFrame,
       score: DataFrame, idCol: String, textCol: String,
       classCol: String): DataFrame = {
-    val w = weights(tokenClassCounts(train, textCol, classCol))
+    import org.apache.spark.sql.GraftBridge
+    // SEEN-PAIR DECOMPOSITION of the score sum: with
+    // w_q(t,c) = log2q(n_tc + 1) − log2q(N_c + V) and log2q(1) the
+    // in-vocabulary-but-unseen-for-c weight's first term,
+    //   score_c = Σ_{seen occ} log2q(n_tc + 1)
+    //           + (#in-vocab occ − #seen occ) · log2q(1)
+    //           − (#in-vocab occ) · log2q(N_c + V) + prior_c
+    // — an exact rearrangement of the commutative integer sum that
+    // shrinks the broadcast model from the dense class×vocabulary grid
+    // to the SEEN (class, token) pairs and the scoring fan-out from
+    // |occ|·|classes| to |occ|·(classes that saw the token).
+    // The catalog's self-classification case (train and score are the
+    // same frame) additionally tokenizes the corpus ONCE into a shared
+    // checkpoint instead of once for the counts and once for the
+    // occurrence stream.
+    val sameCorpus = GraftBridge.logicalPlan(train).canonicalized ==
+      GraftBridge.logicalPlan(score).canonicalized
+    val (counts, occ) =
+      if (sameCorpus) {
+        val toks = train.select(col(idCol), col(classCol).as("class"),
+            explode(Text.tokens(col(textCol))).as("token"))
+          .where(col("token").rlike("^[a-z]+$"))
+          .localCheckpoint(true)
+        (toks.groupBy(col("class"), col("token"))
+           .agg(count(lit(1)).as("n")),
+         toks.select(col(idCol), col("token")))
+      } else
+        (tokenClassCounts(train, textCol, classCol),
+         score.select(col(idCol),
+             explode(Text.tokens(col(textCol))).as("token"))
+           .where(col("token").rlike("^[a-z]+$")))
+    val classes = counts.groupBy(col("class")).agg(sum(col("n")).as("__nc"))
+    val v = counts.select(col("token")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val base = classes.crossJoin(v)
+      .select(col("class"),
+        FixLog.log2qCol(col("__nc") + col("__v")).as("__base_q"))
     val prior = train.groupBy(col(classCol).as("class"))
       .agg(count(lit(1)).as("__nd"))
       .select(col("class"), FixLog.log2qCol(col("__nd")).as("__prior_q"))
-    val occ = score.select(col(idCol),
-        explode(Text.tokens(col(textCol))).as("token"))
-      .where(col("token").rlike("^[a-z]+$"))
-    val perClass = occ.join(broadcast(w), Seq("token"))
+    val seen = counts.select(col("token"), col("class"),
+      FixLog.log2qCol(col("n") + 1L).as("__wq"))
+    val vocab = counts.select(col("token")).distinct()
+    val inv = occ.join(broadcast(vocab), Seq("token"))
+    val cnt = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__cnt"))
+    val seenSum = inv.join(broadcast(seen), Seq("token"))
       .groupBy(col(idCol), col("class"))
-      .agg(sum(col("w_q")).as("__s"))
+      .agg(sum(col("__wq")).as("__ssum"), count(lit(1)).as("__scnt"))
+    val perClass = cnt
+      .crossJoin(broadcast(classes.select(col("class"))))
+      .join(seenSum, Seq(idCol, "class"), "left")
+      .join(broadcast(base), Seq("class"))
       .join(broadcast(prior), Seq("class"))
       .select(col(idCol), col("class"),
-        (col("__s") + col("__prior_q")).as("score_q"))
+        (coalesce(col("__ssum"), lit(0L)) +
+          (col("__cnt") - coalesce(col("__scnt"), lit(0L))) *
+            FixLog.log2qCol(lit(1L)) -
+          col("__cnt") * col("__base_q") +
+          col("__prior_q")).as("score_q"))
     val pick = Window.partitionBy(col(idCol))
       .orderBy(col("score_q").desc, col("class").asc)
     perClass.withColumn("__rn", row_number().over(pick))
