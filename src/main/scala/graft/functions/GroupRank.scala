@@ -87,6 +87,49 @@ object GroupRank {
         col(countCol)): _*)
   }
 
+  /** `df` + `rankCol` (1-based global DENSE rank of the row's `keys`
+    * tuple under ascending non-null order, LongType) — two level like
+    * [[withRankAndCount]] (one linear range exchange + one bounded-
+    * partition window), but WITHOUT the distinct + rank-the-domain +
+    * join-back staging dense ranking otherwise needs: per-shard local
+    * dense ranks are lifted to global ones by the per-shard distinct
+    * counts (the shard's max local rank), corrected for key runs that
+    * span shard boundaries — adjacent shards whose boundary rows carry
+    * the same key double-count one distinct value per shared boundary.
+    * Dense rank is tie-insensitive, so sampled range boundaries never
+    * change a rank, only which shard computes it.
+    */
+  def denseRankAll(df: DataFrame, keys: Seq[String],
+      rankCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys must not be empty")
+    val kc = keys.map(col)
+    val ranged = df.repartitionByRange(kc: _*)
+      .withColumn("__drshard", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__drshard"))
+      .orderBy(kc.map(_.asc): _*)
+    val local = ranged
+      .withColumn("__drl", dense_rank().over(wLocal).cast("long"))
+    val stats = local.groupBy(col("__drshard"))
+      .agg(max(col("__drl")).as("__drd"),
+        min(struct(kc: _*)).as("__drmin"),
+        max(struct(kc: _*)).as("__drmax"))
+    // shard-domain windows: bounded by the exchange width
+    val wOrd = Window.orderBy(col("__drshard").asc)
+    val offs = stats
+      .withColumn("__drcum",
+        coalesce(sum(col("__drd")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__dradj",
+        sum(when(lag(col("__drmax"), 1).over(wOrd) === col("__drmin"), 1L)
+          .otherwise(0L))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("__drshard"),
+        (col("__drcum") - col("__dradj")).as("__droff"))
+    local.join(broadcast(offs), Seq("__drshard"))
+      .withColumn(rankCol, col("__drl") + col("__droff"))
+      .select((df.columns.toIndexedSeq.map(col) :+ col(rankCol)): _*)
+  }
+
   /** `df` + `prefixCol` (EXCLUSIVE prefix sum of `valueCol` — the sum
     * over all rows STRICTLY preceding this one in the (groupCols,
     * order) total order, LongType) + `totalCol` (group sum). The same

@@ -85,11 +85,14 @@ object Suffix {
   def rankTables(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): Seq[DataFrame] = {
     require(rounds >= 1 && rounds <= 10, s"rounds in [1,10], got $rounds")
+    val spark = docs.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = stream(docs, idCol, textCol).localCheckpoint(true)
     val n = toks.count()
-    val typeRank = denseRankOf(toks.select(col("__tok")).distinct(),
-      Seq(col("__tok").asc), "__r")
-    var cur = toks.join(typeRank, Seq("__tok"))
+    // dense rank of the token stream directly (two-level, no distinct +
+    // rank-the-vocabulary + join-back: that staging cost one more
+    // corpus exchange and a corpus-sized sort-merge join per ranking)
+    var cur = GroupRank.denseRankAll(toks, Seq("__tok"), "__r")
       .select(col("__id"), col("__pos"), col("__r"))
       .localCheckpoint(true)
     val tables = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
@@ -101,18 +104,25 @@ object Suffix {
     // Whether `cur` holds dense ranks (true after round 0 and every
     // ranked round) or composite order-codes (see below).
     var dense = true
+    // Whether `cur`'s checkpoint is KNOWN to be laid out hash(__id) and
+    // sorted (__id, __pos) — true after composite rounds, whose
+    // checkpoint re-declares the window output's layout
+    // (localCheckpoint under AQE records UnknownPartitioning, so
+    // without the relabel every round re-exchanged and re-sorted the
+    // corpus for its lead window).
+    var idLaid = false
     for (r <- 1 to rounds if !converged) {
       // Partner rank by a PER-DOCUMENT window — lead(r, span) over
       // (doc, pos) is exactly "the rank span positions later in the
       // same document", the bounded-domain window kind (document
-      // length), and costs ONE hash exchange by __id where the former
-      // positional self-join exchanged both sides by (__id, __pos).
-      // Composite rounds keep that id-partitioning through their
-      // checkpoint (no join-back follows), so the NEXT round's window
-      // reuses it exchange-free.
+      // length). The explicit REPARTITION_BY_NUM (never AQE-coalesced,
+      // so the layout stays declarable) replaces the exchange the
+      // window would insert anyway; a composite-laid checkpoint skips
+      // both the exchange and the sort.
+      val base = if (idLaid) cur else cur.repartition(parts, col("__id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__id")).orderBy(col("__pos").asc)
-      val paired = cur.withColumnRenamed("__r", "__ra")
+      val paired = base.withColumnRenamed("__r", "__ra")
         .withColumn("__rb",
           coalesce(lead(col("__ra"), span.toInt).over(w), lit(0L)))
       // COMPOSITE round (odd rounds, while ranks fit): downstream
@@ -130,21 +140,29 @@ object Suffix {
       val composite = dense && (r % 2 == 1) && r != rounds &&
         maxRank <= MaxCompositeRank
       if (composite) {
-        cur = paired.select(col("__id"), col("__pos"),
-            (col("__ra") * (maxRank + 1L) + col("__rb")).as("__r"))
-          .localCheckpoint(true)
+        // the select is a narrow projection of the window output, so
+        // the checkpoint genuinely holds hash(__id, parts) data sorted
+        // (__id, __pos) — re-declare it for the next round's window
+        cur = GraftBridge.relabelCheckpointLayout(
+          paired.select(col("__id"), col("__pos"),
+              (col("__ra") * (maxRank + 1L) + col("__rb")).as("__r"))
+            .localCheckpoint(true),
+          Seq("__id"), Seq(("__id", true), ("__pos", true)), parts)
         dense = false
+        idLaid = true
         // no convergence probe: max(code) == n means nothing for
         // codes; detection resumes on the next dense round (costs at
         // most one cheap extra round after actual convergence)
       } else {
-        val pairRank = denseRankOf(
-          paired.select(col("__ra"), col("__rb")).distinct(),
-          Seq(col("__ra").asc, col("__rb").asc), "__r")
-        cur = paired.join(pairRank, Seq("__ra", "__rb"))
+        // dense rank of the paired table directly — same values as
+        // ranking the distinct pair domain and joining back (dense rank
+        // is tie-insensitive), minus the distinct, the domain join's
+        // exchanges, and its corpus-sized sorts
+        cur = GroupRank.denseRankAll(paired, Seq("__ra", "__rb"), "__r")
           .select(col("__id"), col("__pos"), col("__r"))
           .localCheckpoint(true)
         dense = true
+        idLaid = false
         maxRank = cur.agg(max(col("__r"))).head.getLong(0)
         converged = maxRank == n
       }
