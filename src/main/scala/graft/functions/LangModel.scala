@@ -752,11 +752,14 @@ object LangModel {
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
         expr(s"((c_ab - $delta) * __n * 1000000L) div (__ca * __cb)")
           .as("score_e6"))
-    val w = Window.orderBy(col("score_e6").desc, col("tok_a"),
-      col("tok_b"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= topK)
-      .drop("__rn")
+    // global top-K as TakeOrdered (parallel partial top-K per partition,
+    // k-row merge), NOT a no-partition row_number window: the scored
+    // relation is the bigram-TYPE domain above minCount — vocabulary²-
+    // bounded, not corpus-bounded, which is still far too large to drag
+    // through a single-partition window sort at scale. Same rows: the
+    // rank column was dropped after the filter.
+    scored.orderBy(col("score_e6").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
   }
 
   /** Pairwise total-variation distance between per-group unigram token

@@ -20,6 +20,7 @@ object Memos {
     Bpe.releaseLearnMemo()
     Vec.releaseModelMemo()
     Vec.releaseTopKMemos()
+    Vec.releaseResidMemo()
     Quant.releaseModelMemo()
     graft.multimodal.Media.releaseThumbMemo()
   }

@@ -64,6 +64,11 @@ object Preference {
     val edges0 = pairs
       .select(col(winCol).cast("long").as("__a"),
         col(loseCol).cast("long").as("__b"))
+      // null or uncastable ids: the former DataFrame joins dropped them
+      // silently; a primitive getLong on a null cell would NPE (and the
+      // old path even carried a meaningless null GROUP row) — advisor
+      // round 11
+      .where(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy(col("__a"), col("__b"))
       .agg(count(lit(1)).as("__n"))
       .localCheckpoint(true)
@@ -90,6 +95,11 @@ object Preference {
       .mapValues { case (_, nw) => (nw.getOrElse(0L), 1L << 20) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     w.count(): Unit // materialize the initial table once
+    // the previous round's `updated` cache (wNext is a mapValues view
+    // over it) — redundant once the NEXT round's action has pulled the
+    // renormed table through; unpersisting closes a per-round cache
+    // leak in long-lived sessions (advisor round 11)
+    var prevUpd: org.apache.spark.rdd.RDD[(Long, (Long, Long))] = null
     for (_ <- 1 to rounds) {
       // Attach w_a along the co-partitioned winner key (narrow), re-key
       // by the loser endpoint for w_b (the round's one edge-sized
@@ -115,6 +125,11 @@ object Preference {
       // n_wins·2^40. One action materializes the round.
       val sw = updated.aggregate(BigInt(0))(
         (acc, kv) => acc + kv._2._2, _ + _)
+      // this round's aggregate just materialized `updated` (pulling the
+      // previous renormed table through its view) — the previous
+      // round's fold cache has no further reader
+      if (prevUpd != null) prevUpd.unpersist(false)
+      prevUpd = updated
       val wNext = updated.mapValues { case (nw, wq2) =>
         (nw, ((BigInt(wq2) * nItems * 1048576L) / sw)
           .max(BigInt(1)).toLong)
@@ -139,6 +154,7 @@ object Preference {
     val out = spark.createDataFrame(rows.toJavaRDD(), schema)
       .localCheckpoint(true)
     w.unpersist(false)
+    if (prevUpd != null) prevUpd.unpersist(false)
     edges.unpersist(false)
     org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges0)
     out

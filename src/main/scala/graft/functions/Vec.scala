@@ -370,6 +370,19 @@ object Vec {
     bits
   }
 
+  /** Residual-IVF shared tables: (cell centroids, residual vectors),
+    * keyed by the corpus plan — see [[ivfPqResidualTopK]]. */
+  private val residMemo = new PlanMemo[(DataFrame, DataFrame)](
+    freeOnEvict = _ => (),
+    freeOnRelease = { case (c, r) =>
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(c)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(r)
+    },
+    capacity = 12)
+
+  /** Drop the residual-IVF memo and free its checkpoint storage. */
+  def releaseResidMemo(): Unit = residMemo.release()
+
   private val nndMemo = new PlanMemo[DataFrame](
     freeOnEvict = _ => (),
     freeOnRelease = org.apache.spark.sql.GraftBridge.unpersistCheckpoint,
@@ -1123,15 +1136,32 @@ object Vec {
       iters: Int, shortlist: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val centroids = groupCentroids(
-      corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
-    val resid = corpus.select(col(idCol), col(cellCol).as("cell"),
-        col(vecCol))
-      .join(broadcast(centroids), Seq("cell"))
-      .select(col(idCol), col("cell"),
-        zip_with(col(vecCol), col("centroid"),
-          (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
-          .as(vecCol))
+    // Centroids (cell-domain) and residuals (corpus-sized, narrow),
+    // computed ONCE and checkpointed: the three centroid consumers
+    // (residuals, reconstruction, the serve tail's coarse probe) each
+    // embedded their own copy of the aggregation, and the LAZY residual
+    // table fed pqModel's m concurrent sub-quantizer trainings, whose
+    // per-iteration centroid collects are ACTIONS — every one re-ran
+    // the corpus join + subtract. The pair is memoized on the corpus
+    // plan so the residual ladder's entries (topk/recall) keep handing
+    // pqModel the SAME checkpoint — its plan-keyed memo still hits
+    // across entries.
+    val (centroids, resid) = residMemo.getOrBuild(corpus.sparkSession, Seq(
+        org.apache.spark.sql.GraftBridge.logicalPlan(corpus).canonicalized,
+        cellCol, idCol, vecCol)) {
+      val cents = groupCentroids(
+        corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
+        .localCheckpoint(true)
+      val res = corpus.select(col(idCol), col(cellCol).as("cell"),
+          col(vecCol))
+        .join(broadcast(cents), Seq("cell"))
+        .select(col(idCol), col("cell"),
+          zip_with(col(vecCol), col("centroid"),
+            (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+            .as(vecCol))
+        .localCheckpoint(true)
+      (cents, res)
+    }
     val (codes, codebook) = Quant.pqModel(
       resid.select(col(idCol), col(vecCol)), m, subDim, kCodes, iters,
       idCol, vecCol)
@@ -1144,7 +1174,7 @@ object Vec {
           (c, r) => (c.cast("double") + r.cast("double")).cast("float"))
           .as("__rv"))
     ivfPqServe(corpus, queries, recon, k, nProbe, cellCol, shortlist,
-      idCol, vecCol, excludeSelf)
+      idCol, vecCol, excludeSelf, Some(centroids))
   }
 
   /** The shared IVF-PQ serving tail: coarse probe over exact-corpus
@@ -1154,9 +1184,10 @@ object Vec {
   private def ivfPqServe(corpus: DataFrame, queries: DataFrame,
       recon: DataFrame, k: Int, nProbe: Int, cellCol: String,
       shortlist: Int, idCol: String, vecCol: String,
-      excludeSelf: Boolean): DataFrame = {
-    val centroids = groupCentroids(
-      corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol)
+      excludeSelf: Boolean,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(groupCentroids(
+      corpus.select(col(cellCol).as("cell"), col(vecCol)), "cell", vecCol))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(graft.plans.VecExpressions.dotProduct(col(vecCol), col(vecCol)))
         .as("nq"))
@@ -1776,33 +1807,51 @@ object Vec {
     // local pass decides only the selection order and carries mx.
     val kk = k
     val lam = lambda
-    val relKV = relCk.rdd.map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
-    val psKV = ps.rdd.map(r => (r.getLong(0), ((r.getLong(1), r.getLong(2)), r.getDouble(3))))
+    // NULL guards (advisor round 11): the house cosine yields NULL for
+    // zero-norm or null-element vectors — a primitive getDouble would
+    // NPE where the former window ordered NULLs last. NULL rel rows are
+    // dropped (never pickable ahead of any real score); a missing psim
+    // never raises the running max, and an all-missing neighborhood
+    // penalizes 0 — degenerate-input behavior only, the catalog data
+    // has no zero-norm vectors.
+    val relKV = relCk.rdd.filter(r => !r.isNullAt(2))
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+    val psKV = ps.rdd.filter(r => !r.isNullAt(3))
+      .map(r => (r.getLong(0), ((r.getLong(1), r.getLong(2)), r.getDouble(3))))
     val picked = relKV.cogroup(psKV).flatMap { case (qid, (cs, prs)) =>
-      val cands = cs.toArray
+      // duplicate corpus ids would otherwise leave `used` permanently
+      // short of cands.length and emit phantom rows (advisor round 11)
+      val cands = cs.toArray.distinct
       val sim = prs.toMap
       val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
       val used = scala.collection.mutable.HashSet.empty[Long]
       val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
       var step = 1
-      while (step <= kk && used.size < cands.length) {
+      var exhausted = false
+      while (!exhausted && step <= kk && used.size < cands.length) {
         var any = false
         var bid = 0L; var bscore = 0.0; var brel = 0.0; var bmx = 0.0
         for ((id, rv) <- cands if !used(id)) {
           var mx = 0.0
           if (sel.nonEmpty) {
             var m = java.lang.Double.NEGATIVE_INFINITY
-            for (s <- sel) { val p = sim((id, s)); if (p > m) m = p }
-            mx = m
+            for (s <- sel) {
+              val p = sim.getOrElse((id, s), java.lang.Double.NEGATIVE_INFINITY)
+              if (p > m) m = p
+            }
+            mx = if (m == java.lang.Double.NEGATIVE_INFINITY) 0.0 else m
           }
           val sc = lam * rv - (1.0 - lam) * mx
           if (!any || sc > bscore || (sc == bscore && id < bid)) {
             any = true; bid = id; bscore = sc; brel = rv; bmx = mx
           }
         }
-        rows += org.apache.spark.sql.Row(qid, step.toLong, bid, brel, bmx)
-        used += bid; sel += bid
-        step += 1
+        if (!any) exhausted = true
+        else {
+          rows += org.apache.spark.sql.Row(qid, step.toLong, bid, brel, bmx)
+          used += bid; sel += bid
+          step += 1
+        }
       }
       rows
     }

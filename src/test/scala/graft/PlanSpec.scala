@@ -506,6 +506,13 @@ class PlanSpec extends AnyFunSuite {
       "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
 
+  test("phrase mine: global top-K is TakeOrdered, not a single-partition " +
+      "window over the bigram-type domain") {
+    val p = plan("q_phrase_mine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("priority sample: one TakeOrdered, no corpus sort exchange") {
     val p = plan("q_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
